@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Dev-only self-check mirroring the driver's t2 oracle gate.
+
+Runs each oracle SQL from Verify's oracle_sql.json in DuckDB over the same
+parquet testdata, and compares row-count / column-set / values against the
+parquet Verify dumped. Not part of the shipped library (driver-side python).
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            want = con.sql(sql).df()
+            got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            w, g = normalize(want), normalize(got)
+            if list(w.columns) != list(g.columns):
+                print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+                failures += 1
+            elif len(w) != len(g):
+                print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+                failures += 1
+            elif not w.equals(g):
+                diff = (w != g) & ~(w.isna() & g.isna())
+                print(f"FAIL {name}: {int(diff.any(axis=1).sum())} differing rows; first:")
+                idx = diff.any(axis=1).idxmax()
+                print("  oracle:", w.loc[idx].to_dict())
+                print("  spark :", g.loc[idx].to_dict())
+                failures += 1
+            else:
+                print(f"ok   {name}: {len(w)} rows")
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {e}")
+            failures += 1
+    print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

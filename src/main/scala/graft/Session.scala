@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with cluster-minded defaults.
+  *
+  * Tests run on `local[N]` but every knob here is chosen so the same plan
+  * shape survives a 1000-executor cluster: AQE on (runtime re-plan, skew-join
+  * splitting, dynamic coalesce), shuffle partitions sized to the local core
+  * count (on a real cluster this is overridden to ~2-3x total cores or left
+  * to AQE), UTC session timezone for oracle parity.
+  */
+object GraftSession {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

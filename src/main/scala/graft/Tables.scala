@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's testdata tables (see /root/repo/TESTDATA.md).
+  *
+  * All reads go through `spark.read.parquet` so Catalyst gets full predicate
+  * pushdown / column pruning / partition pruning on the scans. Never collect
+  * or cache here — callers decide materialization.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to TimestampType. Read it as a raw long (legacy nanosAsLong conf) and
+    * convert with exact integer division (`div`, not `/` — the double path
+    * loses precision above 2^53 ns). The data is µs-granular (verified:
+    * every value has ns%1000==0), so this matches DuckDB's µs TIMESTAMP
+    * read bit-for-bit. */
+  private def withNanosTimestamps(name: String, tsCols: String*): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tsCols.foldLeft(table(name)) { (df, c) =>
+      if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      else df
+    }
+  }
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  def events: DataFrame     = withNanosTimestamps("events", "ts")
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

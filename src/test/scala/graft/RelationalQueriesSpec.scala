@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.RelationalQueries
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites — one JVM-wide SparkSession. */
+object SparkTestSession {
+  lazy val spark: SparkSession = GraftSession.local(cores = 8, appName = "graft-test")
+  val sf0001 = "/root/testdata/sf0.001"
+  val sf001  = "/root/testdata/sf0.01"
+}
+
+class RelationalQueriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query returns rows and its oracle columns on sf0.001") {
+    RelationalQueries.all.foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      val n  = df.count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("queries and oracleSql keys coincide") {
+    assert(RelationalQueries.all.keySet == RelationalQueries.oracle.keySet)
+  }
+
+  test("q3 matches hand semantics: counts per event_type for user 3") {
+    val rows = RelationalQueries.q3(spark, sf0001).collect()
+    val expected = Tables(spark, sf0001).events
+      .filter(org.apache.spark.sql.functions.col("user_id") === 3)
+      .collect().groupBy(_.getAs[String]("event_type")).view.mapValues(_.length.toLong).toMap
+    val got = rows.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("cnt")).toMap
+    assert(got == expected)
+    assert(rows.map(_.getString(0)).sorted.sameElements(rows.map(_.getString(0))), "ordered by event_type")
+  }
+
+  test("q9 anti join: no returned customer has an 'F' order") {
+    import org.apache.spark.sql.functions.col
+    val antiKeys = RelationalQueries.q9(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val fOrderKeys = Tables(spark, sf0001).orders.filter(col("o_orderstatus") === "F")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(antiKeys.nonEmpty && antiKeys.intersect(fOrderKeys).isEmpty)
+  }
+
+  test("q10 ranking: at most 2 rows per user, rn in {1,2}") {
+    val rows = RelationalQueries.q10(spark, sf0001).collect()
+    assert(rows.forall(r => r.getAs[Long]("rn") >= 1 && r.getAs[Long]("rn") <= 2))
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, g) => assert(g.length <= 2) }
+  }
+
+  test("q16 totals reconcile with unfiltered sums minus late shipments") {
+    import org.apache.spark.sql.functions._
+    val l = Tables(spark, sf0001).lineitem
+    val totalCnt = l.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00")
+      .cast(l.schema("l_shipdate").dataType)).count()
+    val q16Cnt = RelationalQueries.q16(spark, sf0001).agg(sum("cnt")).collect()(0).getLong(0)
+    assert(q16Cnt == totalCnt)
+  }
+}
