@@ -12,9 +12,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.q7(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Entries without
+    * an oracleSql counterpart get the driver's rows-only check (non-SQL-
+    * expressible ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all
+    RelationalQueries.all ++ Map[String, (SparkSession, String) => DataFrame](
+      // D3-D6 gate state machine: golden-fixture replay to quiescence
+      // (strict assertions in FeedStepSpec; SQL can't express the fixpoint).
+      "feed_golden_replay" -> ((s, _) => graft.feed.GoldenFixture.replayAsDataFrame(s))
+    )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,77 @@
+package graft.feed
+
+/** The pure decision tables of the watcher, encoded once and reused by both
+  * the batch replay ([[FeedStep]]) and the streaming wrapper — per SURVEY
+  * §7.3: "Encode the decision table once and reuse it in streaming".
+  *
+  * Every rule cites the reference line it mirrors. No Spark types here —
+  * plain Scala, property-testable without a session.
+  */
+object FeedPolicy {
+
+  /** Default retry budget (item.go:10-11). -1 = retry indefinitely. */
+  val DefaultMaxRetries = 5
+
+  /** Retry / dead-letter policy (item.go:27-38).
+    *
+    * Mirrors the reference exactly, including its quirk that message dedup
+    * compares the WHOLE accumulated log to the new message (item.go:30-34)
+    * — so "a\nb" followed by error "a" appends again. */
+  def recordError(i: Item, err: ProcessorError, maxRetries: Int = DefaultMaxRetries): Item = {
+    val retries = i.retryCount + 1
+    val msgs =
+      if (i.errorMessages.isEmpty) err.message
+      else if (i.errorMessages != err.message) i.errorMessages + "\n" + err.message
+      else i.errorMessages
+    val failed = !err.retryable || (retries > maxRetries && maxRetries >= 0)
+    i.copy(
+      retryCount = retries,
+      errorMessages = msgs,
+      status = if (failed) Status.Failed else i.status)
+  }
+
+  /** Item transition after one processor call (watcher.go:195-212):
+    * on error → retry policy; on success → Complete iff resp.complete,
+    * and gate/data always move to the response's (watcher.go:207-211). */
+  def processItem(i: Item, p: Processor, maxRetries: Int = DefaultMaxRetries): Item =
+    p.process(i.id, i.data) match {
+      case Left(err) => recordError(i, err, maxRetries).copy(version = i.version + 1)
+      case Right(resp) =>
+        i.copy(
+          status = if (resp.complete) Status.Complete else i.status,
+          gate = resp.nextGate,
+          data = resp.data,
+          version = i.version + 1)
+    }
+
+  /** Per-partition counts-by-status (the R3 aggregate, repo.go:141-162)
+    * reduced to the two counts the decision needs. */
+  final case class StatusCounts(failed: Long, available: Long)
+
+  /** The gate / close decision (watcher.go:147-161), given counts over ALL
+    * the partition's items (not gate-filtered!) and the number of items
+    * actually fetchable at the current gate this tick:
+    *
+    *   - any Failed item        → partition Failed (gate frozen)
+    *   - else any Available     → partition Available (resurrects a Failed
+    *     partition, watcher.go:150-151); gate++ iff zero fetchable and not
+    *     ManualCheckpoint (the fan-in barrier, watcher.go:152-155)
+    *   - else (all done)        → Complete iff AutoClose (watcher.go:156-161)
+    */
+  def partitionTransition(
+      p: Partition,
+      counts: StatusCounts,
+      fetchedCount: Long,
+      manualCheckpoint: Boolean,
+      autoClose: Boolean): Partition = {
+    val next =
+      if (counts.failed > 0) p.copy(status = Status.Failed)
+      else if (counts.available > 0)
+        p.copy(
+          status = Status.Available,
+          gate = if (fetchedCount == 0 && !manualCheckpoint) p.gate + 1 else p.gate)
+      else if (fetchedCount == 0 && autoClose) p.copy(status = Status.Complete)
+      else p
+    next.copy(version = p.version + 1)
+  }
+}

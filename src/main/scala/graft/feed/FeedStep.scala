@@ -1,0 +1,185 @@
+package graft.feed
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-watcher knobs (watcher.go:30-35, item.go:10-11).
+  *
+  * `autoClosePredicate` lets AutoClose vary per partition — the reference
+  * reaches the same effect by running multiple watchers with different
+  * configs over disjoint partition sets (watcher_test.go:244). */
+final case class FeedOptions(
+    batchSize: Int = 10,
+    manualCheckpoint: Boolean = false,
+    autoClose: Boolean = false,
+    maxRetries: Int = FeedPolicy.DefaultMaxRetries,
+    autoClosePredicate: Option[String => Boolean] = None) {
+  def autoCloseFor(id: String): Boolean = autoClosePredicate.fold(autoClose)(_(id))
+}
+
+/** One poll-cycle of the watcher (watcher.go:124-212), expressed as a
+  * deterministic, fully distributed batch transition over
+  * `(Dataset[Item], Dataset[Partition])` — SURVEY §7.2 M2.
+  *
+  * The reference runs this loop per-partition on goroutines with leases
+  * arbitrating ownership; here every partition advances simultaneously and
+  * single-writer-per-key is guaranteed by the shuffle on `partitionId`, so
+  * leases/OCC are unnecessary inside the engine (SURVEY §2.2 D2). Plan
+  * shape per step, on items hash-partitioned by `partitionId`:
+  *
+  *   1. fetchable = items ⋈ active-partition gates, status=Available AND
+  *      item.gate = partition.gate, row_number ≤ batchSize ordered by
+  *      (updatedAt, id)  — the R2 top-K per key (repo.go:114-120; the
+  *      id tiebreak makes the reference's nondeterministic tie order
+  *      deterministic).
+  *   2. counts = conditional aggregate over ALL the partition's items
+  *      (R3, repo.go:141-162) — map-side partial agg keeps the shuffle
+  *      tiny at any scale.
+  *   3. partition transition + item processing via the pure
+  *      [[FeedPolicy]] decision tables.
+  *
+  * All three reuse the same `partitionId` hash partitioning, so a step is
+  * one shuffle of the items table plus a small partition-table join that
+  * AQE turns into a broadcast when the partition side is small.
+  */
+object FeedStep {
+
+  final case class StepResult(items: Dataset[Item], partitions: Dataset[Partition])
+
+  // Not private: Spark's encoder codegen must access the constructor.
+  final case class PartitionWithCounts(
+      id: String,
+      gate: Int,
+      status: Int,
+      owner: String,
+      until: java.sql.Timestamp,
+      version: Int,
+      failedCnt: Long,
+      availCnt: Long,
+      fetchedCnt: Long) {
+    def partition: Partition = Partition(id, gate, status, owner, until, version)
+  }
+
+  def step(
+      spark: SparkSession,
+      items: Dataset[Item],
+      partitions: Dataset[Partition],
+      processor: Processor,
+      opts: FeedOptions): StepResult = {
+    import spark.implicits._
+
+    // Complete partitions are never scanned again (GetPotentialLeases
+    // filters status != Complete, repo.go:110; their items stay frozen —
+    // golden case s8). Failed partitions ARE still polled: Failed is not
+    // InActive (partition.go:30-32).
+    val active   = partitions.filter(_.status != Status.Complete)
+    val inactive = partitions.filter(_.status == Status.Complete)
+
+    val gates = active.select($"id".as("partitionId"), $"gate".as("partitionGate"))
+
+    // R2: per-partition FIFO dispatch, limited to batchSize.
+    val rank = Window.partitionBy($"partitionId").orderBy($"updatedAt", $"id")
+    val fetched = items
+      .join(gates, Seq("partitionId"))
+      .filter($"status" === Status.Available && $"gate" === $"partitionGate")
+      .withColumn("rn", row_number().over(rank))
+      .filter($"rn" <= opts.batchSize)
+      .drop("partitionGate", "rn")
+      .as[Item]
+
+    // R3: counts over ALL items of the partition (not gate-filtered).
+    // Keys renamed distinctly: both aggregates derive from `items`, and
+    // Spark's ambiguous-self-join detection rejects shared lineage columns.
+    val counts = items
+      .groupBy($"partitionId".as("countsPid"))
+      .agg(
+        sum(when($"status" === Status.Failed, 1L).otherwise(0L)).as("failedCnt"),
+        sum(when($"status" === Status.Available, 1L).otherwise(0L)).as("availCnt"))
+    val fetchedCnts = fetched.groupBy($"partitionId".as("fetchPid"))
+      .agg(count(lit(1)).as("fetchedCnt"))
+
+    // D3: the gate / close decision per active partition.
+    val manualCheckpoint = opts.manualCheckpoint
+    val optsB = opts
+    val nextPartitions = active
+      .join(counts, active("id") === $"countsPid", "left")
+      .join(fetchedCnts, active("id") === $"fetchPid", "left")
+      .select(
+        active("id"), active("gate"), active("status"), active("owner"),
+        active("until"), active("version"),
+        coalesce($"failedCnt", lit(0L)).as("failedCnt"),
+        coalesce($"availCnt", lit(0L)).as("availCnt"),
+        coalesce($"fetchedCnt", lit(0L)).as("fetchedCnt"))
+      .as[PartitionWithCounts]
+      .map { pc =>
+        FeedPolicy.partitionTransition(
+          pc.partition,
+          FeedPolicy.StatusCounts(pc.failedCnt, pc.availCnt),
+          pc.fetchedCnt,
+          manualCheckpoint,
+          optsB.autoCloseFor(pc.id))
+      }
+
+    // D5/D6: process fetched items. Items fetched in the same tick a
+    // partition turns Failed are still processed (enqueue happens after the
+    // save, and Failed is not InActive — watcher.go:163-176).
+    val maxRetries = opts.maxRetries
+    val processedItems = fetched.map(i => FeedPolicy.processItem(i, processor, maxRetries))
+    val untouched = items.join(fetched.select($"id"), Seq("id"), "left_anti").as[Item]
+    val nextItems = untouched.toDF().unionByName(processedItems.toDF()).as[Item]
+
+    StepResult(nextItems, nextPartitions.toDF().unionByName(inactive.toDF()).as[Partition])
+  }
+
+  /** Iterate [[step]] to quiescence — the deterministic replay used by the
+    * golden-state parity test (SURVEY §5.2). Quiescent = no item advanced
+    * and no partition changed (status, gate) between steps. Partition
+    * `version` is excluded: the reference bumps it on every lease renewal.
+    *
+    * Each iteration is localCheckpoint'ed: truncates lineage (step count is
+    * unbounded) and makes the comparison cheap. This harness collects only
+    * the small per-step change summary, never the items table.
+    */
+  def replay(
+      spark: SparkSession,
+      items: Dataset[Item],
+      partitions: Dataset[Partition],
+      processor: Processor,
+      opts: FeedOptions,
+      maxSteps: Int = 200): (Dataset[Item], Dataset[Partition], Int) = {
+    var curItems = items.localCheckpoint(true)
+    var curParts = partitions.localCheckpoint(true)
+    var steps    = 0
+    var quiet    = false
+    while (!quiet && steps < maxSteps) {
+      val res      = step(spark, curItems, curParts, processor, opts)
+      val newItems = res.items.localCheckpoint(true)
+      val newParts = res.partitions.localCheckpoint(true)
+      quiet = itemFingerprint(newItems) == itemFingerprint(curItems) &&
+        partitionFingerprint(newParts) == partitionFingerprint(curParts)
+      curItems = newItems
+      curParts = newParts
+      steps += 1
+    }
+    (curItems, curParts, steps)
+  }
+
+  /** Order-insensitive digest of item state (excludes version: it bumps on
+    * every save). Computed distributed; only one long crosses the driver. */
+  private def itemFingerprint(ds: Dataset[Item]): Long = {
+    import ds.sparkSession.implicits._
+    sumOf(ds.map(i => (i.id, i.partitionId, i.gate, i.status, i.retryCount,
+      i.errorMessages, i.dataString).hashCode.toLong))
+  }
+
+  private def partitionFingerprint(ds: Dataset[Partition]): Long = {
+    import ds.sparkSession.implicits._
+    sumOf(ds.map(p => (p.id, p.gate, p.status).hashCode.toLong))
+  }
+
+  private def sumOf(ds: Dataset[Long]): Long = {
+    import ds.sparkSession.implicits._
+    ds.toDF("h").agg(coalesce(sum($"h"), lit(0L))).head().getLong(0)
+  }
+}

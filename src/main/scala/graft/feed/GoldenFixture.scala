@@ -1,0 +1,117 @@
+package graft.feed
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** The reference's golden integration fixture + test processor
+  * (watcher_test.go:114-217, 45-86), re-expressed for the deterministic
+  * batch replay. Owners/leases are intentionally dropped: ownership is
+  * subsumed by Spark's state partitioning (SURVEY §2.2 D2), and the golden
+  * end-state of items/partitions is ownership-independent — the reference's
+  * own test proves convergence regardless of which watcher wins a lease.
+  */
+object GoldenFixture {
+
+  /** Payload {times, fail?, processed, gate?} (watcher_test.go:45-50). */
+  final case class DataObj(times: Int, fail: Boolean = false, processed: Int = 0, gate: Int = 0) {
+    def marshal: Array[Byte] =
+      s"""{"times":$times${if (fail) ",\"fail\":true" else ""},"processed":$processed${if (gate != 0) s",\"gate\":$gate" else ""}}"""
+        .getBytes(UTF_8)
+  }
+
+  object DataObj {
+    /** Minimal JSON field extraction for the fixture's flat payloads —
+      * avoids dragging a JSON library into the test processor. */
+    def parse(b: Array[Byte]): DataObj = {
+      val s = new String(b, UTF_8)
+      def intOf(k: String): Int =
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
+      def boolOf(k: String): Boolean =
+        ("\"" + k + "\"\\s*:\\s*true").r.findFirstMatchIn(s).isDefined
+      DataObj(intOf("times"), boolOf("fail"), intOf("processed"), intOf("gate"))
+    }
+  }
+
+  /** testProcessor (watcher_test.go:72-86): fail → error; else processed++;
+    * Complete when processed >= times; NextGate = payload gate. */
+  object TestProcessor extends Processor {
+    def process(id: String, data: Array[Byte]): Either[ProcessorError, ProcessorResponse] = {
+      val d = DataObj.parse(data)
+      if (d.fail) Left(RetryableError("moving to failed item"))
+      else {
+        val nd = d.copy(processed = d.processed + 1)
+        Right(ProcessorResponse(nextGate = nd.gate, complete = nd.processed >= nd.times, data = nd.marshal))
+      }
+    }
+  }
+
+  val partitions: Seq[Partition] = Seq(
+    Partition("p1_unowned", status = Status.Failed),
+    Partition("p2_unowned"),
+    Partition("p1_owned"),
+    Partition("p2_owned"),
+    Partition("p1_disabled", status = Status.Complete),
+    Partition("p1_swap"),
+    Partition("p2_swap"),
+    Partition("p1_gate"),
+    Partition("p2_gate"))
+
+  private def item(id: String, pid: String, d: DataObj, status: Int = Status.Available) =
+    Item(id = id, partitionId = pid, status = status, data = d.marshal)
+
+  val items: Seq[Item] = Seq(
+    item("s1_ready", "p1_unowned", DataObj(3)),
+    item("s2_fail", "p2_unowned", DataObj(3), status = Status.Failed),
+    item("s3_done", "p1_owned", DataObj(3), status = Status.Complete),
+    item("s4_owned", "p2_owned", DataObj(3)),
+    item("s5_owned", "p1_owned", DataObj(3)),
+    item("s6_owned_should_fail", "p2_owned", DataObj(3, fail = true)),
+    item("s7_owned", "p1_owned", DataObj(3)),
+    item("s8_disabled", "p1_disabled", DataObj(3)),
+    item("s9_ready", "p1_swap", DataObj(3)),
+    item("s10_ready_should_fail", "p2_swap", DataObj(3, fail = true)),
+    item("s11_ready", "p2_swap", DataObj(3)),
+    item("s12_gate", "p2_gate", DataObj(3, gate = 1)),
+    item("s13_gate_fail", "p2_gate", DataObj(3, gate = 1, fail = true)),
+    item("s14_gate", "p1_gate", DataObj(3, gate = 1)),
+    item("s15_gate", "p1_gate", DataObj(3, gate = 1)))
+
+  /** MaxRetries=3, AutoClose only for p1_* (watcher_test.go:234, 244). */
+  val options: FeedOptions = FeedOptions(
+    batchSize = 10,
+    maxRetries = 3,
+    autoClosePredicate = Some((id: String) => id.startsWith("p1")))
+
+  /** Expected golden end-state: (status, processed-count-or(-1 for unchanged-data))
+    * from watcher_test.go:268-349 / FIXTURES.md §1. */
+  val expectedItems: Map[String, (Int, DataObj)] = Map(
+    "s1_ready"              -> (Status.Complete, DataObj(3, processed = 3)),
+    "s2_fail"               -> (Status.Failed, DataObj(3)),
+    "s3_done"               -> (Status.Complete, DataObj(3)),
+    "s4_owned"              -> (Status.Complete, DataObj(3, processed = 3)),
+    "s5_owned"              -> (Status.Complete, DataObj(3, processed = 3)),
+    "s6_owned_should_fail"  -> (Status.Failed, DataObj(3, fail = true)),
+    "s7_owned"              -> (Status.Complete, DataObj(3, processed = 3)),
+    "s8_disabled"           -> (Status.Available, DataObj(3)),
+    "s9_ready"              -> (Status.Complete, DataObj(3, processed = 3)),
+    "s10_ready_should_fail" -> (Status.Failed, DataObj(3, fail = true)),
+    "s11_ready"             -> (Status.Complete, DataObj(3, processed = 3)),
+    "s12_gate"              -> (Status.Available, DataObj(3, processed = 1, gate = 1)),
+    "s13_gate_fail"         -> (Status.Failed, DataObj(3, gate = 1, fail = true)),
+    "s14_gate"              -> (Status.Complete, DataObj(3, processed = 3, gate = 1)),
+    "s15_gate"              -> (Status.Complete, DataObj(3, processed = 3, gate = 1)))
+
+  /** Run the golden replay and return final item states as a DataFrame —
+    * exposed as a driver-checkable `queries()` entry (rows-only check; the
+    * strict assertion lives in FeedStepSpec). */
+  def replayAsDataFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (fi, _, _) = FeedStep.replay(
+      spark, spark.createDataset(items), spark.createDataset(partitions),
+      TestProcessor, options)
+    fi.map(i => (i.id, i.partitionId, i.status, i.gate, i.retryCount, i.dataString))
+      .toDF("id", "partition_id", "status", "gate", "retry_count", "data")
+      .orderBy("id")
+  }
+}

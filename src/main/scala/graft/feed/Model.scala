@@ -1,0 +1,78 @@
+package graft.feed
+
+import java.sql.Timestamp
+
+/** Feed domain model — the two relational tables + wire IR of the reference
+  * (SURVEY.md §1; /root/reference/internal/state/{item,partition,repo,processor}.go).
+  *
+  * Status codes keep the reference's numeric values (repo.go:15-22) for
+  * parity with any external store.
+  */
+object Status {
+  val Unknown   = 0
+  val Available = 1
+  val Complete  = 2
+  val Failed    = 3
+}
+
+/** Work-ownership + checkpoint unit (partition.go:7-23). 1-to-many with
+  * [[Item]]. `owner`/`until` exist for external-store parity; within the
+  * engine, single-writer-per-key is guaranteed by shuffle partitioning on
+  * `id`, so leases are never raced (SURVEY §2.2 D2). */
+final case class Partition(
+    id: String,
+    gate: Int = 0,
+    status: Int = Status.Available,
+    owner: String = "",
+    until: Timestamp = new Timestamp(0L),
+    version: Int = 0)
+
+object Partition {
+  /** partition.go:26-28 */
+  def expired(p: Partition, now: Timestamp): Boolean = p.until.before(now)
+
+  /** partition.go:30-32 */
+  def inActive(p: Partition, now: Timestamp): Boolean =
+    p.status == Status.Complete || expired(p, now)
+}
+
+/** A unit of work belonging to exactly one partition (item.go:13-23).
+  * `data` is the opaque payload — JSON in every shipped processor. */
+final case class Item(
+    id: String,
+    partitionId: String,
+    gate: Int = 0,
+    status: Int = Status.Available,
+    retryCount: Int = 0,
+    errorMessages: String = "",
+    updatedAt: Timestamp = new Timestamp(0L),
+    version: Int = 0,
+    data: Array[Byte] = Array.emptyByteArray) {
+  def dataString: String = new String(data, java.nio.charset.StandardCharsets.UTF_8)
+}
+
+/** Engine-internal IR returned by any [[Processor]] (processor.go:33-37). */
+final case class ProcessorResponse(
+    nextGate: Int,
+    complete: Boolean,
+    data: Array[Byte])
+
+/** Error taxonomy (processor.go:15-31). The sealed trait replaces Go's
+  * `errors.As` marker-type check. */
+sealed trait ProcessorError extends Serializable {
+  def message: String
+  def retryable: Boolean
+}
+final case class RetryableError(message: String) extends ProcessorError {
+  val retryable = true
+}
+final case class NonRetryableError(message: String) extends ProcessorError {
+  val retryable = false
+}
+
+/** The user-supplied transform — the reference's UDF surface
+  * (processor.go:10-13). Must be Serializable: it ships to executors. */
+trait Processor extends Serializable {
+  def process(id: String, data: Array[Byte]): Either[ProcessorError, ProcessorResponse]
+  def healthcheck(): Either[String, Unit] = Right(())
+}

@@ -1,0 +1,75 @@
+package graft.feed
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports of the reference's pure-unit tests (item_test.go:8-62) plus
+  * seeded randomized properties for the retry policy (SURVEY §5.3). */
+class FeedPolicySpec extends AnyFunSuite {
+
+  private def item = Item(id = "i1", partitionId = "p1")
+
+  test("retry sequence matches item_test.go: dedup, append, dead-letter at maxRetries=3") {
+    val maxRetries = 3
+    val i1 = FeedPolicy.recordError(item, RetryableError("test error"), maxRetries)
+    assert(i1.retryCount == 1 && i1.errorMessages == "test error" && i1.status == Status.Available)
+    val i2 = FeedPolicy.recordError(i1, RetryableError("test error"), maxRetries)
+    assert(i2.retryCount == 2 && i2.errorMessages == "test error" && i2.status == Status.Available)
+    val i3 = FeedPolicy.recordError(i2, RetryableError("test error 2"), maxRetries)
+    assert(i3.retryCount == 3 && i3.errorMessages == "test error\ntest error 2" && i3.status == Status.Available)
+    val i4 = FeedPolicy.recordError(i3, RetryableError("whatever"), maxRetries)
+    assert(i4.status == Status.Failed, "4th error exceeds MaxRetries=3")
+  }
+
+  test("non-retryable error fails immediately regardless of count") {
+    val i1 = FeedPolicy.recordError(item, NonRetryableError("fatal"), maxRetries = 5)
+    assert(i1.status == Status.Failed && i1.retryCount == 1 && i1.errorMessages == "fatal")
+  }
+
+  test("maxRetries = -1 retries indefinitely") {
+    val i = (1 to 100).foldLeft(item)((acc, _) =>
+      FeedPolicy.recordError(acc, RetryableError("e"), maxRetries = -1))
+    assert(i.status == Status.Available && i.retryCount == 100)
+  }
+
+  test("whole-log dedup quirk: a\\nb then a appends again (item.go:30-34)") {
+    val i = Seq("a", "b", "a").foldLeft(item)((acc, m) =>
+      FeedPolicy.recordError(acc, RetryableError(m), maxRetries = -1))
+    assert(i.errorMessages == "a\nb\na")
+  }
+
+  test("property: retryCount strictly monotone, Failed is absorbing (seeded random)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val errs: Seq[ProcessorError] = (1 to 20).map { _ =>
+        val msg = "e" + rnd.nextInt(4)
+        if (rnd.nextBoolean()) RetryableError(msg) else NonRetryableError(msg)
+      }
+      val states = errs.scanLeft(item)((acc, e) => FeedPolicy.recordError(acc, e, 5))
+      states.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.retryCount == a.retryCount + 1)
+          if (a.status == Status.Failed) assert(b.status == Status.Failed)
+        case _ =>
+      }
+    }
+  }
+
+  test("partition decision table (watcher.go:147-161)") {
+    val p = Partition("p")
+    def t(failed: Long, avail: Long, fetched: Long, manual: Boolean = false, auto: Boolean = false) =
+      FeedPolicy.partitionTransition(p, FeedPolicy.StatusCounts(failed, avail), fetched, manual, auto)
+
+    assert(t(failed = 1, avail = 5, fetched = 3).status == Status.Failed)
+    assert(t(failed = 1, avail = 5, fetched = 3).gate == 0, "failed freezes gate")
+    assert(t(failed = 0, avail = 2, fetched = 2).status == Status.Available)
+    assert(t(failed = 0, avail = 2, fetched = 2).gate == 0, "items in flight: no gate advance")
+    assert(t(failed = 0, avail = 2, fetched = 0).gate == 1, "fan-in barrier crossed")
+    assert(t(failed = 0, avail = 2, fetched = 0, manual = true).gate == 0, "manual checkpoint")
+    assert(t(failed = 0, avail = 0, fetched = 0, auto = true).status == Status.Complete)
+    assert(t(failed = 0, avail = 0, fetched = 0).status == Status.Available, "no autoclose: stays")
+
+    val failedP = FeedPolicy.partitionTransition(Partition("p", status = Status.Failed),
+      FeedPolicy.StatusCounts(0, 1), 1, manualCheckpoint = false, autoClose = false)
+    assert(failedP.status == Status.Available, "all-available partition resurrects from Failed")
+  }
+}

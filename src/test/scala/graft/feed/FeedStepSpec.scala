@@ -1,0 +1,61 @@
+package graft.feed
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The golden-state parity test (SURVEY §5.2/§5.3 item 1): replay the
+  * reference's integration fixture to quiescence and assert the exact final
+  * (status, payload) of every item and the partition invariants. */
+class FeedStepSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  lazy val result = {
+    import spark.implicits._
+    val (items, parts, steps) = FeedStep.replay(
+      spark,
+      spark.createDataset(GoldenFixture.items),
+      spark.createDataset(GoldenFixture.partitions),
+      GoldenFixture.TestProcessor,
+      GoldenFixture.options)
+    (items.collect(), parts.collect(), steps)
+  }
+
+  test("replay reaches quiescence well before the step bound") {
+    assert(result._3 < 50, s"took ${result._3} steps")
+  }
+
+  test("every item reaches its golden end-state (watcher_test.go:268-349)") {
+    val got = result._1.map(i => i.id -> i).toMap
+    assert(got.keySet == GoldenFixture.expectedItems.keySet)
+    GoldenFixture.expectedItems.foreach { case (id, (status, data)) =>
+      val i = got(id)
+      assert(i.status == status, s"$id status ${i.status} != $status")
+      assert(GoldenFixture.DataObj.parse(i.data) == data,
+        s"$id data ${i.dataString} != expected $data")
+    }
+  }
+
+  test("all p1_* partitions end Complete (AutoClose, watcher_test.go:386-390)") {
+    val parts = result._2.map(p => p.id -> p).toMap
+    parts.filter(_._1.startsWith("p1")).foreach { case (id, p) =>
+      assert(p.status == Status.Complete, s"$id status ${p.status}")
+    }
+  }
+
+  test("p2_gate ends Failed; p2 non-autoclose partitions stay non-Complete") {
+    val parts = result._2.map(p => p.id -> p).toMap
+    assert(parts("p2_gate").status == Status.Failed)
+    assert(parts("p2_owned").status == Status.Failed, "s6 failed within it")
+    // p2_unowned has only a Failed item from the start → partition Failed.
+    assert(parts("p2_unowned").status == Status.Failed)
+    // p2_swap had one failure (s10) → Failed despite s11 completing.
+    assert(parts("p2_swap").status == Status.Failed)
+  }
+
+  test("failed items keep pre-failure data; retry caps at maxRetries+1") {
+    val got = result._1.map(i => i.id -> i).toMap
+    val s6 = got("s6_owned_should_fail")
+    assert(s6.retryCount == GoldenFixture.options.maxRetries + 1)
+    assert(s6.errorMessages == "moving to failed item")
+  }
+}
