@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.RelationalQueries
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -16,14 +17,18 @@ object SparkEntry {
     * an oracleSql counterpart get the driver's rows-only check (non-SQL-
     * expressible ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ Map[String, (SparkSession, String) => DataFrame](
-      // D3-D6 gate state machine: golden-fixture replay to quiescence
-      // (strict assertions in FeedStepSpec; SQL can't express the fixpoint).
-      "feed_golden_replay" -> ((s, _) => graft.feed.GoldenFixture.replayAsDataFrame(s))
-    )
+    RelationalQueries.all ++
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
+      Multimodal.queries ++
+      Map[String, (SparkSession, String) => DataFrame](
+        // D3-D6 gate state machine: golden-fixture replay to quiescence
+        // (strict assertions in FeedStepSpec; SQL can't express the fixpoint).
+        "feed_golden_replay" -> ((s, _) => graft.feed.GoldenFixture.replayAsDataFrame(s))
+      )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle
+    RelationalQueries.oracle ++ Dedup.oracle ++ TextAnalysis.oracle ++
+      Similarity.oracle
 }

@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over `documents`.
+  *
+  * Scale design: nothing here is O(n²) on the full corpus. Candidate
+  * generation is always LSH-bucketed (minhash bands or simhash chunks), so
+  * the only joins are equi-joins on (band, bucket-hash) — shuffle-
+  * partitioned, skew-handled by AQE — and the quadratic verify step runs
+  * only within buckets. Signatures are computed with higher-order
+  * functions (no UDFs), one pass per document.
+  */
+object Dedup {
+
+  /** Distinct n-gram shingles of the whitespace token stream; documents
+    * shorter than n fall back to a single whole-text shingle. */
+  def shingles(n: Int): Column = {
+    val toks = "split(text, ' ')"
+    when(size(split(col("text"), " ")) >= n,
+      expr(s"array_distinct(transform(sequence(0, size($toks) - $n), i -> concat_ws(' ', slice($toks, i + 1, $n))))"))
+      .otherwise(array(col("text")))
+  }
+
+  /** Exact dedup: keep-first by content hash. One shuffle on the hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "h")
+      .orderBy("doc_id")
+
+  /** MinHash signatures + banded LSH candidate pairs.
+    *
+    * Structured as explode → seeded-hash → groupBy-min, NOT as nested
+    * higher-order functions: computing 32 `array_min(transform(...))`
+    * expressions over a derived shingle column makes CollapseProject
+    * inline the whole tokenization into every signature (and again into
+    * every band hash), re-tokenizing each row hundreds of times in
+    * interpreted mode — measured 100×+ slower. The aggregation form is
+    * whole-stage-codegen'd, gets map-side partial aggregation, and the
+    * band-table self-join reuses one shuffle for both sides
+    * (ReuseExchange). Returns (left_id, right_id) with left < right.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      shingleSize: Int,
+      numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val bands = numHashes / rowsPerBand
+    val exploded = docs.select(col("doc_id"), explode(shingles(shingleSize)).as("s"))
+    val sigAggs = (0 until numHashes).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j"))
+    val sig = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val sigCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"m$j"))
+      struct(lit(b).as("band"), xxhash64(sigCols :+ lit(b): _*).as("bh"))
+    }
+    val bandTable = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    bandTable.as("a")
+      .join(bandTable.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs (the verify step
+    * after LSH): |A∩B| / |A∪B| over distinct shingle sets. */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleSize: Int): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingles(shingleSize).as("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("left_id"), col("sh").as("lsh")), Seq("left_id"))
+      .join(sets.select(col("doc_id").as("right_id"), col("sh").as("rsh")), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (size(array_intersect(col("lsh"), col("rsh"))) /
+          size(array_union(col("lsh"), col("rsh")))).as("jaccard"))
+  }
+
+  /** Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
+    * keep-first decision per document. Emits one row per document (never
+    * empty), with `dup_of` = the smallest earlier doc_id it duplicates. */
+  def minhashDedup(
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashCandidates(docs, shingleSize, numHashes, rowsPerBand)
+    val verified = jaccardVerify(docs, pairs, shingleSize)
+      .filter(col("jaccard") >= threshold)
+    val dupOf = verified
+      .groupBy(col("right_id").as("doc_id"))
+      .agg(min(col("left_id")).as("dup_of"), max(col("jaccard")).as("best_jaccard"))
+    docs.select("doc_id")
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        round(coalesce(col("best_jaccard"), lit(0.0)), 4).as("best_jaccard"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard similarity pairs via minhash LSH, surfaced as explicit
+    * scored pairs. Bigram shingles: on this corpus unigram token sets are
+    * non-discriminative (avg pairwise Jaccard 0.61 over the shared
+    * vocabulary — LSH saturates into an O(n²) candidate set), while bigram
+    * Jaccard averages 0.025 with p99 ≈ 0.08, so banding prunes ~99% of
+    * pairs and the verify join stays linear-ish. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double = 0.08,
+      limit: Int = 500): DataFrame = {
+    val pairs = minhashCandidates(docs, shingleSize = 2, numHashes = 32, rowsPerBand = 2)
+    jaccardVerify(docs, pairs, shingleSize = 2)
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("left_id"), asc("right_id"))
+      .limit(limit)
+  }
+
+  /** 64-bit SimHash over the shingle set: per bit, sum ±1 weighted by each
+    * shingle-hash's bit, take the sign — all in one higher-order aggregate.
+    * Candidates via 4×16-bit chunk equality (hamming ≤ 3 guarantee needs
+    * one identical chunk); verified by exact hamming distance ≤ maxHamming.
+    * Emits one row per document with its simhash and dup decision. */
+  def simhashDedup(docs: DataFrame, shingleSize: Int = 3, maxHamming: Int = 3): DataFrame = {
+    // Explode → hash once → 64 conditional-sum aggregates (one HashAggregate
+    // with partial agg), then reassemble the sign bits. Same rationale as
+    // minhashCandidates: no nested HOFs over a derived column.
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(shingleSize)).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b"))
+    val bitSums = exploded.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val simhashCol = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val withSim = bitSums
+      .select(col("doc_id"), simhashCol.as("simhash"))
+      .withColumn("chunks", expr(
+        "transform(sequence(0, 3), c -> struct(c AS chunk, CAST(shiftright(simhash, c * 16) & 65535 AS INT) AS ch))"))
+
+    val chunkTable = withSim.select(col("doc_id"), col("simhash"),
+      explode(col("chunks")).as("c")).select(col("doc_id"), col("simhash"),
+      col("c.chunk").as("chunk"), col("c.ch").as("ch"))
+    val pairs = chunkTable.as("a")
+      .join(chunkTable.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
+        col("a.simhash").as("lsim"), col("b.simhash").as("rsim"))
+      .distinct()
+      .filter(bit_count(col("lsim").bitwiseXOR(col("rsim"))) <= maxHamming)
+    val dupOf = pairs.groupBy(col("right_id").as("doc_id"))
+      .agg(min(col("left_id")).as("dup_of"))
+
+    withSim.select("doc_id", "simhash")
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_dedup_exact"      -> ((s, d) => exact(Tables(s, d).documents)),
+    "dedup_minhash_lsh"    -> ((s, d) => minhashDedup(Tables(s, d).documents)),
+    "dedup_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
+    "dedup_simhash"        -> ((s, d) => simhashDedup(Tables(s, d).documents)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q19_dedup_exact" ->
+      ("SELECT doc_id, md5(text) AS h FROM (SELECT doc_id, text, " +
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t " +
+        "WHERE rn = 1 ORDER BY doc_id"),
+  )
+}

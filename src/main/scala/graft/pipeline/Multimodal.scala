@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with a typed metadata struct, and feature extraction as a
+  * batched `mapPartitions` stage — the Scala analog of `mapInPandas` with
+  * arrow batches: rows stream through in fixed-size batches so a real
+  * decoder (JNI image lib, ffmpeg pipe, ONNX session) amortizes per-batch
+  * setup. The decode itself is a STUB (no media libraries in this
+  * environment, and the testdata has no real media); everything around it
+  * — schema, batching, partitioning, output shape — is real and tested.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      doc_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Long,
+      n_frames: Int,
+      features: Array[Float])
+
+  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of
+    * the text (deterministic stand-in for real image/audio bytes), typed
+    * metadata derived from doc_id. In production this column comes from a
+    * binary-file source (`spark.read.format("binaryFile")`) or parquet
+    * with a BinaryType column — identical schema either way. */
+  def attachPayloads(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      (pmod(col("doc_id"), lit(8)) * 64 + 256).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(4)) * 64 + 256).cast("int").as("height"),
+      lit(16000).as("sample_rate"))
+
+  /** STUB decoder — stands in for image decode / audio resample / video
+    * frame-sampling. Deterministic 8-bin byte histogram normalized to
+    * [0,1], so tests can assert exact values. A real implementation
+    * replaces ONLY this function (same batch-in, batch-out shape). */
+  private def decodeBatchStub(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val hist = new Array[Float](8)
+      m.payload.foreach { b => hist((b & 0xff) >> 5) += 1f }
+      val total = math.max(m.payload.length, 1).toFloat
+      val frames = m.kind match {
+        case "video" => math.max(m.payload.length / 64, 1) // frame-sample stride
+        case "audio" => math.max(m.payload.length / m.sample_rate, 1)
+        case _       => 1
+      }
+      MediaFeatures(m.doc_id, m.kind, m.payload.length.toLong, frames,
+        hist.map(_ / total))
+    }
+
+  /** Batched feature extraction. `grouped(batchSize)` inside mapPartitions
+    * gives the decoder its amortization batch without materializing the
+    * partition; output stays an iterator so spill behavior is unchanged. */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
+      .toDF()
+  }
+
+  def pipeline(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(attachPayloads(Tables(s, dir).documents))
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("n_frames"),
+        round(element_at(col("features"), 1), 4).as("f0"))
+      .orderBy("doc_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> (pipeline _),
+  )
+}

@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Arithmetic note: every dot product casts float elements to double
+  * inside the lambda and folds left-to-right, and cosine divides by
+  * `sqrt(na*nb)` — this reproduces DuckDB's `list_cosine_similarity` on
+  * `CAST(embedding AS DOUBLE[])` bit-for-bit (verified empirically), which
+  * is what makes the brute-force variant oracle-checkable.
+  */
+object Similarity {
+
+  /** Left-fold double dot product of two float-array columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries)
+    * — the brute-force baseline. The tiny query set is broadcast, so the
+    * big side streams through one scan with no shuffle before the
+    * per-query top-k (TakeOrdered within window partitions). Ranking uses
+    * the 4-dp-rounded score with vec_id tiebreak to stay deterministic
+    * across engines. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine("embedding", "qe"), 4).as("sim"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim")
+      .orderBy(asc("query_id"), desc("sim"), asc("vec_id"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * murmur3 of the pair, mapped to [-1, 1). No RNG state — reproducible
+    * across executors by construction. */
+  private def hyperplaneSignature(vecCol: String, planes: Int): Column =
+    expr(s"""aggregate(transform(sequence(0, ${planes - 1}), j ->
+      CASE WHEN aggregate(zip_with($vecCol, transform(sequence(0, size($vecCol) - 1), i -> (pmod(hash(j, i), 2000) - 1000) / 1000.0), (x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0
+      THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc | x)""")
+
+  /** Approximate top-k via random-hyperplane LSH: vectors sharing a
+    * signature band are candidates; exact cosine only within buckets.
+    * This is the 100-TB scale path — candidate generation is an equi-join
+    * on (band, bucket), never a cross join. Recall is tunable via
+    * planes/bandBits. */
+  def annTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+      planes: Int = 16, bandBits: Int = 4): DataFrame = {
+    val bands = planes / bandBits
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      hyperplaneSignature("embedding", planes).as("sig"))
+    val banded = sig.withColumn("bandArr", expr(
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, CAST(shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS INT) AS bucket))"))
+      .select(col("vec_id"), col("embedding"), explode(col("bandArr")).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val queries = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("band"), col("bucket"))
+    val candidates = banded.join(queries, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qe"))
+      .dropDuplicates("query_id", "vec_id")
+    candidates
+      .select(col("query_id"), col("vec_id"), round(cosine("embedding", "qe"), 4).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim")
+      .orderBy(asc("query_id"), desc("sim"), asc("vec_id"))
+  }
+
+  /** Embedding near-duplicate detection: LSH-bucketed pairs with cosine ≥
+    * threshold, reduced to a keep-first decision per vector (never empty). */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.9,
+      planes: Int = 16, bandBits: Int = 8): DataFrame = {
+    val bands = planes / bandBits
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      hyperplaneSignature("embedding", planes).as("sig"))
+    val banded = sig.withColumn("bandArr", expr(
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, CAST(shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS INT) AS bucket))"))
+      .select(col("vec_id"), col("embedding"), explode(col("bandArr")).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"),
+        col("a.embedding").as("le"), col("b.embedding").as("re"))
+      .dropDuplicates("left_id", "right_id")
+      .select(col("left_id"), col("right_id"), cosine("le", "re").as("cos"))
+      .filter(col("cos") >= threshold)
+    val dupOf = pairs.groupBy(col("right_id").as("vec_id"))
+      .agg(min(col("left_id")).as("dup_of"), max(col("cos")).as("best_cos"))
+    emb.select("vec_id", "label")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("dup_of"),
+        round(coalesce(col("best_cos"), lit(0.0)), 4).as("best_cos"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy("vec_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_knn_cosine"    -> ((s, d) => bruteForceTopK(Tables(s, d).embeddings)),
+    "knn_ann_lsh"       -> ((s, d) => annTopK(Tables(s, d).embeddings)),
+    "dedup_embedding"   -> ((s, d) => embeddingNearDup(Tables(s, d).embeddings)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q22_knn_cosine" ->
+      ("SELECT query_id, vec_id, sim FROM (" +
+        "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS rn " +
+        "FROM embeddings q, embeddings e WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) t " +
+        "WHERE rn <= 10 ORDER BY query_id, sim DESC, vec_id"),
+  )
+}

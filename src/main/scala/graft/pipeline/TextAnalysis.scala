@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table. Everything is built from codegen'd built-ins
+  * (split / explode / higher-order functions) — no UDFs — so whole-stage
+  * codegen spans each plan and the only shuffles are the declared
+  * aggregations.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (documents.text is space-separated tokens). */
+  val tokens: Column = split(col("text"), " ")
+
+  /** Per-document quality stats: token count, char count, lexical
+    * diversity. All counts cast to long to match DuckDB's BIGINT. */
+  def textQuality(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(array_distinct(tokens)).cast("long").as("n_distinct"),
+      round(size(array_distinct(tokens)) / size(tokens), 4).as("distinct_ratio"),
+      round(length(col("text")) / size(tokens), 4).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Corpus token frequency (the classic tf sweep): explode + count.
+    * Map-side partial aggregation keeps the shuffle at vocabulary size
+    * regardless of corpus size. */
+  def tokenFrequency(docs: DataFrame, topK: Int = 50): DataFrame =
+    docs.select(explode(tokens).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(topK)
+
+  /** Language ID trained in-engine: an add-one-smoothed multinomial
+    * naive-Bayes over the token stream. Profile = per-(lang, token) log
+    * P(token|lang) plus a log-prior per language; predicted language
+    * maximizes the summed log-likelihood (ties broken lexicographically).
+    *
+    * Scale shape: two aggregations over the corpus build the model; the
+    * model (langs × vocab, bounded by vocabulary size) is broadcast into
+    * a single join against the exploded token stream, then one aggregation
+    * scores every (doc, lang) — linear in corpus size, no shuffle wider
+    * than the doc×lang score table. On this driver's synthetic corpus the
+    * labels are independent of the text (31-token shared vocabulary), so
+    * accuracy ≈ prior; the operator's correctness is asserted on a
+    * discriminative corpus in PipelineSpec. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"), explode(tokens).as("token"))
+
+    val vocabSize = tok.select("token").distinct().count()
+    val langTotals = tok.groupBy(col("lang").as("model_lang"))
+      .agg(count(lit(1)).as("lang_total"))
+    val nDocs = docs.count()
+    val priors = docs.groupBy(col("lang").as("model_lang"))
+      .agg((log(count(lit(1)) / lit(nDocs.toDouble))).as("log_prior"))
+
+    // log P(token|lang) with add-one smoothing, for every observed pair.
+    val model = tok.groupBy(col("lang").as("model_lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(langTotals, Seq("model_lang"))
+      .select(col("model_lang"), col("token"),
+        log((col("tf") + 1) / (col("lang_total") + vocabSize)).as("logp"))
+
+    // Every (doc-token, lang) pair; unseen pairs get the smoothed floor
+    // log(1 / (lang_total + V)).
+    val scored = tok.select(col("doc_id"), col("token"))
+      .crossJoin(broadcast(langTotals))
+      .join(broadcast(model), Seq("model_lang", "token"), "left")
+      .select(col("doc_id"), col("model_lang"),
+        coalesce(col("logp"),
+          log(lit(1.0) / (col("lang_total") + vocabSize))).as("logp"))
+      .groupBy("doc_id", "model_lang")
+      .agg(sum("logp").as("log_likelihood"))
+      .join(broadcast(priors), Seq("model_lang"))
+      .select(col("doc_id"), col("model_lang"),
+        (col("log_likelihood") + col("log_prior")).as("score"))
+
+    val best = Window.partitionBy("doc_id").orderBy(desc("score"), asc("model_lang"))
+    val predicted = scored
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("model_lang").as("predicted_lang"),
+        round(col("score"), 4).as("score"))
+
+    docs.select("doc_id", "lang")
+      .join(predicted, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("predicted_lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: order-sensitive rolling hash over the token
+    * stream (rotate-left 5, xor token hash — pure bitwise ops, so it wraps
+    * instead of tripping ANSI overflow checks), fully inside a higher-order
+    * `aggregate` — one pass per document, no shuffle at all. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
+        "(acc, x) -> (shiftleft(acc, 5) | shiftrightunsigned(acc, 59)) ^ xxhash64(x))")
+        .as("fingerprint"),
+      xxhash64(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_text_quality" -> ((s, d) => textQuality(Tables(s, d).documents)),
+    "q21_token_freq"   -> ((s, d) => tokenFrequency(Tables(s, d).documents)),
+    "langid_ngram"     -> ((s, d) => languageId(Tables(s, d).documents)),
+    "doc_fingerprint"  -> ((s, d) => fingerprint(Tables(s, d).documents)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q20_text_quality" ->
+      ("SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, " +
+        "ROUND(length(list_distinct(string_split(text, ' '))) / length(string_split(text, ' ')), 4) AS distinct_ratio, " +
+        "ROUND(length(text) / length(string_split(text, ' ')), 4) AS chars_per_token " +
+        "FROM documents ORDER BY doc_id"),
+    "q21_token_freq" ->
+      ("SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
+  )
+}

@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling entry point (not part of the driver contract). */
+object Debug {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(16, "debug")
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables(spark, dir).documents
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[debug] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    val sh2 = time("shingle2 count")(docs.select(Dedup.shingles(2).as("sh"))
+      .select(sum(size(col("sh")))).head().getLong(0))
+    println(s"[debug] total 2-shingles: $sh2")
+
+    val cand = Dedup.minhashCandidates(docs, 2, 32, 2)
+    println(cand.queryExecution.executedPlan.toString.take(8000))
+    val n = time("candidates(2,32,2) count")(cand.count())
+    println(s"[debug] candidate pairs: $n")
+
+    val sigOnly = docs.select(col("doc_id"), Dedup.shingles(2).as("sh"))
+      .withColumn("sig", array((0 until 32).map(j =>
+        expr(s"array_min(transform(sh, s -> xxhash64(s, $j)))")): _*))
+    time("signatures only")(sigOnly.select(sum(element_at(col("sig"), 1))).head())
+
+    val ver = time("verify join")(
+      Dedup.jaccardVerify(docs, cand, 2).filter(col("jaccard") >= 0.08).count())
+    println(s"[debug] verified pairs: $ver")
+
+    spark.stop()
+  }
+}

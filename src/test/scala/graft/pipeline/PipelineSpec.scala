@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+  private lazy val docs = Tables(spark, sf0001).documents
+  private lazy val emb  = Tables(spark, sf0001).embeddings
+
+  test("exact dedup keeps all 500 docs (corpus has no exact dups)") {
+    assert(Dedup.exact(docs).count() == 500)
+  }
+
+  test("exact dedup collapses injected duplicates keep-first") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.exact(d).collect().map(_.getLong(0))
+    assert(out.sameElements(Array(1L, 3L)))
+  }
+
+  test("minhash dedup emits one decision row per doc; self-dup sanity") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with other words entirely here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashDedup(d).collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getAs[Boolean]("is_duplicate"), "identical doc must be flagged")
+    assert(byId(2L).getAs[Long]("dup_of") == 1L, "keep-first points at doc 1")
+    assert(!byId(1L).getAs[Boolean]("is_duplicate"))
+    assert(!byId(3L).getAs[Boolean]("is_duplicate"))
+  }
+
+  test("ngram jaccard pairs are symmetric-free, scored in [t,1], non-empty on corpus") {
+    val rows = Dedup.ngramJaccardPairs(docs).collect()
+    assert(rows.nonEmpty, "bigram LSH should surface the top-overlap pairs")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.08 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("simhash: identical docs have identical simhash and get flagged") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashDedup(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("simhash") == out(2L).getAs[Long]("simhash"))
+    assert(out(2L).getAs[Boolean]("is_duplicate") && out(2L).getAs[Long]("dup_of") == 1L)
+  }
+
+  test("brute-force knn: k rows per query, sims descending, no self-match") {
+    val rows = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5).collect()
+    assert(rows.length == 10)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, g) =>
+      assert(g.length == 5)
+      assert(g.forall(_.getLong(1) != qid))
+      val sims = g.map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ann lsh results are a subset-quality approximation of brute force") {
+    val bf  = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, nQueries = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"ANN recall $recall collapsed — LSH bucketing broken?")
+  }
+
+  test("embedding near-dup emits one row per vector") {
+    assert(Similarity.embeddingNearDup(emb).count() == emb.count())
+  }
+
+  test("text quality stats are consistent") {
+    val r = TextAnalysis.textQuality(docs).filter(col("doc_id") === 0).head()
+    assert(r.getLong(1) == 23, "doc 0 has 23 tokens")
+    assert(r.getLong(3) <= r.getLong(1), "distinct <= total")
+  }
+
+  test("langid predicts a language for every doc, deterministic across runs") {
+    val a = TextAnalysis.languageId(docs).collect()
+    val b = TextAnalysis.languageId(docs).collect()
+    assert(a.length == docs.count())
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
+  test("langid recovers labels perfectly on a discriminative corpus") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog ran to the park", "en"),
+      (3L, "le chat est sur le tapis", "fr"),
+      (4L, "le chien court vers le parc", "fr"),
+      (5L, "der hund lief zum park heute", "de"),
+      (6L, "der katze sass auf der matte", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.languageId(d).collect()
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"doc ${r.getLong(0)}: predicted ${r.getString(2)} != ${r.getString(1)}")
+    }
+  }
+
+  test("fingerprint is order-sensitive") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d).collect().map(_.getLong(1))
+    assert(fp(0) != fp(1))
+  }
+
+  test("multimodal features: batched stub decode preserves rows and shapes") {
+    val out = Multimodal.extractFeatures(Multimodal.attachPayloads(docs), batchSize = 7)
+    val rows = out.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val feats = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(feats.length == 8)
+      assert(math.abs(feats.sum - 1.0f) < 1e-3, "histogram normalized")
+    }
+    val kinds = rows.map(_.getAs[String]("kind")).toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+}
