@@ -23,7 +23,10 @@ object SparkEntry {
       Map[String, (SparkSession, String) => DataFrame](
         // D3-D6 gate state machine: golden-fixture replay to quiescence
         // (strict assertions in FeedStepSpec; SQL can't express the fixpoint).
-        "feed_golden_replay" -> ((s, _) => graft.feed.GoldenFixture.replayAsDataFrame(s))
+        "feed_golden_replay" -> ((s, _) => graft.feed.GoldenFixture.replayAsDataFrame(s)),
+        // M3 streaming path: same fixture through flatMapGroupsWithState
+        // across two micro-batches (strict assertions in FeedStreamSpec).
+        "feed_stream_golden" -> ((s, _) => graft.feed.GoldenFixture.streamAsDataFrame(s))
       )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

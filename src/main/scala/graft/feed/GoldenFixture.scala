@@ -102,6 +102,16 @@ object GoldenFixture {
     "s14_gate"              -> (Status.Complete, DataObj(3, processed = 3, gate = 1)),
     "s15_gate"              -> (Status.Complete, DataObj(3, processed = 3, gate = 1)))
 
+  /** The subset of [[expectedItems]] that *transition* to a terminal state
+    * inside the feed — what a streaming run emits. Excludes s2/s3 (arrive
+    * already terminal), s8 (frozen: Complete partition), s12 (ends
+    * Available behind the failed gate barrier). */
+  val goldenTerminalTransitions: Map[String, (Int, DataObj)] =
+    expectedItems.filter { case (id, (status, _)) =>
+      (status == Status.Complete || status == Status.Failed) &&
+        !Set("s2_fail", "s3_done", "s8_disabled").contains(id)
+    }
+
   /** Run the golden replay and return final item states as a DataFrame —
     * exposed as a driver-checkable `queries()` entry (rows-only check; the
     * strict assertion lives in FeedStepSpec). */
@@ -113,5 +123,28 @@ object GoldenFixture {
     fi.map(i => (i.id, i.partitionId, i.status, i.gate, i.retryCount, i.dataString))
       .toDF("id", "partition_id", "status", "gate", "retry_count", "data")
       .orderBy("id")
+  }
+
+  /** Golden fixture through a real two-batch streaming query (M3 path) —
+    * returns the emitted terminal items as a DataFrame for the driver's
+    * rows-only check. */
+  def streamAsDataFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Item]
+    val name = s"feed_stream_golden_${System.nanoTime()}"
+    val q = graft.streaming.FeedStream
+      .itemUpdates(ms.toDS(), TestProcessor, options,
+        graft.streaming.FeedStream.initialState(partitions))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(items.take(8)); q.processAllAvailable()
+      ms.addData(items.drop(8)); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).as[Item]
+      .map(i => (i.id, i.partitionId, i.status, i.gate, i.retryCount, i.dataString))
+      .toDF("id", "partition_id", "status", "gate", "retry_count", "data")
+      .orderBy("id")
+      .localCheckpoint(true)
   }
 }

@@ -1,0 +1,100 @@
+package graft.processors
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+
+import graft.feed.{NonRetryableError, Processor, ProcessorError, ProcessorResponse, RetryableError}
+
+/** Pluggable HTTP transport (the reference's HTTPClient interface,
+  * httprocessor/processor.go:16-19) — swappable for the golden-case mock. */
+trait HttpDoer extends Serializable {
+  def post(url: String, contentType: String, body: Array[Byte]): HttpResult
+  def get(url: String): HttpResult
+}
+
+/** `status` is the human-readable status line used in error messages
+  * (Go's http.Response.Status). */
+final case class HttpResult(code: Int, status: String, body: String)
+
+/** JDK11+ HttpClient transport — zero extra dependencies. Build one per
+  * executor/partition (connection pooling amortizes across a batch). */
+final class JdkHttpDoer(timeoutSeconds: Long = 10) extends HttpDoer {
+  @transient private lazy val client =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(timeoutSeconds)).build()
+  private def send(req: HttpRequest): HttpResult = {
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    HttpResult(resp.statusCode(), s"HTTP ${resp.statusCode()}", resp.body())
+  }
+  def post(url: String, contentType: String, body: Array[Byte]): HttpResult =
+    send(HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSeconds))
+      .header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build())
+  def get(url: String): HttpResult =
+    send(HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSeconds)).GET().build())
+}
+
+/** The reference's HTTP processor (httprocessor/processor.go:56-95): POST
+  * the opaque payload as JSON, decode the wire response
+  * `{gate, complete, response, error:{message, no_retry}}`, re-encode the
+  * dynamic `response` object to bytes (sorted keys + trailing newline, Go
+  * json.Encoder-compatible), and map the error taxonomy:
+  *
+  *   - body that fails to decode → retryable "marshal error: …"
+  *   - wire `error` present → "Status <status>; message: <m>", non-retryable
+  *     iff `no_retry` (even on HTTP 200 — golden case 11)
+  *   - non-2xx without wire error → retryable "<status>"
+  */
+final class HttpProcessor(
+    client: HttpDoer,
+    target: String,
+    healthEndpoint: String = "") extends Processor {
+
+  def process(id: String, data: Array[Byte]): Either[ProcessorError, ProcessorResponse] = {
+    val resp = client.post(target, "application/json", data)
+    Json.parse(resp.body) match {
+      case Left(parseErr) =>
+        Left(RetryableError(
+          s"marshal error: $parseErr, from request with HTTP Status: ${resp.status}"))
+      case Right(v) =>
+        val obj = v match {
+          case o: Json.JObj => o.v
+          case _            => Map.empty[String, Json.Value]
+        }
+        obj.get("error") match {
+          case Some(Json.JObj(e)) =>
+            val msg = e.get("message") match {
+              case Some(Json.JStr(m)) => m
+              case _                  => ""
+            }
+            val noRetry = e.get("no_retry").contains(Json.JBool(true))
+            val full = s"Status ${resp.status}; message: $msg"
+            Left(if (noRetry) NonRetryableError(full) else RetryableError(full))
+          case _ if resp.code < 200 || resp.code >= 300 =>
+            Left(RetryableError(resp.status))
+          case _ =>
+            val gate = obj.get("gate") match {
+              case Some(Json.JNum(n)) => n.toInt
+              case _                  => 0
+            }
+            val complete = obj.get("complete").contains(Json.JBool(true))
+            val dataObj = obj.getOrElse("response", Json.JObj(Map.empty)) match {
+              case o: Json.JObj => o
+              case _            => Json.JObj(Map.empty)
+            }
+            Right(ProcessorResponse(gate, complete,
+              (Json.encode(dataObj) + "\n").getBytes(UTF_8)))
+        }
+    }
+  }
+
+  override def healthcheck(): Either[String, Unit] =
+    if (healthEndpoint.isEmpty) Right(())
+    else {
+      val r = client.get(s"$target/$healthEndpoint")
+      if (r.code >= 200 && r.code < 300) Right(()) else Left(r.status)
+    }
+}

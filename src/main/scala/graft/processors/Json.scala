@@ -1,0 +1,181 @@
+package graft.processors
+
+import scala.collection.immutable.TreeMap
+
+/** Minimal JSON codec for the HTTP wire protocol — no external deps (the
+  * build is offline; JDK has no JSON library). Encoding replicates Go's
+  * `encoding/json` behavior the reference relies on
+  * (httprocessor/processor.go:33-42): object keys sorted, compact output,
+  * HTML-unsafe characters escaped (`<` `>` `&` → < …), integral
+  * floats rendered without a decimal point.
+  */
+object Json {
+
+  sealed trait Value
+  case object JNull extends Value
+  final case class JBool(v: Boolean) extends Value
+  final case class JNum(v: Double) extends Value
+  final case class JStr(v: String) extends Value
+  final case class JArr(v: Vector[Value]) extends Value
+  final case class JObj(v: Map[String, Value]) extends Value
+
+  final case class ParseError(message: String) extends Exception(message)
+
+  /** Parse one JSON value. Error messages mirror Go's json.Decoder for the
+    * two cases the golden tests assert: empty input → "EOF", truncated
+    * input → "unexpected EOF". */
+  def parse(s: String): Either[String, Value] =
+    try {
+      val p = new Parser(s)
+      p.skipWs()
+      if (p.atEnd) Left("EOF")
+      else {
+        val v = p.value()
+        Right(v)
+      }
+    } catch {
+      case ParseError(m) => Left(m)
+    }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def skipWs(): Unit = while (!atEnd && s.charAt(i).isWhitespace) i += 1
+    private def fail(): Nothing =
+      throw ParseError(if (atEnd) "unexpected EOF" else s"invalid character '${s.charAt(i)}'")
+    private def expect(c: Char): Unit = {
+      skipWs(); if (atEnd || s.charAt(i) != c) fail(); i += 1
+    }
+    def value(): Value = {
+      skipWs()
+      if (atEnd) throw ParseError("unexpected EOF")
+      s.charAt(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => JStr(str())
+        case 't' => lit("true"); JBool(true)
+        case 'f' => lit("false"); JBool(false)
+        case 'n' => lit("null"); JNull
+        case c if c == '-' || c.isDigit => num()
+        case _ => fail()
+      }
+    }
+    private def lit(l: String): Unit = {
+      if (i + l.length > s.length) { i = s.length; throw ParseError("unexpected EOF") }
+      if (s.substring(i, i + l.length) != l) fail()
+      i += l.length
+    }
+    private def obj(): Value = {
+      i += 1; skipWs()
+      if (atEnd) throw ParseError("unexpected EOF")
+      var m = TreeMap.empty[String, Value]
+      if (s.charAt(i) == '}') { i += 1; return JObj(m) }
+      var done = false
+      while (!done) {
+        skipWs()
+        if (atEnd) throw ParseError("unexpected EOF")
+        val k = str()
+        expect(':')
+        m = m.updated(k, value())
+        skipWs()
+        if (atEnd) throw ParseError("unexpected EOF")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; done = true
+          case _   => fail()
+        }
+      }
+      JObj(m)
+    }
+    private def arr(): Value = {
+      i += 1; skipWs()
+      if (atEnd) throw ParseError("unexpected EOF")
+      var v = Vector.empty[Value]
+      if (s.charAt(i) == ']') { i += 1; return JArr(v) }
+      var done = false
+      while (!done) {
+        v = v :+ value()
+        skipWs()
+        if (atEnd) throw ParseError("unexpected EOF")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case ']' => i += 1; done = true
+          case _   => fail()
+        }
+      }
+      JArr(v)
+    }
+    private def str(): String = {
+      skipWs()
+      if (atEnd || s.charAt(i) != '"') fail()
+      i += 1
+      val sb = new StringBuilder
+      while (true) {
+        if (atEnd) throw ParseError("unexpected EOF")
+        s.charAt(i) match {
+          case '"' => i += 1; return sb.toString
+          case '\\' =>
+            i += 1
+            if (atEnd) throw ParseError("unexpected EOF")
+            s.charAt(i) match {
+              case '"'  => sb += '"'; i += 1
+              case '\\' => sb += '\\'; i += 1
+              case '/'  => sb += '/'; i += 1
+              case 'b'  => sb += '\b'; i += 1
+              case 'f'  => sb += '\f'; i += 1
+              case 'n'  => sb += '\n'; i += 1
+              case 'r'  => sb += '\r'; i += 1
+              case 't'  => sb += '\t'; i += 1
+              case 'u'  =>
+                if (i + 5 > s.length) { i = s.length; throw ParseError("unexpected EOF") }
+                sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+                i += 5
+              case _ => fail()
+            }
+          case c => sb += c; i += 1
+        }
+      }
+      sb.toString
+    }
+    private def num(): Value = {
+      val start = i
+      if (!atEnd && s.charAt(i) == '-') i += 1
+      while (!atEnd && (s.charAt(i).isDigit || "+-.eE".contains(s.charAt(i)))) i += 1
+      if (i == start) fail()
+      JNum(s.substring(start, i).toDouble)
+    }
+  }
+
+  /** Canonical (Go-compatible) compact encoding: sorted object keys, HTML
+    * escapes, integral doubles without a fraction. */
+  def encode(v: Value): String = v match {
+    case JNull    => "null"
+    case JBool(b) => b.toString
+    case JNum(d) =>
+      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    case JStr(str) => encodeString(str)
+    case JArr(xs)  => xs.map(encode).mkString("[", ",", "]")
+    case JObj(m) =>
+      m.toSeq.sortBy(_._1)
+        .map { case (k, x) => encodeString(k) + ":" + encode(x) }
+        .mkString("{", ",", "}")
+  }
+
+  private def encodeString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case '<'  => sb ++= "\\u003c"
+      case '>'  => sb ++= "\\u003e"
+      case '&'  => sb ++= "\\u0026"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    (sb += '"').toString
+  }
+}

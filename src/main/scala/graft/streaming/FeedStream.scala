@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.feed._
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-partition streaming state: the watcher's in-flight view of one
+  * partition. `pending` holds only Available items (items at gates above
+  * the current barrier wait here); terminal items leave as output rows and
+  * are remembered only as counters, so state size is bounded by the
+  * in-flight working set, not history — the property that keeps the state
+  * store viable at 100 TB. */
+final case class FeedState(
+    gate: Int,
+    status: Int,
+    nFailed: Long,
+    nComplete: Long,
+    pending: List[Item])
+
+/** Structured Streaming wrapper (SURVEY §7.2 M3): the D1-D6 dataflow as a
+  * `flatMapGroupsWithState` over an item stream keyed by `partitionId`.
+  *
+  * The reference's per-partition goroutine + ticker loop becomes: per
+  * micro-batch, each key's group runs the SAME gate/close decision table
+  * ([[FeedPolicy.partitionTransition]]) and item transition
+  * ([[FeedPolicy.processItem]]) to quiescence. Leases/OCC disappear —
+  * Spark's state store partitioning guarantees a single writer per key
+  * (SURVEY §2.2 D2); exactly-once state updates come from checkpointing.
+  *
+  * Intra-batch semantics note: a retryable item may exhaust its retries
+  * within one micro-batch where the reference spreads attempts across
+  * ticks; final states are identical (proven by the golden-fixture spec).
+  *
+  * Output = items as they reach a terminal status (append-mode friendly);
+  * `dlq` filters the Failed ones. Partitions that close (AutoClose) drop
+  * their state entirely.
+  */
+object FeedStream {
+
+  implicit private val itemEnc: Encoder[Item] = Encoders.product[Item]
+  implicit private val stateEnc: Encoder[FeedState] = Encoders.product[FeedState]
+
+  def initialState(partitions: Seq[Partition]): Map[String, FeedState] =
+    partitions.map(p => p.id -> FeedState(p.gate, p.status, 0L, 0L, Nil)).toMap
+
+  /** Advance one partition to quiescence given this batch's arrivals.
+    * Pure — unit-testable without a streaming query. Returns the new state
+    * (a Complete state is a small tombstone: the reference never re-opens
+    * Complete partitions, so neither do we) and the emitted terminal items. */
+  def advance(
+      partitionId: String,
+      state: FeedState,
+      arrivals: Seq[Item],
+      processor: Processor,
+      opts: FeedOptions): (FeedState, List[Item]) = {
+    // Complete partitions are frozen: arrivals are ignored exactly like
+    // items of a Complete partition in the reference (golden case s8).
+    if (state.status == Status.Complete) return (state, Nil)
+
+    var gate     = state.gate
+    var status   = state.status
+    var nFailed  = state.nFailed
+    var nDone    = state.nComplete
+    // Items arriving already-terminal only move the counters (they never
+    // re-enter processing, matching R2's status=Available filter).
+    nFailed += arrivals.count(_.status == Status.Failed)
+    nDone   += arrivals.count(_.status == Status.Complete)
+    var pending  = state.pending ++ arrivals.filter(_.status == Status.Available)
+    val emitted  = List.newBuilder[Item]
+
+    var continue = true
+    var guard    = 0
+    while (continue && guard < 100000) {
+      guard += 1
+      val fetchable = pending
+        .sortBy(i => (i.updatedAt.getTime, i.id))
+        .filter(i => i.gate == gate)
+        .take(opts.batchSize)
+      val counts = FeedPolicy.StatusCounts(nFailed, pending.size.toLong)
+      val decided = FeedPolicy.partitionTransition(
+        Partition(partitionId, gate, status), counts, fetchable.size.toLong,
+        opts.manualCheckpoint, opts.autoCloseFor(partitionId))
+
+      // Process this tick's fetch (even when the partition just turned
+      // Failed — watcher.go:163-176 enqueues after the save).
+      val processed = fetchable.map(i => FeedPolicy.processItem(i, processor, opts.maxRetries))
+      val fetchedIds = fetchable.map(_.id).toSet
+      pending = pending.filterNot(i => fetchedIds.contains(i.id)) ++
+        processed.filter(_.status == Status.Available)
+      processed.foreach { i =>
+        if (i.status == Status.Failed) { nFailed += 1; emitted += i }
+        else if (i.status == Status.Complete) { nDone += 1; emitted += i }
+      }
+
+      val changed = decided.gate != gate || decided.status != status ||
+        fetchable.nonEmpty
+      gate = decided.gate
+      status = decided.status
+      continue = changed && status != Status.Complete
+    }
+
+    (FeedState(gate, status, nFailed, nDone,
+      if (status == Status.Complete) Nil else pending), emitted.result())
+  }
+
+  /** Wire [[advance]] into a streaming Dataset. `initial` seeds per-
+    * partition state (the partition table's starting gates/statuses). */
+  def itemUpdates(
+      items: Dataset[Item],
+      processor: Processor,
+      opts: FeedOptions,
+      initial: Map[String, FeedState] = Map.empty): Dataset[Item] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val initBc = spark.sparkContext.broadcast(initial)
+
+    items
+      .groupByKey(_.partitionId)
+      .flatMapGroupsWithState[FeedState, Item](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (pid: String, rows: Iterator[Item], gs: GroupState[FeedState]) =>
+          val st = gs.getOption
+            .orElse(initBc.value.get(pid))
+            .getOrElse(FeedState(0, Status.Available, 0L, 0L, Nil))
+          val (next, out) = advance(pid, st, rows.toSeq, processor, opts)
+          gs.update(next)
+          out.iterator
+      }
+  }
+
+  /** Dead-letter stream: items that transitioned to Failed (D6). */
+  def dlq(updates: Dataset[Item]): Dataset[Item] =
+    updates.filter(_.status == Status.Failed)
+}

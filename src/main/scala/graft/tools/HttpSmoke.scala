@@ -1,0 +1,48 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.feed._
+import graft.processors.{HttpProcessor, JdkHttpDoer}
+import graft.streaming.{FeedState, FeedStream}
+
+/** End-to-end smoke: the feed loop driving the HTTP processor against a
+  * real (flaky) local server — exercises retry policy + wire protocol +
+  * gate advancement over actual sockets. Prints the final item states. */
+object HttpSmoke {
+  def main(args: Array[String]): Unit = {
+    val calls = new AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/proc", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val n = calls.incrementAndGet()
+        val resp =
+          if (n <= 2) """{"error": {"message": "transient backend glitch"}}"""
+          else if (n == 3) """{"gate": 1, "complete": false, "response": {"stage": 1}}"""
+          else """{"gate": 1, "complete": true, "response": {"stage": 2}}"""
+        val b = resp.getBytes(UTF_8)
+        ex.sendResponseHeaders(if (n <= 2) 500 else 200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val proc = new HttpProcessor(new JdkHttpDoer(5), s"http://127.0.0.1:$port/proc")
+      val item = Item("i1", "p1", data = """{"start": true}""".getBytes(UTF_8))
+      val (state, emitted) = FeedStream.advance(
+        "p1", FeedState(0, Status.Available, 0L, 0L, Nil), Seq(item), proc,
+        FeedOptions(batchSize = 5, maxRetries = 5, autoClose = true))
+      println(s"[smoke] server calls: ${calls.get()}")
+      emitted.foreach(i => println(
+        s"[smoke] emitted: id=${i.id} status=${i.status} gate=${i.gate} retries=${i.retryCount} " +
+          s"errors='${i.errorMessages}' data=${i.dataString.trim}"))
+      println(s"[smoke] partition state: gate=${state.gate} status=${state.status}")
+      val okFinal = emitted.exists(i => i.status == Status.Complete && i.gate == 1 &&
+        i.retryCount == 2 && i.dataString.trim == """{"stage":2}""")
+      println(if (okFinal && state.status == Status.Complete) "[smoke] PASS" else "[smoke] FAIL")
+    } finally server.stop(0)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.processors
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.feed.{NonRetryableError, ProcessorResponse, RetryableError}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's 11 golden wire-protocol cases
+  * (httprocessor/processor_test.go:32-122), byte-exact on data. */
+class HttpProcessorSpec extends AnyFunSuite {
+
+  private final class Mock(code: Int, resp: String) extends HttpDoer {
+    def post(url: String, ct: String, body: Array[Byte]): HttpResult =
+      HttpResult(code, s"HTTP $code", resp)
+    def get(url: String): HttpResult = HttpResult(200, "HTTP 200", "")
+  }
+
+  private def proc(code: Int, resp: String) =
+    new HttpProcessor(new Mock(code, resp), "http://target")
+
+  private def ok(gate: Int, complete: Boolean, data: String) =
+    Right(ProcessorResponse(gate, complete, (data + "\n").getBytes(UTF_8)))
+
+  private val cases: Seq[(String, Int, String, Either[graft.feed.ProcessorError, ProcessorResponse])] = Seq(
+    ("good request", 200, """{"gate": 1, "complete": false, "response": {"data": 1, "more":"json"}}""",
+      ok(1, complete = false, """{"data":1,"more":"json"}""")),
+    ("completed request", 200, """{"gate": 1, "complete": true, "response": {"data": 1, "more":"json"}}""",
+      ok(1, complete = true, """{"data":1,"more":"json"}""")),
+    ("process with no gate", 200, """{"complete": true, "response": {"data": 1, "more":"json"}}""",
+      ok(0, complete = true, """{"data":1,"more":"json"}""")),
+    ("marshaling error", 200, """{"":""",
+      Left(RetryableError("marshal error: unexpected EOF, from request with HTTP Status: HTTP 200"))),
+    ("empty string", 200, "",
+      Left(RetryableError("marshal error: EOF, from request with HTTP Status: HTTP 200"))),
+    ("400", 400, "{}", Left(RetryableError("HTTP 400"))),
+    ("500", 500, "{}", Left(RetryableError("HTTP 500"))),
+    ("300", 300, "{}", Left(RetryableError("HTTP 300"))),
+    ("500 with error message", 500, """{"error": {"message": "additional error context"}}""",
+      Left(RetryableError("Status HTTP 500; message: additional error context"))),
+    ("NonRetryable 500 with error message", 500,
+      """{"error": {"message": "additional error context", "no_retry":true}}""",
+      Left(NonRetryableError("Status HTTP 500; message: additional error context"))),
+    ("NonRetryable 200", 200,
+      """{"error": {"message": "additional error context", "no_retry":true}}""",
+      Left(NonRetryableError("Status HTTP 200; message: additional error context"))),
+  )
+
+  cases.foreach { case (name, code, resp, want) =>
+    test(s"golden: $name") {
+      val got = proc(code, resp).process(name, Array.emptyByteArray)
+      (got, want) match {
+        case (Right(g), Right(w)) =>
+          assert(g.nextGate == w.nextGate && g.complete == w.complete)
+          assert(new String(g.data, UTF_8) == new String(w.data, UTF_8))
+        case (Left(g), Left(w)) =>
+          assert(g == w, s"got $g want $w")
+        case _ => fail(s"shape mismatch: got $got want $want")
+      }
+    }
+  }
+
+  private def assertSame(
+      got: Either[graft.feed.ProcessorError, ProcessorResponse],
+      want: Either[graft.feed.ProcessorError, ProcessorResponse]): Unit =
+    (got, want) match {
+      case (Right(g), Right(w)) =>
+        assert(g.nextGate == w.nextGate && g.complete == w.complete)
+        assert(new String(g.data, UTF_8) == new String(w.data, UTF_8))
+      case _ => assert(got == want)
+    }
+
+  test("missing response object encodes as empty JSON object") {
+    assertSame(proc(200, """{"gate": 2}""").process("x", Array.emptyByteArray),
+      ok(2, complete = false, "{}"))
+  }
+
+  test("live roundtrip through a real HTTP server (JdkHttpDoer)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    @volatile var received: String = null
+    server.createContext("/proc", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        received = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val resp = """{"gate": 3, "complete": true, "response": {"echo": true}}""".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val p = new HttpProcessor(new JdkHttpDoer(5), s"http://127.0.0.1:$port/proc")
+      val got = p.process("id1", """{"payload": 9}""".getBytes(UTF_8))
+      assert(received == """{"payload": 9}""")
+      assertSame(got, ok(3, complete = true, """{"echo":true}"""))
+    } finally server.stop(0)
+  }
+}

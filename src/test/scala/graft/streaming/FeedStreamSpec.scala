@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.feed._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming parity: the golden fixture driven through a REAL
+  * flatMapGroupsWithState streaming query, items split across two
+  * micro-batches so state genuinely carries between triggers. */
+class FeedStreamSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  /** Golden items that transition to a terminal status inside the feed
+    * (everything except: s2/s3 arrive already terminal, s8 frozen in a
+    * Complete partition, s12 ends Available behind the failed gate). */
+  private val expectedEmitted = GoldenFixture.goldenTerminalTransitions
+
+  test("golden fixture through a two-batch streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Item]
+    val updates = FeedStream.itemUpdates(
+      ms.toDS(), GoldenFixture.TestProcessor, GoldenFixture.options,
+      FeedStream.initialState(GoldenFixture.partitions))
+    val q = updates.writeStream.format("memory").queryName("feed_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(GoldenFixture.items.take(8))
+      q.processAllAvailable()
+      ms.addData(GoldenFixture.items.drop(8))
+      q.processAllAvailable()
+    } finally {
+      val out = spark.table("feed_out").as[Item].collect()
+      q.stop()
+      val got = out.map(i => i.id -> i).toMap
+      assert(got.keySet == expectedEmitted.keySet,
+        s"emitted ${got.keySet} != ${expectedEmitted.keySet}")
+      expectedEmitted.foreach { case (id, (status, data)) =>
+        assert(got(id).status == status, s"$id status")
+        assert(GoldenFixture.DataObj.parse(got(id).data) == data, s"$id data ${got(id).dataString}")
+      }
+    }
+  }
+
+  test("advance is deterministic and emits nothing for a frozen partition") {
+    val frozen = FeedState(0, Status.Complete, 0L, 0L, Nil)
+    val (st, out) = FeedStream.advance("p", frozen,
+      GoldenFixture.items.take(3), GoldenFixture.TestProcessor, GoldenFixture.options)
+    assert(st == frozen && out.isEmpty)
+  }
+
+  test("advance: gate climbs to reach higher-gate items, then closes") {
+    val items = Seq(
+      Item("a", "p", status = Status.Available,
+        data = GoldenFixture.DataObj(1, gate = 2).marshal))
+    val (st, out) = FeedStream.advance("p",
+      FeedState(0, Status.Available, 0L, 0L, Nil), items,
+      GoldenFixture.TestProcessor,
+      FeedOptions(batchSize = 10, maxRetries = 3, autoClose = true))
+    assert(out.map(_.id) == List("a"))
+    assert(st.status == Status.Complete)
+  }
+
+  test("advance: dlq receives retry-exhausted items with accumulated errors") {
+    val items = Seq(
+      Item("bad", "p", status = Status.Available,
+        data = GoldenFixture.DataObj(3, fail = true).marshal))
+    val (st, out) = FeedStream.advance("p",
+      FeedState(0, Status.Available, 0L, 0L, Nil), items,
+      GoldenFixture.TestProcessor,
+      FeedOptions(batchSize = 10, maxRetries = 2))
+    assert(out.head.status == Status.Failed)
+    assert(out.head.retryCount == 3)
+    assert(st.status == Status.Failed)
+    assert(st.nFailed == 1L)
+  }
+}
