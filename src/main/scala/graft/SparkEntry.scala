@@ -17,7 +17,7 @@ object SparkEntry {
     * an oracleSql counterpart get the driver's rows-only check (non-SQL-
     * expressible ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++
+    RelationalQueries.all ++ operators.ExtendedQueries.all ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
@@ -32,6 +32,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ Dedup.oracle ++ TextAnalysis.oracle ++
-      Similarity.oracle
+    RelationalQueries.oracle ++ operators.ExtendedQueries.oracle ++
+      Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import graft.streaming.EventAnalytics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extended relational coverage beyond SURVEY §2.4's core 18: JSON
+  * extraction (D9), remaining set ops, cube grouping sets, math/string
+  * scalars, event-time windows batch-checked against DuckDB, and a
+  * fact-to-dim enrichment join. All oracle-checked. */
+object ExtendedQueries {
+
+  // Q23 — JSON functions (the payload codec D9, made oracle-safe by
+  // casting the extracted value to int on both engines).
+  def q23(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+
+  // Q24 — INTERSECT (set-op family completion; EXCEPT is Q12).
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  // Q25 — CUBE grouping sets.
+  def q25(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .cube("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("user_id").isNull || col("user_id") < 5)
+      .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first,
+        col("cnt"))
+
+  // Q26 — math + string scalar functions over lineitem.
+  def q26(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - lit(0.05)), 4).as("abs_disc"),
+        floor(col("l_quantity")).as("qty_floor"),
+        ceil(col("l_extendedprice") / 1000).as("price_k"),
+        pmod(col("l_partkey"), lit(7)).as("pk_mod"),
+        round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
+        upper(substring(col("l_returnflag"), 1, 1)).as("rf"),
+        concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("tag"),
+        length(trim(col("l_linestatus"))).cast("long").as("ls_len"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // Q27 — tumbling event-time window, batch-checked (streaming twin in
+  // EventAnalytics/EventAnalyticsSpec).
+  def q27(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.tumbling(Tables(s, dir).events, "6 hours")
+
+  // Q28 — session windows (30-minute gap) per user, batch-checked against
+  // DuckDB gaps-and-islands SQL.
+  def q28(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.sessions(Tables(s, dir).events, "30 minutes")
+
+  // Q29 — fact-to-dim enrichment join (events.user_id → customer).
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.events
+      .join(t.customer, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_json"          -> (q23 _),
+    "q24_intersect"     -> (q24 _),
+    "q25_cube"          -> (q25 _),
+    "q26_scalars"       -> (q26 _),
+    "q27_tumbling"      -> (q27 _),
+    "q28_sessions"      -> (q28 _),
+    "q29_enrich_join"   -> (q29 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q23_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 ORDER BY event_id",
+    "q24_intersect" ->
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' ORDER BY o_custkey",
+    "q25_cube" ->
+      "SELECT event_type, user_id, COUNT(*) AS cnt FROM events GROUP BY CUBE(event_type, user_id) HAVING user_id IS NULL OR user_id < 5 ORDER BY event_type NULLS FIRST, user_id NULLS FIRST, cnt",
+    "q26_scalars" ->
+      ("SELECT l_orderkey, l_linenumber, ROUND(ABS(l_discount - 0.05), 4) AS abs_disc, " +
+        "CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor, CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k, " +
+        "l_partkey % 7 AS pk_mod, ROUND(SQRT(l_quantity), 4) AS qty_sqrt, " +
+        "UPPER(SUBSTRING(l_returnflag, 1, 1)) AS rf, CONCAT_WS('-', l_returnflag, l_linestatus) AS tag, " +
+        "CAST(LENGTH(TRIM(l_linestatus)) AS BIGINT) AS ls_len " +
+        "FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber"),
+    "q27_tumbling" ->
+      ("SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type, COUNT(*) AS cnt, " +
+        "ROUND(SUM(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY ws, event_type"),
+    "q28_sessions" ->
+      ("WITH brk AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS b " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, value, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM brk) " +
+        "SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "q29_enrich_join" ->
+      "SELECT c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+  )
+}

@@ -1,0 +1,92 @@
+package graft.sinks
+
+import graft.feed.Item
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimistic-concurrency write-back (reference R4, repo.go:125-138):
+  * `UPDATE … SET version = v WHERE id = ? AND version = v-1` — a
+  * conditional versioned upsert. Inside the engine this is unnecessary
+  * (single-writer per key via shuffle partitioning), but it is the
+  * contract for writing feed state back to an EXTERNAL store shared with
+  * other writers (SURVEY §2.2 D2/R4).
+  *
+  * This implementation targets a parquet table directory with an atomic
+  * swap (write-new → rename), which is the local stand-in for what is a
+  * JDBC conditional UPDATE or a Delta/Iceberg MERGE on a cluster — the
+  * join/filter plan is identical; only the final commit differs.
+  */
+object OccSink {
+
+  final case class OccResult(applied: Long, conflicts: Long, inserted: Long)
+
+  /** Partition updates into applied / conflicting against `current`.
+    * An update with version v applies iff the stored row has version v-1
+    * (the updater saw the latest); an id absent from the table inserts.
+    * Multiple updates per id in one batch: highest version wins the
+    * attempt (the others are intra-batch superseded). */
+  def merge(current: Dataset[Item], updates: Dataset[Item]):
+      (Dataset[Item], Dataset[Item]) = {
+    val spark = current.sparkSession
+    import spark.implicits._
+
+    val latestUpdate = updates
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(desc("version"), asc("updatedAt"))))
+      .filter($"rn" === 1).drop("rn").as[Item]
+
+    val cur = current.select($"id".as("cur_id"), $"version".as("cur_version"))
+    val joined = latestUpdate
+      .join(cur, latestUpdate("id") === cur("cur_id"), "left")
+    val applied = joined
+      .filter($"cur_id".isNull || $"version" === $"cur_version" + 1)
+      .drop("cur_id", "cur_version").as[Item]
+    val conflicts = joined
+      .filter($"cur_id".isNotNull && $"version" =!= $"cur_version" + 1)
+      .drop("cur_id", "cur_version").as[Item]
+
+    val newTable = current
+      .join(applied.select($"id".as("a_id")), current("id") === $"a_id", "left_anti")
+      .as[Item]
+      .unionByName(applied)
+    (newTable, conflicts)
+  }
+
+  /** Apply one batch of updates to the parquet table at `tableDir` with an
+    * atomic directory swap; returns counts. Suitable as the body of a
+    * streaming `foreachBatch` (idempotence: re-applying a batch is a no-op
+    * because versions no longer match — exactly the OCC property the
+    * reference relies on for at-least-once delivery). */
+  def applyBatch(spark: SparkSession, tableDir: String, updates: Dataset[Item]): OccResult = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val current: Dataset[Item] =
+      if (fs.exists(path)) spark.read.parquet(tableDir).as[Item]
+      else spark.emptyDataset[Item]
+
+    val currentIds = current.select($"id".as("cur_id"))
+    val inserted = updates.join(currentIds, updates("id") === $"cur_id", "left_anti").count()
+    val (newTable, conflicts) = merge(current, updates)
+    val nConflicts = conflicts.count()
+    val total = updates.select("id").distinct().count()
+
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + ".tmp")
+    val bak = new org.apache.hadoop.fs.Path(tableDir + ".bak")
+    newTable.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(path)) fs.rename(path, bak)
+    fs.rename(tmp, path)
+    fs.delete(bak, true)
+
+    OccResult(applied = total - nConflicts - inserted, conflicts = nConflicts,
+      inserted = inserted)
+  }
+
+  /** foreachBatch hook for a streaming feed: `updates.writeStream
+    * .foreachBatch(OccSink.writer(dir))`. */
+  def writer(tableDir: String): (Dataset[Item], Long) => Unit =
+    (batch, _) => { applyBatch(batch.sparkSession, tableDir, batch); () }
+}

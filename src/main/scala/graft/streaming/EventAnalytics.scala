@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` stream (SURVEY §2.3: watermarks,
+  * tumbling/sliding/session windows). Every function works on BOTH a batch
+  * DataFrame and a streaming one — the batch path is what the DuckDB
+  * oracle checks; the streaming path (with watermark) is exercised in
+  * EventAnalyticsSpec via MemoryStream.
+  *
+  * Scale: windowed aggregations shuffle once on (window, key) with
+  * map-side partial aggregation; state in streaming mode is bounded by the
+  * watermark horizon.
+  */
+object EventAnalytics {
+
+  /** Deterministic ordering for the batch/oracle path; streaming append
+    * mode forbids sorting, so streaming callers get the unsorted result. */
+  private def sortedIfBatch(cols: String*)(df: DataFrame): DataFrame =
+    if (df.isStreaming) df else df.orderBy(cols.map(col): _*)
+
+  /** Add the event-time watermark (streaming only; no-op semantics for
+    * batch callers that skip it). */
+  def watermarked(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Tumbling window counts+sums per event_type. Epoch-aligned, matching
+    * DuckDB's time_bucket for divisors of 24h. */
+  def tumbling(events: DataFrame, width: String = "6 hours"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("total"))
+      .transform(sortedIfBatch("ws", "event_type"))
+
+  /** Sliding window (width, slide) event counts. */
+  def sliding(events: DataFrame, width: String = "2 hours", slide: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("cnt"))
+      .transform(sortedIfBatch("ws"))
+
+  /** Session windows per user with an inactivity gap: consecutive events
+    * closer than `gap` merge into one session. Built on session_window —
+    * identical semantics batch and streaming (break when diff >= gap:
+    * Spark's window is half-open [start, last+gap)). */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("session_start"), col("user_id"),
+        col("n_events"), col("total"))
+      .transform(sortedIfBatch("user_id", "session_start"))
+}

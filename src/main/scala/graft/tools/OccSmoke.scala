@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.feed._
+import graft.sinks.OccSink
+import graft.streaming.FeedStream
+
+/** End-to-end smoke: golden item stream → flatMapGroupsWithState feed →
+  * foreachBatch OCC sink → parquet table. Prints the final table. */
+object OccSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8, "occ-smoke")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("occ_smoke").resolve("items").toString
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Item]
+    val updates = FeedStream.itemUpdates(
+      ms.toDS(), GoldenFixture.TestProcessor, GoldenFixture.options,
+      FeedStream.initialState(GoldenFixture.partitions))
+    val q = updates.writeStream
+      .foreachBatch(OccSink.writer(dir))
+      .outputMode("append").start()
+    try {
+      ms.addData(GoldenFixture.items.take(8)); q.processAllAvailable()
+      ms.addData(GoldenFixture.items.drop(8)); q.processAllAvailable()
+    } finally q.stop()
+
+    val table = spark.read.parquet(dir).as[Item].collect().sortBy(_.id)
+    table.foreach(i => println(
+      s"[occ] ${i.id} status=${i.status} gate=${i.gate} v=${i.version} data=${i.dataString.trim}"))
+    val expect = GoldenFixture.goldenTerminalTransitions
+    val ok = table.length == expect.size && table.forall { i =>
+      expect.get(i.id).exists { case (st, d) =>
+        i.status == st && GoldenFixture.DataObj.parse(i.data) == d }
+    }
+    println(if (ok) "[occ] PASS" else s"[occ] FAIL (${table.length} rows vs ${expect.size})")
+    spark.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sinks
+
+import graft.SparkTestSession
+import graft.feed.{Item, Status}
+import org.scalatest.funsuite.AnyFunSuite
+
+class OccSinkSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("occ").resolve("table").toString
+
+  test("versioned upsert: applies matching versions, rejects stale, inserts new") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val r0 = OccSink.applyBatch(spark, dir, Seq(
+      Item("a", "p", version = 1),
+      Item("b", "p", version = 1)).toDS())
+    assert(r0.inserted == 2 && r0.conflicts == 0)
+
+    val r1 = OccSink.applyBatch(spark, dir, Seq(
+      Item("a", "p", version = 2, status = Status.Complete), // applies (1 -> 2)
+      Item("b", "p", version = 4, status = Status.Failed),   // stale view: conflict
+      Item("c", "p", version = 1)).toDS())                   // new id: insert
+    assert(r1.applied == 1 && r1.conflicts == 1 && r1.inserted == 1, r1.toString)
+
+    val table = spark.read.parquet(dir).as[Item].collect().map(i => i.id -> i).toMap
+    assert(table("a").version == 2 && table("a").status == Status.Complete)
+    assert(table("b").version == 1 && table("b").status == Status.Available,
+      "conflicting write must not land")
+    assert(table("c").version == 1)
+  }
+
+  test("re-applying the same batch is a no-op (idempotence under at-least-once)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val batch = Seq(Item("a", "p", version = 1), Item("b", "p", version = 1))
+    OccSink.applyBatch(spark, dir, batch.toDS())
+    val again = OccSink.applyBatch(spark, dir, batch.toDS())
+    assert(again.applied == 0 && again.inserted == 0 && again.conflicts == 2)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("intra-batch supersede: highest version per id wins the attempt") {
+    import spark.implicits._
+    val dir = tmpDir()
+    OccSink.applyBatch(spark, dir, Seq(Item("a", "p", version = 1)).toDS())
+    val r = OccSink.applyBatch(spark, dir, Seq(
+      Item("a", "p", version = 2),
+      Item("a", "p", version = 3)).toDS())
+    // Highest (v3) attempts against stored v1 -> conflict; v2 superseded.
+    assert(r.conflicts == 1 && r.applied == 0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling window with watermark matches batch on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 07:00:00"), 2L, "view", 3.0, "{}"),
+      (4L, ts("2024-01-01 13:00:00"), 2L, "click", 4.0, "{}"))
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val agg = EventAnalytics.tumbling(EventAnalytics.watermarked(stream), "6 hours")
+    val q = agg.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("tumble_out")
+      .select("ws", "event_type", "cnt", "total").collect().map(_.toString).sorted
+    val batch = EventAnalytics.tumbling(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"), "6 hours")
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+    assert(streamed.length == 3, "00:00 window (2 clicks), 06:00 (view), 12:00 (click)")
+  }
+
+  test("sessions merge events within gap and split across it") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 00:10:00"), 1L, "a", 1.0, "{}"),   // same session
+      (3L, ts("2024-01-01 00:39:59"), 1L, "a", 1.0, "{}"),   // still within 30m of #2
+      (4L, ts("2024-01-01 02:00:00"), 1L, "a", 1.0, "{}"),   // new session
+      (5L, ts("2024-01-01 00:05:00"), 2L, "a", 1.0, "{}"))
+    val out = EventAnalytics.sessions(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"), "30 minutes")
+      .collect()
+    assert(out.length == 3)
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq == Seq(3L, 1L))
+  }
+
+  test("sliding windows overlap correctly") {
+    import spark.implicits._
+    val rows = Seq((1L, ts("2024-01-01 00:30:00"), 1L, "a", 1.0, "{}"))
+    val out = EventAnalytics.sliding(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "2 hours", "1 hour").collect()
+    // One event at 00:30 falls in windows starting 23:00 and 00:00.
+    assert(out.length == 2)
+  }
+
+  test("late data beyond the watermark is dropped in streaming mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val agg = EventAnalytics.tumbling(
+      EventAnalytics.watermarked(stream, "10 minutes"), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:05:00"), 1L, "a", 1.0, "{}"))
+      q.processAllAvailable()
+      // Advance event time far past the first window + watermark → closes it.
+      ms.addData((2L, ts("2024-01-01 14:00:00"), 1L, "a", 1.0, "{}"))
+      q.processAllAvailable()
+      // This event is hours behind the watermark → must be dropped.
+      ms.addData((3L, ts("2024-01-01 10:07:00"), 1L, "a", 99.0, "{}"))
+      q.processAllAvailable()
+      ms.addData((4L, ts("2024-01-01 20:00:00"), 1L, "a", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_out").collect()
+    val w10 = out.filter(_.getAs[Timestamp]("ws") == ts("2024-01-01 10:00:00"))
+    assert(w10.length == 1 && w10.head.getAs[Long]("cnt") == 1L,
+      s"late event must not reopen the 10:00 window: ${out.mkString(";")}")
+  }
+
+  test("batch q27/q28 run on real testdata") {
+    assert(graft.operators.ExtendedQueries.q27(spark, sf0001).count() > 0)
+    assert(graft.operators.ExtendedQueries.q28(spark, sf0001).count() > 0)
+  }
+}
