@@ -30,7 +30,12 @@ object Bench {
     // Warmup: touch every table + the agg/join/window machinery once.
     try run("q16_pricing") catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Headline = data-scale queries. The feed_* entries replay a
+    // fixed-size golden fixture (correctness artifacts, checked by
+    // Verify); their constant iteration overhead is not a function of SF
+    // and would distort throughput numbers.
+    val headline = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("feed_"))
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

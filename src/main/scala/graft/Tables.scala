@@ -19,6 +19,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * read bit-for-bit. */
   private def withNanosTimestamps(name: String, tsCols: String*): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Idempotently install the pushdown rewrite for predicates over the
+    // converted column (see graft.plans.PushNanosTimestampFilters).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushNanosTimestampFilters))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushNanosTimestampFilters
     tsCols.foldLeft(table(name)) { (df, c) =>
       if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
         df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))

@@ -116,7 +116,11 @@ object Dedup {
       docs: DataFrame,
       threshold: Double = 0.08,
       limit: Int = 500): DataFrame = {
-    val pairs = minhashCandidates(docs, shingleSize = 2, numHashes = 32, rowsPerBand = 2)
+    // 10 bands × 3 rows: at the corpus's bigram-Jaccard distribution
+    // (avg 0.025) this admits ~0.02% of pairs as candidates while keeping
+    // ~75% recall at j=0.5 and ~100% at j≥0.9 — the verify join stays
+    // linear-ish as the corpus grows.
+    val pairs = minhashCandidates(docs, shingleSize = 2, numHashes = 30, rowsPerBand = 3)
     jaccardVerify(docs, pairs, shingleSize = 2)
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jaccard"))

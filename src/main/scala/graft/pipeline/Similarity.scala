@@ -42,13 +42,35 @@ object Similarity {
       .orderBy(asc("query_id"), desc("sim"), asc("vec_id"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
-    * murmur3 of the pair, mapped to [-1, 1). No RNG state — reproducible
-    * across executors by construction. */
-  private def hyperplaneSignature(vecCol: String, planes: Int): Column =
-    expr(s"""aggregate(transform(sequence(0, ${planes - 1}), j ->
-      CASE WHEN aggregate(zip_with($vecCol, transform(sequence(0, size($vecCol) - 1), i -> (pmod(hash(j, i), 2000) - 1000) / 1000.0), (x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0
-      THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc | x)""")
+  /** Random-hyperplane signatures via posexplode → per-plane weighted sums
+    * → sign bits. Hyperplane component for (plane j, dim i) = murmur3 of
+    * the pair mapped to [-1, 1): no RNG state, reproducible across
+    * executors. Deliberately NOT a nested higher-order expression — that
+    * form makes CollapseProject recompute the whole signature per band
+    * (same pathology as minhash; measured 25× slower). One explode + one
+    * partial-aggregated groupBy scales linearly. */
+  private def hyperplaneSignatures(emb: DataFrame, planes: Int): DataFrame = {
+    val ex = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+    val dots = (0 until planes).map { j =>
+      sum(col("x").cast("double") *
+        ((pmod(hash(lit(j), col("i")), lit(2000)) - 1000) / 1000.0)).as(s"d$j")
+    }
+    val agg = ex.groupBy("vec_id").agg(dots.head, dots.tail: _*)
+    val sig = (0 until planes)
+      .map(j => when(col(s"d$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("vec_id").as("sig_vec_id"), sig.as("sig"))
+  }
+
+  /** (vec_id, embedding, band, bucket) table for banded signature LSH. */
+  private def bandedTable(emb: DataFrame, planes: Int, bandBits: Int): DataFrame = {
+    val bands = planes / bandBits
+    emb.join(hyperplaneSignatures(emb, planes), col("vec_id") === col("sig_vec_id"))
+      .withColumn("bandArr", expr(
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, CAST(shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS INT) AS bucket))"))
+      .select(col("vec_id"), col("embedding"), explode(col("bandArr")).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
 
   /** Approximate top-k via random-hyperplane LSH: vectors sharing a
     * signature band are candidates; exact cosine only within buckets.
@@ -57,14 +79,7 @@ object Similarity {
     * planes/bandBits. */
   def annTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
       planes: Int = 16, bandBits: Int = 4): DataFrame = {
-    val bands = planes / bandBits
-    val sig = emb.select(col("vec_id"), col("embedding"),
-      hyperplaneSignature("embedding", planes).as("sig"))
-    val banded = sig.withColumn("bandArr", expr(
-        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, CAST(shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS INT) AS bucket))"))
-      .select(col("vec_id"), col("embedding"), explode(col("bandArr")).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-
+    val banded = bandedTable(emb, planes, bandBits)
     val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("band"), col("bucket"))
@@ -85,13 +100,7 @@ object Similarity {
     * threshold, reduced to a keep-first decision per vector (never empty). */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.9,
       planes: Int = 16, bandBits: Int = 8): DataFrame = {
-    val bands = planes / bandBits
-    val sig = emb.select(col("vec_id"), col("embedding"),
-      hyperplaneSignature("embedding", planes).as("sig"))
-    val banded = sig.withColumn("bandArr", expr(
-        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, CAST(shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS INT) AS bucket))"))
-      .select(col("vec_id"), col("embedding"), explode(col("bandArr")).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedTable(emb, planes, bandBits)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Custom optimizer rule: make timestamp predicates on nanos-backed
+  * columns pushable to the parquet scan.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), read as a raw long and
+  * converted with `timestamp_micros(ts div 1000)` (see graft.Tables).
+  * A predicate like `timestamp_micros(ts div 1000) < TIMESTAMP 'T'`
+  * can't be pushed below the conversion by Catalyst, so at scale every
+  * row group is read despite min/max statistics on `ts`. This rule
+  * rewrites such comparisons algebraically into plain long comparisons
+  * on the underlying column (floor-division inequalities):
+  *
+  *   ts div 1000 <  L  ⇔  ts <  1000·L
+  *   ts div 1000 <= L  ⇔  ts <  1000·(L+1)
+  *   ts div 1000 >  L  ⇔  ts >= 1000·(L+1)
+  *   ts div 1000 >= L  ⇔  ts >= 1000·L
+  *   ts div 1000 =  L  ⇔  1000·L <= ts < 1000·(L+1)
+  *
+  * which the parquet source then pushes down (verified: PushedFilters
+  * gains LessThan(ts, …) and row groups are skipped). Registered via
+  * `spark.experimental.extraOptimizations` in graft.Tables — the
+  * lightweight injection point that works on an existing session; a
+  * SparkSessionExtensions hook would be equivalent at cluster deploy.
+  */
+object PushNanosTimestampFilters extends Rule[LogicalPlan] {
+
+  /** Matches timestamp_micros(<col> div 1000) and yields the raw column. */
+  private object NanosToMicros {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(IntegralDivide(child, Literal(1000L, LongType), _))
+          if child.dataType == LongType => Some(child)
+      case _ => None
+    }
+  }
+
+  /** Microsecond value of a foldable timestamp-typed literal. */
+  private object TsLiteralMicros {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(us: Long, TimestampType) => Some(us)
+      case c @ Cast(_, TimestampType, _, _) if c.foldable =>
+        Option(c.eval(null)).collect { case us: Long => us }
+      case _ => None
+    }
+  }
+
+  private def nanos(us: Long): Option[Literal] =
+    try Some(Literal(Math.multiplyExact(us, 1000L), LongType))
+    catch { case _: ArithmeticException => None }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case e @ LessThan(NanosToMicros(ts), TsLiteralMicros(us)) =>
+        nanos(us).map(LessThan(ts, _)).getOrElse(e)
+      case e @ LessThanOrEqual(NanosToMicros(ts), TsLiteralMicros(us)) =>
+        nanos(us + 1).map(LessThan(ts, _)).getOrElse(e)
+      case e @ GreaterThan(NanosToMicros(ts), TsLiteralMicros(us)) =>
+        nanos(us + 1).map(GreaterThanOrEqual(ts, _)).getOrElse(e)
+      case e @ GreaterThanOrEqual(NanosToMicros(ts), TsLiteralMicros(us)) =>
+        nanos(us).map(GreaterThanOrEqual(ts, _)).getOrElse(e)
+      case e @ EqualTo(NanosToMicros(ts), TsLiteralMicros(us)) =>
+        (nanos(us), nanos(us + 1)) match {
+          case (Some(lo), Some(hi)) =>
+            And(GreaterThanOrEqual(ts, lo), LessThan(ts, hi))
+          case _ => e
+        }
+      // Symmetric literal-on-the-left forms.
+      case e @ GreaterThan(TsLiteralMicros(us), NanosToMicros(ts)) =>
+        nanos(us).map(LessThan(ts, _)).getOrElse(e)
+      case e @ LessThan(TsLiteralMicros(us), NanosToMicros(ts)) =>
+        nanos(us + 1).map(GreaterThanOrEqual(ts, _)).getOrElse(e)
+    }
+}

@@ -16,6 +16,19 @@ object Debug {
       println(f"[debug] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
+    if (args.contains("plans")) {
+      import graft.operators.RelationalQueries
+      def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        println(s"===== $name =====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(3500))
+      }
+      show("q1_scan_filter", RelationalQueries.q1(spark, dir))
+      show("q7_star_join", RelationalQueries.q7(spark, dir))
+      show("q16_pricing", RelationalQueries.q16(spark, dir))
+      show("q2_topk", RelationalQueries.q2(spark, dir))
+      spark.stop(); return
+    }
     val sh2 = time("shingle2 count")(docs.select(Dedup.shingles(2).as("sh"))
       .select(sum(size(col("sh")))).head().getLong(0))
     println(s"[debug] total 2-shingles: $sh2")

@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boundary correctness for the floor-division inequality rewrites: every
+  * comparison operator, on nanos values straddling the literal's exact
+  * microsecond tick. */
+class PushNanosTimestampFiltersSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("rewritten predicates match brute-force evaluation at tick boundaries") {
+    import spark.implicits._
+    if (!spark.experimental.extraOptimizations.contains(PushNanosTimestampFilters))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushNanosTimestampFilters
+
+    // One microsecond tick T (in ns) ± sub-µs offsets around it.
+    val tUs = java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456").getTime * 1000 +
+      456 // ms→µs gives ...123000; add 456 to land on .123456
+    val tNs = tUs * 1000L
+    val values = Seq(tNs - 1500, tNs - 1, tNs, tNs + 1, tNs + 999, tNs + 1000, tNs + 2500)
+    val df = values.toDF("ns")
+      .withColumn("ts", expr("timestamp_micros(ns div 1000)"))
+    val lit = "2024-01-02 03:04:05.123456"
+
+    def got(cond: String): Set[Long] =
+      df.filter(expr(s"ts $cond TIMESTAMP '$lit'")).select("ns").collect().map(_.getLong(0)).toSet
+    def want(p: Long => Boolean): Set[Long] =
+      values.filter(v => p(Math.floorDiv(v, 1000L))).toSet
+
+    assert(got("<") == want(_ < tUs))
+    assert(got("<=") == want(_ <= tUs))
+    assert(got(">") == want(_ > tUs))
+    assert(got(">=") == want(_ >= tUs))
+    assert(got("=") == want(_ == tUs))
+  }
+
+  test("q1-shaped predicate is pushed to the parquet scan") {
+    val e = Tables(spark, sf0001).events
+    val plan = e.filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(ts,"),
+      s"expected pushed long filter in:\n${plan.take(1200)}")
+  }
+}
