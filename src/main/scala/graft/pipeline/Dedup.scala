@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Decouple CPU-heavy per-row work from the input file layout: a single
+    * parquet row group yields one partition, serializing signature
+    * computation no matter how many cores exist. The repartition shuffle
+    * moves only the raw rows and is amortized by the per-row compute. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct n-gram shingles of the whitespace token stream; documents
     * shorter than n fall back to a single whole-text shingle. */
   def shingles(n: Int): Column = {
@@ -52,16 +59,21 @@ object Dedup {
       rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val bands = numHashes / rowsPerBand
-    val exploded = docs.select(col("doc_id"), explode(shingles(shingleSize)).as("s"))
+    val exploded = spread(docs).select(col("doc_id"), explode(shingles(shingleSize)).as("s"))
     val sigAggs = (0 until numHashes).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j"))
     val sig = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val sigCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"m$j"))
       struct(lit(b).as("band"), xxhash64(sigCols :+ lit(b): _*).as("bh"))
     }
+    // Materialize once: the self-join otherwise recomputes the whole
+    // explode+32-agg signature pipeline on BOTH sides (no ReusedExchange
+    // across the join, verified in the plan). The table is tiny —
+    // bands rows per doc.
     val bandTable = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .localCheckpoint(true)
 
     bandTable.as("a")
       .join(bandTable.as("b"),
@@ -74,7 +86,7 @@ object Dedup {
   /** Exact n-gram Jaccard for a set of candidate pairs (the verify step
     * after LSH): |A∩B| / |A∪B| over distinct shingle sets. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleSize: Int): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingles(shingleSize).as("sh"))
+    val sets = spread(docs).select(col("doc_id"), shingles(shingleSize).as("sh"))
     pairs
       .join(sets.select(col("doc_id").as("left_id"), col("sh").as("lsh")), Seq("left_id"))
       .join(sets.select(col("doc_id").as("right_id"), col("sh").as("rsh")), Seq("right_id"))
@@ -137,7 +149,7 @@ object Dedup {
     // Explode → hash once → 64 conditional-sum aggregates (one HashAggregate
     // with partial agg), then reassemble the sign bits. Same rationale as
     // minhashCandidates: no nested HOFs over a derived column.
-    val exploded = docs
+    val exploded = spread(docs)
       .select(col("doc_id"), explode(shingles(shingleSize)).as("s"))
       .withColumn("h", xxhash64(col("s")))
     val bitAggs = (0 until 64).map(b =>
@@ -146,8 +158,11 @@ object Dedup {
     val simhashCol = (0 until 64)
       .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
+    // Materialized: consumed three times (both self-join sides + the
+    // final decision join) and exchange reuse does not fire across them.
     val withSim = bitSums
       .select(col("doc_id"), simhashCol.as("simhash"))
+      .localCheckpoint(true)
       .withColumn("chunks", expr(
         "transform(sequence(0, 3), c -> struct(c AS chunk, CAST(shiftright(simhash, c * 16) & 65535 AS INT) AS ch))"))
 

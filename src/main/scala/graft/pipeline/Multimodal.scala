@@ -69,7 +69,7 @@ object Multimodal {
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow]
+    media.repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
       .toDF()
   }

@@ -50,7 +50,8 @@ object Similarity {
     * (same pathology as minhash; measured 25× slower). One explode + one
     * partial-aggregated groupBy scales linearly. */
   private def hyperplaneSignatures(emb: DataFrame, planes: Int): DataFrame = {
-    val ex = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+    val ex = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
     val dots = (0 until planes).map { j =>
       sum(col("x").cast("double") *
         ((pmod(hash(lit(j), col("i")), lit(2000)) - 1000) / 1000.0)).as(s"d$j")
@@ -62,7 +63,10 @@ object Similarity {
     agg.select(col("vec_id").as("sig_vec_id"), sig.as("sig"))
   }
 
-  /** (vec_id, embedding, band, bucket) table for banded signature LSH. */
+  /** (vec_id, embedding, band, bucket) table for banded signature LSH.
+    * Materialized: every caller joins it against itself or a filtered
+    * subset of itself, and the signature aggregation would otherwise run
+    * once per consumer (no cross-join exchange reuse). */
   private def bandedTable(emb: DataFrame, planes: Int, bandBits: Int): DataFrame = {
     val bands = planes / bandBits
     emb.join(hyperplaneSignatures(emb, planes), col("vec_id") === col("sig_vec_id"))
@@ -70,6 +74,7 @@ object Similarity {
         s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, CAST(shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS INT) AS bucket))"))
       .select(col("vec_id"), col("embedding"), explode(col("bandArr")).as("bb"))
       .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint(true)
   }
 
   /** Approximate top-k via random-hyperplane LSH: vectors sharing a

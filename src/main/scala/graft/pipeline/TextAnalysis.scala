@@ -52,7 +52,10 @@ object TextAnalysis {
     * accuracy ≈ prior; the operator's correctness is asserted on a
     * discriminative corpus in PipelineSpec. */
   def languageId(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), col("lang"), explode(tokens).as("token"))
+    // Repartition: decouple per-token compute from input file layout
+    // (one row group = one partition otherwise).
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val tok = spread.select(col("doc_id"), col("lang"), explode(tokens).as("token"))
 
     val vocabSize = tok.select("token").distinct().count()
     val langTotals = tok.groupBy(col("lang").as("model_lang"))

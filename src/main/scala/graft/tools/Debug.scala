@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 object Debug {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(16, "debug")
-    val dir = "/root/testdata/sf0.01"
+    val dir = args.headOption.filter(_.startsWith("/")).getOrElse("/root/testdata/sf0.01")
     val docs = Tables(spark, dir).documents
 
     def time[T](name: String)(f: => T): T = {
@@ -27,6 +27,94 @@ object Debug {
       show("q7_star_join", RelationalQueries.q7(spark, dir))
       show("q16_pricing", RelationalQueries.q16(spark, dir))
       show("q2_topk", RelationalQueries.q2(spark, dir))
+      spark.stop(); return
+    }
+    if (args.contains("candplan")) {
+      val c = Dedup.minhashCandidates(docs, 3, 32, 4)
+      c.write.format("noop").mode("overwrite").save()
+      val p = c.queryExecution.executedPlan.toString
+      println("[plan] HashAggregate nodes: " + "HashAggregate".r.findAllIn(p).length)
+      println("[plan] Scan nodes: " + "Scan parquet".r.findAllIn(p).length)
+      println("[plan] ReusedExchange nodes: " + "ReusedExchange".r.findAllIn(p).length)
+      println("[plan] Generate nodes: " + "Generate".r.findAllIn(p).length)
+      spark.stop(); return
+    }
+    if (args.contains("repeat")) {
+      (1 to 5).foreach { i =>
+        time(s"minhash run $i")(Dedup.minhashCandidates(docs, 3, 32, 4).count())
+      }
+      spark.stop(); return
+    }
+    if (args.contains("neardup")) {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables(spark, dir).embeddings
+      // replicate embeddingNearDup internals
+      val m = classOf[Similarity.type]
+      val banded = { // call private via public path: annTopK builds it too; rebuild inline
+        val planes = 16; val bandBits = 8; val bands = planes / bandBits
+        import org.apache.spark.sql.functions._
+        val ex = emb.repartition(16).select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        val dots = (0 until planes).map { j => sum(col("x").cast("double") * ((pmod(hash(lit(j), col("i")), lit(2000)) - 1000) / 1000.0)).as(s"d$j") }
+        val agg = ex.groupBy("vec_id").agg(dots.head, dots.tail: _*)
+        val sigc = (0 until planes).map(j => when(col(s"d$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+        val sig = agg.select(col("vec_id").as("sig_vec_id"), sigc.as("sig"))
+        emb.join(sig, col("vec_id") === col("sig_vec_id"))
+          .withColumn("bandArr", expr(s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, CAST(shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS INT) AS bucket))"))
+          .select(col("vec_id"), col("embedding"), explode(col("bandArr")).as("bb"))
+          .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+          .localCheckpoint(true)
+      }
+      println("[debug] banded rows: " + banded.count())
+      val pairs0 = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"), col("a.embedding").as("le"), col("b.embedding").as("re"))
+      time("pairs count")(println("[debug] pairs: " + pairs0.count()))
+      val dd = pairs0.dropDuplicates("left_id", "right_id")
+      time("dropDup count")(println("[debug] dd pairs: " + dd.count()))
+      val scored = dd.select(col("left_id"), col("right_id"), Similarity.cosine("le", "re").as("cos"))
+      time("cosine verify")(scored.write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
+    if (args.contains("bisect")) {
+      import org.apache.spark.sql.functions.{col, posexplode, lit, sum => fsum, hash => fhash, pmod}
+      val emb = Tables(spark, dir).embeddings
+      val ex0 = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      val ex1 = emb.repartition(16).select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      def sig(ex: org.apache.spark.sql.DataFrame) = {
+        val dots = (0 until 16).map { j => fsum(col("x").cast("double") * ((pmod(fhash(lit(j), col("i")), lit(2000)) - 1000) / 1000.0)).as(s"d$j") }
+        ex.groupBy("vec_id").agg(dots.head, dots.tail: _*)
+      }
+      time("sig no-repart")(sig(ex0).write.format("noop").mode("overwrite").save())
+      time("sig repart")(sig(ex1).write.format("noop").mode("overwrite").save())
+      time("sig no-repart 2nd")(sig(ex0).write.format("noop").mode("overwrite").save())
+      time("sig repart 2nd")(sig(ex1).write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
+    if (args.contains("warm")) {
+      time("minhash 1st")(Dedup.minhashCandidates(docs, 3, 32, 4).count())
+      time("minhash 2nd")(Dedup.minhashCandidates(docs, 3, 32, 4).count())
+      time("neardup 1st")(Similarity.embeddingNearDup(Tables(spark, dir).embeddings).write.format("noop").mode("overwrite").save())
+      time("neardup 2nd")(Similarity.embeddingNearDup(Tables(spark, dir).embeddings).write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
+    if (args.contains("stages")) {
+      import org.apache.spark.sql.functions.{col, explode, lit, min => fmin, xxhash64}
+      val exploded = docs.select(col("doc_id"), explode(Dedup.shingles(3)).as("s"))
+      time("explode count")(exploded.count())
+      val sigAggs = (0 until 32).map(j => fmin(xxhash64(col("s"), lit(j))).as(s"m$j"))
+      val sig = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      time("sig agg")(sig.write.format("noop").mode("overwrite").save())
+      val sig1 = exploded.groupBy("doc_id").agg(fmin(xxhash64(col("s"), lit(0))).as("m0"))
+      time("sig agg 1-hash")(sig1.write.format("noop").mode("overwrite").save())
+      time("hash only")(exploded.select(xxhash64(col("s"), lit(0)).as("h")).write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
+    if (args.contains("dedup")) {
+      time("minhash candidates")(Dedup.minhashCandidates(docs, 3, 32, 4).count())
+      time("minhash full")(Dedup.minhashDedup(docs).write.format("noop").mode("overwrite").save())
+      time("simhash full")(Dedup.simhashDedup(docs).write.format("noop").mode("overwrite").save())
+      time("jaccard pairs")(Dedup.ngramJaccardPairs(docs).write.format("noop").mode("overwrite").save())
+      time("embedding neardup")(Similarity.embeddingNearDup(Tables(spark, dir).embeddings).write.format("noop").mode("overwrite").save())
       spark.stop(); return
     }
     val sh2 = time("shingle2 count")(docs.select(Dedup.shingles(2).as("sh"))
