@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL entry point: register the engine's tables as temp views so users
+  * can drive everything through `spark.sql(...)` — the declared queries
+  * are expressible both ways (SURVEY §7.2 M0), and SqlSurfaceSpec proves
+  * DataFrame and SQL results coincide on the ANSI-compatible subset. */
+object GraftSql {
+
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view (events with the
+    * nanos-converted ts column, so SQL sees a TIMESTAMP). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val t = Tables(spark, dir)
+    tableNames.foreach { n =>
+      (n match {
+        case "events" => t.events
+        case other    => t.table(other)
+      }).createOrReplaceTempView(n)
+    }
+  }
+
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(query)
+  }
+}

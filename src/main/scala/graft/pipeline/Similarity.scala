@@ -22,6 +22,13 @@ object Similarity {
   def cosine(a: String, b: String): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) —
+    * bit-identical to [[cosine]] (asserted in PipelineSpec) but runs
+    * inside whole-stage codegen instead of interpreted HOF eval; used on
+    * every candidate-pair hot path. */
+  private def cosineFast(s: SparkSession, a: String, b: String): Column =
+    graft.functions.CosineSimilarity.cosineSim(s, col(a), col(b))
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries)
     * — the brute-force baseline. The tiny query set is broadcast, so the
     * big side streams through one scan with no shuffle before the
@@ -33,7 +40,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine("embedding", "qe"), 4).as("sim"))
+        round(cosineFast(emb.sparkSession, "embedding", "qe"), 4).as("sim"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
@@ -93,7 +100,8 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("embedding"), col("qe"))
       .dropDuplicates("query_id", "vec_id")
     candidates
-      .select(col("query_id"), col("vec_id"), round(cosine("embedding", "qe"), 4).as("sim"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(emb.sparkSession, "embedding", "qe"), 4).as("sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
       .filter(col("rn") <= k)
@@ -113,7 +121,8 @@ object Similarity {
       .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"),
         col("a.embedding").as("le"), col("b.embedding").as("re"))
       .dropDuplicates("left_id", "right_id")
-      .select(col("left_id"), col("right_id"), cosine("le", "re").as("cos"))
+      .select(col("left_id"), col("right_id"),
+        cosineFast(emb.sparkSession, "le", "re").as("cos"))
       .filter(col("cos") >= threshold)
     val dupOf = pairs.groupBy(col("right_id").as("vec_id"))
       .agg(min(col("left_id")).as("dup_of"), max(col("cos")).as("best_cos"))

@@ -39,6 +39,29 @@ object Debug {
       println("[plan] Generate nodes: " + "Generate".r.findAllIn(p).length)
       spark.stop(); return
     }
+    if (args.contains("sqlsmoke")) {
+      graft.GraftSql.registerViews(spark, dir)
+      graft.functions.CosineSimilarity.register(spark)
+      println("[sql] top revenue nations via pure SQL:")
+      spark.sql("""SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY revenue DESC LIMIT 3""").collect()
+        .foreach(r => println(s"[sql]   ${r.mkString(" | ")}"))
+      println("[sql] cosine_sim in SQL over embeddings:")
+      spark.sql("""SELECT a.vec_id, b.vec_id AS other, ROUND(cosine_sim(a.embedding, b.embedding), 4) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id IN (17, 225)
+        ORDER BY sim DESC""").collect()
+        .foreach(r => println(s"[sql]   ${r.mkString(" | ")}"))
+      try {
+        spark.sql("SELECT cosine_sim(n_name, n_name) FROM nation").collect()
+        println("[sql] ERROR: type check did not fire")
+      } catch { case e: Exception =>
+        println(s"[sql] bad-type probe rejected: ${e.getMessage.linesIterator.next()}")
+      }
+      spark.stop(); return
+    }
     if (args.contains("repeat")) {
       (1 to 5).foreach { i =>
         time(s"minhash run $i")(Dedup.minhashCandidates(docs, 3, 32, 4).count())

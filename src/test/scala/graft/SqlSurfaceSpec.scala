@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.{ExtendedQueries, RelationalQueries}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: the oracle SQL strings that are ANSI enough to parse
+  * in BOTH Spark SQL and DuckDB must produce exactly the DataFrame-API
+  * results. (DuckDB-dialect oracles — string_split, time_bucket,
+  * list_cosine_similarity, json_extract_string — are excluded; those are
+  * checked against DuckDB by the driver instead.) */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sparkCompatible = Seq(
+    "q1_scan_filter", "q2_topk", "q3_group_count", "q4_hash_agg",
+    "q5_distinct_agg", "q6_join", "q7_star_join", "q8_semi_join",
+    "q9_anti_join", "q10_rank_window", "q11_frame_window", "q12_set_op",
+    "q13_rollup", "q14_scalar_fns", "q15_cond_agg", "q16_pricing",
+    "q17_time_window", "q18_retry_stats", "q19_dedup_exact",
+    "q24_intersect", "q25_cube", "q26_scalars")
+
+  private lazy val allQueries = RelationalQueries.all ++ ExtendedQueries.all ++
+    graft.pipeline.Dedup.queries
+  private lazy val allOracles = RelationalQueries.oracle ++ ExtendedQueries.oracle ++
+    graft.pipeline.Dedup.oracle
+
+  sparkCompatible.foreach { name =>
+    test(s"spark.sql == DataFrame API: $name") {
+      val viaSql = GraftSql.sql(spark, sf0001, allOracles(name))
+        .collect().map(_.toString)
+      val viaDf = allQueries(name)(spark, sf0001)
+        .collect().map(_.toString)
+      assert(viaSql.sameElements(viaDf),
+        s"$name: sql=${viaSql.take(3).mkString("|")} df=${viaDf.take(3).mkString("|")}")
+    }
+  }
+}

@@ -81,6 +81,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDup(emb).count() == emb.count())
   }
 
+  test("native cosine_sim is bit-identical to the HOF formulation") {
+    graft.functions.CosineSimilarity.register(spark)
+    val pairs = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .filter(col("vec_id") < 20 && col("v2") < 20 && col("vec_id") < col("v2"))
+    val diff = pairs.select(
+      (expr("cosine_sim(embedding, e2)") - Similarity.cosine("embedding", "e2")).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0, s"native vs HOF max abs diff $diff (must be bit-exact)")
+  }
+
+  test("embedding near-dup flags an injected exact duplicate vector") {
+    import spark.implicits._
+    val base = emb.limit(50)
+    val dup = base.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val out = Similarity.embeddingNearDup(base.unionByName(dup)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(10001L).getAs[Boolean]("is_duplicate"))
+    assert(out(10001L).getAs[Long]("dup_of") == 1L)
+    assert(out(10001L).getAs[Double]("best_cos") == 1.0)
+  }
+
   test("text quality stats are consistent") {
     val r = TextAnalysis.textQuality(docs).filter(col("doc_id") === 0).head()
     assert(r.getLong(1) == 23, "doc 0 has 23 tokens")
