@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.feed._
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** The M3 feed on Spark 4's native `transformWithState` API (SURVEY §7.2
+  * preferred path; [[FeedStream]] is the proven flatMapGroupsWithState
+  * twin — both delegate to the same [[FeedStream.advance]] decision
+  * logic, so their outputs are identical by construction and the golden
+  * spec asserts it).
+  *
+  * transformWithState requires the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass` =
+  * `...RocksDBStateStoreProvider`) — which is also the right provider at
+  * 100 TB: state lives off-heap/on-disk per key-range, with incremental
+  * checkpointing, instead of the HDFS-backed in-memory map.
+  */
+object FeedStreamTws {
+
+  final class FeedProcessor(
+      processor: Processor,
+      opts: FeedOptions,
+      initial: Map[String, FeedState])
+      extends StatefulProcessor[String, Item, Item] {
+
+    @transient private var state: ValueState[FeedState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FeedState](
+        "feedState", Encoders.product[FeedState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Item],
+        timerValues: TimerValues): Iterator[Item] = {
+      val st =
+        if (state.exists()) state.get()
+        else initial.getOrElse(key, FeedState(0, Status.Available, 0L, 0L, Nil))
+      val (next, out) = FeedStream.advance(key, st, rows.toSeq, processor, opts)
+      state.update(next)
+      out.iterator
+    }
+  }
+
+  def itemUpdates(
+      items: Dataset[Item],
+      processor: Processor,
+      opts: FeedOptions,
+      initial: Map[String, FeedState] = Map.empty): Dataset[Item] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    implicit val itemEnc: Encoder[Item] = Encoders.product[Item]
+    items
+      .groupByKey(_.partitionId)
+      .transformWithState(
+        new FeedProcessor(processor, opts, initial),
+        TimeMode.None(),
+        OutputMode.Append())
+  }
+}

@@ -1,0 +1,62 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.GraftSession
+import graft.feed._
+import org.apache.spark.sql.Dataset
+
+/** Scale smoke for the feed path: N partitions × M items with multi-pass
+  * payloads and a failure mix, driven through the distributed FeedStep to
+  * quiescence. Prints throughput + invariant checks. The point is the
+  * plan shape at width (hash-partitioned by partition_id, rank-limited
+  * fetch, partial-agg counts), not the local absolute numbers. */
+object FeedScale {
+  def main(args: Array[String]): Unit = {
+    val nPartitions = args.headOption.map(_.toInt).getOrElse(200)
+    val itemsPer    = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val spark = GraftSession.local(16, "feed-scale")
+    import spark.implicits._
+
+    val partitions: Dataset[Partition] =
+      spark.range(nPartitions).map(i => Partition(s"p$i"))
+    val items: Dataset[Item] = spark.range(nPartitions.toLong * itemsPer).map { i =>
+      val pid = s"p${i % nPartitions}"
+      // failures confined to the first 10% of partitions so both terminal
+      // partition paths (Failed vs AutoClose-Complete) run at width
+      val fail = i % 97 == 0 && (i % nPartitions) < math.max(nPartitions / 10, 1)
+      val times = 1 + (i % 3).toInt
+      Item(s"i$i", pid,
+        data = s"""{"times":$times${if (fail) ",\"fail\":true" else ""},"processed":0}"""
+          .getBytes(UTF_8))
+    }
+
+    val opts = FeedOptions(batchSize = 50, maxRetries = 2, autoClose = true)
+    val t0 = System.nanoTime()
+    val (fi, fp, steps) = FeedStep.replay(spark, items, partitions,
+      GoldenFixture.TestProcessor, opts, maxSteps = 60)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val total = nPartitions.toLong * itemsPer
+    val byStatus = fi.groupByKey(_.status).count().collect().toMap
+    val pStatus = fp.groupByKey(_.status).count().collect().toMap
+    val done = byStatus.getOrElse(Status.Complete, 0L)
+    val failed = byStatus.getOrElse(Status.Failed, 0L)
+    println(f"[scale] $total items / $nPartitions partitions: $steps steps, $secs%.1f s " +
+      f"(${total / secs}%.0f items/s incl. multi-pass)")
+    println(s"[scale] items: complete=$done failed=$failed " +
+      s"available=${byStatus.getOrElse(Status.Available, 0L)}")
+    println(s"[scale] partitions: complete=${pStatus.getOrElse(Status.Complete, 0L)} " +
+      s"failed=${pStatus.getOrElse(Status.Failed, 0L)}")
+    // Invariants: failing items dead-letter after maxRetries+1 attempts;
+    // partitions with no failing items close; all items reached terminal.
+    val failingItems = (0L until total)
+      .filter(i => i % 97 == 0 && (i % nPartitions) < math.max(nPartitions / 10, 1))
+    val expectFailedParts = failingItems.map(_ % nPartitions).distinct.size
+    val ok = failed == failingItems.size && done == total - failingItems.size &&
+      pStatus.getOrElse(Status.Failed, 0L) == expectFailedParts &&
+      pStatus.getOrElse(Status.Complete, 0L) == nPartitions - expectFailedParts
+    println(if (ok) "[scale] PASS" else "[scale] FAIL")
+    spark.stop()
+  }
+}

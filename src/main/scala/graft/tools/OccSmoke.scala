@@ -3,7 +3,7 @@ package graft.tools
 import graft.GraftSession
 import graft.feed._
 import graft.sinks.OccSink
-import graft.streaming.FeedStream
+import graft.streaming.{FeedStream, FeedStreamTws}
 
 /** End-to-end smoke: golden item stream → flatMapGroupsWithState feed →
   * foreachBatch OCC sink → parquet table. Prints the final table. */
@@ -15,9 +15,16 @@ object OccSmoke {
     val dir = java.nio.file.Files.createTempDirectory("occ_smoke").resolve("items").toString
 
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Item]
-    val updates = FeedStream.itemUpdates(
-      ms.toDS(), GoldenFixture.TestProcessor, GoldenFixture.options,
-      FeedStream.initialState(GoldenFixture.partitions))
+    val useTws = args.contains("tws")
+    if (useTws) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val updates =
+      if (useTws)
+        FeedStreamTws.itemUpdates(ms.toDS(), GoldenFixture.TestProcessor,
+          GoldenFixture.options, FeedStream.initialState(GoldenFixture.partitions))
+      else
+        FeedStream.itemUpdates(ms.toDS(), GoldenFixture.TestProcessor,
+          GoldenFixture.options, FeedStream.initialState(GoldenFixture.partitions))
     val q = updates.writeStream
       .foreachBatch(OccSink.writer(dir))
       .outputMode("append").start()

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.feed._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden parity through the Spark-4-native transformWithState path.
+  * TWS requires the RocksDB state store provider — set at runtime on the
+  * shared session (it binds when the streaming query starts; a builder
+  * conf would be silently dropped if another suite created the session
+  * first via getOrCreate). */
+class FeedStreamTwsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = graft.SparkTestSession.spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  test("golden fixture through transformWithState matches the FMGWS path") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Item]
+    val updates = FeedStreamTws.itemUpdates(
+      ms.toDS(), GoldenFixture.TestProcessor, GoldenFixture.options,
+      FeedStream.initialState(GoldenFixture.partitions))
+    val q = updates.writeStream.format("memory").queryName("tws_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(GoldenFixture.items.take(8)); q.processAllAvailable()
+      ms.addData(GoldenFixture.items.drop(8)); q.processAllAvailable()
+    } finally {
+      val out = spark.table("tws_out").as[Item].collect()
+      q.stop()
+      val got = out.map(i => i.id -> i).toMap
+      val expect = GoldenFixture.goldenTerminalTransitions
+      assert(got.keySet == expect.keySet, s"emitted ${got.keySet}")
+      expect.foreach { case (id, (status, data)) =>
+        assert(got(id).status == status, s"$id status")
+        assert(GoldenFixture.DataObj.parse(got(id).data) == data, s"$id data")
+      }
+    }
+  }
+}
