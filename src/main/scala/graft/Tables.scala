@@ -39,6 +39,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
   def events: DataFrame     = withNanosTimestamps("events", "ts")
+
+  /** Streaming read of an events-shaped parquet DIRECTORY (the D1 polling
+    * micro-batch source: the file source discovers new files per trigger,
+    * offsets = file positions). Same nanos→µs ts handling as [[events]];
+    * readStream requires an explicit schema, with ts as the raw long. */
+  def eventsStream(directory: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(directory)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

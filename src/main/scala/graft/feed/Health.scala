@@ -1,0 +1,34 @@
+package graft.feed
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+
+/** Parallel healthcheck fan-out (watcher.go:214-239): engine liveness and
+  * processor health checked concurrently; both failing yields a combined
+  * message (the reference wraps dbErr with procErr's text). */
+object Health {
+
+  def engineAlive(spark: SparkSession): Either[String, Unit] =
+    if (spark.sparkContext.isStopped) Left("spark context stopped")
+    else Try(spark.range(1).count()) match {
+      case Success(_) => Right(())
+      case Failure(e) => Left(s"spark job failed: ${e.getMessage}")
+    }
+
+  def check(spark: SparkSession, processor: Processor,
+      timeout: FiniteDuration = 10.seconds): Either[String, Unit] = {
+    val engineF = Future(engineAlive(spark))
+    val procF   = Future(processor.healthcheck())
+    val (engine, proc) = Await.result(engineF.zip(procF), timeout)
+    (engine, proc) match {
+      case (Right(_), Right(_))      => Right(())
+      case (Left(e), Left(p))        => Left(s"$p: $e")
+      case (Left(e), _)              => Left(e)
+      case (_, Left(p))              => Left(p)
+    }
+  }
+}

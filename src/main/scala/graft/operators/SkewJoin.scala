@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys (SURVEY §2.3 "salting for skew").
+  *
+  * AQE's skew-join splitting handles most cases at runtime; explicit
+  * salting remains the tool when one side must be pre-aggregated per key
+  * or when a single hot key exceeds what AQE will split (the classic
+  * power-law user_id). Mechanics: the skewed (large) side gets a random
+  * salt in [0, factor); the small side is replicated `factor` times with
+  * every salt value; the join key becomes (key, salt) so the hot key's
+  * rows spread over `factor` tasks.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `large` (skewed on `key`) with `small`,
+    * spreading each hot key over `factor` tasks. `small` is replicated
+    * `factor`× — keep it broadcast-sized × factor. Salt is derived from a
+    * stable hash of the whole large row, not rand(): deterministic under
+    * task retries (a retried task re-derives identical salts, where
+    * rand() would re-deal rows to different salts mid-join). */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      factor: Int = 8): DataFrame = {
+    require(factor > 0)
+    val salted = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col): _*), lit(factor)))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until factor).map(lit): _*)))
+    val joined = salted.join(replicated,
+      salted(key) === replicated(key) && salted("__salt") === replicated("__salt"))
+    // Drop the helper column and the duplicate key from the small side.
+    val smallCols = small.columns.filterNot(_ == key).map(replicated(_))
+    joined.select(large.columns.map(salted(_)) ++ smallCols: _*)
+  }
+
+  /** Two-phase (partial → final) aggregation over a skewed group key:
+    * first aggregate per (key, salt) — spreading the hot key — then
+    * combine the partials per key. `partial` and `combine` must form a
+    * semigroup (e.g. sum/sum, count/sum). Spark's own hash aggregation
+    * already does map-side partials; this helps when the per-key state is
+    * too big for one reducer (huge collect_set-style states). */
+  def saltedAgg(
+      df: DataFrame,
+      key: String,
+      factor: Int,
+      partial: Seq[(String, Column)],
+      combine: Seq[(String, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(factor)))
+    val partialAgg = salted.groupBy(col(key), col("__salt"))
+      .agg(partial.head._2.as(partial.head._1),
+        partial.tail.map { case (n, c) => c.as(n) }: _*)
+    partialAgg.groupBy(col(key))
+      .agg(combine.head._2(col(combine.head._1)).as(combine.head._1),
+        combine.tail.map { case (n, f) => f(col(n)).as(n) }: _*)
+      .orderBy(key)
+  }
+}

@@ -39,6 +39,26 @@ object Debug {
       println("[plan] Generate nodes: " + "Generate".r.findAllIn(p).length)
       spark.stop(); return
     }
+    if (args.contains("skew")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.SkewJoin
+      val t = Tables(spark, dir)
+      val events = t.events.select("event_id", "user_id", "value")
+      val customer = t.customer.select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val out = SkewJoin.saltedJoin(events, customer, "user_id", factor = 4)
+      val n = out.count()
+      val plain = events.join(customer, "user_id").count()
+      println(s"[skew] salted rows=$n plain rows=$plain equal=${n == plain}")
+      val plan = out.queryExecution.executedPlan.toString
+      println(s"[skew] join keys include salt: ${plan.contains("__salt")}")
+      val health = graft.feed.Health.check(spark, new graft.feed.Processor {
+        def process(id: String, b: Array[Byte]) = Right(graft.feed.ProcessorResponse(0, true, b))
+      })
+      println(s"[skew] health check on live session: $health")
+      spark.stop()
+      println(s"[skew] health on STOPPED session: ${graft.feed.Health.engineAlive(spark)}")
+      return
+    }
     if (args.contains("sqlsmoke")) {
       graft.GraftSql.registerViews(spark, dir)
       graft.functions.CosineSimilarity.register(spark)

