@@ -73,7 +73,32 @@ object ExtendedQueries {
       .orderBy("c_mktsegment")
   }
 
+  // Q30 — array functions over the embedding column (size, indexing,
+  // aggregate over elements via the codegen'd cosine self-similarity = 1).
+  def q30(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"),
+        round(element_at(col("embedding"), 64).cast("double"), 4).as("e63"))
+      .filter(col("vec_id") < 100)
+      .orderBy("vec_id")
+
+  // Q31 — date/interval arithmetic (date_trunc, + INTERVAL, extract).
+  def q31(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(
+        col("event_id"),
+        date_trunc("hour", col("ts")).as("h"),
+        (col("ts") + expr("INTERVAL 90 MINUTES")).as("later"),
+        hour(col("ts")).cast("long").as("hr"))
+      .filter(col("event_id") < 200)
+      .orderBy("event_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_array_fns"     -> (q30 _),
+    "q31_interval_fns"  -> (q31 _),
     "q23_json"          -> (q23 _),
     "q24_intersect"     -> (q24 _),
     "q25_cube"          -> (q25 _),
@@ -84,6 +109,14 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q30_array_fns" ->
+      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0, ROUND(CAST(embedding[64] AS DOUBLE), 4) AS e63 " +
+        "FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"),
+    "q31_interval_fns" ->
+      ("SELECT event_id, date_trunc('hour', ts) AS h, ts + INTERVAL 90 MINUTE AS later, " +
+        "CAST(extract(hour FROM ts) AS BIGINT) AS hr " +
+        "FROM events WHERE event_id < 200 ORDER BY event_id"),
     "q23_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 ORDER BY event_id",
     "q24_intersect" ->
