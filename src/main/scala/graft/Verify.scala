@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Timestamps dump as the INT96 default: readers (pandas/duckdb) treat
+      // INT96 as tz-naive, matching DuckDB's TIMESTAMP. TIMESTAMP_MICROS
+      // is marked isAdjustedToUTC and comes back tz-AWARE — verified to
+      // break naive-vs-aware comparison.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

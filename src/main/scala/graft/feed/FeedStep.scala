@@ -14,7 +14,14 @@ final case class FeedOptions(
     manualCheckpoint: Boolean = false,
     autoClose: Boolean = false,
     maxRetries: Int = FeedPolicy.DefaultMaxRetries,
-    autoClosePredicate: Option[String => Boolean] = None) {
+    autoClosePredicate: Option[String => Boolean] = None,
+    /** Cap on watcher ticks run per partition per micro-batch in streaming
+      * mode. The reference spreads ticks over wall-clock (PollInterval);
+      * the streaming wrapper runs them back-to-back until quiescent, so a
+      * processor that never completes an item — or a starved item below
+      * the current gate (README.md:107-111) — would otherwise spin. Work
+      * left when the cap hits resumes next micro-batch. */
+    maxTicksPerBatch: Int = 10000) {
   def autoCloseFor(id: String): Boolean = autoClosePredicate.fold(autoClose)(_(id))
 }
 

@@ -70,7 +70,7 @@ object FeedStream {
 
     var continue = true
     var guard    = 0
-    while (continue && guard < 100000) {
+    while (continue && guard < opts.maxTicksPerBatch) {
       guard += 1
       val fetchable = pending
         .sortBy(i => (i.updatedAt.getTime, i.id))
