@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.feed._
+import graft.processors.{HttpProcessor, JdkHttpDoer}
+import graft.sinks.OccSink
+import graft.streaming.FeedStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** The runnable feed service — the analog of the reference's shipped
+  * binary (examples/state_processor/main.go): flags → source → watcher →
+  * HTTP processor → store write-back, plus a healthcheck HTTP server.
+  *
+  * Mapping (main.go:22-37 flags → here):
+  *   -poll_interval → --poll-interval (Trigger.ProcessingTime)
+  *   -batch_size    → --batch-size   (per-partition fetch cap)
+  *   -target        → --target       (processor POST endpoint)
+  *   -table_prefix  → --items-dir / --out-dir (storage namespacing)
+  *   -local         → parquet dirs instead of a DB; OCC semantics kept by
+  *                    the versioned sink (R4)
+  *
+  * Usage:
+  *   runMain graft.FeedMain --items-dir DIR --out-dir DIR --target URL
+  *     [--poll-interval 10s] [--batch-size 50] [--max-retries 5]
+  *     [--auto-close] [--manual-checkpoint] [--health-port N] [--once]
+  *
+  * `--once` processes everything currently available and exits (used by
+  * the e2e smoke); without it the query runs on the processing-time
+  * trigger until terminated.
+  */
+object FeedMain {
+
+  final case class Config(
+      itemsDir: String = "",
+      outDir: String = "",
+      target: String = "",
+      pollInterval: String = "10 seconds",
+      batchSize: Int = 50,
+      maxRetries: Int = 5,
+      autoClose: Boolean = false,
+      manualCheckpoint: Boolean = false,
+      healthPort: Int = 0,
+      once: Boolean = false)
+
+  def parse(args: Array[String]): Config = {
+    def loop(c: Config, rest: List[String]): Config = rest match {
+      case "--items-dir" :: v :: t         => loop(c.copy(itemsDir = v), t)
+      case "--out-dir" :: v :: t           => loop(c.copy(outDir = v), t)
+      case "--target" :: v :: t            => loop(c.copy(target = v), t)
+      case "--poll-interval" :: v :: t     => loop(c.copy(pollInterval = v), t)
+      case "--batch-size" :: v :: t        => loop(c.copy(batchSize = v.toInt), t)
+      case "--max-retries" :: v :: t       => loop(c.copy(maxRetries = v.toInt), t)
+      case "--auto-close" :: t             => loop(c.copy(autoClose = true), t)
+      case "--manual-checkpoint" :: t      => loop(c.copy(manualCheckpoint = true), t)
+      case "--health-port" :: v :: t       => loop(c.copy(healthPort = v.toInt), t)
+      case "--once" :: t                   => loop(c.copy(once = true), t)
+      case Nil                             => c
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown flag: $other")
+    }
+    val c = loop(Config(), args.toList)
+    require(c.itemsDir.nonEmpty && c.outDir.nonEmpty && c.target.nonEmpty,
+      "--items-dir, --out-dir and --target are required")
+    c
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parse(args)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-feed")
+    try run(cfg, spark)
+    finally spark.stop()
+  }
+
+  /** The service body, not owning the session (embeddable/testable —
+    * local[] shares one JVM-wide SparkContext, so stopping it here would
+    * kill the caller's session too). */
+  def run(cfg: Config, spark: SparkSession): Unit = {
+    import spark.implicits._
+
+    val processor = new HttpProcessor(new JdkHttpDoer(10), cfg.target)
+    val opts = FeedOptions(
+      batchSize = cfg.batchSize, maxRetries = cfg.maxRetries,
+      autoClose = cfg.autoClose, manualCheckpoint = cfg.manualCheckpoint)
+
+    // Item source: the parquet items table as a file-arrival stream (D1).
+    val itemStream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Item].schema)
+      .parquet(cfg.itemsDir)
+      .as[Item]
+
+    val updates = FeedStream.itemUpdates(itemStream, processor, opts)
+    val writer = updates.writeStream
+      .foreachBatch(OccSink.writer(cfg.outDir))
+      .outputMode("append")
+
+    // Healthcheck server (main.go:99-104): 200 when engine + processor OK.
+    val healthServer: Option[HttpServer] = if (cfg.healthPort > 0) {
+      val s = HttpServer.create(new java.net.InetSocketAddress(cfg.healthPort), 0)
+      s.createContext("/healthz", new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          val (code, body) = Health.check(spark, processor) match {
+            case Right(_)  => (200, "ok")
+            case Left(err) => (503, err)
+          }
+          val b = body.getBytes(UTF_8)
+          ex.sendResponseHeaders(code, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        }
+      })
+      s.start(); Some(s)
+    } else None
+
+    try {
+      if (cfg.once) {
+        val q = writer.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        println(s"[feedmain] processed available items -> ${cfg.outDir}")
+      } else {
+        val q = writer.trigger(Trigger.ProcessingTime(cfg.pollInterval)).start()
+        println(s"[feedmain] running; poll=${cfg.pollInterval} health=${cfg.healthPort}")
+        q.awaitTermination()
+      }
+    } finally {
+      healthServer.foreach(_.stop(0))
+    }
+  }
+}

@@ -54,7 +54,16 @@ final class HttpProcessor(
     healthEndpoint: String = "") extends Processor {
 
   def process(id: String, data: Array[Byte]): Either[ProcessorError, ProcessorResponse] = {
-    val resp = client.post(target, "application/json", data)
+    // Transport failures (connect refused, timeout, DNS) are retryable —
+    // the reference returns the raw client error into the retry policy
+    // (httprocessor/processor.go:63-66). An uncaught exception here would
+    // instead fail the Spark task and kill the stream.
+    val resp =
+      try client.post(target, "application/json", data)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          return Left(RetryableError(s"transport error: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
     Json.parse(resp.body) match {
       case Left(parseErr) =>
         Left(RetryableError(
@@ -93,8 +102,11 @@ final class HttpProcessor(
 
   override def healthcheck(): Either[String, Unit] =
     if (healthEndpoint.isEmpty) Right(())
-    else {
-      val r = client.get(s"$target/$healthEndpoint")
-      if (r.code >= 200 && r.code < 300) Right(()) else Left(r.status)
-    }
+    else
+      try {
+        val r = client.get(s"$target/$healthEndpoint")
+        if (r.code >= 200 && r.code < 300) Right(()) else Left(r.status)
+      } catch {
+        case scala.util.control.NonFatal(e) => Left(s"transport error: ${e.getMessage}")
+      }
 }

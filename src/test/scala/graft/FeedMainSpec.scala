@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.feed.{Item, Status}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The binary path end-to-end: items parquet → FeedMain --once → live HTTP
+  * processor (echoing completion) → OCC parquet output. Runs main() in
+  * this JVM with real flags — the same invocation a user types. */
+class FeedMainSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("FeedMain --once drains an items table through a live processor into the OCC sink") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("feedmain")
+    val itemsDir = base.resolve("items").toString
+    val outDir = base.resolve("out").toString
+    Seq(
+      Item("a1", "p1", data = """{"n":1}""".getBytes(UTF_8)),
+      Item("a2", "p1", data = """{"n":2}""".getBytes(UTF_8)),
+      Item("a3", "p2", data = """{"n":3}""".getBytes(UTF_8))
+    ).toDS().write.parquet(itemsDir)
+
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/proc", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val in = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val resp = s"""{"complete": true, "response": {"echo": $in}}""".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val cfg = FeedMain.parse(Array(
+        "--items-dir", itemsDir, "--out-dir", outDir,
+        "--target", s"http://127.0.0.1:$port/proc",
+        "--batch-size", "10", "--auto-close", "--once"))
+      FeedMain.run(cfg, spark)
+      val out = spark.read.parquet(outDir).as[Item].collect().sortBy(_.id)
+      assert(out.length == 3)
+      assert(out.forall(_.status == Status.Complete))
+      assert(out.map(_.id).sameElements(Array("a1", "a2", "a3")))
+      assert(out.head.dataString.contains(""""echo":{"n":1}"""))
+    } finally server.stop(0)
+  }
+
+  test("flag parsing rejects unknown flags and missing required args") {
+    intercept[IllegalArgumentException](FeedMain.parse(Array("--bogus")))
+    intercept[IllegalArgumentException](FeedMain.parse(Array("--items-dir", "x")))
+    val c = FeedMain.parse(Array("--items-dir", "i", "--out-dir", "o",
+      "--target", "t", "--batch-size", "7", "--auto-close"))
+    assert(c.batchSize == 7 && c.autoClose && !c.once)
+  }
+}

@@ -74,6 +74,14 @@ class HttpProcessorSpec extends AnyFunSuite {
       ok(2, complete = false, "{}"))
   }
 
+  test("transport failure (dead target) maps to a retryable error, not an exception") {
+    val p = new HttpProcessor(new JdkHttpDoer(1), "http://127.0.0.1:1/proc")
+    p.process("x", Array.emptyByteArray) match {
+      case Left(RetryableError(m)) => assert(m.startsWith("transport error:"))
+      case other                   => fail(s"expected retryable transport error, got $other")
+    }
+  }
+
   test("live roundtrip through a real HTTP server (JdkHttpDoer)") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
