@@ -86,7 +86,9 @@ object Dedup {
   /** Exact n-gram Jaccard for a set of candidate pairs (the verify step
     * after LSH): |A∩B| / |A∪B| over distinct shingle sets. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleSize: Int): DataFrame = {
+    // Materialized: joined twice (left and right side of each pair).
     val sets = spread(docs).select(col("doc_id"), shingles(shingleSize).as("sh"))
+      .localCheckpoint(true)
     pairs
       .join(sets.select(col("doc_id").as("left_id"), col("sh").as("lsh")), Seq("left_id"))
       .join(sets.select(col("doc_id").as("right_id"), col("sh").as("rsh")), Seq("right_id"))

@@ -1,0 +1,33 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed storage layout — the at-rest analog of the reference's
+  * `feed_idx` covering index (item.go:17-21): co-partition fact tables on
+  * their join/dispatch key so repeated joins and per-key scans skip the
+  * shuffle entirely (SURVEY §1.4, §2.3 "co-located joins via bucketing").
+  *
+  * At 100 TB this is the difference between shuffling the fact table on
+  * every join versus once at write time: two tables bucketed on the same
+  * key with the same bucket count sort-merge-join with NO Exchange on
+  * either side (asserted on the physical plan in BucketingSpec).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted parquet table in the session catalog. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int = 8): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two co-bucketed catalog tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -1,0 +1,34 @@
+package graft.sinks
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("co-bucketed join runs with zero exchanges and matches the plain join") {
+    val t = Tables(spark, sf0001)
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Force SMJ so the exchange (or its absence) is observable.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Bucketing.writeBucketed(
+        t.orders.select(col("o_custkey"), col("o_totalprice")), "b_orders", "o_custkey")
+      Bucketing.writeBucketed(
+        t.customer.select(col("c_custkey").as("o_custkey"), col("c_name")), "b_customer", "o_custkey")
+
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_customer", "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(1500)}")
+
+      val got = joined.count()
+      val want = t.orders.join(t.customer, col("o_custkey") === col("c_custkey")).count()
+      assert(got == want, s"bucketed join rows $got != plain $want")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
