@@ -18,6 +18,7 @@ object SparkEntry {
     * expressible ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ operators.ExtendedQueries.all ++
+      operators.TemporalJoins.all ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
@@ -33,5 +34,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ operators.ExtendedQueries.oracle ++
+      operators.TemporalJoins.oracle ++
       Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle
 }

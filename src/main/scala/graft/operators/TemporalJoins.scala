@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators (the mandated range / as-of join categories —
+  * absent from the reference, required by the analytics surface).
+  *
+  * The as-of join is deliberately NOT a range join + dedup: that shape is
+  * O(matches) before the dedup and explodes on long histories. The
+  * scalable formulation is union both sides, one shuffle+sort per key,
+  * and a running last-non-null window — linear in input size, and the
+  * exact plan a custom SparkPlan would produce anyway, so no custom
+  * physical operator is warranted (SURVEY §4.2 preference order (a)).
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, the latest right row of the same key
+    * with rightTime <= leftTime (DuckDB `ASOF LEFT JOIN` semantics; ties
+    * on time match). `rightPayload` columns come back null when no right
+    * row precedes. Right side should be unique per (key, time) — with
+    * duplicates, the sort-last row wins. */
+  def asOf(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val taggedRight = right.select(
+      (Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"), lit(0).as("__tag")) ++
+        rightPayload.map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val taggedLeft = left.select(
+      (Seq(col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"), lit(1).as("__tag")) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.map(col)): _*)
+
+    // Right rows sort before left rows at equal time (>= matches).
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__tag") === 1).drop("__k", "__t", "__tag")
+  }
+
+  // Q32 — range join: purchases within one hour after a click, same user.
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+    e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") === "click" && col("b.event_type") === "purchase" &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("a.event_id").as("click_id"), col("b.event_id").as("purchase_id"),
+        col("b.ts").as("purchase_ts"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  // Q33 — as-of join: each event annotated with the user's most recent
+  // order at that time (right pre-deduped to one row per (key, date) so
+  // the result is engine-independent).
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val o = t.orders.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val e = t.events.select("event_id", "user_id", "ts")
+    asOf(e, "user_id", "ts", o, "o_custkey", "o_orderdate",
+      rightPayload = Seq("o_orderkey", "o_orderdate"))
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_range_join" -> (q32 _),
+    "q33_asof_join"  -> (q33 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q32_range_join" ->
+      ("SELECT a.event_id AS click_id, b.event_id AS purchase_id, b.ts AS purchase_ts " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_type = 'click' " +
+        "AND b.event_type = 'purchase' AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR " +
+        "ORDER BY click_id, purchase_id"),
+    "q33_asof_join" ->
+      ("WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey " +
+        "FROM orders GROUP BY o_custkey, o_orderdate) " +
+        "SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate FROM events e " +
+        "ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate " +
+        "ORDER BY event_id"),
+  )
+}

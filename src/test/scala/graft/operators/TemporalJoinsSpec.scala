@@ -1,0 +1,43 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalJoinsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf: latest prior row wins; ties match; no prior row gives null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after both rights -> r2
+      (2L, 10L, ts("2024-01-01 08:30:00")), // between -> r1
+      (3L, 10L, ts("2024-01-01 08:00:00")), // exactly r1's time -> r1 (>= tie)
+      (4L, 10L, ts("2024-01-01 07:00:00")), // before all -> null
+      (5L, 99L, ts("2024-01-01 12:00:00"))  // key with no right rows -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), "r1"),
+      (10L, ts("2024-01-01 09:00:00"), "r2")
+    ).toDF("k", "rt", "payload")
+
+    val out = TemporalJoins.asOf(left, "user_id", "ts", right, "k", "rt", Seq("payload"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("payload")).toMap
+    assert(out == Map(1L -> "r2", 2L -> "r1", 3L -> "r1", 4L -> null, 5L -> null))
+  }
+
+  test("range join finds purchases only inside the window") {
+    val rows = TemporalJoins.q32(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // click ids and purchase ids must be distinct events
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+  }
+
+  test("asOf output keeps one row per left row (no fan-out)") {
+    assert(TemporalJoins.q33(spark, sf0001).count() ==
+      graft.Tables(spark, sf0001).events.count())
+  }
+}
