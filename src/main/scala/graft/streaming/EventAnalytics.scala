@@ -42,6 +42,27 @@ object EventAnalytics {
       .select(col("w.start").as("ws"), col("cnt"))
       .transform(sortedIfBatch("ws"))
 
+  /** Stream-stream join: purchases within `within` after a click by the
+    * same user. In streaming mode both sides need watermarks and the
+    * time-range condition bounds the join state (clicks are droppable
+    * once `within` + watermark delay passes). Works identically on batch
+    * DataFrames (then it's q32's range join). */
+  def clickToPurchase(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      within: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("click_id"), col("purchase_id"), col("purchase_ts"))
+      .transform(sortedIfBatch("click_id", "purchase_id"))
+  }
+
   /** Session windows per user with an inactivity gap: consecutive events
     * closer than `gap` merge into one session. Built on session_window —
     * identical semantics batch and streaming (break when diff >= gap:

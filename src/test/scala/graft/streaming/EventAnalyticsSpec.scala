@@ -91,6 +91,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"late event must not reopen the 10:00 window: ${out.mkString(";")}")
   }
 
+  test("stream-stream join with watermarks matches the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables(spark, sf0001).events
+    val msC = MemoryStream[(Long, Timestamp, Long)]
+    val msP = MemoryStream[(Long, Timestamp, Long)]
+    val clicksS = msC.toDF().toDF("event_id", "ts", "user_id").withWatermark("ts", "10 minutes")
+    val purchS = msP.toDF().toDF("event_id", "ts", "user_id").withWatermark("ts", "10 minutes")
+    val q = EventAnalytics.clickToPurchase(clicksS, purchS)
+      .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      def rowsOf(tpe: String) = events.filter(col("event_type") === tpe)
+        .select("event_id", "ts", "user_id").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+      // Feed in two halves so join state crosses micro-batches.
+      val (c1, c2) = rowsOf("click").splitAt(200)
+      msC.addData(c1: _*); msP.addData(rowsOf("purchase"): _*)
+      q.processAllAvailable()
+      msC.addData(c2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ss_join")
+      .collect().map(_.toString).sorted
+    val batch = EventAnalytics.clickToPurchase(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"))
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.length} vs batch ${batch.length}")
+    assert(batch.nonEmpty)
+  }
+
   test("batch q27/q28 run on real testdata") {
     assert(graft.operators.ExtendedQueries.q27(spark, sf0001).count() > 0)
     assert(graft.operators.ExtendedQueries.q28(spark, sf0001).count() > 0)
