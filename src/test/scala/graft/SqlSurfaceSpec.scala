@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ExtendedQueries, RelationalQueries}
+import graft.operators.{ExtendedQueries, RelationalQueries, TemporalJoins}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SQL surface: the oracle SQL strings that are ANSI enough to parse
@@ -17,12 +17,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q9_anti_join", "q10_rank_window", "q11_frame_window", "q12_set_op",
     "q13_rollup", "q14_scalar_fns", "q15_cond_agg", "q16_pricing",
     "q17_time_window", "q18_retry_stats", "q19_dedup_exact",
-    "q24_intersect", "q25_cube", "q26_scalars")
+    "q24_intersect", "q25_cube", "q26_scalars", "q32_range_join")
 
   private lazy val allQueries = RelationalQueries.all ++ ExtendedQueries.all ++
-    graft.pipeline.Dedup.queries
+    TemporalJoins.all ++ graft.pipeline.Dedup.queries
   private lazy val allOracles = RelationalQueries.oracle ++ ExtendedQueries.oracle ++
-    graft.pipeline.Dedup.oracle
+    TemporalJoins.oracle ++ graft.pipeline.Dedup.oracle
 
   sparkCompatible.foreach { name =>
     test(s"spark.sql == DataFrame API: $name") {
