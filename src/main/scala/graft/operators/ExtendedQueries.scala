@@ -96,9 +96,22 @@ object ExtendedQueries {
       .filter(col("event_id") < 200)
       .orderBy("event_id")
 
+  // Q34 — statistical aggregates: exact interpolated percentiles (Spark
+  // `percentile` == DuckDB `quantile_cont`), sample stddev, correlation.
+  def q34(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("med"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(corr(col("value"), col("user_id")), 4).as("c"))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_array_fns"     -> (q30 _),
     "q31_interval_fns"  -> (q31 _),
+    "q34_stats_aggs"    -> (q34 _),
     "q23_json"          -> (q23 _),
     "q24_intersect"     -> (q24 _),
     "q25_cube"          -> (q25 _),
@@ -117,6 +130,10 @@ object ExtendedQueries {
       ("SELECT event_id, date_trunc('hour', ts) AS h, ts + INTERVAL 90 MINUTE AS later, " +
         "CAST(extract(hour FROM ts) AS BIGINT) AS hr " +
         "FROM events WHERE event_id < 200 ORDER BY event_id"),
+    "q34_stats_aggs" ->
+      ("SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med, " +
+        "ROUND(quantile_cont(value, 0.95), 4) AS p95, ROUND(stddev_samp(value), 4) AS sd, " +
+        "ROUND(corr(value, user_id), 4) AS c FROM events GROUP BY event_type ORDER BY event_type"),
     "q23_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 ORDER BY event_id",
     "q24_intersect" ->
