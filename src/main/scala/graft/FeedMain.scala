@@ -43,7 +43,8 @@ object FeedMain {
       autoClose: Boolean = false,
       manualCheckpoint: Boolean = false,
       healthPort: Int = 0,
-      once: Boolean = false)
+      once: Boolean = false,
+      checkpointDir: String = "")
 
   def parse(args: Array[String]): Config = {
     def loop(c: Config, rest: List[String]): Config = rest match {
@@ -57,6 +58,7 @@ object FeedMain {
       case "--manual-checkpoint" :: t      => loop(c.copy(manualCheckpoint = true), t)
       case "--health-port" :: v :: t       => loop(c.copy(healthPort = v.toInt), t)
       case "--once" :: t                   => loop(c.copy(once = true), t)
+      case "--checkpoint-dir" :: v :: t    => loop(c.copy(checkpointDir = v), t)
       case Nil                             => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -93,9 +95,17 @@ object FeedMain {
       .as[Item]
 
     val updates = FeedStream.itemUpdates(itemStream, processor, opts)
-    val writer = updates.writeStream
+    // Without an explicit checkpoint dir the state store + source offsets
+    // land in a temp dir: a service restart would reprocess the whole items
+    // dir with fresh state (OCC keeps writes idempotent, but retry/failure
+    // history resets). Production runs should always pass --checkpoint-dir.
+    val writer0 = updates.writeStream
       .foreachBatch(OccSink.writer(cfg.outDir))
       .outputMode("append")
+    val writer =
+      if (cfg.checkpointDir.nonEmpty)
+        writer0.option("checkpointLocation", cfg.checkpointDir)
+      else writer0
 
     // Healthcheck server (main.go:99-104): 200 when engine + processor OK.
     val healthServer: Option[HttpServer] = if (cfg.healthPort > 0) {

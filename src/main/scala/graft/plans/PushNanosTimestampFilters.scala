@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
@@ -12,23 +12,32 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * converted with `timestamp_micros(ts div 1000)` (see graft.Tables).
   * A predicate like `timestamp_micros(ts div 1000) < TIMESTAMP 'T'`
   * can't be pushed below the conversion by Catalyst, so at scale every
-  * row group is read despite min/max statistics on `ts`. This rule
-  * rewrites such comparisons algebraically into plain long comparisons
-  * on the underlying column (floor-division inequalities):
+  * row group is read despite min/max statistics on `ts`.
   *
-  *   ts div 1000 <  L  ⇔  ts <  1000·L
-  *   ts div 1000 <= L  ⇔  ts <  1000·(L+1)
-  *   ts div 1000 >  L  ⇔  ts >= 1000·(L+1)
-  *   ts div 1000 >= L  ⇔  ts >= 1000·L
-  *   ts div 1000 =  L  ⇔  1000·L <= ts < 1000·(L+1)
+  * For each such comparison appearing as a Filter conjunct, this rule ADDS
+  * an implied plain-long range bound on the underlying column as an extra
+  * conjunct (the original predicate is kept, so semantics are exact):
   *
-  * which the parquet source then pushes down (verified: PushedFilters
-  * gains LessThan(ts, …) and row groups are skipped). Registered via
-  * `spark.experimental.extraOptimizations` in graft.Tables — the
-  * lightweight injection point that works on an existing session; a
+  *   ts div 1000 <  L  ⟹  ts <  1000·L
+  *   ts div 1000 <= L  ⟹  ts <= 1000·L + 999
+  *   ts div 1000 >  L  ⟹  ts >  1000·L
+  *   ts div 1000 >= L  ⟹  ts >= 1000·L − 999
+  *   ts div 1000 =  L  ⟹  1000·L − 999 <= ts <= 1000·L + 999
+  *
+  * These implications hold for ALL long values under Spark's `div`
+  * (IntegralDivide truncates toward zero — for negative pre-epoch values
+  * trunc and floor disagree, which is why the bound is an implied superset
+  * rather than a replacement; the kept original comparison restores
+  * exactness). The parquet source pushes the long bound down (verified:
+  * PushedFilters gains LessThan(ts, …) and row groups are skipped).
+  * Registered via `spark.experimental.extraOptimizations` in graft.Tables —
+  * the lightweight injection point that works on an existing session; a
   * SparkSessionExtensions hook would be equivalent at cluster deploy.
+  *
+  * The rule is idempotent (a bound already present among the conjuncts is
+  * not re-added), so it is safe under the optimizer's fixed-point batches.
   */
-object PushNanosTimestampFilters extends Rule[LogicalPlan] {
+object PushNanosTimestampFilters extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Matches timestamp_micros(<col> div 1000) and yields the raw column. */
   private object NanosToMicros {
@@ -49,30 +58,46 @@ object PushNanosTimestampFilters extends Rule[LogicalPlan] {
     }
   }
 
-  private def nanos(us: Long): Option[Literal] =
-    try Some(Literal(Math.multiplyExact(us, 1000L), LongType))
+  /** 1000·us ± off with overflow → None (no bound emitted, which is safe —
+    * bounds are optional extra conjuncts). */
+  private def nanos(us: Long, off: Long): Option[Literal] =
+    try Some(Literal(Math.addExact(Math.multiplyExact(us, 1000L), off), LongType))
     catch { case _: ArithmeticException => None }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
-      case e @ LessThan(NanosToMicros(ts), TsLiteralMicros(us)) =>
-        nanos(us).map(LessThan(ts, _)).getOrElse(e)
-      case e @ LessThanOrEqual(NanosToMicros(ts), TsLiteralMicros(us)) =>
-        nanos(us + 1).map(LessThan(ts, _)).getOrElse(e)
-      case e @ GreaterThan(NanosToMicros(ts), TsLiteralMicros(us)) =>
-        nanos(us + 1).map(GreaterThanOrEqual(ts, _)).getOrElse(e)
-      case e @ GreaterThanOrEqual(NanosToMicros(ts), TsLiteralMicros(us)) =>
-        nanos(us).map(GreaterThanOrEqual(ts, _)).getOrElse(e)
-      case e @ EqualTo(NanosToMicros(ts), TsLiteralMicros(us)) =>
-        (nanos(us), nanos(us + 1)) match {
-          case (Some(lo), Some(hi)) =>
-            And(GreaterThanOrEqual(ts, lo), LessThan(ts, hi))
-          case _ => e
-        }
-      // Symmetric literal-on-the-left forms.
-      case e @ GreaterThan(TsLiteralMicros(us), NanosToMicros(ts)) =>
-        nanos(us).map(LessThan(ts, _)).getOrElse(e)
-      case e @ LessThan(TsLiteralMicros(us), NanosToMicros(ts)) =>
-        nanos(us + 1).map(GreaterThanOrEqual(ts, _)).getOrElse(e)
-    }
+  /** Implied long bounds for one conjunct (empty when not applicable). */
+  private def impliedBounds(e: Expression): Seq[Expression] = e match {
+    case LessThan(NanosToMicros(ts), TsLiteralMicros(us)) =>
+      nanos(us, 0L).map(LessThan(ts, _)).toSeq
+    case LessThanOrEqual(NanosToMicros(ts), TsLiteralMicros(us)) =>
+      nanos(us, 999L).map(LessThanOrEqual(ts, _)).toSeq
+    case GreaterThan(NanosToMicros(ts), TsLiteralMicros(us)) =>
+      nanos(us, 0L).map(GreaterThan(ts, _)).toSeq
+    case GreaterThanOrEqual(NanosToMicros(ts), TsLiteralMicros(us)) =>
+      nanos(us, -999L).map(GreaterThanOrEqual(ts, _)).toSeq
+    case EqualTo(NanosToMicros(ts), TsLiteralMicros(us)) =>
+      nanos(us, -999L).map(GreaterThanOrEqual(ts, _)).toSeq ++
+        nanos(us, 999L).map(LessThanOrEqual(ts, _)).toSeq
+    // Symmetric literal-on-the-left forms.
+    case GreaterThan(TsLiteralMicros(us), NanosToMicros(ts)) =>
+      nanos(us, 0L).map(LessThan(ts, _)).toSeq
+    case GreaterThanOrEqual(TsLiteralMicros(us), NanosToMicros(ts)) =>
+      nanos(us, 999L).map(LessThanOrEqual(ts, _)).toSeq
+    case LessThan(TsLiteralMicros(us), NanosToMicros(ts)) =>
+      nanos(us, 0L).map(GreaterThan(ts, _)).toSeq
+    case LessThanOrEqual(TsLiteralMicros(us), NanosToMicros(ts)) =>
+      nanos(us, -999L).map(GreaterThanOrEqual(ts, _)).toSeq
+    case EqualTo(TsLiteralMicros(us), NanosToMicros(ts)) =>
+      nanos(us, -999L).map(GreaterThanOrEqual(ts, _)).toSeq ++
+        nanos(us, 999L).map(LessThanOrEqual(ts, _)).toSeq
+    case _ => Nil
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val derived = conjuncts.flatMap(impliedBounds)
+        .filterNot(d => conjuncts.exists(_.semanticEquals(d)))
+      if (derived.isEmpty) f
+      else Filter((conjuncts ++ derived).reduce(And), child)
+  }
 }

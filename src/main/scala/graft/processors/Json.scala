@@ -35,6 +35,11 @@ object Json {
       }
     } catch {
       case ParseError(m) => Left(m)
+      // Malformed number literals ("1e", "1.2.3") and invalid \uXXXX hex
+      // escapes surface as NumberFormatException from toDouble/parseInt;
+      // they must stay Left so a bad server body is retryable, not a task
+      // failure (HttpProcessor.process relies on this).
+      case e: NumberFormatException => Left(s"invalid number literal: ${e.getMessage}")
     }
 
   private final class Parser(s: String) {

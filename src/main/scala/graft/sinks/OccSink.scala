@@ -63,26 +63,47 @@ object OccSink {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(tableDir)
+    val bak = new org.apache.hadoop.fs.Path(tableDir + ".bak")
+    // Crash recovery: a crash between rename(path,bak) and rename(tmp,path)
+    // leaves only the .bak — restore it instead of treating the table as
+    // empty (and silently discarding all prior state on the next swap).
+    if (!fs.exists(path) && fs.exists(bak)) fs.rename(bak, path)
     val current: Dataset[Item] =
       if (fs.exists(path)) spark.read.parquet(tableDir).as[Item]
       else spark.emptyDataset[Item]
 
-    val currentIds = current.select($"id".as("cur_id"))
-    val inserted = updates.join(currentIds, updates("id") === $"cur_id", "left_anti").count()
-    val (newTable, conflicts) = merge(current, updates)
-    val nConflicts = conflicts.count()
-    val total = updates.select("id").distinct().count()
+    // One pass for all three counts: classify each distinct updated id as
+    // inserted (no current row), conflict (version mismatch on the winning
+    // attempt), or applied — instead of three separate driver actions each
+    // re-running the merge join.
+    val latest = updates
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(desc("version"), asc("updatedAt"))))
+      .filter($"rn" === 1).drop("rn")
+    val cur = current.select($"id".as("cur_id"), $"version".as("cur_version"))
+    val counts = latest
+      .join(cur, latest("id") === cur("cur_id"), "left")
+      .agg(
+        sum(when($"cur_id".isNull, 1L).otherwise(0L)).as("inserted"),
+        sum(when($"cur_id".isNotNull && $"version" =!= $"cur_version" + 1, 1L)
+          .otherwise(0L)).as("conflicts"),
+        sum(when($"cur_id".isNotNull && $"version" === $"cur_version" + 1, 1L)
+          .otherwise(0L)).as("applied"))
+      .collect()(0)
+    def cnt(n: String): Long =
+      if (counts.isNullAt(counts.fieldIndex(n))) 0L else counts.getAs[Long](n)
 
+    val (newTable, _) = merge(current, updates)
     val tmp = new org.apache.hadoop.fs.Path(tableDir + ".tmp")
-    val bak = new org.apache.hadoop.fs.Path(tableDir + ".bak")
     newTable.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(path)) fs.rename(path, bak)
     fs.rename(tmp, path)
     fs.delete(bak, true)
 
-    OccResult(applied = total - nConflicts - inserted, conflicts = nConflicts,
-      inserted = inserted)
+    OccResult(applied = cnt("applied"), conflicts = cnt("conflicts"),
+      inserted = cnt("inserted"))
   }
 
   /** foreachBatch hook for a streaming feed: `updates.writeStream

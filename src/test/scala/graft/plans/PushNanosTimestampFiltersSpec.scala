@@ -37,6 +37,29 @@ class PushNanosTimestampFiltersSpec extends AnyFunSuite {
     assert(got("=") == want(_ == tUs))
   }
 
+  test("pre-epoch (negative) nanos stay exact: trunc-vs-floor divergence is not leaked") {
+    import spark.implicits._
+    if (!spark.experimental.extraOptimizations.contains(PushNanosTimestampFilters))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushNanosTimestampFilters
+
+    // Around the epoch, Spark's `div` truncates toward zero: -500 div 1000 = 0.
+    val values = Seq(-2500L, -1500L, -1000L, -999L, -500L, -1L, 0L, 1L, 500L, 999L, 1000L)
+    val df = values.toDF("ns")
+      .withColumn("ts", expr("timestamp_micros(ns div 1000)"))
+    def got(cond: String): Set[Long] =
+      df.filter(expr(s"ts $cond TIMESTAMP '1970-01-01 00:00:00'"))
+        .select("ns").collect().map(_.getLong(0)).toSet
+    def want(p: Long => Boolean): Set[Long] =
+      values.filter(v => p(v / 1000L)).toSet // trunc division, like Spark's div
+
+    assert(got("<") == want(_ < 0L))
+    assert(got("<=") == want(_ <= 0L))
+    assert(got(">") == want(_ > 0L))
+    assert(got(">=") == want(_ >= 0L))
+    assert(got("=") == want(_ == 0L))
+  }
+
   test("q1-shaped predicate is pushed to the parquet scan") {
     val e = Tables(spark, sf0001).events
     val plan = e.filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))

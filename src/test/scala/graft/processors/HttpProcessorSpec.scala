@@ -69,6 +69,20 @@ class HttpProcessorSpec extends AnyFunSuite {
       case _ => assert(got == want)
     }
 
+  test("malformed number / unicode escape stays a retryable Left, not an exception") {
+    // These previously threw NumberFormatException out of Json.parse,
+    // failing the Spark task instead of staying retryable.
+    val badEscape = "{\"k\": \"\\" + "uZZZZ\"}" // \uZZZZ, split to dodge scalac's escape pre-processing
+    for (bad <- Seq("""{"gate": 1e}""", """{"gate": 1.2.3}""", badEscape,
+        "1e", "1.2.3")) {
+      assert(Json.parse(bad).isLeft, s"expected Left for $bad")
+      proc(200, bad).process("x", Array.emptyByteArray) match {
+        case Left(RetryableError(m)) => assert(m.contains("marshal error"), m)
+        case other => fail(s"expected retryable Left for body $bad, got $other")
+      }
+    }
+  }
+
   test("missing response object encodes as empty JSON object") {
     assertSame(proc(200, """{"gate": 2}""").process("x", Array.emptyByteArray),
       ok(2, complete = false, "{}"))

@@ -41,6 +41,33 @@ class OccSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("mid-swap crash (table dir gone, .bak present) recovers from .bak") {
+    import spark.implicits._
+    val dir = tmpDir()
+    OccSink.applyBatch(spark, dir, Seq(
+      Item("a", "p", version = 1), Item("b", "p", version = 1)).toDS())
+    // Simulate a crash between rename(path,bak) and rename(tmp,path).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".bak"))
+    val r = OccSink.applyBatch(spark, dir, Seq(
+      Item("a", "p", version = 2)).toDS())
+    assert(r.applied == 1 && r.inserted == 0, r.toString)
+    val table = spark.read.parquet(dir).as[Item].collect().map(i => i.id -> i).toMap
+    assert(table.size == 2 && table("a").version == 2 && table("b").version == 1,
+      "prior state must survive a mid-swap crash")
+  }
+
+  test("multiple same-batch updates for a new id count as one insert") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val r = OccSink.applyBatch(spark, dir, Seq(
+      Item("a", "p", version = 1),
+      Item("a", "p", version = 2)).toDS())
+    assert(r.inserted == 1 && r.conflicts == 0 && r.applied == 0, r.toString)
+  }
+
   test("intra-batch supersede: highest version per id wins the attempt") {
     import spark.implicits._
     val dir = tmpDir()
