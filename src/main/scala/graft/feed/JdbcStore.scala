@@ -1,0 +1,276 @@
+package graft.feed
+
+import java.sql.{Connection, DriverManager, PreparedStatement, ResultSet, SQLException, Timestamp}
+
+/** JDBC repository for the feed tables — the analog of the reference's
+  * Gorm repo (/root/reference/internal/state/repo.go). Targets any
+  * ANSI-ish JDBC database; tested against embedded Apache Derby (the JDBC
+  * database shipped with Spark). On a cluster the same code runs against
+  * the network URL of a shared database — only the connection string
+  * changes; connections are opened per executor partition, never shipped.
+  *
+  * The OCC contract (repo.go:125-138): a save carries the NEW version `v`
+  * and succeeds iff the stored row still has `v-1` — a conditional
+  * `UPDATE … WHERE id=? AND version=?`. A row that doesn't exist inserts;
+  * an insert racing another insert loses on the primary key. Any loss
+  * returns false ("dirty object") and the caller's in-memory copy is
+  * considered stale.
+  */
+object JdbcStore {
+
+  // Derby writes derby.log to the CWD unless told otherwise; keep it out
+  // of the repository. Harmless for non-Derby URLs.
+  if (!sys.props.contains("derby.stream.error.file"))
+    System.setProperty("derby.stream.error.file",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/derby.log")
+
+  /** SQLState classes that mean "you lost an OCC race", not "the DB broke":
+    * 23xxx integrity violation (duplicate PK), 40XL1/40001 lock timeout +
+    * deadlock (Derby serialization failures). */
+  private def isConflict(e: SQLException): Boolean = {
+    val s = Option(e.getSQLState).getOrElse("")
+    s.startsWith("23") || s == "40XL1" || s == "40001"
+  }
+
+  def connect(url: String): Connection = DriverManager.getConnection(url)
+
+  /** Idempotent DDL — the AutoMigrate analog (repo.go:96-98). `prefix`
+    * namespaces the tables like the reference's -table_prefix flag
+    * (examples/state_processor/main.go:70-72). */
+  def migrate(conn: Connection, prefix: String = ""): Unit = {
+    val ddl = Seq(
+      s"""CREATE TABLE ${prefix}items (
+         |  id VARCHAR(256) NOT NULL PRIMARY KEY,
+         |  partition_id VARCHAR(256) NOT NULL,
+         |  gate INT NOT NULL,
+         |  status INT NOT NULL,
+         |  retry_count INT NOT NULL,
+         |  error_messages VARCHAR(4096) NOT NULL,
+         |  updated_at TIMESTAMP NOT NULL,
+         |  version INT NOT NULL,
+         |  data BLOB NOT NULL)""".stripMargin,
+      // The reference's composite feed_idx (item.go:18-22): serves the
+      // available-items probe (partition_id, status, gate) with updated_at
+      // ordering; a second index serves the high-water-mark poll.
+      s"CREATE INDEX ${prefix}items_feed_idx ON ${prefix}items (partition_id, status, gate, updated_at)",
+      s"CREATE INDEX ${prefix}items_hwm_idx ON ${prefix}items (updated_at)",
+      s"""CREATE TABLE ${prefix}partitions (
+         |  id VARCHAR(256) NOT NULL PRIMARY KEY,
+         |  gate INT NOT NULL,
+         |  status INT NOT NULL,
+         |  owner VARCHAR(256) NOT NULL,
+         |  until TIMESTAMP NOT NULL,
+         |  version INT NOT NULL)""".stripMargin)
+    ddl.foreach { sql =>
+      val st = conn.createStatement()
+      try st.execute(sql)
+      catch {
+        // X0Y32: table/index already exists — migration is idempotent.
+        case e: SQLException if e.getSQLState == "X0Y32" => ()
+      } finally st.close()
+    }
+  }
+
+  // ---------------------------------------------------------------- items
+
+  private def readItem(rs: ResultSet): Item = Item(
+    id = rs.getString(1), partitionId = rs.getString(2), gate = rs.getInt(3),
+    status = rs.getInt(4), retryCount = rs.getInt(5),
+    errorMessages = rs.getString(6), updatedAt = rs.getTimestamp(7),
+    version = rs.getInt(8),
+    data = Option(rs.getBytes(9)).getOrElse(Array.emptyByteArray))
+
+  private def bindItem(ps: PreparedStatement, i: Item, from: Int): Int = {
+    ps.setString(from, i.partitionId)
+    ps.setInt(from + 1, i.gate)
+    ps.setInt(from + 2, i.status)
+    ps.setInt(from + 3, i.retryCount)
+    ps.setString(from + 4, i.errorMessages)
+    ps.setTimestamp(from + 5, i.updatedAt)
+    ps.setInt(from + 6, i.version)
+    ps.setBytes(from + 7, i.data)
+    from + 8
+  }
+
+  /** Outcome of one conditional save — feeds the one-pass OCC counters. */
+  sealed trait SaveOutcome
+  case object Updated extends SaveOutcome
+  case object Inserted extends SaveOutcome
+  case object Conflict extends SaveOutcome
+
+  /** Conditional versioned save (repo.go:125-138): UPDATE iff the stored
+    * version is item.version−1; on zero rows, INSERT (new id); a PK loss or
+    * lock/deadlock abort is an OCC conflict. The passed item already
+    * carries the incremented version, like the reference's
+    * IncrementVersion-then-save. */
+  def saveItem(conn: Connection, i: Item, prefix: String = ""): SaveOutcome = {
+    val up = conn.prepareStatement(
+      s"""UPDATE ${prefix}items SET partition_id=?, gate=?, status=?,
+         | retry_count=?, error_messages=?, updated_at=?, version=?, data=?
+         | WHERE id=? AND version=?""".stripMargin)
+    try {
+      val next = bindItem(up, i, 1)
+      up.setString(next, i.id)
+      up.setInt(next + 1, i.version - 1)
+      if (up.executeUpdate() == 1) return Updated
+    } catch {
+      case e: SQLException if isConflict(e) => return Conflict
+    } finally up.close()
+
+    val ins = conn.prepareStatement(
+      s"""INSERT INTO ${prefix}items (id, partition_id, gate, status,
+         | retry_count, error_messages, updated_at, version, data)
+         | VALUES (?,?,?,?,?,?,?,?,?)""".stripMargin)
+    try {
+      ins.setString(1, i.id)
+      bindItem(ins, i, 2)
+      ins.executeUpdate()
+      Inserted
+    } catch {
+      case e: SQLException if isConflict(e) => Conflict
+    } finally ins.close()
+  }
+
+  /** GetAvailableItems (repo.go:106-120): the at-gate working set of one
+    * partition, oldest first, capped — the backlog stays at rest in the
+    * database; memory holds at most `limit` rows. */
+  def availableItems(conn: Connection, p: Partition, limit: Int,
+      prefix: String = ""): Seq[Item] = {
+    val ps = conn.prepareStatement(
+      s"""SELECT id, partition_id, gate, status, retry_count, error_messages,
+         | updated_at, version, data FROM ${prefix}items
+         | WHERE partition_id=? AND status=? AND gate=?
+         | ORDER BY updated_at FETCH FIRST ? ROWS ONLY""".stripMargin)
+    try {
+      ps.setString(1, p.id)
+      ps.setInt(2, Status.Available)
+      ps.setInt(3, p.gate)
+      ps.setInt(4, math.max(limit, 0))
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[Item]
+      while (rs.next()) out += readItem(rs)
+      out.result()
+    } finally ps.close()
+  }
+
+  /** GetCountByStatus (repo.go:141-166). */
+  def countByStatus(conn: Connection, partitionId: String,
+      prefix: String = ""): Map[Int, Long] = {
+    val ps = conn.prepareStatement(
+      s"SELECT status, COUNT(*) FROM ${prefix}items WHERE partition_id=? GROUP BY status")
+    try {
+      ps.setString(1, partitionId)
+      val rs = ps.executeQuery()
+      val out = Map.newBuilder[Int, Long]
+      while (rs.next()) out += rs.getInt(1) -> rs.getLong(2)
+      out.result()
+    } finally ps.close()
+  }
+
+  def allItems(conn: Connection, prefix: String = ""): Seq[Item] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"""SELECT id, partition_id, gate, status, retry_count, error_messages,
+           | updated_at, version, data FROM ${prefix}items""".stripMargin)
+      val out = Seq.newBuilder[Item]
+      while (rs.next()) out += readItem(rs)
+      out.result()
+    } finally st.close()
+  }
+
+  // ----------------------------------------------------------- partitions
+
+  private def readPartition(rs: ResultSet): Partition = Partition(
+    id = rs.getString(1), gate = rs.getInt(2), status = rs.getInt(3),
+    owner = rs.getString(4), until = rs.getTimestamp(5), version = rs.getInt(6))
+
+  /** Conditional versioned partition save — same OCC contract as items. */
+  def savePartition(conn: Connection, p: Partition, prefix: String = ""): SaveOutcome = {
+    val up = conn.prepareStatement(
+      s"""UPDATE ${prefix}partitions SET gate=?, status=?, owner=?, until=?,
+         | version=? WHERE id=? AND version=?""".stripMargin)
+    try {
+      up.setInt(1, p.gate)
+      up.setInt(2, p.status)
+      up.setString(3, p.owner)
+      up.setTimestamp(4, p.until)
+      up.setInt(5, p.version)
+      up.setString(6, p.id)
+      up.setInt(7, p.version - 1)
+      if (up.executeUpdate() == 1) return Updated
+    } catch {
+      case e: SQLException if isConflict(e) => return Conflict
+    } finally up.close()
+
+    val ins = conn.prepareStatement(
+      s"INSERT INTO ${prefix}partitions (id, gate, status, owner, until, version) VALUES (?,?,?,?,?,?)")
+    try {
+      ins.setString(1, p.id)
+      ins.setInt(2, p.gate)
+      ins.setInt(3, p.status)
+      ins.setString(4, p.owner)
+      ins.setTimestamp(5, p.until)
+      ins.setInt(6, p.version)
+      ins.executeUpdate()
+      Inserted
+    } catch {
+      case e: SQLException if isConflict(e) => Conflict
+    } finally ins.close()
+  }
+
+  /** GetPotentialLeases (repo.go:100-104): not-Complete partitions whose
+    * lease has lapsed — what a watcher instance may claim. */
+  def potentialLeases(conn: Connection, now: Timestamp,
+      prefix: String = ""): Seq[Partition] = {
+    val ps = conn.prepareStatement(
+      s"""SELECT id, gate, status, owner, until, version FROM ${prefix}partitions
+         | WHERE status <> ? AND until < ?""".stripMargin)
+    try {
+      ps.setInt(1, Status.Complete)
+      ps.setTimestamp(2, now)
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[Partition]
+      while (rs.next()) out += readPartition(rs)
+      out.result()
+    } finally ps.close()
+  }
+
+  def allPartitions(conn: Connection, prefix: String = ""): Seq[Partition] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"SELECT id, gate, status, owner, until, version FROM ${prefix}partitions")
+      val out = Seq.newBuilder[Partition]
+      while (rs.next()) out += readPartition(rs)
+      out.result()
+    } finally st.close()
+  }
+
+  // --------------------------------------------------------- transactions
+
+  /** R5: run `f` inside a real database transaction (repo.go:164-170) —
+    * commit on Right, roll back on Left or exception. Row locks taken by
+    * statements in the transaction are held to the boundary, so a
+    * concurrent conditional save on the same row blocks and then times out
+    * or deadlocks — the negative behavior repo_test.go:26-46 proves. */
+  def transaction[A](conn: Connection)(f: Connection => Either[String, A]): Either[String, A] = {
+    val prevAutoCommit = conn.getAutoCommit
+    conn.setAutoCommit(false)
+    try {
+      val r = f(conn)
+      r match {
+        case Right(_) => conn.commit()
+        case Left(_)  => conn.rollback()
+      }
+      r
+    } catch {
+      case e: SQLException => conn.rollback(); Left(s"transaction failed: ${e.getMessage}")
+    } finally conn.setAutoCommit(prevAutoCommit)
+  }
+
+  /** Healthcheck (repo.go:56-62): a liveness ping. */
+  def healthcheck(conn: Connection): Either[String, Unit] =
+    try { if (conn.isValid(5)) Right(()) else Left("jdbc: connection invalid") }
+    catch { case e: SQLException => Left(s"jdbc: ${e.getMessage}") }
+}

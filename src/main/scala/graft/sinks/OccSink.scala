@@ -110,4 +110,52 @@ object OccSink {
     * .foreachBatch(OccSink.writer(dir))`. */
   def writer(tableDir: String): (Dataset[Item], Long) => Unit =
     (batch, _) => { applyBatch(batch.sparkSession, tableDir, batch); () }
+
+  /** JDBC OCC write-back — the reference's actual deployment mode
+    * (repo.go:125-138): each updated key is a conditional versioned
+    * UPDATE / INSERT against the shared database, executed from the
+    * executors (a connection per partition, rows streamed through it).
+    * Unlike [[applyBatch]] this touches ONLY the updated keys — no
+    * full-table read or rewrite — so sink cost is O(batch), not O(table):
+    * the property that keeps the sink off the critical path at 100 TB.
+    * Per-row autocommit matches the reference's Save; a crash mid-batch
+    * re-applies idempotently (stale versions conflict, at-least-once safe).
+    */
+  def applyBatchJdbc(updates: Dataset[Item], url: String, prefix: String = ""): OccResult = {
+    import graft.feed.JdbcStore
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val latest = updates
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(desc("version"), asc("updatedAt"))))
+      .filter($"rn" === 1).drop("rn").as[Item]
+
+    val perPartition = latest.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val conn = JdbcStore.connect(url)
+        try {
+          var applied, inserted, conflicts = 0L
+          it.foreach { i =>
+            JdbcStore.saveItem(conn, i, prefix) match {
+              case JdbcStore.Updated  => applied += 1
+              case JdbcStore.Inserted => inserted += 1
+              case JdbcStore.Conflict => conflicts += 1
+            }
+          }
+          Iterator.single((applied, inserted, conflicts))
+        } finally conn.close()
+      }
+    }.collect() // one tiny triple per executor partition
+
+    OccResult(
+      applied = perPartition.map(_._1).sum,
+      inserted = perPartition.map(_._2).sum,
+      conflicts = perPartition.map(_._3).sum)
+  }
+
+  /** foreachBatch hook for the JDBC mode. */
+  def jdbcWriter(url: String, prefix: String = ""): (Dataset[Item], Long) => Unit =
+    (batch, _) => { applyBatchJdbc(batch, url, prefix); () }
 }

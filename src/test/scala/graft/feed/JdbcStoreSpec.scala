@@ -1,0 +1,155 @@
+package graft.feed
+
+import java.sql.Timestamp
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OCC + transaction semantics of the Derby-backed repo, porting the
+  * reference's repo_test.go: conditional save wins/loses by version
+  * (TestSave semantics), a concurrent save against a row locked inside an
+  * open transaction fails instead of interleaving (TestTransaction,
+  * repo_test.go:26-46), and a two-writer race admits exactly one winner
+  * per version step. */
+class JdbcStoreSpec extends AnyFunSuite {
+
+  // Short lock wait so the tx-conflict negative test fails fast instead of
+  // hanging for Derby's 60s default. Must be set before the engine boots.
+  System.setProperty("derby.locks.waitTimeout", "2")
+  System.setProperty("derby.locks.deadlockTimeout", "1")
+
+  private def freshDb(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftdb").resolve("db")
+    s"jdbc:derby:$dir;create=true"
+  }
+
+  private def item(id: String, v: Int, status: Int = Status.Available) =
+    Item(id, "p1", status = status, version = v,
+      updatedAt = new Timestamp(1700000000000L + v))
+
+  test("migrate is idempotent; save inserts, updates on matching version, conflicts on stale") {
+    val url = freshDb()
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      JdbcStore.migrate(conn) // second run: no-op
+
+      assert(JdbcStore.saveItem(conn, item("a", 1)) == JdbcStore.Inserted)
+      assert(JdbcStore.saveItem(conn, item("a", 2, Status.Complete)) == JdbcStore.Updated)
+      // Stale view (stored version is 2, save carries 2 again → wants stored 1).
+      assert(JdbcStore.saveItem(conn, item("a", 2)) == JdbcStore.Conflict)
+
+      val rows = JdbcStore.allItems(conn).map(i => i.id -> i).toMap
+      assert(rows("a").version == 2 && rows("a").status == Status.Complete)
+    } finally conn.close()
+  }
+
+  test("partition save: lease write-then-steal races resolve by version") {
+    val url = freshDb()
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      val now = new Timestamp(System.currentTimeMillis())
+      val p0 = Partition("p1", until = now, version = 1, owner = "w1")
+      assert(JdbcStore.savePartition(conn, p0) == JdbcStore.Inserted)
+      // Both watchers read version 1 and try to lease (save version 2).
+      val w1 = p0.copy(owner = "w1", version = 2)
+      val w2 = p0.copy(owner = "w2", version = 2)
+      assert(JdbcStore.savePartition(conn, w1) == JdbcStore.Updated)
+      assert(JdbcStore.savePartition(conn, w2) == JdbcStore.Conflict,
+        "second lease attempt on the same version must lose")
+      assert(JdbcStore.allPartitions(conn).head.owner == "w1")
+    } finally conn.close()
+  }
+
+  test("transaction holds row locks: outside save on a locked row fails, tx commits atomically") {
+    val url = freshDb()
+    val setup = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(setup)
+      assert(JdbcStore.saveItem(setup, item("a", 1)) == JdbcStore.Inserted)
+    } finally setup.close()
+
+    val txConn = JdbcStore.connect(url)
+    val outside = JdbcStore.connect(url)
+    try {
+      val r = JdbcStore.transaction(txConn) { c =>
+        // Inside the tx: bump "a" to v2 — X-lock held to the tx boundary.
+        assert(JdbcStore.saveItem(c, item("a", 2)) == JdbcStore.Updated)
+        // Outside the tx: the same-row save must NOT interleave — it
+        // blocks on the row lock and times out (repo_test.go:26-46's
+        // "expected database locked" negative, Derby flavor).
+        assert(JdbcStore.saveItem(outside, item("a", 2)) == JdbcStore.Conflict,
+          "save outside an open transaction must fail on the locked row")
+        Right("committed")
+      }
+      assert(r == Right("committed"))
+      val rows = JdbcStore.allItems(txConn).map(i => i.id -> i).toMap
+      assert(rows("a").version == 2, "tx write must be visible after commit")
+    } finally { txConn.close(); outside.close() }
+  }
+
+  test("transaction rolls back on Left") {
+    val url = freshDb()
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      JdbcStore.saveItem(conn, item("a", 1))
+      val r = JdbcStore.transaction(conn) { c =>
+        assert(JdbcStore.saveItem(c, item("a", 2)) == JdbcStore.Updated)
+        Left("abort")
+      }
+      assert(r == Left("abort"))
+      assert(JdbcStore.allItems(conn).head.version == 1,
+        "rolled-back write must not be visible")
+    } finally conn.close()
+  }
+
+  test("two concurrent writers: exactly one winner per version step") {
+    val url = freshDb()
+    val conn0 = JdbcStore.connect(url)
+    try { JdbcStore.migrate(conn0); JdbcStore.saveItem(conn0, item("a", 1)) }
+    finally conn0.close()
+
+    val rounds = 20
+    val pool = Executors.newFixedThreadPool(2)
+    val wins = new java.util.concurrent.atomic.AtomicLong(0)
+    val losses = new java.util.concurrent.atomic.AtomicLong(0)
+    def writer(name: String): Runnable = () => {
+      val conn = JdbcStore.connect(url)
+      try {
+        (0 until rounds).foreach { _ =>
+          // Read current version, attempt the conditional bump — the OCC
+          // read-modify-write both watchers run concurrently.
+          val cur = JdbcStore.allItems(conn).head
+          val attempt = cur.copy(version = cur.version + 1,
+            errorMessages = name,
+            updatedAt = new Timestamp(System.currentTimeMillis()))
+          JdbcStore.saveItem(conn, attempt) match {
+            case JdbcStore.Updated  => wins.incrementAndGet()
+            case JdbcStore.Conflict => losses.incrementAndGet()
+            case JdbcStore.Inserted => fail("row exists; insert impossible")
+          }
+        }
+      } finally conn.close()
+    }
+    val latch = new CountDownLatch(2)
+    Seq("w1", "w2").foreach { n =>
+      pool.submit(new Runnable {
+        def run(): Unit = try writer(n).run() finally latch.countDown()
+      })
+    }
+    assert(latch.await(120, TimeUnit.SECONDS), "writers wedged")
+    pool.shutdown()
+
+    val conn = JdbcStore.connect(url)
+    try {
+      val fin = JdbcStore.allItems(conn).head
+      // Every version step 1→N had exactly one winner: the final version
+      // is exactly initial + wins, and no write was double-counted.
+      assert(fin.version == 1 + wins.get(), s"final=${fin.version} wins=${wins.get()}")
+      assert(wins.get() + losses.get() == 2L * rounds)
+      assert(losses.get() > 0, "expected at least one OCC conflict under contention")
+    } finally conn.close()
+  }
+}

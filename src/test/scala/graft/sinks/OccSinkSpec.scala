@@ -68,6 +68,40 @@ class OccSinkSpec extends AnyFunSuite {
     assert(r.inserted == 1 && r.conflicts == 0 && r.applied == 0, r.toString)
   }
 
+  test("JDBC mode: conditional saves from executors, counts in one pass, no table rewrite") {
+    import spark.implicits._
+    import graft.feed.JdbcStore
+    val db = java.nio.file.Files.createTempDirectory("occjdbc").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = JdbcStore.connect(url)
+    try JdbcStore.migrate(conn) finally conn.close()
+
+    val r0 = OccSink.applyBatchJdbc(Seq(
+      Item("a", "p", version = 1),
+      Item("b", "p", version = 1)).toDS().repartition(4), url)
+    assert(r0.inserted == 2 && r0.conflicts == 0 && r0.applied == 0, r0.toString)
+
+    val r1 = OccSink.applyBatchJdbc(Seq(
+      Item("a", "p", version = 2, status = Status.Complete), // applies (1 -> 2)
+      Item("b", "p", version = 4, status = Status.Failed),   // stale view: conflict
+      Item("c", "p", version = 1),                           // new id: insert
+      Item("c", "p", version = 2)).toDS().repartition(4), url) // superseded intra-batch... v2 wins, inserts
+    assert(r1.applied == 1 && r1.conflicts == 1 && r1.inserted == 1, r1.toString)
+
+    val check = JdbcStore.connect(url)
+    try {
+      val t = JdbcStore.allItems(check).map(i => i.id -> i).toMap
+      assert(t("a").version == 2 && t("a").status == Status.Complete)
+      assert(t("b").version == 1 && t("b").status == Status.Available,
+        "conflicting write must not land")
+      assert(t("c").version == 2, "highest same-batch version wins the attempt")
+      // Idempotence under at-least-once: re-applying conflicts everywhere.
+      val again = OccSink.applyBatchJdbc(Seq(
+        Item("a", "p", version = 2, status = Status.Complete)).toDS(), url)
+      assert(again.applied == 0 && again.conflicts == 1)
+    } finally check.close()
+  }
+
   test("intra-batch supersede: highest version per id wins the attempt") {
     import spark.implicits._
     val dir = tmpDir()
