@@ -44,7 +44,10 @@ object FeedMain {
       manualCheckpoint: Boolean = false,
       healthPort: Int = 0,
       once: Boolean = false,
-      checkpointDir: String = "")
+      checkpointDir: String = "",
+      jdbcUrl: String = "",
+      jdbcPrefix: String = "",
+      ownerId: String = java.util.UUID.randomUUID().toString)
 
   def parse(args: Array[String]): Config = {
     def loop(c: Config, rest: List[String]): Config = rest match {
@@ -59,13 +62,17 @@ object FeedMain {
       case "--health-port" :: v :: t       => loop(c.copy(healthPort = v.toInt), t)
       case "--once" :: t                   => loop(c.copy(once = true), t)
       case "--checkpoint-dir" :: v :: t    => loop(c.copy(checkpointDir = v), t)
+      case "--jdbc-url" :: v :: t          => loop(c.copy(jdbcUrl = v), t)
+      case "--jdbc-prefix" :: v :: t       => loop(c.copy(jdbcPrefix = v), t)
+      case "--owner-id" :: v :: t          => loop(c.copy(ownerId = v), t)
       case Nil                             => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
     }
     val c = loop(Config(), args.toList)
-    require(c.itemsDir.nonEmpty && c.outDir.nonEmpty && c.target.nonEmpty,
-      "--items-dir, --out-dir and --target are required")
+    require(c.target.nonEmpty, "--target is required")
+    require(c.jdbcUrl.nonEmpty || (c.itemsDir.nonEmpty && c.outDir.nonEmpty),
+      "either --jdbc-url or --items-dir + --out-dir is required")
     c
   }
 
@@ -88,6 +95,31 @@ object FeedMain {
       batchSize = cfg.batchSize, maxRetries = cfg.maxRetries,
       autoClose = cfg.autoClose, manualCheckpoint = cfg.manualCheckpoint)
 
+    // JDBC mode: the reference's actual deployment (examples/
+    // state_processor/main.go) — backlog at rest in the shared database,
+    // the runner polls/leases/processes/writes-back on a timer. Memory is
+    // O(partitions × batchSize) regardless of backlog depth.
+    if (cfg.jdbcUrl.nonEmpty) {
+      val runner = new JdbcFeedRunner(
+        spark, cfg.jdbcUrl, processor, opts, cfg.ownerId, cfg.jdbcPrefix)
+      val healthServer = startHealthServer(cfg, spark, processor)
+      try {
+        if (cfg.once) {
+          val ticks = runner.runToQuiescence()
+          println(s"[feedmain] jdbc runner quiesced after $ticks ticks")
+        } else {
+          val intervalMs = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(cfg.pollInterval) match {
+              case t: org.apache.spark.sql.execution.streaming.ProcessingTimeTrigger => t.intervalMs
+              case _ => 10000L
+            }
+          println(s"[feedmain] jdbc runner polling every ${intervalMs}ms as ${cfg.ownerId}")
+          while (true) { runner.tick(); Thread.sleep(intervalMs) }
+        }
+      } finally healthServer.foreach(_.stop(0))
+      return
+    }
+
     // Item source: the parquet items table as a file-arrival stream (D1).
     val itemStream = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Item].schema)
@@ -107,22 +139,7 @@ object FeedMain {
         writer0.option("checkpointLocation", cfg.checkpointDir)
       else writer0
 
-    // Healthcheck server (main.go:99-104): 200 when engine + processor OK.
-    val healthServer: Option[HttpServer] = if (cfg.healthPort > 0) {
-      val s = HttpServer.create(new java.net.InetSocketAddress(cfg.healthPort), 0)
-      s.createContext("/healthz", new HttpHandler {
-        def handle(ex: HttpExchange): Unit = {
-          val (code, body) = Health.check(spark, processor) match {
-            case Right(_)  => (200, "ok")
-            case Left(err) => (503, err)
-          }
-          val b = body.getBytes(UTF_8)
-          ex.sendResponseHeaders(code, b.length)
-          ex.getResponseBody.write(b); ex.close()
-        }
-      })
-      s.start(); Some(s)
-    } else None
+    val healthServer = startHealthServer(cfg, spark, processor)
 
     try {
       if (cfg.once) {
@@ -138,4 +155,23 @@ object FeedMain {
       healthServer.foreach(_.stop(0))
     }
   }
+
+  /** Healthcheck server (main.go:99-104): 200 when engine + processor OK. */
+  private def startHealthServer(cfg: Config, spark: SparkSession,
+      processor: HttpProcessor): Option[HttpServer] =
+    if (cfg.healthPort > 0) {
+      val s = HttpServer.create(new java.net.InetSocketAddress(cfg.healthPort), 0)
+      s.createContext("/healthz", new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          val (code, body) = Health.check(spark, processor) match {
+            case Right(_)  => (200, "ok")
+            case Left(err) => (503, err)
+          }
+          val b = body.getBytes(UTF_8)
+          ex.sendResponseHeaders(code, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        }
+      })
+      s.start(); Some(s)
+    } else None
 }

@@ -27,7 +27,10 @@ object SparkEntry {
         "feed_golden_replay" -> ((s, _) => graft.feed.GoldenFixture.replayAsDataFrame(s)),
         // M3 streaming path: same fixture through flatMapGroupsWithState
         // across two micro-batches (strict assertions in FeedStreamSpec).
-        "feed_stream_golden" -> ((s, _) => graft.feed.GoldenFixture.streamAsDataFrame(s))
+        "feed_stream_golden" -> ((s, _) => graft.feed.GoldenFixture.streamAsDataFrame(s)),
+        // D1 true analog: high-water-mark JDBC polling source feeding the
+        // same stream (strict assertions in JdbcItemsSourceSpec).
+        "feed_jdbc_golden" -> ((s, _) => graft.feed.GoldenFixture.jdbcStreamAsDataFrame(s))
       )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -125,6 +125,41 @@ object GoldenFixture {
       .orderBy("id")
   }
 
+  /** Golden fixture through the JDBC polling source (D1's true analog):
+    * items seeded into an embedded Derby database in two waves, streamed
+    * out by high-water-mark polling, processed by the same FeedStream —
+    * must emit the same terminal transitions as the file/memory paths. */
+  def jdbcStreamAsDataFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val db = java.nio.file.Files.createTempDirectory("graftgold").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    def seed(rows: Seq[Item]): Unit = {
+      val conn = JdbcStore.connect(url)
+      try { JdbcStore.migrate(conn); rows.foreach(JdbcStore.saveItem(conn, _)) }
+      finally conn.close()
+    }
+    seed(items.take(8))
+    val src = spark.readStream
+      .format(classOf[graft.sources.JdbcItemsSource].getName)
+      .option("url", url).option("numPartitions", "3")
+      .load().as[Item]
+    val name = s"feed_jdbc_golden_${System.nanoTime()}"
+    val q = graft.streaming.FeedStream
+      .itemUpdates(src, TestProcessor, options,
+        graft.streaming.FeedStream.initialState(partitions))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      seed(items.drop(8).map(_.copy(updatedAt = new java.sql.Timestamp(1000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).as[Item]
+      .map(i => (i.id, i.partitionId, i.status, i.gate, i.retryCount, i.dataString))
+      .toDF("id", "partition_id", "status", "gate", "retry_count", "data")
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
   /** Golden fixture through a real two-batch streaming query (M3 path) —
     * returns the emitted terminal items as a DataFrame for the driver's
     * rows-only check. */

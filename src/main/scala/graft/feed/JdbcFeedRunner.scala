@@ -1,0 +1,135 @@
+package graft.feed
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+
+/** The reference's watcher loop (watcher.go:44-193) over a shared JDBC
+  * store — the database-at-rest architecture: the backlog REST state lives
+  * in the `items` table; each poll tick holds at most `batchSize` items
+  * per partition in memory, so runner memory is O(partitions × batchSize)
+  * regardless of backlog depth — the bounded-state property that keeps a
+  * deep queue viable at 100 TB (the in-engine FeedStream instead carries
+  * its backlog in the state store).
+  *
+  * One tick per held partition (watchPartition body, watcher.go:128-183):
+  *   1. fetch ≤batchSize Available items at the current gate, oldest first
+  *   2. aggregate counts-by-status
+  *   3. run the gate/close decision table ([[FeedPolicy.partitionTransition]])
+  *   4. conditional-save the partition WITH the lease columns
+  *      (owner, until) — losing the OCC save means another instance owns
+  *      the partition now, so it is dropped (work stealing / failover)
+  *   5. process the fetched items DISTRIBUTED: one Spark job per tick maps
+  *      `FeedPolicy.processItem` over all held partitions' fetches and
+  *      conditional-saves results from the executors (the analog of the
+  *      reference's BatchSize-goroutine fan-out, watcher.go:74-77)
+  *
+  * Multiple runner instances over one store converge: leases are claimed
+  * by OCC partition saves (exactly one winner per version), expired leases
+  * are stolen via GetPotentialLeases, and item saves are individually
+  * conditional — the two-instance golden test (watcher_test.go:237-266)
+  * passes against this implementation.
+  */
+final class JdbcFeedRunner(
+    spark: SparkSession,
+    url: String,
+    processor: Processor,
+    opts: FeedOptions,
+    ownerId: String,
+    prefix: String = "",
+    leaseDurationMs: Long = 60000L,
+    leaseFilter: Partition => Boolean = _ => true,
+    clock: () => Long = () => System.currentTimeMillis()) extends Serializable {
+
+  /** Leases this instance believes it holds: id → last saved row. */
+  private var held = Map.empty[String, Partition]
+
+  def heldLeases: Map[String, Partition] = held
+
+  /** One poll tick. Returns (itemsProcessed, anyPartitionChanged). */
+  def tick(): (Int, Boolean) = {
+    val now = new Timestamp(clock())
+    val conn = JdbcStore.connect(url)
+    val fetched = Seq.newBuilder[Item]
+    var changed = false
+    try {
+      // Adopt new/expired partitions (acquireLeases, watcher.go:89-126).
+      // A lease lapses when `until` passes: the previous owner's next
+      // conditional save will conflict and it drops the partition.
+      val candidates = JdbcStore.potentialLeases(conn, now, prefix)
+        .filter(leaseFilter)
+        .filterNot(p => held.contains(p.id))
+      candidates.foreach { p => held += p.id -> p }
+
+      held.toSeq.sortBy(_._1).foreach { case (id, p) =>
+        val items = JdbcStore.availableItems(conn, p, opts.batchSize, prefix)
+        val byStatus = JdbcStore.countByStatus(conn, id, prefix)
+        val counts = FeedPolicy.StatusCounts(
+          byStatus.getOrElse(Status.Failed, 0L),
+          byStatus.getOrElse(Status.Available, 0L))
+        val decided = FeedPolicy.partitionTransition(
+          p, counts, items.size.toLong, opts.manualCheckpoint, opts.autoCloseFor(id))
+          .copy(owner = ownerId,
+            until = new Timestamp(now.getTime + leaseDurationMs))
+        JdbcStore.savePartition(conn, decided, prefix) match {
+          case JdbcStore.Conflict =>
+            // Another instance won this row — release it (watcher.go:164-167).
+            held -= id
+          case _ =>
+            changed ||= decided.gate != p.gate || decided.status != p.status
+            if (decided.status == Status.Complete) held -= id // InActive: stop watching
+            else held += id -> decided
+            // The reference enqueues the fetch even when the partition just
+            // turned Failed (watcher.go:163-176): the save happens first,
+            // the items still process this tick.
+            fetched ++= items
+        }
+      }
+    } finally conn.close()
+
+    val work = fetched.result()
+    if (work.nonEmpty) processDistributed(work)
+    (work.size, changed)
+  }
+
+  /** Fan the tick's fetch out to the executors: process + conditional-save
+    * without collecting results back (only per-row outcomes for logging).
+    * Item-save conflicts are benign — at-least-once, the row refetches. */
+  private def processDistributed(work: Seq[Item]): Unit = {
+    val (u, pfx, proc, maxRetries) = (url, prefix, processor, opts.maxRetries)
+    val slices = math.max(1, math.min(work.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(work)(Encoders.product[Item])
+      .repartition(slices)
+      .mapPartitions { it =>
+        val conn = JdbcStore.connect(u)
+        try {
+          val out = it.map { i =>
+            val next = FeedPolicy.processItem(i, proc, maxRetries)
+            JdbcStore.saveItem(conn, next, pfx) match {
+              case JdbcStore.Conflict => 0L
+              case _                  => 1L
+            }
+          }.sum
+          Iterator.single(out)
+        } finally conn.close()
+      }(Encoders.scalaLong)
+      .collect()
+    ()
+  }
+
+  /** Drive ticks until nothing moves for `stableTicks` consecutive ticks
+    * (items drained, gates settled) or `maxTicks` elapse. Returns ticks
+    * run. The reference's analog is the test's context timeout; a service
+    * deployment calls [[tick]] on a poll-interval timer instead. */
+  def runToQuiescence(maxTicks: Int = 1000, stableTicks: Int = 3): Int = {
+    var ticks = 0
+    var stable = 0
+    while (ticks < maxTicks && stable < stableTicks) {
+      val (n, changed) = tick()
+      ticks += 1
+      if (n == 0 && !changed) stable += 1 else stable = 0
+    }
+    ticks
+  }
+}

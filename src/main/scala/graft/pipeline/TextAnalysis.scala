@@ -52,51 +52,66 @@ object TextAnalysis {
     * accuracy ≈ prior; the operator's correctness is asserted on a
     * discriminative corpus in PipelineSpec. */
   def languageId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // Repartition: decouple per-token compute from input file layout
     // (one row group = one partition otherwise).
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = docs.repartition(spark.sparkContext.defaultParallelism)
     val tok = spread.select(col("doc_id"), col("lang"), explode(tokens).as("token"))
 
-    val vocabSize = tok.select("token").distinct().count()
-    val langTotals = tok.groupBy(col("lang").as("model_lang"))
-      .agg(count(lit(1)).as("lang_total"))
-    val nDocs = docs.count()
-    val priors = docs.groupBy(col("lang").as("model_lang"))
-      .agg((log(count(lit(1)) / lit(nDocs.toDouble))).as("log_prior"))
+    // ONE stats job: rollup gives per-lang token totals + doc counts, and
+    // the grand-total row carries the global vocabulary and corpus size —
+    // no separate distinct().count() / docs.count() driver actions.
+    val statRows = tok.rollup("lang")
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct("doc_id").as("n_docs"),
+        countDistinct("token").as("n_vocab"))
+      .collect()
+    val totalRow = statRows.find(_.isNullAt(0)).get
+    val vocabSize = totalRow.getAs[Long]("n_vocab")
+    val nDocs = math.max(totalRow.getAs[Long]("n_docs"), 1L)
+    val langInfo = statRows.filterNot(_.isNullAt(0)).map { r =>
+      val langTotal = r.getAs[Long]("n_tok")
+      (r.getAs[String]("lang"),
+        math.log(r.getAs[Long]("n_docs").toDouble / nDocs), // log prior
+        math.log(1.0 / (langTotal + vocabSize)),            // unseen-pair floor
+        langTotal)
+    }.toSeq.toDF("model_lang", "log_prior", "floor_logp", "lang_total")
 
-    // log P(token|lang) with add-one smoothing, for every observed pair.
+    // log P(token|lang) with add-one smoothing, for every OBSERVED pair.
     val model = tok.groupBy(col("lang").as("model_lang"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .join(langTotals, Seq("model_lang"))
+      .join(broadcast(langInfo.select("model_lang", "lang_total")), Seq("model_lang"))
       .select(col("model_lang"), col("token"),
         log((col("tf") + 1) / (col("lang_total") + vocabSize)).as("logp"))
 
-    // Every (doc-token, lang) pair; unseen pairs get the smoothed floor
-    // log(1 / (lang_total + V)).
-    val scored = tok.select(col("doc_id"), col("token"))
-      .crossJoin(broadcast(langTotals))
-      .join(broadcast(model), Seq("model_lang", "token"), "left")
-      .select(col("doc_id"), col("model_lang"),
-        coalesce(col("logp"),
-          log(lit(1.0) / (col("lang_total") + vocabSize))).as("logp"))
+    // Seen-pair contributions only: inner join the token stream to the
+    // model on `token` — a token yields rows only for languages that
+    // observed it, so nothing is amplified ×|langs| (the old form
+    // crossJoined the whole exploded stream against the language list).
+    val seen = tok.select("doc_id", "token")
+      .join(broadcast(model), Seq("token"))
       .groupBy("doc_id", "model_lang")
-      .agg(sum("logp").as("log_likelihood"))
-      .join(broadcast(priors), Seq("model_lang"))
-      .select(col("doc_id"), col("model_lang"),
-        (col("log_likelihood") + col("log_prior")).as("score"))
+      .agg(sum("logp").as("seen_sum"), count(lit(1)).as("n_seen"))
+
+    // The doc×lang score table (the output's intrinsic size): unseen
+    // pairs contribute analytically as (n_tokens − n_seen) × floor(lang).
+    val scored = spread
+      .select(col("doc_id"), col("lang"), size(tokens).cast("long").as("n_tokens"))
+      .crossJoin(broadcast(langInfo.select("model_lang", "log_prior", "floor_logp")))
+      .join(seen, Seq("doc_id", "model_lang"), "left")
+      .select(col("doc_id"), col("lang"), col("model_lang"),
+        (col("log_prior") + coalesce(col("seen_sum"), lit(0.0)) +
+          (col("n_tokens") - coalesce(col("n_seen"), lit(0L))) * col("floor_logp"))
+          .as("score"))
 
     val best = Window.partitionBy("doc_id").orderBy(desc("score"), asc("model_lang"))
-    val predicted = scored
+    scored
       .withColumn("rn", row_number().over(best))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("model_lang").as("predicted_lang"),
-        round(col("score"), 4).as("score"))
-
-    docs.select("doc_id", "lang")
-      .join(predicted, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
-        coalesce(col("predicted_lang"), lit("und")).as("predicted_lang"),
-        coalesce(col("score"), lit(0.0)).as("score"))
+        col("model_lang").as("predicted_lang"),
+        round(col("score"), 4).as("score"))
       .orderBy("doc_id")
   }
 

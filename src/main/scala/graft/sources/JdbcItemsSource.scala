@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.sql.Timestamp
+import java.util
+
+import graft.feed.{Item, JdbcStore}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** D1's true analog: a DataSource-v2 micro-batch source that POLLS a JDBC
+  * items table with an `updated_at` high-water-mark offset — the
+  * reference's repo poll loop (repo.go:106-120, watcher.go:89-135)
+  * re-expressed as a Structured Streaming source.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft.sources.JdbcItemsSource")
+  *     .option("url", "jdbc:derby:/path/db")      // any JDBC URL
+  *     .option("prefix", "")                      // table namespace
+  *     .option("numPartitions", "4")              // reader parallelism
+  *     .option("maxRowsPerTrigger", "10000")      // admission cap (D4)
+  *     .load().as[Item]
+  * }}}
+  *
+  * Offsets are nanosecond-precision timestamps (serialized via
+  * `Timestamp.toString`, which round-trips through `Timestamp.valueOf`),
+  * so restart recovery replays exactly the unread window. Each micro-batch
+  * reads `updated_at ∈ (start, end]`, split into `numPartitions` time
+  * sub-ranges executed by separate readers — at cluster scale switch the
+  * split to primary-key ranges for skew-proof parallelism.
+  *
+  * `maxRowsPerTrigger` implements SupportsAdmissionControl — the analog of
+  * the reference's `BatchSize − len(itemQ)` shrinkage (watcher.go:136):
+  * the end offset for a trigger is pulled back to the timestamp of the
+  * n-th unread row, so a deep backlog drains in bounded micro-batches
+  * instead of one giant one (rows sharing that boundary timestamp are
+  * admitted together; with a monotonic writer clock the overshoot is
+  * bounded by writes within one timestamp tick).
+  *
+  * Caveat (shared with any HWM poller): rows must be written with
+  * monotonically non-decreasing `updated_at` (the sink's saves do this);
+  * a row back-dated below the committed watermark is never observed.
+  */
+final class JdbcItemsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JdbcItemsSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new JdbcItemsTable(new CaseInsensitiveStringMap(properties))
+}
+
+object JdbcItemsSource {
+  val schema: StructType = org.apache.spark.sql.Encoders.product[Item].schema
+
+  /** Epoch-0 rows (the Item default) must be inside the first window, so
+    * the initial watermark sits a day before the epoch. */
+  val initialTs = new Timestamp(-86400000L)
+
+  private[sources] def itemToRow(i: Item): InternalRow = new GenericInternalRow(
+    Array[Any](
+      UTF8String.fromString(i.id), UTF8String.fromString(i.partitionId),
+      i.gate, i.status, i.retryCount, UTF8String.fromString(i.errorMessages),
+      DateTimeUtils.fromJavaTimestamp(i.updatedAt), i.version, i.data))
+
+  /** Items in `(lo, hi]`, oldest first. */
+  private[sources] def window(url: String, prefix: String, lo: Timestamp,
+      hi: Timestamp): Seq[Item] = {
+    val conn = JdbcStore.connect(url)
+    try {
+      val ps = conn.prepareStatement(
+        s"""SELECT id, partition_id, gate, status, retry_count, error_messages,
+           | updated_at, version, data FROM ${prefix}items
+           | WHERE updated_at > ? AND updated_at <= ? ORDER BY updated_at""".stripMargin)
+      try {
+        ps.setTimestamp(1, lo)
+        ps.setTimestamp(2, hi)
+        val rs = ps.executeQuery()
+        val out = Seq.newBuilder[Item]
+        while (rs.next()) out += Item(
+          id = rs.getString(1), partitionId = rs.getString(2),
+          gate = rs.getInt(3), status = rs.getInt(4), retryCount = rs.getInt(5),
+          errorMessages = rs.getString(6), updatedAt = rs.getTimestamp(7),
+          version = rs.getInt(8),
+          data = Option(rs.getBytes(9)).getOrElse(Array.emptyByteArray))
+        out.result()
+      } finally ps.close()
+    } finally conn.close()
+  }
+}
+
+/** Streaming offset: the high-water mark, nanosecond exact. */
+final case class HwmOffset(ts: Timestamp) extends Offset {
+  override def json(): String = ts.toString
+}
+
+final class JdbcItemsTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val url = Option(options.get("url")).getOrElse(
+    throw new IllegalArgumentException("option 'url' is required"))
+  private val prefix = Option(options.get("prefix")).getOrElse("")
+  private val numPartitions = options.getInt("numPartitions", 4)
+  private val maxRows = options.getLong("maxRowsPerTrigger", -1L)
+
+  override def name(): String = s"jdbc-items($url, ${prefix}items)"
+  override def schema(): StructType = JdbcItemsSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = JdbcItemsSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new JdbcItemsMicroBatchStream(url, prefix, numPartitions, maxRows)
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] = Array(
+            JdbcWindowPartition(url, prefix, JdbcItemsSource.initialTs,
+              new Timestamp(253402300799000L))) // 9999-12-31: everything
+          override def createReaderFactory(): PartitionReaderFactory =
+            new JdbcWindowReaderFactory
+        }
+      }
+    }
+}
+
+final class JdbcItemsMicroBatchStream(url: String, prefix: String,
+    numPartitions: Int, maxRows: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = HwmOffset(JdbcItemsSource.initialTs)
+  override def deserializeOffset(json: String): Offset =
+    HwmOffset(Timestamp.valueOf(json))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRows > 0) ReadLimit.maxRows(maxRows) else ReadLimit.allAvailable()
+
+  /** True newest watermark in the table (uncapped). */
+  override def reportLatestOffset(): Offset = maxUpdatedAt()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = limit match {
+    case rl: ReadMaxRows => cappedOffset(start.asInstanceOf[HwmOffset].ts, rl.maxRows())
+    case _               => maxUpdatedAt()
+  }
+
+  private def maxUpdatedAt(): HwmOffset = {
+    val conn = JdbcStore.connect(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT MAX(updated_at) FROM ${prefix}items")
+        val ts = if (rs.next()) Option(rs.getTimestamp(1)) else None
+        HwmOffset(ts.getOrElse(JdbcItemsSource.initialTs))
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Admission control: end offset = updated_at of the n-th unread row. */
+  private def cappedOffset(start: Timestamp, n: Long): HwmOffset = {
+    val conn = JdbcStore.connect(url)
+    try {
+      val ps = conn.prepareStatement(
+        s"SELECT updated_at FROM ${prefix}items WHERE updated_at > ? ORDER BY updated_at")
+      try {
+        ps.setMaxRows(math.min(n, Int.MaxValue).toInt)
+        ps.setTimestamp(1, start)
+        val rs = ps.executeQuery()
+        var last: Timestamp = start
+        while (rs.next()) last = rs.getTimestamp(1)
+        HwmOffset(last)
+      } finally ps.close()
+    } finally conn.close()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[HwmOffset].ts
+    val hi = end.asInstanceOf[HwmOffset].ts
+    if (!hi.after(lo)) return Array.empty
+    // Time-range splits: ms-granularity boundaries, first split opens at
+    // `lo` (exclusive) and last closes exactly at `hi` (inclusive) so no
+    // row is lost to rounding; sub-ms windows collapse to one split.
+    val loMs = lo.getTime; val hiMs = hi.getTime
+    val n = math.max(1, math.min(numPartitions.toLong, hiMs - loMs)).toInt
+    val bounds = (0 to n).map { i =>
+      if (i == 0) lo
+      else if (i == n) hi
+      else new Timestamp(loMs + (hiMs - loMs) * i / n)
+    }
+    bounds.sliding(2).collect {
+      case Seq(a, b) if b.after(a) =>
+        JdbcWindowPartition(url, prefix, a, b): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JdbcWindowReaderFactory
+}
+
+final case class JdbcWindowPartition(url: String, prefix: String,
+    lo: Timestamp, hi: Timestamp) extends InputPartition
+
+final class JdbcWindowReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JdbcWindowPartition]
+    new PartitionReader[InternalRow] {
+      // One bounded result set per partition, streamed through JDBC.
+      private val it = JdbcItemsSource.window(p.url, p.prefix, p.lo, p.hi).iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = JdbcItemsSource.itemToRow(it.next()); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -48,6 +48,50 @@ class FeedMainSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("FeedMain --once in JDBC mode drains the shared database through a live processor") {
+    import graft.feed.JdbcStore
+    val db = java.nio.file.Files.createTempDirectory("feedmainjdbc").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      Seq(
+        Item("a1", "p1", data = """{"n":1}""".getBytes(UTF_8)),
+        Item("a2", "p1", data = """{"n":2}""".getBytes(UTF_8)),
+        Item("a3", "p2", data = """{"n":3}""".getBytes(UTF_8))
+      ).foreach(JdbcStore.saveItem(conn, _))
+      Seq(graft.feed.Partition("p1"), graft.feed.Partition("p2"))
+        .foreach(JdbcStore.savePartition(conn, _))
+    } finally conn.close()
+
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/proc", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val in = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val resp = s"""{"complete": true, "response": {"echo": $in}}""".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val cfg = FeedMain.parse(Array(
+        "--jdbc-url", url, "--owner-id", "svc1",
+        "--target", s"http://127.0.0.1:$port/proc",
+        "--batch-size", "10", "--auto-close", "--once"))
+      FeedMain.run(cfg, spark)
+      val check = JdbcStore.connect(url)
+      try {
+        val out = JdbcStore.allItems(check).sortBy(_.id)
+        assert(out.length == 3 && out.forall(_.status == Status.Complete))
+        assert(out.head.dataString.contains(""""echo":{"n":1}"""))
+        val parts = JdbcStore.allPartitions(check)
+        assert(parts.forall(p => p.status == Status.Complete && p.owner == "svc1"))
+      } finally check.close()
+    } finally server.stop(0)
+  }
+
   test("flag parsing rejects unknown flags and missing required args") {
     intercept[IllegalArgumentException](FeedMain.parse(Array("--bogus")))
     intercept[IllegalArgumentException](FeedMain.parse(Array("--items-dir", "x")))

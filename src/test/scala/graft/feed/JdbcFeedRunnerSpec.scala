@@ -1,0 +1,124 @@
+package graft.feed
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's golden watcher test against the DB-at-rest runner:
+  * single-instance replay reaches the exact golden end state, and TWO
+  * concurrent instances racing over one shared store converge to the same
+  * state with fair ownership (watcher_test.go:237-266, 381-390). */
+class JdbcFeedRunnerSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def freshDb(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftrun").resolve("db")
+    s"jdbc:derby:$dir;create=true"
+  }
+
+  private def seed(url: String): Unit = {
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      GoldenFixture.items.foreach(i => assert(JdbcStore.saveItem(conn, i) == JdbcStore.Inserted))
+      GoldenFixture.partitions.foreach(p => assert(JdbcStore.savePartition(conn, p) == JdbcStore.Inserted))
+    } finally conn.close()
+  }
+
+  private def assertGoldenEndState(url: String): Unit = {
+    val conn = JdbcStore.connect(url)
+    try {
+      val items = JdbcStore.allItems(conn).map(i => i.id -> i).toMap
+      assert(items.keySet == GoldenFixture.expectedItems.keySet)
+      GoldenFixture.expectedItems.foreach { case (id, (status, data)) =>
+        assert(items(id).status == status, s"$id status=${items(id).status} want $status")
+        assert(GoldenFixture.DataObj.parse(items(id).data) == data,
+          s"$id data=${items(id).dataString}")
+      }
+    } finally conn.close()
+  }
+
+  test("single instance: golden fixture converges to the exact reference end state") {
+    val url = freshDb()
+    seed(url)
+    val runner = new JdbcFeedRunner(
+      spark, url, GoldenFixture.TestProcessor, GoldenFixture.options, "w1")
+    val ticks = runner.runToQuiescence(maxTicks = 100)
+    assert(ticks < 100, s"did not quiesce in $ticks ticks")
+    assertGoldenEndState(url)
+
+    val conn = JdbcStore.connect(url)
+    try {
+      val parts = JdbcStore.allPartitions(conn).map(p => p.id -> p).toMap
+      // AutoClose fires for p1_* only (GoldenFixture.options predicate).
+      assert(parts("p1_owned").status == Status.Complete)
+      assert(parts("p1_swap").status == Status.Complete)
+      assert(parts("p1_gate").status == Status.Complete)
+      assert(parts("p1_unowned").status == Status.Complete)
+      assert(parts("p2_gate").status == Status.Failed)
+      assert(parts("p2_swap").status == Status.Failed)
+      assert(parts("p1_disabled").status == Status.Complete, "never reopened")
+    } finally conn.close()
+  }
+
+  test("two concurrent instances over one store converge with fair ownership") {
+    val url = freshDb()
+    seed(url)
+    // FairRepo analog (watcher_test.go:219-235): each instance may lease
+    // only its own prefix, so ownership assertions are deterministic while
+    // the item/partition saves still race through the shared store.
+    val w1 = new JdbcFeedRunner(
+      spark, url, GoldenFixture.TestProcessor, GoldenFixture.options, "p1",
+      leaseFilter = _.id.startsWith("p1"))
+    val w2 = new JdbcFeedRunner(
+      spark, url, GoldenFixture.TestProcessor, GoldenFixture.options, "p2",
+      leaseFilter = _.id.startsWith("p2"))
+
+    val pool = Executors.newFixedThreadPool(2)
+    val f1 = pool.submit(new Runnable { def run(): Unit = w1.runToQuiescence(100) })
+    val f2 = pool.submit(new Runnable { def run(): Unit = w2.runToQuiescence(100) })
+    f1.get(300, TimeUnit.SECONDS)
+    f2.get(300, TimeUnit.SECONDS)
+    pool.shutdown()
+
+    assertGoldenEndState(url)
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.allPartitions(conn).foreach { p =>
+        // Fair ownership (watcher_test.go:381-385): every touched
+        // partition is owned by the matching instance. p1_disabled starts
+        // Complete and is never leased (owner stays empty).
+        assert(p.owner.isEmpty || p.id.startsWith(p.owner),
+          s"${p.id} leased by wrong owner ${p.owner}")
+        if (p.id.startsWith("p1") && p.id != "p1_disabled")
+          assert(p.status == Status.Complete, s"${p.id} should autoclose")
+      }
+    } finally conn.close()
+  }
+
+  test("lease steal: a lapsed lease is adopted by the surviving instance") {
+    val url = freshDb()
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      JdbcStore.saveItem(conn, Item("a", "p1_x", data = GoldenFixture.DataObj(1).marshal))
+      // Dead instance's lease expired 1s ago.
+      JdbcStore.savePartition(conn, Partition("p1_x", owner = "dead",
+        until = new java.sql.Timestamp(System.currentTimeMillis() - 1000)))
+    } finally conn.close()
+
+    val w = new JdbcFeedRunner(
+      spark, url, GoldenFixture.TestProcessor,
+      FeedOptions(batchSize = 10, maxRetries = 3, autoClose = true), "w2")
+    w.runToQuiescence(50)
+
+    val check = JdbcStore.connect(url)
+    try {
+      val p = JdbcStore.allPartitions(check).head
+      assert(p.owner == "w2" && p.status == Status.Complete,
+        s"expected steal+close, got owner=${p.owner} status=${p.status}")
+      assert(JdbcStore.allItems(check).head.status == Status.Complete)
+    } finally check.close()
+  }
+}

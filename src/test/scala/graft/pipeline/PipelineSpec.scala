@@ -117,6 +117,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
 
+  test("langid plan: token stream is never crossjoined against the language list") {
+    val plan = TextAnalysis.languageId(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian product in langid plan")
+    // Exactly one nested-loop broadcast: the doc×lang score-table expansion
+    // (output-sized); the token stream itself joins the model by hash.
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 1, s"token-stream amplification: $bnl nested-loop joins")
+  }
+
   test("langid recovers labels perfectly on a discriminative corpus") {
     import spark.implicits._
     val d = Seq(

@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import graft.feed._
+import graft.streaming.FeedStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** D1 parity: the JDBC polling source drives the same FeedStream to the
+  * same golden end state as the file-arrival source, across real
+  * high-water-mark advancement (two poll waves), and the admission cap
+  * slices a deep backlog into bounded micro-batches. */
+class JdbcItemsSourceSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def freshDb(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftsrc").resolve("db")
+    s"jdbc:derby:$dir;create=true"
+  }
+
+  private def seed(url: String, items: Seq[Item]): Unit = {
+    val conn = JdbcStore.connect(url)
+    try { JdbcStore.migrate(conn); items.foreach(JdbcStore.saveItem(conn, _)) }
+    finally conn.close()
+  }
+
+  test("golden fixture via JDBC polling source matches the file-source end state") {
+    import spark.implicits._
+    val url = freshDb()
+    // Wave 1 at the epoch; wave 2 a second later — the second poll must
+    // pick up only rows past the committed watermark.
+    seed(url, GoldenFixture.items.take(8))
+
+    val src = spark.readStream
+      .format(classOf[JdbcItemsSource].getName)
+      .option("url", url)
+      .option("numPartitions", "3")
+      .load().as[Item]
+    val updates = FeedStream.itemUpdates(
+      src, GoldenFixture.TestProcessor, GoldenFixture.options,
+      FeedStream.initialState(GoldenFixture.partitions))
+    val q = updates.writeStream.format("memory").queryName("feed_jdbc_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      seed(url, GoldenFixture.items.drop(8).map(i =>
+        i.copy(updatedAt = new Timestamp(1000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("feed_jdbc_out").as[Item].collect().map(i => i.id -> i).toMap
+    val want = GoldenFixture.goldenTerminalTransitions
+    assert(got.keySet == want.keySet, s"emitted ${got.keySet} != ${want.keySet}")
+    want.foreach { case (id, (status, data)) =>
+      assert(got(id).status == status, s"$id status")
+      assert(GoldenFixture.DataObj.parse(got(id).data) == data, s"$id data ${got(id).dataString}")
+    }
+  }
+
+  test("maxRowsPerTrigger slices the backlog into bounded micro-batches") {
+    import spark.implicits._
+    val url = freshDb()
+    val items = (1 to 15).map(i => Item(s"i$i", "p",
+      updatedAt = new Timestamp(i * 1000L),
+      data = GoldenFixture.DataObj(1).marshal))
+    seed(url, items)
+
+    val src = spark.readStream
+      .format(classOf[JdbcItemsSource].getName)
+      .option("url", url)
+      .option("maxRowsPerTrigger", "5")
+      .load().as[Item]
+    val q = src.writeStream.format("memory").queryName("feed_jdbc_cap")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(spark.table("feed_jdbc_cap").count() == 15)
+    val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+    assert(nonEmpty.length >= 3, s"expected >=3 capped batches, got ${nonEmpty.length}")
+    assert(nonEmpty.forall(_.numInputRows <= 5),
+      nonEmpty.map(_.numInputRows).mkString(","))
+  }
+
+  test("batch read surface returns every row (verification path)") {
+    val url = freshDb()
+    seed(url, GoldenFixture.items)
+    val df = spark.read.format(classOf[JdbcItemsSource].getName)
+      .option("url", url).load()
+    assert(df.count() == GoldenFixture.items.size)
+    assert(df.schema == JdbcItemsSource.schema)
+  }
+}
