@@ -47,7 +47,9 @@ object FeedMain {
       checkpointDir: String = "",
       jdbcUrl: String = "",
       jdbcPrefix: String = "",
-      ownerId: String = java.util.UUID.randomUUID().toString)
+      ownerId: String = java.util.UUID.randomUUID().toString,
+      maxFilesPerTrigger: Int = 0,
+      maxPending: Int = 0)
 
   def parse(args: Array[String]): Config = {
     def loop(c: Config, rest: List[String]): Config = rest match {
@@ -65,6 +67,8 @@ object FeedMain {
       case "--jdbc-url" :: v :: t          => loop(c.copy(jdbcUrl = v), t)
       case "--jdbc-prefix" :: v :: t       => loop(c.copy(jdbcPrefix = v), t)
       case "--owner-id" :: v :: t          => loop(c.copy(ownerId = v), t)
+      case "--max-files-per-trigger" :: v :: t => loop(c.copy(maxFilesPerTrigger = v.toInt), t)
+      case "--max-pending" :: v :: t       => loop(c.copy(maxPending = v.toInt), t)
       case Nil                             => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -93,7 +97,8 @@ object FeedMain {
     val processor = new HttpProcessor(new JdkHttpDoer(10), cfg.target)
     val opts = FeedOptions(
       batchSize = cfg.batchSize, maxRetries = cfg.maxRetries,
-      autoClose = cfg.autoClose, manualCheckpoint = cfg.manualCheckpoint)
+      autoClose = cfg.autoClose, manualCheckpoint = cfg.manualCheckpoint,
+      maxPending = cfg.maxPending)
 
     // JDBC mode: the reference's actual deployment (examples/
     // state_processor/main.go) — backlog at rest in the shared database,
@@ -121,10 +126,15 @@ object FeedMain {
     }
 
     // Item source: the parquet items table as a file-arrival stream (D1).
-    val itemStream = spark.readStream
+    // --max-files-per-trigger is the source admission cap (D4): a deep
+    // backlog drains in bounded micro-batches instead of one giant one.
+    val reader0 = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Item].schema)
-      .parquet(cfg.itemsDir)
-      .as[Item]
+    val reader =
+      if (cfg.maxFilesPerTrigger > 0)
+        reader0.option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      else reader0
+    val itemStream = reader.parquet(cfg.itemsDir).as[Item]
 
     val updates = FeedStream.itemUpdates(itemStream, processor, opts)
     // Without an explicit checkpoint dir the state store + source offsets

@@ -21,8 +21,22 @@ final case class FeedOptions(
       * processor that never completes an item — or a starved item below
       * the current gate (README.md:107-111) — would otherwise spin. Work
       * left when the cap hits resumes next micro-batch. */
-    maxTicksPerBatch: Int = 10000) {
+    maxTicksPerBatch: Int = 10000,
+    /** Concurrent processor calls per partition per tick — the analog of
+      * the reference's BatchSize worker goroutines (watcher.go:74-77).
+      * 0 = batchSize; 1 = sequential. Only the processor call fans out;
+      * state transitions stay deterministic. */
+    processorParallelism: Int = 0,
+    /** Streaming-state bound: max Available items a partition may HOLD in
+      * the state store between micro-batches. Overflow (furthest-from-
+      * processable first) is emitted as Available passthrough rows with a
+      * bumped version, so the OCC sink parks them at rest and a polling
+      * source re-admits them later — memory stays O(maxPending) per
+      * partition while the backlog lives in storage (the reference keeps
+      * it in the DB, watcher.go:67,136). 0 = unbounded (legacy). */
+    maxPending: Int = 0) {
   def autoCloseFor(id: String): Boolean = autoClosePredicate.fold(autoClose)(_(id))
+  def processorFanout: Int = if (processorParallelism > 0) processorParallelism else batchSize
 }
 
 /** One poll-cycle of the watcher (watcher.go:124-212), expressed as a

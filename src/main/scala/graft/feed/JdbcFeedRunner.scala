@@ -97,6 +97,7 @@ final class JdbcFeedRunner(
     * Item-save conflicts are benign — at-least-once, the row refetches. */
   private def processDistributed(work: Seq[Item]): Unit = {
     val (u, pfx, proc, maxRetries) = (url, prefix, processor, opts.maxRetries)
+    val fanout = opts.processorFanout
     val slices = math.max(1, math.min(work.size,
       spark.sparkContext.defaultParallelism))
     spark.createDataset(work)(Encoders.product[Item])
@@ -104,8 +105,12 @@ final class JdbcFeedRunner(
       .mapPartitions { it =>
         val conn = JdbcStore.connect(u)
         try {
-          val out = it.map { i =>
-            val next = FeedPolicy.processItem(i, proc, maxRetries)
+          // Fan the processor calls out within the slice too (the
+          // reference's BatchSize workers): saves stay on this single
+          // connection, processing overlaps I/O.
+          val processed = graft.streaming.FeedStream.parallelMap(
+            it.toSeq, fanout)(i => FeedPolicy.processItem(i, proc, maxRetries))
+          val out = processed.map { next =>
             JdbcStore.saveItem(conn, next, pfx) match {
               case JdbcStore.Conflict => 0L
               case _                  => 1L

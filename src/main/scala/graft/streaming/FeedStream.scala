@@ -82,8 +82,14 @@ object FeedStream {
         opts.manualCheckpoint, opts.autoCloseFor(partitionId))
 
       // Process this tick's fetch (even when the partition just turned
-      // Failed — watcher.go:163-176 enqueues after the save).
-      val processed = fetchable.map(i => FeedPolicy.processItem(i, processor, opts.maxRetries))
+      // Failed — watcher.go:163-176 enqueues after the save), fanned out
+      // to opts.processorFanout concurrent workers like the reference's
+      // BatchSize goroutines (watcher.go:74-77): with a slow processor
+      // (HTTP round-trips), per-partition throughput scales with the
+      // fan-out instead of serializing item by item. Results keep fetch
+      // order, so state transitions stay deterministic.
+      val processed = parallelMap(fetchable, opts.processorFanout)(
+        i => FeedPolicy.processItem(i, processor, opts.maxRetries))
       val fetchedIds = fetchable.map(_.id).toSet
       pending = pending.filterNot(i => fetchedIds.contains(i.id)) ++
         processed.filter(_.status == Status.Available)
@@ -99,9 +105,50 @@ object FeedStream {
       continue = changed && status != Status.Complete
     }
 
+    // Bound the carried state (watcher.go:67,136: the reference holds
+    // ≤BatchSize in memory and leaves the backlog in the DB): items beyond
+    // maxPending leave the state store as Available passthrough emissions
+    // — the OCC sink parks them at rest; a polling source re-admits them
+    // once gates advance. Closest-to-processable (lowest gate, oldest)
+    // stay resident.
+    var kept = pending
+    if (status != Status.Complete && opts.maxPending > 0 &&
+        pending.size > opts.maxPending) {
+      val sorted = pending.sortBy(i => (i.gate, i.updatedAt.getTime, i.id))
+      kept = sorted.take(opts.maxPending)
+      sorted.drop(opts.maxPending).foreach { i =>
+        emitted += i.copy(version = i.version + 1)
+      }
+    }
+
     (FeedState(gate, status, nFailed, nDone,
-      if (status == Status.Complete) Nil else pending), emitted.result())
+      if (status == Status.Complete) Nil else kept), emitted.result())
   }
+
+  /** Order-preserving bounded-concurrency map over one tick's fetch. A
+    * shared daemon pool serves every partition in the executor JVM; the
+    * permit cap bounds THIS call's fan-out. */
+  private[graft] def parallelMap[A, B](xs: Seq[A], fanout: Int)(f: A => B): Seq[B] =
+    if (fanout <= 1 || xs.size <= 1) xs.map(f)
+    else {
+      val permits = new java.util.concurrent.Semaphore(fanout)
+      val tasks = xs.map { x =>
+        sharedPool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = {
+            permits.acquire()
+            try f(x) finally permits.release()
+          }
+        })
+      }
+      tasks.map(_.get())
+    }
+
+  private lazy val sharedPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "feed-processor")
+      t.setDaemon(true)
+      t
+    })
 
   /** Wire [[advance]] into a streaming Dataset. `initial` seeds per-
     * partition state (the partition table's starting gates/statuses). */

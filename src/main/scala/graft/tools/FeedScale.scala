@@ -13,6 +13,7 @@ import org.apache.spark.sql.Dataset
   * fetch, partial-agg counts), not the local absolute numbers. */
 object FeedScale {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("stream")) { streamBounded(args.drop(1)); return }
     val nPartitions = args.headOption.map(_.toInt).getOrElse(200)
     val itemsPer    = args.drop(1).headOption.map(_.toInt).getOrElse(100)
     val spark = GraftSession.local(16, "feed-scale")
@@ -58,5 +59,70 @@ object FeedScale {
       pStatus.getOrElse(Status.Complete, 0L) == nPartitions - expectFailedParts
     println(if (ok) "[scale] PASS" else "[scale] FAIL")
     spark.stop()
+  }
+
+  /** Bounded-state streaming smoke: `stream [nPartitions] [itemsPer wave]
+    * [waves] [maxPending]`. A deep backlog (items parked at a gate above
+    * the frozen barrier) is streamed in waves; with `maxPending` set the
+    * state store must stay FLAT — overflow is emitted for parking instead
+    * of accumulating — while total ingested grows wave after wave. Prints
+    * per-wave state bytes/rows from the query progress and PASS/FAIL on:
+    * flat state memory (last wave ≤ 1.5× first), exact park accounting
+    * (nothing lost), and state rows == nPartitions. */
+  def streamBounded(args: Array[String]): Unit = {
+    val nPartitions = args.headOption.map(_.toInt).getOrElse(200)
+    val perWave     = args.drop(1).headOption.map(_.toInt).getOrElse(200000)
+    val waves       = args.drop(2).headOption.map(_.toInt).getOrElse(5)
+    val maxPending  = args.drop(3).headOption.map(_.toInt).getOrElse(50)
+    val spark = GraftSession.local(16, "feed-scale-stream")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val opts = FeedOptions(batchSize = 50, maxRetries = 2,
+      manualCheckpoint = true, maxPending = maxPending)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Item]
+    val q = graft.streaming.FeedStream
+      .itemUpdates(ms.toDS(), GoldenFixture.TestProcessor, opts)
+      .writeStream.format("memory").queryName("feed_scale_stream")
+      .outputMode("append").start()
+
+    def wave(w: Int): Seq[Item] = (0 until perWave).map { j =>
+      val i = w.toLong * perWave + j
+      Item(s"i$i", s"p${i % nPartitions}", gate = 1,
+        updatedAt = new java.sql.Timestamp(i),
+        data = s"""{"times":1,"processed":0,"gate":1}""".getBytes(UTF_8))
+    }
+
+    val stateBytes = Array.newBuilder[Long]
+    val stateRows = Array.newBuilder[Long]
+    try {
+      (0 until waves).foreach { w =>
+        ms.addData(wave(w))
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators(0)
+        stateBytes += so.memoryUsedBytes
+        stateRows += so.numRowsTotal
+        println(s"[scale-stream] wave ${w + 1}/$waves: ingested=${(w + 1).toLong * perWave} " +
+          s"stateRows=${so.numRowsTotal} stateBytes=${so.memoryUsedBytes}")
+      }
+    } finally {
+      val parked = spark.table("feed_scale_stream")
+        .filter($"status" === Status.Available).count()
+      q.stop()
+      val total = waves.toLong * perWave
+      val resident = nPartitions.toLong * maxPending
+      val bytes = stateBytes.result()
+      // Wave 1 under-reports: the HDFS-backed store holds 2 batch versions
+      // in memory from batch 2 on, so steady state starts at wave 2.
+      val steady = if (bytes.length > 1) bytes(1) else bytes.head
+      val flat = bytes.last <= (steady * 11) / 10
+      val accounted = parked == total - resident
+      val rowsOk = stateRows.result().last == nPartitions.toLong
+      println(f"[scale-stream] total=$total resident=$resident parked=$parked " +
+        f"firstWaveBytes=${bytes.head} lastWaveBytes=${bytes.last}")
+      println(if (flat && accounted && rowsOk) "[scale-stream] PASS"
+        else s"[scale-stream] FAIL flat=$flat accounted=$accounted rows=$rowsOk")
+      spark.stop()
+    }
   }
 }

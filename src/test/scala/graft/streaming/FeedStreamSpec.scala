@@ -43,6 +43,60 @@ class FeedStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("processor fan-out: >=4x per-partition throughput with a slow processor, same results") {
+    val slow = new Processor {
+      def process(id: String, data: Array[Byte]): Either[ProcessorError, ProcessorResponse] = {
+        Thread.sleep(100)
+        Right(ProcessorResponse(0, complete = true, data))
+      }
+    }
+    val items = (1 to 16).map(i => Item(s"i$i", "p",
+      data = GoldenFixture.DataObj(1).marshal))
+    def run(par: Int): (Long, FeedState, List[Item]) = {
+      val opts = FeedOptions(batchSize = 16, maxRetries = 3, autoClose = true,
+        processorParallelism = par)
+      val t0 = System.nanoTime()
+      val (st, out) = FeedStream.advance("p",
+        FeedState(0, Status.Available, 0L, 0L, Nil), items, slow, opts)
+      ((System.nanoTime() - t0) / 1000000L, st, out)
+    }
+    val (seqMs, seqSt, seqOut) = run(par = 1)
+    val (parMs, parSt, parOut) = run(par = 16)
+    assert(seqSt == parSt, "fan-out must not change the state transition")
+    assert(seqOut.map(_.id).sorted == parOut.map(_.id).sorted &&
+      parOut.forall(_.status == Status.Complete))
+    assert(parMs * 4 <= seqMs,
+      s"expected >=4x speedup: sequential ${seqMs}ms vs parallel ${parMs}ms")
+  }
+
+  test("maxPending bounds carried state; overflow is emitted for parking and re-admits") {
+    // Gate frozen at 0 (manual checkpoint); arrivals sit at gate 5 so they
+    // can only wait — the state must hold at most maxPending of them.
+    val opts = FeedOptions(batchSize = 4, maxRetries = 3,
+      manualCheckpoint = true, maxPending = 3)
+    val arrivals = (1 to 10).map(i => Item(s"i$i", "p", gate = 5,
+      updatedAt = new java.sql.Timestamp(i * 1000L),
+      data = GoldenFixture.DataObj(1).marshal))
+    val (st, out) = FeedStream.advance("p",
+      FeedState(0, Status.Available, 0L, 0L, Nil), arrivals,
+      GoldenFixture.TestProcessor, opts)
+    assert(st.pending.size == 3, s"state holds ${st.pending.size} != maxPending")
+    val parked = out.filter(_.status == Status.Available)
+    assert(parked.size == 7, "overflow must be emitted for parking")
+    assert(parked.forall(_.version == 1), "parked rows carry a bumped version")
+    // Oldest stay resident; the emitted ones are the furthest from processing.
+    assert(st.pending.map(_.id).toSet == Set("i1", "i2", "i3"))
+
+    // Re-admission: parked rows come back as arrivals — nothing is lost,
+    // the bound still holds.
+    val (st2, out2) = FeedStream.advance("p", st, parked,
+      GoldenFixture.TestProcessor, opts)
+    assert(st2.pending.size == 3 &&
+      out2.count(_.status == Status.Available) == 7)
+    val all = (st2.pending ++ out2).map(_.id).toSet
+    assert(all == arrivals.map(_.id).toSet, "park cycle must not lose items")
+  }
+
   test("advance is deterministic and emits nothing for a frozen partition") {
     val frozen = FeedState(0, Status.Complete, 0L, 0L, Nil)
     val (st, out) = FeedStream.advance("p", frozen,
