@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization strategy for intermediate tables that are consumed by
+  * multiple downstream operators (LSH band tables, simhash signatures,
+  * feed replay iterations). Spark's CollapseProject otherwise inlines the
+  * expensive derived columns into every consumer — or the self-join
+  * recomputes the producing aggregation on both sides — so these tables
+  * must be cut out of the lineage once.
+  *
+  * The strategy is selected per session with
+  * `spark.conf.set("spark.graft.materialize", …)`:
+  *
+  *  - `local` (default): eager `localCheckpoint` — fastest (executor-local
+  *    blocks, no serialization to a reliable store), but pinned to the
+  *    executors that computed it and NOT fault-tolerant: one lost executor
+  *    fails the job instead of recomputing. The right call on local[*]
+  *    and interactive work.
+  *  - `reliable`: eager `checkpoint` to the reliable checkpoint dir
+  *    (`spark.graft.checkpointDir`, default under java.io.tmpdir) —
+  *    survives executor loss; the right call for long cluster jobs.
+  *  - `persist`: MEMORY_AND_DISK cache + eager force — keeps lineage, so
+  *    a lost partition recomputes instead of failing; cheapest of the
+  *    fault-tolerant options but re-exposes the recompute-per-consumer
+  *    cost exactly when blocks are evicted under memory pressure.
+  */
+object Materialize {
+
+  val StrategyKey = "spark.graft.materialize"
+  val CheckpointDirKey = "spark.graft.checkpointDir"
+
+  def apply[T](ds: Dataset[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    spark.conf.get(StrategyKey, "local") match {
+      case "reliable" =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = spark.conf.get(CheckpointDirKey,
+            sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-checkpoints")
+          sc.setCheckpointDir(dir)
+        }
+        ds.checkpoint(eager = true)
+      case "persist" =>
+        val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.count() // force now: consumers must not race the first fill
+        cached
+      case _ => ds.localCheckpoint(true)
+    }
+  }
+}

@@ -169,14 +169,14 @@ object FeedStep {
       processor: Processor,
       opts: FeedOptions,
       maxSteps: Int = 200): (Dataset[Item], Dataset[Partition], Int) = {
-    var curItems = items.localCheckpoint(true)
-    var curParts = partitions.localCheckpoint(true)
+    var curItems = items.transform(graft.Materialize(_))
+    var curParts = partitions.transform(graft.Materialize(_))
     var steps    = 0
     var quiet    = false
     while (!quiet && steps < maxSteps) {
       val res      = step(spark, curItems, curParts, processor, opts)
-      val newItems = res.items.localCheckpoint(true)
-      val newParts = res.partitions.localCheckpoint(true)
+      val newItems = res.items.transform(graft.Materialize(_))
+      val newParts = res.partitions.transform(graft.Materialize(_))
       quiet = itemFingerprint(newItems) == itemFingerprint(curItems) &&
         partitionFingerprint(newParts) == partitionFingerprint(curParts)
       curItems = newItems

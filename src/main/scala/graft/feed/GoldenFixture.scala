@@ -157,7 +157,7 @@ object GoldenFixture {
       .map(i => (i.id, i.partitionId, i.status, i.gate, i.retryCount, i.dataString))
       .toDF("id", "partition_id", "status", "gate", "retry_count", "data")
       .orderBy("id")
-      .localCheckpoint(true)
+      .transform(graft.Materialize(_))
   }
 
   /** Golden fixture through a real two-batch streaming query (M3 path) —
@@ -180,6 +180,6 @@ object GoldenFixture {
       .map(i => (i.id, i.partitionId, i.status, i.gate, i.retryCount, i.dataString))
       .toDF("id", "partition_id", "status", "gate", "retry_count", "data")
       .orderBy("id")
-      .localCheckpoint(true)
+      .transform(graft.Materialize(_))
   }
 }

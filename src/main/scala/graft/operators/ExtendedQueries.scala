@@ -12,13 +12,23 @@ import org.apache.spark.sql.functions._
 object ExtendedQueries {
 
   // Q23 — JSON functions (the payload codec D9, made oracle-safe by
-  // casting the extracted value to int on both engines).
+  // casting the extracted value to int on both engines). The parse sits
+  // inside explode(array(…)): a Generate output can't have predicates
+  // pushed through it, so the filter stays ABOVE the projection and the
+  // JSON is parsed exactly once per row — the plain aliased form gets the
+  // filter pushed below the Project and re-evaluates get_json_object in
+  // both (verified in ExtendedQueriesSpec's plan test).
   def q23(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        explode(array(get_json_object(col("props"), "$.k").cast("long"))).as("k"))
       .filter(col("k") > 50)
       .orderBy("event_id")
+
+  // Q35 — sliding window (2h width, 1h slide): each event lands in two
+  // overlapping windows; the oracle unrolls window membership explicitly.
+  def q35(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.sliding(Tables(s, dir).events, "2 hours", "1 hour")
 
   // Q24 — INTERSECT (set-op family completion; EXCEPT is Q12).
   def q24(s: SparkSession, dir: String): DataFrame = {
@@ -119,6 +129,7 @@ object ExtendedQueries {
     "q27_tumbling"      -> (q27 _),
     "q28_sessions"      -> (q28 _),
     "q29_enrich_join"   -> (q29 _),
+    "q35_sliding"       -> (q35 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -158,5 +169,8 @@ object ExtendedQueries {
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "q29_enrich_join" ->
       "SELECT c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q35_sliding" ->
+      ("SELECT time_bucket(INTERVAL '1 hour', ts) - to_hours(k) AS ws, COUNT(*) AS cnt " +
+        "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks GROUP BY 1 ORDER BY ws"),
   )
 }

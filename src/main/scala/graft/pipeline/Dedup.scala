@@ -73,7 +73,7 @@ object Dedup {
     val bandTable = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize(_))
 
     bandTable.as("a")
       .join(bandTable.as("b"),
@@ -88,7 +88,7 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleSize: Int): DataFrame = {
     // Materialized: joined twice (left and right side of each pair).
     val sets = spread(docs).select(col("doc_id"), shingles(shingleSize).as("sh"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize(_))
     pairs
       .join(sets.select(col("doc_id").as("left_id"), col("sh").as("lsh")), Seq("left_id"))
       .join(sets.select(col("doc_id").as("right_id"), col("sh").as("rsh")), Seq("right_id"))
@@ -164,7 +164,7 @@ object Dedup {
     // final decision join) and exchange reuse does not fire across them.
     val withSim = bitSums
       .select(col("doc_id"), simhashCol.as("simhash"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize(_))
       .withColumn("chunks", expr(
         "transform(sequence(0, 3), c -> struct(c AS chunk, CAST(shiftright(simhash, c * 16) & 65535 AS INT) AS ch))"))
 

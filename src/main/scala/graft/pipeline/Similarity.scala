@@ -81,7 +81,7 @@ object Similarity {
         s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, CAST(shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS INT) AS bucket))"))
       .select(col("vec_id"), col("embedding"), explode(col("bandArr")).as("bb"))
       .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize(_))
   }
 
   /** Approximate top-k via random-hyperplane LSH: vectors sharing a

@@ -1,0 +1,23 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtendedQueriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q23 parses the JSON exactly once per row (filter not pushed through the parse)") {
+    val plan = ExtendedQueries.q23(spark, sf0001).queryExecution.executedPlan.toString
+    val parses = "get_json_object".r.findAllIn(plan).length
+    assert(parses == 1, s"expected a single get_json_object in the plan, found $parses:\n" +
+      plan.linesIterator.filter(_.contains("get_json_object")).mkString("\n"))
+  }
+
+  test("q35 sliding window assigns each event to exactly width/slide windows") {
+    import org.apache.spark.sql.functions._
+    val n = graft.Tables(spark, sf0001).events.count()
+    val windowed = ExtendedQueries.q35(spark, sf0001)
+      .agg(sum("cnt")).head().getLong(0)
+    assert(windowed == 2 * n, s"every event must land in 2 overlapping windows: $windowed vs ${2 * n}")
+  }
+}

@@ -104,6 +104,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(10001L).getAs[Double]("best_cos") == 1.0)
   }
 
+  test("materialization strategies (reliable/persist) produce identical results") {
+    import graft.Materialize
+    val local = Dedup.minhashDedup(docs).collect().map(_.toString).sorted
+    for (strategy <- Seq("reliable", "persist")) {
+      spark.conf.set(Materialize.StrategyKey, strategy)
+      try {
+        val got = Dedup.minhashDedup(docs).collect().map(_.toString).sorted
+        assert(got.sameElements(local), s"strategy $strategy diverged")
+      } finally spark.conf.unset(Materialize.StrategyKey)
+    }
+    // The reliable path really went through the checkpoint dir.
+    assert(spark.sparkContext.getCheckpointDir.isDefined)
+  }
+
   test("text quality stats are consistent") {
     val r = TextAnalysis.textQuality(docs).filter(col("doc_id") === 0).head()
     assert(r.getLong(1) == 23, "doc 0 has 23 tokens")
