@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * so the timing reflects real work. One untimed warmup run absorbs
   * JVM/codegen/session startup so per-query numbers measure the plan, not
   * the first-use overhead.
+  *
+  * Noise hardening (the container shares a noisy host, BASELINE.md):
+  * best-of-3 timed runs per query — min-of-N is the standard estimator
+  * when the only error source is additive host noise. The JSON line also
+  * carries machine-checkable health: `errors` lists queries that threw
+  * (a broken query must not read as a fast one), and `plan_violations`
+  * lists plan-fingerprint failures (a CartesianProduct anywhere, or q1's
+  * nanos-timestamp filter not reaching the parquet scan) so a regression
+  * in plan shape is visible even when the wall-clock looks plausible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,19 +44,38 @@ object Bench {
     // Verify); their constant iteration overhead is not a function of SF
     // and would distort throughput numbers.
     val headline = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("feed_"))
-    // Best of two timed runs per query: the container shares a noisy host
-    // (see BASELINE.md); min-of-N is the standard noise-resistant estimator
-    // for cold-cache-free benchmarks.
+
+    // Plan fingerprints, checked once per query before timing.
+    val violations = Seq.newBuilder[String]
+    headline.foreach { name =>
+      try {
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          violations += s"$name:CartesianProduct"
+        if (name == "q1_scan_filter" &&
+            !(plan.contains("PushedFilters") && plan.contains("LessThan(ts")))
+          violations += s"$name:nanos-filter-not-pushed"
+      } catch { case _: Throwable => () } // surfaces below as a run error
+    }
+
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try run(name) catch { case _: Throwable => errors += name }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = headline.map { name => name -> math.min(timed(name), timed(name)) }
+    val results = headline.map { name =>
+      name -> Seq(timed(name), timed(name), timed(name)).min
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def strArr(xs: Iterable[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","runs":3,"estimator":"min",""" +
+      s""""errors":${strArr(errors)},"plan_violations":${strArr(violations.result())}}""")
     spark.stop()
   }
 }

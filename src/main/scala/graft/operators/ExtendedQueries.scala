@@ -30,6 +30,33 @@ object ExtendedQueries {
   def q35(s: SparkSession, dir: String): DataFrame =
     EventAnalytics.sliding(Tables(s, dir).events, "2 hours", "1 hour")
 
+  // Q36 — pivot: event counts per user spread across event-type columns
+  // (Spark's relational pivot; oracle via conditional aggregation, the
+  // form both engines plan as one hash aggregate).
+  def q36(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .filter(col("user_id") < 30)
+      .orderBy("user_id")
+
+  // Q37 — correlated EXISTS subquery (customers with any open order above
+  // their own account balance) — exercises Catalyst's subquery decorrelation
+  // into a semi join.
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.createOrReplaceTempView("q37_customer")
+    t.orders.createOrReplaceTempView("q37_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM q37_customer
+        | WHERE EXISTS (SELECT 1 FROM q37_orders
+        |   WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        |     AND o_totalprice > c_acctbal)
+        | ORDER BY c_custkey""".stripMargin)
+  }
+
   // Q24 — INTERSECT (set-op family completion; EXCEPT is Q12).
   def q24(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir).orders
@@ -130,6 +157,8 @@ object ExtendedQueries {
     "q28_sessions"      -> (q28 _),
     "q29_enrich_join"   -> (q29 _),
     "q35_sliding"       -> (q35 _),
+    "q36_pivot"         -> (q36 _),
+    "q37_exists"        -> (q37 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -172,5 +201,16 @@ object ExtendedQueries {
     "q35_sliding" ->
       ("SELECT time_bucket(INTERVAL '1 hour', ts) - to_hours(k) AS ws, COUNT(*) AS cnt " +
         "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks GROUP BY 1 ORDER BY ws"),
+    "q36_pivot" ->
+      ("SELECT user_id, " +
+        "COUNT(*) FILTER (event_type = 'click') AS click, " +
+        "COUNT(*) FILTER (event_type = 'view') AS view, " +
+        "COUNT(*) FILTER (event_type = 'purchase') AS purchase, " +
+        "COUNT(*) FILTER (event_type = 'error') AS error " +
+        "FROM events GROUP BY user_id HAVING user_id < 30 ORDER BY user_id"),
+    "q37_exists" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_orderstatus = 'O' AND o_totalprice > c_acctbal) " +
+        "ORDER BY c_custkey"),
   )
 }

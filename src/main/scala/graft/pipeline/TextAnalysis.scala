@@ -59,28 +59,32 @@ object TextAnalysis {
     val spread = docs.repartition(spark.sparkContext.defaultParallelism)
     val tok = spread.select(col("doc_id"), col("lang"), explode(tokens).as("token"))
 
-    // ONE stats job: rollup gives per-lang token totals + doc counts, and
-    // the grand-total row carries the global vocabulary and corpus size —
-    // no separate distinct().count() / docs.count() driver actions.
-    val statRows = tok.rollup("lang")
-      .agg(count(lit(1)).as("n_tok"),
-        countDistinct("doc_id").as("n_docs"),
-        countDistinct("token").as("n_vocab"))
+    // The token stream is scanned ONCE for the (lang, token) term counts;
+    // every model statistic (per-lang totals, vocabulary size) derives
+    // from that tiny table (|langs| × vocab rows), and the priors from a
+    // one-column docs aggregate — no countDistinct shuffle over the
+    // exploded stream, no extra driver actions on big data.
+    val pairCounts = tok.groupBy(col("lang").as("model_lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.Materialize(_))
+    val statRows = pairCounts.rollup("model_lang")
+      .agg(sum("tf").as("n_tok"), countDistinct("token").as("n_vocab"))
       .collect()
-    val totalRow = statRows.find(_.isNullAt(0)).get
-    val vocabSize = totalRow.getAs[Long]("n_vocab")
-    val nDocs = math.max(totalRow.getAs[Long]("n_docs"), 1L)
+    val vocabSize = statRows.find(_.isNullAt(0)).get.getAs[Long]("n_vocab")
+    val docCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    val nDocs = math.max(docCounts.valuesIterator.sum, 1L)
     val langInfo = statRows.filterNot(_.isNullAt(0)).map { r =>
+      val lang = r.getAs[String]("model_lang")
       val langTotal = r.getAs[Long]("n_tok")
-      (r.getAs[String]("lang"),
-        math.log(r.getAs[Long]("n_docs").toDouble / nDocs), // log prior
-        math.log(1.0 / (langTotal + vocabSize)),            // unseen-pair floor
+      (lang,
+        math.log(docCounts.getOrElse(lang, 1L).toDouble / nDocs), // log prior
+        math.log(1.0 / (langTotal + vocabSize)),                  // unseen-pair floor
         langTotal)
     }.toSeq.toDF("model_lang", "log_prior", "floor_logp", "lang_total")
 
     // log P(token|lang) with add-one smoothing, for every OBSERVED pair.
-    val model = tok.groupBy(col("lang").as("model_lang"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val model = pairCounts
       .join(broadcast(langInfo.select("model_lang", "lang_total")), Seq("model_lang"))
       .select(col("model_lang"), col("token"),
         log((col("tf") + 1) / (col("lang_total") + vocabSize)).as("logp"))

@@ -164,16 +164,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(0) != fp(1))
   }
 
-  test("multimodal features: batched stub decode preserves rows and shapes") {
+  test("multimodal: real PNG and WAV decodes recover synthesized dimensions and samples") {
     val out = Multimodal.extractFeatures(Multimodal.attachPayloads(docs), batchSize = 7)
     val rows = out.collect()
     assert(rows.length == docs.count())
-    rows.foreach { r =>
-      val feats = r.getAs[scala.collection.Seq[Float]]("features")
-      assert(feats.length == 8)
-      assert(math.abs(feats.sum - 1.0f) < 1e-3, "histogram normalized")
-    }
     val kinds = rows.map(_.getAs[String]("kind")).toSet
     assert(kinds == Set("image", "audio", "video"))
+
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val feats = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(feats.length == 8)
+      r.getAs[String]("kind") match {
+        case "image" =>
+          // The decoder must recover the EXACT dimensions the PNG encoder
+          // wrote — a real parse, not metadata passthrough.
+          assert(r.getAs[Int]("decoded_w") == ((id % 8) * 8 + 16).toInt, s"doc $id width")
+          assert(r.getAs[Int]("decoded_h") == ((id % 4) * 8 + 16).toInt, s"doc $id height")
+          assert(feats.take(3).forall(f => f > 0f && f <= 1f), "mean RGB in (0,1]")
+        case "audio" =>
+          // Sample count must match the synthesized PCM length exactly.
+          assert(r.getAs[Long]("n_samples") == ((id % 4) + 1) * 1600, s"doc $id samples")
+          val rms = feats(0); val peak = feats(1); val zcr = feats(2)
+          assert(rms > 0.1f && rms < 0.5f, s"sine RMS ~0.26, got $rms")
+          assert(peak > 0.3f && peak <= 0.4f, s"peak ~12000/32768, got $peak")
+          assert(zcr > 0f && zcr < 0.2f, s"zcr for 200-1000 Hz at 16 kHz, got $zcr")
+        case _ =>
+          assert(math.abs(feats.sum - 1.0f) < 1e-3, "video stub histogram normalized")
+      }
+    }
+  }
+
+  test("multimodal decode is deterministic across runs (batch boundaries irrelevant)") {
+    val a = Multimodal.extractFeatures(Multimodal.attachPayloads(docs), batchSize = 7)
+      .collect().map(_.toString).sorted
+    val b = Multimodal.extractFeatures(Multimodal.attachPayloads(docs), batchSize = 64)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
   }
 }
