@@ -109,6 +109,70 @@ object Similarity {
       .orderBy(asc("query_id"), desc("sim"), asc("vec_id"))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer splits the corpus
+    * into `nList` cells; a query probes only its `nProbe` nearest cells
+    * and runs exact cosine there. The 100-TB shape: the centroid table is
+    * tiny (nList × dim) and broadcast everywhere; assignment is one
+    * broadcast nested-loop over nList alternatives reduced by a per-vector
+    * argmin (a scan, no shuffle wider than the assignment table); search
+    * touches ~nProbe/nList of the corpus via an equi-join on `cell`.
+    * Lloyd iterations are plain DataFrame aggregations (posexplode →
+    * per-(cell, dim) mean), seeded deterministically from hash-ordered
+    * corpus vectors — no RNG state, reproducible across executors. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+      nList: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val seeds = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"))).limit(nList)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+    var centroids: DataFrame = seeds.toSeq.toDF("cell", "cvec")
+
+    def assign(cents: DataFrame): DataFrame =
+      emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine("embedding", "cvec").as("csim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "embedding", "cell")
+
+    (0 until iters).foreach { _ =>
+      centroids = assign(centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+        .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cvec"))
+        .transform(graft.Materialize(_))
+    }
+    val assigned = assign(centroids).transform(graft.Materialize(_))
+
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("cell"),
+        cosine("qe", "cvec").as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qe", "cell")
+
+    assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(spark, "embedding", "qe"), 4).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim")
+      .orderBy(asc("query_id"), desc("sim"), asc("vec_id"))
+  }
+
   /** Embedding near-duplicate detection: LSH-bucketed pairs with cosine ≥
     * threshold, reduced to a keep-first decision per vector (never empty). */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.9,
@@ -137,6 +201,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_knn_cosine"    -> ((s, d) => bruteForceTopK(Tables(s, d).embeddings)),
     "knn_ann_lsh"       -> ((s, d) => annTopK(Tables(s, d).embeddings)),
+    "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
     "dedup_embedding"   -> ((s, d) => embeddingNearDup(Tables(s, d).embeddings)),
   )
 

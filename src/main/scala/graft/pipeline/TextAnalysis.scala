@@ -119,6 +119,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token counting, both ways a data pipeline needs it: whitespace
+    * tokens and a BPE-ish pre-tokenizer count (letter runs / digit runs /
+    * single punctuation — the GPT-2-style pre-split that upper-bounds BPE
+    * merge input). Pure codegen'd regexp, zero shuffle. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+      .withColumn("tokens_ratio",
+        round(col("bpe_tokens") / col("ws_tokens"), 4))
+      .orderBy("doc_id")
+
   /** Document fingerprint: order-sensitive rolling hash over the token
     * stream (rotate-left 5, xor token hash — pure bitwise ops, so it wraps
     * instead of tripping ANSI overflow checks), fully inside a higher-order
@@ -136,6 +151,7 @@ object TextAnalysis {
     "q20_text_quality" -> ((s, d) => textQuality(Tables(s, d).documents)),
     "q21_token_freq"   -> ((s, d) => tokenFrequency(Tables(s, d).documents)),
     "langid_ngram"     -> ((s, d) => languageId(Tables(s, d).documents)),
+    "q38_token_counts" -> ((s, d) => tokenCounts(Tables(s, d).documents)),
     "doc_fingerprint"  -> ((s, d) => fingerprint(Tables(s, d).documents)),
   )
 
@@ -150,5 +166,10 @@ object TextAnalysis {
     "q21_token_freq" ->
       ("SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
+    "q38_token_counts" ->
+      ("SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens, " +
+        "ROUND(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) / length(string_split(text, ' ')), 4) AS tokens_ratio " +
+        "FROM documents ORDER BY doc_id"),
   )
 }

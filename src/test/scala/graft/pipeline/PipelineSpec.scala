@@ -77,6 +77,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ANN recall $recall collapsed — LSH bucketing broken?")
   }
 
+  test("ivf ann: k rows per query and useful recall vs brute force") {
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, nQueries = 2, k = 5).collect()
+    assert(ivf.length == 2 * 5, "k rows per query")
+    val got = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF recall $recall collapsed — quantizer broken?")
+    // Scores are exact cosines, so every reported sim must match the
+    // brute-force sim for the same pair.
+    val bfSims = Similarity.bruteForceTopK(emb, nQueries = 2, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bfSims.get(key).foreach(s => assert(s == r.getDouble(2), s"sim mismatch at $key"))
+    }
+  }
+
   test("embedding near-dup emits one row per vector") {
     assert(Similarity.embeddingNearDup(emb).count() == emb.count())
   }
