@@ -145,7 +145,24 @@ object ExtendedQueries {
         round(corr(col("value"), col("user_id")), 4).as("c"))
       .orderBy("event_type")
 
+  // Sketch aggregates (no DuckDB twin — estimator implementations differ
+  // by engine, so no hash match is possible; the tolerance contract is
+  // asserted in ExtendedQueriesSpec instead): HLL++ distinct-count
+  // estimation per group, next to the exact count it approximates. At
+  // 100 TB the sketch is the only viable distinct count: fixed-size
+  // mergeable state per group vs a shuffle of every distinct key.
+  def sketchHll(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("event_id"), 0.05).as("approx_events"),
+        count(lit(1)).as("exact_events"))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll"        -> (sketchHll _),
     "q30_array_fns"     -> (q30 _),
     "q31_interval_fns"  -> (q31 _),
     "q34_stats_aggs"    -> (q34 _),

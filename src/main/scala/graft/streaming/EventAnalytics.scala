@@ -63,6 +63,17 @@ object EventAnalytics {
       .transform(sortedIfBatch("click_id", "purchase_id"))
   }
 
+  /** Streaming exact dedup on `event_id` with bounded state: duplicates
+    * arriving within the watermark horizon are dropped, and per-key state
+    * is EVICTED once the watermark passes (dropDuplicatesWithinWatermark)
+    * — unlike plain dropDuplicates on a stream, which keys state on all
+    * history and grows without bound. The batch path is `Dedup.exact`'s
+    * shape (plain dropDuplicates), so one function serves both. */
+  def dedupEvents(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Session windows per user with an inactivity gap: consecutive events
     * closer than `gap` merge into one session. Built on session_window —
     * identical semantics batch and streaming (break when diff >= gap:

@@ -6,13 +6,22 @@ import graft.sinks.OccSink
 import graft.streaming.{FeedStream, FeedStreamTws}
 
 /** End-to-end smoke: golden item stream → flatMapGroupsWithState feed →
-  * foreachBatch OCC sink → parquet table. Prints the final table. */
+  * foreachBatch OCC sink → parquet table (or, with `jdbc`, conditional
+  * versioned saves into an embedded Derby database — the cluster
+  * deployment's write path). `tws` switches the state operator to
+  * transformWithState on RocksDB. Prints the final table. */
 object OccSmoke {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, "occ-smoke")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("occ_smoke").resolve("items").toString
+    val useJdbc = args.contains("jdbc")
+    val jdbcUrl = s"jdbc:derby:$dir-db;create=true"
+    if (useJdbc) {
+      val conn = JdbcStore.connect(jdbcUrl)
+      try JdbcStore.migrate(conn) finally conn.close()
+    }
 
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Item]
     val useTws = args.contains("tws")
@@ -26,14 +35,18 @@ object OccSmoke {
         FeedStream.itemUpdates(ms.toDS(), GoldenFixture.TestProcessor,
           GoldenFixture.options, FeedStream.initialState(GoldenFixture.partitions))
     val q = updates.writeStream
-      .foreachBatch(OccSink.writer(dir))
+      .foreachBatch(if (useJdbc) OccSink.jdbcWriter(jdbcUrl) else OccSink.writer(dir))
       .outputMode("append").start()
     try {
       ms.addData(GoldenFixture.items.take(8)); q.processAllAvailable()
       ms.addData(GoldenFixture.items.drop(8)); q.processAllAvailable()
     } finally q.stop()
 
-    val table = spark.read.parquet(dir).as[Item].collect().sortBy(_.id)
+    val table =
+      if (useJdbc) {
+        val conn = JdbcStore.connect(jdbcUrl)
+        try JdbcStore.allItems(conn).sortBy(_.id).toArray finally conn.close()
+      } else spark.read.parquet(dir).as[Item].collect().sortBy(_.id)
     table.foreach(i => println(
       s"[occ] ${i.id} status=${i.status} gate=${i.gate} v=${i.version} data=${i.dataString.trim}"))
     val expect = GoldenFixture.goldenTerminalTransitions

@@ -13,6 +13,32 @@ class ExtendedQueriesSpec extends AnyFunSuite {
       plan.linesIterator.filter(_.contains("get_json_object")).mkString("\n"))
   }
 
+  test("HLL sketch estimates land within the configured rsd of exact counts") {
+    ExtendedQueries.sketchHll(spark, sf0001).collect().foreach { r =>
+      val (approxU, exactU) = (r.getAs[Long]("approx_users"), r.getAs[Long]("exact_users"))
+      val (approxE, exactE) = (r.getAs[Long]("approx_events"), r.getAs[Long]("exact_events"))
+      // rsd 0.05 → allow 3σ = 15%.
+      assert(math.abs(approxU - exactU) <= math.max(0.15 * exactU, 2),
+        s"${r.getString(0)}: users $approxU vs $exactU")
+      assert(math.abs(approxE - exactE) <= math.max(0.15 * exactE, 2),
+        s"${r.getString(0)}: events $approxE vs $exactE")
+    }
+  }
+
+  test("count-min sketch frequency estimates are upper bounds within tolerance") {
+    val events = graft.Tables(spark, sf0001).events
+    val cms = events.stat.countMinSketch("user_id",
+      eps = 0.01, confidence = 0.95, seed = 42)
+    val exact = events.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (uid, cnt) =>
+      val est = cms.estimateCount(uid)
+      assert(est >= cnt, s"CMS must never undercount: user $uid $est < $cnt")
+      assert(est <= cnt + (0.01 * n).toLong + 1, s"user $uid overcount $est vs $cnt")
+    }
+  }
+
   test("q35 sliding window assigns each event to exactly width/slide windows") {
     import org.apache.spark.sql.functions._
     val n = graft.Tables(spark, sf0001).events.count()

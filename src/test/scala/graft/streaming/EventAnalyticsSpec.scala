@@ -38,6 +38,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(streamed.length == 3, "00:00 window (2 clicks), 06:00 (view), 12:00 (click)")
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark and bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventAnalytics.dedupEvents(stream, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0, "{}"),
+        (2L, ts("2024-01-01 00:01:00"), 1L, "a", 1.0, "{}"))
+      q.processAllAvailable()
+      // Batch 2: a duplicate of id 1 inside the horizon (dropped) plus a
+      // new id far ahead that advances the watermark past id 1's state.
+      ms.addData(
+        (1L, ts("2024-01-01 00:02:00"), 1L, "a", 9.0, "{}"),
+        (3L, ts("2024-01-01 01:00:00"), 1L, "a", 1.0, "{}"))
+      q.processAllAvailable()
+      val afterDup = spark.table("dedup_out").count()
+      assert(afterDup == 3, s"duplicate must be dropped: $afterDup rows")
+      val state = q.lastProgress.stateOperators(0)
+      assert(state.numRowsTotal <= 2,
+        s"state must evict keys behind the watermark, holds ${state.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("sessions merge events within gap and split across it") {
     import spark.implicits._
     val rows = Seq(
