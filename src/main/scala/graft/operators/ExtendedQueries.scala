@@ -145,6 +145,49 @@ object ExtendedQueries {
         round(corr(col("value"), col("user_id")), 4).as("c"))
       .orderBy("event_type")
 
+  // Q39 — analytic window family: lag/lead offsets, ntile bucketing,
+  // percent_rank — the remaining window functions q10/q11 don't cover.
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(s, dir).events
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("event_id"),
+        lag("event_id", 1).over(w).as("prev_id"),
+        lead("event_id", 1).over(w).as("next_id"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pr"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // Q40 — RANGE window frame over a numeric ordering: running count of
+  // events within a value band per user (rangeBetween, not rowsBetween —
+  // peers are included by VALUE distance).
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value"))
+      .rangeBetween(-5L, org.apache.spark.sql.expressions.Window.currentRow)
+    Tables(s, dir).events
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("v"),
+        count(lit(1)).over(w).as("near_cnt"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // Q41 — correlated scalar subquery (max open-order price per customer),
+  // decorrelated by Catalyst into an aggregate + left join.
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.createOrReplaceTempView("q41_customer")
+    t.orders.createOrReplaceTempView("q41_orders")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |   ROUND((SELECT MAX(o_totalprice) FROM q41_orders
+        |          WHERE o_custkey = c_custkey AND o_orderstatus = 'O'), 2) AS max_open
+        | FROM q41_customer WHERE c_custkey < 300
+        | ORDER BY c_custkey""".stripMargin)
+  }
+
   // Sketch aggregates (no DuckDB twin — estimator implementations differ
   // by engine, so no hash match is possible; the tolerance contract is
   // asserted in ExtendedQueriesSpec instead): HLL++ distinct-count
@@ -176,6 +219,9 @@ object ExtendedQueries {
     "q35_sliding"       -> (q35 _),
     "q36_pivot"         -> (q36 _),
     "q37_exists"        -> (q37 _),
+    "q39_win_analytics" -> (q39 _),
+    "q40_range_frame"   -> (q40 _),
+    "q41_scalar_subq"   -> (q41 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -229,5 +275,21 @@ object ExtendedQueries {
       ("SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders " +
         "WHERE o_custkey = c_custkey AND o_orderstatus = 'O' AND o_totalprice > c_acctbal) " +
         "ORDER BY c_custkey"),
+    "q39_win_analytics" ->
+      ("SELECT user_id, event_id, " +
+        "lag(event_id, 1) OVER w AS prev_id, lead(event_id, 1) OVER w AS next_id, " +
+        "CAST(ntile(4) OVER w AS INT) AS quartile, ROUND(percent_rank() OVER w, 4) AS pr " +
+        "FROM events WHERE user_id < 5 " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, event_id"),
+    "q40_range_frame" ->
+      ("SELECT user_id, event_id, ROUND(value, 2) AS v, " +
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY value " +
+        "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS near_cnt " +
+        "FROM events WHERE user_id < 5 ORDER BY user_id, event_id"),
+    "q41_scalar_subq" ->
+      ("SELECT c_custkey, c_name, ROUND((SELECT MAX(o_totalprice) FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_orderstatus = 'O'), 2) AS max_open " +
+        "FROM customer WHERE c_custkey < 300 ORDER BY c_custkey"),
   )
 }
