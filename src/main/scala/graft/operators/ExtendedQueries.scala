@@ -266,10 +266,10 @@ object ExtendedQueries {
         "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks GROUP BY 1 ORDER BY ws"),
     "q36_pivot" ->
       ("SELECT user_id, " +
-        "COUNT(*) FILTER (event_type = 'click') AS click, " +
-        "COUNT(*) FILTER (event_type = 'view') AS view, " +
-        "COUNT(*) FILTER (event_type = 'purchase') AS purchase, " +
-        "COUNT(*) FILTER (event_type = 'error') AS error " +
+        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "COUNT(*) FILTER (WHERE event_type = 'view') AS view, " +
+        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "COUNT(*) FILTER (WHERE event_type = 'error') AS error " +
         "FROM events GROUP BY user_id HAVING user_id < 30 ORDER BY user_id"),
     "q37_exists" ->
       ("SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders " +

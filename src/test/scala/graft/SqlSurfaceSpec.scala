@@ -17,7 +17,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q9_anti_join", "q10_rank_window", "q11_frame_window", "q12_set_op",
     "q13_rollup", "q14_scalar_fns", "q15_cond_agg", "q16_pricing",
     "q17_time_window", "q18_retry_stats", "q19_dedup_exact",
-    "q24_intersect", "q25_cube", "q26_scalars", "q32_range_join")
+    "q24_intersect", "q25_cube", "q26_scalars", "q32_range_join",
+    "q36_pivot", "q37_exists", "q39_win_analytics", "q40_range_frame",
+    "q41_scalar_subq")
 
   private lazy val allQueries = RelationalQueries.all ++ ExtendedQueries.all ++
     TemporalJoins.all ++ graft.pipeline.Dedup.queries
