@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Cluster-deploy registration: everything graft injects into a session,
+  * packaged as a `SparkSessionExtensions` hook so an unmodified Spark
+  * distribution picks it up from configuration alone:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  * }}}
+  *
+  * Injected: the nanos-timestamp pushdown rule
+  * ([[plans.PushNanosTimestampFilters]]) into the optimizer, and the
+  * codegen'd `cosine_sim` SQL function. `Tables`/`CosineSimilarity` keep
+  * their lightweight on-the-fly registration (experimental optimizations +
+  * temp function) for sessions created without the conf — both paths
+  * install the same objects, so either entry point yields the same plans.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => plans.PushNanosTimestampFilters)
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[functions.CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.CosineSimilarity(exprs.head, exprs(1))))
+  }
+}

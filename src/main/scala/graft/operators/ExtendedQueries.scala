@@ -188,6 +188,34 @@ object ExtendedQueries {
         | ORDER BY c_custkey""".stripMargin)
   }
 
+  // Q42 — map functions: build a map per row (map_from_arrays), read it
+  // back via element_at / map_keys / map_contains_key. The oracle computes
+  // the same scalars directly — hash-matching validates the map round-trip
+  // without relying on cross-engine map serialization.
+  def q42(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .filter(col("event_id") < 200)
+      .withColumn("m", map_from_arrays(
+        array(lit("et"), lit("uid")),
+        array(col("event_type"), col("user_id").cast("string"))))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "et").as("et_val"),
+        element_at(col("m"), "uid").as("uid_val"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        map_contains_key(col("m"), "et").as("has_et"))
+      .orderBy("event_id")
+
+  // Q43 — generator/UDTF surface: posexplode over the token array with
+  // ordinality, checked against DuckDB's unnest + generate_subscripts.
+  def q43(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("token"))
+      .orderBy("doc_id", "pos")
+
   // Sketch aggregates (no DuckDB twin — estimator implementations differ
   // by engine, so no hash match is possible; the tolerance contract is
   // asserted in ExtendedQueriesSpec instead): HLL++ distinct-count
@@ -222,6 +250,8 @@ object ExtendedQueries {
     "q39_win_analytics" -> (q39 _),
     "q40_range_frame"   -> (q40 _),
     "q41_scalar_subq"   -> (q41 _),
+    "q42_map_fns"       -> (q42 _),
+    "q43_posexplode"    -> (q43 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -291,5 +321,13 @@ object ExtendedQueries {
       ("SELECT c_custkey, c_name, ROUND((SELECT MAX(o_totalprice) FROM orders " +
         "WHERE o_custkey = c_custkey AND o_orderstatus = 'O'), 2) AS max_open " +
         "FROM customer WHERE c_custkey < 300 ORDER BY c_custkey"),
+    "q42_map_fns" ->
+      ("SELECT event_id, event_type AS et_val, CAST(user_id AS VARCHAR) AS uid_val, " +
+        "CAST(2 AS BIGINT) AS n_keys, TRUE AS has_et " +
+        "FROM events WHERE event_id < 200 ORDER BY event_id"),
+    "q43_posexplode" ->
+      ("SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos, " +
+        "unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id < 5 ORDER BY doc_id, pos"),
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The conf-only deploy path: a session created with
+  * `spark.sql.extensions=graft.GraftExtensions` gets the optimizer rule
+  * and the SQL function with no graft code called first. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private def withExtensionSession[T](f: SparkSession => T): T = {
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions applies even on a shared SparkContext; the
+    // spark.sql.extensions conf spelling is equivalent but static — it
+    // only takes effect on a fresh context (i.e., under spark-submit).
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-spec")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try f(s)
+    finally {
+      // Shared SparkContext: don't stop it, just restore the session.
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setActiveSession)
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("cosine_sim resolves from the extension with no manual registration") {
+    withExtensionSession { s =>
+      val r = s.sql(
+        "SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+          "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c").head().getDouble(0)
+      assert(r == 1.0)
+    }
+  }
+
+  test("nanos pushdown rule is active in the injected optimizer") {
+    withExtensionSession { s =>
+      val df = s.range(1).selectExpr("id * 1000 AS ns")
+        .withColumn("ts", expr("timestamp_micros(ns div 1000)"))
+        .filter(expr("ts < TIMESTAMP '1970-01-01 00:10:00'"))
+      // 10 min = 6e8 µs → derived long bound on the raw column = 6e11 ns.
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("600000000000"),
+        s"derived ns bound missing from optimized plan:\n$opt")
+    }
+  }
+}
