@@ -71,29 +71,23 @@ object JdbcItemsSource {
       i.gate, i.status, i.retryCount, UTF8String.fromString(i.errorMessages),
       DateTimeUtils.fromJavaTimestamp(i.updatedAt), i.version, i.data))
 
-  /** Items in `(lo, hi]`, oldest first. */
-  private[sources] def window(url: String, prefix: String, lo: Timestamp,
-      hi: Timestamp): Seq[Item] = {
-    val conn = JdbcStore.connect(url)
-    try {
-      val ps = conn.prepareStatement(
-        s"""SELECT id, partition_id, gate, status, retry_count, error_messages,
-           | updated_at, version, data FROM ${prefix}items
-           | WHERE updated_at > ? AND updated_at <= ? ORDER BY updated_at""".stripMargin)
-      try {
-        ps.setTimestamp(1, lo)
-        ps.setTimestamp(2, hi)
-        val rs = ps.executeQuery()
-        val out = Seq.newBuilder[Item]
-        while (rs.next()) out += Item(
-          id = rs.getString(1), partitionId = rs.getString(2),
-          gate = rs.getInt(3), status = rs.getInt(4), retryCount = rs.getInt(5),
-          errorMessages = rs.getString(6), updatedAt = rs.getTimestamp(7),
-          version = rs.getInt(8),
-          data = Option(rs.getBytes(9)).getOrElse(Array.emptyByteArray))
-        out.result()
-      } finally ps.close()
-    } finally conn.close()
+  private[sources] def readItem(rs: java.sql.ResultSet): Item = Item(
+    id = rs.getString(1), partitionId = rs.getString(2),
+    gate = rs.getInt(3), status = rs.getInt(4), retryCount = rs.getInt(5),
+    errorMessages = rs.getString(6), updatedAt = rs.getTimestamp(7),
+    version = rs.getInt(8),
+    data = Option(rs.getBytes(9)).getOrElse(Array.emptyByteArray))
+
+  private[sources] def windowStatement(conn: java.sql.Connection, prefix: String,
+      lo: Timestamp, hi: Timestamp): java.sql.PreparedStatement = {
+    val ps = conn.prepareStatement(
+      s"""SELECT id, partition_id, gate, status, retry_count, error_messages,
+         | updated_at, version, data FROM ${prefix}items
+         | WHERE updated_at > ? AND updated_at <= ? ORDER BY updated_at""".stripMargin)
+    ps.setFetchSize(1000) // cursor streaming, not a full materialization
+    ps.setTimestamp(1, lo)
+    ps.setTimestamp(2, hi)
+    ps
   }
 }
 
@@ -217,13 +211,17 @@ final class JdbcWindowReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JdbcWindowPartition]
     new PartitionReader[InternalRow] {
-      // One bounded result set per partition, streamed through JDBC.
-      private val it = JdbcItemsSource.window(p.url, p.prefix, p.lo, p.hi).iterator
+      // Rows stream straight off the JDBC cursor — the window is never
+      // materialized, so an uncapped backlog read is O(fetchSize) memory.
+      private val conn = graft.feed.JdbcStore.connect(p.url)
+      private val ps = JdbcItemsSource.windowStatement(conn, p.prefix, p.lo, p.hi)
+      private val rs = ps.executeQuery()
       private var cur: InternalRow = _
       override def next(): Boolean =
-        if (it.hasNext) { cur = JdbcItemsSource.itemToRow(it.next()); true } else false
+        if (rs.next()) { cur = JdbcItemsSource.itemToRow(JdbcItemsSource.readItem(rs)); true }
+        else false
       override def get(): InternalRow = cur
-      override def close(): Unit = ()
+      override def close(): Unit = { rs.close(); ps.close(); conn.close() }
     }
   }
 }
