@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkTestSession
+import graft.feed._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Restart-recovery semantics (the reason FeedMain grew --checkpoint-dir):
+  * with a persistent checkpoint, a restarted feed resumes from the
+  * committed source offsets and state-store contents — already-processed
+  * files are NOT re-read; without one, a restart reprocesses everything
+  * (harmless only because the OCC sink is idempotent). */
+class FeedRestartSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def item(id: String, pid: String = "p1") =
+    Item(id, pid, data = GoldenFixture.DataObj(1).marshal)
+
+  private def writeWave(dir: String, items: Seq[Item]): Unit = {
+    import spark.implicits._
+    items.toDS().repartition(1).write.mode("append").parquet(dir)
+  }
+
+  private def runOnce(itemsDir: String, checkpoint: Option[String]): Seq[Item] = {
+    import spark.implicits._
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Item]
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Item].schema)
+      .parquet(itemsDir).as[Item]
+    val updates = FeedStream.itemUpdates(src, GoldenFixture.TestProcessor,
+      FeedOptions(batchSize = 10, maxRetries = 3))
+    val w0 = updates.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Item], _: Long) =>
+        seen.synchronized { seen ++= batch.collect() }
+        ()
+      }
+      .outputMode("append")
+    val w = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
+    val q = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    seen.toSeq
+  }
+
+  test("checkpointed restart resumes offsets: only new files process; fresh restart replays") {
+    val base = java.nio.file.Files.createTempDirectory("feedrestart")
+    val itemsDir = base.resolve("items").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    writeWave(itemsDir, Seq(item("a1"), item("a2"), item("a3")))
+    val run1 = runOnce(itemsDir, Some(ckpt))
+    assert(run1.map(_.id).sorted == Seq("a1", "a2", "a3"))
+    assert(run1.forall(_.status == Status.Complete))
+
+    writeWave(itemsDir, Seq(item("b1"), item("b2")))
+    val run2 = runOnce(itemsDir, Some(ckpt))
+    assert(run2.map(_.id).sorted == Seq("b1", "b2"),
+      s"restart must process ONLY the new wave, got ${run2.map(_.id).sorted}")
+
+    // Control: without the checkpoint, the same restart replays everything.
+    val fresh = runOnce(itemsDir, None)
+    assert(fresh.map(_.id).sorted == Seq("a1", "a2", "a3", "b1", "b2"))
+  }
+
+  test("state survives the restart: counters accumulated in run 1 are visible in run 2") {
+    val base = java.nio.file.Files.createTempDirectory("feedrestartstate")
+    val itemsDir = base.resolve("items").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+
+    // Run 1: a failing item drives the partition to Failed (nFailed=1 in
+    // state). Run 2: a new Available item arrives — emission happens, and
+    // under recovered state the partition had a Failed history.
+    writeWave(itemsDir, Seq(
+      Item("f1", "p9", data = GoldenFixture.DataObj(1, fail = true).marshal)))
+    val run1 = runOnce(itemsDir, Some(ckpt))
+    assert(run1.map(i => (i.id, i.status)) == Seq(("f1", Status.Failed)))
+
+    writeWave(itemsDir, Seq(Item("g1", "p9", data = GoldenFixture.DataObj(1).marshal)))
+    val run2 = runOnce(itemsDir, Some(ckpt))
+    // Recovered Failed partition resurrects on new Available work
+    // (watcher.go:150-151) and processes it; f1 is NOT re-emitted.
+    assert(run2.map(i => (i.id, i.status)) == Seq(("g1", Status.Complete)),
+      s"got ${run2.map(i => (i.id, i.status))}")
+  }
+}
