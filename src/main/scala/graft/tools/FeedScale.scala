@@ -14,6 +14,7 @@ import org.apache.spark.sql.Dataset
 object FeedScale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("stream")) { streamBounded(args.drop(1)); return }
+    if (args.headOption.contains("jdbc")) { jdbcRunner(args.drop(1)); return }
     val nPartitions = args.headOption.map(_.toInt).getOrElse(200)
     val itemsPer    = args.drop(1).headOption.map(_.toInt).getOrElse(100)
     val spark = GraftSession.local(16, "feed-scale")
@@ -58,6 +59,63 @@ object FeedScale {
       pStatus.getOrElse(Status.Failed, 0L) == expectFailedParts &&
       pStatus.getOrElse(Status.Complete, 0L) == nPartitions - expectFailedParts
     println(if (ok) "[scale] PASS" else "[scale] FAIL")
+    spark.stop()
+  }
+
+  /** DB-at-rest runner smoke: `jdbc [nPartitions] [itemsPer]` — the same
+    * width/failure mix as the batch mode, but through JdbcFeedRunner over
+    * embedded Derby: leases claimed per tick, bounded fetches, items
+    * processed+saved from executors. Asserts the exact same terminal
+    * accounting. */
+  def jdbcRunner(args: Array[String]): Unit = {
+    val nPartitions = args.headOption.map(_.toInt).getOrElse(50)
+    val itemsPer    = args.drop(1).headOption.map(_.toInt).getOrElse(40)
+    val spark = GraftSession.local(16, "feed-scale-jdbc")
+    val db = java.nio.file.Files.createTempDirectory("feedscale").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val total = nPartitions.toLong * itemsPer
+
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      conn.setAutoCommit(false) // one tx for the whole seed
+      (0 until nPartitions).foreach(i =>
+        JdbcStore.savePartition(conn, Partition(s"p$i")))
+      (0L until total).foreach { i =>
+        val fail = i % 97 == 0 && (i % nPartitions) < math.max(nPartitions / 10, 1)
+        val times = 1 + (i % 3).toInt
+        JdbcStore.saveItem(conn, Item(s"i$i", s"p${i % nPartitions}",
+          data = s"""{"times":$times${if (fail) ",\"fail\":true" else ""},"processed":0}"""
+            .getBytes(UTF_8)))
+      }
+      conn.commit()
+      conn.setAutoCommit(true)
+    } finally conn.close()
+
+    val opts = FeedOptions(batchSize = 50, maxRetries = 2, autoClose = true)
+    val runner = new JdbcFeedRunner(spark, url, GoldenFixture.TestProcessor, opts, "w1")
+    val t0 = System.nanoTime()
+    val ticks = runner.runToQuiescence(maxTicks = 200)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val check = JdbcStore.connect(url)
+    try {
+      val items = JdbcStore.allItems(check)
+      val parts = JdbcStore.allPartitions(check)
+      val done = items.count(_.status == Status.Complete)
+      val failed = items.count(_.status == Status.Failed)
+      val failingItems = (0L until total)
+        .filter(i => i % 97 == 0 && (i % nPartitions) < math.max(nPartitions / 10, 1))
+      val expectFailedParts = failingItems.map(_ % nPartitions).distinct.size
+      println(f"[scale-jdbc] $total items / $nPartitions partitions: $ticks ticks, $secs%.1f s")
+      println(s"[scale-jdbc] items complete=$done failed=$failed; partitions " +
+        s"complete=${parts.count(_.status == Status.Complete)} failed=${parts.count(_.status == Status.Failed)}")
+      val ok = failed == failingItems.size && done == total - failingItems.size &&
+        parts.count(_.status == Status.Failed) == expectFailedParts &&
+        parts.count(_.status == Status.Complete) == nPartitions - expectFailedParts &&
+        parts.forall(p => p.owner == "w1")
+      println(if (ok) "[scale-jdbc] PASS" else "[scale-jdbc] FAIL")
+    } finally check.close()
     spark.stop()
   }
 
