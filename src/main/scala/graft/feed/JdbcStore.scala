@@ -98,12 +98,32 @@ object JdbcStore {
   case object Inserted extends SaveOutcome
   case object Conflict extends SaveOutcome
 
+  /** Strictly-increasing per-JVM save stamp (ms clock + nano counter):
+    * Gorm auto-sets UpdatedAt on every save (BaseModel, repo.go:83-86) and
+    * the whole polling architecture leans on it — the HWM source re-polls
+    * a row because its save moved it past the watermark, and
+    * GetAvailableItems' ORDER BY updated_at is least-recently-touched
+    * dispatch. Strict monotonicity (not just wall clock) keeps same-ms
+    * saves distinct so admission caps can cut between them. */
+  private val lastStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def saveStamp(): Timestamp = {
+    // Epoch nanos, advanced by at least 1 µs per save (µs is Spark's
+    // timestamp granularity, so stamps stay distinct through the engine).
+    val ns = lastStamp.updateAndGet(prev =>
+      math.max(System.currentTimeMillis() * 1000000L, prev + 1000L))
+    val ts = new Timestamp(ns / 1000000L)
+    ts.setNanos((ns % 1000000000L).toInt)
+    ts
+  }
+
   /** Conditional versioned save (repo.go:125-138): UPDATE iff the stored
     * version is item.version−1; on zero rows, INSERT (new id); a PK loss or
     * lock/deadlock abort is an OCC conflict. The passed item already
     * carries the incremented version, like the reference's
-    * IncrementVersion-then-save. */
-  def saveItem(conn: Connection, i: Item, prefix: String = ""): SaveOutcome = {
+    * IncrementVersion-then-save. `updated_at` is stamped by the store
+    * (Gorm parity — see [[saveStamp]]); the caller's value is ignored. */
+  def saveItem(conn: Connection, item: Item, prefix: String = ""): SaveOutcome = {
+    val i = item.copy(updatedAt = saveStamp())
     val up = conn.prepareStatement(
       s"""UPDATE ${prefix}items SET partition_id=?, gate=?, status=?,
          | retry_count=?, error_messages=?, updated_at=?, version=?, data=?

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.feed._
+import graft.sinks.OccSink
+import graft.sources.JdbcItemsSource
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The full park-at-rest loop, end to end on ONE shared table: JDBC
+  * polling source → FeedStream with a bounded state (maxPending) → JDBC
+  * conditional-save sink. Overflow items leave the state store as parked
+  * emissions, land back in the database with a bumped version and a fresh
+  * store stamp, and the high-water-mark poll re-admits them — memory
+  * bounded, nothing lost. Once the gate barrier lifts, a fresh query run
+  * processes the whole backlog to completion from the same table. */
+class FeedParkLoopSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("overflow parks at rest through the sink and completes after the gate lifts") {
+    import spark.implicits._
+    val db = java.nio.file.Files.createTempDirectory("parkloop").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      // 8 items wait at gate 1; the partition sits frozen at gate 0.
+      (1 to 8).foreach(i => JdbcStore.saveItem(conn,
+        Item(s"i$i", "p1", gate = 1, data = GoldenFixture.DataObj(1, gate = 1).marshal)))
+    } finally conn.close()
+
+    val opts = FeedOptions(batchSize = 4, maxRetries = 3,
+      manualCheckpoint = true, maxPending = 3)
+    def source() = spark.readStream
+      .format(classOf[JdbcItemsSource].getName)
+      .option("url", url).load().as[Item]
+
+    // Phase 1: gate frozen. The stream must hold <=3 items in state and
+    // push the other 5 back to the database (version-bumped), where the
+    // poll sees them again — the churn-for-memory trade. Each cycle runs
+    // as a bounded AvailableNow pass: a free-running trigger would churn
+    // forever by construction (parked saves are always new data), which
+    // is why a deployment bounds it with a poll interval.
+    def parkCycle(): Unit = {
+      val q = FeedStream.itemUpdates(source(), GoldenFixture.TestProcessor, opts,
+          FeedStream.initialState(Seq(Partition("p1"))))
+        .writeStream.foreachBatch(OccSink.jdbcWriter(url))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    parkCycle() // ingest + first park
+    parkCycle() // re-admission of the parked overflow
+
+    val afterPark = {
+      val c = JdbcStore.connect(url)
+      try JdbcStore.allItems(c) finally c.close()
+    }
+    assert(afterPark.size == 8, "park cycling must not lose or duplicate items")
+    assert(afterPark.forall(i => i.status == Status.Available && i.gate == 1))
+    assert(afterPark.count(_.version > 0) >= 5,
+      s"parked rows carry bumped versions, got ${afterPark.map(_.version).sorted}")
+
+    // Phase 2: the gate lifts (external checkpoint control) — a fresh run
+    // over the same table drains everything to Complete.
+    val q2 = FeedStream.itemUpdates(source(), GoldenFixture.TestProcessor,
+        opts.copy(maxPending = 0),
+        FeedStream.initialState(Seq(Partition("p1", gate = 1))))
+      .writeStream.foreachBatch(OccSink.jdbcWriter(url))
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val fin = {
+      val c = JdbcStore.connect(url)
+      try JdbcStore.allItems(c) finally c.close()
+    }
+    assert(fin.size == 8)
+    assert(fin.forall(_.status == Status.Complete),
+      s"backlog must drain once the gate lifts: ${fin.map(i => i.id -> i.status)}")
+  }
+}
