@@ -119,7 +119,18 @@ object FeedMain {
               case _ => 10000L
             }
           println(s"[feedmain] jdbc runner polling every ${intervalMs}ms as ${cfg.ownerId}")
-          while (true) { runner.tick(); Thread.sleep(intervalMs) }
+          while (true) {
+            // A transient store error (lock timeout from a concurrent
+            // instance, momentary DB blip) must not kill the service —
+            // log and retry on the next poll tick, like the reference's
+            // per-cycle error logging (watcher.go:137-146).
+            try runner.tick()
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[feedmain] tick failed (will retry): $e")
+            }
+            Thread.sleep(intervalMs)
+          }
         }
       } finally healthServer.foreach(_.stop(0))
       return

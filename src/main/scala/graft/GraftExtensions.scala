@@ -25,7 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        functions.CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_sim expects exactly 2 arguments, got ${exprs.length}")
+        functions.CosineSimilarity(exprs.head, exprs(1))
+      }))
   }
 }

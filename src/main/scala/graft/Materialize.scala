@@ -49,4 +49,10 @@ object Materialize {
       case _ => ds.localCheckpoint(true)
     }
   }
+
+  /** Release a materialization that has been superseded (iterative callers
+    * like the feed replay otherwise pin every iteration's blocks). A
+    * no-op for non-persisted datasets; reliable-checkpoint files follow
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`. */
+  def release(ds: Dataset[_]): Unit = { ds.unpersist(blocking = false); () }
 }

@@ -179,6 +179,10 @@ object FeedStep {
       val newParts = res.partitions.transform(graft.Materialize(_))
       quiet = itemFingerprint(newItems) == itemFingerprint(curItems) &&
         partitionFingerprint(newParts) == partitionFingerprint(curParts)
+      // The superseded iteration's materialization is never read again —
+      // release it so a long replay doesn't pin every step's blocks.
+      graft.Materialize.release(curItems)
+      graft.Materialize.release(curParts)
       curItems = newItems
       curParts = newParts
       steps += 1

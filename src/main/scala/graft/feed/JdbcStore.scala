@@ -286,6 +286,9 @@ object JdbcStore {
       r
     } catch {
       case e: SQLException => conn.rollback(); Left(s"transaction failed: ${e.getMessage}")
+      // Any other escape must also roll back: restoring autocommit on an
+      // open transaction would COMMIT the partial work instead.
+      case e: Throwable => conn.rollback(); throw e
     } finally conn.setAutoCommit(prevAutoCommit)
   }
 

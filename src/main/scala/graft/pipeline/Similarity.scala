@@ -142,6 +142,7 @@ object Similarity {
         .select("vec_id", "embedding", "cell")
 
     (0 until iters).foreach { _ =>
+      val prev = centroids
       centroids = assign(centroids)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy("cell", "i").agg(avg(col("x").cast("double")).as("m"))
@@ -149,6 +150,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
         .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cvec"))
         .transform(graft.Materialize(_))
+      graft.Materialize.release(prev)
     }
     val assigned = assign(centroids).transform(graft.Materialize(_))
 

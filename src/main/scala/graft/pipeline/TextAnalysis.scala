@@ -110,12 +110,21 @@ object TextAnalysis {
           .as("score"))
 
     val best = Window.partitionBy("doc_id").orderBy(desc("score"), asc("model_lang"))
-    scored
+    val predicted = scored
+      .filter(col("score").isNotNull) // degenerate docs (null text) fall through to 'und'
       .withColumn("rn", row_number().over(best))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"),
-        col("model_lang").as("predicted_lang"),
+      .select(col("doc_id"), col("model_lang").as("predicted_lang"),
         round(col("score"), 4).as("score"))
+
+    // Contract for degenerate inputs: a doc with no scoreable tokens (or
+    // an empty model) predicts 'und' with score 0 rather than whichever
+    // language has the highest prior.
+    docs.select("doc_id", "lang")
+      .join(predicted, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("predicted_lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("score"), lit(0.0)).as("score"))
       .orderBy("doc_id")
   }
 

@@ -91,9 +91,25 @@ object JdbcItemsSource {
   }
 }
 
-/** Streaming offset: the high-water mark, nanosecond exact. */
+/** Streaming offset: the high-water mark, nanosecond exact. Serialized as
+  * epoch NANOS (a plain long) — `Timestamp.toString/valueOf` render in the
+  * JVM default timezone, so a string form would shift the recovered
+  * watermark by the TZ delta when a checkpoint restarts under a different
+  * timezone (skipping or replaying hours of rows). */
 final case class HwmOffset(ts: Timestamp) extends Offset {
-  override def json(): String = ts.toString
+  override def json(): String = {
+    val seconds = Math.floorDiv(ts.getTime, 1000L)
+    (seconds * 1000000000L + ts.getNanos).toString
+  }
+}
+
+object HwmOffset {
+  def fromNanos(ns: Long): HwmOffset = {
+    val seconds = Math.floorDiv(ns, 1000000000L)
+    val ts = new Timestamp(seconds * 1000L)
+    ts.setNanos(Math.floorMod(ns, 1000000000L).toInt)
+    HwmOffset(ts)
+  }
 }
 
 final class JdbcItemsTable(options: CaseInsensitiveStringMap)
@@ -103,6 +119,7 @@ final class JdbcItemsTable(options: CaseInsensitiveStringMap)
   private val prefix = Option(options.get("prefix")).getOrElse("")
   private val numPartitions = options.getInt("numPartitions", 4)
   private val maxRows = options.getLong("maxRowsPerTrigger", -1L)
+  private val lagMs = options.getLong("watermarkLagMs", 0L)
 
   override def name(): String = s"jdbc-items($url, ${prefix}items)"
   override def schema(): StructType = JdbcItemsSource.schema
@@ -114,7 +131,7 @@ final class JdbcItemsTable(options: CaseInsensitiveStringMap)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = JdbcItemsSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new JdbcItemsMicroBatchStream(url, prefix, numPartitions, maxRows)
+          new JdbcItemsMicroBatchStream(url, prefix, numPartitions, maxRows, lagMs)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = Array(
             JdbcWindowPartition(url, prefix, JdbcItemsSource.initialTs,
@@ -127,12 +144,28 @@ final class JdbcItemsTable(options: CaseInsensitiveStringMap)
 }
 
 final class JdbcItemsMicroBatchStream(url: String, prefix: String,
-    numPartitions: Int, maxRows: Long)
+    numPartitions: Int, maxRows: Long, lagMs: Long = 0L)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** Multi-writer safety: a row's `updated_at` stamp is assigned before
+    * its commit lands, and stamps are only monotonic per writer JVM — so
+    * an end offset taken at the newest COMMITTED row can pass an
+    * in-flight smaller stamp, stranding that row below the watermark
+    * forever. `watermarkLagMs` holds the end offset that far behind the
+    * wall clock; any writer whose commit lands within the lag of its
+    * stamp is safe. Default 0 (single-writer / test topologies). */
+  private def clampToLag(end: HwmOffset, start: Timestamp): HwmOffset =
+    if (lagMs <= 0L) end
+    else {
+      val cap = new Timestamp(System.currentTimeMillis() - lagMs)
+      if (!end.ts.after(cap)) end
+      else if (cap.after(start)) HwmOffset(cap)
+      else HwmOffset(start) // nothing safely readable yet
+    }
 
   override def initialOffset(): Offset = HwmOffset(JdbcItemsSource.initialTs)
   override def deserializeOffset(json: String): Offset =
-    HwmOffset(Timestamp.valueOf(json))
+    HwmOffset.fromNanos(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -146,9 +179,13 @@ final class JdbcItemsMicroBatchStream(url: String, prefix: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = limit match {
-    case rl: ReadMaxRows => cappedOffset(start.asInstanceOf[HwmOffset].ts, rl.maxRows())
-    case _               => maxUpdatedAt()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startTs = start.asInstanceOf[HwmOffset].ts
+    val end = limit match {
+      case rl: ReadMaxRows => cappedOffset(startTs, rl.maxRows())
+      case _               => maxUpdatedAt()
+    }
+    clampToLag(end, startTs)
   }
 
   private def maxUpdatedAt(): HwmOffset = {

@@ -88,14 +88,22 @@ object FeedStream {
       // (HTTP round-trips), per-partition throughput scales with the
       // fan-out instead of serializing item by item. Results keep fetch
       // order, so state transitions stay deterministic.
+      // Version discipline: in-engine copies keep the version AS READ from
+      // the store, no matter how many processor calls happen inside the
+      // batch; only an EMISSION carries +1, because the emission is the
+      // one conditional store write this batch performs. (processItem
+      // bumps per call like the reference's per-save increment, but the
+      // engine coalesces those saves — emitting the accumulated +k would
+      // conflict against the store's version forever and strand the row.)
       val processed = parallelMap(fetchable, opts.processorFanout)(
-        i => FeedPolicy.processItem(i, processor, opts.maxRetries))
+        i => FeedPolicy.processItem(i, processor, opts.maxRetries)
+          .copy(version = i.version))
       val fetchedIds = fetchable.map(_.id).toSet
       pending = pending.filterNot(i => fetchedIds.contains(i.id)) ++
         processed.filter(_.status == Status.Available)
       processed.foreach { i =>
-        if (i.status == Status.Failed) { nFailed += 1; emitted += i }
-        else if (i.status == Status.Complete) { nDone += 1; emitted += i }
+        if (i.status == Status.Failed) { nFailed += 1; emitted += i.copy(version = i.version + 1) }
+        else if (i.status == Status.Complete) { nDone += 1; emitted += i.copy(version = i.version + 1) }
       }
 
       val changed = decided.gate != gate || decided.status != status ||
@@ -126,22 +134,21 @@ object FeedStream {
   }
 
   /** Order-preserving bounded-concurrency map over one tick's fetch. A
-    * shared daemon pool serves every partition in the executor JVM; the
-    * permit cap bounds THIS call's fan-out. */
+    * shared daemon pool serves every partition in the executor JVM; work
+    * is submitted in fanout-sized waves, so at most `fanout` tasks are
+    * outstanding — submitting everything up front against a cached pool
+    * would spawn one (mostly blocked) thread per ITEM, which at a
+    * many-thousand-row fetch is thread exhaustion, not parallelism. */
   private[graft] def parallelMap[A, B](xs: Seq[A], fanout: Int)(f: A => B): Seq[B] =
     if (fanout <= 1 || xs.size <= 1) xs.map(f)
-    else {
-      val permits = new java.util.concurrent.Semaphore(fanout)
-      val tasks = xs.map { x =>
-        sharedPool.submit(new java.util.concurrent.Callable[B] {
-          def call(): B = {
-            permits.acquire()
-            try f(x) finally permits.release()
-          }
-        })
-      }
-      tasks.map(_.get())
-    }
+    else
+      xs.grouped(fanout).flatMap { wave =>
+        wave.map { x =>
+          sharedPool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = f(x)
+          })
+        }.map(_.get())
+      }.toSeq
 
   private lazy val sharedPool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newCachedThreadPool(r => {

@@ -16,6 +16,43 @@ import org.scalatest.funsuite.AnyFunSuite
 class FeedParkLoopSpec extends AnyFunSuite {
   import SparkTestSession.spark
 
+  test("multi-pass items land through the JDBC sink: one version bump per batch, not per call") {
+    import spark.implicits._
+    val db = java.nio.file.Files.createTempDirectory("multipass").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      // times=2 → TWO processor calls inside one micro-batch; a retryable
+      // failure adds another call for f1 before it dead-letters.
+      JdbcStore.saveItem(conn, Item("m1", "p1", data = GoldenFixture.DataObj(2).marshal))
+      JdbcStore.saveItem(conn, Item("f1", "p1", data = GoldenFixture.DataObj(2, fail = true).marshal))
+    } finally conn.close()
+
+    val q = FeedStream.itemUpdates(
+        spark.readStream.format(classOf[JdbcItemsSource].getName)
+          .option("url", url).load().as[Item],
+        GoldenFixture.TestProcessor,
+        FeedOptions(batchSize = 10, maxRetries = 2),
+        FeedStream.initialState(Seq(Partition("p1"))))
+      .writeStream.foreachBatch(OccSink.jdbcWriter(url))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+
+    val fin = {
+      val c = JdbcStore.connect(url)
+      try JdbcStore.allItems(c).map(i => i.id -> i).toMap finally c.close()
+    }
+    // If the emission carried one +1 per processor call, the conditional
+    // save would conflict forever and both rows would still be Available.
+    assert(fin("m1").status == Status.Complete && fin("m1").version == 1,
+      s"m1 stranded: ${fin("m1")}")
+    assert(fin("f1").status == Status.Failed && fin("f1").version == 1,
+      s"f1 stranded: ${fin("f1")}")
+  }
+
   test("overflow parks at rest through the sink and completes after the gate lifts") {
     import spark.implicits._
     val db = java.nio.file.Files.createTempDirectory("parkloop").resolve("db")
