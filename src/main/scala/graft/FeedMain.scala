@@ -49,7 +49,15 @@ object FeedMain {
       jdbcPrefix: String = "",
       ownerId: String = java.util.UUID.randomUUID().toString,
       maxFilesPerTrigger: Int = 0,
-      maxPending: Int = 0)
+      maxPending: Int = 0,
+      jdbcStream: Boolean = false,
+      maxRowsPerTrigger: Long = 0L,
+      // Multi-writer watermark safety for the JDBC polling source: save
+      // stamps are only monotonic per writer JVM, so with >1 writer an
+      // in-flight row can commit below an already-passed end offset and be
+      // stranded (silent loss). 5s comfortably covers stamp→commit latency;
+      // single-writer test topologies may pass 0 explicitly.
+      watermarkLagMs: Long = 5000L)
 
   def parse(args: Array[String]): Config = {
     def loop(c: Config, rest: List[String]): Config = rest match {
@@ -69,6 +77,9 @@ object FeedMain {
       case "--owner-id" :: v :: t          => loop(c.copy(ownerId = v), t)
       case "--max-files-per-trigger" :: v :: t => loop(c.copy(maxFilesPerTrigger = v.toInt), t)
       case "--max-pending" :: v :: t       => loop(c.copy(maxPending = v.toInt), t)
+      case "--jdbc-stream" :: t            => loop(c.copy(jdbcStream = true), t)
+      case "--max-rows-per-trigger" :: v :: t => loop(c.copy(maxRowsPerTrigger = v.toLong), t)
+      case "--watermark-lag-ms" :: v :: t  => loop(c.copy(watermarkLagMs = v.toLong), t)
       case Nil                             => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -104,6 +115,42 @@ object FeedMain {
     // state_processor/main.go) — backlog at rest in the shared database,
     // the runner polls/leases/processes/writes-back on a timer. Memory is
     // O(partitions × batchSize) regardless of backlog depth.
+    // JDBC-STREAM mode: the park-at-rest loop (FeedParkLoopSpec) as a
+    // service — the JDBC polling source streams the shared items table by
+    // updated_at high-water mark, FeedStream runs the gate machine, and
+    // write-back is executor-side conditional saves to the same table.
+    // `--watermark-lag-ms` (default 5s) keeps the end offset behind the
+    // wall clock so a multi-JVM writer topology cannot strand an in-flight
+    // row below the committed watermark.
+    if (cfg.jdbcUrl.nonEmpty && cfg.jdbcStream) {
+      val src0 = spark.readStream
+        .format(classOf[graft.sources.JdbcItemsSource].getName)
+        .option("url", cfg.jdbcUrl).option("prefix", cfg.jdbcPrefix)
+        .option("watermarkLagMs", cfg.watermarkLagMs.toString)
+      val src =
+        if (cfg.maxRowsPerTrigger > 0)
+          src0.option("maxRowsPerTrigger", cfg.maxRowsPerTrigger.toString)
+        else src0
+      val updates = FeedStream.itemUpdates(
+        src.load().as[Item], processor, opts)
+      val writer0 = updates.writeStream
+        .foreachBatch(OccSink.jdbcWriter(cfg.jdbcUrl, cfg.jdbcPrefix))
+        .outputMode("append")
+      val writer =
+        if (cfg.checkpointDir.nonEmpty)
+          writer0.option("checkpointLocation", cfg.checkpointDir)
+        else writer0
+      val healthServer = startHealthServer(cfg, spark, processor)
+      try {
+        val q = writer.trigger(
+          if (cfg.once) Trigger.AvailableNow()
+          else Trigger.ProcessingTime(cfg.pollInterval)).start()
+        q.awaitTermination()
+        if (cfg.once) println(s"[feedmain] jdbc stream drained -> ${cfg.jdbcUrl}")
+      } finally healthServer.foreach(_.stop(0))
+      return
+    }
+
     if (cfg.jdbcUrl.nonEmpty) {
       val runner = new JdbcFeedRunner(
         spark, cfg.jdbcUrl, processor, opts, cfg.ownerId, cfg.jdbcPrefix)

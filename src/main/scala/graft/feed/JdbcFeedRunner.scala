@@ -131,7 +131,16 @@ final class JdbcFeedRunner(
     var ticks = 0
     var stable = 0
     while (ticks < maxTicks && stable < stableTicks) {
-      val (n, changed) = tick()
+      // A conflict-class SQLException (40XL1 lock timeout / 40001 deadlock)
+      // from the READ queries means a concurrent instance holds row locks
+      // right now — that's contention, not quiescence and not a crash:
+      // retry next tick, mirroring FeedMain's NonFatal tick loop. (Save
+      // conflicts are already classified as benign inside tick().)
+      val (n, changed) =
+        try tick()
+        catch {
+          case e: java.sql.SQLException if JdbcStore.isConflict(e) => (0, true)
+        }
       ticks += 1
       if (n == 0 && !changed) stable += 1 else stable = 0
     }

@@ -27,7 +27,7 @@ object JdbcStore {
   /** SQLState classes that mean "you lost an OCC race", not "the DB broke":
     * 23xxx integrity violation (duplicate PK), 40XL1/40001 lock timeout +
     * deadlock (Derby serialization failures). */
-  private def isConflict(e: SQLException): Boolean = {
+  private[graft] def isConflict(e: SQLException): Boolean = {
     val s = Option(e.getSQLState).getOrElse("")
     s.startsWith("23") || s == "40XL1" || s == "40001"
   }

@@ -70,7 +70,14 @@ object TextAnalysis {
     val statRows = pairCounts.rollup("model_lang")
       .agg(sum("tf").as("n_tok"), countDistinct("token").as("n_vocab"))
       .collect()
-    val vocabSize = statRows.find(_.isNullAt(0)).get.getAs[Long]("n_vocab")
+    // Rollup over ZERO input rows yields zero output rows (no grand-total
+    // row) — an empty corpus must degrade to the 'und' contract, not throw.
+    val vocabSize = statRows.find(_.isNullAt(0))
+      .map(_.getAs[Long]("n_vocab")).getOrElse(0L)
+    if (vocabSize == 0L)
+      return docs.select(col("doc_id"), col("lang"),
+        lit("und").as("predicted_lang"), lit(0.0).as("score"))
+        .orderBy("doc_id")
     val docCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
     val nDocs = math.max(docCounts.valuesIterator.sum, 1L)

@@ -31,9 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .load().as[Item]
   * }}}
   *
-  * Offsets are nanosecond-precision timestamps (serialized via
-  * `Timestamp.toString`, which round-trips through `Timestamp.valueOf`),
-  * so restart recovery replays exactly the unread window. Each micro-batch
+  * Offsets are nanosecond-precision timestamps, serialized as epoch
+  * NANOS (a plain long — see [[HwmOffset]]; a rendered-string form would
+  * be timezone-dependent across checkpoint restarts), so restart
+  * recovery replays exactly the unread window. Each micro-batch
   * reads `updated_at ∈ (start, end]`, split into `numPartitions` time
   * sub-ranges executed by separate readers — at cluster scale switch the
   * split to primary-key ranges for skew-proof parallelism.
@@ -153,7 +154,9 @@ final class JdbcItemsMicroBatchStream(url: String, prefix: String,
     * in-flight smaller stamp, stranding that row below the watermark
     * forever. `watermarkLagMs` holds the end offset that far behind the
     * wall clock; any writer whose commit lands within the lag of its
-    * stamp is safe. Default 0 (single-writer / test topologies). */
+    * stamp is safe. The raw source option defaults to 0 (single-writer /
+    * test topologies); the deployment entry point (FeedMain --jdbc-stream)
+    * wires a 5s default and exposes --watermark-lag-ms. */
   private def clampToLag(end: HwmOffset, start: Timestamp): HwmOffset =
     if (lagMs <= 0L) end
     else {
@@ -200,19 +203,27 @@ final class JdbcItemsMicroBatchStream(url: String, prefix: String,
     } finally conn.close()
   }
 
-  /** Admission control: end offset = updated_at of the n-th unread row. */
+  /** Admission control: end offset = updated_at of the n-th unread row.
+    * Fetches ONLY the boundary row (`OFFSET n-1 FETCH FIRST 1`), not the
+    * whole admitted window — on a deep backlog the old full ORDER BY walk
+    * was a second scan of the window per trigger through the driver
+    * connection. When fewer than n rows remain the OFFSET query returns
+    * nothing and the true MAX(updated_at) is the end offset. */
   private def cappedOffset(start: Timestamp, n: Long): HwmOffset = {
     val conn = JdbcStore.connect(url)
     try {
       val ps = conn.prepareStatement(
-        s"SELECT updated_at FROM ${prefix}items WHERE updated_at > ? ORDER BY updated_at")
+        s"""SELECT updated_at FROM ${prefix}items WHERE updated_at > ?
+           | ORDER BY updated_at OFFSET ${math.max(n, 1L) - 1L} ROWS
+           | FETCH FIRST 1 ROWS ONLY""".stripMargin)
       try {
-        ps.setMaxRows(math.min(n, Int.MaxValue).toInt)
         ps.setTimestamp(1, start)
         val rs = ps.executeQuery()
-        var last: Timestamp = start
-        while (rs.next()) last = rs.getTimestamp(1)
-        HwmOffset(last)
+        if (rs.next()) HwmOffset(rs.getTimestamp(1))
+        else { // < n rows remain; table max is the end (floored at start)
+          val m = maxUpdatedAt()
+          if (m.ts.after(start)) m else HwmOffset(start)
+        }
       } finally ps.close()
     } finally conn.close()
   }

@@ -92,6 +92,51 @@ class FeedMainSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("FeedMain --jdbc-stream drains the shared table through the polling source and JDBC sink") {
+    import graft.feed.JdbcStore
+    val db = java.nio.file.Files.createTempDirectory("feedmainjs").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      Seq(
+        Item("s1", "p1", data = """{"n":1}""".getBytes(UTF_8)),
+        Item("s2", "p1", data = """{"n":2}""".getBytes(UTF_8)),
+        Item("s3", "p2", data = """{"n":3}""".getBytes(UTF_8))
+      ).foreach(JdbcStore.saveItem(conn, _))
+    } finally conn.close()
+
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/proc", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val in = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val resp = s"""{"complete": true, "response": {"echo": $in}}""".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      // --watermark-lag-ms 0: single-writer seeding with fresh stamps; the
+      // production default (5s) would hold these rows for the NEXT poll.
+      val cfg = FeedMain.parse(Array(
+        "--jdbc-url", url, "--jdbc-stream", "--watermark-lag-ms", "0",
+        "--target", s"http://127.0.0.1:$port/proc",
+        "--batch-size", "10", "--auto-close", "--once"))
+      assert(cfg.jdbcStream && cfg.watermarkLagMs == 0L)
+      FeedMain.run(cfg, spark)
+      val check = JdbcStore.connect(url)
+      try {
+        val out = JdbcStore.allItems(check).sortBy(_.id)
+        assert(out.length == 3 && out.forall(_.status == Status.Complete),
+          s"stream mode must complete all rows: ${out.map(i => i.id -> i.status)}")
+        assert(out.head.dataString.contains(""""echo":{"n":1}"""))
+        assert(out.forall(_.version == 1), "exactly one conditional-save bump per item")
+      } finally check.close()
+    } finally server.stop(0)
+  }
+
   test("flag parsing rejects unknown flags and missing required args") {
     intercept[IllegalArgumentException](FeedMain.parse(Array("--bogus")))
     intercept[IllegalArgumentException](FeedMain.parse(Array("--items-dir", "x")))

@@ -158,6 +158,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(bnl <= 1, s"token-stream amplification: $bnl nested-loop joins")
   }
 
+  test("langid degrades to 'und' on an empty corpus instead of throwing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.languageId(empty).collect().isEmpty)
+    // Docs present but nothing tokenizable → every doc falls to the contract.
+    val blank = Seq((1L, null.asInstanceOf[String], "en")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.languageId(blank).collect()
+    assert(out.length == 1 && out.head.getString(2) == "und" && out.head.getDouble(3) == 0.0)
+  }
+
   test("langid recovers labels perfectly on a discriminative corpus") {
     import spark.implicits._
     val d = Seq(
