@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected-components clustering — the step that turns near-duplicate
+  * PAIRS (minhash/simhash/embedding LSH output) into dedup GROUPS, so a
+  * pipeline can keep one representative per cluster instead of reasoning
+  * about an edge list. The reference has no analog (its graph is the
+  * partition→items tree); this is the standard companion of LSH dedup in
+  * a training-data pipeline.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+  * is two groupBy-min + equi-join shuffles over the edge set, and the
+  * round count is O(log n) independent of component diameter. A
+  * driver-side union-find cannot shard; naive min-label propagation needs
+  * O(diameter) rounds and its intermediate edge set can balloon on long
+  * paths. Large/small-star keeps the edge set monotonically contracting
+  * toward stars, which is why it is the web-scale formulation.
+  */
+object Clusters {
+
+  /** Connected components of an undirected graph given as (src, dst) edge
+    * rows (self-loops and duplicates tolerated). Returns (node, component)
+    * where component is the smallest node id in the component. Only nodes
+    * incident to an edge appear — left-join from the entity table for
+    * singletons.
+    *
+    * Iterations materialize through [[graft.Materialize]] (strategy flag:
+    * executor-local on local[*], reliable checkpoint on clusters) and the
+    * previous round is released, so the loop holds exactly one edge-set
+    * generation, not the whole lineage.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Canonical undirected form: (a < b), no self-loops, no duplicates.
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    // Both directions — the star ops need full neighborhoods.
+    def sym(df: DataFrame): DataFrame =
+      df.select(col("a").as("u"), col("b").as("v"))
+        .union(df.select(col("b").as("u"), col("a").as("v")))
+
+    var e = graft.Materialize(canon(edges))
+    var prevSig = (-1L, 0L)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // Large-star: every neighbor LARGER than u links to the min of
+      // u's neighborhood (incl. u) — long chains fold in half.
+      val s = sym(e)
+      val mins = s.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = canon(s.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst")))
+      // Small-star: every neighbor SMALLER than u (and u itself) links to
+      // the min of the smaller neighborhood — stars flatten to the root.
+      val smaller = sym(large).filter(col("v") < col("u"))
+      val minsS = smaller.groupBy("u").agg(min("v").as("m"))
+      val small = canon(
+        smaller.join(minsS, "u").select(col("v").as("src"), col("m").as("dst"))
+          .union(minsS.select(col("u").as("src"), col("m").as("dst"))))
+
+      val next = graft.Materialize(small)
+      // Fixpoint test: edge set unchanged across a full round. Count plus
+      // an order-independent hash XOR (overflow-free under ANSI mode; the
+      // edge set is distinct, so nothing cancels) — one tiny aggregate,
+      // no collect of the edge list.
+      val sig = next
+        .agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)))
+        .as[(Long, Long)].head()
+      converged = sig == prevSig
+      prevSig = sig
+      graft.Materialize.release(e)
+      e = next
+      iter += 1
+    }
+    // Converged state is a star per component centered at its min id.
+    val lab = sym(e).groupBy(col("u").as("node")).agg(min("v").as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("component"))
+    graft.Materialize.release(e)
+    lab
+  }
+
+  /** DuckDB-expressible near-dup edge set: two documents are linked when
+    * they share ANY exact n-token shingle, after dropping stop-shingles
+    * (document frequency > maxDf — a shingle shared by everything creates
+    * a quadratic clique AND carries no dedup signal; dropping it is both
+    * the scale guard and standard practice). One explode, one tiny
+    * doc-frequency aggregate, one equi-join on the shingle — never an
+    * all-pairs comparison. */
+  def sharedShingleEdges(docs: DataFrame, shingleSize: Int = 5,
+      maxDf: Int = 50): DataFrame = {
+    val sh0 = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(Dedup.shingles(shingleSize)).as("s"))
+    val keep = sh0.groupBy("s")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2) // df=1 yields no pair
+      .select("s")
+    // Materialized: self-joined; tiny (only shingles that link something).
+    val sh = graft.Materialize(sh0.join(keep, Seq("s")))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+  }
+
+  /** Dedup clusters over `documents`: each doc labeled with its
+    * component (smallest doc_id sharing a shingle-path to it) and the
+    * cluster size. Oracle-checked against a DuckDB recursive-CTE
+    * reachability computation over the identical edge set. */
+  def dedupClusters(docs: DataFrame, shingleSize: Int = 5,
+      maxDf: Int = 50): DataFrame = {
+    val labels = connectedComponents(sharedShingleEdges(docs, shingleSize, maxDf))
+    docs.select("doc_id")
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> ((s, d) => dedupClusters(Tables(s, d).documents)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    // Reachability fixpoint via recursive CTE — exact, engine-independent:
+    // comp(v) = MIN over every node that reaches v (edges symmetric).
+    "dedup_clusters" ->
+      ("""WITH RECURSIVE
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+         |       i -> array_to_string(t[i:i+4], ' ')))
+         |  ELSE [text] END) AS s FROM toks),
+         |keep AS (SELECT s FROM sh0 GROUP BY s
+         |  HAVING COUNT(DISTINCT doc_id) <= 50 AND COUNT(DISTINCT doc_id) >= 2),
+         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+         |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id),
+         |reach(node, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.node),
+         |lab AS (SELECT node AS doc_id, MIN(comp) AS component
+         |  FROM reach GROUP BY node)
+         |SELECT doc_id, component,
+         |  COUNT(*) OVER (PARTITION BY component) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin),
+  )
+}

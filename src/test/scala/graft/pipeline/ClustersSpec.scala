@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClustersSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph folds to one component (log-round contraction)") {
+    // A 64-node path is the adversarial case for naive min-propagation
+    // (needs 63 rounds); large/small-star must close it within maxIter=25.
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("disjoint cliques, a star, and reversed/duplicated edges") {
+    val cliqueA = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val cliqueB = for (i <- 20L to 24L; j <- (i + 1) to 24L) yield (j, i) // reversed
+    val star = (31L to 35L).map(i => (30L, i))
+    val dups = Seq((10L, 11L), (10L, 11L), (11L, 10L), (12L, 12L)) // self-loop too
+    val got = cc(cliqueA ++ cliqueB ++ star ++ dups)
+    assert((10L to 13L).forall(got(_) == 10L))
+    assert((20L to 24L).forall(got(_) == 20L))
+    assert((30L to 35L).forall(got(_) == 30L))
+  }
+
+  test("dedupClusters groups near-identical docs and leaves others single") {
+    // d1/d2 share a 5-gram; d3 shares one with d2 (transitive chain);
+    // d4 is unrelated text of the same length.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "XX alpha beta gamma delta epsilon YY"),
+      (3L, "ZZ XX alpha beta gamma delta QQ"),
+      (4L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val rows = Clusters.dedupClusters(docs).collect()
+    val comp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val size = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L,
+      s"transitive chain must merge: $comp")
+    assert(comp(4L) == 4L && size(4L) == 1L)
+    assert(size(1L) == 3L)
+  }
+
+  test("stop-shingles above maxDf create no edges") {
+    // Every doc shares the same 5-gram prefix; df=4 > maxDf=3 → no edges.
+    val docs = (1L to 4L)
+      .map(i => (i, s"common words shared by all docs $i"))
+      .toDF("doc_id", "text")
+    val rows = Clusters.dedupClusters(docs, maxDf = 3).collect()
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) && r.getLong(2) == 1L),
+      "df-capped shingle must not link documents")
+  }
+
+  test("sf0.001 dedup_clusters matches the DuckDB-shaped reachability on Spark") {
+    // Engine-internal cross-check at data scale: recompute components via
+    // plain iterative min-propagation (slow, known-correct on small data)
+    // and compare labelings.
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+    val edges = Clusters.sharedShingleEdges(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var lab = adj.keys.map(k => k -> k).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      adj.foreach { case (u, ns) =>
+        val m = (ns.map(lab) + lab(u)).min
+        if (m < lab(u)) { lab += u -> m; changed = true }
+        ns.foreach { v => if (m < lab(v)) { lab += v -> m; changed = true } }
+      }
+    }
+    val got = Clusters.dedupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lab.foreach { case (n, c) =>
+      assert(got(n) == c, s"node $n: engine ${got(n)} != reference $c")
+    }
+    assert(got.count { case (n, c) => n != c } ==
+      lab.count { case (n, c) => n != c })
+  }
+}
