@@ -216,6 +216,78 @@ object ExtendedQueries {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("token"))
       .orderBy("doc_id", "pos")
 
+  // Q44 — ordered string aggregation (LISTAGG): the deterministic form is
+  // sort-then-join over the collected set, which both engines express as
+  // list ops (Spark collect_set is unordered — sort_array makes the result
+  // engine-independent; same on the DuckDB side with list_sort).
+  def q44(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy("l_returnflag")
+
+  // Q45 — regexp surface over documents: extract / global replace /
+  // boolean match / match count. DuckDB's regexp_replace needs the 'g'
+  // flag to mirror Spark's replace-all semantics.
+  def q45(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]{6,})", 1).as("first_long"),
+        regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"),
+        col("text").rlike("ipsum|dolor").as("has_latin"),
+        size(regexp_extract_all(col("text"), lit("\\bt[a-z]+"), lit(0)))
+          .cast("long").as("t_words"))
+      .orderBy("doc_id")
+
+  // Q46 — datetime function breadth over orders: month truncation,
+  // year/month/quarter extraction, day arithmetic against an epoch,
+  // month-end, day-of-week (aligned: Spark is 1=Sunday, DuckDB 0=Sunday).
+  def q46(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("om"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .orderBy("o_orderkey")
+
+  // Q47 — null-handling scalars: NULLIF round-trips through COALESCE,
+  // LEAST/GREATEST across columns, and a null-sensitive CASE.
+  def q47(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)), 4).as("disc_or_flag"),
+        round(least(col("l_tax"), col("l_discount")), 4).as("lo"),
+        round(greatest(col("l_tax"), col("l_discount"), lit(0.05)), 4).as("hi"),
+        when(nullif(col("l_discount"), lit(0.0)).isNull, "zero")
+          .otherwise("disc").as("kind"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // Q48 — explicit GROUPING SETS (the general form behind q13's ROLLUP /
+  // q25's CUBE): (brand, container-ish type prefix), (brand), () — mixed
+  // granularities in one aggregate pass.
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.part.createOrReplaceTempView("q48_part")
+    s.sql(
+      """SELECT p_brand, SUBSTRING(p_type, 1, 6) AS type6,
+        |   COUNT(*) AS cnt, CAST(SUM(p_size) AS BIGINT) AS total_size
+        | FROM q48_part
+        | GROUP BY GROUPING SETS ((p_brand, SUBSTRING(p_type, 1, 6)), (p_brand), ())
+        | ORDER BY p_brand NULLS FIRST, type6 NULLS FIRST""".stripMargin)
+  }
+
   // Sketch aggregates (no DuckDB twin — estimator implementations differ
   // by engine, so no hash match is possible; the tolerance contract is
   // asserted in ExtendedQueriesSpec instead): HLL++ distinct-count
@@ -252,6 +324,11 @@ object ExtendedQueries {
     "q41_scalar_subq"   -> (q41 _),
     "q42_map_fns"       -> (q42 _),
     "q43_posexplode"    -> (q43 _),
+    "q44_string_agg"    -> (q44 _),
+    "q45_regexp"        -> (q45 _),
+    "q46_datetime"      -> (q46 _),
+    "q47_null_fns"      -> (q47 _),
+    "q48_grouping_sets" -> (q48 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -329,5 +406,36 @@ object ExtendedQueries {
       ("SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos, " +
         "unnest(string_split(text, ' ')) AS token " +
         "FROM documents WHERE doc_id < 5 ORDER BY doc_id, pos"),
+    "q44_string_agg" ->
+      ("SELECT l_returnflag, array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses, " +
+        "CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_statuses " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q45_regexp" ->
+      ("SELECT doc_id, regexp_extract(text, '([a-z]{6,})', 1) AS first_long, " +
+        "regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled, " +
+        "regexp_matches(text, 'ipsum|dolor') AS has_latin, " +
+        "CAST(len(regexp_extract_all(text, '\\bt[a-z]+')) AS BIGINT) AS t_words " +
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id"),
+    "q46_datetime" ->
+      ("SELECT o_orderkey, date_trunc('month', o_orderdate) AS om, " +
+        "CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr, " +
+        "CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo, " +
+        "CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr, " +
+        "date_diff('day', TIMESTAMP '1995-01-01', date_trunc('day', o_orderdate)) AS days_since, " +
+        "last_day(o_orderdate) AS month_end, " +
+        "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow " +
+        "FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"),
+    "q47_null_fns" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "ROUND(COALESCE(NULLIF(l_discount, 0.0), -1.0), 4) AS disc_or_flag, " +
+        "ROUND(LEAST(l_tax, l_discount), 4) AS lo, " +
+        "ROUND(GREATEST(l_tax, l_discount, 0.05), 4) AS hi, " +
+        "CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 'zero' ELSE 'disc' END AS kind " +
+        "FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber"),
+    "q48_grouping_sets" ->
+      ("SELECT p_brand, SUBSTRING(p_type, 1, 6) AS type6, COUNT(*) AS cnt, " +
+        "CAST(SUM(p_size) AS BIGINT) AS total_size FROM part " +
+        "GROUP BY GROUPING SETS ((p_brand, SUBSTRING(p_type, 1, 6)), (p_brand), ()) " +
+        "ORDER BY p_brand NULLS FIRST, type6 NULLS FIRST"),
   )
 }
