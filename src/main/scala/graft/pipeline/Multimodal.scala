@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * arrow batches: rows stream through in fixed-size batches so a decoder
   * amortizes per-batch setup.
   *
-  * Decoders: image and audio are REAL — PNG decode through
-  * `javax.imageio` (pure JDK) and WAV/PCM-16 decode through an explicit
-  * RIFF parser — operating on genuine media bytes synthesized
-  * deterministically per doc. Only the video branch remains a stub
-  * (no video codec exists in the JDK; a production build plugs an ffmpeg
-  * pipe or JNI codec into the same batch-in/batch-out seam).
+  * Decoders: all three modalities are REAL parses of genuine media bytes
+  * synthesized deterministically per doc — PNG decode through
+  * `javax.imageio` (pure JDK), WAV/PCM-16 decode through an explicit
+  * RIFF parser, and video as uncompressed-DIB AVI (RIFF 'AVI ') with a
+  * full hdrl/avih/movi chunk walk and per-frame 24-bit bottom-up DIB
+  * decode (frame sampling + motion features). Compressed codecs (H.264
+  * etc.) have no JDK decoder; a production build plugs an ffmpeg pipe or
+  * JNI codec into the same batch-in/batch-out seam, replacing only the
+  * per-frame pixel read.
   */
 object Multimodal {
 
@@ -87,8 +90,70 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic uncompressed AVI: RIFF('AVI ') → LIST(hdrl){avih,
+    * LIST(strl){strh,strf}} → LIST(movi){'00db' DIB frames}. Frames are
+    * 24-bit bottom-up DIBs (rows padded to 4 bytes) of a gradient that
+    * scrolls with the frame index, so motion features are non-trivial. */
+  private[pipeline] def aviBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameLen = stride * h
+    def frame(f: Int): Array[Byte] = {
+      val px = new Array[Byte](frameLen)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val r = ((x + f * 3) * 255 / math.max(w - 1, 1) + seed) & 0xff
+          val g = ((y + f) * 255 / math.max(h - 1, 1) + 2 * seed) & 0xff
+          val b = (x ^ y ^ f ^ seed) & 0xff
+          px(row + x * 3) = b.toByte     // DIB is BGR
+          px(row + x * 3 + 1) = g.toByte
+          px(row + x * 3 + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+    val moviBody = 4 + nFrames * (8 + frameLen)
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); bb.putInt(riffBody); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlBody); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(100000)          // µs per frame (10 fps)
+      .putInt(frameLen * 10)   // max bytes/sec
+      .putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(frameLen)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(10)    // rate 10/1 fps
+      .putInt(0).putInt(nFrames).putInt(frameLen).putInt(-1).putInt(0)
+      .putInt(0).putInt(0)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)          // planes, bpp
+      .putInt(0)                          // BI_RGB uncompressed
+      .putInt(frameLen).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviBody); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); bb.putInt(frameLen); bb.put(frame(f))
+      f += 1
+    }
+    bb.array()
+  }
+
   /** Attach real media payloads to `documents`: PNG for image docs, WAV
-    * for audio docs, opaque bytes for video (stub). In production this
+    * for audio docs, uncompressed AVI for video docs. In production this
     * column comes from a binary-file source
     * (`spark.read.format("binaryFile")`) or parquet BinaryType — the
     * schema is identical either way. */
@@ -108,8 +173,10 @@ object Multimodal {
             val n = ((id % 4) + 1).toInt * 1600 // 0.1-0.4 s
             MediaRow(id, "audio", wavBytes(n, sr, id), 0, 0, sr)
           case _ =>
-            MediaRow(id, "video",
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0, 0, 0)
+            val w = ((id % 4) * 8 + 16).toInt
+            val h = ((id % 2) * 8 + 16).toInt
+            val nf = ((id % 4) + 3).toInt
+            MediaRow(id, "video", aviBytes(w, h, nf, id), w, h, 0)
         }
       }
       .toDF()
@@ -190,15 +257,65 @@ object Multimodal {
       math.max(n / sampleRate, 1), 0, 0, n.toLong, feats)
   }
 
-  /** Video STUB — no codec in the JDK. Deterministic 8-bin byte histogram
-    * + frame-sampling arithmetic; a real implementation replaces ONLY
-    * this function (same batch shape). */
-  private def decodeVideoStub(m: MediaRow): MediaFeatures = {
-    val hist = new Array[Float](8)
-    m.payload.foreach { b => hist((b & 0xff) >> 5) += 1f }
-    val total = math.max(m.payload.length, 1).toFloat
-    MediaFeatures(m.doc_id, m.kind, m.payload.length.toLong,
-      math.max(m.payload.length / 64, 1), 0, 0, 0L, hist.map(_ / total))
+  /** REAL video decode: RIFF('AVI ') chunk walk → avih dimensions/frame
+    * count → per-frame uncompressed 24-bit bottom-up DIB pixel scan.
+    * Features: mean luma of 4 sampled frames (first / ⅓ / ⅔ / last — the
+    * classic frame-sampling shape), overall mean luma, mean absolute
+    * inter-frame luma delta (motion), duration in seconds, frame count
+    * normalizer. A compressed codec would replace only the pixel read. */
+  private def decodeVideo(m: MediaRow): MediaFeatures = {
+    val bb = java.nio.ByteBuffer.wrap(m.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt(0) == 0x46464952, "not RIFF")     // "RIFF"
+    require(bb.getInt(8) == 0x20495641, "not AVI ")     // "AVI "
+    var w = 0; var h = 0; var usPerFrame = 0
+    val lumas = Seq.newBuilder[Double]
+    // Walk top-level chunks; descend into LIST(hdrl) and LIST(movi).
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = bb.getInt(pos)
+        val len = bb.getInt(pos + 4)
+        if (id == 0x5453494c) {                         // "LIST"
+          walk(pos + 12, pos + 8 + len)
+        } else if (id == 0x68697661) {                  // "avih"
+          usPerFrame = bb.getInt(pos + 8)
+          w = bb.getInt(pos + 8 + 32)
+          h = bb.getInt(pos + 8 + 36)
+        } else if ((id & 0xffff0000) == 0x62640000 ||   // "??db"
+                   (id & 0xffff0000) == 0x63640000) {   // "??dc"
+          val stride = ((w * 3 + 3) / 4) * 4
+          var luma = 0.0
+          var y = 0
+          while (y < h) {
+            val row = pos + 8 + (h - 1 - y) * stride
+            var x = 0
+            while (x < w) {
+              val b = m.payload(row + x * 3) & 0xff
+              val g = m.payload(row + x * 3 + 1) & 0xff
+              val r = m.payload(row + x * 3 + 2) & 0xff
+              luma += (r * 299L + g * 587L + b * 114L) / 1000.0
+              x += 1
+            }
+            y += 1
+          }
+          lumas += luma / math.max(w * h, 1) / 255.0
+        }
+        pos += 8 + len + (len & 1)
+      }
+    }
+    walk(12, m.payload.length)
+    val ls = lumas.result()
+    val n = ls.size
+    require(w > 0 && h > 0 && n > 0, "no decodable frames")
+    def sample(frac: Double): Float = ls(((n - 1) * frac).round.toInt).toFloat
+    val motion =
+      if (n < 2) 0.0 else ls.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum / (n - 1)
+    val feats = Array(
+      sample(0.0), sample(1.0 / 3), sample(2.0 / 3), sample(1.0),
+      (ls.sum / n).toFloat, motion.toFloat,
+      (n.toDouble * usPerFrame / 1e6).toFloat, n.toFloat)
+    MediaFeatures(m.doc_id, m.kind, m.payload.length.toLong, n, w, h, 0L, feats)
   }
 
   /** One decode batch: dispatch per kind. Batched so a production decoder
@@ -208,7 +325,7 @@ object Multimodal {
       m.kind match {
         case "image" => decodeImage(m)
         case "audio" => decodeAudio(m)
-        case _       => decodeVideoStub(m)
+        case _       => decodeVideo(m)
       }
     }
 

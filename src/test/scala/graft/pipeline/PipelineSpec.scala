@@ -192,7 +192,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(0) != fp(1))
   }
 
-  test("multimodal: real PNG and WAV decodes recover synthesized dimensions and samples") {
+  test("multimodal: real PNG, WAV and AVI decodes recover synthesized dimensions and samples") {
     val out = Multimodal.extractFeatures(Multimodal.attachPayloads(docs), batchSize = 7)
     val rows = out.collect()
     assert(rows.length == docs.count())
@@ -218,7 +218,15 @@ class PipelineSpec extends AnyFunSuite {
           assert(peak > 0.3f && peak <= 0.4f, s"peak ~12000/32768, got $peak")
           assert(zcr > 0f && zcr < 0.2f, s"zcr for 200-1000 Hz at 16 kHz, got $zcr")
         case _ =>
-          assert(math.abs(feats.sum - 1.0f) < 1e-3, "video stub histogram normalized")
+          // Frame count and dimensions must come from the avih header +
+          // movi chunk walk, not from row metadata.
+          assert(r.getAs[Int]("n_frames") == ((id % 4) + 3).toInt, s"doc $id frames")
+          assert(r.getAs[Int]("decoded_w") == ((id % 4) * 8 + 16).toInt, s"doc $id vid w")
+          assert(r.getAs[Int]("decoded_h") == ((id % 2) * 8 + 16).toInt, s"doc $id vid h")
+          assert(feats.take(5).forall(f => f > 0f && f <= 1f), "sampled lumas in (0,1]")
+          assert(feats(5) > 0f, "scrolling gradient must register motion")
+          val dur = feats(6)
+          assert(math.abs(dur - ((id % 4) + 3) * 0.1f) < 1e-4, s"10fps duration, got $dur")
       }
     }
   }
