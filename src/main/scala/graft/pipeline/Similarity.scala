@@ -200,7 +200,29 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Int8 scalar quantization of the embedding column — the standard
+    * embedding-store compression (4× smaller, cheap dot products) — plus
+    * reconstruction-error accounting. Per-vector arithmetic only: scale =
+    * max |x|, code = round(x·127/scale), error computed analytically from
+    * x alone — one projection, zero shuffle, and exactly expressible in
+    * DuckDB list functions (oracle hash-matches). */
+  def quantization(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("m", expr(
+        "greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12d)"))
+      .withColumn("err", expr(
+        "transform(embedding, x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127 / m) * m / 127))"))
+      .select(col("vec_id"),
+        round(col("m"), 4).as("max_abs"),
+        expr("CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 127 / m) AS BIGINT)")
+          .as("q0"),
+        round(expr("aggregate(err, CAST(0 AS DOUBLE), (a, v) -> a + v)") /
+          size(col("embedding")), 6).as("mean_err"),
+        round(expr("array_max(err)"), 6).as("max_err"))
+      .orderBy("vec_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_embed_quant"   -> ((s, d) => quantization(Tables(s, d).embeddings)),
     "q22_knn_cosine"    -> ((s, d) => bruteForceTopK(Tables(s, d).embeddings)),
     "knn_ann_lsh"       -> ((s, d) => annTopK(Tables(s, d).embeddings)),
     "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
@@ -215,5 +237,16 @@ object Similarity {
         "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS rn " +
         "FROM embeddings q, embeddings e WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) t " +
         "WHERE rn <= 10 ORDER BY query_id, sim DESC, vec_id"),
+    "q52_embed_quant" ->
+      ("""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |w AS (SELECT vec_id, e,
+         |  GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-12) AS m FROM q),
+         |r AS (SELECT vec_id, m, e,
+         |  list_transform(e, x -> abs(x - round(x * 127 / m) * m / 127)) AS err FROM w)
+         |SELECT vec_id, ROUND(m, 4) AS max_abs,
+         |  CAST(round(e[1] * 127 / m) AS BIGINT) AS q0,
+         |  ROUND(list_sum(err) / len(e), 6) AS mean_err,
+         |  ROUND(list_max(err), 6) AS max_err
+         |FROM r ORDER BY vec_id""".stripMargin),
   )
 }

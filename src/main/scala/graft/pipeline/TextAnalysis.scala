@@ -135,6 +135,89 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF: the classic relevance weighting, as two aggregations over
+    * the exploded token stream (term frequency per doc; document
+    * frequency per term) joined back — shuffle sizes are (doc × distinct
+    * terms) and vocabulary, never the raw stream twice. Top-k terms per
+    * document by weight. Smoothed idf = ln((1+N)/(1+df)) + 1 (the
+    * scikit-learn convention, expressible in both engines). */
+  def tfIdf(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(tokens).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .transform(graft.Materialize(_))
+    val n = docs.count() // one scalar job; the corpus is scanned once for tf
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf"), asc("token"))
+    tf.join(df, Seq("token"))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4)
+          .as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("doc_id"), col("rn").cast("long").as("rank"),
+        col("token"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Gopher/Dolma-style repetition heuristics — the standard pre-training
+    * quality gates: fraction of tokens inside duplicated bigrams, most-
+    * frequent-token share, and the duplicate-line fraction proxy (here:
+    * share of tokens in positions whose token repeats its predecessor).
+    * One explode + window pass; no shuffle beyond the per-doc windows. */
+  def repetitionQuality(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        posexplode(tokens).as(Seq("pos", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val withBigram = tok
+      .withColumn("prev", lag("token", 1).over(w))
+      .withColumn("bigram",
+        when(col("prev").isNotNull, concat_ws(" ", col("prev"), col("token"))))
+      .withColumn("cnt_tok",
+        count(lit(1)).over(Window.partitionBy("doc_id", "token")))
+      .withColumn("bigram_cnt",
+        when(col("bigram").isNotNull,
+          count(lit(1)).over(Window.partitionBy("doc_id", "bigram"))))
+    withBigram.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        max(col("cnt_tok")).as("top_tok"),
+        sum(when(col("token") === col("prev"), 1L).otherwise(0L)).as("adj_rep"),
+        sum(when(col("bigram_cnt") > 1, 1L).otherwise(0L)).as("dup_bigram_pos"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_tok") / col("n_tokens"), 4).as("top_token_frac"),
+        round(col("adj_rep") / col("n_tokens"), 4).as("adjacent_rep_frac"),
+        round(col("dup_bigram_pos") / greatest(col("n_tokens") - 1, lit(1L)), 4)
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: email / phone / long-digit-run scrubbing with typed
+    * placeholders plus match accounting — the pass every training corpus
+    * runs before anything else. Pure codegen'd regexp, zero shuffle. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+    val longDigits = "[0-9]{6,}"
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          phone, "<PHONE>"),
+        longDigits, "<NUM>").as("redacted"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+        .cast("long").as("n_phones"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting, both ways a data pipeline needs it: whitespace
     * tokens and a BPE-ish pre-tokenizer count (letter runs / digit runs /
     * single punctuation — the GPT-2-style pre-split that upper-bounds BPE
@@ -169,6 +252,9 @@ object TextAnalysis {
     "langid_ngram"     -> ((s, d) => languageId(Tables(s, d).documents)),
     "q38_token_counts" -> ((s, d) => tokenCounts(Tables(s, d).documents)),
     "doc_fingerprint"  -> ((s, d) => fingerprint(Tables(s, d).documents)),
+    "q49_tfidf"        -> ((s, d) => tfIdf(Tables(s, d).documents)),
+    "q50_repetition"   -> ((s, d) => repetitionQuality(Tables(s, d).documents)),
+    "q51_pii_redact"   -> ((s, d) => redactPii(Tables(s, d).documents)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -187,5 +273,42 @@ object TextAnalysis {
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens, " +
         "ROUND(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) / length(string_split(text, ' ')), 4) AS tokens_ratio " +
         "FROM documents ORDER BY doc_id"),
+    "q49_tfidf" ->
+      ("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.token,
+         |    ROUND(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+         |  FROM tf JOIN df USING (token) CROSS JOIN n),
+         |ranked AS (SELECT doc_id, token, tfidf,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    "q50_repetition" ->
+      ("""WITH tok AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         |    unnest(string_split(text, ' ')) AS token FROM documents),
+         |wb AS (SELECT doc_id, pos, token,
+         |    lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok),
+         |wc AS (SELECT doc_id, pos, token, prev,
+         |    CASE WHEN prev IS NOT NULL THEN prev || ' ' || token END AS bigram,
+         |    COUNT(*) OVER (PARTITION BY doc_id, token) AS cnt_tok FROM wb),
+         |wd AS (SELECT *, CASE WHEN bigram IS NOT NULL THEN
+         |    COUNT(*) OVER (PARTITION BY doc_id, bigram) END AS bigram_cnt FROM wc)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  ROUND(MAX(cnt_tok) / COUNT(*), 4) AS top_token_frac,
+         |  ROUND(SUM(CASE WHEN token = prev THEN 1 ELSE 0 END) / COUNT(*), 4) AS adjacent_rep_frac,
+         |  ROUND(SUM(CASE WHEN bigram_cnt > 1 THEN 1 ELSE 0 END) / GREATEST(COUNT(*) - 1, 1), 4) AS dup_bigram_frac
+         |FROM wd GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q51_pii_redact" ->
+      ("""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+         |    '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones
+         |FROM documents ORDER BY doc_id""".stripMargin),
   )
 }

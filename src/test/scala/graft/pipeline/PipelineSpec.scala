@@ -185,6 +185,66 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf ranks document-specific terms above corpus-wide ones") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "shared unique1"),
+      (2L, "shared unique2"),
+      (3L, "shared unique3")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdf(d, topK = 1).collect()
+    assert(top.length == 3)
+    top.foreach { r =>
+      assert(r.getString(2) == s"unique${r.getLong(0)}",
+        s"doc ${r.getLong(0)}: at equal tf the rare term must outrank the " +
+          s"corpus-wide one, got ${r.getString(2)}")
+    }
+  }
+
+  test("repetition heuristics flag degenerate docs exactly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b"),                       // repeated token + dup bigram
+      (2L, "w x y z")                        // all distinct
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionQuality(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 4)
+    assert(m(1L).getDouble(2) == 0.75, "3 of 4 tokens are 'a'")
+    assert(m(1L).getDouble(3) == 0.5, "2 adjacent repeats of 4 tokens")
+    assert(m(1L).getDouble(4) == 0.6667, "'a a' occupies 2 of 3 bigram slots")
+    assert(m(2L).getDouble(2) == 0.25 && m(2L).getDouble(3) == 0.0 &&
+      m(2L).getDouble(4) == 0.0)
+  }
+
+  test("pii redaction scrubs emails, phones and digit runs with exact counts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or call +1 (415) 555-0100 ref 1234567"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.redactPii(d).collect().map(r => r.getLong(0) -> r).toMap
+    val red = m(1L).getString(1)
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<NUM>"), red)
+    assert(!red.contains("@") && !red.contains("555"), s"leaked PII: $red")
+    assert(m(1L).getLong(2) == 1 && m(1L).getLong(3) == 1)
+    assert(m(2L).getString(1) == "nothing sensitive here")
+    assert(m(2L).getLong(2) == 0 && m(2L).getLong(3) == 0)
+  }
+
+  test("int8 quantization reconstruction error is bounded by half a step") {
+    val out = Similarity.quantization(emb).collect()
+    assert(out.length == emb.count())
+    out.foreach { r =>
+      val maxAbs = r.getDouble(1); val maxErr = r.getDouble(4)
+      // 5e-7 slack: max_err is reported rounded to 6 dp, which can tip
+      // just past the exact analytic half-step bound.
+      assert(maxErr <= maxAbs / 127.0 / 2.0 + 5e-7,
+        s"vec ${r.getLong(0)}: err $maxErr exceeds half-step ${maxAbs / 254.0}")
+      assert(math.abs(r.getLong(2)) <= 127, "codes fit int8")
+    }
+  }
+
   test("fingerprint is order-sensitive") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
