@@ -39,8 +39,8 @@ object Clusters {
     import spark.implicits._
     // Canonical undirected form: (a < b), no self-loops, no duplicates.
     def canon(df: DataFrame): DataFrame =
-      df.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
+      df.select(least(col("src"), col("dst")).cast("long").as("a"),
+          greatest(col("src"), col("dst")).cast("long").as("b"))
         .filter(col("a") =!= col("b")).distinct()
     // Both directions — the star ops need full neighborhoods.
     def sym(df: DataFrame): DataFrame =
@@ -51,6 +51,37 @@ object Clusters {
     var prevSig = (-1L, 0L)
     var iter = 0
     var converged = false
+    // Small-graph endgame: once the (already contracted) edge set fits in
+    // a bounded driver array, a linear union-find finishes in milliseconds
+    // where each distributed round would cost several shuffle stages +
+    // codegen compiles. The bound is explicit (default 2^20 edges ≈ 16 MB)
+    // and the distributed loop above it is the 100-TB path — the same
+    // big-rounds-then-local-finish shape MapReduce CC systems use.
+    val localThreshold = spark.conf
+      .get("spark.graft.cc.localThreshold", (1 << 20).toString).toLong
+    def localFinish(edgeCount: Long): Option[DataFrame] = {
+      if (edgeCount > localThreshold) return None
+      val pairs = e.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(n => (n, find(n)))
+      graft.Materialize.release(e)
+      Some(labels.toSeq.toDF("node", "component"))
+    }
+    val quick = localFinish(e.count())
+    if (quick.isDefined) return quick.get
+
     while (iter < maxIter && !converged) {
       // Large-star: every neighbor LARGER than u links to the min of
       // u's neighborhood (incl. u) — long chains fold in half.
@@ -81,6 +112,12 @@ object Clusters {
       graft.Materialize.release(e)
       e = next
       iter += 1
+      // A big graph usually contracts below the local threshold after a
+      // round or two — finish there instead of paying further rounds.
+      if (!converged) {
+        val finished = localFinish(sig._1)
+        if (finished.isDefined) return finished.get
+      }
     }
     // Converged state is a star per component centered at its min id.
     val lab = sym(e).groupBy(col("u").as("node")).agg(min("v").as("mn"))
@@ -98,15 +135,19 @@ object Clusters {
     * all-pairs comparison. */
   def sharedShingleEdges(docs: DataFrame, shingleSize: Int = 5,
       maxDf: Int = 50): DataFrame = {
-    val sh0 = docs
+    // Materialized immediately: the shingle expression is a higher-order
+    // function (interpreted, not codegen'd) and this table is consumed
+    // twice (df filter + join) — recomputing it doubles the dominant cost.
+    val sh0 = graft.Materialize(docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(Dedup.shingles(shingleSize)).as("s"))
+      .select(col("doc_id"), explode(Dedup.shingles(shingleSize)).as("s")))
     val keep = sh0.groupBy("s")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2) // df=1 yields no pair
       .select("s")
     // Materialized: self-joined; tiny (only shingles that link something).
     val sh = graft.Materialize(sh0.join(keep, Seq("s")))
+    graft.Materialize.release(sh0)
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))

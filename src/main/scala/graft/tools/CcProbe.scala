@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.pipeline.Clusters
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler for the connected-components pipeline: stage timings
+  * + edge-set size, to attribute dedup_clusters bench cost. */
+object CcProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables(spark, dir).documents
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[ccprobe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val edges = t("edges build+count") {
+      val e = graft.Materialize(Clusters.sharedShingleEdges(docs))
+      println(s"[ccprobe] n_edges=${e.count()}")
+      e
+    }
+    val labels = t("connectedComponents") { Clusters.connectedComponents(edges) }
+    t("labels action") { println(s"[ccprobe] n_labeled=${labels.count()}") }
+    val full = t("dedupClusters end-to-end") { Clusters.dedupClusters(docs).count() }
+    println(s"[ccprobe] rows=$full")
+    spark.stop()
+  }
+}

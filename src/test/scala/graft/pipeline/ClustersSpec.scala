@@ -8,9 +8,20 @@ class ClustersSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Clusters.connectedComponents(edges.toDF("src", "dst"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  /** Run once through the distributed star loop (threshold 0) and once
+    * through the small-graph union-find endgame — both paths must agree. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    def run(): Map[Long, Long] =
+      Clusters.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    val distributed = try run()
+    finally spark.conf.unset("spark.graft.cc.localThreshold")
+    val local = run()
+    assert(distributed == local,
+      s"star-loop and union-find paths disagree: $distributed vs $local")
+    distributed
+  }
 
   test("path graph folds to one component (log-round contraction)") {
     // A 64-node path is the adversarial case for naive min-propagation
