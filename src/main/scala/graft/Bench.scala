@@ -56,6 +56,13 @@ object Bench {
         if (name == "q1_scan_filter" &&
             !(plan.contains("PushedFilters") && plan.contains("LessThan(ts")))
           violations += s"$name:nanos-filter-not-pushed"
+        if (name == "q7_star_join" && !plan.contains("BroadcastHashJoin"))
+          violations += s"$name:dims-not-broadcast"
+        if (name == "q16_pricing" && !plan.contains("LessThanOrEqual(l_shipdate"))
+          violations += s"$name:shipdate-not-pushed"
+        if (name == "langid_ngram" &&
+            "BroadcastNestedLoopJoin".r.findAllIn(plan).length > 1)
+          violations += s"$name:token-stream-amplified"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }
 

@@ -294,6 +294,24 @@ object ExtendedQueries {
   // estimation per group, next to the exact count it approximates. At
   // 100 TB the sketch is the only viable distinct count: fixed-size
   // mergeable state per group vs a shuffle of every distinct key.
+  /** Quantile sketch next to the exact answer it approximates
+    * (approx_percentile = Greenwald-Khanna; fixed-size mergeable state
+    * per group — at 100 TB the sketch replaces a full sort per group).
+    * No DuckDB twin (estimator differs by engine); tolerance asserted in
+    * ExtendedQueriesSpec. */
+  def sketchQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("approx"),
+        expr("percentile(value, array(0.5, 0.95))").as("exact"))
+      .select(col("event_type"),
+        round(element_at(col("approx"), 1), 4).as("approx_med"),
+        round(element_at(col("exact"), 1), 4).as("exact_med"),
+        round(element_at(col("approx"), 2), 4).as("approx_p95"),
+        round(element_at(col("exact"), 2), 4).as("exact_p95"))
+      .orderBy("event_type")
+
   def sketchHll(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
       .groupBy("event_type")
@@ -306,6 +324,7 @@ object ExtendedQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll"        -> (sketchHll _),
+    "sketch_quantiles"  -> (sketchQuantiles _),
     "q30_array_fns"     -> (q30 _),
     "q31_interval_fns"  -> (q31 _),
     "q34_stats_aggs"    -> (q34 _),

@@ -30,4 +30,17 @@ object Bucketing {
   /** Join two co-bucketed catalog tables on their bucket key. */
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Hive-style partitioned layout — the other half of the at-rest story:
+    * partition the table by a low-cardinality dispatch/time column so a
+    * filtered scan PRUNES whole directories instead of reading and
+    * discarding rows. At 100 TB a date-partitioned event log turns
+    * "scan everything, filter 99%" into "list one directory". Pruning is
+    * asserted on the plan (PartitionFilters + selected-partition count)
+    * in BucketingSpec. */
+  def writePartitioned(df: DataFrame, dir: String, partitionCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(dir)
 }

@@ -25,6 +25,25 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch estimates sit inside a rank window around the exact percentiles") {
+    // approx_percentile returns an ACTUAL data value (no interpolation),
+    // so the correct tolerance is a rank window, not a value epsilon:
+    // the estimate must lie between the exact percentiles a few rank
+    // points either side of the target.
+    import org.apache.spark.sql.functions._
+    val bounds = graft.Tables(spark, sf0001).events
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.45, 0.55, 0.90, 0.99))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    ExtendedQueries.sketchQuantiles(spark, sf0001).collect().foreach { r =>
+      val b = bounds(r.getString(0))
+      assert(r.getDouble(1) >= b(0) - 1e-9 && r.getDouble(1) <= b(1) + 1e-9,
+        s"${r.getString(0)} median ${r.getDouble(1)} outside [${b(0)}, ${b(1)}]")
+      assert(r.getDouble(3) >= b(2) - 1e-9 && r.getDouble(3) <= b(3) + 1e-9,
+        s"${r.getString(0)} p95 ${r.getDouble(3)} outside [${b(2)}, ${b(3)}]")
+    }
+  }
+
   test("count-min sketch frequency estimates are upper bounds within tolerance") {
     val events = graft.Tables(spark, sf0001).events
     val cms = events.stat.countMinSketch("user_id",

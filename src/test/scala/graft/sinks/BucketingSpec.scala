@@ -31,4 +31,34 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("partitioned layout prunes directories on a partition-column filter") {
+    val dir = java.nio.file.Files.createTempDirectory("partlay").toString + "/events"
+    val e = Tables(spark, sf0001).events
+      .withColumn("day", to_date(col("ts")))
+    Bucketing.writePartitioned(e, dir, "day")
+
+    val nDays = e.select("day").distinct().count()
+    assert(nDays > 1, "fixture must span multiple partition values")
+
+    val read = spark.read.parquet(dir)
+    val oneDay = read.filter(col("day") === e.select(min("day")).head().getDate(0))
+    val scan = oneDay.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    // The filter must land in PartitionFilters (directory pruning), NOT
+    // as a data filter evaluated against every row group.
+    assert(scan.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter not applied at partition level:\n${scan.take(1200)}")
+    val counted = oneDay.collect().length
+    val expected = e.filter(col("day") === e.select(min("day")).head().getDate(0)).count()
+    assert(counted == expected && counted > 0)
+    // Physical proof via the scan's own metric: after execution, numFiles
+    // must be below the full layout's file count (inputFiles is not
+    // filter-aware, so compare against the unfiltered relation).
+    val scanExec = oneDay.queryExecution.executedPlan.collectLeaves().head
+    val numFiles = scanExec.metrics("numFiles").value
+    val allFiles = read.inputFiles.length
+    assert(numFiles > 0 && numFiles < allFiles,
+      s"pruned scan read $numFiles of $allFiles files — no pruning happened")
+  }
 }
