@@ -1,0 +1,82 @@
+package graft.tools
+
+import graft.pipeline.{Clusters, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Width smoke for the dedup/clustering pipeline: a deterministic
+  * synthetic corpus 20-100× the bench documents table, with PLANTED
+  * near-duplicate structure, so the scale claims are checked on evidence:
+  *
+  *   - candidate generation stays ~linear (pairs/doc bounded — an LSH
+  *     regression to all-pairs shows up as a quadratic ratio, not a
+  *     slow test),
+  *   - recall on the planted pairs is near-total (the planted mutation
+  *     keeps Jaccard ≈ 0.9, well above the 0.8 threshold),
+  *   - connected components recovers exactly the planted cluster count.
+  *
+  * Usage: runMain graft.tools.PipeScale [nDocs=100000]
+  * Prints PASS/FAIL per property; exits non-zero on FAIL.
+  */
+object PipeScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Deterministic corpus: 60 tokens/doc from a 1000-word vocabulary,
+    // seeded per doc. Every 50th doc (id % 50 == 1) is a near-copy of its
+    // predecessor with one mutated token — the planted dup pair.
+    val vocabSize = 1000
+    val docs = spark.range(n).as[Long].map { id =>
+      val base = if (id % 50 == 1) id - 1 else id
+      val rnd = new scala.util.Random(base)
+      val toks = Array.fill(60)("w" + rnd.nextInt(vocabSize))
+      if (id % 50 == 1) toks(7) = "mut" + id
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Materialize(_))
+    val planted = n / 50 // pairs (k*50, k*50+1), k >= 0... except id 1 pairs with 0
+
+    var failed = false
+    def check(tag: String, ok: Boolean, detail: String): Unit = {
+      println(s"[pipescale] ${if (ok) "PASS" else "FAIL"} $tag: $detail")
+      failed ||= !ok
+    }
+    def timed[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pipescale] $tag: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+    }
+
+    val pairs = timed("minhash candidates") {
+      Dedup.minhashCandidates(docs, shingleSize = 3, numHashes = 32, rowsPerBand = 4)
+        .transform(graft.Materialize(_))
+    }
+    val nPairs = pairs.count()
+    check("candidates linear", nPairs < 5L * n,
+      f"$nPairs candidate pairs for $n docs (${nPairs.toDouble / n}%.2f per doc)")
+
+    val dup = timed("minhash dedup e2e") {
+      Dedup.minhashDedup(docs).filter(col("is_duplicate")).count()
+    }
+    check("planted recall", dup >= (planted * 95L) / 100 && dup <= planted + n / 1000,
+      s"$dup duplicates flagged, $planted planted")
+
+    val comps = timed("dedup clusters e2e") {
+      Clusters.dedupClusters(docs, shingleSize = 5)
+        .filter(col("cluster_size") > 1).select("component").distinct().count()
+    }
+    check("planted clusters", math.abs(comps - planted) <= planted / 20 + 2,
+      s"$comps multi-doc components, $planted planted")
+
+    spark.stop()
+    if (failed) sys.exit(1)
+    println(s"[pipescale] ALL PASS at n=$n")
+  }
+}
