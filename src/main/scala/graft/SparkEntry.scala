@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.RelationalQueries
-import graft.pipeline.{Clusters, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Clusters, Curate, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -19,8 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ operators.ExtendedQueries.all ++
       operators.TemporalJoins.all ++
-      Dedup.queries ++ Clusters.queries ++ TextAnalysis.queries ++
-      Similarity.queries ++ Multimodal.queries ++
+      Dedup.queries ++ Clusters.queries ++ Curate.queries ++
+      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         // D3-D6 gate state machine: golden-fixture replay to quiescence
         // (strict assertions in FeedStepSpec; SQL can't express the fixpoint).
@@ -38,6 +38,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ operators.ExtendedQueries.oracle ++
       operators.TemporalJoins.oracle ++
-      Dedup.oracle ++ Clusters.oracle ++ TextAnalysis.oracle ++
-      Similarity.oracle
+      Dedup.oracle ++ Clusters.oracle ++ Curate.oracle ++
+      TextAnalysis.oracle ++ Similarity.oracle
 }

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-curation decision — what a training-data pipeline
+  * actually ships: every document annotated keep/drop with the FIRST
+  * failing rule as the reason, built from the already-verified component
+  * operators (quality stats, repetition heuristics, PII counts, exact
+  * dedup). Rule precedence is part of the contract (a too-short doc
+  * reads `too_short` even if it is also repetitive).
+  *
+  * Scale shape: four component tables each derived in one pass over the
+  * corpus, joined on doc_id — on a cluster these co-partition on the
+  * join key, so the compose step is one shuffle family wide, and every
+  * component is itself linear (no pairwise work; exact dedup is the only
+  * one that shuffles by content hash).
+  */
+object Curate {
+
+  final case class Thresholds(
+      minTokens: Long = 15,
+      maxTokens: Long = 95,
+      minDistinctRatio: Double = 0.33,
+      maxDupBigramFrac: Double = 0.18)
+
+  def curation(docs: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
+    val tq = TextAnalysis.textQuality(docs)
+      .select("doc_id", "n_tokens", "distinct_ratio")
+    val rep = TextAnalysis.repetitionQuality(docs)
+      .select("doc_id", "dup_bigram_frac")
+    val pii = TextAnalysis.redactPii(docs)
+      .select(col("doc_id"), (col("n_emails") + col("n_phones")).as("n_pii"))
+    val dup = docs.withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .select(col("doc_id"), (col("rn") > 1).as("is_dup"))
+    val reason =
+      when(col("n_tokens") < t.minTokens, "too_short")
+        .when(col("n_tokens") > t.maxTokens, "too_long")
+        .when(col("distinct_ratio") < t.minDistinctRatio, "low_diversity")
+        .when(col("dup_bigram_frac") > t.maxDupBigramFrac, "repetitive")
+        .when(col("n_pii") > 0, "pii")
+        .when(col("is_dup"), "exact_duplicate")
+    docs.select("doc_id")
+      .join(tq, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .join(pii, Seq("doc_id")).join(dup, Seq("doc_id"))
+      .select(col("doc_id"), reason.isNull.as("keep"), reason.as("reason"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_curation" -> ((s, d) => curation(Tables(s, d).documents)),
+  )
+
+  /** The same decision composed from the component oracles' SQL shapes
+    * (q20 quality, q50 repetition, q51 PII, q19 dedup). */
+  def oracle: Map[String, String] = Map(
+    "q53_curation" ->
+      ("""WITH tq AS (SELECT doc_id,
+         |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ROUND(length(list_distinct(string_split(text, ' '))) / length(string_split(text, ' ')), 4) AS distinct_ratio
+         |  FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         |    unnest(string_split(text, ' ')) AS token FROM documents),
+         |wb AS (SELECT doc_id, pos, token,
+         |    lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok),
+         |wc AS (SELECT *, CASE WHEN prev IS NOT NULL THEN prev || ' ' || token END AS bigram FROM wb),
+         |wd AS (SELECT *, CASE WHEN bigram IS NOT NULL THEN
+         |    COUNT(*) OVER (PARTITION BY doc_id, bigram) END AS bc FROM wc),
+         |rep AS (SELECT doc_id,
+         |    ROUND(SUM(CASE WHEN bc > 1 THEN 1 ELSE 0 END) / GREATEST(COUNT(*) - 1, 1), 4) AS dup_bigram_frac
+         |  FROM wd GROUP BY doc_id),
+         |pii AS (SELECT doc_id,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+         |    len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_pii
+         |  FROM documents),
+         |dup AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+         |  FROM documents),
+         |j AS (SELECT d.doc_id,
+         |    CASE WHEN tq.n_tokens < 15 THEN 'too_short'
+         |         WHEN tq.n_tokens > 95 THEN 'too_long'
+         |         WHEN tq.distinct_ratio < 0.33 THEN 'low_diversity'
+         |         WHEN rep.dup_bigram_frac > 0.18 THEN 'repetitive'
+         |         WHEN pii.n_pii > 0 THEN 'pii'
+         |         WHEN dup.is_dup THEN 'exact_duplicate' END AS reason
+         |  FROM documents d JOIN tq USING (doc_id) JOIN rep USING (doc_id)
+         |    JOIN pii USING (doc_id) JOIN dup USING (doc_id))
+         |SELECT doc_id, reason IS NULL AS keep, reason FROM j ORDER BY doc_id""".stripMargin),
+  )
+}

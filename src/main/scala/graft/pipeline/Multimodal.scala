@@ -38,7 +38,8 @@ object Multimodal {
       decoded_w: Int,
       decoded_h: Int,
       n_samples: Long,
-      features: Array[Float])
+      features: Array[Float],
+      decode_error: String = null)
 
   // ------------------------------------------------------------ payloads
 
@@ -319,13 +320,24 @@ object Multimodal {
   }
 
   /** One decode batch: dispatch per kind. Batched so a production decoder
-    * (ffmpeg pipe, JNI lib, ONNX session) amortizes setup per batch. */
+    * (ffmpeg pipe, JNI lib, ONNX session) amortizes setup per batch.
+    * A row whose payload fails to parse becomes an error row (empty
+    * features + decode_error message) instead of failing the task: at
+    * corpus scale corrupt bytes are a certainty, and one bad record must
+    * cost one row, not a 100 TB job. */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { m =>
-      m.kind match {
-        case "image" => decodeImage(m)
-        case "audio" => decodeAudio(m)
-        case _       => decodeVideo(m)
+      try {
+        m.kind match {
+          case "image" => decodeImage(m)
+          case "audio" => decodeAudio(m)
+          case _       => decodeVideo(m)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          MediaFeatures(m.doc_id, m.kind, m.payload.length.toLong,
+            0, 0, 0, 0L, Array.emptyFloatArray,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
 
@@ -344,7 +356,8 @@ object Multimodal {
     extractFeatures(attachPayloads(Tables(s, dir).documents))
       .select(col("doc_id"), col("kind"), col("n_bytes"), col("n_frames"),
         col("decoded_w"), col("decoded_h"), col("n_samples"),
-        round(element_at(col("features"), 1), 4).as("f0"))
+        round(element_at(col("features"), 1), 4).as("f0"),
+        col("decode_error"))
       .orderBy("doc_id")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

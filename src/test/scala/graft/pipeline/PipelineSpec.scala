@@ -245,6 +245,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("curation applies every rule at the declared precedence") {
+    import spark.implicits._
+    val long = ("tok" + (1 to 200).mkString(" tok")).split(" ").mkString(" ")
+    val d = Seq(
+      (1L, "too short"),                                        // too_short
+      (2L, long),                                               // too_long
+      (3L, ("a " * 40).trim + " b c d e f g h i j k l m n o"),  // low_diversity (54 toks, 15 distinct)
+      (4L, (1 to 20).map(i => "u" + i).mkString(" ") + " " +
+        ("x y " * 12).trim),                                    // repetitive bigrams, diverse enough
+      (5L, (1 to 20).map(i => "m" + i).mkString(" ") +
+        " contact me at a.b@c.example.org please thanks"),      // pii
+      (6L, (1 to 20).map(i => "d" + i).mkString(" ")),          // original
+      (7L, (1 to 20).map(i => "d" + i).mkString(" ")),          // exact_duplicate of 6
+      (8L, (1 to 40).map(i => "k" + i).mkString(" "))           // keeper
+    ).toDF("doc_id", "text")
+    val out = Curate.curation(d).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(1L) == ((false, "too_short")))
+    assert(out(2L) == ((false, "too_long")))
+    assert(out(3L) == ((false, "low_diversity")), s"got ${out(3L)}")
+    assert(out(4L) == ((false, "repetitive")), s"got ${out(4L)}")
+    assert(out(5L) == ((false, "pii")))
+    assert(out(6L) == ((true, null)))
+    assert(out(7L) == ((false, "exact_duplicate")))
+    assert(out(8L) == ((true, null)))
+    // Precedence: a doc that is both too short AND a duplicate reads too_short.
+    val both = Seq((1L, "dup dup"), (2L, "dup dup")).toDF("doc_id", "text")
+    val r2 = Curate.curation(both).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(r2(1L) == "too_short" && r2(2L) == "too_short")
+  }
+
   test("fingerprint is order-sensitive") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
@@ -289,6 +321,23 @@ class PipelineSpec extends AnyFunSuite {
           assert(math.abs(dur - ((id % 4) + 3) * 0.1f) < 1e-4, s"10fps duration, got $dur")
       }
     }
+  }
+
+  test("corrupt payloads become error rows, not task failures") {
+    import spark.implicits._
+    val good = Multimodal.MediaRow(1L, "image", Multimodal.pngBytes(16, 16, 1L), 16, 16, 0)
+    val truncated = Multimodal.MediaRow(2L, "image",
+      Multimodal.pngBytes(16, 16, 2L).take(20), 16, 16, 0)
+    val garbageAvi = Multimodal.MediaRow(3L, "video",
+      Array.fill[Byte](64)(0x7f), 0, 0, 0)
+    val out = Multimodal.extractFeatures(
+        Seq(good, truncated, garbageAvi).toDS().toDF())
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("decode_error") == null)
+    assert(out(1L).getAs[Int]("decoded_w") == 16)
+    assert(out(2L).getAs[String]("decode_error") != null, "truncated PNG must error")
+    assert(out(3L).getAs[String]("decode_error") != null, "garbage AVI must error")
+    assert(out(3L).getAs[scala.collection.Seq[Float]]("features").isEmpty)
   }
 
   test("multimodal decode is deterministic across runs (batch boundaries irrelevant)") {
