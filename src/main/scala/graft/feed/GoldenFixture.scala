@@ -133,10 +133,18 @@ object GoldenFixture {
     import spark.implicits._
     val db = java.nio.file.Files.createTempDirectory("graftgold").resolve("db")
     val url = s"jdbc:derby:$db;create=true"
+    // Atomic per wave: a poll landing mid-seed would admit a prefix,
+    // complete a partition into its tombstone, and correctly drop the
+    // late gate-mates — a logical batch must commit together.
     def seed(rows: Seq[Item]): Unit = {
       val conn = JdbcStore.connect(url)
-      try { JdbcStore.migrate(conn); rows.foreach(JdbcStore.saveItem(conn, _)) }
-      finally conn.close()
+      try {
+        JdbcStore.migrate(conn)
+        JdbcStore.transaction(conn) { c =>
+          rows.foreach(JdbcStore.saveItem(c, _)); Right(())
+        }
+        ()
+      } finally conn.close()
     }
     seed(items.take(8))
     val src = spark.readStream

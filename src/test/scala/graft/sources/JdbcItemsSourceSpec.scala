@@ -19,10 +19,20 @@ class JdbcItemsSourceSpec extends AnyFunSuite {
     s"jdbc:derby:$dir;create=true"
   }
 
+  /** Seed a wave ATOMICALLY (one transaction). Row-by-row seeding against
+    * a live free-running trigger is racy by design: a poll landing mid-
+    * seed admits a prefix of the wave, a partition can complete into its
+    * tombstone, and a late gate-mate is then correctly ignored (the
+    * reference never re-opens Complete partitions). A logical batch that
+    * must be processed together must COMMIT together. */
   private def seed(url: String, items: Seq[Item]): Unit = {
     val conn = JdbcStore.connect(url)
-    try { JdbcStore.migrate(conn); items.foreach(JdbcStore.saveItem(conn, _)) }
-    finally conn.close()
+    try {
+      JdbcStore.migrate(conn)
+      JdbcStore.transaction(conn) { c =>
+        items.foreach(JdbcStore.saveItem(c, _)); Right(())
+      }.fold(e => fail(s"seed failed: $e"), identity)
+    } finally conn.close()
   }
 
   test("golden fixture via JDBC polling source matches the file-source end state") {
