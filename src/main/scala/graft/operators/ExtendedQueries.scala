@@ -294,6 +294,62 @@ object ExtendedQueries {
   // estimation per group, next to the exact count it approximates. At
   // 100 TB the sketch is the only viable distinct count: fixed-size
   // mergeable state per group vs a shuffle of every distinct key.
+  // Q54 — pagination: total ordering + LIMIT/OFFSET (the page-2 read
+  // every API backend issues).
+  def q54(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .offset(40).limit(20)
+
+  // Q55 — string-function breadth: padding, reversal, translation,
+  // field splitting, prefix/suffix slicing.
+  def q55(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).part
+      .filter(col("p_partkey") < 200)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, ".").as("rp"),
+        reverse(col("p_name")).as("rev"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+        expr("split_part(p_type, ' ', 2)").as("sp"),
+        expr("left(p_name, 5)").as("l5"),
+        expr("right(p_name, 4)").as("r4"))
+      .orderBy("p_partkey")
+
+  // Q56 — bitwise surface (mask/flag arithmetic over ids).
+  def q56(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .filter(col("event_id") < 300)
+      .select(
+        col("event_id"),
+        col("user_id").bitwiseAND(15).as("b_and"),
+        col("user_id").bitwiseOR(16).as("b_or"),
+        col("user_id").bitwiseXOR(5).as("b_xor"),
+        shiftleft(col("user_id"), 2).as("b_shl"),
+        shiftright(col("user_id"), 1).as("b_shr"),
+        bit_count(col("user_id")).cast("long").as("b_pop"))
+      .orderBy("event_id")
+
+  // Q57 — recursive CTE (Spark 4 WITH RECURSIVE): dense calendar fill —
+  // generate the continuous day range spanning the events table and
+  // count per day INCLUDING empty days (the gap a plain GROUP BY leaves).
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).events.createOrReplaceTempView("q57_events")
+    s.sql(
+      """WITH RECURSIVE days(d, mx) AS (
+        |  SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) FROM q57_events
+        |  UNION ALL
+        |  SELECT CAST(d + INTERVAL 1 DAY AS DATE), mx FROM days WHERE d < mx)
+        |SELECT days.d AS day, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM days LEFT JOIN (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM q57_events GROUP BY CAST(ts AS DATE)) c
+        |ON c.day = days.d
+        |ORDER BY day""".stripMargin)
+  }
+
   /** Quantile sketch next to the exact answer it approximates
     * (approx_percentile = Greenwald-Khanna; fixed-size mergeable state
     * per group — at 100 TB the sketch replaces a full sort per group).
@@ -348,6 +404,10 @@ object ExtendedQueries {
     "q46_datetime"      -> (q46 _),
     "q47_null_fns"      -> (q47 _),
     "q48_grouping_sets" -> (q48 _),
+    "q54_pagination"    -> (q54 _),
+    "q55_strings"       -> (q55 _),
+    "q56_bitwise"       -> (q56 _),
+    "q57_recursive"     -> (q57 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -456,5 +516,29 @@ object ExtendedQueries {
         "CAST(SUM(p_size) AS BIGINT) AS total_size FROM part " +
         "GROUP BY GROUPING SETS ((p_brand, SUBSTRING(p_type, 1, 6)), (p_brand), ()) " +
         "ORDER BY p_brand NULLS FIRST, type6 NULLS FIRST"),
+    "q54_pagination" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40"),
+    "q55_strings" ->
+      ("SELECT p_partkey, lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '.') AS rp, " +
+        "reverse(p_name) AS rev, translate(p_name, 'aeiou', 'AEIOU') AS tr, " +
+        "split_part(p_type, ' ', 2) AS sp, left(p_name, 5) AS l5, right(p_name, 4) AS r4 " +
+        "FROM part WHERE p_partkey < 200 ORDER BY p_partkey"),
+    "q56_bitwise" ->
+      ("SELECT event_id, user_id & 15 AS b_and, user_id | 16 AS b_or, " +
+        "xor(user_id, 5) AS b_xor, user_id << 2 AS b_shl, user_id >> 1 AS b_shr, " +
+        "CAST(bit_count(user_id) AS BIGINT) AS b_pop " +
+        "FROM events WHERE event_id < 300 ORDER BY event_id"),
+    "q57_recursive" ->
+      ("""WITH RECURSIVE days(d, mx) AS (
+         |  SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) FROM events
+         |  UNION ALL
+         |  SELECT CAST(d + INTERVAL 1 DAY AS DATE), mx FROM days WHERE d < mx)
+         |SELECT days.d AS day, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+         |FROM days LEFT JOIN (
+         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+         |  FROM events GROUP BY CAST(ts AS DATE)) c
+         |ON c.day = days.d
+         |ORDER BY day""".stripMargin),
   )
 }

@@ -19,7 +19,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q17_time_window", "q18_retry_stats", "q19_dedup_exact",
     "q24_intersect", "q25_cube", "q26_scalars", "q32_range_join",
     "q36_pivot", "q37_exists", "q39_win_analytics", "q40_range_frame",
-    "q41_scalar_subq", "q47_null_fns", "q48_grouping_sets")
+    "q41_scalar_subq", "q47_null_fns", "q48_grouping_sets",
+    "q54_pagination", "q55_strings", "q57_recursive")
 
   private lazy val allQueries = RelationalQueries.all ++ ExtendedQueries.all ++
     TemporalJoins.all ++ graft.pipeline.Dedup.queries
