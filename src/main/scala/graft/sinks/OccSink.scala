@@ -111,6 +111,69 @@ object OccSink {
   def writer(tableDir: String): (Dataset[Item], Long) => Unit =
     (batch, _) => { applyBatch(batch.sparkSession, tableDir, batch); () }
 
+  /** Bucketed file-table OCC write-back — the scalable LOCAL layout: the
+    * table is hive-partitioned by `occ_bucket = pmod(xxhash64(id), n)`,
+    * so a batch (a) READS only the bucket directories its keys hash to
+    * (partition pruning) and (b) REWRITES only those buckets (dynamic
+    * partition overwrite). Sink cost is O(touched buckets), not O(table)
+    * — the property [[applyBatch]]'s whole-table swap lacks, and the
+    * file-based answer to the same requirement the JDBC mode meets with
+    * per-key conditional UPDATEs. A table belongs to exactly one mode
+    * (swap or bucketed); don't mix layouts in one directory. */
+  def applyBatchBucketed(spark: SparkSession, tableDir: String,
+      updates: Dataset[Item], numBuckets: Int = 16): OccResult = {
+    import spark.implicits._
+    val bucketOf = pmod(xxhash64(col("id")), lit(numBuckets))
+    val latest = updates
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(desc("version"), asc("updatedAt"))))
+      .filter($"rn" === 1).drop("rn").as[Item]
+      .transform(ds => graft.Materialize(ds)) // consumed 3x (buckets/counts/merge)
+    val buckets = latest.select(bucketOf.as("b")).distinct().as[Long].collect()
+    if (buckets.isEmpty) return OccResult(0, 0, 0)
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val current: Dataset[Item] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)))
+        spark.read.parquet(tableDir)
+          .filter(col("occ_bucket").isin(buckets: _*)) // directory pruning
+          .drop("occ_bucket").as[Item]
+      else spark.emptyDataset[Item]
+
+    val cur = current.select($"id".as("cur_id"), $"version".as("cur_version"))
+    val counts = latest
+      .join(cur, latest("id") === cur("cur_id"), "left")
+      .agg(
+        sum(when($"cur_id".isNull, 1L).otherwise(0L)).as("inserted"),
+        sum(when($"cur_id".isNotNull && $"version" =!= $"cur_version" + 1, 1L)
+          .otherwise(0L)).as("conflicts"),
+        sum(when($"cur_id".isNotNull && $"version" === $"cur_version" + 1, 1L)
+          .otherwise(0L)).as("applied"))
+      .collect()(0)
+    def cnt(n: String): Long =
+      if (counts.isNullAt(counts.fieldIndex(n))) 0L else counts.getAs[Long](n)
+
+    val (newSubset, _) = merge(current, latest)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      newSubset.withColumn("occ_bucket", bucketOf)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("occ_bucket")
+        .parquet(tableDir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    graft.Materialize.release(latest)
+
+    OccResult(applied = cnt("applied"), conflicts = cnt("conflicts"),
+      inserted = cnt("inserted"))
+  }
+
+  /** foreachBatch hook for the bucketed file mode. */
+  def bucketedWriter(tableDir: String, numBuckets: Int = 16): (Dataset[Item], Long) => Unit =
+    (batch, _) => { applyBatchBucketed(batch.sparkSession, tableDir, batch, numBuckets); () }
+
   /** JDBC OCC write-back — the reference's actual deployment mode
     * (repo.go:125-138): each updated key is a conditional versioned
     * UPDATE / INSERT against the shared database, executed from the

@@ -2,6 +2,7 @@ package graft.sinks
 
 import graft.SparkTestSession
 import graft.feed.{Item, Status}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class OccSinkSpec extends AnyFunSuite {
@@ -100,6 +101,50 @@ class OccSinkSpec extends AnyFunSuite {
         Item("a", "p", version = 2, status = Status.Complete)).toDS(), url)
       assert(again.applied == 0 && again.conflicts == 1)
     } finally check.close()
+  }
+
+  test("bucketed mode: OCC semantics intact, untouched buckets not rewritten") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // Seed enough ids to populate several buckets.
+    val seed = (1 to 40).map(i => Item(s"k$i", "p", version = 1))
+    val r0 = OccSink.applyBatchBucketed(spark, dir, seed.toDS(), numBuckets = 8)
+    assert(r0.inserted == 40 && r0.conflicts == 0)
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def bucketMtimes(): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.startsWith("occ_bucket="))
+        .map(s => s.getPath.getName ->
+          fs.listStatus(s.getPath).map(_.getModificationTime).max).toMap
+    val before = bucketMtimes()
+    assert(before.size > 2, s"expected several buckets, got ${before.keySet}")
+
+    Thread.sleep(1100) // HDFS-local mtime granularity is 1s
+    val r1 = OccSink.applyBatchBucketed(spark, dir, Seq(
+      Item("k1", "p", version = 2, status = Status.Complete), // applies
+      Item("k2", "p", version = 5),                           // stale: conflict
+      Item("new1", "p", version = 1)).toDS(), numBuckets = 8) // insert
+    assert(r1.applied == 1 && r1.conflicts == 1 && r1.inserted == 1, r1.toString)
+
+    val after = bucketMtimes()
+    val touched = after.filter { case (k, t) => before.get(k).forall(_ != t) }.keySet
+    val expectedBuckets = Seq("k1", "k2", "new1")
+      .map(id => spark.range(1).select(
+        pmod(xxhash64(lit(id)), lit(8))).head().getLong(0))
+      .map(b => s"occ_bucket=$b").toSet
+    assert(touched == expectedBuckets,
+      s"rewrote $touched, batch keys hash to $expectedBuckets")
+
+    val table = spark.read.parquet(dir).as[Item].collect().map(i => i.id -> i).toMap
+    assert(table.size == 41)
+    assert(table("k1").version == 2 && table("k1").status == Status.Complete)
+    assert(table("k2").version == 1, "conflicting write must not land")
+    // Idempotence: re-applying the same batch conflicts everywhere.
+    val again = OccSink.applyBatchBucketed(spark, dir, Seq(
+      Item("k1", "p", version = 2, status = Status.Complete)).toDS(), numBuckets = 8)
+    assert(again.applied == 0 && again.conflicts == 1)
   }
 
   test("intra-batch supersede: highest version per id wins the attempt") {
