@@ -57,7 +57,10 @@ object FeedMain {
       // in-flight row can commit below an already-passed end offset and be
       // stranded (silent loss). 5s comfortably covers stamp→commit latency;
       // single-writer test topologies may pass 0 explicitly.
-      watermarkLagMs: Long = 5000L)
+      watermarkLagMs: Long = 5000L,
+      // > 0 selects the bucketed OCC file layout (rewrite only touched
+      // hash buckets) for --out-dir; 0 keeps the whole-table atomic swap.
+      occBuckets: Int = 0)
 
   def parse(args: Array[String]): Config = {
     def loop(c: Config, rest: List[String]): Config = rest match {
@@ -80,6 +83,7 @@ object FeedMain {
       case "--jdbc-stream" :: t            => loop(c.copy(jdbcStream = true), t)
       case "--max-rows-per-trigger" :: v :: t => loop(c.copy(maxRowsPerTrigger = v.toLong), t)
       case "--watermark-lag-ms" :: v :: t  => loop(c.copy(watermarkLagMs = v.toLong), t)
+      case "--occ-buckets" :: v :: t       => loop(c.copy(occBuckets = v.toInt), t)
       case Nil                             => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -199,8 +203,11 @@ object FeedMain {
     // land in a temp dir: a service restart would reprocess the whole items
     // dir with fresh state (OCC keeps writes idempotent, but retry/failure
     // history resets). Production runs should always pass --checkpoint-dir.
+    val sinkBody =
+      if (cfg.occBuckets > 0) OccSink.bucketedWriter(cfg.outDir, cfg.occBuckets)
+      else OccSink.writer(cfg.outDir)
     val writer0 = updates.writeStream
-      .foreachBatch(OccSink.writer(cfg.outDir))
+      .foreachBatch(sinkBody)
       .outputMode("append")
     val writer =
       if (cfg.checkpointDir.nonEmpty)

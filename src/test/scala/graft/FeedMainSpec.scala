@@ -45,6 +45,14 @@ class FeedMainSpec extends AnyFunSuite {
       assert(out.forall(_.status == Status.Complete))
       assert(out.map(_.id).sameElements(Array("a1", "a2", "a3")))
       assert(out.head.dataString.contains(""""echo":{"n":1}"""))
+
+      // Same drain through the bucketed OCC layout.
+      val outB = base.resolve("outB").toString
+      FeedMain.run(cfg.copy(outDir = outB, occBuckets = 4), spark)
+      val b = spark.read.parquet(outB).as[Item].collect().sortBy(_.id)
+      assert(b.length == 3 && b.forall(_.status == Status.Complete))
+      assert(new java.io.File(outB).listFiles()
+        .exists(_.getName.startsWith("occ_bucket=")), "bucketed layout expected")
     } finally server.stop(0)
   }
 
