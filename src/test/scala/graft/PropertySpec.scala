@@ -1,0 +1,129 @@
+package graft
+
+import graft.feed.Item
+import graft.pipeline.Clusters
+import graft.sinks.OccSink
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants for the operators whose correctness is
+  * structural rather than example-shaped: random graphs against a
+  * reference union-find, random OCC batches against the version algebra,
+  * random event/order sets against a brute-force as-of definition.
+  * Spark jobs are not cheap per case, so sizes stay small and
+  * minSuccessful modest — the value is the random SHAPE coverage
+  * (cycles, chains, ties, empty sides) examples miss. */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val params =
+    org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12)
+
+  /** Raw-scalacheck bridge (no scalatestplus offline): run and assert. */
+  private def check(prop: Prop, p: org.scalacheck.Test.Parameters): Unit = {
+    val res = org.scalacheck.Test.check(p, prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
+  test("connectedComponents == reference union-find on random graphs") {
+    val genEdges = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges
+    check(forAll(genEdges) { edges =>
+      val refParent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (refParent.getOrElse(r, r) != r) r = refParent.getOrElse(r, r)
+        r
+      }
+      edges.filter { case (a, b) => a != b }.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) refParent(rb) = ra else refParent(ra) = rb }
+      }
+      val nodes = edges.filter { case (a, b) => a != b }
+        .flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = nodes.map(x => x -> find(x)).toMap
+      val got = Clusters.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(got == want) :| s"got $got want $want"
+    }, params)
+  }
+
+  test("OCC merge algebra: classified counts partition the batch; versions advance by exactly 1") {
+    val genCase = for {
+      curN <- Gen.choose(0, 8)
+      cur <- Gen.listOfN(curN, for {
+        id <- Gen.choose(0, 5)
+        v <- Gen.choose(0, 3)
+      } yield (s"k$id", v))
+      upN <- Gen.choose(0, 8)
+      ups <- Gen.listOfN(upN, for {
+        id <- Gen.choose(0, 7)
+        v <- Gen.choose(1, 5)
+      } yield (s"k$id", v))
+    } yield (cur.toMap, ups)
+    check(forAll(genCase) { case (cur, ups) =>
+      if (ups.isEmpty) Prop(true)
+      else {
+        val current = cur.toSeq.map { case (id, v) => Item(id, "p", version = v) }
+          .toDS()
+        val updates = ups.map { case (id, v) => Item(id, "p", version = v) }.toDS()
+        val (newTable, conflicts) = OccSink.merge(current, updates)
+        val table = newTable.collect().map(i => i.id -> i.version).toMap
+        val confl = conflicts.collect().map(_.id).toSet
+        // The winning attempt per id is the max batch version.
+        val attempt = ups.groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).max }
+        val expected = cur ++ attempt.collect {
+          case (id, v) if !cur.contains(id) => id -> v                // insert
+          case (id, v) if cur.get(id).contains(v - 1) => id -> v      // applied
+        }
+        val expectedConfl = attempt.collect {
+          case (id, v) if cur.contains(id) && cur(id) != v - 1 => id
+        }.toSet
+        (Prop(table == expected) :| s"table $table expected $expected") &&
+          (Prop(confl == expectedConfl) :| s"conflicts $confl expected $expectedConfl") &&
+          Prop(table.keySet.size == newTable.collect().length) :| "unique ids"
+      }
+    }, params)
+  }
+
+  test("asOf join == brute-force latest-preceding on random inputs") {
+    val genCase = for {
+      nl <- Gen.choose(1, 12)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.choose(0L, 3L)
+        t <- Gen.choose(0L, 20L)
+      } yield (k, t))
+      nr <- Gen.choose(0, 12)
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.choose(0L, 3L)
+        t <- Gen.choose(0L, 20L)
+      } yield (k, t))
+    } yield (left.distinct.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+             right.distinct)
+    check(forAll(genCase) { case (left, right) =>
+      val l = left.map { case (id, k, t) => (id, k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("lid", "lk", "lt")
+      val r = right.map { case (k, t) => (k, new java.sql.Timestamp(t * 1000), s"p$k-$t") }
+        .toDF("rk", "rt", "payload")
+      val got = graft.operators.TemporalJoins
+        .asOf(l, "lk", "lt", r, "rk", "rt", rightPayload = Seq("payload"))
+        .collect()
+        .map(x => x.getAs[Long]("lid") -> Option(x.getAs[String]("payload"))).toMap
+      val want = left.map { case (id, k, t) =>
+        val best = right.filter { case (rk, rt) => rk == k && rt <= t }
+          .sortBy(x => (x._2, s"p${x._1}-${x._2}")).lastOption
+        id -> best.map { case (rk, rt) => s"p$rk-$rt" }
+      }.toMap
+      Prop(got == want) :| s"got $got want $want"
+    }, params)
+  }
+}
