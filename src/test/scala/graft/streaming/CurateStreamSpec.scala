@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.pipeline.Curate
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The curation pipeline composes with Structured Streaming via
+  * foreachBatch: each micro-batch of arriving documents gets the same
+  * per-doc keep/drop decision as a batch run. Documented scope: the
+  * exact_duplicate rule sees ONE micro-batch (cross-batch dedup is the
+  * stateful streaming-dedup operator's job, not the curator's) — the
+  * second test pins that boundary explicitly. */
+class CurateStreamSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("doc_id", "text").write.mode("append").parquet(dir)
+
+  test("streamed curation equals the batch decision on one arrival wave") {
+    val base = java.nio.file.Files.createTempDirectory("curstream")
+    val in = base.resolve("docs").toString
+    val docs = Seq(
+      (1L, "too short"),
+      (2L, (1 to 40).map(i => "w" + i).mkString(" ")),
+      (3L, (1 to 20).map(i => "d" + i).mkString(" ")),
+      (4L, (1 to 20).map(i => "d" + i).mkString(" ")) // dup of 3
+    )
+    writeDocs(in, docs)
+
+    val got = scala.collection.mutable.Map.empty[Long, (Boolean, String)]
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(in)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Curate.curation(batch).collect().foreach { r =>
+          got(r.getLong(0)) = (r.getBoolean(1), r.getString(2))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+
+    val want = Curate.curation(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got.toMap == want, s"streamed $got != batch $want")
+    assert(want(4L)._2 == "exact_duplicate" && want(2L)._1)
+  }
+
+  test("exact_duplicate scope is per micro-batch (cross-batch dedup is the stateful operator)") {
+    val base = java.nio.file.Files.createTempDirectory("curstream2")
+    val in = base.resolve("docs").toString
+    val text = (1 to 20).map(i => "d" + i).mkString(" ")
+    writeDocs(in, Seq((1L, text)))
+
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(in)
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Curate.curation(batch).collect().foreach { r =>
+            got(r.getLong(0)) = r.getString(2)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    writeDocs(in, Seq((2L, text))) // identical text, later batch
+    drain()
+    assert(got(1L) == null && got(2L) == null,
+      "per-batch curation must NOT flag a cross-batch duplicate; " +
+        "that contract belongs to stateful streaming dedup")
+  }
+}
