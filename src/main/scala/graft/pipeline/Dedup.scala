@@ -189,6 +189,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental exact dedup against a persistent hash store — the
+    * production loop: a daily increment is checked against the historical
+    * corpus WITHOUT recomputing it. The store is a parquet table of
+    * (h, doc_id) keep-first rows; an increment (a) joins its hashes
+    * against the store (broadcast when small — the increment is the small
+    * side by construction), (b) keep-firsts within itself, and (c)
+    * appends only its novel hashes. Cost per increment:
+    * O(increment + matching store partitions), never O(corpus).
+    * Returns the increment annotated (doc_id, h, is_duplicate, dup_of —
+    * null when the duplicate is only known by store hash). */
+  def incrementalExact(newDocs: DataFrame, storeDir: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    val hasStore = fs.exists(new org.apache.hadoop.fs.Path(storeDir))
+    val store: DataFrame =
+      if (hasStore) spark.read.parquet(storeDir)
+      else Seq.empty[(String, Long)].toDF("h", "store_doc_id")
+
+    val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+    // Intra-increment keep-first, then the store lookup.
+    val intra = hashed
+      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+    val annotated = intra
+      .join(store.select(col("h"), col("store_doc_id")), Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        (col("rn") > 1 || col("store_doc_id").isNotNull).as("is_duplicate"),
+        // Precedence: the historical keep-first wins over the intra-batch one.
+        when(col("store_doc_id").isNotNull, col("store_doc_id"))
+          .when(col("rn") > 1, min(col("doc_id")).over(Window.partitionBy("h")))
+          .as("dup_of"))
+      .transform(graft.Materialize(_))
+
+    // Append only hashes the store has never seen (their keep-first row).
+    annotated.filter(!col("is_duplicate"))
+      .select(col("h"), col("doc_id").as("store_doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storeDir)
+    annotated.select("doc_id", "h", "is_duplicate", "dup_of").orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_dedup_exact"      -> ((s, d) => exact(Tables(s, d).documents)),
     "dedup_minhash_lsh"    -> ((s, d) => minhashDedup(Tables(s, d).documents)),

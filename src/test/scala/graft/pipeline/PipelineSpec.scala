@@ -277,6 +277,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2(1L) == "too_short" && r2(2L) == "too_short")
   }
 
+  test("incremental exact dedup: increments check against the store, never recompute it") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("incdedup").resolve("store").toString
+    // Day 1: b duplicates a within the increment.
+    val day1 = Seq((1L, "alpha text"), (2L, "alpha text"), (3L, "beta text"))
+      .toDF("doc_id", "text")
+    val r1 = Dedup.incrementalExact(day1, store).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), Option(r.get(3)).map(_.toString)))).toMap
+    assert(r1(1L) == ((false, None)))
+    assert(r1(2L) == ((true, Some("1"))), s"intra-batch dup: ${r1(2L)}")
+    assert(r1(3L) == ((false, None)))
+
+    // Day 2: 10 dups "alpha text" from the STORE; 11 is novel; 12+13 intra-dup.
+    val day2 = Seq((10L, "alpha text"), (11L, "gamma text"),
+      (12L, "delta text"), (13L, "delta text")).toDF("doc_id", "text")
+    val r2 = Dedup.incrementalExact(day2, store).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), Option(r.get(3)).map(_.toString)))).toMap
+    assert(r2(10L) == ((true, Some("1"))), s"historical dup must point at day-1 keeper: ${r2(10L)}")
+    assert(r2(11L) == ((false, None)))
+    assert(r2(12L) == ((false, None)) && r2(13L) == ((true, Some("12"))))
+
+    // Store holds exactly one keep-first row per distinct hash ever seen.
+    val stored = spark.read.parquet(store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored.values.toSet == Set(1L, 3L, 11L, 12L), stored.toString)
+
+    // Day 3 re-run of day 2 (at-least-once): everything now a store dup.
+    val r3 = Dedup.incrementalExact(day2, store).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(r3.values.forall(identity), "re-applied increment must be all dups")
+  }
+
   test("fingerprint is order-sensitive") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
