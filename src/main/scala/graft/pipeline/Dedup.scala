@@ -189,6 +189,97 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental MinHash near-dup against a persistent signature store —
+    * the LSH version of the daily-increment loop: historical docs are
+    * represented ONLY by their minhash signatures and band hashes (text
+    * is never re-shingled), so a day's increment costs
+    * O(increment shingling + band-join against the store). The band
+    * store is hive-partitioned by `band`; on a cluster it would
+    * additionally be bucketed by `bh` so the candidate join co-locates.
+    * Near-duplicate verification is the signature-agreement estimate
+    * (matching-minhash fraction ≈ Jaccard) — the standard at-scale
+    * verifier when original text is not retained.
+    *
+    * Returns the increment annotated (doc_id, is_near_duplicate,
+    * near_dup_of, est_jaccard) and appends the increment's non-duplicate
+    * signatures + bands to the store. */
+  def incrementalMinhash(newDocs: DataFrame, storeDir: String,
+      shingleSize: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val bands = numHashes / rowsPerBand
+
+    // Signatures of the increment (same aggregation form as
+    // minhashCandidates — explode → seeded-hash → groupBy-min).
+    val exploded = spread(newDocs)
+      .select(col("doc_id"), explode(shingles(shingleSize)).as("s"))
+    val sigAggs = (0 until numHashes).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j"))
+    val sigWide = graft.Materialize(exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*))
+    val bandCols = (0 until bands).map { b =>
+      val sigCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"m$j"))
+      struct(lit(b).as("band"), xxhash64(sigCols :+ lit(b): _*).as("bh"))
+    }
+    val sigArr = array((0 until numHashes).map(j => col(s"m$j")): _*)
+    val newSigs = sigWide.select(col("doc_id"), sigArr.as("sig"))
+    val newBands = sigWide
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    val hasStore = fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/bands"))
+    val storeBands: DataFrame =
+      if (hasStore) spark.read.parquet(s"$storeDir/bands")
+        .select(col("doc_id").as("old_id"), col("band"), col("bh"))
+      else Seq.empty[(Long, Int, Long)].toDF("old_id", "band", "bh")
+    val storeSigs: DataFrame =
+      if (hasStore) spark.read.parquet(s"$storeDir/sigs")
+        .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
+      else Seq.empty[(Long, Array[Long])].toDF("old_id", "old_sig")
+
+    // Candidates: increment vs history (equi-join on (band, bh)) plus
+    // increment vs itself (keep-first orientation a < b).
+    val vsStore = newBands.join(storeBands, Seq("band", "bh"))
+      .select(col("doc_id"), col("old_id")).distinct()
+    val intra = newBands.as("a").join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+
+    // Verify by signature agreement (matching minhash fraction).
+    val agree = expr(
+      s"aggregate(zip_with(sig, old_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)")
+    val verified = vsStore.unionByName(intra)
+      .join(newSigs, Seq("doc_id"))
+      .join(storeSigs.unionByName(
+        newSigs.select(col("doc_id").as("old_id"), col("sig").as("old_sig"))), Seq("old_id"))
+      .select(col("doc_id"), col("old_id"), agree.as("est"))
+      .filter(col("est") >= threshold)
+    val dupOf = verified.groupBy("doc_id")
+      .agg(min("old_id").as("near_dup_of"), max("est").as("best_est"))
+
+    val annotated = graft.Materialize(newDocs.select("doc_id")
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("near_dup_of").isNotNull.as("is_near_duplicate"),
+        col("near_dup_of"),
+        round(coalesce(col("best_est"), lit(0.0)), 4).as("est_jaccard")))
+
+    // Grow the store by the increment's KEEPERS only (duplicates add no
+    // representative value and would bloat every future band join).
+    val keep = annotated.filter(!col("is_near_duplicate")).select("doc_id")
+    newSigs.join(keep, Seq("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$storeDir/sigs")
+    newBands.join(keep, Seq("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("band").parquet(s"$storeDir/bands")
+    graft.Materialize.release(sigWide)
+    annotated.orderBy("doc_id")
+  }
+
   /** Incremental exact dedup against a persistent hash store — the
     * production loop: a daily increment is checked against the historical
     * corpus WITHOUT recomputing it. The store is a parquet table of

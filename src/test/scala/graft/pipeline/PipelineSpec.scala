@@ -309,6 +309,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.values.forall(identity), "re-applied increment must be all dups")
   }
 
+  test("incremental minhash flags history matches from signatures alone") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("incmh").resolve("store").toString
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "completely different content with other words entirely present here now"
+    val textC = "novel third document text that shares nothing with the earlier ones"
+
+    val r1 = Dedup.incrementalMinhash(
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), store).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r1 == Map(1L -> false, 2L -> false))
+
+    // Day 2: 10 is byte-identical to historical 1 (est 1.0 via signature
+    // agreement — the TEXT of doc 1 is not read); 11 is novel; 12 intra-
+    // duplicates 11.
+    val r2rows = Dedup.incrementalMinhash(
+      Seq((10L, textA), (11L, textC), (12L, textC)).toDF("doc_id", "text"), store).collect()
+    val r2 = r2rows.map(r => r.getLong(0) ->
+      ((r.getBoolean(1), Option(r.get(2)).map(_.toString), r.getDouble(3)))).toMap
+    assert(r2(10L) == ((true, Some("1"), 1.0)), s"store match: ${r2(10L)}")
+    assert(r2(11L)._1 == false)
+    assert(r2(12L) == ((true, Some("11"), 1.0)), s"intra match: ${r2(12L)}")
+
+    // Only keepers grew the store: 1, 2, 11.
+    assert(spark.read.parquet(s"$store/sigs").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 11L)))
+
+    // Day 3: the same text still resolves to the ORIGINAL day-1 keeper.
+    val r3 = Dedup.incrementalMinhash(
+      Seq((20L, textA)).toDF("doc_id", "text"), store).collect()
+    assert(r3.head.getBoolean(1) && r3.head.getLong(2) == 1L)
+  }
+
   test("fingerprint is order-sensitive") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
