@@ -189,26 +189,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bucket specs for the persistent incremental stores. 32 buckets
+    * matches the test topology's shuffle width; at production scale size
+    * numBuckets so one bucket of the FULL store is one executor-core scan
+    * unit (the marker file pins the choice — see [[graft.sinks.BucketedStore]]). */
+  private val ExactSpec = graft.sinks.BucketedStore.Spec(
+    "h STRING, store_doc_id BIGINT", "h", 32)
+  private val SigsSpec = graft.sinks.BucketedStore.Spec(
+    "doc_id BIGINT, sig ARRAY<BIGINT>", "doc_id", 32)
+  private val BandsSpec = graft.sinks.BucketedStore.Spec(
+    "doc_id BIGINT, band INT, bh BIGINT", "bh", 32)
+
   /** Incremental MinHash near-dup against a persistent signature store —
     * the LSH version of the daily-increment loop: historical docs are
     * represented ONLY by their minhash signatures and band hashes (text
-    * is never re-shingled), so a day's increment costs
-    * O(increment shingling + band-join against the store). The band
-    * store is hive-partitioned by `band`; on a cluster it would
-    * additionally be bucketed by `bh` so the candidate join co-locates.
-    * Near-duplicate verification is the signature-agreement estimate
-    * (matching-minhash fraction ≈ Jaccard) — the standard at-scale
-    * verifier when original text is not retained.
+    * is never re-shingled), so a day's increment costs O(increment
+    * shingling + a shuffle-free probe of the store). Near-duplicate
+    * verification is the signature-agreement estimate (matching-minhash
+    * fraction ≈ Jaccard) — the standard at-scale verifier when original
+    * text is not retained.
+    *
+    * Store layout ([[graft.sinks.BucketedStore]]): `sigs` bucketed by
+    * `doc_id`, `bands` bucketed by `bh` — the respective probe-join keys.
+    * Below `broadcastMaxRows` the increment side of both probes carries an
+    * explicit broadcast hint, so the store is SCANNED (column-pruned,
+    * embarrassingly parallel) but never shuffled; above it the bucketed
+    * layout makes the sort-merge join shuffle only the increment. The
+    * incremental specs assert the no-store-Exchange plan.
+    *
+    * Crash ordering: bands are appended BEFORE sigs, making the sigs
+    * append the commit record. A crash in between leaves orphan band rows
+    * whose candidates are dropped by the sigs verify join (invisible, not
+    * wrong); the retried increment re-appends both, and the duplicate band
+    * rows only produce duplicate candidates, absorbed by `distinct()`.
+    * The reverse order (the pre-round-4 behavior) left docs VISIBLE in
+    * sigs but absent from candidate generation, and the retry then
+    * duplicated their signature rows — inflating every future verify join.
     *
     * Returns the increment annotated (doc_id, is_near_duplicate,
     * near_dup_of, est_jaccard) and appends the increment's non-duplicate
     * signatures + bands to the store. */
   def incrementalMinhash(newDocs: DataFrame, storeDir: String,
       shingleSize: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, broadcastMaxRows: Long = 4L << 20): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val spark = newDocs.sparkSession
-    import spark.implicits._
     val bands = numHashes / rowsPerBand
 
     // Signatures of the increment (same aggregation form as
@@ -227,21 +252,22 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
-    val hasStore = fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/bands"))
-    val storeBands: DataFrame =
-      if (hasStore) spark.read.parquet(s"$storeDir/bands")
-        .select(col("doc_id").as("old_id"), col("band"), col("bh"))
-      else Seq.empty[(Long, Int, Long)].toDF("old_id", "band", "bh")
-    val storeSigs: DataFrame =
-      if (hasStore) spark.read.parquet(s"$storeDir/sigs")
-        .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
-      else Seq.empty[(Long, Array[Long])].toDF("old_id", "old_sig")
+    val storeBands = graft.sinks.BucketedStore
+      .readOrEmpty(spark, s"$storeDir/bands", BandsSpec)
+      .select(col("doc_id").as("old_id"), col("band"), col("bh"))
+    val storeSigs = graft.sinks.BucketedStore
+      .readOrEmpty(spark, s"$storeDir/sigs", SigsSpec)
+      .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
 
-    // Candidates: increment vs history (equi-join on (band, bh)) plus
-    // increment vs itself (keep-first orientation a < b).
-    val vsStore = newBands.join(storeBands, Seq("band", "bh"))
+    // sigWide is localCheckpoint'd, so counting the increment is free; the
+    // hint stays off for jumbo increments (would exceed broadcast limits).
+    val small = sigWide.count() <= broadcastMaxRows
+    def inc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+    // Candidates: increment vs history — store side STREAMED, increment
+    // side broadcast (store is never shuffled) — plus increment vs itself
+    // (keep-first orientation a < b).
+    val vsStore = storeBands.join(inc(newBands), Seq("band", "bh"))
       .select(col("doc_id"), col("old_id")).distinct()
     val intra = newBands.as("a").join(newBands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -249,13 +275,15 @@ object Dedup {
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("old_id"))
       .distinct()
 
-    // Verify by signature agreement (matching minhash fraction).
+    // Verify by signature agreement (matching minhash fraction). Candidate
+    // pairs are O(increment × bucket-mates); attaching the historical
+    // signatures again streams the sigs store against broadcast candidates.
     val agree = expr(
       s"aggregate(zip_with(sig, old_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)")
-    val verified = vsStore.unionByName(intra)
-      .join(newSigs, Seq("doc_id"))
-      .join(storeSigs.unionByName(
-        newSigs.select(col("doc_id").as("old_id"), col("sig").as("old_sig"))), Seq("old_id"))
+    val cands = vsStore.unionByName(intra).join(inc(newSigs), Seq("doc_id"))
+    val verified = storeSigs
+      .unionByName(newSigs.select(col("doc_id").as("old_id"), col("sig").as("old_sig")))
+      .join(inc(cands), Seq("old_id"))
       .select(col("doc_id"), col("old_id"), agree.as("est"))
       .filter(col("est") >= threshold)
     val dupOf = verified.groupBy("doc_id")
@@ -270,42 +298,52 @@ object Dedup {
 
     // Grow the store by the increment's KEEPERS only (duplicates add no
     // representative value and would bloat every future band join).
+    // Bands first, sigs second — see the crash-ordering contract above.
     val keep = annotated.filter(!col("is_near_duplicate")).select("doc_id")
-    newSigs.join(keep, Seq("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$storeDir/sigs")
-    newBands.join(keep, Seq("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("band").parquet(s"$storeDir/bands")
+    graft.sinks.BucketedStore.append(
+      newBands.join(keep, Seq("doc_id")), s"$storeDir/bands", BandsSpec)
+    graft.sinks.BucketedStore.append(
+      newSigs.join(keep, Seq("doc_id")), s"$storeDir/sigs", SigsSpec)
     graft.Materialize.release(sigWide)
     annotated.orderBy("doc_id")
   }
 
   /** Incremental exact dedup against a persistent hash store — the
     * production loop: a daily increment is checked against the historical
-    * corpus WITHOUT recomputing it. The store is a parquet table of
-    * (h, doc_id) keep-first rows; an increment (a) joins its hashes
-    * against the store (broadcast when small — the increment is the small
-    * side by construction), (b) keep-firsts within itself, and (c)
-    * appends only its novel hashes. Cost per increment:
-    * O(increment + matching store partitions), never O(corpus).
+    * corpus WITHOUT recomputing it. The store is a bucketed parquet table
+    * of (h, doc_id) keep-first rows ([[graft.sinks.BucketedStore]],
+    * CLUSTERED BY h); an increment (a) keep-firsts within itself,
+    * (b) probes the store — below `broadcastMaxRows` via a broadcast of
+    * the increment's hash set, so the store is scanned (column-pruned,
+    * parallel) but NEVER shuffled; above it via the bucketed sort-merge
+    * join that shuffles only the increment — and (c) appends only its
+    * novel hashes. Per-increment cost: O(increment) shuffle work plus a
+    * shuffle-free store scan; point-lookup-grade increments belong on the
+    * JDBC store ([[graft.feed.JdbcStore]]) where the probe is indexed.
     * Returns the increment annotated (doc_id, h, is_duplicate, dup_of —
     * null when the duplicate is only known by store hash). */
-  def incrementalExact(newDocs: DataFrame, storeDir: String): DataFrame = {
+  def incrementalExact(newDocs: DataFrame, storeDir: String,
+      broadcastMaxRows: Long = 4L << 20): DataFrame = {
     val spark = newDocs.sparkSession
-    import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
-    val hasStore = fs.exists(new org.apache.hadoop.fs.Path(storeDir))
-    val store: DataFrame =
-      if (hasStore) spark.read.parquet(storeDir)
-      else Seq.empty[(String, Long)].toDF("h", "store_doc_id")
+    val store = graft.sinks.BucketedStore.readOrEmpty(spark, storeDir, ExactSpec)
 
     val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
-    // Intra-increment keep-first, then the store lookup.
-    val intra = hashed
-      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
-    val annotated = intra
-      .join(store.select(col("h"), col("store_doc_id")), Seq("h"), "left")
+    // Intra-increment keep-first (one small shuffle on h), materialized so
+    // the row count and both join uses cost one computation.
+    val intra = graft.Materialize(hashed
+      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id"))))
+    val lookedUp =
+      if (intra.count() <= broadcastMaxRows) {
+        // matches ≤ increment rows: stream the store against the broadcast
+        // increment hash set, then annotate the increment entirely
+        // broadcast-side. Zero Exchange anywhere near the store.
+        val matches = graft.Materialize(
+          store.join(broadcast(intra.select("h").distinct()), Seq("h")))
+        intra.join(broadcast(matches), Seq("h"), "left")
+      } else
+        // Jumbo increment: bucketed SMJ — Exchange on the increment only.
+        store.join(intra, Seq("h"), "right")
+    val annotated = lookedUp
       .select(col("doc_id"), col("h"),
         (col("rn") > 1 || col("store_doc_id").isNotNull).as("is_duplicate"),
         // Precedence: the historical keep-first wins over the intra-batch one.
@@ -315,9 +353,10 @@ object Dedup {
       .transform(graft.Materialize(_))
 
     // Append only hashes the store has never seen (their keep-first row).
-    annotated.filter(!col("is_duplicate"))
-      .select(col("h"), col("doc_id").as("store_doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storeDir)
+    graft.sinks.BucketedStore.append(
+      annotated.filter(!col("is_duplicate"))
+        .select(col("h"), col("doc_id").as("store_doc_id")),
+      storeDir, ExactSpec)
     annotated.select("doc_id", "h", "is_duplicate", "dup_of").orderBy("doc_id")
   }
 

@@ -1,0 +1,112 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Path-addressed bucketed parquet store for incremental operators.
+  *
+  * A persistent store that is joined against every increment (dedup hash
+  * stores, minhash signature/band stores) must never be SHUFFLED by that
+  * join — at production scale the store is the corpus and the increment is
+  * a day. Writing the store as a bucketed table (`CLUSTERED BY (key) INTO
+  * n BUCKETS`) gives the scan a `HashPartitioning(key, n)` output, so a
+  * non-broadcast join shuffles only the increment side; with a broadcast
+  * increment the store is only ever scanned. Files are plain parquet —
+  * `spark.read.parquet(dir)` still works for consumers that don't care
+  * about layout.
+  *
+  * Spark only exposes bucketed writes through the catalog
+  * (`DataFrameWriter.bucketBy` requires `saveAsTable`), so the store
+  * registers a session-scoped external table named from a UUID of the
+  * directory path. Because catalog registrations die with the session, the
+  * bucket spec itself is persisted in a `_graft_buckets` marker file next
+  * to the data (underscore-prefixed: invisible to parquet file listing),
+  * and every open/append `require`s that the caller's spec matches the
+  * marker — a later run with a different bucket count would otherwise
+  * read/write with the wrong modulus and silently mis-join (the failure
+  * mode ADVICE flagged for the OCC bucketed sink applies here too).
+  */
+object BucketedStore {
+
+  /** schemaDdl e.g. "h STRING, store_doc_id BIGINT"; bucketCol must be one
+    * of the columns; numBuckets sized so one bucket of the full-scale store
+    * fits an executor core's scan budget. */
+  final case class Spec(schemaDdl: String, bucketCol: String, numBuckets: Int)
+
+  private def fs(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def markerPath(dir: String) = new Path(dir, "_graft_buckets")
+
+  /** Stable per-path table name: catalog registrations are session-scoped,
+    * the name only has to be collision-free and reproducible. */
+  def tableName(dir: String): String =
+    "graft_store_" +
+      java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString.replace("-", "")
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(markerPath(dir))
+
+  private def readMarker(spark: SparkSession, dir: String): (String, Int) = {
+    val in = fs(spark, dir).open(markerPath(dir))
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = txt.linesIterator.map(_.split("=", 2)).collect {
+      case Array(k, v) => k.trim -> v.trim
+    }.toMap
+    (kv("bucketCol"), kv("numBuckets").toInt)
+  }
+
+  private def checkOrWriteMarker(spark: SparkSession, dir: String, spec: Spec): Unit =
+    if (exists(spark, dir)) {
+      val (c, n) = readMarker(spark, dir)
+      require(c == spec.bucketCol && n == spec.numBuckets,
+        s"bucketed store at $dir was written CLUSTERED BY ($c) INTO $n BUCKETS; " +
+          s"caller asked for (${spec.bucketCol}) INTO ${spec.numBuckets} — a mismatched " +
+          "modulus reads the wrong buckets and silently corrupts the store")
+    } else {
+      val f = fs(spark, dir)
+      f.mkdirs(new Path(dir))
+      val out = f.create(markerPath(dir), false)
+      try out.write(s"bucketCol=${spec.bucketCol}\nnumBuckets=${spec.numBuckets}\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Register the external bucketed table for this session if absent. */
+  private def ensureTable(spark: SparkSession, dir: String, spec: Spec): String = {
+    val name = tableName(dir)
+    if (!spark.catalog.tableExists(name))
+      spark.sql(
+        s"CREATE TABLE $name (${spec.schemaDdl}) USING PARQUET " +
+          s"CLUSTERED BY (${spec.bucketCol}) SORTED BY (${spec.bucketCol}) " +
+          s"INTO ${spec.numBuckets} BUCKETS LOCATION '$dir'")
+    name
+  }
+
+  /** The store as a bucketing-aware DataFrame, or an empty frame with the
+    * store schema when nothing has been written yet. */
+  def readOrEmpty(spark: SparkSession, dir: String, spec: Spec): DataFrame =
+    if (exists(spark, dir)) {
+      checkOrWriteMarker(spark, dir, spec)
+      spark.table(ensureTable(spark, dir, spec))
+    } else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(spec.schemaDdl))
+
+  /** Append rows (columns must match the spec's schema by name). */
+  def append(df: DataFrame, dir: String, spec: Spec): Unit = {
+    val spark = df.sparkSession
+    checkOrWriteMarker(spark, dir, spec)
+    val name = ensureTable(spark, dir, spec)
+    val cols = StructType.fromDDL(spec.schemaDdl).fieldNames
+    df.select(cols.head, cols.tail: _*)
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketCol).sortBy(spec.bucketCol)
+      .option("path", dir)
+      .saveAsTable(name)
+  }
+}

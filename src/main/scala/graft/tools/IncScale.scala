@@ -1,0 +1,120 @@
+package graft.tools
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store-growth smoke for the incremental dedup operators: the contract is
+  * per-increment cost O(increment) in SHUFFLE work — a fixed-size daily
+  * increment must not get 10× slower when the persistent store grows 10×.
+  * (The store is still scanned — column-pruned and shuffle-free; on a
+  * cluster that scan parallelizes across executors, locally it's the flat
+  * few-hundred-ms floor visible in the numbers.)
+  *
+  * Method: seed an exact store at S rows, time a fixed 2k increment
+  * (min of 3), grow the store to 10·S, time the same-shape increment
+  * again; same for the minhash signature store at S/10 scale (signature
+  * computation dominates there, which is exactly the point — increment
+  * shingling cost, not store size). PASS when the 10× store costs less
+  * than 2.5× the small-store increment (generous local-noise bound; an
+  * O(store) regression shows up as ~10×).
+  *
+  * Usage: runMain graft.tools.IncScale [storeSmall=30000]
+  * Prints PASS/FAIL per property; exits non-zero on FAIL.
+  */
+object IncScale {
+
+  private def docs(spark: SparkSession, from: Long, until: Long, textSeedOf: Long => Long): DataFrame = {
+    import spark.implicits._
+    spark.range(from, until).as[Long].map { id =>
+      val rnd = new scala.util.Random(textSeedOf(id))
+      (id, Array.fill(40)("w" + rnd.nextInt(5000)).mkString(" "))
+    }.toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sSmall = args.headOption.map(_.toLong).getOrElse(30000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failed = false
+    def check(tag: String, ok: Boolean, detail: String): Unit = {
+      println(s"[incscale] ${if (ok) "PASS" else "FAIL"} $tag: $detail")
+      failed ||= !ok
+    }
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- exact store -------------------------------------------------
+    val exDir = java.nio.file.Files.createTempDirectory("incscale").resolve("exact").toString
+    var nextId = 0L
+    def seedExact(rows: Long): Unit = {
+      // Seed in increments too (the store only ever grows through the API).
+      var at = nextId
+      while (at < nextId + rows) {
+        val end = math.min(at + 100000, nextId + rows)
+        Dedup.incrementalExact(docs(spark, at, end, identity), exDir).count()
+        at = end
+      }
+      nextId += rows
+    }
+    // A fixed-shape increment: 1k duplicates of early store docs + 1k novel.
+    def incrementExact(): Double = {
+      val novelFrom = nextId; nextId += 1000
+      val inc = docs(spark, novelFrom, nextId, identity)
+        .unionByName(docs(spark, 2000000000L, 2000001000L, id => id - 2000000000L))
+      timed { Dedup.incrementalExact(inc, exDir).count() }
+    }
+    seedExact(sSmall)
+    val exT1 = Seq(incrementExact(), incrementExact(), incrementExact()).min
+    seedExact(sSmall * 9)
+    val exT2 = Seq(incrementExact(), incrementExact(), incrementExact()).min
+    check("exact-increment-flat", exT2 <= 2.5 * math.max(exT1, 0.3),
+      f"store ${sSmall}→${sSmall * 10}: increment $exT1%.2fs → $exT2%.2fs (bound 2.5×)")
+
+    // ---- minhash signature store ------------------------------------
+    val mhDir = java.nio.file.Files.createTempDirectory("incscale").resolve("mh").toString
+    val mSmall = sSmall / 10
+    var mNext = 0L
+    def seedMh(rows: Long): Unit = {
+      var at = mNext
+      while (at < mNext + rows) {
+        val end = math.min(at + 25000, mNext + rows)
+        Dedup.incrementalMinhash(docs(spark, at, end, identity), mhDir).count()
+        at = end
+      }
+      mNext += rows
+    }
+    def incrementMh(): Double = {
+      val novelFrom = mNext; mNext += 200
+      val inc = docs(spark, novelFrom, mNext, identity)
+        .unionByName(docs(spark, 3000000000L, 3000000200L, id => id - 3000000000L))
+      timed { Dedup.incrementalMinhash(inc, mhDir).count() }
+    }
+    seedMh(mSmall)
+    val mhT1 = Seq(incrementMh(), incrementMh(), incrementMh()).min
+    seedMh(mSmall * 9)
+    val mhT2 = Seq(incrementMh(), incrementMh(), incrementMh()).min
+    check("minhash-increment-flat", mhT2 <= 2.5 * math.max(mhT1, 0.3),
+      f"store ${mSmall}→${mSmall * 10}: increment $mhT1%.2fs → $mhT2%.2fs (bound 2.5×)")
+
+    // Sanity: the duplicate halves were actually recognized against the store.
+    val exDup = Dedup.incrementalExact(
+      docs(spark, 4000000000L, 4000000500L, id => id - 4000000000L), exDir)
+      .filter(col("is_duplicate")).count()
+    check("exact-store-dups-found", exDup == 500, s"500 replayed docs → $exDup store dups")
+    val mhDup = Dedup.incrementalMinhash(
+      docs(spark, 5000000000L, 5000000500L, id => id - 5000000000L), mhDir)
+      .filter(col("is_near_duplicate")).count()
+    check("minhash-store-dups-found", mhDup == 500, s"500 replayed docs → $mhDup store near-dups")
+
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Capture the FINAL executed plan of every query run inside a block, so
+  * specs can assert physical properties (e.g. "the persistent store is
+  * scanned but never sits under a shuffle") on operators that materialize
+  * internally — where the returned DataFrame's lineage has already been
+  * cut and `df.queryExecution` no longer shows the interesting joins. */
+object PlanCapture {
+
+  /** Runs `body`; returns its result plus the executed plans of all
+    * queries whose plan scans a file path containing `pathFrag` (the
+    * listener bus is async — we poll until the captures stabilize). */
+  def scansOf[A](spark: SparkSession, pathFrag: String)(body: => A): (A, Seq[SparkPlan]) = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val a = body
+      // Drain: wait until no new plan has arrived for 300ms (cap 15s).
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = -1
+      while (plans.size() != last && System.nanoTime() < deadline) {
+        last = plans.size()
+        Thread.sleep(300)
+      }
+      import scala.jdk.CollectionConverters._
+      (a, plans.asScala.toSeq.filter(p => nodes(p).exists(isScanOf(_, pathFrag))))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  /** All nodes of a plan, descending through AQE wrappers. */
+  def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val children: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    p +: children.flatMap(nodes)
+  }
+
+  def isScanOf(p: SparkPlan, pathFrag: String): Boolean = p match {
+    case f: FileSourceScanExec =>
+      f.relation.location.rootPaths.exists(_.toString.contains(pathFrag))
+    case _ => false
+  }
+
+  private def childrenOf(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec        => Seq(q.plan)
+    case other                    => other.children
+  }
+
+  /** True when some shuffle moves RAW store rows — i.e. the store scan
+    * sits below a ShuffleExchange with no reducing join (the probe against
+    * the increment) in between. Shuffling the probe-join OUTPUT is fine:
+    * that's O(candidates), not O(store). */
+  def shufflesRawScanOf(root: SparkPlan, pathFrag: String): Boolean = {
+    def raw(p: SparkPlan): Boolean =
+      if (isScanOf(p, pathFrag)) true
+      else if (p.nodeName.contains("Join")) false // store reduced here
+      else childrenOf(p).exists(raw)
+    nodes(root).exists {
+      case e: ShuffleExchangeLike => raw(e.child)
+      case _                      => false
+    }
+  }
+}

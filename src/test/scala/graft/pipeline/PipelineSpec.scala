@@ -290,9 +290,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1(3L) == ((false, None)))
 
     // Day 2: 10 dups "alpha text" from the STORE; 11 is novel; 12+13 intra-dup.
+    // Captured plans must show the store probed shuffle-free (scanned,
+    // streamed against the broadcast increment — never moved by an Exchange).
     val day2 = Seq((10L, "alpha text"), (11L, "gamma text"),
       (12L, "delta text"), (13L, "delta text")).toDF("doc_id", "text")
-    val r2 = Dedup.incrementalExact(day2, store).collect()
+    val (r2rows, storePlans) = graft.PlanCapture.scansOf(spark, store) {
+      Dedup.incrementalExact(day2, store).collect()
+    }
+    assert(storePlans.nonEmpty, "expected at least one captured plan scanning the store")
+    storePlans.foreach { p =>
+      assert(!graft.PlanCapture.shufflesRawScanOf(p, store),
+        s"raw store rows moved through a shuffle:\n$p")
+    }
+    val r2 = r2rows
       .map(r => r.getLong(0) -> ((r.getBoolean(2), Option(r.get(3)).map(_.toString)))).toMap
     assert(r2(10L) == ((true, Some("1"))), s"historical dup must point at day-1 keeper: ${r2(10L)}")
     assert(r2(11L) == ((false, None)))
@@ -324,8 +334,15 @@ class PipelineSpec extends AnyFunSuite {
     // Day 2: 10 is byte-identical to historical 1 (est 1.0 via signature
     // agreement — the TEXT of doc 1 is not read); 11 is novel; 12 intra-
     // duplicates 11.
-    val r2rows = Dedup.incrementalMinhash(
-      Seq((10L, textA), (11L, textC), (12L, textC)).toDF("doc_id", "text"), store).collect()
+    val (r2rows, mhStorePlans) = graft.PlanCapture.scansOf(spark, store) {
+      Dedup.incrementalMinhash(
+        Seq((10L, textA), (11L, textC), (12L, textC)).toDF("doc_id", "text"), store).collect()
+    }
+    assert(mhStorePlans.nonEmpty, "expected captured plans scanning the sig/band stores")
+    mhStorePlans.foreach { p =>
+      assert(!graft.PlanCapture.shufflesRawScanOf(p, store),
+        s"raw sig/band store rows moved through a shuffle:\n$p")
+    }
     val r2 = r2rows.map(r => r.getLong(0) ->
       ((r.getBoolean(1), Option(r.get(2)).map(_.toString), r.getDouble(3)))).toMap
     assert(r2(10L) == ((true, Some("1"), 1.0)), s"store match: ${r2(10L)}")

@@ -1,0 +1,63 @@
+package graft.sinks
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketedStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val spec = BucketedStore.Spec("h STRING, store_doc_id BIGINT", "h", 8)
+
+  test("append + readOrEmpty round-trips; files stay plain-parquet readable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bstore").resolve("s").toString
+    assert(BucketedStore.readOrEmpty(spark, dir, spec).count() == 0)
+    BucketedStore.append(
+      Seq(("a", 1L), ("b", 2L)).toDF("h", "store_doc_id"), dir, spec)
+    BucketedStore.append(
+      Seq(("c", 3L)).toDF("h", "store_doc_id"), dir, spec)
+    val viaTable = BucketedStore.readOrEmpty(spark, dir, spec)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaTable == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    // Consumers that don't care about layout can still read the raw files.
+    val plain = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("h")).toSet
+    assert(plain == Set("a", "b", "c"))
+  }
+
+  test("a mismatched bucket spec is refused, not silently mis-joined") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bstore").resolve("s").toString
+    BucketedStore.append(Seq(("a", 1L)).toDF("h", "store_doc_id"), dir, spec)
+    val other = spec.copy(numBuckets = 16)
+    val e1 = intercept[IllegalArgumentException] {
+      BucketedStore.readOrEmpty(spark, dir, other)
+    }
+    assert(e1.getMessage.contains("INTO 8 BUCKETS"))
+    intercept[IllegalArgumentException] {
+      BucketedStore.append(Seq(("b", 2L)).toDF("h", "store_doc_id"), dir, other)
+    }
+    // And a different bucket COLUMN is refused too.
+    intercept[IllegalArgumentException] {
+      BucketedStore.readOrEmpty(spark, dir,
+        BucketedStore.Spec("h STRING, store_doc_id BIGINT", "store_doc_id", 8))
+    }
+  }
+
+  test("reads are bucketing-aware: an equi-join on the bucket key never shuffles the store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("bstore").resolve("s").toString
+    BucketedStore.append(
+      (1 to 200).map(i => (s"k$i", i.toLong)).toDF("h", "store_doc_id"), dir, spec)
+    val store = BucketedStore.readOrEmpty(spark, dir, spec)
+    val probe = Seq("k3", "k7", "k999").toDF("h")
+    // Non-broadcast regime on purpose: the bucketed side must satisfy the
+    // join's distribution from its file layout alone.
+    val joined = store.join(probe.hint("shuffle_merge"), Seq("h"))
+    assert(joined.count() == 2)
+    val plan = joined.queryExecution.executedPlan
+    assert(!graft.PlanCapture.shufflesRawScanOf(plan, dir),
+      s"bucketed store was shuffled:\n$plan")
+  }
+}
