@@ -58,9 +58,10 @@ object FeedMain {
       // stranded (silent loss). 5s comfortably covers stamp→commit latency;
       // single-writer test topologies may pass 0 explicitly.
       watermarkLagMs: Long = 5000L,
-      // > 0 selects the bucketed OCC file layout (rewrite only touched
-      // hash buckets) for --out-dir; 0 keeps the whole-table atomic swap.
-      occBuckets: Int = 0)
+      // Bucketed OCC file layout for --out-dir (rewrite only touched hash
+      // buckets) — the default; 0 opts into the whole-table atomic swap,
+      // acceptable only for small state tables (O(table) per batch).
+      occBuckets: Int = 16)
 
   def parse(args: Array[String]): Config = {
     def loop(c: Config, rest: List[String]): Config = rest match {
@@ -205,7 +206,7 @@ object FeedMain {
     // history resets). Production runs should always pass --checkpoint-dir.
     val sinkBody =
       if (cfg.occBuckets > 0) OccSink.bucketedWriter(cfg.outDir, cfg.occBuckets)
-      else OccSink.writer(cfg.outDir)
+      else OccSink.swapWriter(cfg.outDir)
     val writer0 = updates.writeStream
       .foreachBatch(sinkBody)
       .outputMode("append")

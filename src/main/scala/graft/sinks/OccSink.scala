@@ -106,10 +106,45 @@ object OccSink {
       inserted = cnt("inserted"))
   }
 
-  /** foreachBatch hook for a streaming feed: `updates.writeStream
-    * .foreachBatch(OccSink.writer(dir))`. */
-  def writer(tableDir: String): (Dataset[Item], Long) => Unit =
+  /** foreachBatch hook for the whole-table swap mode. Opt-in: the DEFAULT
+    * [[writer]] is the bucketed mode — the swap rewrites O(table) per
+    * batch, which is only acceptable for small state tables. */
+  def swapWriter(tableDir: String): (Dataset[Item], Long) => Unit =
     (batch, _) => { applyBatch(batch.sparkSession, tableDir, batch); () }
+
+  /** Pin the bucketed table's modulus: written on first use, required to
+    * match forever after. For a pre-marker table (directories but no
+    * marker) the caller's count is accepted only if it exceeds every
+    * bucket id already on disk — which rejects the silent-corruption case
+    * of reopening a 16-bucket table as 8. */
+  private def checkOrPinBuckets(spark: SparkSession, tableDir: String, numBuckets: Int): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_graft_occ_buckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val pinned =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(pinned == numBuckets,
+        s"OCC table at $tableDir was written with $pinned buckets; caller asked for " +
+          s"$numBuckets — a mismatched modulus reads the wrong bucket dirs and " +
+          "silently duplicates ids past the version check")
+    } else {
+      if (fs.exists(dir)) {
+        val maxSeen = fs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.startsWith("occ_bucket=")).map(_.stripPrefix("occ_bucket=").toInt)
+          .foldLeft(-1)(math.max)
+        require(maxSeen < numBuckets,
+          s"OCC table at $tableDir already has bucket dir occ_bucket=$maxSeen; " +
+            s"reopening it with only $numBuckets buckets would mis-route ids")
+      } else fs.mkdirs(dir)
+      val out = fs.create(marker, false)
+      try out.write(s"$numBuckets\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** Bucketed file-table OCC write-back — the scalable LOCAL layout: the
     * table is hive-partitioned by `occ_bucket = pmod(xxhash64(id), n)`,
@@ -119,10 +154,25 @@ object OccSink {
     * — the property [[applyBatch]]'s whole-table swap lacks, and the
     * file-based answer to the same requirement the JDBC mode meets with
     * per-key conditional UPDATEs. A table belongs to exactly one mode
-    * (swap or bucketed); don't mix layouts in one directory. */
+    * (swap or bucketed); don't mix layouts in one directory.
+    *
+    * The bucket count is part of the TABLE, not the call: it is pinned in
+    * a `_graft_occ_buckets` marker on first write and every later batch
+    * must match — a different modulus would prune the wrong directories,
+    * miss existing ids, and insert duplicates past the version check.
+    *
+    * Durability trade vs the swap mode: dynamic partition overwrite
+    * commits bucket-by-bucket over the live directory (scoped to this
+    * write via the per-writer option — session conf is not touched), so a
+    * crash mid-commit can leave a subset of the touched buckets at the new
+    * version with no `.bak` to restore. That is at-least-once compatible
+    * (re-applying the batch conflicts only on the already-updated rows,
+    * which is exactly the OCC contract), but it is weaker than the swap's
+    * all-or-nothing rename — the price of O(touched buckets) writes. */
   def applyBatchBucketed(spark: SparkSession, tableDir: String,
       updates: Dataset[Item], numBuckets: Int = 16): OccResult = {
     import spark.implicits._
+    checkOrPinBuckets(spark, tableDir, numBuckets)
     val bucketOf = pmod(xxhash64(col("id")), lit(numBuckets))
     val latest = updates
       .withColumn("rn", row_number().over(
@@ -135,8 +185,11 @@ object OccSink {
 
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+    val hasData = fs.exists(tablePath) &&
+      fs.listStatus(tablePath).exists(_.getPath.getName.startsWith("occ_bucket="))
     val current: Dataset[Item] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)))
+      if (hasData)
         spark.read.parquet(tableDir)
           .filter(col("occ_bucket").isin(buckets: _*)) // directory pruning
           .drop("occ_bucket").as[Item]
@@ -156,14 +209,13 @@ object OccSink {
       if (counts.isNullAt(counts.fieldIndex(n))) 0L else counts.getAs[Long](n)
 
     val (newSubset, _) = merge(current, latest)
-    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      newSubset.withColumn("occ_bucket", bucketOf)
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("occ_bucket")
-        .parquet(tableDir)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // Per-writer option, NOT session conf: a concurrent job on the shared
+    // SparkSession (parallel foreachBatch) must not inherit dynamic mode.
+    newSubset.withColumn("occ_bucket", bucketOf)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("occ_bucket")
+      .parquet(tableDir)
     graft.Materialize.release(latest)
 
     OccResult(applied = cnt("applied"), conflicts = cnt("conflicts"),
@@ -173,6 +225,12 @@ object OccSink {
   /** foreachBatch hook for the bucketed file mode. */
   def bucketedWriter(tableDir: String, numBuckets: Int = 16): (Dataset[Item], Long) => Unit =
     (batch, _) => { applyBatchBucketed(batch.sparkSession, tableDir, batch, numBuckets); () }
+
+  /** The DEFAULT foreachBatch hook: the bucketed mode — O(touched buckets)
+    * per batch. The O(table) whole-table swap is opt-in via [[swapWriter]]
+    * so nobody ships it by accident. */
+  def writer(tableDir: String, numBuckets: Int = 16): (Dataset[Item], Long) => Unit =
+    bucketedWriter(tableDir, numBuckets)
 
   /** JDBC OCC write-back — the reference's actual deployment mode
     * (repo.go:125-138): each updated key is a conditional versioned

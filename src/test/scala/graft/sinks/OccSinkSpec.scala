@@ -147,6 +147,35 @@ class OccSinkSpec extends AnyFunSuite {
     assert(again.applied == 0 && again.conflicts == 1)
   }
 
+  test("bucketed mode: the bucket count is pinned at first write") {
+    import spark.implicits._
+    val dir = tmpDir()
+    OccSink.applyBatchBucketed(spark, dir,
+      Seq(Item("a", "p", version = 1)).toDS(), numBuckets = 8)
+    // A different modulus must be refused, not silently corrupt the table.
+    val e = intercept[IllegalArgumentException] {
+      OccSink.applyBatchBucketed(spark, dir,
+        Seq(Item("b", "p", version = 1)).toDS(), numBuckets = 16)
+    }
+    assert(e.getMessage.contains("8 buckets"))
+    // The pinned modulus keeps working.
+    val ok = OccSink.applyBatchBucketed(spark, dir,
+      Seq(Item("b", "p", version = 1)).toDS(), numBuckets = 8)
+    assert(ok.inserted == 1)
+  }
+
+  test("default writer is the bucketed mode, not the whole-table swap") {
+    import spark.implicits._
+    val dir = tmpDir()
+    OccSink.writer(dir)(Seq(Item("a", "p", version = 1)).toDS(), 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+    assert(names.exists(_.startsWith("occ_bucket=")),
+      s"expected bucketed layout, got ${names.toSeq}")
+    assert(names.contains("_graft_occ_buckets"))
+  }
+
   test("intra-batch supersede: highest version per id wins the attempt") {
     import spark.implicits._
     val dir = tmpDir()
