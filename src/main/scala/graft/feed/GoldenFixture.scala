@@ -150,6 +150,10 @@ object GoldenFixture {
     val src = spark.readStream
       .format(classOf[graft.sources.JdbcItemsSource].getName)
       .option("url", url).option("numPartitions", "3")
+      // Single writer (this JVM): the multi-writer watermark lag would
+      // only add a wall-clock wait per wave here. The skewed-clock spec
+      // exercises the 5s default.
+      .option("watermarkLagMs", "0")
       .load().as[Item]
     val name = s"feed_jdbc_golden_${System.nanoTime()}"
     val q = graft.streaming.FeedStream

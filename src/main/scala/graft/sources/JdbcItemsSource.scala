@@ -120,7 +120,7 @@ final class JdbcItemsTable(options: CaseInsensitiveStringMap)
   private val prefix = Option(options.get("prefix")).getOrElse("")
   private val numPartitions = options.getInt("numPartitions", 4)
   private val maxRows = options.getLong("maxRowsPerTrigger", -1L)
-  private val lagMs = options.getLong("watermarkLagMs", 0L)
+  private val lagMs = options.getLong("watermarkLagMs", 5000L)
 
   override def name(): String = s"jdbc-items($url, ${prefix}items)"
   override def schema(): StructType = JdbcItemsSource.schema
@@ -145,7 +145,7 @@ final class JdbcItemsTable(options: CaseInsensitiveStringMap)
 }
 
 final class JdbcItemsMicroBatchStream(url: String, prefix: String,
-    numPartitions: Int, maxRows: Long, lagMs: Long = 0L)
+    numPartitions: Int, maxRows: Long, lagMs: Long = 5000L)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Multi-writer safety: a row's `updated_at` stamp is assigned before
@@ -154,9 +154,10 @@ final class JdbcItemsMicroBatchStream(url: String, prefix: String,
     * in-flight smaller stamp, stranding that row below the watermark
     * forever. `watermarkLagMs` holds the end offset that far behind the
     * wall clock; any writer whose commit lands within the lag of its
-    * stamp is safe. The raw source option defaults to 0 (single-writer /
-    * test topologies); the deployment entry point (FeedMain --jdbc-stream)
-    * wires a 5s default and exposes --watermark-lag-ms. */
+    * stamp is safe. SAFE BY DEFAULT: the option defaults to 5s at the
+    * source level (matching FeedMain's --watermark-lag-ms default), so a
+    * direct library user on a multi-writer topology cannot strand rows by
+    * omission; single-writer test topologies opt into 0 explicitly. */
   private def clampToLag(end: HwmOffset, start: Timestamp): HwmOffset =
     if (lagMs <= 0L) end
     else {

@@ -46,6 +46,7 @@ class JdbcItemsSourceSpec extends AnyFunSuite {
       .format(classOf[JdbcItemsSource].getName)
       .option("url", url)
       .option("numPartitions", "3")
+      .option("watermarkLagMs", "0") // single-writer topology
       .load().as[Item]
     val updates = FeedStream.itemUpdates(
       src, GoldenFixture.TestProcessor, GoldenFixture.options,
@@ -80,6 +81,7 @@ class JdbcItemsSourceSpec extends AnyFunSuite {
       .format(classOf[JdbcItemsSource].getName)
       .option("url", url)
       .option("maxRowsPerTrigger", "5")
+      .option("watermarkLagMs", "0") // single-writer topology
       .load().as[Item]
     val q = src.writeStream.format("memory").queryName("feed_jdbc_cap")
       .outputMode("append").start()
@@ -99,5 +101,57 @@ class JdbcItemsSourceSpec extends AnyFunSuite {
       .option("url", url).load()
     assert(df.count() == GoldenFixture.items.size)
     assert(df.schema == JdbcItemsSource.schema)
+  }
+
+  /** Simulate a second writer JVM whose stamp lags its commit (skewed
+    * clock / stamp-before-commit latency): `saveItem` stamps with THIS
+    * JVM's monotonic clock, so the skewed writer is modeled as a raw
+    * INSERT carrying a backdated updated_at that lands AFTER a poll has
+    * already seen a fresher row. With the old 0 default the first poll
+    * advances the watermark to writer A's stamp and the backdated row is
+    * stranded below it forever (silent loss). The 5s default holds the
+    * end offset behind the wall clock, so nothing is admitted until both
+    * commits are safely landed — no loss, just bounded latency. */
+  test("default watermark lag: a skewed-clock second writer loses no rows") {
+    import spark.implicits._
+    def insertBackdated(url: String, id: String, ts: Timestamp): Unit = {
+      val conn = JdbcStore.connect(url)
+      try {
+        val ps = conn.prepareStatement(
+          """INSERT INTO items (id, partition_id, gate, status, retry_count,
+            | error_messages, updated_at, version, data)
+            | VALUES (?, 'p', 0, 0, 0, '', ?, 1, ?)""".stripMargin)
+        try {
+          ps.setString(1, id)
+          ps.setTimestamp(2, ts)
+          ps.setBytes(3, GoldenFixture.DataObj(1).marshal)
+          ps.executeUpdate()
+        } finally ps.close()
+      } finally conn.close()
+    }
+    def run(lagOpt: Option[Long]): Long = {
+      val url = freshDb()
+      seed(url, Seq(Item("writerA", "p",
+        data = GoldenFixture.DataObj(1).marshal))) // stamped `now` by the store
+      val reader0 = spark.readStream
+        .format(classOf[JdbcItemsSource].getName).option("url", url)
+      val reader = lagOpt.fold(reader0)(l => reader0.option("watermarkLagMs", l.toString))
+      val name = s"feed_skew_${System.nanoTime()}"
+      val q = reader.load().as[Item]
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        q.processAllAvailable() // poll 1: lag 0 admits writerA here
+        insertBackdated(url, "writerB",
+          new Timestamp(System.currentTimeMillis() - 3000L))
+        q.processAllAvailable()
+        Thread.sleep(5500) // let the wall clock pass both stamps + lag
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).count()
+    }
+    assert(run(None) == 2L, "5s default lag must admit both writers' rows")
+    // Contrast: explicit 0 (the old default) strands writer B's row —
+    // the hazard the nonzero default exists to prevent.
+    assert(run(Some(0L)) == 1L, "lag 0 should exhibit the stranded-row hazard")
   }
 }
