@@ -39,7 +39,8 @@ final class JdbcFeedRunner(
     prefix: String = "",
     leaseDurationMs: Long = 60000L,
     leaseFilter: Partition => Boolean = _ => true,
-    clock: () => Long = () => System.currentTimeMillis()) extends Serializable {
+    clock: () => Long = () => System.currentTimeMillis(),
+    warnSink: String => Unit = JdbcFeedRunner.defaultWarnSink) extends Serializable {
 
   /** Leases this instance believes it holds: id → last saved row. */
   private var held = Map.empty[String, Partition]
@@ -56,9 +57,19 @@ final class JdbcFeedRunner(
       // Adopt new/expired partitions (acquireLeases, watcher.go:89-126).
       // A lease lapses when `until` passes: the previous owner's next
       // conditional save will conflict and it drops the partition.
-      val candidates = JdbcStore.potentialLeases(conn, now, prefix)
+      val potential = JdbcStore.potentialLeases(conn, now, prefix)
         .filter(leaseFilter)
-        .filterNot(p => held.contains(p.id))
+      // A potential lease we still believe we hold means our stored lease
+      // expired before this tick renewed it (watcher.go:100-104): another
+      // instance may adopt the partition any moment, so double-processing
+      // is now possible until the next OCC save resolves the owner. Warn —
+      // the operator's fix is a longer lease or a faster tick interval.
+      potential.filter(p => held.contains(p.id)).foreach { p =>
+        warnSink(s"leased partition expired before renewal: ${p.id} " +
+          s"(owner=${p.owner}, until=${p.until}); consider increasing " +
+          "leaseDurationMs or ticking more often")
+      }
+      val candidates = potential.filterNot(p => held.contains(p.id))
       candidates.foreach { p => held += p.id -> p }
 
       held.toSeq.sortBy(_._1).foreach { case (id, p) =>
@@ -146,4 +157,9 @@ final class JdbcFeedRunner(
     }
     ticks
   }
+}
+
+object JdbcFeedRunner {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[JdbcFeedRunner])
+  val defaultWarnSink: String => Unit = msg => log.warn(msg)
 }

@@ -119,7 +119,20 @@ object Clusters {
         if (finished.isDefined) return finished.get
       }
     }
-    // Converged state is a star per component centered at its min id.
+    // The star labeling below is only valid at the fixpoint (a star per
+    // component, centered at its min id). Exiting unconverged used to
+    // label from the partial edge set — silently splitting components.
+    // Contraction preserves connectivity, so an unconverged edge set that
+    // fits the local bound can still be finished EXACTLY by union-find;
+    // one that doesn't must fail loudly, not mislabel.
+    if (!converged) {
+      val finished = localFinish(prevSig._1)
+      require(finished.isDefined,
+        s"connectedComponents did not converge in $maxIter rounds and " +
+          s"${prevSig._1} residual edges exceed the local-finish bound " +
+          s"($localThreshold); raise maxIter or spark.graft.cc.localThreshold")
+      return finished.get
+    }
     val lab = sym(e).groupBy(col("u").as("node")).agg(min("v").as("mn"))
       .select(col("node"), least(col("node"), col("mn")).as("component"))
     graft.Materialize.release(e)

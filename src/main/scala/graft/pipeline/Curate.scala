@@ -36,16 +36,22 @@ object Curate {
     val dup = docs.withColumn("h", md5(col("text")))
       .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
       .select(col("doc_id"), (col("rn") > 1).as("is_dup"))
+    // `empty` must be a first-class reason, not an absent row: the
+    // token-exploding components (repetition) emit no rows for a NULL
+    // text, so an inner join would silently drop the document — and
+    // every downstream count would be wrong by omission. Left-join from
+    // docs and read missing token metrics as the drop reason.
     val reason =
-      when(col("n_tokens") < t.minTokens, "too_short")
+      when(col("n_tokens").isNull, "empty")
+        .when(col("n_tokens") < t.minTokens, "too_short")
         .when(col("n_tokens") > t.maxTokens, "too_long")
         .when(col("distinct_ratio") < t.minDistinctRatio, "low_diversity")
         .when(col("dup_bigram_frac") > t.maxDupBigramFrac, "repetitive")
         .when(col("n_pii") > 0, "pii")
         .when(col("is_dup"), "exact_duplicate")
     docs.select("doc_id")
-      .join(tq, Seq("doc_id")).join(rep, Seq("doc_id"))
-      .join(pii, Seq("doc_id")).join(dup, Seq("doc_id"))
+      .join(tq, Seq("doc_id"), "left").join(rep, Seq("doc_id"), "left")
+      .join(pii, Seq("doc_id"), "left").join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), reason.isNull.as("keep"), reason.as("reason"))
       .orderBy("doc_id")
   }
@@ -80,14 +86,15 @@ object Curate {
          |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
          |  FROM documents),
          |j AS (SELECT d.doc_id,
-         |    CASE WHEN tq.n_tokens < 15 THEN 'too_short'
+         |    CASE WHEN tq.n_tokens IS NULL THEN 'empty'
+         |         WHEN tq.n_tokens < 15 THEN 'too_short'
          |         WHEN tq.n_tokens > 95 THEN 'too_long'
          |         WHEN tq.distinct_ratio < 0.33 THEN 'low_diversity'
          |         WHEN rep.dup_bigram_frac > 0.18 THEN 'repetitive'
          |         WHEN pii.n_pii > 0 THEN 'pii'
          |         WHEN dup.is_dup THEN 'exact_duplicate' END AS reason
-         |  FROM documents d JOIN tq USING (doc_id) JOIN rep USING (doc_id)
-         |    JOIN pii USING (doc_id) JOIN dup USING (doc_id))
+         |  FROM documents d LEFT JOIN tq USING (doc_id) LEFT JOIN rep USING (doc_id)
+         |    LEFT JOIN pii USING (doc_id) LEFT JOIN dup USING (doc_id))
          |SELECT doc_id, reason IS NULL AS keep, reason FROM j ORDER BY doc_id""".stripMargin),
   )
 }

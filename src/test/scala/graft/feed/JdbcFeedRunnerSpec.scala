@@ -97,6 +97,37 @@ class JdbcFeedRunnerSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("a held lease that expires before renewal triggers the duplicate-lease warning") {
+    // Reference watcher.go:100-104: a potential lease the instance still
+    // believes it holds means the stored lease lapsed mid-hold — another
+    // instance could adopt it and double-process. The runner must warn
+    // (and keep holding; the next save renews or loses via OCC).
+    val url = freshDb()
+    val conn = JdbcStore.connect(url)
+    try {
+      JdbcStore.migrate(conn)
+      // Enough items that batchSize=1 ticks keep the partition open a while.
+      (1 to 5).foreach(i => JdbcStore.saveItem(
+        conn, Item(s"i$i", "p1_x", data = GoldenFixture.DataObj(1).marshal)))
+      JdbcStore.savePartition(conn, Partition("p1_x"))
+    } finally conn.close()
+
+    val t = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+    val warns = scala.collection.mutable.Buffer.empty[String]
+    val w = new JdbcFeedRunner(
+      spark, url, GoldenFixture.TestProcessor,
+      FeedOptions(batchSize = 1, maxRetries = 3, autoClose = false), "w1",
+      leaseDurationMs = 5000L, clock = () => t.get(),
+      warnSink = warns.synchronized { m => warns += m })
+    w.tick() // adopt + save lease until t0+5s
+    assert(w.heldLeases.contains("p1_x") && warns.isEmpty)
+    t.addAndGet(10000L) // lease lapses with the partition still held
+    w.tick()
+    assert(warns.exists(_.contains("p1_x")),
+      s"expected a duplicate-lease warning for p1_x, got $warns")
+    assert(w.heldLeases.contains("p1_x"), "partition stays held; OCC resolves ownership")
+  }
+
   test("lease steal: a lapsed lease is adopted by the surviving instance") {
     val url = freshDb()
     val conn = JdbcStore.connect(url)

@@ -42,6 +42,25 @@ class ClustersSpec extends AnyFunSuite {
     assert((30L to 35L).forall(got(_) == 30L))
   }
 
+  test("unconverged exit finishes exactly via union-find, or fails loudly") {
+    // A 64-node path cannot reach the star fixpoint in one round. With the
+    // local endgame available, maxIter=1 must still return EXACT labels
+    // (contraction preserves connectivity; union-find finishes the rest).
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val got = Clusters.connectedComponents(path.toDF("src", "dst"), maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+    // With the endgame disabled (threshold 0), the same exit must throw —
+    // never silently label from an unconverged edge set.
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Clusters.connectedComponents(path.toDF("src", "dst"), maxIter = 1).collect()
+      }
+      assert(ex.getMessage.contains("did not converge"))
+    } finally spark.conf.unset("spark.graft.cc.localThreshold")
+  }
+
   test("dedupClusters groups near-identical docs and leaves others single") {
     // d1/d2 share a 5-gram; d3 shares one with d2 (transitive chain);
     // d4 is unrelated text of the same length.

@@ -258,10 +258,16 @@ class PipelineSpec extends AnyFunSuite {
         " contact me at a.b@c.example.org please thanks"),      // pii
       (6L, (1 to 20).map(i => "d" + i).mkString(" ")),          // original
       (7L, (1 to 20).map(i => "d" + i).mkString(" ")),          // exact_duplicate of 6
-      (8L, (1 to 40).map(i => "k" + i).mkString(" "))           // keeper
+      (8L, (1 to 40).map(i => "k" + i).mkString(" ")),          // keeper
+      (9L, null.asInstanceOf[String])                           // empty (NULL text)
     ).toDF("doc_id", "text")
-    val out = Curate.curation(d).collect()
+    val rows = Curate.curation(d).collect()
+    // The NULL-text doc must surface as an explicit drop, not vanish from
+    // the output (the token-exploding components have no row for it).
+    assert(rows.length == 9, s"every doc gets a decision, got ${rows.length}")
+    val out = rows
       .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(9L) == ((false, "empty")))
     assert(out(1L) == ((false, "too_short")))
     assert(out(2L) == ((false, "too_long")))
     assert(out(3L) == ((false, "low_diversity")), s"got ${out(3L)}")

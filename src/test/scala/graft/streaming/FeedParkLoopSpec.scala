@@ -31,7 +31,9 @@ class FeedParkLoopSpec extends AnyFunSuite {
 
     val q = FeedStream.itemUpdates(
         spark.readStream.format(classOf[JdbcItemsSource].getName)
-          .option("url", url).load().as[Item],
+          .option("url", url)
+          .option("watermarkLagMs", "0") // single-writer topology
+          .load().as[Item],
         GoldenFixture.TestProcessor,
         FeedOptions(batchSize = 10, maxRetries = 2),
         FeedStream.initialState(Seq(Partition("p1"))))
@@ -69,7 +71,9 @@ class FeedParkLoopSpec extends AnyFunSuite {
       manualCheckpoint = true, maxPending = 3)
     def source() = spark.readStream
       .format(classOf[JdbcItemsSource].getName)
-      .option("url", url).load().as[Item]
+      .option("url", url)
+      .option("watermarkLagMs", "0") // single-writer topology
+      .load().as[Item]
 
     // Phase 1: gate frozen. The stream must hold <=3 items in state and
     // push the other 5 back to the database (version-bumped), where the
