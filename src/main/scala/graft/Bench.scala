@@ -63,6 +63,14 @@ object Bench {
         if (name == "langid_ngram" &&
             "BroadcastNestedLoopJoin".r.findAllIn(plan).length > 1)
           violations += s"$name:token-stream-amplified"
+        // Linear (per-row) operators must stay shuffle-free: their only
+        // Exchange is the rangepartitioning of the deterministic output
+        // order. A hashpartitioning Exchange means a refactor silently
+        // added a groupBy/join to an op whose contract is one scan.
+        if (Set("q52_embed_quant", "doc_fingerprint", "q51_pii_redact",
+              "q38_token_counts").contains(name) &&
+            plan.contains("Exchange hashpartitioning"))
+          violations += s"$name:linear-op-gained-a-shuffle"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }
 
@@ -72,16 +80,30 @@ object Bench {
       try run(name) catch { case _: Throwable => errors += name }
       (System.nanoTime() - t0) / 1e9
     }
+    // Host-noise telemetry: loadavg brackets the timed section and every
+    // individual run is kept alongside the min, so a reader can tell a
+    // noisy-host outlier (one bad run, high load) from a real regression
+    // (all runs slow) without re-deriving it from BASELINE.md.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    val loadStart = loadavg()
     val results = headline.map { name =>
-      name -> Seq(timed(name), timed(name), timed(name)).min
+      name -> Seq(timed(name), timed(name), timed(name))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadEnd = loadavg()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val detail = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     def strArr(xs: Iterable[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","runs":3,"estimator":"min",""" +
+      s""""sf":"$sfDir","runs":3,"estimator":"min","runs_detail":$detail,""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""errors":${strArr(errors)},"plan_violations":${strArr(violations.result())}}""")
     spark.stop()
   }
