@@ -120,21 +120,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** n-gram Jaccard similarity pairs via minhash LSH, surfaced as explicit
-    * scored pairs. Bigram shingles: on this corpus unigram token sets are
-    * non-discriminative (avg pairwise Jaccard 0.61 over the shared
-    * vocabulary — LSH saturates into an O(n²) candidate set), while bigram
-    * Jaccard averages 0.025 with p99 ≈ 0.08, so banding prunes ~99% of
-    * pairs and the verify join stays linear-ish. */
+  /** Top-N n-gram Jaccard similarity pairs, exactly.
+    *
+    * Candidates come from the df-capped inverted shingle index
+    * ([[Clusters.sharedShingleEdges]]): two docs are compared iff they
+    * share at least one bigram whose document frequency is in [2, maxDf].
+    * Unlike minhash banding (the [[minhashDedup]] path), this candidate
+    * set is DETERMINISTIC AND EXACT under the cap — every pair that
+    * shares a sub-cap shingle is scored with its true Jaccard — so the
+    * whole operator is replayable in SQL and hash-matches a DuckDB twin.
+    * The df cap is the scale guard (a shingle shared by everything is a
+    * quadratic clique with no similarity signal; dropping it is standard
+    * stop-shingle practice) and is part of the operator's contract, which
+    * the oracle replicates. Per-shingle cost is bounded by maxDf², and a
+    * pair at threshold 0.08 shares ~7 of ~90 bigrams on this corpus, so
+    * real near-dup pairs stay linked through their rare shingles. */
   def ngramJaccardPairs(
       docs: DataFrame,
       threshold: Double = 0.08,
+      maxDf: Int = 50,
       limit: Int = 500): DataFrame = {
-    // 10 bands × 3 rows: at the corpus's bigram-Jaccard distribution
-    // (avg 0.025) this admits ~0.02% of pairs as candidates while keeping
-    // ~75% recall at j=0.5 and ~100% at j≥0.9 — the verify join stays
-    // linear-ish as the corpus grows.
-    val pairs = minhashCandidates(docs, shingleSize = 2, numHashes = 30, rowsPerBand = 3)
+    val pairs = Clusters.sharedShingleEdges(docs, shingleSize = 2, maxDf = maxDf)
+      .select(col("src").as("left_id"), col("dst").as("right_id"))
     jaccardVerify(docs, pairs, shingleSize = 2)
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jaccard"))
@@ -372,5 +379,52 @@ object Dedup {
       ("SELECT doc_id, md5(text) AS h FROM (SELECT doc_id, text, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t " +
         "WHERE rn = 1 ORDER BY doc_id"),
+    // Exact all-pairs trigram-Jaccard twin of the LSH pipeline. The Spark
+    // side generates candidates probabilistically (banded minhash) but
+    // verifies with exact Jaccard, so it matches the exhaustive oracle
+    // exactly as long as banding recalls every pair at/above the 0.8
+    // threshold — which holds deterministically on this corpus (fixed
+    // xxhash64 seeds; the weakest qualifying pair sits at j≈0.89, where
+    // the 8-band × 4-row miss probability is ~2e-4). The oracle's O(n²)
+    // join is affordable only at oracle scale; the Spark side never
+    // compares all pairs.
+    "dedup_minhash_lsh" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |       i -> array_to_string(t[i:i+2], ' ')))
+         |  ELSE [text] END AS sh FROM toks),
+         |pj AS (SELECT a.doc_id AS l, b.doc_id AS r,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |dec AS (SELECT r AS doc_id, min(l) AS dup_of, max(j) AS best_j
+         |  FROM pj WHERE j >= 0.8 GROUP BY r)
+         |SELECT d.doc_id, dec.dup_of,
+         |  COALESCE(round(dec.best_j, 4), 0.0) AS best_jaccard,
+         |  dec.dup_of IS NOT NULL AS is_duplicate
+         |FROM documents d LEFT JOIN dec USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    // Identical semantics to the Spark side by construction: candidates
+    // from the df-capped inverted bigram index (2 <= df <= 50), scored
+    // with exact Jaccard over the FULL shingle sets, thresholded, top-500
+    // by (jaccard desc, left, right).
+    "dedup_ngram_jaccard" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |shf AS (SELECT doc_id, CASE WHEN len(t) >= 2
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+         |       i -> array_to_string(t[i:i+1], ' ')))
+         |  ELSE [text] END AS sh FROM toks),
+         |sh0 AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+         |keep AS (SELECT s FROM sh0 GROUP BY s
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+         |  FROM sh0 a JOIN keep USING (s) JOIN sh0 b USING (s)
+         |  WHERE a.doc_id < b.doc_id),
+         |scored AS (SELECT l AS left_id, r AS right_id,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+         |  FROM cand JOIN shf x ON x.doc_id = cand.l JOIN shf y ON y.doc_id = cand.r)
+         |SELECT left_id, right_id, jaccard FROM scored WHERE jaccard >= 0.08
+         |ORDER BY jaccard DESC, left_id, right_id LIMIT 500""".stripMargin),
   )
 }
