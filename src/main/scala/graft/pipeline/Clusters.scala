@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Distributed star rounds the most recent [[connectedComponents]] call
+    * executed before finishing (0 = the quick union-find path answered
+    * immediately). Observability for smokes/ops: the algorithm's O(log n)
+    * round bound is a scale claim worth checking on evidence, and the
+    * round count is otherwise invisible from the returned DataFrame. */
+  val lastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** Connected components of an undirected graph given as (src, dst) edge
     * rows (self-loops and duplicates tolerated). Returns (node, component)
     * where component is the smallest node id in the component. Only nodes
@@ -61,6 +68,7 @@ object Clusters {
       .get("spark.graft.cc.localThreshold", (1 << 20).toString).toLong
     def localFinish(edgeCount: Long): Option[DataFrame] = {
       if (edgeCount > localThreshold) return None
+      lastRounds.set(iter)
       val pairs = e.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -133,6 +141,7 @@ object Clusters {
           s"($localThreshold); raise maxIter or spark.graft.cc.localThreshold")
       return finished.get
     }
+    lastRounds.set(iter)
     val lab = sym(e).groupBy(col("u").as("node")).agg(min("v").as("mn"))
       .select(col("node"), least(col("node"), col("mn")).as("component"))
     graft.Materialize.release(e)

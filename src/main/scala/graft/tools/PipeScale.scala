@@ -75,6 +75,64 @@ object PipeScale {
     check("planted clusters", math.abs(comps - planted) <= planted / 20 + 2,
       s"$comps multi-doc components, $planted planted")
 
+    // Distributed-CC width check: at this width the edge set fits the
+    // default local threshold, so the union-find endgame answers and the
+    // large-star/small-star loop is never exercised at scale. Force the
+    // distributed path (threshold 0) and require (a) labels identical to
+    // the union-find path and (b) round count within the O(log n) claim.
+    val edges = timed("shared-shingle edges") {
+      Clusters.sharedShingleEdges(docs, shingleSize = 5)
+        .transform(graft.Materialize(_))
+    }
+    val viaLocal = Clusters.connectedComponents(edges)
+      .withColumnRenamed("component", "c_local")
+      .transform(graft.Materialize(_))
+    check("local path took the union-find endgame", Clusters.lastRounds.get() == 0,
+      s"rounds=${Clusters.lastRounds.get()}")
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    val viaDist = try {
+      timed("distributed star rounds") {
+        Clusters.connectedComponents(edges)
+          .withColumnRenamed("component", "c_dist")
+          .transform(graft.Materialize(_))
+      }
+    } finally spark.conf.unset("spark.graft.cc.localThreshold")
+    val rounds = Clusters.lastRounds.get()
+    check("distributed rounds are logarithmic", rounds >= 1 && rounds <= 10,
+      s"$rounds star rounds for ${edges.count()} edges")
+    val disagree = viaLocal.join(viaDist, Seq("node"), "full")
+      .filter(col("c_local").isNull || col("c_dist").isNull ||
+        col("c_local") =!= col("c_dist")).count()
+    check("both CC paths agree exactly", disagree == 0,
+      s"$disagree label disagreements")
+
+    // The planted graph's components are 2-3 nodes — they converge in 2
+    // rounds regardless of algorithm. The O(log n) claim only bites on a
+    // HIGH-DIAMETER graph: a single n-node path is the adversarial case
+    // (naive min-propagation needs n rounds). Star contraction must fold
+    // it in ~log2(n) rounds, fully distributed.
+    val pathN = n.toLong
+    val pathEdges = spark.range(pathN - 1).select(
+      col("id").as("src"), (col("id") + 1).as("dst"))
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    val pathLabels = try {
+      timed(s"path-graph ($pathN nodes) distributed CC") {
+        Clusters.connectedComponents(pathEdges)
+          .transform(graft.Materialize(_))
+      }
+    } finally spark.conf.unset("spark.graft.cc.localThreshold")
+    val pathRounds = Clusters.lastRounds.get()
+    val logBound = 64 - java.lang.Long.numberOfLeadingZeros(pathN) + 4
+    check("path graph folds in O(log n) rounds",
+      pathRounds >= 1 && pathRounds <= logBound,
+      s"$pathRounds rounds for a $pathN-node path (bound $logBound)")
+    val pathOk = pathLabels.agg(
+      count(lit(1)), sum(when(col("component") === 0L, 1L).otherwise(0L)))
+      .first()
+    check("path graph is one component rooted at 0",
+      pathOk.getLong(0) == pathN && pathOk.getLong(1) == pathN,
+      s"${pathOk.getLong(1)}/${pathOk.getLong(0)} nodes labeled 0 (want $pathN)")
+
     spark.stop()
     if (failed) sys.exit(1)
     println(s"[pipescale] ALL PASS at n=$n")
