@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.RelationalQueries
-import graft.pipeline.{Clusters, Curate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Clusters, Curate, Dedup, Multimodal, Select, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ operators.ExtendedQueries.all ++
       operators.TemporalJoins.all ++
-      Dedup.queries ++ Clusters.queries ++ Curate.queries ++
+      Dedup.queries ++ Clusters.queries ++ Curate.queries ++ Select.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         // D3-D6 gate state machine: golden-fixture replay to quiescence
@@ -38,6 +38,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ operators.ExtendedQueries.oracle ++
       operators.TemporalJoins.oracle ++
-      Dedup.oracle ++ Clusters.oracle ++ Curate.oracle ++
+      Dedup.oracle ++ Clusters.oracle ++ Curate.oracle ++ Select.oracle ++
       TextAnalysis.oracle ++ Similarity.oracle
 }

@@ -1,0 +1,231 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data SELECTION operators: which documents enter the training
+  * mix, at what rate, and how they are laid out into model sequences.
+  * Complements [[Dedup]] (what is redundant) and [[Curate]] (what is low
+  * quality) with the mixture-side decisions a large-scale pipeline makes:
+  * benchmark decontamination, deterministic (re-runnable) sampling,
+  * per-domain quotas, mixture rebalancing weights, and the
+  * concat-then-chunk sequence packing used for pretraining batches.
+  *
+  * Every operator here is deterministic and exactly SQL-expressible, so
+  * each ships a DuckDB oracle (hash-matched by the driver). Scale shapes:
+  * the eval-set side of decontamination is broadcast (eval sets are tiny
+  * by construction); sampling and chunking are per-row projections with
+  * zero shuffle; quotas and packing shuffle once on their natural key.
+  */
+object Select {
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * `n`-token shingle with the evaluation set (here: `doc_id % evalMod
+    * == 0`, standing in for an external benchmark table). The standard
+    * n-gram-overlap hygiene gate (GPT-3 App. C / Dolma): a contaminated
+    * document leaks eval answers into training.
+    *
+    * Scale: the eval shingle set is DISTINCT'd and broadcast — eval
+    * suites are thousands of documents against a corpus of billions, so
+    * the train side is one scan + one broadcast semi-join + one groupBy
+    * on doc_id. Never an all-pairs comparison. */
+  def decontaminate(docs: DataFrame, evalMod: Int = 23, n: Int = 8): DataFrame = {
+    val isEval = col("doc_id") % evalMod === 0
+    val evalShingles = docs.filter(isEval)
+      .select(explode(Dedup.shingles(n)).as("s")).distinct()
+    val overlaps = docs.filter(!isEval)
+      .select(col("doc_id"), explode(Dedup.shingles(n)).as("s"))
+      .join(broadcast(evalShingles), Seq("s"))
+      // shingles() emits array_distinct'd shingles, so count(*) counts
+      // DISTINCT overlapping shingles per document.
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(!isEval).select("doc_id")
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_overlap"), lit(0L)).gt(0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified Bernoulli sample: a document is kept iff
+    * the first 8 hex chars of md5(doc_id) sort below its stratum's
+    * threshold — here downsampling English (rate ~0.2) while keeping
+    * other languages at ~0.5, the usual mixture rebalance. Hash-gated
+    * sampling (not rand()) is the production form: re-running the
+    * pipeline, or sampling on two clusters, selects the SAME documents,
+    * so downstream caches and ablations stay comparable. Zero shuffle —
+    * a per-row filter the optimizer can push to the scan. */
+  def stratifiedSample(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("hk", substring(md5(col("doc_id").cast("string")), 1, 8))
+      // 0x33333333/2^32 = 0.2; 0x80000000/2^32 = 0.5 (lexicographic
+      // compare on lowercase hex == numeric compare on the 32-bit prefix).
+      .filter(col("hk") < when(col("lang") === "en", lit("33333333"))
+        .otherwise(lit("80000000")))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  /** Per-domain quota: keep the top `k` documents of each source by
+    * length (n_chars desc, doc_id asc as the tiebreak) — the "cap every
+    * domain's contribution" selection step. One shuffle on source; the
+    * rank window never sees more than one domain's rows per partition. */
+  def quotaTopK(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("source")
+          .orderBy(desc("n_chars"), asc("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+      .orderBy("source", "rk")
+
+  /** Per-language mixture rebalancing weights: weight = target share /
+    * actual share, the factor a sampler applies per stratum to hit a
+    * declared training mixture. One tiny aggregate (|langs| rows); the
+    * share denominator is a window over that aggregate, not a second
+    * pass over the corpus. */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val target = typedLit(Map(
+      "en" -> 0.30, "de" -> 0.20, "fr" -> 0.20, "es" -> 0.15, "zh" -> 0.15))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum("n_docs").over(Window.partitionBy()))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs") / col("total"), 4).as("actual_share"),
+        target(col("lang")).as("target_share"),
+        round(target(col("lang")) / (col("n_docs") / col("total")), 4).as("weight"))
+      .orderBy("lang")
+  }
+
+  /** Concat-then-chunk sequence packing: documents are laid end to end in
+    * doc_id order and cut into fixed `budget`-token model sequences; each
+    * document reports its global token offset and the chunk span it lands
+    * in. This is pretraining's standard batch layout (no padding waste).
+    *
+    * The global running offset is a distributed two-level prefix sum —
+    * NOT a single global window (`ORDER BY` with no `PARTITION BY` drags
+    * the whole corpus through one partition): cumsum within doc_id blocks
+    * of `blockRows`, plus an exclusive running total over the per-block
+    * sums. The block-level window handles corpus/blockRows rows — at
+    * 10^12 documents with the default block that is 10^8... so size
+    * blockRows to the corpus; the per-block table is the ONLY data that
+    * crosses a single partition, never document rows. */
+  def packSequences(docs: DataFrame, budget: Int = 256,
+      blockRows: Long = 4096L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      floor(col("doc_id") / blockRows).as("blk"))
+    val inBlock = toks.withColumn("in_prefix",
+      coalesce(sum("n_tokens").over(Window.partitionBy("blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val blockPrefix = toks.groupBy("blk").agg(sum("n_tokens").as("blk_sum"))
+      .withColumn("blk_prefix",
+        coalesce(sum("blk_sum").over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "blk_prefix")
+    inBlock.join(broadcast(blockPrefix), Seq("blk"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("in_prefix") + col("blk_prefix")).as("offset"))
+      .withColumn("first_chunk", floor(col("offset") / budget))
+      .withColumn("last_chunk",
+        floor((col("offset") + greatest(col("n_tokens"), lit(1L)) - 1) / budget))
+      .orderBy("doc_id")
+  }
+
+  /** Overlapping token-window chunking: split each document into windows
+    * of `window` tokens every `stride` tokens, with the final window
+    * right-aligned to the document end (so the tail is always covered by
+    * a full-width window when the document is long enough). The RAG/
+    * embedding ingestion layout. Pure per-row explode — zero shuffle. */
+  def chunkDocs(docs: DataFrame, window: Int = 40, stride: Int = 20): DataFrame = {
+    val t = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("len", size(col("toks")))
+      .withColumn("starts", expr(
+        s"""array_sort(array_distinct(transform(
+           |  sequence(0, CAST(ceil(greatest(len - $window, 0) / $stride.0) AS INT)),
+           |  i -> least(i * $stride, greatest(len - $window, 0)))))""".stripMargin))
+    t.select(col("doc_id"), col("toks"), col("len"),
+        posexplode(col("starts")).as(Seq("chunk_idx", "chunk_start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(window), col("len") - col("chunk_start")).cast("long").as("chunk_len"),
+        concat_ws(" ", slice(col("toks"), col("chunk_start") + 1, lit(window)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_decontaminate" -> ((s, d) => decontaminate(Tables(s, d).documents)),
+    "q59_strat_sample"  -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
+    "q60_quota_topk"    -> ((s, d) => quotaTopK(Tables(s, d).documents)),
+    "q61_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),
+    "q62_pack_sequences" -> ((s, d) => packSequences(Tables(s, d).documents)),
+    "q63_chunk_docs"    -> ((s, d) => chunkDocs(Tables(s, d).documents)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q58_decontaminate" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 7),
+         |       i -> array_to_string(t[i:i+7], ' ')))
+         |  ELSE [text] END) AS s FROM toks),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+         |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev USING (s)
+         |  WHERE sh.doc_id % 23 <> 0 GROUP BY sh.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+         |  COALESCE(ov.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN ov USING (doc_id)
+         |WHERE d.doc_id % 23 <> 0 ORDER BY d.doc_id""".stripMargin),
+    "q59_strat_sample" ->
+      ("""SELECT doc_id, lang, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
+         |ORDER BY doc_id""".stripMargin),
+    "q60_quota_topk" ->
+      ("""SELECT doc_id, source, n_chars, rk FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin),
+    "q61_mixture_weights" ->
+      ("""WITH agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(n_docs) AS total FROM agg),
+         |tgt AS (SELECT * FROM (VALUES ('en', 0.30), ('de', 0.20), ('fr', 0.20),
+         |  ('es', 0.15), ('zh', 0.15)) v(lang, target_share))
+         |SELECT a.lang, a.n_docs,
+         |  round(CAST(a.n_docs AS DOUBLE) / total, 4) AS actual_share,
+         |  CAST(t.target_share AS DOUBLE) AS target_share,
+         |  round(CAST(t.target_share AS DOUBLE) / (CAST(a.n_docs AS DOUBLE) / total), 4) AS weight
+         |FROM agg a, tot JOIN tgt t ON a.lang = t.lang ORDER BY a.lang""".stripMargin),
+    "q62_pack_sequences" ->
+      ("""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+         |  FROM t)
+         |SELECT doc_id, n_tokens, "offset",
+         |  CAST(floor("offset" / 256.0) AS BIGINT) AS first_chunk,
+         |  CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT) AS last_chunk
+         |FROM o ORDER BY doc_id""".stripMargin),
+    "q63_chunk_docs" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |  len(string_split(text, ' ')) AS len FROM documents),
+         |st AS (SELECT doc_id, toks, len,
+         |  unnest(list_sort(list_distinct(list_transform(
+         |    generate_series(0, CAST(ceil(greatest(len - 40, 0) / 20.0) AS BIGINT)),
+         |    i -> least(i * 20, greatest(len - 40, 0)))))) AS chunk_start
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_start) - 1 AS BIGINT)
+         |    AS chunk_idx,
+         |  CAST(chunk_start AS BIGINT) AS chunk_start,
+         |  CAST(least(40, len - chunk_start) AS BIGINT) AS chunk_len,
+         |  array_to_string(toks[chunk_start + 1 : least(chunk_start + 40, len)], ' ')
+         |    AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_start""".stripMargin),
+  )
+}

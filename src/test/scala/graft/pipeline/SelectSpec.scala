@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants of the selection operators — properties the
+  * hash-matching oracle can't state (determinism across runs, coverage,
+  * contiguity), on corpora engineered to hit the edge semantics. */
+class SelectSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("decontaminate flags exactly the docs sharing an 8-gram with the eval set") {
+    // doc 0 is eval (0 % 23 == 0). doc 1 copies 8 consecutive tokens from
+    // it; doc 2 shares only a 7-token run (one token mutated); doc 3 is
+    // unrelated. Only doc 1 is contaminated.
+    val evalText = (1 to 12).map(i => "e" + i).mkString(" ")
+    val d = docs(
+      0L -> evalText,
+      1L -> ((1 to 8).map(i => "e" + i).mkString(" ") + " x1 x2 x3 x4"),
+      2L -> ((1 to 4).map(i => "e" + i).mkString(" ") + " zz " +
+        (6 to 8).map(i => "e" + i).mkString(" ") + " x1 x2"),
+      3L -> (1 to 12).map(i => "u" + i).mkString(" "))
+    val out = Select.decontaminate(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(!out.contains(0L), "eval docs are not scored")
+    assert(out(1L) == ((1L, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+  }
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val d = (0L until 4000L).map(i =>
+      (i, "t", if (i % 2 == 0) "en" else "de", "s" + (i % 7)))
+      .toDF("doc_id", "text", "lang", "source")
+    val a = Select.stratifiedSample(d).collect().map(_.getLong(0))
+    val b = Select.stratifiedSample(d).collect().map(_.getLong(0))
+    assert(a.sameElements(b), "hash-gated sampling must be re-runnable")
+    val byLang = Select.stratifiedSample(d).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 docs per stratum; binomial 3-sigma bands around 0.2 / 0.5.
+    assert(byLang("en") > 340 && byLang("en") < 460, s"en=${byLang("en")}")
+    assert(byLang("de") > 930 && byLang("de") < 1070, s"de=${byLang("de")}")
+  }
+
+  test("quota top-k keeps at most k per source, longest first") {
+    val d = (0L until 40L).map(i => (i, "t", "en", "s" + (i % 4), 100L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Select.quotaTopK(d, k = 3).collect()
+    val bySource = out.groupBy(_.getString(1))
+    assert(bySource.forall(_._2.length == 3))
+    bySource.foreach { case (_, rows) =>
+      val chars = rows.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(chars.sameElements(chars.sorted.reverse), "rank 1 is the longest")
+    }
+  }
+
+  test("mixture weights invert the actual shares toward the target") {
+    val d = ((1 to 60).map(i => (i.toLong, "t", "en")) ++
+      (61 to 100).map(i => (i.toLong, "t", "zh")))
+      .toDF("doc_id", "text", "lang")
+    val out = Select.mixtureWeights(d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    assert(out("en") == ((0.6, 0.5)))   // 0.30 target / 0.6 actual
+    assert(out("zh") == ((0.4, 0.375))) // 0.15 target / 0.4 actual
+  }
+
+  test("packed sequences tile the token stream with no gaps or overlaps") {
+    val d = docs((0L until 50L).map(i =>
+      i -> (0 until (i % 13 + 1).toInt).map(j => s"w$j").mkString(" ")): _*)
+    val rows = Select.packSequences(d, budget = 16, blockRows = 8)
+      .orderBy("doc_id").collect()
+    var expectedOffset = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == expectedOffset,
+        s"doc ${r.getLong(0)}: offset ${r.getLong(2)} != $expectedOffset")
+      expectedOffset += r.getLong(1)
+      assert(r.getLong(3) == r.getLong(2) / 16)
+      assert(r.getLong(4) == (r.getLong(2) + r.getLong(1) - 1) / 16)
+    }
+  }
+
+  test("chunking covers every token; the tail chunk is right-aligned") {
+    val d = docs(
+      1L -> (1 to 100).map(i => "t" + i).mkString(" "), // 100 toks: starts 0,20,40,60
+      2L -> (1 to 50).map(i => "t" + i).mkString(" "),  // 50: starts 0,10(=len-40)
+      3L -> (1 to 7).map(i => "t" + i).mkString(" "))   // short: one whole chunk
+    val out = Select.chunkDocs(d, window = 40, stride = 20).collect()
+      .groupBy(_.getLong(0))
+    assert(out(1L).map(_.getLong(2)).sorted.sameElements(Array(0L, 20L, 40L, 60L)))
+    assert(out(2L).map(_.getLong(2)).sorted.sameElements(Array(0L, 10L)),
+      "tail window right-aligns to len - window")
+    assert(out(3L).length == 1 && out(3L).head.getLong(3) == 7L)
+    // Every token index of doc 1 falls inside at least one chunk.
+    val covered = out(1L).flatMap(r =>
+      r.getLong(2) until (r.getLong(2) + r.getLong(3))).toSet
+    assert(covered == (0L until 100L).toSet)
+    // chunk_text really is the slice it claims to be.
+    val c40 = out(1L).find(_.getLong(2) == 40L).get
+    assert(c40.getString(4) == (41 to 80).map(i => "t" + i).mkString(" "))
+  }
+}
