@@ -155,7 +155,26 @@ object Select {
       .orderBy("doc_id", "chunk_start")
   }
 
+  /** Deterministic training-shard assignment + within-shard shuffle
+    * order: shard = the document's 16-bit md5 prefix scaled to nShards
+    * (even split, per-row, zero shuffle); pos = the document's rank in
+    * its shard under full-hash order (the reproducible "shuffled" read
+    * order — re-running the pipeline yields byte-identical shards). The
+    * rank window partitions by shard, so no single partition ever sees
+    * more than corpus/nShards rows. */
+  def shardAssign(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("shard",
+        floor(conv(substring(col("hk"), 1, 4), 16, 10).cast("long")
+          * nShards / 65536).cast("long"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy("hk", "doc_id")).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_shard_assign"  -> ((s, d) => shardAssign(Tables(s, d).documents)),
     "q58_decontaminate" -> ((s, d) => decontaminate(Tables(s, d).documents)),
     "q59_strat_sample"  -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
     "q60_quota_topk"    -> ((s, d) => quotaTopK(Tables(s, d).documents)),
@@ -165,6 +184,14 @@ object Select {
   )
 
   def oracle: Map[String, String] = Map(
+    "q65_shard_assign" ->
+      ("""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+         |s AS (SELECT doc_id, hk,
+         |  CAST(floor(CAST(('0x' || substr(hk, 1, 4)) AS BIGINT) * 16 / 65536) AS BIGINT)
+         |    AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS BIGINT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin),
     "q58_decontaminate" ->
       ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
          |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8

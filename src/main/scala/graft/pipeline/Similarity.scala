@@ -237,6 +237,25 @@ object Similarity {
         "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS rn " +
         "FROM embeddings q, embeddings e WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) t " +
         "WHERE rn <= 10 ORDER BY query_id, sim DESC, vec_id"),
+    // Exhaustive all-pairs twin of the hyperplane-LSH near-dup pipeline.
+    // On this corpus no pair reaches the 0.9 cosine threshold (max
+    // pairwise cos ≈ 0.51), so the oracle's value is proving NO FALSE
+    // POSITIVES across the whole decision table (and the label/score
+    // passthrough); recall on planted near-dups is covered by the
+    // SimilaritySpec synthetic corpus, where LSH banding is exercised
+    // with positives present.
+    "dedup_embedding" ->
+      ("""WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |pj AS (SELECT a.vec_id AS l, b.vec_id AS r,
+         |    list_dot_product(a.e, b.e) /
+         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+         |  FROM q a JOIN q b ON a.vec_id < b.vec_id),
+         |dec AS (SELECT r AS vec_id, min(l) AS dup_of, max(cos) AS best_cos
+         |  FROM pj WHERE cos >= 0.9 GROUP BY r)
+         |SELECT e.vec_id, e.label, dec.dup_of,
+         |  COALESCE(round(dec.best_cos, 4), 0.0) AS best_cos,
+         |  dec.dup_of IS NOT NULL AS is_duplicate
+         |FROM q e LEFT JOIN dec USING (vec_id) ORDER BY e.vec_id""".stripMargin),
     "q52_embed_quant" ->
       ("""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |w AS (SELECT vec_id, e,

@@ -246,7 +246,32 @@ object TextAnalysis {
       xxhash64(col("text")).as("content_hash"))
       .orderBy("doc_id")
 
+  /** Unigram language-model surprisal per document — the cheap stand-in
+    * for a perplexity quality filter: score = mean −ln p(token) under the
+    * corpus's own unigram distribution; high scores mark documents full
+    * of rare tokens. One explode pass feeding two aggregations (corpus
+    * token frequencies; per-doc mean over the stream joined back) —
+    * shuffles on token and doc_id, with map-side partial aggregation;
+    * the vocabulary total is a one-row broadcast, never a global
+    * single-partition window over the stream. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = graft.Materialize(
+      toks.groupBy("tok").agg(count(lit(1)).as("cnt")))
+    val total = freq.agg(sum("cnt").as("n_total"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(-log(col("cnt") / col("n_total"))), 4).as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_unigram_logprob" -> ((s, d) => unigramLogProb(Tables(s, d).documents)),
     "q20_text_quality" -> ((s, d) => textQuality(Tables(s, d).documents)),
     "q21_token_freq"   -> ((s, d) => tokenFrequency(Tables(s, d).documents)),
     "langid_ngram"     -> ((s, d) => languageId(Tables(s, d).documents)),
@@ -258,6 +283,14 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q64_unigram_logprob" ->
+      ("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |tot AS (SELECT sum(cnt) AS n_total FROM freq)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(-ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS avg_neg_logprob
+         |FROM toks JOIN freq USING (tok), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q20_text_quality" ->
       ("SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars, " +

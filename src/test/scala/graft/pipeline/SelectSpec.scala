@@ -83,6 +83,36 @@ class SelectSpec extends AnyFunSuite {
     }
   }
 
+  test("shard assignment is balanced, deterministic, and a partition of the corpus") {
+    val d = (0L until 2000L).map(i => (i, "t")).toDF("doc_id", "text")
+    val out = Select.shardAssign(d, nShards = 16).collect()
+    assert(out.length == 2000, "every doc lands in exactly one shard")
+    assert(out.map(_.getLong(0)).distinct.length == 2000)
+    val sizes = out.groupBy(_.getLong(1)).map(_._2.length)
+    assert(sizes.size == 16 && sizes.forall(s => s > 80 && s < 170),
+      s"16-bit-hash split should be near-even, got ${sizes.toSeq.sorted}")
+    // pos is a dense 1..n rank within each shard.
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.sameElements(1L to rows.length))
+    }
+    val again = Select.shardAssign(d, nShards = 16).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("unigram surprisal ranks rare-token docs above common-token docs") {
+    // 9 docs of a shared common token; one doc of unique tokens.
+    val d = ((1L to 9L).map(i => (i, "common common common common")) :+
+      (10L, "rare1 rare2 rare3 rare4")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) > out(1L),
+      s"rare-token doc must score higher: ${out(10L)} vs ${out(1L)}")
+    // common: p = 36/40 -> -ln = 0.1054; rare: p = 1/40 -> -ln = 3.6889
+    assert(math.abs(out(1L) - 0.1054) < 1e-4, s"got ${out(1L)}")
+    assert(math.abs(out(10L) - 3.6889) < 1e-4, s"got ${out(10L)}")
+  }
+
   test("chunking covers every token; the tail chunk is right-aligned") {
     val d = docs(
       1L -> (1 to 100).map(i => "t" + i).mkString(" "), // 100 toks: starts 0,20,40,60
