@@ -68,9 +68,11 @@ object Bench {
         // order. A hashpartitioning Exchange means a refactor silently
         // added a groupBy/join to an op whose contract is one scan.
         if (Set("q52_embed_quant", "doc_fingerprint", "q51_pii_redact",
-              "q38_token_counts").contains(name) &&
+              "q38_token_counts", "q59_strat_sample", "q63_chunk_docs").contains(name) &&
             plan.contains("Exchange hashpartitioning"))
           violations += s"$name:linear-op-gained-a-shuffle"
+        if (name == "q58_decontaminate" && !plan.contains("BroadcastHashJoin"))
+          violations += s"$name:eval-set-not-broadcast"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }
 

@@ -1,0 +1,16 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(16, "planprobe")
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("q58_decontaminate", "q59_strat_sample", "q62_pack_sequences",
+        "q63_chunk_docs", "q64_unigram_logprob", "q65_shard_assign")) {
+      val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      def n(s: String) = s.r.findAllIn(plan).length
+      println(s"[probe] $q: hashEx=${n("Exchange hashpartitioning")} rangeEx=${n("Exchange rangepartitioning")} singleEx=${n("Exchange SinglePartition")} bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} cart=${n("CartesianProduct")} bnlj=${n("BroadcastNestedLoopJoin")}")
+    }
+    spark.stop()
+  }
+}
