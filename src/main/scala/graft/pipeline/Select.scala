@@ -33,10 +33,16 @@ object Select {
     * on doc_id. Never an all-pairs comparison. */
   def decontaminate(docs: DataFrame, evalMod: Int = 23, n: Int = 8): DataFrame = {
     val isEval = col("doc_id") % evalMod === 0
-    val evalShingles = docs.filter(isEval)
-      .select(explode(Dedup.shingles(n)).as("s")).distinct()
-    val overlaps = docs.filter(!isEval)
-      .select(col("doc_id"), explode(Dedup.shingles(n)).as("s"))
+    // One shingle pass over the whole corpus, materialized: the n-gram
+    // HOF is interpreted (not codegen'd) and dominates the operator, and
+    // both the eval set and the train stream are carved out of the same
+    // exploded table — computing it per side doubles the dominant cost.
+    val exploded = graft.Materialize(docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), isEval.as("is_eval"),
+        explode(Dedup.shingles(n)).as("s")))
+    val evalShingles = exploded.filter(col("is_eval")).select("s").distinct()
+    val overlaps = exploded.filter(!col("is_eval"))
       .join(broadcast(evalShingles), Seq("s"))
       // shingles() emits array_distinct'd shingles, so count(*) counts
       // DISTINCT overlapping shingles per document.
