@@ -126,4 +126,57 @@ class PropertySpec extends AnyFunSuite {
       Prop(got == want) :| s"got $got want $want"
     }, params)
   }
+
+  test("sequence packing == sequential scan on random corpora (any block size)") {
+    val genCase = for {
+      n <- Gen.choose(1, 40)
+      lens <- Gen.listOfN(n, Gen.choose(1, 30))
+      // doc_ids sparse and shuffled relative to blocks on purpose
+      ids <- Gen.pick(n, 0L until 200L)
+      blockRows <- Gen.oneOf(1L, 3L, 7L, 64L)
+      budget <- Gen.oneOf(8, 16, 64)
+    } yield (ids.toSeq.sorted.zip(lens), blockRows, budget)
+    check(forAll(genCase) { case (docs, blockRows, budget) =>
+      val df = docs.map { case (id, len) =>
+        (id, (0 until len).map(j => s"w$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = graft.pipeline.Select.packSequences(df, budget, blockRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      // Reference: one sequential pass in doc_id order.
+      var off = 0L
+      val want = docs.map { case (id, len) =>
+        val r = (id, len.toLong, off); off += len; r
+      }.toList
+      Prop(got == want) :| s"blockRows=$blockRows got $got want $want"
+    }, params)
+  }
+
+  test("chunking covers all tokens with stride-bounded starts on random docs") {
+    // Full coverage is only promised for stride <= window (stride above
+    // the window is sampled chunking — gaps are the point), so the
+    // generator pairs them; the in-property guard repeats the bounds
+    // because scalacheck shrinking does not respect Gen ranges.
+    val genCase = for {
+      len <- Gen.choose(1, 120)
+      window <- Gen.choose(2, 50)
+      stride <- Gen.choose(1, window)
+    } yield (len, window, stride)
+    check(forAll(genCase) { case (len, window, stride) =>
+      if (len < 1 || window < 2 || stride < 1 || stride > window)
+        Prop.passed
+      else {
+      val df = Seq((1L, (0 until len).map(j => s"w$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = graft.pipeline.Select.chunkDocs(df, window, stride)
+        .collect().map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+      val covered = chunks.flatMap { case (s, l) => s until (s + l) }.toSet
+      val starts = chunks.map(_._1)
+      val ok = covered == (0L until len.toLong).toSet &&
+        starts.head == 0L &&
+        starts.sliding(2).forall(p => p.length < 2 || p(1) - p(0) <= stride) &&
+        chunks.forall { case (s, l) => l == math.min(window, len - s) }
+      Prop(ok) :| s"len=$len w=$window s=$stride chunks=${chunks.toList}"
+      }
+    }, params)
+  }
 }
