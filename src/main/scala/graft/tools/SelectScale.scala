@@ -1,0 +1,113 @@
+package graft.tools
+
+import graft.pipeline.Select
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Width smoke for the selection operators: the SelectSpec/PropertySpec
+  * suites prove exact semantics at toy sizes; this proves the SHAPES hold
+  * at millions of rows — the two-level prefix sum really tiles a 2M-doc
+  * corpus (hundreds of blocks, not one window partition), the 16-bit hash
+  * shard split stays balanced at width, sampling hits its rate bands, and
+  * decontamination finds exactly the planted overlaps in a 1M-doc corpus
+  * against a ~1k-doc eval set with zero false positives.
+  *
+  * Usage: runMain graft.tools.SelectScale [nDocs=2000000]
+  * Prints PASS/FAIL per property; exits non-zero on FAIL.
+  */
+object SelectScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failed = false
+    def check(tag: String, ok: Boolean, detail: String): Unit = {
+      println(s"[selectscale] ${if (ok) "PASS" else "FAIL"} $tag: $detail")
+      failed ||= !ok
+    }
+    def timed[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[selectscale] $tag: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+    }
+
+    // ---- packing: 2M docs, variable lengths, blockRows far below n ----
+    val lens = spark.range(n).select(col("id").as("doc_id"),
+      (col("id") % 37 + 5).cast("long").as("len"))
+      .withColumn("text", expr("array_join(transform(sequence(1, CAST(len AS INT)), i -> 't'), ' ')"))
+      .transform(graft.Materialize(_))
+    val packed = timed(s"packSequences over $n docs (blockRows=65536)") {
+      Select.packSequences(lens, budget = 2048, blockRows = 65536L)
+        .transform(graft.Materialize(_))
+    }
+    val st = packed.agg(
+      count(lit(1)), min("offset"), max(col("offset") + col("n_tokens")),
+      countDistinct("offset"), sum("n_tokens")).first()
+    check("packing tiles the stream at width",
+      st.getLong(0) == n && st.getLong(1) == 0L &&
+        st.getLong(2) == st.getLong(4) && st.getLong(3) == n,
+      s"count=${st.getLong(0)} minOff=${st.getLong(1)} maxEnd=${st.getLong(2)} " +
+        s"distinctOff=${st.getLong(3)} totalToks=${st.getLong(4)}")
+    graft.Materialize.release(packed)
+
+    // ---- shard balance at width ----
+    val shards = timed(s"shardAssign over $n docs") {
+      Select.shardAssign(lens, nShards = 16)
+        .groupBy("shard").count().collect()
+    }
+    val sizes = shards.map(_.getLong(1))
+    val mean = n.toDouble / 16
+    check("16 shards, near-even split",
+      shards.length == 16 && sizes.sum == n &&
+        sizes.forall(s => math.abs(s - mean) < mean * 0.05),
+      s"sizes=${sizes.sorted.mkString(",")}")
+
+    // ---- sampling rate bands at width ----
+    val langs = lens.withColumn("lang",
+        when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+      .withColumn("source", lit("s"))
+    val byLang = timed(s"stratifiedSample over $n docs") {
+      Select.stratifiedSample(langs).groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val (en, de) = (byLang.getOrElse("en", 0L), byLang.getOrElse("de", 0L))
+    val (nEn, nDe) = (n / 2.0, n / 2.0)
+    check("per-stratum rates hold at width (en 0.2, de 0.5)",
+      math.abs(en - nEn * 0.2) < 4 * math.sqrt(nEn * 0.2 * 0.8) + 1 &&
+        math.abs(de - nDe * 0.5) < 4 * math.sqrt(nDe * 0.25) + 1,
+      s"en=$en/(${nEn * 0.2} expected) de=$de/(${nDe * 0.5} expected)")
+    graft.Materialize.release(lens)
+
+    // ---- decontamination: 1M docs vs ~1k eval docs, planted overlaps ----
+    val nDec = math.min(n / 2, 1000000)
+    val decDocs = spark.range(nDec).as[Long].map { id =>
+      // Unique-ish 12-token docs from an id-seeded stream; docs at
+      // id % 1009 == 1 copy 8 consecutive tokens from the eval doc id-1
+      // (id % 1009 == 0) — the planted contamination.
+      val base = if (id % 1009 == 1) id - 1 else id
+      val rnd = new scala.util.Random(base * 7919)
+      val toks = Array.fill(12)("v" + rnd.nextInt(1000000000))
+      if (id % 1009 == 1) {
+        val own = new scala.util.Random(id * 7919)
+        (0 until 4).foreach(i => toks(8 + i) = "o" + own.nextInt(1000000000))
+      }
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text").transform(graft.Materialize(_))
+    val planted = (0 until nDec).count(i => i % 1009 == 1 && i >= 1)
+    val dec = timed(s"decontaminate $nDec docs vs ${nDec / 1009 + 1} eval docs") {
+      Select.decontaminate(decDocs, evalMod = 1009, n = 8)
+        .filter(col("contaminated")).count()
+    }
+    check("exactly the planted contamination is flagged",
+      dec == planted, s"$dec flagged, $planted planted")
+
+    spark.stop()
+    if (failed) sys.exit(1)
+    println(s"[selectscale] ALL PASS at n=$n")
+  }
+}
