@@ -20,12 +20,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q24_intersect", "q25_cube", "q26_scalars", "q32_range_join",
     "q36_pivot", "q37_exists", "q39_win_analytics", "q40_range_frame",
     "q41_scalar_subq", "q47_null_fns", "q48_grouping_sets",
-    "q54_pagination", "q55_strings", "q57_recursive")
+    "q54_pagination", "q55_strings", "q57_recursive",
+    "q60_quota_topk", "q61_mixture_weights")
 
   private lazy val allQueries = RelationalQueries.all ++ ExtendedQueries.all ++
-    TemporalJoins.all ++ graft.pipeline.Dedup.queries
+    TemporalJoins.all ++ graft.pipeline.Dedup.queries ++ graft.pipeline.Select.queries
   private lazy val allOracles = RelationalQueries.oracle ++ ExtendedQueries.oracle ++
-    TemporalJoins.oracle ++ graft.pipeline.Dedup.oracle
+    TemporalJoins.oracle ++ graft.pipeline.Dedup.oracle ++ graft.pipeline.Select.oracle
 
   sparkCompatible.foreach { name =>
     test(s"spark.sql == DataFrame API: $name") {
