@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.pipeline.Select
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The selection operators compose with Structured Streaming via
+  * foreachBatch — the shape of a continuous ingestion pipeline that
+  * samples and shard-routes documents as they arrive. The load-bearing
+  * property is DETERMINISM ACROSS ARRIVAL ORDER: hash-gated sampling and
+  * hash shard assignment depend only on the document, so however the
+  * corpus is split into micro-batches, the union of streamed decisions
+  * equals the one-shot batch result. (A rand()-based sampler or a
+  * rank-based shard would fail this — which is why the operators are
+  * hash-gated.) */
+class SelectStreamSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("streamed sampling + shard routing == batch, for any micro-batch split") {
+    val base = java.nio.file.Files.createTempDirectory("selstream")
+    val in = base.resolve("docs").toString
+    val all = (0L until 600L).map(i =>
+      (i, "t" + i, if (i % 3 == 0) "en" else "de", "s" + (i % 5)))
+    // Three arrival waves of different sizes.
+    def write(rows: Seq[(Long, String, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source")
+        .write.mode("append").parquet(in)
+
+    val sampled = scala.collection.mutable.Set.empty[Long]
+    val sharded = scala.collection.mutable.Map.empty[Long, Long]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+        .parquet(in)
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Select.stratifiedSample(batch).collect()
+            .foreach(r => sampled += r.getLong(0))
+          Select.shardAssign(batch).collect()
+            .foreach(r => sharded(r.getLong(0)) = r.getLong(1))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    write(all.slice(0, 100)); drain()
+    write(all.slice(100, 350)); drain()
+    write(all.slice(350, 600)); drain()
+
+    val batchDf = all.toDF("doc_id", "text", "lang", "source")
+    val wantSampled = Select.stratifiedSample(batchDf)
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled.toSet == wantSampled,
+      s"streamed sample selected ${sampled.size}, batch ${wantSampled.size}")
+    val wantShards = Select.shardAssign(batchDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sharded.toMap == wantShards,
+      "shard assignment must not depend on batch composition")
+    assert(sharded.size == 600)
+  }
+}
