@@ -140,9 +140,30 @@ object Dedup {
       threshold: Double = 0.08,
       maxDf: Int = 50,
       limit: Int = 500): DataFrame = {
-    val pairs = Clusters.sharedShingleEdges(docs, shingleSize = 2, maxDf = maxDf)
-      .select(col("src").as("left_id"), col("dst").as("right_id"))
-    jaccardVerify(docs, pairs, shingleSize = 2)
+    // The bigram HOF is the dominant cost and every stage needs it — the
+    // inverted index (exploded), the df cap, and the verify sets — so it
+    // runs ONCE into a materialized per-doc set table; the index explodes
+    // the cached arrays instead of re-shingling. (Same candidate+score
+    // semantics as Clusters.sharedShingleEdges + jaccardVerify, which
+    // each recompute the HOF from text.)
+    val sets = graft.Materialize(spread(docs)
+      .select(col("doc_id"), shingles(2).as("sh")))
+    val sh0 = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val keep = sh0.groupBy("s")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select("s")
+    val sh = graft.Materialize(sh0.join(keep, Seq("s")))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .distinct()
+    pairs
+      .join(sets.select(col("doc_id").as("left_id"), col("sh").as("lsh")), Seq("left_id"))
+      .join(sets.select(col("doc_id").as("right_id"), col("sh").as("rsh")), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (size(array_intersect(col("lsh"), col("rsh"))) /
+          size(array_union(col("lsh"), col("rsh")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(desc("jaccard"), asc("left_id"), asc("right_id"))

@@ -57,7 +57,12 @@ object TextAnalysis {
     // Repartition: decouple per-token compute from input file layout
     // (one row group = one partition otherwise).
     val spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    val tok = spread.select(col("doc_id"), col("lang"), explode(tokens).as("token"))
+    // Materialized: the exploded stream feeds BOTH the model's pair
+    // counts and the per-doc seen-pair join, and nothing upstream caches
+    // it — without this the corpus is re-read and re-exploded per
+    // consumer (measured ~15% of the query at sf0.1).
+    val tok = graft.Materialize(
+      spread.select(col("doc_id"), col("lang"), explode(tokens).as("token")))
 
     // The token stream is scanned ONCE for the (lang, token) term counts;
     // every model statistic (per-lang totals, vocabulary size) derives
