@@ -378,7 +378,34 @@ object ExtendedQueries {
         count(lit(1)).as("exact_events"))
       .orderBy("event_type")
 
+  // Q66 — time-series resampling: each user's event stream regularized to
+  // a daily grid between their first and last event, gaps carry-forward
+  // filled (the standard OLAP resample/interpolate surface). Calendar
+  // days come from a per-user `sequence` explode — rows generated are the
+  // output's intrinsic size, never a cross join against a global
+  // calendar; the fill is a per-user running window, so everything
+  // shuffles once on user_id.
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events.filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(round(sum("value"), 2).as("day_total"))
+    val cal = ev.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+      .rowsBetween(Long.MinValue, 0)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        round(last("day_total", ignoreNulls = true).over(w), 2).as("value_ff"),
+        col("day_total").isNull.as("filled"))
+      .orderBy("user_id", "day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_resample"      -> (q66 _),
     "sketch_hll"        -> (sketchHll _),
     "sketch_quantiles"  -> (sketchQuantiles _),
     "q30_array_fns"     -> (q30 _),
@@ -411,6 +438,22 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q66_resample" ->
+      ("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+         |  FROM events WHERE user_id < 10),
+         |daily AS (SELECT user_id, day, ROUND(SUM(value), 2) AS day_total
+         |  FROM ev GROUP BY user_id, day),
+         |cal AS (SELECT user_id,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY user_id))
+         |SELECT cal.user_id, cal.day,
+         |  ROUND(last_value(daily.day_total IGNORE NULLS) OVER (
+         |    PARTITION BY cal.user_id ORDER BY cal.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_ff,
+         |  daily.day_total IS NULL AS filled
+         |FROM cal LEFT JOIN daily
+         |  ON daily.user_id = cal.user_id AND daily.day = cal.day
+         |ORDER BY cal.user_id, cal.day""".stripMargin),
     "q30_array_fns" ->
       ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
         "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0, ROUND(CAST(embedding[64] AS DOUBLE), 4) AS e63 " +
