@@ -145,6 +145,21 @@ object ExtendedQueries {
         round(corr(col("value"), col("user_id")), 4).as("c"))
       .orderBy("event_type")
 
+  // Q67 — linear-regression aggregate family (regr_*): the remaining
+  // statistical aggregates q34 doesn't cover. Same rounding convention
+  // (4 places) that keeps q34's corr hash-stable across engines.
+  def q67(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy("event_type")
+      .agg(
+        round(regr_slope(col("value"), col("user_id")), 4).as("slope"),
+        round(regr_intercept(col("value"), col("user_id")), 4).as("icept"),
+        round(regr_r2(col("value"), col("user_id")), 4).as("r2"),
+        regr_count(col("value"), col("user_id")).as("n"),
+        round(regr_avgx(col("value"), col("user_id")), 4).as("ax"),
+        round(regr_avgy(col("value"), col("user_id")), 4).as("ay"))
+      .orderBy("event_type")
+
   // Q39 — analytic window family: lag/lead offsets, ntile bucketing,
   // percent_rank — the remaining window functions q10/q11 don't cover.
   def q39(s: SparkSession, dir: String): DataFrame = {
@@ -411,6 +426,7 @@ object ExtendedQueries {
     "q30_array_fns"     -> (q30 _),
     "q31_interval_fns"  -> (q31 _),
     "q34_stats_aggs"    -> (q34 _),
+    "q67_regression"    -> (q67 _),
     "q23_json"          -> (q23 _),
     "q24_intersect"     -> (q24 _),
     "q25_cube"          -> (q25 _),
@@ -466,6 +482,14 @@ object ExtendedQueries {
       ("SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med, " +
         "ROUND(quantile_cont(value, 0.95), 4) AS p95, ROUND(stddev_samp(value), 4) AS sd, " +
         "ROUND(corr(value, user_id), 4) AS c FROM events GROUP BY event_type ORDER BY event_type"),
+    "q67_regression" ->
+      ("SELECT event_type, ROUND(regr_slope(value, user_id), 4) AS slope, " +
+        "ROUND(regr_intercept(value, user_id), 4) AS icept, " +
+        "ROUND(regr_r2(value, user_id), 4) AS r2, " +
+        "CAST(regr_count(value, user_id) AS BIGINT) AS n, " + // DuckDB regr_count -> UINT32
+        "ROUND(regr_avgx(value, user_id), 4) AS ax, " +
+        "ROUND(regr_avgy(value, user_id), 4) AS ay " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q23_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 ORDER BY event_id",
     "q24_intersect" ->
