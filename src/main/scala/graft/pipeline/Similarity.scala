@@ -175,6 +175,98 @@ object Similarity {
       .orderBy(asc("query_id"), desc("sim"), asc("vec_id"))
   }
 
+  /** Product-quantization codebook: `m` subspaces × `k` centroids each,
+    * trained by per-subspace Lloyd iterations over DataFrame aggregations
+    * (same machinery as [[ivfTopK]]'s coarse quantizer, seeded
+    * deterministically from hash-ordered corpus vectors). The codebook is
+    * the 100-TB point of PQ: m×k×(dim/m) doubles — a few KB — broadcast
+    * everywhere, while vectors compress 64×4 bytes → m bytes (32× here).
+    * Returns (sub, code, cvec). */
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"subspaces must tile the vector: dim=$dim m=$m")
+    val sub = dim / m
+
+    val subs = subTable(emb, m, sub).transform(graft.Materialize(_))
+    val seedRows = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"))).limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var codebook: DataFrame = (for {
+      j <- 0 until m; c <- seedRows.indices
+    } yield (j, c, seedRows(c).slice(j * sub, (j + 1) * sub).toSeq))
+      .toDF("sub", "code", "cvec")
+
+    def assign(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"), col("svec"),
+          expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+            .as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("code"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "sub", "code", "svec", "dist")
+
+    (0 until iters).foreach { _ =>
+      val moved = assign(codebook)
+        .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("i", "x")))
+        .groupBy("sub", "code", "i").agg(avg("x").as("mv"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("i"), col("mv")))).as("pairs"))
+        .select(col("sub"), col("code"), expr("transform(pairs, p -> p.mv)").as("cvec"))
+      // A centroid that captured no vectors this round keeps its previous
+      // position (standard empty-cluster handling) — dropping it would
+      // shrink k and bias every later assignment.
+      val kept = codebook.as("old")
+        .join(moved.select(col("sub"), col("code")), Seq("sub", "code"), "left_anti")
+      val next = graft.Materialize(moved.unionByName(kept))
+      graft.Materialize.release(codebook)
+      codebook = next
+    }
+    codebook
+  }
+
+  /** Encode each vector against a trained PQ codebook: per subspace the
+    * nearest centroid's code, plus the total reconstruction MSE the codes
+    * imply. One broadcast join + per-(vec, sub) argmin — never a shuffle
+    * of the vectors themselves beyond the m-way subspace explode. */
+  def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val sub = dim / m
+    subTable(emb, m, sub)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+          .as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("code"))))
+      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(
+        array_sort(collect_list(struct(col("sub"), col("code")))).as("pairs"),
+        sum("dist").as("sqerr"))
+      .select(col("vec_id"),
+        expr("transform(pairs, p -> p.code)").as("codes"),
+        round(col("sqerr") / dim, 6).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  /** Train + encode in one call — the `queries()` surface for PQ. */
+  def productQuantization(emb: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 3): DataFrame =
+    pqEncode(emb, pqTrain(emb, m, k, iters), m)
+
+  /** (vec_id, sub, svec): each vector split into m contiguous subvectors
+    * of `sub` doubles — the PQ working representation. */
+  private def subTable(emb: DataFrame, m: Int, sub: Int): DataFrame =
+    emb.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
+         |  transform(slice(embedding, j * $sub + 1, $sub),
+         |    x -> CAST(x AS DOUBLE)) AS svec))""".stripMargin)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+
   /** Embedding near-duplicate detection: LSH-bucketed pairs with cosine ≥
     * threshold, reduced to a keep-first decision per vector (never empty). */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.9,
@@ -227,6 +319,7 @@ object Similarity {
     "knn_ann_lsh"       -> ((s, d) => annTopK(Tables(s, d).embeddings)),
     "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
     "dedup_embedding"   -> ((s, d) => embeddingNearDup(Tables(s, d).embeddings)),
+    "pq_codes"          -> ((s, d) => productQuantization(Tables(s, d).embeddings)),
   )
 
   def oracle: Map[String, String] = Map(

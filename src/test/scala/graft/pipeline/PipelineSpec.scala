@@ -99,6 +99,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDup(emb).count() == emb.count())
   }
 
+  test("product quantization: valid codes, deterministic, beats the k=1 baseline") {
+    val m = 8; val k = 16
+    val out = Similarity.productQuantization(emb, m, k).collect()
+    assert(out.length == emb.count(), "one code row per vector")
+    out.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == m && codes.forall(c => c >= 0 && c < k))
+    }
+    // Deterministic training (hash-ordered seeds, no RNG): same codes twice.
+    val again = Similarity.productQuantization(emb, m, k).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+    // 16 centroids per subspace must reconstruct much better than one
+    // global centroid per subspace (the k=1 degenerate codebook) — if
+    // Lloyd collapsed, these would be equal.
+    val mse16 = out.map(_.getDouble(2)).sum / out.length
+    val base = Similarity.pqEncode(emb,
+      Similarity.pqTrain(emb, m, k = 1, iters = 1), m).collect()
+    val mse1 = base.map(_.getDouble(2)).sum / base.length
+    assert(mse16 < mse1 * 0.8, s"PQ mse $mse16 vs k=1 baseline $mse1")
+  }
+
+  test("pq-reconstructed search approximates brute force") {
+    // ADC-style sanity: searching with vectors rebuilt from (codebook,
+    // codes) alone must still find most of the true neighbors — the
+    // property that makes PQ usable as a memory-resident first pass.
+    import spark.implicits._
+    val m = 8
+    val cb = Similarity.pqTrain(emb, m, k = 16)
+    val codes = Similarity.pqEncode(emb, cb, m)
+    val cbMap = cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val rebuilt = codes.collect().map { r =>
+      val vec = r.getSeq[Int](1).zipWithIndex
+        .flatMap { case (c, j) => cbMap((j, c)) }
+      (r.getLong(0), vec.map(_.toFloat))
+    }.toSeq.toDF("vec_id", "embedding")
+    val approx = Similarity.bruteForceTopK(rebuilt, nQueries = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ-space recall $recall collapsed")
+  }
+
   test("native cosine_sim is bit-identical to the HOF formulation") {
     graft.functions.CosineSimilarity.register(spark)
     val pairs = emb.select(col("vec_id"), col("embedding"))
