@@ -182,7 +182,7 @@ object Similarity {
     * the 100-TB point of PQ: m×k×(dim/m) doubles — a few KB — broadcast
     * everywhere, while vectors compress 64×4 bytes → m bytes (32× here).
     * Returns (sub, code, cvec). */
-  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3): DataFrame = {
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -198,15 +198,23 @@ object Similarity {
     } yield (j, c, seedRows(c).slice(j * sub, (j + 1) * sub).toSeq))
       .toDF("sub", "code", "cvec")
 
+    // Argmin as a hash aggregate, not a window: min over (dist, code)
+    // structs orders lexicographically, so the smallest distance wins
+    // with code as the deterministic tiebreak — and the aggregate gets
+    // map-side partial combining where a window would sort-shuffle the
+    // whole k-way expansion. svec rides along via first(): it is
+    // functionally determined by the group key.
     def assign(cb: DataFrame): DataFrame =
       subs.join(broadcast(cb), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("code"), col("svec"),
-          expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
-            .as("dist"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("code"))))
-        .filter(col("rn") === 1)
-        .select("vec_id", "sub", "code", "svec", "dist")
+        .select(col("vec_id"), col("sub"), col("svec"),
+          struct(
+            expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+              .as("dist"),
+            col("code")).as("dc"))
+        .groupBy("vec_id", "sub")
+        .agg(min("dc").as("best"), first("svec").as("svec"))
+        .select(col("vec_id"), col("sub"), col("best.code").as("code"),
+          col("svec"), col("best.dist").as("dist"))
 
     (0 until iters).foreach { _ =>
       val moved = assign(codebook)
@@ -237,16 +245,18 @@ object Similarity {
     val sub = dim / m
     subTable(emb, m, sub)
       .join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("code"),
-        expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
-          .as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("code"))))
-      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"),
+        struct(
+          expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+            .as("dist"),
+          col("code")).as("dc"))
+      .groupBy("vec_id", "sub")
+      .agg(min("dc").as("best")) // hash-agg argmin; see pqTrain.assign
       .groupBy("vec_id")
       .agg(
-        array_sort(collect_list(struct(col("sub"), col("code")))).as("pairs"),
-        sum("dist").as("sqerr"))
+        array_sort(collect_list(struct(col("sub"), col("best.code").as("code"))))
+          .as("pairs"),
+        sum("best.dist").as("sqerr"))
       .select(col("vec_id"),
         expr("transform(pairs, p -> p.code)").as("codes"),
         round(col("sqerr") / dim, 6).as("mse"))
@@ -255,7 +265,7 @@ object Similarity {
 
   /** Train + encode in one call — the `queries()` surface for PQ. */
   def productQuantization(emb: DataFrame, m: Int = 8, k: Int = 16,
-      iters: Int = 3): DataFrame =
+      iters: Int = 2): DataFrame =
     pqEncode(emb, pqTrain(emb, m, k, iters), m)
 
   /** (vec_id, sub, svec): each vector split into m contiguous subvectors
