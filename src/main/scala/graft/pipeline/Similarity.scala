@@ -268,6 +268,41 @@ object Similarity {
       iters: Int = 2): DataFrame =
     pqEncode(emb, pqTrain(emb, m, k, iters), m)
 
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    * its exact distance to every codebook centroid once (an m×k table —
+    * a few hundred doubles, broadcast), and a corpus vector's
+    * approximate distance is the SUM of table entries selected by its
+    * codes. This is the search path that makes PQ an index, not just
+    * compression: the corpus side touches only (vec_id, sub, code)
+    * integers — never raw vectors — so the scan is a broadcast equi-join
+    * on (sub, code) plus one aggregation on vec_id. Scores are squared
+    * L2 distances (ascending). */
+  def pqTopK(emb: DataFrame, codes: DataFrame, codebook: DataFrame,
+      nQueries: Int = 3, k: Int = 10, m: Int = 8): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val sub = dim / m
+    // Per-query distance table: exact L2² from the query's subvector to
+    // every (sub, code) centroid.
+    val dtab = subTable(emb.filter(col("vec_id") < nQueries), m, sub)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+          .as("d"))
+    val corpusCodes = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .filter(col("vec_id") >= nQueries) // no self-matches
+    corpusCodes
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum("d"), 6).as("adc_dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "adc_dist")
+      .orderBy(asc("query_id"), asc("adc_dist"), asc("vec_id"))
+  }
+
   /** (vec_id, sub, svec): each vector split into m contiguous subvectors
     * of `sub` doubles — the PQ working representation. */
   private def subTable(emb: DataFrame, m: Int, sub: Int): DataFrame =
@@ -330,6 +365,11 @@ object Similarity {
     "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
     "dedup_embedding"   -> ((s, d) => embeddingNearDup(Tables(s, d).embeddings)),
     "pq_codes"          -> ((s, d) => productQuantization(Tables(s, d).embeddings)),
+    "knn_pq_adc"        -> ((s, d) => {
+      val emb = Tables(s, d).embeddings
+      val cb = pqTrain(emb)
+      pqTopK(emb, pqEncode(emb, cb), cb)
+    }),
   )
 
   def oracle: Map[String, String] = Map(

@@ -120,6 +120,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(mse16 < mse1 * 0.8, s"PQ mse $mse16 vs k=1 baseline $mse1")
   }
 
+  test("pq ADC top-k finds planted neighbors from codes alone") {
+    // The testdata embeddings are near-random (pairwise distances
+    // concentrate), where NO quantized index can rank neighbors — so ADC
+    // is spec'd on a corpus with real structure: each query has 3
+    // planted near-copies (small perturbation) among 200 decoys. From
+    // codes + distance tables alone, those must dominate the top-5.
+    import spark.implicits._
+    val m = 8
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2f - 1f)
+    }
+    val planted = for (q <- 0 until 2; i <- 0 until 3) yield {
+      val v = vec(q); v(7 * i + 3) += 0.12f
+      (100L + q * 10 + i, v.toSeq)
+    }
+    val corpus = ((0 until 2).map(q => (q.toLong, vec(q).toSeq)) ++
+      (0 until 200).map(i => (200L + i, vec(1000 + i).toSeq)) ++ planted)
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(corpus, m)
+    val adc = Similarity.pqTopK(corpus, Similarity.pqEncode(corpus, cb, m), cb,
+      nQueries = 2, k = 5, m = m).collect()
+    assert(adc.length == 2 * 5, "k rows per query")
+    adc.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      val ds = g.map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "ascending distance")
+      val found = g.map(_.getLong(1)).count(id =>
+        id >= 100L + q * 10 && id < 100L + q * 10 + 3)
+      assert(found >= 2, s"query $q: only $found/3 planted neighbors in top-5")
+    }
+  }
+
   test("pq-reconstructed search approximates brute force") {
     // ADC-style sanity: searching with vectors rebuilt from (codebook,
     // codes) alone must still find most of the true neighbors — the
