@@ -6,7 +6,9 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
     for (q <- Seq("q58_decontaminate", "q59_strat_sample", "q62_pack_sequences",
-        "q63_chunk_docs", "q64_unigram_logprob", "q65_shard_assign")) {
+        "q63_chunk_docs", "q64_unigram_logprob", "q65_shard_assign",
+        "q66_resample", "q67_regression", "q60_quota_topk",
+        "dedup_ngram_jaccard", "pq_codes", "knn_pq_adc")) {
       val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       def n(s: String) = s.r.findAllIn(plan).length
       println(s"[probe] $q: hashEx=${n("Exchange hashpartitioning")} rangeEx=${n("Exchange rangepartitioning")} singleEx=${n("Exchange SinglePartition")} bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} cart=${n("CartesianProduct")} bnlj=${n("BroadcastNestedLoopJoin")}")
