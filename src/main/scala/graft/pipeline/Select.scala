@@ -86,6 +86,21 @@ object Select {
       .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
       .orderBy("source", "rk")
 
+  /** Exactly-k uniform sample per stratum, deterministically: rank each
+    * source's documents by md5(doc_id) and keep the first k. Unlike
+    * [[stratifiedSample]] (Bernoulli — expected rate, variable count)
+    * this guarantees the count; unlike [[quotaTopK]] (quality-ranked) the
+    * hash order makes it an unbiased draw. Re-running anywhere selects
+    * the same documents. One shuffle on source. */
+  def strataExactK(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+
   /** Per-language mixture rebalancing weights: weight = target share /
     * actual share, the factor a sampler applies per stratum to hit a
     * declared training mixture. One tiny aggregate (|langs| rows); the
@@ -185,11 +200,19 @@ object Select {
     "q59_strat_sample"  -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
     "q60_quota_topk"    -> ((s, d) => quotaTopK(Tables(s, d).documents)),
     "q61_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),
+    "q68_strata_exact_k" -> ((s, d) => strataExactK(Tables(s, d).documents)),
     "q62_pack_sequences" -> ((s, d) => packSequences(Tables(s, d).documents)),
     "q63_chunk_docs"    -> ((s, d) => chunkDocs(Tables(s, d).documents)),
   )
 
   def oracle: Map[String, String] = Map(
+    "q68_strata_exact_k" ->
+      ("""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin),
     "q65_shard_assign" ->
       ("""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
          |s AS (SELECT doc_id, hk,
