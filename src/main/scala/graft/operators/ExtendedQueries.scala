@@ -419,7 +419,33 @@ object ExtendedQueries {
       .orderBy("user_id", "day")
   }
 
+  // Q70 — gap-based sessionization, the relational formulation: a new
+  // session starts where the gap to the previous event exceeds 30
+  // minutes; session ids are the running sum of those markers. Same
+  // semantics as q28's session_window, expressed as lag + cumulative sum
+  // — the form that composes with arbitrary per-session aggregates and
+  // runs on engines without a native session operator. One shuffle on
+  // user_id; both windows share the partitioning.
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Long.MinValue, 0)
+    Tables(s, dir).events
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("ns",
+        when(lag("ts", 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("ns").over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "sid")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_session_ids"   -> (q70 _),
     "q66_resample"      -> (q66 _),
     "sketch_hll"        -> (sketchHll _),
     "sketch_quantiles"  -> (sketchQuantiles _),
@@ -454,6 +480,20 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q70_session_ids" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id FROM events WHERE user_id < 20),
+         |m AS (SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, ts, SUM(ns) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM m)
+         |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+         |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin),
     "q66_resample" ->
       ("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
          |  FROM events WHERE user_id < 10),

@@ -170,6 +170,34 @@ object Dedup {
       .limit(limit)
   }
 
+  /** Fuzzy near-dup pairs by edit distance: candidates from the df-capped
+    * inverted shingle index (exact, never all-pairs — the same scale
+    * guard as [[ngramJaccardPairs]]), verified by full-text Levenshtein.
+    * Character-level edit distance catches reorder-free mutations
+    * (typos, small insertions) that token-set Jaccard under-weights.
+    * Levenshtein is O(len²) per pair, which is exactly why the candidate
+    * cap matters: the quadratic work runs on |candidates|, bounded by
+    * maxDf² per shingle, not on |corpus|². Both engines implement the
+    * classic DP, so distances are integer-exact and oracle-checkable. */
+  def editDistancePairs(
+      docs: DataFrame,
+      maxDist: Int = 60,
+      shingleSize: Int = 3,
+      maxDf: Int = 50,
+      limit: Int = 500): DataFrame = {
+    val pairs = Clusters.sharedShingleEdges(docs, shingleSize, maxDf)
+      .select(col("src").as("left_id"), col("dst").as("right_id"))
+    val texts = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(texts.select(col("doc_id").as("left_id"), col("text").as("lt")), Seq("left_id"))
+      .join(texts.select(col("doc_id").as("right_id"), col("text").as("rt")), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("lt"), col("rt")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy(asc("edit_dist"), asc("left_id"), asc("right_id"))
+      .limit(limit)
+  }
+
   /** 64-bit SimHash over the shingle set: per bit, sum ±1 weighted by each
     * shingle-hash's bit, take the sign — all in one higher-order aggregate.
     * Candidates via 4×16-bit chunk equality (hamming ≤ 3 guarantee needs
@@ -393,6 +421,7 @@ object Dedup {
     "dedup_minhash_lsh"    -> ((s, d) => minhashDedup(Tables(s, d).documents)),
     "dedup_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "dedup_simhash"        -> ((s, d) => simhashDedup(Tables(s, d).documents)),
+    "q69_edit_distance"    -> ((s, d) => editDistancePairs(Tables(s, d).documents)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -425,6 +454,27 @@ object Dedup {
          |  COALESCE(round(dec.best_j, 4), 0.0) AS best_jaccard,
          |  dec.dup_of IS NOT NULL AS is_duplicate
          |FROM documents d LEFT JOIN dec USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    // Candidates from the df-capped inverted TRIGRAM index (2 <= df <=
+    // 50), verified by full-text Levenshtein — integer-exact in both
+    // engines (classic DP), so the pair list hash-matches.
+    "q69_edit_distance" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |shf AS (SELECT doc_id, CASE WHEN len(t) >= 3
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |       i -> array_to_string(t[i:i+2], ' ')))
+         |  ELSE [text] END AS sh FROM toks),
+         |sh0 AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+         |keep AS (SELECT s FROM sh0 GROUP BY s
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+         |  FROM sh0 a JOIN keep USING (s) JOIN sh0 b USING (s)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT l AS left_id, r AS right_id,
+         |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+         |FROM cand JOIN documents x ON x.doc_id = cand.l
+         |  JOIN documents y ON y.doc_id = cand.r
+         |WHERE levenshtein(x.text, y.text) <= 60
+         |ORDER BY edit_dist, left_id, right_id LIMIT 500""".stripMargin),
     // Identical semantics to the Spark side by construction: candidates
     // from the df-capped inverted bigram index (2 <= df <= 50), scored
     // with exact Jaccard over the FULL shingle sets, thresholded, top-500
