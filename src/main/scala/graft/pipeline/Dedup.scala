@@ -182,7 +182,7 @@ object Dedup {
   def editDistancePairs(
       docs: DataFrame,
       maxDist: Int = 60,
-      shingleSize: Int = 3,
+      shingleSize: Int = 5,
       maxDf: Int = 50,
       limit: Int = 500): DataFrame = {
     val pairs = Clusters.sharedShingleEdges(docs, shingleSize, maxDf)
@@ -191,6 +191,10 @@ object Dedup {
     pairs
       .join(texts.select(col("doc_id").as("left_id"), col("text").as("lt")), Seq("left_id"))
       .join(texts.select(col("doc_id").as("right_id"), col("text").as("rt")), Seq("right_id"))
+      // |len(a) − len(b)| is a free lower bound on edit distance: filter
+      // on it BEFORE the O(len²) DP so the quadratic work only runs on
+      // pairs that could possibly qualify. Semantics unchanged.
+      .filter(abs(length(col("lt")) - length(col("rt"))) <= maxDist)
       .select(col("left_id"), col("right_id"),
         levenshtein(col("lt"), col("rt")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)
@@ -454,14 +458,16 @@ object Dedup {
          |  COALESCE(round(dec.best_j, 4), 0.0) AS best_jaccard,
          |  dec.dup_of IS NOT NULL AS is_duplicate
          |FROM documents d LEFT JOIN dec USING (doc_id) ORDER BY d.doc_id""".stripMargin),
-    // Candidates from the df-capped inverted TRIGRAM index (2 <= df <=
-    // 50), verified by full-text Levenshtein — integer-exact in both
-    // engines (classic DP), so the pair list hash-matches.
+    // Candidates from the df-capped inverted 5-GRAM index (2 <= df <=
+    // 50; trigrams admit ~1.1M pairs at sf0.1 where 5-grams admit ~1.5k
+    // — an edit-distance-qualifying pair shares plenty of 5-grams),
+    // verified by full-text Levenshtein — integer-exact in both engines
+    // (classic DP), so the pair list hash-matches.
     "q69_edit_distance" ->
       ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
-         |shf AS (SELECT doc_id, CASE WHEN len(t) >= 3
-         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
-         |       i -> array_to_string(t[i:i+2], ' ')))
+         |shf AS (SELECT doc_id, CASE WHEN len(t) >= 5
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+         |       i -> array_to_string(t[i:i+4], ' ')))
          |  ELSE [text] END AS sh FROM toks),
          |sh0 AS (SELECT doc_id, unnest(sh) AS s FROM shf),
          |keep AS (SELECT s FROM sh0 GROUP BY s
@@ -473,7 +479,8 @@ object Dedup {
          |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
          |FROM cand JOIN documents x ON x.doc_id = cand.l
          |  JOIN documents y ON y.doc_id = cand.r
-         |WHERE levenshtein(x.text, y.text) <= 60
+         |WHERE abs(length(x.text) - length(y.text)) <= 60
+         |  AND levenshtein(x.text, y.text) <= 60
          |ORDER BY edit_dist, left_id, right_id LIMIT 500""".stripMargin),
     // Identical semantics to the Spark side by construction: candidates
     // from the df-capped inverted bigram index (2 <= df <= 50), scored
