@@ -45,6 +45,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("edit-distance pairs: typo-mutated docs pair up, unrelated docs don't") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => "tok" + i).mkString(" ")
+    val typo = base.replace("tok7", "tok7x").replace("tok19", "tk19")
+    val d = Seq(
+      (1L, base),
+      (2L, typo),                                         // few char edits
+      (3L, (1 to 30).map(i => "other" + i).mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(d, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L,
+      s"exactly the planted pair, got ${out.toSeq}")
+    // one insert ("tok7"->"tok7x") + one delete ("tok19"->"tk19") = 2
+    assert(out.head._3 == 2L, s"edit distance is exact: ${out.head._3}")
+  }
+
   test("simhash: identical docs have identical simhash and get flagged") {
     import spark.implicits._
     val d = Seq(
