@@ -58,6 +58,28 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketches MERGE: per-partition sketches union to the global estimate") {
+    // The property that makes sketches usable on a 1000-executor
+    // cluster: build one sketch per shard, union the shards, and the
+    // estimate must equal the single-pass global sketch exactly (the
+    // sketch algebra is deterministic) and track the true distinct count.
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables(spark, sf0001).events
+    val global = events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getLong(0)
+    val merged = events
+      .withColumn("shard", pmod(col("event_id"), lit(7)))
+      .groupBy("shard").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    assert(merged == global,
+      s"sharded-then-merged sketch must equal the global sketch: $merged vs $global")
+    val exact = events.select(countDistinct("user_id")).head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged estimate $merged strays from exact $exact")
+  }
+
   test("q35 sliding window assigns each event to exactly width/slide windows") {
     import org.apache.spark.sql.functions._
     val n = graft.Tables(spark, sf0001).events.count()
