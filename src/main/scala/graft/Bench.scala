@@ -49,9 +49,14 @@ object Bench {
     val violations = Seq.newBuilder[String]
     headline.foreach { name =>
       try {
+        graft.Materialize.clearRecentPlans()
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct"))
+        // Materialized subplans (lineage-truncated by the checkpoint) are
+        // audited too: candidate generation lives inside them.
+        val fullPlan =
+          (plan +: graft.Materialize.recentPlans).mkString("\n=== materialized ===\n")
+        if (fullPlan.contains("CartesianProduct"))
           violations += s"$name:CartesianProduct"
         if (name == "q1_scan_filter" &&
             !(plan.contains("PushedFilters") && plan.contains("LessThan(ts")))
@@ -73,6 +78,13 @@ object Bench {
           violations += s"$name:linear-op-gained-a-shuffle"
         if (name == "q58_decontaminate" && !plan.contains("BroadcastHashJoin"))
           violations += s"$name:eval-set-not-broadcast"
+        // The df-capped keep-set join must broadcast: without it the
+        // exploded shingle stream shuffles twice (once for the df agg,
+        // again for the keep join) before the pair self-join. The join is
+        // inside a Materialize boundary, hence the fullPlan audit.
+        if (Set("dedup_ngram_jaccard", "q69_edit_distance", "dedup_clusters")
+              .contains(name) && !fullPlan.contains("BroadcastHashJoin"))
+          violations += s"$name:keep-set-not-broadcast"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }
 
@@ -98,7 +110,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // Locale.ROOT: a comma-decimal default locale would emit [0,123]
+      // and break the JSON line.
+      "\"" + k + "\":" + v.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     def strArr(xs: Iterable[String]): String =

@@ -31,7 +31,23 @@ object Materialize {
   val StrategyKey = "spark.graft.materialize"
   val CheckpointDirKey = "spark.graft.checkpointDir"
 
+  /** Ring buffer of the physical plans materialized through this object.
+    * Plan fingerprinting (Bench) audits these alongside the final
+    * executedPlan: a checkpoint truncates lineage, so a join INSIDE a
+    * materialized subplan — exactly where the expensive candidate
+    * generation lives — would otherwise be invisible to the audit. */
+  private val recent = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+  private val RecentCap = 64
+
+  def recentPlans: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    recent.iterator().asScala.toSeq
+  }
+  def clearRecentPlans(): Unit = recent.clear()
+
   def apply[T](ds: Dataset[T]): Dataset[T] = {
+    recent.addLast(ds.queryExecution.executedPlan.toString)
+    while (recent.size() > RecentCap) recent.pollFirst()
     val spark = ds.sparkSession
     spark.conf.get(StrategyKey, "local") match {
       case "reliable" =>

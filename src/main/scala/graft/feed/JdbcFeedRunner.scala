@@ -40,7 +40,8 @@ final class JdbcFeedRunner(
     leaseDurationMs: Long = 60000L,
     leaseFilter: Partition => Boolean = _ => true,
     clock: () => Long = () => System.currentTimeMillis(),
-    warnSink: String => Unit = JdbcFeedRunner.defaultWarnSink) extends Serializable {
+    warnSink: String => Unit = JdbcFeedRunner.defaultWarnSink,
+    maxLeaseScan: Int = JdbcFeedRunner.DefaultMaxLeaseScan) extends Serializable {
 
   /** Leases this instance believes it holds: id → last saved row. */
   private var held = Map.empty[String, Partition]
@@ -57,7 +58,11 @@ final class JdbcFeedRunner(
       // Adopt new/expired partitions (acquireLeases, watcher.go:89-126).
       // A lease lapses when `until` passes: the previous owner's next
       // conditional save will conflict and it drops the partition.
-      val potential = JdbcStore.potentialLeases(conn, now, prefix)
+      // The scan is capped (oldest-expired first): tick memory stays
+      // O(maxLeaseScan) however deep the expired backlog is — the cap the
+      // reference documents as missing (README.md:113-116). Skipped rows
+      // only age while unclaimed, so they lead later scans (fairness).
+      val potential = JdbcStore.potentialLeases(conn, now, prefix, maxLeaseScan)
         .filter(leaseFilter)
       // A potential lease we still believe we hold means our stored lease
       // expired before this tick renewed it (watcher.go:100-104): another
@@ -162,4 +167,11 @@ final class JdbcFeedRunner(
 object JdbcFeedRunner {
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[JdbcFeedRunner])
   val defaultWarnSink: String => Unit = msg => log.warn(msg)
+
+  /** Default cap on expired-lease candidates fetched per tick. Bounds
+    * runner memory at O(cap) regardless of how many partitions expired at
+    * once (cold start, mass-expiry after an outage); anything above a few
+    * thousand held partitions per instance should shard by leaseFilter
+    * instead of raising this. */
+  val DefaultMaxLeaseScan: Int = 1024
 }

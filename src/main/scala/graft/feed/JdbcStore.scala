@@ -240,18 +240,29 @@ object JdbcStore {
   }
 
   /** GetPotentialLeases (repo.go:100-104): not-Complete partitions whose
-    * lease has lapsed — what a watcher instance may claim. */
+    * lease has lapsed — what a watcher instance may claim.
+    *
+    * Unlike the reference (which collects every candidate row per tick and
+    * documents the unbounded-memory caveat, README.md:113-116), the scan
+    * is capped at `limit` rows, oldest-expired first — the expiry ordering
+    * keeps adoption fair across ticks: a partition skipped this tick only
+    * ages (its `until` never advances while unclaimed), so it outranks
+    * fresher expiries on every later scan until adopted. */
   def potentialLeases(conn: Connection, now: Timestamp,
-      prefix: String = ""): Seq[Partition] = {
+      prefix: String = "", limit: Int = Int.MaxValue): Seq[Partition] = {
     val ps = conn.prepareStatement(
       s"""SELECT id, gate, status, owner, until, version FROM ${prefix}partitions
-         | WHERE status <> ? AND until < ?""".stripMargin)
+         | WHERE status <> ? AND until < ? ORDER BY until, id""".stripMargin)
     try {
+      // Row cap enforced by bounded ResultSet consumption (portable across
+      // dialects) with setMaxRows as the engine-side hint where supported.
+      ps.setMaxRows(if (limit == Int.MaxValue) 0 else limit)
       ps.setInt(1, Status.Complete)
       ps.setTimestamp(2, now)
       val rs = ps.executeQuery()
       val out = Seq.newBuilder[Partition]
-      while (rs.next()) out += readPartition(rs)
+      var n = 0
+      while (n < limit && rs.next()) { out += readPartition(rs); n += 1 }
       out.result()
     } finally ps.close()
   }

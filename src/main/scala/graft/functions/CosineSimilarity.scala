@@ -21,29 +21,37 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Each side may be array<float> (raw embeddings) or array<double>
+  // (derived vectors — k-means centroids, PQ subvectors). Floats are
+  // widened to double before any arithmetic, exactly as the HOF form's
+  // CAST(x AS DOUBLE) does, so results stay bit-identical per side type.
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+        s"cosine_sim expects array<float>/array<double> inputs, got ${left.dataType} / ${right.dataType}")
   }
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xf = elemType(left.dataType).contains(FloatType)
+    val yf = elemType(right.dataType).contains(FloatType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -57,12 +65,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      def get(arr: String, side: Expression): String =
+        if (elemType(side.dataType).contains(FloatType))
+          s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.getFloat($i);
-         |  double y = (double) $b.getFloat($i);
+         |  double x = ${get(a, left)};
+         |  double y = ${get(b, right)};
          |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
          |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);

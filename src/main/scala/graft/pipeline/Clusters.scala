@@ -163,12 +163,16 @@ object Clusters {
     val sh0 = graft.Materialize(docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(Dedup.shingles(shingleSize)).as("s")))
+    // (doc_id, s) is unique (shingles are array_distinct per doc), so
+    // plain count ≡ count(DISTINCT doc_id) without the expand shuffle.
     val keep = sh0.groupBy("s")
-      .agg(countDistinct("doc_id").as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2) // df=1 yields no pair
       .select("s")
     // Materialized: self-joined; tiny (only shingles that link something).
-    val sh = graft.Materialize(sh0.join(keep, Seq("s")))
+    // keep is broadcast so the exploded stream is shuffled once (the pair
+    // self-join), not twice — same rationale as Dedup.ngramJaccardPairs.
+    val sh = graft.Materialize(sh0.join(broadcast(keep), Seq("s")))
     graft.Materialize.release(sh0)
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

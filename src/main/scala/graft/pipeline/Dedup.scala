@@ -92,9 +92,15 @@ object Dedup {
     pairs
       .join(sets.select(col("doc_id").as("left_id"), col("sh").as("lsh")), Seq("left_id"))
       .join(sets.select(col("doc_id").as("right_id"), col("sh").as("rsh")), Seq("right_id"))
+      // |A∪B| = |A|+|B|−|A∩B| for the distinct shingle sets: one hash-set
+      // build per pair instead of two (array_union costs the same as
+      // array_intersect and is derivable). Same identity the DuckDB twin
+      // uses, so values stay bit-equal.
       .select(col("left_id"), col("right_id"),
-        (size(array_intersect(col("lsh"), col("rsh"))) /
-          size(array_union(col("lsh"), col("rsh")))).as("jaccard"))
+        size(array_intersect(col("lsh"), col("rsh"))).as("i"),
+        (size(col("lsh")) + size(col("rsh"))).as("t"))
+      .select(col("left_id"), col("right_id"),
+        (col("i") / (col("t") - col("i"))).as("jaccard"))
   }
 
   /** Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
@@ -149,11 +155,19 @@ object Dedup {
     val sets = graft.Materialize(spread(docs)
       .select(col("doc_id"), shingles(2).as("sh")))
     val sh0 = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    // (doc_id, s) is unique (shingles are array_distinct per doc), so
+    // plain count ≡ count(DISTINCT doc_id) without the expand + second
+    // shuffle a distinct aggregate plans.
     val keep = sh0.groupBy("s")
-      .agg(countDistinct("doc_id").as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
       .select("s")
-    val sh = graft.Materialize(sh0.join(keep, Seq("s")))
+    // The keep set (sub-cap shingles) is orders of magnitude smaller than
+    // the exploded stream — broadcast it so the stream is shuffled ONCE
+    // (for the pair self-join) instead of twice. If a corpus ever grows a
+    // qualifying-shingle set past broadcast size, drop the hint and pay
+    // the co-partitioned shuffle; the semantics don't change.
+    val sh = graft.Materialize(sh0.join(broadcast(keep), Seq("s")))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
@@ -161,11 +175,17 @@ object Dedup {
     pairs
       .join(sets.select(col("doc_id").as("left_id"), col("sh").as("lsh")), Seq("left_id"))
       .join(sets.select(col("doc_id").as("right_id"), col("sh").as("rsh")), Seq("right_id"))
+      // |A∪B| = |A|+|B|−|A∩B| over the distinct shingle sets — one
+      // hash-set build per pair, the identity the DuckDB twin uses.
+      // Round BEFORE thresholding: the oracle filters the rounded value,
+      // and a pair with true Jaccard in [threshold − 5e-5, threshold)
+      // must land on the same side of the boundary in both engines.
       .select(col("left_id"), col("right_id"),
-        (size(array_intersect(col("lsh"), col("rsh"))) /
-          size(array_union(col("lsh"), col("rsh")))).as("jaccard"))
+        size(array_intersect(col("lsh"), col("rsh"))).as("i"),
+        (size(col("lsh")) + size(col("rsh"))).as("t"))
+      .select(col("left_id"), col("right_id"),
+        round(col("i") / (col("t") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(desc("jaccard"), asc("left_id"), asc("right_id"))
       .limit(limit)
   }
@@ -175,10 +195,11 @@ object Dedup {
     * guard as [[ngramJaccardPairs]]), verified by full-text Levenshtein.
     * Character-level edit distance catches reorder-free mutations
     * (typos, small insertions) that token-set Jaccard under-weights.
-    * Levenshtein is O(len²) per pair, which is exactly why the candidate
-    * cap matters: the quadratic work runs on |candidates|, bounded by
-    * maxDf² per shingle, not on |corpus|². Both engines implement the
-    * classic DP, so distances are integer-exact and oracle-checkable. */
+    * The DP is banded at maxDist (O(len·maxDist) per pair, -1 beyond),
+    * and the candidate cap bounds how many pairs run it: maxDf² per
+    * shingle, never |corpus|². Both engines compute the exact distance
+    * below the band, so the pair list is integer-exact and
+    * oracle-checkable. */
   def editDistancePairs(
       docs: DataFrame,
       maxDist: Int = 60,
@@ -195,9 +216,14 @@ object Dedup {
       // on it BEFORE the O(len²) DP so the quadratic work only runs on
       // pairs that could possibly qualify. Semantics unchanged.
       .filter(abs(length(col("lt")) - length(col("rt"))) <= maxDist)
+      // Banded DP: the 3-arg levenshtein bounds each comparison to
+      // O(len·maxDist) and returns -1 once the distance provably exceeds
+      // the threshold — identical answers below it, and the pairs above
+      // it (the vast majority) abandon the DP early instead of filling
+      // the full O(len²) table.
       .select(col("left_id"), col("right_id"),
-        levenshtein(col("lt"), col("rt")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("lt"), col("rt"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
       .orderBy(asc("edit_dist"), asc("left_id"), asc("right_id"))
       .limit(limit)
   }

@@ -50,7 +50,8 @@ object TextAnalysis {
     * than the doc×lang score table. On this driver's synthetic corpus the
     * labels are independent of the text (31-token shared vocabulary), so
     * accuracy ≈ prior; the operator's correctness is asserted on a
-    * discriminative corpus in PipelineSpec. */
+    * discriminative corpus in PipelineSpec AND the full train+score
+    * pipeline hash-matches a DuckDB twin (see `oracle`). */
   def languageId(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -288,6 +289,48 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    // Full train+score twin of languageId: the NB model (per-(lang, token)
+    // counts, per-lang totals, vocabulary, priors) and the seen-pair /
+    // unseen-floor scoring are all plain aggregations+joins, so the whole
+    // operator replays in SQL. Summation order differs between engines,
+    // but scores are rounded to 4 dp and inter-language margins are O(1)
+    // — the same tolerance argument as q64's avg-of-logs.
+    "langid_ngram" ->
+      ("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |pc AS (SELECT lang AS model_lang, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |v AS (SELECT count(DISTINCT token) AS vocab FROM pc),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |dc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |info AS (SELECT t.model_lang,
+         |    ln(CAST(dc.n AS DOUBLE) / nd.n_docs) AS log_prior,
+         |    ln(1.0 / (t.lang_total + v.vocab)) AS floor_logp,
+         |    t.lang_total
+         |  FROM (SELECT model_lang, sum(tf) AS lang_total FROM pc GROUP BY model_lang) t
+         |  JOIN dc ON dc.lang = t.model_lang CROSS JOIN nd CROSS JOIN v),
+         |model AS (SELECT pc.model_lang, pc.token,
+         |    ln(CAST(pc.tf + 1 AS DOUBLE) / (info.lang_total + v.vocab)) AS logp
+         |  FROM pc JOIN info USING (model_lang) CROSS JOIN v),
+         |seen AS (SELECT t.doc_id, m.model_lang, sum(m.logp) AS seen_sum,
+         |    count(*) AS n_seen
+         |  FROM toks t JOIN model m ON m.token = t.token GROUP BY 1, 2),
+         |base AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |scored AS (SELECT b.doc_id, i.model_lang,
+         |    i.log_prior + COALESCE(s.seen_sum, 0.0) +
+         |      (b.n_tokens - COALESCE(s.n_seen, 0)) * i.floor_logp AS score
+         |  FROM base b CROSS JOIN info i
+         |  LEFT JOIN seen s ON s.doc_id = b.doc_id AND s.model_lang = i.model_lang),
+         |pred AS (SELECT doc_id, model_lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, model_lang) AS rn
+         |  FROM scored)
+         |SELECT d.doc_id, d.lang,
+         |  COALESCE(p.model_lang, 'und') AS predicted_lang,
+         |  COALESCE(round(p.score, 4), 0.0) AS score
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id, model_lang, score FROM pred WHERE rn = 1) p
+         |  USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
     "q64_unigram_logprob" ->
       ("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),

@@ -134,12 +134,27 @@ object OccSink {
           "silently duplicates ids past the version check")
     } else {
       if (fs.exists(dir)) {
-        val maxSeen = fs.listStatus(dir).map(_.getPath.getName)
+        val entries = fs.listStatus(dir)
+        val maxSeen = entries.map(_.getPath.getName)
           .filter(_.startsWith("occ_bucket=")).map(_.stripPrefix("occ_bucket=").toInt)
           .foldLeft(-1)(math.max)
         require(maxSeen < numBuckets,
           s"OCC table at $tableDir already has bucket dir occ_bucket=$maxSeen; " +
             s"reopening it with only $numBuckets buckets would mis-route ids")
+        // A table belongs to exactly one mode. Loose data files at the top
+        // level mean SWAP layout: pinning a bucket marker here would make
+        // the bucketed reader (which lists only occ_bucket= dirs) see the
+        // table as empty and silently discard all prior OCC state while
+        // interleaving two layouts in one directory.
+        val loose = entries.filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        require(loose.isEmpty,
+          s"OCC table at $tableDir contains non-bucketed data files (e.g. " +
+            s"${loose.headOption.map(_.getPath.getName).getOrElse("")}) — it was " +
+            "written in swap mode. Refusing to pin a bucketed layout over it: " +
+            "keep using swapWriter, or migrate the rows into a fresh bucketed dir")
       } else fs.mkdirs(dir)
       val out = fs.create(marker, false)
       try out.write(s"$numBuckets\n".getBytes("UTF-8")) finally out.close()

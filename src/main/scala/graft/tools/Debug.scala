@@ -152,6 +152,33 @@ object Debug {
       time("hash only")(exploded.select(xxhash64(col("s"), lit(0)).as("h")).write.format("noop").mode("overwrite").save())
       spark.stop(); return
     }
+    if (args.contains("ngram")) {
+      // Stage-by-stage timing of ngramJaccardPairs' components.
+      val sets = time("sets materialize")(graft.Materialize(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), Dedup.shingles(2).as("sh"))))
+      val sh0 = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+      val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50 && col("df") >= 2).select("s")
+      time("keep count")(println("[debug] keep rows: " + keep.count()))
+      val sh = time("sh materialize")(graft.Materialize(sh0.join(broadcast(keep), Seq("s"))))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+        .distinct()
+      time("pairs count")(println("[debug] pairs: " + pairs.count()))
+      val scored = pairs
+        .join(sets.select(col("doc_id").as("left_id"), col("sh").as("lsh")), Seq("left_id"))
+        .join(sets.select(col("doc_id").as("right_id"), col("sh").as("rsh")), Seq("right_id"))
+        .select(col("left_id"), col("right_id"),
+          round(size(array_intersect(col("lsh"), col("rsh"))) /
+            size(array_union(col("lsh"), col("rsh"))), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.08)
+        .orderBy(desc("jaccard"), asc("left_id"), asc("right_id")).limit(500)
+      time("score+sort+limit")(scored.write.format("noop").mode("overwrite").save())
+      time("full op again")(Dedup.ngramJaccardPairs(docs).write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
     if (args.contains("dedup")) {
       time("minhash candidates")(Dedup.minhashCandidates(docs, 3, 32, 4).count())
       time("minhash full")(Dedup.minhashDedup(docs).write.format("noop").mode("overwrite").save())

@@ -128,6 +128,42 @@ class JdbcFeedRunnerSpec extends AnyFunSuite {
     assert(w.heldLeases.contains("p1_x"), "partition stays held; OCC resolves ownership")
   }
 
+  test("the lease scan is capped per tick, oldest-expired first, and stays fair") {
+    // The reference collects every expired-lease candidate per tick and
+    // documents the unbounded-memory caveat (README.md:113-116); our scan
+    // is capped at maxLeaseScan rows ordered by expiry, so a mass-expiry
+    // backlog is adopted in bounded slices without starving anyone.
+    val url = freshDb()
+    val conn = JdbcStore.connect(url)
+    val now = System.currentTimeMillis()
+    try {
+      JdbcStore.migrate(conn)
+      (1 to 10).foreach { i =>
+        JdbcStore.saveItem(conn,
+          Item(s"i$i", f"px$i%02d", data = GoldenFixture.DataObj(1).marshal))
+        // px01 expired longest ago — must be adopted first.
+        JdbcStore.savePartition(conn, Partition(f"px$i%02d",
+          until = new java.sql.Timestamp(now - 100000L + i * 1000L)))
+      }
+    } finally conn.close()
+
+    val w = new JdbcFeedRunner(
+      spark, url, GoldenFixture.TestProcessor,
+      FeedOptions(batchSize = 10, maxRetries = 3, autoClose = true), "w1",
+      maxLeaseScan = 3)
+    w.tick()
+    assert(w.heldLeases.keySet == Set("px01", "px02", "px03"),
+      s"cap=3 oldest-first, held ${w.heldLeases.keySet}")
+    // Fairness/progress: later ticks adopt the remaining backlog in
+    // expiry order until every partition completes.
+    val ticks = w.runToQuiescence(100)
+    assert(ticks < 100, s"did not quiesce in $ticks ticks")
+    val check = JdbcStore.connect(url)
+    try JdbcStore.allPartitions(check).foreach(p =>
+      assert(p.status == Status.Complete, s"${p.id} did not complete under the cap"))
+    finally check.close()
+  }
+
   test("lease steal: a lapsed lease is adopted by the surviving instance") {
     val url = freshDb()
     val conn = JdbcStore.connect(url)

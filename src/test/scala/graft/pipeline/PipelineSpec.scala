@@ -203,6 +203,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff == 0.0, s"native vs HOF max abs diff $diff (must be bit-exact)")
   }
 
+  test("cosine_sim accepts double arrays (mixed float/centroid inputs) bit-exactly") {
+    // The IVF assignment/probe compares array<float> embeddings against
+    // array<double> k-means centroids; the widened expression must match
+    // the HOF form (which CASTs floats to double) on every side pairing.
+    graft.functions.CosineSimilarity.register(spark)
+    val withDouble = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+    val pairs = withDouble
+      .crossJoin(withDouble.select(col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("ed").as("ed2")))
+      .filter(col("vec_id") < col("v2"))
+    val diffs = pairs.select(
+      abs(expr("cosine_sim(embedding, ed2)") - Similarity.cosine("embedding", "e2")).as("fd"),
+      abs(expr("cosine_sim(ed, ed2)") - Similarity.cosine("embedding", "e2")).as("dd"))
+      .agg(max(col("fd")), max(col("dd"))).head()
+    assert(diffs.getDouble(0) == 0.0 && diffs.getDouble(1) == 0.0,
+      s"float×double / double×double must stay bit-exact: $diffs")
+  }
+
   test("embedding near-dup flags an injected exact duplicate vector") {
     import spark.implicits._
     val base = emb.limit(50)

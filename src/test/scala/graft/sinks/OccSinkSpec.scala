@@ -164,6 +164,28 @@ class OccSinkSpec extends AnyFunSuite {
     assert(ok.inserted == 1)
   }
 
+  test("bucketed mode refuses to pin over an existing swap-layout table") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // A table created by the swap mode: loose parquet files, no marker.
+    OccSink.applyBatch(spark, dir, Seq(
+      Item("a", "p", version = 1), Item("b", "p", version = 1)).toDS())
+    // Reopening it with the (bucketed) default must fail loudly — the
+    // bucketed reader would see no occ_bucket= dirs, treat the table as
+    // empty, and silently discard the prior OCC state.
+    val e = intercept[IllegalArgumentException] {
+      OccSink.writer(dir)(Seq(Item("a", "p", version = 2)).toDS(), 0L)
+    }
+    assert(e.getMessage.contains("swap"), e.getMessage)
+    // Nothing was pinned and the swap table still works untouched.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), "_graft_occ_buckets")))
+    val r = OccSink.applyBatch(spark, dir, Seq(Item("a", "p", version = 2)).toDS())
+    assert(r.applied == 1)
+  }
+
   test("default writer is the bucketed mode, not the whole-table swap") {
     import spark.implicits._
     val dir = tmpDir()
