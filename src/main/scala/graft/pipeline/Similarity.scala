@@ -131,15 +131,22 @@ object Similarity {
       }
     var centroids: DataFrame = seeds.toSeq.toDF("cell", "cvec")
 
+    // Argmax as a hash aggregate, not a window (same pattern as pqTrain):
+    // min over (−csim, cell) structs picks the highest similarity with
+    // cell as the deterministic tiebreak, and the aggregate gets map-side
+    // partial combining — the corpus×nList expansion combines down to one
+    // row per vector BEFORE the shuffle, where a window would sort-shuffle
+    // all nList alternatives per vector. embedding rides along via
+    // first(): it is functionally determined by the group key.
     def assign(cents: DataFrame): DataFrame =
       emb.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosineFast(spark, "embedding", "cvec").as("csim"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))))
-        .filter(col("rn") === 1)
-        .select("vec_id", "embedding", "cell")
+        .select(col("vec_id"), col("embedding"),
+          struct((-cosineFast(spark, "embedding", "cvec")).as("neg"),
+            col("cell")).as("dc"))
+        .groupBy("vec_id")
+        .agg(min("dc").as("best"), first("embedding").as("embedding"))
+        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
 
     (0 until iters).foreach { _ =>
       val prev = centroids
