@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   * in plan shape is visible even when the wall-clock looks plausible.
   */
 object Bench {
+  /** Locale-independent 3-dp numeric literal for the bench JSON: the
+    * default locale's decimal separator may be a comma, which would turn
+    * `[0.123]` into invalid JSON `[0,123]`. */
+  private[graft] def num3(t: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -110,11 +116,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, v) =>
-      // Locale.ROOT: a comma-decimal default locale would emit [0,123]
-      // and break the JSON line.
-      "\"" + k + "\":" + v.map(t =>
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
-        .mkString("[", ",", "]")
+      "\"" + k + "\":" + v.map(num3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     def strArr(xs: Iterable[String]): String =

@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench emits ONE machine-parsed JSON line; its numeric formatting
+  * must not depend on the JVM default locale (a comma decimal separator
+  * would turn `[0.123]` into invalid JSON `[0,123]`). */
+class BenchJsonSpec extends AnyFunSuite {
+
+  test("run-detail numbers format with a dot under a comma-decimal locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      // The f-interpolator this replaced would produce "0,123" here.
+      assert(f"${0.123456}%.3f" == "0,123", "precondition: locale uses commas")
+      assert(Bench.num3(0.123456) == "0.123")
+      assert(Bench.num3(12.0) == "12.000")
+    } finally java.util.Locale.setDefault(prev)
+  }
+}
