@@ -189,7 +189,15 @@ object Similarity {
     * the 100-TB point of PQ: m×k×(dim/m) doubles — a few KB — broadcast
     * everywhere, while vectors compress 64×4 bytes → m bytes (32× here).
     * Returns (sub, code, cvec). */
-  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame =
+    pqCore(emb, m, k, iters)._1
+
+  /** Train + the shared working state: (codebook, materialized subvector
+    * table, dim). The subs table is the expensive per-vector explode —
+    * computing it once here lets encode and ADC search reuse it instead
+    * of re-deriving it (and re-probing dim with another job) per stage. */
+  private def pqCore(emb: DataFrame, m: Int, k: Int, iters: Int)
+      : (DataFrame, DataFrame, Int) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -239,7 +247,7 @@ object Similarity {
       graft.Materialize.release(codebook)
       codebook = next
     }
-    codebook
+    (codebook, subs, dim)
   }
 
   /** Encode each vector against a trained PQ codebook: per subspace the
@@ -247,10 +255,13 @@ object Similarity {
     * imply. One broadcast join + per-(vec, sub) argmin — never a shuffle
     * of the vectors themselves beyond the m-way subspace explode. */
   def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int = 8): DataFrame = {
-    val spark = emb.sparkSession
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val sub = dim / m
-    subTable(emb, m, sub)
+    pqEncodeFrom(subTable(emb, m, dim / m), codebook, dim)
+  }
+
+  /** Encode from an existing subvector table (shared with training). */
+  private def pqEncodeFrom(subs: DataFrame, codebook: DataFrame, dim: Int): DataFrame =
+    subs
       .join(broadcast(codebook), Seq("sub"))
       .select(col("vec_id"), col("sub"),
         struct(
@@ -268,12 +279,15 @@ object Similarity {
         expr("transform(pairs, p -> p.code)").as("codes"),
         round(col("sqerr") / dim, 6).as("mse"))
       .orderBy("vec_id")
-  }
 
-  /** Train + encode in one call — the `queries()` surface for PQ. */
+  /** Train + encode in one call — the `queries()` surface for PQ. The
+    * subvector table is computed once and shared between the Lloyd
+    * trainer and the encoder. */
   def productQuantization(emb: DataFrame, m: Int = 8, k: Int = 16,
-      iters: Int = 2): DataFrame =
-    pqEncode(emb, pqTrain(emb, m, k, iters), m)
+      iters: Int = 2): DataFrame = {
+    val (cb, subs, dim) = pqCore(emb, m, k, iters)
+    pqEncodeFrom(subs, cb, dim)
+  }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
     * its exact distance to every codebook centroid once (an m×k table —
@@ -287,10 +301,17 @@ object Similarity {
   def pqTopK(emb: DataFrame, codes: DataFrame, codebook: DataFrame,
       nQueries: Int = 3, k: Int = 10, m: Int = 8): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val sub = dim / m
+    pqTopKFrom(subTable(emb.filter(col("vec_id") < nQueries), m, dim / m),
+      codes, codebook, nQueries, k)
+  }
+
+  /** ADC search from an existing query subvector table (shared with
+    * training: `pqCore`'s subs filtered to the query ids). */
+  private def pqTopKFrom(querySubs: DataFrame, codes: DataFrame,
+      codebook: DataFrame, nQueries: Int, k: Int): DataFrame = {
     // Per-query distance table: exact L2² from the query's subvector to
     // every (sub, code) centroid.
-    val dtab = subTable(emb.filter(col("vec_id") < nQueries), m, sub)
+    val dtab = querySubs
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(codebook), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
@@ -380,9 +401,13 @@ object Similarity {
           .as("codes_str"),
         col("mse"))),
     "knn_pq_adc"        -> ((s, d) => {
+      // One pqCore: the trainer, encoder, and query distance table all
+      // reuse the same materialized subvector explode (three subTable
+      // passes + three dim probes collapse to one each).
       val emb = Tables(s, d).embeddings
-      val cb = pqTrain(emb)
-      pqTopK(emb, pqEncode(emb, cb), cb)
+      val (cb, subs, dim) = pqCore(emb, 8, 16, 2)
+      pqTopKFrom(subs.filter(col("vec_id") < 3),
+        pqEncodeFrom(subs, cb, dim), cb, nQueries = 3, k = 10)
     }),
   )
 
