@@ -26,6 +26,7 @@ import org.apache.spark.sql.streaming.Trigger
   *   runMain graft.FeedMain --items-dir DIR --out-dir DIR --target URL
   *     [--poll-interval 10s] [--batch-size 50] [--max-retries 5]
   *     [--auto-close] [--manual-checkpoint] [--health-port N] [--once]
+  *     [--max-lease-scan N]
   *
   * `--once` processes everything currently available and exits (used by
   * the e2e smoke); without it the query runs on the processing-time
@@ -61,7 +62,11 @@ object FeedMain {
       // Bucketed OCC file layout for --out-dir (rewrite only touched hash
       // buckets) — the default; 0 opts into the whole-table atomic swap,
       // acceptable only for small state tables (O(table) per batch).
-      occBuckets: Int = 16)
+      occBuckets: Int = 16,
+      // Cap on expired-lease candidates fetched per tick (oldest-expired
+      // first) — bounds runner memory under mass-expiry; see
+      // JdbcFeedRunner.DefaultMaxLeaseScan.
+      maxLeaseScan: Int = graft.feed.JdbcFeedRunner.DefaultMaxLeaseScan)
 
   def parse(args: Array[String]): Config = {
     def loop(c: Config, rest: List[String]): Config = rest match {
@@ -85,6 +90,7 @@ object FeedMain {
       case "--max-rows-per-trigger" :: v :: t => loop(c.copy(maxRowsPerTrigger = v.toLong), t)
       case "--watermark-lag-ms" :: v :: t  => loop(c.copy(watermarkLagMs = v.toLong), t)
       case "--occ-buckets" :: v :: t       => loop(c.copy(occBuckets = v.toInt), t)
+      case "--max-lease-scan" :: v :: t    => loop(c.copy(maxLeaseScan = v.toInt), t)
       case Nil                             => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -158,7 +164,8 @@ object FeedMain {
 
     if (cfg.jdbcUrl.nonEmpty) {
       val runner = new JdbcFeedRunner(
-        spark, cfg.jdbcUrl, processor, opts, cfg.ownerId, cfg.jdbcPrefix)
+        spark, cfg.jdbcUrl, processor, opts, cfg.ownerId, cfg.jdbcPrefix,
+        maxLeaseScan = cfg.maxLeaseScan)
       val healthServer = startHealthServer(cfg, spark, processor)
       try {
         if (cfg.once) {

@@ -148,6 +148,10 @@ class FeedMainSpec extends AnyFunSuite {
   test("flag parsing rejects unknown flags and missing required args") {
     intercept[IllegalArgumentException](FeedMain.parse(Array("--bogus")))
     intercept[IllegalArgumentException](FeedMain.parse(Array("--items-dir", "x")))
+    assert(FeedMain.parse(Array("--target", "t", "--jdbc-url", "u",
+      "--max-lease-scan", "7")).maxLeaseScan == 7)
+    assert(FeedMain.parse(Array("--target", "t", "--jdbc-url", "u"))
+      .maxLeaseScan == graft.feed.JdbcFeedRunner.DefaultMaxLeaseScan)
     val c = FeedMain.parse(Array("--items-dir", "i", "--out-dir", "o",
       "--target", "t", "--batch-size", "7", "--auto-close"))
     assert(c.batchSize == 7 && c.autoClose && !c.once)
