@@ -51,8 +51,11 @@ object Bench {
     // and would distort throughput numbers.
     val headline = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("feed_"))
 
-    // Plan fingerprints, checked once per query before timing.
+    // Plan fingerprints, checked once per query before timing. Recording
+    // of Materialize-interior plans is scoped to this pass: the timed
+    // runs below pay no plan-toString or retention cost.
     val violations = Seq.newBuilder[String]
+    graft.Materialize.startPlanRecording()
     headline.foreach { name =>
       try {
         graft.Materialize.clearRecentPlans()
@@ -84,6 +87,16 @@ object Bench {
           violations += s"$name:linear-op-gained-a-shuffle"
         if (name == "q58_decontaminate" && !plan.contains("BroadcastHashJoin"))
           violations += s"$name:eval-set-not-broadcast"
+        // KNN ranking must stay the bounded top-k partial aggregation —
+        // a Window here means the per-query row_number sort came back
+        // (corpus-scale rows shuffled into |queries| reducer partitions).
+        // knn_ann_ivf is exempt only for its nProbe-cell probe window
+        // (bounded at nList rows per query, never corpus-scale).
+        if (Set("q22_knn_cosine", "knn_ann_lsh", "knn_pq_adc").contains(name) &&
+            fullPlan.contains("Window"))
+          violations += s"$name:ranking-regressed-to-window"
+        if (name == "q22_knn_cosine" && !plan.contains("ObjectHashAggregate"))
+          violations += s"$name:topk-not-partial-aggregated"
         // The df-capped keep-set join must broadcast: without it the
         // exploded shingle stream shuffles twice (once for the df agg,
         // again for the keep join) before the pair self-join. The join is
@@ -93,6 +106,7 @@ object Bench {
           violations += s"$name:keep-set-not-broadcast"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }
+    graft.Materialize.stopPlanRecording()
 
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     def timed(name: String): Double = {

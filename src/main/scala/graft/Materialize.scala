@@ -32,22 +32,33 @@ object Materialize {
   val CheckpointDirKey = "spark.graft.checkpointDir"
 
   /** Ring buffer of the physical plans materialized through this object.
-    * Plan fingerprinting (Bench) audits these alongside the final
-    * executedPlan: a checkpoint truncates lineage, so a join INSIDE a
-    * materialized subplan — exactly where the expensive candidate
-    * generation lives — would otherwise be invisible to the audit. */
+    * Plan fingerprinting (Bench/WidthBench) audits these alongside the
+    * final executedPlan: a checkpoint truncates lineage, so a join INSIDE
+    * a materialized subplan — exactly where the expensive candidate
+    * generation lives — would otherwise be invisible to the audit.
+    *
+    * Recording is OPT-IN (`startPlanRecording`): production paths
+    * (FeedMain, OccSink, any long-running service) pay neither the
+    * plan-toString cost nor the retained strings, and a concurrent
+    * query can only contaminate an audit that deliberately turned
+    * recording on around a single-threaded fingerprint pass. */
   private val recent = new java.util.concurrent.ConcurrentLinkedDeque[String]()
   private val RecentCap = 64
+  @volatile private var recording = false
 
   def recentPlans: Seq[String] = {
     import scala.jdk.CollectionConverters._
     recent.iterator().asScala.toSeq
   }
+  def startPlanRecording(): Unit = { recent.clear(); recording = true }
+  def stopPlanRecording(): Unit = { recording = false; recent.clear() }
   def clearRecentPlans(): Unit = recent.clear()
 
   def apply[T](ds: Dataset[T]): Dataset[T] = {
-    recent.addLast(ds.queryExecution.executedPlan.toString)
-    while (recent.size() > RecentCap) recent.pollFirst()
+    if (recording) {
+      recent.addLast(ds.queryExecution.executedPlan.toString)
+      while (recent.size() > RecentCap) recent.pollFirst()
+    }
     val spark = ds.sparkSession
     spark.conf.get(StrategyKey, "local") match {
       case "reliable" =>

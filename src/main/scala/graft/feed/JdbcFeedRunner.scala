@@ -58,12 +58,31 @@ final class JdbcFeedRunner(
       // Adopt new/expired partitions (acquireLeases, watcher.go:89-126).
       // A lease lapses when `until` passes: the previous owner's next
       // conditional save will conflict and it drops the partition.
-      // The scan is capped (oldest-expired first): tick memory stays
+      // The scan pages through candidates with keyset pagination on
+      // (until, id), oldest-expired first, until maxLeaseScan POST-FILTER
+      // rows are collected or the backlog is exhausted. Tick memory stays
       // O(maxLeaseScan) however deep the expired backlog is — the cap the
-      // reference documents as missing (README.md:113-116). Skipped rows
-      // only age while unclaimed, so they lead later scans (fairness).
-      val potential = JdbcStore.potentialLeases(conn, now, prefix, maxLeaseScan)
-        .filter(leaseFilter)
+      // reference documents as missing (README.md:113-116) — and a
+      // leaseFilter that rejects a whole prefix of the backlog (sharded
+      // deployment with an orphaned shard accumulating expired rows no
+      // live filter accepts) can no longer pin the window and starve this
+      // instance: the cursor walks past rejected rows. Skipped rows only
+      // age while unclaimed, so they still lead later scans (fairness).
+      val potential = {
+        val acc = Seq.newBuilder[Partition]
+        var collected = 0
+        var after: Option[(java.sql.Timestamp, String)] = None
+        var exhausted = false
+        while (collected < maxLeaseScan && !exhausted) {
+          val page = JdbcStore.potentialLeases(conn, now, prefix, maxLeaseScan, after)
+          if (page.size < maxLeaseScan) exhausted = true
+          page.lastOption.foreach(p => after = Some((p.until, p.id)))
+          val accepted = page.filter(leaseFilter).take(maxLeaseScan - collected)
+          acc ++= accepted
+          collected += accepted.size
+        }
+        acc.result()
+      }
       // A potential lease we still believe we hold means our stored lease
       // expired before this tick renewed it (watcher.go:100-104): another
       // instance may adopt the partition any moment, so double-processing
@@ -168,10 +187,12 @@ object JdbcFeedRunner {
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[JdbcFeedRunner])
   val defaultWarnSink: String => Unit = msg => log.warn(msg)
 
-  /** Default cap on expired-lease candidates fetched per tick. Bounds
-    * runner memory at O(cap) regardless of how many partitions expired at
-    * once (cold start, mass-expiry after an outage); anything above a few
-    * thousand held partitions per instance should shard by leaseFilter
-    * instead of raising this. */
+  /** Default cap on expired-lease candidates ADOPTED per tick (post-
+    * leaseFilter). Bounds runner memory at O(cap) regardless of how many
+    * partitions expired at once (cold start, mass-expiry after an
+    * outage); anything above a few thousand held partitions per instance
+    * should shard by leaseFilter instead of raising this — safe in
+    * combination with the cap, because the scan keyset-pages past
+    * filter-rejected rows instead of letting them pin the window. */
   val DefaultMaxLeaseScan: Int = 1024
 }

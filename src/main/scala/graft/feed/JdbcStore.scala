@@ -247,18 +247,31 @@ object JdbcStore {
     * is capped at `limit` rows, oldest-expired first — the expiry ordering
     * keeps adoption fair across ticks: a partition skipped this tick only
     * ages (its `until` never advances while unclaimed), so it outranks
-    * fresher expiries on every later scan until adopted. */
+    * fresher expiries on every later scan until adopted.
+    *
+    * `after` is a keyset cursor: only rows strictly after (until, id) in
+    * the scan order are returned, so a caller can PAGE through the
+    * candidate backlog in O(limit) memory — the runner needs this when a
+    * leaseFilter rejects a whole prefix of the backlog (sharding with an
+    * orphaned shard) and a single capped window would starve it. */
   def potentialLeases(conn: Connection, now: Timestamp,
-      prefix: String = "", limit: Int = Int.MaxValue): Seq[Partition] = {
+      prefix: String = "", limit: Int = Int.MaxValue,
+      after: Option[(Timestamp, String)] = None): Seq[Partition] = {
+    val keyset = if (after.isDefined) " AND (until > ? OR (until = ? AND id > ?))" else ""
     val ps = conn.prepareStatement(
       s"""SELECT id, gate, status, owner, until, version FROM ${prefix}partitions
-         | WHERE status <> ? AND until < ? ORDER BY until, id""".stripMargin)
+         | WHERE status <> ? AND until < ?$keyset ORDER BY until, id""".stripMargin)
     try {
       // Row cap enforced by bounded ResultSet consumption (portable across
       // dialects) with setMaxRows as the engine-side hint where supported.
       ps.setMaxRows(if (limit == Int.MaxValue) 0 else limit)
       ps.setInt(1, Status.Complete)
       ps.setTimestamp(2, now)
+      after.foreach { case (u, id) =>
+        ps.setTimestamp(3, u)
+        ps.setTimestamp(4, u)
+        ps.setString(5, id)
+      }
       val rs = ps.executeQuery()
       val out = Seq.newBuilder[Partition]
       var n = 0

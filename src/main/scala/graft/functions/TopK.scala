@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded per-group top-k as a PARTIAL aggregation — the scale-safe
+  * replacement for `row_number().over(Window.partitionBy(group))` ranking.
+  *
+  * The window form shuffles every scored candidate row into |group|
+  * reducer partitions and sorts them there; with a tiny group cardinality
+  * (e.g. 3 query vectors ranking a whole corpus) that is a skewed-shuffle
+  * scale-killer: corpus-scale rows sort in 3 tasks. This aggregator keeps
+  * at most k rows per group PER MAP TASK (ObjectHashAggregate partial
+  * mode), so the shuffle moves only |groups| × k × |partitions| rows and
+  * the reduce side merges already-bounded buffers.
+  *
+  * Determinism: ties are broken by `id`, so as long as (score, id) pairs
+  * are unique per group (ids are), the selected set and its order are
+  * independent of partitioning and merge order — the result is row-equal
+  * to the window form it replaces (asserted in TopKSpec).
+  */
+object TopK {
+
+  /** One scored candidate. `score` should already carry any rounding the
+    * caller wants ranked on (round BEFORE ranking, so both engines of an
+    * oracle pair agree on the boundary). */
+  case class Scored(score: Double, id: Long)
+
+  /** Aggregation buffer: at most k candidates, kept sorted best-first. */
+  case class Buf(items: Seq[Scored])
+
+  private final class TopKAgg(k: Int, ascending: Boolean)
+      extends Aggregator[Scored, Buf, Buf] {
+    // Best-first total order; id tiebreak keeps it deterministic.
+    @transient private lazy val ord: Ordering[Scored] =
+      if (ascending) Ordering.by((s: Scored) => (s.score, s.id))
+      else Ordering.by((s: Scored) => (-s.score, s.id))
+
+    def zero: Buf = Buf(Nil)
+
+    def reduce(b: Buf, a: Scored): Buf = {
+      val it = b.items
+      // Fast path: buffer full and the row can't displace the kth — O(1)
+      // per input row once the buffer warms up, no allocation.
+      if (it.size >= k && ord.lteq(it.last, a)) b
+      else {
+        val (better, worse) = it.span(x => ord.lt(x, a))
+        Buf(((better :+ a) ++ worse).take(k))
+      }
+    }
+
+    def merge(x: Buf, y: Buf): Buf =
+      Buf((x.items ++ y.items).sorted(ord).take(k))
+
+    def finish(b: Buf): Buf = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Buf] = Encoders.product[Buf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Buf] = Encoders.product[Buf]
+  }
+
+  /** Top-k rows per `groupCol` ranked by (`scoreCol`, `idCol`) — ascending
+    * or descending score, id ascending as tiebreak. Returns
+    * (groupCol, idCol, scoreCol), best-first within each group. */
+  def perGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int, ascending: Boolean): DataFrame = {
+    val f = udaf(new TopKAgg(k, ascending), Encoders.product[Scored])
+    df.groupBy(groupCol)
+      .agg(f(col(scoreCol).cast("double"), col(idCol)).as("_tk"))
+      .select(col(groupCol), explode(col("_tk.items")).as("_e"))
+      .select(col(groupCol), col("_e.id").as(idCol), col("_e.score").as(scoreCol))
+  }
+}

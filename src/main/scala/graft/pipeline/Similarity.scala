@@ -29,24 +29,36 @@ object Similarity {
   private def cosineFast(s: SparkSession, a: String, b: String): Column =
     graft.functions.CosineSimilarity.cosineSim(s, col(a), col(b))
 
+  /** Per-query ranking stage shared by every KNN variant: bounded top-k
+    * partial aggregation ([[graft.functions.TopK]]), NOT a
+    * `Window.partitionBy("query_id")` row_number — the window form
+    * shuffles every scored candidate into |queries| reducer partitions
+    * (nQueries tasks sorting corpus-scale rows at 100 TB); the aggregate
+    * keeps ≤k rows per query per map task, so the shuffle moves only
+    * bounded buffers. Scores are ranked after rounding with vec_id
+    * tiebreak, so the selected set is engine- and partitioning-
+    * independent (q22 stays hash-matched vs DuckDB's window form). */
+  private def rankTopK(scored: DataFrame, k: Int, scoreCol: String,
+      ascending: Boolean): DataFrame = {
+    val ranked = graft.functions.TopK.perGroup(
+      scored, "query_id", scoreCol, "vec_id", k, ascending)
+    val dir = if (ascending) asc(scoreCol) else desc(scoreCol)
+    ranked.select("query_id", "vec_id", scoreCol)
+      .orderBy(asc("query_id"), dir, asc("vec_id"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries)
     * — the brute-force baseline. The tiny query set is broadcast, so the
     * big side streams through one scan with no shuffle before the
-    * per-query top-k (TakeOrdered within window partitions). Ranking uses
-    * the 4-dp-rounded score with vec_id tiebreak to stay deterministic
-    * across engines. */
+    * bounded per-query top-k aggregation. Ranking uses the 4-dp-rounded
+    * score with vec_id tiebreak to stay deterministic across engines. */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame = {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosineFast(emb.sparkSession, "embedding", "qe"), 4).as("sim"))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rn") <= k)
-      .select("query_id", "vec_id", "sim")
-      .orderBy(asc("query_id"), desc("sim"), asc("vec_id"))
+    rankTopK(scored, k, "sim", ascending = false)
   }
 
   /** Random-hyperplane signatures via posexplode → per-plane weighted sums
@@ -99,15 +111,22 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("embedding"), col("qe"))
       .dropDuplicates("query_id", "vec_id")
-    candidates
-      .select(col("query_id"), col("vec_id"),
-        round(cosineFast(emb.sparkSession, "embedding", "qe"), 4).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rn") <= k)
-      .select("query_id", "vec_id", "sim")
-      .orderBy(asc("query_id"), desc("sim"), asc("vec_id"))
+    rankTopK(
+      candidates.select(col("query_id"), col("vec_id"),
+        round(cosineFast(emb.sparkSession, "embedding", "qe"), 4).as("sim")),
+      k, "sim", ascending = false)
   }
+
+  /** Deterministic training sample for the Lloyd loops: every vector whose
+    * xxhash64(vec_id) lands in residue 0 of `denom` — no RNG state, no
+    * global sort, reproducible across executors and runs. A quantizer's
+    * quality needs only a representative sample; training on the full
+    * corpus would pay `iters` extra full passes at 100 TB for nothing
+    * (the full corpus is still assigned/encoded exactly once). `denom`=1
+    * disables sampling (tiny corpora). */
+  private def trainSample(df: DataFrame, denom: Int): DataFrame =
+    if (denom <= 1) df
+    else df.filter(pmod(xxhash64(col("vec_id")), lit(denom)) === 0)
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer splits the corpus
     * into `nList` cells; a query probes only its `nProbe` nearest cells
@@ -117,10 +136,13 @@ object Similarity {
     * argmin (a scan, no shuffle wider than the assignment table); search
     * touches ~nProbe/nList of the corpus via an equi-join on `cell`.
     * Lloyd iterations are plain DataFrame aggregations (posexplode →
-    * per-(cell, dim) mean), seeded deterministically from hash-ordered
-    * corpus vectors — no RNG state, reproducible across executors. */
+    * per-(cell, dim) mean) over a deterministic 1/`trainDenom` hash-sample
+    * — the full corpus is scanned once for the final assignment, not once
+    * per iteration — seeded deterministically from hash-ordered corpus
+    * vectors: no RNG state, reproducible across executors. */
   def ivfTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
-      nList: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+      nList: Int = 8, nProbe: Int = 2, iters: Int = 2,
+      trainDenom: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
 
@@ -138,8 +160,8 @@ object Similarity {
     // row per vector BEFORE the shuffle, where a window would sort-shuffle
     // all nList alternatives per vector. embedding rides along via
     // first(): it is functionally determined by the group key.
-    def assign(cents: DataFrame): DataFrame =
-      emb.select(col("vec_id"), col("embedding"))
+    def assign(cents: DataFrame, vecs: DataFrame): DataFrame =
+      vecs.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"),
           struct((-cosineFast(spark, "embedding", "cvec")).as("neg"),
@@ -148,18 +170,28 @@ object Similarity {
         .agg(min("dc").as("best"), first("embedding").as("embedding"))
         .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
 
+    // The sample is materialized once: each Lloyd iteration re-reads it
+    // instead of re-scanning (and re-filtering) the corpus.
+    val train =
+      if (iters > 0) graft.Materialize(trainSample(emb, trainDenom))
+      else emb
     (0 until iters).foreach { _ =>
       val prev = centroids
-      centroids = assign(centroids)
+      val moved = assign(prev, train)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy("cell", "i").agg(avg(col("x").cast("double")).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
         .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cvec"))
-        .transform(graft.Materialize(_))
+      // A cell that captured no sample vectors this round keeps its
+      // previous centroid (standard empty-cluster handling, same as
+      // pqCore) — dropping it would shrink nList for every later probe.
+      val kept = prev.join(moved.select("cell"), Seq("cell"), "left_anti")
+      centroids = graft.Materialize(moved.unionByName(kept))
       graft.Materialize.release(prev)
     }
-    val assigned = assign(centroids).transform(graft.Materialize(_))
+    if (iters > 0) graft.Materialize.release(train)
+    val assigned = assign(centroids, emb).transform(graft.Materialize(_))
 
     val probes = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -171,15 +203,12 @@ object Similarity {
       .filter(col("rn") <= nProbe)
       .select("query_id", "qe", "cell")
 
-    assigned.join(probes, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosineFast(spark, "embedding", "qe"), 4).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rn") <= k)
-      .select("query_id", "vec_id", "sim")
-      .orderBy(asc("query_id"), desc("sim"), asc("vec_id"))
+    rankTopK(
+      assigned.join(probes, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosineFast(spark, "embedding", "qe"), 4).as("sim")),
+      k, "sim", ascending = false)
   }
 
   /** Product-quantization codebook: `m` subspaces × `k` centroids each,
@@ -189,15 +218,19 @@ object Similarity {
     * the 100-TB point of PQ: m×k×(dim/m) doubles — a few KB — broadcast
     * everywhere, while vectors compress 64×4 bytes → m bytes (32× here).
     * Returns (sub, code, cvec). */
-  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame =
-    pqCore(emb, m, k, iters)._1
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+      trainDenom: Int = 4): DataFrame =
+    pqCore(emb, m, k, iters, trainDenom)._1
 
   /** Train + the shared working state: (codebook, materialized subvector
     * table, dim). The subs table is the expensive per-vector explode —
     * computing it once here lets encode and ADC search reuse it instead
-    * of re-deriving it (and re-probing dim with another job) per stage. */
-  private def pqCore(emb: DataFrame, m: Int, k: Int, iters: Int)
-      : (DataFrame, DataFrame, Int) = {
+    * of re-deriving it (and re-probing dim with another job) per stage.
+    * Lloyd iterations run over a deterministic 1/`trainDenom` hash-sample
+    * of the subvectors ([[trainSample]]); only the final encode touches
+    * every vector. */
+  private def pqCore(emb: DataFrame, m: Int, k: Int, iters: Int,
+      trainDenom: Int = 4): (DataFrame, DataFrame, Int) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -219,8 +252,8 @@ object Similarity {
     // map-side partial combining where a window would sort-shuffle the
     // whole k-way expansion. svec rides along via first(): it is
     // functionally determined by the group key.
-    def assign(cb: DataFrame): DataFrame =
-      subs.join(broadcast(cb), Seq("sub"))
+    def assign(cb: DataFrame, data: DataFrame): DataFrame =
+      data.join(broadcast(cb), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("svec"),
           struct(
             expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
@@ -231,8 +264,11 @@ object Similarity {
         .select(col("vec_id"), col("sub"), col("best.code").as("code"),
           col("svec"), col("best.dist").as("dist"))
 
+    // Sampled from the already-materialized subs table: the filter is a
+    // cheap scan of checkpointed blocks, so no second materialization.
+    val trainSubs = trainSample(subs, trainDenom)
     (0 until iters).foreach { _ =>
-      val moved = assign(codebook)
+      val moved = assign(codebook, trainSubs)
         .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("i", "x")))
         .groupBy("sub", "code", "i").agg(avg("x").as("mv"))
         .groupBy("sub", "code")
@@ -284,8 +320,8 @@ object Similarity {
     * subvector table is computed once and shared between the Lloyd
     * trainer and the encoder. */
   def productQuantization(emb: DataFrame, m: Int = 8, k: Int = 16,
-      iters: Int = 2): DataFrame = {
-    val (cb, subs, dim) = pqCore(emb, m, k, iters)
+      iters: Int = 2, trainDenom: Int = 4): DataFrame = {
+    val (cb, subs, dim) = pqCore(emb, m, k, iters, trainDenom)
     pqEncodeFrom(subs, cb, dim)
   }
 
@@ -320,15 +356,12 @@ object Similarity {
     val corpusCodes = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
       .filter(col("vec_id") >= nQueries) // no self-matches
-    corpusCodes
-      .join(broadcast(dtab), Seq("sub", "code"))
-      .groupBy("query_id", "vec_id")
-      .agg(round(sum("d"), 6).as("adc_dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))))
-      .filter(col("rn") <= k)
-      .select("query_id", "vec_id", "adc_dist")
-      .orderBy(asc("query_id"), asc("adc_dist"), asc("vec_id"))
+    rankTopK(
+      corpusCodes
+        .join(broadcast(dtab), Seq("sub", "code"))
+        .groupBy("query_id", "vec_id")
+        .agg(round(sum("d"), 6).as("adc_dist")),
+      k, "adc_dist", ascending = true)
   }
 
   /** (vec_id, sub, svec): each vector split into m contiguous subvectors

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object WidthBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.filter(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
-    val w = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+    val w = args.find(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val outPath = "WIDTH.md"
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "widthbench")
@@ -67,9 +67,11 @@ object WidthBench {
       val n = docs.count()
       println(s"[width] $docsPath: $n docs")
       ops.map { case (name, f) =>
-        graft.Materialize.clearRecentPlans()
+        // Recording scoped to the fingerprint: timed runs below stay clean.
+        graft.Materialize.startPlanRecording()
         val plan = (f(docs).queryExecution.executedPlan.toString +:
           graft.Materialize.recentPlans).mkString("\n")
+        graft.Materialize.stopPlanRecording()
         val ex = exchangeCount(plan)
         def once(): Double = {
           val t0 = System.nanoTime()

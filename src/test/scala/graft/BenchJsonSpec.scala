@@ -7,14 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * would turn `[0.123]` into invalid JSON `[0,123]`). */
 class BenchJsonSpec extends AnyFunSuite {
 
-  test("run-detail numbers format with a dot under a comma-decimal locale") {
-    val prev = java.util.Locale.getDefault
-    try {
-      java.util.Locale.setDefault(java.util.Locale.FRANCE)
-      // The f-interpolator this replaced would produce "0,123" here.
-      assert(f"${0.123456}%.3f" == "0,123", "precondition: locale uses commas")
-      assert(Bench.num3(0.123456) == "0.123")
-      assert(Bench.num3(12.0) == "12.000")
-    } finally java.util.Locale.setDefault(prev)
+  test("num3 formats with a dot regardless of locale conventions") {
+    // Proven against an EXPLICIT comma-decimal locale instead of swapping
+    // the process-wide default: suites run concurrently in the forked
+    // test JVM, and a transient Locale.setDefault(FRANCE) could make any
+    // concurrently-running locale-sensitive formatting flake (ADVICE r5).
+    val french = String.format(java.util.Locale.FRANCE, "%.3f", Double.box(0.123456))
+    assert(french == "0,123", "precondition: French locale formats with commas")
+    // num3 pins Locale.ROOT, so the same value must come out dot-formatted.
+    assert(Bench.num3(0.123456) == "0.123")
+    assert(Bench.num3(12.0) == "12.000")
   }
 }

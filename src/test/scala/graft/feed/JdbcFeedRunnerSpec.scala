@@ -164,6 +164,46 @@ class JdbcFeedRunnerSpec extends AnyFunSuite {
     finally check.close()
   }
 
+  test("a filter-rejected backlog prefix cannot starve the lease scan") {
+    // Sharded deployment, orphaned shard: >= maxLeaseScan partitions
+    // expired LONGER ago than this instance's own, all rejected by its
+    // leaseFilter (their owner shard is down). Pre-pagination, every
+    // tick's capped window contained only those rows and the instance
+    // never adopted its own expired partition — permanent starvation
+    // (ADVICE r5). The keyset-paged scan walks past the rejected prefix.
+    val url = freshDb()
+    val conn = JdbcStore.connect(url)
+    val now = System.currentTimeMillis()
+    try {
+      JdbcStore.migrate(conn)
+      // 8 orphaned partitions, oldest expiries — all shard "other".
+      (1 to 8).foreach { i =>
+        JdbcStore.savePartition(conn, Partition(f"other$i%02d",
+          until = new java.sql.Timestamp(now - 500000L + i * 1000L)))
+      }
+      // This instance's shard: expired more recently than all of the above.
+      JdbcStore.saveItem(conn,
+        Item("m1", "mine01", data = GoldenFixture.DataObj(1).marshal))
+      JdbcStore.savePartition(conn, Partition("mine01",
+        until = new java.sql.Timestamp(now - 1000L)))
+    } finally conn.close()
+
+    val w = new JdbcFeedRunner(
+      spark, url, GoldenFixture.TestProcessor,
+      FeedOptions(batchSize = 10, maxRetries = 3, autoClose = true), "w-mine",
+      leaseFilter = p => p.id.startsWith("mine"),
+      maxLeaseScan = 3) // window smaller than the rejected prefix
+    w.tick()
+    assert(w.heldLeases.keySet == Set("mine01"),
+      s"paged scan must reach past the rejected prefix, held ${w.heldLeases.keySet}")
+    w.runToQuiescence(50)
+    val check = JdbcStore.connect(url)
+    try {
+      val mine = JdbcStore.allPartitions(check).filter(_.id == "mine01").head
+      assert(mine.status == Status.Complete, s"mine01 stuck at ${mine.status}")
+    } finally check.close()
+  }
+
   test("lease steal: a lapsed lease is adopted by the surviving instance") {
     val url = freshDb()
     val conn = JdbcStore.connect(url)

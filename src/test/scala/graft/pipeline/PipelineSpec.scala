@@ -137,14 +137,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(mse16 < mse1 * 0.8, s"PQ mse $mse16 vs k=1 baseline $mse1")
   }
 
-  test("pq ADC top-k finds planted neighbors from codes alone") {
-    // The testdata embeddings are near-random (pairwise distances
-    // concentrate), where NO quantized index can rank neighbors — so ADC
-    // is spec'd on a corpus with real structure: each query has 3
-    // planted near-copies (small perturbation) among 200 decoys. From
-    // codes + distance tables alone, those must dominate the top-5.
+  /** Structured corpus for quantized-index specs: the testdata embeddings
+    * are near-random (pairwise distances concentrate), where NO quantized
+    * index can rank neighbors — so PQ recall is spec'd on a corpus with
+    * real structure: each of 2 queries has 3 planted near-copies (small
+    * perturbation) among 200 decoys. */
+  private def plantedCorpus = {
     import spark.implicits._
-    val m = 8
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)
       Array.fill(64)(r.nextFloat() * 2f - 1f)
@@ -153,9 +152,16 @@ class PipelineSpec extends AnyFunSuite {
       val v = vec(q); v(7 * i + 3) += 0.12f
       (100L + q * 10 + i, v.toSeq)
     }
-    val corpus = ((0 until 2).map(q => (q.toLong, vec(q).toSeq)) ++
+    ((0 until 2).map(q => (q.toLong, vec(q).toSeq)) ++
       (0 until 200).map(i => (200L + i, vec(1000 + i).toSeq)) ++ planted)
       .toDF("vec_id", "embedding")
+  }
+
+  test("pq ADC top-k finds planted neighbors from codes alone") {
+    // From codes + distance tables alone, the planted near-copies must
+    // dominate the top-5.
+    val m = 8
+    val corpus = plantedCorpus
     val cb = Similarity.pqTrain(corpus, m)
     val adc = Similarity.pqTopK(corpus, Similarity.pqEncode(corpus, cb, m), cb,
       nQueries = 2, k = 5, m = m).collect()
@@ -173,10 +179,14 @@ class PipelineSpec extends AnyFunSuite {
     // ADC-style sanity: searching with vectors rebuilt from (codebook,
     // codes) alone must still find most of the true neighbors — the
     // property that makes PQ usable as a memory-resident first pass.
+    // Structured corpus (see plantedCorpus): on the near-random testdata
+    // embeddings this recall sits at the noise floor for ANY quantizer,
+    // so a pass/fail there measures luck, not the operator.
     import spark.implicits._
     val m = 8
-    val cb = Similarity.pqTrain(emb, m, k = 16)
-    val codes = Similarity.pqEncode(emb, cb, m)
+    val corpus = plantedCorpus
+    val cb = Similarity.pqTrain(corpus, m, k = 16)
+    val codes = Similarity.pqEncode(corpus, cb, m)
     val cbMap = cb.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
     val rebuilt = codes.collect().map { r =>
@@ -186,10 +196,10 @@ class PipelineSpec extends AnyFunSuite {
     }.toSeq.toDF("vec_id", "embedding")
     val approx = Similarity.bruteForceTopK(rebuilt, nQueries = 2, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5)
+    val exact = Similarity.bruteForceTopK(corpus, nQueries = 2, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = approx.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.2, s"PQ-space recall $recall collapsed")
+    assert(recall >= 0.5, s"PQ-space recall $recall collapsed")
   }
 
   test("native cosine_sim is bit-identical to the HOF formulation") {

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import graft.functions.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bounded top-k aggregation must be row-equal to the window-ranking
+  * form it replaced (VERDICT r5 #2: the |queries|-partition row_number
+  * was the last skewed-shuffle shape), and its physical plan must be a
+  * partial-combining aggregate, not a corpus-scale sort into |groups|
+  * reducer partitions. */
+class TopKSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def synthetic = {
+    import spark.implicits._
+    // 3 groups × 400 candidates with deliberate score ties (score = i/7)
+    // so the id tiebreak is actually exercised.
+    val rows = for (g <- 0 until 3; i <- 0 until 400)
+      yield (g.toLong, (g * 1000 + i).toLong, (i / 7).toDouble)
+    rows.toDF("query_id", "vec_id", "sim")
+  }
+
+  test("perGroup equals the window row_number form, both directions") {
+    for (ascending <- Seq(true, false)) {
+      val dir = if (ascending) asc("sim") else desc("sim")
+      val expected = synthetic
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(dir, asc("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select("query_id", "vec_id", "sim")
+        .orderBy(asc("query_id"), dir, asc("vec_id"))
+        .collect()
+      val got = TopK.perGroup(synthetic, "query_id", "sim", "vec_id", 10, ascending)
+        .orderBy(asc("query_id"), dir, asc("vec_id"))
+        .collect()
+      assert(got.length == expected.length, s"ascending=$ascending row count")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g == e, s"ascending=$ascending: $g != $e")
+      }
+    }
+  }
+
+  test("groups smaller than k emit all their rows, best-first") {
+    import spark.implicits._
+    val tiny = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (2L, 20L, 0.1))
+      .toDF("query_id", "vec_id", "sim")
+    val got = TopK.perGroup(tiny, "query_id", "sim", "vec_id", 10, ascending = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == Set((1L, 11L, 0.9), (1L, 10L, 0.5), (2L, 20L, 0.1)))
+  }
+
+  test("knn ranking plans carry no Window and aggregate partially") {
+    val emb = graft.Tables(spark, sf0001).embeddings
+    val plan = Similarity.bruteForceTopK(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "ranking must not be a per-query window sort:\n" + plan)
+    assert(plan.contains("ObjectHashAggregate"),
+      "bounded top-k should plan as an object hash aggregate:\n" + plan)
+    // Partial mode present = map-side combining: the shuffle moves ≤k-row
+    // buffers per (query, map task), never the scored candidate stream.
+    assert(plan.contains("partial_topkagg") || plan.contains("partial_TopKAgg") ||
+      plan.toLowerCase.contains("partial_topkagg"),
+      "expected a partial aggregation phase:\n" + plan)
+  }
+}
