@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-neutral 64-bit string hash: the first 16 hex chars of md5
+  * (big-endian) reinterpreted as a signed 64-bit value.
+  *
+  * Spark's own 64-bit hash primitive (xxhash64, seed 42) has no DuckDB
+  * twin, which is what kept `doc_fingerprint` and `dedup_simhash` as
+  * rows-only correctness entries through round 5. md5 exists bit-for-bit
+  * in both engines, so an md5-derived word makes the whole operator
+  * replayable in SQL:
+  *
+  *   Spark : shiftleft(conv(substring(md5(x),1,8),16,10), 32)
+  *             | conv(substring(md5(x),9,8),16,10)   — wraps into the
+  *           sign bit (bitwise shift, exempt from ANSI overflow checks)
+  *   DuckDB: ('0x' || substr(md5(x),1,16))::UBIGINT, then two's-
+  *           complement to signed via HUGEINT (DuckDB's `<<` raises on
+  *           BIGINT overflow, so the twin assembles in unsigned space)
+  *
+  * All pure codegen'd built-ins (md5 + conv + shifts), no UDF. Slower
+  * than xxhash64 per call (md5 is cryptographic), which is the price of
+  * an oracle-checkable hash; callers that never need SQL replay can keep
+  * xxhash64 (minhash signatures do — their oracle replays the *decision*
+  * via exhaustive Jaccard, not the hash).
+  */
+object PortableHash {
+
+  /** Column form. */
+  def hash64(c: Column): Column = {
+    val h = md5(c)
+    shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** SQL-fragment form, for use inside higher-order-function lambdas
+    * where `x` is a lambda variable. */
+  def sqlFragment(x: String): String =
+    s"(shiftleft(CAST(conv(substring(md5($x), 1, 8), 16, 10) AS BIGINT), 32) | " +
+      s"CAST(conv(substring(md5($x), 9, 8), 16, 10) AS BIGINT))"
+
+  /** The DuckDB twin of [[hash64]], as unsigned (UBIGINT) — compose with
+    * [[duckSigned]] for value-level equality with the Spark column. */
+  def duckUnsigned(x: String): String =
+    s"('0x' || substr(md5($x), 1, 16))::UBIGINT"
+
+  /** UBIGINT/HUGEINT expression → signed BIGINT two's-complement. */
+  def duckSigned(u: String): String =
+    s"(($u)::HUGEINT - CASE WHEN ($u) >= 9223372036854775808::HUGEINT " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT"
+}

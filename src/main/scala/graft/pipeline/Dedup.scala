@@ -232,14 +232,22 @@ object Dedup {
     * shingle-hash's bit, take the sign — all in one higher-order aggregate.
     * Candidates via 4×16-bit chunk equality (hamming ≤ 3 guarantee needs
     * one identical chunk); verified by exact hamming distance ≤ maxHamming.
-    * Emits one row per document with its simhash and dup decision. */
+    * Emits one row per document with its simhash and dup decision.
+    *
+    * The shingle hash is the engine-neutral md5-derived word
+    * ([[graft.functions.PortableHash]]), so the WHOLE operator — hashes,
+    * bit sums, sign assembly, pair decisions — replays in DuckDB SQL and
+    * hash-matches its oracle (promoted from rows-only in round 6). The
+    * chunk-equality candidate step is exactly equivalent to the oracle's
+    * all-pairs hamming filter by pigeonhole: ≤ 3 differing bits across 4
+    * chunks forces at least one identical chunk. */
   def simhashDedup(docs: DataFrame, shingleSize: Int = 3, maxHamming: Int = 3): DataFrame = {
     // Explode → hash once → 64 conditional-sum aggregates (one HashAggregate
     // with partial agg), then reassemble the sign bits. Same rationale as
     // minhashCandidates: no nested HOFs over a derived column.
     val exploded = spread(docs)
       .select(col("doc_id"), explode(shingles(shingleSize)).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+      .withColumn("h", graft.functions.PortableHash.hash64(col("s")))
     val bitAggs = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b"))
     val bitSums = exploded.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
@@ -454,7 +462,46 @@ object Dedup {
     "q69_edit_distance"    -> ((s, d) => editDistancePairs(Tables(s, d).documents)),
   )
 
+  /** Exhaustive all-pairs twin of [[simhashDedup]] (shingleSize 3,
+    * maxHamming 3), generated: the same md5-derived shingle hash
+    * (PortableHash twin, unsigned domain), the same 64 conditional bit
+    * sums, sign-bit assembly in HUGEINT (DuckDB's `<<` raises on BIGINT
+    * overflow) two's-complemented to signed, then ALL-PAIRS hamming ≤ 3 —
+    * equivalent to the Spark side's chunk-equality candidates by
+    * pigeonhole, affordable only at oracle scale. */
+  private def simhashOracle: String = {
+    import graft.functions.PortableHash.{duckSigned, duckUnsigned}
+    val bitSums = (0 until 64)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n|    ")
+    val assemble = (0 until 64)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${(BigInt(1) << b).toString}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" +\n|    ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+       |shf AS (SELECT doc_id, CASE WHEN len(t) >= 3
+       |  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |       i -> array_to_string(t[i:i+2], ' ')))
+       |  ELSE [text] END AS sh FROM toks),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+       |hs AS (SELECT doc_id, ${duckUnsigned("s")} AS h FROM ex),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hs GROUP BY doc_id),
+       |usims AS (SELECT doc_id,
+       |    $assemble AS usim
+       |  FROM bits),
+       |sims AS (SELECT doc_id, ${duckSigned("usim")} AS simhash FROM usims),
+       |dec AS (SELECT b.doc_id AS doc_id, min(a.doc_id) AS dup_of
+       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= 3
+       |  GROUP BY b.doc_id)
+       |SELECT s.doc_id, s.simhash, dec.dup_of,
+       |  dec.dup_of IS NOT NULL AS is_duplicate
+       |FROM sims s LEFT JOIN dec USING (doc_id) ORDER BY s.doc_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracle,
     "q19_dedup_exact" ->
       ("SELECT doc_id, md5(text) AS h FROM (SELECT doc_id, text, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t " +

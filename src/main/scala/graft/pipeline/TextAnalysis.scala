@@ -242,14 +242,19 @@ object TextAnalysis {
   /** Document fingerprint: order-sensitive rolling hash over the token
     * stream (rotate-left 5, xor token hash — pure bitwise ops, so it wraps
     * instead of tripping ANSI overflow checks), fully inside a higher-order
-    * `aggregate` — one pass per document, no shuffle at all. */
+    * `aggregate` — one pass per document, no shuffle at all. The token and
+    * content hashes are the engine-neutral md5-derived word
+    * ([[graft.functions.PortableHash]]), which is what lets the whole
+    * operator hash-match a DuckDB twin (xxhash64 has no cross-engine
+    * replay; promoted from rows-only in round 6). */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
-        "(acc, x) -> (shiftleft(acc, 5) | shiftrightunsigned(acc, 59)) ^ xxhash64(x))")
+        "(acc, x) -> (shiftleft(acc, 5) | shiftrightunsigned(acc, 59)) ^ " +
+        graft.functions.PortableHash.sqlFragment("x") + ")")
         .as("fingerprint"),
-      xxhash64(col("text")).as("content_hash"))
+      graft.functions.PortableHash.hash64(col("text")).as("content_hash"))
       .orderBy("doc_id")
 
   /** Unigram language-model surprisal per document — the cheap stand-in
@@ -382,6 +387,27 @@ object TextAnalysis {
          |  ROUND(SUM(CASE WHEN token = prev THEN 1 ELSE 0 END) / COUNT(*), 4) AS adjacent_rep_frac,
          |  ROUND(SUM(CASE WHEN bigram_cnt > 1 THEN 1 ELSE 0 END) / GREATEST(COUNT(*) - 1, 1), 4) AS dup_bigram_frac
          |FROM wd GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // Exact twin of the rolling fingerprint: same md5-derived token hash
+    // (PortableHash), same rotate-left-5/xor fold. DuckDB raises on BIGINT
+    // shift overflow, so the twin folds in UNSIGNED space — rotl5 as a
+    // HUGEINT multiply-mod plus the logically-shifted top bits — and
+    // two's-complements to signed at the end; list_prepend supplies the
+    // zero seed Spark's `aggregate` takes as an argument.
+    "doc_fingerprint" -> {
+      import graft.functions.PortableHash.{duckSigned, duckUnsigned}
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |h AS (SELECT doc_id,
+         |    list_transform(t, x -> ${duckUnsigned("x")}) AS hs,
+         |    ${duckUnsigned("text")} AS ch FROM toks),
+         |f AS (SELECT doc_id,
+         |    list_reduce(list_prepend(0::UBIGINT, hs),
+         |      (acc, v) -> xor(((acc::HUGEINT * 32) % 18446744073709551616::HUGEINT
+         |        + (acc >> 59)::HUGEINT)::UBIGINT, v)) AS fp,
+         |    ch FROM h)
+         |SELECT doc_id, ${duckSigned("fp")} AS fingerprint,
+         |  ${duckSigned("ch")} AS content_hash
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
     "q51_pii_redact" ->
       ("""SELECT doc_id,
          |  regexp_replace(regexp_replace(regexp_replace(text,

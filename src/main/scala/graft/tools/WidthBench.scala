@@ -1,22 +1,34 @@
 package graft.tools
 
 import graft.{GraftSession, Tables}
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.operators.RelationalQueries
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Measured width scaling for the top pipeline operators — evidence for
-  * the 100-TB plan-shape claims beyond the single-SF bench.
+/** Measured width scaling for the top pipeline + relational + KNN
+  * operators — evidence for the 100-TB plan-shape claims beyond the
+  * single-SF bench.
   *
-  * Method: the sf0.1 corpus is widened W× by replication with a
-  * DISJOINT vocabulary per replica (every token suffixed `_i`), so the
-  * widened corpus is W independent copies of the base problem — no
-  * cross-replica shingles, bands, or 5-grams, exactly the structure of
-  * W days of fresh data. Candidate volumes, dfs, and near-dup structure
-  * per replica are identical to the base, so a linear-scaling operator
-  * should cost ~W× the base wall-clock with an UNCHANGED exchange count
-  * (plan shape is data-independent). Both widths are written to parquet
-  * and read back so the scan side is identical in kind.
+  * Method, per table family:
+  *  - documents: widened W× by replication with a DISJOINT vocabulary
+  *    per replica (every token suffixed `_i`), so the widened corpus is
+  *    W independent copies of the base problem — no cross-replica
+  *    shingles, bands, or 5-grams, exactly the structure of W days of
+  *    fresh data. Candidate volumes, dfs, and near-dup structure per
+  *    replica are identical to the base.
+  *  - lineitem/orders (q7 star join, q16 pricing agg): fact tables
+  *    replicated with shifted orderkeys (disjoint join keys), dimension
+  *    tables left at base size — the realistic star-schema growth mode
+  *    (facts grow, dims don't).
+  *  - embeddings (KNN ops): corpus replicated with shifted vec_ids; the
+  *    3 query vectors stay fixed, so each query ranks a W× candidate
+  *    stream — exactly the shape the bounded top-k aggregation must
+  *    absorb without a skewed shuffle.
+  * A linear-scaling operator should cost ~W× the base wall-clock with an
+  * UNCHANGED exchange count (plan shape is data-independent). Both
+  * widths are written to parquet and read back so the scan side is
+  * identical in kind.
   *
   * Output: one markdown table (stdout + WIDTH.md) with per-op min-of-2
   * times at 1× and W×, the ratio, and the Exchange count at each width
@@ -34,7 +46,7 @@ object WidthBench {
     val base = Tables(spark, dir).documents
       .select("doc_id", "text", "lang", "source")
     val work = java.nio.file.Files.createTempDirectory("graft_width").toString
-    def widen(width: Int): String = {
+    def widenDocs(width: Int): String = {
       val df =
         if (width == 1) base
         else (0 until width).map { i =>
@@ -49,36 +61,76 @@ object WidthBench {
       p
     }
 
-    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "dedup_minhash_lsh"   -> (d => Dedup.minhashDedup(d)),
-      "dedup_simhash"       -> (d => Dedup.simhashDedup(d)),
-      "dedup_ngram_jaccard" -> (d => Dedup.ngramJaccardPairs(d)),
-      "q69_edit_distance"   -> (d => Dedup.editDistancePairs(d)),
-      "q49_tfidf"           -> (d => TextAnalysis.tfIdf(d)),
-      "langid_ngram"        -> (d => TextAnalysis.languageId(d)))
+    /** Widened star-schema directory readable by Tables(spark, _): fact
+      * tables W× with shifted (still-consistent) orderkeys, dims at 1×. */
+    def widenRel(width: Int): String = {
+      val t = Tables(spark, dir)
+      val out = s"$work/rel$width"
+      def rep(df: DataFrame, keys: Seq[String]): DataFrame =
+        if (width == 1) df
+        else (0 until width).map { i =>
+          keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * 100000000L)))
+        }.reduce(_.unionByName(_))
+      rep(t.lineitem, Seq("l_orderkey")).write.mode("overwrite")
+        .parquet(s"$out/lineitem.parquet")
+      rep(t.orders, Seq("o_orderkey")).write.mode("overwrite")
+        .parquet(s"$out/orders.parquet")
+      t.customer.write.mode("overwrite").parquet(s"$out/customer.parquet")
+      t.nation.write.mode("overwrite").parquet(s"$out/nation.parquet")
+      out
+    }
+
+    def widenEmb(width: Int): String = {
+      val emb = Tables(spark, dir).embeddings
+      val df =
+        if (width == 1) emb
+        else (0 until width).map { i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+        }.reduce(_.unionByName(_))
+      val p = s"$work/emb$width"
+      df.write.mode("overwrite").parquet(p)
+      p
+    }
+
+    def ops(width: Int): Seq[(String, () => DataFrame)] = {
+      val docs = spark.read.parquet(widenDocs(width))
+      val relDir = widenRel(width)
+      val emb = spark.read.parquet(widenEmb(width))
+      Seq(
+        "dedup_minhash_lsh"   -> (() => Dedup.minhashDedup(docs)),
+        "dedup_simhash"       -> (() => Dedup.simhashDedup(docs)),
+        "dedup_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs)),
+        "q69_edit_distance"   -> (() => Dedup.editDistancePairs(docs)),
+        "q49_tfidf"           -> (() => TextAnalysis.tfIdf(docs)),
+        "langid_ngram"        -> (() => TextAnalysis.languageId(docs)),
+        "q7_star_join"        -> (() => RelationalQueries.q7(spark, relDir)),
+        "q16_pricing"         -> (() => RelationalQueries.q16(spark, relDir)),
+        "q22_knn_cosine"      -> (() => Similarity.bruteForceTopK(emb)),
+        "knn_ann_lsh"         -> (() => Similarity.annTopK(emb)),
+        "knn_ann_ivf"         -> (() => Similarity.ivfTopK(emb)))
+    }
+    val opNames = ops(1).map(_._1) // widen(1) is cheap; names only
 
     final case class Cell(secs: Double, exchanges: Int, rows: Long)
     def exchangeCount(plan: String): Int =
       "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
         .findAllIn(plan).length
 
-    def measure(docsPath: String): Map[String, Cell] = {
-      val docs = spark.read.parquet(docsPath)
-      val n = docs.count()
-      println(s"[width] $docsPath: $n docs")
-      ops.map { case (name, f) =>
+    def measure(width: Int): Map[String, Cell] = {
+      println(s"[width] building inputs at $width×")
+      ops(width).map { case (name, f) =>
         // Recording scoped to the fingerprint: timed runs below stay clean.
         graft.Materialize.startPlanRecording()
-        val plan = (f(docs).queryExecution.executedPlan.toString +:
+        val plan = (f().queryExecution.executedPlan.toString +:
           graft.Materialize.recentPlans).mkString("\n")
         graft.Materialize.stopPlanRecording()
         val ex = exchangeCount(plan)
         def once(): Double = {
           val t0 = System.nanoTime()
-          f(docs).write.format("noop").mode("overwrite").save()
+          f().write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        val rows = f(docs).count()
+        val rows = f().count()
         val t = math.min(once(), once())
         println(f"[width] $name%-22s $t%8.2f s  exchanges=$ex rows=$rows")
         name -> Cell(t, ex, rows)
@@ -87,23 +139,24 @@ object WidthBench {
 
     // Warm the session (codegen, noop sink, shuffle machinery) off-band.
     Dedup.exact(base).write.format("noop").mode("overwrite").save()
-    val p1 = widen(1)
-    val pw = widen(w)
-    val r1 = measure(p1)
-    val rw = measure(pw)
+    val r1 = measure(1)
+    val rw = measure(w)
 
     val sb = new StringBuilder
-    sb ++= s"# WIDTH — measured width scaling (base = $dir, ${w}× disjoint-vocab replication)\n\n"
-    sb ++= "Method: the corpus is widened by replication with a disjoint vocabulary per\n"
-    sb ++= "replica (every token suffixed `_i`), making the wide corpus W independent\n"
-    sb ++= s"copies of the base problem — the structure of W days of fresh data. A\n"
-    sb ++= "linear operator should show time ≈ W× and an unchanged Exchange count\n"
-    sb ++= "(final plan + plans inside Materialize boundaries). min-of-2 runs, local[" +
+    sb ++= s"# WIDTH — measured width scaling (base = $dir, ${w}× replication)\n\n"
+    sb ++= "Method: documents widened with a disjoint vocabulary per replica (every\n"
+    sb ++= "token suffixed `_i`) — W independent copies of the base problem, the\n"
+    sb ++= "structure of W days of fresh data; lineitem/orders replicated with shifted\n"
+    sb ++= "orderkeys while dimensions stay at base size (facts grow, dims don't);\n"
+    sb ++= "embeddings replicated with shifted vec_ids while the 3 query vectors stay\n"
+    sb ++= "fixed (each query ranks a W× candidate stream). A linear operator should\n"
+    sb ++= "show time ≈ W× and an unchanged Exchange count (final plan + plans inside\n"
+    sb ++= "Materialize boundaries). min-of-2 runs, local[" +
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "],\n"
     sb ++= s"loadavg ${scala.io.Source.fromFile("/proc/loadavg").mkString.trim}.\n\n"
     sb ++= s"| op | t(1×) s | t(${w}×) s | ratio | exchanges 1× | exchanges ${w}× | rows 1× | rows ${w}× |\n"
     sb ++= "|---|---|---|---|---|---|---|---|\n"
-    ops.foreach { case (name, _) =>
+    opNames.foreach { name =>
       val a = r1(name); val b = rw(name)
       sb ++= f"| $name | ${a.secs}%.2f | ${b.secs}%.2f | ${b.secs / a.secs}%.1f× " +
         f"| ${a.exchanges} | ${b.exchanges} | ${a.rows} | ${b.rows} |\n"

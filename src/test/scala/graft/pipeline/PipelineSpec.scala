@@ -248,6 +248,16 @@ class PipelineSpec extends AnyFunSuite {
   test("materialization strategies (reliable/persist) produce identical results") {
     import graft.Materialize
     val local = Dedup.minhashDedup(docs).collect().map(_.toString).sorted
+    def checkpointFiles(): Seq[java.nio.file.Path] =
+      spark.sparkContext.getCheckpointDir.toSeq.flatMap { d =>
+        val p = java.nio.file.Paths.get(new java.net.URI(d).getPath)
+        if (!java.nio.file.Files.exists(p)) Nil
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        }
+      }
+    val before = checkpointFiles().size
     for (strategy <- Seq("reliable", "persist")) {
       spark.conf.set(Materialize.StrategyKey, strategy)
       try {
@@ -255,8 +265,18 @@ class PipelineSpec extends AnyFunSuite {
         assert(got.sameElements(local), s"strategy $strategy diverged")
       } finally spark.conf.unset(Materialize.StrategyKey)
     }
-    // The reliable path really went through the checkpoint dir.
+    // The reliable path really wrote through the checkpoint dir (the
+    // cluster story depends on it — localCheckpoint is the local[*]
+    // fast path, reliable is what survives executor loss).
     assert(spark.sparkContext.getCheckpointDir.isDefined)
+    val files = checkpointFiles()
+    assert(files.size > before, "reliable run left no new checkpoint data")
+    // Cleanup: once results are consumed nothing pins the files — the
+    // whole dir deletes cleanly (a long-running service instead sets
+    // spark.cleaner.referenceTracking.cleanCheckpoints so GC'd datasets
+    // clean their own files; this pins the no-leaked-handles side).
+    files.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    assert(checkpointFiles().isEmpty, "checkpoint dir did not delete cleanly")
   }
 
   test("text quality stats are consistent") {
