@@ -40,8 +40,15 @@ object Similarity {
     * independent (q22 stays hash-matched vs DuckDB's window form). */
   private def rankTopK(scored: DataFrame, k: Int, scoreCol: String,
       ascending: Boolean): DataFrame = {
+    // A zero vector's cosine is 0/0 = NaN (and a null embedding yields
+    // null): neither is a neighbor. Drop both before aggregating — the
+    // window form this replaced actually ranked NaN FIRST under desc
+    // (Spark orders NaN greatest), which would have surfaced a zero
+    // vector as the top match; the explicit filter fixes that wart
+    // rather than preserving it.
     val ranked = graft.functions.TopK.perGroup(
-      scored, "query_id", scoreCol, "vec_id", k, ascending)
+      scored.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol))),
+      "query_id", scoreCol, "vec_id", k, ascending)
     val dir = if (ascending) asc(scoreCol) else desc(scoreCol)
     ranked.select("query_id", "vec_id", scoreCol)
       .orderBy(asc("query_id"), dir, asc("vec_id"))

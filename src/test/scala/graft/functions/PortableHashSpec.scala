@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PortableHash is the contract between two engines: the Spark column,
+  * the Spark SQL fragment (used inside HOF lambdas), and the DuckDB twin
+  * must all agree bit-for-bit, or the promoted simhash/fingerprint
+  * oracles silently stop meaning anything. Pin known values (computed
+  * independently: md5('hello') = 5d41402abc4b2a76..., first 16 hex chars
+  * as signed 64-bit) so a refactor that changes the derivation fails
+  * loudly here instead of in the driver's oracle diff. */
+class PortableHashSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // int('5d41402abc4b2a76', 16) — high bit clear, stays positive.
+  private val HelloHash = 6719722671305337462L
+
+  test("hash64 pins the md5-derived value and handles high-bit inputs") {
+    import spark.implicits._
+    val got = Seq("hello").toDF("x")
+      .select(PortableHash.hash64(col("x"))).head().getLong(0)
+    assert(got == HelloHash, s"hash64('hello') drifted: $got")
+    // A value with the md5 high bit set must wrap negative (two's
+    // complement), exactly like the DuckDB twin's HUGEINT adjustment.
+    val vals = (0 until 64).map(i => s"probe_$i")
+      .toDF("x").select(PortableHash.hash64(col("x")).as("h")).collect().map(_.getLong(0))
+    assert(vals.exists(_ < 0), "no negative hash in 64 probes — high bit lost?")
+    assert(vals.distinct.length == vals.length, "collision across 64 probes")
+  }
+
+  test("sqlFragment form is bit-identical to the column form") {
+    import spark.implicits._
+    val df = (Seq("hello", "", "a", "multi word text", "Ünïcôdé ✓") ++
+      (0 until 100).map(i => s"tok$i")).toDF("x")
+    val diff = df.select(
+      PortableHash.hash64(col("x")).as("a"),
+      expr(PortableHash.sqlFragment("x")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, "column and SQL-fragment forms diverged")
+  }
+}

@@ -52,6 +52,20 @@ class TopKSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, 11L, 0.9), (1L, 10L, 0.5), (2L, 20L, 0.1)))
   }
 
+  test("a zero vector (null cosine) is excluded from knn results, not crashed on") {
+    import spark.implicits._
+    val corpus = (0L until 6L).map { i =>
+      val v = if (i == 4L) Array.fill(8)(0f)
+              else Array.tabulate(8)(d => (i + 1).toFloat / (d + 1))
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.bruteForceTopK(corpus, nQueries = 1, k = 10).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getLong(1) == 4L),
+      "zero vector (undefined cosine) must not appear as a neighbor")
+    assert(rows.forall(!_.isNullAt(2)), "no null sims in output")
+  }
+
   test("knn ranking plans carry no Window and aggregate partially") {
     val emb = graft.Tables(spark, sf0001).embeddings
     val plan = Similarity.bruteForceTopK(emb).queryExecution.executedPlan.toString
