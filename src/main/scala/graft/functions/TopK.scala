@@ -58,6 +58,33 @@ object TopK {
     def outputEncoder: org.apache.spark.sql.Encoder[Buf] = Encoders.product[Buf]
   }
 
+  /** String-scored candidate (hex-hash draws, lexicographic keys).
+    * Scala's String ordering (UTF-16 code units) coincides with DuckDB's
+    * byte-wise UTF-8 compare on the ASCII hex keys these rank. */
+  case class ScoredS(score: String, id: Long)
+  case class BufS(items: Seq[ScoredS])
+
+  private final class TopKStrAgg(k: Int)
+      extends Aggregator[ScoredS, BufS, BufS] {
+    // Ascending (score, id) — the only order the hash-draw callers need.
+    @transient private lazy val ord: Ordering[ScoredS] =
+      Ordering.by((s: ScoredS) => (s.score, s.id))
+    def zero: BufS = BufS(Nil)
+    def reduce(b: BufS, a: ScoredS): BufS = {
+      val it = b.items
+      if (it.size >= k && ord.lteq(it.last, a)) b
+      else {
+        val (better, worse) = it.span(x => ord.lt(x, a))
+        BufS(((better :+ a) ++ worse).take(k))
+      }
+    }
+    def merge(x: BufS, y: BufS): BufS =
+      BufS((x.items ++ y.items).sorted(ord).take(k))
+    def finish(b: BufS): BufS = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[BufS] = Encoders.product[BufS]
+    def outputEncoder: org.apache.spark.sql.Encoder[BufS] = Encoders.product[BufS]
+  }
+
   /** Top-k rows per `groupCol` ranked by (`scoreCol`, `idCol`) — ascending
     * or descending score, id ascending as tiebreak. Returns
     * (groupCol, idCol, scoreCol), best-first within each group. */
@@ -68,5 +95,31 @@ object TopK {
       .agg(f(col(scoreCol).cast("double"), col(idCol)).as("_tk"))
       .select(col(groupCol), explode(col("_tk.items")).as("_e"))
       .select(col(groupCol), col("_e.id").as(idCol), col("_e.score").as(scoreCol))
+  }
+
+  /** [[perGroup]] plus the 1-based rank within each group — the bounded
+    * replacement for `row_number().over(partitionBy(group)) <= k`: the
+    * buffer is already best-first, so the explode position IS the rank. */
+  def perGroupRanked(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, rankCol: String, k: Int, ascending: Boolean): DataFrame = {
+    val f = udaf(new TopKAgg(k, ascending), Encoders.product[Scored])
+    df.groupBy(groupCol)
+      .agg(f(col(scoreCol).cast("double"), col(idCol)).as("_tk"))
+      .select(col(groupCol), posexplode(col("_tk.items")).as(Seq("_pos", "_e")))
+      .select(col(groupCol), col("_e.id").as(idCol),
+        col("_e.score").as(scoreCol), (col("_pos") + 1).cast("long").as(rankCol))
+  }
+
+  /** String-scored ascending variant of [[perGroupRanked]] (rank by
+    * (scoreCol asc, idCol asc)); emits (groupCol, idCol, rankCol) — the
+    * callers rank on derived draw keys they don't output. */
+  def perGroupStrRanked(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    val f = udaf(new TopKStrAgg(k), Encoders.product[ScoredS])
+    df.groupBy(groupCol)
+      .agg(f(col(scoreCol), col(idCol)).as("_tk"))
+      .select(col(groupCol), posexplode(col("_tk.items")).as(Seq("_pos", "_e")))
+      .select(col(groupCol), col("_e.id").as(idCol),
+        (col("_pos") + 1).cast("long").as(rankCol))
   }
 }

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected-components clustering — the step that turns near-duplicate
@@ -187,12 +186,18 @@ object Clusters {
   def dedupClusters(docs: DataFrame, shingleSize: Int = 5,
       maxDf: Int = 50): DataFrame = {
     val labels = connectedComponents(sharedShingleEdges(docs, shingleSize, maxDf))
-    docs.select("doc_id")
+    val withComp = docs.select("doc_id")
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("component")))
+    // Sizes via groupBy + join back, not count() over a per-component
+    // window: a giant near-dup cluster would otherwise buffer all its
+    // members in one window partition, where the aggregate combines
+    // map-side and AQE can split the (skewed) size join.
+    val sizes = withComp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    withComp.join(sizes, Seq("component"))
+      .select("doc_id", "component", "cluster_size")
       .orderBy("doc_id")
   }
 

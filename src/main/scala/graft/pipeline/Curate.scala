@@ -2,7 +2,6 @@ package graft.pipeline
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed corpus-curation decision — what a training-data pipeline
@@ -33,9 +32,17 @@ object Curate {
       .select("doc_id", "dup_bigram_frac")
     val pii = TextAnalysis.redactPii(docs)
       .select(col("doc_id"), (col("n_emails") + col("n_phones")).as("n_pii"))
-    val dup = docs.withColumn("h", md5(col("text")))
-      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
-      .select(col("doc_id"), (col("rn") > 1).as("is_dup"))
+    // Exact-dup flag via keep-first hash AGGREGATE + a join back on the
+    // unique doc_id, not a row_number window over md5(text): a viral
+    // document duplicated millions of times would sort its whole clique
+    // in one skewed window partition, where the aggregate combines
+    // map-side and the doc_id join key is uniform by construction.
+    val keepers = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("keeper"))
+    val dup = docs.select("doc_id")
+      .join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keeper").isNull.as("is_dup"))
     // `empty` must be a first-class reason, not an absent row: the
     // token-exploding components (repetition) emit no rows for a NULL
     // text, so an inner join would silently drop the document — and

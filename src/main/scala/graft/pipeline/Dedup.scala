@@ -32,11 +32,16 @@ object Dedup {
       .otherwise(array(col("text")))
   }
 
-  /** Exact dedup: keep-first by content hash. One shuffle on the hash. */
+  /** Exact dedup: keep-first by content hash. One shuffle on the hash —
+    * as a hash AGGREGATE (min doc_id per hash), not a per-hash row_number
+    * window: the aggregate gets map-side partial combining, so a viral
+    * document duplicated millions of times collapses to one row per map
+    * task before the shuffle, where the window form would sort the whole
+    * clique in a single skewed reducer partition. Same keep-first rows
+    * (the oracle's ROW_NUMBER twin pins the equivalence). */
   def exact(docs: DataFrame): DataFrame =
-    docs.withColumn("h", md5(col("text")))
-      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
-      .filter(col("rn") === 1)
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "h")
       .orderBy("doc_id")
 

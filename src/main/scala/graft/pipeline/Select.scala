@@ -75,15 +75,20 @@ object Select {
 
   /** Per-domain quota: keep the top `k` documents of each source by
     * length (n_chars desc, doc_id asc as the tiebreak) — the "cap every
-    * domain's contribution" selection step. One shuffle on source; the
-    * rank window never sees more than one domain's rows per partition. */
+    * domain's contribution" selection step. Ranked by the bounded top-k
+    * aggregation ([[graft.functions.TopK]]), NOT a per-source row_number
+    * window: source cardinality is tiny relative to the corpus, so the
+    * window form would sort a whole domain's documents in one reducer
+    * partition — the same skewed-shuffle shape the KNN ranking shed in
+    * round 6. The aggregate keeps ≤k rows per source per map task.
+    * (n_chars round-trips through the aggregator's double score exactly:
+    * document lengths are far below 2^53.) */
   def quotaTopK(docs: DataFrame, k: Int = 5): DataFrame =
-    docs
-      .withColumn("rk", row_number()
-        .over(Window.partitionBy("source")
-          .orderBy(desc("n_chars"), asc("doc_id"))).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+    graft.functions.TopK.perGroupRanked(
+      docs.select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", "doc_id", "rk", k, ascending = false)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"), col("rk"))
       .orderBy("source", "rk")
 
   /** Exactly-k uniform sample per stratum, deterministically: rank each
@@ -91,13 +96,14 @@ object Select {
     * [[stratifiedSample]] (Bernoulli — expected rate, variable count)
     * this guarantees the count; unlike [[quotaTopK]] (quality-ranked) the
     * hash order makes it an unbiased draw. Re-running anywhere selects
-    * the same documents. One shuffle on source. */
+    * the same documents. Same bounded top-k aggregation as [[quotaTopK]]
+    * (string-scored: hex draw keys compare identically in Scala and
+    * DuckDB — ASCII), never a per-source window sort. */
   def strataExactK(docs: DataFrame, k: Int = 5): DataFrame =
-    docs
-      .withColumn("rk", row_number()
-        .over(Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
-      .filter(col("rk") <= k)
+    graft.functions.TopK.perGroupStrRanked(
+      docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("hk")),
+      "source", "hk", "doc_id", "rk", k)
       .select(col("doc_id"), col("source"), col("rk"))
       .orderBy("source", "rk")
 
