@@ -2,7 +2,6 @@ package graft.pipeline
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, over `documents`.
@@ -426,30 +425,39 @@ object Dedup {
     val spark = newDocs.sparkSession
     val store = graft.sinks.BucketedStore.readOrEmpty(spark, storeDir, ExactSpec)
 
-    val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
-    // Intra-increment keep-first (one small shuffle on h), materialized so
-    // the row count and both join uses cost one computation.
-    val intra = graft.Materialize(hashed
-      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id"))))
+    // Hashes materialized once: the count, the keep-first aggregate, and
+    // the annotate join all read the checkpointed blocks.
+    val hashed = graft.Materialize(
+      newDocs.select(col("doc_id"), md5(col("text")).as("h")))
+    // Intra-increment keep-first via hash AGGREGATE + join back, not a
+    // per-hash row_number window: an increment full of one viral document
+    // combines map-side instead of sorting the clique in one reducer
+    // partition (same fix as [[exact]]; AQE broadcasts or skew-splits the
+    // join back). first_id rides along every row, giving both the dup
+    // flag (doc_id != first_id) and the intra dup_of target.
+    val firsts = hashed.groupBy("h").agg(min("doc_id").as("first_id"))
+    val intra = hashed.join(firsts, Seq("h"))
     val lookedUp =
-      if (intra.count() <= broadcastMaxRows) {
+      if (hashed.count() <= broadcastMaxRows) {
         // matches ≤ increment rows: stream the store against the broadcast
         // increment hash set, then annotate the increment entirely
         // broadcast-side. Zero Exchange anywhere near the store.
         val matches = graft.Materialize(
-          store.join(broadcast(intra.select("h").distinct()), Seq("h")))
+          store.join(broadcast(hashed.select("h").distinct()), Seq("h")))
         intra.join(broadcast(matches), Seq("h"), "left")
       } else
         // Jumbo increment: bucketed SMJ — Exchange on the increment only.
         store.join(intra, Seq("h"), "right")
     val annotated = lookedUp
       .select(col("doc_id"), col("h"),
-        (col("rn") > 1 || col("store_doc_id").isNotNull).as("is_duplicate"),
+        (col("doc_id") =!= col("first_id") || col("store_doc_id").isNotNull)
+          .as("is_duplicate"),
         // Precedence: the historical keep-first wins over the intra-batch one.
         when(col("store_doc_id").isNotNull, col("store_doc_id"))
-          .when(col("rn") > 1, min(col("doc_id")).over(Window.partitionBy("h")))
+          .when(col("doc_id") =!= col("first_id"), col("first_id"))
           .as("dup_of"))
       .transform(graft.Materialize(_))
+    graft.Materialize.release(hashed)
 
     // Append only hashes the store has never seen (their keep-first row).
     graft.sinks.BucketedStore.append(
