@@ -97,6 +97,13 @@ object Bench {
           violations += s"$name:ranking-regressed-to-window"
         if (name == "q22_knn_cosine" && !plan.contains("ObjectHashAggregate"))
           violations += s"$name:topk-not-partial-aggregated"
+        // Keep-first dedup, per-stratum selection, and cluster sizing are
+        // aggregate+join shapes now — a Window here means a refactor
+        // reintroduced a low-cardinality-partition sort (viral-dup clique /
+        // whole-domain / giant-cluster skew).
+        if (Set("q19_dedup_exact", "q60_quota_topk", "q68_strata_exact_k",
+              "dedup_clusters").contains(name) && fullPlan.contains("Window"))
+          violations += s"$name:skewed-window-came-back"
         // The df-capped keep-set join must broadcast: without it the
         // exploded shingle stream shuffles twice (once for the df agg,
         // again for the keep join) before the pair self-join. The join is
