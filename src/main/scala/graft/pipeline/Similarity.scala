@@ -114,14 +114,18 @@ object Similarity {
     val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("band"), col("bucket"))
+    // Score BEFORE the candidate dedup: a pair surfaces once per shared
+    // band, and recomputing the codegen cosine per collision is far
+    // cheaper than shuffling two 64-float arrays per candidate row
+    // through dropDuplicates — the dedup then moves only scalars.
+    // (Duplicate candidates carry identical sims, so dedup keeps the
+    // same values either way.)
     val candidates = banded.join(queries, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"), col("qe"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(emb.sparkSession, "embedding", "qe"), 4).as("sim"))
       .dropDuplicates("query_id", "vec_id")
-    rankTopK(
-      candidates.select(col("query_id"), col("vec_id"),
-        round(cosineFast(emb.sparkSession, "embedding", "qe"), 4).as("sim")),
-      k, "sim", ascending = false)
+    rankTopK(candidates, k, "sim", ascending = false)
   }
 
   /** Deterministic training sample for the Lloyd loops: every vector whose
@@ -385,16 +389,18 @@ object Similarity {
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.9,
       planes: Int = 16, bandBits: Int = 8): DataFrame = {
     val banded = bandedTable(emb, planes, bandBits)
+    // Cosine computed BEFORE the pair dedup (same trade as annTopK: the
+    // dedup shuffle moves one double per candidate, not two vectors).
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"),
-        col("a.embedding").as("le"), col("b.embedding").as("re"))
-      .dropDuplicates("left_id", "right_id")
-      .select(col("left_id"), col("right_id"),
-        cosineFast(emb.sparkSession, "le", "re").as("cos"))
+        cosineFast(emb.sparkSession, "a.embedding", "b.embedding").as("cos"))
+      // Threshold before the dedup: only qualifying pairs shuffle at all
+      // (identical cos per duplicate, so the order is value-neutral).
       .filter(col("cos") >= threshold)
+      .dropDuplicates("left_id", "right_id")
     val dupOf = pairs.groupBy(col("right_id").as("vec_id"))
       .agg(min(col("left_id")).as("dup_of"), max(col("cos")).as("best_cos"))
     emb.select("vec_id", "label")
