@@ -43,6 +43,24 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("result is independent of input partitioning (merge order)") {
+    // The determinism claim behind replacing the window: any partitioning
+    // of the input produces the same top-k set and order, because the
+    // (score, id) order is total. Randomized scores, fixed seed.
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val rows = for (g <- 0 until 4; i <- 0 until 300)
+      yield (g.toLong, (g * 1000 + i).toLong, math.floor(rng.nextDouble() * 100) / 100)
+    val df = rows.toDF("query_id", "vec_id", "sim")
+    val outs = Seq(1, 7, 32).map { p =>
+      graft.functions.TopK
+        .perGroup(df.repartition(p), "query_id", "sim", "vec_id", 10, ascending = false)
+        .orderBy("query_id", "vec_id").collect().map(_.toString).toSeq
+    }
+    assert(outs.distinct.size == 1,
+      s"top-k differed across partitionings: ${outs.map(_.take(3))}")
+  }
+
   test("groups smaller than k emit all their rows, best-first") {
     import spark.implicits._
     val tiny = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (2L, 20L, 0.1))
