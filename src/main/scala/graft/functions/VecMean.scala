@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions.udaf
+
+/** Element-wise mean of a vector column — the distributed k-means
+  * centroid update as ONE hash aggregate (sum vector + count per group,
+  * divide in finish), with map-side partial combining.
+  *
+  * The DataFrame-only alternative the Lloyd loops used through round 5 —
+  * posexplode → groupBy(group, dim).avg → groupBy(group).collect_list →
+  * array_sort → transform — is two chained shuffles plus an array
+  * reassembly per iteration; this is one shuffle of (group, sum-vector,
+  * count) partials, the shape every distributed k-means implementation
+  * settles on. Arithmetic is the same sum/count division, so centroids
+  * agree with the per-dim avg form up to float summation order (pinned
+  * exactly on integer-valued vectors in VecMeanSpec).
+  *
+  * All-null/empty groups yield an empty vector (callers' group keys come
+  * from assignment rows, which always carry a vector). */
+object VecMean {
+
+  case class In(v: Seq[Double])
+  case class Acc(sum: Array[Double], n: Long)
+  case class Out(v: Seq[Double])
+
+  private final class VecMeanAgg extends Aggregator[In, Acc, Out] {
+    def zero: Acc = Acc(Array.emptyDoubleArray, 0L)
+    def reduce(b: Acc, a: In): Acc = {
+      if (a == null || a.v == null) b
+      else if (b.n == 0L) Acc(a.v.toArray, 1L)
+      else {
+        val s = b.sum
+        var i = 0
+        while (i < s.length) { s(i) += a.v(i); i += 1 }
+        Acc(s, b.n + 1L)
+      }
+    }
+    def merge(x: Acc, y: Acc): Acc =
+      if (x.n == 0L) y
+      else if (y.n == 0L) x
+      else {
+        val s = x.sum
+        var i = 0
+        while (i < s.length) { s(i) += y.sum(i); i += 1 }
+        Acc(s, x.n + y.n)
+      }
+    def finish(b: Acc): Out =
+      Out(if (b.n == 0L) Nil else b.sum.map(_ / b.n).toSeq)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Acc] = Encoders.product[Acc]
+    def outputEncoder: org.apache.spark.sql.Encoder[Out] = Encoders.product[Out]
+  }
+
+  /** UDAF over one ARRAY<DOUBLE> column; result is a struct with field
+    * `v` holding the mean vector (`agg(...).getField("v")`). */
+  def mean: UserDefinedFunction = udaf(new VecMeanAgg, Encoders.product[In])
+}

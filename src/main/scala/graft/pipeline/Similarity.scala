@@ -186,14 +186,17 @@ object Similarity {
     val train =
       if (iters > 0) graft.Materialize(trainSample(emb, trainDenom))
       else emb
+    // Centroid update: ONE hash aggregate of (sum vector, count) per cell
+    // (graft.functions.VecMean — the standard distributed k-means shape,
+    // map-side combined), not posexplode → per-dim avg → array reassembly
+    // (two chained shuffles per iteration).
     (0 until iters).foreach { _ =>
       val prev = centroids
       val moved = assign(prev, train)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy("cell", "i").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
-        .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cvec"))
+        .select(col("cell"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .groupBy("cell").agg(graft.functions.VecMean.mean(col("v")).as("m"))
+        .select(col("cell"), col("m.v").as("cvec"))
       // A cell that captured no sample vectors this round keeps its
       // previous centroid (standard empty-cluster handling, same as
       // pqCore) — dropping it would shrink nList for every later probe.
@@ -277,14 +280,14 @@ object Similarity {
 
     // Sampled from the already-materialized subs table: the filter is a
     // cheap scan of checkpointed blocks, so no second materialization.
+    // Codebook update: one VecMean hash aggregate per (sub, code) — see
+    // the ivfTopK update for the shape rationale.
     val trainSubs = trainSample(subs, trainDenom)
     (0 until iters).foreach { _ =>
       val moved = assign(codebook, trainSubs)
-        .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("i", "x")))
-        .groupBy("sub", "code", "i").agg(avg("x").as("mv"))
         .groupBy("sub", "code")
-        .agg(array_sort(collect_list(struct(col("i"), col("mv")))).as("pairs"))
-        .select(col("sub"), col("code"), expr("transform(pairs, p -> p.mv)").as("cvec"))
+        .agg(graft.functions.VecMean.mean(col("svec")).as("m"))
+        .select(col("sub"), col("code"), col("m.v").as("cvec"))
       // A centroid that captured no vectors this round keeps its previous
       // position (standard empty-cluster handling) — dropping it would
       // shrink k and bias every later assignment.

@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VecMean must equal the posexplode → per-dim avg form it replaced in
+  * the Lloyd loops. Integer-valued vectors make double summation exact
+  * in ANY order, so the comparison is equality, not tolerance. */
+class VecMeanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("element-wise mean equals the posexplode+avg form, any partitioning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = for (g <- 0 until 5; _ <- 0 until 97)
+      yield (g, Seq.fill(16)(rng.nextInt(1000).toDouble))
+    val df = rows.toDF("g", "v").repartition(13)
+
+    val got = df.groupBy("g").agg(VecMean.mean(col("v")).as("m"))
+      .select(col("g"), col("m.v").as("mean"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+
+    val expected = df.select(col("g"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("g", "i").agg(avg("x").as("m"))
+      .groupBy("g")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("p"))
+      .select(col("g"), expr("transform(p, q -> q.m)").as("mean"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (g, m) =>
+      assert(m == expected(g), s"group $g diverged")
+    }
+  }
+
+  test("plans as a partial-combining object hash aggregate") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0))).toDF("g", "v")
+    val plan = df.groupBy("g").agg(VecMean.mean(col("v")).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.toLowerCase.contains("partial_vecmeanagg"), plan)
+  }
+}
