@@ -70,6 +70,25 @@ class TopKSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, 11L, 0.9), (1L, 10L, 0.5), (2L, 20L, 0.1)))
   }
 
+  test("string-scored ranked variant equals the window rank form") {
+    import spark.implicits._
+    val rows = for (g <- Seq("a", "b", "c"); i <- 0 until 200)
+      yield (g, (i + g.hashCode.abs % 7).toLong)
+    val df = rows.toDF("src", "doc_id")
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+    val expected = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(asc("hk"), asc("doc_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("src", "doc_id", "rk")
+      .orderBy("src", "rk").collect()
+    val got = graft.functions.TopK
+      .perGroupStrRanked(df, "src", "hk", "doc_id", "rk", 5)
+      .orderBy("src", "rk").collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
+
   test("a zero vector (null cosine) is excluded from knn results, not crashed on") {
     import spark.implicits._
     val corpus = (0L until 6L).map { i =>
