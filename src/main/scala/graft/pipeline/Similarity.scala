@@ -151,9 +151,15 @@ object Similarity {
     * — the full corpus is scanned once for the final assignment, not once
     * per iteration — seeded deterministically from hash-ordered corpus
     * vectors: no RNG state, reproducible across executors. */
-  def ivfTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
-      nList: Int = 8, nProbe: Int = 2, iters: Int = 2,
-      trainDenom: Int = 4): DataFrame = {
+  /** k-means coarse quantizer shared by [[ivfTopK]] and [[ivfPqTopK]]:
+    * trains `nList` centroids over a deterministic 1/`trainDenom`
+    * hash-sample (the full corpus is scanned once for the final
+    * assignment, not once per iteration), seeded from hash-ordered corpus
+    * vectors — no RNG state. Returns (centroids (cell, cvec) —
+    * materialized, tiny, broadcast by every consumer; assigned (vec_id,
+    * embedding, cell) — materialized). */
+  private def coarseQuantize(emb: DataFrame, nList: Int, iters: Int,
+      trainDenom: Int): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
 
@@ -205,7 +211,14 @@ object Similarity {
       graft.Materialize.release(prev)
     }
     if (iters > 0) graft.Materialize.release(train)
-    val assigned = assign(centroids, emb).transform(graft.Materialize(_))
+    (centroids, assign(centroids, emb).transform(graft.Materialize(_)))
+  }
+
+  def ivfTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+      nList: Int = 8, nProbe: Int = 2, iters: Int = 2,
+      trainDenom: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val (centroids, assigned) = coarseQuantize(emb, nList, iters, trainDenom)
 
     val probes = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -223,6 +236,74 @@ object Similarity {
         .select(col("query_id"), col("vec_id"),
           round(cosineFast(spark, "embedding", "qe"), 4).as("sim")),
       k, "sim", ascending = false)
+  }
+
+  /** IVF-PQ: the production-standard composition of the coarse quantizer
+    * and product quantization (the FAISS `IVFPQ` index shape) — vectors
+    * are bucketed into `nList` cells and PQ-encoded as RESIDUALS from
+    * their cell centroid, which quantize far better than raw vectors
+    * (residual energy ≪ vector energy). Search probes `nProbe` cells and
+    * ranks by asymmetric distance: for each probed cell the query's
+    * residual (q − centroid) gets an m×pqK distance table, and
+    * ||q − (c + r̂)||² = ||(q−c) − r̂||² is a sum of table lookups.
+    *
+    * The 100-TB shape: centroids (nList×dim doubles) and the per-query
+    * distance tables (nQueries×nProbe×m×pqK doubles) broadcast; the
+    * corpus-side index is (vec_id, cell, sub, code) INTEGERS — raw
+    * vectors are touched exactly twice ever (assignment, residual
+    * encoding) and never at query time; candidate generation is the
+    * equi-join on (cell, sub, code), so a query scans ~nProbe/nList of
+    * the code table and nothing else. Scores ascend (squared L2). */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+      nList: Int = 8, nProbe: Int = 2, m: Int = 8, pqK: Int = 16,
+      iters: Int = 2, trainDenom: Int = 4): DataFrame = {
+    val (cents, assigned) = coarseQuantize(emb, nList, iters, trainDenom)
+    // Residuals r = v − centroid(cell), double space. Materialized: the
+    // PQ trainer, the encoder, and the cell carry-through all read it.
+    val residuals = graft.Materialize(
+      assigned.join(broadcast(cents), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          expr("zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) - y)")
+            .as("embedding")))
+    val (cb, subs, dim) = pqCore(residuals, m, pqK, iters, trainDenom)
+    val sub = dim / m
+    // Corpus index: (vec_id, cell, codes) — the only per-vector state.
+    val codes = pqEncodeFrom(subs, cb, dim)
+      .select(col("vec_id"), col("codes"))
+      .join(residuals.select("vec_id", "cell"), Seq("vec_id"))
+
+    // Query side: nProbe nearest cells by exact L2 (consistent with the
+    // ADC metric), then the per-(query, cell) residual distance table.
+    // The probe window ranks nList rows per query — bounded by a
+    // constant, never corpus-scale (cf. rankTopK's contract).
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val qres = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        expr("zip_with(qe, cvec, (x, y) -> CAST(x AS DOUBLE) - y)").as("qr"))
+      .withColumn("d2", expr("aggregate(transform(qr, x -> x * x), 0D, (a, v) -> a + v)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("d2"), asc("cell"))))
+      .filter(col("rn") <= nProbe)
+    val dtab = qres
+      .select(col("query_id"), col("cell"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
+           |  slice(qr, j * $sub + 1, $sub) AS svec))""".stripMargin)).as("e"))
+      .select(col("query_id"), col("cell"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+          .as("d"))
+
+    // Only vectors in probed cells join the broadcast table at all.
+    rankTopK(
+      codes
+        .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .filter(col("vec_id") >= nQueries)
+        .join(broadcast(dtab), Seq("cell", "sub", "code"))
+        .groupBy("query_id", "vec_id")
+        .agg(round(sum("d"), 6).as("adc_dist")),
+      k, "adc_dist", ascending = true)
   }
 
   /** Product-quantization codebook: `m` subspaces × `k` centroids each,
@@ -247,14 +328,20 @@ object Similarity {
       trainDenom: Int = 4): (DataFrame, DataFrame, Int) = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // Normalize the input to ARRAY<DOUBLE> up front: the trainer then
+    // works identically on raw float embeddings and on the double-typed
+    // residual vectors [[ivfPqTopK]] feeds it (float→double is exact, so
+    // this changes nothing for the float path).
+    val dvecs = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val dim = dvecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"subspaces must tile the vector: dim=$dim m=$m")
     val sub = dim / m
 
-    val subs = subTable(emb, m, sub).transform(graft.Materialize(_))
-    val seedRows = emb.select(col("vec_id"), col("embedding"))
+    val subs = subTable(dvecs, m, sub).transform(graft.Materialize(_))
+    val seedRows = dvecs.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id"))).limit(k)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .collect().map(_.getSeq[Double](1).toArray)
     var codebook: DataFrame = (for {
       j <- 0 until m; c <- seedRows.indices
     } yield (j, c, seedRows(c).slice(j * sub, (j + 1) * sub).toSeq))
@@ -440,6 +527,7 @@ object Similarity {
     "q22_knn_cosine"    -> ((s, d) => bruteForceTopK(Tables(s, d).embeddings)),
     "knn_ann_lsh"       -> ((s, d) => annTopK(Tables(s, d).embeddings)),
     "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
+    "knn_ivfpq"         -> ((s, d) => ivfPqTopK(Tables(s, d).embeddings)),
     "dedup_embedding"   -> ((s, d) => embeddingNearDup(Tables(s, d).embeddings)),
     // Driver surface: the harness sorts result rows through pandas, which
     // cannot factorize an array column — emit the codes as a joined

@@ -175,6 +175,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq finds planted neighbors through cell-residual codes alone") {
+    // The full production index shape: coarse cells + PQ on residuals.
+    // Planted near-copies must dominate the top-5 from (cell, codes) +
+    // broadcast distance tables — raw vectors never touched at query time.
+    val adc = Similarity.ivfPqTopK(plantedCorpus, nQueries = 2, k = 5).collect()
+    assert(adc.length == 2 * 5, "k rows per query")
+    adc.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      val ds = g.map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "ascending distance")
+      val found = g.map(_.getLong(1)).count(id =>
+        id >= 100L + q * 10 && id < 100L + q * 10 + 3)
+      assert(found >= 2, s"query $q: only $found/3 planted neighbors in top-5")
+    }
+    // Deterministic end to end (hash seeds + hash-sample training).
+    val again = Similarity.ivfPqTopK(plantedCorpus, nQueries = 2, k = 5).collect()
+    assert(adc.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("pq-reconstructed search approximates brute force") {
     // ADC-style sanity: searching with vectors rebuilt from (codebook,
     // codes) alone must still find most of the true neighbors — the
