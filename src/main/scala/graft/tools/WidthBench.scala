@@ -107,7 +107,8 @@ object WidthBench {
         "q16_pricing"         -> (() => RelationalQueries.q16(spark, relDir)),
         "q22_knn_cosine"      -> (() => Similarity.bruteForceTopK(emb)),
         "knn_ann_lsh"         -> (() => Similarity.annTopK(emb)),
-        "knn_ann_ivf"         -> (() => Similarity.ivfTopK(emb)))
+        "knn_ann_ivf"         -> (() => Similarity.ivfTopK(emb)),
+        "knn_ivfpq"           -> (() => Similarity.ivfPqTopK(emb)))
     }
     val opNames = ops(1).map(_._1) // widen(1) is cheap; names only
 
