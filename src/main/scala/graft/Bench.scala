@@ -90,13 +90,24 @@ object Bench {
         // KNN ranking must stay the bounded top-k partial aggregation —
         // a Window here means the per-query row_number sort came back
         // (corpus-scale rows shuffled into |queries| reducer partitions).
-        // knn_ann_ivf is exempt only for its nProbe-cell probe window
-        // (bounded at nList rows per query, never corpus-scale).
+        // knn_ann_ivf and knn_ivfpq are exempt from the blanket Window ban
+        // only for their nProbe-cell probe windows (bounded at nList rows
+        // per query, never corpus-scale); their final ranking must still
+        // be the TopK partial aggregation (ObjectHashAggregate below).
         if (Set("q22_knn_cosine", "knn_ann_lsh", "knn_pq_adc").contains(name) &&
             fullPlan.contains("Window"))
           violations += s"$name:ranking-regressed-to-window"
-        if (name == "q22_knn_cosine" && !plan.contains("ObjectHashAggregate"))
+        if (Set("q22_knn_cosine", "knn_ivfpq", "knn_ann_ivf").contains(name) &&
+            !plan.contains("ObjectHashAggregate"))
           violations += s"$name:topk-not-partial-aggregated"
+        // q65's within-shard rank is the two-level prefix-sum: the only
+        // permitted windows are the per-block rank (blk — 16^blkHex-way,
+        // bounded rows per block) and the exclusive running count over the
+        // tiny per-block table. A row_number partitioned directly by
+        // `shard` means the corpus/nShards-rows-per-task sort came back.
+        if (name == "q65_shard_assign" && fullPlan.linesIterator.exists(l =>
+              l.contains("row_number()") && l.contains("windowspecdefinition(shard")))
+          violations += s"$name:per-shard-window-came-back"
         // Keep-first dedup, per-stratum selection, and cluster sizing are
         // aggregate+join shapes now — a Window here means a refactor
         // reintroduced a low-cardinality-partition sort (viral-dup clique /

@@ -99,14 +99,26 @@ object FeedStep {
 
     val gates = active.select($"id".as("partitionId"), $"gate".as("partitionGate"))
 
-    // R2: per-partition FIFO dispatch, limited to batchSize.
-    val rank = Window.partitionBy($"partitionId").orderBy($"updatedAt", $"id")
-    val fetched = items
+    // R2: per-partition FIFO dispatch, limited to batchSize — the bounded
+    // top-k aggregation ([[graft.functions.TopK]]), not row_number over a
+    // partitionId window. Per-partition backlog is DB-bounded on the JDBC
+    // path, but the batch-replay harness can hold corpus-scale backlogs,
+    // and the aggregate keeps ≤batchSize dispatch keys per partition per
+    // map task where the window would sort a partition's whole backlog in
+    // one task. Ranking on (unix_micros(updatedAt), id) is exact: Spark
+    // timestamps carry micros, so the key order IS (updatedAt, id). The
+    // selected-id set is bounded at |active partitions| × batchSize rows
+    // of ids — broadcast for the semi-join back to full item rows.
+    val fetchable = items
       .join(gates, Seq("partitionId"))
       .filter($"status" === Status.Available && $"gate" === $"partitionGate")
-      .withColumn("rn", row_number().over(rank))
-      .filter($"rn" <= opts.batchSize)
-      .drop("partitionGate", "rn")
+      .drop("partitionGate")
+    val selectedIds = graft.functions.TopK.perGroupOldestIds(
+      fetchable.select($"partitionId", unix_micros($"updatedAt").as("_fifoTs"), $"id"),
+      "partitionId", "_fifoTs", "id", opts.batchSize)
+      .select($"id".as("_selId"))
+    val fetched = fetchable
+      .join(broadcast(selectedIds), $"id" === $"_selId", "left_semi")
       .as[Item]
 
     // R3: counts over ALL items of the partition (not gate-filtered).

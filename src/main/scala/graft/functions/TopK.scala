@@ -85,6 +85,45 @@ object TopK {
     def outputEncoder: org.apache.spark.sql.Encoder[BufS] = Encoders.product[BufS]
   }
 
+  /** (epoch-micros, string-id) FIFO candidate — the dispatch key of
+    * [[graft.feed.FeedStep]]'s per-partition oldest-first selection.
+    * Ascending (score, id) only; the String-ordering caveat of [[ScoredS]]
+    * applies (item ids are ASCII in the reference's schema). */
+  case class ScoredTs(score: Long, id: String)
+  case class BufTs(items: Seq[ScoredTs])
+
+  private final class TopKTsAgg(k: Int)
+      extends Aggregator[ScoredTs, BufTs, BufTs] {
+    @transient private lazy val ord: Ordering[ScoredTs] =
+      Ordering.by((s: ScoredTs) => (s.score, s.id))
+    def zero: BufTs = BufTs(Nil)
+    def reduce(b: BufTs, a: ScoredTs): BufTs = {
+      val it = b.items
+      if (it.size >= k && ord.lteq(it.last, a)) b
+      else {
+        val (better, worse) = it.span(x => ord.lt(x, a))
+        BufTs(((better :+ a) ++ worse).take(k))
+      }
+    }
+    def merge(x: BufTs, y: BufTs): BufTs =
+      BufTs((x.items ++ y.items).sorted(ord).take(k))
+    def finish(b: BufTs): BufTs = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[BufTs] = Encoders.product[BufTs]
+    def outputEncoder: org.apache.spark.sql.Encoder[BufTs] = Encoders.product[BufTs]
+  }
+
+  /** Oldest-k string ids per group by (`scoreCol` asc, `idCol` asc) —
+    * the bounded FIFO-dispatch selection. Returns (groupCol, idCol);
+    * callers semi-join the id set back to recover full rows. */
+  def perGroupOldestIds(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val f = udaf(new TopKTsAgg(k), Encoders.product[ScoredTs])
+    df.groupBy(groupCol)
+      .agg(f(col(scoreCol).cast("long"), col(idCol)).as("_tk"))
+      .select(col(groupCol), explode(col("_tk.items")).as("_e"))
+      .select(col(groupCol), col("_e.id").as(idCol))
+  }
+
   /** Top-k rows per `groupCol` ranked by (`scoreCol`, `idCol`) — ascending
     * or descending score, id ascending as tiebreak. Returns
     * (groupCol, idCol, scoreCol), best-first within each group. */

@@ -186,19 +186,41 @@ object Select {
     * order: shard = the document's 16-bit md5 prefix scaled to nShards
     * (even split, per-row, zero shuffle); pos = the document's rank in
     * its shard under full-hash order (the reproducible "shuffled" read
-    * order — re-running the pipeline yields byte-identical shards). The
-    * rank window partitions by shard, so no single partition ever sees
-    * more than corpus/nShards rows. */
-  def shardAssign(docs: DataFrame, nShards: Int = 16): DataFrame =
-    docs
+    * order — re-running the pipeline yields byte-identical shards).
+    *
+    * The within-shard rank is a two-level prefix sum (the [[packSequences]]
+    * shape), NOT `row_number().over(partitionBy(shard))`: shard is a
+    * deliberately LOW-cardinality uniform key, so the window form sorts
+    * corpus/nShards rows in one task — ~6 TB per task at 100 TB / 16
+    * shards. Instead each document ranks inside its hash-prefix block
+    * (`blkHex` hex chars of hk; blocks refine the 16-bit shard prefix, so
+    * a block never straddles shards, and hk order == (blk, hk) order
+    * because blk is a prefix of hk). A block holds ~corpus/16^blkHex rows
+    * — the only per-row window — and the per-shard exclusive running
+    * count over the ≤16^blkHex-row block-size table is the ONLY data that
+    * crosses a single partition. Size blkHex to the corpus (default 6 →
+    * 16M blocks; at 10^12 docs ~60k rows/block). */
+  def shardAssign(docs: DataFrame, nShards: Int = 16, blkHex: Int = 6): DataFrame = {
+    require(blkHex >= 4 && blkHex <= 31, "blk prefix must cover the 16-bit shard prefix")
+    val hashed = docs
       .withColumn("hk", md5(col("doc_id").cast("string")))
       .withColumn("shard",
         floor(conv(substring(col("hk"), 1, 4), 16, 10).cast("long")
           * nShards / 65536).cast("long"))
-      .withColumn("pos", row_number()
-        .over(Window.partitionBy("shard").orderBy("hk", "doc_id")).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+      .withColumn("blk", substring(col("hk"), 1, blkHex))
+    val inBlk = hashed.withColumn("blk_rank", row_number()
+      .over(Window.partitionBy("blk").orderBy("hk", "doc_id")).cast("long"))
+    val blkPrefix = hashed.groupBy(col("shard"), col("blk"))
+      .agg(count(lit(1)).as("blk_n"))
+      .withColumn("blk_prefix",
+        coalesce(sum("blk_n").over(Window.partitionBy("shard").orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "blk_prefix")
+    inBlk.join(broadcast(blkPrefix), Seq("blk"))
+      .select(col("doc_id"), col("shard"),
+        (col("blk_rank") + col("blk_prefix")).as("pos"))
       .orderBy("shard", "pos")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_shard_assign"  -> ((s, d) => shardAssign(Tables(s, d).documents)),

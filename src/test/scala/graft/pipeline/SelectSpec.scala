@@ -100,6 +100,31 @@ class SelectSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("shard pos equals the single-window rank for every block size") {
+    // The two-level prefix-sum rank must be row-equal to the window form
+    // it replaced: rank within shard by (md5(doc_id), doc_id). Exercise
+    // blocks coarser than, equal to, and finer than the shard prefix
+    // boundary case (blkHex = 4 makes blocks == the 16-bit shard prefix).
+    val d = (0L until 500L).map(i => (i, "t")).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = (0L until 500L)
+      .map(i => (i, md5hex(i.toString)))
+      .map { case (i, h) =>
+        (i, java.lang.Long.parseLong(h.take(4), 16) * 16 / 65536, h)
+      }
+      .groupBy(_._2).flatMap { case (shard, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex
+          .map { case ((i, _, _), idx) => (i, shard.toLong, idx + 1L) }
+      }.toSet
+    for (blkHex <- Seq(4, 5, 6)) {
+      val got = Select.shardAssign(d, nShards = 16, blkHex = blkHex).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"blkHex=$blkHex diverged from the window-form rank")
+    }
+  }
+
   test("unigram surprisal ranks rare-token docs above common-token docs") {
     // 9 docs of a shared common token; one doc of unique tokens.
     val d = ((1L to 9L).map(i => (i, "common common common common")) :+
