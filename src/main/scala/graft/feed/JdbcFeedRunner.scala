@@ -41,7 +41,8 @@ final class JdbcFeedRunner(
     leaseFilter: Partition => Boolean = _ => true,
     clock: () => Long = () => System.currentTimeMillis(),
     warnSink: String => Unit = JdbcFeedRunner.defaultWarnSink,
-    maxLeaseScan: Int = JdbcFeedRunner.DefaultMaxLeaseScan) extends Serializable {
+    maxLeaseScan: Int = JdbcFeedRunner.DefaultMaxLeaseScan,
+    maxLeaseScanPages: Int = JdbcFeedRunner.DefaultMaxLeaseScanPages) extends Serializable {
 
   /** Leases this instance believes it holds: id → last saved row. */
   private var held = Map.empty[String, Partition]
@@ -68,19 +69,33 @@ final class JdbcFeedRunner(
       // live filter accepts) can no longer pin the window and starve this
       // instance: the cursor walks past rejected rows. Skipped rows only
       // age while unclaimed, so they still lead later scans (fairness).
+      // Work per tick is bounded too: at most `maxLeaseScanPages` pages
+      // (one SQL query each) — a huge fully-rejected backlog degrades to
+      // a warn + a partial scan instead of inflating every tick with an
+      // unbounded page walk. The cursor restarts from the oldest expired
+      // row next tick, which is correct (fairness comes from rows aging
+      // while unclaimed), just slower to reach the deep tail — the warn
+      // tells the operator to shard the backlog or raise the cap.
       val potential = {
         val acc = Seq.newBuilder[Partition]
         var collected = 0
+        var pages = 0
         var after: Option[(java.sql.Timestamp, String)] = None
         var exhausted = false
-        while (collected < maxLeaseScan && !exhausted) {
+        while (collected < maxLeaseScan && !exhausted && pages < maxLeaseScanPages) {
           val page = JdbcStore.potentialLeases(conn, now, prefix, maxLeaseScan, after)
+          pages += 1
           if (page.size < maxLeaseScan) exhausted = true
           page.lastOption.foreach(p => after = Some((p.until, p.id)))
           val accepted = page.filter(leaseFilter).take(maxLeaseScan - collected)
           acc ++= accepted
           collected += accepted.size
         }
+        if (!exhausted && collected < maxLeaseScan && pages >= maxLeaseScanPages)
+          warnSink(s"lease scan stopped after $pages pages with only " +
+            s"$collected/$maxLeaseScan candidates accepted; the expired " +
+            "backlog is dominated by leaseFilter-rejected rows — shard it " +
+            "to another instance or raise maxLeaseScanPages")
         acc.result()
       }
       // A potential lease we still believe we hold means our stored lease
@@ -195,4 +210,11 @@ object JdbcFeedRunner {
     * combination with the cap, because the scan keyset-pages past
     * filter-rejected rows instead of letting them pin the window. */
   val DefaultMaxLeaseScan: Int = 1024
+
+  /** Default cap on keyset pages WALKED per tick (one SQL query each).
+    * Bounds tick LATENCY the way [[DefaultMaxLeaseScan]] bounds memory:
+    * a backlog of filter-rejected rows otherwise turns every tick into a
+    * full-backlog page walk. 32 pages × 1024 rows = 32k rows scanned per
+    * tick worst-case; hitting the cap warns (see tick()). */
+  val DefaultMaxLeaseScanPages: Int = 32
 }

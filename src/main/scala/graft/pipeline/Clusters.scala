@@ -153,15 +153,29 @@ object Clusters {
     * a quadratic clique AND carries no dedup signal; dropping it is both
     * the scale guard and standard practice). One explode, one tiny
     * doc-frequency aggregate, one equi-join on the shingle — never an
-    * all-pairs comparison. */
+    * all-pairs comparison.
+    *
+    * `lenBandWidth > 0` adds a text-length band to the join key for
+    * callers that will drop length-mismatched pairs anyway (edit
+    * distance: |len(a)−len(b)| ≤ maxDist is a free lower bound on the
+    * distance). |len diff| ≤ W guarantees the two length buckets of
+    * width W differ by at most 1, so joining each probe row against its
+    * own bucket ±1 keeps EVERY pair the caller's length filter keeps —
+    * the edge set only loses pairs that filter was about to discard, but
+    * loses them BEFORE the pair shuffle + distinct instead of after. A
+    * qualifying pair still surfaces exactly once per shared shingle (one
+    * of the three probe buckets matches), so no dedup inflation either. */
   def sharedShingleEdges(docs: DataFrame, shingleSize: Int = 5,
-      maxDf: Int = 50): DataFrame = {
+      maxDf: Int = 50, lenBandWidth: Int = 0): DataFrame = {
+    val banded = lenBandWidth > 0
     // Materialized immediately: the shingle expression is a higher-order
     // function (interpreted, not codegen'd) and this table is consumed
     // twice (df filter + join) — recomputing it doubles the dominant cost.
+    val sh0Cols = Seq(col("doc_id"), explode(Dedup.shingles(shingleSize)).as("s")) ++
+      (if (banded) Seq(floor(length(col("text")) / lenBandWidth).as("bkt")) else Nil)
     val sh0 = graft.Materialize(docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(Dedup.shingles(shingleSize)).as("s")))
+      .select(sh0Cols: _*))
     // (doc_id, s) is unique (shingles are array_distinct per doc), so
     // plain count ≡ count(DISTINCT doc_id) without the expand shuffle.
     val keep = sh0.groupBy("s")
@@ -173,8 +187,18 @@ object Clusters {
     // self-join), not twice — same rationale as Dedup.ngramJaccardPairs.
     val sh = graft.Materialize(sh0.join(broadcast(keep), Seq("s")))
     graft.Materialize.release(sh0)
-    sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val pairs =
+      if (!banded)
+        sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      else {
+        val probe = sh.select(col("doc_id"), col("s"),
+          explode(expr("array(bkt - 1, bkt, bkt + 1)")).as("bkt"))
+        sh.as("a").join(probe.as("b"),
+          col("a.s") === col("b.s") && col("a.bkt") === col("b.bkt") &&
+            col("a.doc_id") < col("b.doc_id"))
+      }
+    pairs
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
   }

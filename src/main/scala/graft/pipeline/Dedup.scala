@@ -210,7 +210,13 @@ object Dedup {
       shingleSize: Int = 5,
       maxDf: Int = 50,
       limit: Int = 500): DataFrame = {
-    val pairs = Clusters.sharedShingleEdges(docs, shingleSize, maxDf)
+    // Candidates carry a maxDist-wide text-length band in the join key
+    // (see sharedShingleEdges): a pair with |len diff| > maxDist can never
+    // pass the length lower bound below, so pruning it inside the
+    // candidate join — before the pair shuffle, distinct, and the two
+    // text joins — only removes work, never answers.
+    val pairs = Clusters.sharedShingleEdges(docs, shingleSize, maxDf,
+        lenBandWidth = maxDist)
       .select(col("src").as("left_id"), col("dst").as("right_id"))
     val texts = docs.select(col("doc_id"), col("text"))
     pairs

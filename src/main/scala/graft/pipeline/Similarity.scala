@@ -151,23 +151,37 @@ object Similarity {
     * — the full corpus is scanned once for the final assignment, not once
     * per iteration — seeded deterministically from hash-ordered corpus
     * vectors: no RNG state, reproducible across executors. */
+  /** Coarse-quantizer working state: trained centroids (tiny,
+    * materialized), a LAZY full-corpus assignment (each consumer decides
+    * what to materialize — [[ivfTopK]] needs the plain assignment,
+    * [[ivfPqTopK]] fuses it into its residual/subvector pass instead of
+    * paying a separate checkpoint), the hash-ordered raw seed vectors
+    * (double space), and the vector dimension — both byproducts of the
+    * one seed collect, so consumers never run a separate dim-probe or
+    * seed-scan job. */
+  private final case class Coarse(
+      centroids: DataFrame,
+      assign: DataFrame => DataFrame,
+      seedVecs: Array[Array[Double]],
+      dim: Int)
+
   /** k-means coarse quantizer shared by [[ivfTopK]] and [[ivfPqTopK]]:
     * trains `nList` centroids over a deterministic 1/`trainDenom`
     * hash-sample (the full corpus is scanned once for the final
     * assignment, not once per iteration), seeded from hash-ordered corpus
-    * vectors — no RNG state. Returns (centroids (cell, cvec) —
-    * materialized, tiny, broadcast by every consumer; assigned (vec_id,
-    * embedding, cell) — materialized). */
+    * vectors — no RNG state. `extraSeeds` widens the ONE seed collect so
+    * a downstream trainer (the PQ stage) can reuse it instead of running
+    * its own corpus-ordering job: the first `nList` rows are this
+    * quantizer's seeds either way. */
   private def coarseQuantize(emb: DataFrame, nList: Int, iters: Int,
-      trainDenom: Int): (DataFrame, DataFrame) = {
+      trainDenom: Int, extraSeeds: Int = 0): Coarse = {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    val seeds = emb.select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id"))).limit(nList)
-      .collect().zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Float](1).map(_.toDouble).toArray)
-      }
+    val seedVecs = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"))).limit(math.max(nList, extraSeeds))
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val seeds = seedVecs.take(nList).zipWithIndex.map { case (v, i) => (i, v) }
     var centroids: DataFrame = seeds.toSeq.toDF("cell", "cvec")
 
     // Argmax as a hash aggregate, not a window (same pattern as pqTrain):
@@ -211,14 +225,18 @@ object Similarity {
       graft.Materialize.release(prev)
     }
     if (iters > 0) graft.Materialize.release(train)
-    (centroids, assign(centroids, emb).transform(graft.Materialize(_)))
+    val finalCentroids = centroids
+    Coarse(finalCentroids, assign(finalCentroids, _),
+      seedVecs, seedVecs.headOption.map(_.length).getOrElse(0))
   }
 
   def ivfTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
       nList: Int = 8, nProbe: Int = 2, iters: Int = 2,
       trainDenom: Int = 4): DataFrame = {
     val spark = emb.sparkSession
-    val (centroids, assigned) = coarseQuantize(emb, nList, iters, trainDenom)
+    val coarse = coarseQuantize(emb, nList, iters, trainDenom)
+    val centroids = coarse.centroids
+    val assigned = graft.Materialize(coarse.assign(emb))
 
     val probes = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -257,20 +275,56 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
       nList: Int = 8, nProbe: Int = 2, m: Int = 8, pqK: Int = 16,
       iters: Int = 2, trainDenom: Int = 4): DataFrame = {
-    val (cents, assigned) = coarseQuantize(emb, nList, iters, trainDenom)
-    // Residuals r = v − centroid(cell), double space. Materialized: the
-    // PQ trainer, the encoder, and the cell carry-through all read it.
-    val residuals = graft.Materialize(
-      assigned.join(broadcast(cents), Seq("cell"))
+    // The two chained Lloyd trainers are inherently sequential (PQ trains
+    // on residuals FROM the trained coarse cells), so everything around
+    // them is de-jobbed: ONE hash-ordered seed collect feeds both
+    // trainers and supplies dim (no second corpus-ordering scan, no
+    // head() dim probe), the PQ seeds are the collected raw seeds'
+    // residuals computed driver-side against the tiny trained centroid
+    // table, and assignment → residual → subvector explode fuse into ONE
+    // materialized corpus pass that carries `cell` (no separate assigned
+    // + residual checkpoints, no codes⋈residuals join to recover cells).
+    val coarse = coarseQuantize(emb, nList, iters, trainDenom, extraSeeds = pqK)
+    val cents = coarse.centroids
+    val dim = coarse.dim
+    require(dim > 0 && dim % m == 0, s"subspaces must tile the vector: dim=$dim m=$m")
+    val sub = dim / m
+
+    // Residual-space PQ seeds without touching the corpus again: cell
+    // assignment replayed locally (same double left-fold cosine, same
+    // (−sim, cell) tiebreak as the distributed assign).
+    val centLocal = cents.collect()
+      .map(r => (r.getAs[Number]("cell").intValue,
+        r.getSeq[Double](r.fieldIndex("cvec")).toArray))
+    def ldot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val pqSeeds = coarse.seedVecs.take(pqK).map { v =>
+      val (_, cvec) = centLocal.minBy { case (cell, c) =>
+        (-(ldot(v, c) / math.sqrt(ldot(v, v) * ldot(c, c))), cell)
+      }
+      v.zip(cvec).map { case (x, y) => x - y }
+    }
+
+    // ONE materialized corpus pass: (vec_id, cell, sub, svec) — residual
+    // subvectors with the cell carried through; the PQ trainer samples
+    // it, the encoder reads all of it.
+    val resSubs = graft.Materialize(
+      coarse.assign(emb).join(broadcast(cents), Seq("cell"))
         .select(col("vec_id"), col("cell"),
           expr("zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) - y)")
-            .as("embedding")))
-    val (cb, subs, dim) = pqCore(residuals, m, pqK, iters, trainDenom)
-    val sub = dim / m
+            .as("r"))
+        .select(col("vec_id"), col("cell"), explode(expr(
+          s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
+             |  slice(r, j * $sub + 1, $sub) AS svec))""".stripMargin)).as("e"))
+        .select(col("vec_id"), col("cell"),
+          col("e.sub").as("sub"), col("e.svec").as("svec")))
+    val cb = pqTrainFromSubs(resSubs, sub, m, pqK, iters, trainDenom, pqSeeds)
     // Corpus index: (vec_id, cell, codes) — the only per-vector state.
-    val codes = pqEncodeFrom(subs, cb, dim)
-      .select(col("vec_id"), col("codes"))
-      .join(residuals.select("vec_id", "cell"), Seq("vec_id"))
+    val codes = pqEncodeFrom(resSubs, cb, dim, carry = Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("codes"))
 
     // Query side: nProbe nearest cells by exact L2 (consistent with the
     // ADC metric), then the per-(query, cell) residual distance table.
@@ -326,22 +380,33 @@ object Similarity {
     * every vector. */
   private def pqCore(emb: DataFrame, m: Int, k: Int, iters: Int,
       trainDenom: Int = 4): (DataFrame, DataFrame, Int) = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     // Normalize the input to ARRAY<DOUBLE> up front: the trainer then
-    // works identically on raw float embeddings and on the double-typed
-    // residual vectors [[ivfPqTopK]] feeds it (float→double is exact, so
-    // this changes nothing for the float path).
+    // works identically on raw float embeddings and on double-typed
+    // residual vectors (float→double is exact, so this changes nothing
+    // for the float path).
     val dvecs = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
-    val dim = dvecs.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"subspaces must tile the vector: dim=$dim m=$m")
-    val sub = dim / m
-
-    val subs = subTable(dvecs, m, sub).transform(graft.Materialize(_))
+    // ONE hash-ordered collect supplies both the Lloyd seeds and the
+    // vector dimension — no separate head() dim-probe job.
     val seedRows = dvecs.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id"))).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
+    val dim = seedRows.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"subspaces must tile the vector: dim=$dim m=$m")
+    val sub = dim / m
+    val subs = subTable(dvecs, m, sub).transform(graft.Materialize(_))
+    (pqTrainFromSubs(subs, sub, m, k, iters, trainDenom, seedRows), subs, dim)
+  }
+
+  /** The per-subspace Lloyd loop over an existing (materialized)
+    * subvector table — shared by [[pqCore]] (raw vectors, seeds collected
+    * from the corpus) and [[ivfPqTopK]] (residual subvectors, seeds
+    * derived driver-side from the coarse stage's collect). Returns the
+    * trained codebook (sub, code, cvec). */
+  private def pqTrainFromSubs(subs: DataFrame, sub: Int, m: Int, k: Int,
+      iters: Int, trainDenom: Int, seedRows: Array[Array[Double]]): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
     var codebook: DataFrame = (for {
       j <- 0 until m; c <- seedRows.indices
     } yield (j, c, seedRows(c).slice(j * sub, (j + 1) * sub).toSeq))
@@ -384,7 +449,7 @@ object Similarity {
       graft.Materialize.release(codebook)
       codebook = next
     }
-    (codebook, subs, dim)
+    codebook
   }
 
   /** Encode each vector against a trained PQ codebook: per subspace the
@@ -396,26 +461,32 @@ object Similarity {
     pqEncodeFrom(subTable(emb, m, dim / m), codebook, dim)
   }
 
-  /** Encode from an existing subvector table (shared with training). */
-  private def pqEncodeFrom(subs: DataFrame, codebook: DataFrame, dim: Int): DataFrame =
+  /** Encode from an existing subvector table (shared with training).
+    * `carry` columns (functionally determined by vec_id, e.g. the IVF
+    * cell) ride through both aggregations via first() so callers need no
+    * join back to recover them. */
+  private def pqEncodeFrom(subs: DataFrame, codebook: DataFrame, dim: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val carried = carry.map(c => first(c).as(c))
     subs
       .join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("sub"),
+      .select((col("vec_id") +: carry.map(col)) ++ Seq(col("sub"),
         struct(
           expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
             .as("dist"),
-          col("code")).as("dc"))
+          col("code")).as("dc")): _*)
       .groupBy("vec_id", "sub")
-      .agg(min("dc").as("best")) // hash-agg argmin; see pqTrain.assign
+      .agg(min("dc").as("best"), carried: _*) // hash-agg argmin; see pqTrain.assign
       .groupBy("vec_id")
       .agg(
         array_sort(collect_list(struct(col("sub"), col("best.code").as("code"))))
           .as("pairs"),
-        sum("best.dist").as("sqerr"))
-      .select(col("vec_id"),
+        (sum("best.dist").as("sqerr") +: carried): _*)
+      .select((col("vec_id") +: carry.map(col)) ++ Seq(
         expr("transform(pairs, p -> p.code)").as("codes"),
-        round(col("sqerr") / dim, 6).as("mse"))
+        round(col("sqerr") / dim, 6).as("mse")): _*)
       .orderBy("vec_id")
+  }
 
   /** Train + encode in one call — the `queries()` surface for PQ. The
     * subvector table is computed once and shared between the Lloyd
@@ -549,12 +620,21 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    // The NaN/null pre-filter mirrors rankTopK's: a zero vector's cosine
+    // (0/0 = NaN) and a null embedding's (NULL) are not neighbors in
+    // EITHER engine. Without it the oracle's raw window would rank NaN
+    // first under DESC (both engines sort NaN greatest) — a latent
+    // divergence from the intended semantics that today's corpus merely
+    // never exercises.
     "q22_knn_cosine" ->
       ("SELECT query_id, vec_id, sim FROM (" +
+        "SELECT query_id, vec_id, sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn " +
+        "FROM (" +
         "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, " +
-        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim, " +
-        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS rn " +
-        "FROM embeddings q, embeddings e WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) t " +
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim " +
+        "FROM embeddings q, embeddings e WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) s " +
+        "WHERE sim IS NOT NULL AND NOT isnan(sim)) t " +
         "WHERE rn <= 10 ORDER BY query_id, sim DESC, vec_id"),
     // Exhaustive all-pairs twin of the hyperplane-LSH near-dup pipeline.
     // On this corpus no pair reaches the 0.9 cosine threshold (max

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.{GraftSession, Tables}
 import graft.operators.RelationalQueries
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Clusters, Curate, Dedup, Select, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,7 +44,7 @@ object WidthBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = Tables(spark, dir).documents
-      .select("doc_id", "text", "lang", "source")
+      .select("doc_id", "text", "lang", "source", "n_chars")
     val work = java.nio.file.Files.createTempDirectory("graft_width").toString
     def widenDocs(width: Int): String = {
       val df =
@@ -54,7 +54,7 @@ object WidthBench {
             (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
             expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')")
               .as("text"),
-            col("lang"), col("source"))
+            col("lang"), col("source"), col("n_chars"))
         }.reduce(_.unionByName(_))
       val p = s"$work/w$width"
       df.write.mode("overwrite").parquet(p)
@@ -92,25 +92,30 @@ object WidthBench {
       p
     }
 
-    def ops(width: Int): Seq[(String, () => DataFrame)] = {
-      val docs = spark.read.parquet(widenDocs(width))
-      val relDir = widenRel(width)
-      val emb = spark.read.parquet(widenEmb(width))
-      Seq(
-        "dedup_minhash_lsh"   -> (() => Dedup.minhashDedup(docs)),
-        "dedup_simhash"       -> (() => Dedup.simhashDedup(docs)),
-        "dedup_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs)),
-        "q69_edit_distance"   -> (() => Dedup.editDistancePairs(docs)),
-        "q49_tfidf"           -> (() => TextAnalysis.tfIdf(docs)),
-        "langid_ngram"        -> (() => TextAnalysis.languageId(docs)),
-        "q7_star_join"        -> (() => RelationalQueries.q7(spark, relDir)),
-        "q16_pricing"         -> (() => RelationalQueries.q16(spark, relDir)),
-        "q22_knn_cosine"      -> (() => Similarity.bruteForceTopK(emb)),
-        "knn_ann_lsh"         -> (() => Similarity.annTopK(emb)),
-        "knn_ann_ivf"         -> (() => Similarity.ivfTopK(emb)),
-        "knn_ivfpq"           -> (() => Similarity.ivfPqTopK(emb)))
-    }
-    val opNames = ops(1).map(_._1) // widen(1) is cheap; names only
+    // Static (name, builder) list: no input construction happens to
+    // obtain names — measure() builds each width's inputs exactly once
+    // and feeds them to every builder.
+    val opDefs: Seq[(String, (DataFrame, String, DataFrame) => DataFrame)] = Seq(
+      "dedup_minhash_lsh"   -> ((d, _, _) => Dedup.minhashDedup(d)),
+      "dedup_simhash"       -> ((d, _, _) => Dedup.simhashDedup(d)),
+      "dedup_ngram_jaccard" -> ((d, _, _) => Dedup.ngramJaccardPairs(d)),
+      "q69_edit_distance"   -> ((d, _, _) => Dedup.editDistancePairs(d)),
+      "q19_dedup_exact"     -> ((d, _, _) => Dedup.exact(d)),
+      "dedup_clusters"      -> ((d, _, _) => Clusters.dedupClusters(d)),
+      "q49_tfidf"           -> ((d, _, _) => TextAnalysis.tfIdf(d)),
+      "langid_ngram"        -> ((d, _, _) => TextAnalysis.languageId(d)),
+      "q53_curation"        -> ((d, _, _) => Curate.curation(d)),
+      "q60_quota_topk"      -> ((d, _, _) => Select.quotaTopK(d)),
+      "q68_strata_exact_k"  -> ((d, _, _) => Select.strataExactK(d)),
+      "q62_pack_sequences"  -> ((d, _, _) => Select.packSequences(d)),
+      "q65_shard_assign"    -> ((d, _, _) => Select.shardAssign(d)),
+      "q7_star_join"        -> ((_, r, _) => RelationalQueries.q7(spark, r)),
+      "q16_pricing"         -> ((_, r, _) => RelationalQueries.q16(spark, r)),
+      "q22_knn_cosine"      -> ((_, _, e) => Similarity.bruteForceTopK(e)),
+      "knn_ann_lsh"         -> ((_, _, e) => Similarity.annTopK(e)),
+      "knn_ann_ivf"         -> ((_, _, e) => Similarity.ivfTopK(e)),
+      "knn_ivfpq"           -> ((_, _, e) => Similarity.ivfPqTopK(e)))
+    val opNames = opDefs.map(_._1)
 
     final case class Cell(secs: Double, exchanges: Int, rows: Long)
     def exchangeCount(plan: String): Int =
@@ -119,7 +124,11 @@ object WidthBench {
 
     def measure(width: Int): Map[String, Cell] = {
       println(s"[width] building inputs at $width×")
-      ops(width).map { case (name, f) =>
+      val docs = spark.read.parquet(widenDocs(width))
+      val relDir = widenRel(width)
+      val emb = spark.read.parquet(widenEmb(width))
+      opDefs.map { case (name, build) =>
+        val f = () => build(docs, relDir, emb)
         // Recording scoped to the fingerprint: timed runs below stay clean.
         graft.Materialize.startPlanRecording()
         val plan = (f().queryExecution.executedPlan.toString +:

@@ -204,6 +204,58 @@ class JdbcFeedRunnerSpec extends AnyFunSuite {
     } finally check.close()
   }
 
+  test("the page walk is capped per tick and warns when the cap binds") {
+    // Companion to the starvation test above: pagination bounds MEMORY at
+    // O(maxLeaseScan), and maxLeaseScanPages bounds per-tick WORK — a
+    // backlog dominated by filter-rejected rows degrades to a warned
+    // partial scan (operator action: shard or raise the cap) instead of
+    // an unbounded one-query-per-page walk on every tick (ADVICE r6).
+    val url = freshDb()
+    val conn = JdbcStore.connect(url)
+    val now = System.currentTimeMillis()
+    try {
+      JdbcStore.migrate(conn)
+      (1 to 8).foreach { i =>
+        JdbcStore.savePartition(conn, Partition(f"other$i%02d",
+          until = new java.sql.Timestamp(now - 500000L + i * 1000L)))
+      }
+      JdbcStore.saveItem(conn,
+        Item("m1", "mine01", data = GoldenFixture.DataObj(1).marshal))
+      JdbcStore.savePartition(conn, Partition("mine01",
+        until = new java.sql.Timestamp(now - 1000L)))
+    } finally conn.close()
+
+    val warns = scala.collection.mutable.Buffer.empty[String]
+    val w = new JdbcFeedRunner(
+      spark, url, GoldenFixture.TestProcessor,
+      FeedOptions(batchSize = 10, maxRetries = 3, autoClose = true), "w-mine",
+      leaseFilter = p => p.id.startsWith("mine"),
+      warnSink = warns.synchronized { m => warns += m },
+      maxLeaseScan = 3,
+      maxLeaseScanPages = 2) // 2 pages × 3 rows < the 8-row rejected prefix
+    w.tick()
+    assert(w.heldLeases.isEmpty,
+      s"capped walk must stop inside the rejected prefix, held ${w.heldLeases.keySet}")
+    assert(warns.exists(_.contains("lease scan stopped after 2 pages")),
+      s"expected the page-cap warning, got $warns")
+
+    // Same store, cap high enough to clear the prefix: mine01 is adopted
+    // within one tick and completes — the degradation is the cap, not a
+    // correctness change.
+    val w2 = new JdbcFeedRunner(
+      spark, url, GoldenFixture.TestProcessor,
+      FeedOptions(batchSize = 10, maxRetries = 3, autoClose = true), "w-mine",
+      leaseFilter = p => p.id.startsWith("mine"),
+      maxLeaseScan = 3)
+    w2.tick()
+    assert(w2.heldLeases.keySet == Set("mine01"))
+    w2.runToQuiescence(50)
+    val check = JdbcStore.connect(url)
+    try assert(JdbcStore.allPartitions(check).find(_.id == "mine01")
+      .exists(_.status == Status.Complete))
+    finally check.close()
+  }
+
   test("lease steal: a lapsed lease is adopted by the surviving instance") {
     val url = freshDb()
     val conn = JdbcStore.connect(url)

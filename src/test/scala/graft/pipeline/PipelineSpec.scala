@@ -275,7 +275,7 @@ class PipelineSpec extends AnyFunSuite {
           java.nio.file.Files.walk(p).iterator().asScala.toSeq
         }
       }
-    val before = checkpointFiles().size
+    val before = checkpointFiles().toSet
     for (strategy <- Seq("reliable", "persist")) {
       spark.conf.set(Materialize.StrategyKey, strategy)
       try {
@@ -287,14 +287,18 @@ class PipelineSpec extends AnyFunSuite {
     // cluster story depends on it — localCheckpoint is the local[*]
     // fast path, reliable is what survives executor loss).
     assert(spark.sparkContext.getCheckpointDir.isDefined)
-    val files = checkpointFiles()
-    assert(files.size > before, "reliable run left no new checkpoint data")
-    // Cleanup: once results are consumed nothing pins the files — the
-    // whole dir deletes cleanly (a long-running service instead sets
+    // Cleanup is scoped to the files THIS test's reliable run created
+    // (before/after diff): suites share the session-wide checkpoint dir
+    // and run concurrently in the forked test JVM, so wiping — or
+    // asserting emptiness of — the whole dir races another suite's
+    // reliable checkpoint. (A long-running service instead sets
     // spark.cleaner.referenceTracking.cleanCheckpoints so GC'd datasets
-    // clean their own files; this pins the no-leaked-handles side).
-    files.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    assert(checkpointFiles().isEmpty, "checkpoint dir did not delete cleanly")
+    // clean their own files; this pins the no-leaked-handles side.)
+    val created = checkpointFiles().filterNot(before)
+    assert(created.nonEmpty, "reliable run left no new checkpoint data")
+    created.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    assert(created.forall(p => !java.nio.file.Files.exists(p)),
+      "this test's checkpoint files did not delete cleanly")
   }
 
   test("text quality stats are consistent") {
