@@ -68,39 +68,69 @@ object Similarity {
     rankTopK(scored, k, "sim", ascending = false)
   }
 
-  /** Random-hyperplane signatures via posexplode → per-plane weighted sums
-    * → sign bits. Hyperplane component for (plane j, dim i) = murmur3 of
-    * the pair mapped to [-1, 1): no RNG state, reproducible across
-    * executors. Deliberately NOT a nested higher-order expression — that
-    * form makes CollapseProject recompute the whole signature per band
-    * (same pathology as minhash; measured 25× slower). One explode + one
-    * partial-aggregated groupBy scales linearly. */
-  private def hyperplaneSignatures(emb: DataFrame, planes: Int): DataFrame = {
-    val ex = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-    val dots = (0 until planes).map { j =>
-      sum(col("x").cast("double") *
-        ((pmod(hash(lit(j), col("i")), lit(2000)) - 1000) / 1000.0)).as(s"d$j")
+  /** Deterministic hyperplane component for (plane j, dim i): the
+    * md5-derived 64-bit word of "j:i" ([[graft.functions.PortableHash]]
+    * semantics — first 16 hex chars as a signed long) mapped to [-1, 1)
+    * via pmod 2000. No RNG state; computed ONCE at plan-build time and
+    * embedded as a literal weight vector in BOTH engines' plans, which is
+    * what makes the whole LSH pipeline (signatures → bands → candidates →
+    * top-k) replayable in DuckDB SQL and oracle-checkable. */
+  private[pipeline] def planeWeight(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseUnsignedLong(hex, 16)
+    (((h % 2000) + 2000) % 2000 - 1000) / 1000.0
+  }
+
+  /** Spark-literal weight vector for plane `j` (double-suffixed so the SQL
+    * parser never routes through DECIMAL). */
+  private def weightLit(j: Int, dim: Int): String =
+    (0 until dim).map(i => s"${planeWeight(j, i)}D").mkString("array(", ", ", ")")
+
+  /** DuckDB-literal twin of [[weightLit]]. */
+  private[pipeline] def duckWeightLit(j: Int, dim: Int): String =
+    (0 until dim).map(i => planeWeight(j, i)).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** The 64-bit signature column: bit j = (embedding · plane_j) > 0. A
+    * deterministic left fold per plane over the array — the SAME
+    * summation order as the codegen cosine and DuckDB's list functions,
+    * so the sign bits (and therefore buckets and candidates) are
+    * engine-independent. Pure per-row arithmetic against literal weights:
+    * no per-row hashing, no explode, no groupBy — signature computation
+    * costs ZERO shuffles (the previous explode → 16-sum groupBy form paid
+    * one, and its shuffled float-summation order was engine- and
+    * partitioning-dependent, which is what blocked an oracle). */
+  private def hyperplaneSig(planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { j =>
+      val d = s"aggregate(zip_with(embedding, ${weightLit(j, dim)}, " +
+        "(x, v) -> CAST(x AS DOUBLE) * v), 0D, (a, v) -> a + v)"
+      s"IF($d > 0D, ${1L << j}L, 0L)"
     }
-    val agg = ex.groupBy("vec_id").agg(dots.head, dots.tail: _*)
-    val sig = (0 until planes)
-      .map(j => when(col(s"d$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("vec_id").as("sig_vec_id"), sig.as("sig"))
+    expr(bits.mkString("(", " | ", ")"))
   }
 
   /** (vec_id, embedding, band, bucket) table for banded signature LSH.
-    * Materialized: every caller joins it against itself or a filtered
-    * subset of itself, and the signature aggregation would otherwise run
-    * once per consumer (no cross-join exchange reuse). */
+    * Materialized twice: the signature table first (the 16 interpreted
+    * HOF folds run once per row — band expansion referencing `sig` would
+    * otherwise inline and recompute them per band, the same
+    * CollapseProject pathology minhash hit), then the exploded band table
+    * (every caller joins it against itself or a filtered subset, with no
+    * cross-join exchange reuse). */
   private def bandedTable(emb: DataFrame, planes: Int, bandBits: Int): DataFrame = {
     val bands = planes / bandBits
-    emb.join(hyperplaneSignatures(emb, planes), col("vec_id") === col("sig_vec_id"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val withSig = graft.Materialize(
+      emb.select(col("vec_id"), col("embedding"),
+        hyperplaneSig(planes, dim).as("sig")))
+    val banded = withSig
       .withColumn("bandArr", expr(
         s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, CAST(shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS INT) AS bucket))"))
       .select(col("vec_id"), col("embedding"), explode(col("bandArr")).as("bb"))
       .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .transform(graft.Materialize(_))
+    graft.Materialize.release(withSig)
+    banded
   }
 
   /** Approximate top-k via random-hyperplane LSH: vectors sharing a
@@ -620,6 +650,43 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    // Full replay of the hyperplane-LSH ANN pipeline (promoted from
+    // rows-only in round 7): signatures from the SAME literal md5-derived
+    // weight vectors the engine embeds (planeWeight — generated by one
+    // Scala function into both plans), sign bits → 4-bit band buckets →
+    // the banded candidate join → exact cosine → NaN-filtered top-10.
+    // list_dot_product / list_cosine_similarity fold left-to-right like
+    // the engine's aggregate(zip_with(...)) (the bit-for-bit match q22
+    // and dedup_embedding already rely on), so the sign of every plane
+    // dot — and therefore the candidate SET, not just the scores —
+    // is engine-independent.
+    "knn_ann_lsh" -> {
+      val bBits = (0 until 16).map(j =>
+        s"CASE WHEN list_dot_product(v, ${duckWeightLit(j, 64)}) > 0 " +
+          s"THEN 1 ELSE 0 END AS b$j").mkString(",\n  ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, b${4 * b} + 2 * b${4 * b + 1} + " +
+          s"4 * b${4 * b + 2} + 8 * b${4 * b + 3} AS bucket FROM sg")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sg AS (SELECT vec_id, v,
+         |  $bBits
+         |  FROM e),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM bands q JOIN bands c ON q.band = c.band AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+         |sc AS (SELECT cand.query_id, cand.vec_id,
+         |    ROUND(list_cosine_similarity(ec.v, eq.v), 4) AS sim
+         |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+         |            JOIN e ec ON ec.vec_id = cand.vec_id),
+         |t AS (SELECT query_id, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM sc WHERE sim IS NOT NULL AND NOT isnan(sim))
+         |SELECT query_id, vec_id, sim FROM t WHERE rn <= 10
+         |ORDER BY query_id, sim DESC, vec_id""".stripMargin
+    },
     // The NaN/null pre-filter mirrors rankTopK's: a zero vector's cosine
     // (0/0 = NaN) and a null embedding's (NULL) are not neighbors in
     // EITHER engine. Without it the oracle's raw window would rank NaN
