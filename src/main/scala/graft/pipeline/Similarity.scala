@@ -169,49 +169,151 @@ object Similarity {
     if (denom <= 1) df
     else df.filter(pmod(xxhash64(col("vec_id")), lit(denom)) === 0)
 
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer splits the corpus
-    * into `nList` cells; a query probes only its `nProbe` nearest cells
-    * and runs exact cosine there. The 100-TB shape: the centroid table is
-    * tiny (nList × dim) and broadcast everywhere; assignment is one
-    * broadcast nested-loop over nList alternatives reduced by a per-vector
-    * argmin (a scan, no shuffle wider than the assignment table); search
-    * touches ~nProbe/nList of the corpus via an equi-join on `cell`.
-    * Lloyd iterations are plain DataFrame aggregations (posexplode →
-    * per-(cell, dim) mean) over a deterministic 1/`trainDenom` hash-sample
-    * — the full corpus is scanned once for the final assignment, not once
-    * per iteration — seeded deterministically from hash-ordered corpus
-    * vectors: no RNG state, reproducible across executors. */
-  /** Coarse-quantizer working state: trained centroids (tiny,
-    * materialized), a LAZY full-corpus assignment (each consumer decides
-    * what to materialize — [[ivfTopK]] needs the plain assignment,
-    * [[ivfPqTopK]] fuses it into its residual/subvector pass instead of
-    * paying a separate checkpoint), the hash-ordered raw seed vectors
-    * (double space), and the vector dimension — both byproducts of the
-    * one seed collect, so consumers never run a separate dim-probe or
+  /** Config: quantizer-training sample rows trained DRIVER-LOCALLY (the
+    * FAISS-standard shape — Lloyd quality saturates on a bounded sample,
+    * so training cost should be corpus-INDEPENDENT). Set 0 to force the
+    * distributed Lloyd trainers on the full 1/`trainDenom` hash-sample
+    * instead (the path for a deliberately over-sized training set). */
+  val MaxLocalTrainRowsKey = "spark.graft.ann.maxLocalTrainRows"
+  private def maxLocalTrainRows(spark: SparkSession): Int =
+    spark.conf.get(MaxLocalTrainRowsKey, "65536").toInt
+
+  /** Hash-ordered deterministic training sample, collected to the driver:
+    * the first `maxRows` corpus vectors under (xxhash64(vec_id), vec_id)
+    * total order — a uniform, reproducible, corpus-size-independent draw
+    * (one distributed TakeOrdered pass, the same scan the seed collect
+    * already paid). Bounded: maxRows × dim doubles, a few MB at the
+    * default cap — the same bounded-driver-state class as the CC
+    * endgame's localThreshold. */
+  private def collectTrainSample(emb: DataFrame, maxRows: Int): Array[Array[Double]] =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxRows)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  private def ldot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Driver-local Lloyd over a bounded sample, cosine-similarity metric —
+    * the same assignment rule as the distributed `assign` (argmax cosine,
+    * smallest cell on ties) and the same empty-cluster handling (keep the
+    * previous centroid). Deterministic: fixed sample order, left-fold
+    * sums. */
+  private def lloydCosineLocal(data: Array[Array[Double]], nList: Int,
+      iters: Int): Array[Array[Double]] = {
+    var cents = data.take(nList).map(_.clone)
+    val dim = data.headOption.map(_.length).getOrElse(0)
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      data.foreach { v =>
+        // argmax cosine, FIRST (smallest) cell on ties; NaN (zero vector)
+        // never beats a real similarity — the distributed struct-min's
+        // NaN-sorts-greatest behavior.
+        var cell = 0
+        var best = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val s = ldot(v, cents(c)) / math.sqrt(ldot(v, v) * ldot(cents(c), cents(c)))
+          if (s > best) { best = s; cell = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(cell)(i) += v(i); i += 1 }
+        counts(cell) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cents
+  }
+
+  /** Driver-local per-subspace Lloyd (squared-L2 metric, the PQ
+    * codebook trainer): for each of the `m` subspaces, k centroids over
+    * the sample's subvectors, seeded from the first k sample rows —
+    * the same seeding, tiebreak (smallest code) and empty-cluster rule
+    * as [[pqTrainFromSubs]]. Returns (sub, code, cvec) rows. */
+  private def pqLloydLocal(data: Array[Array[Double]], m: Int, k: Int,
+      iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    val dim = data.headOption.map(_.length).getOrElse(0)
+    val sub = dim / m
+    (0 until m).flatMap { j =>
+      val sd = data.map(_.slice(j * sub, (j + 1) * sub))
+      var cents = sd.take(k).map(_.clone)
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        sd.foreach { v =>
+          // argmin squared L2, first (smallest) code on ties — the
+          // distributed (dist, code) struct-min rule.
+          var code = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; code = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(code)(i) += v(i); i += 1 }
+          counts(code) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
+    }
+  }
+
+  /** Coarse-quantizer working state: trained centroids (tiny — a local
+    * relation on the default local-train path, materialized on the
+    * distributed path), a LAZY full-corpus assignment (each consumer
+    * decides what to materialize — [[ivfTopK]] needs the plain
+    * assignment, [[ivfPqTopK]] fuses it into its residual/subvector pass
+    * instead of paying a separate checkpoint), the collected training
+    * sample (double space; its prefix is the seed set), the local
+    * centroid arrays when trained locally (so [[ivfPqTopK]] never
+    * re-collects them), and the vector dimension — all byproducts of the
+    * ONE sample collect, so consumers never run a separate dim-probe or
     * seed-scan job. */
   private final case class Coarse(
       centroids: DataFrame,
       assign: DataFrame => DataFrame,
-      seedVecs: Array[Array[Double]],
+      sampleVecs: Array[Array[Double]],
+      centsLocal: Option[Array[(Int, Array[Double])]],
       dim: Int)
 
-  /** k-means coarse quantizer shared by [[ivfTopK]] and [[ivfPqTopK]]:
-    * trains `nList` centroids over a deterministic 1/`trainDenom`
-    * hash-sample (the full corpus is scanned once for the final
-    * assignment, not once per iteration), seeded from hash-ordered corpus
-    * vectors — no RNG state. `extraSeeds` widens the ONE seed collect so
-    * a downstream trainer (the PQ stage) can reuse it instead of running
-    * its own corpus-ordering job: the first `nList` rows are this
-    * quantizer's seeds either way. */
+  /** k-means coarse quantizer shared by [[ivfTopK]] and [[ivfPqTopK]].
+    *
+    * Default path: Lloyd runs DRIVER-LOCALLY over the bounded
+    * hash-ordered sample ([[collectTrainSample]], cap
+    * `spark.graft.ann.maxLocalTrainRows`) — quantizer quality needs only
+    * a representative sample, so training cost is corpus-independent:
+    * the cluster does ONE sample collect and then exactly one full-corpus
+    * pass (the final assignment), instead of `iters` distributed
+    * aggregate+checkpoint rounds whose job latency dominates at every
+    * scale. With the cap set to 0 the previous distributed trainer runs
+    * over the 1/`trainDenom` hash-sample (for over-sized training sets;
+    * same seeds, same assignment/update/empty-cell semantics, exercised
+    * by spec). Seeds are the first `nList` sample vectors — hash-ordered
+    * corpus vectors, no RNG state — on both paths. */
   private def coarseQuantize(emb: DataFrame, nList: Int, iters: Int,
       trainDenom: Int, extraSeeds: Int = 0): Coarse = {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    val seedVecs = emb.select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id"))).limit(math.max(nList, extraSeeds))
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val seeds = seedVecs.take(nList).zipWithIndex.map { case (v, i) => (i, v) }
+    val localCap = maxLocalTrainRows(spark)
+    val sampleVecs = collectTrainSample(emb,
+      math.max(if (localCap > 0) localCap else 0, math.max(nList, extraSeeds)))
+    val seeds = sampleVecs.take(nList).zipWithIndex.map { case (v, i) => (i, v) }
     var centroids: DataFrame = seeds.toSeq.toDF("cell", "cvec")
 
     // Argmax as a hash aggregate, not a window (same pattern as pqTrain):
@@ -231,35 +333,61 @@ object Similarity {
         .agg(min("dc").as("best"), first("embedding").as("embedding"))
         .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
 
-    // The sample is materialized once: each Lloyd iteration re-reads it
-    // instead of re-scanning (and re-filtering) the corpus.
-    val train =
-      if (iters > 0) graft.Materialize(trainSample(emb, trainDenom))
-      else emb
-    // Centroid update: ONE hash aggregate of (sum vector, count) per cell
-    // (graft.functions.VecMean — the standard distributed k-means shape,
-    // map-side combined), not posexplode → per-dim avg → array reassembly
-    // (two chained shuffles per iteration).
-    (0 until iters).foreach { _ =>
-      val prev = centroids
-      val moved = assign(prev, train)
-        .select(col("cell"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .groupBy("cell").agg(graft.functions.VecMean.mean(col("v")).as("m"))
-        .select(col("cell"), col("m.v").as("cvec"))
-      // A cell that captured no sample vectors this round keeps its
-      // previous centroid (standard empty-cluster handling, same as
-      // pqCore) — dropping it would shrink nList for every later probe.
-      val kept = prev.join(moved.select("cell"), Seq("cell"), "left_anti")
-      centroids = graft.Materialize(moved.unionByName(kept))
-      graft.Materialize.release(prev)
+    if (localCap > 0) {
+      // Local path: Lloyd over the already-collected sample — zero
+      // further cluster jobs before the final assignment.
+      val centsLocal = lloydCosineLocal(sampleVecs, nList, iters)
+        .zipWithIndex.map { case (v, i) => (i, v) }
+      val cdf = centsLocal.toSeq.map { case (i, v) => (i, v.toSeq) }
+        .toDF("cell", "cvec")
+      Coarse(cdf, assign(cdf, _), sampleVecs,
+        Some(centsLocal),
+        sampleVecs.headOption.map(_.length).getOrElse(0))
+    } else {
+      // Distributed path (cap = 0): the sample is materialized once and
+      // each Lloyd iteration re-reads it instead of re-scanning (and
+      // re-filtering) the corpus. Centroid update: ONE hash aggregate of
+      // (sum vector, count) per cell (graft.functions.VecMean — the
+      // standard distributed k-means shape, map-side combined), not
+      // posexplode → per-dim avg → array reassembly (two chained
+      // shuffles per iteration).
+      val train =
+        if (iters > 0) graft.Materialize(trainSample(emb, trainDenom))
+        else emb
+      (0 until iters).foreach { _ =>
+        val prev = centroids
+        val moved = assign(prev, train)
+          .select(col("cell"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .groupBy("cell").agg(graft.functions.VecMean.mean(col("v")).as("m"))
+          .select(col("cell"), col("m.v").as("cvec"))
+        // A cell that captured no sample vectors this round keeps its
+        // previous centroid (standard empty-cluster handling, same as
+        // pqCore) — dropping it would shrink nList for every later probe.
+        val kept = prev.join(moved.select("cell"), Seq("cell"), "left_anti")
+        centroids = graft.Materialize(moved.unionByName(kept))
+        graft.Materialize.release(prev)
+      }
+      if (iters > 0) graft.Materialize.release(train)
+      val finalCentroids = centroids
+      Coarse(finalCentroids, assign(finalCentroids, _),
+        sampleVecs, None,
+        sampleVecs.headOption.map(_.length).getOrElse(0))
     }
-    if (iters > 0) graft.Materialize.release(train)
-    val finalCentroids = centroids
-    Coarse(finalCentroids, assign(finalCentroids, _),
-      seedVecs, seedVecs.headOption.map(_.length).getOrElse(0))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer splits the corpus
+    * into `nList` cells; a query probes only its `nProbe` nearest cells
+    * and runs exact cosine there. The 100-TB shape: the centroid table is
+    * tiny (nList × dim) and broadcast everywhere; assignment is one
+    * broadcast nested-loop over nList alternatives reduced by a per-vector
+    * argmin (a scan, no shuffle wider than the assignment table); search
+    * touches ~nProbe/nList of the corpus via an equi-join on `cell`.
+    * Training: driver-local Lloyd over the bounded hash-ordered sample by
+    * default, distributed Lloyd when `spark.graft.ann.maxLocalTrainRows`
+    * is 0 (see [[coarseQuantize]]) — either way the full corpus is
+    * scanned once for the final assignment, not once per iteration, and
+    * seeding is deterministic hash order: no RNG state. */
   def ivfTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
       nList: Int = 8, nProbe: Int = 2, iters: Int = 2,
       trainDenom: Int = 4): DataFrame = {
@@ -314,33 +442,41 @@ object Similarity {
     // table, and assignment → residual → subvector explode fuse into ONE
     // materialized corpus pass that carries `cell` (no separate assigned
     // + residual checkpoints, no codes⋈residuals join to recover cells).
+    val spark = emb.sparkSession
+    import spark.implicits._
     val coarse = coarseQuantize(emb, nList, iters, trainDenom, extraSeeds = pqK)
     val cents = coarse.centroids
     val dim = coarse.dim
     require(dim > 0 && dim % m == 0, s"subspaces must tile the vector: dim=$dim m=$m")
     val sub = dim / m
 
-    // Residual-space PQ seeds without touching the corpus again: cell
-    // assignment replayed locally (same double left-fold cosine, same
-    // (−sim, cell) tiebreak as the distributed assign).
-    val centLocal = cents.collect()
-      .map(r => (r.getAs[Number]("cell").intValue,
-        r.getSeq[Double](r.fieldIndex("cvec")).toArray))
-    def ldot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val pqSeeds = coarse.seedVecs.take(pqK).map { v =>
-      val (_, cvec) = centLocal.minBy { case (cell, c) =>
-        (-(ldot(v, c) / math.sqrt(ldot(v, v) * ldot(c, c))), cell)
+    // Residual-space training data without touching the corpus again:
+    // cell assignment replayed locally over the already-collected sample
+    // (same double left-fold cosine, same argmax + smallest-cell
+    // tiebreak as the distributed assign), then v − centroid. On the
+    // default local-train path the centroid arrays are already on the
+    // driver; the distributed path collects the tiny table once.
+    val centLocal: Array[Array[Double]] = coarse.centsLocal
+      .getOrElse(cents.collect().map(r => (r.getAs[Number]("cell").intValue,
+        r.getSeq[Double](r.fieldIndex("cvec")).toArray)))
+      .sortBy(_._1).map(_._2)
+    def residualize(v: Array[Double]): Array[Double] = {
+      var cell = 0
+      var best = Double.NegativeInfinity
+      var c = 0
+      while (c < centLocal.length) {
+        val s = ldot(v, centLocal(c)) /
+          math.sqrt(ldot(v, v) * ldot(centLocal(c), centLocal(c)))
+        if (s > best) { best = s; cell = c }
+        c += 1
       }
-      v.zip(cvec).map { case (x, y) => x - y }
+      v.zip(centLocal(cell)).map { case (x, y) => x - y }
     }
+    val resTrain = coarse.sampleVecs.map(residualize)
 
     // ONE materialized corpus pass: (vec_id, cell, sub, svec) — residual
-    // subvectors with the cell carried through; the PQ trainer samples
-    // it, the encoder reads all of it.
+    // subvectors with the cell carried through; the encoder reads all of
+    // it (and the distributed trainer, when forced, samples it).
     val resSubs = graft.Materialize(
       coarse.assign(emb).join(broadcast(cents), Seq("cell"))
         .select(col("vec_id"), col("cell"),
@@ -351,7 +487,12 @@ object Similarity {
              |  slice(r, j * $sub + 1, $sub) AS svec))""".stripMargin)).as("e"))
         .select(col("vec_id"), col("cell"),
           col("e.sub").as("sub"), col("e.svec").as("svec")))
-    val cb = pqTrainFromSubs(resSubs, sub, m, pqK, iters, trainDenom, pqSeeds)
+    val cb =
+      if (coarse.centsLocal.isDefined)
+        pqLloydLocal(resTrain, m, pqK, iters).toDF("sub", "code", "cvec")
+      else
+        pqTrainFromSubs(resSubs, sub, m, pqK, iters, trainDenom,
+          resTrain.take(pqK))
     // Corpus index: (vec_id, cell, codes) — the only per-vector state.
     val codes = pqEncodeFrom(resSubs, cb, dim, carry = Seq("cell"))
       .select(col("vec_id"), col("cell"), col("codes"))
@@ -410,22 +551,28 @@ object Similarity {
     * every vector. */
   private def pqCore(emb: DataFrame, m: Int, k: Int, iters: Int,
       trainDenom: Int = 4): (DataFrame, DataFrame, Int) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     // Normalize the input to ARRAY<DOUBLE> up front: the trainer then
     // works identically on raw float embeddings and on double-typed
     // residual vectors (float→double is exact, so this changes nothing
     // for the float path).
     val dvecs = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
-    // ONE hash-ordered collect supplies both the Lloyd seeds and the
-    // vector dimension — no separate head() dim-probe job.
-    val seedRows = dvecs.select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id"))).limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
-    val dim = seedRows.headOption.map(_.length).getOrElse(0)
+    // ONE hash-ordered collect supplies the training sample (driver-local
+    // Lloyd on the default path), the seeds, and the vector dimension —
+    // no separate head() dim-probe or seed-scan job.
+    val localCap = maxLocalTrainRows(spark)
+    val sample = collectTrainSample(dvecs,
+      math.max(if (localCap > 0) localCap else 0, k))
+    val dim = sample.headOption.map(_.length).getOrElse(0)
     require(dim > 0 && dim % m == 0, s"subspaces must tile the vector: dim=$dim m=$m")
     val sub = dim / m
     val subs = subTable(dvecs, m, sub).transform(graft.Materialize(_))
-    (pqTrainFromSubs(subs, sub, m, k, iters, trainDenom, seedRows), subs, dim)
+    val cb =
+      if (localCap > 0) pqLloydLocal(sample, m, k, iters).toDF("sub", "code", "cvec")
+      else pqTrainFromSubs(subs, sub, m, k, iters, trainDenom, sample.take(k))
+    (cb, subs, dim)
   }
 
   /** The per-subspace Lloyd loop over an existing (materialized)

@@ -193,6 +193,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(adc.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("forced distributed Lloyd path (maxLocalTrainRows=0) keeps planted recall") {
+    // The default trainer is driver-local over the bounded hash sample;
+    // maxLocalTrainRows=0 forces the distributed Lloyd (VecMean updates,
+    // 1/trainDenom hash-sample) — the path for training sets configured
+    // past driver memory. Same seeding/tiebreak/empty-cell semantics, so
+    // the planted structure must survive either trainer.
+    spark.conf.set(Similarity.MaxLocalTrainRowsKey, "0")
+    try {
+      val adc = Similarity.ivfPqTopK(plantedCorpus, nQueries = 2, k = 5).collect()
+      assert(adc.length == 2 * 5, "k rows per query")
+      adc.groupBy(_.getLong(0)).foreach { case (q, g) =>
+        val found = g.map(_.getLong(1)).count(id =>
+          id >= 100L + q * 10 && id < 100L + q * 10 + 3)
+        assert(found >= 2, s"distributed path, query $q: $found/3 planted in top-5")
+      }
+      val pq = Similarity.productQuantization(plantedCorpus, 8, 16).collect()
+      assert(pq.length == plantedCorpus.count().toInt)
+      pq.foreach { r =>
+        val codes = r.getSeq[Int](1)
+        assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+      }
+      val ivf = Similarity.ivfTopK(plantedCorpus, nQueries = 2, k = 5).collect()
+      assert(ivf.length == 2 * 5)
+    } finally spark.conf.unset(Similarity.MaxLocalTrainRowsKey)
+  }
+
   test("pq-reconstructed search approximates brute force") {
     // ADC-style sanity: searching with vectors rebuilt from (codebook,
     // codes) alone must still find most of the true neighbors — the
