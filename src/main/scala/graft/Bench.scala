@@ -113,8 +113,14 @@ object Bench {
         // reintroduced a low-cardinality-partition sort (viral-dup clique /
         // whole-domain / giant-cluster skew).
         if (Set("q19_dedup_exact", "q60_quota_topk", "q68_strata_exact_k",
-              "dedup_clusters").contains(name) && fullPlan.contains("Window"))
+              "dedup_clusters", "dedup_semantic").contains(name) &&
+            fullPlan.contains("Window"))
           violations += s"$name:skewed-window-came-back"
+        // Temperature sampling's corpus side is scan + broadcast join +
+        // pushable filter: the |langs|-row rate table must broadcast, or
+        // the whole corpus shuffles on `lang` (a handful of reducers).
+        if (name == "q71_temperature_sample" && !plan.contains("BroadcastHashJoin"))
+          violations += s"$name:rates-not-broadcast"
         // The df-capped keep-set join must broadcast: without it the
         // exploded shingle stream shuffles twice (once for the df agg,
         // again for the keep join) before the pair self-join. The join is

@@ -55,6 +55,52 @@ object Select {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination with a Bloom-filter prefilter — the shape
+    * for eval suites whose DISTINCT shingle set is too large to broadcast
+    * as strings. [[decontaminate]] broadcasts the full eval shingle set
+    * (fine at thousands of eval docs); here the train side probes a
+    * compact Bloom filter (~10 bits/shingle at 1% fpp — megabytes where
+    * the string set would be gigabytes) and only the surviving candidate
+    * shingles — true overlaps plus the fpp tail — reach the exact
+    * verification equi-join that removes false positives. Output is
+    * row-identical to [[decontaminate]] (same oracle SQL, hash-matched):
+    * the Bloom filter changes WHERE the pruning happens, never the
+    * answer. Scale: the filter is built by one distributed aggregate over
+    * eval shingles and shipped once per executor; the verify join
+    * shuffles only candidates (corpus-proportional work never exceeds
+    * scan + per-row probe). */
+  def decontaminateBloom(docs: DataFrame, evalMod: Int = 23, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val isEval = col("doc_id") % evalMod === 0
+    // Same materialized single shingle pass as decontaminate: the n-gram
+    // HOF dominates, so eval and train sides share one explode.
+    val exploded = graft.Materialize(docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), isEval.as("is_eval"),
+        explode(Dedup.shingles(n)).as("s")))
+    val evalShingles = exploded.filter(col("is_eval")).select("s").distinct()
+    // Honest sizing for the filter (one cheap count on the materialized
+    // explode); the filter itself is a treeAggregate - bounded driver
+    // state of the filter's bit size, never the shingle strings.
+    val nEval = math.max(evalShingles.count(), 1L)
+    val bloom = evalShingles.stat.bloomFilter("s", nEval, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    // Candidate prefilter: a per-row bitset probe. Survivors (overlaps +
+    // fpp tail) are the ONLY rows the exact verify join ever shuffles;
+    // Spark picks the join strategy by the (small) surviving sizes.
+    val cands = exploded.filter(!col("is_eval") && mightContain(col("s")))
+    val overlaps = cands.join(evalShingles, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(!isEval).select("doc_id")
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_overlap"), lit(0L)).gt(0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified Bernoulli sample: a document is kept iff
     * the first 8 hex chars of md5(doc_id) sort below its stratum's
     * threshold — here downsampling English (rate ~0.2) while keeping
@@ -122,6 +168,44 @@ object Select {
         target(col("lang")).as("target_share"),
         round(target(col("lang")) / (col("n_docs") / col("total")), 4).as("weight"))
       .orderBy("lang")
+  }
+
+  /** Temperature-based mixture sampling (the multilingual-pretraining
+    * standard: sample language l with probability ∝ p_l^α, α < 1
+    * flattening the head so low-resource languages aren't drowned): each
+    * language keeps documents at rate (n_min/n_l)^(1-α), which realizes
+    * the α-tempered mixture exactly up to the deterministic-gate
+    * granularity — the rarest language keeps everything, a language 100×
+    * larger keeps 1/10 of itself at α=0.5. The gate is the same
+    * re-runnable md5-prefix rule as [[stratifiedSample]], with the
+    * threshold computed FROM the data (one |langs|-row aggregate,
+    * broadcast back) instead of declared.
+    *
+    * Exactness across engines: at the default α=0.5 the rate is
+    * sqrt(n_min/n_l) — integer-valued doubles through one division and
+    * one square root, both CORRECTLY-ROUNDED operations under IEEE 754,
+    * then an exact power-of-two scale and floor. The threshold is
+    * therefore bit-identical in the JVM and DuckDB, which is what lets a
+    * data-dependent sampling rate hash-match an oracle. (Other α go
+    * through pow(), which carries no such guarantee — supported, but the
+    * oracle pins 0.5.) Scale: corpus-side work is one scan + broadcast
+    * join + pushable filter; zero corpus shuffle. */
+  def temperatureSample(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min("n_docs").as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_docs")
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("lang"),
+        (if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)).as("rate"))
+      .withColumn("thr", floor(col("rate") * lit(4294967296.0)).cast("long"))
+    docs
+      .withColumn("hk32",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("hk32") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("rate"), 6).as("rate"))
+      .orderBy("doc_id")
   }
 
   /** Concat-then-chunk sequence packing: documents are laid end to end in
@@ -231,6 +315,8 @@ object Select {
     "q68_strata_exact_k" -> ((s, d) => strataExactK(Tables(s, d).documents)),
     "q62_pack_sequences" -> ((s, d) => packSequences(Tables(s, d).documents)),
     "q63_chunk_docs"    -> ((s, d) => chunkDocs(Tables(s, d).documents)),
+    "q71_temperature_sample" -> ((s, d) => temperatureSample(Tables(s, d).documents)),
+    "q72_decontaminate_bloom" -> ((s, d) => decontaminateBloom(Tables(s, d).documents)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -295,6 +381,33 @@ object Select {
          |  CAST(floor("offset" / 256.0) AS BIGINT) AS first_chunk,
          |  CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT) AS last_chunk
          |FROM o ORDER BY doc_id""".stripMargin),
+    "q71_temperature_sample" ->
+      ("""WITH agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY lang),
+         |mn AS (SELECT min(n_docs) AS n_min FROM agg),
+         |r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n_docs) AS rate FROM agg, mn),
+         |t AS (SELECT lang, rate,
+         |  CAST(floor(rate * 4294967296.0) AS BIGINT) AS thr FROM r)
+         |SELECT d.doc_id, d.lang, d.source, round(t.rate, 6) AS rate
+         |FROM documents d JOIN t USING (lang)
+         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < t.thr
+         |ORDER BY d.doc_id""".stripMargin),
+    // Bit-identical to q58 by construction: the Bloom prefilter prunes
+    // candidates, the exact verify join removes its false positives, so
+    // the SAME oracle SQL must hash-match both operators.
+    "q72_decontaminate_bloom" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 7),
+         |       i -> array_to_string(t[i:i+7], ' ')))
+         |  ELSE [text] END) AS s FROM toks),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+         |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev USING (s)
+         |  WHERE sh.doc_id % 23 <> 0 GROUP BY sh.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+         |  COALESCE(ov.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN ov USING (doc_id)
+         |WHERE d.doc_id % 23 <> 0 ORDER BY d.doc_id""".stripMargin),
     "q63_chunk_docs" ->
       ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
          |  len(string_split(text, ' ')) AS len FROM documents),

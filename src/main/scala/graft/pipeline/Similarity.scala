@@ -749,6 +749,47 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    * clusters the embedding space (the same coarse quantizer the IVF
+    * index trains — driver-local Lloyd over a bounded hash sample), then
+    * near-duplicates are detected WITHIN each cluster only — cosine ≥
+    * `tau` against any lower-id cluster-mate marks a vector a duplicate
+    * of the lowest such id. Complements [[embeddingNearDup]] (hyperplane
+    * LSH buckets, recall from multiple band shots): here the candidate
+    * scope is a learned Voronoi cell, the published recipe for semantic
+    * (paraphrase-level) pruning at corpus scale.
+    *
+    * Scale: the per-cell pair join is the IVF equi-join shape — nClusters
+    * scales with the corpus so cells stay bounded (the paper uses ~11k
+    * clusters for LAION); cosine runs codegen'd before the decision
+    * aggregate, and the keep-first reduction is a hash aggregate on the
+    * unique right-id, never a window. Like any clustered method, recall
+    * is bounded by cluster assignment (a pair split across cells is
+    * unseen) — the trade that makes all-pairs work vanish. */
+  def semanticDedup(emb: DataFrame, nClusters: Int = 8, tau: Double = 0.9,
+      iters: Int = 2, trainDenom: Int = 4): DataFrame = {
+    val coarse = coarseQuantize(emb, nClusters, iters, trainDenom)
+    val assigned = graft.Materialize(coarse.assign(emb)
+      .select(col("vec_id"), col("embedding"), col("cell")))
+    val a = assigned.select(col("cell"), col("vec_id").as("left_id"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("left_id") < col("vec_id"))
+      .select(col("vec_id"),  col("left_id"),
+        cosineFast(emb.sparkSession, "ea", "eb").as("cos"))
+      .filter(col("cos") >= tau)
+    val dupOf = pairs.groupBy("vec_id")
+      .agg(min("left_id").as("dup_of"), max("cos").as("best_cos"))
+    assigned.select("vec_id", "cell")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        round(coalesce(col("best_cos"), lit(0.0)), 4).as("best_cos"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy("vec_id")
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * embedding-store compression (4× smaller, cheap dot products) — plus
     * reconstruction-error accounting. Per-vector arithmetic only: scale =
@@ -777,6 +818,7 @@ object Similarity {
     "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
     "knn_ivfpq"         -> ((s, d) => ivfPqTopK(Tables(s, d).embeddings)),
     "dedup_embedding"   -> ((s, d) => embeddingNearDup(Tables(s, d).embeddings)),
+    "dedup_semantic"    -> ((s, d) => semanticDedup(Tables(s, d).embeddings)),
     // Driver surface: the harness sorts result rows through pandas, which
     // cannot factorize an array column — emit the codes as a joined
     // string. The ARRAY<INT> form stays the internal API (pqEncode).

@@ -109,10 +109,13 @@ object WidthBench {
       "q68_strata_exact_k"  -> ((d, _, _) => Select.strataExactK(d)),
       "q62_pack_sequences"  -> ((d, _, _) => Select.packSequences(d)),
       "q65_shard_assign"    -> ((d, _, _) => Select.shardAssign(d)),
+      "q71_temperature_sample" -> ((d, _, _) => Select.temperatureSample(d)),
+      "q72_decontaminate_bloom" -> ((d, _, _) => Select.decontaminateBloom(d)),
       "q7_star_join"        -> ((_, r, _) => RelationalQueries.q7(spark, r)),
       "q16_pricing"         -> ((_, r, _) => RelationalQueries.q16(spark, r)),
       "q22_knn_cosine"      -> ((_, _, e) => Similarity.bruteForceTopK(e)),
       "knn_ann_lsh"         -> ((_, _, e) => Similarity.annTopK(e)),
+      "dedup_semantic"      -> ((_, _, e) => Similarity.semanticDedup(e)),
       "knn_ann_ivf"         -> ((_, _, e) => Similarity.ivfTopK(e)),
       "knn_ivfpq"           -> ((_, _, e) => Similarity.ivfPqTopK(e)))
     val opNames = opDefs.map(_._1)

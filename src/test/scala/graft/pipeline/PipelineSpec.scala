@@ -289,6 +289,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(10001L).getAs[Double]("best_cos") == 1.0)
   }
 
+  test("semantic dedup flags exact duplicates in-cluster, none on spread decoys") {
+    import spark.implicits._
+    // 40 independent random vectors (pairwise cosine concentrates well
+    // below 0.9) + exact copies of two of them under higher ids: a copy
+    // lands in its original's Voronoi cell by determinism of the argmax,
+    // so it MUST be flagged with dup_of = the original; every decoy must
+    // survive (no false positives at tau=0.9).
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextFloat() * 2f - 1f)
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(3000 + i)))
+    val copies = Seq((1000L, vec(3000)), (1001L, vec(3007)))
+    val out = Similarity.semanticDedup(
+      (base ++ copies).toDF("vec_id", "embedding"), nClusters = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 42, "one decision row per vector")
+    assert(out(1000L).getAs[Boolean]("is_duplicate") &&
+      out(1000L).getAs[Long]("dup_of") == 0L &&
+      out(1000L).getAs[Double]("best_cos") == 1.0)
+    assert(out(1001L).getAs[Boolean]("is_duplicate") &&
+      out(1001L).getAs[Long]("dup_of") == 7L)
+    base.foreach { case (id, _) =>
+      assert(!out(id).getAs[Boolean]("is_duplicate"), s"decoy $id flagged")
+    }
+  }
+
   test("materialization strategies (reliable/persist) produce identical results") {
     import graft.Materialize
     val local = Dedup.minhashDedup(docs).collect().map(_.toString).sorted

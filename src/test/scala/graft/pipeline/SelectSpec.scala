@@ -157,4 +157,45 @@ class SelectSpec extends AnyFunSuite {
     val c40 = out(1L).find(_.getLong(2) == 40L).get
     assert(c40.getString(4) == (41 to 80).map(i => "t" + i).mkString(" "))
   }
+
+  test("temperature sampling keeps the rarest stratum whole; rates follow sqrt(n_min/n_l)") {
+    // en 3200 / de 800 / fr 50: n_min = 50, so the α=0.5 rates are
+    // fr 1.0 (whole stratum), de sqrt(50/800) = 0.25, en sqrt(50/3200)
+    // = 0.125 — all exactly-representable doubles, so the reported rate
+    // column must be exact, not approximate.
+    val d = ((0L until 3200L).map(i => (i, "t", "en", "s")) ++
+        (4000L until 4800L).map(i => (i, "t", "de", "s")) ++
+        (9000L until 9050L).map(i => (i, "t", "fr", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Select.temperatureSample(d).collect()
+    val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang("fr") == 50, "rarest language keeps every document")
+    // Binomial 3σ bands: de n=800 p=0.25 → 200±37; en n=3200 p=0.125 → 400±56.
+    assert(byLang("de") > 163 && byLang("de") < 237, s"de=${byLang("de")}")
+    assert(byLang("en") > 344 && byLang("en") < 456, s"en=${byLang("en")}")
+    val rates = out.map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(rates("fr") == 1.0 && rates("de") == 0.25 && rates("en") == 0.125)
+    val again = Select.temperatureSample(d).collect()
+    assert(out.map(_.getLong(0)).sameElements(again.map(_.getLong(0))),
+      "hash-gated sampling must be re-runnable")
+  }
+
+  test("bloom decontamination is row-identical to the exact form, even at fpp=0.5") {
+    // Shared vocabulary so the train side probes the filter heavily; at
+    // fpp=0.5 false positives are dense and ONLY the exact verify join
+    // keeps the output identical to the broadcast-exact operator.
+    val evalText = (1 to 20).map(i => "e" + i).mkString(" ")
+    val d = docs(
+      (Seq(0L -> evalText,
+        1L -> ((3 to 10).map(i => "e" + i).mkString(" ") + " x1 x2 x3 x4"),
+        2L -> (1 to 12).map(i => "u" + i).mkString(" ")) ++
+        (10L until 60L).map(i =>
+          i -> (1 to 12).map(j => s"w${i}_$j").mkString(" "))): _*)
+    val exact = Select.decontaminate(d).collect().map(_.toString)
+    val lowFpp = Select.decontaminateBloom(d).collect().map(_.toString)
+    val highFpp = Select.decontaminateBloom(d, fpp = 0.5).collect().map(_.toString)
+    assert(lowFpp.sameElements(exact))
+    assert(highFpp.sameElements(exact), "verify join must kill bloom false positives")
+    assert(exact.exists(_.contains("true")), "fixture must contain a contaminated doc")
+  }
 }
