@@ -113,9 +113,15 @@ object Bench {
         // reintroduced a low-cardinality-partition sort (viral-dup clique /
         // whole-domain / giant-cluster skew).
         if (Set("q19_dedup_exact", "q60_quota_topk", "q68_strata_exact_k",
-              "dedup_clusters", "dedup_semantic").contains(name) &&
+              "dedup_clusters", "dedup_semantic", "q73_paragraph_dedup",
+              "q74_contamination_span", "q75_bigram_ppl").contains(name) &&
             fullPlan.contains("Window"))
           violations += s"$name:skewed-window-came-back"
+        // Span scoring probes the broadcast eval shingle set exactly like
+        // q58; a shuffled join here means corpus-scale rows repartitioned
+        // against a set that is tiny by construction.
+        if (name == "q74_contamination_span" && !fullPlan.contains("BroadcastHashJoin"))
+          violations += s"$name:eval-set-not-broadcast"
         // Temperature sampling's corpus side is scan + broadcast join +
         // pushable filter: the |langs|-row rate table must broadcast, or
         // the whole corpus shuffles on `lang` (a handful of reducers).

@@ -44,6 +44,59 @@ object Dedup {
       .select("doc_id", "h")
       .orderBy("doc_id")
 
+  /** Paragraph-level exact dedup with document reassembly — the
+    * sub-document dedup pass corpus pipelines run BEFORE whole-document
+    * dedup (Dolma/CCNet shape: boilerplate paragraphs — navigation,
+    * license headers, cookie banners — recur across millions of pages
+    * that are NOT whole-document duplicates). The synthetic corpus has no
+    * newline structure, so "paragraph" here is a non-overlapping
+    * `blockTokens`-token block of the whitespace token stream (the last
+    * block keeps the remainder); semantics are otherwise the published
+    * recipe: every instance of a block whose content appeared at any
+    * earlier (doc_id, blk_idx) — including earlier in the SAME document —
+    * is removed, the first instance survives, and each document's
+    * surviving blocks are re-concatenated in order.
+    *
+    * Scale: the token array is materialized once (lineage-truncated, so
+    * CollapseProject cannot inline the tokenizer into the per-block
+    * slices — the [[minhashCandidates]] lesson), blocks explode from it in
+    * one pass, and keep-first is a min-of-struct hash AGGREGATE on the
+    * block hash — map-side combined, so a boilerplate block repeated
+    * millions of times collapses per map task instead of sorting one
+    * skewed reducer partition (the [[exact]] argument, one level down).
+    * Reassembly groups on doc_id — per-document cardinality, bounded by
+    * document length. Two shuffles total (block hash, doc_id). */
+  def paragraphDedup(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+    val tok = graft.Materialize(spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val blocks = tok.select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST((size(toks) - 1) / $blockTokens AS INT)),
+             |  i -> concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens)))"""
+            .stripMargin)).as(Seq("blk_idx", "blk")))
+      .select(col("doc_id"), col("blk_idx").cast("long").as("blk_idx"),
+        col("blk"), md5(col("blk")).as("h"))
+    val keeper = blocks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("blk_idx"))).as("first"))
+    blocks.join(keeper, Seq("h"))
+      .withColumn("kept", col("doc_id") === col("first.doc_id") &&
+        col("blk_idx") === col("first.blk_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        // collect_list skips the nulls the `when` leaves for removed
+        // blocks; array_sort on the (blk_idx, blk) struct restores
+        // document order before the join.
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("blk_idx"), col("blk"))))),
+          x => x("blk"))).as("clean_text"))
+      .withColumn("changed", col("n_removed") > 0)
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures + banded LSH candidate pairs.
     *
     * Structured as explode → seeded-hash → groupBy-min, NOT as nested
@@ -479,6 +532,7 @@ object Dedup {
     "dedup_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "dedup_simhash"        -> ((s, d) => simhashDedup(Tables(s, d).documents)),
     "q69_edit_distance"    -> ((s, d) => editDistancePairs(Tables(s, d).documents)),
+    "q73_paragraph_dedup"  -> ((s, d) => paragraphDedup(Tables(s, d).documents)),
   )
 
   /** Exhaustive all-pairs twin of [[simhashDedup]] (shingleSize 3,
@@ -521,6 +575,28 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,
+    // Keep-first is expressed as the ROW_NUMBER twin of the Spark side's
+    // min-of-(doc_id, blk_idx) aggregate; reassembly is an ordered
+    // string_agg over the surviving blocks. DuckDB list slices clamp at
+    // the list end exactly like Spark's `slice`, so the remainder block
+    // agrees byte-for-byte.
+    "q73_paragraph_dedup" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |e AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, (len(toks) - 1) // 16)) AS i
+         |  FROM t),
+         |b AS (SELECT doc_id, CAST(i AS BIGINT) AS blk_idx,
+         |    array_to_string(toks[i * 16 + 1:i * 16 + 16], ' ') AS blk
+         |  FROM e),
+         |k AS (SELECT doc_id, blk_idx, blk,
+         |    ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id, blk_idx) AS rn
+         |  FROM b)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY blk_idx), '') AS clean_text,
+         |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) > 0 AS changed
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q19_dedup_exact" ->
       ("SELECT doc_id, md5(text) AS h FROM (SELECT doc_id, text, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t " +

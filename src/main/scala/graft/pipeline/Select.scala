@@ -101,6 +101,63 @@ object Select {
       .orderBy("doc_id")
   }
 
+  /** Contamination SPAN scoring: not just whether a training document
+    * overlaps the eval set ([[decontaminate]]), but the longest CONTIGUOUS
+    * run of leaked tokens — the quantity decontamination policies actually
+    * threshold on (a 200-token verbatim answer leak and eight scattered
+    * collocations both count 8 overlapping shingles; only the span tells
+    * them apart). Positional `n`-gram shingles (NOT distinct'd — position
+    * matters here) are probed against the broadcast eval shingle set; the
+    * longest run of consecutive matching positions r covers r + n − 1
+    * tokens, capped by the document length for the short-document
+    * whole-text fallback.
+    *
+    * Scale: one materialized token pass, one broadcast semi-join, and the
+    * run-length scan is a higher-order `aggregate` fold over each
+    * document's sorted match positions — per-document bounded, no window,
+    * no shuffle beyond the doc_id groupBy. */
+  def contaminationSpan(docs: DataFrame, evalMod: Int = 23, n: Int = 8): DataFrame = {
+    val isEval = col("doc_id") % evalMod === 0
+    val tok = graft.Materialize(docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), isEval.as("is_eval"),
+        split(col("text"), " ").as("toks")))
+    val posSh = tok.select(col("doc_id"), col("is_eval"),
+      size(col("toks")).cast("long").as("len"),
+      posexplode(expr(
+        s"""transform(sequence(0, greatest(size(toks) - $n, 0)),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $n)))""".stripMargin))
+        .as(Seq("pos", "s")))
+    val evalShingles = posSh.filter(col("is_eval")).select("s").distinct()
+    val hits = posSh.filter(!col("is_eval"))
+      .join(broadcast(evalShingles), Seq("s"))
+      .groupBy("doc_id")
+      .agg(first(col("len")).as("len"),
+        count(lit(1)).as("n_hits"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      // Run-length fold over the sorted positions: (prev, current run,
+      // best run), one pass, no window.
+      .withColumn("max_run", expr(
+        """aggregate(ps,
+          |  named_struct('prev', -2, 'cur', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+          |  (acc, p) -> named_struct(
+          |    'prev', p,
+          |    'cur',  IF(p = acc.prev + 1, acc.cur + 1L, 1L),
+          |    'best', greatest(acc.best, IF(p = acc.prev + 1, acc.cur + 1L, 1L))),
+          |  acc -> acc.best)""".stripMargin))
+      .select(col("doc_id"), col("n_hits"),
+        col("max_run"),
+        least(col("max_run") + lit(n - 1), col("len")).as("max_span_tokens"))
+    docs.filter(!isEval).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("n_hits"), lit(0L)).gt(0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified Bernoulli sample: a document is kept iff
     * the first 8 hex chars of md5(doc_id) sort below its stratum's
     * threshold — here downsampling English (rate ~0.2) while keeping
@@ -317,6 +374,7 @@ object Select {
     "q63_chunk_docs"    -> ((s, d) => chunkDocs(Tables(s, d).documents)),
     "q71_temperature_sample" -> ((s, d) => temperatureSample(Tables(s, d).documents)),
     "q72_decontaminate_bloom" -> ((s, d) => decontaminateBloom(Tables(s, d).documents)),
+    "q74_contamination_span" -> ((s, d) => contaminationSpan(Tables(s, d).documents)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -407,6 +465,31 @@ object Select {
          |SELECT d.doc_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
          |  COALESCE(ov.n, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov USING (doc_id)
+         |WHERE d.doc_id % 23 <> 0 ORDER BY d.doc_id""".stripMargin),
+    // Longest-run twin: gaps-and-islands (pos − ROW_NUMBER per doc) where
+    // the Spark side folds sorted positions with a higher-order aggregate
+    // — same runs, same span cap.
+    "q74_contamination_span" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |e AS (SELECT doc_id, toks, len(toks) AS len,
+         |    unnest(generate_series(0, greatest(len(toks) - 8, 0))) AS i FROM t),
+         |sh AS (SELECT doc_id, len, i AS pos,
+         |    array_to_string(toks[i + 1:i + 8], ' ') AS s FROM e),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+         |m AS (SELECT sh.doc_id, sh.len, sh.pos FROM sh JOIN ev USING (s)
+         |  WHERE sh.doc_id % 23 <> 0),
+         |runs AS (SELECT doc_id, len, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+         |r2 AS (SELECT doc_id, any_value(len) AS len, grp, count(*) AS run
+         |  FROM runs GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, any_value(len) AS len, sum(run) AS n_hits,
+         |    max(run) AS max_run FROM r2 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(a.max_run, 0) AS BIGINT) AS max_run,
+         |  CAST(coalesce(least(a.max_run + 7, a.len), 0) AS BIGINT) AS max_span_tokens,
+         |  coalesce(a.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
          |WHERE d.doc_id % 23 <> 0 ORDER BY d.doc_id""".stripMargin),
     "q63_chunk_docs" ->
       ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,

@@ -281,8 +281,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model perplexity per document — the in-engine
+    * analogue of the KenLM quality filter (CCNet/Gopher gate on a
+    * perplexity threshold; [[unigramLogProb]] is the order-1 version):
+    * train an add-one-smoothed bigram model on the corpus itself, then
+    * score each document as ppl = exp(mean −ln p(tok_i | tok_{i−1})),
+    * p = (c(prev,cur) + 1) / (c(prev) + V). Low perplexity = text the
+    * corpus's own statistics predict well; boilerplate scores low, token
+    * salad scores high.
+    *
+    * Scale: the bigram stream is materialized once (one pass over the
+    * token arrays, no self-join — adjacent pairs come from one positional
+    * transform) and feeds both count tables and the scoring join; all
+    * three aggregations get map-side partial combining, the vocabulary
+    * size is a one-row broadcast, and the scoring joins are equi-joins on
+    * (prev, cur) / prev — the exact shape n-gram LM training has at any
+    * scale. Single-token documents carry no bigrams and surface with
+    * n_bigrams = 0 and null scores. */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = graft.Materialize(docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val bg = graft.Materialize(tok
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> named_struct('prev', toks[i - 1], 'cur', toks[i]))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur")))
+    val c2 = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("prev").agg(count(lit(1)).as("c1"))
+    val v = tok.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    val scored = bg
+      .join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("c2") + lit(1.0)) / (col("c1") + col("v")))).as("nll"))
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("nll"), 4).as("avg_nll"),
+        round(exp(col("nll")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_unigram_logprob" -> ((s, d) => unigramLogProb(Tables(s, d).documents)),
+    "q75_bigram_ppl"   -> ((s, d) => bigramPerplexity(Tables(s, d).documents)),
     "q20_text_quality" -> ((s, d) => textQuality(Tables(s, d).documents)),
     "q21_token_freq"   -> ((s, d) => tokenFrequency(Tables(s, d).documents)),
     "langid_ngram"     -> ((s, d) => languageId(Tables(s, d).documents)),
@@ -294,6 +344,25 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    // Full train+score bigram-LM twin: count tables, vocabulary, and the
+    // add-one-smoothed scoring join replay exactly in SQL; the per-doc
+    // avg-of-logs is rounded to 4 dp (the q64 tolerance argument).
+    "q75_bigram_ppl" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |e AS (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+         |  FROM t WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, toks[i - 1] AS prev, toks[i] AS cur FROM e),
+         |c2 AS (SELECT prev, cur, count(*) AS c2 FROM b GROUP BY prev, cur),
+         |c1 AS (SELECT prev, count(*) AS c1 FROM b GROUP BY prev),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(toks) AS tok FROM t)),
+         |s AS (SELECT b.doc_id, count(*) AS n_bigrams,
+         |    avg(-ln((c2.c2 + 1.0) / (c1.c1 + v.v))) AS nll
+         |  FROM b JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  round(s.nll, 4) AS avg_nll, round(exp(s.nll), 4) AS ppl
+         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin),
     // Full train+score twin of languageId: the NB model (per-(lang, token)
     // counts, per-lang totals, vocabulary, priors) and the seen-pair /
     // unseen-floor scoring are all plain aggregations+joins, so the whole

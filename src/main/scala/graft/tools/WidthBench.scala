@@ -111,6 +111,9 @@ object WidthBench {
       "q65_shard_assign"    -> ((d, _, _) => Select.shardAssign(d)),
       "q71_temperature_sample" -> ((d, _, _) => Select.temperatureSample(d)),
       "q72_decontaminate_bloom" -> ((d, _, _) => Select.decontaminateBloom(d)),
+      "q73_paragraph_dedup" -> ((d, _, _) => Dedup.paragraphDedup(d)),
+      "q74_contamination_span" -> ((d, _, _) => Select.contaminationSpan(d)),
+      "q75_bigram_ppl"      -> ((d, _, _) => TextAnalysis.bigramPerplexity(d)),
       "q7_star_join"        -> ((_, r, _) => RelationalQueries.q7(spark, r)),
       "q16_pricing"         -> ((_, r, _) => RelationalQueries.q16(spark, r)),
       "q22_knn_cosine"      -> ((_, _, e) => Similarity.bruteForceTopK(e)),

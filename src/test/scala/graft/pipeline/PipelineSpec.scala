@@ -20,6 +20,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.sameElements(Array(1L, 3L)))
   }
 
+  test("paragraph dedup removes later block instances and reassembles in order") {
+    import spark.implicits._
+    // Blocks are 4 tokens here. doc 1: [A][B] (A = a1..a4, B = b1..b4).
+    // doc 2 repeats A then has unique C: A must be removed (first seen at
+    // doc 1 blk 0), C survives. doc 3 repeats block D twice WITHIN itself:
+    // the second instance is removed. doc 4 is a 2-token remainder-only
+    // doc (its whole text is one short block).
+    val a = (1 to 4).map("a" + _).mkString(" ")
+    val b = (1 to 4).map("b" + _).mkString(" ")
+    val c = (1 to 4).map("c" + _).mkString(" ")
+    val dd = (1 to 4).map("d" + _).mkString(" ")
+    val d = Seq(
+      1L -> s"$a $b",
+      2L -> s"$a $c",
+      3L -> s"$dd $dd",
+      4L -> "z1 z2").toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, blockTokens = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 4, "one row per document")
+    assert(out(1L).getAs[String]("clean_text") == s"$a $b" &&
+      out(1L).getAs[Long]("n_removed") == 0L && !out(1L).getAs[Boolean]("changed"))
+    assert(out(2L).getAs[String]("clean_text") == c,
+      "doc 2 loses the block first seen in doc 1, keeps its own")
+    assert(out(2L).getAs[Long]("n_blocks") == 2L &&
+      out(2L).getAs[Long]("n_removed") == 1L)
+    assert(out(3L).getAs[String]("clean_text") == dd &&
+      out(3L).getAs[Long]("n_removed") == 1L,
+      "within-document repeat keeps only the first instance")
+    assert(out(4L).getAs[String]("clean_text") == "z1 z2" &&
+      out(4L).getAs[Long]("n_blocks") == 1L)
+  }
+
+  test("paragraph dedup on the corpus: every doc present, token mass conserved") {
+    val out = Dedup.paragraphDedup(docs)
+    assert(out.count() == 500)
+    // Removing blocks can only shrink: clean_text tokens + removed blocks
+    // must account for every original block (n_blocks is derived from the
+    // doc's own length, independent of dedup decisions).
+    val bad = out.filter(col("n_removed") > col("n_blocks")).count()
+    assert(bad == 0)
+  }
+
   test("minhash dedup emits one decision row per doc; self-dup sanity") {
     import spark.implicits._
     val d = Seq(
@@ -358,6 +400,36 @@ class PipelineSpec extends AnyFunSuite {
     val r = TextAnalysis.textQuality(docs).filter(col("doc_id") === 0).head()
     assert(r.getLong(1) == 23, "doc 0 has 23 tokens")
     assert(r.getLong(3) <= r.getLong(1), "distinct <= total")
+  }
+
+  test("bigram perplexity: smoothing is exact on a hand-computable corpus") {
+    import spark.implicits._
+    // Corpus: "a b" x2 and "a c". Vocabulary V = {a, b, c} = 3.
+    // Contexts: c1(a) = 3. Bigrams: c2(a,b) = 2, c2(a,c) = 1.
+    // doc 1/2 nll = -ln((2+1)/(3+3)) = ln 2; doc 3 nll = -ln((1+1)/(3+3))
+    // = ln 3. Exact arithmetic, so assert to the rounding the op applies.
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getAs[Long]("n_bigrams") == 1L)
+    assert(out(1L).getAs[Double]("avg_nll") == r4(math.log(2)))
+    assert(out(3L).getAs[Double]("avg_nll") == r4(math.log(3)))
+    assert(out(3L).getAs[Double]("ppl") == 3.0,
+      "exp(mean nll) of the single-bigram doc is the smoothed inverse probability")
+    assert(out(1L).getAs[Double]("ppl") < out(3L).getAs[Double]("ppl"),
+      "the corpus-typical bigram scores lower perplexity than the rare one")
+  }
+
+  test("bigram perplexity: single-token docs carry no bigrams and null scores") {
+    import spark.implicits._
+    val d = Seq((1L, "solo"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2, "every doc gets a row")
+    assert(out(1L).getAs[Long]("n_bigrams") == 0L && out(1L).isNullAt(2) &&
+      out(1L).isNullAt(3))
+    assert(out(2L).getAs[Long]("n_bigrams") == 2L && !out(2L).isNullAt(3))
   }
 
   test("langid predicts a language for every doc, deterministic across runs") {

@@ -180,6 +180,44 @@ class SelectSpec extends AnyFunSuite {
       "hash-gated sampling must be re-runnable")
   }
 
+  test("contamination span finds the longest contiguous leak, not just overlap count") {
+    // doc 0 is eval with tokens e1..e20. doc 1 copies a VERBATIM 12-token
+    // run (e1..e12): 5 matching shingle positions in a row -> span
+    // 5 + 8 - 1 = 12. doc 2 contains two disjoint 8-token copies
+    // (e1..e8, filler, e13..e20): 2 isolated hits, max_run 1, span 8.
+    // doc 3 shares nothing.
+    val evalText = (1 to 20).map(i => "e" + i).mkString(" ")
+    val d = docs(
+      0L -> evalText,
+      1L -> ((1 to 12).map(i => "e" + i).mkString(" ") + " x1 x2 x3"),
+      2L -> ((1 to 8).map(i => "e" + i).mkString(" ") + " f1 f2 f3 " +
+        (13 to 20).map(i => "e" + i).mkString(" ")),
+      3L -> (1 to 15).map(i => "u" + i).mkString(" "))
+    val out = Select.contaminationSpan(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(0L), "eval docs are not scored")
+    assert(out(1L).getAs[Long]("max_run") == 5L &&
+      out(1L).getAs[Long]("max_span_tokens") == 12L &&
+      out(1L).getAs[Boolean]("contaminated"), s"got ${out(1L)}")
+    assert(out(2L).getAs[Long]("n_hits") == 2L &&
+      out(2L).getAs[Long]("max_run") == 1L &&
+      out(2L).getAs[Long]("max_span_tokens") == 8L, s"got ${out(2L)}")
+    assert(out(3L).getAs[Long]("n_hits") == 0L &&
+      out(3L).getAs[Long]("max_span_tokens") == 0L &&
+      !out(3L).getAs[Boolean]("contaminated"))
+  }
+
+  test("contamination span caps at document length for short-doc whole-text matches") {
+    // doc 46 (46 % 23 == 0) is a 3-token eval doc; doc 1 is its exact
+    // 3-token copy. Both fall back to the whole-text shingle: one hit,
+    // run 1, but the span must report 3 (the doc's length), not 8.
+    val d = docs(46L -> "p q r", 1L -> "p q r", 2L -> "s t u")
+    val out = Select.contaminationSpan(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("max_span_tokens") == 3L, s"got ${out(1L)}")
+    assert(out(2L).getAs[Long]("n_hits") == 0L)
+  }
+
   test("bloom decontamination is row-identical to the exact form, even at fpp=0.5") {
     // Shared vocabulary so the train side probes the filter heavily; at
     // fpp=0.5 false positives are dense and ONLY the exact verify join
