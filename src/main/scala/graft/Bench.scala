@@ -122,11 +122,19 @@ object Bench {
         // against a set that is tiny by construction.
         if (name == "q74_contamination_span" && !fullPlan.contains("BroadcastHashJoin"))
           violations += s"$name:eval-set-not-broadcast"
-        // Temperature sampling's corpus side is scan + broadcast join +
-        // pushable filter: the |langs|-row rate table must broadcast, or
-        // the whole corpus shuffles on `lang` (a handful of reducers).
-        if (name == "q71_temperature_sample" && !plan.contains("BroadcastHashJoin"))
+        // Temperature sampling (down) and epoch upsampling share the
+        // corpus-side shape: scan + broadcast join + per-row gate. The
+        // |langs|-row rate/epoch table must broadcast, or the whole
+        // corpus shuffles on `lang` (a handful of reducers).
+        if (Set("q71_temperature_sample", "q77_epochs_upsample").contains(name) &&
+            !plan.contains("BroadcastHashJoin"))
           violations += s"$name:rates-not-broadcast"
+        // The token-budget fill's only cross-partition data is the tiny
+        // per-(bucket, block) prefix table, which must come back
+        // broadcast — a shuffled join here means corpus rows are being
+        // repartitioned for the offset merge.
+        if (name == "q76_token_budget" && !plan.contains("BroadcastHashJoin"))
+          violations += s"$name:block-prefix-not-broadcast"
         // The df-capped keep-set join must broadcast: without it the
         // exploded shingle stream shuffles twice (once for the df agg,
         // again for the keep join) before the pair self-join. The join is

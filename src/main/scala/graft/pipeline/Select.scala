@@ -265,6 +265,90 @@ object Select {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based UPSAMPLING with epochs — the dual of
+    * [[temperatureSample]]: instead of thinning the head, repeat the tail.
+    * Each language gets a target epoch count e_l = min((n_max/n_l)^(1−α),
+    * `maxEpochs`) — the largest language trains exactly once, a language
+    * 100× smaller trains ~10 epochs at α=0.5 (capped: unbounded repetition
+    * of a tiny language degrades models faster than it balances the mix).
+    * The integer part repeats every document; the fractional part is
+    * realized by the same re-runnable md5-prefix gate as
+    * [[stratifiedSample]], so exactly the right share of each language
+    * gets the extra epoch, deterministically.
+    *
+    * Exactness across engines (the [[temperatureSample]] argument, one
+    * step further): at α=0.5, e_l = sqrt(n_max/n_l) is correctly-rounded
+    * IEEE; floor is exact; the fractional part e_l − floor(e_l) is exact
+    * by Sterbenz (e_l < floor(e_l) + 1 ≤ 2·floor(e_l) for e_l ≥ 1); the
+    * 2^32 scale is exact. The data-dependent gate threshold is therefore
+    * bit-identical in the JVM and DuckDB. Scale: one |langs|-row
+    * aggregate broadcast back, then a per-row bounded explode — zero
+    * corpus shuffle. */
+  def epochsUpsample(docs: DataFrame, alpha: Double = 0.5,
+      maxEpochs: Int = 4): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val nMax = counts.agg(max("n_docs").as("n_max"))
+    val ratio = col("n_max").cast("double") / col("n_docs")
+    val epochs = counts.crossJoin(broadcast(nMax))
+      .select(col("lang"),
+        least(if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha),
+          lit(maxEpochs.toDouble)).as("e"))
+      .select(col("lang"), col("e"),
+        floor(col("e")).cast("long").as("base"),
+        floor((col("e") - floor(col("e"))) * lit(4294967296.0)).cast("long").as("thr"))
+    docs
+      .withColumn("hk32",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .join(broadcast(epochs), Seq("lang"))
+      .withColumn("reps",
+        col("base") + when(col("hk32") < col("thr"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("reps"))).as("epoch"),
+        round(col("e"), 6).as("target_epochs"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Quality-ordered token-budget fill: take documents in (quality
+    * bucket DESC, doc_id) order until a global token budget is exhausted
+    * — "fill the 15-trillion-token training budget from the best data
+    * down", the selection step after scoring and before packing. The
+    * quality bucket is a coarse score (here n_chars / `bucketWidth` —
+    * stand-in for a classifier's binned score): budget boundaries are
+    * resolved within the boundary bucket by doc_id, which is how
+    * pipelines actually cut (classifier scores are banded; fine ordering
+    * inside a band is arbitrary-but-deterministic).
+    *
+    * The global running offset over the (qb DESC, doc_id) total order is
+    * the [[packSequences]] two-level prefix sum, generalized to a sort
+    * key: cumsum inside (qb, doc_id-block) partitions — bounded by
+    * `blockRows` — plus an exclusive running total over the per-(qb,
+    * block) sums ordered (qb DESC, blk). That per-block table (≈ buckets
+    * × corpus/blockRows rows — qb is a SMALL fixed band count by
+    * construction) is the only data crossing a single partition; a naive
+    * `ORDER BY score` global window would drag the corpus through one
+    * task. A document is kept iff it fits ENTIRELY within the budget. */
+  def tokenBudgetFill(docs: DataFrame, budget: Long = 15000L,
+      bucketWidth: Int = 50, blockRows: Long = 4096L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      floor(col("n_chars") / bucketWidth).cast("long").as("qb"),
+      floor(col("doc_id") / blockRows).as("blk"))
+    val inBlock = toks.withColumn("in_prefix",
+      coalesce(sum("n_tokens").over(Window.partitionBy("qb", "blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val blockPrefix = toks.groupBy("qb", "blk").agg(sum("n_tokens").as("blk_sum"))
+      .withColumn("blk_prefix",
+        coalesce(sum("blk_sum").over(Window.orderBy(col("qb").desc, col("blk").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("qb", "blk", "blk_prefix")
+    inBlock.join(broadcast(blockPrefix), Seq("qb", "blk"))
+      .select(col("doc_id"), col("qb"), col("n_tokens"),
+        (col("blk_prefix") + col("in_prefix")).as("offset"))
+      .filter(col("offset") + col("n_tokens") <= budget)
+      .orderBy("doc_id")
+  }
+
   /** Concat-then-chunk sequence packing: documents are laid end to end in
     * doc_id order and cut into fixed `budget`-token model sequences; each
     * document reports its global token offset and the chunk span it lands
@@ -375,6 +459,8 @@ object Select {
     "q71_temperature_sample" -> ((s, d) => temperatureSample(Tables(s, d).documents)),
     "q72_decontaminate_bloom" -> ((s, d) => decontaminateBloom(Tables(s, d).documents)),
     "q74_contamination_span" -> ((s, d) => contaminationSpan(Tables(s, d).documents)),
+    "q76_token_budget"  -> ((s, d) => tokenBudgetFill(Tables(s, d).documents)),
+    "q77_epochs_upsample" -> ((s, d) => epochsUpsample(Tables(s, d).documents)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -466,6 +552,38 @@ object Select {
          |  COALESCE(ov.n, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov USING (doc_id)
          |WHERE d.doc_id % 23 <> 0 ORDER BY d.doc_id""".stripMargin),
+    // The oracle states the GLOBAL-order semantics directly (one window
+    // over the whole corpus — affordable at oracle scale); the Spark side
+    // must reproduce it through the two-level prefix sum.
+    "q76_token_budget" ->
+      ("""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    n_chars // 50 AS qb FROM documents),
+         |o AS (SELECT doc_id, CAST(qb AS BIGINT) AS qb, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY qb DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+         |  FROM t)
+         |SELECT doc_id, qb, n_tokens, "offset"
+         |FROM o WHERE "offset" + n_tokens <= 15000 ORDER BY doc_id""".stripMargin),
+    // Epoch expansion replays with generate_series; the data-dependent
+    // fractional-epoch gate threshold is engine-exact (sqrt + exact
+    // floor/subtract/scale — see epochsUpsample's Sterbenz note).
+    "q77_epochs_upsample" ->
+      ("""WITH agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY lang),
+         |mx AS (SELECT max(n_docs) AS n_max FROM agg),
+         |r AS (SELECT lang, least(sqrt(CAST(n_max AS DOUBLE) / n_docs), 4.0) AS e
+         |  FROM agg, mx),
+         |t AS (SELECT lang, e, CAST(floor(e) AS BIGINT) AS base,
+         |    CAST(floor((e - floor(e)) * 4294967296.0) AS BIGINT) AS thr FROM r),
+         |d AS (SELECT doc_id, d.lang,
+         |    base + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr
+         |      THEN 1 ELSE 0 END AS reps,
+         |    round(e, 6) AS target_epochs
+         |  FROM documents d JOIN t USING (lang))
+         |SELECT * FROM (SELECT doc_id, lang,
+         |    unnest(generate_series(1, reps)) AS epoch, target_epochs FROM d)
+         |ORDER BY doc_id, epoch""".stripMargin),
     // Longest-run twin: gaps-and-islands (pos − ROW_NUMBER per doc) where
     // the Spark side folds sorted positions with a higher-order aggregate
     // — same runs, same span cap.

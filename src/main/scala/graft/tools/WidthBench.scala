@@ -114,6 +114,8 @@ object WidthBench {
       "q73_paragraph_dedup" -> ((d, _, _) => Dedup.paragraphDedup(d)),
       "q74_contamination_span" -> ((d, _, _) => Select.contaminationSpan(d)),
       "q75_bigram_ppl"      -> ((d, _, _) => TextAnalysis.bigramPerplexity(d)),
+      "q76_token_budget"    -> ((d, _, _) => Select.tokenBudgetFill(d)),
+      "q77_epochs_upsample" -> ((d, _, _) => Select.epochsUpsample(d)),
       "q7_star_join"        -> ((_, r, _) => RelationalQueries.q7(spark, r)),
       "q16_pricing"         -> ((_, r, _) => RelationalQueries.q16(spark, r)),
       "q22_knn_cosine"      -> ((_, _, e) => Similarity.bruteForceTopK(e)),

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Behavioral invariants of the selection operators — properties the
@@ -216,6 +217,80 @@ class SelectSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Long]("max_span_tokens") == 3L, s"got ${out(1L)}")
     assert(out(2L).getAs[Long]("n_hits") == 0L)
+  }
+
+  test("token budget fill cuts the quality-ordered stream at the budget, no skip-fill") {
+    import spark.implicits._
+    // Quality buckets via n_chars/50: docs 10,11 land in bucket 2
+    // (100 chars), docs 12,13 in bucket 1 (50), doc 14 in bucket 0 (10).
+    // Token counts: 10 each for the first four, 2 for the tiny doc 14.
+    // Budget 25: order is (10, 11, 12, 13, 14) -> offsets 0,10,20,30,40.
+    // Docs 10 and 11 fit; doc 12 straddles (20+10 > 25) and is dropped;
+    // doc 14 (2 tokens) must NOT sneak in even though 22 + 2 < 25 —
+    // the budget cuts the ORDERED stream, it does not knapsack.
+    def words(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    val d = Seq(
+      (10L, words(10), 100L), (11L, words(10), 100L),
+      (12L, words(10), 50L), (13L, words(10), 50L),
+      (14L, "t1 t2", 10L)).toDF("doc_id", "text", "n_chars")
+    val out = Select.tokenBudgetFill(d, budget = 25L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.keySet == Set(10L, 11L), s"got ${out.keySet}")
+    assert(out(10L) == 0L && out(11L) == 10L, "offsets follow the global order")
+  }
+
+  test("token budget fill matches a single-window reference on a shuffled corpus") {
+    import spark.implicits._
+    val d = (0L until 997L).map(i =>
+      (i, (1 to (i % 13 + 1).toInt).map("t" + _).mkString(" "), (i * 37) % 600))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Select.tokenBudgetFill(d, budget = 2000L).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    // Reference: the naive global window the operator must NOT use at
+    // scale but whose semantics it must reproduce exactly.
+    val ref = d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        floor(col("n_chars") / 50).cast("long").as("qb"))
+      .withColumn("offset", coalesce(
+        sum("n_tokens").over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("qb").desc, col("doc_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("offset") + col("n_tokens") <= 2000L)
+      .select("doc_id", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.sameElements(ref))
+  }
+
+  test("epochs upsample: head lang trains once, tail repeats, gate is deterministic") {
+    // en 3200 / de 800 / fr 50: e = sqrt(n_max/n_l) -> en 1.0 (exactly one
+    // epoch, no fractional gate), de 2.0 (exactly two), fr sqrt(64) = 8
+    // capped at 4.
+    val d = ((0L until 3200L).map(i => (i, "t", "en", "s")) ++
+        (4000L until 4800L).map(i => (i, "t", "de", "s")) ++
+        (9000L until 9050L).map(i => (i, "t", "fr", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Select.epochsUpsample(d).collect()
+    val byLang = out.groupBy(_.getString(1)).view
+      .mapValues(rows => rows.length -> rows.map(_.getLong(2)).max).toMap
+    assert(byLang("en") == ((3200, 1L)), s"got ${byLang("en")}")
+    assert(byLang("de") == ((1600, 2L)), "integer epochs repeat every doc")
+    assert(byLang("fr") == ((200, 4L)), "cap binds: 50 docs x 4 epochs")
+    val again = Select.epochsUpsample(d).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).sameElements(
+      again.map(r => (r.getLong(0), r.getLong(2)))), "must be re-runnable")
+  }
+
+  test("epochs upsample realizes fractional epochs at the right share") {
+    // en 2000 / de 500: e(de) = sqrt(4) = 2 exactly... use 512:
+    // e = sqrt(2000/512) = 1.9764 -> base 1, ~97.6% of de docs get the
+    // extra epoch. Binomial 3-sigma: 500 +/- ~10 around 500.1... compute:
+    // n=512, p=0.97643 -> mean 499.9, sigma ~3.47 -> [489, 510].
+    val d = ((0L until 2000L).map(i => (i, "t", "en", "s")) ++
+        (5000L until 5512L).map(i => (i, "t", "de", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val de = Select.epochsUpsample(d).filter(col("lang") === "de").count()
+    assert(de > 512 + 489 && de < 512 + 510, s"de rows = $de")
   }
 
   test("bloom decontamination is row-identical to the exact form, even at fpp=0.5") {
