@@ -759,16 +759,24 @@ object Similarity {
     * scope is a learned Voronoi cell, the published recipe for semantic
     * (paraphrase-level) pruning at corpus scale.
     *
-    * Scale: the per-cell pair join is the IVF equi-join shape — nClusters
-    * scales with the corpus so cells stay bounded (the paper uses ~11k
-    * clusters for LAION); cosine runs codegen'd before the decision
-    * aggregate, and the keep-first reduction is a hash aggregate on the
-    * unique right-id, never a window. Like any clustered method, recall
-    * is bounded by cluster assignment (a pair split across cells is
-    * unseen) — the trade that makes all-pairs work vanish. */
-  def semanticDedup(emb: DataFrame, nClusters: Int = 8, tau: Double = 0.9,
+    * Scale: the per-cell pair join is the IVF equi-join shape, and the
+    * cluster count SCALES WITH THE CORPUS (the paper uses ~11k clusters
+    * for LAION): `nClusters = 0` (default) resolves to ~√n clamped to
+    * [8, 16384] — the single-level k-means optimum, balancing the n·k
+    * assignment cost against the Σ cell² within-cell work (total ∝ n^1.5;
+    * going truly linear needs a hierarchical quantizer, which is the
+    * published next step, not a plan bug). Cosine runs codegen'd before
+    * the decision aggregate, and the keep-first reduction is a hash
+    * aggregate on the unique right-id, never a window. Like any clustered
+    * method, recall is bounded by cluster assignment (a pair split across
+    * cells is unseen) — the trade that makes all-pairs work vanish. */
+  def semanticDedup(emb: DataFrame, nClusters: Int = 0, tau: Double = 0.9,
       iters: Int = 2, trainDenom: Int = 4): DataFrame = {
-    val coarse = coarseQuantize(emb, nClusters, iters, trainDenom)
+    val k =
+      if (nClusters > 0) nClusters
+      else math.min(16384L, math.max(8L,
+        math.round(math.sqrt(emb.count().toDouble)))).toInt
+    val coarse = coarseQuantize(emb, k, iters, trainDenom)
     val assigned = graft.Materialize(coarse.assign(emb)
       .select(col("vec_id"), col("embedding"), col("cell")))
     val a = assigned.select(col("cell"), col("vec_id").as("left_id"),
