@@ -62,6 +62,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("paragraph dedup and bigram perplexity degrade cleanly on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.paragraphDedup(empty).collect().isEmpty)
+    assert(TextAnalysis.bigramPerplexity(empty).collect().isEmpty)
+  }
+
   test("minhash dedup emits one decision row per doc; self-dup sanity") {
     import spark.implicits._
     val d = Seq(

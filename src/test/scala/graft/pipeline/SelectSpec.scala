@@ -293,6 +293,25 @@ class SelectSpec extends AnyFunSuite {
     assert(de > 512 + 489 && de < 512 + 510, s"de rows = $de")
   }
 
+  test("round-7 selection ops degrade cleanly on empty and single-doc corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Select.temperatureSample(empty).collect().isEmpty)
+    assert(Select.epochsUpsample(empty).collect().isEmpty)
+    assert(Select.tokenBudgetFill(empty).collect().isEmpty)
+    assert(Select.contaminationSpan(empty).collect().isEmpty)
+    val one = Seq((1L, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Single doc: its own language is the max AND min stratum — rate and
+    // epochs are exactly 1; the budget fill keeps it at offset 0.
+    assert(Select.temperatureSample(one).collect().map(_.getLong(0)).sameElements(Array(1L)))
+    val ep = Select.epochsUpsample(one).collect()
+    assert(ep.length == 1 && ep.head.getLong(2) == 1L)
+    val tb = Select.tokenBudgetFill(one).collect()
+    assert(tb.length == 1 && tb.head.getLong(3) == 0L)
+  }
+
   test("bloom decontamination is row-identical to the exact form, even at fpp=0.5") {
     // Shared vocabulary so the train side probes the filter heavily; at
     // fpp=0.5 false positives are dense and ONLY the exact verify join
