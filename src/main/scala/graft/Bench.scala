@@ -87,6 +87,12 @@ object Bench {
           violations += s"$name:linear-op-gained-a-shuffle"
         if (name == "q58_decontaminate" && !plan.contains("BroadcastHashJoin"))
           violations += s"$name:eval-set-not-broadcast"
+        // The bloom prefilter probe is Spark's codegen'd
+        // BloomFilterMightContain; a ScalaUDF here means the per-row
+        // boxed probe came back (BloomProbe exists so it never does).
+        if (name == "q72_decontaminate_bloom" &&
+            (fullPlan.contains("UDF(") || !fullPlan.contains("might_contain")))
+          violations += s"$name:probe-not-codegen"
         // KNN ranking must stay the bounded top-k partial aggregation —
         // a Window here means the per-query row_number sort came back
         // (corpus-scale rows shuffled into |queries| reducer partitions).

@@ -1,0 +1,65 @@
+package graft.functions
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+
+/** Spark's OWN bloom-filter pair — `BloomFilterAggregate` (distributed
+  * build, one binary blob out) and `BloomFilterMightContain` (codegen'd
+  * probe) — exposed as session functions. This is the machinery behind
+  * `spark.sql.optimizer.runtime.bloomFilter.enabled` (injected runtime
+  * row-level filtering); registering it lets operators use the same
+  * codegen probe EXPLICITLY where the optimizer cannot infer it (our
+  * probe key is a derived shingle, not a join column). Preferred over
+  * `DataFrame.stat.bloomFilter` + a Scala UDF: the build is identical
+  * (distributed aggregate), but the probe compiles into whole-stage
+  * codegen instead of a per-row boxed UDF call, and the filter reaches
+  * executors through the scalar-subquery literal channel.
+  *
+  * `BloomFilterMightContain` requires its filter input to be a constant
+  * or scalar subquery (checkInputDataTypes), so [[probe]] routes the
+  * one-row build through a uniquely-named temp view and a
+  * `(SELECT ... FROM view)` scalar subquery.
+  */
+object BloomProbe {
+  private val viewId = new AtomicInteger(0)
+
+  /** Register `graft_bloom_agg(xxhash64v, nItems, nBits)` and
+    * `graft_might_contain(bf, xxhash64v)` on the session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  /** Optimal bit count for `n` items at false-positive rate `fpp` —
+    * m = ceil(−n·ln p / ln²2), the standard sizing formula. */
+  def optimalNumBits(n: Long, fpp: Double): Long =
+    math.max(64L, math.ceil(-n * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong)
+
+  /** Build a bloom filter over `keys`'s single string column and return a
+    * predicate SQL fragment probing it for the given column expression.
+    * The build is materialized (lineage-truncated) so repeated actions on
+    * the probing query re-read one checkpointed row instead of
+    * re-aggregating the key set. */
+  def probe(spark: SparkSession, keys: DataFrame, keyCol: String,
+      nItems: Long, fpp: Double, probeCol: String): String = {
+    register(spark)
+    val nBits = optimalNumBits(nItems, fpp)
+    val view = s"graft_bloom_build_${viewId.incrementAndGet()}"
+    graft.Materialize(keys.agg(
+        expr(s"graft_bloom_agg(xxhash64($keyCol), ${nItems}L, ${nBits}L)").as("bf")))
+      .createOrReplaceTempView(view)
+    s"graft_might_contain((SELECT bf FROM $view), xxhash64($probeCol))"
+  }
+}

@@ -81,16 +81,18 @@ object Select {
         explode(Dedup.shingles(n)).as("s")))
     val evalShingles = exploded.filter(col("is_eval")).select("s").distinct()
     // Honest sizing for the filter (one cheap count on the materialized
-    // explode); the filter itself is a treeAggregate - bounded driver
-    // state of the filter's bit size, never the shingle strings.
+    // explode); the filter build is Spark's own BloomFilterAggregate —
+    // a distributed aggregate whose driver state is the filter's bit
+    // size, never the shingle strings.
     val nEval = math.max(evalShingles.count(), 1L)
-    val bloom = evalShingles.stat.bloomFilter("s", nEval, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-    // Candidate prefilter: a per-row bitset probe. Survivors (overlaps +
-    // fpp tail) are the ONLY rows the exact verify join ever shuffles;
-    // Spark picks the join strategy by the (small) surviving sizes.
-    val cands = exploded.filter(!col("is_eval") && mightContain(col("s")))
+    // Candidate prefilter: Spark's codegen'd BloomFilterMightContain (the
+    // runtime-row-filter machinery, invoked explicitly — see BloomProbe),
+    // NOT a per-row Scala UDF. Survivors (overlaps + fpp tail) are the
+    // ONLY rows the exact verify join ever shuffles; Spark picks the join
+    // strategy by the (small) surviving sizes.
+    val probeSql = graft.functions.BloomProbe.probe(
+      spark, evalShingles, "s", nEval, fpp, "s")
+    val cands = exploded.filter(!col("is_eval") && expr(probeSql))
     val overlaps = cands.join(evalShingles, Seq("s"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     docs.filter(!isEval).select("doc_id")
