@@ -300,9 +300,16 @@ object TextAnalysis {
     * n_bigrams = 0 and null scores. */
   def bigramPerplexity(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val tok = graft.Materialize(docs
+    // The token array is NOT materialized — only the bigram stream is.
+    // Checkpointing the token arrays would write the whole corpus a
+    // second time for a projection that costs one split() to recompute
+    // (the vocabulary scan below re-splits; CPU beats corpus-scale
+    // checkpoint I/O). The bigram stream IS materialized because three
+    // consumers (c2, c1, scoring) would otherwise each re-run the
+    // positional transform+explode.
+    val tok = docs
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(col("text"), " ").as("toks")))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val bg = graft.Materialize(tok
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
