@@ -51,7 +51,14 @@ object BloomProbe {
     * predicate SQL fragment probing it for the given column expression.
     * The build is materialized (lineage-truncated) so repeated actions on
     * the probing query re-read one checkpointed row instead of
-    * re-aggregating the key set. */
+    * re-aggregating the key set.
+    *
+    * Lifetime: each call registers one uniquely-named temp view over one
+    * checkpointed single-row table, and neither is dropped here — the
+    * returned predicate stays valid for the life of the DataFrame that
+    * embeds it, whose last action this function cannot observe. The
+    * accumulation is bounded by calls-per-session (one catalog entry and
+    * one filter-sized file each), cleared with the session/checkpoint dir. */
   def probe(spark: SparkSession, keys: DataFrame, keyCol: String,
       nItems: Long, fpp: Double, probeCol: String): String = {
     register(spark)

@@ -30,30 +30,41 @@ object TopK {
   /** Aggregation buffer: at most k candidates, kept sorted best-first. */
   case class Buf(items: Seq[Scored])
 
-  private final class TopKAgg(k: Int, ascending: Boolean)
-      extends Aggregator[Scored, Buf, Buf] {
-    // Best-first total order; id tiebreak keeps it deterministic.
-    @transient private lazy val ord: Ordering[Scored] =
-      if (ascending) Ordering.by((s: Scored) => (s.score, s.id))
-      else Ordering.by((s: Scored) => (-s.score, s.id))
-
-    def zero: Buf = Buf(Nil)
-
-    def reduce(b: Buf, a: Scored): Buf = {
-      val it = b.items
+  /** The one insertion/merge algorithm all element types share: a sorted
+    * ≤k buffer with an O(1) can't-displace-the-kth fast path on reduce
+    * and a sorted-merge on combine. Concrete aggregators supply only the
+    * ordering, the buffer wrap/unwrap, and their (non-generic) encoders —
+    * so a fix to the algorithm lands exactly once. */
+  private trait TopKLike[T, B] { self: Aggregator[T, B, B] =>
+    protected def kk: Int
+    protected def ord: Ordering[T]
+    protected def items(b: B): Seq[T]
+    protected def mk(s: Seq[T]): B
+    final def reduce(b: B, a: T): B = {
+      val it = items(b)
       // Fast path: buffer full and the row can't displace the kth — O(1)
       // per input row once the buffer warms up, no allocation.
-      if (it.size >= k && ord.lteq(it.last, a)) b
+      if (it.size >= kk && ord.lteq(it.last, a)) b
       else {
         val (better, worse) = it.span(x => ord.lt(x, a))
-        Buf(((better :+ a) ++ worse).take(k))
+        mk(((better :+ a) ++ worse).take(kk))
       }
     }
+    final def merge(x: B, y: B): B =
+      mk((items(x) ++ items(y)).sorted(ord).take(kk))
+    final def finish(b: B): B = b
+  }
 
-    def merge(x: Buf, y: Buf): Buf =
-      Buf((x.items ++ y.items).sorted(ord).take(k))
-
-    def finish(b: Buf): Buf = b
+  private final class TopKAgg(k: Int, ascending: Boolean)
+      extends Aggregator[Scored, Buf, Buf] with TopKLike[Scored, Buf] {
+    protected def kk: Int = k
+    // Best-first total order; id tiebreak keeps it deterministic.
+    @transient protected lazy val ord: Ordering[Scored] =
+      if (ascending) Ordering.by((s: Scored) => (s.score, s.id))
+      else Ordering.by((s: Scored) => (-s.score, s.id))
+    protected def items(b: Buf): Seq[Scored] = b.items
+    protected def mk(s: Seq[Scored]): Buf = Buf(s)
+    def zero: Buf = Buf(Nil)
     def bufferEncoder: org.apache.spark.sql.Encoder[Buf] = Encoders.product[Buf]
     def outputEncoder: org.apache.spark.sql.Encoder[Buf] = Encoders.product[Buf]
   }
@@ -65,22 +76,14 @@ object TopK {
   case class BufS(items: Seq[ScoredS])
 
   private final class TopKStrAgg(k: Int)
-      extends Aggregator[ScoredS, BufS, BufS] {
+      extends Aggregator[ScoredS, BufS, BufS] with TopKLike[ScoredS, BufS] {
+    protected def kk: Int = k
     // Ascending (score, id) — the only order the hash-draw callers need.
-    @transient private lazy val ord: Ordering[ScoredS] =
+    @transient protected lazy val ord: Ordering[ScoredS] =
       Ordering.by((s: ScoredS) => (s.score, s.id))
+    protected def items(b: BufS): Seq[ScoredS] = b.items
+    protected def mk(s: Seq[ScoredS]): BufS = BufS(s)
     def zero: BufS = BufS(Nil)
-    def reduce(b: BufS, a: ScoredS): BufS = {
-      val it = b.items
-      if (it.size >= k && ord.lteq(it.last, a)) b
-      else {
-        val (better, worse) = it.span(x => ord.lt(x, a))
-        BufS(((better :+ a) ++ worse).take(k))
-      }
-    }
-    def merge(x: BufS, y: BufS): BufS =
-      BufS((x.items ++ y.items).sorted(ord).take(k))
-    def finish(b: BufS): BufS = b
     def bufferEncoder: org.apache.spark.sql.Encoder[BufS] = Encoders.product[BufS]
     def outputEncoder: org.apache.spark.sql.Encoder[BufS] = Encoders.product[BufS]
   }
@@ -93,21 +96,13 @@ object TopK {
   case class BufTs(items: Seq[ScoredTs])
 
   private final class TopKTsAgg(k: Int)
-      extends Aggregator[ScoredTs, BufTs, BufTs] {
-    @transient private lazy val ord: Ordering[ScoredTs] =
+      extends Aggregator[ScoredTs, BufTs, BufTs] with TopKLike[ScoredTs, BufTs] {
+    protected def kk: Int = k
+    @transient protected lazy val ord: Ordering[ScoredTs] =
       Ordering.by((s: ScoredTs) => (s.score, s.id))
+    protected def items(b: BufTs): Seq[ScoredTs] = b.items
+    protected def mk(s: Seq[ScoredTs]): BufTs = BufTs(s)
     def zero: BufTs = BufTs(Nil)
-    def reduce(b: BufTs, a: ScoredTs): BufTs = {
-      val it = b.items
-      if (it.size >= k && ord.lteq(it.last, a)) b
-      else {
-        val (better, worse) = it.span(x => ord.lt(x, a))
-        BufTs(((better :+ a) ++ worse).take(k))
-      }
-    }
-    def merge(x: BufTs, y: BufTs): BufTs =
-      BufTs((x.items ++ y.items).sorted(ord).take(k))
-    def finish(b: BufTs): BufTs = b
     def bufferEncoder: org.apache.spark.sql.Encoder[BufTs] = Encoders.product[BufTs]
     def outputEncoder: org.apache.spark.sql.Encoder[BufTs] = Encoders.product[BufTs]
   }

@@ -331,10 +331,13 @@ object Select {
     * task. A document is kept iff it fits ENTIRELY within the budget. */
   def tokenBudgetFill(docs: DataFrame, budget: Long = 15000L,
       bucketWidth: Int = 50, blockRows: Long = 4096L): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    // Materialized: the narrow (doc_id, n_tokens, qb, blk) projection is
+    // consumed by both the in-block window and the block-sum aggregate —
+    // one tokenizing scan of the corpus, not two.
+    val toks = graft.Materialize(docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       floor(col("n_chars") / bucketWidth).cast("long").as("qb"),
-      floor(col("doc_id") / blockRows).as("blk"))
+      floor(col("doc_id") / blockRows).as("blk")))
     val inBlock = toks.withColumn("in_prefix",
       coalesce(sum("n_tokens").over(Window.partitionBy("qb", "blk")
         .orderBy("doc_id")
@@ -344,7 +347,10 @@ object Select {
         coalesce(sum("blk_sum").over(Window.orderBy(col("qb").desc, col("blk").asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("qb", "blk", "blk_prefix")
-    inBlock.join(broadcast(blockPrefix), Seq("qb", "blk"))
+    // Auto-broadcast (no hint): tiny at sane blockRows sizing, and free
+    // to degrade to a hash join when a corpus-scaled block table outgrows
+    // a safe driver collect.
+    inBlock.join(blockPrefix, Seq("qb", "blk"))
       .select(col("doc_id"), col("qb"), col("n_tokens"),
         (col("blk_prefix") + col("in_prefix")).as("offset"))
       .filter(col("offset") + col("n_tokens") <= budget)
@@ -366,9 +372,12 @@ object Select {
     * crosses a single partition, never document rows. */
   def packSequences(docs: DataFrame, budget: Int = 256,
       blockRows: Long = 4096L): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    // Same two-consumer materialization and hint-free block join as
+    // tokenBudgetFill (one tokenizing scan; auto-broadcast while the
+    // block table is small, hash join when a corpus-scaled one isn't).
+    val toks = graft.Materialize(docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      floor(col("doc_id") / blockRows).as("blk"))
+      floor(col("doc_id") / blockRows).as("blk")))
     val inBlock = toks.withColumn("in_prefix",
       coalesce(sum("n_tokens").over(Window.partitionBy("blk").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -377,7 +386,7 @@ object Select {
         coalesce(sum("blk_sum").over(Window.orderBy("blk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("blk", "blk_prefix")
-    inBlock.join(broadcast(blockPrefix), Seq("blk"))
+    inBlock.join(blockPrefix, Seq("blk"))
       .select(col("doc_id"), col("n_tokens"),
         (col("in_prefix") + col("blk_prefix")).as("offset"))
       .withColumn("first_chunk", floor(col("offset") / budget))
@@ -429,12 +438,16 @@ object Select {
     * 16M blocks; at 10^12 docs ~60k rows/block). */
   def shardAssign(docs: DataFrame, nShards: Int = 16, blkHex: Int = 6): DataFrame = {
     require(blkHex >= 4 && blkHex <= 31, "blk prefix must cover the 16-bit shard prefix")
-    val hashed = docs
+    // Materialized: both the per-row rank and the block-size table read
+    // the narrow (doc_id, hk, shard, blk) projection — one md5 pass, one
+    // corpus scan, instead of two of each.
+    val hashed = graft.Materialize(docs
+      .select(col("doc_id"))
       .withColumn("hk", md5(col("doc_id").cast("string")))
       .withColumn("shard",
         floor(conv(substring(col("hk"), 1, 4), 16, 10).cast("long")
           * nShards / 65536).cast("long"))
-      .withColumn("blk", substring(col("hk"), 1, blkHex))
+      .withColumn("blk", substring(col("hk"), 1, blkHex)))
     val inBlk = hashed.withColumn("blk_rank", row_number()
       .over(Window.partitionBy("blk").orderBy("hk", "doc_id")).cast("long"))
     val blkPrefix = hashed.groupBy(col("shard"), col("blk"))
@@ -443,7 +456,12 @@ object Select {
         coalesce(sum("blk_n").over(Window.partitionBy("shard").orderBy("blk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("blk", "blk_prefix")
-    inBlk.join(broadcast(blkPrefix), Seq("blk"))
+    // No broadcast HINT on the block table: at sane blkHex sizing Spark
+    // auto-broadcasts it (checkpointed input gives accurate stats), and
+    // when a corpus-scaled blkHex pushes it past the threshold (16^6 =
+    // 16.7M rows is no longer a safe mandatory driver collect) the join
+    // correctly degrades to a hash join on blk instead of an OOM.
+    inBlk.join(blkPrefix, Seq("blk"))
       .select(col("doc_id"), col("shard"),
         (col("blk_rank") + col("blk_prefix")).as("pos"))
       .orderBy("shard", "pos")

@@ -119,10 +119,17 @@ object Similarity {
     * cross-join exchange reuse). */
   private def bandedTable(emb: DataFrame, planes: Int, bandBits: Int): DataFrame = {
     val bands = planes / bandBits
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // head(1) not head(): an empty embeddings table yields an empty
+    // banded table, not a NoSuchElementException at plan-build time.
+    val dim = emb.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    // Decouple the 16 interpreted HOF folds from the parquet row-group
+    // layout (the Dedup.spread argument: one row group = one partition
+    // would serialize the dominant per-row cost).
     val withSig = graft.Materialize(
-      emb.select(col("vec_id"), col("embedding"),
-        hyperplaneSig(planes, dim).as("sig")))
+      emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"),
+          hyperplaneSig(planes, dim).as("sig")))
     val banded = withSig
       .withColumn("bandArr", expr(
         s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, CAST(shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS INT) AS bucket))"))
@@ -209,15 +216,20 @@ object Similarity {
     (0 until iters).foreach { _ =>
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Long](cents.length)
+      // Loop-invariant squared norms hoisted out of the (v, c) loop —
+      // keeping the FUSED sqrt(vv*cc) so the similarity stays bit-equal
+      // to CosineSimilarity's dot/sqrt(na*nb).
+      val centNorms = cents.map(c => ldot(c, c))
       data.foreach { v =>
         // argmax cosine, FIRST (smallest) cell on ties; NaN (zero vector)
         // never beats a real similarity — the distributed struct-min's
         // NaN-sorts-greatest behavior.
+        val vv = ldot(v, v)
         var cell = 0
         var best = Double.NegativeInfinity
         var c = 0
         while (c < cents.length) {
-          val s = ldot(v, cents(c)) / math.sqrt(ldot(v, v) * ldot(cents(c), cents(c)))
+          val s = ldot(v, cents(c)) / math.sqrt(vv * centNorms(c))
           if (s > best) { best = s; cell = c }
           c += 1
         }
@@ -460,13 +472,14 @@ object Similarity {
       .getOrElse(cents.collect().map(r => (r.getAs[Number]("cell").intValue,
         r.getSeq[Double](r.fieldIndex("cvec")).toArray)))
       .sortBy(_._1).map(_._2)
+    val centLocalNorms = centLocal.map(c => ldot(c, c))
     def residualize(v: Array[Double]): Array[Double] = {
+      val vv = ldot(v, v)
       var cell = 0
       var best = Double.NegativeInfinity
       var c = 0
       while (c < centLocal.length) {
-        val s = ldot(v, centLocal(c)) /
-          math.sqrt(ldot(v, v) * ldot(centLocal(c), centLocal(c)))
+        val s = ldot(v, centLocal(c)) / math.sqrt(vv * centLocalNorms(c))
         if (s > best) { best = s; cell = c }
         c += 1
       }
@@ -787,7 +800,11 @@ object Similarity {
       .filter(col("left_id") < col("vec_id"))
       .select(col("vec_id"),  col("left_id"),
         cosineFast(emb.sparkSession, "ea", "eb").as("cos"))
-      .filter(col("cos") >= tau)
+      // NaN >= tau is TRUE under Spark's NaN-sorts-greatest comparison, so
+      // without the NaN guard a zero/degenerate embedding (0/0 cosine) —
+      // and every vector sharing its cell — would be flagged a duplicate.
+      // Same rule as rankTopK: a NaN cosine is not a near-duplicate.
+      .filter(col("cos") >= tau && !isnan(col("cos")))
     val dupOf = pairs.groupBy("vec_id")
       .agg(min("left_id").as("dup_of"), max("cos").as("best_cos"))
     assigned.select("vec_id", "cell")

@@ -118,7 +118,7 @@ class JdbcFeedRunnerSpec extends AnyFunSuite {
       spark, url, GoldenFixture.TestProcessor,
       FeedOptions(batchSize = 1, maxRetries = 3, autoClose = false), "w1",
       leaseDurationMs = 5000L, clock = () => t.get(),
-      warnSink = warns.synchronized { m => warns += m })
+      warnSink = m => warns.synchronized { warns += m })
     w.tick() // adopt + save lease until t0+5s
     assert(w.heldLeases.contains("p1_x") && warns.isEmpty)
     t.addAndGet(10000L) // lease lapses with the partition still held
@@ -230,7 +230,7 @@ class JdbcFeedRunnerSpec extends AnyFunSuite {
       spark, url, GoldenFixture.TestProcessor,
       FeedOptions(batchSize = 10, maxRetries = 3, autoClose = true), "w-mine",
       leaseFilter = p => p.id.startsWith("mine"),
-      warnSink = warns.synchronized { m => warns += m },
+      warnSink = m => warns.synchronized { warns += m },
       maxLeaseScan = 3,
       maxLeaseScanPages = 2) // 2 pages × 3 rows < the 8-row rejected prefix
     w.tick()

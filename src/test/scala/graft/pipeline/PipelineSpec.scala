@@ -365,6 +365,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: a zero embedding is never a duplicate and poisons no cell-mate") {
+    import spark.implicits._
+    // A zero vector's cosine is 0/0 = NaN, and NaN >= tau is TRUE under
+    // Spark's NaN-sorts-greatest comparison — without the NaN guard the
+    // zero vector (and any vector whose only lower-id cell-mate it is)
+    // gets flagged with best_cos = NaN.
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextFloat() * 2f - 1f)
+    }
+    val rows = (0 until 20).map(i => (i.toLong, vec(7000 + i))) ++
+      Seq((500L, Seq.fill(64)(0f)), (1000L, vec(7003)))
+    val out = Similarity.semanticDedup(rows.toDF("vec_id", "embedding"),
+      nClusters = 2).collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(500L).getAs[Boolean]("is_duplicate"), "zero vector flagged via NaN")
+    assert(out.valuesIterator.forall(r => !r.getAs[Double]("best_cos").isNaN),
+      "NaN cosine leaked into a decision row")
+    assert(out(1000L).getAs[Boolean]("is_duplicate") &&
+      out(1000L).getAs[Long]("dup_of") == 3L, "real duplicate still caught")
+  }
+
+  test("banded-LSH ops degrade cleanly on an empty embeddings table") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.annTopK(empty).collect().isEmpty)
+    assert(Similarity.embeddingNearDup(empty).collect().isEmpty)
+  }
+
   test("materialization strategies (reliable/persist) produce identical results") {
     import graft.Materialize
     val local = Dedup.minhashDedup(docs).collect().map(_.toString).sorted
