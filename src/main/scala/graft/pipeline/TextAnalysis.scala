@@ -337,7 +337,80 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** In-engine BPE merge learning — the textbook byte-pair-encoding
+    * trainer (Sennrich et al. 2016; the SentencePiece/GPT-2 vocabulary
+    * recipe): starting from characters, repeatedly merge the most
+    * frequent adjacent symbol pair, weighting by word frequency, with the
+    * lexicographically smallest pair on count ties (deterministic).
+    * Returns one row per learned merge: (rank, left, right, merged,
+    * weighted_count).
+    *
+    * Scale: the corpus is touched ONCE — a token explode + groupBy builds
+    * the distinct-word frequency table (the classic trainer's input;
+    * vocabulary ≪ corpus). Every iteration then runs on that bounded
+    * table: one pair-count aggregate (map-side combined) whose argmax is
+    * a one-row driver collect (the Lloyd-centroid pattern), and one
+    * higher-order fold applying the merge greedily left-to-right,
+    * non-overlapping — re-materialized per iteration so lineage stays
+    * flat. nMerges jobs over vocab-sized data, zero further corpus
+    * scans. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def sq(s: String): String = s.replace("'", "''")
+    var words = graft.Materialize(docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("s"), col("freq")))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      // argmax pair by (count DESC, left ASC, right ASC): min over the
+      // (-cnt, l, r) struct — a full aggregate, one row back.
+      val top = words
+        // Fully-merged single-symbol words carry no pairs (and sequence(0,
+        // size-2) would throw on them).
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> named_struct('l', s[i], 'r', s[i + 1]))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("m"))
+        .select(col("m.l"), col("m.r"), (-col("m.nc")).as("cnt"))
+        .collect()
+      if (top.isEmpty || top.head.isNullAt(0)) exhausted = true
+      else {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((i + 1L, l, r, l + r, cnt))
+        // Greedy left-to-right, non-overlapping merge application — the
+        // BPE rule — as a positional fold (skip flag consumes the pair).
+        val next = graft.Materialize(words.select(expr(
+          s"""aggregate(sequence(0, size(s) - 1),
+             |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'skip', false),
+             |  (acc, i) -> IF(acc.skip,
+             |    named_struct('out', acc.out, 'skip', false),
+             |    IF(i < size(s) - 1 AND s[i] = '${sq(l)}' AND s[i + 1] = '${sq(r)}',
+             |      named_struct('out', concat(acc.out, array('${sq(l + r)}')), 'skip', true),
+             |      named_struct('out', concat(acc.out, array(s[i])), 'skip', false))),
+             |  acc -> acc.out)""".stripMargin).as("s"), col("freq")))
+        graft.Materialize.release(words)
+        words = next
+        i += 1
+      }
+    }
+    graft.Materialize.release(words)
+    merges.result()
+      .toDF("rank", "left", "right", "merged", "weighted_count")
+      .orderBy("rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges"       -> ((s, d) => bpeTrain(Tables(s, d).documents)),
     "q64_unigram_logprob" -> ((s, d) => unigramLogProb(Tables(s, d).documents)),
     "q75_bigram_ppl"   -> ((s, d) => bigramPerplexity(Tables(s, d).documents)),
     "q20_text_quality" -> ((s, d) => textQuality(Tables(s, d).documents)),

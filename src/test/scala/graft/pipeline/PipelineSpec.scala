@@ -468,6 +468,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L).getAs[Long]("n_bigrams") == 2L && !out(2L).isNullAt(3))
   }
 
+  test("BPE training learns the textbook merges on the classic corpus") {
+    import spark.implicits._
+    // Sennrich's worked example shape: low x3, lower x2, newest x1.
+    // Initial pair counts: (l,o)=5, (o,w)=5, (w,e)=3, (e,r)=2, rest 1.
+    // Merge 1: count-5 tie between (l,o) and (o,w) -> lexicographically
+    // smaller (l,o) -> "lo". Merge 2: (lo,w)=5 unique max -> "low".
+    // Merge 3: words are now [low], [low,e,r], [n,e,w,e,s,t]; counts
+    // (low,e)=2, (e,r)=2, rest 1 -- tie resolved to (e,r) since
+    // "e" < "low" -> "er".
+    val d = (Seq.fill(3)("low") ++ Seq.fill(2)("lower") ++ Seq("newest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(d, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out(0) == ((1L, "l", "o", "lo", 5L)), s"got ${out(0)}")
+    assert(out(1) == ((2L, "lo", "w", "low", 5L)), s"got ${out(1)}")
+    assert(out(2) == ((3L, "e", "r", "er", 2L)), s"got ${out(2)}")
+  }
+
+  test("BPE training stops early when no pairs remain; empty corpus yields no merges") {
+    import spark.implicits._
+    val d = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    // One possible merge (a,b) -> then every word is a single symbol.
+    val out = TextAnalysis.bpeTrain(d, nMerges = 5).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(3) == "ab" && out.head.getLong(4) == 3L)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(empty, nMerges = 2).collect().isEmpty)
+  }
+
   test("langid predicts a language for every doc, deterministic across runs") {
     val a = TextAnalysis.languageId(docs).collect()
     val b = TextAnalysis.languageId(docs).collect()
