@@ -42,10 +42,12 @@ object BloomProbe {
   }
 
   /** Optimal bit count for `n` items at false-positive rate `fpp` —
-    * m = ceil(−n·ln p / ln²2), the standard sizing formula. */
+    * delegated to the sketch library's own sizing
+    * (m = −n·ln p / ln²2) so this filter is sized exactly like every
+    * other Spark bloom filter; floored at 64 bits for degenerate n. */
   def optimalNumBits(n: Long, fpp: Double): Long =
-    math.max(64L, math.ceil(-n * math.log(fpp) /
-      (math.log(2) * math.log(2))).toLong)
+    math.max(64L,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp))
 
   /** Build a bloom filter over `keys`'s single string column and return a
     * predicate SQL fragment probing it for the given column expression.
@@ -59,14 +61,30 @@ object BloomProbe {
     * embeds it, whose last action this function cannot observe. The
     * accumulation is bounded by calls-per-session (one catalog entry and
     * one filter-sized file each), cleared with the session/checkpoint dir. */
+  private val MaxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+  private val MaxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+
   def probe(spark: SparkSession, keys: DataFrame, keyCol: String,
       nItems: Long, fpp: Double, probeCol: String): String = {
     register(spark)
     val nBits = optimalNumBits(nItems, fpp)
-    val view = s"graft_bloom_build_${viewId.incrementAndGet()}"
-    graft.Materialize(keys.agg(
-        expr(s"graft_bloom_agg(xxhash64($keyCol), ${nItems}L, ${nBits}L)").as("bf")))
-      .createOrReplaceTempView(view)
-    s"graft_might_contain((SELECT bf FROM $view), xxhash64($probeCol))"
+    // BloomFilterAggregate SILENTLY clamps (Math.min) both sizes to the
+    // runtime-bloom-filter session caps (defaults 4M items / 64M bits).
+    // At the eval-set scale this helper exists for, a silent clamp
+    // degrades fpp toward 1 and the prefilter passes nearly everything —
+    // worse than no prefilter, with no warning. Raise the caps for the
+    // duration of the build (Materialize is eager in every strategy, so
+    // the aggregate runs inside this call) and restore them after.
+    val raise = Seq(MaxItemsKey -> nItems, MaxBitsKey -> nBits)
+      .filter { case (k, v) => spark.conf.get(k).toLong < v }
+    val saved = raise.map { case (k, _) => k -> spark.conf.get(k) }
+    raise.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val view = s"graft_bloom_build_${viewId.incrementAndGet()}"
+      graft.Materialize(keys.agg(
+          expr(s"graft_bloom_agg(xxhash64($keyCol), ${nItems}L, ${nBits}L)").as("bf")))
+        .createOrReplaceTempView(view)
+      s"graft_might_contain((SELECT bf FROM $view), xxhash64($probeCol))"
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }

@@ -750,7 +750,12 @@ object Similarity {
         cosineFast(emb.sparkSession, "a.embedding", "b.embedding").as("cos"))
       // Threshold before the dedup: only qualifying pairs shuffle at all
       // (identical cos per duplicate, so the order is value-neutral).
-      .filter(col("cos") >= threshold)
+      // NaN >= threshold is TRUE under Spark's NaN-sorts-greatest
+      // comparison, so without the guard a zero/degenerate embedding
+      // (0/0 cosine) would flag itself and every bucket-mate as a
+      // duplicate — same rule as semanticDedup and rankTopK: a NaN
+      // cosine is not a near-duplicate.
+      .filter(col("cos") >= threshold && !isnan(col("cos")))
       .dropDuplicates("left_id", "right_id")
     val dupOf = pairs.groupBy(col("right_id").as("vec_id"))
       .agg(min(col("left_id")).as("dup_of"), max(col("cos")).as("best_cos"))
@@ -931,7 +936,7 @@ object Similarity {
          |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
          |  FROM q a JOIN q b ON a.vec_id < b.vec_id),
          |dec AS (SELECT r AS vec_id, min(l) AS dup_of, max(cos) AS best_cos
-         |  FROM pj WHERE cos >= 0.9 GROUP BY r)
+         |  FROM pj WHERE cos >= 0.9 AND NOT isnan(cos) GROUP BY r)
          |SELECT e.vec_id, e.label, dec.dup_of,
          |  COALESCE(round(dec.best_cos, 4), 0.0) AS best_cos,
          |  dec.dup_of IS NOT NULL AS is_duplicate

@@ -357,7 +357,13 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def sq(s: String): String = s.replace("'", "''")
+    // Spark SQL string literals treat backslash as an escape character
+    // (default escapedStringLiterals=false): an unescaped '\' either
+    // swallows the closing quote (ParseException) or silently rewrites
+    // the symbol ('\d' parses as "d" — the merge would never apply and
+    // the same argmax pair would repeat forever). Escape it FIRST, then
+    // double the quotes.
+    def sq(s: String): String = s.replace("\\", "\\\\").replace("'", "''")
     var words = graft.Materialize(docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(split(col("text"), " ")).as("w"))

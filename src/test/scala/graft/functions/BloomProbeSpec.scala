@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BloomProbe wraps Spark's BloomFilterAggregate, which SILENTLY clamps
+  * (Math.min) the requested sizes to the runtime-bloom-filter session
+  * caps. probe() must raise those caps for the build — otherwise, at
+  * exactly the eval-set scale the prefilter exists for, the filter
+  * saturates and fpp degrades toward 1 with no warning. Pin that here
+  * by shrinking the caps far below the requested size and asserting the
+  * built filter still achieves its requested false-positive rate. */
+class BloomProbeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val MaxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+  private val MaxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+
+  test("probe() sizing overrides the session clamp caps, and restores them") {
+    import spark.implicits._
+    val savedItems = spark.conf.get(MaxItemsKey)
+    val savedBits = spark.conf.get(MaxBitsKey)
+    try {
+      // Caps far below the request: 10k items at fpp 0.01 want ~96k bits.
+      spark.conf.set(MaxItemsKey, 100L)
+      spark.conf.set(MaxBitsKey, 4096L)
+      val keys = (0 until 10000).map(i => s"member_$i").toDF("k")
+      val pred = BloomProbe.probe(spark, keys, "k", 10000L, 0.01, "k")
+      // Caps must be back to the shrunken values right after the build.
+      assert(spark.conf.get(MaxItemsKey) == "100" &&
+        spark.conf.get(MaxBitsKey) == "4096", "probe() leaked raised caps")
+      val members = keys.filter(expr(pred)).count()
+      assert(members == 10000L, s"bloom filter must never false-negative: $members")
+      // Under the clamp (4096 bits / 10k items) the filter saturates and
+      // ~90% of non-members pass; honored sizing keeps fpp near 0.01.
+      val fps = (0 until 2000).map(i => s"outsider_$i").toDF("k")
+        .filter(expr(pred)).count()
+      assert(fps < 200, s"fpp degraded — clamp not overridden? $fps/2000 false positives")
+    } finally {
+      spark.conf.set(MaxItemsKey, savedItems)
+      spark.conf.set(MaxBitsKey, savedBits)
+    }
+  }
+
+  test("optimalNumBits matches the sketch library sizing with a 64-bit floor") {
+    assert(BloomProbe.optimalNumBits(10000L, 0.01) ==
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(10000L, 0.01))
+    assert(BloomProbe.optimalNumBits(1L, 0.5) == 64L)
+  }
+}

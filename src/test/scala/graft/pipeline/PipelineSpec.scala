@@ -338,6 +338,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(10001L).getAs[Double]("best_cos") == 1.0)
   }
 
+  test("embedding near-dup: a zero embedding is never a duplicate") {
+    import spark.implicits._
+    // Two zero vectors share every LSH band (identical all-zero
+    // signatures) and their cosine is 0/0 = NaN; NaN >= threshold is
+    // TRUE under Spark comparison, so without the NaN guard the
+    // higher-id one gets flagged with best_cos = NaN. Same rule as
+    // semanticDedup/rankTopK: a NaN cosine is not a near-duplicate.
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextFloat() * 2f - 1f)
+    }
+    val rows = (0 until 10).map(i => (i.toLong, vec(8000 + i), 0)) ++
+      Seq((500L, Seq.fill(64)(0f), 0), (501L, Seq.fill(64)(0f), 0),
+        (1000L, vec(8002), 0))
+    val out = Similarity.embeddingNearDup(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(500L).getAs[Boolean]("is_duplicate") &&
+      !out(501L).getAs[Boolean]("is_duplicate"), "zero vector flagged via NaN")
+    assert(out.valuesIterator.forall(r => !r.getAs[Double]("best_cos").isNaN),
+      "NaN cosine leaked into a decision row")
+    assert(out(1000L).getAs[Boolean]("is_duplicate") &&
+      out(1000L).getAs[Long]("dup_of") == 2L, "real duplicate still caught")
+  }
+
   test("semantic dedup flags exact duplicates in-cluster, none on spread decoys") {
     import spark.implicits._
     // 40 independent random vectors (pairwise cosine concentrates well
@@ -495,6 +519,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.head.getString(3) == "ab" && out.head.getLong(4) == 3L)
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.bpeTrain(empty, nMerges = 2).collect().isEmpty)
+  }
+
+  test("BPE training survives backslash and quote symbols in the corpus") {
+    import spark.implicits._
+    // Backslash is an escape character in Spark SQL string literals, so
+    // a learned symbol containing '\' must be escaped when spliced into
+    // the merge-fold SQL — unescaped it either swallows the closing
+    // quote (ParseException) or silently rewrites the symbol ('\t' ->
+    // "t") so the merge never applies and the argmax repeats forever.
+    // Corpus: "C:\tmp" x3 — all 5 initial pairs tie at 3, ties resolve
+    // to the lexicographically smallest left, ':' (0x3a) < 'C' < '\'.
+    val d = Seq((1L, "C:\\tmp C:\\tmp"), (2L, "C:\\tmp it's"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(d, nMerges = 3).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out(0) == ((":", "\\", ":\\", 3L)), s"got ${out(0)}")
+    assert(out(1) == ((":\\", "t", ":\\t", 3L)), s"got ${out(1)}")
+    assert(out(2) == ((":\\t", "m", ":\\tm", 3L)), s"got ${out(2)}")
   }
 
   test("langid predicts a language for every doc, deterministic across runs") {
