@@ -97,6 +97,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Frequent-block masking — the REMOVE-ALL dual of [[paragraphDedup]]
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", the ExactSubstr policy): a block whose corpus-wide
+    * frequency exceeds `maxFreq` is boilerplate (cookie banners, license
+    * headers, templated spans) and EVERY instance is masked out — unlike
+    * keep-first dedup, no copy survives, because a span repeated across
+    * thousands of pages teaches the model nothing but memorization.
+    * Documents are reassembled from the surviving blocks in order.
+    *
+    * Scale: same two-shuffle shape as [[paragraphDedup]] — the token
+    * array is materialized once, blocks explode from it in one pass, the
+    * frequency table is a map-side-combined count on the 128-bit block
+    * hash (a viral block collapses per map task; no skewed reducer), and
+    * reassembly groups on doc_id (per-document cardinality). The
+    * frequency join carries one long per block, not the block text. */
+  def frequentBlockMask(docs: DataFrame, blockTokens: Int = 16,
+      maxFreq: Long = 1): DataFrame = {
+    val tok = graft.Materialize(spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val blocks = tok.select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST((size(toks) - 1) / $blockTokens AS INT)),
+             |  i -> concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens)))"""
+            .stripMargin)).as(Seq("blk_idx", "blk")))
+      .select(col("doc_id"), col("blk_idx").cast("long").as("blk_idx"),
+        col("blk"), md5(col("blk")).as("h"))
+    val freq = blocks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    blocks.join(freq, Seq("h"))
+      .withColumn("kept", col("cnt") <= maxFreq)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_masked"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("blk_idx"), col("blk"))))),
+          x => x("blk"))).as("clean_text"))
+      .withColumn("changed", col("n_masked") > 0)
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures + banded LSH candidate pairs.
     *
     * Structured as explode → seeded-hash → groupBy-min, NOT as nested
@@ -533,6 +575,7 @@ object Dedup {
     "dedup_simhash"        -> ((s, d) => simhashDedup(Tables(s, d).documents)),
     "q69_edit_distance"    -> ((s, d) => editDistancePairs(Tables(s, d).documents)),
     "q73_paragraph_dedup"  -> ((s, d) => paragraphDedup(Tables(s, d).documents)),
+    "q78_block_mask"       -> ((s, d) => frequentBlockMask(Tables(s, d).documents)),
   )
 
   /** Exhaustive all-pairs twin of [[simhashDedup]] (shingleSize 3,
@@ -596,6 +639,27 @@ object Dedup {
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
          |  coalesce(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY blk_idx), '') AS clean_text,
          |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) > 0 AS changed
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // Same block explode as q73's twin; the decision is a per-block
+    // corpus frequency (GROUP BY the block text — md5 on the Spark side
+    // is just the shuffle key for the same equality) and the mask drops
+    // EVERY instance of a frequent block, so unlike q73 no ROW_NUMBER
+    // appears: cnt <= maxFreq is the whole keep rule.
+    "q78_block_mask" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |e AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, (len(toks) - 1) // 16)) AS i
+         |  FROM t),
+         |b AS (SELECT doc_id, CAST(i AS BIGINT) AS blk_idx,
+         |    array_to_string(toks[i * 16 + 1:i * 16 + 16], ' ') AS blk
+         |  FROM e),
+         |f AS (SELECT blk, count(*) AS cnt FROM b GROUP BY blk),
+         |k AS (SELECT doc_id, blk_idx, blk, cnt FROM b JOIN f USING (blk))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  coalesce(string_agg(CASE WHEN cnt <= 1 THEN blk END, ' ' ORDER BY blk_idx), '') AS clean_text,
+         |  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) > 0 AS changed
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q19_dedup_exact" ->
       ("SELECT doc_id, md5(text) AS h FROM (SELECT doc_id, text, " +

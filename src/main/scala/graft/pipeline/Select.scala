@@ -229,6 +229,64 @@ object Select {
       .orderBy("lang")
   }
 
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its content is under a
+    * TARGET distribution than under the raw corpus. Features are hashed
+    * bigram buckets (the paper's hashed n-gram model: a bounded,
+    * vocabulary-free feature space); both distributions are add-one-
+    * smoothed bucket frequencies, the target estimated from the in-corpus
+    * slice `lang = targetLang` (standing in for an external high-quality
+    * corpus), the raw from everything. A document's log importance
+    * weight is Σ over its bigram instances of ln(p_target/p_raw).
+    *
+    * Scale: one materialized feature stream (doc_id, bucket); two
+    * map-side-combined counts over a space CAPPED at `buckets` keys (the
+    * whole point of feature hashing — the ratio table is ≤4096 rows no
+    * matter the corpus, broadcast everywhere); one doc_id aggregate.
+    * Zero corpus-sized shuffles beyond the one feature-stream groupBy.
+    *
+    * Exactness across engines: the bucket is the md5-derived
+    * [[graft.functions.PortableHash]] mod a power of two (low bits agree
+    * between signed pmod and unsigned mod); ln/division ulp drift is
+    * absorbed by ROUND(…, 4) exactly as in q75's perplexity twin. */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    val bg = graft.Materialize(docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))"))
+        .as("bgram"))
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.PortableHash.hash64(col("bgram")),
+          lit(buckets.toLong)).as("f")))
+    val raw = bg.groupBy("f").agg(count(lit(1)).as("cr"))
+    val tgt = bg.filter(col("lang") === targetLang)
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val totals = bg.agg(count(lit(1)).as("tr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tt"))
+    val feats = raw.join(tgt, Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("f"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+            (col("tt") + lit(buckets.toDouble))) -
+          log((col("cr") + lit(1.0)) /
+            (col("tr") + lit(buckets.toDouble)))).as("lr"))
+    val scored = bg.join(broadcast(feats), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("llr"))
+    docs.select("doc_id", "lang")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        round(coalesce(col("llr"), lit(0.0)), 4).as("llr"),
+        (round(coalesce(col("llr"), lit(0.0)), 4) > 0).as("target_like"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-based mixture sampling (the multilingual-pretraining
     * standard: sample language l with probability ∝ p_l^α, α < 1
     * flattening the head so low-resource languages aren't drowned): each
@@ -481,9 +539,40 @@ object Select {
     "q74_contamination_span" -> ((s, d) => contaminationSpan(Tables(s, d).documents)),
     "q76_token_budget"  -> ((s, d) => tokenBudgetFill(Tables(s, d).documents)),
     "q77_epochs_upsample" -> ((s, d) => epochsUpsample(Tables(s, d).documents)),
+    "q79_importance_weights" -> ((s, d) => importanceWeights(Tables(s, d).documents)),
   )
 
   def oracle: Map[String, String] = Map(
+    // Full DSIR twin: same md5-derived bucket (unsigned mod 4096 == the
+    // Spark side's signed pmod because 4096 divides 2^64), same add-one
+    // smoothing, ln-ratio per bucket, per-doc instance sum. ROUND(…, 4)
+    // absorbs ln/summation-order ulp drift (the q75 argument); the
+    // target_like flag compares each engine's OWN rounded value.
+    "q79_importance_weights" -> {
+      import graft.functions.PortableHash.duckUnsigned
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |bgr AS (SELECT doc_id, lang,
+         |    unnest(list_transform(generate_series(2, len(toks)),
+         |      i -> toks[i - 1] || ' ' || toks[i])) AS bgram
+         |  FROM t WHERE len(toks) >= 2),
+         |h AS (SELECT doc_id, lang,
+         |    CAST(${duckUnsigned("bgram")} % 4096 AS BIGINT) AS f FROM bgr),
+         |raw AS (SELECT f, count(*) AS cr FROM h GROUP BY f),
+         |tgt AS (SELECT f, count(*) AS ct FROM h WHERE lang = 'en' GROUP BY f),
+         |tot AS (SELECT count(*) AS tr,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt FROM h),
+         |feats AS (SELECT f,
+         |    ln((COALESCE(ct, 0) + 1.0) / (tt + 4096.0)) -
+         |    ln((cr + 1.0) / (tr + 4096.0)) AS lr
+         |  FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tot),
+         |sc AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS llr
+         |  FROM h JOIN feats USING (f) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+         |  ROUND(COALESCE(sc.llr, 0.0), 4) AS llr,
+         |  ROUND(COALESCE(sc.llr, 0.0), 4) > 0 AS target_like
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
     "q68_strata_exact_k" ->
       ("""SELECT doc_id, source, rk FROM (
          |  SELECT doc_id, source,

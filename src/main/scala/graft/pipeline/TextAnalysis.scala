@@ -354,16 +354,32 @@ object TextAnalysis {
     * non-overlapping — re-materialized per iteration so lineage stays
     * flat. nMerges jobs over vocab-sized data, zero further corpus
     * scans. */
+  // Spark SQL string literals treat backslash as an escape character
+  // (default escapedStringLiterals=false): an unescaped '\' either
+  // swallows the closing quote (ParseException) or silently rewrites
+  // the symbol ('\d' parses as "d" — the merge would never apply and
+  // the same argmax pair would repeat forever). Escape it FIRST, then
+  // double the quotes.
+  private def sq(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
+
+  /** Greedy left-to-right, non-overlapping application of ONE merge
+    * (l, r) → l+r to a symbol-array column `s` — the BPE rule, as a
+    * positional fold (the skip flag consumes the matched pair). Shared
+    * by the trainer and the encoder so both apply merges identically. */
+  private def applyMergeSql(l: String, r: String): String =
+    s"""aggregate(sequence(0, size(s) - 1),
+       |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'skip', false),
+       |  (acc, i) -> IF(acc.skip,
+       |    named_struct('out', acc.out, 'skip', false),
+       |    IF(i < size(s) - 1 AND s[i] = '${sq(l)}' AND s[i + 1] = '${sq(r)}',
+       |      named_struct('out', concat(acc.out, array('${sq(l + r)}')), 'skip', true),
+       |      named_struct('out', concat(acc.out, array(s[i])), 'skip', false))),
+       |  acc -> acc.out)""".stripMargin
+
   def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // Spark SQL string literals treat backslash as an escape character
-    // (default escapedStringLiterals=false): an unescaped '\' either
-    // swallows the closing quote (ParseException) or silently rewrites
-    // the symbol ('\d' parses as "d" — the merge would never apply and
-    // the same argmax pair would repeat forever). Escape it FIRST, then
-    // double the quotes.
-    def sq(s: String): String = s.replace("\\", "\\\\").replace("'", "''")
     var words = graft.Materialize(docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -393,17 +409,8 @@ object TextAnalysis {
         val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
           top.head.getLong(2))
         merges += ((i + 1L, l, r, l + r, cnt))
-        // Greedy left-to-right, non-overlapping merge application — the
-        // BPE rule — as a positional fold (skip flag consumes the pair).
-        val next = graft.Materialize(words.select(expr(
-          s"""aggregate(sequence(0, size(s) - 1),
-             |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'skip', false),
-             |  (acc, i) -> IF(acc.skip,
-             |    named_struct('out', acc.out, 'skip', false),
-             |    IF(i < size(s) - 1 AND s[i] = '${sq(l)}' AND s[i + 1] = '${sq(r)}',
-             |      named_struct('out', concat(acc.out, array('${sq(l + r)}')), 'skip', true),
-             |      named_struct('out', concat(acc.out, array(s[i])), 'skip', false))),
-             |  acc -> acc.out)""".stripMargin).as("s"), col("freq")))
+        val next = graft.Materialize(
+          words.select(expr(applyMergeSql(l, r)).as("s"), col("freq")))
         graft.Materialize.release(words)
         words = next
         i += 1
@@ -415,8 +422,59 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** BPE tokenizer APPLICATION — encode the corpus with the merge table
+    * [[bpeTrain]] learns, yielding the per-document token counts a
+    * token-budgeted pipeline actually consumes (q76's budget fill, q62's
+    * packing, and any "n_tokens" accounting assume SOME tokenizer; this
+    * is the in-engine one). Merges are applied to each word in rank
+    * order, each greedily left-to-right non-overlapping — exactly the
+    * decoding rule of the classic trainer, via the SAME shared fold.
+    *
+    * Scale: merges are nMerges driver rows (the Lloyd-centroid pattern);
+    * encoding runs on the DISTINCT-word vocabulary (vocab ≪ corpus),
+    * nMerges bounded folds over that bounded table; the corpus is
+    * touched twice — once to build the word-frequency vocab, once to
+    * join each token instance to its broadcast per-word token count and
+    * aggregate per doc. Zero corpus-sized shuffles beyond the doc_id
+    * aggregate. */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val merges = bpeTrain(docs, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val tokens = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    var vocab = graft.Materialize(tokens.groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .select(col("w"), split(col("w"), "").as("s"), col("freq")))
+    merges.foreach { case (l, r) =>
+      val next = graft.Materialize(vocab.select(
+        col("w"), expr(applyMergeSql(l, r)).as("s"), col("freq")))
+      graft.Materialize.release(vocab)
+      vocab = next
+    }
+    // The final vocab materialization is NOT released here: the returned
+    // DataFrame reads it lazily, so it must outlive this call (bounded —
+    // one vocab-sized table per call, freed with the session).
+    val wordToks = vocab.select(col("w"), size(col("s")).cast("long").as("n_toks"))
+    val out = tokens.join(broadcast(wordToks), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_tokens"))
+    docs.select("doc_id")
+      .join(out, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("n_tokens"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_words"), lit(0L)), lit(1L)), 4)
+          .as("toks_per_word"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges"       -> ((s, d) => bpeTrain(Tables(s, d).documents)),
+    "bpe_encode"       -> ((s, d) => bpeEncode(Tables(s, d).documents)),
     "q64_unigram_logprob" -> ((s, d) => unigramLogProb(Tables(s, d).documents)),
     "q75_bigram_ppl"   -> ((s, d) => bigramPerplexity(Tables(s, d).documents)),
     "q20_text_quality" -> ((s, d) => textQuality(Tables(s, d).documents)),

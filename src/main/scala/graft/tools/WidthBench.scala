@@ -116,7 +116,10 @@ object WidthBench {
       "q75_bigram_ppl"      -> ((d, _, _) => TextAnalysis.bigramPerplexity(d)),
       "q76_token_budget"    -> ((d, _, _) => Select.tokenBudgetFill(d)),
       "q77_epochs_upsample" -> ((d, _, _) => Select.epochsUpsample(d)),
+      "q78_block_mask"      -> ((d, _, _) => Dedup.frequentBlockMask(d)),
+      "q79_importance_weights" -> ((d, _, _) => Select.importanceWeights(d)),
       "bpe_merges"          -> ((d, _, _) => TextAnalysis.bpeTrain(d)),
+      "bpe_encode"          -> ((d, _, _) => TextAnalysis.bpeEncode(d)),
       "q7_star_join"        -> ((_, r, _) => RelationalQueries.q7(spark, r)),
       "q16_pricing"         -> ((_, r, _) => RelationalQueries.q16(spark, r)),
       "q22_knn_cosine"      -> ((_, _, e) => Similarity.bruteForceTopK(e)),

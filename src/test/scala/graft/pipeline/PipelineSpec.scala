@@ -52,6 +52,38 @@ class PipelineSpec extends AnyFunSuite {
       out(4L).getAs[Long]("n_blocks") == 1L)
   }
 
+  test("frequent-block mask removes EVERY instance of a repeated block") {
+    import spark.implicits._
+    // Same fixture as the keep-first test above — the contrast IS the
+    // semantics: A (docs 1+2) and D (twice within doc 3) exceed
+    // maxFreq=1, so ALL their instances go, including the first.
+    val a = (1 to 4).map("a" + _).mkString(" ")
+    val b = (1 to 4).map("b" + _).mkString(" ")
+    val c = (1 to 4).map("c" + _).mkString(" ")
+    val dd = (1 to 4).map("d" + _).mkString(" ")
+    val d = Seq(
+      1L -> s"$a $b",
+      2L -> s"$a $c",
+      3L -> s"$dd $dd",
+      4L -> "z1 z2").toDF("doc_id", "text")
+    val out = Dedup.frequentBlockMask(d, blockTokens = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 4, "one row per document")
+    assert(out(1L).getAs[String]("clean_text") == b &&
+      out(1L).getAs[Long]("n_masked") == 1L,
+      "doc 1 loses the FIRST instance of A too — no copy survives")
+    assert(out(2L).getAs[String]("clean_text") == c &&
+      out(2L).getAs[Long]("n_masked") == 1L)
+    assert(out(3L).getAs[String]("clean_text") == "" &&
+      out(3L).getAs[Long]("n_masked") == 2L &&
+      out(3L).getAs[Boolean]("changed"),
+      "a doc that is all boilerplate is masked to empty, not dropped")
+    assert(out(4L).getAs[String]("clean_text") == "z1 z2" &&
+      !out(4L).getAs[Boolean]("changed"))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.frequentBlockMask(empty).collect().isEmpty)
+  }
+
   test("paragraph dedup on the corpus: every doc present, token mass conserved") {
     val out = Dedup.paragraphDedup(docs)
     assert(out.count() == 500)
@@ -537,6 +569,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0) == ((":", "\\", ":\\", 3L)), s"got ${out(0)}")
     assert(out(1) == ((":\\", "t", ":\\t", 3L)), s"got ${out(1)}")
     assert(out(2) == ((":\\t", "m", ":\\tm", 3L)), s"got ${out(2)}")
+  }
+
+  test("BPE encode applies learned merges; counts follow the textbook example") {
+    import spark.implicits._
+    // Same classic corpus as the trainer test: merges learned are
+    // (l,o)->lo, (lo,w)->low, (e,r)->er. Encoding: "low" -> [low] (1),
+    // "lower" -> [low, er] (2), "newest" -> [n,e,w,e,s,t] (6 — none of
+    // the three merges applies).
+    val d = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(d, nMerges = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_words") == 3L &&
+      out(1L).getAs[Long]("n_tokens") == 3L &&
+      out(1L).getAs[Double]("toks_per_word") == 1.0)
+    assert(out(2L).getAs[Long]("n_words") == 2L &&
+      out(2L).getAs[Long]("n_tokens") == 4L &&
+      out(2L).getAs[Double]("toks_per_word") == 2.0)
+    assert(out(3L).getAs[Long]("n_words") == 1L &&
+      out(3L).getAs[Long]("n_tokens") == 6L)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bpeEncode(empty, nMerges = 2).collect().isEmpty)
   }
 
   test("langid predicts a language for every doc, deterministic across runs") {

@@ -312,6 +312,41 @@ class SelectSpec extends AnyFunSuite {
     assert(tb.length == 1 && tb.head.getLong(3) == 0L)
   }
 
+  test("importance weights score target-like docs above off-target docs") {
+    // Target = lang 'en'. Doc 30 is English-worded but labeled 'fr' (the
+    // DSIR use case: score docs by CONTENT against a target distribution,
+    // not by their label), so it must outscore the genuinely-different
+    // doc 40 whose bigrams never occur in the target slice. Single-token
+    // and empty docs carry no bigram features: weight exactly 0.
+    // Minority target (5 en docs) against a 20-doc fr bulk, and buckets
+    // sized to the fixture: with B >> corpus the add-one smoothing
+    // flattens both distributions toward 1/B and every ratio collapses
+    // to ~(ct+1)/(cr+1) — sign-meaningless when target ⊂ raw. At corpus
+    // scale (the oracle) totals dominate B; here we shrink B instead.
+    val en = (1 to 5).map(i => (i.toLong, "the quick brown fox jumps", "en"))
+    val fr = (10 to 29).map(i => (i.toLong, "vif renard brun saute par", "fr"))
+    val other = Seq(
+      (30L, "the quick brown fox", "fr"),
+      (40L, "vif renard brun saute", "fr"),
+      (50L, "solo", "de"))
+    val d = (en ++ fr ++ other).toDF("doc_id", "text", "lang")
+    val out = Select.importanceWeights(d, buckets = 64).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 28, "one row per doc")
+    assert(out(30L).getAs[Double]("llr") > out(40L).getAs[Double]("llr"),
+      "en-content doc must outscore the off-target doc regardless of label")
+    assert(out(30L).getAs[Boolean]("target_like"))
+    assert(!out(40L).getAs[Boolean]("target_like"))
+    assert(out(40L).getAs[Long]("n_feats") == 3L)
+    assert(out(50L).getAs[Long]("n_feats") == 0L &&
+      out(50L).getAs[Double]("llr") == 0.0 &&
+      !out(50L).getAs[Boolean]("target_like"))
+    // Deterministic across runs (hash-bucketed features, no RNG).
+    val again = Select.importanceWeights(d, buckets = 64)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(out.values.map(_.toString).toArray.sorted))
+  }
+
   test("bloom decontamination is row-identical to the exact form, even at fpp=0.5") {
     // Shared vocabulary so the train side probes the filter heavily; at
     // fpp=0.5 false positives are dense and ONLY the exact verify join
