@@ -63,13 +63,57 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** Percentile-threshold quality binning — the "keep the top X%"
+    * selection rule (FineWeb/DCLM-style classifier-score cutoffs): exact
+    * decile thresholds of the score distribution are computed once, then
+    * every document is assigned its decile by counting thresholds below
+    * its score. The score here is `n_chars` (any per-doc quality column
+    * drops in). `top_quality` flags the top two deciles.
+    *
+    * Scale: one percentile aggregate over the score column, broadcast
+    * back as a 9-element array; the assignment is a per-row fold over
+    * that array — zero shuffle on the corpus side. The EXACT
+    * `percentile` aggregate (sort-based) is used for oracle parity with
+    * DuckDB's quantile_cont; at 100 TB the drop-in is
+    * `approx_percentile` (t-digest, mergeable partial aggregation) with
+    * everything downstream unchanged. Cross-engine exactness of the
+    * decile boundary: both engines interpolate lower + frac·(upper −
+    * lower) over the same sorted integers with correctly-rounded IEEE
+    * ops, so the thresholds are bit-identical and the integer score
+    * comparison cannot straddle an ulp. */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val thr = docs.agg(
+      expr(s"percentile(n_chars, array(${ps.mkString(", ")}))").as("thr"))
+    docs.select("doc_id", "n_chars")
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_chars"),
+        (lit(1) + expr(
+          "aggregate(thr, 0, (acc, t) -> acc + IF(CAST(n_chars AS DOUBLE) > t, 1, 0))"))
+          .cast("long").as("decile"))
+      .withColumn("top_quality", col("decile") >= 9)
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_curation" -> ((s, d) => curation(Tables(s, d).documents)),
+    "q81_quality_deciles" -> ((s, d) => qualityDeciles(Tables(s, d).documents)),
   )
 
   /** The same decision composed from the component oracles' SQL shapes
     * (q20 quality, q50 repetition, q51 PII, q19 dedup). */
   def oracle: Map[String, String] = Map(
+    // quantile_cont == Spark's exact `percentile` (same lower +
+    // frac·(upper − lower) interpolation over the same sorted values —
+    // the q34 equivalence); decile assignment is the same
+    // count-of-thresholds-below fold.
+    "q81_quality_deciles" ->
+      ("""WITH thr AS (SELECT quantile_cont(n_chars,
+         |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t FROM documents)
+         |SELECT d.doc_id, d.n_chars,
+         |  CAST(1 + len(list_filter(thr.t, x -> d.n_chars > x)) AS BIGINT) AS decile,
+         |  CAST(1 + len(list_filter(thr.t, x -> d.n_chars > x)) AS BIGINT) >= 9 AS top_quality
+         |FROM documents d CROSS JOIN thr ORDER BY d.doc_id""".stripMargin),
     "q53_curation" ->
       ("""WITH tq AS (SELECT doc_id,
          |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,

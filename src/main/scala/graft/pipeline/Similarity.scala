@@ -68,6 +68,26 @@ object Similarity {
     rankTopK(scored, k, "sim", ascending = false)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * retrieval recipe: the most useful negatives are the most SIMILAR
+    * examples with a DIFFERENT label — random negatives are too easy to
+    * teach a margin): per query, the exact top-k cosine neighbors among
+    * vectors whose label differs from the query's. Same plan shape as
+    * [[bruteForceTopK]] — broadcast query set, one corpus scan, the
+    * label inequality folded into the join condition so off-label
+    * candidates never reach the scorer, bounded per-query top-k
+    * aggregation (never a per-query window sort). */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(emb.sparkSession, "embedding", "qe"), 4).as("sim"))
+    rankTopK(scored, k, "sim", ascending = false)
+  }
+
   /** Deterministic hyperplane component for (plane j, dim i): the
     * md5-derived 64-bit word of "j:i" ([[graft.functions.PortableHash]]
     * semantics — first 16 hex chars as a signed long) mapped to [-1, 1)
@@ -844,6 +864,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_embed_quant"   -> ((s, d) => quantization(Tables(s, d).embeddings)),
     "q22_knn_cosine"    -> ((s, d) => bruteForceTopK(Tables(s, d).embeddings)),
+    "q80_hard_negatives" -> ((s, d) => hardNegatives(Tables(s, d).embeddings)),
     "knn_ann_lsh"       -> ((s, d) => annTopK(Tables(s, d).embeddings)),
     "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
     "knn_ivfpq"         -> ((s, d) => ivfPqTopK(Tables(s, d).embeddings)),
@@ -920,6 +941,20 @@ object Similarity {
         "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, " +
         "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim " +
         "FROM embeddings q, embeddings e WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) s " +
+        "WHERE sim IS NOT NULL AND NOT isnan(sim)) t " +
+        "WHERE rn <= 10 ORDER BY query_id, sim DESC, vec_id"),
+    // q22's twin with the label inequality folded into the candidate
+    // join — the hard-negative contract: same scores, same ranking,
+    // same-label candidates never compete.
+    "q80_hard_negatives" ->
+      ("SELECT query_id, vec_id, sim FROM (" +
+        "SELECT query_id, vec_id, sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn " +
+        "FROM (" +
+        "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim " +
+        "FROM embeddings q, embeddings e WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id " +
+        "AND e.label <> q.label) s " +
         "WHERE sim IS NOT NULL AND NOT isnan(sim)) t " +
         "WHERE rn <= 10 ORDER BY query_id, sim DESC, vec_id"),
     // Exhaustive all-pairs twin of the hyperplane-LSH near-dup pipeline.

@@ -105,6 +105,7 @@ object WidthBench {
       "q49_tfidf"           -> ((d, _, _) => TextAnalysis.tfIdf(d)),
       "langid_ngram"        -> ((d, _, _) => TextAnalysis.languageId(d)),
       "q53_curation"        -> ((d, _, _) => Curate.curation(d)),
+      "q81_quality_deciles" -> ((d, _, _) => Curate.qualityDeciles(d)),
       "q60_quota_topk"      -> ((d, _, _) => Select.quotaTopK(d)),
       "q68_strata_exact_k"  -> ((d, _, _) => Select.strataExactK(d)),
       "q62_pack_sequences"  -> ((d, _, _) => Select.packSequences(d)),
@@ -123,6 +124,7 @@ object WidthBench {
       "q7_star_join"        -> ((_, r, _) => RelationalQueries.q7(spark, r)),
       "q16_pricing"         -> ((_, r, _) => RelationalQueries.q16(spark, r)),
       "q22_knn_cosine"      -> ((_, _, e) => Similarity.bruteForceTopK(e)),
+      "q80_hard_negatives"  -> ((_, _, e) => Similarity.hardNegatives(e)),
       "knn_ann_lsh"         -> ((_, _, e) => Similarity.annTopK(e)),
       "dedup_semantic"      -> ((_, _, e) => Similarity.semanticDedup(e)),
       "knn_ann_ivf"         -> ((_, _, e) => Similarity.ivfTopK(e)),

@@ -394,6 +394,47 @@ class PipelineSpec extends AnyFunSuite {
       out(1000L).getAs[Long]("dup_of") == 2L, "real duplicate still caught")
   }
 
+  test("hard negatives exclude same-label candidates, even near-identical ones") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextFloat() * 2f - 1f)
+    }
+    // Query 0 (label 0) has an EXACT copy at id 100 with the SAME label
+    // (cos = 1.0 — would top any unfiltered ranking) and a near-ish pool
+    // of label-1 vectors. The copy must never appear; all returned rows
+    // carry label != the query's.
+    val rows = Seq((0L, vec(1), 0), (100L, vec(1), 0)) ++
+      (101 to 120).map(i => (i.toLong, vec(i), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, nQueries = 1, k = 5).collect()
+    assert(out.length == 5)
+    assert(!out.exists(_.getLong(1) == 100L),
+      "same-label exact duplicate leaked into the negatives")
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out.forall(r => labels(r.getLong(1)) == 1))
+    // Scores are the plain cosine ranking within the off-label pool:
+    // monotone non-increasing.
+    val sims = out.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("quality deciles: balanced bins on a uniform corpus, top flag at 9+") {
+    import spark.implicits._
+    // 100 docs with n_chars 1..100: decile thresholds are interpolated
+    // at 10.9, 20.8, …, 90.1, so deciles are near-balanced by
+    // construction and doc n_chars=95 lands in decile 10.
+    val d = (1 to 100).map(i => (i.toLong, s"doc", i.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Curate.qualityDeciles(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 100)
+    val byDecile = out.values.groupBy(_.getLong(2)).view.mapValues(_.size).toMap
+    assert(byDecile.keySet == (1L to 10L).toSet, s"got ${byDecile.keySet}")
+    assert(byDecile.values.forall(n => n >= 9 && n <= 11), s"got $byDecile")
+    assert(out(95L).getLong(2) == 10L && out(95L).getBoolean(3))
+    assert(out(5L).getLong(2) == 1L && !out(5L).getBoolean(3))
+  }
+
   test("semantic dedup flags exact duplicates in-cluster, none on spread decoys") {
     import spark.implicits._
     // 40 independent random vectors (pairwise cosine concentrates well
