@@ -1,7 +1,6 @@
 package graft.feed
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-watcher knobs (watcher.go:30-35, item.go:10-11).

@@ -1,0 +1,229 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical and hybrid retrieval over the document corpus — the ranking
+  * layer a training-data pipeline uses for targeted selection ("find
+  * documents like these high-quality seeds"), decontamination forensics
+  * ("which corpus docs answer this benchmark question"), and hybrid
+  * dedup/search (RRF of lexical + embedding neighbors, the standard
+  * two-tower retrieval fusion).
+  *
+  * Everything here is built from the same bounded primitives as the KNN
+  * family: query sets are broadcast, candidate scoring is one corpus
+  * scan, ranking is the bounded per-group top-k aggregation
+  * ([[graft.functions.TopK]]) — never a `row_number` window over
+  * corpus-scale candidates.
+  */
+object Retrieval {
+
+  /** Okapi BM25 parameters (the textbook defaults). */
+  private val K1 = 1.2
+  private val B  = 0.75
+
+  /** Reciprocal-rank-fusion smoothing constant (Cormack et al. 2009). */
+  private val RrfK = 60
+
+  /** Fixed keyword queries for the oracle-checked entry: multi-term,
+    * all in the synthetic corpus vocabulary. */
+  val defaultQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark filter join",
+    1L -> "window agg sort",
+    2L -> "customer order query")
+
+  /** BM25 score per (query, candidate doc) for a broadcast query-term
+    * table `qt` = (query_id, term). The token stream is filtered to
+    * query terms BEFORE the (doc, term) aggregate, so the only
+    * corpus-sized shuffle is bounded by |docs that contain a query
+    * term| × |query terms| — never the full token stream. Document
+    * frequency and corpus stats are tiny aggregates broadcast back.
+    *
+    * idf is the Lucene/ATIRE non-negative variant
+    * ln((N − df + 0.5)/(df + 0.5) + 1); the per-term contribution is
+    * idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). The per-doc sum is
+    * rounded to 4 dp before ranking (summation-order ulp drift is
+    * absorbed, the q79 argument), and every arithmetic step mirrors the
+    * DuckDB oracle's expression shape so the rounded values agree. */
+  private def bm25Scored(docs: DataFrame, qt: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // Integer token total stays below 2^53 far past 100 TB of docs, so
+    // the avg is exact in both engines regardless of accumulation order.
+    val stats = t.agg(count(lit(1)).as("n"),
+      avg(size(col("toks"))).as("avgdl"))
+    val tok = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+      explode(col("toks")).as("term"))
+    val terms = qt.select("term").distinct()
+    val tf = tok.join(broadcast(terms), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    // Document frequency per query term: |terms| rows, broadcast back.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (K1 + 1.0)) /
+          (col("tf") + (lit(1.0 - B) + col("dl") * B / col("avgdl")) * K1)), 4)
+        .as("score"))
+  }
+
+  /** Top-k BM25 retrieval for a fixed set of keyword queries. Ranking is
+    * the bounded top-k aggregation on the ROUNDED score with doc_id
+    * tiebreak — deterministic across engines and partitionings. */
+  def bm25(docs: DataFrame, queries: Seq[(Long, String)] = defaultQueries,
+      k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries
+      .flatMap { case (id, s) => s.split(" ").distinct.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    graft.functions.TopK.perGroupRanked(
+      bm25Scored(docs, qt), "query_id", "score", "doc_id", "rk", k,
+      ascending = false)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion: for each query
+    * document (doc_id < nQueries), fuse its BM25 lexical neighbor list
+    * (query = the doc's own distinct tokens) with its embedding cosine
+    * neighbor list (doc_id aligns with vec_id in this corpus), scoring
+    * fused candidates by Σ 1/(60 + rank) over the lists that contain
+    * them — the standard zero-tuning combiner for two-tower retrieval.
+    *
+    * Scale shape: both candidate lists are bounded (nCand per query per
+    * modality) BEFORE fusion, so the full-outer join and final ranking
+    * touch ≤ 2·nQueries·nCand rows no matter the corpus. The lexical
+    * side's query-term table is |queries| × |distinct tokens per doc| —
+    * broadcast; the vector side is the q22 broadcast-scan shape. The
+    * fused score is a fixed-order two-term sum of exactly-computed
+    * reciprocals, so it is bit-identical across engines even before its
+    * 6-dp round. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, nQueries: Int = 3,
+      nCand: Int = 20, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    // Lexical side: the query doc's distinct tokens as the term set.
+    val qt = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    val lex = graft.functions.TopK.perGroupRanked(
+      bm25Scored(docs, qt).filter(col("doc_id") =!= col("query_id")),
+      "query_id", "score", "doc_id", "lex_rank", nCand, ascending = false)
+      .select("query_id", "doc_id", "lex_rank")
+    // Vector side: q22's broadcast-scan cosine, rounded before ranking;
+    // NaN/null cosines (zero or null vectors) are not neighbors.
+    val qv = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val sim = graft.functions.CosineSimilarity
+      .cosineSim(spark, col("embedding"), col("qe"))
+    val scoredV = emb.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(sim, 4).as("sim"))
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
+    val vec = graft.functions.TopK.perGroupRanked(
+      scoredV, "query_id", "sim", "doc_id", "vec_rank", nCand,
+      ascending = false)
+      .select("query_id", "doc_id", "vec_rank")
+    // Fuse the two bounded lists. The join is tiny by construction.
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6)
+          .as("rrf"))
+    graft.functions.TopK.perGroupRanked(
+      fused, "query_id", "rrf", "doc_id", "rk", k, ascending = false)
+      .select("query_id", "doc_id", "rrf", "rk")
+      .join(fused.select("query_id", "doc_id", "lex_rank", "vec_rank"),
+        Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "q82_bm25" -> ((s, d) => bm25(Tables(s, d).documents)),
+    "q83_hybrid_rrf" -> ((s, d) =>
+      hybridRrf(Tables(s, d).documents, Tables(s, d).embeddings)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    // Same expression shape term by term: Lucene idf, tf saturation with
+    // the same association order, 4-dp round before the ranking window.
+    // Constants are written ::DOUBLE so DuckDB's DECIMAL literals never
+    // enter the arithmetic.
+    "q82_bm25" ->
+      ("""WITH q(query_id, term) AS (VALUES
+         |    (0, 'spark'), (0, 'filter'), (0, 'join'),
+         |    (1, 'window'), (1, 'agg'), (1, 'sort'),
+         |    (2, 'customer'), (2, 'order'), (2, 'query')),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+         |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf FROM tok
+         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+         |    ROUND(SUM(ln((st.n - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE) + 1.0::DOUBLE) *
+         |      (tf.tf * 2.2::DOUBLE) /
+         |      (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * tf.dl / st.avgdl))), 4) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN q USING (term) CROSS JOIN st
+         |  GROUP BY q.query_id, tf.doc_id)
+         |SELECT query_id, doc_id, score, rk FROM (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM sc) z
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin),
+    // Both candidate lists replayed with their own ranking windows (the
+    // oracle may window; the operator may not), fused with the same
+    // fixed-order reciprocal sum.
+    "q83_hybrid_rrf" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term
+         |  FROM t WHERE doc_id < 3),
+         |st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+         |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf FROM tok
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    ROUND(SUM(ln((st.n - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE) + 1.0::DOUBLE) *
+         |      (tf.tf * 2.2::DOUBLE) /
+         |      (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * tf.dl / st.avgdl))), 4) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN st
+         |  WHERE tf.doc_id <> qt.query_id
+         |  GROUP BY qt.query_id, tf.doc_id),
+         |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+         |  SELECT query_id, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank FROM sc) z
+         |  WHERE lex_rank <= 20),
+         |sv AS (SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])), 4) AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id),
+         |vec AS (SELECT query_id, doc_id, vec_rank FROM (
+         |  SELECT query_id, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rank FROM sv
+         |  WHERE sim IS NOT NULL AND NOT isnan(sim)) z
+         |  WHERE vec_rank <= 20),
+         |f AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         |    ROUND(COALESCE(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE) +
+         |      COALESCE(1.0::DOUBLE / (60 + v.vec_rank), 0.0::DOUBLE), 6) AS rrf
+         |  FROM lex l FULL JOIN vec v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, doc_id, lex_rank, vec_rank, rrf, rk FROM (
+         |  SELECT query_id, doc_id, lex_rank, vec_rank, rrf,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk FROM f) z
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin),
+  )
+}

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.{GraftSession, Tables}
 import graft.operators.RelationalQueries
-import graft.pipeline.{Clusters, Curate, Dedup, Select, Similarity, TextAnalysis}
+import graft.pipeline.{Clusters, Curate, Dedup, Retrieval, Select, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -121,6 +121,8 @@ object WidthBench {
       "q79_importance_weights" -> ((d, _, _) => Select.importanceWeights(d)),
       "bpe_merges"          -> ((d, _, _) => TextAnalysis.bpeTrain(d)),
       "bpe_encode"          -> ((d, _, _) => TextAnalysis.bpeEncode(d)),
+      "q82_bm25"            -> ((d, _, _) => Retrieval.bm25(d)),
+      "q83_hybrid_rrf"      -> ((d, _, e) => Retrieval.hybridRrf(d, e)),
       "q7_star_join"        -> ((_, r, _) => RelationalQueries.q7(spark, r)),
       "q16_pricing"         -> ((_, r, _) => RelationalQueries.q16(spark, r)),
       "q22_knn_cosine"      -> ((_, _, e) => Similarity.bruteForceTopK(e)),

@@ -927,4 +927,56 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("bm25 ranks by tf with length normalization and idf discounts common terms") {
+    import spark.implicits._
+    // Query "apple banana". doc 1 and doc 2 have the same query-term
+    // counts (2 apples, 1 banana) but doc 2 is padded 4x longer — length
+    // normalization must rank doc 1 first. doc 3 matches only "kiwi"-free
+    // "banana" once; doc 4 matches nothing and must be absent. "apple"
+    // appears in fewer docs than "banana", so its idf is larger.
+    val d = Seq(
+      (1L, "apple apple banana pear"),
+      (2L, "apple apple banana " + Seq.fill(13)("pear").mkString(" ")),
+      (3L, "banana pear pear pear"),
+      (4L, "pear pear pear pear")).toDF("doc_id", "text")
+    val out = Retrieval.bm25(d, Seq(0L -> "apple banana"), k = 10).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L), s"got ${out.toSeq}")
+    val scores = out.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a2, b2) => a2 > b2 })
+    // Hand-check doc 1 (N=4, dl=4, avgdl=7):
+    //   apple: df=2, idf=ln(2.5/2.5+1)=ln 2; tf=2 -> 2*2.2/(2+1.2*(0.25+0.75*4/7))
+    //   banana: df=3, idf=ln(1.5/3.5+1); tf=1 -> 2.2/(1+1.2*(0.25+0.75*4/7))
+    val norm = 1.2 * (0.25 + 0.75 * 4.0 / 7.0)
+    val expected = BigDecimal(
+      math.log(2.0) * (2 * 2.2) / (2 + norm) +
+        math.log(1.5 / 3.5 + 1.0) * 2.2 / (1 + norm))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(scores(0) - expected) < 1e-9, s"got ${scores(0)}, want $expected")
+  }
+
+  test("hybrid rrf fuses bounded lexical and vector lists with 1/(60+rank) sums") {
+    val out = Retrieval.hybridRrf(docs, emb).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val lex = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val vec = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(lex.isDefined || vec.isDefined)
+      val expect = BigDecimal(
+        lex.map(r2 => 1.0 / (60 + r2)).getOrElse(0.0) +
+          vec.map(r2 => 1.0 / (60 + r2)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - expect) < 1e-12,
+        s"rrf mismatch on $r")
+      assert(r.getLong(1) != r.getLong(0), "query doc leaked into its own results")
+    }
+    // Within each query the fused ranking is monotone in (rrf, doc_id).
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(5))
+      sorted.zip(sorted.tail).foreach { case (hi, lo) =>
+        assert(hi.getDouble(4) > lo.getDouble(4) ||
+          (hi.getDouble(4) == lo.getDouble(4) && hi.getLong(1) < lo.getLong(1)))
+      }
+    }
+  }
 }
