@@ -129,13 +129,19 @@ object Retrieval {
       ascending = false)
       .select("query_id", "doc_id", "vec_rank")
     // Fuse the two bounded lists. The join is tiny by construction.
-    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full")
+    // Materialized because TWO consumers read it (the TopK ranking and
+    // the rank-column join-back below) — without this each would
+    // recompute BOTH retrieval branches. Bounded ≤ 2·nQueries·nCand
+    // rows; kept alive past the call since the returned frame reads it
+    // lazily (the bpeEncode vocab pattern).
+    val fused = graft.Materialize(
+      lex.join(vec, Seq("query_id", "doc_id"), "full")
       .select(col("query_id"), col("doc_id"), col("lex_rank"),
         col("vec_rank"),
         round(
           coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6)
-          .as("rrf"))
+          .as("rrf")))
     graft.functions.TopK.perGroupRanked(
       fused, "query_id", "rrf", "doc_id", "rk", k, ascending = false)
       .select("query_id", "doc_id", "rrf", "rk")

@@ -377,15 +377,137 @@ object TextAnalysis {
        |      named_struct('out', concat(acc.out, array(s[i])), 'skip', false))),
        |  acc -> acc.out)""".stripMargin
 
-  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    var words = graft.Materialize(docs
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(split(col("w"), "").as("s"), col("freq")))
+  /** Config: distinct-word vocabulary rows trained DRIVER-LOCALLY (the
+    * round-7 Lloyd recipe, Similarity.coarseQuantize). Unlike Lloyd, BPE
+    * training is an EXACT algorithm over the whole word-frequency table,
+    * so the cap gates on the FULL vocab fitting — never a sample — and
+    * an over-cap vocab falls back to the distributed per-merge trainer
+    * with identical semantics. Set 0 to force the distributed path. */
+  val MaxLocalVocabRowsKey = "spark.graft.bpe.maxLocalVocabRows"
+  private def maxLocalVocabRows(spark: SparkSession): Int =
+    spark.conf.get(MaxLocalVocabRowsKey, "262144").toInt
+
+  /** Code-point-wise string less-than. Spark compares strings by UTF-8
+    * bytes, which orders by Unicode code point; Java's compareTo orders
+    * by UTF-16 unit (surrogates sort below U+E000..U+FFFF), so the local
+    * trainer's tie-break must compare code points to match the
+    * distributed argmax exactly. */
+  private def cpLess(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
+  /** Split into code points — the local twin of split(w, '') (Java's
+    * regex split is code-point aware, so Spark never splits surrogates). */
+  private def splitCp(w: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
+  }
+
+  /** Greedy left-to-right non-overlapping merge application — the local
+    * twin of [[applyMergeSql]]'s fold (same skip-flag rule). */
+  private def applyMergeLocal(s: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Classic in-memory BPE trainer (Sennrich's pair-count loop) over the
+    * collected word-frequency table: one pass builds adjacent-pair counts
+    * plus a pair→words index; each merge touches only the words that
+    * contain the winning pair, delta-updating the counts. Semantics are
+    * bit-equal to the distributed trainer: all adjacent (overlapping)
+    * pairs weighted by word frequency; argmax by (count DESC, left ASC,
+    * right ASC) in code-point order; greedy non-overlapping application;
+    * stop when no pairs remain. Realistic merge counts (32k) cost zero
+    * cluster jobs instead of ~2 per merge. */
+  private def localBpeTrain(vocab: Array[(String, Long)], nMerges: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = vocab.map { case (w, _) => splitCp(w) }
+    val freqs: Array[Long] = vocab.map(_._2)
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addWordPairs(idx: Int, syms: Array[String], sign: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val n = stats.getOrElse(p, 0L) + sign * freqs(idx)
+        if (n == 0L) stats.remove(p) else stats.update(p, n)
+        if (sign > 0) where.getOrElseUpdate(p, mutable.BitSet.empty).add(idx)
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < words.length) { addWordPairs(wi, words(wi), 1L); wi += 1 }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var m = 0
+    var exhausted = false
+    while (m < nMerges && !exhausted) {
+      // Argmax by (count DESC, left ASC, right ASC). HashMap iteration
+      // order is arbitrary but the comparison is a total order, so the
+      // winner is deterministic.
+      var best: (String, String) = null
+      var bestCnt = 0L
+      stats.foreach { case (p, c) =>
+        if (c > 0L && (best == null || c > bestCnt ||
+            (c == bestCnt && (cpLess(p._1, best._1) ||
+              (p._1 == best._1 && cpLess(p._2, best._2)))))) {
+          best = p; bestCnt = c
+        }
+      }
+      if (best == null) exhausted = true
+      else {
+        val (l, r) = best
+        merges += ((m + 1L, l, r, l + r, bestCnt))
+        // Only words indexed under the winning pair can change; the index
+        // is never pruned on decrement, so stale entries are skipped by
+        // the contains check inside the delta update.
+        where.remove(best).foreach(_.foreach { idx =>
+          val old = words(idx)
+          var has = false
+          var i = 0
+          while (!has && i < old.length - 1) {
+            has = old(i) == l && old(i + 1) == r; i += 1
+          }
+          if (has) {
+            addWordPairs(idx, old, -1L)
+            words(idx) = applyMergeLocal(old, l, r)
+            addWordPairs(idx, words(idx), 1L)
+          }
+        })
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed per-merge trainer: each iteration is one full pair-count
+    * aggregate over the (vocab-bounded) symbol table plus one fold pass —
+    * the path for a vocabulary too large to collect (cap=0 or over-cap).
+    * `words0` must carry (w, s, freq); `w` rides along the folds so the
+    * FINAL table doubles as the encoded vocabulary — [[bpeEncode]]'s
+    * distributed path reads it instead of re-folding all merges a second
+    * time. Releases `words0`; the returned table is materialized and NOT
+    * released — the caller owns it. */
+  private def distributedBpeTrain(words0: DataFrame, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var words = words0
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var i = 0
     var exhausted = false
@@ -410,15 +532,51 @@ object TextAnalysis {
           top.head.getLong(2))
         merges += ((i + 1L, l, r, l + r, cnt))
         val next = graft.Materialize(
-          words.select(expr(applyMergeSql(l, r)).as("s"), col("freq")))
+          words.select(col("w"), expr(applyMergeSql(l, r)).as("s"), col("freq")))
         graft.Materialize.release(words)
         words = next
         i += 1
       }
     }
-    graft.Materialize.release(words)
-    merges.result()
-      .toDF("rank", "left", "right", "merged", "weighted_count")
+    (merges.result(), words)
+  }
+
+  /** Collect the FULL vocab iff it fits the cap: ≤cap rows back means we
+    * hold the whole table (exactness preserved); cap+1 means over-cap →
+    * None → distributed path. */
+  private def collectVocabIfFits(vocabDf: DataFrame, cap: Int): Option[Array[(String, Long)]] =
+    if (cap <= 0) None
+    else {
+      val rows = vocabDf.limit(cap + 1).collect()
+      if (rows.length <= cap) Some(rows.map(r => (r.getString(0), r.getLong(1))))
+      else None
+    }
+
+  /** Distinct-word frequency table of the corpus, materialized. */
+  private def wordFreqs(docs: DataFrame): DataFrame =
+    graft.Materialize(docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq")))
+
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabDf = wordFreqs(docs)
+    val merges = collectVocabIfFits(vocabDf, maxLocalVocabRows(spark)) match {
+      case Some(vocab) =>
+        graft.Materialize.release(vocabDf)
+        localBpeTrain(vocab, nMerges)
+      case None =>
+        val words0 = graft.Materialize(
+          vocabDf.select(col("w"), split(col("w"), "").as("s"), col("freq")))
+        graft.Materialize.release(vocabDf)
+        val (ms, finalWords) = distributedBpeTrain(words0, nMerges)
+        graft.Materialize.release(finalWords)
+        ms
+    }
+    merges.toDF("rank", "left", "right", "merged", "weighted_count")
       .orderBy("rank")
   }
 
@@ -431,34 +589,64 @@ object TextAnalysis {
     * decoding rule of the classic trainer, via the SAME shared fold.
     *
     * Scale: merges are nMerges driver rows (the Lloyd-centroid pattern);
-    * encoding runs on the DISTINCT-word vocabulary (vocab ≪ corpus),
-    * nMerges bounded folds over that bounded table; the corpus is
-    * touched twice — once to build the word-frequency vocab, once to
-    * join each token instance to its broadcast per-word token count and
-    * aggregate per doc. Zero corpus-sized shuffles beyond the doc_id
-    * aggregate. */
+    * encoding runs on the DISTINCT-word vocabulary (vocab ≪ corpus) — a
+    * single local pass when the vocab fits `MaxLocalVocabRowsKey`,
+    * nMerges bounded distributed folds otherwise; the corpus is touched
+    * twice — once to build the word-frequency vocab, once to join each
+    * token instance to its per-word token count and aggregate per doc.
+    * That vocab join is deliberately hint-free (the shardAssign pattern,
+    * Select.shardAssign): by Heaps' law a web-scale corpus has 1e8-1e9
+    * distinct "words", so a forced broadcast would OOM — let Spark's
+    * size estimate pick broadcast vs shuffled hash join. Zero
+    * corpus-sized shuffles beyond the doc_id aggregate. */
   def bpeEncode(docs: DataFrame, nMerges: Int = 8): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val merges = bpeTrain(docs, nMerges).collect()
       .map(r => (r.getString(1), r.getString(2)))
     val tokens = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    var vocab = graft.Materialize(tokens.groupBy("w")
-      .agg(count(lit(1)).as("freq"))
-      .select(col("w"), split(col("w"), "").as("s"), col("freq")))
-    merges.foreach { case (l, r) =>
-      val next = graft.Materialize(vocab.select(
-        col("w"), expr(applyMergeSql(l, r)).as("s"), col("freq")))
-      graft.Materialize.release(vocab)
-      vocab = next
-    }
-    // The final vocab materialization is NOT released here: the returned
+    val vocabDf = wordFreqs(docs)
+    val cap = maxLocalVocabRows(spark)
+    val localRows =
+      if (cap > 0) vocabDf.limit(cap + 1).collect() else Array.empty[org.apache.spark.sql.Row]
+    // The final vocab lineage is NOT released here: the returned
     // DataFrame reads it lazily, so it must outlive this call (bounded —
     // one vocab-sized table per call, freed with the session).
-    val wordToks = vocab.select(col("w"), size(col("s")).cast("long").as("n_toks"))
-    val out = tokens.join(broadcast(wordToks), Seq("w"))
+    val wordToks: DataFrame =
+      if (cap > 0 && localRows.length <= cap) {
+        // Local path: apply all merges in memory — one job total.
+        graft.Materialize.release(vocabDf)
+        localRows.toSeq.map { r =>
+          val w = r.getString(0)
+          var s = {
+            val b = Array.newBuilder[String]
+            var i = 0
+            while (i < w.length) {
+              val cp = w.codePointAt(i)
+              b += new String(Character.toChars(cp))
+              i += Character.charCount(cp)
+            }
+            b.result()
+          }
+          merges.foreach { case (l, r2) => s = applyMergeLocal(s, l, r2) }
+          (w, s.length.toLong)
+        }.toDF("w", "n_toks")
+      } else {
+        var vocab = graft.Materialize(
+          vocabDf.select(col("w"), split(col("w"), "").as("s"), col("freq")))
+        graft.Materialize.release(vocabDf)
+        merges.foreach { case (l, r) =>
+          val next = graft.Materialize(vocab.select(
+            col("w"), expr(applyMergeSql(l, r)).as("s"), col("freq")))
+          graft.Materialize.release(vocab)
+          vocab = next
+        }
+        vocab.select(col("w"), size(col("s")).cast("long").as("n_toks"))
+      }
+    val out = tokens.join(wordToks, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_tokens"))
     docs.select("doc_id")
