@@ -432,10 +432,14 @@ object ExtendedQueries {
     val wRun = w.rowsBetween(Long.MinValue, 0)
     Tables(s, dir).events
       .filter(col("user_id") < 20)
-      .select(col("user_id"), col("ts"), col("event_id"))
+      // `unix_micros` accepts only TIMESTAMP; parquet may yield
+      // TIMESTAMP_NTZ. Cast is exact under the pinned UTC session TZ,
+      // and a no-op when the column is already LTZ (tsLit convention).
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsm"))
       .withColumn("ns",
-        when(lag("ts", 1).over(w).isNull ||
-          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L, 1L)
+        when(lag("tsm", 1).over(w).isNull ||
+          col("tsm") - lag("tsm", 1).over(w) > 1800000000L, 1L)
           .otherwise(0L))
       .withColumn("sid", sum("ns").over(wRun))
       .groupBy("user_id", "sid")

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guard against silent CORRECTNESS drop-outs: a registered query that
+  * throws while its plan is *constructed or analyzed* never reaches the
+  * driver's per-query report — it just vanishes (round 8: q70 fell out when
+  * `events.ts` started arriving as TIMESTAMP_NTZ and `unix_micros` rejected
+  * it at analysis time). This spec forces every `SparkEntry.queries` key
+  * through construction + analysis on sf0.001, so a schema drift in the
+  * testdata turns into a red test instead of a missing report row.
+  *
+  * Analysis only (no execution) — the full-execution rows>0 checks live in
+  * the per-family specs; this one exists to be exhaustive and fast.
+  */
+class AllQueriesAnalyzeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every SparkEntry.queries key constructs and analyzes on sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sf0001).queryExecution.analyzed // forces analysis
+        None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}")
+      }
+    }
+    assert(failures.isEmpty, s"${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys without a query: $orphans")
+  }
+}

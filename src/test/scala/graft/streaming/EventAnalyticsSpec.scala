@@ -121,7 +121,11 @@ class EventAnalyticsSpec extends AnyFunSuite {
   test("stream-stream join with watermarks matches the batch range join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Parquet may yield TIMESTAMP_NTZ; MemoryStream tuples are LTZ. Cast
+    // the batch side once (exact under the pinned UTC session TZ) so
+    // getTimestamp works and stream/batch rows compare on identical types.
     val events = Tables(spark, sf0001).events
+      .withColumn("ts", col("ts").cast("timestamp"))
     val msC = MemoryStream[(Long, Timestamp, Long)]
     val msP = MemoryStream[(Long, Timestamp, Long)]
     val clicksS = msC.toDF().toDF("event_id", "ts", "user_id").withWatermark("ts", "10 minutes")
