@@ -95,6 +95,11 @@ object Similarity {
     * embedded as a literal weight vector in BOTH engines' plans, which is
     * what makes the whole LSH pipeline (signatures → bands → candidates →
     * top-k) replayable in DuckDB SQL and oracle-checkable. */
+  /** Plane-index namespace for [[semanticDedup]]'s residual refinement —
+    * disjoint from the 0..15 signature planes so the two LSH families
+    * never share a hyperplane. */
+  private val SemRefinePlaneOff = 100
+
   private[pipeline] def planeWeight(j: Int, i: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$j:$i".getBytes("UTF-8"))
@@ -797,19 +802,33 @@ object Similarity {
     * scope is a learned Voronoi cell, the published recipe for semantic
     * (paraphrase-level) pruning at corpus scale.
     *
-    * Scale: the per-cell pair join is the IVF equi-join shape, and the
-    * cluster count SCALES WITH THE CORPUS (the paper uses ~11k clusters
-    * for LAION): `nClusters = 0` (default) resolves to ~√n clamped to
-    * [8, 16384] — the single-level k-means optimum, balancing the n·k
-    * assignment cost against the Σ cell² within-cell work (total ∝ n^1.5;
-    * going truly linear needs a hierarchical quantizer, which is the
-    * published next step, not a plan bug). Cosine runs codegen'd before
-    * the decision aggregate, and the keep-first reduction is a hash
-    * aggregate on the unique right-id, never a window. Like any clustered
-    * method, recall is bounded by cluster assignment (a pair split across
-    * cells is unseen) — the trade that makes all-pairs work vanish. */
+    * Scale — TWO-LEVEL quantization bounds the within-cell work. The
+    * coarse level is k-means: `nClusters = 0` (default) resolves to ~√n
+    * clamped to [8, 16384] cells (the paper uses ~11k for LAION), and
+    * assignment is one broadcast argmin scan. Single-level SemDeDup's
+    * total is then Σ cell² ∝ n^1.5; here any cell whose population
+    * exceeds `maxCell` is further split into RESIDUAL-HYPERPLANE
+    * subcells at a cell-specific depth ⌈log2(n_cell/maxCell)⌉ (≤ 12
+    * bits), so the expected subcell population is ≤ maxCell everywhere
+    * and the pair join runs on (cell, sub): pair work ≤ #subcells ·
+    * maxCell²/2 ≈ n·maxCell/2 — LINEAR in the corpus for fixed maxCell.
+    * The refinement itself is shuffle-free per-row arithmetic: bit j of
+    * `sub` is sign(⟨x−c, w_j⟩) = [⟨x,w_j⟩ > ⟨c,w_j⟩] against the same
+    * deterministic literal planes the LSH pipeline embeds
+    * ([[planeWeight]], offset namespace), with the per-cell ⟨c,w_j⟩
+    * dots riding a broadcast of the ≤16384-row centroid table, and the
+    * per-cell depths a broadcast of the (tiny) oversized-cell list.
+    * Recall: identical vectors have identical residuals, so
+    * exact-duplicate recall is unaffected at ANY depth; a near-pair is
+    * separated only when its residuals straddle a plane — the same
+    * assignment-bounded-recall trade the coarse level already makes
+    * (and a crowded cell of mutual near-duplicates has near-equal
+    * residuals, so the pairs that survive are the output-sized ones).
+    * Cosine runs codegen'd before the decision aggregate, and the
+    * keep-first reduction is a hash aggregate on the unique right-id,
+    * never a window. */
   def semanticDedup(emb: DataFrame, nClusters: Int = 0, tau: Double = 0.9,
-      iters: Int = 2, trainDenom: Int = 4): DataFrame = {
+      iters: Int = 2, trainDenom: Int = 4, maxCell: Int = 4096): DataFrame = {
     val k =
       if (nClusters > 0) nClusters
       else math.min(16384L, math.max(8L,
@@ -817,11 +836,47 @@ object Similarity {
     val coarse = coarseQuantize(emb, k, iters, trainDenom)
     val assigned = graft.Materialize(coarse.assign(emb)
       .select(col("vec_id"), col("embedding"), col("cell")))
-    val a = assigned.select(col("cell"), col("vec_id").as("left_id"),
+    // Cell-specific refinement depth for cells above the population
+    // bound. The oversized-cell list is at most `k` rows (≤ 16384 —
+    // bounded, broadcast); ONE aggregate job over the already-
+    // materialized assignment decides whether refinement runs at all,
+    // so the common small-corpus plan is unchanged.
+    val maxBits = 12
+    val bitsTab = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCell)
+      .select(col("cell"), least(lit(maxBits),
+        ceil(log2(col("n").cast("double") / maxCell))).cast("int").as("bits"))
+    val celled =
+      if (bitsTab.isEmpty) assigned.withColumn("sub", lit(0L))
+      else {
+        val dim = math.max(1, coarse.dim)
+        // ⟨centroid, plane_j⟩ for all candidate planes — evaluated on
+        // the tiny centroid table and broadcast.
+        val cdots = coarse.centroids.select(col("cell"), array(
+          (0 until maxBits).map(j => expr(
+            s"aggregate(zip_with(cvec, ${weightLit(SemRefinePlaneOff + j, dim)}, " +
+              "(x, v) -> x * v), 0D, (a, v) -> a + v)")): _*).as("cd"))
+        // bit j set iff j < bits AND ⟨x, w_j⟩ > ⟨c, w_j⟩ (i.e. the
+        // residual x−c lies on the positive side of plane j). `bits` is
+        // NULL for cells under the bound → every IF condition is NULL →
+        // sub = 0: unrefined cells keep a single subcell.
+        val subExpr = (0 until maxBits).map { j =>
+          s"IF($j < bits AND aggregate(zip_with(embedding, " +
+            s"${weightLit(SemRefinePlaneOff + j, dim)}, " +
+            s"(x, v) -> CAST(x AS DOUBLE) * v), 0D, (a, v) -> a + v) > " +
+            s"element_at(cd, ${j + 1}), ${1L << j}L, 0L)"
+        }.mkString("(", " | ", ")")
+        graft.Materialize(assigned
+          .join(broadcast(bitsTab), Seq("cell"), "left")
+          .join(broadcast(cdots), Seq("cell"), "left")
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            expr(subExpr).as("sub")))
+      }
+    val a = celled.select(col("cell"), col("sub"), col("vec_id").as("left_id"),
       col("embedding").as("ea"))
-    val b = assigned.select(col("cell"), col("vec_id"),
+    val b = celled.select(col("cell"), col("sub"), col("vec_id"),
       col("embedding").as("eb"))
-    val pairs = a.join(b, Seq("cell"))
+    val pairs = a.join(b, Seq("cell", "sub"))
       .filter(col("left_id") < col("vec_id"))
       .select(col("vec_id"),  col("left_id"),
         cosineFast(emb.sparkSession, "ea", "eb").as("cos"))

@@ -129,6 +129,11 @@ object WidthBench {
       "q80_hard_negatives"  -> ((_, _, e) => Similarity.hardNegatives(e)),
       "knn_ann_lsh"         -> ((_, _, e) => Similarity.annTopK(e)),
       "dedup_semantic"      -> ((_, _, e) => Similarity.semanticDedup(e)),
+      // maxCell far below the ~n/√n average cell population, so the
+      // residual-hyperplane second level engages at BOTH widths — the
+      // row that evidences the bounded within-cell pair work.
+      "dedup_semantic_bounded" -> ((_, _, e) =>
+        Similarity.semanticDedup(e, maxCell = 64)),
       "knn_ann_ivf"         -> ((_, _, e) => Similarity.ivfTopK(e)),
       "knn_ivfpq"           -> ((_, _, e) => Similarity.ivfPqTopK(e)))
     val opNames = opDefs.map(_._1)

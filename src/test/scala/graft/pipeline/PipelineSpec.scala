@@ -435,6 +435,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L).getLong(2) == 1L && !out(5L).getBoolean(3))
   }
 
+  test("semantic dedup refinement: bounded cells preserve exact-dup recall and add no false positives") {
+    import spark.implicits._
+    // Force the second level: 80 decoys in 2 coarse cells (~40/cell)
+    // against maxCell = 8 → per-cell depth ⌈log2(40/8)⌉ = 3 → 8
+    // residual-hyperplane subcells per cell. Exact copies have identical
+    // residuals, so they MUST land in their original's subcell and stay
+    // flagged; refinement only shrinks the candidate set, so the decoy
+    // (no-false-positive) side must be identical to the unrefined run —
+    // assert full output equality against the default (refinement never
+    // triggers at n=83, maxCell=4096) run.
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextFloat() * 2f - 1f)
+    }
+    val base = (0 until 80).map(i => (i.toLong, vec(8000 + i)))
+    val copies = Seq((2000L, vec(8000)), (2001L, vec(8041)), (2002L, vec(8041)))
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val refined = Similarity.semanticDedup(df, nClusters = 2, maxCell = 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val plain = Similarity.semanticDedup(df, nClusters = 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(refined.size == 83, "one decision row per vector")
+    assert(refined == plain,
+      "refined output must equal the single-level output on this corpus")
+    assert(refined(2000L)(3) == 1.0 && refined(2000L)(2) == 0L,
+      s"exact copy lost by refinement: ${refined(2000L)}")
+    assert(refined(2001L)(2) == 41L && refined(2002L)(2) == 41L,
+      "both copies of 41 must dedup to the original")
+    base.foreach { case (id, _) =>
+      assert(refined(id)(4) == false, s"decoy $id flagged")
+    }
+  }
+
   test("semantic dedup flags exact duplicates in-cluster, none on spread decoys") {
     import spark.implicits._
     // 40 independent random vectors (pairwise cosine concentrates well
