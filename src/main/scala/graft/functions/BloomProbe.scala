@@ -65,7 +65,18 @@ object BloomProbe {
   private val MaxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
 
   def probe(spark: SparkSession, keys: DataFrame, keyCol: String,
-      nItems: Long, fpp: Double, probeCol: String): String = {
+      nItems: Long, fpp: Double, probeCol: String): String =
+    predicateFor(spark, build(spark, keys, keyCol, nItems, fpp), probeCol)
+
+  /** The one-row (`bf BINARY`) filter table over `keys`'s `keyCol`,
+    * eagerly built (lineage-truncated, so writing or re-probing it never
+    * re-aggregates the key set). Callers that persist the filter across
+    * sessions write THIS frame as parquet and later probe the file via
+    * [[probeFrom]] — the serialized bytes are
+    * `org.apache.spark.util.sketch.BloomFilter`'s own wire format, the
+    * same one the runtime-row-filter machinery ships between stages. */
+  def build(spark: SparkSession, keys: DataFrame, keyCol: String,
+      nItems: Long, fpp: Double): DataFrame = {
     register(spark)
     val nBits = optimalNumBits(nItems, fpp)
     // BloomFilterAggregate SILENTLY clamps (Math.min) both sizes to the
@@ -79,12 +90,24 @@ object BloomProbe {
       .filter { case (k, v) => spark.conf.get(k).toLong < v }
     val saved = raise.map { case (k, _) => k -> spark.conf.get(k) }
     raise.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val view = s"graft_bloom_build_${viewId.incrementAndGet()}"
+    try
       graft.Materialize(keys.agg(
-          expr(s"graft_bloom_agg(xxhash64($keyCol), ${nItems}L, ${nBits}L)").as("bf")))
-        .createOrReplaceTempView(view)
-      s"graft_might_contain((SELECT bf FROM $view), xxhash64($probeCol))"
-    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+        expr(s"graft_bloom_agg(xxhash64($keyCol), ${nItems}L, ${nBits}L)").as("bf")))
+    finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  /** Predicate SQL probing an already-built one-row filter frame (see
+    * [[probe]] for the view-lifetime contract). */
+  def predicateFor(spark: SparkSession, bf: DataFrame, probeCol: String): String = {
+    register(spark)
+    val view = s"graft_bloom_build_${viewId.incrementAndGet()}"
+    bf.createOrReplaceTempView(view)
+    s"graft_might_contain((SELECT bf FROM $view), xxhash64($probeCol))"
+  }
+
+  /** Predicate SQL probing a filter PERSISTED by writing [[build]]'s
+    * frame to `bloomDir` — the store-reuse path: the filter is read back
+    * (one filter-sized parquet row), never re-aggregated. */
+  def probeFrom(spark: SparkSession, bloomDir: String, probeCol: String): String =
+    predicateFor(spark, spark.read.parquet(bloomDir), probeCol)
 }

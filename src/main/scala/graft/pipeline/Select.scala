@@ -103,6 +103,93 @@ object Select {
       .orderBy("doc_id")
   }
 
+  private val EvalShinglesSpec =
+    graft.sinks.BucketedStore.Spec("s STRING", "s", 32)
+
+  /** Build or extend the PERSISTENT decontamination store — the eval
+    * side of [[decontaminateBloom]], aggregated once and reused by every
+    * [[incrementalDecontaminate]] call instead of being re-shingled and
+    * re-aggregated per training increment (the per-call rebuild was the
+    * one efficiency gap in the decontamination family).
+    *
+    * Layout under `storeDir`: `shingles/` — the DISTINCT eval shingle
+    * set as a [[graft.sinks.BucketedStore]] bucketed by `s` (the verify-
+    * join key, so the store is never shuffled by a probe); `bloom/` —
+    * ONE parquet row holding the serialized Bloom filter over that set
+    * ([[graft.functions.BloomProbe.build]], ~10 bits/shingle at the
+    * default 1% fpp).
+    *
+    * Growing the eval suite appends only NOVEL shingles (anti-join
+    * against the store) and rebuilds the filter over the merged set —
+    * eval updates are rare and eval-sized; training increments never pay
+    * either cost. Crash ordering: shingles append BEFORE filter rewrite.
+    * A crash in between leaves a filter that under-flags the newest eval
+    * increment only (the verify join is sound for everything the filter
+    * passes); re-running the same update is idempotent — the anti-join
+    * contributes nothing and the rebuild converges the filter.
+    *
+    * Returns the merged distinct-shingle count (the filter's sizing). */
+  def updateDecontaminationStore(evalDocs: DataFrame, storeDir: String,
+      n: Int = 8, fpp: Double = 0.01): Long = {
+    val spark = evalDocs.sparkSession
+    val shingleDir = s"$storeDir/shingles"
+    val existing = graft.sinks.BucketedStore
+      .readOrEmpty(spark, shingleDir, EvalShinglesSpec)
+    val fresh = evalDocs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(Dedup.shingles(n)).as("s")).distinct()
+      .join(existing, Seq("s"), "left_anti")
+    graft.sinks.BucketedStore.append(fresh, shingleDir, EvalShinglesSpec)
+    val merged = graft.sinks.BucketedStore
+      .readOrEmpty(spark, shingleDir, EvalShinglesSpec)
+    val nEval = math.max(merged.count(), 1L)
+    graft.functions.BloomProbe.build(spark, merged, "s", nEval, fpp)
+      .write.mode("overwrite").parquet(s"$storeDir/bloom")
+    nEval
+  }
+
+  /** Decontaminate a training increment against the persistent store —
+    * the production daily loop: the eval side costs NOTHING per
+    * increment (the Bloom filter is read back as one parquet row; the
+    * shingle store is only scanned). The increment is shingled once
+    * (materialized), prefiltered by the stored codegen'd Bloom probe,
+    * and only the survivors (true overlaps + the fpp tail) reach the
+    * exact verify join against the bucketed shingle store — below
+    * `broadcastMaxRows` the surviving candidates are broadcast so the
+    * store side moves through NO Exchange (asserted by spec); above it
+    * the bucketed layout shuffles only the increment. Read-only on the
+    * store, so re-running an increment is idempotent by construction.
+    *
+    * Output is row-identical to [[decontaminate]]/[[decontaminateBloom]]
+    * on the same corpus split (same columns, same counts — the store
+    * changes WHERE the eval set lives, never the answer). */
+  def incrementalDecontaminate(newDocs: DataFrame, storeDir: String,
+      n: Int = 8, broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = newDocs.sparkSession
+    val exploded = graft.Materialize(newDocs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(Dedup.shingles(n)).as("s")))
+    val probeSql = graft.functions.BloomProbe
+      .probeFrom(spark, s"$storeDir/bloom", "s")
+    val cands = exploded.filter(expr(probeSql))
+    val store = graft.sinks.BucketedStore
+      .readOrEmpty(spark, s"$storeDir/shingles", EvalShinglesSpec)
+    // exploded is checkpointed, so the increment-size probe is free.
+    val small = exploded.count() <= broadcastMaxRows
+    def inc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val overlaps = store.join(inc(cands), Seq("s"))
+      // Store shingles and per-doc shingles are both distinct, so
+      // count(*) counts DISTINCT overlapping shingles per document —
+      // the same n_overlap contract as [[decontaminate]].
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    newDocs.select("doc_id")
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_overlap"), lit(0L)).gt(0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Contamination SPAN scoring: not just whether a training document
     * overlaps the eval set ([[decontaminate]]), but the longest CONTIGUOUS
     * run of leaked tokens — the quantity decontamination policies actually

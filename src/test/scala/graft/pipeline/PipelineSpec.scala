@@ -808,6 +808,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2(1L) == "too_short" && r2(2L) == "too_short")
   }
 
+  test("incremental decontamination reuses the persistent eval store and matches the exact form") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("incdecon").resolve("store").toString
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val evalA = words("ea", 12)
+    val evalB = words("eb", 12)
+    // 8 consecutive tokens of evalA == evalA's positional shingle 2.
+    val leak = evalA.split(" ").slice(2, 10).mkString(" ")
+    val docs = Seq(
+      0L  -> evalA,                                          // eval (0 % 23 == 0)
+      23L -> evalB,                                          // eval
+      1L  -> (words("t1", 5) + " " + leak + " " + words("u1", 3)), // 1 leaked shingle
+      2L  -> words("t2", 20),                                // clean
+      3L  -> words("t3", 9),                                 // clean, short
+      24L -> (words("t4", 4) + " " + evalB)                  // all 5 evalB shingles
+    ).toDF("doc_id", "text")
+    val eval  = docs.filter(col("doc_id") % 23 === 0)
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+
+    // Store build is idempotent: re-applying the same eval suite appends
+    // no shingles and converges to the same filter sizing.
+    val n1 = Select.updateDecontaminationStore(eval, store)
+    val n2 = Select.updateDecontaminationStore(eval, store)
+    assert(n1 == n2 && n1 == 2 * 5, s"distinct eval shingles: $n1 vs $n2")
+    assert(spark.read.parquet(s"$store/shingles").count() == n1)
+
+    // Two daily increments probe the store; the store must be scanned,
+    // never moved through a shuffle (broadcast-candidate path).
+    val day1 = train.filter(col("doc_id") <= 2)
+    val day2 = train.filter(col("doc_id") > 2)
+    val (r1, storePlans) = graft.PlanCapture.scansOf(spark, s"$store/shingles") {
+      Select.incrementalDecontaminate(day1, store).collect()
+    }
+    assert(storePlans.nonEmpty, "expected a captured plan scanning the shingle store")
+    storePlans.foreach { p =>
+      assert(!graft.PlanCapture.shufflesRawScanOf(p, s"$store/shingles"),
+        s"raw shingle-store rows moved through a shuffle:\n$p")
+    }
+    val r2 = Select.incrementalDecontaminate(day2, store).collect()
+    // Read-only increments are idempotent: a re-run is row-identical.
+    val r2b = Select.incrementalDecontaminate(day2, store).collect()
+    assert(r2.map(_.toSeq).toSeq == r2b.map(_.toSeq).toSeq, "re-run diverged")
+
+    // Union of the increments is row-identical to the one-shot exact form
+    // (and to decontaminateBloom, which shares decontaminate's oracle).
+    val exact = Select.decontaminate(docs).collect().map(_.toSeq).toSet
+    assert((r1 ++ r2).map(_.toSeq).toSet == exact, "increments diverge from exact form")
+    val got = (r1 ++ r2).map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((1L, true)), s"leaked-span doc: ${got(1L)}")
+    assert(got(24L) == ((5L, true)), s"verbatim-eval doc: ${got(24L)}")
+    assert(got(2L) == ((0L, false)) && got(3L) == ((0L, false)))
+  }
+
   test("incremental exact dedup: increments check against the store, never recompute it") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("incdedup").resolve("store").toString
