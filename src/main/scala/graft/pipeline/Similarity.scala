@@ -895,6 +895,72 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Centroid-index namespace for [[semanticDedupFixed]]'s literal cells
+    * — disjoint from both LSH plane families. */
+  private val FixedCellOff = 200
+
+  /** DuckDB-literal centroid vector for fixed cell `j` (the twin of the
+    * Spark-side literal [[fixedCentroid]] builds). */
+  private[pipeline] def duckCentroidLit(j: Int, dim: Int): String =
+    (0 until dim).map(i => planeWeight(FixedCellOff + j, i))
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  private def fixedCentroid(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => planeWeight(FixedCellOff + j, i))
+
+  /** The ORACLE-CHECKABLE witness for the SemDeDup decision semantics:
+    * identical assignment → within-cell pairs → tau filter → keep-first
+    * shape as [[semanticDedup]], with the TRAINED coarse quantizer
+    * replaced by `k` FIXED md5-derived literal centroids (the
+    * [[planeWeight]] generator, its own index namespace) — so the whole
+    * pipeline, Voronoi assignment included, replays in DuckDB SQL and
+    * hash-matches. The trained path stays rows-only (Lloyd's iterative
+    * data-dependent state has no SQL twin); THIS entry pins everything
+    * downstream of training: the broadcast argmax assignment (struct-min
+    * with the cell-id tiebreak ≡ the oracle's ROW_NUMBER), the candidate
+    * scope (within-cell only), the NaN guard, and the no-false-positive
+    * side — on the driver corpus no pair reaches tau, so a hash match
+    * proves the full decision table clean, the same contract
+    * dedup_embedding's oracle established. Exact-duplicate recall is
+    * assignment-independent (identical vectors share every cosine), so
+    * the planted-copy spec rides the same code path. */
+  def semanticDedupFixed(emb: DataFrame, k: Int = 8, tau: Double = 0.9): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val cdf = broadcast(
+      (0 until k).map(j => (j, fixedCentroid(j, dim))).toDF("cell", "cvec"))
+    // Same argmax-as-hash-aggregate as coarseQuantize.assign: min over
+    // (−cos, cell) structs — NaN sorts greatest, so a degenerate vector
+    // falls to cell 0 deterministically in both engines.
+    val assigned = graft.Materialize(emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(cdf)
+      .select(col("vec_id"), col("embedding"),
+        struct((-cosineFast(spark, "embedding", "cvec")).as("neg"),
+          col("cell")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min("dc").as("best"), first("embedding").as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell")))
+    val a = assigned.select(col("cell"), col("vec_id").as("left_id"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("left_id") < col("vec_id"))
+      .select(col("vec_id"), col("left_id"),
+        cosineFast(spark, "ea", "eb").as("cos"))
+      .filter(col("cos") >= tau && !isnan(col("cos")))
+    val dupOf = pairs.groupBy("vec_id")
+      .agg(min("left_id").as("dup_of"), max("cos").as("best_cos"))
+    assigned.select("vec_id", "cell")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        round(coalesce(col("best_cos"), lit(0.0)), 4).as("best_cos"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy("vec_id")
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * embedding-store compression (4× smaller, cheap dot products) — plus
     * reconstruction-error accounting. Per-vector arithmetic only: scale =
@@ -925,6 +991,7 @@ object Similarity {
     "knn_ivfpq"         -> ((s, d) => ivfPqTopK(Tables(s, d).embeddings)),
     "dedup_embedding"   -> ((s, d) => embeddingNearDup(Tables(s, d).embeddings)),
     "dedup_semantic"    -> ((s, d) => semanticDedup(Tables(s, d).embeddings)),
+    "dedup_semantic_fixed" -> ((s, d) => semanticDedupFixed(Tables(s, d).embeddings)),
     // Driver surface: the harness sorts result rows through pandas, which
     // cannot factorize an array column — emit the codes as a joined
     // string. The ARRAY<INT> form stays the internal API (pqEncode).
@@ -1019,6 +1086,37 @@ object Similarity {
     // passthrough); recall on planted near-dups is covered by the
     // SimilaritySpec synthetic corpus, where LSH banding is exercised
     // with positives present.
+    // Full replay of semanticDedupFixed: Voronoi assignment against the
+    // SAME 8 literal md5-derived centroids the engine embeds
+    // (duckCentroidLit — one generator feeds both plans), argmax via
+    // ROW_NUMBER ordered (−cos, cell) ≡ the engine's struct-min (both
+    // engines sort NaN greatest, so a degenerate vector falls to cell 0
+    // in both), then within-cell pairs → tau/NaN filter → keep-first.
+    // list_cosine_similarity folds left-to-right like the codegen cosine
+    // (the bit-for-bit match q22/dedup_embedding already rely on), so
+    // cell assignment — and therefore the candidate SET — is
+    // engine-independent.
+    "dedup_semantic_fixed" -> {
+      val cents = (0 until 8).map(j => s"($j, ${duckCentroidLit(j, 64)})")
+        .mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c(cell, cv) AS (VALUES
+         |  $cents),
+         |asg AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY -list_cosine_similarity(e.v, c.cv) ASC, c.cell) AS rn
+         |  FROM e CROSS JOIN c) t WHERE rn = 1),
+         |pj AS (SELECT a.vec_id AS l, b.vec_id AS r,
+         |    list_cosine_similarity(a.v, b.v) AS cos
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dec AS (SELECT r AS vec_id, min(l) AS dup_of, max(cos) AS best_cos
+         |  FROM pj WHERE cos >= 0.9 AND NOT isnan(cos) GROUP BY r)
+         |SELECT asg.vec_id, asg.cell, dec.dup_of,
+         |  COALESCE(round(dec.best_cos, 4), 0.0) AS best_cos,
+         |  dec.dup_of IS NOT NULL AS is_duplicate
+         |FROM asg LEFT JOIN dec USING (vec_id) ORDER BY asg.vec_id""".stripMargin
+    },
     "dedup_embedding" ->
       ("""WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |pj AS (SELECT a.vec_id AS l, b.vec_id AS r,

@@ -468,6 +468,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup fixed-centroid witness flags exact copies, none on decoys") {
+    import spark.implicits._
+    // The oracle-checkable variant: same decision semantics, literal
+    // centroids. Exact copies share every centroid cosine, so they land
+    // in their original's cell regardless of where the fixed Voronoi
+    // boundaries fall — recall for copies is assignment-independent.
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextFloat() * 2f - 1f)
+    }
+    val base = (0 until 30).map(i => (i.toLong, vec(9000 + i)))
+    val copies = Seq((3000L, vec(9000)), (3001L, vec(9011)))
+    val out = Similarity.semanticDedupFixed(
+      (base ++ copies).toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 32)
+    assert(out(3000L).getAs[Boolean]("is_duplicate") &&
+      out(3000L).getAs[Long]("dup_of") == 0L &&
+      out(3000L).getAs[Double]("best_cos") == 1.0)
+    assert(out(3001L).getAs[Boolean]("is_duplicate") &&
+      out(3001L).getAs[Long]("dup_of") == 11L)
+    base.foreach { case (id, _) =>
+      assert(!out(id).getAs[Boolean]("is_duplicate"), s"decoy $id flagged")
+    }
+  }
+
   test("semantic dedup flags exact duplicates in-cluster, none on spread decoys") {
     import spark.implicits._
     // 40 independent random vectors (pairwise cosine concentrates well
@@ -614,6 +640,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0) == ((1L, "l", "o", "lo", 5L)), s"got ${out(0)}")
     assert(out(1) == ((2L, "lo", "w", "low", 5L)), s"got ${out(1)}")
     assert(out(2) == ((3L, "e", "r", "er", 2L)), s"got ${out(2)}")
+  }
+
+  test("BPE local and distributed trainers produce byte-identical merge tables") {
+    import spark.implicits._
+    // The round-8 driver-local fast path must be semantics-free: same
+    // argmax (count DESC, code-point-asc pair), same greedy application,
+    // same early stop. Train the textbook corpus both ways — plus a
+    // tie-heavy corpus where ordering bugs actually surface — and demand
+    // equality row for row.
+    val corpora = Seq(
+      (Seq.fill(3)("low") ++ Seq.fill(2)("lower") ++ Seq("newest")),
+      Seq("aaab", "aab", "ab", "ba", "bb aa ab"))
+    corpora.foreach { words =>
+      val d = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val local = TextAnalysis.bpeTrain(d, nMerges = 6).collect().map(_.toSeq).toSeq
+      spark.conf.set(TextAnalysis.MaxLocalVocabRowsKey, "0")
+      val dist =
+        try TextAnalysis.bpeTrain(d, nMerges = 6).collect().map(_.toSeq).toSeq
+        finally spark.conf.unset(TextAnalysis.MaxLocalVocabRowsKey)
+      assert(local == dist, s"paths diverged on $words:\n$local\nvs\n$dist")
+      assert(local.nonEmpty)
+    }
   }
 
   test("BPE training stops early when no pairs remain; empty corpus yields no merges") {
