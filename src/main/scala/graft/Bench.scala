@@ -118,8 +118,15 @@ object Bench {
         // aggregate+join shapes now — a Window here means a refactor
         // reintroduced a low-cardinality-partition sort (viral-dup clique /
         // whole-domain / giant-cluster skew).
+        // dedup_semantic_fixed's centroid table must ride a broadcast
+        // (the argmax is a broadcast nested-loop reduced by a hash
+        // aggregate — a shuffled centroid join means the literal table
+        // lost its hint).
+        if (name == "dedup_semantic_fixed" && !fullPlan.contains("Broadcast"))
+          violations += s"$name:centroids-not-broadcast"
         if (Set("q19_dedup_exact", "q60_quota_topk", "q68_strata_exact_k",
-              "dedup_clusters", "dedup_semantic", "q73_paragraph_dedup",
+              "dedup_clusters", "dedup_semantic", "dedup_semantic_fixed",
+              "q73_paragraph_dedup",
               "q74_contamination_span", "q75_bigram_ppl").contains(name) &&
             fullPlan.contains("Window"))
           violations += s"$name:skewed-window-came-back"

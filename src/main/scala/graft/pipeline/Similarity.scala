@@ -792,6 +792,96 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  private val EmbBandsSpec = graft.sinks.BucketedStore.Spec(
+    "vec_id BIGINT, band INT, bucket INT", "bucket", 32)
+  private val EmbVecsSpec = graft.sinks.BucketedStore.Spec(
+    "vec_id BIGINT, embedding ARRAY<FLOAT>", "vec_id", 32)
+
+  /** Incremental embedding near-dup against a persistent LSH band store —
+    * completing the incremental family (exact: Dedup.incrementalExact,
+    * text near-dup: Dedup.incrementalMinhash, eval overlap:
+    * Select.incrementalDecontaminate): a day's embedding increment is
+    * checked against the historical corpus WITHOUT re-signing it. History
+    * is represented by its banded hyperplane signatures (`bands/`,
+    * bucketed by the probe key) and the keeper vectors themselves
+    * (`vecs/`, bucketed by vec_id) — verification is exact cosine against
+    * the STORED vector, so the threshold semantics are identical to
+    * [[embeddingNearDup]], not an estimate.
+    *
+    * Scale: the increment is signed once ([[bandedTable]]'s literal
+    * planes — the same signature the store rows were built with);
+    * candidates come from the band-store equi-join with the increment
+    * side broadcast below `broadcastMaxRows` (store scanned, never
+    * shuffled — spec-asserted via PlanCapture) plus the intra-increment
+    * band self-join; only candidate pairs reach the cosine verify against
+    * the vecs store (same broadcast discipline). Keepers-only growth:
+    * duplicates add no representative value and would bloat every future
+    * band join.
+    *
+    * Crash ordering: bands append BEFORE vecs, making the vecs append the
+    * commit record — orphan band rows produce candidates the vecs verify
+    * join drops (invisible, not wrong), and the retried increment's
+    * self-matches (cos = 1 against its own stored copy) mark everything
+    * duplicate, so nothing is re-appended: at-least-once safe, same
+    * contract as incrementalMinhash.
+    *
+    * Returns the increment annotated (vec_id, is_near_duplicate,
+    * near_dup_of, best_cos). */
+  def incrementalEmbeddingNearDup(newEmb: DataFrame, storeDir: String,
+      threshold: Double = 0.9, planes: Int = 16, bandBits: Int = 8,
+      broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = newEmb.sparkSession
+    val banded = bandedTable(newEmb.select("vec_id", "embedding"), planes, bandBits)
+    val newBands = banded.select("vec_id", "band", "bucket")
+    val newVecs = newEmb.select("vec_id", "embedding")
+
+    val storeBands = graft.sinks.BucketedStore
+      .readOrEmpty(spark, s"$storeDir/bands", EmbBandsSpec)
+      .select(col("vec_id").as("old_id"), col("band"), col("bucket"))
+    val storeVecs = graft.sinks.BucketedStore
+      .readOrEmpty(spark, s"$storeDir/vecs", EmbVecsSpec)
+      .select(col("vec_id").as("old_id"), col("embedding").as("old_emb"))
+
+    val small = newEmb.count() <= broadcastMaxRows
+    def inc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+    val vsStore = storeBands.join(inc(newBands), Seq("band", "bucket"))
+      .select(col("vec_id"), col("old_id")).distinct()
+    val intra = newBands.as("a").join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") > col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("old_id"))
+      .distinct()
+
+    val cands = vsStore.unionByName(intra).join(inc(newVecs), Seq("vec_id"))
+    val verified = storeVecs
+      .unionByName(newVecs.select(col("vec_id").as("old_id"),
+        col("embedding").as("old_emb")))
+      .join(inc(cands), Seq("old_id"))
+      .select(col("vec_id"), col("old_id"),
+        cosineFast(spark, "embedding", "old_emb").as("cos"))
+      // Same NaN rule as every near-dup decision: a degenerate (zero)
+      // embedding's 0/0 cosine is not a near-duplicate.
+      .filter(col("cos") >= threshold && !isnan(col("cos")))
+    val dupOf = verified.groupBy("vec_id")
+      .agg(min("old_id").as("near_dup_of"), max("cos").as("best_cos"))
+
+    val annotated = graft.Materialize(newEmb.select("vec_id")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("near_dup_of").isNotNull.as("is_near_duplicate"),
+        col("near_dup_of"),
+        round(coalesce(col("best_cos"), lit(0.0)), 4).as("best_cos")))
+
+    val keep = annotated.filter(!col("is_near_duplicate")).select("vec_id")
+    graft.sinks.BucketedStore.append(
+      newBands.join(keep, Seq("vec_id")), s"$storeDir/bands", EmbBandsSpec)
+    graft.sinks.BucketedStore.append(
+      newVecs.join(keep, Seq("vec_id")), s"$storeDir/vecs", EmbVecsSpec)
+    graft.Materialize.release(banded)
+    annotated.orderBy("vec_id")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     * clusters the embedding space (the same coarse quantizer the IVF
     * index trains — driver-local Lloyd over a bounded hash sample), then

@@ -910,6 +910,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, false)) && got(3L) == ((0L, false)))
   }
 
+  test("incremental embedding near-dup flags history matches against stored vectors") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("incemb").resolve("store").toString
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextFloat() * 2f - 1f)
+    }
+    // Day 1: two independent vectors — no duplicates.
+    val day1 = Seq((1L, vec(100)), (2L, vec(101))).toDF("vec_id", "embedding")
+    val r1 = Similarity.incrementalEmbeddingNearDup(day1, store).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r1 == Map(1L -> false, 2L -> false))
+
+    // Day 2: 10 copies historical 1 (exact signature collision in every
+    // band; verified cos 1.0 against the STORED vector); 11 is novel;
+    // 12 copies 11 within the increment. The band store must be scanned,
+    // never moved through a shuffle.
+    val day2 = Seq((10L, vec(100)), (11L, vec(200)), (12L, vec(200)))
+      .toDF("vec_id", "embedding")
+    val (r2rows, storePlans) = graft.PlanCapture.scansOf(spark, s"$store/bands") {
+      Similarity.incrementalEmbeddingNearDup(day2, store).collect()
+    }
+    assert(storePlans.nonEmpty, "expected a captured plan scanning the band store")
+    storePlans.foreach { p =>
+      assert(!graft.PlanCapture.shufflesRawScanOf(p, s"$store/bands"),
+        s"raw band-store rows moved through a shuffle:\n$p")
+    }
+    val r2 = r2rows.map(r => r.getLong(0) ->
+      ((r.getBoolean(1), Option(r.get(2)).map(_.toString), r.getDouble(3)))).toMap
+    assert(r2(10L) == ((true, Some("1"), 1.0)), s"historical copy: ${r2(10L)}")
+    assert(r2(11L) == ((false, None, 0.0)), s"novel vector: ${r2(11L)}")
+    assert(r2(12L) == ((true, Some("11"), 1.0)), s"intra copy: ${r2(12L)}")
+
+    // Keepers-only growth: the vecs store holds 1, 2, 11 — never 10/12.
+    val stored = spark.read.parquet(s"$store/vecs").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 2L, 11L), stored.toString)
+
+    // At-least-once: re-applying day 2 self-matches everything (cos 1.0
+    // against its own stored copy) and appends nothing.
+    val r3 = Similarity.incrementalEmbeddingNearDup(day2, store).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r3.values.forall(identity), "re-applied increment must be all dups")
+    assert(spark.read.parquet(s"$store/vecs").count() == 3)
+  }
+
   test("incremental exact dedup: increments check against the store, never recompute it") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("incdedup").resolve("store").toString
