@@ -451,6 +451,63 @@ object Similarity {
       k, "sim", ascending = false)
   }
 
+  /** Build a PERSISTENT IVF index under `indexDir` — the production
+    * separation of index BUILD from QUERY that [[ivfTopK]] (train +
+    * search in one plan) deliberately does not make: a 100-TB corpus is
+    * indexed once and queried many times, so training cost must not sit
+    * on the query path. Layout: `centroids/` — the tiny trained
+    * centroid table (nList × dim doubles, one file); `cells/` — the
+    * assigned corpus written `partitionBy("cell")`, so a query that
+    * filters on its probed cells prunes PARTITION DIRECTORIES at the
+    * scan: ~nProbe/nList of the corpus is touched ON DISK, not filtered
+    * post-read (the spec asserts non-empty partitionFilters and a
+    * pruned partition count). Same deterministic trainer as ivfTopK
+    * (hash-ordered seeds, no RNG), so an index built with identical
+    * parameters yields identical search results — spec-pinned. */
+  def buildIvfIndex(emb: DataFrame, indexDir: String, nList: Int = 8,
+      iters: Int = 2, trainDenom: Int = 4): Unit = {
+    val coarse = coarseQuantize(emb, nList, iters, trainDenom)
+    coarse.centroids.select(col("cell"),
+        expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("cvec"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    coarse.assign(emb).select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** Query a [[buildIvfIndex]] index: probe each query's `nProbe`
+    * nearest cells (centroid table broadcast; the per-query window is
+    * bounded at nList rows — the same exemption ivfTopK's probe holds),
+    * collect the probed cell ids (≤ nQueries×nProbe ints — bounded
+    * driver state, and the price of STATIC partition pruning: a literal
+    * IN-list prunes directories at plan time where a join would scan
+    * everything), then exact cosine + bounded top-k over the pruned
+    * scan. Zero training jobs on this path. */
+  def ivfIndexTopK(indexDir: String, queries: DataFrame, k: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val probes = graft.Materialize(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("cell"),
+        cosineFast(spark, "qe", "cvec").as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qe", "cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    rankTopK(
+      corpus.join(probes, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosineFast(spark, "embedding", "qe"), 4).as("sim")),
+      k, "sim", ascending = false)
+  }
+
   /** IVF-PQ: the production-standard composition of the coarse quantizer
     * and product quantization (the FAISS `IVFPQ` index shape) — vectors
     * are bucketed into `nList` cells and PQ-encoded as RESIDUALS from

@@ -910,6 +910,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, false)) && got(3L) == ((0L, false)))
   }
 
+  test("persistent IVF index: partition-pruned query path, results identical to ivfTopK") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val emb = Tables(spark, sf0001).embeddings
+    Similarity.buildIvfIndex(emb, dir)
+    val queries = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val (rows, plans) = graft.PlanCapture.scansOf(spark, s"$dir/cells") {
+      Similarity.ivfIndexTopK(dir, queries).collect()
+    }
+    // The probed-cell IN-list must reach the scan as a PARTITION filter
+    // (directory pruning), not a post-scan predicate.
+    val scans = plans.flatMap(graft.PlanCapture.nodes).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("ivfidx")) => f
+    }
+    assert(scans.nonEmpty, "no captured scan of the cells store")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "probed-cell filter did not become a partition filter")
+    // 3 queries x nProbe=2 probe at most 6 of the 8 cells.
+    assert(scans.exists(_.selectedPartitions.partitionCount <= 6),
+      s"scan read ${scans.map(_.selectedPartitions.partitionCount).mkString(",")} partitions")
+    // Same deterministic trainer + same parameters => the separated
+    // build/query path must return EXACTLY ivfTopK's answer.
+    val direct = Similarity.ivfTopK(emb).collect()
+    assert(rows.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq,
+      s"index path diverged: ${rows.length} vs ${direct.length} rows")
+    assert(rows.nonEmpty)
+  }
+
   test("incremental embedding near-dup flags history matches against stored vectors") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("incemb").resolve("store").toString
