@@ -319,6 +319,69 @@ object Multimodal {
     MediaFeatures(m.doc_id, m.kind, m.payload.length.toLong, n, w, h, 0L, feats)
   }
 
+  final case class ResizedRow(
+      doc_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      orig_w: Int,
+      orig_h: Int,
+      decode_error: String = null)
+
+  /** One image resize: aspect-preserving downscale to fit `maxDim`
+    * (never upscales), through AWT's bilinear raster op, re-encoded as
+    * PNG by the JDK writer — a REAL decode→resample→encode round trip,
+    * the standard thumbnail/normalization step before a vision encoder
+    * (CLIP-style models take fixed small inputs; shipping full-res bytes
+    * through a 100 TB pipeline is pure waste). */
+  private def resizeOne(m: MediaRow, maxDim: Int): ResizedRow = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+    if (scale >= 1.0) ResizedRow(m.doc_id, m.kind, m.payload, w, h, w, h)
+    else {
+      val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+        math.max(1, math.round(h * scale).toInt))
+      val dst = new java.awt.image.BufferedImage(
+        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      ResizedRow(m.doc_id, m.kind, out.toByteArray, nw, nh, w, h)
+    }
+  }
+
+  /** Batched image resize over a media table — same mapPartitions seam as
+    * [[extractFeatures]] (per-row binary work, batch-amortized setup; an
+    * Expression cannot express a decoder). Non-image rows pass through
+    * untouched (payload and dims unchanged) so the operator composes in a
+    * mixed-modality pipeline; a corrupt payload becomes an error row, not
+    * a task failure. Per-row arithmetic only: zero shuffle beyond the
+    * spread repartition, and output bytes SHRINK — the property that
+    * matters when the next stage ships batches to GPU encoders. */
+  def resizeImages(media: DataFrame, maxDim: Int = 16, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        if (m.kind != "image")
+          ResizedRow(m.doc_id, m.kind, m.payload, m.width, m.height, m.width, m.height)
+        else try resizeOne(m, maxDim)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            ResizedRow(m.doc_id, m.kind, Array.emptyByteArray, 0, 0, 0, 0,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }))
+      .toDF()
+  }
+
   /** One decode batch: dispatch per kind. Batched so a production decoder
     * (ffmpeg pipe, JNI lib, ONNX session) amortizes setup per batch.
     * A row whose payload fails to parse becomes an error row (empty
@@ -362,5 +425,14 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (pipeline _),
+    // Driver surface: scalar columns only (payload stays internal — the
+    // driver's pandas sort can't factorize binary); n_bytes witnesses
+    // the shrink.
+    "multimodal_resize" -> ((s, d) =>
+      resizeImages(attachPayloads(Tables(s, d).documents))
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("orig_w"), col("orig_h"),
+          length(col("payload")).as("n_bytes"), col("decode_error"))
+        .orderBy("doc_id")),
   )
 }

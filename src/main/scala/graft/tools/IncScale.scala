@@ -104,6 +104,78 @@ object IncScale {
     check("minhash-increment-flat", mhT2 <= 2.5 * math.max(mhT1, 0.3),
       f"store ${mSmall}→${mSmall * 10}: increment $mhT1%.2fs → $mhT2%.2fs (bound 2.5×)")
 
+    // ---- decontamination eval store ---------------------------------
+    // Contract: a fixed TRAIN increment must stay flat while the EVAL
+    // store grows 10× — the filter is read back (one parquet row), never
+    // rebuilt, and the shingle store is scanned, never shuffled. (The
+    // eval UPDATE itself is allowed to cost eval-sized work; it is the
+    // rare path.)
+    val dcDir = java.nio.file.Files.createTempDirectory("incscale").resolve("decon").toString
+    val eSmall = math.max(sSmall / 10, 1000L)
+    graft.pipeline.Select.updateDecontaminationStore(
+      docs(spark, 0, eSmall, identity), dcDir)
+    var dcNovel = 6000000000L
+    def incrementDc(): Double = {
+      val inc = docs(spark, dcNovel, dcNovel + 1000, identity)
+        .unionByName(docs(spark, 7000000000L, 7000000200L, id => id - 7000000000L))
+      dcNovel += 1000
+      timed { graft.pipeline.Select.incrementalDecontaminate(inc, dcDir).count() }
+    }
+    val dcT1 = Seq(incrementDc(), incrementDc(), incrementDc()).min
+    graft.pipeline.Select.updateDecontaminationStore(
+      docs(spark, eSmall, eSmall * 10, identity), dcDir)
+    val dcT2 = Seq(incrementDc(), incrementDc(), incrementDc()).min
+    check("decontaminate-increment-flat", dcT2 <= 2.5 * math.max(dcT1, 0.3),
+      f"eval store ${eSmall}→${eSmall * 10}: increment $dcT1%.2fs → $dcT2%.2fs (bound 2.5×)")
+
+    // ---- embedding band store ---------------------------------------
+    def vecs(from: Long, until: Long, seedOf: Long => Long): DataFrame = {
+      import spark.implicits._
+      spark.range(from, until).as[Long].map { id =>
+        val rnd = new scala.util.Random(seedOf(id))
+        (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq)
+      }.toDF("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    val ebDir = java.nio.file.Files.createTempDirectory("incscale").resolve("emb").toString
+    val vSmall = math.max(sSmall / 10, 1000L)
+    var vNext = 0L
+    def seedEmb(rows: Long): Unit = {
+      var at = vNext
+      while (at < vNext + rows) {
+        val end = math.min(at + 25000, vNext + rows)
+        graft.pipeline.Similarity
+          .incrementalEmbeddingNearDup(vecs(at, end, identity), ebDir).count()
+        at = end
+      }
+      vNext += rows
+    }
+    def incrementEmb(): Double = {
+      val novelFrom = vNext; vNext += 200
+      val inc = vecs(novelFrom, vNext, identity)
+        .unionByName(vecs(8000000000L, 8000000200L, id => id - 8000000000L))
+      timed { graft.pipeline.Similarity.incrementalEmbeddingNearDup(inc, ebDir).count() }
+    }
+    seedEmb(vSmall)
+    val ebT1 = Seq(incrementEmb(), incrementEmb(), incrementEmb()).min
+    seedEmb(vSmall * 9)
+    val ebT2 = Seq(incrementEmb(), incrementEmb(), incrementEmb()).min
+    check("embedding-increment-flat", ebT2 <= 2.5 * math.max(ebT1, 0.3),
+      f"band store ${vSmall}→${vSmall * 10}: increment $ebT1%.2fs → $ebT2%.2fs (bound 2.5×)")
+
+    // Sanity: the duplicate/contaminated halves were recognized against
+    // the stores.
+    val dcHit = graft.pipeline.Select.incrementalDecontaminate(
+      docs(spark, 9000000000L, 9000000500L, id => id - 9000000000L), dcDir)
+      .filter(col("contaminated")).count()
+    check("decontaminate-store-hits-found", dcHit == 500,
+      s"500 replayed eval docs → $dcHit contaminated")
+    val ebDup = graft.pipeline.Similarity.incrementalEmbeddingNearDup(
+      vecs(9500000000L, 9500000500L, id => id - 9500000000L), ebDir)
+      .filter(col("is_near_duplicate")).count()
+    check("embedding-store-dups-found", ebDup == 500,
+      s"500 replayed vectors → $ebDup store near-dups")
+
     // Sanity: the duplicate halves were actually recognized against the store.
     val exDup = Dedup.incrementalExact(
       docs(spark, 4000000000L, 4000000500L, id => id - 4000000000L), exDir)

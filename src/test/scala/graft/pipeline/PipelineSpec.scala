@@ -1138,6 +1138,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("multimodal resize: aspect-preserving downscale, re-decodable PNG, non-image passthrough") {
+    val media = Multimodal.attachPayloads(docs)
+    val out = Multimodal.resizeImages(media, maxDim = 16, batchSize = 5).collect()
+    assert(out.length == docs.count())
+    val orig = media.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    var shrunk = 0
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("decode_error") == null, s"doc $id: ${r}")
+      r.getAs[String]("kind") match {
+        case "image" =>
+          val (ow, oh) = (((id % 8) * 8 + 16).toInt, ((id % 4) * 8 + 16).toInt)
+          assert(r.getAs[Int]("orig_w") == ow && r.getAs[Int]("orig_h") == oh)
+          val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+          val scale = 16.0 / math.max(ow, oh)
+          if (scale < 1.0) {
+            assert(w == math.max(1, math.round(ow * scale).toInt), s"doc $id w=$w")
+            assert(h == math.max(1, math.round(oh * scale).toInt), s"doc $id h=$h")
+            // The resized payload is a REAL PNG of exactly the new dims.
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+            assert(img.getWidth == w && img.getHeight == h, s"doc $id re-decode")
+            shrunk += 1
+          } else
+            assert(w == ow && h == oh, s"doc $id must not upscale")
+        case _ =>
+          assert(r.getAs[Array[Byte]]("payload")
+            .sameElements(orig(id).getAs[Array[Byte]]("payload")),
+            s"non-image doc $id payload modified")
+      }
+    }
+    assert(shrunk > 0, "corpus contained no image above maxDim — spec is vacuous")
+    // A corrupt image payload becomes an error row, never a task failure.
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3), 0, 0, 0)).toDF()
+    val er = Multimodal.resizeImages(bad).collect().head
+    assert(er.getAs[String]("decode_error") != null)
+  }
+
   test("bm25 ranks by tf with length normalization and idf discounts common terms") {
     import spark.implicits._
     // Query "apple banana". doc 1 and doc 2 have the same query-term
