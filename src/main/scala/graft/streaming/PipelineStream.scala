@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous-ingest bridge between Structured Streaming and the
+  * persistent incremental stores: a document (or embedding) stream is
+  * deduplicated ACROSS micro-batches by running each batch through the
+  * corresponding `incremental*` operator inside `foreachBatch` — the
+  * documented seam for sinks with their own transactional state.
+  *
+  * This is the missing half of the training-data story: the batch
+  * operators answer "dedup this corpus", the incremental operators answer
+  * "dedup today against history", and this answers "dedup the firehose as
+  * it lands" — with the SAME store a nightly batch job would use, so
+  * batch backfill and streaming ingest share one history.
+  *
+  * Delivery semantics (the part worth being precise about):
+  *  - Annotated OUTPUT goes to `outDir/batch=<id>` with per-batch
+  *    OVERWRITE — a replayed micro-batch (post-crash) rewrites its own
+  *    directory, so the output is idempotent per batch id.
+  *  - The STORE grows through the incremental operator's keepers-only
+  *    append. On replay, the batch's novel rows are already in the store,
+  *    so they come back flagged as duplicates (self-match) and the append
+  *    set is EMPTY: the store never double-grows. The one crash window —
+  *    store appended, output not yet written — resolves on replay with
+  *    rows marked duplicate-of-self in the rewritten output; a consumer
+  *    treating `dup_of == doc_id` rows as keepers (the natural read)
+  *    sees exactly-once effective semantics end to end.
+  *  - Batches are processed serially by the streaming engine, so store
+  *    reads and appends never interleave between batches.
+  */
+object PipelineStream {
+
+  /** Run `step` (an incremental operator: batch → annotated batch, with
+    * its store side effect) over every micro-batch, landing the
+    * annotated result idempotently under `outDir/batch=<id>`. */
+  def incremental(stream: DataFrame, outDir: String, checkpoint: String)(
+      step: DataFrame => DataFrame): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        step(batch)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Streaming exact dedup: every micro-batch of (doc_id, text) is
+    * checked against — and grows — the persistent keep-first hash store
+    * ([[graft.pipeline.Dedup.incrementalExact]]). */
+  def dedupExact(docs: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(docs, outDir, checkpoint)(
+      graft.pipeline.Dedup.incrementalExact(_, storeDir))
+
+  /** Streaming embedding near-dup: every micro-batch of
+    * (vec_id, embedding) probes — and grows — the persistent LSH band +
+    * keeper-vector store
+    * ([[graft.pipeline.Similarity.incrementalEmbeddingNearDup]]). */
+  def dedupEmbedding(emb: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(emb, outDir, checkpoint)(
+      graft.pipeline.Similarity.incrementalEmbeddingNearDup(_, storeDir))
+
+  /** Streaming decontamination: every micro-batch is screened against the
+    * persistent eval store ([[graft.pipeline.Select
+    * .incrementalDecontaminate]] — read-only on the store, so this one is
+    * idempotent with no crash window at all). */
+  def decontaminate(docs: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(docs, outDir, checkpoint)(
+      graft.pipeline.Select.incrementalDecontaminate(_, storeDir))
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("streaming exact dedup: duplicates recognized within and ACROSS micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("psdstore"), tmp("psdout"), tmp("psdckpt"))
+    val ms = MemoryStream[(Long, String)]
+    val q = PipelineStream.dedupExact(
+      ms.toDF().toDF("doc_id", "text"), store, out, ckpt)
+    try {
+      // Batch 0: intra-batch dup (2 copies 1), 3 novel.
+      ms.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q.processAllAvailable()
+      // Batch 1: 10 duplicates HISTORY (batch 0's doc 1); 11 novel.
+      ms.addData((10L, "alpha"), (11L, "gamma"))
+      q.processAllAvailable()
+      // Batch 2: 20 duplicates doc 11 — proving the store grew mid-stream.
+      ms.addData((20L, "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_duplicate"), Option(r.get(3)).map(_.toString),
+          r.getAs[Int]("batch")))).toMap
+    assert(rows.size == 6)
+    assert(rows(1L) == ((false, None, 0)))
+    assert(rows(2L) == ((true, Some("1"), 0)), s"intra-batch dup: ${rows(2L)}")
+    assert(rows(3L) == ((false, None, 0)))
+    assert(rows(10L) == ((true, Some("1"), 1)), s"cross-batch dup: ${rows(10L)}")
+    assert(rows(11L) == ((false, None, 1)))
+    assert(rows(20L) == ((true, Some("11"), 2)), s"mid-stream store growth: ${rows(20L)}")
+
+    // Store holds exactly the keepers' hashes.
+    val kept = spark.read.parquet(store).select("store_doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 11L), kept.toString)
+  }
+
+  test("streaming decontamination screens each micro-batch against the eval store") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("pscstore"), tmp("pscout"), tmp("psckpt"))
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val evalText = words("ev", 12)
+    graft.pipeline.Select.updateDecontaminationStore(
+      Seq((0L, evalText)).toDF("doc_id", "text"), store)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = PipelineStream.decontaminate(
+      ms.toDF().toDF("doc_id", "text"), store, out, ckpt)
+    try {
+      ms.addData((1L, words("a", 20)), (2L, evalText))
+      q.processAllAvailable()
+      ms.addData((3L, words("b", 4) + " " + evalText))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(rows == Map(1L -> false, 2L -> true, 3L -> true), rows.toString)
+  }
+}
