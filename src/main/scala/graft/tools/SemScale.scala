@@ -1,0 +1,96 @@
+package graft.tools
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Crossover evidence for semanticDedup's two-level quantization: a
+  * corpus engineered so the coarse cells are CROWDED (the regime where
+  * single-level SemDeDup's Σ cell² term explodes) while pairwise cosine
+  * stays below tau (so the pair work is pure waste, not output).
+  *
+  * Corpus: n vectors in 4 natural clusters — x = 0.6·center_c + noise,
+  * giving same-cluster cosine ≈ 0.3 (well under tau = 0.9) and
+  * cross-cluster ≈ 0 — plus planted EXACT copies (recall witnesses).
+  * With nClusters = 4 the trained Voronoi cells recover the 4 clusters,
+  * so single-level runs ~4·(n/4)²/2 within-cell cosines; the bounded run
+  * (maxCell = 512) splits each cell into residual-hyperplane subcells
+  * and pays ~n·maxCell/2 — at n = 20k that is 50M vs ~4M pairs, a
+  * wall-clock gap no host noise hides (WIDTH.md's
+  * dedup_semantic_bounded row shows the same path at corpus sizes
+  * BELOW the crossover, where fixed costs win instead; this tool is the
+  * above-crossover half of that story).
+  *
+  * PASS criteria: identical decision tables (the bound changes WHERE
+  * pairs are pruned, never the answer on sub-tau decoys + exact
+  * copies), every planted copy recalled by BOTH runs, and the bounded
+  * run strictly faster (generous 0.9 factor).
+  *
+  * Usage: runMain graft.tools.SemScale [n=20000]
+  * Prints PASS/FAIL per property; exits non-zero on FAIL.
+  */
+object SemScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(40000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dim = 64
+    val centers = Array.tabulate(4) { c =>
+      val r = new scala.util.Random(900 + c)
+      val v = Array.fill(dim)(r.nextFloat() * 2f - 1f)
+      val norm = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / norm)
+    }
+    def vecOf(id: Long): Seq[Float] = {
+      val c = (id % 4).toInt
+      val r = new scala.util.Random(id)
+      Array.tabulate(dim)(i => 0.6f * centers(c)(i) + (r.nextFloat() * 2f - 1f)).toSeq
+    }
+    // Every 1000th id is an exact copy of a DISTINCT low-id original
+    // (base < 1000, so originals are never themselves copies; bases are
+    // multiples of 4 — cluster 0 — matching the copy's own id % 4 == 0).
+    val emb = spark.range(n).as[Long].map { id =>
+      val base = if (id >= 1000 && id % 1000 == 0) (id / 1000) * 4 else id
+      (id, vecOf(base))
+    }.toDF("vec_id", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Materialize(_))
+    val nCopies = (1 to (n - 1) / 1000).size
+
+    var failed = false
+    def check(tag: String, ok: Boolean, detail: String): Unit = {
+      println(s"[semscale] ${if (ok) "PASS" else "FAIL"} $tag: $detail")
+      failed ||= !ok
+    }
+    def run(maxCell: Int): (Double, Array[(Long, Boolean, Any)]) = {
+      def once(): (Double, Array[(Long, Boolean, Any)]) = {
+        val t0 = System.nanoTime()
+        val rows = Similarity
+          .semanticDedup(emb, nClusters = 4, maxCell = maxCell)
+          .collect().map(r => (r.getLong(0), r.getBoolean(4), r.get(2)))
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (t1, rows) = once(); val (t2, _) = once()
+      (math.min(t1, t2), rows)
+    }
+
+    val (tBounded, rBounded) = run(maxCell = 512)
+    val (tSingle, rSingle) = run(maxCell = Int.MaxValue)
+    check("identical-decisions", rBounded.sortBy(_._1).sameElements(rSingle.sortBy(_._1)),
+      s"${rBounded.length} decision rows (bound changes where pairs prune, not the answer)")
+    val dupB = rBounded.count(_._2)
+    check("planted-copies-recalled", dupB == nCopies,
+      s"$nCopies exact copies planted → $dupB flagged (bounded run)")
+    check("bounded-faster-above-crossover", tBounded < 0.9 * tSingle,
+      f"bounded $tBounded%.1fs vs single-level $tSingle%.1fs at n=$n (≈${n / 4}-row cells)")
+
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

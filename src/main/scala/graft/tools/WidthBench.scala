@@ -216,9 +216,11 @@ object WidthBench {
     sb ++= "  second level at BOTH widths. At this corpus size the refinement's\n"
     sb ++= "  fixed costs (depth table, per-row plane dots, one extra materialize)\n"
     sb ++= "  exceed the pair-work it saves - the bound pays off where cells\n"
-    sb ++= "  outgrow maxCell by orders of magnitude (the n^1.5 regime), which no\n"
-    sb ++= "  local-width test reaches; the row exists to show the refined plan's\n"
-    sb ++= "  exchange count stays flat and the path survives width.\n"
+    sb ++= "  outgrow maxCell by orders of magnitude (the n^1.5 regime); this row\n"
+    sb ++= "  shows the refined plan's exchange count stays flat at width, and\n"
+    sb ++= "  `runMain graft.tools.SemScale` demonstrates the crossover itself:\n"
+    sb ++= "  at 40k vectors in 4 crowded cells, bounded 2.2s vs single-level\n"
+    sb ++= "  49.3s with identical decision tables and full planted-copy recall.\n"
     sb ++= s"\nGenerated by `graft.tools.WidthBench` (run: `sbt \"runMain graft.tools.WidthBench\"`).\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
     println(sb.toString)
