@@ -42,17 +42,32 @@ final case class Tables(spark: SparkSession, dir: String) {
 
   /** Streaming read of an events-shaped parquet DIRECTORY (the D1 polling
     * micro-batch source: the file source discovers new files per trigger,
-    * offsets = file positions). Same nanos→µs ts handling as [[events]];
-    * readStream requires an explicit schema, with ts as the raw long. */
+    * offsets = file positions). readStream requires an explicit schema,
+    * and the `ts` encoding FOLLOWS THE BATCH TABLE's: the testdata has
+    * shipped both TIMESTAMP(NANOS) (surfaced as a raw long under the
+    * nanosAsLong conf, converted with exact integer `div`) and plain µs
+    * TIMESTAMP_NTZ. Probing `events`' batch schema keeps stream and
+    * batch types identical under either encoding — hardwiring the long
+    * schema silently read the NTZ files as micros and divided them into
+    * 1970 (caught by StreamSmoke's streamed==batch gate, round 9).
+    * Streaming event-time REQUIRES TimestampType (Spark raises
+    * EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ watermarks), so an NTZ
+    * file surfaces here as `cast(ts AS TIMESTAMP)` — exact under the
+    * pinned UTC session TZ; batch consumers comparing against
+    * [[events]] apply the same cast (the tsLit convention). */
   def eventsStream(directory: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = events.schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(directory)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(directory)
+    if (tsType == LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else
+      raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")

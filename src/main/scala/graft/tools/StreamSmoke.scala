@@ -32,7 +32,13 @@ object StreamSmoke {
 
       val streamed = spark.table("stream_smoke")
         .collect().map(_.toString).sorted
-      val batch = EventAnalytics.tumbling(Tables(spark, sf).events, "6 hours")
+      // eventsStream surfaces ts as TIMESTAMP (streaming watermarks
+      // reject NTZ); give the batch side the same cast so the window
+      // rows compare on identical types.
+      val batch = EventAnalytics.tumbling(
+        Tables(spark, sf).events.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")),
+        "6 hours")
         .collect().map(_.toString).sorted
       println(s"[stream] windows after first batch: $afterOne, after idle trigger: $afterIdle")
       println(s"[stream] streamed == batch over same data: ${streamed.sameElements(batch)}")
