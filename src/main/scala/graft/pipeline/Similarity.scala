@@ -353,22 +353,11 @@ object Similarity {
     val seeds = sampleVecs.take(nList).zipWithIndex.map { case (v, i) => (i, v) }
     var centroids: DataFrame = seeds.toSeq.toDF("cell", "cvec")
 
-    // Argmax as a hash aggregate, not a window (same pattern as pqTrain):
-    // min over (−csim, cell) structs picks the highest similarity with
-    // cell as the deterministic tiebreak, and the aggregate gets map-side
-    // partial combining — the corpus×nList expansion combines down to one
-    // row per vector BEFORE the shuffle, where a window would sort-shuffle
-    // all nList alternatives per vector. embedding rides along via
-    // first(): it is functionally determined by the group key.
+    // Argmax as a hash aggregate, not a window (same pattern as pqTrain)
+    // — see [[assignToCells]], shared with the fixed-centroid witness
+    // and persistent-index appends.
     def assign(cents: DataFrame, vecs: DataFrame): DataFrame =
-      vecs.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"),
-          struct((-cosineFast(spark, "embedding", "cvec")).as("neg"),
-            col("cell")).as("dc"))
-        .groupBy("vec_id")
-        .agg(min("dc").as("best"), first("embedding").as("embedding"))
-        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      assignToCells(cents, vecs)
 
     if (localCap > 0) {
       // Local path: Lloyd over the already-collected sample — zero
@@ -449,6 +438,38 @@ object Similarity {
         .select(col("query_id"), col("vec_id"),
           round(cosineFast(spark, "embedding", "qe"), 4).as("sim")),
       k, "sim", ascending = false)
+  }
+
+  /** Argmax-as-hash-aggregate Voronoi assignment against a (small,
+    * broadcast) centroid table — the shape shared by the coarse
+    * quantizer, the fixed-centroid dedup witness, and index appends:
+    * min over (−cos, cell) structs picks the highest similarity with
+    * the cell id as deterministic tiebreak; map-side partial combining
+    * collapses the |vecs|×|cells| expansion before any shuffle. */
+  private def assignToCells(cents: DataFrame, vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        struct((-cosineFast(spark, "embedding", "cvec")).as("neg"),
+          col("cell")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min("dc").as("best"), first("embedding").as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+  }
+
+  /** Append an increment to a [[buildIvfIndex]] index WITHOUT
+    * retraining: new vectors are assigned against the STORED centroids
+    * (one broadcast argmax scan — the standard IVF append; cell balance
+    * drifts only as far as the data distribution does, and a periodic
+    * rebuild re-trains) and appended to the partitioned cells store, so
+    * they are immediately visible to [[ivfIndexTopK]] partition-pruned
+    * queries. O(increment) work; the existing index is never read. */
+  def appendToIvfIndex(newEmb: DataFrame, indexDir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    assignToCells(cents, newEmb)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
   /** Build a PERSISTENT IVF index under `indexDir` — the production
@@ -1076,19 +1097,11 @@ object Similarity {
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(1)
-    val cdf = broadcast(
-      (0 until k).map(j => (j, fixedCentroid(j, dim))).toDF("cell", "cvec"))
-    // Same argmax-as-hash-aggregate as coarseQuantize.assign: min over
-    // (−cos, cell) structs — NaN sorts greatest, so a degenerate vector
-    // falls to cell 0 deterministically in both engines.
-    val assigned = graft.Materialize(emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(cdf)
-      .select(col("vec_id"), col("embedding"),
-        struct((-cosineFast(spark, "embedding", "cvec")).as("neg"),
-          col("cell")).as("dc"))
-      .groupBy("vec_id")
-      .agg(min("dc").as("best"), first("embedding").as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell")))
+    val cdf = (0 until k).map(j => (j, fixedCentroid(j, dim))).toDF("cell", "cvec")
+    // Shared argmax-as-hash-aggregate ([[assignToCells]]): NaN sorts
+    // greatest, so a degenerate vector falls to cell 0 deterministically
+    // in both engines.
+    val assigned = graft.Materialize(assignToCells(cdf, emb))
     val a = assigned.select(col("cell"), col("vec_id").as("left_id"),
       col("embedding").as("ea"))
     val b = assigned.select(col("cell"), col("vec_id"),

@@ -937,6 +937,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq,
       s"index path diverged: ${rows.length} vs ${direct.length} rows")
     assert(rows.nonEmpty)
+
+    // Append WITHOUT retrain: an exact copy of vector 5 lands in 5's
+    // cell (identical centroid cosines) and becomes the top neighbor of
+    // a query for 5 — immediately visible to the pruned query path.
+    import spark.implicits._
+    val v5 = emb.filter(col("vec_id") === 5L)
+      .select("embedding").head.getAs[scala.collection.Seq[Float]](0).toSeq
+    Similarity.appendToIvfIndex(
+      Seq((9999L, v5)).toDF("vec_id", "embedding"), dir)
+    val after = Similarity.ivfIndexTopK(dir, v5q(spark, v5)).collect()
+    assert(after.head.getLong(1) == 9999L && after.head.getDouble(2) == 1.0,
+      s"appended copy not the top neighbor: ${after.take(3).mkString(";")}")
+  }
+
+  private def v5q(spark: org.apache.spark.sql.SparkSession,
+      v: Seq[Float]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq((5L, v)).toDF("vec_id", "embedding")
   }
 
   test("incremental embedding near-dup flags history matches against stored vectors") {
