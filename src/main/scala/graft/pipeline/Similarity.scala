@@ -548,6 +548,19 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
       nList: Int = 8, nProbe: Int = 2, m: Int = 8, pqK: Int = 16,
       iters: Int = 2, trainDenom: Int = 4): DataFrame = {
+    val (cents, cb, codes, sub) = ivfPqEncode(emb, nList, m, pqK, iters, trainDenom)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfPqSearch(cents, cb, codes, queries, m, sub, nProbe, k,
+      col("vec_id") >= nQueries)
+  }
+
+  /** Train the coarse + residual-PQ stages and encode the corpus —
+    * shared by [[ivfPqTopK]] (search in the same plan) and
+    * [[buildIvfPqIndex]] (persist and search later). Returns
+    * (centroids, codebook, codes = (vec_id, cell, codes), subDim). */
+  private def ivfPqEncode(emb: DataFrame, nList: Int, m: Int, pqK: Int,
+      iters: Int, trainDenom: Int): (DataFrame, DataFrame, DataFrame, Int) = {
     // The two chained Lloyd trainers are inherently sequential (PQ trains
     // on residuals FROM the trained coarse cells), so everything around
     // them is de-jobbed: ONE hash-ordered seed collect feeds both
@@ -612,13 +625,20 @@ object Similarity {
     // Corpus index: (vec_id, cell, codes) — the only per-vector state.
     val codes = pqEncodeFrom(resSubs, cb, dim, carry = Seq("cell"))
       .select(col("vec_id"), col("cell"), col("codes"))
+    (cents, cb, codes, sub)
+  }
 
-    // Query side: nProbe nearest cells by exact L2 (consistent with the
-    // ADC metric), then the per-(query, cell) residual distance table.
-    // The probe window ranks nList rows per query — bounded by a
-    // constant, never corpus-scale (cf. rankTopK's contract).
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+  /** ADC search over an IVF-PQ code table — shared by [[ivfPqTopK]]
+    * (codes in the same plan) and [[ivfPqIndexTopK]] (codes read back
+    * partition-pruned). `queries` = (query_id, qe); `candFilter` scopes
+    * the candidate set (the fused path excludes the query-id range, the
+    * index path excludes the collected query ids). Probe side: nProbe
+    * nearest cells by exact residual L2 (consistent with the ADC
+    * metric) — the probe window ranks nList rows per query, bounded by
+    * a constant, never corpus-scale (cf. rankTopK's contract). */
+  private def ivfPqSearch(cents: DataFrame, cb: DataFrame, codes: DataFrame,
+      queries: DataFrame, m: Int, sub: Int, nProbe: Int, k: Int,
+      candFilter: Column): DataFrame = {
     val qres = queries.crossJoin(broadcast(cents))
       .select(col("query_id"), col("cell"),
         expr("zip_with(qe, cvec, (x, y) -> CAST(x AS DOUBLE) - y)").as("qr"))
@@ -640,11 +660,82 @@ object Similarity {
     rankTopK(
       codes
         .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("sub", "code")))
-        .filter(col("vec_id") >= nQueries)
+        .filter(candFilter)
         .join(broadcast(dtab), Seq("cell", "sub", "code"))
         .groupBy("query_id", "vec_id")
         .agg(round(sum("d"), 6).as("adc_dist")),
       k, "adc_dist", ascending = true)
+  }
+
+  /** Persist an IVF-PQ index — [[buildIvfIndex]]'s lifecycle at the
+    * COMPRESSED tier, the FAISS-on-disk shape that actually fits a
+    * 100-TB corpus: per vector the index stores only (vec_id, cell,
+    * m bytes of codes) — raw vectors never touched at query time — and
+    * the `codes/` table is written `partitionBy("cell")` so a query
+    * scans ~nProbe/nList of an already-32×-smaller table ON DISK.
+    * `centroids/` and `codebook/` are the two tiny broadcast tables. */
+  def buildIvfPqIndex(emb: DataFrame, indexDir: String, nList: Int = 8,
+      m: Int = 8, pqK: Int = 16, iters: Int = 2, trainDenom: Int = 4): Unit = {
+    val (cents, cb, codes, _) = ivfPqEncode(emb, nList, m, pqK, iters, trainDenom)
+    cents.select(col("cell"),
+        expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("cvec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** Append an increment to a [[buildIvfPqIndex]] index without
+    * retraining either quantizer: assign against the stored centroids,
+    * residualize, encode with the stored codebook, append the integer
+    * codes — O(increment), the existing index never read. */
+  def appendToIvfPqIndex(newEmb: DataFrame, indexDir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val sub = cb.select(size(col("cvec"))).head.getInt(0)
+    val m = cb.agg(max("sub")).head.getInt(0) + 1
+    val resSubs = assignToCells(cents, newEmb)
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) - y)").as("r"))
+      .select(col("vec_id"), col("cell"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
+           |  slice(r, j * $sub + 1, $sub) AS svec))""".stripMargin)).as("e"))
+      .select(col("vec_id"), col("cell"),
+        col("e.sub").as("sub"), col("e.svec").as("svec"))
+    pqEncodeFrom(resSubs, cb, m * sub, carry = Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** Query a [[buildIvfPqIndex]] index: the two tiny tables are read
+    * back (no training jobs), each query's nProbe cells are collected
+    * (bounded — the static-pruning trade [[ivfIndexTopK]] documents)
+    * and the code table is scanned partition-pruned; candidates exclude
+    * the collected query ids, matching [[ivfPqTopK]]'s own-corpus
+    * exclusion. */
+  def ivfPqIndexTopK(indexDir: String, queries: DataFrame, k: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val sub = cb.select(size(col("cvec"))).head.getInt(0)
+    val m = cb.agg(max("sub")).head.getInt(0) + 1
+    val q = graft.Materialize(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell"), expr(
+        "aggregate(transform(zip_with(qe, cvec, (x, y) -> CAST(x AS DOUBLE) - y), " +
+          "x -> x * x), 0D, (a, v) -> a + v)").as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("d2"), asc("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val qIds = q.select("query_id").collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(probed: _*))
+    ivfPqSearch(cents, cb, codes, q, m, sub, nProbe, k,
+      if (qIds.isEmpty) lit(true) else !col("vec_id").isin(qIds: _*))
   }
 
   /** Product-quantization codebook: `m` subspaces × `k` centroids each,

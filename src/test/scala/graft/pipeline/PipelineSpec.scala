@@ -957,6 +957,44 @@ class PipelineSpec extends AnyFunSuite {
     Seq((5L, v)).toDF("vec_id", "embedding")
   }
 
+  test("persistent IVF-PQ index: pruned integer-code queries identical to ivfPqTopK; O(inc) append") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val emb = Tables(spark, sf0001).embeddings
+    Similarity.buildIvfPqIndex(emb, dir)
+    val queries = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val (rows, plans) = graft.PlanCapture.scansOf(spark, s"$dir/codes") {
+      Similarity.ivfPqIndexTopK(dir, queries).collect()
+    }
+    val scans = plans.flatMap(graft.PlanCapture.nodes).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("/codes")) => f
+    }
+    assert(scans.nonEmpty, "no captured scan of the codes store")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "probed-cell filter did not become a partition filter on the code table")
+    assert(scans.exists(_.selectedPartitions.partitionCount <= 6),
+      s"scan read ${scans.map(_.selectedPartitions.partitionCount).mkString(",")} partitions")
+    // Same two deterministic trainers, same parameters => the persisted
+    // path must return EXACTLY the fused ivfPqTopK answer.
+    val direct = Similarity.ivfPqTopK(emb).collect()
+    assert(rows.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq,
+      s"index path diverged: ${rows.length} vs ${direct.length} rows")
+    assert(rows.nonEmpty)
+
+    // Append without retraining either quantizer: an exact copy of
+    // vector 5 gets 5's cell and 5's codes, so its ADC distance to a
+    // query for 5 equals vector 5's own quantization error — minimal.
+    // Assert it surfaces in the pruned query's top-k.
+    import spark.implicits._
+    val v5 = emb.filter(col("vec_id") === 5L)
+      .select("embedding").head.getAs[scala.collection.Seq[Float]](0).toSeq
+    Similarity.appendToIvfPqIndex(Seq((9999L, v5)).toDF("vec_id", "embedding"), dir)
+    val after = Similarity.ivfPqIndexTopK(dir, v5q(spark, v5)).collect()
+    assert(after.exists(_.getLong(1) == 9999L),
+      s"appended copy missing from top-k: ${after.map(_.getLong(1)).mkString(",")}")
+  }
+
   test("incremental embedding near-dup flags history matches against stored vectors") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("incemb").resolve("store").toString
