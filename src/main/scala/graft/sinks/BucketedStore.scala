@@ -97,6 +97,60 @@ object BucketedStore {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(spec.schemaDdl))
 
+  /** Compact the store back to one file per bucket. Every [[append]]
+    * lands its own file set, so a daily-increment store accumulates
+    * ~increments×buckets small files — the classic small-files tax on
+    * scan parallelism and file listing. Compaction rewrites the table
+    * (repartitioned on the bucket column with the SAME murmur3 modulus
+    * the bucketing uses, so each task holds exactly one bucket → one
+    * file per bucket) into a sibling directory and atomically swaps it
+    * in via two renames, preserving the bucket-spec marker.
+    *
+    * `writeTasks` picks the rewrite parallelism: 1 (default) funnels the
+    * store through a single writer — EXACTLY one file per bucket, the
+    * right call up to the tens-of-GB stores a maintenance window
+    * handles; for bigger stores raise it for a parallel rewrite whose
+    * file count is bounded by writeTasks×numBuckets — still independent
+    * of append history, which is the property that matters.
+    *
+    * Single-writer contract like the appends themselves (the incremental
+    * operators serialize batches); crash windows: a leftover
+    * `_compact_tmp` is inert and overwritten on re-run, and a crash
+    * between the two renames leaves the store at `_compact_old` —
+    * rename it back. Probe semantics are unchanged: same rows, same
+    * bucketing, and the session table is refreshed in place. */
+  def compact(spark: SparkSession, dir: String, spec: Spec,
+      writeTasks: Int = 1): Unit = {
+    require(exists(spark, dir), s"no bucketed store at $dir")
+    checkOrWriteMarker(spark, dir, spec)
+    val live = spark.table(ensureTable(spark, dir, spec))
+    val cols = StructType.fromDDL(spec.schemaDdl).fieldNames
+    val tmp = dir + "_compact_tmp"
+    val trash = dir + "_compact_old"
+    val f = fs(spark, dir)
+    f.delete(new Path(tmp), true); f.delete(new Path(trash), true)
+    val tmpName = tableName(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    val projected = live.select(cols.head, cols.tail: _*)
+    val laid =
+      if (writeTasks <= 1) projected.coalesce(1)
+      else projected.repartition(writeTasks,
+        org.apache.spark.sql.functions.col(spec.bucketCol))
+    laid
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketCol).sortBy(spec.bucketCol)
+      .option("path", tmp).saveAsTable(tmpName)
+    val out = f.create(markerPath(tmp), true)
+    try out.write(
+      s"bucketCol=${spec.bucketCol}\nnumBuckets=${spec.numBuckets}\n".getBytes("UTF-8"))
+    finally out.close()
+    require(f.rename(new Path(dir), new Path(trash)), s"swap-out failed for $dir")
+    require(f.rename(new Path(tmp), new Path(dir)), s"swap-in failed for $dir")
+    f.delete(new Path(trash), true)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    spark.sql(s"REFRESH TABLE ${tableName(dir)}")
+  }
+
   /** Append rows (columns must match the spec's schema by name). */
   def append(df: DataFrame, dir: String, spec: Spec): Unit = {
     val spark = df.sparkSession

@@ -25,6 +25,41 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(plain == Set("a", "b", "c"))
   }
 
+  test("compaction: one file per bucket, identical rows, appends and probes keep working") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("bstore").resolve("s").toString
+    // Three appends = three file sets (the daily small-files accumulation).
+    (0 until 3).foreach { day =>
+      BucketedStore.append(
+        (0 until 50).map(i => (s"k${day * 50 + i}", (day * 50 + i).toLong))
+          .toDF("h", "store_doc_id"), dir, spec)
+    }
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val before = dataFiles().length
+    assert(before > spec.numBuckets, s"expected accumulation, got $before files")
+    val pre = BucketedStore.readOrEmpty(spark, dir, spec)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    BucketedStore.compact(spark, dir, spec)
+    assert(dataFiles().length == spec.numBuckets,
+      s"expected one file per bucket, got ${dataFiles().length}")
+    val post = BucketedStore.readOrEmpty(spark, dir, spec)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(post == pre, "compaction changed the row set")
+
+    // The compacted store still honors the append + shuffle-free-probe
+    // contract (marker preserved, bucket layout intact).
+    BucketedStore.append(Seq(("zz", 999L)).toDF("h", "store_doc_id"), dir, spec)
+    val store = BucketedStore.readOrEmpty(spark, dir, spec)
+    val joined = store.join(Seq("k3", "zz").toDF("h").hint("shuffle_merge"), Seq("h"))
+    assert(joined.count() == 2)
+    assert(!graft.PlanCapture.shufflesRawScanOf(
+      joined.queryExecution.executedPlan, dir),
+      "compacted store moved through a shuffle on the bucket-key join")
+  }
+
   test("a mismatched bucket spec is refused, not silently mis-joined") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bstore").resolve("s").toString
