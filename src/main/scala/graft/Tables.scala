@@ -58,7 +58,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def eventsStream(directory: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = events.schema("ts").dataType
+    // Probe the RAW parquet type (under the nanosAsLong conf, BEFORE
+    // withNanosTimestamps' conversion): the batch accessor has already
+    // turned a nanos long into TimestampType, so probing `events` could
+    // never see LongType and would declare TIMESTAMP over
+    // TIMESTAMP(NANOS) files — failing at scan time instead of applying
+    // the `div 1000` conversion.
+    val tsType = table("events").schema("ts").dataType
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

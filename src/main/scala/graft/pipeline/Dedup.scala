@@ -479,10 +479,17 @@ object Dedup {
     // signatures again streams the sigs store against broadcast candidates.
     val agree = expr(
       s"aggregate(zip_with(sig, old_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)")
-    val cands = vsStore.unionByName(intra).join(inc(newSigs), Seq("doc_id"))
+    // Candidate pairs are NOT bounded by the increment's row count (a
+    // self-similar increment blows up quadratically), so their broadcast
+    // is gated on their OWN materialized count, not the increment gate —
+    // same rule as incrementalEmbeddingNearDup.
+    val cands = graft.Materialize(
+      vsStore.unionByName(intra).join(inc(newSigs), Seq("doc_id")))
+    val candInc: DataFrame => DataFrame =
+      if (small && cands.count() <= broadcastMaxRows) broadcast(_) else identity
     val verified = storeSigs
       .unionByName(newSigs.select(col("doc_id").as("old_id"), col("sig").as("old_sig")))
-      .join(inc(cands), Seq("old_id"))
+      .join(candInc(cands), Seq("old_id"))
       .select(col("doc_id"), col("old_id"), agree.as("est"))
       .filter(col("est") >= threshold)
     val dupOf = verified.groupBy("doc_id")
@@ -504,6 +511,7 @@ object Dedup {
     graft.sinks.BucketedStore.append(
       newSigs.join(keep, Seq("doc_id")), s"$storeDir/sigs", SigsSpec)
     graft.Materialize.release(sigWide)
+    graft.Materialize.release(cands)
     annotated.orderBy("doc_id")
   }
 

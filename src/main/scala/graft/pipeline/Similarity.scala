@@ -1022,11 +1022,20 @@ object Similarity {
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("old_id"))
       .distinct()
 
-    val cands = vsStore.unionByName(intra).join(inc(newVecs), Seq("vec_id"))
+    // The pair-level candidate frame is NOT bounded by the increment's
+    // row count (a self-similar increment can blow up quadratically), so
+    // its broadcast is gated on its OWN materialized count — the
+    // increment gate above only covers the increment-shaped frames
+    // (newBands/newVecs). Materializing here is free-ish: the frame
+    // feeds the verify join either way.
+    val cands = graft.Materialize(
+      vsStore.unionByName(intra).join(inc(newVecs), Seq("vec_id")))
+    val candInc: DataFrame => DataFrame =
+      if (small && cands.count() <= broadcastMaxRows) broadcast(_) else identity
     val verified = storeVecs
       .unionByName(newVecs.select(col("vec_id").as("old_id"),
         col("embedding").as("old_emb")))
-      .join(inc(cands), Seq("old_id"))
+      .join(candInc(cands), Seq("old_id"))
       .select(col("vec_id"), col("old_id"),
         cosineFast(spark, "embedding", "old_emb").as("cos"))
       // Same NaN rule as every near-dup decision: a degenerate (zero)
@@ -1048,6 +1057,7 @@ object Similarity {
     graft.sinks.BucketedStore.append(
       newVecs.join(keep, Seq("vec_id")), s"$storeDir/vecs", EmbVecsSpec)
     graft.Materialize.release(banded)
+    graft.Materialize.release(cands)
     annotated.orderBy("vec_id")
   }
 

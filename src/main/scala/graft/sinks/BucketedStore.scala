@@ -101,17 +101,18 @@ object BucketedStore {
     * lands its own file set, so a daily-increment store accumulates
     * ~increments×buckets small files — the classic small-files tax on
     * scan parallelism and file listing. Compaction rewrites the table
-    * (repartitioned on the bucket column with the SAME murmur3 modulus
-    * the bucketing uses, so each task holds exactly one bucket → one
-    * file per bucket) into a sibling directory and atomically swaps it
-    * in via two renames, preserving the bucket-spec marker.
+    * into a sibling directory and atomically swaps it in via two
+    * renames, preserving the bucket-spec marker.
     *
     * `writeTasks` picks the rewrite parallelism: 1 (default) funnels the
     * store through a single writer — EXACTLY one file per bucket, the
     * right call up to the tens-of-GB stores a maintenance window
-    * handles; for bigger stores raise it for a parallel rewrite whose
-    * file count is bounded by writeTasks×numBuckets — still independent
-    * of append history, which is the property that matters.
+    * handles; any other value repartitions on the bucket column with
+    * the SAME modulus the bucketing uses (`numBuckets` tasks, murmur3
+    * on the key), so each task holds exactly one bucket and the result
+    * is again one file per bucket, written in parallel. Either way the
+    * file count is independent of append history, which is the
+    * property that matters.
     *
     * Single-writer contract like the appends themselves (the incremental
     * operators serialize batches); crash windows: a leftover
@@ -134,7 +135,7 @@ object BucketedStore {
     val projected = live.select(cols.head, cols.tail: _*)
     val laid =
       if (writeTasks <= 1) projected.coalesce(1)
-      else projected.repartition(writeTasks,
+      else projected.repartition(spec.numBuckets,
         org.apache.spark.sql.functions.col(spec.bucketCol))
     laid
       .write.mode(SaveMode.Overwrite).format("parquet")

@@ -40,8 +40,14 @@ object PipelineStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        step(batch)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // The incremental operators return a Materialize'd (checkpoint/
+        // persist) frame; release its blocks once the batch output is on
+        // disk — a long-running stream would otherwise pin one
+        // materialization per micro-batch until GC happens to collect
+        // the RDD objects.
+        val out = step(batch)
+        out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        graft.Materialize.release(out)
         ()
       }
       .start()
