@@ -462,7 +462,8 @@ object Similarity {
     * retraining: new vectors are assigned against the STORED centroids
     * (one broadcast argmax scan — the standard IVF append; cell balance
     * drifts only as far as the data distribution does, and a periodic
-    * rebuild re-trains) and appended to the partitioned cells store, so
+    * [[rebuildIvfIndex]] re-trains) and appended to the partitioned
+    * cells store ([[compactIvfIndex]] bounds the file accumulation), so
     * they are immediately visible to [[ivfIndexTopK]] partition-pruned
     * queries. O(increment) work; the existing index is never read. */
   def appendToIvfIndex(newEmb: DataFrame, indexDir: String): Unit = {
@@ -527,6 +528,38 @@ object Similarity {
         .select(col("query_id"), col("vec_id"),
           round(cosineFast(spark, "embedding", "qe"), 4).as("sim")),
       k, "sim", ascending = false)
+  }
+
+  /** Compact a [[buildIvfIndex]] index's `cells/` store back to one file
+    * per cell directory. Every [[appendToIvfIndex]] lands one file set
+    * per touched cell, so a daily-append index accumulates
+    * ~appends×cells small files; this is the partitioned-layout twin of
+    * [[graft.sinks.BucketedStore.compact]] (atomic two-rename swap,
+    * row-identical, pruned-query semantics unchanged). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    graft.sinks.PartitionedStore.compact(spark, s"$indexDir/cells", "cell")
+
+  /** Rebuild a [[buildIvfIndex]] index from its own stored vectors —
+    * the periodic re-train [[appendToIvfIndex]]'s contract defers to:
+    * appends assign against FROZEN centroids, so sustained distribution
+    * drift degrades cell balance (and with it probe recall per cell)
+    * until a rebuild re-trains. The `cells/` store holds the raw
+    * vectors, so the rebuild self-sources: read them back, train fresh
+    * centroids over the grown corpus, reassign, and write the whole new
+    * index (centroids + cells) into a sibling directory swapped in
+    * atomically — concurrent [[ivfIndexTopK]] readers see the old index
+    * until the swap, never a half-written one. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, nList: Int = 8, iters: Int = 2,
+      trainDenom: Int = 4): Unit = {
+    val emb = spark.read.parquet(s"$indexDir/cells").select("vec_id", "embedding")
+    val tmp = indexDir + "_rebuild_tmp"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    buildIvfIndex(emb, tmp, nList, iters, trainDenom)
+    graft.sinks.PartitionedStore.swapInto(spark, tmp, indexDir)
   }
 
   /** IVF-PQ: the production-standard composition of the coarse quantizer
@@ -706,6 +739,31 @@ object Similarity {
     pqEncodeFrom(resSubs, cb, m * sub, carry = Seq("cell"))
       .select(col("vec_id"), col("cell"), col("codes"))
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** Compact a [[buildIvfPqIndex]] index's `codes/` store back to one
+    * file per cell directory — same small-files accumulation and same
+    * atomic-swap fix as [[compactIvfIndex]], on the 32×-compressed
+    * integer-code table. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    graft.sinks.PartitionedStore.compact(spark, s"$indexDir/codes", "cell")
+
+  /** Rebuild a [[buildIvfPqIndex]] index over a supplied corpus with an
+    * atomic swap — unlike [[rebuildIvfIndex]] this CANNOT self-source:
+    * the index stores only integer codes (raw vectors are the thing PQ
+    * exists to not store), so the caller passes the corpus back in.
+    * Both quantizers retrain; concurrent [[ivfPqIndexTopK]] readers see
+    * the old index until the swap. */
+  def rebuildIvfPqIndex(emb: DataFrame, indexDir: String, nList: Int = 8,
+      m: Int = 8, pqK: Int = 16, iters: Int = 2, trainDenom: Int = 4): Unit = {
+    val spark = emb.sparkSession
+    val tmp = indexDir + "_rebuild_tmp"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    buildIvfPqIndex(emb, tmp, nList, m, pqK, iters, trainDenom)
+    graft.sinks.PartitionedStore.swapInto(spark, tmp, indexDir)
   }
 
   /** Query a [[buildIvfPqIndex]] index: the two tiny tables are read

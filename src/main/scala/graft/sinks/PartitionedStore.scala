@@ -1,0 +1,75 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Maintenance for `partitionBy(col)`-laid-out parquet stores — the
+  * persistent ANN index layout ([[graft.pipeline.Similarity.buildIvfIndex]]
+  * `cells/`, [[graft.pipeline.Similarity.buildIvfPqIndex]] `codes/`).
+  *
+  * Every O(increment) append lands one file set per touched partition
+  * directory, so a daily-append index accumulates ~appends×partitions
+  * small files — the same scan-parallelism/file-listing tax
+  * [[BucketedStore.compact]] fixes for the bucketed stores, at the
+  * directory-partitioned tier. [[compact]] rewrites the store hash-
+  * partitioned on the partition column (each distinct value lands wholly
+  * in one task, so the dynamic-partition write emits EXACTLY one file per
+  * partition directory — independent of append history) into a sibling
+  * directory and [[swapInto]] swaps it in atomically via two renames.
+  *
+  * Crash windows (same contract as BucketedStore): a leftover
+  * `_compact_tmp`/`_rebuild_tmp` is inert and overwritten on re-run; a
+  * crash between the two renames leaves the store at `_old` — rename it
+  * back. Single-maintainer contract: callers serialize maintenance with
+  * appends, as they already do for the appends themselves.
+  */
+object PartitionedStore {
+
+  private def fs(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  /** Atomically replace the live store at `dir` with the fully-written
+    * sibling at `tmp`: rename live → `<dir>_old`, tmp → live, delete old.
+    * Readers see either the old or the new store, never a mix. */
+  def swapInto(spark: SparkSession, tmp: String, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val trash = dir + "_old"
+    f.delete(new Path(trash), true)
+    require(f.rename(new Path(dir), new Path(trash)), s"swap-out failed for $dir")
+    require(f.rename(new Path(tmp), new Path(dir)), s"swap-in failed for $dir")
+    f.delete(new Path(trash), true)
+  }
+
+  /** Compact a `partitionBy(partitionCol)` parquet store back to one
+    * file per partition directory. The rewrite reads the whole store
+    * once, shuffles it hash-partitioned on the partition column (a
+    * value's rows all land in one task; tasks still parallelize ACROSS
+    * partitions), and dynamic-partition-writes the sibling — row set,
+    * partition layout, and pruned-query semantics unchanged. */
+  def compact(spark: SparkSession, dir: String, partitionCol: String): Unit = {
+    val f = fs(spark, dir)
+    require(f.exists(new Path(dir)), s"no partitioned store at $dir")
+    val tmp = dir + "_compact_tmp"
+    f.delete(new Path(tmp), true)
+    spark.read.parquet(dir)
+      .repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
+    swapInto(spark, tmp, dir)
+  }
+
+  /** Data-file count per partition directory — the compaction metric the
+    * specs and WIDTH evidence assert on (underscore/dot files excluded). */
+  def filesPerPartition(spark: SparkSession, dir: String): Map[String, Int] = {
+    val f = fs(spark, dir)
+    f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map { d =>
+        d.getPath.getName -> f.listStatus(d.getPath).count { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      }.toMap
+  }
+}

@@ -995,6 +995,102 @@ class PipelineSpec extends AnyFunSuite {
       s"appended copy missing from top-k: ${after.map(_.getLong(1)).mkString(",")}")
   }
 
+  test("IVF index maintenance: compaction bounds file growth; rebuild restores cell balance") {
+    import spark.implicits._
+    import graft.sinks.PartitionedStore
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("ivfmaint").toString
+    Similarity.buildIvfIndex(emb, dir)
+    val v5 = emb.filter(col("vec_id") === 5L)
+      .select("embedding").head.getAs[scala.collection.Seq[Float]](0).toSeq
+    // Three O(increment) appends of v5 copies: each lands its own file
+    // set in v5's cell directory — the accumulation compaction exists for.
+    (0 until 3).foreach { i =>
+      Similarity.appendToIvfIndex(
+        Seq((9000L + i, v5)).toDF("vec_id", "embedding"), dir)
+    }
+    val filesBefore = PartitionedStore.filesPerPartition(spark, s"$dir/cells")
+    assert(filesBefore.values.exists(_ > 1),
+      s"appends did not accumulate files: $filesBefore")
+    def snapshot() = spark.read.parquet(s"$dir/cells")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val preRows = snapshot()
+    val preQuery = Similarity.ivfIndexTopK(dir, v5q(spark, v5)).collect()
+
+    Similarity.compactIvfIndex(spark, dir)
+    val filesAfter = PartitionedStore.filesPerPartition(spark, s"$dir/cells")
+    assert(filesAfter.nonEmpty && filesAfter.values.forall(_ == 1),
+      s"compaction left multiple files per cell: $filesAfter")
+    assert(snapshot() == preRows, "compaction changed the (vec_id, cell) set")
+    // The pruned query path still prunes, and returns identical rows.
+    val (postQuery, plans) = graft.PlanCapture.scansOf(spark, s"$dir/cells") {
+      Similarity.ivfIndexTopK(dir, v5q(spark, v5)).collect()
+    }
+    assert(postQuery.map(_.toSeq).toSeq == preQuery.map(_.toSeq).toSeq,
+      "compaction changed pruned-query results")
+    val scans = plans.flatMap(graft.PlanCapture.nodes).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("ivfmaint")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "compacted store lost partition pruning")
+
+    // Drift: 200 more copies of v5 pile into ONE cell (appends assign
+    // against the frozen centroids — that is the documented drift mode).
+    Similarity.appendToIvfIndex(
+      (0 until 200).map(i => (20000L + i, v5)).toDF("vec_id", "embedding"), dir)
+    def cellCounts() = spark.read.parquet(s"$dir/cells").groupBy("cell")
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxBefore = cellCounts().values.max
+    val idsBefore = spark.read.parquet(s"$dir/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    Similarity.rebuildIvfIndex(spark, dir)
+    val ccAfter = cellCounts()
+    assert(spark.read.parquet(s"$dir/cells")
+        .select("vec_id").collect().map(_.getLong(0)).toSet == idsBefore,
+      "rebuild lost or invented vectors")
+    assert(ccAfter.values.max < maxBefore,
+      s"rebuild did not improve cell balance: max ${ccAfter.values.max} vs $maxBefore")
+    // Recall stays green through the retrain: a v5 copy is still the
+    // exact top neighbor of a v5 query.
+    val q = Similarity.ivfIndexTopK(dir, v5q(spark, v5)).collect()
+    assert(q.head.getDouble(2) == 1.0,
+      s"post-rebuild query lost the exact copy: ${q.take(3).mkString(";")}")
+  }
+
+  test("IVF-PQ index maintenance: code-table compaction; supplied-corpus rebuild is atomic-swap fresh") {
+    import spark.implicits._
+    import graft.sinks.PartitionedStore
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqmaint").toString
+    Similarity.buildIvfPqIndex(emb, dir)
+    val v5 = emb.filter(col("vec_id") === 5L)
+      .select("embedding").head.getAs[scala.collection.Seq[Float]](0).toSeq
+    (0 until 3).foreach { i =>
+      Similarity.appendToIvfPqIndex(
+        Seq((9000L + i, v5)).toDF("vec_id", "embedding"), dir)
+    }
+    val before = PartitionedStore.filesPerPartition(spark, s"$dir/codes")
+    assert(before.values.exists(_ > 1), s"appends did not accumulate files: $before")
+    val preQuery = Similarity.ivfPqIndexTopK(dir, v5q(spark, v5)).collect()
+    Similarity.compactIvfPqIndex(spark, dir)
+    val after = PartitionedStore.filesPerPartition(spark, s"$dir/codes")
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction left multiple files per cell: $after")
+    assert(Similarity.ivfPqIndexTopK(dir, v5q(spark, v5)).collect()
+        .map(_.toSeq).toSeq == preQuery.map(_.toSeq).toSeq,
+      "compaction changed pruned-query results")
+    // Rebuild over the original corpus: both quantizers retrain
+    // deterministically, so the swapped-in index answers EXACTLY like the
+    // fused one-shot path (appended copies are gone — the supplied corpus
+    // IS the new index).
+    Similarity.rebuildIvfPqIndex(emb, dir)
+    val queries = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    assert(Similarity.ivfPqIndexTopK(dir, queries).collect()
+        .map(_.toSeq).toSeq == Similarity.ivfPqTopK(emb).collect().map(_.toSeq).toSeq,
+      "rebuilt index diverged from the fused path")
+  }
+
   test("incremental embedding near-dup flags history matches against stored vectors") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("incemb").resolve("store").toString
