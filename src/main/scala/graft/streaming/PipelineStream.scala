@@ -60,6 +60,17 @@ object PipelineStream {
     incremental(docs, outDir, checkpoint)(
       graft.pipeline.Dedup.incrementalExact(_, storeDir))
 
+  /** Streaming text near-dup: every micro-batch of (doc_id, text) is
+    * shingled once and probed against — and grows — the persistent
+    * minhash signature + band store
+    * ([[graft.pipeline.Dedup.incrementalMinhash]]); history is matched
+    * from stored signatures alone, text is never re-shingled. The
+    * firehose path a training-data pipeline runs most. */
+  def dedupMinhash(docs: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(docs, outDir, checkpoint)(
+      graft.pipeline.Dedup.incrementalMinhash(_, storeDir))
+
   /** Streaming embedding near-dup: every micro-batch of
     * (vec_id, embedding) probes — and grows — the persistent LSH band +
     * keeper-vector store

@@ -48,6 +48,60 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 11L), kept.toString)
   }
 
+  test("streaming minhash: NEAR-duplicates recognized across micro-batches from signatures alone") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("psmstore"), tmp("psmout"), tmp("psmckpt"))
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    // Near-dup = same 50 words except the last: 1 of 48 shingles differs,
+    // so the signature-agreement estimate sits far above the threshold.
+    val base = words("a", 50)
+    def nearDup(last: String) = words("a", 49) + " " + last
+    val other = words("b", 50)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = PipelineStream.dedupMinhash(
+      ms.toDF().toDF("doc_id", "text"), store, out, ckpt)
+    try {
+      // Batch 0: 3 near-dups doc 1 INTRA-batch; 2 is unrelated.
+      ms.addData((1L, base), (2L, other), (3L, nearDup("x")))
+      q.processAllAvailable()
+      // Batch 1: 10 near-dups HISTORY (doc 1, matched from its stored
+      // signature — the text was never re-shingled); 11 is novel.
+      ms.addData((10L, nearDup("y")), (11L, words("c", 50)))
+      q.processAllAvailable()
+      // Batch 2: 20 near-dups doc 11 — the store grew mid-stream.
+      ms.addData((20L, words("c", 49) + " z"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_near_duplicate"),
+          Option(r.get(2)).map(_.toString)))).toMap
+    assert(rows.size == 6, rows.toString)
+    assert(rows(1L) == ((false, None)))
+    assert(rows(2L) == ((false, None)))
+    assert(rows(3L) == ((true, Some("1"))), s"intra-batch near-dup: ${rows(3L)}")
+    assert(rows(10L) == ((true, Some("1"))), s"cross-batch near-dup: ${rows(10L)}")
+    assert(rows(11L) == ((false, None)))
+    assert(rows(20L) == ((true, Some("11"))), s"mid-stream store growth: ${rows(20L)}")
+
+    // Keepers-only growth: only the 3 non-duplicates have signatures.
+    val kept = spark.read.parquet(s"$store/sigs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 11L), kept.toString)
+
+    // Re-apply is idempotent: the same rows come back duplicates (self-
+    // match against their stored signatures) and the store does not grow.
+    val replay = graft.pipeline.Dedup.incrementalMinhash(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), store).collect()
+    assert(replay.forall(_.getAs[Boolean]("is_near_duplicate")),
+      "replayed keepers not flagged as their own duplicates")
+    assert(spark.read.parquet(s"$store/sigs").count() == 3,
+      "replay grew the store")
+  }
+
   test("streaming decontamination screens each micro-batch against the eval store") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
