@@ -481,15 +481,19 @@ object Dedup {
       s"aggregate(zip_with(sig, old_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)")
     // Candidate pairs are NOT bounded by the increment's row count (a
     // self-similar increment blows up quadratically), so their broadcast
-    // is gated on their OWN materialized count, not the increment gate —
-    // same rule as incrementalEmbeddingNearDup.
-    val cands = graft.Materialize(
-      vsStore.unionByName(intra).join(inc(newSigs), Seq("doc_id")))
+    // is gated on their OWN materialized count — and they carry ONLY the
+    // two ids: attaching the increment signatures first would multiply
+    // the broadcast payload by the 32-hash signature width. The store
+    // signatures stream out of the scan; the increment signatures ride
+    // their own row-bounded broadcast — same rule as
+    // incrementalEmbeddingNearDup.
+    val cands = graft.Materialize(vsStore.unionByName(intra))
     val candInc: DataFrame => DataFrame =
       if (small && cands.count() <= broadcastMaxRows) broadcast(_) else identity
     val verified = storeSigs
       .unionByName(newSigs.select(col("doc_id").as("old_id"), col("sig").as("old_sig")))
       .join(candInc(cands), Seq("old_id"))
+      .join(inc(newSigs), Seq("doc_id"))
       .select(col("doc_id"), col("old_id"), agree.as("est"))
       .filter(col("est") >= threshold)
     val dupOf = verified.groupBy("doc_id")

@@ -1082,18 +1082,21 @@ object Similarity {
 
     // The pair-level candidate frame is NOT bounded by the increment's
     // row count (a self-similar increment can blow up quadratically), so
-    // its broadcast is gated on its OWN materialized count — the
-    // increment gate above only covers the increment-shaped frames
-    // (newBands/newVecs). Materializing here is free-ish: the frame
-    // feeds the verify join either way.
-    val cands = graft.Materialize(
-      vsStore.unionByName(intra).join(inc(newVecs), Seq("vec_id")))
+    // its broadcast is gated on its OWN materialized count — and it
+    // carries ONLY the two ids: attaching the increment vectors before
+    // the broadcast would multiply the broadcast payload by the vector
+    // width (a 3M-pair noise burst × 64 floats ≈ GBs — the OOM the old
+    // shape risked). The store-side vectors stream out of the scan into
+    // the pair join; the increment vectors ride their own row-bounded
+    // broadcast.
+    val cands = graft.Materialize(vsStore.unionByName(intra))
     val candInc: DataFrame => DataFrame =
       if (small && cands.count() <= broadcastMaxRows) broadcast(_) else identity
     val verified = storeVecs
       .unionByName(newVecs.select(col("vec_id").as("old_id"),
         col("embedding").as("old_emb")))
       .join(candInc(cands), Seq("old_id"))
+      .join(inc(newVecs), Seq("vec_id"))
       .select(col("vec_id"), col("old_id"),
         cosineFast(spark, "embedding", "old_emb").as("cos"))
       // Same NaN rule as every near-dup decision: a degenerate (zero)
@@ -1116,6 +1119,107 @@ object Similarity {
       newVecs.join(keep, Seq("vec_id")), s"$storeDir/vecs", EmbVecsSpec)
     graft.Materialize.release(banded)
     graft.Materialize.release(cands)
+    annotated.orderBy("vec_id")
+  }
+
+  /** Incremental SemDeDup against a persistent Voronoi keeper store —
+    * the semantic member of the incremental family (exact:
+    * [[graft.pipeline.Dedup.incrementalExact]], text near-dup:
+    * [[graft.pipeline.Dedup.incrementalMinhash]], embedding near-dup:
+    * [[incrementalEmbeddingNearDup]], eval overlap:
+    * [[graft.pipeline.Select.incrementalDecontaminate]]): a day's
+    * increment is checked for paraphrase-level (cosine ≥ tau) duplicates
+    * against the historical keeper corpus WITHOUT re-clustering it.
+    *
+    * The store IS a persistent IVF index of the keepers
+    * ([[buildIvfIndex]]'s layout): `centroids/` is trained once on the
+    * FIRST increment and frozen thereafter — appends assign against the
+    * stored centroids, the same contract as [[appendToIvfIndex]], with
+    * the same maintenance story (distribution drift →
+    * [[rebuildIvfIndex]]; file accumulation → [[compactIvfIndex]] —
+    * both apply verbatim to this store); `cells/` holds the keeper
+    * vectors `partitionBy("cell")`.
+    *
+    * Scale: the increment is assigned by one broadcast argmax scan
+    * ([[assignToCells]]); the store scan is PARTITION-PRUNED to the
+    * increment's occupied cells (a collected IN-list of ≤ nClusters
+    * ints — bounded driver state, directory-level pruning); below
+    * `broadcastMaxRows` the increment side of the within-cell compare
+    * carries an explicit broadcast hint, so stored keeper vectors are
+    * scanned but never shuffled (spec-asserted via PlanCapture). Pair
+    * work is |inc∩cell|×|store∩cell| — linear in the increment for a
+    * given store, and `nClusters` is the store-SIZING knob: like
+    * BucketedStore's numBuckets it is pinned at store creation (the
+    * centroids freeze), so size it to the EXPECTED keeper corpus
+    * (~√corpus, the SemDeDup recipe) and re-size a grown store with
+    * [[rebuildIvfIndex]](storeDir, biggerNList) — the store shares the
+    * IVF index layout precisely so the retrain/compact maintenance
+    * applies to it unchanged.
+    *
+    * Crash contract: the keeper append is the only side effect; a
+    * replayed increment self-matches its stored copies at cos 1 and
+    * appends nothing — at-least-once safe, same as the other members.
+    *
+    * Returns (vec_id, is_semantic_duplicate, dup_of, best_cos). */
+  def incrementalSemanticDedup(newEmb: DataFrame, storeDir: String,
+      tau: Double = 0.9, nClusters: Int = 8, iters: Int = 2,
+      trainDenom: Int = 4, broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = newEmb.sparkSession
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    val centDir = s"$storeDir/centroids"
+    val cellsDir = s"$storeDir/cells"
+    if (!f.exists(new org.apache.hadoop.fs.Path(centDir))) {
+      val coarse = coarseQuantize(newEmb, nClusters, iters, trainDenom)
+      coarse.centroids.select(col("cell"),
+          expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("cvec"))
+        .coalesce(1).write.mode("overwrite").parquet(centDir)
+    }
+    val cents = spark.read.parquet(centDir)
+    val assigned = graft.Materialize(assignToCells(cents, newEmb))
+
+    val small = newEmb.count() <= broadcastMaxRows
+    def inc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+    val incCells = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val storeVecs =
+      if (f.exists(new org.apache.hadoop.fs.Path(cellsDir)))
+        spark.read.parquet(cellsDir)
+          .filter(col("cell").isin(incCells.toSeq: _*))
+          .select(col("cell"), col("vec_id").as("old_id"),
+            col("embedding").as("old_emb"))
+      else
+        assigned.select(col("cell"), col("vec_id").as("old_id"),
+          col("embedding").as("old_emb")).limit(0)
+
+    val vsStore = storeVecs
+      .join(inc(assigned), Seq("cell"))
+      .select(col("vec_id"), col("old_id"),
+        cosineFast(spark, "embedding", "old_emb").as("cos"))
+    val intra = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("old_id"),
+        cosineFast(spark, "a.embedding", "b.embedding").as("cos"))
+    // Same NaN rule as every near-dup decision: a degenerate (zero)
+    // embedding's 0/0 cosine is not a near-duplicate.
+    val verified = vsStore.unionByName(intra)
+      .filter(col("cos") >= tau && !isnan(col("cos")))
+    val dupOf = verified.groupBy("vec_id")
+      .agg(min("old_id").as("dup_of"), max("cos").as("best_cos"))
+
+    val annotated = graft.Materialize(newEmb.select("vec_id")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("dup_of").isNotNull.as("is_semantic_duplicate"),
+        col("dup_of"),
+        round(coalesce(col("best_cos"), lit(0.0)), 4).as("best_cos")))
+
+    val keep = annotated.filter(!col("is_semantic_duplicate")).select("vec_id")
+    assigned.join(keep, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(cellsDir)
+    graft.Materialize.release(assigned)
     annotated.orderBy("vec_id")
   }
 

@@ -80,6 +80,19 @@ object PipelineStream {
     incremental(emb, outDir, checkpoint)(
       graft.pipeline.Similarity.incrementalEmbeddingNearDup(_, storeDir))
 
+  /** Streaming semantic (paraphrase-level) dedup: every micro-batch of
+    * (vec_id, embedding) is assigned against the store's frozen
+    * centroids and compared within-cell against — and grows — the
+    * persistent Voronoi keeper store
+    * ([[graft.pipeline.Similarity.incrementalSemanticDedup]]; the
+    * centroids train on the FIRST micro-batch, so seed the store from a
+    * representative batch corpus when the stream's early data is
+    * skewed). */
+  def dedupSemantic(emb: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(emb, outDir, checkpoint)(
+      graft.pipeline.Similarity.incrementalSemanticDedup(_, storeDir))
+
   /** Streaming decontamination: every micro-batch is screened against the
     * persistent eval store ([[graft.pipeline.Select
     * .incrementalDecontaminate]] — read-only on the store, so this one is

@@ -163,6 +163,40 @@ object IncScale {
     check("embedding-increment-flat", ebT2 <= 2.5 * math.max(ebT1, 0.3),
       f"band store ${vSmall}→${vSmall * 10}: increment $ebT1%.2fs → $ebT2%.2fs (bound 2.5×)")
 
+    // ---- semantic keeper store --------------------------------------
+    // Same contract at the Voronoi tier: the keeper-cell scan is
+    // partition-pruned to the increment's occupied cells and never
+    // shuffled, so a fixed increment stays flat under 10× keeper growth.
+    val smDir = java.nio.file.Files.createTempDirectory("incscale").resolve("sem").toString
+    // nClusters is the store-sizing knob (pinned at creation, like
+    // numBuckets): ~√(expected keeper corpus), the SemDeDup recipe.
+    val smK = math.max(8, math.round(math.sqrt((vSmall * 10).toDouble)).toInt)
+    var smNext = 0L
+    def seedSem(rows: Long): Unit = {
+      var at = smNext
+      while (at < smNext + rows) {
+        val end = math.min(at + 25000, smNext + rows)
+        graft.pipeline.Similarity
+          .incrementalSemanticDedup(vecs(at, end, identity), smDir, nClusters = smK)
+          .count()
+        at = end
+      }
+      smNext += rows
+    }
+    def incrementSem(): Double = {
+      val novelFrom = smNext; smNext += 200
+      val inc = vecs(novelFrom, smNext, identity)
+        .unionByName(vecs(8500000000L, 8500000200L, id => id - 8500000000L))
+      timed { graft.pipeline.Similarity
+        .incrementalSemanticDedup(inc, smDir, nClusters = smK).count() }
+    }
+    seedSem(vSmall)
+    val smT1 = Seq(incrementSem(), incrementSem(), incrementSem()).min
+    seedSem(vSmall * 9)
+    val smT2 = Seq(incrementSem(), incrementSem(), incrementSem()).min
+    check("semantic-increment-flat", smT2 <= 2.5 * math.max(smT1, 0.3),
+      f"keeper store ${vSmall}→${vSmall * 10}: increment $smT1%.2fs → $smT2%.2fs (bound 2.5×)")
+
     // Sanity: the duplicate/contaminated halves were recognized against
     // the stores.
     val dcHit = graft.pipeline.Select.incrementalDecontaminate(
@@ -175,6 +209,11 @@ object IncScale {
       .filter(col("is_near_duplicate")).count()
     check("embedding-store-dups-found", ebDup == 500,
       s"500 replayed vectors → $ebDup store near-dups")
+    val smDup = graft.pipeline.Similarity.incrementalSemanticDedup(
+      vecs(9700000000L, 9700000500L, id => id - 9700000000L), smDir)
+      .filter(col("is_semantic_duplicate")).count()
+    check("semantic-store-dups-found", smDup == 500,
+      s"500 replayed vectors → $smDup keeper-store dups")
 
     // Sanity: the duplicate halves were actually recognized against the store.
     val exDup = Dedup.incrementalExact(

@@ -1,0 +1,134 @@
+package graft.tools
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** Persistent ANN index lifecycle at scale — evidence that the index
+  * paths have the shapes their docstrings claim:
+  *
+  *  - APPEND is O(increment): a fixed 500-vector append against a 10×
+  *    index costs what it costs against the 1× index (the existing
+  *    index is never read).
+  *  - QUERY is partition-pruned ON DISK: the cells/codes scan reads at
+  *    most nQueries×nProbe of the nList partition directories at BOTH
+  *    scales (the probed-cell IN-list becomes a partition filter).
+  *  - COMPACT bounds file accumulation: appends leave one file set per
+  *    touched cell each; compaction returns every cell directory to
+  *    exactly one file with identical pruned-query results.
+  *
+  * Usage: runMain graft.tools.IndexScale [nSmall=30000]
+  * Prints PASS/FAIL per property; exits non-zero on FAIL.
+  */
+object IndexScale {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val children: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    p +: children.flatMap(nodes)
+  }
+
+  /** (rows, partition directories read) for the index query's final
+    * plan — the probe side is materialized separately, so the returned
+    * frame's executed plan contains exactly the pruned corpus scan. */
+  private def runPruned(df: DataFrame, dirFrag: String): (Long, Int) = {
+    val n = df.collect().length.toLong
+    val parts = nodes(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(dirFrag)) =>
+        f.selectedPartitions.partitionCount
+    }
+    (n, if (parts.isEmpty) -1 else parts.max)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nSmall = args.headOption.map(_.toLong).getOrElse(30000L)
+    val nList = 64
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failed = false
+    def check(tag: String, ok: Boolean, detail: String): Unit = {
+      println(s"[indexscale] ${if (ok) "PASS" else "FAIL"} $tag: $detail")
+      failed ||= !ok
+    }
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def vecs(from: Long, until: Long): DataFrame = {
+      import spark.implicits._
+      spark.range(from, until).as[Long].map { id =>
+        val rnd = new scala.util.Random(id)
+        (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq)
+      }.toDF("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    val work = java.nio.file.Files.createTempDirectory("indexscale").toString
+    val queries = vecs(0, 3)
+
+    // ---- IVF index ---------------------------------------------------
+    val ivf1 = s"$work/ivf1"; val ivf10 = s"$work/ivf10"
+    println(f"[indexscale] building IVF 1x (${nSmall}) and 10x (${nSmall * 10}), nList=$nList")
+    Similarity.buildIvfIndex(vecs(0, nSmall), ivf1, nList = nList)
+    Similarity.buildIvfIndex(vecs(0, nSmall * 10), ivf10, nList = nList)
+
+    var appendAt = 5000000000L
+    def appendIvf(dir: String): Double = {
+      val inc = vecs(appendAt, appendAt + 500); appendAt += 500
+      timed { Similarity.appendToIvfIndex(inc, dir) }
+    }
+    val apT1 = Seq(appendIvf(ivf1), appendIvf(ivf1), appendIvf(ivf1)).min
+    val apT2 = Seq(appendIvf(ivf10), appendIvf(ivf10), appendIvf(ivf10)).min
+    check("ivf-append-flat", apT2 <= 2.5 * math.max(apT1, 0.3),
+      f"index ${nSmall}→${nSmall * 10}: 500-row append $apT1%.2fs → $apT2%.2fs (bound 2.5×)")
+
+    val q1t = timed { runPruned(Similarity.ivfIndexTopK(ivf1, queries), "ivf1") }
+    val (q1n, q1p) = runPruned(Similarity.ivfIndexTopK(ivf1, queries), "ivf1")
+    val (q10n, q10p) = runPruned(Similarity.ivfIndexTopK(ivf10, queries), "ivf10")
+    check("ivf-query-pruned", q1p > 0 && q1p <= 6 && q10p > 0 && q10p <= 6,
+      s"partition dirs read (of $nList): 1x=$q1p, 10x=$q10p (bound nQueries×nProbe=6); " +
+        s"rows $q1n/$q10n; 1x query ${f"$q1t%.2f"}s")
+
+    // ---- compaction --------------------------------------------------
+    (0 until 3).foreach(_ => appendIvf(ivf1))
+    val filesBefore = graft.sinks.PartitionedStore
+      .filesPerPartition(spark, s"$ivf1/cells").values.max
+    val preRows = Similarity.ivfIndexTopK(ivf1, queries).collect().map(_.toSeq).toSeq
+    val ct = timed { Similarity.compactIvfIndex(spark, ivf1) }
+    val filesAfter = graft.sinks.PartitionedStore
+      .filesPerPartition(spark, s"$ivf1/cells").values.max
+    val postRows = Similarity.ivfIndexTopK(ivf1, queries).collect().map(_.toSeq).toSeq
+    check("ivf-compact-bounds-files", filesBefore > 1 && filesAfter == 1 && postRows == preRows,
+      f"max files/cell $filesBefore → $filesAfter (compact $ct%.2fs), query results identical")
+
+    // ---- IVF-PQ index ------------------------------------------------
+    val pq1 = s"$work/pq1"; val pq10 = s"$work/pq10"
+    println(f"[indexscale] building IVF-PQ 1x and 10x")
+    Similarity.buildIvfPqIndex(vecs(0, nSmall), pq1, nList = nList)
+    Similarity.buildIvfPqIndex(vecs(0, nSmall * 10), pq10, nList = nList)
+    def appendPq(dir: String): Double = {
+      val inc = vecs(appendAt, appendAt + 500); appendAt += 500
+      timed { Similarity.appendToIvfPqIndex(inc, dir) }
+    }
+    val pqT1 = Seq(appendPq(pq1), appendPq(pq1), appendPq(pq1)).min
+    val pqT2 = Seq(appendPq(pq10), appendPq(pq10), appendPq(pq10)).min
+    check("ivfpq-append-flat", pqT2 <= 2.5 * math.max(pqT1, 0.3),
+      f"index ${nSmall}→${nSmall * 10}: 500-row append $pqT1%.2fs → $pqT2%.2fs (bound 2.5×)")
+    val (p1n, p1p) = runPruned(Similarity.ivfPqIndexTopK(pq1, queries), "pq1")
+    val (p10n, p10p) = runPruned(Similarity.ivfPqIndexTopK(pq10, queries), "pq10")
+    check("ivfpq-query-pruned", p1p > 0 && p1p <= 6 && p10p > 0 && p10p <= 6,
+      s"partition dirs read (of $nList): 1x=$p1p, 10x=$p10p (bound 6); rows $p1n/$p10n")
+
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.Tables
+import graft.pipeline.Select
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One-question profiler for the q65_shard_assign drift (BASELINE.md:
+  * stable 0.310 s vs the round-6 0.150 s minimum; hypothesis = the
+  * round-8 testdata regeneration changed the parquet layout under the
+  * operator's two fixed barriers). Times shardAssign over
+  * (a) the driver's documents.parquet as-is, and (b)+(c) the SAME rows
+  * rewritten by Spark as 1 and 32 files — if the hypothesis holds, a
+  * rewrite restores the old timing; if not, the drift is in the
+  * operator/runtime and the hypothesis is falsified.
+  *
+  * Usage: runMain graft.tools.Q65Probe [sfDir=/root/testdata/sf0.1]
+  */
+object Q65Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Same measurement as Bench: noop sink, warmup, min of 5.
+    def time(df: => DataFrame): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      (0 until 5).map(_ => once()).min
+    }
+
+    val docs = Tables(spark, sfDir).documents
+    val work = java.nio.file.Files.createTempDirectory("q65probe").toString
+    docs.coalesce(1).write.parquet(s"$work/one")
+    docs.repartition(32).write.parquet(s"$work/many")
+
+    def scanParts(df: DataFrame): Int = df.rdd.getNumPartitions
+    println(f"[q65probe] scan partitions: asis=${scanParts(docs)} " +
+      f"rewrite1=${scanParts(spark.read.parquet(s"$work/one"))} " +
+      f"rewrite32=${scanParts(spark.read.parquet(s"$work/many"))}")
+    val asIs = time(Select.shardAssign(Tables(spark, sfDir).documents))
+    val one = time(Select.shardAssign(spark.read.parquet(s"$work/one")))
+    val many = time(Select.shardAssign(spark.read.parquet(s"$work/many")))
+    println(f"[q65probe] shardAssign min-of-5: asis=$asIs%.3fs rewrite1=$one%.3fs rewrite32=$many%.3fs")
+  }
+}

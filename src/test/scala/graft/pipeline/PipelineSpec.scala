@@ -1137,6 +1137,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/vecs").count() == 3)
   }
 
+  test("incremental semantic dedup flags paraphrase-level history matches from the keeper store") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val store = java.nio.file.Files.createTempDirectory("incsem").resolve("store").toString
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextFloat() * 2f - 1f)
+    }
+    // Day 1 trains the store's frozen centroids AND seeds the keeper
+    // cells: 10 independent vectors — no duplicates.
+    val day1 = (1L to 10L).map(i => (i, vec(99 + i.toInt))).toDF("vec_id", "embedding")
+    val r1 = Similarity.incrementalSemanticDedup(day1, store).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r1 == (1L to 10L).map(_ -> false).toMap, r1.toString)
+
+    // Day 2: 20 copies historical 1 exactly (cos 1.0); 21 is a
+    // PERTURBED copy of historical 3 — the paraphrase-level case, cos
+    // in (tau, 1), found via the same stored cell; 22 is novel; 23
+    // copies 22 within the increment. The keeper store must be
+    // partition-pruned and scanned, never shuffled.
+    val noise = new scala.util.Random(7)
+    val perturbed = vec(102).map(x => x + 0.05f * (noise.nextFloat() * 2f - 1f))
+    val day2 = Seq((20L, vec(100)), (21L, perturbed), (22L, vec(300)),
+      (23L, vec(300))).toDF("vec_id", "embedding")
+    val (r2rows, storePlans) = graft.PlanCapture.scansOf(spark, s"$store/cells") {
+      Similarity.incrementalSemanticDedup(day2, store).collect()
+    }
+    assert(storePlans.nonEmpty, "expected a captured plan scanning the keeper store")
+    storePlans.foreach { p =>
+      assert(!graft.PlanCapture.shufflesRawScanOf(p, s"$store/cells"),
+        s"raw keeper-store rows moved through a shuffle:\n$p")
+    }
+    val cellScans = storePlans.flatMap(graft.PlanCapture.nodes).collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("incsem")) => s
+    }
+    assert(cellScans.nonEmpty && cellScans.forall(_.partitionFilters.nonEmpty),
+      "increment-cell IN-list did not become a partition filter on the keeper store")
+    val r2 = r2rows.map(r => r.getLong(0) ->
+      ((r.getBoolean(1), Option(r.get(2)).map(_.toString), r.getDouble(3)))).toMap
+    assert(r2(20L) == ((true, Some("1"), 1.0)), s"historical exact copy: ${r2(20L)}")
+    val (p21dup, p21of, p21cos) = r2(21L)
+    assert(p21dup && p21of == Some("3") && p21cos >= 0.9 && p21cos < 1.0,
+      s"paraphrase-level historical match: ${r2(21L)}")
+    assert(r2(22L) == ((false, None, 0.0)), s"novel vector: ${r2(22L)}")
+    assert(r2(23L) == ((true, Some("22"), 1.0)), s"intra copy: ${r2(23L)}")
+
+    // Keepers-only growth: day 1's ten plus 22 — never 20/21/23.
+    val stored = spark.read.parquet(s"$store/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == ((1L to 10L).toSet + 22L), stored.toString)
+
+    // At-least-once: re-applying day 2 self-matches everything and
+    // appends nothing.
+    val r3 = Similarity.incrementalSemanticDedup(day2, store).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r3.values.forall(identity), "re-applied increment must be all dups")
+    assert(spark.read.parquet(s"$store/cells").count() == 11)
+  }
+
   test("incremental exact dedup: increments check against the store, never recompute it") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("incdedup").resolve("store").toString
