@@ -164,18 +164,34 @@ object Clusters {
     * the edge set only loses pairs that filter was about to discard, but
     * loses them BEFORE the pair shuffle + distinct instead of after. A
     * qualifying pair still surfaces exactly once per shared shingle (one
-    * of the three probe buckets matches), so no dedup inflation either. */
+    * of the three probe buckets matches), so no dedup inflation either.
+    *
+    * `hashedKeys = true` replaces the shingle STRING with its xxhash64
+    * — for callers whose verify step re-checks the pair exactly (edit
+    * distance), the ~30-byte join/materialize/shuffle key becomes 8
+    * fixed-width bytes with identical join semantics: string equality
+    * implies hash equality, so no qualifying pair is lost, and a hash
+    * collision can only ADD a candidate the verifier discards (or, with
+    * birthday probability ~n²/2⁶⁵ over the distinct-shingle count, nudge
+    * a df past the cap — the same probabilistic-recall class as minhash
+    * banding; callers whose edges ARE the answer, dedup_clusters, keep
+    * exact strings). */
   def sharedShingleEdges(docs: DataFrame, shingleSize: Int = 5,
-      maxDf: Int = 50, lenBandWidth: Int = 0): DataFrame = {
+      maxDf: Int = 50, lenBandWidth: Int = 0,
+      hashedKeys: Boolean = false): DataFrame = {
     val banded = lenBandWidth > 0
     // Materialized immediately: the shingle expression is a higher-order
     // function (interpreted, not codegen'd) and this table is consumed
     // twice (df filter + join) — recomputing it doubles the dominant cost.
-    val sh0Cols = Seq(col("doc_id"), explode(Dedup.shingles(shingleSize)).as("s")) ++
-      (if (banded) Seq(floor(length(col("text")) / lenBandWidth).as("bkt")) else Nil)
-    val sh0 = graft.Materialize(docs
+    val sh0Cols = Seq(col("doc_id"), explode(Dedup.shingles(shingleSize)).as("s0")) ++
+      (if (banded) Seq(floor(length(col("text")) / lenBandWidth).as("bkt"),
+        length(col("text")).as("lenc")) else Nil)
+    val keyed = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(sh0Cols: _*))
+      .select(sh0Cols: _*)
+      .withColumn("s", if (hashedKeys) xxhash64(col("s0")) else col("s0"))
+      .drop("s0")
+    val sh0 = graft.Materialize(keyed)
     // (doc_id, s) is unique (shingles are array_distinct per doc), so
     // plain count ≡ count(DISTINCT doc_id) without the expand shuffle.
     val keep = sh0.groupBy("s")
@@ -192,10 +208,15 @@ object Clusters {
         sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       else {
-        val probe = sh.select(col("doc_id"), col("s"),
+        val probe = sh.select(col("doc_id"), col("s"), col("lenc"),
           explode(expr("array(bkt - 1, bkt, bkt + 1)")).as("bkt"))
+        // The EXACT |len diff| <= W prune rides the join (the band
+        // bucket only guarantees ≤ 2W−1): pairs the caller's length
+        // filter was about to discard die here, before the pair
+        // shuffle + distinct.
         sh.as("a").join(probe.as("b"),
           col("a.s") === col("b.s") && col("a.bkt") === col("b.bkt") &&
+            abs(col("a.lenc") - col("b.lenc")) <= lenBandWidth &&
             col("a.doc_id") < col("b.doc_id"))
       }
     pairs

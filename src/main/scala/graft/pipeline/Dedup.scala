@@ -309,9 +309,12 @@ object Dedup {
     // (see sharedShingleEdges): a pair with |len diff| > maxDist can never
     // pass the length lower bound below, so pruning it inside the
     // candidate join — before the pair shuffle, distinct, and the two
-    // text joins — only removes work, never answers.
+    // text joins — only removes work, never answers. hashedKeys: the
+    // exact Levenshtein verify re-checks every pair, so the 8-byte
+    // xxhash64 join key is safe — collisions only add pairs the DP
+    // discards (see sharedShingleEdges).
     val pairs = Clusters.sharedShingleEdges(docs, shingleSize, maxDf,
-        lenBandWidth = maxDist)
+        lenBandWidth = maxDist, hashedKeys = true)
       .select(col("src").as("left_id"), col("dst").as("right_id"))
     val texts = docs.select(col("doc_id"), col("text"))
     pairs

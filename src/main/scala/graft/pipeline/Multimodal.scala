@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * amortizes per-batch setup.
   *
   * Decoders: all three modalities are REAL parses of genuine media bytes
-  * synthesized deterministically per doc — PNG decode through
-  * `javax.imageio` (pure JDK), WAV/PCM-16 decode through an explicit
+  * synthesized deterministically per doc — PNG and JPEG decode through
+  * `javax.imageio` (pure JDK; format sniffed from the payload magic
+  * bytes), WAV/PCM-16 decode through an explicit
   * RIFF parser, and video as uncompressed-DIB AVI (RIFF 'AVI ') with a
   * full hdrl/avih/movi chunk walk and per-frame 24-bit bottom-up DIB
   * decode (frame sampling + motion features). Compressed codecs (H.264
@@ -43,9 +44,11 @@ object Multimodal {
 
   // ------------------------------------------------------------ payloads
 
-  /** Deterministic PNG: a doc-seeded RGB gradient, really encoded by the
-    * JDK's PNG writer — the decode side exercises a genuine image parse. */
-  private[pipeline] def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+  /** Deterministic image: a doc-seeded RGB gradient, really encoded by
+    * the JDK's writer for `format` ("png" or "jpg") — the decode side
+    * exercises a genuine parse of the respective codec. */
+  private[pipeline] def imageBytes(w: Int, h: Int, seed: Long,
+      format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -61,9 +64,23 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
   }
+
+  private[pipeline] def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] =
+    imageBytes(w, h, seed, "png")
+
+  private[pipeline] def jpegBytes(w: Int, h: Int, seed: Long): Array[Byte] =
+    imageBytes(w, h, seed, "jpg")
+
+  /** Container sniff from magic bytes — the only reliable signal once the
+    * payload is an opaque binary column (file extensions don't survive a
+    * parquet round trip). JPEG = FF D8, PNG = 89 'PNG'. */
+  private[pipeline] def imageFormat(payload: Array[Byte]): String =
+    if (payload.length >= 2 &&
+        (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpg"
+    else "png"
 
   /** Deterministic WAV: PCM-16 mono sine at a doc-seeded frequency, with
     * a correct RIFF/fmt/data header. */
@@ -153,7 +170,8 @@ object Multimodal {
     bb.array()
   }
 
-  /** Attach real media payloads to `documents`: PNG for image docs, WAV
+  /** Attach real media payloads to `documents`: PNG/JPEG (alternating —
+    * web-scale image corpora are overwhelmingly JPEG) for image docs, WAV
     * for audio docs, uncompressed AVI for video docs. In production this
     * column comes from a binary-file source
     * (`spark.read.format("binaryFile")`) or parquet BinaryType — the
@@ -168,7 +186,8 @@ object Multimodal {
           case 0 =>
             val w = ((id % 8) * 8 + 16).toInt
             val h = ((id % 4) * 8 + 16).toInt
-            MediaRow(id, "image", pngBytes(w, h, id), w, h, 0)
+            val fmt = if ((id / 3) % 2 == 1) "jpg" else "png"
+            MediaRow(id, "image", imageBytes(w, h, id, fmt), w, h, 0)
           case 1 =>
             val sr = 16000
             val n = ((id % 4) + 1).toInt * 1600 // 0.1-0.4 s
@@ -185,10 +204,12 @@ object Multimodal {
 
   // ------------------------------------------------------------- decoders
 
-  /** REAL image decode: ImageIO PNG parse → dimensions + 8 features
+  /** REAL image decode: ImageIO parse (format sniffed from the bytes —
+    * PNG and JPEG both land here) → dimensions + 8 features
     * (mean R/G/B + mean luma per quadrant, normalized to [0,1]). */
   private def decodeImage(m: MediaRow): MediaFeatures = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+    require(img != null, "unreadable image bytes")
     val (w, h) = (img.getWidth, img.getHeight)
     var (rs, gs, bs) = (0L, 0L, 0L)
     val quad = new Array[Long](4)
@@ -330,13 +351,16 @@ object Multimodal {
       decode_error: String = null)
 
   /** One image resize: aspect-preserving downscale to fit `maxDim`
-    * (never upscales), through AWT's bilinear raster op, re-encoded as
-    * PNG by the JDK writer — a REAL decode→resample→encode round trip,
-    * the standard thumbnail/normalization step before a vision encoder
-    * (CLIP-style models take fixed small inputs; shipping full-res bytes
-    * through a 100 TB pipeline is pure waste). */
+    * (never upscales), through AWT's bilinear raster op, re-encoded by
+    * the JDK writer IN THE SOURCE FORMAT (a JPEG thumbnail of a JPEG, a
+    * PNG of a PNG — sniffed from the magic bytes) — a REAL
+    * decode→resample→encode round trip, the standard
+    * thumbnail/normalization step before a vision encoder (CLIP-style
+    * models take fixed small inputs; shipping full-res bytes through a
+    * 100 TB pipeline is pure waste). */
   private def resizeOne(m: MediaRow, maxDim: Int): ResizedRow = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+    require(img != null, "unreadable image bytes")
     val (w, h) = (img.getWidth, img.getHeight)
     val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
     if (scale >= 1.0) ResizedRow(m.doc_id, m.kind, m.payload, w, h, w, h)
@@ -352,7 +376,7 @@ object Multimodal {
         g.drawImage(img, 0, 0, nw, nh, null)
       } finally g.dispose()
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(dst, "png", out)
+      javax.imageio.ImageIO.write(dst, imageFormat(m.payload), out)
       ResizedRow(m.doc_id, m.kind, out.toByteArray, nw, nh, w, h)
     }
   }

@@ -46,6 +46,28 @@ object Retrieval {
     * rounded to 4 dp before ranking (summation-order ulp drift is
     * absorbed, the q79 argument), and every arithmetic step mirrors the
     * DuckDB oracle's expression shape so the rounded values agree. */
+  /** Shared scoring tail: a (doc_id, term, dl, tf) posting table + a
+    * broadcast query-term table + a one-row (n, avgdl) stats frame →
+    * the rounded per-(query, doc) BM25 sum. Both the scan-time path
+    * ([[bm25Scored]]) and the persistent-index path ([[bm25IndexTopK]])
+    * funnel through this ONE expression tree, so the two are
+    * bit-identical by construction — the index is an access path, never
+    * a different scorer. */
+  private def scorePostings(tf: DataFrame, qt: DataFrame,
+      stats: DataFrame): DataFrame = {
+    // Document frequency per query term: |terms| rows, broadcast back.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (K1 + 1.0)) /
+          (col("tf") + (lit(1.0 - B) + col("dl") * B / col("avgdl")) * K1)), 4)
+        .as("score"))
+  }
+
   private def bm25Scored(docs: DataFrame, qt: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     // Integer token total stays below 2^53 far past 100 TB of docs, so
@@ -58,17 +80,7 @@ object Retrieval {
     val tf = tok.join(broadcast(terms), Seq("term"))
       .groupBy("doc_id", "term")
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
-    // Document frequency per query term: |terms| rows, broadcast back.
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), Seq("term"))
-      .join(broadcast(qt), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum(
-        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * (K1 + 1.0)) /
-          (col("tf") + (lit(1.0 - B) + col("dl") * B / col("avgdl")) * K1)), 4)
-        .as("score"))
+    scorePostings(tf, qt, stats)
   }
 
   /** Top-k BM25 retrieval for a fixed set of keyword queries. Ranking is
@@ -152,19 +164,139 @@ object Retrieval {
       .orderBy("query_id", "rk")
   }
 
+  // ---------------------------------------- persistent inverted index
+
+  /** Bucket spec for the postings store: bucketed AND sorted by term, so
+    * (a) the per-term df aggregate needs no exchange (the bucketed scan
+    * already reports HashPartitioning(term)), and (b) a query's
+    * `term IN (...)` literal filter prunes parquet ROW GROUPS via the
+    * sorted layout's min/max stats — a three-term query reads the three
+    * posting lists, not the corpus. numBuckets mirrors the other
+    * persistent stores (sized so one bucket of the full-scale store
+    * fits an executor core's scan budget; raise for a 100-TB corpus). */
+  val postingsSpec: graft.sinks.BucketedStore.Spec = graft.sinks.BucketedStore.Spec(
+    "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT", "term", 8)
+
+  /** (term, doc_id, tf, dl) posting rows for a document batch — the
+    * SAME tokenization + aggregate shape bm25Scored computes at scan
+    * time, minus the query-term prefilter (an index stores every term). */
+  private def postingRows(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+  }
+
+  /** Append a document increment to a persistent BM25 index WITHOUT
+    * reading what's already there: posting rows for the new docs go into
+    * the bucketed `postings/` store, and ONE (n_docs, sum_dl) partial
+    * row goes into the append-only `stats/` ledger — corpus size and
+    * average doc length are recovered at query time by summing partials
+    * (integer sums, exact below 2^53, so the recomputed avgdl is
+    * bit-identical to a from-scratch avg). df is deliberately NOT
+    * stored: it falls out of the query's own pruned postings scan
+    * (count per probed term), so appends stay pure-append O(increment)
+    * with no read-modify-write of any per-term row. */
+  def appendToBm25Index(newDocs: DataFrame, indexDir: String): Unit = {
+    graft.sinks.BucketedStore.append(
+      postingRows(newDocs), s"$indexDir/postings", postingsSpec)
+    newDocs.select(split(col("text"), " ").as("toks"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("sum_dl"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/stats")
+  }
+
+  /** Build a persistent BM25 inverted index under `indexDir` — the same
+    * build-once / query-many separation as
+    * [[graft.pipeline.Similarity.buildIvfIndex]]: a 100-TB corpus is
+    * tokenized once, and every later query touches only its own posting
+    * lists. Build is the degenerate append into a fresh store. */
+  def buildBm25Index(docs: DataFrame, indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+    appendToBm25Index(docs, indexDir)
+  }
+
+  /** Query a persistent BM25 index: the postings scan is filtered to the
+    * query's literal term set (pushed into the parquet reader; the
+    * sorted-by-term buckets prune row groups), df per term is a
+    * no-exchange aggregate over those pruned rows, corpus stats are the
+    * summed `stats/` partials, and the scoring tail is [[scorePostings]]
+    * — THE SAME expression tree as the scan-time [[bm25]], so the index
+    * answers match it exactly (spec-pinned). The corpus text is never
+    * read, never tokenized: query cost is the probed posting lists. */
+  def bm25IndexTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: Seq[(Long, String)] = defaultQueries, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qt = queries
+      .flatMap { case (id, s) => s.split(" ").distinct.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    val terms = queries.flatMap(_._2.split(" ")).distinct
+    val tf = graft.sinks.BucketedStore
+      .readOrEmpty(spark, s"$indexDir/postings", postingsSpec)
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("n"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    graft.functions.TopK.perGroupRanked(
+      scorePostings(tf, qt, stats), "query_id", "score", "doc_id", "rk", k,
+      ascending = false)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Compact a BM25 index: the postings store back to one file per
+    * bucket ([[graft.sinks.BucketedStore.compact]] — atomic swap, row
+    * set unchanged) and the stats ledger's per-append partial rows
+    * summed into ONE row (same integer-exactness argument, so query
+    * results are unchanged). Unbounded appends otherwise accumulate
+    * one stats row + one file set per batch. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    graft.sinks.BucketedStore.compact(spark, s"$indexDir/postings", postingsSpec)
+    val statsDir = s"$indexDir/stats"
+    val tmp = statsDir + "_compact_tmp"
+    spark.read.parquet(statsDir)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    graft.sinks.PartitionedStore.swapInto(spark, tmp, statsDir)
+  }
+
+  /** Registry support: one index per (sfDir) per JVM — built on first
+    * use, reused by every later call, so the registered entry (and the
+    * bench loop around it) measures the QUERY path, which is the
+    * production shape: build once, query many. */
+  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25IndexFor(s: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    builtIndexes.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_index").toString
+      buildBm25Index(Tables(s, sfDir).documents, dir)
+      dir
+    })
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "q82_bm25" -> ((s, d) => bm25(Tables(s, d).documents)),
+    // The persistent index must return exactly what the scan-time scorer
+    // returns — so it shares q82's oracle SQL verbatim.
+    "bm25_index_topk" -> ((s, d) => bm25IndexTopK(s, bm25IndexFor(s, d))),
     "q83_hybrid_rrf" -> ((s, d) =>
       hybridRrf(Tables(s, d).documents, Tables(s, d).embeddings)),
   )
 
-  def oracle: Map[String, String] = Map(
-    // Same expression shape term by term: Lucene idf, tf saturation with
-    // the same association order, 4-dp round before the ranking window.
-    // Constants are written ::DOUBLE so DuckDB's DECIMAL literals never
-    // enter the arithmetic.
-    "q82_bm25" ->
-      ("""WITH q(query_id, term) AS (VALUES
+  // Same expression shape term by term: Lucene idf, tf saturation with
+  // the same association order, 4-dp round before the ranking window.
+  // Constants are written ::DOUBLE so DuckDB's DECIMAL literals never
+  // enter the arithmetic. Shared verbatim by q82_bm25 (scan-time) and
+  // bm25_index_topk (persistent index): the index is an access path, so
+  // the SAME oracle must hash-match BOTH.
+  private val bm25OracleSql =
+    ("""WITH q(query_id, term) AS (VALUES
          |    (0, 'spark'), (0, 'filter'), (0, 'join'),
          |    (1, 'window'), (1, 'agg'), (1, 'sort'),
          |    (2, 'customer'), (2, 'order'), (2, 'query')),
@@ -184,7 +316,11 @@ object Retrieval {
          |  SELECT query_id, doc_id, score,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM sc) z
-         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin),
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
+
+  def oracle: Map[String, String] = Map(
+    "q82_bm25" -> bm25OracleSql,
+    "bm25_index_topk" -> bm25OracleSql,
     // Both candidate lists replayed with their own ranking windows (the
     // oracle may window; the operator may not), fused with the same
     // fixed-order reciprocal sum.

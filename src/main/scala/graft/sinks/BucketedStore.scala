@@ -91,7 +91,13 @@ object BucketedStore {
   def readOrEmpty(spark: SparkSession, dir: String, spec: Spec): DataFrame =
     if (exists(spark, dir)) {
       checkOrWriteMarker(spark, dir, spec)
-      spark.table(ensureTable(spark, dir, spec))
+      val name = ensureTable(spark, dir, spec)
+      // Open-time refresh: an append may have run in ANOTHER session (a
+      // foreachBatch micro-batch clone, a concurrent maintenance job) —
+      // this session's cached file listing would serve stale rows. One
+      // listing per open; the open-per-query rate makes that free.
+      spark.catalog.refreshTable(name)
+      spark.table(name)
     } else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -163,5 +169,12 @@ object BucketedStore {
       .bucketBy(spec.numBuckets, spec.bucketCol).sortBy(spec.bucketCol)
       .option("path", dir)
       .saveAsTable(name)
+    // A reader that opened the table BEFORE this append holds a cached
+    // file listing; without the refresh an append-then-query sequence in
+    // one session serves stale results (caught by the streaming BM25
+    // spec's read-append-read pattern — the incremental dedup operators
+    // never read through the table after an append in the same session,
+    // which is why they never tripped it).
+    spark.sql(s"REFRESH TABLE $name")
   }
 }

@@ -93,6 +93,51 @@ object PipelineStream {
     incremental(emb, outDir, checkpoint)(
       graft.pipeline.Similarity.incrementalSemanticDedup(_, storeDir))
 
+  /** Streaming BM25 index maintenance: every micro-batch of
+    * (doc_id, text) is appended to a persistent inverted index
+    * ([[graft.pipeline.Retrieval.appendToBm25Index]]), so retrieval
+    * ([[graft.pipeline.Retrieval.bm25IndexTopK]]) stays current with the
+    * firehose. Unlike the dedup stores, a postings append is NOT
+    * self-absorbing on replay (appending the same docs twice doubles
+    * their tf), so exactly-once is enforced with a per-batch-id marker
+    * file: a replayed micro-batch whose marker exists is skipped whole —
+    * the append ran entirely or not at all relative to its marker
+    * (marker written AFTER both store writes land; the crash window
+    * between them re-runs the batch, and the postings append is the
+    * FIRST write, so a half-applied batch can at worst re-append after a
+    * crash between the two store writes — run [[graft.pipeline.Retrieval
+    * .compactBm25Index]] after crash recovery, and treat the window as
+    * the at-least-once residue the marker shrinks to two filesystem
+    * operations). */
+  def indexBm25(docs: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBm25BatchOnce(batch, indexDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The [[indexBm25]] per-batch body, exposed so the replay guarantee
+    * is directly testable: append `batch` to the index UNLESS this batch
+    * id's marker already exists. Returns whether the append ran. */
+  def appendBm25BatchOnce(batch: DataFrame, indexDir: String,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexDir/_applied/batch-$batchId")
+    if (f.exists(marker)) false
+    else {
+      graft.pipeline.Retrieval.appendToBm25Index(batch, indexDir)
+      f.mkdirs(marker.getParent)
+      f.create(marker, true).close()
+      true
+    }
+  }
+
   /** Streaming decontamination: every micro-batch is screened against the
     * persistent eval store ([[graft.pipeline.Select
     * .incrementalDecontaminate]] — read-only on the store, so this one is

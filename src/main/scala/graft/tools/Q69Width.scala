@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.pipeline.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Focused width probe for q69_edit_distance — the WIDTH.md worst-ratio
+  * watch item. Same widening method as [[WidthBench]] (disjoint
+  * vocabulary per replica), but only this operator, plus the candidate
+  * volumes at each width so a ratio regression can be attributed to
+  * candidate growth vs per-pair cost.
+  *
+  * Usage: runMain graft.tools.Q69Width [sfDir] [width]
+  */
+object Q69Width {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.filter(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
+    val w = args.find(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "q69width")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables(spark, dir).documents
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val work = java.nio.file.Files.createTempDirectory("graft_q69w").toString
+    def widen(width: Int): DataFrame = {
+      val df =
+        if (width == 1) base
+        else (0 until width).map { i =>
+          if (i == 0) base
+          else base.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')")
+              .as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_.unionByName(_))
+      val p = s"$work/w$width"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+
+    def time(mk: => DataFrame): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      math.min(once(), once())
+    }
+
+    val d1 = widen(1)
+    val dW = widen(w)
+    val t1 = time(Dedup.editDistancePairs(d1))
+    val tW = time(Dedup.editDistancePairs(dW))
+    // Candidate volumes: pairs entering the Levenshtein verify.
+    def cands(d: DataFrame): Long =
+      graft.pipeline.Clusters.sharedShingleEdges(d, 5, 50,
+        lenBandWidth = 60, hashedKeys = true).count()
+    val c1 = cands(d1)
+    val cW = cands(dW)
+    println(f"[q69width] t(1x)=$t1%.2fs t(${w}x)=$tW%.2fs ratio=${tW / t1}%.1fx " +
+      f"cands(1x)=$c1 cands(${w}x)=$cW candratio=${cW.toDouble / math.max(c1, 1)}%.1fx")
+  }
+}

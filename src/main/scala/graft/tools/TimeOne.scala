@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Time a single registered query with EXACTLY the Bench harness's
+  * session conf and noop-sink protocol (one warmup + min-of-3) — for
+  * iterating on one operator without paying a full bench pass.
+  *
+  * Usage: runMain graft.tools.TimeOne <queryName> [more names...]
+  */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: TimeOne <queryName>...")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    try run("q16_pricing") catch { case _: Throwable => () }
+    args.foreach { name =>
+      def once(): Double = {
+        val t0 = System.nanoTime(); run(name); (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      val ts = Seq(once(), once(), once())
+      println(f"[timeone] $name min=${ts.min}%.3fs runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -1389,6 +1389,104 @@ class PipelineSpec extends AnyFunSuite {
     assert(er.getAs[String]("decode_error") != null)
   }
 
+  test("multimodal JPEG: real encode/decode, format-preserving resize, corrupt-JPEG error row") {
+    import spark.implicits._
+    // The corpus mixes formats: attachPayloads alternates PNG/JPEG for
+    // image docs. Both must be present and sniffable by magic bytes.
+    val media = Multimodal.attachPayloads(docs)
+    val imgPayloads = media.filter(col("kind") === "image")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+    val fmts = imgPayloads.map { case (_, p) => Multimodal.imageFormat(p) }.toSet
+    assert(fmts == Set("png", "jpg"), s"corpus must mix formats, got $fmts")
+
+    // JPEG decode is a REAL parse: dims recovered from the bitstream.
+    val feats = Multimodal.extractFeatures(media)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    imgPayloads.foreach { case (id, p) =>
+      val r = feats(id)
+      assert(r.getAs[String]("decode_error") == null, s"doc $id: $r")
+      assert(r.getAs[Int]("decoded_w") == ((id % 8) * 8 + 16).toInt, s"doc $id width")
+      assert(r.getAs[Int]("decoded_h") == ((id % 4) * 8 + 16).toInt, s"doc $id height")
+      if (Multimodal.imageFormat(p) == "jpg") {
+        // Lossy codec: features are not bit-equal to the gradient, but the
+        // mean-RGB of the same gradient must survive within JPEG error.
+        val ref = Multimodal.imageBytes(((id % 8) * 8 + 16).toInt,
+          ((id % 4) * 8 + 16).toInt, id, "png")
+        val pngTwin = Multimodal.extractFeatures(
+          Seq(Multimodal.MediaRow(id, "image", ref, 0, 0, 0)).toDF()).collect().head
+        val a = r.getAs[scala.collection.Seq[Float]]("features")
+        val b = pngTwin.getAs[scala.collection.Seq[Float]]("features")
+        (0 until 3).foreach(i =>
+          assert(math.abs(a(i) - b(i)) < 0.05f, s"doc $id feat $i: ${a(i)} vs ${b(i)}"))
+      }
+    }
+
+    // Resize keeps the container: a JPEG thumbnail of a JPEG.
+    val big = Multimodal.MediaRow(7L, "image", Multimodal.jpegBytes(64, 32, 7L), 64, 32, 0)
+    val rz = Multimodal.resizeImages(Seq(big).toDF(), maxDim = 16).collect().head
+    assert(rz.getAs[String]("decode_error") == null)
+    assert(rz.getAs[Int]("width") == 16 && rz.getAs[Int]("height") == 8)
+    val outBytes = rz.getAs[Array[Byte]]("payload")
+    assert(Multimodal.imageFormat(outBytes) == "jpg", "JPEG in, JPEG out")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(img.getWidth == 16 && img.getHeight == 8)
+
+    // Corrupt JPEG (truncated mid-scan) = one error row, not a task failure.
+    val bad = Multimodal.MediaRow(8L, "image", Multimodal.jpegBytes(32, 32, 8L).take(40), 0, 0, 0)
+    val er = Multimodal.extractFeatures(Seq(bad).toDF()).collect().head
+    assert(er.getAs[String]("decode_error") != null, "truncated JPEG must error")
+    val er2 = Multimodal.resizeImages(Seq(bad).toDF()).collect().head
+    assert(er2.getAs[String]("decode_error") != null, "truncated JPEG must error in resize")
+  }
+
+  test("persistent BM25 index: pruned postings scan, equals scan-time bm25, O(increment) append, compaction") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val corpus = Tables(spark, sf0001).documents
+    // Build from a prefix, append the rest: the queried index must equal
+    // the scan-time scorer over the FULL corpus — the access path changes,
+    // the answer may not.
+    val head = corpus.filter(col("doc_id") % 2 === 0)
+    val tail = corpus.filter(col("doc_id") % 2 === 1)
+    Retrieval.buildBm25Index(head, dir)
+    Retrieval.appendToBm25Index(tail, dir)
+    val (rows, plans) = graft.PlanCapture.scansOf(spark, s"$dir/postings") {
+      Retrieval.bm25IndexTopK(spark, dir).collect()
+    }
+    val direct = Retrieval.bm25(corpus).collect()
+    assert(rows.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq,
+      s"index path diverged: ${rows.length} vs ${direct.length} rows")
+    assert(rows.nonEmpty)
+    // The query-term IN-list must be PUSHED into the postings reader
+    // (sorted-by-term buckets prune row groups), and the store must be
+    // scanned, never shuffled (bucketed layout feeds the df aggregate).
+    val scans = plans.flatMap(graft.PlanCapture.nodes).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("bm25idx")) => f
+    }
+    assert(scans.nonEmpty, "no captured scan of the postings store")
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("In(term"))),
+      s"term IN-list not pushed: ${scans.map(_.metadata.get("PushedFilters")).mkString(";")}")
+    plans.foreach(p => assert(
+      !graft.PlanCapture.shufflesRawScanOf(p, s"$dir/postings"),
+      "postings store rows were shuffled — bucketed layout not honored"))
+
+    // Two appends landed two file sets + two stats partials; compaction
+    // bounds both without changing a single answer.
+    val before = graft.sinks.BucketedStore
+      .readOrEmpty(spark, s"$dir/postings", Retrieval.postingsSpec).inputFiles.length
+    assert(spark.read.parquet(s"$dir/stats").count() == 2, "one stats partial per append")
+    Retrieval.compactBm25Index(spark, dir)
+    val after = graft.sinks.BucketedStore
+      .readOrEmpty(spark, s"$dir/postings", Retrieval.postingsSpec).inputFiles.length
+    assert(after <= Retrieval.postingsSpec.numBuckets && after < before,
+      s"compaction did not bound files: $before -> $after")
+    assert(spark.read.parquet(s"$dir/stats").count() == 1, "stats partials not merged")
+    val post = Retrieval.bm25IndexTopK(spark, dir).collect()
+    assert(post.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq,
+      "compaction changed query results")
+  }
+
   test("bm25 ranks by tf with length normalization and idf discounts common terms") {
     import spark.implicits._
     // Query "apple banana". doc 1 and doc 2 have the same query-term

@@ -125,4 +125,49 @@ class PipelineStreamSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
     assert(rows == Map(1L -> false, 2L -> true, 3L -> true), rows.toString)
   }
+
+  test("streaming BM25 index: retrieval stays current with the firehose; replayed batch never double-counts") {
+    import graft.pipeline.Retrieval
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (idx, ckpt) = (tmp("psbidx"), tmp("psbckpt"))
+    val ms = MemoryStream[(Long, String)]
+    val q = PipelineStream.indexBm25(ms.toDF().toDF("doc_id", "text"), idx, ckpt)
+    val queries = Seq(0L -> "apple banana")
+    try {
+      ms.addData((1L, "apple apple banana pear"), (2L, "kiwi kiwi kiwi kiwi"))
+      q.processAllAvailable()
+      val r1 = Retrieval.bm25IndexTopK(spark, idx, queries).collect()
+      assert(r1.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L), r1.mkString(";"))
+      // Batch 1 lands a better match — visible to the next query.
+      ms.addData((3L, "apple banana apple banana"))
+      q.processAllAvailable()
+      val r2 = Retrieval.bm25IndexTopK(spark, idx, queries).collect()
+      assert(r2.map(_.getAs[Long]("doc_id")).toSeq.take(1) == Seq(3L), r2.mkString(";"))
+      assert(r2.length == 2)
+    } finally q.stop()
+
+    // The streamed index must equal a batch build over the same corpus —
+    // the shared-store contract.
+    val corpus = Seq(
+      (1L, "apple apple banana pear"), (2L, "kiwi kiwi kiwi kiwi"),
+      (3L, "apple banana apple banana")).toDF("doc_id", "text")
+    val direct = Retrieval.bm25(corpus, queries).collect()
+    val streamed = Retrieval.bm25IndexTopK(spark, idx, queries).collect()
+    assert(streamed.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+
+    // Replay: re-running a batch id whose marker exists is a no-op — tf
+    // is not double-counted, the postings/stats stores do not grow.
+    val before = spark.read.parquet(s"$idx/stats").count()
+    val replay = Seq((99L, "should be skipped")).toDF("doc_id", "text")
+    assert(!PipelineStream.appendBm25BatchOnce(replay, idx, 0L),
+      "batch 0's marker exists — the replay must be skipped")
+    assert(spark.read.parquet(s"$idx/stats").count() == before,
+      "replayed batch ids must not re-append")
+    val afterReplay = Retrieval.bm25IndexTopK(spark, idx, queries).collect()
+    assert(afterReplay.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+    // A NEW batch id still applies.
+    assert(PipelineStream.appendBm25BatchOnce(replay, idx, 7L))
+    assert(spark.read.parquet(s"$idx/stats").count() == before + 1)
+  }
 }
