@@ -222,6 +222,16 @@ object WidthBench {
     sb ++= "  at 40k vectors in 4 crowded cells, bounded 2.2s vs single-level\n"
     sb ++= "  49.3s with identical decision tables and full planted-copy recall.\n"
     sb ++= s"\nGenerated by `graft.tools.WidthBench` (run: `sbt \"runMain graft.tools.WidthBench\"`).\n"
+    // Preserve the hand-maintained lifecycle-evidence addendum (IncScale /
+    // IndexScale / SemScale / Q69Width results) across regenerations: keep
+    // everything from the marker line onward.
+    val marker = "<!-- lifecycle-evidence -->"
+    val prev = java.nio.file.Paths.get(outPath)
+    if (java.nio.file.Files.exists(prev)) {
+      val old = java.nio.file.Files.readString(prev)
+      val at = old.indexOf(marker)
+      if (at >= 0) sb ++= "\n" + old.substring(at)
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
     println(sb.toString)
     spark.stop()
