@@ -289,6 +289,49 @@ object Dedup {
       .limit(limit)
   }
 
+  /** Asymmetric shingle-containment near-dup pairs (Broder's containment
+    * measure from the original shingling work): C = |S(A)∩S(B)| /
+    * min(|S(A)|, |S(B)|) over the distinct bigram shingle sets — the
+    * doc-INSIDE-doc detector that symmetric Jaccard structurally
+    * under-weights: a 50-token document quoted verbatim inside a
+    * 2000-token aggregator page scores Jaccard ≈ 0.03 but containment
+    * 1.0, and web-scale corpora are full of exactly that shape (quotes,
+    * wrappers, syndication). Same scale guard as [[ngramJaccardPairs]]:
+    * candidates from the df-capped inverted bigram index (never
+    * all-pairs — any pair at C ≥ threshold > 0 shares a shingle, and a
+    * pair sharing only super-cap boilerplate shingles is by definition
+    * not containment signal), exact intersection over the full sets in
+    * the verify join, round-before-threshold so both engines agree on
+    * the boundary. */
+  def containmentPairs(
+      docs: DataFrame,
+      threshold: Double = 0.3,
+      maxDf: Int = 50,
+      limit: Int = 500): DataFrame = {
+    val sets = graft.Materialize(spread(docs)
+      .select(col("doc_id"), shingles(2).as("sh")))
+    val sh0 = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val keep = sh0.groupBy("s")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select("s")
+    val sh = graft.Materialize(sh0.join(broadcast(keep), Seq("s")))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .distinct()
+    pairs
+      .join(sets.select(col("doc_id").as("left_id"), col("sh").as("lsh")), Seq("left_id"))
+      .join(sets.select(col("doc_id").as("right_id"), col("sh").as("rsh")), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        round(size(array_intersect(col("lsh"), col("rsh"))) /
+          least(size(col("lsh")), size(col("rsh"))).cast("double"), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(desc("containment"), asc("left_id"), asc("right_id"))
+      .limit(limit)
+  }
+
   /** Fuzzy near-dup pairs by edit distance: candidates from the df-capped
     * inverted shingle index (exact, never all-pairs — the same scale
     * guard as [[ngramJaccardPairs]]), verified by full-text Levenshtein.
@@ -587,6 +630,7 @@ object Dedup {
     "q19_dedup_exact"      -> ((s, d) => exact(Tables(s, d).documents)),
     "dedup_minhash_lsh"    -> ((s, d) => minhashDedup(Tables(s, d).documents)),
     "dedup_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
+    "dedup_containment"    -> ((s, d) => containmentPairs(Tables(s, d).documents)),
     "dedup_simhash"        -> ((s, d) => simhashDedup(Tables(s, d).documents)),
     "q69_edit_distance"    -> ((s, d) => editDistancePairs(Tables(s, d).documents)),
     "q73_paragraph_dedup"  -> ((s, d) => paragraphDedup(Tables(s, d).documents)),
@@ -751,5 +795,26 @@ object Dedup {
          |  FROM cand JOIN shf x ON x.doc_id = cand.l JOIN shf y ON y.doc_id = cand.r)
          |SELECT left_id, right_id, jaccard FROM scored WHERE jaccard >= 0.08
          |ORDER BY jaccard DESC, left_id, right_id LIMIT 500""".stripMargin),
+    // The jaccard twin with the asymmetric denominator: containment =
+    // |A∩B| / min(|A|,|B|) over the same df-capped candidate pairs,
+    // rounded before the threshold like every score boundary here.
+    "dedup_containment" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |shf AS (SELECT doc_id, CASE WHEN len(t) >= 2
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+         |       i -> array_to_string(t[i:i+1], ' ')))
+         |  ELSE [text] END AS sh FROM toks),
+         |sh0 AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+         |keep AS (SELECT s FROM sh0 GROUP BY s
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+         |  FROM sh0 a JOIN keep USING (s) JOIN sh0 b USING (s)
+         |  WHERE a.doc_id < b.doc_id),
+         |scored AS (SELECT l AS left_id, r AS right_id,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |      least(len(x.sh), len(y.sh)), 4) AS containment
+         |  FROM cand JOIN shf x ON x.doc_id = cand.l JOIN shf y ON y.doc_id = cand.r)
+         |SELECT left_id, right_id, containment FROM scored WHERE containment >= 0.3
+         |ORDER BY containment DESC, left_id, right_id LIMIT 500""".stripMargin),
   )
 }

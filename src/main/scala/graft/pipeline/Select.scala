@@ -412,6 +412,33 @@ object Select {
       .orderBy("doc_id")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): each document draws u ∈ (0,1) from
+    * the re-runnable md5 gate and is ranked by r = ln(u)/w with weight
+    * w = n_chars; the global top-k by r IS a weight-proportional sample
+    * without replacement (the A-ES key u^(1/w) is log-monotone ≡
+    * ln(u)/w) — longer documents are proportionally likelier, yet any
+    * document can surface, and re-running over the same corpus returns
+    * the same sample. Scale: one corpus scan into a global
+    * TakeOrderedAndProject — a bounded per-partition heap, so ≤ k rows
+    * per map task cross the wire, never the corpus; no stratum windows.
+    * Cross-engine exactness: u = (hk32 + 0.5)/2^32 is an exact dyadic
+    * double in both engines; ln and the divide are sub-ulp-stable libm
+    * calls whose 6-dp rounding BEFORE ranking (doc_id tiebreak, the
+    * bm25/q64 ln-score precedent) pins both the selected set and the
+    * emitted score. 6 dp (not the usual 4) because r concentrates near 0
+    * for heavy documents — 4 dp would tie half the head and hand the
+    * choice to the tiebreak instead of the weights. */
+  def weightedSample(docs: DataFrame, k: Int = 200): DataFrame =
+    docs
+      .withColumn("hk32",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_chars").as("weight"),
+        round(log((col("hk32").cast("double") + lit(0.5)) / lit(4294967296.0)) /
+          col("n_chars"), 6).as("draw"))
+      .orderBy(desc("draw"), asc("doc_id"))
+      .limit(k)
+
   /** Temperature-based UPSAMPLING with epochs — the dual of
     * [[temperatureSample]]: instead of thinning the head, repeat the tail.
     * Each language gets a target epoch count e_l = min((n_max/n_l)^(1−α),
@@ -627,6 +654,7 @@ object Select {
     "q76_token_budget"  -> ((s, d) => tokenBudgetFill(Tables(s, d).documents)),
     "q77_epochs_upsample" -> ((s, d) => epochsUpsample(Tables(s, d).documents)),
     "q79_importance_weights" -> ((s, d) => importanceWeights(Tables(s, d).documents)),
+    "q84_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -688,6 +716,15 @@ object Select {
          |  COALESCE(ov.n, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov USING (doc_id)
          |WHERE d.doc_id % 23 <> 0 ORDER BY d.doc_id""".stripMargin),
+    // A-ES replay: the same exact dyadic u = (hk32 + 0.5)/2^32, the same
+    // ln(u)/w key rounded 6 dp BEFORE the ranking with doc_id tiebreak.
+    "q84_weighted_sample" ->
+      ("""SELECT doc_id, lang, weight, draw FROM (
+         |  SELECT doc_id, lang, n_chars AS weight,
+         |    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) + 0.5) / 4294967296.0) / n_chars, 6) AS draw
+         |  FROM documents) t
+         |ORDER BY draw DESC, doc_id LIMIT 200""".stripMargin),
     "q59_strat_sample" ->
       ("""SELECT doc_id, lang, source FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <

@@ -88,6 +88,45 @@ object Similarity {
     rankTopK(scored, k, "sim", ascending = false)
   }
 
+  /** kNN label propagation (majority-vote classification): each query
+    * vector is assigned the majority label among its k nearest neighbors
+    * by exact cosine — the standard label-densification step for weakly
+    * labeled corpora (classify new documents by their embedded
+    * neighborhood). Scale shape is [[bruteForceTopK]]'s: broadcast query
+    * set, ONE corpus scan into the bounded per-query top-k aggregation —
+    * then labels attach to the ≤ nQueries·k surviving neighbor rows via
+    * a broadcast join against the (vec_id, label) projection (the corpus
+    * is re-scanned column-pruned, never shuffled), and the vote argmax
+    * is a struct-max over the tiny vote table. Deterministic across
+    * engines end to end: 4-dp rounded sims + vec_id tiebreak fix the
+    * neighbor SET, votes tie-break (votes desc, best_sim desc, label
+    * asc). */
+  def knnClassify(emb: DataFrame, nQueries: Int = 30, k: Int = 10): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(emb.sparkSession, "embedding", "qe"), 4).as("sim"))
+    val neigh = rankTopK(scored, k, "sim", ascending = false)
+    val votes = emb.select(col("vec_id"), col("label"))
+      .join(broadcast(neigh), Seq("vec_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), max(col("sim")).as("best_sim"))
+    // Deterministic per-query argmax without a window: max over the
+    // lexicographic struct ≡ ROW_NUMBER ordered (votes DESC, best_sim
+    // DESC, label ASC) = 1 — negating label turns its asc tiebreak into
+    // a max. The vote table is ≤ nQueries·k rows.
+    votes
+      .groupBy("query_id")
+      .agg(max(struct(col("votes"), col("best_sim"), (-col("label")).as("nl")))
+        .as("w"))
+      .select(col("query_id"),
+        (-col("w.nl")).cast("int").as("pred_label"),
+        col("w.votes").as("votes"),
+        col("w.best_sim").as("best_sim"))
+      .orderBy("query_id")
+  }
+
   /** Deterministic hyperplane component for (plane j, dim i): the
     * md5-derived 64-bit word of "j:i" ([[graft.functions.PortableHash]]
     * semantics — first 16 hex chars as a signed long) mapped to [-1, 1)
@@ -1409,6 +1448,7 @@ object Similarity {
     "q52_embed_quant"   -> ((s, d) => quantization(Tables(s, d).embeddings)),
     "q22_knn_cosine"    -> ((s, d) => bruteForceTopK(Tables(s, d).embeddings)),
     "q80_hard_negatives" -> ((s, d) => hardNegatives(Tables(s, d).embeddings)),
+    "knn_classify"      -> ((s, d) => knnClassify(Tables(s, d).embeddings)),
     "knn_ann_lsh"       -> ((s, d) => annTopK(Tables(s, d).embeddings)),
     "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
     "knn_ivfpq"         -> ((s, d) => ivfPqTopK(Tables(s, d).embeddings)),
@@ -1502,6 +1542,30 @@ object Similarity {
         "AND e.label <> q.label) s " +
         "WHERE sim IS NOT NULL AND NOT isnan(sim)) t " +
         "WHERE rn <= 10 ORDER BY query_id, sim DESC, vec_id"),
+    // q22's neighbor pipeline (same sims, same rounding, same NaN/null
+    // drops, same vec_id tiebreak ⇒ same neighbor SET) followed by the
+    // vote replay: count+max per (query, label), argmax via ROW_NUMBER
+    // ordered (votes DESC, best_sim DESC, label) ≡ the engine's
+    // struct-max with negated label.
+    "knn_classify" ->
+      ("""WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id, e.label,
+         |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])), 4) AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 30 AND e.vec_id <> q.vec_id),
+         |n AS (SELECT query_id, label, sim FROM (
+         |    SELECT query_id, label, sim,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, vec_id) AS rn
+         |    FROM s WHERE sim IS NOT NULL AND NOT isnan(sim)) t
+         |  WHERE rn <= 10),
+         |v AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes,
+         |    max(sim) AS best_sim FROM n GROUP BY query_id, label)
+         |SELECT query_id, pred_label, votes, best_sim FROM (
+         |  SELECT query_id, label AS pred_label, votes, best_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, best_sim DESC, label) AS rn
+         |  FROM v) z WHERE rn = 1 ORDER BY query_id""".stripMargin),
     // Exhaustive all-pairs twin of the hyperplane-LSH near-dup pipeline.
     // On this corpus no pair reaches the 0.9 cosine threshold (max
     // pairwise cos ≈ 0.51), so the oracle's value is proving NO FALSE

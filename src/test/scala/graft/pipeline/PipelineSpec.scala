@@ -1538,4 +1538,60 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("containment pairs flag doc-inside-doc that jaccard under-scores") {
+    import spark.implicits._
+    // doc 2 (10 tokens) appears verbatim at the tail of doc 1 (90
+    // tokens): containment 1.0, Jaccard ≈ 0.10. doc 3 is unrelated.
+    val small = (1 to 10).map("s" + _).mkString(" ")
+    val big = ((1 to 80).map("w" + _) ++ (1 to 10).map("s" + _)).mkString(" ")
+    val d = Seq((1L, big), (2L, small),
+      (3L, (1 to 30).map("z" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, threshold = 0.9).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L &&
+      out.head.getDouble(2) == 1.0)
+    // The same pair under symmetric Jaccard sits far below any usable
+    // near-dup threshold — the measure, not the candidates, is what
+    // containment adds.
+    val j = Dedup.ngramJaccardPairs(d, threshold = 0.0).collect()
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(j.exists(_.getDouble(2) < 0.2))
+  }
+
+  test("containment pairs respect the df cap and the ordered-pair contract") {
+    val rows = Dedup.containmentPairs(docs, threshold = 0.05).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.05 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("knn classify: majority label of the embedded neighborhood wins") {
+    import spark.implicits._
+    // Two tight clusters on orthogonal axes; query 0 sits near the
+    // axis-0 cluster (label 7), query 1 near axis-1 (label 9). Queries
+    // carry a sentinel label that must never be predicted (they are
+    // excluded as their own neighbors, and the clusters outvote the
+    // other query).
+    def v(axis: Int, eps: Float) = Array.tabulate(4)(i => if (i == axis) 1f else eps)
+    val rows = Seq((0L, v(0, 0.01f), -1), (1L, v(1, 0.02f), -1)) ++
+      (2 to 7).map(i => (i.toLong, v(0, 0.001f * i), 7)) ++
+      (8 to 13).map(i => (i.toLong, v(1, 0.001f * i), 9))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(df, nQueries = 2, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(0L)._1 == 7 && out(1L)._1 == 9)
+    assert(out(0L)._2 == 5L, "all k=5 nearest of query 0 are the axis-0 cluster")
+  }
+
+  test("knn classify on the corpus: one prediction per query, votes bounded by k") {
+    val out = Similarity.knnClassify(emb, nQueries = 10, k = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L until 10L),
+      "exactly one row per query, ordered")
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 10L)
+      assert(r.getDouble(3) <= 1.0)
+    }
+  }
 }

@@ -365,4 +365,26 @@ class SelectSpec extends AnyFunSuite {
     assert(highFpp.sameElements(exact), "verify join must kill bloom false positives")
     assert(exact.exists(_.contains("true")), "fixture must contain a contaminated doc")
   }
+
+  test("weighted sample: exact k, no replacement, deterministic, weight-biased") {
+    val corpus = graft.Tables(spark, graft.SparkTestSession.sf0001).documents
+    val s1 = Select.weightedSample(corpus, k = 100).collect()
+    val s2 = Select.weightedSample(corpus, k = 100).collect()
+    assert(s1.map(_.getLong(0)).sameElements(s2.map(_.getLong(0))),
+      "re-running over the same corpus returns the same sample in the same order")
+    assert(s1.length == 100 && s1.map(_.getLong(0)).distinct.length == 100,
+      "exactly k distinct documents (without replacement)")
+    // A-ES with w = n_chars overrepresents long documents: the sample's
+    // mean length must exceed the corpus mean (500 docs, k=100 — the
+    // gap is far outside noise for any meaningful weight spread).
+    val sampleMean = s1.map(_.getLong(2)).sum.toDouble / s1.length
+    val corpusMean = corpus.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+    // Ranked output: draw descending, doc_id tiebreak.
+    s1.zip(s1.tail).foreach { case (hi, lo) =>
+      assert(hi.getDouble(3) > lo.getDouble(3) ||
+        (hi.getDouble(3) == lo.getDouble(3) && hi.getLong(0) < lo.getLong(0)))
+    }
+  }
 }
