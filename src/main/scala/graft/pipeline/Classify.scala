@@ -1,0 +1,208 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.functions.PortableHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine linear text classification — the quality-filter shape every
+  * large pretraining corpus runs (GPT-3's LR filter over CommonCrawl,
+  * CCNet's fastText is-Wikipedia-like gate): a logistic regression over
+  * hashed bigram features, trained AND applied inside the engine with no
+  * ML library, deterministically enough to spec.
+  *
+  * Reference scope: gofeed has no analytics surface (SURVEY §0); this is
+  * part of the brief's training-data-pipeline mandate, alongside DSIR
+  * importance weighting ([[Select.importanceWeights]] — the closed-form
+  * cousin; this module learns the discriminator instead of assuming the
+  * NB form).
+  *
+  * Spark-first training shape (the part worth reading): each gradient
+  * iteration is ONE job over a doc-level feature-array table —
+  * the current weight vector is embedded as a LITERAL array (4 KB — the
+  * broadcast-join degenerate case, zero exchange), the per-doc dot
+  * product is a higher-order `aggregate` fold, and the per-bucket
+  * gradient is a map-side-combined hash aggregate over the exploded
+  * features with a driver collect bounded at `Buckets`+1 rows per
+  * iteration (the Lloyd-trainer convention: the model table is
+  * corpus-independent, so collecting it is O(model), never O(data)).
+  * No per-iteration corpus shuffle beyond that single bounded aggregate;
+  * the feature table itself is built once (two shuffles) and reused by
+  * every iteration and by scoring.
+  */
+object Classify {
+
+  /** Hashed feature space. Power of two so the DuckDB twin's unsigned
+    * mod equals Spark's signed pmod (the q79 identity). */
+  val Buckets = 4096
+
+  /** Sentinel feature id for the intercept; maps to weight slot
+    * [[Buckets]]. */
+  private val InterceptF = -1L
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Exploded hashed-bigram instances: (doc_id, lang, f). */
+  private def bigramBuckets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))"))
+        .as("bgram"))
+      .select(col("doc_id"), col("lang"),
+        pmod(PortableHash.hash64(col("bgram")), lit(Buckets.toLong)).as("f"))
+  }
+
+  /** Doc-level training table: (doc_id, y, feats) where feats is the
+    * sparse feature vector array<struct<f,x>> (x = raw bucket count —
+    * the standard text-LR featurization; per-doc normalization shrinks
+    * every gradient by ~1/len and stalls full-batch GD) with the
+    * intercept pseudo-feature (f = −1, x = 1) appended. Documents
+    * without a bigram carry no lexical evidence and are excluded from
+    * training (scoring handles them via the intercept alone). */
+  private def featureTable(docs: DataFrame, targetLang: String): DataFrame = {
+    val perBucket = bigramBuckets(docs)
+      .groupBy(col("doc_id"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+    perBucket
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(collect_list(struct(col("f"), col("cnt"))).as("fc"))
+      .select(col("doc_id"), col("lang"),
+        when(col("lang") === targetLang, 1.0).otherwise(0.0).as("y"),
+        concat(
+          expr("transform(fc, s -> struct(s.f AS f, CAST(s.cnt AS DOUBLE) AS x))"),
+          array(struct(lit(InterceptF).as("f"), lit(1.0).as("x")))).as("feats"))
+  }
+
+  /** Full-batch gradient-descent logistic regression on the weak label
+    * y = (lang == targetLang). Returns the trained weight vector of
+    * size [[Buckets]]+1 (last slot = intercept). Deterministic up to
+    * float-summation order (sub-ulp; the spec asserts decisions, not
+    * bits). L2 applies to feature weights, not the intercept. */
+  def trainLogistic(
+      docs: DataFrame,
+      targetLang: String = "en",
+      iters: Int = 12,
+      step: Double = 5.0,
+      l2: Double = 1e-6): Array[Double] = {
+    val ft = graft.Materialize(featureTable(docs, targetLang))
+    val n = ft.count().toDouble
+    val w = Array.fill(Buckets + 1)(0.0)
+    if (n > 0) for (_ <- 0 until iters) {
+      // ONE array-literal node (not a 4097-child CreateArray): the
+      // whole-stage codegen for each iteration's fresh plan stays small
+      // and compiles in milliseconds, which is what makes a
+      // driver-coordinated GD loop affordable.
+      val wLit = typedlit(w.toIndexedSeq)
+      val dot = aggregate(col("feats"), lit(0.0), (acc, s) =>
+        acc + s.getField("x") * element_at(wLit,
+          (when(s.getField("f") < 0, lit(Buckets.toLong))
+            .otherwise(s.getField("f")) + lit(1L)).cast("int")))
+      val grads = ft
+        .select((sigmoid(dot) - col("y")).as("r"), col("feats"))
+        .select(col("r"), explode(col("feats")).as("fe"))
+        .groupBy(col("fe.f").as("f"))
+        .agg(sum(col("r") * col("fe.x")).as("g"))
+        .collect() // bounded: ≤ Buckets + 1 rows (the model, not the data)
+      grads.foreach { row =>
+        val f = row.getLong(0)
+        val i = if (f < 0) Buckets else f.toInt
+        val reg = if (i == Buckets) 0.0 else l2 * w(i)
+        w(i) -= step * (row.getDouble(1) / n + reg)
+      }
+    }
+    graft.Materialize.release(ft)
+    w
+  }
+
+  /** Score every document under a trained weight vector: prob =
+    * σ(w0 + Σ x·w_f), is_target = rounded prob > 0.5. Bigram-less
+    * documents score on the intercept alone. One feature pass + one
+    * doc_id aggregate; the model rides along as a literal array. */
+  def scoreLogistic(docs: DataFrame, w: Array[Double]): DataFrame = {
+    require(w.length == Buckets + 1, s"weight vector must be ${Buckets + 1} long")
+    val wLit = typedlit(w.toIndexedSeq)
+    val z = bigramBuckets(docs)
+      .groupBy("doc_id")
+      // Instance-sum identity: Σ_b cnt_b·w_b = Σ_instances w_f — no
+      // per-bucket pre-aggregation needed.
+      .agg(sum(element_at(wLit, (col("f") + lit(1L)).cast("int"))).as("zf"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        round(sigmoid(coalesce(col("zf"), lit(0.0)) + lit(w(Buckets))), 4).as("prob"))
+      .withColumn("is_target", col("prob") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Train-then-score composition — the registry entry. */
+  def qualityClassifier(docs: DataFrame, targetLang: String = "en"): DataFrame =
+    scoreLogistic(docs, trainLogistic(docs, targetLang))
+
+  /** Deterministic md5-derived weight for bucket f — the same
+    * literal-weight trick as [[Similarity.planeWeight]], but computable
+    * IN SQL per row in both engines (namespace "qw:"), so the fixed
+    * witness needs no 4096-literal table. Range [−1, 1). */
+  private def fixedWeight(f: Column): Column =
+    (pmod(PortableHash.hash64(concat(lit("qw:"), f.cast("string"))),
+      lit(2000L)) - lit(1000L)).cast("double") / lit(1000.0)
+
+  /** The oracle witness (the dedup_semantic_fixed convention): the
+    * SCORING pipeline — hashed bigrams → normalized dot product →
+    * sigmoid → decision — under FIXED md5-derived weights and no
+    * intercept, fully replayable in DuckDB SQL. What it pins: feature
+    * hashing, the instance-sum normalization, the sigmoid decision
+    * boundary, and the empty-doc fallback; what it deliberately does
+    * not: the GD fixpoint (iterative and data-dependent — the
+    * knn_ivfpq argument), which the training specs own. */
+  def qualityScoreFixed(docs: DataFrame): DataFrame = {
+    val z = bigramBuckets(docs)
+      .groupBy("doc_id")
+      .agg((sum(fixedWeight(col("f"))) / count(lit(1))).as("zf"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        round(coalesce(col("zf"), lit(0.0)), 4).as("z"),
+        round(sigmoid(coalesce(col("zf"), lit(0.0))), 4).as("prob"))
+      .withColumn("is_target", col("prob") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_classifier" -> ((s, d) =>
+      qualityClassifier(Tables(s, d).documents)),
+    "quality_score_fixed" -> ((s, d) =>
+      qualityScoreFixed(Tables(s, d).documents)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    // Full replay of the fixed-weight scorer: q79's bigram + bucket
+    // derivation (unsigned mod 4096 ≡ signed pmod), the md5 weight in
+    // signed pmod-2000 space, the instance-sum normalization, ROUND(…,4)
+    // absorbing summation-order ulp drift (q75/q79 argument), and the
+    // decision on each engine's OWN rounded value.
+    "quality_score_fixed" -> {
+      import PortableHash.{duckSigned, duckUnsigned}
+      val s = duckSigned(duckUnsigned("'qw:' || CAST(f AS VARCHAR)"))
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bgr AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(2, len(toks)),
+         |      i -> toks[i - 1] || ' ' || toks[i])) AS bgram
+         |  FROM t WHERE len(toks) >= 2),
+         |h AS (SELECT doc_id,
+         |    CAST(${duckUnsigned("bgram")} % 4096 AS BIGINT) AS f FROM bgr),
+         |hw AS (SELECT doc_id,
+         |    ((((($s) % 2000) + 2000) % 2000) - 1000) / 1000.0 AS w FROM h),
+         |sc AS (SELECT doc_id, sum(w) / count(*) AS zf FROM hw GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |  ROUND(COALESCE(sc.zf, 0.0), 4) AS z,
+         |  ROUND(1.0 / (1.0 + exp(-COALESCE(sc.zf, 0.0))), 4) AS prob,
+         |  ROUND(1.0 / (1.0 + exp(-COALESCE(sc.zf, 0.0))), 4) > 0.5 AS is_target
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GD trainer's decisions (the oracle pins the fixed-weight scorer;
+  * the iterative fixpoint is spec'd here — the knn_ivfpq convention). */
+class ClassifySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private lazy val corpus = Tables(spark, sf0001).documents
+
+  test("logistic trainer separates a vocabulary-disjoint corpus") {
+    // 40 'en' docs over vocab A, 40 'de' docs over vocab B — linearly
+    // separable in bucket space (disjoint supports). The trained model
+    // must classify its own training set nearly perfectly.
+    def doc(v: String, i: Int) =
+      (0 to 11).map(j => s"${v}${(i * 7 + j * 3) % 20}").mkString(" ")
+    val rows = (0 until 40).map(i => (i.toLong, doc("aa", i), "en")) ++
+      (0 until 40).map(i => (100L + i, doc("bb", i), "de"))
+    val d = rows.toDF("doc_id", "text", "lang")
+    val out = Classify.qualityClassifier(d).collect()
+    assert(out.length == 80)
+    val correct = out.count { r =>
+      val isEn = r.getLong(0) < 100L
+      r.getBoolean(3) == isEn
+    }
+    assert(correct >= 76, s"separable corpus: $correct/80 correct")
+    // Probabilities respect the margin direction on average.
+    val enMean = out.filter(_.getLong(0) < 100).map(_.getDouble(2)).sum / 40
+    val deMean = out.filter(_.getLong(0) >= 100).map(_.getDouble(2)).sum / 40
+    assert(enMean > 0.5 && deMean < 0.5, s"means: en=$enMean de=$deMean")
+  }
+
+  test("trained classifier beats the majority-class baseline on the corpus") {
+    val out = Classify.qualityClassifier(corpus).collect()
+    val langs = corpus.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val acc = out.count(r =>
+      r.getBoolean(3) == (langs(r.getLong(0)) == "en")).toDouble / out.length
+    val majority = math.max(
+      langs.values.count(_ == "en"),
+      langs.values.count(_ != "en")).toDouble / langs.size
+    assert(acc > majority,
+      s"accuracy $acc must beat majority baseline $majority")
+    assert(out.length == corpus.count(), "every document is scored")
+  }
+
+  test("bigram-less docs score on the intercept; scorer rejects bad models") {
+    val d = Seq((1L, "solo", "en"), (2L, "a b", "en")).toDF("doc_id", "text", "lang")
+    val w = Array.fill(Classify.Buckets + 1)(0.0)
+    w(Classify.Buckets) = 2.0 // intercept only
+    val out = Classify.scoreLogistic(d, w).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // σ(2) ≈ 0.8808 for both: doc 1 has no bigram, doc 2's feature
+    // weights are zero — only the intercept speaks.
+    assert(out(1L) == 0.8808 && out(2L) == 0.8808)
+    assertThrows[IllegalArgumentException] {
+      Classify.scoreLogistic(d, Array(1.0))
+    }
+  }
+
+  test("fixed-weight witness: empty docs fall to 0.5, decisions follow z") {
+    val d = Seq((1L, "solo", "en"), (2L, "x1 x2 x3", "de")).toDF("doc_id", "text", "lang")
+    val out = Classify.qualityScoreFixed(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    val r1 = out.find(_._1 == 1L).get
+    assert(r1._2 == 0.0 && r1._3 == 0.5 && !r1._4,
+      "no bigrams → z 0, prob 0.5, not target")
+    out.foreach { case (_, z, prob, pred) =>
+      assert(math.abs(prob - 1.0 / (1.0 + math.exp(-z))) < 2e-4)
+      assert(pred == (prob > 0.5))
+    }
+    // Deterministic replay.
+    val again = Classify.qualityScoreFixed(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.sameElements(again))
+  }
+}
