@@ -142,6 +142,37 @@ object Classify {
   def qualityClassifier(docs: DataFrame, targetLang: String = "en"): DataFrame =
     scoreLogistic(docs, trainLogistic(docs, targetLang))
 
+  /** Persist a trained model as a (slot, weight) parquet table — slot
+    * [[Buckets]] is the intercept. O(model): 4097 rows, one file. The
+    * production loop this enables: train nightly in batch
+    * ([[trainAndSave]]), score the firehose continuously
+    * ([[graft.streaming.PipelineStream.scoreQuality]]) — the model
+    * crosses the batch/stream boundary as data, not code. */
+  def saveModel(spark: SparkSession, w: Array[Double], dir: String): Unit = {
+    require(w.length == Buckets + 1, s"weight vector must be ${Buckets + 1} long")
+    import spark.implicits._
+    w.toIndexedSeq.zipWithIndex.map { case (wt, i) => (i, wt) }
+      .toDF("slot", "weight")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted model. Bounded collect: [[Buckets]]+1 rows. */
+  def loadModel(spark: SparkSession, dir: String): Array[Double] = {
+    val w = Array.fill(Buckets + 1)(0.0)
+    spark.read.parquet(dir).collect()
+      .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    w
+  }
+
+  /** The nightly-batch half of the train/score split. */
+  def trainAndSave(docs: DataFrame, modelDir: String,
+      targetLang: String = "en"): Array[Double] = {
+    val w = trainLogistic(docs, targetLang)
+    saveModel(docs.sparkSession, w, modelDir)
+    w
+  }
+
   /** Deterministic md5-derived weight for bucket f — the same
     * literal-weight trick as [[Similarity.planeWeight]], but computable
     * IN SQL per row in both engines (namespace "qw:"), so the fixed

@@ -146,4 +146,25 @@ object PipelineStream {
       checkpoint: String): StreamingQuery =
     incremental(docs, outDir, checkpoint)(
       graft.pipeline.Select.incrementalDecontaminate(_, storeDir))
+
+  /** Streaming quality scoring under a PERSISTED model — the other half
+    * of [[graft.pipeline.Classify.trainAndSave]]'s nightly-train /
+    * continuous-score split. The model loads ONCE at query start (a
+    * bounded 4097-row read; weights are frozen for the query's lifetime
+    * — restart to pick up a retrain, the standard model-rollout step).
+    * Scoring is stateless per batch, so replays are naturally idempotent
+    * into the per-batch-id output directories; there is no store and no
+    * crash window. */
+  def scoreQuality(docs: DataFrame, modelDir: String, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    val w = graft.pipeline.Classify.loadModel(docs.sparkSession, modelDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Classify.scoreLogistic(batch, w)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
 }

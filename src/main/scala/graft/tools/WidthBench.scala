@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.{GraftSession, Tables}
 import graft.operators.RelationalQueries
-import graft.pipeline.{Clusters, Curate, Dedup, Retrieval, Select, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Clusters, Curate, Dedup, Retrieval, Select, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,7 @@ object WidthBench {
       "dedup_simhash"       -> ((d, _, _) => Dedup.simhashDedup(d)),
       "dedup_ngram_jaccard" -> ((d, _, _) => Dedup.ngramJaccardPairs(d)),
       "q69_edit_distance"   -> ((d, _, _) => Dedup.editDistancePairs(d)),
+      "dedup_containment"   -> ((d, _, _) => Dedup.containmentPairs(d)),
       "q19_dedup_exact"     -> ((d, _, _) => Dedup.exact(d)),
       "dedup_clusters"      -> ((d, _, _) => Clusters.dedupClusters(d)),
       "q49_tfidf"           -> ((d, _, _) => TextAnalysis.tfIdf(d)),
@@ -125,6 +126,9 @@ object WidthBench {
       "q77_epochs_upsample" -> ((d, _, _) => Select.epochsUpsample(d)),
       "q78_block_mask"      -> ((d, _, _) => Dedup.frequentBlockMask(d)),
       "q79_importance_weights" -> ((d, _, _) => Select.importanceWeights(d)),
+      "q84_weighted_sample" -> ((d, _, _) => Select.weightedSample(d)),
+      "quality_score_fixed" -> ((d, _, _) => Classify.qualityScoreFixed(d)),
+      "quality_classifier"  -> ((d, _, _) => Classify.qualityClassifier(d)),
       "bpe_merges"          -> ((d, _, _) => TextAnalysis.bpeTrain(d)),
       "bpe_encode"          -> ((d, _, _) => TextAnalysis.bpeEncode(d)),
       "q82_bm25"            -> ((d, _, _) => Retrieval.bm25(d)),
@@ -133,6 +137,7 @@ object WidthBench {
       "q16_pricing"         -> ((_, r, _) => RelationalQueries.q16(spark, r)),
       "q22_knn_cosine"      -> ((_, _, e) => Similarity.bruteForceTopK(e)),
       "q80_hard_negatives"  -> ((_, _, e) => Similarity.hardNegatives(e)),
+      "knn_classify"        -> ((_, _, e) => Similarity.knnClassify(e)),
       "knn_ann_lsh"         -> ((_, _, e) => Similarity.annTopK(e)),
       "dedup_semantic"      -> ((_, _, e) => Similarity.semanticDedup(e)),
       // maxCell far below the ~n/√n average cell population, so the

@@ -78,4 +78,15 @@ class ClassifySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
     assert(out.sameElements(again))
   }
+
+  test("model persistence: save → load → score equals direct scoring") {
+    val dir = java.nio.file.Files.createTempDirectory("qcmodel").toString
+    val d = corpus.limit(120)
+    val w = Classify.trainAndSave(d, dir)
+    val loaded = Classify.loadModel(spark, dir)
+    assert(w.sameElements(loaded), "weights survive the parquet round trip bit-exact")
+    val direct = Classify.scoreLogistic(d, w).collect().map(_.toString)
+    val viaDisk = Classify.scoreLogistic(d, loaded).collect().map(_.toString)
+    assert(direct.sameElements(viaDisk))
+  }
 }

@@ -170,4 +170,42 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(PipelineStream.appendBm25BatchOnce(replay, idx, 7L))
     assert(spark.read.parquet(s"$idx/stats").count() == before + 1)
   }
+
+  test("streaming quality scoring under a persisted model equals batch scoring") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (model, out, ckpt) = (tmp("psqmodel"), tmp("psqout"), tmp("psqckpt"))
+    // Nightly half: train on a separable corpus, persist the model.
+    def doc(v: String, i: Int) =
+      (0 to 9).map(j => s"$v${(i * 5 + j) % 12}").mkString(" ")
+    val train = ((0 until 30).map(i => (i.toLong, doc("aa", i), "en")) ++
+      (0 until 30).map(i => (100L + i, doc("bb", i), "de")))
+      .toDF("doc_id", "text", "lang")
+    graft.pipeline.Classify.trainAndSave(train, model)
+
+    // Firehose half: two micro-batches scored under the frozen model.
+    val b0 = Seq((200L, doc("aa", 3), "xx"), (201L, doc("bb", 4), "xx"))
+    val b1 = Seq((202L, doc("aa", 8), "xx"), (203L, "solo", "xx"))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = PipelineStream.scoreQuality(
+      ms.toDF().toDF("doc_id", "text", "lang"), model, out, ckpt)
+    try {
+      ms.addData(b0: _*); q.processAllAvailable()
+      ms.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "lang", "prob", "is_target")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.pipeline.Classify.scoreLogistic(
+      (b0 ++ b1).toDF("doc_id", "text", "lang"),
+      graft.pipeline.Classify.loadModel(spark, model))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(streamed.toSeq == batch.toSeq,
+      "streamed scoring must equal batch scoring under the same model")
+    // The model separates the held-out docs in the expected direction.
+    val byId = streamed.map(s => s.head.asInstanceOf[Long] -> s(3).asInstanceOf[Boolean]).toMap
+    assert(byId(200L) && byId(202L) && !byId(201L),
+      s"aa-vocab docs score target-like, bb-vocab doesn't: $byId")
+  }
 }
