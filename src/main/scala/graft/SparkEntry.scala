@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.RelationalQueries
-import graft.pipeline.{Classify, Clusters, Curate, Dedup, Multimodal, Retrieval, Select, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Clusters, Curate, Dedup, Multimodal, Profile, Retrieval, Select, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -21,7 +21,7 @@ object SparkEntry {
       operators.TemporalJoins.all ++
       Dedup.queries ++ Clusters.queries ++ Curate.queries ++ Select.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Retrieval.queries ++ Classify.queries ++
+      Retrieval.queries ++ Classify.queries ++ Profile.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         // D3-D6 gate state machine: golden-fixture replay to quiescence
         // (strict assertions in FeedStepSpec; SQL can't express the fixpoint).
@@ -41,5 +41,5 @@ object SparkEntry {
       operators.TemporalJoins.oracle ++
       Dedup.oracle ++ Clusters.oracle ++ Curate.oracle ++ Select.oracle ++
       TextAnalysis.oracle ++ Similarity.oracle ++ Retrieval.oracle ++
-      Classify.oracle
+      Classify.oracle ++ Profile.oracle
 }

@@ -626,8 +626,60 @@ object Dedup {
     annotated.select("doc_id", "h", "is_duplicate", "dup_of").orderBy("doc_id")
   }
 
+  /** Keep-BEST-in-cluster dedup policy — the production variant of
+    * keep-first: within each exact-duplicate group, survive the document
+    * with the highest quality score (ties broken by lowest doc_id), so
+    * dedup no longer throws away the best-formatted copy of a viral
+    * page. Same skew-proof shape as [[exact]]: a map-side-combined
+    * struct-max AGGREGATE per content hash (argmax rides as
+    * max(struct(score, -doc_id))), never a per-hash window sort — a
+    * million-copy clique collapses per map task before the one shuffle. */
+  def keepBest(docs: DataFrame, scoreCol: String = "n_chars"): DataFrame = {
+    val cand = struct(col(scoreCol).cast("long").as("score"), (-col("doc_id")).as("negid"))
+    docs.select(md5(col("text")).as("h"), cand.as("cand"))
+      .groupBy("h")
+      .agg(max("cand").as("best"), count(lit(1)).as("group_size"))
+      .select((-col("best.negid")).as("doc_id"), col("h"),
+        col("best.score").as("score"), col("group_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-overlap estimation via a k-minimum-values sketch (Bar-Yossef
+    * et al.'s distinct-elements KMV, applied to Jaccard): how much does
+    * corpus A (src0–4) overlap corpus B (src5–9)? Each corpus's distinct
+    * trigram shingles are hashed with the portable md5 hash; the k
+    * smallest hashes of the UNION form the sketch, and the fraction of
+    * sketch members present in BOTH corpora estimates J(A,B). The answer
+    * every ingest pipeline wants before merging a new crawl snapshot —
+    * without materializing either shingle set.
+    *
+    * Scale: one distinct over (corpus, hash) — shingle strings are
+    * hashed BEFORE the shuffle, so only 8-byte keys move; the top-k is
+    * `orderBy(h).limit(k)` which Spark plans as TakeOrderedAndProject
+    * (per-partition bounded heaps + a k-row driver merge, never a global
+    * sort); the final report is one aggregate over ≤ k rows. Sketch
+    * error is O(1/√k), independent of corpus size. */
+  def corpusOverlapKmv(docs: DataFrame, k: Int = 256): DataFrame = {
+    import graft.functions.PortableHash
+    val corpus = when(
+      col("source").isin("src0", "src1", "src2", "src3", "src4"), "A").otherwise("B")
+    val hashed = spread(docs)
+      .select(corpus.as("corpus"), explode(shingles(3)).as("s"))
+      .select(col("corpus"), PortableHash.hash64(col("s")).as("h"))
+      .distinct()
+    val membership = hashed.groupBy("h")
+      .agg(max(col("corpus") === "A").as("in_a"), max(col("corpus") === "B").as("in_b"))
+    membership.orderBy("h").limit(k)
+      .agg(count(lit(1)).as("k_sketch"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_both"))
+      .select(col("k_sketch"), col("n_both"),
+        round(col("n_both").cast("double") / col("k_sketch"), 6).as("est_jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_dedup_exact"      -> ((s, d) => exact(Tables(s, d).documents)),
+    "dedup_keep_best"      -> ((s, d) => keepBest(Tables(s, d).documents)),
+    "corpus_overlap_kmv"   -> ((s, d) => corpusOverlapKmv(Tables(s, d).documents)),
     "dedup_minhash_lsh"    -> ((s, d) => minhashDedup(Tables(s, d).documents)),
     "dedup_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "dedup_containment"    -> ((s, d) => containmentPairs(Tables(s, d).documents)),
@@ -677,6 +729,35 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,
+    // argmax-by-(score desc, doc_id asc) as the ROW_NUMBER twin of the
+    // Spark side's struct-max aggregate.
+    "dedup_keep_best" ->
+      ("""WITH g AS (SELECT doc_id, md5(text) AS h, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+         |  FROM documents)
+         |SELECT doc_id, h, CAST(n_chars AS BIGINT) AS score, group_size
+         |FROM g WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    // Same portable hash, same signed ordering, same k-smallest-of-union
+    // sketch — the estimate is deterministic given the hash, so it
+    // hash-matches exactly.
+    "corpus_overlap_kmv" -> {
+      import graft.functions.PortableHash.{duckSigned, duckUnsigned}
+      s"""WITH toks AS (SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4')
+         |    THEN 'A' ELSE 'B' END AS corpus, string_split(text, ' ') AS t, text FROM documents),
+         |shf AS (SELECT corpus, CASE WHEN len(t) >= 3
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |       i -> array_to_string(t[i:i+2], ' ')))
+         |  ELSE [text] END AS sh FROM toks),
+         |ex AS (SELECT DISTINCT corpus, unnest(sh) AS s FROM shf),
+         |hs AS (SELECT DISTINCT corpus, ${duckSigned(duckUnsigned("s"))} AS h FROM ex),
+         |m AS (SELECT h, max(corpus = 'A') AS in_a, max(corpus = 'B') AS in_b FROM hs GROUP BY h),
+         |km AS (SELECT * FROM m ORDER BY h LIMIT 256)
+         |SELECT COUNT(*) AS k_sketch,
+         |  CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  ROUND(CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 6) AS est_jaccard
+         |FROM km""".stripMargin
+    },
     // Keep-first is expressed as the ROW_NUMBER twin of the Spark side's
     // min-of-(doc_id, blk_idx) aggregate; reassembly is an ordered
     // string_agg over the surviving blocks. DuckDB list slices clamp at

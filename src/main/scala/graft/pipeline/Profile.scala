@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Data profiling + declarative constraint validation — the pre-training
+  * quality gate (the Deequ/"unit tests for data" shape, published as
+  * Schelter et al., VLDB 2018): before a 100-TB corpus feeds a trainer,
+  * the pipeline asserts completeness, uniqueness, ranges and formats, and
+  * records a per-column profile so schema/distribution drift between
+  * snapshots is a diffable table, not a surprise.
+  *
+  * Scale shape: both operators are ONE aggregation pass over the input.
+  * `profileTable` computes every column's metrics in a single `agg` (the
+  * multi-count-distinct is planned by Spark as one expand + partial
+  * aggregate — map-side combined, no per-column jobs); at 100 TB the
+  * drop-in is `approx_count_distinct` (HLL, mergeable) with everything
+  * downstream unchanged — exact distinct is kept here for oracle parity.
+  * `checkConstraints` folds all constraint observations into the same
+  * single-pass conditional-count aggregate; the report is O(#constraints)
+  * rows regardless of corpus size. Neither operator shuffles more than
+  * the one final-aggregate exchange.
+  */
+object Profile {
+
+  /** Per-column profile: null count, exact distinct count, numeric
+    * min/max/mean (NULL for non-numeric columns). One row per column,
+    * computed in a single aggregate over the input. */
+  def profileTable(df: DataFrame): DataFrame = {
+    val rows = lit(df.count()) // single count job; reused for every row
+    val metrics: Seq[Column] = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val num = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__distinct"),
+        (if (num) min(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__min"),
+        (if (num) max(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__max"),
+        (if (num) round(avg(c.cast("double")), 4) else lit(null).cast("double")).as(s"${f.name}__mean"))
+    }.toSeq
+    val one = df.agg(metrics.head, metrics.tail: _*)
+    // Unpivot the single metrics row into one report row per column.
+    val stacked = df.schema.fields.map { f =>
+      s"'${f.name}', ${f.name}__nulls, ${f.name}__distinct, ${f.name}__min, ${f.name}__max, ${f.name}__mean"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${df.schema.fields.length}, $stacked) AS (col_name, n_nulls, n_distinct, min_num, max_num, mean_num)"))
+      .select(col("col_name"), rows.as("n_rows"), col("n_nulls"),
+        round(lit(1.0) - col("n_nulls") / rows, 4).as("completeness"),
+        col("n_distinct"), col("min_num"), col("max_num"), col("mean_num"))
+      .orderBy("col_name")
+  }
+
+  /** One declarative data-quality constraint. `predicate` is the
+    * per-row pass condition; the observation is the VIOLATION count, so
+    * `status` is pass iff no row violates. `unique` constraints are
+    * expressed separately (they are group-level, not per-row). */
+  final case class Check(name: String, column: String, predicate: Column)
+
+  /** Evaluate per-row checks plus uniqueness constraints in one report.
+    * Per-row checks fold into a single conditional-count aggregate (one
+    * pass); each uniqueness check is one distinct-vs-count comparison in
+    * the same aggregate. Report: (constraint, column, violations, status). */
+  def checkConstraints(df: DataFrame, checks: Seq[Check], uniqueCols: Seq[String] = Nil): DataFrame = {
+    val obs: Seq[Column] =
+      checks.map(ch => count(when(!coalesce(ch.predicate, lit(false)), 1)).as(s"v__${ch.name}")) ++
+        uniqueCols.map(c => (count(col(c)) - countDistinct(col(c))).as(s"u__$c"))
+    val one = df.agg(obs.head, obs.tail: _*)
+    val stacked = (checks.map(ch => s"'${ch.name}', '${ch.column}', v__${ch.name}") ++
+      uniqueCols.map(c => s"'unique_$c', '$c', u__$c")).mkString(", ")
+    one.select(expr(
+        s"stack(${checks.length + uniqueCols.length}, $stacked) AS (check_name, col_name, violations)"))
+      .withColumn("status", when(col("violations") === 0, "pass").otherwise("fail"))
+      .orderBy("check_name")
+  }
+
+  /** The registered constraint suite over `documents` — the checks a
+    * document corpus actually runs before training (including one that
+    * FAILS on the synthetic corpus, so the fail path is exercised by the
+    * oracle too: not every doc is >= 200 chars). */
+  private def documentsConstraints(docs: DataFrame): DataFrame =
+    checkConstraints(
+      docs,
+      Seq(
+        Check("doc_id_not_null", "doc_id", col("doc_id").isNotNull),
+        Check("text_not_null", "text", col("text").isNotNull),
+        Check("n_chars_nonneg", "n_chars", col("n_chars") >= 0),
+        Check("n_chars_matches_text", "n_chars", col("n_chars") === length(col("text"))),
+        Check("lang_in_set", "lang", col("lang").isin("en", "zh", "es", "de", "fr")),
+        Check("source_format", "source", col("source").rlike("^src[0-9]+$")),
+        Check("long_docs_only", "n_chars", col("n_chars") >= 200)),
+      uniqueCols = Seq("doc_id", "text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_table" -> ((s, d) => profileTable(Tables(s, d).documents)),
+    "profile_constraints" -> ((s, d) => documentsConstraints(Tables(s, d).documents)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    // One row per column, same single-pass aggregate shape.
+    "profile_table" ->
+      ("""WITH m AS (SELECT COUNT(*) AS n_rows,
+         |  COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS doc_id_nulls, COUNT(DISTINCT doc_id) AS doc_id_distinct,
+         |  COUNT(CASE WHEN text IS NULL THEN 1 END) AS text_nulls, COUNT(DISTINCT text) AS text_distinct,
+         |  COUNT(CASE WHEN lang IS NULL THEN 1 END) AS lang_nulls, COUNT(DISTINCT lang) AS lang_distinct,
+         |  COUNT(CASE WHEN source IS NULL THEN 1 END) AS source_nulls, COUNT(DISTINCT source) AS source_distinct,
+         |  COUNT(CASE WHEN n_chars IS NULL THEN 1 END) AS n_chars_nulls, COUNT(DISTINCT n_chars) AS n_chars_distinct,
+         |  MIN(CAST(doc_id AS DOUBLE)) AS doc_id_min, MAX(CAST(doc_id AS DOUBLE)) AS doc_id_max,
+         |  ROUND(AVG(CAST(doc_id AS DOUBLE)), 4) AS doc_id_mean,
+         |  MIN(CAST(n_chars AS DOUBLE)) AS n_chars_min, MAX(CAST(n_chars AS DOUBLE)) AS n_chars_max,
+         |  ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS n_chars_mean
+         |  FROM documents)
+         |SELECT col_name, n_rows, n_nulls, ROUND(1.0 - n_nulls / n_rows, 4) AS completeness,
+         |       n_distinct, min_num, max_num, mean_num FROM (
+         |  SELECT 'doc_id' AS col_name, n_rows, doc_id_nulls AS n_nulls, doc_id_distinct AS n_distinct,
+         |         doc_id_min AS min_num, doc_id_max AS max_num, doc_id_mean AS mean_num FROM m
+         |  UNION ALL SELECT 'text', n_rows, text_nulls, text_distinct, NULL, NULL, NULL FROM m
+         |  UNION ALL SELECT 'lang', n_rows, lang_nulls, lang_distinct, NULL, NULL, NULL FROM m
+         |  UNION ALL SELECT 'source', n_rows, source_nulls, source_distinct, NULL, NULL, NULL FROM m
+         |  UNION ALL SELECT 'n_chars', n_rows, n_chars_nulls, n_chars_distinct,
+         |         n_chars_min, n_chars_max, n_chars_mean FROM m)
+         |ORDER BY col_name""".stripMargin),
+    "profile_constraints" ->
+      ("""WITH m AS (SELECT
+         |  COUNT(CASE WHEN NOT COALESCE(doc_id IS NOT NULL, FALSE) THEN 1 END) AS v_doc_id_not_null,
+         |  COUNT(CASE WHEN NOT COALESCE(text IS NOT NULL, FALSE) THEN 1 END) AS v_text_not_null,
+         |  COUNT(CASE WHEN NOT COALESCE(n_chars >= 0, FALSE) THEN 1 END) AS v_n_chars_nonneg,
+         |  COUNT(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE) THEN 1 END) AS v_n_chars_matches_text,
+         |  COUNT(CASE WHEN NOT COALESCE(lang IN ('en','zh','es','de','fr'), FALSE) THEN 1 END) AS v_lang_in_set,
+         |  COUNT(CASE WHEN NOT COALESCE(regexp_matches(source, '^src[0-9]+$'), FALSE) THEN 1 END) AS v_source_format,
+         |  COUNT(CASE WHEN NOT COALESCE(n_chars >= 200, FALSE) THEN 1 END) AS v_long_docs_only,
+         |  COUNT(doc_id) - COUNT(DISTINCT doc_id) AS u_doc_id,
+         |  COUNT(text) - COUNT(DISTINCT text) AS u_text
+         |  FROM documents)
+         |SELECT check_name, col_name, violations,
+         |       CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status FROM (
+         |  SELECT 'doc_id_not_null' AS check_name, 'doc_id' AS col_name, v_doc_id_not_null AS violations FROM m
+         |  UNION ALL SELECT 'text_not_null', 'text', v_text_not_null FROM m
+         |  UNION ALL SELECT 'n_chars_nonneg', 'n_chars', v_n_chars_nonneg FROM m
+         |  UNION ALL SELECT 'n_chars_matches_text', 'n_chars', v_n_chars_matches_text FROM m
+         |  UNION ALL SELECT 'lang_in_set', 'lang', v_lang_in_set FROM m
+         |  UNION ALL SELECT 'source_format', 'source', v_source_format FROM m
+         |  UNION ALL SELECT 'long_docs_only', 'n_chars', v_long_docs_only FROM m
+         |  UNION ALL SELECT 'unique_doc_id', 'doc_id', u_doc_id FROM m
+         |  UNION ALL SELECT 'unique_text', 'text', u_text FROM m)
+         |ORDER BY check_name""".stripMargin),
+  )
+}

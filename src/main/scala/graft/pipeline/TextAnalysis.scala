@@ -660,7 +660,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** HTML/boilerplate stripping — the text-extraction step every
+    * web-crawl corpus runs BEFORE any quality/dedup operator (the
+    * WARC→plain-text shape): script/style blocks and comments removed
+    * wholesale, remaining tags stripped, the common entities decoded
+    * (&amp; last, so entity-encoded markup is not double-decoded),
+    * whitespace collapsed. Pure per-row regexp chain — codegen'd inside
+    * one whole-stage span, zero shuffle, scales embarrassingly.
+    *
+    * The registered query synthesizes the SAME deterministic markup
+    * around each document's text in both engines, so the strip itself is
+    * hash-checked end-to-end against DuckDB (regex subset chosen to mean
+    * the same thing under Java regex and RE2). */
+  def stripHtml(df: DataFrame, htmlCol: String = "html", out: String = "clean_text"): DataFrame = {
+    val noBlocks = regexp_replace(col(htmlCol),
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+    df.withColumn(out, trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
+  private val htmlPrefix =
+    "<html><head><style>p{color:red}</style><script>var x=1<2;</script></head>" +
+      "<body class=\"m\"><h1>&lt;Title&gt;&nbsp;</h1><p>"
+  private val htmlSuffix =
+    "</p><!-- footer --><div>A &amp; B &#39;q&#39;</div></body></html>"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_strip_html" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val wrapped = docs.select(col("doc_id"),
+        concat(lit(htmlPrefix), col("text"), lit(htmlSuffix)).as("html"))
+      stripHtml(wrapped).select("doc_id", "clean_text").orderBy("doc_id")
+    }),
     "bpe_merges"       -> ((s, d) => bpeTrain(Tables(s, d).documents)),
     "bpe_encode"       -> ((s, d) => bpeEncode(Tables(s, d).documents)),
     "q64_unigram_logprob" -> ((s, d) => unigramLogProb(Tables(s, d).documents)),
@@ -676,6 +712,20 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    // Same synthesized markup, same regex chain (RE2 'g' flag = Java
+    // replace-all default), entities decoded in the same order.
+    "text_strip_html" ->
+      ("""WITH h AS (SELECT doc_id,
+         |  '<html><head><style>p{color:red}</style><script>var x=1<2;</script></head><body class="m"><h1>&lt;Title&gt;&nbsp;</h1><p>'
+         |  || text ||
+         |  '</p><!-- footer --><div>A &amp; B &#39;q&#39;</div></body></html>' AS html
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s3)
+         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM s4 ORDER BY doc_id""".stripMargin),
     // Full train+score bigram-LM twin: count tables, vocabulary, and the
     // add-one-smoothed scoring join replay exactly in SQL; the per-doc
     // avg-of-logs is rounded to 4 dp (the q64 tolerance argument).

@@ -20,6 +20,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.sameElements(Array(1L, 3L)))
   }
 
+  test("keep-best dedup survives the highest-score copy, ties to lowest id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c", 10L), (2L, "a b c", 99L), (3L, "a b c", 99L), // dup group: 2 wins (99, lower id)
+      (4L, "x y z", 5L)                                           // singleton
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.keepBest(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 4L))
+    assert(out(2L).getLong(2) == 99L && out(2L).getLong(3) == 3L) // score, group_size
+    assert(out(4L).getLong(3) == 1L)
+  }
+
+  test("keep-best plan is an aggregate, not a window sort") {
+    val plan = Dedup.keepBest(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keepBest must aggregate, not window:\n$plan")
+  }
+
+  test("KMV overlap: disjoint corpora estimate 0, identical estimate 1") {
+    import spark.implicits._
+    def mk(src: String, off: Int) = (0 until 30).map { i =>
+      (off + i.toLong, (0 until 12).map(j => s"w${src}_${(i * 5 + j) % 40}").mkString(" "), src)
+    }
+    val disjoint = (mk("src0", 0) ++ mk("src5", 1000)).toDF("doc_id", "text", "source")
+    val dOut = Dedup.corpusOverlapKmv(disjoint).collect()(0)
+    assert(dOut.getDouble(2) == 0.0, s"disjoint est: $dOut")
+    // Same docs published in both corpora → union members all shared.
+    val same = (mk("x", 0).map { case (i, t, _) => (i, t, "src0") } ++
+      mk("x", 1000).map { case (i, t, _) => (i, t, "src5") }).toDF("doc_id", "text", "source")
+    val sOut = Dedup.corpusOverlapKmv(same).collect()(0)
+    assert(sOut.getDouble(2) == 1.0, s"identical est: $sOut")
+  }
+
+  test("KMV overlap: sketch is bounded at k and estimate tracks a planted mix") {
+    import spark.implicits._
+    // A: shingle universe U1 ∪ SHARED; B: U2 ∪ SHARED, |SHARED| ~ half.
+    def doc(id: Long, words: Seq[String], src: String) = (id, words.mkString(" "), src)
+    val shared = (0 until 200).map(i => s"s$i")
+    val aOnly = (0 until 200).map(i => s"a$i")
+    val bOnly = (0 until 200).map(i => s"b$i")
+    val rows = Seq(
+      doc(1L, shared ++ aOnly, "src0"),
+      doc(2L, shared ++ bOnly, "src5"))
+    val out = Dedup.corpusOverlapKmv(rows.toDF("doc_id", "text", "source"), k = 128).collect()(0)
+    assert(out.getLong(0) == 128L, s"sketch size: $out")
+    // True trigram-level Jaccard is ~1/3 (shared trigram runs vs three
+    // disjoint runs); a k=128 sketch must land in a generous band.
+    assert(out.getDouble(2) > 0.1 && out.getDouble(2) < 0.6, s"estimate: $out")
+  }
+
+  test("KMV overlap plan uses a bounded TakeOrdered, not a global sort") {
+    val plan = Dedup.corpusOverlapKmv(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$plan")
+  }
+
+  test("stripHtml removes markup, decodes entities, collapses whitespace") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "<html><head><style>p {x}</style></head><body><h1>T</h1>" +
+        "<p>hello   <b>world</b></p><script>if (1<2) alert('x')</script>" +
+        "<!-- note --><div>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;z&#39;&nbsp;end</div></body></html>"),
+      (2L, "no markup at all"),
+      (3L, "<p></p>")
+    ).toDF("doc_id", "html")
+    val out = TextAnalysis.stripHtml(d).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "T hello world A & B <tag> \"q\" 'z' end", s"got: '${out(1L)}'")
+    assert(out(2L) == "no markup at all")
+    assert(out(3L) == "")
+  }
+
   test("paragraph dedup removes later block instances and reassembles in order") {
     import spark.implicits._
     // Blocks are 4 tokens here. doc 1: [A][B] (A = a1..a4, B = b1..b4).

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfileSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf0001).documents
+
+  test("profileTable: one row per column with exact counts") {
+    val out = Profile.profileTable(docs).collect()
+    assert(out.map(_.getString(0)).sorted.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    val n = docs.count()
+    val byCol = out.map(r => r.getString(0) -> r).toMap
+    assert(out.forall(_.getLong(1) == n))                       // n_rows everywhere
+    assert(byCol("doc_id").getLong(2) == 0)                     // no null ids
+    assert(byCol("doc_id").getLong(4) == n)                     // ids all distinct
+    assert(byCol("doc_id").getDouble(5) == 0.0)                 // min id
+    assert(byCol("lang").getLong(4) <= 5)                       // bounded lang set
+    assert(byCol("lang").isNullAt(5) && byCol("lang").isNullAt(6)) // non-numeric: no min/max
+    assert(byCol("n_chars").getDouble(6) >= byCol("n_chars").getDouble(5)) // max >= min
+    assert(out.forall(_.getDouble(3) == 1.0))                   // fully complete corpus
+  }
+
+  test("profileTable: nulls lower completeness and are counted exactly") {
+    val d = Seq((1L, "a"), (2L, null), (3L, null), (4L, "b")).toDF("id", "s")
+    val out = Profile.profileTable(d).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s").getLong(2) == 2 && out("s").getDouble(3) == 0.5)
+    assert(out("s").getLong(4) == 2) // distinct excludes nulls
+    assert(out("id").getDouble(3) == 1.0)
+  }
+
+  test("checkConstraints: violations counted, null predicate counts as violation") {
+    val d = Seq((1L, "en", 10L), (2L, "xx", -3L), (3L, null, 5L)).toDF("id", "lang", "v")
+    val out = Profile.checkConstraints(
+      d,
+      Seq(
+        Profile.Check("lang_known", "lang", col("lang").isin("en", "de")),
+        Profile.Check("v_nonneg", "v", col("v") >= 0)),
+      uniqueCols = Seq("id")).collect()
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    assert(byName("lang_known").getLong(2) == 2)                // 'xx' + NULL both violate
+    assert(byName("lang_known").getString(3) == "fail")
+    assert(byName("v_nonneg").getLong(2) == 1)
+    assert(byName("unique_id").getLong(2) == 0 && byName("unique_id").getString(3) == "pass")
+  }
+
+  test("checkConstraints: uniqueness violations = rows minus distinct") {
+    val d = Seq((1L, "a"), (1L, "b"), (2L, "c"), (2L, "d"), (2L, "e")).toDF("id", "s")
+    val out = Profile.checkConstraints(d, Seq(Profile.Check("always", "id", lit(true))),
+      uniqueCols = Seq("id")).collect()
+    val u = out.find(_.getString(0) == "unique_id").get
+    assert(u.getLong(2) == 3 && u.getString(3) == "fail")
+  }
+
+  test("registered documents suite: expected pass/fail split on the corpus") {
+    val out = Profile.queries("profile_constraints")(spark, sf0001).collect()
+    val byName = out.map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(byName("doc_id_not_null") == "pass")
+    assert(byName("unique_doc_id") == "pass")
+    assert(byName("lang_in_set") == "pass")
+    assert(byName("source_format") == "pass")
+    assert(byName("n_chars_matches_text") == "pass")
+    // The deliberately-failing gate: the synthetic corpus has short docs.
+    assert(byName("long_docs_only") == "fail")
+  }
+
+  test("single-pass plan: profile is one aggregate family, no join") {
+    val plan = Profile.profileTable(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must not join:\n$plan")
+  }
+}
