@@ -76,6 +76,28 @@ object Profile {
       .orderBy("check_name")
   }
 
+  /** Corpus snapshot diff — what changed between two corpus versions?
+    * Every pipeline re-crawl/re-ingest needs the added / removed /
+    * changed / unchanged breakdown before deciding what downstream work
+    * (dedup, embedding, indexing) to re-run — the diff IS the increment
+    * the `incremental*` operators consume.
+    *
+    * Scale: content hashes are computed BEFORE the join (16-byte hashes
+    * move, never document text), then ONE full-outer equi-join on
+    * doc_id — both sides shuffle-partition on the same uniform key, so
+    * the join co-locates and AQE handles any residual skew. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("old_h"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("new_h"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_h").isNull, "added")
+          .when(col("new_h").isNull, "removed")
+          .when(col("old_h") =!= col("new_h"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** The registered constraint suite over `documents` — the checks a
     * document corpus actually runs before training (including one that
     * FAILS on the synthetic corpus, so the fail path is exercised by the
@@ -96,9 +118,31 @@ object Profile {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_table" -> ((s, d) => profileTable(Tables(s, d).documents)),
     "profile_constraints" -> ((s, d) => documentsConstraints(Tables(s, d).documents)),
+    // Two deterministic synthetic snapshots derived from the same corpus
+    // in BOTH engines: v1 drops doc_id%10==0 (those read as added), v2
+    // drops %10==1 (removed) and rewrites text for %7==0 (changed).
+    "profile_snapshot_diff" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 1)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      snapshotDiff(v1, v2)
+    }),
   )
 
   def oracle: Map[String, String] = Map(
+    // Same synthetic snapshots, hash-compare full-outer join twin.
+    "profile_snapshot_diff" ->
+      ("""WITH v1 AS (SELECT doc_id, md5(text) AS old_h FROM documents WHERE doc_id % 10 <> 0),
+         |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS new_h
+         |  FROM documents WHERE doc_id % 10 <> 1)
+         |SELECT doc_id,
+         |  CASE WHEN old_h IS NULL THEN 'added'
+         |       WHEN new_h IS NULL THEN 'removed'
+         |       WHEN old_h <> new_h THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM v1 FULL OUTER JOIN v2 USING (doc_id) ORDER BY doc_id""".stripMargin),
     // One row per column, same single-pass aggregate shape.
     "profile_table" ->
       ("""WITH m AS (SELECT COUNT(*) AS n_rows,

@@ -639,8 +639,59 @@ object Select {
       .orderBy("shard", "pos")
   }
 
+  /** Deterministic train/val/test split — the holdout carve-out every
+    * training run needs, as a pure hash gate (never `rand()`): the md5
+    * prefix of doc_id maps each document to the SAME split on every
+    * re-run, on any cluster, so eval sets stay frozen across pipeline
+    * re-executions and ablations remain comparable. Fractions become
+    * 32-bit hex thresholds (floor(frac·2³²) formatted %08x), compared
+    * lexicographically against the lowercase hex prefix — exact integer
+    * semantics, no float boundary ambiguity. Zero shuffle: a per-row
+    * projection the optimizer can pipeline into the scan. */
+  def splitTrainValTest(docs: DataFrame, trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1, "fractions must partition (0,1)")
+    val tTrain = f"${math.floor(trainFrac * 4294967296.0).toLong}%08x"
+    val tVal = f"${math.floor((trainFrac + valFrac) * 4294967296.0).toLong}%08x"
+    docs.withColumn("hk", substring(md5(col("doc_id").cast("string")), 1, 8))
+      .select(col("doc_id"), col("lang"),
+        when(col("hk") < lit(tTrain), "train")
+          .when(col("hk") < lit(tVal), "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Length-bucketed batching report — the padding-efficiency planner
+    * for inference/training batch assembly: documents grouped into
+    * `nBuckets` token-length quantile buckets, and per bucket the
+    * padding a max-length-padded batch would waste. Bucketing by exact
+    * percentiles (the q81 `percentile` ≡ quantile_cont equivalence;
+    * `approx_percentile` is the 100-TB drop-in) keeps buckets balanced
+    * under any length distribution. One percentile aggregate broadcast
+    * as an (nBuckets−1)-element array, a per-row fold to assign, one
+    * group-by over nBuckets keys — no corpus sort, no window. */
+  def lengthBuckets(docs: DataFrame, nBuckets: Int = 8): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val thr = lens.agg(expr(s"percentile(dl, array(${ps.mkString(", ")}))").as("thr"))
+    val assigned = lens.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("dl"),
+        (lit(1) + expr(
+          "aggregate(thr, 0, (acc, t) -> acc + IF(CAST(dl AS DOUBLE) > t, 1, 0))"))
+          .cast("long").as("bucket"))
+    assigned.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), max("dl").as("max_len"), sum("dl").as("sum_len"))
+      .select(col("bucket"), col("n_docs"), col("max_len"),
+        (col("n_docs") * col("max_len") - col("sum_len")).as("padding_waste"),
+        round((col("n_docs") * col("max_len") - col("sum_len")).cast("double") /
+          (col("n_docs") * col("max_len")), 4).as("waste_frac"))
+      .orderBy("bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_shard_assign"  -> ((s, d) => shardAssign(Tables(s, d).documents)),
+    "q85_split_tvt"     -> ((s, d) => splitTrainValTest(Tables(s, d).documents)),
+    "q86_length_buckets" -> ((s, d) => lengthBuckets(Tables(s, d).documents)),
     "q58_decontaminate" -> ((s, d) => decontaminate(Tables(s, d).documents)),
     "q59_strat_sample"  -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
     "q60_quota_topk"    -> ((s, d) => quotaTopK(Tables(s, d).documents)),
@@ -658,6 +709,27 @@ object Select {
   )
 
   def oracle: Map[String, String] = Map(
+    // Hex thresholds = floor(0.8·2³²) = 0xcccccccc, floor(0.9·2³²) =
+    // 0xe6666666; lexicographic compare on lowercase hex == numeric
+    // compare on the 32-bit prefix (the q59 argument).
+    "q85_split_tvt" ->
+      ("""SELECT doc_id, lang,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    // quantile_cont ≡ Spark's exact percentile (the q81 equivalence);
+    // bucket assignment is the same count-of-thresholds-below fold.
+    "q86_length_buckets" ->
+      ("""WITH lens AS (SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |thr AS (SELECT quantile_cont(dl, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS t FROM lens),
+         |a AS (SELECT doc_id, dl, CAST(1 + len(list_filter(thr.t, x -> lens.dl > x)) AS BIGINT) AS bucket
+         |  FROM lens CROSS JOIN thr),
+         |g AS (SELECT bucket, COUNT(*) AS n_docs, MAX(dl) AS max_len,
+         |    CAST(SUM(dl) AS BIGINT) AS sum_len FROM a GROUP BY bucket)
+         |SELECT bucket, n_docs, max_len, n_docs * max_len - sum_len AS padding_waste,
+         |  ROUND(CAST(n_docs * max_len - sum_len AS DOUBLE) / (n_docs * max_len), 4) AS waste_frac
+         |FROM g ORDER BY bucket""".stripMargin),
     // Full DSIR twin: same md5-derived bucket (unsigned mod 4096 == the
     // Spark side's signed pmod because 4096 divides 2^64), same add-one
     // smoothing, ln-ratio per bucket, per-doc instance sum. ROUND(…, 4)

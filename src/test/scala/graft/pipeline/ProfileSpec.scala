@@ -69,6 +69,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(byName("long_docs_only") == "fail")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = Profile.snapshotDiff(v1, v2).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshotDiff hashes before the join: no text column crosses the join") {
+    val v1 = docs
+    val v2 = docs.limit(400)
+    val plan = Profile.snapshotDiff(v1, v2).queryExecution.executedPlan.toString
+    // The join operates on (doc_id, hash) projections only.
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled equi-join:\n$plan")
+    val joinLine = plan.linesIterator.find(l => l.contains("Join") && l.contains("doc_id")).getOrElse("")
+    assert(!joinLine.contains("text"), s"text must not reach the join: $joinLine")
+  }
+
   test("single-pass plan: profile is one aggregate family, no join") {
     val plan = Profile.profileTable(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"profile must not join:\n$plan")

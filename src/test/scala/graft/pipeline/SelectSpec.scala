@@ -387,4 +387,47 @@ class SelectSpec extends AnyFunSuite {
         (hi.getDouble(3) == lo.getDouble(3) && hi.getLong(0) < lo.getLong(0)))
     }
   }
+
+  test("train/val/test split: total partition, deterministic, near the declared fractions") {
+    val d = (0L until 2000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val out = Select.splitTrainValTest(d).collect()
+    assert(out.length == 2000)
+    val bySplit = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // Hash-gate Bernoulli: expect 80/10/10 within a generous band at n=2000.
+    assert(bySplit("train") > 1500 && bySplit("train") < 1700, s"split: $bySplit")
+    assert(bySplit("val") > 120 && bySplit("val") < 280, s"split: $bySplit")
+    // Re-run selects the identical assignment (pure hash gate).
+    val again = Select.splitTrainValTest(d).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
+
+  test("train/val/test split rejects non-partitioning fractions") {
+    val d = Seq((1L, "en")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException](Select.splitTrainValTest(d, 0.9, 0.2).collect())
+  }
+
+  test("length buckets: every doc assigned, waste arithmetic exact, buckets ordered") {
+    // Lengths 1..64 → 8 buckets of 8 docs each under exact octile thresholds.
+    val d = (1 to 64).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val out = Select.lengthBuckets(d).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 8L), s"buckets: ${out.mkString(",")}")
+    assert(out.map(_.getLong(1)).sum == 64)              // every doc in exactly one bucket
+    out.foreach { r =>
+      val (n, maxLen, waste) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(waste >= 0 && waste < n * maxLen, s"waste bounds: $r")
+      assert(r.getDouble(4) == math.rint(waste.toDouble / (n * maxLen) * 10000) / 10000)
+    }
+    // Bucketing by quantiles keeps bucket populations balanced.
+    assert(out.map(_.getLong(1)).max - out.map(_.getLong(1)).min <= 2)
+  }
+
+  test("length buckets cut padding versus one global max-length batch") {
+    val d = (1 to 64).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val out = Select.lengthBuckets(d).collect()
+    val bucketedWaste = out.map(_.getLong(3)).sum
+    val globalWaste = 64L * 64L - (1L to 64L).sum       // one batch padded to max=64
+    assert(bucketedWaste < globalWaste / 4, s"bucketed $bucketedWaste vs global $globalWaste")
+  }
 }
