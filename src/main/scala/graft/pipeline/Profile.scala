@@ -98,11 +98,97 @@ object Profile {
       .orderBy("doc_id")
   }
 
+  /** Distribution drift between two corpus versions over a categorical
+    * column — the "did the language/domain mix shift under me?" check
+    * run on every snapshot refresh (the Deequ anomaly-detection shape).
+    * Per category: counts and shares in both versions plus the absolute
+    * share delta; summing `share_delta`/2 gives total variation
+    * distance. Scale: two group-bys on a low-cardinality key, a
+    * full-outer join over O(#categories) rows, totals broadcast back —
+    * nothing corpus-sized past the first aggregates. */
+  def distributionDrift(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String): DataFrame = {
+    val o = oldSnap.groupBy(col(keyCol).as("grp")).agg(count(lit(1)).as("n_old"))
+    val n = newSnap.groupBy(col(keyCol).as("grp")).agg(count(lit(1)).as("n_new"))
+    val j = o.join(n, Seq("grp"), "full_outer").na.fill(0L, Seq("n_old", "n_new"))
+    val tot = j.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
+    j.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_old"), col("n_new"),
+        round(col("n_old").cast("double") / col("t_old"), 6).as("share_old"),
+        round(col("n_new").cast("double") / col("t_new"), 6).as("share_new"),
+        round(abs(col("n_old").cast("double") / col("t_old") -
+          col("n_new").cast("double") / col("t_new")), 6).as("share_delta"))
+      .orderBy("grp")
+  }
+
+  /** Row-level annotation against a constraint suite: every row keeps
+    * all its columns plus `fail_reason` (the FIRST violated check's
+    * name, null if all pass — check order is precedence, the q53
+    * curation convention) and `valid`. The quarantine-routing form of
+    * [[checkConstraints]]: a per-row when-chain, zero shuffle. */
+  def annotate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val reason = checks.foldRight(lit(null).cast("string")) { (ch, acc) =>
+      when(!coalesce(ch.predicate, lit(false)), ch.name).otherwise(acc)
+    }
+    df.withColumn("fail_reason", reason)
+      .withColumn("valid", col("fail_reason").isNull)
+  }
+
+  /** Append one increment's per-column profile PARTIALS to a persistent
+    * store — the mergeable form of [[profileTable]] for a corpus that
+    * arrives in daily increments: counts, null counts, numeric
+    * min/max/sum, and a Datasketches HLL sketch of the (stringified)
+    * column for mergeable distinct counting. Pure append of
+    * O(#columns) rows per increment (an append-only ledger, the BM25
+    * stats precedent — no read-modify-write, O(increment) cost);
+    * [[profileFromStore]] folds the ledger whenever a profile is
+    * needed. */
+  def updateProfileStore(df: DataFrame, storeDir: String): Unit = {
+    val rows = lit(df.count())
+    val metrics: Seq[Column] = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val num = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        expr(s"hll_sketch_agg(CAST(${f.name} AS STRING))").as(s"${f.name}__sk"),
+        (if (num) min(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__min"),
+        (if (num) max(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__max"),
+        (if (num) sum(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__sum"))
+    }.toSeq
+    val one = df.agg(metrics.head, metrics.tail: _*)
+    val stacked = df.schema.fields.map { f =>
+      s"'${f.name}', ${f.name}__nulls, ${f.name}__sk, ${f.name}__min, ${f.name}__max, ${f.name}__sum"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${df.schema.fields.length}, $stacked) AS (col_name, n_nulls, sketch, min_num, max_num, sum_num)"))
+      .select(col("col_name"), rows.as("n_rows"), col("n_nulls"),
+        col("sketch"), col("min_num"), col("max_num"), col("sum_num"))
+      .write.mode("append").parquet(storeDir)
+  }
+
+  /** Fold the profile-partials ledger into the current corpus profile:
+    * counts sum, HLL sketches union (estimate replaces the exact
+    * distinct — the documented 100-TB trade [[profileTable]] names),
+    * min/max fold, mean from the exact double sums (integer-valued sums
+    * below 2^53 are reorder-safe). Cost is O(#increments × #columns)
+    * ledger rows — independent of corpus size. */
+  def profileFromStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .groupBy("col_name")
+      .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"),
+        expr("hll_sketch_estimate(hll_union_agg(sketch))").as("n_distinct_est"),
+        min("min_num").as("min_num"), max("max_num").as("max_num"),
+        sum("sum_num").as("sum_num"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        round(lit(1.0) - col("n_nulls").cast("double") / col("n_rows"), 4).as("completeness"),
+        col("n_distinct_est"), col("min_num"), col("max_num"),
+        round(col("sum_num") / (col("n_rows") - col("n_nulls")), 4).as("mean_num"))
+      .orderBy("col_name")
+
   /** The registered constraint suite over `documents` — the checks a
     * document corpus actually runs before training (including one that
     * FAILS on the synthetic corpus, so the fail path is exercised by the
     * oracle too: not every doc is >= 200 chars). */
-  private def documentsConstraints(docs: DataFrame): DataFrame =
+  def documentsConstraints(docs: DataFrame): DataFrame =
     checkConstraints(
       docs,
       Seq(
@@ -129,6 +215,13 @@ object Profile {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       snapshotDiff(v1, v2)
     }),
+    // Same synthetic snapshots; drift over the source mix.
+    "profile_drift" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      distributionDrift(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 =!= 1), "source")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -143,6 +236,21 @@ object Profile {
          |       WHEN old_h <> new_h THEN 'changed'
          |       ELSE 'unchanged' END AS status
          |FROM v1 FULL OUTER JOIN v2 USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // Shares are correctly-rounded IEEE divides of the same integers in
+    // both engines, so the 6-dp rounds agree exactly.
+    "profile_drift" ->
+      ("""WITH v1 AS (SELECT source FROM documents WHERE doc_id % 10 <> 0),
+         |v2 AS (SELECT source FROM documents WHERE doc_id % 10 <> 1),
+         |o AS (SELECT source AS grp, COUNT(*) AS n_old FROM v1 GROUP BY source),
+         |n AS (SELECT source AS grp, COUNT(*) AS n_new FROM v2 GROUP BY source),
+         |j AS (SELECT grp, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+         |  FROM o FULL OUTER JOIN n USING (grp)),
+         |t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS t_old, CAST(SUM(n_new) AS BIGINT) AS t_new FROM j)
+         |SELECT grp, n_old, n_new,
+         |  ROUND(CAST(n_old AS DOUBLE) / t_old, 6) AS share_old,
+         |  ROUND(CAST(n_new AS DOUBLE) / t_new, 6) AS share_new,
+         |  ROUND(ABS(CAST(n_old AS DOUBLE) / t_old - CAST(n_new AS DOUBLE) / t_new), 6) AS share_delta
+         |FROM j CROSS JOIN t ORDER BY grp""".stripMargin),
     // One row per column, same single-pass aggregate shape.
     "profile_table" ->
       ("""WITH m AS (SELECT COUNT(*) AS n_rows,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Continuous-ingest bridge between Structured Streaming and the
@@ -146,6 +147,32 @@ object PipelineStream {
       checkpoint: String): StreamingQuery =
     incremental(docs, outDir, checkpoint)(
       graft.pipeline.Select.incrementalDecontaminate(_, storeDir))
+
+  /** Streaming data-quality gate: every micro-batch is validated against
+    * a declarative constraint suite ([[graft.pipeline.Profile]]) — the
+    * circuit breaker in front of the ingest stores. Two artifacts land
+    * idempotently per batch id: `rows/` — every row annotated with
+    * `fail_reason`/`valid` (the quarantine routing signal), and
+    * `report/` — the per-constraint violation counts stamped with the
+    * batch id (the table an alerting job tails). Stateless per batch —
+    * replays are naturally idempotent, no store, no crash window; the
+    * annotation is a per-row when-chain and the report one
+    * conditional-count aggregate, so the gate adds no shuffle to the
+    * ingest path. */
+  def validate(docs: DataFrame, checks: Seq[graft.pipeline.Profile.Check],
+      uniqueCols: Seq[String], outDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Profile.annotate(batch, checks)
+          .write.mode("overwrite").parquet(s"$outDir/rows/batch=$batchId")
+        graft.pipeline.Profile.checkConstraints(batch, checks, uniqueCols)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/report/batch=$batchId")
+        ()
+      }
+      .start()
 
   /** Streaming quality scoring under a PERSISTED model — the other half
     * of [[graft.pipeline.Classify.trainAndSave]]'s nightly-train /

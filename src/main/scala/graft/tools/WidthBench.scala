@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.{GraftSession, Tables}
 import graft.operators.RelationalQueries
-import graft.pipeline.{Classify, Clusters, Curate, Dedup, Retrieval, Select, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Clusters, Curate, Dedup, Profile, Retrieval, Select, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -128,6 +128,23 @@ object WidthBench {
       "q79_importance_weights" -> ((d, _, _) => Select.importanceWeights(d)),
       "q84_weighted_sample" -> ((d, _, _) => Select.weightedSample(d)),
       "quality_score_fixed" -> ((d, _, _) => Classify.qualityScoreFixed(d)),
+      "profile_table"       -> ((d, _, _) => Profile.profileTable(d)),
+      "profile_constraints" -> ((d, _, _) => Profile.documentsConstraints(d)),
+      "profile_snapshot_diff" -> ((d, _, _) => {
+        // The registered query's synthetic snapshots, over the widened corpus.
+        val v1 = d.filter(col("doc_id") % 10 =!= 0)
+        val v2 = d.filter(col("doc_id") % 10 =!= 1)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Profile.snapshotDiff(v1, v2)
+      }),
+      "text_strip_html"     -> ((d, _, _) => TextAnalysis.stripHtml(
+        d.select(col("doc_id"), concat(lit("<body onload=\"x()\"><p>"),
+          col("text"), lit("</p><!-- c --><script>var y=2;</script></body>")).as("html")))),
+      "dedup_keep_best"     -> ((d, _, _) => Dedup.keepBest(d)),
+      "corpus_overlap_kmv"  -> ((d, _, _) => Dedup.corpusOverlapKmv(d)),
+      "q85_split_tvt"       -> ((d, _, _) => Select.splitTrainValTest(d)),
+      "q86_length_buckets"  -> ((d, _, _) => Select.lengthBuckets(d)),
       "quality_classifier"  -> ((d, _, _) => Classify.qualityClassifier(d)),
       "bpe_merges"          -> ((d, _, _) => TextAnalysis.bpeTrain(d)),
       "bpe_encode"          -> ((d, _, _) => TextAnalysis.bpeEncode(d)),

@@ -88,6 +88,63 @@ class ProfileSpec extends AnyFunSuite {
     assert(!joinLine.contains("text"), s"text must not reach the join: $joinLine")
   }
 
+  test("distributionDrift: shares, deltas, and vanished/new categories") {
+    import spark.implicits._
+    val v1 = Seq.fill(8)("a") ++ Seq.fill(2)("b")          // a: .8, b: .2
+    val v2 = Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq("c") // a: .5, b: .4, c: .1
+    val o = v1.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    val n = v2.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    val out = Profile.distributionDrift(o, n, "src").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(5) == 0.3)                   // |0.8 - 0.5|
+    assert(out("b").getLong(1) == 2 && out("b").getLong(2) == 4)
+    assert(out("c").getLong(1) == 0 && out("c").getDouble(3) == 0.0) // new category
+    // TVD = Σ|Δ|/2 = (0.3 + 0.2 + 0.1) / 2
+    val tvd = out.values.map(_.getDouble(5)).sum / 2
+    assert(math.abs(tvd - 0.3) < 1e-9, s"tvd: $tvd")
+  }
+
+  test("annotate: first failing check wins, clean rows pass through") {
+    import spark.implicits._
+    val d = Seq((1L, "en", 10L), (2L, "xx", -3L), (3L, "en", -1L)).toDF("id", "lang", "v")
+    val checks = Seq(
+      Profile.Check("lang_known", "lang", col("lang").isin("en", "de")),
+      Profile.Check("v_nonneg", "v", col("v") >= 0))
+    val out = Profile.annotate(d, checks).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(3)), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((None, true)))
+    assert(out(2L) == ((Some("lang_known"), false)))        // both violated: first check wins
+    assert(out(3L) == ((Some("v_nonneg"), false)))
+  }
+
+  test("incremental profile store: merged partials equal the whole-corpus profile") {
+    val dir = java.nio.file.Files.createTempDirectory("profstore").toString
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    Profile.updateProfileStore(half1, dir)
+    Profile.updateProfileStore(half2, dir)
+    val merged = Profile.profileFromStore(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Profile.profileTable(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(merged.keySet == exact.keySet)
+    merged.foreach { case (c, m) =>
+      val e = exact(c)
+      assert(m.getLong(1) == e.getLong(1), s"$c n_rows")     // counts sum exactly
+      assert(m.getLong(2) == e.getLong(2), s"$c n_nulls")
+      // HLL estimate within 2% of the exact distinct count.
+      val est = m.getLong(4).toDouble; val ex = e.getLong(4).toDouble
+      assert(math.abs(est - ex) <= ex * 0.02, s"$c distinct est=$est exact=$ex")
+      if (!e.isNullAt(5)) {
+        assert(m.getDouble(5) == e.getDouble(5), s"$c min")  // min/max/mean fold exactly
+        assert(m.getDouble(6) == e.getDouble(6), s"$c max")
+        assert(m.getDouble(7) == e.getDouble(7), s"$c mean")
+      }
+    }
+    // Ledger cost: one O(#columns) row-set per increment, no rewrite.
+    assert(spark.read.parquet(dir).count() == 2 * docs.schema.fields.length)
+  }
+
   test("single-pass plan: profile is one aggregate family, no join") {
     val plan = Profile.profileTable(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"profile must not join:\n$plan")

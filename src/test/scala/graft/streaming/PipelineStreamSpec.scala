@@ -208,4 +208,37 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(byId(200L) && byId(202L) && !byId(201L),
       s"aa-vocab docs score target-like, bb-vocab doesn't: $byId")
   }
+
+  test("streaming validation gate: per-batch quarantine annotations and reports") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (out, ckpt) = (tmp("psvout"), tmp("psvckpt"))
+    val checks = Seq(
+      graft.pipeline.Profile.Check("lang_known", "lang",
+        col("lang").isin("en", "de")),
+      graft.pipeline.Profile.Check("text_not_null", "text", col("text").isNotNull))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = PipelineStream.validate(
+      ms.toDF().toDF("doc_id", "text", "lang"), checks, Seq("doc_id"), out, ckpt)
+    try {
+      ms.addData((1L, "good", "en"), (2L, "bad lang", "zz"))
+      q.processAllAvailable()
+      ms.addData((3L, "also good", "de"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(s"$out/rows").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[String]("fail_reason")), r.getAs[Boolean]("valid")))).toMap
+    assert(rows(1L) == ((None, true)))
+    assert(rows(2L) == ((Some("lang_known"), false)), s"quarantined: ${rows(2L)}")
+    assert(rows(3L) == ((None, true)))
+
+    val reports = spark.read.parquet(s"$out/report").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("check_name")) ->
+        r.getAs[Long]("violations")).toMap
+    assert(reports((0L, "lang_known")) == 1L)   // batch 0 carried the bad row
+    assert(reports((1L, "lang_known")) == 0L)   // batch 1 clean
+    assert(reports((0L, "unique_doc_id")) == 0L)
+  }
 }
