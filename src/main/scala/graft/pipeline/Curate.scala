@@ -95,14 +95,135 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end corpus-build FUNNEL — the composed pipeline run as
+    * one accountable artifact: ingest → quality gate → exact dedup →
+    * decontamination → train split, reported as documents surviving each
+    * stage (the table a data lead reads before signing off a corpus).
+    *
+    * Single-pass shape: every document is annotated with the furthest
+    * stage it REACHES (a per-row case over the component signals), and
+    * the funnel is ONE conditional-sum aggregate over that annotation —
+    * five scalar counts, never five jobs. The component signals reuse
+    * the verified operators' semantics verbatim: q53's token-count
+    * thresholds, q19's keep-first hash aggregate (over quality
+    * survivors), q58's 8-gram eval-overlap decontamination (eval slice
+    * defined corpus-wide), q85's md5-prefix train gate. */
+  def corpusBuild(docs: DataFrame,
+      minTokens: Long = 15, maxTokens: Long = 95): DataFrame = {
+    val withSig = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      md5(col("text")).as("h"),
+      substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"))
+    val quality = withSig.filter(
+      col("n_toks") >= minTokens && col("n_toks") <= maxTokens)
+    // Keep-first among QUALITY survivors (the aggregate, q19's skew shape).
+    val keepers = quality.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_keeper"))
+    // q58 decontamination over the full corpus: non-eval docs flagged by
+    // 8-gram overlap with the eval slice.
+    val decon = Select.decontaminate(docs)
+      .select(col("doc_id"), col("contaminated"))
+    val reached = withSig
+      .join(keepers, Seq("doc_id"), "left")
+      .join(decon, Seq("doc_id"), "left") // eval docs have no decon row
+      .select(col("doc_id"), col("hk"),
+        (col("n_toks") >= minTokens && col("n_toks") <= maxTokens).as("r2"),
+        coalesce(col("is_keeper"), lit(false)).as("keeper"),
+        (col("contaminated").isNotNull && !col("contaminated")).as("clean"))
+      .select(col("hk"), col("r2"),
+        (col("r2") && col("keeper")).as("r3"), col("clean"))
+      .withColumn("r4", col("r3") && col("clean"))
+    // One conditional-sum aggregate: the whole funnel in a single job.
+    val one = reached.agg(
+      count(lit(1)).as("s1"),
+      sum(when(col("r2"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("r3"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("r4"), 1L).otherwise(0L)).as("s4"),
+      sum(when(col("r4") && col("hk") < "cccccccc", 1L).otherwise(0L)).as("s5"))
+    one.select(expr(
+        "stack(5, 1, 'ingest', s1, 2, 'quality', s2, 3, 'dedup', s3, " +
+          "4, 'decontaminated', s4, 5, 'train', s5) AS (stage_idx, stage, n_docs)"))
+      .crossJoin(broadcast(one.select(col("s1").as("n_ingest"))))
+      .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_ingest"), 6).as("retained_frac"))
+      .orderBy("stage_idx")
+  }
+
+  /** Per-source curation dashboard — the "which domains to keep" report:
+    * document count, mean length, exact-duplicate fraction, English
+    * fraction, and quality-window fraction per source, in ONE
+    * map-side-combined aggregate over the corpus (the multi-distinct
+    * plans as one expand). */
+  def sourceReport(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("n_chars"), md5(col("text")).as("h"),
+        (col("lang") === "en").as("is_en"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars").cast("double")), 2).as("avg_chars"),
+        countDistinct("h").as("n_uniq"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("n_toks").between(15, 95), 1L).otherwise(0L)).as("n_quality"))
+      .select(col("source"), col("n_docs"), col("avg_chars"),
+        round(lit(1.0) - col("n_uniq").cast("double") / col("n_docs"), 4).as("dup_frac"),
+        round(col("n_en").cast("double") / col("n_docs"), 4).as("en_frac"),
+        round(col("n_quality").cast("double") / col("n_docs"), 4).as("quality_frac"))
+      .orderBy("source")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_curation" -> ((s, d) => curation(Tables(s, d).documents)),
     "q81_quality_deciles" -> ((s, d) => qualityDeciles(Tables(s, d).documents)),
+    "pipeline_funnel" -> ((s, d) => corpusBuild(Tables(s, d).documents)),
+    "source_report" -> ((s, d) => sourceReport(Tables(s, d).documents)),
   )
 
   /** The same decision composed from the component oracles' SQL shapes
     * (q20 quality, q50 repetition, q51 PII, q19 dedup). */
   def oracle: Map[String, String] = Map(
+    // The funnel's component CTEs are the q53/q19/q58/q85 oracle shapes
+    // composed; counts via the same conditional sums.
+    "pipeline_funnel" ->
+      ("""WITH sig AS (SELECT doc_id,
+         |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    md5(text) AS h, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk, text
+         |  FROM documents),
+         |q AS (SELECT * FROM sig WHERE n_toks BETWEEN 15 AND 95),
+         |k AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1 AS is_keeper FROM q),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 7),
+         |       i -> array_to_string(t[i:i+7], ' ')))
+         |  ELSE [text] END) AS s FROM toks),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+         |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev USING (s)
+         |  WHERE sh.doc_id % 23 <> 0 GROUP BY sh.doc_id),
+         |r AS (SELECT sig.doc_id, sig.hk,
+         |    sig.n_toks BETWEEN 15 AND 95 AS r2,
+         |    (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE) AS r3,
+         |    (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE)
+         |      AND sig.doc_id % 23 <> 0 AND COALESCE(ov.n, 0) = 0 AS r4
+         |  FROM sig LEFT JOIN k USING (doc_id) LEFT JOIN ov USING (doc_id)),
+         |c AS (SELECT COUNT(*) AS s1,
+         |    CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |    CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         |    CAST(SUM(CASE WHEN r4 AND hk < 'cccccccc' THEN 1 ELSE 0 END) AS BIGINT) AS s5
+         |  FROM r)
+         |SELECT stage_idx, stage, n_docs,
+         |  ROUND(CAST(n_docs AS DOUBLE) / (SELECT s1 FROM c), 6) AS retained_frac FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'ingest' AS stage, s1 AS n_docs FROM c
+         |  UNION ALL SELECT 2, 'quality', s2 FROM c
+         |  UNION ALL SELECT 3, 'dedup', s3 FROM c
+         |  UNION ALL SELECT 4, 'decontaminated', s4 FROM c
+         |  UNION ALL SELECT 5, 'train', s5 FROM c)
+         |ORDER BY stage_idx""".stripMargin),
+    "source_report" ->
+      ("""SELECT source, COUNT(*) AS n_docs,
+         |  ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+         |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4) AS dup_frac,
+         |  ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4) AS en_frac,
+         |  ROUND(CAST(SUM(CASE WHEN length(string_split(text, ' ')) BETWEEN 15 AND 95 THEN 1 ELSE 0 END) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4) AS quality_frac
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
     // quantile_cont == Spark's exact `percentile` (same lower +
     // frac·(upper − lower) interpolation over the same sorted values —
     // the q34 equivalence); decile assignment is the same

@@ -89,6 +89,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) == "")
   }
 
+  test("corpus-build funnel: monotone stage counts, each gate actually cuts") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val rows = Seq(
+      (1L, words("a", 30)),          // survives everything (hash gate decides train)
+      (2L, words("a", 30)),          // exact dup of 1 → stops at quality
+      (3L, words("b", 5)),           // too short → stops at ingest
+      (23L, words("c", 30)),         // eval doc (23 % 23 == 0) → stops at dedup
+      (24L, words("c", 30) + " tail")// shares an 8-gram with eval 23 → contaminated
+    ).toDF("doc_id", "text")
+    val funnel = Curate.corpusBuild(rows).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(funnel("ingest") == 5)
+    assert(funnel("quality") == 4, s"doc 3 too short: $funnel")
+    assert(funnel("dedup") == 3, s"doc 2 is a dup: $funnel")
+    assert(funnel("decontaminated") == 1, s"eval 23 + contaminated 24 drop: $funnel")
+    assert(funnel("train") <= funnel("decontaminated"))
+  }
+
+  test("corpus-build funnel on the corpus: single aggregate, fractions consistent") {
+    val rows = Curate.corpusBuild(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 5L))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, counts.mkString(","))
+    assert(rows.head.getDouble(3) == 1.0)
+    rows.foreach(r => assert(
+      r.getDouble(3) == math.rint(r.getLong(2).toDouble / counts.head * 1e6) / 1e6))
+  }
+
+  test("source report: per-source metrics with injected duplicates") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val rows = Seq(
+      (1L, words("a", 20), "en", "s1", 100L),
+      (2L, words("a", 20), "en", "s1", 100L),  // dup within s1
+      (3L, words("b", 20), "de", "s1", 200L),
+      (4L, words("c", 200), "en", "s2", 900L)  // outside the quality window
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.sourceReport(rows).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s1").getLong(1) == 3)
+    assert(math.abs(out("s1").getDouble(4) - 0.6667) < 1e-9, s"en_frac: ${out("s1")}")
+    assert(math.abs(out("s1").getDouble(3) - 0.3333) < 1e-9, s"dup_frac: ${out("s1")}")
+    assert(out("s1").getDouble(5) == 1.0)
+    assert(out("s2").getDouble(3) == 0.0 && out("s2").getDouble(5) == 0.0)
+  }
+
   test("paragraph dedup removes later block instances and reassembles in order") {
     import spark.implicits._
     // Blocks are 4 tokens here. doc 1: [A][B] (A = a1..a4, B = b1..b4).
