@@ -120,6 +120,26 @@ object Profile {
       .orderBy("grp")
   }
 
+  /** Key-distribution skew report — the diagnosis table for "which keys
+    * will hot-spot my shuffle": per top-K key its row count, share of
+    * the table, and skew factor (count ÷ mean-per-key; the number you
+    * compare against AQE's skew-join threshold or use to pick salting
+    * fan-out). Scale: one map-side-combined count aggregate, the top-K
+    * via orderBy+limit (TakeOrderedAndProject — bounded per-partition
+    * heaps), key-universe stats as one broadcast row. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"))
+    counts.orderBy(desc("cnt"), asc("grp")).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col("grp"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("cnt").cast("double") * col("n_keys") / col("n_rows"), 4).as("skew_factor"),
+        col("n_keys"), col("n_rows"))
+      .orderBy(desc("cnt"), asc("grp"))
+  }
+
   /** Row-level annotation against a constraint suite: every row keeps
     * all its columns plus `fail_reason` (the FIRST violated check's
     * name, null if all pass — check order is precedence, the q53
@@ -215,6 +235,9 @@ object Profile {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       snapshotDiff(v1, v2)
     }),
+    // Hot-key diagnosis over the events queue table (user_id plays the
+    // reference's partition_id — the key its work-stealing shards by).
+    "profile_skew" -> ((s, d) => skewReport(Tables(s, d).events, "user_id")),
     // Same synthetic snapshots; drift over the source mix.
     "profile_drift" -> ((s, d) => {
       val docs = Tables(s, d).documents
@@ -236,6 +259,18 @@ object Profile {
          |       WHEN old_h <> new_h THEN 'changed'
          |       ELSE 'unchanged' END AS status
          |FROM v1 FULL OUTER JOIN v2 USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // Top-K by (count desc, key asc) with the same IEEE share/skew
+    // arithmetic in both engines.
+    "profile_skew" ->
+      ("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS grp, COUNT(*) AS cnt
+         |  FROM events GROUP BY user_id),
+         |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c),
+         |t AS (SELECT * FROM c ORDER BY cnt DESC, grp LIMIT 10)
+         |SELECT grp, cnt,
+         |  ROUND(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+         |  ROUND(CAST(cnt AS DOUBLE) * n_keys / n_rows, 4) AS skew_factor,
+         |  n_keys, n_rows
+         |FROM t CROSS JOIN s ORDER BY cnt DESC, grp""".stripMargin),
     // Shares are correctly-rounded IEEE divides of the same integers in
     // both engines, so the 6-dp rounds agree exactly.
     "profile_drift" ->

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -688,8 +688,31 @@ object Select {
       .orderBy("bucket")
   }
 
+  /** Z-order (Morton) interleave key over two integer dimensions — the
+    * multi-dimensional data-layout technique (Delta/Iceberg OPTIMIZE
+    * ZORDER): sorting (or range-partitioning at scale) by the
+    * interleaved key keeps BOTH dimensions' min/max tight per file, so
+    * parquet zone-map pruning works for predicates on either dimension —
+    * where a plain sort only prunes its leading column. Pure bitwise
+    * projection (codegen'd, zero shuffle to compute; the layout sort is
+    * the one range exchange you were going to pay anyway). */
+  def zOrderKey(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** The registered layout query: events z-ordered on
+    * (user_id, event_id mod 2^16) — user is the hot filter dimension,
+    * the id spreads within user. */
+  def zOrderEvents(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      zOrderKey(col("user_id"), col("event_id") % 65536).as("zkey"))
+      .orderBy("zkey", "event_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_shard_assign"  -> ((s, d) => shardAssign(Tables(s, d).documents)),
+    "q87_zorder"        -> ((s, d) => zOrderEvents(Tables(s, d).events)),
     "q85_split_tvt"     -> ((s, d) => splitTrainValTest(Tables(s, d).documents)),
     "q86_length_buckets" -> ((s, d) => lengthBuckets(Tables(s, d).documents)),
     "q58_decontaminate" -> ((s, d) => decontaminate(Tables(s, d).documents)),
@@ -709,6 +732,15 @@ object Select {
   )
 
   def oracle: Map[String, String] = Map(
+    // The same 16-bit interleave, term by term; both engines' >> and &
+    // agree on non-negative BIGINTs and the key fits in 32 bits.
+    "q87_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"((((user_id >> $i) & 1)) << ${2 * i})",
+        s"((((event_id % 65536) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT event_id, user_id, ${terms.mkString("(", " | ", ")")} AS zkey
+         |FROM events ORDER BY zkey, event_id""".stripMargin
+    },
     // Hex thresholds = floor(0.8·2³²) = 0xcccccccc, floor(0.9·2³²) =
     // 0xe6666666; lexicographic compare on lowercase hex == numeric
     // compare on the 32-bit prefix (the q59 argument).

@@ -197,6 +197,39 @@ object IncScale {
     check("semantic-increment-flat", smT2 <= 2.5 * math.max(smT1, 0.3),
       f"keeper store ${vSmall}→${vSmall * 10}: increment $smT1%.2fs → $smT2%.2fs (bound 2.5×)")
 
+    // ---- profile partials ledger ------------------------------------
+    // Contract: appending one increment's partials costs O(increment)
+    // (never reads the ledger), and FOLDING the ledger costs
+    // O(#increments × #columns) — flat in corpus size. Exercised by
+    // growing the profiled corpus 10× through increments and timing
+    // both paths.
+    val pfDir = java.nio.file.Files.createTempDirectory("incscale").resolve("prof").toString
+    var pfNext = 0L
+    def appendProfile(rows: Long): Double = {
+      val inc = docs(spark, pfNext, pfNext + rows, identity)
+      pfNext += rows
+      timed { graft.pipeline.Profile.updateProfileStore(inc, pfDir) }
+    }
+    val pfA1 = appendProfile(sSmall / 10)
+    (0 until 9).foreach(_ => appendProfile(sSmall / 10))
+    val pfA2 = appendProfile(sSmall / 10)
+    check("profile-append-flat", pfA2 <= 2.5 * math.max(pfA1, 0.3),
+      f"ledger 1→11 increments: append $pfA1%.2fs → $pfA2%.2fs (bound 2.5×)")
+    val pfF = timed {
+      graft.pipeline.Profile.profileFromStore(spark, pfDir).count()
+    }
+    val prof = graft.pipeline.Profile.profileFromStore(spark, pfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    check("profile-fold-cheap", pfF <= 5.0,
+      f"fold over ${pfNext} profiled rows: $pfF%.2fs (bound 5s — ledger-sized, not corpus-sized)")
+    check("profile-fold-exact-counts",
+      prof("doc_id").getLong(1) == pfNext && prof("doc_id").getLong(2) == 0,
+      s"n_rows ${prof("doc_id").getLong(1)} == $pfNext, nulls 0")
+    val est = prof("doc_id").getLong(4).toDouble
+    check("profile-fold-distinct-est",
+      math.abs(est - pfNext) <= pfNext * 0.05,
+      f"HLL distinct est $est%.0f vs exact $pfNext (±5%%)")
+
     // Sanity: the duplicate/contaminated halves were recognized against
     // the stores.
     val dcHit = graft.pipeline.Select.incrementalDecontaminate(

@@ -145,6 +145,27 @@ class ProfileSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2 * docs.schema.fields.length)
   }
 
+  test("skewReport: hot key surfaces with the right share and skew factor") {
+    import spark.implicits._
+    // 1 key with 60 rows, 20 keys with 2 rows each → 100 rows, 21 keys.
+    val rows = Seq.fill(60)(999L) ++ (1L to 20L).flatMap(k => Seq(k, k))
+    val d = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val out = Profile.skewReport(d, "k", topK = 5).collect()
+    assert(out.length == 5)
+    val hot = out.head
+    assert(hot.getString(0) == "999" && hot.getLong(1) == 60)
+    assert(hot.getDouble(2) == 0.6)                      // share
+    assert(hot.getDouble(3) == 12.6)                     // 60 / (100/21)
+    assert(hot.getLong(4) == 21 && hot.getLong(5) == 100)
+    // Remaining slots are count-2 keys in ascending key order (tiebreak).
+    assert(out.tail.map(_.getString(0)).toSeq == Seq("1", "10", "11", "12"))
+  }
+
+  test("skewReport plan: bounded TakeOrdered, no global sort of the key table") {
+    val plan = Profile.skewReport(docs, "source").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$plan")
+  }
+
   test("single-pass plan: profile is one aggregate family, no join") {
     val plan = Profile.profileTable(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"profile must not join:\n$plan")

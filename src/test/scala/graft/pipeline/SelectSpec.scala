@@ -423,6 +423,31 @@ class SelectSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).max - out.map(_.getLong(1)).min <= 2)
   }
 
+  test("zOrderKey: textbook Morton interleave, both dims prune") {
+    val d = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (5L, 7L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Select.zOrderKey(col("x"), col("y")).as("z"))
+    val z = d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z((0L, 0L)) == 0L)
+    assert(z((1L, 0L)) == 1L)   // x occupies even bit positions
+    assert(z((0L, 1L)) == 2L)   // y occupies odd bit positions
+    assert(z((3L, 1L)) == 7L)   // 0b11 ⋈ 0b01 = 0b0111
+    assert(z((5L, 7L)) == 59L)  // x 101 → pos 0,4 (17); y 111 → pos 1,3,5 (42)
+    // Locality: sorting by z keeps BOTH dims' ranges tight per chunk —
+    // split a 16×16 grid's z-sorted order into 4 chunks; every chunk
+    // must span at most half of each dimension's range (a plain y-sort
+    // would span ALL of x in every chunk).
+    val grid = (for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Select.zOrderKey(col("x"), col("y")).as("z"))
+      .orderBy("z").collect().map(r => (r.getLong(0), r.getLong(1)))
+    grid.grouped(64).foreach { chunk =>
+      val xs = chunk.map(_._1); val ys = chunk.map(_._2)
+      assert(xs.max - xs.min <= 8 && ys.max - ys.min <= 8,
+        s"chunk spans x ${xs.min}-${xs.max} y ${ys.min}-${ys.max}")
+    }
+  }
+
   test("length buckets cut padding versus one global max-length batch") {
     val d = (1 to 64).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
     val out = Select.lengthBuckets(d).collect()
