@@ -448,7 +448,70 @@ object ExtendedQueries {
       .orderBy("user_id", "sid")
   }
 
+  // Q88 — per-type value percentiles (p50/p95/p99), the latency-report
+  // shape every event pipeline publishes. EXACT `percentile` for oracle
+  // parity (≡ DuckDB quantile_cont: both interpolate lower +
+  // frac·(upper − lower) over the same sorted doubles);
+  // `approx_percentile` (t-digest, mergeable) is the 100-TB drop-in with
+  // everything downstream unchanged. One map-side-combined aggregate.
+  def q88(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("p"))
+      .select(col("event_type"),
+        round(element_at(col("p"), 1), 4).as("p50"),
+        round(element_at(col("p"), 2), 4).as("p95"),
+        round(element_at(col("p"), 3), 4).as("p99"))
+      .orderBy("event_type")
+
+  // Q89 — ordered conversion funnel (view → later click → later
+  // purchase), the product-analytics staple: stage 2 counts users whose
+  // first click is strictly AFTER their first view, stage 3 users whose
+  // first qualifying purchase follows that click. Sequential dependency
+  // is expressed as three per-user min aggregates chained by time
+  // filters — each stage shuffles on user_id once and reuses the same
+  // partitioning; no per-user event sort, no window over the event log.
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("fv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("fv"))
+      .groupBy("user_id").agg(min("ts").as("fc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("fc"))
+      .groupBy("user_id").agg(min("ts").as("fp"))
+    v.agg(count(lit(1)).as("s1"))
+      .crossJoin(c.agg(count(lit(1)).as("s2")))
+      .crossJoin(p.agg(count(lit(1)).as("s3")))
+      .select(expr("stack(3, 1, 'view', s1, 2, 'view_click', s2, " +
+        "3, 'view_click_purchase', s3) AS (stage_idx, stage, n_users)"))
+      .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"), col("n_users"))
+      .orderBy("stage_idx")
+  }
+
+  // Q90 — retention cohorts: users bucketed by first-active day, counted
+  // at each day offset they return (the triangle every growth dashboard
+  // draws). One distinct over (user, day), the cohort day as a per-user
+  // min aggregate joined back on the SAME user_id partitioning, one
+  // final count — no calendar cross join, no windows.
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables(s, dir).events
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohort, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_latency_pcts"  -> (q88 _),
+    "q89_conversion"    -> (q89 _),
+    "q90_retention"     -> (q90 _),
     "q70_session_ids"   -> (q70 _),
     "q66_resample"      -> (q66 _),
     "sketch_hll"        -> (sketchHll _),
@@ -484,6 +547,36 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // quantile_cont ≡ Spark's exact percentile (the q34/q81 equivalence,
+    // here over doubles — same sorted values, same interpolation).
+    "q88_latency_pcts" ->
+      ("""SELECT event_type,
+         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+         |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+         |  ROUND(quantile_cont(value, 0.99), 4) AS p99
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "q89_conversion" ->
+      ("""WITH v AS (SELECT user_id, MIN(ts) AS fv FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, MIN(e.ts) AS fc FROM events e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, MIN(e.ts) AS fp FROM events e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY e.user_id),
+         |s AS (SELECT (SELECT COUNT(*) FROM v) AS s1,
+         |             (SELECT COUNT(*) FROM c) AS s2,
+         |             (SELECT COUNT(*) FROM p) AS s3)
+         |SELECT stage_idx, stage, n_users FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, s1 AS n_users FROM s
+         |  UNION ALL SELECT 2, 'view_click', s2 FROM s
+         |  UNION ALL SELECT 3, 'view_click_purchase', s3 FROM s)
+         |ORDER BY stage_idx""".stripMargin),
+    "q90_retention" ->
+      ("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+         |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+         |  COUNT(*) AS n_users
+         |FROM days JOIN cohort USING (user_id)
+         |GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin),
     "q70_session_ids" ->
       ("""WITH e AS (SELECT user_id, ts, event_id FROM events WHERE user_id < 20),
          |m AS (SELECT user_id, ts, event_id,

@@ -87,4 +87,43 @@ class ExtendedQueriesSpec extends AnyFunSuite {
       .agg(sum("cnt")).head().getLong(0)
     assert(windowed == 2 * n, s"every event must land in 2 overlapping windows: $windowed vs ${2 * n}")
   }
+
+  test("q89 conversion funnel: ORDER matters — purchase before click does not convert") {
+    import spark.implicits._
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: view → click → purchase (fully converts)
+      (1L, "view", at(1)), (1L, "click", at(2)), (1L, "purchase", at(3)),
+      // user 2: purchase BEFORE click → stops at view_click
+      (2L, "view", at(1)), (2L, "purchase", at(2)), (2L, "click", at(3)),
+      // user 3: click before any view → stops at view
+      (3L, "click", at(1)), (3L, "view", at(2)),
+      // user 4: never views → not in the funnel at all
+      (4L, "click", at(1)), (4L, "purchase", at(2))
+    ).toDF("user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("funnelq89").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // Reuse the other tables' paths via a thin fixture dir: only events
+    // is read by q89.
+    val out = ExtendedQueries.q89(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 3L, "view_click" -> 2L, "view_click_purchase" -> 1L), out.toString)
+  }
+
+  test("q90 retention: cohort day is first activity, offsets count return days") {
+    import spark.implicits._
+    def on(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, "view", on(1, 9)), (1L, "view", on(1, 18)), // same day, one active-day
+      (1L, "click", on(3, 9)),                          // returns at offset 2
+      (2L, "view", on(2, 9)), (2L, "view", on(3, 9))    // cohort day 2, offset 0 and 1
+    ).toDF("user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("retq90").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.q90(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 1L) -> 1L), out.toString)
+  }
 }
