@@ -246,8 +246,66 @@ object Clusters {
       .orderBy("doc_id")
   }
 
+  /** PageRank over a directed edge table — the graph-centrality
+    * companion to [[connectedComponents]]: which documents/pages carry
+    * authority in a link or similarity graph (the dedup-cluster
+    * representative picker at web scale weights by it).
+    *
+    * Spark-first iteration shape: ranks live as a (id, rank) table;
+    * each power iteration is ONE equi-join of the out-degree-annotated
+    * edge table against ranks (both sides hash-partitioned on the join
+    * key — the edge table is materialized ONCE with its degree and
+    * reused every iteration, so iterations re-shuffle only the rank
+    * table) followed by a map-side-combined sum per destination. No
+    * driver-side state beyond the node count; nothing is collected.
+    * Dangling nodes (no out-edges) leak their damped mass — the
+    * standard simplification; callers needing strict mass conservation
+    * pre-add self-loops. Fixed iteration count (power iteration
+    * converges geometrically at rate `damping`). */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val nodes = graft.Materialize(
+      edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct())
+    val n = math.max(nodes.count(), 1L) // bounded driver scalar (node count)
+    val withDeg = graft.Materialize(
+      edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")))
+    var ranks = graft.Materialize(nodes.withColumn("rank", lit(1.0 / n)))
+    (0 until iterations).foreach { _ =>
+      val inflow = withDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("id").agg(sum("c").as("inflow"))
+      val next = graft.Materialize(
+        nodes.join(inflow, Seq("id"), "left")
+          .select(col("id"),
+            (lit((1 - damping) / n) +
+              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank")))
+      graft.Materialize.release(ranks)
+      ranks = next
+    }
+    val out = ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy(desc("rank"), asc("id"))
+    graft.Materialize.release(nodes)
+    graft.Materialize.release(withDeg)
+    out
+  }
+
+  /** The registered graph: symmetric doc-similarity edges from the same
+    * df-capped shared-shingle index dedupClusters uses, so rank mass
+    * concentrates in the near-duplicate cliques. */
+  def docPageRank(docs: DataFrame): DataFrame = {
+    val pairs = graft.pipeline.Dedup.ngramJaccardPairs(docs)
+      .select(col("left_id").as("src"), col("right_id").as("dst"))
+    val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    pageRank(sym)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> ((s, d) => dedupClusters(Tables(s, d).documents)),
+    // Iterative power-iteration fixpoint over a similarity graph —
+    // rows-only (the quality_classifier/knn_ivfpq convention); analytic
+    // convergence values are spec-pinned on known graphs.
+    "graph_pagerank" -> ((s, d) => docPageRank(Tables(s, d).documents)),
   )
 
   def oracle: Map[String, String] = Map(

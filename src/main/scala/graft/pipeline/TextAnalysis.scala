@@ -684,6 +684,54 @@ object TextAnalysis {
     df.withColumn(out, trim(regexp_replace(decoded, "\\s+", " ")))
   }
 
+  /** Windowed co-occurrence PMI pairs (the Levy–Goldberg
+    * count-based-embedding statistic; also the collocation detector):
+    * for unordered token pairs co-occurring within `window` positions,
+    * pmi = ln((c_ab/P) / ((c_a/T)(c_b/T))) — positive for pairs that
+    * co-occur more than independence predicts. The corpus statistic a
+    * tokenizer/embedding pipeline reads before choosing merge
+    * candidates or negative-sampling distributions.
+    *
+    * Scale: ONE positional token pass (materialized); the pair stream is
+    * a self-equi-join on doc_id with the position-band predicate — at
+    * most `window` pairs per token, so |pairs| ≤ window·T, never
+    * quadratic; unigram and total counts are map-side-combined
+    * aggregates, the two scalar totals ride as broadcast single-row
+    * frames, and the top-K is a bounded TakeOrderedAndProject. The pmi
+    * argument is assembled from EXACT integer-valued doubles (products
+    * < 2^53), so the only rounding is the final correctly-rounded
+    * divide + ln — both engines agree at 4 dp (the q64/q75 argument). */
+  def pmiPairs(docs: DataFrame, window: Int = 2, minCount: Long = 5,
+      topK: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = graft.Materialize(docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tTot = toks.agg(count(lit(1)).as("t"))
+    val a = toks.select(col("doc_id"), col("pos").as("pa"), col("tok").as("ta"))
+    val b = toks.select(col("doc_id"), col("pos").as("pb"), col("tok").as("tb"))
+    val pairs = graft.Materialize(a.join(b, Seq("doc_id"))
+      .filter((col("pb") - col("pa")).between(1, window))
+      .select(least(col("ta"), col("tb")).as("w1"),
+        greatest(col("ta"), col("tb")).as("w2")))
+    val pTot = pairs.agg(count(lit(1)).as("p"))
+    val out = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(pTot))
+      .select(col("w1"), col("w2"), col("cab"),
+        round(log((col("cab").cast("double") * col("t") * col("t")) /
+          (col("p").cast("double") * col("ca") * col("cb"))), 4).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(topK)
+    // toks/pairs stay checkpointed until the caller's query finishes —
+    // the returned plan still reads both (uni/cab/totals).
+    out
+  }
+
   private val htmlPrefix =
     "<html><head><style>p{color:red}</style><script>var x=1<2;</script></head>" +
       "<body class=\"m\"><h1>&lt;Title&gt;&nbsp;</h1><p>"
@@ -697,6 +745,7 @@ object TextAnalysis {
         concat(lit(htmlPrefix), col("text"), lit(htmlSuffix)).as("html"))
       stripHtml(wrapped).select("doc_id", "clean_text").orderBy("doc_id")
     }),
+    "q91_pmi"          -> ((s, d) => pmiPairs(Tables(s, d).documents)),
     "bpe_merges"       -> ((s, d) => bpeTrain(Tables(s, d).documents)),
     "bpe_encode"       -> ((s, d) => bpeEncode(Tables(s, d).documents)),
     "q64_unigram_logprob" -> ((s, d) => unigramLogProb(Tables(s, d).documents)),
@@ -712,6 +761,27 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    // Position-band self-join twin; the pmi argument is exact-integer
+    // doubles up to the one divide + ln, rounded 4 dp before ranking
+    // with a (w1, w2) tiebreak.
+    "q91_pmi" ->
+      ("""WITH toks AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks),
+         |pr AS (SELECT CASE WHEN a.tok <= b.tok THEN a.tok ELSE b.tok END AS w1,
+         |              CASE WHEN a.tok <= b.tok THEN b.tok ELSE a.tok END AS w2
+         |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+         |    AND b.pos - a.pos BETWEEN 1 AND 2),
+         |pc AS (SELECT w1, w2, COUNT(*) AS cab FROM pr GROUP BY w1, w2),
+         |pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM pr),
+         |j AS (SELECT w1, w2, cab, u1.c AS ca, u2.c AS cb
+         |  FROM pc JOIN uni u1 ON pc.w1 = u1.tok JOIN uni u2 ON pc.w2 = u2.tok)
+         |SELECT w1, w2, cab,
+         |  ROUND(ln((CAST(cab AS DOUBLE) * t * t) / (CAST(p AS DOUBLE) * ca * cb)), 4) AS pmi
+         |FROM j CROSS JOIN tt CROSS JOIN pt
+         |WHERE cab >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin),
     // Same synthesized markup, same regex chain (RE2 'g' flag = Java
     // replace-all default), entities decoded in the same order.
     "text_strip_html" ->

@@ -116,4 +116,35 @@ class ClustersSpec extends AnyFunSuite {
     assert(got.count { case (n, c) => n != c } ==
       lab.count { case (n, c) => n != c })
   }
+
+  test("pageRank: cycle converges to uniform, sum of ranks conserved") {
+    // Directed 4-cycle: perfectly symmetric, so rank = 1/4 exactly at
+    // every damping and every iteration count.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = Clusters.pageRank(edges, iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(_ == 0.25), out.toString)
+    assert(math.abs(out.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank: authority flows to the sink of a star") {
+    // 5 spokes all pointing at the hub, hub points back at spoke 1: the
+    // hub must out-rank every spoke, and spoke 1 (receiving the hub's
+    // whole mass) must out-rank spokes 2-5.
+    val edges = (Seq((0L, 1L)) ++ (1L to 5L).map(s => (s, 0L))).toDF("src", "dst")
+    val out = Clusters.pageRank(edges, iterations = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(0L) > out(1L), s"hub beats its favourite spoke: $out")
+    assert((2L to 5L).forall(s => out(1L) > out(s)), s"hub-endorsed spoke beats the rest: $out")
+    assert((2L to 5L).map(out).distinct.size == 1, s"symmetric spokes tie: $out")
+  }
+
+  test("pageRank: results ordered rank desc, deterministic across runs") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val r1 = Clusters.pageRank(edges).collect().map(_.toString)
+    val r2 = Clusters.pageRank(edges).collect().map(_.toString)
+    assert(r1.sameElements(r2))
+    val ranks = Clusters.pageRank(edges).collect().map(_.getDouble(1))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
 }

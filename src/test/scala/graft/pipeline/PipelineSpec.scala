@@ -135,6 +135,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("s2").getDouble(3) == 0.0 && out("s2").getDouble(5) == 0.0)
   }
 
+  test("PMI: planted collocation outranks independent co-occurrence") {
+    import spark.implicits._
+    // 'alpha beta' always adjacent (40 docs); filler words drawn
+    // pseudo-randomly from a 30-word vocabulary co-occur at chance, so
+    // no filler pair reaches minCount with any reliability. The planted
+    // collocation must take the top PMI slot.
+    val rows = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i)
+      val filler = (0 until 8).map(_ => s"f${rnd.nextInt(30)}")
+      (i.toLong, (filler.take(4) ++ Seq("alpha", "beta") ++ filler.drop(4)).mkString(" "))
+    }
+    val out = TextAnalysis.pmiPairs(rows.toDF("doc_id", "text"), minCount = 5).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) == (("alpha", "beta")), s"top pair: $top")
+    assert(top.getLong(2) >= 40L)  // counted in every doc (window 2 sees it twice at most once forward)
+    // PMI sorted desc with deterministic tiebreak.
+    val pmis = out.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+
   test("paragraph dedup removes later block instances and reassembles in order") {
     import spark.implicits._
     // Blocks are 4 tokens here. doc 1: [A][B] (A = a1..a4, B = b1..b4).
