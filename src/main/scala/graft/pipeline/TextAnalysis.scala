@@ -732,6 +732,58 @@ object TextAnalysis {
     out
   }
 
+  /** Word2vec-style negative-sampling distribution: p(w) ∝ c(w)^0.75
+    * (Mikolov et al.'s unigram smoothing — flattens the head, lifts the
+    * tail), with the cumulative distribution attached so samplers can
+    * binary-search it. Cross-engine exactness: c^0.75 is computed as
+    * sqrt(sqrt(c³)) — c³ is an exact integer below 2^53 and sqrt is a
+    * correctly-rounded IEEE op in both engines, where a libm `pow`
+    * would differ in the last ulp. The cumulative sum is an ORDERED
+    * window fold over the vocabulary (deterministic summation order in
+    * both engines) — a global window, but vocabulary-sized, not
+    * corpus-sized. */
+  def negativeSamplingDist(docs: DataFrame): DataFrame = {
+    val uni = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val weighted = uni.select(col("tok"), col("c"),
+      sqrt(sqrt(col("c").cast("double") * col("c") * col("c"))).as("w"))
+    val tot = weighted.agg(sum("w").as("tw"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy("tok").rowsBetween(Long.MinValue, 0)
+    weighted.crossJoin(broadcast(tot))
+      .select(col("tok"), col("c"),
+        round(col("w") / col("tw"), 6).as("p"),
+        round(sum(col("w") / col("tw")).over(win), 6).as("cum_p"))
+      .orderBy("tok")
+  }
+
+  /** Hashing-trick TF-IDF featurization (Weinberger et al. 2009): each
+    * document becomes a sparse `dim`-bucket vector — token weights
+    * tf·(ln((N+1)/(df+1))+1) summed into pmod-hashed buckets — the
+    * fixed-width featurizer that needs NO vocabulary table, so it
+    * streams and scales embarrassingly (the bridge from text to the
+    * similarity/KNN family without an embedding model). Emitted as
+    * exploded (doc_id, bucket, weight) rows — the sparse form — rather
+    * than arrays, which also makes it directly oracle-checkable. Bucket
+    * = unsigned-mod of the portable hash (≡ signed pmod for the
+    * power-of-two dim, the q79 argument). One tf aggregate, one
+    * broadcast df table, one final (doc, bucket) aggregate. */
+  def hashedTfIdf(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require((dim & (dim - 1)) == 0, "dim must be a power of two (pmod ≡ unsigned mod)")
+    val n = docs.count() // bounded driver scalar: the N in idf
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("tok"))
+      .select(col("doc_id"),
+        pmod(graft.functions.PortableHash.hash64(col("tok")), lit(dim.toLong)).as("bucket"),
+        (col("tf").cast("double") *
+          (log(lit((n + 1).toDouble) / (col("df") + lit(1)).cast("double")) + lit(1.0))).as("w"))
+      .groupBy("doc_id", "bucket").agg(round(sum("w"), 4).as("weight"))
+      .orderBy("doc_id", "bucket")
+  }
+
   private val htmlPrefix =
     "<html><head><style>p{color:red}</style><script>var x=1<2;</script></head>" +
       "<body class=\"m\"><h1>&lt;Title&gt;&nbsp;</h1><p>"
@@ -746,6 +798,8 @@ object TextAnalysis {
       stripHtml(wrapped).select("doc_id", "clean_text").orderBy("doc_id")
     }),
     "q91_pmi"          -> ((s, d) => pmiPairs(Tables(s, d).documents)),
+    "q92_negsample"    -> ((s, d) => negativeSamplingDist(Tables(s, d).documents)),
+    "q93_hashed_tfidf" -> ((s, d) => hashedTfIdf(Tables(s, d).documents)),
     "bpe_merges"       -> ((s, d) => bpeTrain(Tables(s, d).documents)),
     "bpe_encode"       -> ((s, d) => bpeEncode(Tables(s, d).documents)),
     "q64_unigram_logprob" -> ((s, d) => unigramLogProb(Tables(s, d).documents)),
@@ -761,6 +815,31 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    // sqrt(sqrt(c³)) is bit-exact in both engines (exact integer cube +
+    // two correctly-rounded sqrts); the ordered window fold fixes the
+    // cumulative summation order.
+    "q92_negsample" ->
+      ("""WITH uni AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+         |w AS (SELECT tok, c, sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) AS w FROM c),
+         |t AS (SELECT SUM(w) AS tw FROM w)
+         |SELECT tok, c, ROUND(w / tw, 6) AS p,
+         |  ROUND(SUM(w / tw) OVER (ORDER BY tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_p
+         |FROM w CROSS JOIN t ORDER BY tok""".stripMargin),
+    // Unsigned mod of the portable hash ≡ the Spark side's signed pmod
+    // for the power-of-two dim (q79); idf from exact small-int divides.
+    "q93_hashed_tfidf" -> {
+      import graft.functions.PortableHash.duckUnsigned
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+         |n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT tf.doc_id, CAST(${duckUnsigned("tf.tok")} % 64 AS BIGINT) AS bucket,
+         |  ROUND(SUM(CAST(tf.tf AS DOUBLE) *
+         |    (ln((n + 1.0) / (df.df + 1.0)) + 1.0)), 4) AS weight
+         |FROM tf JOIN df USING (tok) CROSS JOIN n
+         |GROUP BY tf.doc_id, bucket ORDER BY tf.doc_id, bucket""".stripMargin
+    },
     // Position-band self-join twin; the pmi argument is exact-integer
     // doubles up to the one divide + ln, rounded 4 dp before ranking
     // with a (w1, w2) tiebreak.

@@ -156,6 +156,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
   }
 
+  test("negative-sampling distribution: sums to 1, flattens the head") {
+    import spark.implicits._
+    val d = Seq((1L, ("the " * 80).trim + " " + ("rare " * 5).trim)).toDF("doc_id", "text")
+    val out = TextAnalysis.negativeSamplingDist(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out.values.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    assert(out("the").getLong(1) == 80 && out("rare").getLong(1) == 5)
+    // ^0.75 smoothing: probability ratio < raw count ratio.
+    val ratio = out("the").getDouble(2) / out("rare").getDouble(2)
+    assert(ratio < 80.0 / 5.0 && ratio > 1.0, s"smoothed ratio: $ratio")
+    // cum_p is monotone and ends at 1.
+    val cums = TextAnalysis.negativeSamplingDist(d).collect().map(_.getDouble(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(cums.last - 1.0) < 1e-4)
+  }
+
+  test("hashed TF-IDF: rare terms outweigh ubiquitous ones, buckets bounded") {
+    import spark.implicits._
+    // 'common' is in every doc (df=N → idf floor ~1); 'distinctive' in one.
+    val d = (0 until 20).map { i =>
+      (i.toLong, if (i == 0) "common distinctive" else "common filler" + i)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.hashedTfIdf(d).collect()
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    def bucketOf(tok: String): Long = {
+      import org.apache.spark.sql.functions.{lit => flit}
+      Seq(tok).toDF("t").select(
+        pmod(graft.functions.PortableHash.hash64(col("t")), flit(64L))).head().getLong(0)
+    }
+    val doc0 = out.filter(_.getLong(0) == 0L).map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val wCommon = doc0(bucketOf("common"))
+    val wDistinct = doc0(bucketOf("distinctive"))
+    assert(wDistinct > wCommon, s"idf must favour the rare term: $wDistinct vs $wCommon")
+  }
+
   test("paragraph dedup removes later block instances and reassembles in order") {
     import spark.implicits._
     // Blocks are 4 tokens here. doc 1: [A][B] (A = a1..a4, B = b1..b4).
