@@ -508,7 +508,33 @@ object ExtendedQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // Q95 — trailing-window z-score anomaly detection over the daily event
+  // stream: each (type, day) count is scored against the mean/stddev of
+  // its own trailing 7 days (current day EXCLUDED — the monitored value
+  // must not contaminate its own baseline), flagged at |z| > 2. The
+  // monitoring query every ingest pipeline runs. One shuffle on
+  // event_type; both window aggregates share the partitioning; days
+  // with fewer than 3 prior observations emit NULL z (no flag) rather
+  // than a noisy one.
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    val daily = Tables(s, dir).events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("mu", avg("cnt").over(w))
+      .withColumn("sd", stddev_samp(col("cnt").cast("double")).over(w))
+      .select(col("event_type"), col("day"), col("cnt"),
+        when(col("n_prior") >= 3 && col("sd") > 0,
+          round((col("cnt") - col("mu")) / col("sd"), 4)).as("z"))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > 2.0, lit(false)))
+      .orderBy("event_type", "day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_anomaly"       -> (q95 _),
     "q88_latency_pcts"  -> (q88 _),
     "q89_conversion"    -> (q89 _),
     "q90_retention"     -> (q90 _),
@@ -547,6 +573,23 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same trailing frame (current row excluded); stddev_samp ROUND 4 is
+    // the q34 precedent.
+    "q95_anomaly" ->
+      ("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |sc AS (SELECT event_type, day, cnt,
+         |    COUNT(*) OVER w AS n_prior,
+         |    AVG(cnt) OVER w AS mu,
+         |    stddev_samp(CAST(cnt AS DOUBLE)) OVER w AS sd
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, day, cnt,
+         |  CASE WHEN n_prior >= 3 AND sd > 0 THEN ROUND((cnt - mu) / sd, 4) END AS z,
+         |  COALESCE(ABS(CASE WHEN n_prior >= 3 AND sd > 0
+         |    THEN ROUND((cnt - mu) / sd, 4) END) > 2.0, FALSE) AS is_anomaly
+         |FROM sc ORDER BY event_type, day""".stripMargin),
     // quantile_cont ≡ Spark's exact percentile (the q34/q81 equivalence,
     // here over doubles — same sorted values, same interpolation).
     "q88_latency_pcts" ->

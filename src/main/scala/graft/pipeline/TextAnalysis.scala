@@ -784,6 +784,44 @@ object TextAnalysis {
       .orderBy("doc_id", "bucket")
   }
 
+  /** Count-Min sketch token-frequency estimation (Cormode–Muthukrishnan),
+    * made oracle-checkable: the 4 salted hash rows are the PORTABLE md5
+    * hash of `"cms<i>:" + tok` mod a power-of-two width, so the whole
+    * sketch — and therefore every estimate — is deterministic and
+    * replayable in SQL. Demonstrates the estimator CONTRACT in-engine:
+    * est ≥ true always (one-sided error), est within εN with the usual
+    * probability. The sketch is depth×width = 1,024 counter rows built
+    * by one map-side-combined aggregate over the token stream (the
+    * mergeable shape: increments sum); queries join the broadcast
+    * sketch 4 ways via an explode and take the min. At 100 TB the
+    * sketch build IS the scalable path where an exact per-token count
+    * table would be vocabulary-sized. */
+  def countMinFreq(docs: DataFrame, depth: Int = 4, width: Int = 256,
+      topK: Int = 20): DataFrame = {
+    require((width & (width - 1)) == 0, "width must be a power of two")
+    import graft.functions.PortableHash
+    val toks = graft.Materialize(docs
+      .select(explode(split(col("text"), " ")).as("tok")))
+    def bucket(i: Int, c: Column): Column =
+      pmod(PortableHash.hash64(concat(lit(s"cms$i:"), c)), lit(width.toLong))
+    // Sketch: one pass, counters for all rows at once via a posexploded
+    // row index.
+    val sketch = toks
+      .select(posexplode(array((0 until depth).map(i => bucket(i, col("tok"))): _*))
+        .as(Seq("row", "b")))
+      .groupBy("row", "b").agg(count(lit(1)).as("cnt"))
+    // Query the true top-K tokens (count desc, tok asc) against it.
+    val truth = toks.groupBy("tok").agg(count(lit(1)).as("true_c"))
+      .orderBy(desc("true_c"), asc("tok")).limit(topK)
+    truth
+      .select(col("tok"), col("true_c"),
+        posexplode(array((0 until depth).map(i => bucket(i, col("tok"))): _*))
+          .as(Seq("row", "b")))
+      .join(broadcast(sketch), Seq("row", "b"))
+      .groupBy("tok", "true_c").agg(min("cnt").as("est_c"))
+      .orderBy(desc("true_c"), asc("tok"))
+  }
+
   private val htmlPrefix =
     "<html><head><style>p{color:red}</style><script>var x=1<2;</script></head>" +
       "<body class=\"m\"><h1>&lt;Title&gt;&nbsp;</h1><p>"
@@ -799,6 +837,7 @@ object TextAnalysis {
     }),
     "q91_pmi"          -> ((s, d) => pmiPairs(Tables(s, d).documents)),
     "q92_negsample"    -> ((s, d) => negativeSamplingDist(Tables(s, d).documents)),
+    "q94_countmin"     -> ((s, d) => countMinFreq(Tables(s, d).documents)),
     "q93_hashed_tfidf" -> ((s, d) => hashedTfIdf(Tables(s, d).documents)),
     "bpe_merges"       -> ((s, d) => bpeTrain(Tables(s, d).documents)),
     "bpe_encode"       -> ((s, d) => bpeEncode(Tables(s, d).documents)),
@@ -815,6 +854,25 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    // The salted portable hash makes the whole sketch deterministic;
+    // unsigned %256 ≡ signed pmod (power-of-two width, q79).
+    "q94_countmin" -> {
+      import graft.functions.PortableHash.duckUnsigned
+      val h = duckUnsigned("concat('cms', i.i, ':', tok)")
+      val hq = duckUnsigned("concat('cms', i.i, ':', t.tok)")
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |h AS (SELECT tok, i.i AS row, CAST($h % 256 AS BIGINT) AS b
+         |  FROM toks CROSS JOIN rows_ i),
+         |sk AS (SELECT row, b, COUNT(*) AS cnt FROM h GROUP BY row, b),
+         |truth AS (SELECT tok, COUNT(*) AS true_c FROM toks GROUP BY tok
+         |  ORDER BY true_c DESC, tok LIMIT 20),
+         |q AS (SELECT t.tok, t.true_c, i.i AS row, CAST($hq % 256 AS BIGINT) AS b
+         |  FROM truth t CROSS JOIN rows_ i)
+         |SELECT q.tok, q.true_c, MIN(sk.cnt) AS est_c
+         |FROM q JOIN sk USING (row, b)
+         |GROUP BY q.tok, q.true_c ORDER BY q.true_c DESC, q.tok""".stripMargin
+    },
     // sqrt(sqrt(c³)) is bit-exact in both engines (exact integer cube +
     // two correctly-rounded sqrts); the ordered window fold fixes the
     // cumulative summation order.

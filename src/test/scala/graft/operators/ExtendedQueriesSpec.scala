@@ -110,6 +110,29 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(out == Map("view" -> 3L, "view_click" -> 2L, "view_click_purchase" -> 1L), out.toString)
   }
 
+  test("q95 anomaly: a planted spike flags, its baseline days don't") {
+    import spark.implicits._
+    // 10 baseline days alternating 4/6 events (nonzero variance — a
+    // perfectly flat baseline has sd = 0 and by design cannot score),
+    // then a day with 50: only the spike day may flag, and early days
+    // (< 3 priors) must stay NULL-z.
+    val ev = (1 to 11).flatMap { d =>
+      val n = if (d == 11) 50 else if (d % 2 == 0) 4 else 6
+      (0 until n).map(i =>
+        (d * 1000L + i, "view", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:${i % 60}%02d")))
+    }.toDF("event_id", "event_type", "ts")
+      .withColumn("user_id", org.apache.spark.sql.functions.lit(1L))
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+    val dir = java.nio.file.Files.createTempDirectory("anomq95").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.q95(spark, dir).collect()
+      .map(r => r.getDate(1).toString -> ((Option(r.get(3)), r.getBoolean(4)))).toMap
+    assert(out("2024-01-11")._2, s"spike must flag: ${out("2024-01-11")}")
+    assert(!out("2024-01-10")._2 && !out("2024-01-05")._2)
+    assert(out("2024-01-01")._1.isEmpty && out("2024-01-03")._1.isEmpty,
+      "fewer than 3 priors → no z-score")
+  }
+
   test("q90 retention: cohort day is first activity, offsets count return days") {
     import spark.implicits._
     def on(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")

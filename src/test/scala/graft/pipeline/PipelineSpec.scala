@@ -191,6 +191,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(wDistinct > wCommon, s"idf must favour the rare term: $wDistinct vs $wCommon")
   }
 
+  test("count-min sketch: one-sided error (est >= true), exact on a sparse stream") {
+    import spark.implicits._
+    // Sparse stream: 10 distinct tokens in 256 buckets × 4 rows —
+    // collisions in ALL 4 rows are overwhelmingly unlikely, so the
+    // sketch is exact here; the overestimate property must hold always.
+    val d = Seq((1L, (1 to 10).flatMap(i => Seq.fill(i)(s"tok$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.countMinFreq(d, topK = 10).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS must never underestimate: $r")
+    }
+    assert(out.count(r => r.getLong(2) == r.getLong(1)) >= 9,
+      s"sparse stream should be (near-)exact: ${out.mkString(",")}")
+  }
+
+  test("count-min sketch: estimates remain one-sided on the corpus") {
+    val out = TextAnalysis.countMinFreq(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"underestimate: $r"))
+  }
+
   test("paragraph dedup removes later block instances and reassembles in order") {
     import spark.implicits._
     // Blocks are 4 tokens here. doc 1: [A][B] (A = a1..a4, B = b1..b4).
