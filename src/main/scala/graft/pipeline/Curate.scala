@@ -108,8 +108,11 @@ object Curate {
     * thresholds, q19's keep-first hash aggregate (over quality
     * survivors), q58's 8-gram eval-overlap decontamination (eval slice
     * defined corpus-wide), q85's md5-prefix train gate. */
-  def corpusBuild(docs: DataFrame,
-      minTokens: Long = 15, maxTokens: Long = 95): DataFrame = {
+  /** Per-document stage flags shared by [[corpusBuild]] (the counting
+    * funnel) and [[materializeCorpus]] (the output writer): r2 quality,
+    * r3 +keep-first, r4 +decontaminated, plus the q85 split-gate hash. */
+  private def stageFlags(docs: DataFrame,
+      minTokens: Long, maxTokens: Long): DataFrame = {
     val withSig = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_toks"),
       md5(col("text")).as("h"),
@@ -123,16 +126,21 @@ object Curate {
     // 8-gram overlap with the eval slice.
     val decon = Select.decontaminate(docs)
       .select(col("doc_id"), col("contaminated"))
-    val reached = withSig
+    withSig
       .join(keepers, Seq("doc_id"), "left")
       .join(decon, Seq("doc_id"), "left") // eval docs have no decon row
       .select(col("doc_id"), col("hk"),
         (col("n_toks") >= minTokens && col("n_toks") <= maxTokens).as("r2"),
         coalesce(col("is_keeper"), lit(false)).as("keeper"),
         (col("contaminated").isNotNull && !col("contaminated")).as("clean"))
-      .select(col("hk"), col("r2"),
+      .select(col("doc_id"), col("hk"), col("r2"),
         (col("r2") && col("keeper")).as("r3"), col("clean"))
       .withColumn("r4", col("r3") && col("clean"))
+  }
+
+  def corpusBuild(docs: DataFrame,
+      minTokens: Long = 15, maxTokens: Long = 95): DataFrame = {
+    val reached = stageFlags(docs, minTokens, maxTokens)
     // One conditional-sum aggregate: the whole funnel in a single job.
     val one = reached.agg(
       count(lit(1)).as("s1"),
@@ -147,6 +155,31 @@ object Curate {
       .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"), col("n_docs"),
         round(col("n_docs").cast("double") / col("n_ingest"), 6).as("retained_frac"))
       .orderBy("stage_idx")
+  }
+
+  /** Materialize the curated corpus to disk, partitioned by
+    * (split, lang) — the final pipeline step: funnel survivors land as
+    * `split=train/lang=en/…` parquet so a trainer reads its split with
+    * DIRECTORY-level pruning (no scan-then-filter) and per-language
+    * mixture jobs prune the same way. The split is q85's frozen md5
+    * gate, so re-materializing never migrates a document between splits.
+    * Partition count is #splits × #langs (bounded, ~15 dirs), write
+    * parallelism stays the upstream partitioning — partitionBy only
+    * routes rows to directories, it does not repartition; callers
+    * wanting exactly-one-file-per-dir compose a repartition on
+    * (split, lang) first. Returns the written row count per split. */
+  def materializeCorpus(docs: DataFrame, outDir: String,
+      minTokens: Long = 15, maxTokens: Long = 95): Map[String, Long] = {
+    val survivors = stageFlags(docs, minTokens, maxTokens)
+      .filter(col("r4"))
+      .select(col("doc_id"),
+        when(col("hk") < "cccccccc", "train")
+          .when(col("hk") < "e6666666", "val").otherwise("test").as("split"))
+    val out = docs.join(survivors, Seq("doc_id"))
+    out.write.mode("overwrite").partitionBy("split", "lang").parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      .groupBy("split").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ 3 rows
   }
 
   /** Per-source curation dashboard — the "which domains to keep" report:

@@ -83,6 +83,10 @@ object WidthBench {
         .parquet(s"$out/orders.parquet")
       t.customer.write.mode("overwrite").parquet(s"$out/customer.parquet")
       t.nation.write.mode("overwrite").parquet(s"$out/nation.parquet")
+      // Events widened with disjoint ids AND users per replica (fresh-
+      // data growth: the event stream grows, each replica its own users).
+      rep(t.events, Seq("event_id", "user_id")).write.mode("overwrite")
+        .parquet(s"$out/events.parquet")
       out
     }
 
@@ -145,6 +149,21 @@ object WidthBench {
       "corpus_overlap_kmv"  -> ((d, _, _) => Dedup.corpusOverlapKmv(d)),
       "q85_split_tvt"       -> ((d, _, _) => Select.splitTrainValTest(d)),
       "q86_length_buckets"  -> ((d, _, _) => Select.lengthBuckets(d)),
+      "profile_drift"       -> ((d, _, _) => Profile.distributionDrift(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 =!= 1), "source")),
+      "profile_skew"        -> ((d, _, _) => Profile.skewReport(d, "source")),
+      "pipeline_funnel"     -> ((d, _, _) => Curate.corpusBuild(d)),
+      "source_report"       -> ((d, _, _) => Curate.sourceReport(d)),
+      "graph_pagerank"      -> ((d, _, _) => Clusters.docPageRank(d)),
+      "q91_pmi"             -> ((d, _, _) => TextAnalysis.pmiPairs(d)),
+      "q92_negsample"       -> ((d, _, _) => TextAnalysis.negativeSamplingDist(d)),
+      "q93_hashed_tfidf"    -> ((d, _, _) => TextAnalysis.hashedTfIdf(d)),
+      "q94_countmin"        -> ((d, _, _) => TextAnalysis.countMinFreq(d)),
+      "q88_latency_pcts"    -> ((_, r, _) => graft.operators.ExtendedQueries.q88(spark, r)),
+      "q89_conversion"      -> ((_, r, _) => graft.operators.ExtendedQueries.q89(spark, r)),
+      "q90_retention"       -> ((_, r, _) => graft.operators.ExtendedQueries.q90(spark, r)),
+      "q95_anomaly"         -> ((_, r, _) => graft.operators.ExtendedQueries.q95(spark, r)),
+      "q87_zorder"          -> ((_, r, _) => Select.zOrderEvents(Tables(spark, r).events)),
       "quality_classifier"  -> ((d, _, _) => Classify.qualityClassifier(d)),
       "bpe_merges"          -> ((d, _, _) => TextAnalysis.bpeTrain(d)),
       "bpe_encode"          -> ((d, _, _) => TextAnalysis.bpeEncode(d)),

@@ -118,6 +118,30 @@ class PipelineSpec extends AnyFunSuite {
       r.getDouble(3) == math.rint(r.getLong(2).toDouble / counts.head * 1e6) / 1e6))
   }
 
+  test("materializeCorpus: partitioned layout, counts match the funnel, frozen splits") {
+    val dir = java.nio.file.Files.createTempDirectory("corpusout").toString
+    val counts = Curate.materializeCorpus(docs, dir)
+    val funnel = Curate.corpusBuild(docs).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counts.values.sum == funnel("decontaminated"),
+      s"written rows == stage-4 survivors: $counts vs $funnel")
+    assert(counts("train") == funnel("train"))
+    // Directory-level layout: split=…/lang=… dirs exist.
+    val splits = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(splits.subsetOf(Set("split=train", "split=val", "split=test")) && splits.nonEmpty)
+    val langs = new java.io.File(s"$dir/split=train").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(langs.forall(_.startsWith("lang=")) && langs.nonEmpty)
+    // Re-materializing never migrates a document between splits.
+    val dir2 = java.nio.file.Files.createTempDirectory("corpusout2").toString
+    Curate.materializeCorpus(docs, dir2)
+    val a = spark.read.parquet(dir).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = spark.read.parquet(dir2).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("source report: per-source metrics with injected duplicates") {
     import spark.implicits._
     def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
