@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for Unicode normalization (NFC/NFD/NFKC/
+  * NFKD), with whole-stage codegen.
+  *
+  * Exists because text canonicalization is the FIRST step of every
+  * web-corpus pipeline (the same logical text arrives precomposed from
+  * one crawler and decomposed from another — they must dedup/fingerprint
+  * identically) and Spark has NO built-in for it: the alternatives are a
+  * Scala UDF (breaks the whole-stage codegen span and adds per-row
+  * serialization) or shipping the corpus to a library. This expression
+  * stays inside the codegen span and calls the JVM's own
+  * `java.text.Normalizer` — which implements the same Unicode
+  * normalization the oracle's engine does (canonical forms are defined
+  * by the standard, not the implementation), so `nfc_normalize` output
+  * hash-matches DuckDB's utf8proc-based `nfc_normalize`.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form $form")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unicode normalize expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.valueOf(form)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.$form));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  /** Register `nfc_normalize` (DuckDB-compatible name) on the session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => UnicodeNormalize(exprs.head, "NFC"), "built-in")
+
+  /** Column-level entry point (the cosine_sim convention). */
+  def nfc(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("nfc_normalize", c)
+  }
+}

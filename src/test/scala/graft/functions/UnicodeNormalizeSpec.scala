@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UnicodeNormalizeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("NFC composes decomposed sequences and unifies canonical equivalents") {
+    val d = Seq(
+      (1L, "café"),        // e + COMBINING ACUTE → é
+      (2L, "caf\u00e9"),   // already precomposed
+      (3L, "Ångström"), // A+RING, o+DIAERESIS → Ångström
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val out = d.select(col("id"), UnicodeNormalize.nfc(spark, col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).get == "caf\u00e9")
+    assert(out(1L) == out(2L), "canonical equivalents must normalize to identical bytes")
+    assert(out(3L).get == "\u00c5ngstr\u00f6m")
+    assert(out(4L).get == "plain ascii")
+    assert(out(5L).isEmpty, "null propagates")
+  }
+
+  test("normalized canonical equivalents dedup together where raw bytes would not") {
+    val d = Seq((1L, "café"), (2L, "café")).toDF("doc_id", "text")
+    assert(graft.pipeline.Dedup.exact(d).count() == 2, "raw bytes: no dup detected")
+    val norm = d.select(col("doc_id"),
+      UnicodeNormalize.nfc(spark, col("text")).as("text"))
+    assert(graft.pipeline.Dedup.exact(norm).count() == 1,
+      "NFC canonicalization must make them exact duplicates")
+  }
+
+  test("expression stays inside whole-stage codegen (no UDF barrier)") {
+    // A local Seq constant-folds to LocalTableScan; range() forces a
+    // real codegen'd projection stage.
+    val d = spark.range(100).select(col("id"),
+      concat(lit("v"), col("id").cast("string")).as("s"))
+    val plan = d.select(UnicodeNormalize.nfc(spark, col("s")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"must not be a UDF:\n$plan")
+    // The `*(n)` prefix is the WholeStageCodegen marker in the compact
+    // plan string: the Project evaluating the expression must carry it.
+    assert(plan.linesIterator.exists(l => l.contains("unicodenormalize") && l.contains("*(")),
+      s"expected the projection inside a codegen span:\n$plan")
+  }
+
+  test("interpreted eval path agrees with codegen") {
+    val e = UnicodeNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("café"),
+        org.apache.spark.sql.types.StringType), "NFC")
+    assert(e.eval(null).toString == "caf\u00e9")
+  }
+
+  test("invalid form is rejected at construction") {
+    intercept[IllegalArgumentException] {
+      UnicodeNormalize(org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
+    }
+  }
+}
