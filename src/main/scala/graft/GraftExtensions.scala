@@ -30,5 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim expects exactly 2 arguments, got ${exprs.length}")
         functions.CosineSimilarity(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[functions.UnicodeNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"nfc_normalize expects exactly 1 argument, got ${exprs.length}")
+        functions.UnicodeNormalize(exprs.head, "NFC")
+      }))
   }
 }

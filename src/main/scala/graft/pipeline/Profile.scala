@@ -106,8 +106,18 @@ object Profile {
     * distance. Scale: two group-bys on a low-cardinality key, a
     * full-outer join over O(#categories) rows, totals broadcast back —
     * nothing corpus-sized past the first aggregates. */
-  def distributionDrift(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String): DataFrame = {
-    val o = oldSnap.groupBy(col(keyCol).as("grp")).agg(count(lit(1)).as("n_old"))
+  def distributionDrift(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String): DataFrame =
+    distributionDriftFromCounts(
+      oldSnap.groupBy(col(keyCol).as("grp")).agg(count(lit(1)).as("n_old")),
+      newSnap, keyCol)
+
+  /** [[distributionDrift]] against a PRE-AGGREGATED reference — the form
+    * the streaming monitor uses so the per-batch reference read is
+    * O(#categories), not O(reference corpus). `oldCounts` schema:
+    * (grp, n_old). */
+  def distributionDriftFromCounts(oldCounts: DataFrame, newSnap: DataFrame,
+      keyCol: String): DataFrame = {
+    val o = oldCounts
     val n = newSnap.groupBy(col(keyCol).as("grp")).agg(count(lit(1)).as("n_new"))
     val j = o.join(n, Seq("grp"), "full_outer").na.fill(0L, Seq("n_old", "n_new"))
     val tot = j.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))

@@ -822,6 +822,11 @@ object TextAnalysis {
       .orderBy(desc("true_c"), asc("tok"))
   }
 
+  /** The text_nfc probe suffix: decomposed e+COMBINING ACUTE, precomposed
+    * Å (U+00C5), decomposed A+COMBINING RING — built from escapes so the
+    * decomposition survives source-file normalization. */
+  private val nfcSuffix = " cafe\u0301 \u00c5 A\u030a"
+
   private val htmlPrefix =
     "<html><head><style>p{color:red}</style><script>var x=1<2;</script></head>" +
       "<body class=\"m\"><h1>&lt;Title&gt;&nbsp;</h1><p>"
@@ -838,6 +843,17 @@ object TextAnalysis {
     "q91_pmi"          -> ((s, d) => pmiPairs(Tables(s, d).documents)),
     "q92_negsample"    -> ((s, d) => negativeSamplingDist(Tables(s, d).documents)),
     "q94_countmin"     -> ((s, d) => countMinFreq(Tables(s, d).documents)),
+    // Unicode canonicalization via the custom codegen Expression: the
+    // suffix carries a decomposed é (e + U+0301), a precomposed Å, and
+    // a decomposed Å (A + U+030A) — NFC must collapse both Å forms to
+    // identical bytes in both engines (canonical forms are defined by
+    // the Unicode standard, not the implementation).
+    "text_nfc" -> ((s, d) => {
+      Tables(s, d).documents.select(col("doc_id"),
+        graft.functions.UnicodeNormalize.nfc(s,
+          concat(col("text"), lit(nfcSuffix))).as("norm"))
+        .orderBy("doc_id")
+    }),
     "q93_hashed_tfidf" -> ((s, d) => hashedTfIdf(Tables(s, d).documents)),
     "bpe_merges"       -> ((s, d) => bpeTrain(Tables(s, d).documents)),
     "bpe_encode"       -> ((s, d) => bpeEncode(Tables(s, d).documents)),
@@ -854,6 +870,11 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    // DuckDB's utf8proc NFC and the JVM's java.text.Normalizer implement
+    // the same standard-defined canonical composition.
+    "text_nfc" ->
+      (s"SELECT doc_id, nfc_normalize(text || '$nfcSuffix') AS norm " +
+        "FROM documents ORDER BY doc_id"),
     // The salted portable hash makes the whole sketch deterministic;
     // unsigned %256 ≡ signed pmod (power-of-two width, q79).
     "q94_countmin" -> {

@@ -174,6 +174,42 @@ object PipelineStream {
       }
       .start()
 
+  /** Streaming distribution-drift monitor: every micro-batch's
+    * categorical mix over `keyCol` is compared against a PERSISTED
+    * reference distribution ([[graft.pipeline.Profile.distributionDrift]]
+    * with the reference as the "old" side) — the alert feed that
+    * catches a crawler suddenly over-delivering one domain/language.
+    * The reference is written once from a representative corpus
+    * (`writeDriftReference`) and read back as an O(#categories) table
+    * each batch; scoring is stateless, so replays are idempotent into
+    * the per-batch-id outputs and there is no crash window. Updating
+    * the reference is an explicit operator decision (rewrite + restart),
+    * never an implicit drift-chasing mutation. */
+  def monitorDrift(docs: DataFrame, keyCol: String, referenceDir: String,
+      outDir: String, checkpoint: String): StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ref = batch.sparkSession.read.parquet(referenceDir)
+        graft.pipeline.Profile.distributionDriftFromCounts(ref, batch, keyCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Persist the reference distribution [[monitorDrift]] compares
+    * against, PRE-AGGREGATED to (grp, n_old) so each batch reads
+    * O(#categories) rows, never the reference corpus. */
+  def writeDriftReference(reference: DataFrame, keyCol: String,
+      referenceDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count}
+    reference.groupBy(col(keyCol).as("grp"))
+      .agg(count(lit(1)).as("n_old"))
+      .write.mode("overwrite").parquet(referenceDir)
+  }
+
   /** Streaming quality scoring under a PERSISTED model — the other half
     * of [[graft.pipeline.Classify.trainAndSave]]'s nightly-train /
     * continuous-score split. The model loads ONCE at query start (a

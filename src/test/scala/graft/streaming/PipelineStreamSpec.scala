@@ -209,6 +209,38 @@ class PipelineStreamSpec extends AnyFunSuite {
       s"aa-vocab docs score target-like, bb-vocab doesn't: $byId")
   }
 
+  test("streaming drift monitor: a skewed batch reports the mix shift against the frozen reference") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (refDir, out, ckpt) = (tmp("psdriftref"), tmp("psdriftout"), tmp("psdriftckpt"))
+    // Reference: a balanced 50/50 en/de corpus, persisted pre-aggregated.
+    val reference = ((1 to 50).map(i => (i.toLong, "en")) ++
+      (51 to 100).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    PipelineStream.writeDriftReference(reference, "lang", refDir)
+    assert(spark.read.parquet(refDir).count() == 2) // O(#categories), not O(corpus)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = PipelineStream.monitorDrift(
+      ms.toDF().toDF("doc_id", "lang"), "lang", refDir, out, ckpt)
+    try {
+      // Batch 0 matches the reference mix; batch 1 is all-en (drifted).
+      ms.addData((201L, "en"), (202L, "de"))
+      q.processAllAvailable()
+      ms.addData((301L, "en"), (302L, "en"), (303L, "en"), (304L, "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def report(b: Int) = spark.read.parquet(s"$out/batch=$b").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val b0 = report(0)
+    assert(b0("en").getDouble(5) == 0.0 && b0("de").getDouble(5) == 0.0,
+      s"matched mix → zero drift: $b0")
+    val b1 = report(1)
+    assert(b1("en").getDouble(5) == 0.5 && b1("de").getDouble(5) == 0.5,
+      s"all-en batch → TVD 0.5: $b1")
+    assert(b1("de").getLong(2) == 0, "de absent from the drifted batch")
+  }
+
   test("streaming validation gate: per-batch quarantine annotations and reports") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
