@@ -533,7 +533,19 @@ object ExtendedQueries {
       .orderBy("event_type", "day")
   }
 
+  // Trending terms (EventAnalytics.trendingTerms, batch-checkable form):
+  // documents get deterministic event times (doc_id minutes from a fixed
+  // epoch — identical in both engines), then tumbling-window token
+  // counts ranked to a per-window top-5.
+  def trending(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(
+      expr("timestamp '2024-01-01 00:00:00' + doc_id * INTERVAL '1' MINUTE").as("ts"),
+      col("text"))
+    EventAnalytics.trendingTerms(docs)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "trending_terms"    -> (trending _),
     "q95_anomaly"       -> (q95 _),
     "q88_latency_pcts"  -> (q88 _),
     "q89_conversion"    -> (q89 _),
@@ -573,6 +585,17 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // time_bucket ≡ Spark's epoch-aligned window (the q27 equivalence);
+    // rank by (cnt desc, tok asc).
+    "trending_terms" ->
+      ("""WITH d AS (SELECT TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+         |    text FROM documents),
+         |toks AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+         |    unnest(string_split(text, ' ')) AS tok FROM d),
+         |c AS (SELECT ws, tok, COUNT(*) AS cnt FROM toks GROUP BY ws, tok),
+         |r AS (SELECT ws, tok, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY ws ORDER BY cnt DESC, tok) AS rk FROM c)
+         |SELECT ws, tok, cnt, rk FROM r WHERE rk <= 5 ORDER BY ws, rk""".stripMargin),
     // Same trailing frame (current row excluded); stddev_samp ROUND 4 is
     // the q34 precedent.
     "q95_anomaly" ->

@@ -42,6 +42,36 @@ object EventAnalytics {
       .select(col("w.start").as("ws"), col("cnt"))
       .transform(sortedIfBatch("ws"))
 
+  /** Windowed trending terms over a timestamped document stream — the
+    * "what is the crawl talking about right now" feed: tokens exploded
+    * into tumbling-window counts (the streaming aggregate; watermark
+    * bounds state), ranked to a per-window top-k. Batch callers get the
+    * ranked table directly; streaming callers take the un-ranked count
+    * stream (rank inside the foreachBatch sink via [[rankTrending]] —
+    * ranking needs the window CLOSED, which is exactly what the
+    * watermark-append boundary provides). */
+  def trendingTerms(docs: DataFrame, width: String = "1 hour", k: Int = 5): DataFrame = {
+    val counts = docs
+      .select(col("ts"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(window(col("ts"), width).as("w"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("tok"), col("cnt"))
+    if (counts.isStreaming) counts else rankTrending(counts, k)
+  }
+
+  /** Rank per-window token counts to the top-k trending table. The
+    * row_number partitions are per-WINDOW (cardinality grows with time,
+    * not corpus) over vocabulary-sized count rows — bounded by the
+    * vocabulary, never the corpus, so the window sort is safe here where
+    * it would not be over raw tokens. */
+  def rankTrending(counts: DataFrame, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ws").orderBy(desc("cnt"), asc("tok"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .transform(sortedIfBatch("ws", "rk"))
+  }
+
   /** Stream-stream join: purchases within `within` after a click by the
     * same user. In streaming mode both sides need watermarks and the
     * time-range condition bounds the join state (clicks are droppable

@@ -158,4 +158,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(graft.operators.ExtendedQueries.q27(spark, sf0001).count() > 0)
     assert(graft.operators.ExtendedQueries.q28(spark, sf0001).count() > 0)
   }
+
+  test("streaming trending terms: windowed counts ranked in the sink equal the batch ranking") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (ts("2024-01-01 00:05:00"), "hot hot hot warm"),
+      (ts("2024-01-01 00:40:00"), "hot warm cold"),
+      (ts("2024-01-01 01:10:00"), "cold cold breeze"))
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = ms.toDF().toDF("ts", "text")
+    val counts = EventAnalytics.trendingTerms(EventAnalytics.watermarked(stream), "1 hour", k = 2)
+    val q = counts.writeStream.format("memory").queryName("trend_counts")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // Rank the streamed per-window counts in the sink (the foreachBatch
+    // body) and compare against the all-batch path.
+    val streamed = EventAnalytics.rankTrending(spark.table("trend_counts"), k = 2)
+      .collect().map(_.toString).sorted
+    val batch = EventAnalytics.trendingTerms(rows.toDF("ts", "text"), "1 hour", k = 2)
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch), s"streamed ${streamed.toSeq} vs batch ${batch.toSeq}")
+    // Window 0: hot (4) then warm (2); window 1: cold (2) then breeze.
+    val w0 = EventAnalytics.trendingTerms(rows.toDF("ts", "text"), "1 hour", k = 2)
+      .collect().filter(_.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    assert(w0.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("hot", 4L), ("warm", 2L)))
+  }
 }
