@@ -164,6 +164,12 @@ object WidthBench {
       "q90_retention"       -> ((_, r, _) => graft.operators.ExtendedQueries.q90(spark, r)),
       "q95_anomaly"         -> ((_, r, _) => graft.operators.ExtendedQueries.q95(spark, r)),
       "q87_zorder"          -> ((_, r, _) => Select.zOrderEvents(Tables(spark, r).events)),
+      "text_nfc"            -> ((d, _, _) => d.select(col("doc_id"),
+        graft.functions.UnicodeNormalize.nfc(spark, col("text")).as("norm"))),
+      "trending_terms"      -> ((d, _, _) =>
+        graft.streaming.EventAnalytics.trendingTerms(d.select(
+          expr("timestamp '2024-01-01 00:00:00' + doc_id * INTERVAL '1' MINUTE").as("ts"),
+          col("text")))),
       "quality_classifier"  -> ((d, _, _) => Classify.qualityClassifier(d)),
       "bpe_merges"          -> ((d, _, _) => TextAnalysis.bpeTrain(d)),
       "bpe_encode"          -> ((d, _, _) => TextAnalysis.bpeEncode(d)),
