@@ -280,7 +280,44 @@ object Retrieval {
       dir
     })
 
+  /** Sparse-cosine retrieval over hashed TF-IDF vectors
+    * ([[TextAnalysis.hashedTfIdf]]) — the vocabulary-free lexical
+    * retriever that closes the featurize→search loop without an
+    * embedding model OR a vocabulary table (BM25's df tables need one).
+    * Per query document, cosine = Σ_bucket w_q·w_d / (‖q‖‖d‖), computed
+    * through an INVERTED-INDEX join shape: the bucket is the join key,
+    * so candidate pairs are exactly the docs sharing a feature bucket
+    * with a query — never all-pairs. The query-side features (≤
+    * |queries|·dim rows) broadcast; per-doc norms are one
+    * map-side-combined aggregate; ranking is the bounded TopK partial
+    * aggregation (≤ k rows per query per map task). Round-before-rank
+    * at 4 dp with doc_id tiebreak pins the selected set cross-engine
+    * (the bm25/q64 precedent; dot sums are few-term, ulp-safe at 4 dp). */
+  def sparseCosineTopK(docs: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      dim: Int = 64, k: Int = 5): DataFrame = {
+    val feats = graft.Materialize(TextAnalysis.hashedTfIdf(docs, dim))
+    val norms = feats.groupBy("doc_id")
+      .agg(sqrt(sum(col("weight") * col("weight"))).as("nrm"))
+    val qf = feats.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q_id"), col("bucket"), col("weight").as("qw"))
+    val dots = feats.join(broadcast(qf), Seq("bucket"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("weight") * col("qw")).as("dot"))
+    val qn = norms.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q_id"), col("nrm").as("qn"))
+    val scored = dots
+      .join(norms, Seq("doc_id")).join(broadcast(qn), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        round(col("dot") / (col("nrm") * col("qn")), 4).as("cos"))
+    graft.functions.TopK.perGroupRanked(scored, "q_id", "cos", "doc_id", "rk", k,
+        ascending = false)
+      .select(col("q_id"), col("doc_id"), round(col("cos"), 4).as("cos"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "q96_sparse_cosine" -> ((s, d) => sparseCosineTopK(Tables(s, d).documents)),
     "q82_bm25" -> ((s, d) => bm25(Tables(s, d).documents)),
     // The persistent index must return exactly what the scan-time scorer
     // returns — so it shares q82's oracle SQL verbatim.
@@ -319,6 +356,28 @@ object Retrieval {
          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
 
   def oracle: Map[String, String] = Map(
+    // The q93 feature table (4-dp-rounded weights — the Spark side reads
+    // the SAME rounded features), inverted-index pair join, cosine
+    // rounded before ROW_NUMBER ranking with doc_id tiebreak.
+    "q96_sparse_cosine" -> {
+      import graft.functions.PortableHash.duckUnsigned
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |f AS (SELECT tf.doc_id, CAST(${duckUnsigned("tf.tok")} % 64 AS BIGINT) AS bucket,
+         |    ROUND(SUM(CAST(tf.tf AS DOUBLE) * (ln((n + 1.0) / (df.df + 1.0)) + 1.0)), 4) AS weight
+         |  FROM tf JOIN df USING (tok) CROSS JOIN n GROUP BY tf.doc_id, bucket),
+         |nrm AS (SELECT doc_id, sqrt(SUM(weight * weight)) AS nrm FROM f GROUP BY doc_id),
+         |q AS (SELECT doc_id AS q_id, bucket, weight AS qw FROM f WHERE doc_id IN (0, 1, 2)),
+         |dots AS (SELECT q.q_id, f.doc_id, SUM(f.weight * q.qw) AS dot
+         |  FROM f JOIN q USING (bucket) WHERE f.doc_id <> q.q_id GROUP BY q.q_id, f.doc_id),
+         |sc AS (SELECT d.q_id, d.doc_id, ROUND(d.dot / (n1.nrm * n2.nrm), 4) AS cos
+         |  FROM dots d JOIN nrm n1 ON d.doc_id = n1.doc_id JOIN nrm n2 ON d.q_id = n2.doc_id),
+         |r AS (SELECT q_id, doc_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rk FROM sc)
+         |SELECT q_id, doc_id, cos, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    },
     "q82_bm25" -> bm25OracleSql,
     "bm25_index_topk" -> bm25OracleSql,
     // Both candidate lists replayed with their own ranking windows (the

@@ -159,6 +159,7 @@ object WidthBench {
       "q92_negsample"       -> ((d, _, _) => TextAnalysis.negativeSamplingDist(d)),
       "q93_hashed_tfidf"    -> ((d, _, _) => TextAnalysis.hashedTfIdf(d)),
       "q94_countmin"        -> ((d, _, _) => TextAnalysis.countMinFreq(d)),
+      "q96_sparse_cosine"   -> ((d, _, _) => Retrieval.sparseCosineTopK(d)),
       "q88_latency_pcts"    -> ((_, r, _) => graft.operators.ExtendedQueries.q88(spark, r)),
       "q89_conversion"      -> ((_, r, _) => graft.operators.ExtendedQueries.q89(spark, r)),
       "q90_retention"       -> ((_, r, _) => graft.operators.ExtendedQueries.q90(spark, r)),

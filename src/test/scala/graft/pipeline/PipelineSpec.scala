@@ -237,6 +237,30 @@ class PipelineSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"underestimate: $r"))
   }
 
+  test("sparse-cosine retrieval: lexical twin ranks first, inverted-index join shape") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val d = Seq(
+      (0L, words("a", 20)),                        // query
+      (10L, words("a", 19) + " extra"),            // near-twin of the query
+      (11L, words("a", 10) + " " + words("b", 10)),// half overlap
+      (12L, words("c", 20))                        // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val out = Retrieval.sparseCosineTopK(d, queryIds = Seq(0L), k = 3).collect()
+    assert(out.head.getLong(1) == 10L, s"near-twin must rank first: ${out.mkString(",")}")
+    val byDoc = out.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byDoc(10L) > byDoc(11L), "more shared vocabulary → higher cosine")
+    // Disjoint-vocab doc 12 shares no bucket with the query (up to rare
+    // hash collisions) — if present at all it must rank last.
+    if (byDoc.contains(12L)) assert(out.last.getLong(1) == 12L)
+    // Inverted-index contract: candidates come from a bucket equi-join
+    // with the BROADCAST query side — no corpus×corpus join.
+    val plan = Retrieval.sparseCosineTopK(d, queryIds = Seq(0L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"query side must broadcast:\n$plan")
+  }
+
   test("paragraph dedup removes later block instances and reassembles in order") {
     import spark.implicits._
     // Blocks are 4 tokens here. doc 1: [A][B] (A = a1..a4, B = b1..b4).
