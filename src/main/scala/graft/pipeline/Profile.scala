@@ -150,6 +150,36 @@ object Profile {
       .orderBy(desc("cnt"), asc("grp"))
   }
 
+  /** Kolmogorov–Smirnov drift statistic between two corpus versions'
+    * NUMERIC column — the distribution-shape companion to
+    * [[distributionDrift]]'s categorical TVD: D = max_x |F₁(x) − F₂(x)|
+    * over the empirical CDFs (did the length/score distribution shift,
+    * not just the category mix?). Returns one row: (ks_stat, at_x — the
+    * smallest x attaining the max).
+    *
+    * Forward-fill-free formulation: per-version counts are full-outer
+    * merged per distinct value with 0 for absences, and a cumulative sum
+    * over the value-ordered union IS the CDF at every candidate point —
+    * the ordered window runs over DISTINCT VALUES (bounded by the
+    * column's value cardinality, the negsample vocab-window argument),
+    * never corpus rows. CDF fractions are exact-integer divides, so the
+    * 6-dp round is cross-engine exact. */
+  def ksDrift(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String): DataFrame = {
+    val o = oldSnap.groupBy(col(valueCol).cast("long").as("x")).agg(count(lit(1)).as("c1"))
+    val n = newSnap.groupBy(col(valueCol).cast("long").as("x")).agg(count(lit(1)).as("c2"))
+    val u = o.join(n, Seq("x"), "full_outer").na.fill(0L, Seq("c1", "c2"))
+    val tot = u.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("x").rowsBetween(Long.MinValue, 0)
+    u.crossJoin(broadcast(tot))
+      .select(col("x"),
+        (sum("c1").over(w).cast("double") / col("n1")).as("f1"),
+        (sum("c2").over(w).cast("double") / col("n2")).as("f2"))
+      .select(col("x"), round(abs(col("f1") - col("f2")), 6).as("d"))
+      .orderBy(desc("d"), asc("x")).limit(1)
+      .select(col("d").as("ks_stat"), col("x").as("at_x"))
+  }
+
   /** Row-level annotation against a constraint suite: every row keeps
     * all its columns plus `fail_reason` (the FIRST violated check's
     * name, null if all pass — check order is precedence, the q53
@@ -248,6 +278,16 @@ object Profile {
     // Hot-key diagnosis over the events queue table (user_id plays the
     // reference's partition_id — the key its work-stealing shards by).
     "profile_skew" -> ((s, d) => skewReport(Tables(s, d).events, "user_id")),
+    // Same synthetic snapshots; KS over the n_chars distribution (v2's
+    // text mutations shift lengths for doc_id % 7 == 0 docs... they
+    // don't touch n_chars, so this pins the near-identical-distribution
+    // side; the spec plants a real shift).
+    "profile_ks_drift" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      ksDrift(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 =!= 1), "n_chars")
+    }),
     // Same synthetic snapshots; drift over the source mix.
     "profile_drift" -> ((s, d) => {
       val docs = Tables(s, d).documents
@@ -269,6 +309,22 @@ object Profile {
          |       WHEN old_h <> new_h THEN 'changed'
          |       ELSE 'unchanged' END AS status
          |FROM v1 FULL OUTER JOIN v2 USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // Cumulative-over-union CDFs; exact-integer divides, 6-dp round,
+    // argmax tiebreak = smallest x.
+    "profile_ks_drift" ->
+      ("""WITH v1 AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents WHERE doc_id % 10 <> 0),
+         |v2 AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents WHERE doc_id % 10 <> 1),
+         |o AS (SELECT x, COUNT(*) AS c1 FROM v1 GROUP BY x),
+         |n AS (SELECT x, COUNT(*) AS c2 FROM v2 GROUP BY x),
+         |u AS (SELECT x, COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+         |  FROM o FULL OUTER JOIN n USING (x)),
+         |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM u),
+         |c AS (SELECT x,
+         |    CAST(SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / n1 AS f1,
+         |    CAST(SUM(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / n2 AS f2
+         |  FROM u CROSS JOIN t),
+         |r AS (SELECT x, ROUND(ABS(f1 - f2), 6) AS d FROM c)
+         |SELECT d AS ks_stat, x AS at_x FROM r ORDER BY d DESC, x LIMIT 1""".stripMargin),
     // Top-K by (count desc, key asc) with the same IEEE share/skew
     // arithmetic in both engines.
     "profile_skew" ->

@@ -145,6 +145,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2 * docs.schema.fields.length)
   }
 
+  test("ksDrift: identical samples score 0, a planted location shift scores high") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i.toLong, (i % 10 + 10).toLong)).toDF("id", "v")
+    val same = Profile.ksDrift(a, a, "v").collect()(0)
+    assert(same.getDouble(0) == 0.0, s"identical: $same")
+    // b shifted +100: CDFs never overlap → D = 1 exactly, attained at
+    // the old distribution's max value (the smallest argmax x).
+    val b = (1 to 100).map(i => (i.toLong, (i % 10 + 110).toLong)).toDF("id", "v")
+    val shifted = Profile.ksDrift(a, b, "v").collect()(0)
+    assert(shifted.getDouble(0) == 1.0, s"disjoint supports: $shifted")
+    assert(shifted.getLong(1) == 19L, s"argmax at old max: $shifted")
+    // Partial shift: half of b moved up → D = 0.5.
+    val half = (1 to 100).map(i =>
+      (i.toLong, if (i <= 50) (i % 10 + 10).toLong else (i % 10 + 110).toLong))
+      .toDF("id", "v")
+    val partial = Profile.ksDrift(a, half, "v").collect()(0)
+    assert(partial.getDouble(0) == 0.5, s"half-mass shift: $partial")
+  }
+
   test("skewReport: hot key surfaces with the right share and skew factor") {
     import spark.implicits._
     // 1 key with 60 rows, 20 keys with 2 rows each → 100 rows, 21 keys.
