@@ -88,6 +88,26 @@ object TopK {
     def outputEncoder: org.apache.spark.sql.Encoder[BufS] = Encoders.product[BufS]
   }
 
+  /** Double-scored STRING-id candidate (token/term ranking, where the
+    * ranked entity has no numeric id). The id tiebreak uses UTF-16
+    * code-unit order — coincides with DuckDB's byte-wise UTF-8 compare
+    * on ASCII ids (the [[ScoredS]] caveat). */
+  case class ScoredDS(score: Double, id: String)
+  case class BufDS(items: Seq[ScoredDS])
+
+  private final class TopKDSAgg(k: Int, ascending: Boolean)
+      extends Aggregator[ScoredDS, BufDS, BufDS] with TopKLike[ScoredDS, BufDS] {
+    protected def kk: Int = k
+    @transient protected lazy val ord: Ordering[ScoredDS] =
+      if (ascending) Ordering.by((s: ScoredDS) => (s.score, s.id))
+      else Ordering.by((s: ScoredDS) => (-s.score, s.id))
+    protected def items(b: BufDS): Seq[ScoredDS] = b.items
+    protected def mk(s: Seq[ScoredDS]): BufDS = BufDS(s)
+    def zero: BufDS = BufDS(Nil)
+    def bufferEncoder: org.apache.spark.sql.Encoder[BufDS] = Encoders.product[BufDS]
+    def outputEncoder: org.apache.spark.sql.Encoder[BufDS] = Encoders.product[BufDS]
+  }
+
   /** (epoch-micros, string-id) FIFO candidate — the dispatch key of
     * [[graft.feed.FeedStep]]'s per-partition oldest-first selection.
     * Ascending (score, id) only; the String-ordering caveat of [[ScoredS]]
@@ -137,6 +157,21 @@ object TopK {
   def perGroupRanked(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, rankCol: String, k: Int, ascending: Boolean): DataFrame = {
     val f = udaf(new TopKAgg(k, ascending), Encoders.product[Scored])
+    df.groupBy(groupCol)
+      .agg(f(col(scoreCol).cast("double"), col(idCol)).as("_tk"))
+      .select(col(groupCol), posexplode(col("_tk.items")).as(Seq("_pos", "_e")))
+      .select(col(groupCol), col("_e.id").as(idCol),
+        col("_e.score").as(scoreCol), (col("_pos") + 1).cast("long").as(rankCol))
+  }
+
+  /** [[perGroupRanked]] with a STRING id column (token/term ranking).
+    * Emits (groupCol, idCol, scoreCol, rankCol), best-first within each
+    * group; the same bounded-buffer partial aggregation, so a
+    * high-cardinality score domain (per-window vocabulary) never lands
+    * on one reducer. */
+  def perGroupRankedStrId(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, rankCol: String, k: Int, ascending: Boolean): DataFrame = {
+    val f = udaf(new TopKDSAgg(k, ascending), Encoders.product[ScoredDS])
     df.groupBy(groupCol)
       .agg(f(col(scoreCol).cast("double"), col(idCol)).as("_tk"))
       .select(col(groupCol), posexplode(col("_tk.items")).as(Seq("_pos", "_e")))

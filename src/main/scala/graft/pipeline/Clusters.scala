@@ -258,10 +258,13 @@ object Clusters {
     * reused every iteration, so iterations re-shuffle only the rank
     * table) followed by a map-side-combined sum per destination. No
     * driver-side state beyond the node count; nothing is collected.
-    * Dangling nodes (no out-edges) leak their damped mass — the
-    * standard simplification; callers needing strict mass conservation
-    * pre-add self-loops. Fixed iteration count (power iteration
-    * converges geometrically at rate `damping`). */
+    * Dangling nodes (no out-edges) redistribute their damped mass
+    * uniformly — the standard teleport correction, so ranks sum to 1 on
+    * GENERAL directed graphs, not just symmetric ones: per iteration
+    * the dangling mass is one anti-join aggregate over the rank table
+    * (a single broadcast scalar folded lazily into the next plan — no
+    * collect). Fixed iteration count (power iteration converges
+    * geometrically at rate `damping`). */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val nodes = graft.Materialize(
@@ -270,16 +273,21 @@ object Clusters {
     val n = math.max(nodes.count(), 1L) // bounded driver scalar (node count)
     val withDeg = graft.Materialize(
       edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")))
+    // Nodes WITH out-edges; the anti-join complement is the dangling set.
+    val srcs = graft.Materialize(edges.select(col("src").as("id")).distinct())
     var ranks = graft.Materialize(nodes.withColumn("rank", lit(1.0 / n)))
     (0 until iterations).foreach { _ =>
       val inflow = withDeg.join(ranks, col("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
+      val dangling = ranks.join(srcs, Seq("id"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
       val next = graft.Materialize(
         nodes.join(inflow, Seq("id"), "left")
+          .crossJoin(broadcast(dangling))
           .select(col("id"),
-            (lit((1 - damping) / n) +
-              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank")))
+            (lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("inflow"), lit(0.0)) + col("dm") / n)).as("rank")))
       graft.Materialize.release(ranks)
       ranks = next
     }
@@ -287,6 +295,7 @@ object Clusters {
       .orderBy(desc("rank"), asc("id"))
     graft.Materialize.release(nodes)
     graft.Materialize.release(withDeg)
+    graft.Materialize.release(srcs)
     out
   }
 

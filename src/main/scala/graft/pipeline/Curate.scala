@@ -141,17 +141,22 @@ object Curate {
   def corpusBuild(docs: DataFrame,
       minTokens: Long = 15, maxTokens: Long = 95): DataFrame = {
     val reached = stageFlags(docs, minTokens, maxTokens)
+    val (tTrain, _) = Select.splitThresholds()
     // One conditional-sum aggregate: the whole funnel in a single job.
     val one = reached.agg(
       count(lit(1)).as("s1"),
       sum(when(col("r2"), 1L).otherwise(0L)).as("s2"),
       sum(when(col("r3"), 1L).otherwise(0L)).as("s3"),
       sum(when(col("r4"), 1L).otherwise(0L)).as("s4"),
-      sum(when(col("r4") && col("hk") < "cccccccc", 1L).otherwise(0L)).as("s5"))
+      sum(when(col("r4") && col("hk") < tTrain, 1L).otherwise(0L)).as("s5"))
+    // The stack generator and the n_ingest denominator ride the SAME
+    // select over the one-row aggregate — a self-crossJoin here would
+    // (absent exchange reuse) execute the whole stageFlags pass,
+    // including the 8-gram decontamination join, a second time.
     one.select(expr(
         "stack(5, 1, 'ingest', s1, 2, 'quality', s2, 3, 'dedup', s3, " +
-          "4, 'decontaminated', s4, 5, 'train', s5) AS (stage_idx, stage, n_docs)"))
-      .crossJoin(broadcast(one.select(col("s1").as("n_ingest"))))
+          "4, 'decontaminated', s4, 5, 'train', s5) AS (stage_idx, stage, n_docs)"),
+        col("s1").as("n_ingest"))
       .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"), col("n_docs"),
         round(col("n_docs").cast("double") / col("n_ingest"), 6).as("retained_frac"))
       .orderBy("stage_idx")
@@ -170,11 +175,12 @@ object Curate {
     * (split, lang) first. Returns the written row count per split. */
   def materializeCorpus(docs: DataFrame, outDir: String,
       minTokens: Long = 15, maxTokens: Long = 95): Map[String, Long] = {
+    val (tTrain, tVal) = Select.splitThresholds()
     val survivors = stageFlags(docs, minTokens, maxTokens)
       .filter(col("r4"))
       .select(col("doc_id"),
-        when(col("hk") < "cccccccc", "train")
-          .when(col("hk") < "e6666666", "val").otherwise("test").as("split"))
+        when(col("hk") < tTrain, "train")
+          .when(col("hk") < tVal, "val").otherwise("test").as("split"))
     val out = docs.join(survivors, Seq("doc_id"))
     out.write.mode("overwrite").partitionBy("split", "lang").parquet(outDir)
     docs.sparkSession.read.parquet(outDir)

@@ -633,9 +633,13 @@ object Dedup {
     * page. Same skew-proof shape as [[exact]]: a map-side-combined
     * struct-max AGGREGATE per content hash (argmax rides as
     * max(struct(score, -doc_id))), never a per-hash window sort — a
-    * million-copy clique collapses per map task before the one shuffle. */
+    * million-copy clique collapses per map task before the one shuffle.
+    * The score compares as DOUBLE: a fractional quality score (a
+    * classifier score in [0,1]) keeps its resolution — a long cast
+    * would truncate every score to 0 and silently degrade keep-best
+    * into keep-lowest-id. */
   def keepBest(docs: DataFrame, scoreCol: String = "n_chars"): DataFrame = {
-    val cand = struct(col(scoreCol).cast("long").as("score"), (-col("doc_id")).as("negid"))
+    val cand = struct(col(scoreCol).cast("double").as("score"), (-col("doc_id")).as("negid"))
     docs.select(md5(col("text")).as("h"), cand.as("cand"))
       .groupBy("h")
       .agg(max("cand").as("best"), count(lit(1)).as("group_size"))
@@ -736,7 +740,7 @@ object Dedup {
          |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id ASC) AS rn,
          |    COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
          |  FROM documents)
-         |SELECT doc_id, h, CAST(n_chars AS BIGINT) AS score, group_size
+         |SELECT doc_id, h, CAST(n_chars AS DOUBLE) AS score, group_size
          |FROM g WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     // Same portable hash, same signed ordering, same k-smallest-of-union
     // sketch — the estimate is deterministic given the hash, so it

@@ -25,10 +25,21 @@ import org.apache.spark.sql.types.NumericType
   */
 object Profile {
 
+  /** Caller-supplied column/check names are interpolated into the
+    * `stack(...)` expr strings below; a quote, space, or SQL
+    * metacharacter would break the parse (or worse) at runtime, so the
+    * names are validated up front — plain identifiers only. */
+  private def requireIdents(kind: String, names: Iterable[String]): Unit =
+    names.find(n => !n.matches("[A-Za-z0-9_]+")).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"$kind name '$bad' must match [A-Za-z0-9_]+ (it is interpolated into a SQL expr)")
+    }
+
   /** Per-column profile: null count, exact distinct count, numeric
     * min/max/mean (NULL for non-numeric columns). One row per column,
     * computed in a single aggregate over the input. */
   def profileTable(df: DataFrame): DataFrame = {
+    requireIdents("column", df.schema.fields.map(_.name))
     val rows = lit(df.count()) // single count job; reused for every row
     val metrics: Seq[Column] = df.schema.fields.flatMap { f =>
       val c = col(f.name)
@@ -64,6 +75,8 @@ object Profile {
     * pass); each uniqueness check is one distinct-vs-count comparison in
     * the same aggregate. Report: (constraint, column, violations, status). */
   def checkConstraints(df: DataFrame, checks: Seq[Check], uniqueCols: Seq[String] = Nil): DataFrame = {
+    requireIdents("check", checks.map(_.name))
+    requireIdents("column", checks.map(_.column) ++ uniqueCols)
     val obs: Seq[Column] =
       checks.map(ch => count(when(!coalesce(ch.predicate, lit(false)), 1)).as(s"v__${ch.name}")) ++
         uniqueCols.map(c => (count(col(c)) - countDistinct(col(c))).as(s"u__$c"))
@@ -163,10 +176,16 @@ object Profile {
     * the ordered window runs over DISTINCT VALUES (bounded by the
     * column's value cardinality, the negsample vocab-window argument),
     * never corpus rows. CDF fractions are exact-integer divides, so the
-    * 6-dp round is cross-engine exact. */
+    * 6-dp round is cross-engine exact.
+    *
+    * Values group as DOUBLE (not truncated to integers): a [0,1]-scaled
+    * quality-score column keeps its full resolution — counts per distinct
+    * double stay exact integers, so the cross-engine argument is
+    * unchanged, and an integer-valued column (n_chars) produces the same
+    * buckets either way. */
   def ksDrift(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String): DataFrame = {
-    val o = oldSnap.groupBy(col(valueCol).cast("long").as("x")).agg(count(lit(1)).as("c1"))
-    val n = newSnap.groupBy(col(valueCol).cast("long").as("x")).agg(count(lit(1)).as("c2"))
+    val o = oldSnap.groupBy(col(valueCol).cast("double").as("x")).agg(count(lit(1)).as("c1"))
+    val n = newSnap.groupBy(col(valueCol).cast("double").as("x")).agg(count(lit(1)).as("c2"))
     val u = o.join(n, Seq("x"), "full_outer").na.fill(0L, Seq("c1", "c2"))
     val tot = u.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     val w = org.apache.spark.sql.expressions.Window
@@ -203,6 +222,7 @@ object Profile {
     * [[profileFromStore]] folds the ledger whenever a profile is
     * needed. */
   def updateProfileStore(df: DataFrame, storeDir: String): Unit = {
+    requireIdents("column", df.schema.fields.map(_.name))
     val rows = lit(df.count())
     val metrics: Seq[Column] = df.schema.fields.flatMap { f =>
       val c = col(f.name)
@@ -312,8 +332,8 @@ object Profile {
     // Cumulative-over-union CDFs; exact-integer divides, 6-dp round,
     // argmax tiebreak = smallest x.
     "profile_ks_drift" ->
-      ("""WITH v1 AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents WHERE doc_id % 10 <> 0),
-         |v2 AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents WHERE doc_id % 10 <> 1),
+      ("""WITH v1 AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE doc_id % 10 <> 0),
+         |v2 AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE doc_id % 10 <> 1),
          |o AS (SELECT x, COUNT(*) AS c1 FROM v1 GROUP BY x),
          |n AS (SELECT x, COUNT(*) AS c2 FROM v2 GROUP BY x),
          |u AS (SELECT x, COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2

@@ -639,6 +639,18 @@ object Select {
       .orderBy("shard", "pos")
   }
 
+  /** The frozen (train, val) hex split thresholds for
+    * [[splitTrainValTest]] — exposed so every consumer of the split gate
+    * (Curate's funnel + materializer) derives its boundaries from THIS
+    * computation; a hardcoded literal elsewhere would silently
+    * desynchronize funnel counts from materialized splits when the
+    * fractions change. Defaults: 0xcccccccc / 0xe6666666. */
+  def splitThresholds(trainFrac: Double = 0.8, valFrac: Double = 0.1): (String, String) = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1, "fractions must partition (0,1)")
+    (f"${math.floor(trainFrac * 4294967296.0).toLong}%08x",
+      f"${math.floor((trainFrac + valFrac) * 4294967296.0).toLong}%08x")
+  }
+
   /** Deterministic train/val/test split — the holdout carve-out every
     * training run needs, as a pure hash gate (never `rand()`): the md5
     * prefix of doc_id maps each document to the SAME split on every
@@ -649,9 +661,7 @@ object Select {
     * semantics, no float boundary ambiguity. Zero shuffle: a per-row
     * projection the optimizer can pipeline into the scan. */
   def splitTrainValTest(docs: DataFrame, trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
-    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1, "fractions must partition (0,1)")
-    val tTrain = f"${math.floor(trainFrac * 4294967296.0).toLong}%08x"
-    val tVal = f"${math.floor((trainFrac + valFrac) * 4294967296.0).toLong}%08x"
+    val (tTrain, tVal) = splitThresholds(trainFrac, valFrac)
     docs.withColumn("hk", substring(md5(col("doc_id").cast("string")), 1, 8))
       .select(col("doc_id"), col("lang"),
         when(col("hk") < lit(tTrain), "train")

@@ -736,8 +736,10 @@ object TextAnalysis {
     * (Mikolov et al.'s unigram smoothing — flattens the head, lifts the
     * tail), with the cumulative distribution attached so samplers can
     * binary-search it. Cross-engine exactness: c^0.75 is computed as
-    * sqrt(sqrt(c³)) — c³ is an exact integer below 2^53 and sqrt is a
-    * correctly-rounded IEEE op in both engines, where a libm `pow`
+    * sqrt(c)·sqrt(sqrt(c)) — c is exact below 2^53 (where the earlier
+    * sqrt(sqrt(c³)) form lost exactness once c³ > 2^53, i.e. c beyond
+    * ~208k, a bound a 100-TB token count blows through), and sqrt and ×
+    * are correctly-rounded IEEE ops in both engines, where a libm `pow`
     * would differ in the last ulp. The cumulative sum is an ORDERED
     * window fold over the vocabulary (deterministic summation order in
     * both engines) — a global window, but vocabulary-sized, not
@@ -746,7 +748,7 @@ object TextAnalysis {
     val uni = docs.select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val weighted = uni.select(col("tok"), col("c"),
-      sqrt(sqrt(col("c").cast("double") * col("c") * col("c"))).as("w"))
+      (sqrt(col("c").cast("double")) * sqrt(sqrt(col("c").cast("double")))).as("w"))
     val tot = weighted.agg(sum("w").as("tw"))
     val win = org.apache.spark.sql.expressions.Window
       .orderBy("tok").rowsBetween(Long.MinValue, 0)
@@ -894,13 +896,13 @@ object TextAnalysis {
          |FROM q JOIN sk USING (row, b)
          |GROUP BY q.tok, q.true_c ORDER BY q.true_c DESC, q.tok""".stripMargin
     },
-    // sqrt(sqrt(c³)) is bit-exact in both engines (exact integer cube +
-    // two correctly-rounded sqrts); the ordered window fold fixes the
-    // cumulative summation order.
+    // sqrt(c)·sqrt(sqrt(c)) is bit-exact in both engines for any exact
+    // c < 2^53 (correctly-rounded sqrts and product); the ordered window
+    // fold fixes the cumulative summation order.
     "q92_negsample" ->
       ("""WITH uni AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |c AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
-         |w AS (SELECT tok, c, sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) AS w FROM c),
+         |w AS (SELECT tok, c, sqrt(CAST(c AS DOUBLE)) * sqrt(sqrt(CAST(c AS DOUBLE))) AS w FROM c),
          |t AS (SELECT SUM(w) AS tw FROM w)
          |SELECT tok, c, ROUND(w / tw, 6) AS p,
          |  ROUND(SUM(w / tw) OVER (ORDER BY tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_p

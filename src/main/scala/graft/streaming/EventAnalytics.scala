@@ -59,18 +59,19 @@ object EventAnalytics {
     if (counts.isStreaming) counts else rankTrending(counts, k)
   }
 
-  /** Rank per-window token counts to the top-k trending table. The
-    * row_number partitions are per-WINDOW (cardinality grows with time,
-    * not corpus) over vocabulary-sized count rows — bounded by the
-    * vocabulary, never the corpus, so the window sort is safe here where
-    * it would not be over raw tokens. */
-  def rankTrending(counts: DataFrame, k: Int = 5): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("ws").orderBy(desc("cnt"), asc("tok"))
-    counts.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+  /** Rank per-window token counts to the top-k trending table via the
+    * bounded per-group TopK partial aggregation (the bm25/quotaTopK
+    * shape) — NOT a row_number window: a 1-hour window over a web
+    * firehose has a 10⁸-term vocabulary, and a window-rank would sort
+    * all of it in the single reducer owning that window. The TopK
+    * aggregator keeps ≤ k terms per window PER MAP TASK, so only
+    * |windows| × k × |partitions| rows shuffle. Counts round-trip
+    * through the aggregator's double score exactly (counts < 2^53). */
+  def rankTrending(counts: DataFrame, k: Int = 5): DataFrame =
+    graft.functions.TopK
+      .perGroupRankedStrId(counts, "ws", "cnt", "tok", "rk", k, ascending = false)
+      .select(col("ws"), col("tok"), col("cnt").cast("long").as("cnt"), col("rk"))
       .transform(sortedIfBatch("ws", "rk"))
-  }
 
   /** Stream-stream join: purchases within `within` after a click by the
     * same user. In streaming mode both sides need watermarks and the

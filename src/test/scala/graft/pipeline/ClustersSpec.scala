@@ -139,6 +139,31 @@ class ClustersSpec extends AnyFunSuite {
     assert((2L to 5L).map(out).distinct.size == 1, s"symmetric spokes tie: $out")
   }
 
+  test("pageRank: dangling-node mass is redistributed, ranks sum to 1") {
+    // Chain 1→2→3 with 3 a SINK (no out-edges): without the teleport
+    // correction node 3's damped mass leaks every iteration and the
+    // ranks no longer sum to 1. Compare against a driver-side reference
+    // power iteration with uniform dangling redistribution.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val iters = 10
+    val out = Clusters.pageRank(edges, iterations = iters).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out.values.sum - 1.0) < 3e-6, s"mass conserved: $out")
+    assert(out(3L) > out(2L) && out(2L) > out(1L), s"authority flows down the chain: $out")
+    val d = 0.85; val n = 3
+    var r = Map(1L -> 1.0 / n, 2L -> 1.0 / n, 3L -> 1.0 / n)
+    (0 until iters).foreach { _ =>
+      val dm = r(3L) // node 3 is the only dangling node
+      r = Map(
+        1L -> ((1 - d) / n + d * (dm / n)),
+        2L -> ((1 - d) / n + d * (r(1L) + dm / n)),
+        3L -> ((1 - d) / n + d * (r(2L) + dm / n)))
+    }
+    r.foreach { case (id, expect) =>
+      assert(math.abs(out(id) - expect) < 1e-6, s"node $id: ${out(id)} vs $expect")
+    }
+  }
+
   test("pageRank: results ordered rank desc, deterministic across runs") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
     val r1 = Clusters.pageRank(edges).collect().map(_.toString)

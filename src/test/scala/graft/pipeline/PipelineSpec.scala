@@ -28,8 +28,22 @@ class PipelineSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "n_chars")
     val out = Dedup.keepBest(d).collect().map(r => r.getLong(0) -> r).toMap
     assert(out.keySet == Set(2L, 4L))
-    assert(out(2L).getLong(2) == 99L && out(2L).getLong(3) == 3L) // score, group_size
+    assert(out(2L).getDouble(2) == 99.0 && out(2L).getLong(3) == 3L) // score, group_size
     assert(out(4L).getLong(3) == 1L)
+  }
+
+  test("keep-best compares fractional scores at full resolution") {
+    import spark.implicits._
+    // Regression: a long cast truncated every [0,1] classifier score to
+    // 0, silently degrading keep-best-quality into keep-lowest-id.
+    val d = Seq(
+      (1L, "a b c", 0.20), (2L, "a b c", 0.95), (3L, "a b c", 0.70),
+      (4L, "x y z", 0.10)
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.keepBest(d, scoreCol = "score").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 4L), s"highest fractional score wins: ${out.keySet}")
+    assert(out(2L).getDouble(2) == 0.95)
   }
 
   test("keep-best plan is an aggregate, not a window sort") {

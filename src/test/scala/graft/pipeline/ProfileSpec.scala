@@ -155,13 +155,30 @@ class ProfileSpec extends AnyFunSuite {
     val b = (1 to 100).map(i => (i.toLong, (i % 10 + 110).toLong)).toDF("id", "v")
     val shifted = Profile.ksDrift(a, b, "v").collect()(0)
     assert(shifted.getDouble(0) == 1.0, s"disjoint supports: $shifted")
-    assert(shifted.getLong(1) == 19L, s"argmax at old max: $shifted")
+    assert(shifted.getDouble(1) == 19.0, s"argmax at old max: $shifted")
     // Partial shift: half of b moved up → D = 0.5.
     val half = (1 to 100).map(i =>
       (i.toLong, if (i <= 50) (i % 10 + 10).toLong else (i % 10 + 110).toLong))
       .toDF("id", "v")
     val partial = Profile.ksDrift(a, half, "v").collect()(0)
     assert(partial.getDouble(0) == 0.5, s"half-mass shift: $partial")
+  }
+
+  test("ksDrift: continuous [0,1]-scaled scores keep their resolution") {
+    import spark.implicits._
+    // Regression: a cast-to-long bucketing collapsed every [0,1) score
+    // to the single bucket x=0 in BOTH snapshots, so a planted shift in
+    // a quality-score column read as KS = 0 — drift silently invisible
+    // for the exact use case the docstring names.
+    val a = (1 to 100).map(i => (i.toLong, (i % 10 + 10) / 100.0)).toDF("id", "v")
+    val b = (1 to 100).map(i => (i.toLong, (i % 10 + 15) / 100.0)).toDF("id", "v")
+    val same = Profile.ksDrift(a, a, "v").collect()(0)
+    assert(same.getDouble(0) == 0.0, s"identical continuous: $same")
+    // a supports {0.10..0.19}, b {0.15..0.24}, uniform: the CDFs differ
+    // by exactly 0.5 first at x = 0.14 (F1 = 0.5, F2 = 0).
+    val shifted = Profile.ksDrift(a, b, "v").collect()(0)
+    assert(shifted.getDouble(0) == 0.5, s"planted score shift must register: $shifted")
+    assert(shifted.getDouble(1) == 0.14, s"argmax at first max-gap value: $shifted")
   }
 
   test("skewReport: hot key surfaces with the right share and skew factor") {

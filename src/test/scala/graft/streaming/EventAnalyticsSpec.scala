@@ -188,4 +188,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().filter(_.getTimestamp(0) == ts("2024-01-01 00:00:00"))
     assert(w0.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("hot", 4L), ("warm", 2L)))
   }
+
+  test("trending ranking is a bounded TopK aggregation, not a window sort") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // A 1-hour firehose window carries a vocabulary-sized count table; a
+    // row_number rank would sort all of it in the one reducer owning the
+    // window. The plan must show the partial TopK aggregation instead.
+    val rows = Seq((ts("2024-01-01 00:05:00"), "a b c"))
+    val plan = EventAnalytics.trendingTerms(rows.toDF("ts", "text"), "1 hour", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), s"window rank came back:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"TopK partial agg missing:\n$plan")
+  }
 }
