@@ -53,14 +53,25 @@ case class UnicodeNormalize(child: Expression, form: String)
 }
 
 object UnicodeNormalize {
-  /** Register `nfc_normalize` (DuckDB-compatible name) on the session. */
+  /** Register all four forms — `nfc_normalize` (DuckDB-compatible name)
+    * plus `nfd_normalize`/`nfkc_normalize`/`nfkd_normalize` — on the
+    * session. NFD/NFKD are what diacritic-stripping pipelines compose
+    * with a combining-mark regex; NFKC is the compatibility fold
+    * (ligatures, full-width forms) search indexes canonicalize with. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => UnicodeNormalize(exprs.head, "NFC"), "built-in")
+    Seq("NFC", "NFD", "NFKC", "NFKD").foreach { form =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"${form.toLowerCase}_normalize",
+        exprs => UnicodeNormalize(exprs.head, form), "built-in")
+    }
 
-  /** Column-level entry point (the cosine_sim convention). */
-  def nfc(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+  /** Column-level entry point for any form (the cosine_sim convention). */
+  def normalize(spark: org.apache.spark.sql.SparkSession, c: Column, form: String): Column = {
     register(spark)
-    org.apache.spark.sql.functions.call_function("nfc_normalize", c)
+    org.apache.spark.sql.functions.call_function(s"${form.toLowerCase}_normalize", c)
   }
+
+  /** Column-level NFC entry point. */
+  def nfc(spark: org.apache.spark.sql.SparkSession, c: Column): Column =
+    normalize(spark, c, "NFC")
 }

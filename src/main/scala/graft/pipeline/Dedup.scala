@@ -22,6 +22,14 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Canonically-equivalent probe suffixes for `dedup_exact_nfc` — built
+    * from escapes so the decomposition survives source-file
+    * normalization (the text_nfc convention): decomposed e+COMBINING
+    * ACUTE / A+COMBINING RING vs their precomposed twins — NFC-equal,
+    * byte-different. */
+  private val NfcDecomposed = " cafe\u0301 A\u030a"
+  private val NfcPrecomposed = " caf\u00e9 \u00c5"
+
   /** Distinct n-gram shingles of the whitespace token stream; documents
     * shorter than n fall back to a single whole-text shingle. */
   def shingles(n: Int): Column = {
@@ -43,6 +51,23 @@ object Dedup {
       .groupBy("h").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "h")
       .orderBy("doc_id")
+
+  /** Opt-in Unicode-canonicalization pre-step for ANY dedup entry:
+    * returns `docs` with `text` normalized (NFC by default), so
+    * canonically-equivalent twins — the same logical text arriving
+    * precomposed from one crawler and decomposed from another, which
+    * byte-level hashing and shingling treat as DIFFERENT documents —
+    * collapse through the unchanged hash/shingle paths:
+    * `exact(normalized(docs))`, `minhashDedup(normalized(docs))`, …
+    * Zero shuffle: a codegen'd per-row expression
+    * ([[graft.functions.UnicodeNormalize]]) the optimizer pipelines into
+    * the scan projection. Kept opt-in because byte-exact dedup of the
+    * RAW crawl bytes is also a legitimate contract (provenance dedup);
+    * the oracle-checked `dedup_exact_nfc` entry pins the composed
+    * semantics cross-engine. */
+  def normalized(docs: DataFrame, form: String = "NFC"): DataFrame =
+    docs.withColumn("text",
+      graft.functions.UnicodeNormalize.normalize(docs.sparkSession, col("text"), form))
 
   /** Paragraph-level exact dedup with document reassembly — the
     * sub-document dedup pass corpus pipelines run BEFORE whole-document
@@ -444,6 +469,10 @@ object Dedup {
     "doc_id BIGINT, sig ARRAY<BIGINT>", "doc_id", 32)
   private val BandsSpec = graft.sinks.BucketedStore.Spec(
     "doc_id BIGINT, band INT, bh BIGINT", "bh", 32)
+  private val SetsSpec = graft.sinks.BucketedStore.Spec(
+    "doc_id BIGINT, sh ARRAY<STRING>, n_sh INT", "doc_id", 32)
+  private val IndexSpec = graft.sinks.BucketedStore.Spec(
+    "s STRING, doc_id BIGINT", "s", 32)
 
   /** Incremental MinHash near-dup against a persistent signature store —
     * the LSH version of the daily-increment loop: historical docs are
@@ -565,6 +594,135 @@ object Dedup {
     annotated.orderBy("doc_id")
   }
 
+  /** Incremental containment / n-gram-Jaccard near-dup against a
+    * persistent shingle store — the daily-increment form of
+    * [[containmentPairs]]/[[ngramJaccardPairs]], closing the one dedup
+    * tier that was batch-only: a day's crawl is checked for
+    * doc-INSIDE-doc matches (and symmetric near-dups) against the whole
+    * historical corpus WITHOUT re-shingling it. History is represented
+    * by two bucketed stores ([[graft.sinks.BucketedStore]]): `sets`
+    * (doc_id → distinct bigram shingle array, bucketed by doc_id — the
+    * verify side) and `index` (shingle → doc_id postings, bucketed by
+    * s — the candidate side).
+    *
+    * Scale contract: the index holds AT MOST `maxDf` postings per
+    * shingle across all of history — an increment whose keepers would
+    * push a shingle past the cap indexes NOTHING for that shingle (the
+    * batch operators' stop-shingle argument: super-cap boilerplate is a
+    * quadratic clique with no containment signal; any true containment
+    * pair still links through its sub-cap shingles). So the store probe
+    * returns O(|increment shingles| × maxDf) rows, candidate pairs are
+    * bounded the same way, and per-increment cost is O(increment) —
+    * the store is scanned (column-pruned, parallel) but never shuffled
+    * below `broadcastMaxRows` (asserted by the incremental specs), and
+    * only the increment shuffles above it.
+    *
+    * Crash ordering (the [[incrementalMinhash]] contract): index rows
+    * append BEFORE set rows, making the sets append the commit record —
+    * a crash in between leaves orphan postings whose candidates drop in
+    * the sets verify join (invisible, not wrong); the retried increment
+    * re-appends both, duplicate postings only produce duplicate
+    * candidates (absorbed by `distinct()`) and duplicate set rows only
+    * duplicate verify rows (absorbed by the dupOf aggregate).
+    *
+    * Returns the increment annotated (doc_id, is_duplicate, dup_of,
+    * containment, jaccard) — flagged when EITHER measure clears its
+    * threshold (round-before-threshold, the batch convention) — and
+    * appends only the increment's keepers. */
+  def incrementalContainment(newDocs: DataFrame, storeDir: String,
+      cThreshold: Double = 0.3, jThreshold: Double = 0.08,
+      maxDf: Int = 50, broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sets = graft.Materialize(spread(newDocs)
+      .select(col("doc_id"), shingles(2).as("sh"))
+      .withColumn("n_sh", size(col("sh"))))
+    val sh0 = graft.Materialize(sets.select(col("doc_id"), explode(col("sh")).as("s")))
+    val small = sets.count() <= broadcastMaxRows
+    def inc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+    val storeIndex = graft.sinks.BucketedStore
+      .readOrEmpty(spark, s"$storeDir/index", IndexSpec)
+      .select(col("s"), col("doc_id").as("old_id"))
+    val storeSets = graft.sinks.BucketedStore
+      .readOrEmpty(spark, s"$storeDir/sets", SetsSpec)
+      .select(col("doc_id").as("old_id"), col("sh").as("osh"), col("n_sh").as("o_n"))
+
+    // Matched postings: store side STREAMED against the broadcast
+    // increment shingle set — O(increment·maxDf) rows out of the scan.
+    // Materialized because it feeds BOTH candidate generation and the
+    // append-time posting-count cap.
+    val probe = graft.Materialize(
+      storeIndex.join(inc(sh0.select("s").distinct()), Seq("s")))
+    val vsStore = probe.join(inc(sh0), Seq("s"))
+      .select(col("doc_id"), col("old_id")).distinct()
+    // Intra-increment candidates under the same df cap (within-increment
+    // frequency; the batch operator's candidate rule applied to the day).
+    val keepIntra = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf).select("s")
+    val shk = graft.Materialize(sh0.join(broadcast(keepIntra), Seq("s")))
+    val intra = shk.as("a").join(shk.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    // Candidates carry ONLY the two ids (the incrementalMinhash rule);
+    // their broadcast is gated on their OWN count, never the increment's.
+    val cands = graft.Materialize(vsStore.unionByName(intra))
+    val candInc: DataFrame => DataFrame =
+      if (small && cands.count() <= broadcastMaxRows) broadcast(_) else identity
+
+    // Verify over the FULL distinct shingle sets: |A∩B| exact, both
+    // measures from the one intersection (|A∪B| = |A|+|B|−|A∩B|). The
+    // old side streams out of the bucketed sets store (unioned with the
+    // increment's own sets for intra pairs); candidates ride broadcast.
+    val verified = storeSets
+      .unionByName(sets.select(col("doc_id").as("old_id"),
+        col("sh").as("osh"), col("n_sh").as("o_n")))
+      .join(candInc(cands), Seq("old_id"))
+      .join(inc(sets), Seq("doc_id"))
+      .select(col("doc_id"), col("old_id"),
+        size(array_intersect(col("sh"), col("osh"))).as("i"),
+        col("n_sh"), col("o_n"))
+      .select(col("doc_id"), col("old_id"),
+        round(col("i") / least(col("n_sh"), col("o_n")).cast("double"), 4)
+          .as("containment"),
+        round(col("i") / (col("n_sh") + col("o_n") - col("i")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("containment") >= cThreshold || col("jaccard") >= jThreshold)
+    val dupOf = verified.groupBy("doc_id")
+      .agg(min("old_id").as("dup_of"),
+        max("containment").as("best_c"), max("jaccard").as("best_j"))
+    val annotated = graft.Materialize(newDocs.select("doc_id")
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_duplicate"),
+        col("dup_of"),
+        coalesce(col("best_c"), lit(0.0)).as("containment"),
+        coalesce(col("best_j"), lit(0.0)).as("jaccard")))
+
+    // Grow the store by the increment's KEEPERS only. Posting cap:
+    // existing(s) + keeper-df(s) must stay ≤ maxDf or the shingle
+    // indexes nothing this increment (all-or-nothing keeps the contract
+    // "≤ maxDf postings per shingle" without a read-modify-write).
+    val keep = annotated.filter(!col("is_duplicate")).select("doc_id")
+    val keepPost = graft.Materialize(sh0.join(inc(keep), Seq("doc_id")))
+    val existing = probe.groupBy("s").agg(count(lit(1)).as("n_old"))
+    val admit = keepPost.groupBy("s").agg(count(lit(1)).as("n_new"))
+      .join(existing, Seq("s"), "left")
+      .filter(coalesce(col("n_old"), lit(0L)) + col("n_new") <= maxDf)
+      .select("s")
+    graft.sinks.BucketedStore.append(
+      keepPost.join(broadcast(admit), Seq("s")).select(col("s"), col("doc_id")),
+      s"$storeDir/index", IndexSpec)
+    graft.sinks.BucketedStore.append(
+      sets.join(inc(keep), Seq("doc_id")), s"$storeDir/sets", SetsSpec)
+    graft.Materialize.release(sets)
+    graft.Materialize.release(sh0)
+    graft.Materialize.release(probe)
+    graft.Materialize.release(shk)
+    graft.Materialize.release(cands)
+    graft.Materialize.release(keepPost)
+    annotated.orderBy("doc_id")
+  }
+
   /** Incremental exact dedup against a persistent hash store — the
     * production loop: a daily increment is checked against the historical
     * corpus WITHOUT recomputing it. The store is a bucketed parquet table
@@ -682,6 +840,16 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_dedup_exact"      -> ((s, d) => exact(Tables(s, d).documents)),
+    // NFC-canonicalized exact dedup: deterministic decomposed (even ids)
+    // vs precomposed (odd ids) suffixes are planted in BOTH engines, so
+    // exact-dup groups straddling the parity split collapse ONLY through
+    // the normalization pre-step — byte hashing alone would split them.
+    "dedup_exact_nfc"      -> ((s, d) => {
+      val twins = Tables(s, d).documents.withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(NfcDecomposed)).otherwise(lit(NfcPrecomposed))))
+      exact(normalized(twins))
+    }),
     "dedup_keep_best"      -> ((s, d) => keepBest(Tables(s, d).documents)),
     "corpus_overlap_kmv"   -> ((s, d) => corpusOverlapKmv(Tables(s, d).documents)),
     "dedup_minhash_lsh"    -> ((s, d) => minhashDedup(Tables(s, d).documents)),
@@ -809,6 +977,15 @@ object Dedup {
       ("SELECT doc_id, md5(text) AS h FROM (SELECT doc_id, text, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t " +
         "WHERE rn = 1 ORDER BY doc_id"),
+    // DuckDB's utf8proc NFC and the JVM Normalizer implement the same
+    // standard-defined canonical composition (the text_nfc precedent),
+    // so the keep-first groups agree byte-for-byte.
+    "dedup_exact_nfc" ->
+      (s"""WITH d AS (SELECT doc_id,
+         |    text || CASE WHEN doc_id % 2 = 0 THEN '$NfcDecomposed' ELSE '$NfcPrecomposed' END AS text
+         |  FROM documents)
+         |SELECT MIN(doc_id) AS doc_id, md5(nfc_normalize(text)) AS h
+         |FROM d GROUP BY md5(nfc_normalize(text)) ORDER BY doc_id""".stripMargin),
     // Exact all-pairs trigram-Jaccard twin of the LSH pipeline. The Spark
     // side generates candidates probabilistically (banded minhash) but
     // verifies with exact Jaccard, so it matches the exhaustive oracle

@@ -1534,6 +1534,92 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.head.getBoolean(1) && r3.head.getLong(2) == 1L)
   }
 
+  test("NFC pre-step collapses canonically-equivalent twins through the dedup entries") {
+    import spark.implicits._
+    // Same logical text: precomposed e-acute (U+00E9) vs decomposed e+U+0301.
+    val pre = "the caf\u00e9 on the corner serves very good coffee every single day"
+    val dec = "the cafe\u0301 on the corner serves very good coffee every single day"
+    val d = Seq((1L, pre), (2L, dec), (3L, "unrelated text entirely")).toDF("doc_id", "text")
+    // Byte-exact dedup treats the twins as different documents...
+    assert(Dedup.exact(d).count() == 3)
+    // ...the opt-in pre-step collapses them through the SAME entry.
+    assert(Dedup.exact(Dedup.normalized(d)).collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+    // And through the minhash pipeline entry: the decomposed twin flags
+    // as a duplicate of the precomposed keeper.
+    val mh = Dedup.minhashDedup(Dedup.normalized(d)).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(mh == Map(1L -> false, 2L -> true, 3L -> false), mh.toString)
+    // The decomposition forms are registered too and collapse the same
+    // twins from the other direction.
+    assert(Dedup.exact(Dedup.normalized(d, "NFD")).collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+    assert(Dedup.exact(Dedup.normalized(d, "NFKC")).count() == 2)
+  }
+
+  test("incremental containment flags historical doc-inside-doc across increments") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("incct").resolve("store").toString
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val wrapper = s"intro words before the quote $base and trailing commentary after it ends"
+    val other = "one two three four five six seven eight nine ten eleven twelve thirteen"
+
+    // Day 1: the long aggregator page (1) and an unrelated doc (2).
+    val r1 = Dedup.incrementalContainment(
+      Seq((1L, wrapper), (2L, other)).toDF("doc_id", "text"), store).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r1 == Map(1L -> false, 2L -> false))
+
+    // Day 2: 10 is the SHORT doc quoted verbatim inside historical 1
+    // (containment 1.0 — every bigram of 10 appears in 1 — where its
+    // Jaccard vs 1 is well under any dedup threshold); 11 is novel; 12
+    // wraps 11 intra-increment.
+    val day2 = Seq((10L, base), (11L, "november oscar papa quebec romeo sierra tango uniform victor whiskey"),
+      (12L, "prefix november oscar papa quebec romeo sierra tango uniform victor whiskey suffix here"))
+      .toDF("doc_id", "text")
+    val (r2rows, storePlans) = graft.PlanCapture.scansOf(spark, store) {
+      Dedup.incrementalContainment(day2, store).collect()
+    }
+    assert(storePlans.nonEmpty, "expected captured plans scanning the sets/index stores")
+    storePlans.foreach { p =>
+      assert(!graft.PlanCapture.shufflesRawScanOf(p, store),
+        s"raw sets/index store rows moved through a shuffle:\n$p")
+    }
+    val r2 = r2rows.map(r => r.getLong(0) ->
+      ((r.getBoolean(1), Option(r.get(2)).map(_.toString), r.getDouble(3)))).toMap
+    assert(r2(10L) == ((true, Some("1"), 1.0)), s"doc-inside-historical-doc: ${r2(10L)}")
+    assert(!r2(11L)._1, s"novel doc kept: ${r2(11L)}")
+    assert(r2(12L)._1 && r2(12L)._2 == Some("11"), s"intra wrapper flagged: ${r2(12L)}")
+
+    // Only keepers grew the store: 1, 2, 11.
+    assert(spark.read.parquet(s"$store/sets").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 11L)))
+
+    // Day 3: the same quoted text still resolves to the ORIGINAL keeper.
+    val r3 = Dedup.incrementalContainment(Seq((20L, base)).toDF("doc_id", "text"), store)
+      .collect()
+    assert(r3.head.getBoolean(1) && r3.head.getLong(2) == 1L)
+  }
+
+  test("incremental containment index caps postings per shingle") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("inccap").resolve("store").toString
+    // 8 docs share the boilerplate prefix "copyright footer" but are
+    // otherwise pairwise-distinct. maxDf = 4: the boilerplate bigram
+    // would need 8 postings, so it must index NOTHING; the rare bigrams
+    // (df 1 each) all index.
+    val docs = (1L to 8L).map(i =>
+      (i, s"copyright footer u$i v$i w$i x$i y$i z$i q$i r$i s$i t$i")).toDF("doc_id", "text")
+    Dedup.incrementalContainment(docs, store, maxDf = 4).collect()
+    val indexed = spark.read.parquet(s"$store/index").collect().map(_.getString(0)).toSet
+    assert(!indexed.contains("copyright footer"), "super-cap boilerplate must not index")
+    assert(indexed.contains("u1 v1") && indexed.contains("u8 v8"), "rare shingles index")
+    // Per-shingle postings never exceed the cap.
+    val byS = spark.read.parquet(s"$store/index").collect()
+      .groupBy(_.getString(0)).map(_._2.length)
+    assert(byS.forall(_ <= 4))
+  }
+
   test("fingerprint is order-sensitive") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
