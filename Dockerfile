@@ -1,0 +1,35 @@
+# Container packaging for the feed runner — the Spark-native analog of
+# the reference's Processor.Dockerfile (multi-stage: build the binary,
+# ship a minimal runtime; reference Processor.Dockerfile:3 builder stage,
+# :22 runtime stage, :30 ENTRYPOINT state_processor). Here the "binary"
+# is the library jar driven by graft.FeedMain (the reference's
+# examples/state_processor analog), executed by spark-submit so the SAME
+# image runs local-mode smoke tests and cluster-mode deployments.
+#
+# Build from the repo root:
+#   DOCKER_BUILDKIT=1 docker build -f Dockerfile .
+
+FROM sbtscala/scala-sbt:eclipse-temurin-17.0.10_7_1.9.9_2.13.13 AS builder
+
+WORKDIR /src
+# Dependency layout first so source edits don't bust the resolve cache
+# (the go.mod/go.sum copy trick, Processor.Dockerfile:11).
+COPY build.sbt ./
+COPY project ./project
+RUN sbt -batch update || true
+
+COPY src ./src
+RUN sbt -batch package && \
+    cp target/scala-2.13/*.jar /graft.jar
+
+FROM apache/spark:4.0.0-scala2.13-java17-ubuntu
+
+COPY --from=builder /graft.jar /opt/graft/graft.jar
+
+# FeedMain flags (--db, --workers, --health-port, --once) pass through;
+# cluster deployments override --master via SPARK_SUBMIT_OPTS or the
+# spark-operator. Health endpoint serves on --health-port (default 8080).
+ENTRYPOINT ["/opt/spark/bin/spark-submit", \
+  "--class", "graft.FeedMain", \
+  "--master", "local[*]", \
+  "/opt/graft/graft.jar"]

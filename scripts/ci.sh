@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Locally-runnable CI — the zero-egress subset of pipeline.yaml, kept in
+# lock-step with it. Runs the build, the full ScalaTest suite, the
+# Verify + DuckDB oracle gate at both SFs, and a Bench smoke whose JSON
+# must parse and carry zero errors / zero plan violations.
+#
+# Usage: scripts/ci.sh [sfDir ...]   (default: sf0.001 and sf0.01)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SFS=("$@")
+[ ${#SFS[@]} -eq 0 ] && SFS=(/root/testdata/sf0.001 /root/testdata/sf0.01)
+
+echo "== sbt compile + test =="
+sbt -batch compile test
+
+for sf in "${SFS[@]}"; do
+  out="/tmp/ci_verify_$(basename "$sf")"
+  echo "== Verify + oracle @ $sf =="
+  sbt -batch "runMain graft.Verify $sf $out"
+  python3 scripts/check_oracle.py "$sf" "$out"
+done
+
+echo "== Bench smoke (sf0.001) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=8 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/ci_bench.json sbt -batch "runMain graft.Bench" >/dev/null
+python3 - <<'EOF'
+import json
+d = json.load(open("/tmp/ci_bench.json"))
+assert d["errors"] == [], f"bench errors: {d['errors']}"
+assert d["plan_violations"] == [], f"plan violations: {d['plan_violations']}"
+print(f"bench ok: {len(d['queries'])} keys, total {d['value']:.1f}s")
+EOF
+
+echo "CI GREEN"
