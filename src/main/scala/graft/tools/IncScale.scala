@@ -104,6 +104,36 @@ object IncScale {
     check("minhash-increment-flat", mhT2 <= 2.5 * math.max(mhT1, 0.3),
       f"store ${mSmall}→${mSmall * 10}: increment $mhT1%.2fs → $mhT2%.2fs (bound 2.5×)")
 
+    // ---- containment shingle store ----------------------------------
+    // Same contract at the doc-inside-doc tier: the posting-capped
+    // inverted index bounds the probe at O(increment·maxDf) rows and the
+    // sets store is scanned (never shuffled), so a fixed increment stays
+    // flat under 10× history growth.
+    val ctDir = java.nio.file.Files.createTempDirectory("incscale").resolve("ct").toString
+    val cSmall = sSmall / 10
+    var cNext = 0L
+    def seedCt(rows: Long): Unit = {
+      var at = cNext
+      while (at < cNext + rows) {
+        val end = math.min(at + 25000, cNext + rows)
+        Dedup.incrementalContainment(docs(spark, at, end, identity), ctDir).count()
+        at = end
+      }
+      cNext += rows
+    }
+    def incrementCt(): Double = {
+      val novelFrom = cNext; cNext += 200
+      val inc = docs(spark, novelFrom, cNext, identity)
+        .unionByName(docs(spark, 4000000000L, 4000000200L, id => id - 4000000000L))
+      timed { Dedup.incrementalContainment(inc, ctDir).count() }
+    }
+    seedCt(cSmall)
+    val ctT1 = Seq(incrementCt(), incrementCt(), incrementCt()).min
+    seedCt(cSmall * 9)
+    val ctT2 = Seq(incrementCt(), incrementCt(), incrementCt()).min
+    check("containment-increment-flat", ctT2 <= 2.5 * math.max(ctT1, 0.3),
+      f"store ${cSmall}→${cSmall * 10}: increment $ctT1%.2fs → $ctT2%.2fs (bound 2.5×)")
+
     // ---- decontamination eval store ---------------------------------
     // Contract: a fixed TRAIN increment must stay flat while the EVAL
     // store grows 10× — the filter is read back (one parquet row), never
@@ -257,6 +287,11 @@ object IncScale {
       docs(spark, 5000000000L, 5000000500L, id => id - 5000000000L), mhDir)
       .filter(col("is_near_duplicate")).count()
     check("minhash-store-dups-found", mhDup == 500, s"500 replayed docs → $mhDup store near-dups")
+    val ctDup = Dedup.incrementalContainment(
+      docs(spark, 5500000000L, 5500000500L, id => id - 5500000000L), ctDir)
+      .filter(col("is_duplicate")).count()
+    check("containment-store-dups-found", ctDup == 500,
+      s"500 replayed docs → $ctDup store containment dups")
 
     spark.stop()
     if (failed) sys.exit(1)
