@@ -72,6 +72,17 @@ object PipelineStream {
     incremental(docs, outDir, checkpoint)(
       graft.pipeline.Dedup.incrementalMinhash(_, storeDir))
 
+  /** Streaming containment / n-gram-Jaccard near-dup: every micro-batch
+    * of (doc_id, text) probes — and grows — the persistent shingle-set +
+    * posting-capped inverted-index store
+    * ([[graft.pipeline.Dedup.incrementalContainment]]); catches the
+    * doc-INSIDE-doc relations (quotes, wrappers, syndication) the
+    * minhash path's symmetric Jaccard under-weights, as they land. */
+  def dedupContainment(docs: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(docs, outDir, checkpoint)(
+      graft.pipeline.Dedup.incrementalContainment(_, storeDir))
+
   /** Streaming embedding near-dup: every micro-batch of
     * (vec_id, embedding) probes — and grows — the persistent LSH band +
     * keeper-vector store

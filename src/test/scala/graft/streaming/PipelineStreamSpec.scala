@@ -102,6 +102,53 @@ class PipelineStreamSpec extends AnyFunSuite {
       "replay grew the store")
   }
 
+  test("streaming containment: doc-inside-doc recognized across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("psctstore"), tmp("psctout"), tmp("psctckpt"))
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val quote = words("a", 12)
+    val wrapper = s"pre0 pre1 pre2 $quote post0 post1 post2"
+    val other = words("b", 15)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = PipelineStream.dedupContainment(
+      ms.toDF().toDF("doc_id", "text"), store, out, ckpt)
+    try {
+      // Batch 0: the long aggregator page (1) and an unrelated doc (2).
+      ms.addData((1L, wrapper), (2L, other))
+      q.processAllAvailable()
+      // Batch 1: 10 is the short quote contained in HISTORICAL 1 (its
+      // stored shingle set — text never re-read); 11 is novel.
+      ms.addData((10L, quote), (11L, words("c", 10)))
+      q.processAllAvailable()
+      // Batch 2: 20 wraps doc 11 — the store grew mid-stream.
+      ms.addData((20L, s"x0 x1 ${words("c", 10)} y0 y1"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_duplicate"), Option(r.get(2)).map(_.toString)))).toMap
+    assert(rows.size == 5, rows.toString)
+    assert(rows(1L) == ((false, None)) && rows(2L) == ((false, None)))
+    assert(rows(10L) == ((true, Some("1"))), s"cross-batch containment: ${rows(10L)}")
+    assert(rows(11L) == ((false, None)))
+    assert(rows(20L) == ((true, Some("11"))), s"mid-stream store growth: ${rows(20L)}")
+
+    // Keepers-only growth: only the non-duplicates persisted their sets.
+    val kept = spark.read.parquet(s"$store/sets").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 11L), kept.toString)
+
+    // Re-apply is idempotent: replayed keepers self-match, no growth.
+    val replay = graft.pipeline.Dedup.incrementalContainment(
+      Seq((1L, wrapper), (2L, other)).toDF("doc_id", "text"), store).collect()
+    assert(replay.forall(_.getAs[Boolean]("is_duplicate")),
+      "replayed keepers not flagged as their own duplicates")
+    assert(spark.read.parquet(s"$store/sets").count() == 3, "replay grew the store")
+  }
+
   test("streaming decontamination screens each micro-batch against the eval store") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
