@@ -167,6 +167,7 @@ object WidthBench {
       "q87_zorder"          -> ((_, r, _) => Select.zOrderEvents(Tables(spark, r).events)),
       "text_nfc"            -> ((d, _, _) => d.select(col("doc_id"),
         graft.functions.UnicodeNormalize.nfc(spark, col("text")).as("norm"))),
+      "dedup_exact_nfc"     -> ((d, _, _) => Dedup.exact(Dedup.normalized(d))),
       "trending_terms"      -> ((d, _, _) =>
         graft.streaming.EventAnalytics.trendingTerms(d.select(
           expr("timestamp '2024-01-01 00:00:00' + doc_id * INTERVAL '1' MINUTE").as("ts"),
