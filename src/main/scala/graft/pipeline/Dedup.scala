@@ -459,6 +459,137 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003 —
+    * the MOSS local fingerprinting algorithm): per document, hash every
+    * token k-gram, then in each sliding window of `w` consecutive hashes
+    * select the minimum (ties → rightmost). The selected set is the
+    * document's fingerprint, with the GUARANTEE fixed chunking lacks:
+    * any shared token run of length ≥ w + k − 1 produces at least one
+    * SHARED selected fingerprint, while the density stays ~2/(w+1) of
+    * all k-grams — the local-sampling plagiarism/near-dup primitive.
+    *
+    * Cross-engine exactness: fingerprints are the first-16-hex-chars md5
+    * word compared AS STRINGS (fixed-length lowercase hex ⇒
+    * lexicographic ≡ unsigned numeric order in both engines — the
+    * PortableHash domain without sign gymnastics), and the window fold
+    * replays DuckDB's `list_reduce` exactly (init = leftmost, `<=`
+    * replaces as position grows ⇒ rightmost minimum). Documents shorter
+    * than k tokens fall back to one whole-text fingerprint (the shingles
+    * convention); shorter than one full window, the single partial
+    * window selects the global minimum.
+    *
+    * Scale: one zero-shuffle projection per document (all HOF work rides
+    * the scan task; the only Exchange is the output ordering) — the
+    * fingerprint table is the reusable primitive [[winnowingPairs]] and
+    * any external index consume. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    val toks = "split(text, ' ')"
+    val hs =
+      s"""CASE WHEN size($toks) >= $k
+         |THEN transform(sequence(1, size($toks) - $k + 1),
+         |  i -> substring(md5(concat_ws(' ', slice($toks, i, $k))), 1, 16))
+         |ELSE array(substring(md5(text), 1, 16)) END""".stripMargin
+    val sel =
+      s"""transform(sequence(1, greatest(size(hh) - $w + 1, 1)),
+         |  j -> aggregate(sequence(j + 1, least(j + $w - 1, size(hh))),
+         |    named_struct('fp', element_at(hh, j), 'pos', j),
+         |    (acc, i) -> IF(element_at(hh, i) <= acc.fp,
+         |      named_struct('fp', element_at(hh, i), 'pos', i), acc)))""".stripMargin
+    docs.select(col("doc_id"), expr(hs).as("hh"))
+      .select(col("doc_id"), explode(expr(sel)).as("s"))
+      .select(col("doc_id"), col("s.pos").cast("long").as("pos"), col("s.fp").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Near-dup/plagiarism candidate pairs by SHARED winnowing
+    * fingerprints: pairs sharing ≥ `minShared` selected fingerprints,
+    * ranked by the shared count. Same scale guard as the other pair
+    * generators: the inverted fingerprint index is df-capped (a
+    * fingerprint selected by more than `maxDf` documents is boilerplate
+    * with no pair signal), so per-fingerprint pair work is bounded by
+    * maxDf² and never all-pairs. The winnowing guarantee transfers: two
+    * documents sharing a ≥ w+k−1 token run share a fingerprint, so true
+    * overlapping pairs enter the candidate set through their rare
+    * fingerprints. */
+  def winnowingPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+      minShared: Long = 2, maxDf: Int = 50, limit: Int = 500): DataFrame = {
+    val fps = winnowFingerprints(spread(docs), k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(broadcast(keep), Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .groupBy("left_id", "right_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(desc("n_shared"), asc("left_id"), asc("right_id"))
+      .limit(limit)
+  }
+
+  /** Content-defined chunking (the CDC family: Rabin/LBFS, FastCDC):
+    * chunk boundaries fall AFTER any token whose hash ≡ 0 mod 2^modBits
+    * (expected chunk length 2^modBits tokens), so boundaries are decided
+    * by CONTENT, not position — inserting or deleting text early in a
+    * document re-chunks only the neighborhood of the edit, where
+    * fixed-width chunking ([[Select.chunkDocs]]'s shape) shifts every
+    * downstream chunk and destroys chunk-level dedup. This is the
+    * sub-document dedup granularity 100-TB pipelines actually dedup at
+    * (storage dedup, CommonCrawl paragraph-level reuse). Production
+    * CDC adds min/max chunk-length clamps (FastCDC); the unclamped
+    * gear rule is kept here because it is the part that carries the
+    * shift-robustness property, and it replays exactly in SQL.
+    *
+    * The boundary hash is the first-8-hex-chars md5 word (32-bit
+    * unsigned — identical arithmetic domain in both engines); chunk ids
+    * are md5 of the chunk text. Zero shuffle: boundary positions,
+    * starts/ends, and chunk slices are one HOF projection per row. */
+  def cdcChunks(docs: DataFrame, modBits: Int = 3): DataFrame = {
+    val m = 1 << modBits
+    val toks = "split(text, ' ')"
+    // The arrays build stepwise through chained withColumns (each is
+    // still one projection — the optimizer collapses them into the scan
+    // project; Spark SQL has no scalar CTE-in-expr).
+    docs
+      .select(col("doc_id"), expr(toks).as("t"))
+      .withColumn("bps", expr(
+        s"""filter(sequence(1, size(t)),
+           |  i -> CAST(conv(substring(md5(element_at(t, i)), 1, 8), 16, 10) AS BIGINT) % $m = 0
+           |       AND i < size(t))""".stripMargin))
+      .withColumn("starts", expr("concat(array(1), transform(bps, p -> p + 1))"))
+      .withColumn("ends", expr("concat(bps, array(size(t)))"))
+      .select(col("doc_id"), posexplode(expr(
+        """zip_with(starts, ends, (s, e) ->
+          |  named_struct('h', md5(concat_ws(' ', slice(t, s, e - s + 1))),
+          |               'n', e - s + 1))""".stripMargin)).as(Seq("p", "c")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("chunk_idx"),
+        col("c.h").as("h"), col("c.n").cast("long").as("n_toks"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Chunk-level dedup report over [[cdcChunks]]: per document its chunk
+    * count, how many of its chunks appear elsewhere in the corpus (any
+    * other (doc, chunk) occurrence shares the hash), and the duplicated
+    * fraction — the "how much of this page is reused boilerplate/quoted
+    * content" signal at sub-document granularity. One shuffle on the
+    * chunk hash (map-side-combined count, the q19 shape) + the per-doc
+    * aggregate; join key is the uniform hash, never skew-prone doc
+    * text. */
+  def cdcDedup(docs: DataFrame, modBits: Int = 3): DataFrame = {
+    val ch = cdcChunks(spread(docs), modBits)
+      .select(col("doc_id"), col("chunk_idx"), col("h"))
+    val counts = ch.groupBy("h").agg(count(lit(1)).as("cnt"))
+    ch.join(counts, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Bucket specs for the persistent incremental stores. 32 buckets
     * matches the test topology's shuffle width; at production scale size
     * numBuckets so one bucket of the FULL store is one executor-core scan
@@ -859,6 +990,9 @@ object Dedup {
     "q69_edit_distance"    -> ((s, d) => editDistancePairs(Tables(s, d).documents)),
     "q73_paragraph_dedup"  -> ((s, d) => paragraphDedup(Tables(s, d).documents)),
     "q78_block_mask"       -> ((s, d) => frequentBlockMask(Tables(s, d).documents)),
+    "q97_cdc_dedup"        -> ((s, d) => cdcDedup(Tables(s, d).documents)),
+    "q98_winnowing"        -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
+    "winnow_pairs"         -> ((s, d) => winnowingPairs(Tables(s, d).documents)),
   )
 
   /** Exhaustive all-pairs twin of [[simhashDedup]] (shingleSize 3,
@@ -977,6 +1111,59 @@ object Dedup {
       ("SELECT doc_id, md5(text) AS h FROM (SELECT doc_id, text, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t " +
         "WHERE rn = 1 ORDER BY doc_id"),
+    // Hex-string fingerprints compare lexicographically ≡ unsigned
+    // numerically in both engines; the window fold replays list_reduce
+    // exactly (init = leftmost, <= replaces ⇒ rightmost minimum).
+    "q98_winnowing" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |hs AS (SELECT doc_id, CASE WHEN len(t) >= 4 THEN
+         |    list_transform(generate_series(1, len(t) - 3),
+         |      i -> substr(md5(array_to_string(t[i:i+3], ' ')), 1, 16))
+         |    ELSE [substr(md5(text), 1, 16)] END AS hh FROM toks),
+         |sel AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(hh) - 4, 1)), j ->
+         |    list_reduce(list_transform(generate_series(j, least(j + 4, len(hh))),
+         |        i -> {'fp': hh[i], 'pos': i}),
+         |      (a, b) -> CASE WHEN b.fp <= a.fp THEN b ELSE a END))) AS s FROM hs)
+         |SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp
+         |FROM sel ORDER BY doc_id, pos""".stripMargin),
+    // Same fingerprint CTE; pair counting over the df-capped [2, 50]
+    // inverted fingerprint index.
+    "winnow_pairs" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |hs AS (SELECT doc_id, CASE WHEN len(t) >= 4 THEN
+         |    list_transform(generate_series(1, len(t) - 3),
+         |      i -> substr(md5(array_to_string(t[i:i+3], ' ')), 1, 16))
+         |    ELSE [substr(md5(text), 1, 16)] END AS hh FROM toks),
+         |sel AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(hh) - 4, 1)), j ->
+         |    list_reduce(list_transform(generate_series(j, least(j + 4, len(hh))),
+         |        i -> {'fp': hh[i], 'pos': i}),
+         |      (a, b) -> CASE WHEN b.fp <= a.fp THEN b ELSE a END))) AS s FROM hs),
+         |fps AS (SELECT DISTINCT doc_id, s.fp AS fp FROM sel),
+         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+         |k2 AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp)),
+         |p AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS n_shared
+         |  FROM k2 a JOIN k2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT left_id, right_id, CAST(n_shared AS BIGINT) AS n_shared FROM p
+         |WHERE n_shared >= 2 ORDER BY n_shared DESC, left_id, right_id LIMIT 500""".stripMargin),
+    // The 32-bit boundary word is non-negative in both engines, so the
+    // mod-8 gear rule replays exactly; chunk hashes are md5 of the
+    // reassembled chunk text.
+    "q97_cdc_dedup" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bp AS (SELECT doc_id, t, list_filter(generate_series(1, len(t)),
+         |    i -> ('0x' || substr(md5(t[i]), 1, 8))::UBIGINT % 8 = 0 AND i < len(t)) AS bps FROM toks),
+         |se AS (SELECT doc_id, t, list_prepend(1, list_transform(bps, p -> p + 1)) AS starts,
+         |    list_append(bps, len(t)) AS ends FROM bp),
+         |ch AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(starts)),
+         |    x -> md5(array_to_string(t[starts[x]:ends[x]], ' ')))) AS h FROM se),
+         |c AS (SELECT h, COUNT(*) AS cnt FROM ch GROUP BY h)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  ROUND(CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_frac
+         |FROM ch JOIN c USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // DuckDB's utf8proc NFC and the JVM Normalizer implement the same
     // standard-defined canonical composition (the text_nfc precedent),
     // so the keep-first groups agree byte-for-byte.

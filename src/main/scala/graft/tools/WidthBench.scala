@@ -168,6 +168,9 @@ object WidthBench {
       "text_nfc"            -> ((d, _, _) => d.select(col("doc_id"),
         graft.functions.UnicodeNormalize.nfc(spark, col("text")).as("norm"))),
       "dedup_exact_nfc"     -> ((d, _, _) => Dedup.exact(Dedup.normalized(d))),
+      "q97_cdc_dedup"       -> ((d, _, _) => Dedup.cdcDedup(d)),
+      "q98_winnowing"       -> ((d, _, _) => Dedup.winnowFingerprints(d)),
+      "winnow_pairs"        -> ((d, _, _) => Dedup.winnowingPairs(d)),
       "trending_terms"      -> ((d, _, _) =>
         graft.streaming.EventAnalytics.trendingTerms(d.select(
           expr("timestamp '2024-01-01 00:00:00' + doc_id * INTERVAL '1' MINUTE").as("ts"),

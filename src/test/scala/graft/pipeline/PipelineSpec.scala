@@ -1534,6 +1534,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.head.getBoolean(1) && r3.head.getLong(2) == 1L)
   }
 
+  test("winnowing: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    import spark.implicits._
+    // k=4, w=5 defaults: any shared run of >= 8 tokens contains a full
+    // window of 5 identical k-gram hashes, whose minimum is selected in
+    // BOTH documents (the Schleimer et al. guarantee) — regardless of
+    // the differing contexts around the run.
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = Seq(
+      (1L, s"a1 a2 a3 $run a4 a5"),
+      (2L, s"b1 $run b2 b3 b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fps(1L) intersect fps(3L)).isEmpty, "disjoint docs must not share")
+    // The pair generator surfaces exactly the overlapping pair.
+    val pairs = Dedup.winnowingPairs(d, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), pairs.toSeq.toString)
+    // Selected positions are within the k-gram range and fingerprints
+    // are a strict subsample (the density point of winnowing).
+    val rows1 = Dedup.winnowFingerprints(d).filter(col("doc_id") === 1L).collect()
+    assert(rows1.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 13 - 4 + 1))
+    assert(rows1.length < 10, s"selected ${rows1.length} of 10 kgrams — not a subsample")
+  }
+
+  test("cdc chunking is shift-robust: a prepended token changes only the first chunk") {
+    import spark.implicits._
+    val text = (1 to 60).map(i => s"t${i * 7 % 97}").mkString(" ")
+    val d = Seq((1L, text), (2L, s"zzz $text")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = ch.groupBy(_._1)
+    // Chunk token counts tile the document exactly; indices contiguous.
+    assert(byDoc(1L).map(_._4).sum == 60 && byDoc(2L).map(_._4).sum == 61)
+    assert(byDoc(1L).map(_._2).sorted.toSeq == (1L to byDoc(1L).length.toLong).toSeq)
+    val h1 = byDoc(1L).map(_._3).toSet; val h2 = byDoc(2L).map(_._3).toSet
+    // Content-defined boundaries depend only on token content, so the
+    // edit perturbs ONLY the chunk containing it: every chunk of doc 1
+    // except (at most) the first reappears byte-identical in doc 2 —
+    // where fixed-width chunking would shift and destroy all of them.
+    assert((h1 intersect h2).size >= h1.size - 1,
+      s"shared ${(h1 intersect h2).size} of ${h1.size} chunks")
+    assert(byDoc(1L).length >= 3, "text too short to exercise multiple chunks")
+    // The dedup report sees the reuse at chunk granularity.
+    val rep = Dedup.cdcDedup(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rep(1L) >= 0.5 && rep(2L) >= 0.5, rep.toString)
+  }
+
   test("NFC pre-step collapses canonically-equivalent twins through the dedup entries") {
     import spark.implicits._
     // Same logical text: precomposed e-acute (U+00E9) vs decomposed e+U+0301.
