@@ -1423,6 +1423,47 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-style per-cell DIVERSITY pruning (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): within each Voronoi cell, KEEP the `keepPerCell`
+    * vectors farthest from the centroid (lowest cosine — the most
+    * diverse members) and prune the near-centroid redundancy — the
+    * selection rule SemDeDup applies after clustering to cut web-scale
+    * corpora with minimal performance loss. Complements
+    * [[semanticDedupFixed]] (which removes pairwise near-DUPLICATES;
+    * this prunes for cell-level diversity even when no pair crosses a
+    * duplicate threshold).
+    *
+    * Same oracle strategy as the fixed dedup entry: the trained
+    * quantizer is replaced by the literal md5-derived centroids, so
+    * assignment AND ranking replay in SQL. Cosines are rounded to 4 dp
+    * BEFORE ranking (the round-before-rank convention) with vec_id
+    * tiebreak, so the kept set is boundary-stable cross-engine. NaN
+    * cosines (degenerate vectors) are excluded, the q22 convention.
+    *
+    * Scale: one broadcast argmax assignment scan, one broadcast
+    * centroid join for the distance, and the bounded TopK PARTIAL
+    * aggregation for the per-cell rank — never a per-cell window sort
+    * (a web-scale cell holds corpus/k vectors; the aggregator keeps
+    * ≤ keepPerCell per map task). */
+  def semanticPruneFixed(emb: DataFrame, k: Int = 8, keepPerCell: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val cdf = (0 until k).map(j => (j, fixedCentroid(j, dim))).toDF("cell", "cvec")
+    val withCos = assignToCells(cdf, emb)
+      .join(broadcast(cdf), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        round(cosineFast(spark, "embedding", "cvec"), 4).as("cos_centroid"))
+      .filter(!isnan(col("cos_centroid")))
+    graft.functions.TopK
+      .perGroupRanked(withCos, "cell", "cos_centroid", "vec_id", "rk",
+        keepPerCell, ascending = true)
+      .select(col("cell"), col("vec_id"), col("cos_centroid"), col("rk"))
+      .orderBy("cell", "rk")
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * embedding-store compression (4× smaller, cheap dot products) — plus
     * reconstruction-error accounting. Per-vector arithmetic only: scale =
@@ -1455,6 +1496,7 @@ object Similarity {
     "dedup_embedding"   -> ((s, d) => embeddingNearDup(Tables(s, d).embeddings)),
     "dedup_semantic"    -> ((s, d) => semanticDedup(Tables(s, d).embeddings)),
     "dedup_semantic_fixed" -> ((s, d) => semanticDedupFixed(Tables(s, d).embeddings)),
+    "semantic_prune"    -> ((s, d) => semanticPruneFixed(Tables(s, d).embeddings)),
     // Driver surface: the harness sorts result rows through pandas, which
     // cannot factorize an array column — emit the codes as a joined
     // string. The ARRAY<INT> form stays the internal API (pqEncode).
@@ -1603,6 +1645,30 @@ object Similarity {
          |  COALESCE(round(dec.best_cos, 4), 0.0) AS best_cos,
          |  dec.dup_of IS NOT NULL AS is_duplicate
          |FROM asg LEFT JOIN dec USING (vec_id) ORDER BY asg.vec_id""".stripMargin
+    },
+    // Same literal-centroid assignment CTE as dedup_semantic_fixed;
+    // diversity rank = (4-dp-rounded cosine ASC, vec_id) per cell — the
+    // round-before-rank boundary convention.
+    "semantic_prune" -> {
+      val cents = (0 until 8).map(j => s"($j, ${duckCentroidLit(j, 64)})")
+        .mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c(cell, cv) AS (VALUES
+         |  $cents),
+         |asg AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY -list_cosine_similarity(e.v, c.cv) ASC, c.cell) AS rn
+         |  FROM e CROSS JOIN c) t WHERE rn = 1),
+         |wc AS (SELECT asg.cell, asg.vec_id,
+         |    ROUND(list_cosine_similarity(asg.v, c.cv), 4) AS cos_centroid
+         |  FROM asg JOIN c ON asg.cell = c.cell
+         |  WHERE NOT isnan(list_cosine_similarity(asg.v, c.cv))),
+         |r AS (SELECT cell, vec_id, cos_centroid,
+         |    ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY cos_centroid ASC, vec_id) AS rk FROM wc)
+         |SELECT cell, vec_id, cos_centroid, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 8 ORDER BY cell, rk""".stripMargin
     },
     "dedup_embedding" ->
       ("""WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -192,6 +192,7 @@ object WidthBench {
       // row that evidences the bounded within-cell pair work.
       "dedup_semantic_bounded" -> ((_, _, e) =>
         Similarity.semanticDedup(e, maxCell = 64)),
+      "semantic_prune"      -> ((_, _, e) => Similarity.semanticPruneFixed(e)),
       "knn_ann_ivf"         -> ((_, _, e) => Similarity.ivfTopK(e)),
       "knn_ivfpq"           -> ((_, _, e) => Similarity.ivfPqTopK(e)))
     val opNames = opDefs.map(_._1)

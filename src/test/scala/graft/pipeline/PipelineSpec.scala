@@ -1534,6 +1534,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.head.getBoolean(1) && r3.head.getLong(2) == 1L)
   }
 
+  test("semantic pruning: bounded TopK equals the full diversity ranking truncated") {
+    // keepPerCell = huge returns the FULL per-cell ranking (every vector,
+    // rank contiguous); the k=5 run must be exactly its truncation — the
+    // partial-aggregation path selects the same diverse (farthest) set a
+    // global sort would.
+    val all = Similarity.semanticPruneFixed(emb, keepPerCell = 1 << 20).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(all.length == emb.count(), "full ranking must keep every non-NaN vector")
+    val top = Similarity.semanticPruneFixed(emb, keepPerCell = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(top.toSet == all.filter(_._4 <= 5).toSet, "TopK ≠ truncated full ranking")
+    // Within each cell: ranks contiguous from 1, cosine ascending with
+    // rank (farthest-first = most diverse kept first).
+    top.groupBy(_._1).foreach { case (cell, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length.toLong).toSeq, s"cell $cell ranks")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(identity).toSeq,
+        s"cell $cell not farthest-first")
+    }
+  }
+
   test("winnowing: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
     import spark.implicits._
     // k=4, w=5 defaults: any shared run of >= 8 tokens contains a full
