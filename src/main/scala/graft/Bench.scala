@@ -82,7 +82,8 @@ object Bench {
         // order. A hashpartitioning Exchange means a refactor silently
         // added a groupBy/join to an op whose contract is one scan.
         if (Set("q52_embed_quant", "doc_fingerprint", "q51_pii_redact",
-              "q38_token_counts", "q59_strat_sample", "q63_chunk_docs").contains(name) &&
+              "q38_token_counts", "q59_strat_sample", "q63_chunk_docs",
+              "q98_winnowing").contains(name) &&
             plan.contains("Exchange hashpartitioning"))
           violations += s"$name:linear-op-gained-a-shuffle"
         if (name == "q58_decontaminate" && !plan.contains("BroadcastHashJoin"))

@@ -489,16 +489,19 @@ object Dedup {
          |THEN transform(sequence(1, size($toks) - $k + 1),
          |  i -> substring(md5(concat_ws(' ', slice($toks, i, $k))), 1, 16))
          |ELSE array(substring(md5(text), 1, 16)) END""".stripMargin
+    // Adjacent windows often select the same (pos, fp): dedup INSIDE the
+    // row (array_distinct) — the duplicate scope is per-document by
+    // construction, so a global distinct would be a pointless
+    // corpus-wide shuffle.
     val sel =
-      s"""transform(sequence(1, greatest(size(hh) - $w + 1, 1)),
+      s"""array_distinct(transform(sequence(1, greatest(size(hh) - $w + 1, 1)),
          |  j -> aggregate(sequence(j + 1, least(j + $w - 1, size(hh))),
          |    named_struct('fp', element_at(hh, j), 'pos', j),
          |    (acc, i) -> IF(element_at(hh, i) <= acc.fp,
-         |      named_struct('fp', element_at(hh, i), 'pos', i), acc)))""".stripMargin
+         |      named_struct('fp', element_at(hh, i), 'pos', i), acc))))""".stripMargin
     docs.select(col("doc_id"), expr(hs).as("hh"))
       .select(col("doc_id"), explode(expr(sel)).as("s"))
       .select(col("doc_id"), col("s.pos").cast("long").as("pos"), col("s.fp").as("fp"))
-      .distinct()
       .orderBy("doc_id", "pos")
   }
 
