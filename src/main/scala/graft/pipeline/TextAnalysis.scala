@@ -732,6 +732,53 @@ object TextAnalysis {
     out
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the window-co-occurrence word graph — the unsupervised
+    * corpus-keyword ranker, here as a pure COMPOSITION of two verified
+    * operators: [[pmiPairs]]'s positional co-occurrence machinery builds
+    * the edges (count ≥ minCount — the same band self-join, never
+    * quadratic), and [[graft.pipeline.Clusters.pageRank]] ranks the
+    * resulting symmetric graph (its dangling-mass handling is moot here:
+    * symmetrized edges give every node out-degree, the docPageRank
+    * argument). Rank mass concentrates on tokens that co-occur with many
+    * DISTINCT frequent tokens — hub vocabulary — rather than raw
+    * frequency (the point of TextRank over a count sort).
+    *
+    * Scale: the edge build is the q91 shape (one materialized positional
+    * pass, band self-join, map-side-combined counts); PageRank is
+    * vocabulary-sized, not corpus-sized. Rows-only correctness (the
+    * graph_pagerank convention: iterative fixpoint); the spec pins a
+    * planted hub ranking above frequency-matched non-hub tokens. */
+  def textRankKeywords(docs: DataFrame, window: Int = 2, minCount: Long = 5,
+      topK: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = graft.Materialize(docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok"))
+    val a = toks.select(col("doc_id"), col("pos").as("pa"), col("tok").as("ta"))
+    val b = toks.select(col("doc_id"), col("pos").as("pb"), col("tok").as("tb"))
+    val co = a.join(b, Seq("doc_id"))
+      .filter((col("pb") - col("pa")).between(1, window))
+      .select(least(col("ta"), col("tb")).as("w1"),
+        greatest(col("ta"), col("tb")).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .transform(graft.Materialize(_))
+    val edges = co.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionByName(co.select(col("w2").as("src"), col("w1").as("dst")))
+    // pageRank iterates EAGERLY (Materialize per iteration), so by the
+    // time it returns only its final rank checkpoint is live — the
+    // intermediates release here, not at caller-exit.
+    val ranked = graft.pipeline.Clusters.pageRank(edges)
+      .select(col("id").cast("string").as("tok"), col("rank"))
+      .limit(topK)
+    graft.Materialize.release(toks)
+    graft.Materialize.release(co)
+    ranked
+  }
+
   /** Word2vec-style negative-sampling distribution: p(w) ∝ c(w)^0.75
     * (Mikolov et al.'s unigram smoothing — flattens the head, lifts the
     * tail), with the cumulative distribution attached so samplers can
@@ -844,6 +891,10 @@ object TextAnalysis {
     }),
     "q91_pmi"          -> ((s, d) => pmiPairs(Tables(s, d).documents)),
     "q92_negsample"    -> ((s, d) => negativeSamplingDist(Tables(s, d).documents)),
+    // Iterative pagerank fixpoint over the co-occurrence graph —
+    // rows-only (the graph_pagerank convention); hub-vs-frequency
+    // semantics are spec-pinned.
+    "keywords_textrank" -> ((s, d) => textRankKeywords(Tables(s, d).documents)),
     "q94_countmin"     -> ((s, d) => countMinFreq(Tables(s, d).documents)),
     // Unicode canonicalization via the custom codegen Expression: the
     // suffix carries a decomposed é (e + U+0301), a precomposed Å, and

@@ -1534,6 +1534,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.head.getBoolean(1) && r3.head.getLong(2) == 1L)
   }
 
+  test("textrank keywords rank hub vocabulary above frequency-matched non-hubs") {
+    import spark.implicits._
+    // hub co-occurs with 20 DISTINCT partners; loner has the same raw
+    // frequency but a single partner. A count sort ties them — TextRank
+    // must rank the hub above the loner (the point of graph centrality).
+    val d = ((1 to 20).map(i => (i.toLong, s"hub p$i")) ++
+      (21 to 40).map(i => (i.toLong, "loner same"))).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(d, minCount = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("hub") > out("loner"), s"hub ${out("hub")} vs loner ${out("loner")}")
+    assert(out("hub") > out("same"))
+    // Ranks are a probability distribution over the vocabulary.
+    assert(math.abs(out.values.sum - 1.0) < 1e-3, out.values.sum.toString)
+  }
+
   test("semantic pruning: bounded TopK equals the full diversity ranking truncated") {
     // keepPerCell = huge returns the FULL per-cell ranking (every vector,
     // rank contiguous); the k=5 run must be exactly its truncation — the
