@@ -1464,6 +1464,67 @@ object Similarity {
       .orderBy("cell", "rk")
   }
 
+  /** Top principal component of the embedding distribution by power
+    * iteration — the PCA step ANN pipelines run before indexing
+    * (OPQ-style rotation/whitening, dominant-direction removal for
+    * isotropy à la all-but-the-top): which direction carries the
+    * corpus's variance, and how much of it.
+    *
+    * Distributed shape: the covariance matrix is NEVER materialized —
+    * each power iteration computes C·v = mean over rows of
+    * ((x−μ)·v)·(x−μ) as ONE map-side-combined [[graft.functions.VecMean]]
+    * aggregate (the k-means centroid shape), with μ and v riding the
+    * plan as dim-sized literals; normalization is O(dim) driver work
+    * (the quality_classifier convention: O(model) collects, one job per
+    * iteration, nothing corpus-sized at the driver). Total variance is
+    * one more scalar aggregate. Converges geometrically in the
+    * λ₁/λ₂ ratio; `iterations` fixed for determinism.
+    *
+    * Output: one row per dimension (dim_idx, mean_val, pc_val) with the
+    * eigenvalue and explained-variance fraction as constant columns.
+    * Sign is canonicalized (largest-|component| positive) so the result
+    * is reproducible. Rows-only correctness (float summation order
+    * varies with partitioning — the iterative-fixpoint convention); the
+    * spec pins analytic values on a planted rank-1 distribution. */
+  def embeddingPca(emb: DataFrame, iterations: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def lit64(v: Array[Double]) = v.map(x => s"${x}d").mkString("array(", ", ", ")")
+    val vm = graft.functions.VecMean.mean
+    val src = graft.Materialize(
+      emb.select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+    val mu = src.agg(vm(col("v")).getField("v").as("m"))
+      .head().getSeq[Double](0).toArray
+    val dim = mu.length
+    val centered = s"zip_with(v, ${lit64(mu)}, (a, b) -> a - b)"
+    val totVar = src
+      .select(expr(s"aggregate($centered, 0d, (acc, x) -> acc + x * x)").as("s"))
+      .agg(avg("s").as("tv")).head().getDouble(0)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    (0 until iterations).foreach { _ =>
+      val d = s"aggregate(zip_with($centered, ${lit64(v)}, (a, b) -> a * b), 0d, (acc, x) -> acc + x)"
+      val cv = src
+        .select(expr(s"transform($centered, c -> c * ($d))").as("w"))
+        .agg(vm(col("w")).getField("v").as("cv"))
+        .head().getSeq[Double](0).toArray
+      lambda = math.sqrt(cv.map(x => x * x).sum)
+      if (lambda > 0) v = cv.map(_ / lambda)
+    }
+    // Canonical sign: the largest-|component| dimension reads positive.
+    val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0 else 1.0
+    v = v.map(_ * flip)
+    graft.Materialize.release(src)
+    val rows = (0 until dim).map(i => (i + 1L, mu(i), v(i)))
+    rows.toDF("dim_idx", "mean_val", "pc_val")
+      .withColumn("eigenvalue", round(lit(lambda), 6))
+      .withColumn("explained_frac",
+        round(lit(if (totVar > 0) lambda / totVar else 0.0), 6))
+      .select(col("dim_idx"), round(col("mean_val"), 6).as("mean_val"),
+        round(col("pc_val"), 6).as("pc_val"), col("eigenvalue"), col("explained_frac"))
+      .orderBy("dim_idx")
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * embedding-store compression (4× smaller, cheap dot products) — plus
     * reconstruction-error accounting. Per-vector arithmetic only: scale =
@@ -1497,6 +1558,10 @@ object Similarity {
     "dedup_semantic"    -> ((s, d) => semanticDedup(Tables(s, d).embeddings)),
     "dedup_semantic_fixed" -> ((s, d) => semanticDedupFixed(Tables(s, d).embeddings)),
     "semantic_prune"    -> ((s, d) => semanticPruneFixed(Tables(s, d).embeddings)),
+    // Iterative power-iteration fixpoint over float sums — rows-only
+    // (the graph_pagerank convention); analytic values spec-pinned on a
+    // planted rank-1 distribution.
+    "embedding_pca"     -> ((s, d) => embeddingPca(Tables(s, d).embeddings)),
     // Driver surface: the harness sorts result rows through pandas, which
     // cannot factorize an array column — emit the codes as a joined
     // string. The ARRAY<INT> form stays the internal API (pqEncode).

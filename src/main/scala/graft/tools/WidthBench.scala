@@ -193,6 +193,7 @@ object WidthBench {
       "dedup_semantic_bounded" -> ((_, _, e) =>
         Similarity.semanticDedup(e, maxCell = 64)),
       "semantic_prune"      -> ((_, _, e) => Similarity.semanticPruneFixed(e)),
+      "embedding_pca"       -> ((_, _, e) => Similarity.embeddingPca(e)),
       "knn_ann_ivf"         -> ((_, _, e) => Similarity.ivfTopK(e)),
       "knn_ivfpq"           -> ((_, _, e) => Similarity.ivfPqTopK(e)))
     val opNames = opDefs.map(_._1)

@@ -1534,6 +1534,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.head.getBoolean(1) && r3.head.getLong(2) == 1L)
   }
 
+  test("embedding PCA recovers a planted dominant direction exactly") {
+    import spark.implicits._
+    // Rank-1 distribution: x = t·w with w = (0.6, 0.8, 0, 0) and
+    // t ∈ {−2,−1,0,1,2} (mean 0): C = Var(t)·w·wᵀ, so the top
+    // eigenvector is ±w with eigenvalue Var(t) = 2 and the PC explains
+    // ALL the variance. Power iteration converges in one step on rank-1.
+    val w = Array(0.6f, 0.8f, 0f, 0f)
+    val d = (-2 to 2).map(t => ((t + 3).toLong, w.map(_ * t).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingPca(d).collect()
+    assert(out.length == 4)
+    val pc = out.map(_.getDouble(2))
+    assert(math.abs(pc(0) - 0.6) < 1e-6 && math.abs(pc(1) - 0.8) < 1e-6,
+      pc.toSeq.toString)
+    assert(pc(2) == 0.0 && pc(3) == 0.0)
+    assert(math.abs(out.head.getDouble(3) - 2.0) < 1e-6, s"eigenvalue ${out.head.getDouble(3)}")
+    assert(math.abs(out.head.getDouble(4) - 1.0) < 1e-6, s"explained ${out.head.getDouble(4)}")
+    assert(out.forall(r => math.abs(r.getDouble(1)) < 1e-9), "means must be 0")
+    // Two-direction case: the higher-variance direction wins.
+    val d2 = ((-2 to 2).map(t => ((t + 3).toLong, Seq(3.0f * t, 0f, 0f, 0f))) ++
+      (-2 to 2).map(t => ((t + 13).toLong, Seq(0f, 1.0f * t, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val pc2 = Similarity.embeddingPca(d2).collect().map(_.getDouble(2))
+    assert(math.abs(math.abs(pc2(0)) - 1.0) < 1e-3, pc2.toSeq.toString)
+  }
+
   test("textrank keywords rank hub vocabulary above frequency-matched non-hubs") {
     import spark.implicits._
     // hub co-occurs with 20 DISTINCT partners; loner has the same raw
