@@ -131,6 +131,12 @@ object Bench {
               "q74_contamination_span", "q75_bigram_ppl").contains(name) &&
             fullPlan.contains("Window"))
           violations += s"$name:skewed-window-came-back"
+        // Per-cell diversity pruning must stay the bounded TopK partial
+        // aggregation: a web-scale Voronoi cell holds corpus/k vectors,
+        // and a per-cell row_number would sort them in k reducers.
+        if (name == "semantic_prune" &&
+            (fullPlan.contains("row_number") || !plan.contains("ObjectHashAggregate")))
+          violations += s"$name:prune-rank-regressed-to-window"
         // Trending-term ranking must stay the bounded TopK partial
         // aggregation: a per-window vocabulary is corpus-scale in a
         // firehose, and a row_number window would sort it in the single

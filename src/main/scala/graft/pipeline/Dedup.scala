@@ -605,6 +605,8 @@ object Dedup {
     "doc_id BIGINT, band INT, bh BIGINT", "bh", 32)
   private val SetsSpec = graft.sinks.BucketedStore.Spec(
     "doc_id BIGINT, sh ARRAY<STRING>, n_sh INT", "doc_id", 32)
+  private val CdcSpec = graft.sinks.BucketedStore.Spec(
+    "h STRING, store_doc_id BIGINT", "h", 32)
   private val IndexSpec = graft.sinks.BucketedStore.Spec(
     "s STRING, doc_id BIGINT", "s", 32)
 
@@ -726,6 +728,73 @@ object Dedup {
     graft.Materialize.release(sigWide)
     graft.Materialize.release(cands)
     annotated.orderBy("doc_id")
+  }
+
+  /** Incremental CHUNK-level dedup against a persistent chunk-hash
+    * store — [[cdcDedup]]'s daily-increment form, completing the CDC
+    * tier's incremental story: a day's crawl is scored for reused
+    * content at sub-document granularity against all of history WITHOUT
+    * re-chunking it. Because boundaries are content-defined, a page
+    * that re-syndicates yesterday's article inside new wrapping still
+    * hits the historical chunk hashes (the shift-robustness property
+    * doing its production job).
+    *
+    * Store: one BucketedStore of (h, store_doc_id) keep-first chunk
+    * rows bucketed by h — the [[incrementalExact]] layout at chunk
+    * grain. Probe: store STREAMED against the broadcast increment
+    * chunk-hash set below `broadcastMaxRows` (never shuffled; bucketed
+    * SMJ shuffling only the increment above it). Append: only
+    * first-occurrence chunks the store has never seen — O(increment)
+    * growth, single atomic append (one store = one commit unit, no
+    * ordering window). Replay self-matches: every chunk comes back a
+    * store hit, the append set is empty.
+    *
+    * Returns the per-document report (doc_id, n_chunks, n_dup_chunks,
+    * dup_frac) where a chunk is duplicated if its hash exists in the
+    * store OR occurred earlier in the increment ((doc_id, chunk_idx)
+    * keep-first orientation). */
+  def incrementalCdcDedup(newDocs: DataFrame, storeDir: String,
+      modBits: Int = 3, broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = newDocs.sparkSession
+    val ch = graft.Materialize(cdcChunks(spread(newDocs), modBits)
+      .select(col("doc_id"), col("chunk_idx"), col("h")))
+    val store = graft.sinks.BucketedStore
+      .readOrEmpty(spark, storeDir, CdcSpec)
+      .select(col("h"), col("store_doc_id"))
+    val small = ch.count() <= broadcastMaxRows
+    def inc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // Store hits for the increment's hashes: bounded by the increment
+    // (the store holds one keep-first row per hash).
+    val hits = graft.Materialize(
+      store.join(inc(ch.select("h").distinct()), Seq("h")))
+    // First occurrence within the increment per hash.
+    val first = ch.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.chunk_idx").as("f_idx"))
+    val flagged = ch
+      .join(inc(hits), Seq("h"), "left")
+      .join(first, Seq("h"))
+      .select(col("doc_id"), col("chunk_idx"), col("h"),
+        (col("store_doc_id").isNotNull ||
+          col("doc_id") =!= col("f_doc") || col("chunk_idx") =!= col("f_idx"))
+          .as("is_dup"),
+        (col("store_doc_id").isNull && col("doc_id") === col("f_doc") &&
+          col("chunk_idx") === col("f_idx")).as("is_novel_first"))
+      .transform(graft.Materialize(_))
+    // Grow the store by never-before-seen first occurrences only.
+    graft.sinks.BucketedStore.append(
+      flagged.filter(col("is_novel_first"))
+        .select(col("h"), col("doc_id").as("store_doc_id")),
+      storeDir, CdcSpec)
+    val out = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+    graft.Materialize.release(ch)
+    graft.Materialize.release(hits)
+    out
   }
 
   /** Incremental containment / n-gram-Jaccard near-dup against a

@@ -72,6 +72,17 @@ object PipelineStream {
     incremental(docs, outDir, checkpoint)(
       graft.pipeline.Dedup.incrementalMinhash(_, storeDir))
 
+  /** Streaming chunk-level dedup: every micro-batch of (doc_id, text)
+    * is content-defined-chunked and scored against — and grows — the
+    * persistent chunk-hash store
+    * ([[graft.pipeline.Dedup.incrementalCdcDedup]]); re-syndicated
+    * content inside new wrapping still hits the historical chunk hashes
+    * (CDC boundaries re-sync past the edit). */
+  def dedupCdc(docs: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(docs, outDir, checkpoint)(
+      graft.pipeline.Dedup.incrementalCdcDedup(_, storeDir))
+
   /** Streaming containment / n-gram-Jaccard near-dup: every micro-batch
     * of (doc_id, text) probes — and grows — the persistent shingle-set +
     * posting-capped inverted-index store

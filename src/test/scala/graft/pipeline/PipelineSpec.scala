@@ -1647,6 +1647,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep(1L) >= 0.5 && rep(2L) >= 0.5, rep.toString)
   }
 
+  test("incremental cdc dedup scores reuse against historical chunks") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("inccdc").resolve("store").toString
+    val article = (1 to 40).map(i => s"a${i * 7 % 97}").mkString(" ")
+    val other = (1 to 40).map(i => s"b${i * 11 % 89}").mkString(" ")
+
+    // Day 1: the article and an unrelated doc — no history, low dup.
+    val r1 = Dedup.incrementalCdcDedup(
+      Seq((1L, article), (2L, other)).toDF("doc_id", "text"), store).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(r1(1L) == 0.0 && r1(2L) == 0.0, r1.toString)
+    val storeN1 = spark.read.parquet(store).count()
+
+    // Day 2: 10 re-syndicates the article inside NEW wrapping (the
+    // shift-robustness job: content-defined boundaries re-sync, so the
+    // historical chunk hashes still hit); 11 is novel.
+    val (r2rows, plans) = graft.PlanCapture.scansOf(spark, store) {
+      Dedup.incrementalCdcDedup(
+        Seq((10L, s"intro words $article outro words"),
+          (11L, (1 to 40).map(i => s"c${i * 13 % 83}").mkString(" ")))
+          .toDF("doc_id", "text"), store).collect()
+    }
+    assert(plans.nonEmpty)
+    plans.foreach { p =>
+      assert(!graft.PlanCapture.shufflesRawScanOf(p, store),
+        s"raw chunk-store rows moved through a shuffle:\n$p")
+    }
+    val r2 = r2rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(r2(10L)._3 > 0.5, s"re-syndicated article must score high reuse: ${r2(10L)}")
+    assert(r2(11L)._3 == 0.0, s"novel doc clean: ${r2(11L)}")
+
+    // Store grew by novel chunks only; replay is all-dup with no growth.
+    val storeN2 = spark.read.parquet(store).count()
+    assert(storeN2 > storeN1)
+    val r3 = Dedup.incrementalCdcDedup(
+      Seq((20L, article)).toDF("doc_id", "text"), store).collect()
+    assert(r3.head.getDouble(3) == 1.0, "replayed article must be fully duplicated")
+    assert(spark.read.parquet(store).count() == storeN2, "replay grew the store")
+  }
+
   test("NFC pre-step collapses canonically-equivalent twins through the dedup entries") {
     import spark.implicits._
     // Same logical text: precomposed e-acute (U+00E9) vs decomposed e+U+0301.
