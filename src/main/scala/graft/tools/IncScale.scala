@@ -104,6 +104,35 @@ object IncScale {
     check("minhash-increment-flat", mhT2 <= 2.5 * math.max(mhT1, 0.3),
       f"store ${mSmall}→${mSmall * 10}: increment $mhT1%.2fs → $mhT2%.2fs (bound 2.5×)")
 
+    // ---- cdc chunk-hash store ---------------------------------------
+    // Chunk-level tier: the keep-first chunk store is probed broadcast
+    // and appended novel-first-only, so a fixed increment stays flat
+    // under 10× chunk-history growth.
+    val cdDir = java.nio.file.Files.createTempDirectory("incscale").resolve("cdc").toString
+    val dSmall = sSmall / 10
+    var dNext = 0L
+    def seedCd(rows: Long): Unit = {
+      var at = dNext
+      while (at < dNext + rows) {
+        val end = math.min(at + 25000, dNext + rows)
+        Dedup.incrementalCdcDedup(docs(spark, at, end, identity), cdDir).count()
+        at = end
+      }
+      dNext += rows
+    }
+    def incrementCd(): Double = {
+      val novelFrom = dNext; dNext += 200
+      val inc = docs(spark, novelFrom, dNext, identity)
+        .unionByName(docs(spark, 4500000000L, 4500000200L, id => id - 4500000000L))
+      timed { Dedup.incrementalCdcDedup(inc, cdDir).count() }
+    }
+    seedCd(dSmall)
+    val cdT1 = Seq(incrementCd(), incrementCd(), incrementCd()).min
+    seedCd(dSmall * 9)
+    val cdT2 = Seq(incrementCd(), incrementCd(), incrementCd()).min
+    check("cdc-increment-flat", cdT2 <= 2.5 * math.max(cdT1, 0.3),
+      f"store ${dSmall}→${dSmall * 10}: increment $cdT1%.2fs → $cdT2%.2fs (bound 2.5×)")
+
     // ---- containment shingle store ----------------------------------
     // Same contract at the doc-inside-doc tier: the posting-capped
     // inverted index bounds the probe at O(increment·maxDf) rows and the
@@ -292,6 +321,11 @@ object IncScale {
       .filter(col("is_duplicate")).count()
     check("containment-store-dups-found", ctDup == 500,
       s"500 replayed docs → $ctDup store containment dups")
+    val cdDup = Dedup.incrementalCdcDedup(
+      docs(spark, 6500000000L, 6500000500L, id => id - 6500000000L), cdDir)
+      .filter(col("dup_frac") === 1.0).count()
+    check("cdc-store-dups-found", cdDup == 500,
+      s"500 replayed docs → $cdDup fully-chunk-duplicated")
 
     spark.stop()
     if (failed) sys.exit(1)
