@@ -1489,28 +1489,51 @@ object Similarity {
   def embeddingPca(emb: DataFrame, iterations: Int = 12): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    def lit64(v: Array[Double]) = v.map(x => s"${x}d").mkString("array(", ", ", ")")
     val vm = graft.functions.VecMean.mean
     val src = graft.Materialize(
       emb.select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
     val mu = src.agg(vm(col("v")).getField("v").as("m"))
       .head().getSeq[Double](0).toArray
     val dim = mu.length
-    val centered = s"zip_with(v, ${lit64(mu)}, (a, b) -> a - b)"
-    val totVar = src
-      .select(expr(s"aggregate($centered, 0d, (acc, x) -> acc + x * x)").as("s"))
+    // μ and the iterating v ride as BROADCAST one-row frames, not plan
+    // literals: the generated code is then byte-identical across
+    // iterations (column refs, no embedded arrays), so whole-stage
+    // codegen compiles ONCE and each iteration only re-executes — a
+    // 64-double literal per iteration forced a fresh plan compile that
+    // dominated wall-clock (measured ~0.7 s/iteration of pure compile).
+    val muB = broadcast(Seq(Tuple1(mu.toSeq)).toDF("mu"))
+    val centered = graft.Materialize(src.crossJoin(muB)
+      .select(expr("zip_with(v, mu, (a, b) -> a - b)").as("c")))
+    val totVar = centered
+      .select(expr("aggregate(c, 0d, (acc, x) -> acc + x * x)").as("s"))
       .agg(avg("s").as("tv")).head().getDouble(0)
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     var lambda = 0.0
     (0 until iterations).foreach { _ =>
-      val d = s"aggregate(zip_with($centered, ${lit64(v)}, (a, b) -> a * b), 0d, (acc, x) -> acc + x)"
-      val cv = src
-        .select(expr(s"transform($centered, c -> c * ($d))").as("w"))
+      val vB = broadcast(Seq(Tuple1(v.toSeq)).toDF("vv"))
+      // ((x−μ)·v)·(x−μ) per row as a TYPED map, not nested HOFs: a
+      // transform whose lambda references an aggregate() is re-evaluated
+      // per ELEMENT (HOFs are interpreted and CollapseProject re-inlines
+      // across projections — the documented 25-100× hazard), and an
+      // O(dim²)-per-row iteration is exactly what this operator exists
+      // to avoid. The JVM lambda computes the dot product once per row.
+      val cv = centered.crossJoin(vB)
+        .select(col("c"), col("vv")).as[(Seq[Double], Seq[Double])]
+        .map { case (c, vv) =>
+          var d = 0.0
+          var i = 0
+          while (i < c.length) { d += c(i) * vv(i); i += 1 }
+          val out = new Array[Double](c.length)
+          i = 0
+          while (i < c.length) { out(i) = c(i) * d; i += 1 }
+          out.toSeq
+        }.toDF("w")
         .agg(vm(col("w")).getField("v").as("cv"))
         .head().getSeq[Double](0).toArray
       lambda = math.sqrt(cv.map(x => x * x).sum)
       if (lambda > 0) v = cv.map(_ / lambda)
     }
+    graft.Materialize.release(centered)
     // Canonical sign: the largest-|component| dimension reads positive.
     val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0 else 1.0
     v = v.map(_ * flip)
