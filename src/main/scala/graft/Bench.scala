@@ -166,8 +166,8 @@ object Bench {
         // exploded shingle stream shuffles twice (once for the df agg,
         // again for the keep join) before the pair self-join. The join is
         // inside a Materialize boundary, hence the fullPlan audit.
-        if (Set("dedup_ngram_jaccard", "q69_edit_distance", "dedup_clusters")
-              .contains(name) && !fullPlan.contains("BroadcastHashJoin"))
+        if (Set("dedup_ngram_jaccard", "q69_edit_distance", "dedup_clusters",
+              "winnow_pairs").contains(name) && !fullPlan.contains("BroadcastHashJoin"))
           violations += s"$name:keep-set-not-broadcast"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }
