@@ -417,10 +417,12 @@ object Dedup {
     * chunk-equality candidate step is exactly equivalent to the oracle's
     * all-pairs hamming filter by pigeonhole: ≤ 3 differing bits across 4
     * chunks forces at least one identical chunk. */
-  def simhashDedup(docs: DataFrame, shingleSize: Int = 3, maxHamming: Int = 3): DataFrame = {
-    // Explode → hash once → 64 conditional-sum aggregates (one HashAggregate
-    // with partial agg), then reassemble the sign bits. Same rationale as
-    // minhashCandidates: no nested HOFs over a derived column.
+  /** (doc_id, simhash): the 64-bit SimHash of every document — explode →
+    * hash once → 64 conditional-sum aggregates (one HashAggregate with
+    * partial agg), then reassemble the sign bits. Same rationale as
+    * minhashCandidates: no nested HOFs over a derived column. Shared by
+    * the batch dedup and the incremental store. */
+  private def simhashTable(docs: DataFrame, shingleSize: Int): DataFrame = {
     val exploded = spread(docs)
       .select(col("doc_id"), explode(shingles(shingleSize)).as("s"))
       .withColumn("h", graft.functions.PortableHash.hash64(col("s")))
@@ -430,10 +432,22 @@ object Dedup {
     val simhashCol = (0 until 64)
       .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
+    bitSums.select(col("doc_id"), simhashCol.as("simhash"))
+  }
+
+  /** The 4×16-bit band-chunk projection of a (doc_id, simhash) frame —
+    * hamming ≤ 3 forces at least one identical chunk (pigeonhole). */
+  private def simhashChunks(withSim: DataFrame): DataFrame =
+    withSim.withColumn("chunks", expr(
+        "transform(sequence(0, 3), c -> struct(c AS chunk, CAST(shiftright(simhash, c * 16) & 65535 AS INT) AS ch))"))
+      .select(col("doc_id"), col("simhash"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.chunk").as("chunk"), col("c.ch").as("ch"))
+
+  def simhashDedup(docs: DataFrame, shingleSize: Int = 3, maxHamming: Int = 3): DataFrame = {
     // Materialized: consumed three times (both self-join sides + the
     // final decision join) and exchange reuse does not fire across them.
-    val withSim = bitSums
-      .select(col("doc_id"), simhashCol.as("simhash"))
+    val withSim = simhashTable(docs, shingleSize)
       .transform(graft.Materialize(_))
       .withColumn("chunks", expr(
         "transform(sequence(0, 3), c -> struct(c AS chunk, CAST(shiftright(simhash, c * 16) & 65535 AS INT) AS ch))"))
@@ -923,6 +937,68 @@ object Dedup {
     graft.Materialize.release(shk)
     graft.Materialize.release(cands)
     graft.Materialize.release(keepPost)
+    annotated.orderBy("doc_id")
+  }
+
+  private val SimSpec = graft.sinks.BucketedStore.Spec(
+    "chunk INT, ch INT, doc_id BIGINT, simhash BIGINT", "ch", 32)
+
+  /** Incremental SimHash near-dup against a persistent chunk store —
+    * the daily-increment form of [[simhashDedup]], completing the
+    * incremental family (exact / minhash / semantic / containment / CDC
+    * / simhash): history is represented ONLY by 4 (chunk, ch, doc_id,
+    * simhash) band rows per kept document (32 bytes of signature — text
+    * is never re-shingled), so a day's crawl is checked against the
+    * whole corpus for hamming-≤-`maxHamming` near-dups at O(increment)
+    * cost.
+    *
+    * Probe: the increment's chunk rows join the store on (chunk, ch) —
+    * pigeonhole guarantees every true ≤-3-bit pair shares a chunk — and
+    * survivors verify by exact `bit_count(xor)` ON THE JOIN ROW (unlike
+    * containment, simhash verification needs only the two 64-bit words,
+    * so there is no second sets store and no second probe). Below
+    * `broadcastMaxRows` the increment side carries the broadcast hint:
+    * the store is SCANNED (column-pruned, parallel) but never shuffled
+    * (asserted by the incremental specs); above it the bucketed layout
+    * (CLUSTERED BY ch) gives a sort-merge join that shuffles only the
+    * increment. Intra-increment pairs use the same chunk equality with
+    * smaller-id-wins. Appends only the increment's keepers (4 rows
+    * each); a replayed increment matches its own stored signatures
+    * (hamming 0), flags all-dup, and appends nothing — idempotent. */
+  def incrementalSimhash(newDocs: DataFrame, storeDir: String,
+      shingleSize: Int = 3, maxHamming: Int = 3,
+      broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = newDocs.sparkSession
+    val withSim = graft.Materialize(simhashTable(newDocs, shingleSize))
+    val chunks = graft.Materialize(simhashChunks(withSim))
+    val small = withSim.count() <= broadcastMaxRows
+    def inc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+    val store = graft.sinks.BucketedStore.readOrEmpty(spark, storeDir, SimSpec)
+      .select(col("chunk"), col("ch"),
+        col("doc_id").as("old_id"), col("simhash").as("osim"))
+    val vsStore = store.join(inc(chunks), Seq("chunk", "ch"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("osim"))) <= maxHamming)
+      .select(col("doc_id"), col("old_id")).distinct()
+    val intra = chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    val dupOf = vsStore.unionByName(intra)
+      .groupBy("doc_id").agg(min("old_id").as("dup_of"))
+    val annotated = graft.Materialize(withSim
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        col("dup_of").isNotNull.as("is_duplicate"), col("dup_of")))
+    val keep = annotated.filter(!col("is_duplicate")).select("doc_id")
+    graft.sinks.BucketedStore.append(
+      chunks.join(inc(keep), Seq("doc_id"))
+        .select("chunk", "ch", "doc_id", "simhash"),
+      storeDir, SimSpec)
+    graft.Materialize.release(withSim)
+    graft.Materialize.release(chunks)
     annotated.orderBy("doc_id")
   }
 

@@ -199,6 +199,52 @@ object Profile {
       .select(col("d").as("ks_stat"), col("x").as("at_x"))
   }
 
+  /** Robust per-group outlier report via the median/MAD rule — the
+    * data-quality gate that survives the outliers it is hunting: a
+    * z-score filter's mean and stddev are themselves dragged by extreme
+    * values (one 10⁹ outlier masks every other), while the median and
+    * the median-absolute-deviation have a 50% breakdown point
+    * (Hampel/Leys et al.'s |x − med| > k·MAD rule, k=3 ≈ the robust
+    * 3-sigma: 1.4826·MAD estimates sigma under normality — callers who
+    * want the literal sigma scale fold 1.4826 into k).
+    *
+    * Per group: median, MAD, row count, outlier count and share.
+    * Cross-engine determinism: Spark's exact `percentile` and DuckDB's
+    * `median` both linearly interpolate at even counts; deviations and
+    * the threshold are rounded to 6 dp BEFORE the compare
+    * (round-before-threshold, the dedup convention) so the flag
+    * boundary agrees bit-for-bit.
+    *
+    * Scale: two grouped percentile aggregations plus one conditional
+    * count, group medians broadcast back (O(#groups) rows). Exact
+    * percentile buffers each group's values on its reducer — fine for
+    * the registered per-event-type groups; at 100-TB row counts swap in
+    * `approx_percentile` (same plan shape, mergeable sketch buffers —
+    * the bucketing convention) at the cost of the exactness the oracle
+    * pins. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol).as("grp"))
+      .agg(percentile(col(valueCol).cast("double"), lit(0.5)).as("med"))
+    val dev = df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"))
+      .join(broadcast(med), Seq("grp"))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("grp")
+      .agg(first("med").as("med"), percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.drop("med")
+      .join(broadcast(mad), Seq("grp"))
+      .groupBy("grp")
+      .agg(
+        round(first("med"), 6).as("med"),
+        round(first("mad"), 6).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(round(col("adev"), 6) > round(lit(k) * col("mad"), 6), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+      .orderBy("grp")
+  }
+
   /** Row-level annotation against a constraint suite: every row keeps
     * all its columns plus `fail_reason` (the FIRST violated check's
     * name, null if all pass — check order is precedence, the q53
@@ -298,6 +344,9 @@ object Profile {
     // Hot-key diagnosis over the events queue table (user_id plays the
     // reference's partition_id — the key its work-stealing shards by).
     "profile_skew" -> ((s, d) => skewReport(Tables(s, d).events, "user_id")),
+    // Robust outlier gate over the events value column per event type.
+    "profile_mad_outliers" -> ((s, d) =>
+      madOutliers(Tables(s, d).events, "event_type", "value")),
     // Same synthetic snapshots; KS over the n_chars distribution (v2's
     // text mutations shift lengths for doc_id % 7 == 0 docs... they
     // don't touch n_chars, so this pins the near-identical-distribution
@@ -318,6 +367,25 @@ object Profile {
   )
 
   def oracle: Map[String, String] = Map(
+    // median() ≡ Spark's exact percentile(0.5) (both linearly
+    // interpolate); round-before-threshold fixes the flag boundary.
+    "profile_mad_outliers" ->
+      ("""WITH med AS (SELECT event_type AS grp, median(value) AS med
+         |  FROM events GROUP BY event_type),
+         |dev AS (SELECT e.event_type AS grp, m.med,
+         |    abs(e.value - m.med) AS adev
+         |  FROM events e JOIN med m ON e.event_type = m.grp),
+         |mad AS (SELECT grp, ANY_VALUE(med) AS med, median(adev) AS mad
+         |  FROM dev GROUP BY grp)
+         |SELECT d.grp, ROUND(ANY_VALUE(m.med), 6) AS med,
+         |  ROUND(ANY_VALUE(m.mad), 6) AS mad,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN ROUND(d.adev, 6) > ROUND(3.0 * m.mad, 6)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  ROUND(CAST(SUM(CASE WHEN ROUND(d.adev, 6) > ROUND(3.0 * m.mad, 6)
+         |    THEN 1 ELSE 0 END) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_share
+         |FROM dev d JOIN mad m USING (grp)
+         |GROUP BY d.grp ORDER BY d.grp""".stripMargin),
     // Same synthetic snapshots, hash-compare full-outer join twin.
     "profile_snapshot_diff" ->
       ("""WITH v1 AS (SELECT doc_id, md5(text) AS old_h FROM documents WHERE doc_id % 10 <> 0),

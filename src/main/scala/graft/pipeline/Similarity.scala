@@ -1569,6 +1569,111 @@ object Similarity {
         round(expr("array_max(err)"), 6).as("max_err"))
       .orderBy("vec_id")
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998 — the retrieval-side diversity selector RAG rerankers
+    * use): greedily pick the candidate maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s), so near-duplicate hits
+    * don't crowd the result list the way pure relevance ranking lets
+    * them.
+    *
+    * Scale split (the quality_classifier O(model) convention): the
+    * CORPUS work is [[bruteForceTopK]]'s distributed scan into a bounded
+    * per-query top-`poolSize` pool; only that pool — ≤ nQueries·poolSize
+    * (id, sim) rows plus their vectors, fetched by a pruned id-set
+    * filter — is collected, and the greedy k-step selection runs on the
+    * driver over it (MMR is inherently sequential: step i needs step
+    * i−1's selection; poolSize caps the state, k caps the steps, and at
+    * 100 TB the pool still has poolSize rows). Deterministic: pool sims
+    * are 4-dp rounded with vec_id tiebreak (the q22 contract), MMR
+    * scores 6-dp rounded with (sim desc, vec_id asc) tiebreak. */
+  def mmrTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+      poolSize: Int = 50, lambdaRel: Double = 0.7): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(emb, nQueries, poolSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pool.map(_._2).distinct
+    val vecs = emb.filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) 0.0 else d / den
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = pool.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (q, cands) =>
+      val rel = cands.map(c => c._2 -> c._3).toMap
+      var remaining = cands.map(_._2).toList
+      var selected = List.empty[Long]
+      val picks = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double)]
+      var rk = 1L
+      while (rk <= k && remaining.nonEmpty) {
+        val best = remaining.map { d =>
+          val pen = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(vecs(d), vecs(s))).max
+          (d, r6(lambdaRel * rel(d) - (1 - lambdaRel) * pen))
+        }.minBy { case (d, m) => (-m, -rel(d), d) }
+        picks += ((q, rk, best._1, best._2, rel(best._1)))
+        selected ::= best._1
+        remaining = remaining.filterNot(_ == best._1)
+        rk += 1
+      }
+      picks
+    }
+    out.toDF("query_id", "rk", "vec_id", "mmr", "sim")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Int8 scalar-quantized (SQ8) nearest-neighbor SEARCH — the search
+    * path that makes [[quantization]]'s compression an index (the FAISS
+    * `SQ8` flat-index recipe, the middle rung between exact floats and
+    * [[pqTopK]]'s 32× codes): per-DIMENSION min/max calibration (one
+    * dim-keyed aggregate — vs q52's per-vector scale, which cannot be
+    * searched asymmetrically), corpus vectors stored as `array<tinyint>`
+    * (4× smaller than float32, 8× than the double form), and queries
+    * scored EXACTLY against the reconstructed grid (asymmetric distance:
+    * only the corpus side is quantized, so error enters once, not
+    * twice).
+    *
+    * Plan: calibration collect is `dim` rows (bounded; broadcast back as
+    * a one-row frame, the PCA convention); encoding is a zero-shuffle
+    * projection; search is one codes scan × broadcast queries into the
+    * bounded per-query TopK — no shuffle wider than nQueries·k. */
+  def sq8TopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("i").collect()
+    val mins = stats.map(_.getDouble(1))
+    val scales = stats.map(r => math.max((r.getDouble(2) - r.getDouble(1)) / 255.0, 1e-12))
+    val calB = broadcast(Seq((mins.toSeq, scales.toSeq)).toDF("mn", "sc"))
+    val codes = emb.crossJoin(calB).select(col("vec_id"),
+      expr("""transform(embedding, (x, i) ->
+             |  CAST(round((CAST(x AS DOUBLE) - mn[i]) / sc[i]) - 128 AS TINYINT))"""
+        .stripMargin).as("codes"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qe"))
+    val scored = codes.filter(col("vec_id") >= nQueries)
+      .crossJoin(calB)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(expr(
+          """aggregate(zip_with(
+            |  transform(codes, (c, i) -> mn[i] + (CAST(c AS DOUBLE) + 128) * sc[i]),
+            |  qe, (x, q) -> (x - q) * (x - q)), 0D, (a, v) -> a + v)""".stripMargin), 6)
+          .as("sq8_dist"))
+    rankTopK(scored, k, "sq8_dist", ascending = true)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_embed_quant"   -> ((s, d) => quantization(Tables(s, d).embeddings)),
     "q22_knn_cosine"    -> ((s, d) => bruteForceTopK(Tables(s, d).embeddings)),
@@ -1602,6 +1707,13 @@ object Similarity {
       pqTopKFrom(subs.filter(col("vec_id") < 3),
         pqEncodeFrom(subs, cb, dim), cb, nQueries = 3, k = 10)
     }),
+    // Driver-side greedy over a bounded distributed pool — rows-only
+    // (the selection is inherently sequential; SQL has no k-step greedy).
+    // Diversity-beats-relevance semantics are spec-pinned.
+    "mmr_topk"          -> ((s, d) => mmrTopK(Tables(s, d).embeddings)),
+    // Per-dim int8 grid reconstruction float math — rows-only (the
+    // ivf/pq convention); recall vs exact L2 is spec-pinned.
+    "knn_sq8"           -> ((s, d) => sq8TopK(Tables(s, d).embeddings)),
   )
 
   def oracle: Map[String, String] = Map(

@@ -38,6 +38,21 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("token"))
       .limit(topK)
 
+  /** Top-k tokens via the Misra–Gries mergeable sketch
+    * ([[graft.functions.HeavyHitters]]) — [[tokenFrequency]]'s
+    * bounded-memory companion: the groupBy form shuffles one row per
+    * DISTINCT token (a web-crawl vocabulary is 10⁸⁺ keys, all crossing
+    * the wire to be discarded by the LIMIT), while the sketch ships at
+    * most `capacity` counters per map task regardless of vocabulary.
+    * With `capacity` ≥ the true vocabulary (the registered 4096 vs the
+    * synthetic corpus's 31) no decrement ever fires and the counts are
+    * EXACT — the oracle pins that regime row-equal to the groupBy form;
+    * the guaranteed-error regime (capacity ≪ vocab) is spec-pinned. */
+  def heavyHitterTokens(docs: DataFrame, topK: Int = 10,
+      capacity: Int = 4096): DataFrame =
+    graft.functions.HeavyHitters.topTokens(
+      docs.select(explode(tokens).as("tok")), "tok", topK, capacity)
+
   /** Language ID trained in-engine: an add-one-smoothed multinomial
     * naive-Bayes over the token stream. Profile = per-(lang, token) log
     * P(token|lang) plus a log-prior per language; predicted language
@@ -914,6 +929,9 @@ object TextAnalysis {
     "q75_bigram_ppl"   -> ((s, d) => bigramPerplexity(Tables(s, d).documents)),
     "q20_text_quality" -> ((s, d) => textQuality(Tables(s, d).documents)),
     "q21_token_freq"   -> ((s, d) => tokenFrequency(Tables(s, d).documents)),
+    // Misra–Gries sketch in its exact regime (capacity ≥ vocab): the
+    // oracle is the plain groupBy-count twin the sketch must equal.
+    "heavy_hitters"    -> ((s, d) => heavyHitterTokens(Tables(s, d).documents)),
     "langid_ngram"     -> ((s, d) => languageId(Tables(s, d).documents)),
     "q38_token_counts" -> ((s, d) => tokenCounts(Tables(s, d).documents)),
     "doc_fingerprint"  -> ((s, d) => fingerprint(Tables(s, d).documents)),
@@ -923,6 +941,12 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    // Exact-regime MG ≡ groupBy count (capacity 4096 ≫ 31-token vocab:
+    // no decrement ever fires, every counter is the exact count).
+    "heavy_hitters" ->
+      ("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+         |ORDER BY cnt DESC, tok LIMIT 10""".stripMargin),
     // DuckDB's utf8proc NFC and the JVM's java.text.Normalizer implement
     // the same standard-defined canonical composition.
     "text_nfc" ->

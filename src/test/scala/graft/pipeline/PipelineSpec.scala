@@ -2089,4 +2089,193 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getDouble(3) <= 1.0)
     }
   }
+
+  test("heavy hitters: exact regime equals the groupBy-count form") {
+    val mg = TextAnalysis.heavyHitterTokens(docs, topK = 10, capacity = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = TextAnalysis.tokenFrequency(docs, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(mg.sameElements(exact), s"\nmg=${mg.toSeq}\nexact=${exact.toSeq}")
+  }
+
+  test("heavy hitters: guaranteed-error regime recovers planted heavy keys") {
+    import spark.implicits._
+    // 1000-key universe, capacity 8: three planted keys carry 3000, 2000
+    // and 1000 occurrences over a 1000-row noise tail (n = 7000, bound
+    // n/(capacity+1) ≈ 778 < every planted count — all three MUST
+    // survive with estimates no more than the bound below truth, and
+    // never above it).
+    val rows = Seq.fill(3000)("hot1") ++ Seq.fill(2000)("hot2") ++
+      Seq.fill(1000)("hot3") ++ (0 until 1000).map(i => s"noise$i")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tok").repartition(8)
+    val out = graft.functions.HeavyHitters
+      .topTokens(df, "tok", k = 3, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = rows.length
+    val bound = n / 9
+    val truth = Map("hot1" -> 3000L, "hot2" -> 2000L, "hot3" -> 1000L)
+    truth.foreach { case (k, c) =>
+      assert(out.contains(k), s"heavy key $k evicted: $out")
+      assert(out(k) <= c && out(k) >= c - bound,
+        s"$k estimate ${out(k)} outside [${c - bound}, $c]")
+    }
+  }
+
+  test("heavy hitters: exact regime is partitioning-invariant") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (i.toLong, s"t${i % 37}"))
+    def run(parts: Int) = graft.functions.HeavyHitters
+      .topTokens(rows.toDF("id", "tok").repartition(parts), "tok", 10, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(1) == run(16))
+  }
+
+  test("mad outliers: robust to the outliers it hunts (mean/sigma would mask them)") {
+    import spark.implicits._
+    // Group a: tight cluster around 10 plus two wild points. The 1e9
+    // point drags a mean/stddev z-score so far that NOTHING flags (sigma
+    // ≈ 3e8); median/MAD flags exactly the two planted outliers.
+    val a = Seq(9.0, 9.5, 10.0, 10.0, 10.5, 11.0, 1e9, 500.0).map(("a", _))
+    val b = Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("b", _))
+    val df = (a ++ b).toDF("grp", "x")
+    val out = Profile.madOutliers(df, "grp", "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(4) == 2L, s"both planted outliers flag: ${out("a")}")
+    assert(out("a").getDouble(1) == 10.25, "median unmoved by the 1e9 point")
+    assert(out("b").getLong(4) == 0L, "clean group stays clean")
+    // The masking counter-check: classic 3-sigma on group a flags only
+    // the 1e9 point — the 500 outlier hides behind the inflated sigma.
+    val zFlagged = a.map(_._2).count { x =>
+      val xs = a.map(_._2)
+      val m = xs.sum / xs.size
+      val sd = math.sqrt(xs.map(v => (v - m) * (v - m)).sum / xs.size)
+      math.abs(x - m) > 3 * sd
+    }
+    assert(zFlagged <= 1, "z-score masks the second outlier (the point of MAD)")
+  }
+
+  test("mad outliers on the events table: every group reported, shares in [0,1]") {
+    val ev = Tables(spark, sf0001).events
+    val out = Profile.madOutliers(ev, "event_type", "value").collect()
+    assert(out.length == ev.select("event_type").distinct().count())
+    out.foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getLong(4) <= r.getLong(3))
+    }
+  }
+
+  test("mmr: lambda=1 reduces to pure relevance ranking") {
+    val mmr = Similarity.mmrTopK(emb, nQueries = 2, k = 5, poolSize = 20,
+      lambdaRel = 1.0).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mmr.sameElements(bf))
+  }
+
+  test("mmr: near-duplicate hits are deferred for diversity") {
+    import spark.implicits._
+    // Query 0 at e0; docs 10/11 are identical (both closest to the
+    // query), doc 12 is distinct but still relevant. Pure relevance
+    // returns [10, 11, 12]; MMR must interleave the diverse doc ahead
+    // of the duplicate: [10, 12, 11].
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val df = Seq(
+      (0L, v(1, 0, 0, 0)), (10L, v(0.99, 0.1, 0, 0)), (11L, v(0.99, 0.1, 0, 0)),
+      (12L, v(0.8, 0, 0.6, 0)), (13L, v(0, 1, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val rel = Similarity.bruteForceTopK(df, nQueries = 1, k = 3).collect()
+      .map(_.getLong(1)).toSeq
+    assert(rel == Seq(10L, 11L, 12L), s"relevance order: $rel")
+    val mmr = Similarity.mmrTopK(df, nQueries = 1, k = 3, poolSize = 4,
+      lambdaRel = 0.5).collect().map(_.getLong(2)).toSeq
+    assert(mmr == Seq(10L, 12L, 11L), s"diversified order: $mmr")
+  }
+
+  test("sq8: high recall vs exact L2 and distances within the grid error bound") {
+    import spark.implicits._
+    val sq = Similarity.sq8TopK(emb, nQueries = 3, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exact L2 baseline with the same ranking contract.
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = emb.filter(col("vec_id") >= 3).crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), round(expr(
+        """aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)),
+          |  transform(qe, x -> CAST(x AS DOUBLE)),
+          |  (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"""
+          .stripMargin), 6).as("d"))
+    val ex = graft.functions.TopK.perGroup(exact, "query_id", "d", "vec_id",
+      10, ascending = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = sq.intersect(ex).size.toDouble / ex.size
+    assert(recall >= 0.8, s"SQ8 recall $recall — quantization grid broken?")
+  }
+
+  test("incremental simhash: near-dups flagged across increments, store grows keepers-only") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("incsh").resolve("store").toString
+    val base = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val other = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+    // Day 1: two distinct docs.
+    val r1 = Dedup.incrementalSimhash(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), store).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(r1 == Map(1L -> false, 2L -> false))
+    assert(spark.read.parquet(store).count() == 8, "4 chunk rows per keeper")
+
+    // Day 2: 10 repeats historical 1 verbatim (hamming 0 — must flag
+    // with dup_of 1 from STORED signatures alone); 11 is novel; 12
+    // repeats 11 intra-increment.
+    val day2 = Seq((10L, base), (11L, "november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey xray yankee"),
+      (12L, "november oscar papa quebec romeo " +
+        "sierra tango uniform victor whiskey xray yankee")).toDF("doc_id", "text")
+    val (r2rows, storePlans) = graft.PlanCapture.scansOf(spark, store) {
+      Dedup.incrementalSimhash(day2, store).collect()
+    }
+    assert(storePlans.nonEmpty, "expected captured plans scanning the chunk store")
+    storePlans.foreach { p =>
+      assert(!graft.PlanCapture.shufflesRawScanOf(p, store),
+        s"raw chunk-store rows moved through a shuffle:\n$p")
+    }
+    val r2 = r2rows.map(r => r.getLong(0) ->
+      ((r.getBoolean(2), Option(r.get(3)).map(_.toString)))).toMap
+    assert(r2(10L) == ((true, Some("1"))), s"historical match: ${r2(10L)}")
+    assert(!r2(11L)._1, s"novel doc kept: ${r2(11L)}")
+    assert(r2(12L) == ((true, Some("11"))), s"intra dup: ${r2(12L)}")
+
+    // Keepers-only growth: 1, 2, 11 → 12 chunk rows.
+    assert(spark.read.parquet(store).select("doc_id").distinct().collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 11L)))
+
+    // Replay of day 2 is idempotent: everything flags (10/12 against
+    // history, 11 against its own stored signature), nothing appends.
+    val r3 = Dedup.incrementalSimhash(day2, store).collect()
+    assert(r3.forall(_.getBoolean(2)), "replayed increment must be all-dup")
+    assert(spark.read.parquet(store).count() == 12, "replay appends nothing")
+  }
+
+  test("incremental simhash agrees with the batch operator on a split corpus") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("incshdual").resolve("store").toString
+    // The first 40 corpus docs split into two 20-doc days. Batch dedup
+    // over the union is the ground truth; the incremental runs must
+    // reproduce its per-doc decisions (day-2 docs can additionally
+    // resolve to day-1 keepers, which the batch form also sees).
+    val subset = docs.filter(col("doc_id") < 40).select("doc_id", "text")
+    val batch = Dedup.simhashDedup(subset).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_duplicate")).toMap
+    val day1 = subset.filter(col("doc_id") < 20)
+    val day2 = subset.filter(col("doc_id") >= 20)
+    val i1 = Dedup.incrementalSimhash(day1, store).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val i2 = Dedup.incrementalSimhash(day2, store).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (i1 ++ i2).foreach { case (id, dup) =>
+      assert(dup == batch(id), s"doc $id: incremental=$dup batch=${batch(id)}")
+    }
+  }
 }
