@@ -169,6 +169,20 @@ object Bench {
         if (Set("dedup_ngram_jaccard", "q69_edit_distance", "dedup_clusters",
               "winnow_pairs").contains(name) && !fullPlan.contains("BroadcastHashJoin"))
           violations += s"$name:keep-set-not-broadcast"
+        // The MG sketch must combine map-side (ObjectHashAggregate with a
+        // partial mode): a plain hash aggregate here means the sketch
+        // regressed to shuffling one row per distinct token.
+        if (name == "heavy_hitters" && !plan.contains("ObjectHashAggregate"))
+          violations += s"$name:sketch-not-partial-aggregated"
+        // SQ8 ranking is the bounded TopK partial aggregation; a Window
+        // means the per-query corpus sort came back.
+        if (name == "knn_sq8" &&
+            (plan.contains("Window") || !plan.contains("ObjectHashAggregate")))
+          violations += s"$name:ranking-regressed-to-window"
+        // Group medians/MADs come back as broadcast joins (O(#groups)
+        // rows); a shuffled join means the corpus repartitions per pass.
+        if (name == "profile_mad_outliers" && !plan.contains("BroadcastHashJoin"))
+          violations += s"$name:medians-not-broadcast"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }
     graft.Materialize.stopPlanRecording()

@@ -94,6 +94,16 @@ object PipelineStream {
     incremental(docs, outDir, checkpoint)(
       graft.pipeline.Dedup.incrementalContainment(_, storeDir))
 
+  /** Streaming SimHash near-dup: every micro-batch of (doc_id, text)
+    * probes — and grows — the persistent 4-band chunk store
+    * ([[graft.pipeline.Dedup.incrementalSimhash]]); the
+    * bit-flip-tolerant tier between exact hashing and minhash's
+    * shingle-set Jaccard, from 32 bytes of stored signature per keeper. */
+  def dedupSimhash(docs: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(docs, outDir, checkpoint)(
+      graft.pipeline.Dedup.incrementalSimhash(_, storeDir))
+
   /** Streaming embedding near-dup: every micro-batch of
     * (vec_id, embedding) probes — and grows — the persistent LSH band +
     * keeper-vector store

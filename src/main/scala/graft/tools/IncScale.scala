@@ -163,6 +163,36 @@ object IncScale {
     check("containment-increment-flat", ctT2 <= 2.5 * math.max(ctT1, 0.3),
       f"store ${cSmall}→${cSmall * 10}: increment $ctT1%.2fs → $ctT2%.2fs (bound 2.5×)")
 
+    // ---- simhash chunk store ----------------------------------------
+    // Bit-flip tier: 4 band rows per keeper, probe joins the increment's
+    // chunk keys against the bucketed store (scanned, never shuffled
+    // below the broadcast bound), so a fixed increment stays flat under
+    // 10× signature-history growth.
+    val shDir = java.nio.file.Files.createTempDirectory("incscale").resolve("sh").toString
+    val hSmall = sSmall / 10
+    var hNext = 0L
+    def seedSh(rows: Long): Unit = {
+      var at = hNext
+      while (at < hNext + rows) {
+        val end = math.min(at + 25000, hNext + rows)
+        Dedup.incrementalSimhash(docs(spark, at, end, identity), shDir).count()
+        at = end
+      }
+      hNext += rows
+    }
+    def incrementSh(): Double = {
+      val novelFrom = hNext; hNext += 200
+      val inc = docs(spark, novelFrom, hNext, identity)
+        .unionByName(docs(spark, 7500000000L, 7500000200L, id => id - 7500000000L))
+      timed { Dedup.incrementalSimhash(inc, shDir).count() }
+    }
+    seedSh(hSmall)
+    val shT1 = Seq(incrementSh(), incrementSh(), incrementSh()).min
+    seedSh(hSmall * 9)
+    val shT2 = Seq(incrementSh(), incrementSh(), incrementSh()).min
+    check("simhash-increment-flat", shT2 <= 2.5 * math.max(shT1, 0.3),
+      f"store ${hSmall}→${hSmall * 10}: increment $shT1%.2fs → $shT2%.2fs (bound 2.5×)")
+
     // ---- decontamination eval store ---------------------------------
     // Contract: a fixed TRAIN increment must stay flat while the EVAL
     // store grows 10× — the filter is read back (one parquet row), never
@@ -326,6 +356,11 @@ object IncScale {
       .filter(col("dup_frac") === 1.0).count()
     check("cdc-store-dups-found", cdDup == 500,
       s"500 replayed docs → $cdDup fully-chunk-duplicated")
+    val shDup = Dedup.incrementalSimhash(
+      docs(spark, 8500000000L, 8500000500L, id => id - 8500000000L), shDir)
+      .filter(col("is_duplicate")).count()
+    check("simhash-store-dups-found", shDup == 500,
+      s"500 replayed docs → $shDup store simhash dups")
 
     spark.stop()
     if (failed) sys.exit(1)

@@ -195,7 +195,12 @@ object WidthBench {
       "semantic_prune"      -> ((_, _, e) => Similarity.semanticPruneFixed(e)),
       "embedding_pca"       -> ((_, _, e) => Similarity.embeddingPca(e)),
       "knn_ann_ivf"         -> ((_, _, e) => Similarity.ivfTopK(e)),
-      "knn_ivfpq"           -> ((_, _, e) => Similarity.ivfPqTopK(e)))
+      "knn_ivfpq"           -> ((_, _, e) => Similarity.ivfPqTopK(e)),
+      "heavy_hitters"       -> ((d, _, _) => TextAnalysis.heavyHitterTokens(d)),
+      "profile_mad_outliers" -> ((_, r, _) =>
+        Profile.madOutliers(Tables(spark, r).events, "event_type", "value")),
+      "mmr_topk"            -> ((_, _, e) => Similarity.mmrTopK(e)),
+      "knn_sq8"             -> ((_, _, e) => Similarity.sq8TopK(e)))
     val opNames = opDefs.map(_._1)
 
     final case class Cell(secs: Double, exchanges: Int, rows: Long)

@@ -149,6 +149,46 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/sets").count() == 3, "replay grew the store")
   }
 
+  test("streaming simhash: near-dups recognized across micro-batches from signatures alone") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("psshstore"), tmp("psshout"), tmp("psshckpt"))
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val page = words("a", 20)
+    val other = words("b", 15)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = PipelineStream.dedupSimhash(
+      ms.toDF().toDF("doc_id", "text"), store, out, ckpt)
+    try {
+      ms.addData((1L, page), (2L, other))
+      q.processAllAvailable()
+      // Batch 1: 10 repeats HISTORICAL 1 verbatim (hamming 0 — decided
+      // from the stored 64-bit signature, text never re-read); 11 novel.
+      ms.addData((10L, page), (11L, words("c", 18)))
+      q.processAllAvailable()
+      // Batch 2: 20 repeats 11 — the store grew mid-stream.
+      ms.addData((20L, words("c", 18)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_duplicate"),
+          Option(r.getAs[Any]("dup_of")).map(_.toString)))).toMap
+    assert(rows.size == 5, rows.toString)
+    assert(rows(1L) == ((false, None)) && rows(2L) == ((false, None)))
+    assert(rows(10L) == ((true, Some("1"))), s"cross-batch simhash: ${rows(10L)}")
+    assert(rows(11L) == ((false, None)))
+    assert(rows(20L) == ((true, Some("11"))), s"mid-stream store growth: ${rows(20L)}")
+
+    // Keepers-only growth: 3 keepers × 4 chunk rows.
+    val kept = spark.read.parquet(store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 11L), kept.toString)
+    assert(spark.read.parquet(store).count() == 12)
+  }
+
   test("streaming decontamination screens each micro-batch against the eval store") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
