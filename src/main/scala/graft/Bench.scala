@@ -183,6 +183,17 @@ object Bench {
         // rows); a shuffled join means the corpus repartitions per pass.
         if (name == "profile_mad_outliers" && !plan.contains("BroadcastHashJoin"))
           violations += s"$name:medians-not-broadcast"
+        // MaxSim ranking is the bounded TopK partial aggregation over
+        // map-side-combined max/sum reductions; a Window means the
+        // per-query candidate sort came back.
+        if (name == "late_interaction" &&
+            (plan.contains("Window") || !plan.contains("ObjectHashAggregate")))
+          violations += s"$name:ranking-regressed-to-window"
+        // The bottom-k sketch must be a bounded TakeOrdered heap — a
+        // global Sort means the whole distinct hash universe sorts.
+        if (name == "source_overlap_matrix" &&
+            !fullPlan.contains("TakeOrderedAndProject"))
+          violations += s"$name:bottom-k-not-heap-bounded"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }
     graft.Materialize.stopPlanRecording()

@@ -940,6 +940,50 @@ object Dedup {
     annotated.orderBy("doc_id")
   }
 
+  /** Pairwise source-overlap matrix from ONE bottom-k hash sketch — the
+    * corpus-curation companion to [[corpusOverlapKmv]]'s two-corpus
+    * estimate: which ingest sources (mirrors, scrapes, re-crawls) are
+    * near-copies of each other, per source PAIR, without |sources|²
+    * corpus passes. The global bottom-k of the distinct shingle-hash
+    * universe is a uniform sample of the shingle space (hash order is
+    * random, the KMV argument); restricted to a pair's members,
+    * |both| / |either| is the standard Jaccard estimator — and because
+    * the sample is fixed by the hash, the whole matrix is
+    * DETERMINISTIC and hash-matches its DuckDB twin.
+    *
+    * Scale: one distinct over (source, shingle-hash) — hash-before-
+    * shuffle, the only corpus-sized stage; the bottom-k is a bounded
+    * TakeOrdered heap; everything after operates on ≤ k·|sources| rows
+    * (the per-pair joins never touch the corpus). */
+  def sourceOverlapMatrix(docs: DataFrame, k: Int = 1024): DataFrame = {
+    import graft.functions.PortableHash
+    val hashed = graft.Materialize(spread(docs)
+      .select(col("source"), explode(shingles(3)).as("s"))
+      .select(col("source").as("src"), PortableHash.hash64(col("s")).as("h"))
+      .distinct())
+    val bottomH = hashed.select("h").distinct().orderBy("h").limit(k)
+    val mem = graft.Materialize(hashed.join(broadcast(bottomH), Seq("h")))
+    val perSrc = mem.groupBy("src").agg(count(lit(1)).as("cnt"))
+    val both = mem.as("a").join(mem.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val pairs = perSrc.as("x").join(broadcast(perSrc.as("y")),
+        col("x.src") < col("y.src"))
+      .select(col("x.src").as("src_a"), col("y.src").as("src_b"),
+        col("x.cnt").as("cnt_a"), col("y.cnt").as("cnt_b"))
+    // Materialized (≤ |sources|² rows) so the inputs can release eagerly.
+    val out = graft.Materialize(pairs.join(both, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_both"))
+      .select(col("src_a"), col("src_b"), col("cnt_a"), col("cnt_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("cnt_a") + col("cnt_b") - col("n_both")), 6).as("est_jaccard")))
+    graft.Materialize.release(hashed)
+    graft.Materialize.release(mem)
+    out.orderBy("src_a", "src_b")
+  }
+
   private val SimSpec = graft.sinks.BucketedStore.Spec(
     "chunk INT, ch INT, doc_id BIGINT, simhash BIGINT", "ch", 32)
 
@@ -1131,6 +1175,7 @@ object Dedup {
     }),
     "dedup_keep_best"      -> ((s, d) => keepBest(Tables(s, d).documents)),
     "corpus_overlap_kmv"   -> ((s, d) => corpusOverlapKmv(Tables(s, d).documents)),
+    "source_overlap_matrix" -> ((s, d) => sourceOverlapMatrix(Tables(s, d).documents)),
     "dedup_minhash_lsh"    -> ((s, d) => minhashDedup(Tables(s, d).documents)),
     "dedup_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "dedup_containment"    -> ((s, d) => containmentPairs(Tables(s, d).documents)),
@@ -1192,6 +1237,32 @@ object Dedup {
          |  FROM documents)
          |SELECT doc_id, h, CAST(n_chars AS DOUBLE) AS score, group_size
          |FROM g WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    // One global bottom-k sketch, per-pair both/either counts — all
+    // integers until the final rounded divide; same signed hash order.
+    "source_overlap_matrix" -> {
+      import graft.functions.PortableHash.{duckSigned, duckUnsigned}
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t, text FROM documents),
+         |shf AS (SELECT source, CASE WHEN len(t) >= 3
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |       i -> array_to_string(t[i:i+2], ' ')))
+         |  ELSE [text] END AS sh FROM toks),
+         |ex AS (SELECT DISTINCT source, unnest(sh) AS s FROM shf),
+         |hs AS (SELECT DISTINCT source AS src, ${duckSigned(duckUnsigned("s"))} AS h FROM ex),
+         |bk AS (SELECT h FROM (SELECT DISTINCT h FROM hs) ORDER BY h LIMIT 1024),
+         |mem AS (SELECT hs.src, hs.h FROM hs JOIN bk USING (h)),
+         |per AS (SELECT src, COUNT(*) AS cnt FROM mem GROUP BY src),
+         |bo AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_both
+         |  FROM mem a JOIN mem b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2),
+         |pairs AS (SELECT x.src AS src_a, y.src AS src_b,
+         |    x.cnt AS cnt_a, y.cnt AS cnt_b
+         |  FROM per x JOIN per y ON x.src < y.src)
+         |SELECT p.src_a, p.src_b, p.cnt_a, p.cnt_b,
+         |  COALESCE(b.n_both, 0) AS n_both,
+         |  ROUND(COALESCE(b.n_both, 0) /
+         |    CAST(p.cnt_a + p.cnt_b - COALESCE(b.n_both, 0) AS DOUBLE), 6) AS est_jaccard
+         |FROM pairs p LEFT JOIN bo b USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin
+    },
     // Same portable hash, same signed ordering, same k-smallest-of-union
     // sketch — the estimate is deterministic given the hash, so it
     // hash-matches exactly.

@@ -316,6 +316,74 @@ object Retrieval {
       .orderBy("q_id", "rk")
   }
 
+  /** dim-8 hash-derived token pseudo-embedding as a SQL fragment:
+    * e_j(t) = pmod(hash64('li' ⊕ j ⊕ ':' ⊕ t), 16) − 8 ∈ [−8, 8). Small
+    * exact integers, so every dot product / max / sum downstream is
+    * exact-integer and the whole late-interaction pipeline hash-matches
+    * its DuckDB twin (the q93/q94 portable-hash convention). Real
+    * deployments swap this for a learned token-embedding table — the
+    * operator below takes ANY (token-row, embedding) frames. */
+  private def liEmbSql(tok: String): String =
+    "transform(sequence(0, 7), j -> pmod(" +
+      graft.functions.PortableHash.sqlFragment(
+        s"concat('li', CAST(j AS STRING), ':', $tok)") + ", 16) - 8)"
+
+  /** ColBERT-style late-interaction MaxSim scoring (Khattab & Zaharia,
+    * SIGIR 2020): score(q, d) = Σ_{query tokens} max_{doc tokens}
+    * ⟨e(qt), e(dt)⟩ — the retrieval tier between bag-of-words BM25
+    * (no token identity beyond equality) and single-vector cosine (one
+    * pooled point per doc): every query token finds its best-matching
+    * doc token, so multi-aspect queries score docs that cover EACH
+    * aspect, not docs that average well.
+    *
+    * Inputs: `docTokEmb` (doc_id, emb) one row per doc token,
+    * `qTokEmb` (query_id, qpos, qemb) one row per query token position.
+    * Plan shape (the bm25 contract): the tiny query-token table is
+    * BROADCAST against one pass over the corpus token rows — the
+    * per-pair dot is a per-row HOF fold, and both reductions (max per
+    * (query, qpos, doc), sum per (query, doc)) are map-side-combined
+    * hash aggregates; ranking is the bounded TopK partial aggregation.
+    * Shuffle is bounded by |docs touched| × |query tokens| — never the
+    * raw token stream. */
+  def maxSimTopK(docTokEmb: DataFrame, qTokEmb: DataFrame,
+      k: Int = 10): DataFrame = {
+    val dots = docTokEmb.crossJoin(broadcast(qTokEmb))
+      .select(col("query_id"), col("qpos"), col("doc_id"),
+        expr("""aggregate(zip_with(emb, qemb, (a, b) -> a * b),
+               |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+          .as("dot"))
+    val mx = dots.groupBy("query_id", "qpos", "doc_id")
+      .agg(max("dot").as("mx"))
+    val scored = mx.groupBy("query_id", "doc_id")
+      .agg(sum("mx").as("maxsim"))
+    graft.functions.TopK
+      .perGroupRanked(scored, "query_id", "maxsim", "doc_id", "rk", k,
+        ascending = false)
+      .select(col("query_id"), col("doc_id"),
+        col("maxsim").cast("long").as("maxsim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** The registered late-interaction entry: distinct doc tokens (max
+    * over duplicate tokens is the token's own dot — duplicates add
+    * nothing) and [[defaultQueries]], both embedded by the
+    * hash-derived pseudo-embedding so the pipeline is exact-integer
+    * end to end. */
+  def lateInteraction(docs: DataFrame,
+      queries: Seq[(Long, String)] = defaultQueries, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .select(col("doc_id"), expr(liEmbSql("tok")).as("emb"))
+    val qt = queries.flatMap { case (qid, text) =>
+      text.split(" ").zipWithIndex.map { case (t, i) => (qid, i.toLong, t) }
+    }.toDF("query_id", "qpos", "tok")
+      .select(col("query_id"), col("qpos"), expr(liEmbSql("tok")).as("qemb"))
+    maxSimTopK(dt, qt, k)
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "q96_sparse_cosine" -> ((s, d) => sparseCosineTopK(Tables(s, d).documents)),
     "q82_bm25" -> ((s, d) => bm25(Tables(s, d).documents)),
@@ -324,6 +392,7 @@ object Retrieval {
     "bm25_index_topk" -> ((s, d) => bm25IndexTopK(s, bm25IndexFor(s, d))),
     "q83_hybrid_rrf" -> ((s, d) =>
       hybridRrf(Tables(s, d).documents, Tables(s, d).embeddings)),
+    "late_interaction" -> ((s, d) => lateInteraction(Tables(s, d).documents)),
   )
 
   // Same expression shape term by term: Lucene idf, tf saturation with
@@ -356,6 +425,40 @@ object Retrieval {
          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
 
   def oracle: Map[String, String] = Map(
+    // Exact-integer replay of the whole MaxSim pipeline: the SAME
+    // hash-derived dim-8 token embeddings (unsigned %16 ≡ signed pmod at
+    // the power-of-two width — the q94 argument), per-(query-token, doc)
+    // max of integer dots, per-(query, doc) sum, ranked with doc_id
+    // tiebreak. The oracle embeds the distinct VOCAB once and joins;
+    // the engine embeds per token row — same values by determinism.
+    "late_interaction" -> {
+      import graft.functions.PortableHash.duckUnsigned
+      val qVals = defaultQueries.flatMap { case (qid, text) =>
+        text.split(" ").zipWithIndex.map { case (t, i) => s"($qid, $i, '$t')" }
+      }.mkString(", ")
+      def emb(tok: String) =
+        s"list_transform(range(8), j -> CAST(" +
+          duckUnsigned(s"concat('li', CAST(j AS VARCHAR), ':', $tok)") +
+          " % 16 AS BIGINT) - 8)"
+      s"""WITH q(query_id, qpos, tok) AS (VALUES $qVals),
+         |dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |de AS (SELECT tok, ${emb("tok")} AS emb
+         |  FROM (SELECT DISTINCT tok FROM dt)),
+         |qe AS (SELECT query_id, qpos, ${emb("tok")} AS qemb FROM q),
+         |dots AS (SELECT qe.query_id, qe.qpos, dt.doc_id,
+         |    CAST(list_sum(list_transform(range(8),
+         |      j -> qe.qemb[j + 1] * de.emb[j + 1])) AS BIGINT) AS dot
+         |  FROM dt JOIN de USING (tok) CROSS JOIN qe),
+         |mx AS (SELECT query_id, qpos, doc_id, MAX(dot) AS mx
+         |  FROM dots GROUP BY query_id, qpos, doc_id),
+         |sc AS (SELECT query_id, doc_id, CAST(SUM(mx) AS BIGINT) AS maxsim
+         |  FROM mx GROUP BY query_id, doc_id)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, maxsim, rk FROM (
+         |  SELECT query_id, doc_id, maxsim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rk FROM sc) z
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    },
     // The q93 feature table (4-dp-rounded weights — the Spark side reads
     // the SAME rounded features), inverted-index pair join, cosine
     // rounded before ROW_NUMBER ranking with doc_id tiebreak.

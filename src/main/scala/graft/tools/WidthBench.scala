@@ -197,6 +197,8 @@ object WidthBench {
       "knn_ann_ivf"         -> ((_, _, e) => Similarity.ivfTopK(e)),
       "knn_ivfpq"           -> ((_, _, e) => Similarity.ivfPqTopK(e)),
       "heavy_hitters"       -> ((d, _, _) => TextAnalysis.heavyHitterTokens(d)),
+      "late_interaction"    -> ((d, _, _) => Retrieval.lateInteraction(d)),
+      "source_overlap_matrix" -> ((d, _, _) => Dedup.sourceOverlapMatrix(d)),
       "profile_mad_outliers" -> ((_, r, _) =>
         Profile.madOutliers(Tables(spark, r).events, "event_type", "value")),
       "mmr_topk"            -> ((_, _, e) => Similarity.mmrTopK(e)),

@@ -2258,6 +2258,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 12, "replay appends nothing")
   }
 
+  test("source overlap matrix: mirrors read ~1, disjoint sources read 0") {
+    import spark.implicits._
+    def words(tag: String, n: Int, off: Int = 0) =
+      (off until off + n).map(i => s"$tag$i").mkString(" ")
+    // mirror_b re-hosts mirror_a's docs verbatim; half_c shares half of
+    // mirror_a's pages; other_d is disjoint.
+    val pages = (0 until 8).map(i => words(s"p${i}_", 12))
+    val rows =
+      pages.zipWithIndex.map { case (t, i) => (100L + i, t, "mirror_a") } ++
+      pages.zipWithIndex.map { case (t, i) => (200L + i, t, "mirror_b") } ++
+      (pages.take(4).zipWithIndex.map { case (t, i) => (300L + i, t, "half_c") } ++
+        (0 until 4).map(i => (310L + i, words(s"c${i}_", 12), "half_c"))) ++
+      (0 until 8).map(i => (400L + i, words(s"d${i}_", 12), "other_d"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlapMatrix(df, k = 4096).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(m(("mirror_a", "mirror_b")) == 1.0, s"verbatim mirror: $m")
+    assert(m(("half_c", "mirror_a")) > 0.3 && m(("half_c", "mirror_a")) < 0.7,
+      s"half overlap: ${m(("half_c", "mirror_a"))}")
+    assert(m(("mirror_a", "other_d")) == 0.0, s"disjoint: $m")
+    assert(m.size == 6, "all 4-choose-2 pairs reported")
+  }
+
+  test("maxsim late interaction: every query aspect must find its own best doc token") {
+    import spark.implicits._
+    // Query 0 has two aspect tokens e=[4,0] and e=[0,4]. Doc 1 covers
+    // BOTH aspects (maxsim 16+16); doc 2 repeats one aspect (its best
+    // match for aspect 2 is 0 → 16); doc 3 is mediocre at both ([2,2]:
+    // dot 8 per aspect → 16). Single-vector mean-pooling could NOT
+    // separate 1 from 3 this way (means are parallel); MaxSim must rank
+    // 1 first and break the 2-vs-3 tie by doc_id.
+    val dt = Seq(
+      (1L, Seq(4L, 0L)), (1L, Seq(0L, 4L)),
+      (2L, Seq(4L, 0L)), (2L, Seq(4L, 0L)),
+      (3L, Seq(2L, 2L)), (3L, Seq(2L, 2L))
+    ).toDF("doc_id", "emb")
+    val qt = Seq((0L, 0L, Seq(4L, 0L)), (0L, 1L, Seq(0L, 4L)))
+      .toDF("query_id", "qpos", "qemb")
+    val out = Retrieval.maxSimTopK(dt, qt, k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 32L, 1L), (2L, 16L, 2L), (3L, 16L, 3L)),
+      out.toSeq.toString)
+  }
+
+  test("late interaction on the corpus: k rows per query, scores non-increasing") {
+    val rows = Retrieval.lateInteraction(docs).collect()
+    assert(rows.map(_.getLong(0)).distinct.sorted.sameElements(Array(0L, 1L, 2L)))
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.length == 10)
+      val s = g.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("incremental simhash agrees with the batch operator on a split corpus") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("incshdual").resolve("store").toString
