@@ -53,6 +53,36 @@ object TextAnalysis {
     graft.functions.HeavyHitters.topTokens(
       docs.select(explode(tokens).as("tok")), "tok", topK, capacity)
 
+  /** Per-source vocabulary-coverage / OOV report — the tokenizer-fit
+    * signal corpus curation runs before training: a source whose tokens
+    * fall outside the working vocabulary (scrapes in unexpected
+    * scripts, boilerplate-stripped fragments, OCR noise) inflates
+    * sequence lengths under BPE fallback and drags quality. Reports per
+    * source: total tokens, OOV token count and rate against the global
+    * top-`topN` vocabulary, and distinct OOV types.
+    *
+    * Scale: one token pass; the vocabulary is a bounded
+    * TakeOrderedAndProject (count desc, token asc — deterministic) and
+    * rides back as a broadcast; the per-source report is one
+    * map-side-combined aggregate (the distinct-OOV-types count adds the
+    * standard partial-distinct expand, keyed by source — bounded by
+    * per-source vocabulary). */
+  def vocabCoverage(docs: DataFrame, topN: Int = 16): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok")).limit(topN)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("tok"))).as("n_oov_types"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"),
+        col("n_oov_types"))
+      .orderBy("source")
+  }
+
   /** Language ID trained in-engine: an add-one-smoothed multinomial
     * naive-Bayes over the token stream. Profile = per-(lang, token) log
     * P(token|lang) plus a log-prior per language; predicted language
@@ -932,6 +962,7 @@ object TextAnalysis {
     // Misra–Gries sketch in its exact regime (capacity ≥ vocab): the
     // oracle is the plain groupBy-count twin the sketch must equal.
     "heavy_hitters"    -> ((s, d) => heavyHitterTokens(Tables(s, d).documents)),
+    "vocab_coverage"   -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
     "langid_ngram"     -> ((s, d) => languageId(Tables(s, d).documents)),
     "q38_token_counts" -> ((s, d) => tokenCounts(Tables(s, d).documents)),
     "doc_fingerprint"  -> ((s, d) => fingerprint(Tables(s, d).documents)),
@@ -947,6 +978,20 @@ object TextAnalysis {
       ("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          |SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
          |ORDER BY cnt DESC, tok LIMIT 10""".stripMargin),
+    // Deterministic top-16 vocabulary (count desc, token asc), per-source
+    // OOV accounting — all integers until the one rounded divide.
+    "vocab_coverage" ->
+      ("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM toks
+         |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 16)),
+         |j AS (SELECT t.source, t.tok, (v.tok IS NOT NULL) AS iv
+         |  FROM toks t LEFT JOIN v ON t.tok = v.tok)
+         |SELECT source, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  ROUND(CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate,
+         |  CAST(COUNT(DISTINCT CASE WHEN NOT iv THEN tok END) AS BIGINT) AS n_oov_types
+         |FROM j GROUP BY source ORDER BY source""".stripMargin),
     // DuckDB's utf8proc NFC and the JVM's java.text.Normalizer implement
     // the same standard-defined canonical composition.
     "text_nfc" ->

@@ -198,6 +198,10 @@ object WidthBench {
       "knn_ivfpq"           -> ((_, _, e) => Similarity.ivfPqTopK(e)),
       "heavy_hitters"       -> ((d, _, _) => TextAnalysis.heavyHitterTokens(d)),
       "late_interaction"    -> ((d, _, _) => Retrieval.lateInteraction(d)),
+      "vocab_coverage"      -> ((d, _, _) => TextAnalysis.vocabCoverage(d)),
+      "audio_spectral"      -> ((d, _, _) =>
+        graft.pipeline.Multimodal.audioSpectral(
+          graft.pipeline.Multimodal.attachPayloads(d))),
       "source_overlap_matrix" -> ((d, _, _) => Dedup.sourceOverlapMatrix(d)),
       "profile_mad_outliers" -> ((_, r, _) =>
         Profile.madOutliers(Tables(spark, r).events, "event_type", "value")),

@@ -2258,6 +2258,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 12, "replay appends nothing")
   }
 
+  test("audio spectral: Goertzel detector recovers each synthesized tone exactly") {
+    val out = Multimodal.audioSpectral(Multimodal.attachPayloads(docs)).collect()
+    assert(out.length == docs.filter(col("doc_id") % 3 === 1).count())
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("decode_error") == null, s"doc $id decode error")
+      // The synthesizer writes a pure sine at 200 + (id % 17)·50 Hz with
+      // integer cycles per window — the detector must land on that band
+      // EXACTLY (zero leakage), a real spectral measurement.
+      assert(r.getAs[Double]("dominant_hz") == 200.0 + (id % 17) * 50.0,
+        s"doc $id: ${r.getAs[Double]("dominant_hz")}")
+      val bp = r.getAs[scala.collection.Seq[Float]]("band_power")
+      assert(bp.count(_ > bp.max / 10) == 1,
+        s"doc $id: tone energy concentrated in one band")
+    }
+  }
+
+  test("vocab coverage: an OOV-heavy source is exposed by its rate") {
+    import spark.implicits._
+    // Vocabulary (top-4) is exactly the clean source's four repeated
+    // tokens; the noisy source is half in-vocab, half unique junk
+    // tokens whose count-1 rows can never displace them.
+    val clean = (0 until 12).map(i =>
+      (i.toLong, (0 until 8).map(j => s"w${j % 4}").mkString(" "), "clean"))
+    val noisy = (100 until 106).map(i =>
+      (i.toLong, s"w0 w1 junk${i}a junk${i}b", "noisy"))
+    val out = TextAnalysis.vocabCoverage((clean ++ noisy).toDF("doc_id", "text", "source"),
+      topN = 4).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("clean").getDouble(3) == 0.0, s"clean source fully covered: ${out("clean")}")
+    assert(out("noisy").getLong(2) == 12L && out("noisy").getDouble(3) == 0.5,
+      s"half of noisy tokens OOV: ${out("noisy")}")
+    assert(out("noisy").getLong(4) == 12L, "each junk token is its own OOV type")
+  }
+
   test("source overlap matrix: mirrors read ~1, disjoint sources read 0") {
     import spark.implicits._
     def words(tag: String, n: Int, off: Int = 0) =
