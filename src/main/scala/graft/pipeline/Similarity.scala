@@ -831,8 +831,15 @@ object Similarity {
     val qIds = q.select("query_id").collect().map(_.getLong(0)).toSeq
     val codes = spark.read.parquet(s"$indexDir/codes")
       .filter(col("cell").isin(probed: _*))
-    ivfPqSearch(cents, cb, codes, q, m, sub, nProbe, k,
-      if (qIds.isEmpty) lit(true) else !col("vec_id").isin(qIds: _*))
+    // Materialize the tiny (|queries|·k) result so the query-frame
+    // materialization can release eagerly — a long-running serving
+    // stream ([[graft.streaming.PipelineStream.searchAnn]]) would
+    // otherwise pin one query-frame checkpoint per micro-batch.
+    val res = graft.Materialize(
+      ivfPqSearch(cents, cb, codes, q, m, sub, nProbe, k,
+        if (qIds.isEmpty) lit(true) else !col("vec_id").isin(qIds: _*)))
+    graft.Materialize.release(q)
+    res
   }
 
   /** Product-quantization codebook: `m` subspaces × `k` centroids each,

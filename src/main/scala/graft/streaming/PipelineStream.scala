@@ -94,6 +94,20 @@ object PipelineStream {
     incremental(docs, outDir, checkpoint)(
       graft.pipeline.Dedup.incrementalContainment(_, storeDir))
 
+  /** Streaming ANN serving: each micro-batch of query vectors
+    * (vec_id, embedding) searches the PERSISTENT IVF-PQ index
+    * ([[graft.pipeline.Similarity.ivfPqIndexTopK]] — read-only, no
+    * store mutation), landing ranked (query_id, vec_id, adc_dist, …)
+    * results per batch. The query side of retrieval serving: the index
+    * is the partition-pruned disk layout, so each batch touches
+    * ~nProbe/nList of the codes table and NEVER the raw vectors; batch
+    * results materialize tiny (|queries|·k rows) and release with the
+    * batch. */
+  def searchAnn(queries: DataFrame, indexDir: String, outDir: String,
+      checkpoint: String, k: Int = 10): StreamingQuery =
+    incremental(queries, outDir, checkpoint)(
+      graft.pipeline.Similarity.ivfPqIndexTopK(indexDir, _, k))
+
   /** Streaming SimHash near-dup: every micro-batch of (doc_id, text)
     * probes — and grows — the persistent 4-band chunk store
     * ([[graft.pipeline.Dedup.incrementalSimhash]]); the

@@ -149,6 +149,42 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/sets").count() == 3, "replay grew the store")
   }
 
+  test("streaming ANN serving: per-batch index search equals the batch call") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.Tables(spark, SparkTestSession.sf0001).embeddings
+    val (idx, out, ckpt) = (tmp("psannidx"), tmp("psannout"), tmp("psannckpt"))
+    graft.pipeline.Similarity.buildIvfPqIndex(emb, idx)
+
+    def queriesOf(ids: Seq[Long]) = emb.filter(col("vec_id").isin(ids: _*))
+      .select("vec_id", "embedding")
+    val ms = MemoryStream[Long]
+    val q = PipelineStream.searchAnn(
+      // The stream carries query ids; each batch joins its vectors from
+      // the (static) embedding table — the serving shape where queries
+      // arrive as a stream against a fixed corpus index.
+      ms.toDF().toDF("qid").join(emb, col("qid") === col("vec_id"))
+        .select("vec_id", "embedding"),
+      idx, out, ckpt)
+    try {
+      ms.addData(3L, 4L)
+      q.processAllAvailable()
+      ms.addData(5L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("query_id", "vec_id", "adc_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = (graft.pipeline.Similarity
+      .ivfPqIndexTopK(idx, queriesOf(Seq(3L, 4L))).collect() ++
+      graft.pipeline.Similarity
+        .ivfPqIndexTopK(idx, queriesOf(Seq(5L))).collect())
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.map(_._1) == Set(3L, 4L, 5L))
+  }
+
   test("streaming simhash: near-dups recognized across micro-batches from signatures alone") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
