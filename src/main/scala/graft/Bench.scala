@@ -194,6 +194,11 @@ object Bench {
         if (name == "source_overlap_matrix" &&
             !fullPlan.contains("TakeOrderedAndProject"))
           violations += s"$name:bottom-k-not-heap-bounded"
+        // Bucket thresholds and the boundary block-prefix table ride
+        // broadcast; a shuffled join means corpus rows repartition for
+        // the selection gates.
+        if (name == "nucleus_select" && !plan.contains("BroadcastHashJoin"))
+          violations += s"$name:selection-gates-not-broadcast"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }
     graft.Materialize.stopPlanRecording()

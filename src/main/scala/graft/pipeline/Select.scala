@@ -283,6 +283,59 @@ object Select {
         col("n_chars").cast("long").as("n_chars"), col("rk"))
       .orderBy("source", "rk")
 
+  /** Quality-mass "nucleus" corpus selection — keep the best documents
+    * that together carry `massFrac` of the corpus's total quality mass
+    * (the top-p rule applied to corpus curation: a budget expressed in
+    * QUALITY units, not row counts, so one brilliant long document
+    * displaces many mediocre ones). A document d, in (score desc,
+    * doc_id asc) order, is selected iff the mass strictly before it is
+    * < massFrac·total — the definition both engines evaluate
+    * identically (integer cumulative mass vs one double product).
+    *
+    * Scale shape — NO global sort of the corpus: scores aggregate into
+    * a per-value bucket table (bounded by the score domain — the
+    * negsample vocabulary-window argument), the cumulative mass runs
+    * over THAT table, whole buckets below the target select by a
+    * broadcast threshold join, and only the single BOUNDARY bucket
+    * needs within-bucket ranking — done by the q65 two-level shape
+    * (per-4096-id block counts, exclusive running count over the tiny
+    * block table, per-block row_number bounded at 4096 rows) — never a
+    * corpus-wide or bucket-wide single-reducer sort. */
+  def nucleusSelect(docs: DataFrame, massFrac: Double = 0.6,
+      scoreCol: String = "n_chars"): DataFrame = {
+    val scored = docs.select(col("doc_id"), col(scoreCol).cast("long").as("score"))
+    val buckets = scored.groupBy("score")
+      .agg(count(lit(1)).as("n"), sum("score").as("mass"))
+    val w = Window.orderBy(desc("score")).rowsBetween(Long.MinValue, -1)
+    val cum = buckets
+      .withColumn("cum_before", coalesce(sum("mass").over(w), lit(0L)))
+      .crossJoin(broadcast(scored.agg(sum("score").as("total"))))
+      .withColumn("target", lit(massFrac) * col("total"))
+    // Whole buckets whose LAST doc still starts below the target.
+    val full = cum.filter(col("cum_before") + (col("n") - 1) * col("score") < col("target"))
+      .select("score")
+    // The boundary bucket: starts below the target but does not fit.
+    val boundary = cum
+      .filter(col("cum_before") < col("target") &&
+        col("cum_before") + (col("n") - 1) * col("score") >= col("target"))
+      .select(col("score"),
+        ceil((col("target") - col("cum_before")) / col("score")).cast("long")
+          .as("k_extra"))
+    val fullRows = scored.join(broadcast(full), Seq("score"))
+    val bRows = scored.join(broadcast(boundary), Seq("score"))
+      .withColumn("blk", shiftright(col("doc_id"), 12))
+    val blkCounts = bRows.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .withColumn("blk_before", coalesce(sum("bn").over(
+        Window.orderBy("blk").rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val bSel = bRows
+      .join(broadcast(blkCounts.select("blk", "blk_before")), Seq("blk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("blk").orderBy("doc_id")))
+      .filter(col("blk_before") + col("rn") <= col("k_extra"))
+      .select("doc_id", "score")
+    fullRows.select("doc_id", "score").unionByName(bSel).orderBy("doc_id")
+  }
+
   /** Exactly-k uniform sample per stratum, deterministically: rank each
     * source's documents by md5(doc_id) and keep the first k. Unlike
     * [[stratifiedSample]] (Bernoulli — expected rate, variable count)
@@ -730,6 +783,7 @@ object Select {
     "q60_quota_topk"    -> ((s, d) => quotaTopK(Tables(s, d).documents)),
     "q61_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),
     "q68_strata_exact_k" -> ((s, d) => strataExactK(Tables(s, d).documents)),
+    "nucleus_select"    -> ((s, d) => nucleusSelect(Tables(s, d).documents)),
     "q62_pack_sequences" -> ((s, d) => packSequences(Tables(s, d).documents)),
     "q63_chunk_docs"    -> ((s, d) => chunkDocs(Tables(s, d).documents)),
     "q71_temperature_sample" -> ((s, d) => temperatureSample(Tables(s, d).documents)),
@@ -802,6 +856,19 @@ object Select {
          |  ROUND(COALESCE(sc.llr, 0.0), 4) > 0 AS target_like
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
+    // The oracle may sort globally (oracle may window; the operator may
+    // not): selected iff the cumulative mass strictly BEFORE the doc in
+    // (score desc, doc_id asc) order is under massFrac·total — integer
+    // cumulative vs one double product, identical in both engines.
+    "nucleus_select" ->
+      ("""WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score FROM documents),
+         |r AS (SELECT doc_id, score,
+         |    SUM(score) OVER (ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - score AS cum_before,
+         |    SUM(score) OVER () AS total
+         |  FROM s)
+         |SELECT doc_id, score FROM r
+         |WHERE cum_before < 0.6 * total ORDER BY doc_id""".stripMargin),
     "q68_strata_exact_k" ->
       ("""SELECT doc_id, source, rk FROM (
          |  SELECT doc_id, source,

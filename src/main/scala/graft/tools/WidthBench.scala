@@ -148,6 +148,7 @@ object WidthBench {
       "dedup_keep_best"     -> ((d, _, _) => Dedup.keepBest(d)),
       "corpus_overlap_kmv"  -> ((d, _, _) => Dedup.corpusOverlapKmv(d)),
       "q85_split_tvt"       -> ((d, _, _) => Select.splitTrainValTest(d)),
+      "nucleus_select"      -> ((d, _, _) => Select.nucleusSelect(d)),
       "q86_length_buckets"  -> ((d, _, _) => Select.lengthBuckets(d)),
       "profile_drift"       -> ((d, _, _) => Profile.distributionDrift(
         d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 =!= 1), "source")),

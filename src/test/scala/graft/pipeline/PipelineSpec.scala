@@ -2258,6 +2258,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 12, "replay appends nothing")
   }
 
+  test("nucleus select: boundary bucket takes exactly the docs that start under target") {
+    import spark.implicits._
+    // total 40; target 0.6·40 = 24. Order (score desc, id): cum_before
+    // 0, 10, 20, 30, 35 → selected 1, 2, 3 (the whole 10-bucket is the
+    // boundary: k_extra = ceil(24/10) = 3).
+    val d = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 5L), (5L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got = Select.nucleusSelect(d).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L), got.toString)
+    // Target mid-bucket: 0.5·40 = 20 → cum_before < 20 keeps ids 1, 2.
+    val half = Select.nucleusSelect(d, massFrac = 0.5).collect()
+      .map(_.getLong(0)).toSet
+    assert(half == Set(1L, 2L), half.toString)
+  }
+
+  test("nucleus select equals the sorted-prefix reference on the corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val ref = docs
+      .select(col("doc_id"), col("n_chars").cast("long").as("score"))
+      .withColumn("cum_before",
+        coalesce(sum("score").over(Window.orderBy(desc("score"), asc("doc_id"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .crossJoin(broadcast(docs.agg(sum("n_chars").cast("long").as("total"))))
+      .filter(col("cum_before") < lit(0.6) * col("total"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Select.nucleusSelect(docs).collect().map(_.getLong(0)).toSet
+    assert(got == ref, s"got ${got.size} ref ${ref.size}")
+  }
+
   test("audio spectral: Goertzel detector recovers each synthesized tone exactly") {
     val out = Multimodal.audioSpectral(Multimodal.attachPayloads(docs)).collect()
     assert(out.length == docs.filter(col("doc_id") % 3 === 1).count())
