@@ -102,4 +102,39 @@ object HeavyHitters {
       .orderBy(desc("cnt"), asc("tok"))
       .limit(k)
   }
+
+  /** Merge an increment's MG sketch into a PERSISTENT sketch store —
+    * the daily-increment form of [[topTokens]] (what's trending across
+    * the whole crawl history, without ever re-reading it): the store is
+    * the ≤ `capacity`-row summary parquet, the increment reduces to its
+    * own ≤ capacity summary (the only corpus-sized work), and the two
+    * merge DRIVER-SIDE by the same mergeable-summaries rule the
+    * in-engine combine uses — O(capacity) rows moved, O(capacity)
+    * driver work (the quality_classifier O(model) convention), then an
+    * atomic overwrite of the tiny store. Because MG merge is
+    * associative with the shared error bound, the stored summary after
+    * N increments is a valid capacity-sketch OF THE WHOLE HISTORY —
+    * exact when capacity ≥ the historical vocabulary (spec-pinned).
+    * Crash semantics: the overwrite is not transactional and a replayed
+    * increment double-counts (a sketch is a trend summary, not a
+    * ledger) — callers needing exactly-once counts belong on the exact
+    * aggregate path. Returns the merged summary as (tok, cnt),
+    * best-first. */
+  def updateStore(tokens: DataFrame, tokenCol: String, storeDir: String,
+      capacity: Int = 4096): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val inc = topTokens(tokens, tokenCol, capacity, capacity).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val old: Map[String, Long] =
+      try spark.read.parquet(storeDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      catch { case _: org.apache.spark.sql.AnalysisException => Map.empty }
+    val agg = new MGAgg(capacity)
+    val merged = agg.merge(MGBuf(old), MGBuf(inc)).m
+    merged.toSeq.sortBy { case (t, c) => (-c, t) }
+      .toDF("tok", "cnt").coalesce(1)
+      .write.mode("overwrite").parquet(storeDir)
+    spark.read.parquet(storeDir).orderBy(desc("cnt"), asc("tok"))
+  }
 }

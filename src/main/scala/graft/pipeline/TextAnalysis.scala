@@ -53,6 +53,39 @@ object TextAnalysis {
     graft.functions.HeavyHitters.topTokens(
       docs.select(explode(tokens).as("tok")), "tok", topK, capacity)
 
+  /** Suffix planted into `pii_cards` (the corpus has no card numbers):
+    * one Luhn-VALID test number for doc_id %3==0, one single-digit-off
+    * INVALID twin for %3==1 — built identically in both engines. */
+  private[pipeline] val cardValid = " pay 4111-1111-1111-1111 now"
+  private[pipeline] val cardInvalid = " ref 4111111111111112 x"
+
+  /** Credit-card PII detection with Luhn validation — the step regex
+    * redaction ([[redactPii]]) cannot do: a 16-digit run is usually an
+    * order id or hash fragment, and the Luhn mod-10 checksum is THE
+    * standard discriminator (~90% of random digit runs fail it).
+    * Candidates are 13–19-digit runs allowing space/dash grouping;
+    * each is digit-stripped and checked by the HOF Luhn fold
+    * (double every 2nd digit from the right, subtract 9 above 9, sum
+    * ≡ 0 mod 10). Per doc: candidate count and Luhn-valid count —
+    * one zero-shuffle projection (q51's linear-op contract). */
+  def luhnCards(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val cand = "[0-9](?:[ \\-]?[0-9]){12,18}"
+    docs.select(col("doc_id"),
+        regexp_extract_all(col(textCol), lit(cand), lit(0)).as("cands"))
+      .select(col("doc_id"),
+        size(col("cands")).cast("long").as("n_candidates"),
+        expr("""CAST(size(filter(transform(cands,
+               |    c -> regexp_replace(c, '[^0-9]', '')),
+               |  d -> aggregate(sequence(1, length(d)), CAST(0 AS BIGINT),
+               |    (acc, i) -> acc + CAST(IF(i % 2 = 0,
+               |      IF(CAST(substring(d, -i, 1) AS INT) * 2 > 9,
+               |         CAST(substring(d, -i, 1) AS INT) * 2 - 9,
+               |         CAST(substring(d, -i, 1) AS INT) * 2),
+               |      CAST(substring(d, -i, 1) AS INT)) AS BIGINT)) % 10 = 0))
+               |  AS BIGINT)""".stripMargin).as("n_valid"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source vocabulary-coverage / OOV report — the tokenizer-fit
     * signal corpus curation runs before training: a source whose tokens
     * fall outside the working vocabulary (scrapes in unexpected
@@ -963,6 +996,13 @@ object TextAnalysis {
     // oracle is the plain groupBy-count twin the sketch must equal.
     "heavy_hitters"    -> ((s, d) => heavyHitterTokens(Tables(s, d).documents)),
     "vocab_coverage"   -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
+    // Planted valid/invalid card suffixes (the text_nfc convention);
+    // the Luhn fold must separate them.
+    "pii_cards" -> ((s, d) => luhnCards(Tables(s, d).documents
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(cardValid))
+          .when(col("doc_id") % 3 === 1, lit(cardInvalid))
+          .otherwise(lit("")))))),
     "langid_ngram"     -> ((s, d) => languageId(Tables(s, d).documents)),
     "q38_token_counts" -> ((s, d) => tokenCounts(Tables(s, d).documents)),
     "doc_fingerprint"  -> ((s, d) => fingerprint(Tables(s, d).documents)),
@@ -978,6 +1018,27 @@ object TextAnalysis {
       ("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          |SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
          |ORDER BY cnt DESC, tok LIMIT 10""".stripMargin),
+    // Same planted suffixes, same candidate regex (RE2 ≡ Java here),
+    // same right-indexed Luhn fold — all integer arithmetic.
+    "pii_cards" ->
+      (s"""WITH t AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN '$cardValid'
+         |         WHEN doc_id % 3 = 1 THEN '$cardInvalid'
+         |         ELSE '' END AS text FROM documents),
+         |c AS (SELECT doc_id,
+         |    regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}') AS cands
+         |  FROM t)
+         |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+         |  CAST(len(list_filter(list_transform(cands,
+         |      x -> regexp_replace(x, '[^0-9]', '', 'g')),
+         |    d -> list_sum(list_transform(range(1, length(d) + 1),
+         |      i -> CASE WHEN i % 2 = 0 THEN
+         |        CASE WHEN CAST(substring(d, -i, 1) AS INT) * 2 > 9
+         |          THEN CAST(substring(d, -i, 1) AS INT) * 2 - 9
+         |          ELSE CAST(substring(d, -i, 1) AS INT) * 2 END
+         |        ELSE CAST(substring(d, -i, 1) AS INT) END)) % 10 = 0))
+         |    AS BIGINT) AS n_valid
+         |FROM c ORDER BY doc_id""".stripMargin),
     // Deterministic top-16 vocabulary (count desc, token asc), per-source
     // OOV accounting — all integers until the one rounded divide.
     "vocab_coverage" ->

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, explode, lit, split}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Continuous-ingest bridge between Structured Streaming and the
@@ -93,6 +93,18 @@ object PipelineStream {
       checkpoint: String): StreamingQuery =
     incremental(docs, outDir, checkpoint)(
       graft.pipeline.Dedup.incrementalContainment(_, storeDir))
+
+  /** Streaming heavy hitters: each micro-batch of (doc_id, text) folds
+    * its token MG sketch into the persistent summary store
+    * ([[graft.functions.HeavyHitters.updateStore]]) — the whole-history
+    * trending-vocabulary view at O(capacity) state, however much
+    * history has streamed past. */
+  def heavyHitters(docs: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String, capacity: Int = 4096): StreamingQuery =
+    incremental(docs, outDir, checkpoint)(batch =>
+      graft.functions.HeavyHitters.updateStore(
+        batch.select(explode(split(col("text"), " ")).as("tok")),
+        "tok", storeDir, capacity))
 
   /** Streaming ANN serving: each micro-batch of query vectors
     * (vec_id, embedding) searches the PERSISTENT IVF-PQ index

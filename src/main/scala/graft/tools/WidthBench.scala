@@ -200,6 +200,7 @@ object WidthBench {
       "heavy_hitters"       -> ((d, _, _) => TextAnalysis.heavyHitterTokens(d)),
       "late_interaction"    -> ((d, _, _) => Retrieval.lateInteraction(d)),
       "vocab_coverage"      -> ((d, _, _) => TextAnalysis.vocabCoverage(d)),
+      "pii_cards"           -> ((d, _, _) => TextAnalysis.luhnCards(d)),
       "audio_spectral"      -> ((d, _, _) =>
         graft.pipeline.Multimodal.audioSpectral(
           graft.pipeline.Multimodal.attachPayloads(d))),

@@ -2122,6 +2122,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters store: merged increments equal the one-shot sketch (exact regime)") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("hhstore").resolve("s").toString
+    val day1 = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(5)("c")
+    val day2 = Seq.fill(10)("b") ++ Seq.fill(25)("d") ++ Seq.fill(5)("a")
+    def toks(xs: Seq[String]) = xs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("i", "tok")
+    graft.functions.HeavyHitters.updateStore(toks(day1), "tok", store, capacity = 64)
+    val merged = graft.functions.HeavyHitters
+      .updateStore(toks(day2), "tok", store, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // capacity 64 ≥ 4-key vocabulary → exact union counts.
+    assert(merged.toSeq == Seq(("a", 35L), ("b", 30L), ("d", 25L), ("c", 5L)),
+      merged.toSeq.toString)
+  }
+
+  test("pii cards: Luhn separates the valid test number from its off-by-one twin") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "pay 4111-1111-1111-1111 now"),      // valid (classic test PAN)
+      (2L, "ref 4111111111111112 x"),           // fails Luhn
+      (3L, "order 12345 total 99"),             // no candidate
+      (4L, "two 4111 1111 1111 1111 and 5500-0000-0000-0004 cards") // both valid
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.luhnCards(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 1L)), out(1L).toString)
+    assert(out(2L) == ((1L, 0L)), "16 digits but checksum fails: " + out(2L))
+    assert(out(3L) == ((0L, 0L)), out(3L).toString)
+    assert(out(4L) == ((2L, 2L)), out(4L).toString)
+  }
+
   test("heavy hitters: exact regime is partitioning-invariant") {
     import spark.implicits._
     val rows = (0 until 500).map(i => (i.toLong, s"t${i % 37}"))

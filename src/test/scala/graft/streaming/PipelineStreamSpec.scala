@@ -149,6 +149,25 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/sets").count() == 3, "replay grew the store")
   }
 
+  test("streaming heavy hitters: whole-history summary at O(capacity) state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("pshhstore"), tmp("pshhout"), tmp("pshhckpt"))
+    val ms = MemoryStream[(Long, String)]
+    val q = PipelineStream.heavyHitters(
+      ms.toDF().toDF("doc_id", "text"), store, out, ckpt, capacity = 64)
+    try {
+      ms.addData((1L, "a a a b"), (2L, "b c"))
+      q.processAllAvailable()
+      ms.addData((3L, "d d d d a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sk = spark.read.parquet(store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Exact regime: the store is the exact whole-history count table.
+    assert(sk == Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 4L), sk.toString)
+  }
+
   test("streaming ANN serving: per-batch index search equals the batch call") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
