@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the Luhn mod-10 checksum over the
+  * digits of a string (non-digits ignored), with whole-stage codegen.
+  *
+  * Exists because card-number PII detection runs the checksum on every
+  * digit-run candidate of every document — the inner loop of a
+  * corpus-wide scan. The HOF form
+  * (`aggregate(sequence(1, length(d)), …)` with a per-digit
+  * `substring(d, -i, 1)` parse) allocates a sequence array and an
+  * interpreted lambda frame per candidate; this expression is one tight
+  * byte loop over the UTF8String, stays inside the whole-stage codegen
+  * span, and needs no digit-stripping pre-pass (it skips separators
+  * itself). Returns false for inputs with no digits.
+  *
+  * Semantics (shared by the DuckDB oracle twin written out in
+  * TextAnalysis.oracle): walking digits right-to-left, double every
+  * second digit, subtract 9 when the double exceeds 9, accept when the
+  * sum ≡ 0 (mod 10).
+  */
+case class LuhnCheck(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"luhn_check expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(s: Any): Any =
+    LuhnCheck.check(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.LuhnCheck.check($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LuhnCheck {
+
+  /** The shared interpreted/codegen kernel: one right-to-left pass over
+    * the string's bytes (digits are single UTF-8 bytes, so byte-wise
+    * iteration is exact whatever else the string contains). */
+  def check(s: UTF8String): Boolean = {
+    val bytes = s.getBytes
+    var sum = 0
+    var parity = 0
+    var sawDigit = false
+    var i = bytes.length - 1
+    while (i >= 0) {
+      val b = bytes(i)
+      if (b >= '0' && b <= '9') {
+        sawDigit = true
+        var d = b - '0'
+        if (parity == 1) {
+          d *= 2
+          if (d > 9) d -= 9
+        }
+        sum += d
+        parity ^= 1
+      }
+      i -= 1
+    }
+    sawDigit && sum % 10 == 0
+  }
+
+  /** Register `luhn_check` on the session (the cosine_sim convention). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "luhn_check", exprs => LuhnCheck(exprs.head), "built-in")
+
+  /** Column-level entry point. */
+  def luhn(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("luhn_check", c)
+  }
+}

@@ -63,26 +63,23 @@ object TextAnalysis {
     * redaction ([[redactPii]]) cannot do: a 16-digit run is usually an
     * order id or hash fragment, and the Luhn mod-10 checksum is THE
     * standard discriminator (~90% of random digit runs fail it).
-    * Candidates are 13–19-digit runs allowing space/dash grouping;
-    * each is digit-stripped and checked by the HOF Luhn fold
-    * (double every 2nd digit from the right, subtract 9 above 9, sum
-    * ≡ 0 mod 10). Per doc: candidate count and Luhn-valid count —
-    * one zero-shuffle projection (q51's linear-op contract). */
+    * Candidates are 13–19-digit runs allowing space/dash grouping; each
+    * is checked by the codegen'd [[graft.functions.LuhnCheck]]
+    * Expression (double every 2nd digit from the right, subtract 9
+    * above 9, sum ≡ 0 mod 10 — one tight byte loop that skips
+    * separators itself, replacing a per-candidate HOF fold with a
+    * sequence allocation and an interpreted per-digit substring parse).
+    * Per doc: candidate count and Luhn-valid count — one zero-shuffle
+    * projection (q51's linear-op contract). */
   def luhnCards(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.LuhnCheck.register(docs.sparkSession)
     val cand = "[0-9](?:[ \\-]?[0-9]){12,18}"
     docs.select(col("doc_id"),
         regexp_extract_all(col(textCol), lit(cand), lit(0)).as("cands"))
       .select(col("doc_id"),
         size(col("cands")).cast("long").as("n_candidates"),
-        expr("""CAST(size(filter(transform(cands,
-               |    c -> regexp_replace(c, '[^0-9]', '')),
-               |  d -> aggregate(sequence(1, length(d)), CAST(0 AS BIGINT),
-               |    (acc, i) -> acc + CAST(IF(i % 2 = 0,
-               |      IF(CAST(substring(d, -i, 1) AS INT) * 2 > 9,
-               |         CAST(substring(d, -i, 1) AS INT) * 2 - 9,
-               |         CAST(substring(d, -i, 1) AS INT) * 2),
-               |      CAST(substring(d, -i, 1) AS INT)) AS BIGINT)) % 10 = 0))
-               |  AS BIGINT)""".stripMargin).as("n_valid"))
+        expr("CAST(size(filter(cands, c -> luhn_check(c))) AS BIGINT)")
+          .as("n_valid"))
       .orderBy("doc_id")
   }
 

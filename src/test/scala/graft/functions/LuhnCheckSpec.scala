@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LuhnCheckSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Textbook reference implementation over the digit list. */
+  private def reference(s: String): Boolean = {
+    val ds = s.filter(_.isDigit).map(_ - '0').reverse
+    ds.nonEmpty && ds.zipWithIndex.map { case (d, i) =>
+      if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+    }.sum % 10 == 0
+  }
+
+  private def run(inputs: Seq[String]): Seq[Boolean] = {
+    import spark.implicits._
+    inputs.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+      .select(col("i"), LuhnCheck.luhn(spark, col("s")).as("ok"))
+      .orderBy("i").collect().map(_.getBoolean(1)).toSeq
+  }
+
+  test("known vectors: test PANs, separators, and no-digit inputs") {
+    val cases = Seq(
+      "4111111111111111" -> true,   // classic Visa test PAN
+      "4111-1111-1111-1111" -> true, // separators skipped in place
+      "4111 1111 1111 1111" -> true,
+      "4111111111111112" -> false,  // one digit off
+      "5500-0000-0000-0004" -> true,
+      "79927398713" -> true,        // the canonical Luhn example
+      "79927398710" -> false,
+      "0" -> true,                  // single zero: sum 0
+      "no digits at all" -> false)  // digitless input is never valid
+    val got = run(cases.map(_._1))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"'$in': got $g want $want")
+    }
+  }
+
+  test("property: kernel agrees with the reference on arbitrary digit strings") {
+    import org.scalacheck.{Gen, Prop}
+    // Kernel-level property (the expression's eval and codegen paths
+    // both call the same kernel, pinned by the vector test above).
+    val digitish = Gen.listOf(Gen.frequency(
+      8 -> Gen.numChar, 1 -> Gen.const('-'), 1 -> Gen.const(' ')))
+      .map(_.mkString)
+    val prop = Prop.forAll(digitish) { s =>
+      LuhnCheck.check(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == reference(s)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
+  test("codegen path: the expression survives whole-stage codegen in a projection") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"41111111111111${"%02d".format(i % 100)}"))
+      .toDF("id", "s")
+      .repartition(2) // a real exec stage — LocalTableScan folds the projection away
+      .select(col("id"), LuhnCheck.luhn(spark, col("s")).as("ok"))
+    assert(df.filter(col("ok")).count() >= 1)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE's compact rendering marks whole-stage-codegen stages with the
+    // `*(n)` prefix; the projection carrying luhncheck must be inside one
+    // (a ScalaUDF here would break the span).
+    assert("\\*\\(\\d+\\) Project .*luhncheck".r.findFirstIn(plan).isDefined, plan)
+  }
+}
