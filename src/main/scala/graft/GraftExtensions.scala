@@ -38,5 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"nfc_normalize expects exactly 1 argument, got ${exprs.length}")
         functions.UnicodeNormalize(exprs.head, "NFC")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("luhn_check"),
+      new ExpressionInfo(classOf[functions.LuhnCheck].getName, "luhn_check"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"luhn_check expects exactly 1 argument, got ${exprs.length}")
+        functions.LuhnCheck(exprs.head)
+      }))
   }
 }
