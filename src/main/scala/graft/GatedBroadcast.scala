@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-GATED broadcast hint for frames that are small on every corpus
+  * we run today but GROW WITH THE CORPUS — df-capped shingle/fingerprint
+  * keep-lists, vocabulary-keyed dot tables, LSH candidate pair sets. An
+  * unconditional `broadcast(...)` on such a frame is a latent
+  * scale-killer: the hint is correct until the day the corpus crosses
+  * broadcast size, and then the fix is a CODE edit in the middle of an
+  * incident. This helper makes the decision a measurement instead:
+  * materialize the frame once (so the gate's count and the downstream
+  * join share the computation), count it, and attach the hint only when
+  * the count is within the gate — above it the same join runs as a
+  * co-partitioned shuffle join with identical semantics.
+  *
+  * The gate defaults to 4M rows (the incremental-dedup family's
+  * `broadcastMaxRows` convention — comfortably inside
+  * `spark.sql.autoBroadcastJoinThreshold`-class memory for the narrow
+  * key-only frames this guards) and is overridable per session via
+  * `spark.graft.broadcastGateMaxRows`, so an operator never needs a
+  * code change to re-tune it for a bigger cluster or a leaner driver.
+  *
+  * The count costs one job over the materialized frame — O(its size),
+  * paid once, and only on frames that were about to be broadcast (i.e.
+  * shipped whole to every executor anyway). Frames whose row count is
+  * bounded by CONSTRUCTION (a fixed query set, a ≤k top-k result, an
+  * O(model) collect) should keep the plain hint; this gate is for
+  * frames bounded only by an ASSUMPTION about the corpus. */
+object GatedBroadcast {
+
+  val MaxRowsKey = "spark.graft.broadcastGateMaxRows"
+  val DefaultMaxRows: Long = 4L << 20
+
+  def apply(df: DataFrame): DataFrame = {
+    val gate = df.sparkSession.conf
+      .get(MaxRowsKey, DefaultMaxRows.toString).toLong
+    val m = Materialize(df)
+    if (m.count() <= gate) broadcast(m) else m
+  }
+}

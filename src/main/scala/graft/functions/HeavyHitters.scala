@@ -110,12 +110,20 @@ object HeavyHitters {
     * own ≤ capacity summary (the only corpus-sized work), and the two
     * merge DRIVER-SIDE by the same mergeable-summaries rule the
     * in-engine combine uses — O(capacity) rows moved, O(capacity)
-    * driver work (the quality_classifier O(model) convention), then an
-    * atomic overwrite of the tiny store. Because MG merge is
-    * associative with the shared error bound, the stored summary after
-    * N increments is a valid capacity-sketch OF THE WHOLE HISTORY —
-    * exact when capacity ≥ the historical vocabulary (spec-pinned).
-    * Crash semantics: the overwrite is not transactional and a replayed
+    * driver work (the quality_classifier O(model) convention), then a
+    * CRASH-ATOMIC swap of the tiny store: the merged summary writes to
+    * a `_tmp` sibling and replaces the live directory by two renames
+    * (the [[graft.sinks.BucketedStore.compact]] protocol — a leftover
+    * `_tmp` is inert and overwritten on re-run; a crash BETWEEN the two
+    * renames leaves the store at `_old` — rename it back). The history
+    * is never exposed to a delete-then-write window (a crash inside a
+    * plain overwrite would lose the ENTIRE sketch — strictly worse
+    * than the documented replay semantics, and the streaming path
+    * invokes this every micro-batch). Because MG merge is associative
+    * with the shared error bound, the stored summary after N increments
+    * is a valid capacity-sketch OF THE WHOLE HISTORY — exact when
+    * capacity ≥ the historical vocabulary (spec-pinned). Crash
+    * semantics at the INCREMENT level are unchanged: a replayed
     * increment double-counts (a sketch is a trend summary, not a
     * ledger) — callers needing exactly-once counts belong on the exact
     * aggregate path. Returns the merged summary as (tok, cnt),
@@ -124,6 +132,7 @@ object HeavyHitters {
       capacity: Int = 4096): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
+    import org.apache.hadoop.fs.Path
     val inc = topTokens(tokens, tokenCol, capacity, capacity).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val old: Map[String, Long] =
@@ -132,9 +141,18 @@ object HeavyHitters {
       catch { case _: org.apache.spark.sql.AnalysisException => Map.empty }
     val agg = new MGAgg(capacity)
     val merged = agg.merge(MGBuf(old), MGBuf(inc)).m
+    val tmp = storeDir + "_tmp"
+    val trash = storeDir + "_old"
     merged.toSeq.sortBy { case (t, c) => (-c, t) }
       .toDF("tok", "cnt").coalesce(1)
-      .write.mode("overwrite").parquet(storeDir)
+      .write.mode("overwrite").parquet(tmp)
+    val live = new Path(storeDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(trash), true)
+    if (fs.exists(live))
+      require(fs.rename(live, new Path(trash)), s"swap-out failed for $storeDir")
+    require(fs.rename(new Path(tmp), live), s"swap-in failed for $storeDir")
+    fs.delete(new Path(trash), true)
     spark.read.parquet(storeDir).orderBy(desc("cnt"), asc("tok"))
   }
 }

@@ -288,10 +288,11 @@ object Dedup {
       .select("s")
     // The keep set (sub-cap shingles) is orders of magnitude smaller than
     // the exploded stream — broadcast it so the stream is shuffled ONCE
-    // (for the pair self-join) instead of twice. If a corpus ever grows a
-    // qualifying-shingle set past broadcast size, drop the hint and pay
-    // the co-partitioned shuffle; the semantics don't change.
-    val sh = graft.Materialize(sh0.join(broadcast(keep), Seq("s")))
+    // (for the pair self-join) instead of twice. But it GROWS WITH THE
+    // CORPUS, so the hint is size-gated ([[graft.GatedBroadcast]]): past
+    // the gate the same join runs as a co-partitioned shuffle with
+    // identical semantics — a conf knob, not a code edit.
+    val sh = graft.Materialize(sh0.join(graft.GatedBroadcast(keep), Seq("s")))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
@@ -340,7 +341,8 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
       .select("s")
-    val sh = graft.Materialize(sh0.join(broadcast(keep), Seq("s")))
+    // Corpus-growing keep-list: size-gated hint (see ngramJaccardPairs).
+    val sh = graft.Materialize(sh0.join(graft.GatedBroadcast(keep), Seq("s")))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
@@ -507,9 +509,16 @@ object Dedup {
     // row (array_distinct) — the duplicate scope is per-document by
     // construction, so a global distinct would be a pointless
     // corpus-wide shuffle.
+    // The fold domain sequence(j+1, …) must be EMPTY when the window
+    // holds a single element (size(hh) = j): Spark sequences DESCEND
+    // when start > stop, so sequence(2, 1) = [2, 1] and element_at(hh,
+    // 2) throws under ANSI mode. filter over the fixed ascending
+    // sequence(j+1, j+w-1) keeps only in-range positions and is empty
+    // in that case, so the aggregate returns its init (the lone
+    // element) — the documented whole-text-fingerprint fallback.
     val sel =
       s"""array_distinct(transform(sequence(1, greatest(size(hh) - $w + 1, 1)),
-         |  j -> aggregate(sequence(j + 1, least(j + $w - 1, size(hh))),
+         |  j -> aggregate(filter(sequence(j + 1, j + $w - 1), i -> i <= size(hh)),
          |    named_struct('fp', element_at(hh, j), 'pos', j),
          |    (acc, i) -> IF(element_at(hh, i) <= acc.fp,
          |      named_struct('fp', element_at(hh, i), 'pos', i), acc))))""".stripMargin
@@ -536,7 +545,8 @@ object Dedup {
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("fp")
-    val kept = fps.join(broadcast(keep), Seq("fp"))
+    // Corpus-growing keep-list: size-gated hint (see ngramJaccardPairs).
+    val kept = fps.join(graft.GatedBroadcast(keep), Seq("fp"))
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))

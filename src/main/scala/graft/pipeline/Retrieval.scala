@@ -390,8 +390,11 @@ object Retrieval {
     // 2.9× on the whole entry vs the per-row form). This is the real
     // deployment shape too: a learned token-embedding table IS a
     // vocabulary-keyed side table. A raw-crawl 10⁸-type vocabulary
-    // outgrows the broadcast — drop the hint and the same plan becomes
-    // a shuffle join keyed on tok.
+    // outgrows the broadcast, so the dot-table hint is size-gated
+    // ([[graft.GatedBroadcast]]): past the gate the same plan becomes a
+    // shuffle join keyed on tok — a conf knob, not a code edit. (qt
+    // keeps its plain hint: it is bounded by the `queries` ARGUMENT,
+    // not by a corpus assumption.)
     val qt = queries.flatMap { case (qid, text) =>
       text.split(" ").zipWithIndex.map { case (t, i) => (qid, i.toLong, t) }
     }.toDF("query_id", "qpos", "tok")
@@ -403,7 +406,7 @@ object Retrieval {
         expr("""aggregate(zip_with(emb, qemb, (a, b) -> a * b),
                |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
           .as("dot"))
-    maxSimRank(toks.join(broadcast(dotTab), Seq("tok")), k)
+    maxSimRank(toks.join(graft.GatedBroadcast(dotTab), Seq("tok")), k)
   }
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(

@@ -292,6 +292,21 @@ object Select {
     * < massFrac·total — the definition both engines evaluate
     * identically (integer cumulative mass vs one double product).
     *
+    * Scores may be FRACTIONAL (the natural input is a classifier
+    * probability in [0,1]): all mass arithmetic runs in a fixed-point
+    * long domain m = round(score·10⁶) — six decimals of score
+    * resolution, exact long cumulative sums (no float summation-order
+    * drift, the cross-engine replay argument intact), overflow-safe to
+    * ~9·10¹² mass units ≈ 9M full-score documents per 10⁶ scale — while
+    * the OUTPUT score column passes through untouched in its original
+    * type. (The previous revision cast the score column itself to long,
+    * which silently collapsed [0,1] classifier scores to {0, 1} and
+    * degenerated the selection — the keepBest/ksDrift truncation bug
+    * class.) Boundary-bucket admission uses the same per-row rule as
+    * the whole-bucket test (cum_before + (rank−1)·m < target), never a
+    * ceil'd count — a ceil that lands on an exact integer would
+    * disagree with the per-row rule by one document.
+    *
     * Scale shape — NO global sort of the corpus: scores aggregate into
     * a per-value bucket table (bounded by the score domain — the
     * negsample vocabulary-window argument), the cumulative mass runs
@@ -303,26 +318,27 @@ object Select {
     * corpus-wide or bucket-wide single-reducer sort. */
   def nucleusSelect(docs: DataFrame, massFrac: Double = 0.6,
       scoreCol: String = "n_chars"): DataFrame = {
-    val scored = docs.select(col("doc_id"), col(scoreCol).cast("long").as("score"))
-    val buckets = scored.groupBy("score")
-      .agg(count(lit(1)).as("n"), sum("score").as("mass"))
-    val w = Window.orderBy(desc("score")).rowsBetween(Long.MinValue, -1)
+    val scored = docs.select(col("doc_id"), col(scoreCol).as("score"),
+      round(col(scoreCol).cast("double") * 1e6).cast("long").as("m"))
+    val buckets = scored.groupBy("m")
+      .agg(count(lit(1)).as("n"), sum("m").as("mass"))
+    val w = Window.orderBy(desc("m")).rowsBetween(Long.MinValue, -1)
     val cum = buckets
       .withColumn("cum_before", coalesce(sum("mass").over(w), lit(0L)))
-      .crossJoin(broadcast(scored.agg(sum("score").as("total"))))
+      .crossJoin(broadcast(scored.agg(sum("m").as("total"))))
       .withColumn("target", lit(massFrac) * col("total"))
     // Whole buckets whose LAST doc still starts below the target.
-    val full = cum.filter(col("cum_before") + (col("n") - 1) * col("score") < col("target"))
-      .select("score")
+    val full = cum.filter(col("cum_before") + (col("n") - 1) * col("m") < col("target"))
+      .select("m")
     // The boundary bucket: starts below the target but does not fit.
+    // Carries cum_before/target so admission below is the SAME per-row
+    // rule, not a derived count.
     val boundary = cum
       .filter(col("cum_before") < col("target") &&
-        col("cum_before") + (col("n") - 1) * col("score") >= col("target"))
-      .select(col("score"),
-        ceil((col("target") - col("cum_before")) / col("score")).cast("long")
-          .as("k_extra"))
-    val fullRows = scored.join(broadcast(full), Seq("score"))
-    val bRows = scored.join(broadcast(boundary), Seq("score"))
+        col("cum_before") + (col("n") - 1) * col("m") >= col("target"))
+      .select("m", "cum_before", "target")
+    val fullRows = scored.join(broadcast(full), Seq("m"))
+    val bRows = scored.join(broadcast(boundary), Seq("m"))
       .withColumn("blk", shiftright(col("doc_id"), 12))
     val blkCounts = bRows.groupBy("blk").agg(count(lit(1)).as("bn"))
       .withColumn("blk_before", coalesce(sum("bn").over(
@@ -331,7 +347,8 @@ object Select {
       .join(broadcast(blkCounts.select("blk", "blk_before")), Seq("blk"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("blk").orderBy("doc_id")))
-      .filter(col("blk_before") + col("rn") <= col("k_extra"))
+      .filter(col("cum_before") +
+        (col("blk_before") + col("rn") - 1) * col("m") < col("target"))
       .select("doc_id", "score")
     fullRows.select("doc_id", "score").unionByName(bSel).orderBy("doc_id")
   }
@@ -858,14 +875,17 @@ object Select {
     },
     // The oracle may sort globally (oracle may window; the operator may
     // not): selected iff the cumulative mass strictly BEFORE the doc in
-    // (score desc, doc_id asc) order is under massFrac·total — integer
-    // cumulative vs one double product, identical in both engines.
+    // (score desc, doc_id asc) order is under massFrac·total. Mass runs
+    // in the operator's fixed-point domain m = round(score·10⁶) —
+    // integer cumulative vs one double product, identical in both
+    // engines; the output score passes through untouched.
     "nucleus_select" ->
-      ("""WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score FROM documents),
-         |r AS (SELECT doc_id, score,
-         |    SUM(score) OVER (ORDER BY score DESC, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - score AS cum_before,
-         |    SUM(score) OVER () AS total
+      ("""WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+         |    CAST(round(n_chars * 1000000) AS BIGINT) AS m FROM documents),
+         |r AS (SELECT doc_id, score, m,
+         |    SUM(m) OVER (ORDER BY m DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m AS cum_before,
+         |    SUM(m) OVER () AS total
          |  FROM s)
          |SELECT doc_id, score FROM r
          |WHERE cum_before < 0.6 * total ORDER BY doc_id""".stripMargin),

@@ -63,8 +63,13 @@ object TextAnalysis {
     * redaction ([[redactPii]]) cannot do: a 16-digit run is usually an
     * order id or hash fragment, and the Luhn mod-10 checksum is THE
     * standard discriminator (~90% of random digit runs fail it).
-    * Candidates are 13–19-digit runs allowing space/dash grouping; each
-    * is checked by the codegen'd [[graft.functions.LuhnCheck]]
+    * Candidates are ISOLATED 13–19-digit runs allowing space/dash
+    * grouping: a run embedded in a longer digit sequence (a 20+-digit
+    * order id, a PAN abutting other digits) is NOT a candidate — the
+    * pattern anchors both ends with consuming boundary guards rather
+    * than lookarounds, because DuckDB's RE2 oracle twin supports no
+    * lookbehind, and extracts the run itself as capture group 1. Each
+    * candidate is checked by the codegen'd [[graft.functions.LuhnCheck]]
     * Expression (double every 2nd digit from the right, subtract 9
     * above 9, sum ≡ 0 mod 10 — one tight byte loop that skips
     * separators itself, replacing a per-candidate HOF fold with a
@@ -73,9 +78,14 @@ object TextAnalysis {
     * projection (q51's linear-op contract). */
   def luhnCards(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.functions.LuhnCheck.register(docs.sparkSession)
-    val cand = "[0-9](?:[ \\-]?[0-9]){12,18}"
+    // Left guard: start-of-text or a non-digit (a digit immediately
+    // before means the run extends left). Right guard: not followed by
+    // an optional separator + digit (the run would extend right). Both
+    // guards CONSUME, so the pattern stays inside RE2's feature set and
+    // the DuckDB twin is the identical string.
+    val cand = "(?:^|[^0-9])([0-9](?:[ -]?[0-9]){12,18})(?:[ -]?[^0-9 -]|[ -]?$)"
     docs.select(col("doc_id"),
-        regexp_extract_all(col(textCol), lit(cand), lit(0)).as("cands"))
+        regexp_extract_all(col(textCol), lit(cand), lit(1)).as("cands"))
       .select(col("doc_id"),
         size(col("cands")).cast("long").as("n_candidates"),
         expr("CAST(size(filter(cands, c -> luhn_check(c))) AS BIGINT)")
@@ -1023,7 +1033,8 @@ object TextAnalysis {
          |         WHEN doc_id % 3 = 1 THEN '$cardInvalid'
          |         ELSE '' END AS text FROM documents),
          |c AS (SELECT doc_id,
-         |    regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}') AS cands
+         |    regexp_extract_all(text,
+         |      '(?:^|[^0-9])([0-9](?:[ -]?[0-9]){12,18})(?:[ -]?[^0-9 -]|[ -]?${"$"})', 1) AS cands
          |  FROM t)
          |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
          |  CAST(len(list_filter(list_transform(cands,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class GatedBroadcastSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("gated broadcast: hint below the gate, shuffle join above a forced-tiny gate, same rows") {
+    val big  = (1L to 200L).map(i => (i, s"k${i % 10}")).toDF("id", "key")
+    val keys = (0 until 7).map(i => s"k$i").toDF("key")
+
+    // Below the (default 4M-row) gate: the hint is attached and the join
+    // plans as a broadcast hash join.
+    val below = big.join(GatedBroadcast(keys), Seq("key"))
+    assert(planOf(below).contains("BroadcastHashJoin"),
+      s"hint missing below gate:\n${planOf(below)}")
+    val belowRows = below.select("key", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+
+    // Force the gate under the frame's row count: the hint must be
+    // absent and the SAME join must plan as a shuffle join (auto
+    // broadcast disabled so the planner can't re-add it behind our
+    // back) — with identical results either way.
+    val oldAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(GatedBroadcast.MaxRowsKey, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val above = big.join(GatedBroadcast(keys), Seq("key"))
+      val p = planOf(above)
+      assert(!p.contains("BroadcastHashJoin"), s"hint must be gated off:\n$p")
+      val aboveRows = above.select("key", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(aboveRows == belowRows, "gate must not change results")
+    } finally {
+      spark.conf.unset(GatedBroadcast.MaxRowsKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldAuto)
+    }
+  }
+
+  test("gated broadcast honors the session gate conf without code changes") {
+    spark.conf.set(GatedBroadcast.MaxRowsKey, "100")
+    try {
+      val under = (1 to 50).map(i => s"k$i").toDF("key")
+      val over  = (1 to 150).map(i => s"k$i").toDF("key")
+      val probe = (1 to 10).map(i => s"k$i").toDF("key")
+      val oldAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        assert(planOf(probe.join(GatedBroadcast(under), Seq("key")))
+          .contains("BroadcastHashJoin"))
+        assert(!planOf(probe.join(GatedBroadcast(over), Seq("key")))
+          .contains("BroadcastHashJoin"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldAuto)
+    } finally spark.conf.unset(GatedBroadcast.MaxRowsKey)
+  }
+}

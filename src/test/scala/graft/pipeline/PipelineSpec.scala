@@ -1623,6 +1623,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows1.length < 10, s"selected ${rows1.length} of 10 kgrams — not a subsample")
   }
 
+  test("winnowing: short documents fall back to one whole-text fingerprint") {
+    import spark.implicits._
+    // Regression: size(hh) = 1 made the window fold's sequence(j+1,
+    // least(j+w-1, 1)) DESCEND (sequence(2, 1) = [2, 1]) and
+    // element_at(hh, 2) threw under ANSI mode, aborting the whole query
+    // for any corpus containing a <= k-token document.
+    val d = Seq(
+      (1L, "one"),                    // 1 token: whole-text fallback
+      (2L, "one two three four"),     // exactly k: a single k-gram
+      (3L, "a b"),                    // 2 tokens: whole-text fallback
+      (4L, s"a1 a2 a3 s1 s2 s3 s4 s5 s6 s7 s8 a4 a5")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = fps.groupBy(_._1)
+    // One fingerprint each for the short docs, at position 1.
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(byDoc(id).length == 1, s"doc $id: ${byDoc(id).toSeq}")
+      assert(byDoc(id).head._2 == 1L)
+    }
+    // The long doc still winnows normally alongside them.
+    assert(byDoc(4L).length > 1)
+    // And the pair generator runs end-to-end on the mixed corpus.
+    Dedup.winnowingPairs(d, minShared = 1).collect()
+  }
+
   test("cdc chunking is shift-robust: a prepended token changes only the first chunk") {
     import spark.implicits._
     val text = (1 to 60).map(i => s"t${i * 7 % 97}").mkString(" ")
@@ -2138,13 +2163,49 @@ class PipelineSpec extends AnyFunSuite {
       merged.toSeq.toString)
   }
 
+  test("heavy hitters store: the atomic swap survives an interrupted prior write") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("hhatomic")
+    val store = base.resolve("s").toString
+    def toks(xs: Seq[String]) = xs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("i", "tok")
+    graft.functions.HeavyHitters.updateStore(
+      toks(Seq.fill(30)("a") ++ Seq.fill(20)("b")), "tok", store, capacity = 64)
+    // Simulate a crash that died mid-write: a stale, garbage _tmp left
+    // behind. The next update must overwrite it, keep the full history,
+    // and leave no residue directories.
+    val tmp = java.nio.file.Paths.get(store + "_tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("garbage.bin"), Array[Byte](1, 2, 3))
+    val merged = graft.functions.HeavyHitters
+      .updateStore(toks(Seq.fill(10)("b") ++ Seq.fill(5)("c")), "tok", store,
+        capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(merged.toSeq == Seq(("a", 30L), ("b", 30L), ("c", 5L)), merged.toSeq.toString)
+    assert(!java.nio.file.Files.exists(tmp), "_tmp must be swapped in, not left behind")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store + "_old")),
+      "_old must be cleaned after a successful swap")
+    // And the live store itself reflects the swap (not just the return).
+    val onDisk = spark.read.parquet(store)
+      .orderBy(desc("cnt"), asc("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(onDisk.toSeq == Seq(("a", 30L), ("b", 30L), ("c", 5L)))
+  }
+
   test("pii cards: Luhn separates the valid test number from its off-by-one twin") {
     import spark.implicits._
     val d = Seq(
       (1L, "pay 4111-1111-1111-1111 now"),      // valid (classic test PAN)
       (2L, "ref 4111111111111112 x"),           // fails Luhn
       (3L, "order 12345 total 99"),             // no candidate
-      (4L, "two 4111 1111 1111 1111 and 5500-0000-0000-0004 cards") // both valid
+      (4L, "two 4111 1111 1111 1111 and 5500-0000-0000-0004 cards"), // both valid
+      // Digit-run isolation (regression): candidates embedded in longer
+      // runs are NOT candidates — a 20-digit order id used to yield a
+      // spurious 19-digit candidate from its prefix.
+      (5L, "order 12345678901234567890 done"),    // 20 digits: none
+      (6L, "big 123456789012345678901234567 x"),  // 27 digits: none
+      (7L, "join9 4111111111111111 ok"),          // '9 ' merges into a 17-digit spaced run
+      (8L, "id999994111111111111111 tail")        // PAN abutted by digits → 21-run: none
     ).toDF("doc_id", "text")
     val out = TextAnalysis.luhnCards(d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
@@ -2152,6 +2213,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 0L)), "16 digits but checksum fails: " + out(2L))
     assert(out(3L) == ((0L, 0L)), out(3L).toString)
     assert(out(4L) == ((2L, 2L)), out(4L).toString)
+    assert(out(5L) == ((0L, 0L)), "20-digit run must yield no candidate: " + out(5L))
+    assert(out(6L) == ((0L, 0L)), out(6L).toString)
+    // A digit + separator immediately before the PAN merges into one
+    // 17-digit spaced run — still a length-valid candidate, but the
+    // merged run (not the embedded PAN) is what gets Luhn-checked, and
+    // it fails. Pins the maximal-run extraction rule.
+    assert(out(7L) == ((1L, 0L)), "merged 17-digit run must fail Luhn: " + out(7L))
+    assert(out(8L) == ((0L, 0L)), "digit-abutted PAN is part of a longer run: " + out(8L))
   }
 
   test("heavy hitters: exact regime is partitioning-invariant") {
@@ -2294,7 +2363,7 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     // total 40; target 0.6·40 = 24. Order (score desc, id): cum_before
     // 0, 10, 20, 30, 35 → selected 1, 2, 3 (the whole 10-bucket is the
-    // boundary: k_extra = ceil(24/10) = 3).
+    // boundary; the third doc admits because 20 < 24).
     val d = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 5L), (5L, 5L))
       .toDF("doc_id", "n_chars")
     val got = Select.nucleusSelect(d).collect().map(_.getLong(0)).toSet
@@ -2303,6 +2372,46 @@ class PipelineSpec extends AnyFunSuite {
     val half = Select.nucleusSelect(d, massFrac = 0.5).collect()
       .map(_.getLong(0)).toSet
     assert(half == Set(1L, 2L), half.toString)
+  }
+
+  test("nucleus select keeps fractional classifier scores at full resolution") {
+    import spark.implicits._
+    // Regression: a long cast collapsed [0,1] scores to {0, 1} — total
+    // mass ~0 and the selection degenerated. Scores now run through the
+    // fixed-point m = round(score·1e6) domain; the output score column
+    // passes through untouched (still a double here).
+    // total mass 2.4; target 0.6·2.4 = 1.44. Order (score desc, id):
+    // cum_before 0, 0.9, 1.7, 2.2 → selected ids 2 (0.9) and 1 (0.8).
+    val d = Seq((1L, 0.8), (2L, 0.9), (3L, 0.5), (4L, 0.2))
+      .toDF("doc_id", "quality")
+    val out = Select.nucleusSelect(d, massFrac = 0.6, scoreCol = "quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L), out.toString)
+    assert(out(1L) == 0.8 && out(2L) == 0.9, s"scores must pass through: $out")
+    // Equal fractional scores exercise the boundary bucket's per-row
+    // rule: total 1.0, target 0.55 → cum_before 0.0, 0.25, 0.5, 0.75 —
+    // three of the four 0.25-docs admit, by doc_id order.
+    val eq = Seq((1L, 0.25), (2L, 0.25), (3L, 0.25), (4L, 0.25))
+      .toDF("doc_id", "quality")
+    val eqGot = Select.nucleusSelect(eq, massFrac = 0.55, scoreCol = "quality")
+      .collect().map(_.getLong(0)).toSet
+    assert(eqGot == Set(1L, 2L, 3L), eqGot.toString)
+  }
+
+  test("nucleus select boundary admission matches the per-row rule at exact-division targets") {
+    import spark.implicits._
+    // (target - cum_before) / score = 24/10 lands EXACTLY between rows
+    // when massFrac·total divides the bucket score: total 50, massFrac
+    // 0.4 → target 20; one 10-score bucket of 5 docs. Per-row rule:
+    // cum_before + (rank-1)·10 < 20 → ranks 1, 2 admit (0 < 20,
+    // 10 < 20, 20 !< 20). A ceil'd count ceil(20/10) = 2 agrees here,
+    // but ceil((20 - 0)/10) at rank boundaries has historically been
+    // off by one when the quotient is an exact integer — pin the rule.
+    val d = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L))
+      .toDF("doc_id", "n_chars")
+    val got = Select.nucleusSelect(d, massFrac = 0.4).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), got.toString)
   }
 
   test("nucleus select equals the sorted-prefix reference on the corpus") {
