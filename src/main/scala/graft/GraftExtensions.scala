@@ -46,5 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"luhn_check expects exactly 1 argument, got ${exprs.length}")
         functions.LuhnCheck(exprs.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("canonicalize_url"),
+      new ExpressionInfo(classOf[functions.CanonicalizeUrl].getName, "canonicalize_url"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"canonicalize_url expects exactly 1 argument, got ${exprs.length}")
+        functions.CanonicalizeUrl(exprs.head)
+      }))
   }
 }

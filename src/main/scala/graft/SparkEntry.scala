@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.RelationalQueries
-import graft.pipeline.{Classify, Clusters, Curate, Dedup, Multimodal, Profile, Retrieval, Select, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Clusters, Curate, Dedup, Multimodal, Profile, Retrieval, Select, Similarity, TextAnalysis, Urls}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -22,6 +22,7 @@ object SparkEntry {
       Dedup.queries ++ Clusters.queries ++ Curate.queries ++ Select.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
       Retrieval.queries ++ Classify.queries ++ Profile.queries ++
+      Urls.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         // D3-D6 gate state machine: golden-fixture replay to quiescence
         // (strict assertions in FeedStepSpec; SQL can't express the fixpoint).
@@ -41,5 +42,5 @@ object SparkEntry {
       operators.TemporalJoins.oracle ++
       Dedup.oracle ++ Clusters.oracle ++ Curate.oracle ++ Select.oracle ++
       TextAnalysis.oracle ++ Similarity.oracle ++ Retrieval.oracle ++
-      Classify.oracle ++ Profile.oracle
+      Classify.oracle ++ Profile.oracle ++ Urls.oracle
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for URL canonicalization, with whole-stage
+  * codegen — stage 0 of every web-corpus build (CCNet/FineWeb-style):
+  * the same page arrives as `HTTP://Host.COM:80/a?utm_source=x#top` from
+  * one crawl and `http://host.com/a` from another, and URL-level dedup,
+  * domain filtering, and per-domain rollups are all wrong unless both
+  * spellings collapse to one canonical form first.
+  *
+  * Canonical form (each rule replayed exactly by the DuckDB oracle twin
+  * in pipeline/Urls.scala — every step is plain string surgery, so the
+  * twin is the same algorithm in SQL):
+  *
+  *  1. drop the fragment (first `#` to end);
+  *  2. no `://` → return the fragment-stripped string unchanged (not a
+  *     hierarchical URL — don't guess);
+  *  3. lowercase the scheme and the authority (host);
+  *  4. strip the default port (`:80` for http, `:443` for https; other
+  *     ports kept);
+  *  5. drop tracking query parameters: any name starting `utm_`, plus
+  *     gclid / fbclid / msclkid / mc_eid / igshid, preserving the order
+  *     of what remains; an emptied query drops its `?`;
+  *  6. an empty path becomes `/`.
+  *
+  * Path case is PRESERVED (paths are case-sensitive per RFC 3986; only
+  * scheme+host are case-insensitive). Userinfo (`user@host`) is not
+  * split out — it lowercases with the authority, which is out of scope
+  * for crawl URLs. One pass of index arithmetic on the string, no regex,
+  * inside the whole-stage codegen span.
+  */
+case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"canonicalize_url expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(
+      CanonicalizeUrl.canonicalize(s.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.CanonicalizeUrl.canonicalize($c.toString()));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CanonicalizeUrl {
+
+  /** Exact-name tracking parameters (plus the `utm_` prefix family). */
+  val TrackingNames: Set[String] =
+    Set("gclid", "fbclid", "msclkid", "mc_eid", "igshid")
+
+  private def isTracking(param: String): Boolean = {
+    val eq = param.indexOf('=')
+    val name = if (eq >= 0) param.substring(0, eq) else param
+    name.startsWith("utm_") || TrackingNames(name)
+  }
+
+  /** The shared interpreted/codegen kernel. */
+  def canonicalize(raw: String): String = {
+    val hash = raw.indexOf('#')
+    val s = if (hash >= 0) raw.substring(0, hash) else raw
+    val sep = s.indexOf("://")
+    if (sep < 0) return s
+    val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(sep + 3)
+    val slash = rest.indexOf('/')
+    val quest = rest.indexOf('?')
+    val authEnd =
+      if (slash < 0 && quest < 0) rest.length
+      else if (slash < 0) quest
+      else if (quest < 0) slash
+      else math.min(slash, quest)
+    val auth = rest.substring(0, authEnd).toLowerCase(java.util.Locale.ROOT)
+    val pq = rest.substring(authEnd)
+    // Port = digits after the LAST ':' of the authority (and only if
+    // non-empty and all digits — otherwise the ':' belongs to the host).
+    val colon = auth.lastIndexOf(':')
+    val portStr =
+      if (colon < 0) ""
+      else {
+        val p = auth.substring(colon + 1)
+        if (p.nonEmpty && p.forall(c => c >= '0' && c <= '9')) p else ""
+      }
+    val host = if (portStr.isEmpty) auth else auth.substring(0, colon)
+    val defaultPort = (scheme == "http" && portStr == "80") ||
+      (scheme == "https" && portStr == "443")
+    val portPart = if (portStr.isEmpty || defaultPort) "" else ":" + portStr
+    val q = pq.indexOf('?')
+    val path0 = if (q < 0) pq else pq.substring(0, q)
+    val path = if (path0.isEmpty) "/" else path0
+    val queryPart =
+      if (q < 0) ""
+      else {
+        val kept = pq.substring(q + 1).split("&", -1).filterNot(isTracking)
+        if (kept.isEmpty) "" else "?" + kept.mkString("&")
+      }
+    scheme + "://" + host + portPart + path + queryPart
+  }
+
+  /** Register `canonicalize_url` on the session (the cosine_sim
+    * convention). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "canonicalize_url", exprs => CanonicalizeUrl(exprs.head), "built-in")
+
+  /** Column-level entry point. */
+  def url(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("canonicalize_url", c)
+  }
+}

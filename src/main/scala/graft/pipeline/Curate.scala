@@ -96,7 +96,7 @@ object Curate {
   }
 
   /** The end-to-end corpus-build FUNNEL — the composed pipeline run as
-    * one accountable artifact: ingest → quality gate → exact dedup →
+    * one accountable artifact: ingest → domain gate → quality gate → exact dedup →
     * decontamination → train split, reported as documents surviving each
     * stage (the table a data lead reads before signing off a corpus).
     *
@@ -109,17 +109,27 @@ object Curate {
     * survivors), q58's 8-gram eval-overlap decontamination (eval slice
     * defined corpus-wide), q85's md5-prefix train gate. */
   /** Per-document stage flags shared by [[corpusBuild]] (the counting
-    * funnel) and [[materializeCorpus]] (the output writer): r2 quality,
-    * r3 +keep-first, r4 +decontaminated, plus the q85 split-gate hash. */
+    * funnel) and [[materializeCorpus]] (the output writer): rd domain
+    * gate ([[Urls]] stage 0 — a blocklisted registered domain drops the
+    * document before any text-level signal is computed, the
+    * CCNet/FineWeb ordering), r2 +quality, r3 +keep-first,
+    * r4 +decontaminated, plus the q85 split-gate hash. The domain
+    * verdict is one zero-shuffle string projection per row (planted
+    * URL → canonical → registered domain → blocklist compare). */
   private def stageFlags(docs: DataFrame,
       minTokens: Long, maxTokens: Long): DataFrame = {
-    val withSig = docs.select(col("doc_id"),
+    val spark = docs.sparkSession
+    val withSig = Urls.plantUrls(docs).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_toks"),
       md5(col("text")).as("h"),
-      substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"))
-    val quality = withSig.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"),
+      (!Urls.registeredDomain(Urls.hostOf(
+          graft.functions.CanonicalizeUrl.url(spark, col("url"))))
+        .isin(Urls.DefaultBlocklist: _*)).as("rd"))
+    val quality = withSig.filter(col("rd") &&
       col("n_toks") >= minTokens && col("n_toks") <= maxTokens)
-    // Keep-first among QUALITY survivors (the aggregate, q19's skew shape).
+    // Keep-first among DOMAIN+QUALITY survivors (the aggregate, q19's
+    // skew shape): a blocked domain's copy must not shadow a clean one.
     val keepers = quality.groupBy("h").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), lit(true).as("is_keeper"))
     // q58 decontamination over the full corpus: non-eval docs flagged by
@@ -129,11 +139,12 @@ object Curate {
     withSig
       .join(keepers, Seq("doc_id"), "left")
       .join(decon, Seq("doc_id"), "left") // eval docs have no decon row
-      .select(col("doc_id"), col("hk"),
-        (col("n_toks") >= minTokens && col("n_toks") <= maxTokens).as("r2"),
+      .select(col("doc_id"), col("hk"), col("rd"),
+        (col("rd") && col("n_toks") >= minTokens &&
+          col("n_toks") <= maxTokens).as("r2"),
         coalesce(col("is_keeper"), lit(false)).as("keeper"),
         (col("contaminated").isNotNull && !col("contaminated")).as("clean"))
-      .select(col("doc_id"), col("hk"), col("r2"),
+      .select(col("doc_id"), col("hk"), col("rd"), col("r2"),
         (col("r2") && col("keeper")).as("r3"), col("clean"))
       .withColumn("r4", col("r3") && col("clean"))
   }
@@ -145,6 +156,7 @@ object Curate {
     // One conditional-sum aggregate: the whole funnel in a single job.
     val one = reached.agg(
       count(lit(1)).as("s1"),
+      sum(when(col("rd"), 1L).otherwise(0L)).as("sd"),
       sum(when(col("r2"), 1L).otherwise(0L)).as("s2"),
       sum(when(col("r3"), 1L).otherwise(0L)).as("s3"),
       sum(when(col("r4"), 1L).otherwise(0L)).as("s4"),
@@ -154,8 +166,9 @@ object Curate {
     // (absent exchange reuse) execute the whole stageFlags pass,
     // including the 8-gram decontamination join, a second time.
     one.select(expr(
-        "stack(5, 1, 'ingest', s1, 2, 'quality', s2, 3, 'dedup', s3, " +
-          "4, 'decontaminated', s4, 5, 'train', s5) AS (stage_idx, stage, n_docs)"),
+        "stack(6, 1, 'ingest', s1, 2, 'domain', sd, 3, 'quality', s2, " +
+          "4, 'dedup', s3, 5, 'decontaminated', s4, 6, 'train', s5) " +
+          "AS (stage_idx, stage, n_docs)"),
         col("s1").as("n_ingest"))
       .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"), col("n_docs"),
         round(col("n_docs").cast("double") / col("n_ingest"), 6).as("retained_frac"))
@@ -220,13 +233,18 @@ object Curate {
     * (q20 quality, q50 repetition, q51 PII, q19 dedup). */
   def oracle: Map[String, String] = Map(
     // The funnel's component CTEs are the q53/q19/q58/q85 oracle shapes
-    // composed; counts via the same conditional sums.
+    // composed; counts via the same conditional sums. The stage-0
+    // domain gate uses the URL plant's ground truth directly (the
+    // blocklisted spam-mill.com plant is exactly doc_id % 4 = 2) — the
+    // full canonicalize→registered-domain→blocklist chain is
+    // independently hash-verified by the url_canonicalize oracle.
     "pipeline_funnel" ->
       ("""WITH sig AS (SELECT doc_id,
          |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_toks,
-         |    md5(text) AS h, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk, text
+         |    md5(text) AS h, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk, text,
+         |    doc_id % 4 <> 2 AS rd
          |  FROM documents),
-         |q AS (SELECT * FROM sig WHERE n_toks BETWEEN 15 AND 95),
+         |q AS (SELECT * FROM sig WHERE rd AND n_toks BETWEEN 15 AND 95),
          |k AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1 AS is_keeper FROM q),
          |toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
          |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
@@ -236,13 +254,14 @@ object Curate {
          |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
          |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev USING (s)
          |  WHERE sh.doc_id % 23 <> 0 GROUP BY sh.doc_id),
-         |r AS (SELECT sig.doc_id, sig.hk,
-         |    sig.n_toks BETWEEN 15 AND 95 AS r2,
-         |    (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE) AS r3,
-         |    (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE)
+         |r AS (SELECT sig.doc_id, sig.hk, sig.rd,
+         |    sig.rd AND sig.n_toks BETWEEN 15 AND 95 AS r2,
+         |    sig.rd AND (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE) AS r3,
+         |    sig.rd AND (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE)
          |      AND sig.doc_id % 23 <> 0 AND COALESCE(ov.n, 0) = 0 AS r4
          |  FROM sig LEFT JOIN k USING (doc_id) LEFT JOIN ov USING (doc_id)),
          |c AS (SELECT COUNT(*) AS s1,
+         |    CAST(SUM(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT) AS sd,
          |    CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
          |    CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
          |    CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
@@ -251,10 +270,11 @@ object Curate {
          |SELECT stage_idx, stage, n_docs,
          |  ROUND(CAST(n_docs AS DOUBLE) / (SELECT s1 FROM c), 6) AS retained_frac FROM (
          |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'ingest' AS stage, s1 AS n_docs FROM c
-         |  UNION ALL SELECT 2, 'quality', s2 FROM c
-         |  UNION ALL SELECT 3, 'dedup', s3 FROM c
-         |  UNION ALL SELECT 4, 'decontaminated', s4 FROM c
-         |  UNION ALL SELECT 5, 'train', s5 FROM c)
+         |  UNION ALL SELECT 2, 'domain', sd FROM c
+         |  UNION ALL SELECT 3, 'quality', s2 FROM c
+         |  UNION ALL SELECT 4, 'dedup', s3 FROM c
+         |  UNION ALL SELECT 5, 'decontaminated', s4 FROM c
+         |  UNION ALL SELECT 6, 'train', s5 FROM c)
          |ORDER BY stage_idx""".stripMargin),
     "source_report" ->
       ("""SELECT source, COUNT(*) AS n_docs,

@@ -1,0 +1,207 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.functions.CanonicalizeUrl
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL / domain-level curation — stage 0 of a web-corpus build. Every
+  * crawl pipeline (CCNet, FineWeb, RefinedWeb) starts here, BEFORE any
+  * text-level signal: canonicalize the URL
+  * ([[graft.functions.CanonicalizeUrl]], a codegen Expression), extract
+  * the registered domain, and gate on a domain blocklist — because a
+  * spam domain is cheaper to drop as one string compare per document
+  * than to catch doc-by-doc with quality classifiers downstream.
+  *
+  * Everything here is a zero-shuffle per-row projection (string surgery
+  * on one column); only the per-domain rollup aggregates, and it is one
+  * map-side-combined groupBy on a low-cardinality key. All of it
+  * composes with [[Curate.sourceReport]] and feeds
+  * [[Curate.corpusBuild]]'s stage-0 domain gate.
+  *
+  * The documents table carries no URL column, so the registered entries
+  * PLANT one deterministically per doc (the pii_cards convention — the
+  * same expression is built in both engines), exercising every
+  * canonicalization rule: uppercase scheme+host, default and
+  * non-default ports, utm_ / gclid / fbclid tracking params, fragments,
+  * a blocklisted domain, and a second-level-TLD (co.uk) host.
+  */
+object Urls {
+
+  /** Second-level public suffixes under which the registered domain is
+    * three labels, not two (a pragmatic built-in subset of the public
+    * suffix list — the full list is data, swapped in the same way). */
+  val SecondLevelTlds: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "co.in", "co.nz", "com.br", "com.cn", "com.mx", "com.sg", "com.tr")
+
+  /** Blocklisted registered domains (content farms / spam mills). */
+  val DefaultBlocklist: Seq[String] =
+    Seq("spam-mill.com", "link-farm.biz", "clickbait-mirror.net")
+
+  /** Deterministic per-doc URL plant (both engines build the identical
+    * expression): four shapes cycling on doc_id % 4, covering every
+    * canonicalization rule plus a blocklisted domain. Frames without a
+    * `source` column (spec fixtures) derive one from doc_id. */
+  def plantUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val docsWithSource =
+      if (docs.columns.contains("source")) docs
+      else docs.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+    docsWithSource.withColumn("url",
+      when(col("doc_id") % 4 === 0, concat(
+        lit("HTTP://WWW."), col("source"), lit(".COM:80/Articles/"), id,
+        lit("?utm_source=feed&id="), id, lit("&utm_campaign=x#sec2")))
+      .when(col("doc_id") % 4 === 1, concat(
+        lit("https://Blog."), col("source"), lit(".co.uk:8080/post/"), id,
+        lit("?gclid=g"), id))
+      .when(col("doc_id") % 4 === 2, concat(
+        lit("https://spam-mill.com:443/page/"), id, lit("?p="), id,
+        lit("&fbclid=f1")))
+      .otherwise(concat(
+        lit("http://cdn."), col("source"), lit(".net/static/"), id)))
+  }
+
+  /** Host of an already-canonical URL (authority minus the port). */
+  def hostOf(urlCanon: Column): Column =
+    regexp_replace(
+      regexp_extract(urlCanon, "^[^/?#]*://([^/?]*)", 1), ":[0-9]+$", "")
+
+  /** Registered domain of a host: last two labels, or last three when
+    * the last two are a known second-level public suffix
+    * ([[SecondLevelTlds]]); IPv4 literals and single-label hosts pass
+    * through unchanged. `try_element_at` keeps the short-host branches
+    * ANSI-safe (out-of-range indexes must not throw — the winnowing
+    * sequence lesson), and `concat_ws` skipping nulls makes the
+    * unreachable guards harmless. */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    def lbl(i: Int) = try_element_at(labels, lit(i))
+    val last2 = concat_ws(".", lbl(-2), lbl(-1))
+    val last3 = concat_ws(".", lbl(-3), lbl(-2), lbl(-1))
+    when(host.rlike("^[0-9.]+$"), host)
+      .when(size(labels) >= 3 && last2.isin(SecondLevelTlds: _*), last3)
+      .when(size(labels) >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Per-document URL curation record: canonical URL, host, registered
+    * domain, blocklist decision. One zero-shuffle projection. */
+  def urlCurate(docs: DataFrame,
+      blocklist: Seq[String] = DefaultBlocklist): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(col("doc_id"),
+        CanonicalizeUrl.url(spark, col("url")).as("url_canon"))
+      .withColumn("host", hostOf(col("url_canon")))
+      .withColumn("reg_domain", registeredDomain(col("host")))
+      .withColumn("blocked", col("reg_domain").isin(blocklist: _*))
+      .orderBy("doc_id")
+  }
+
+  /** Per-registered-domain rollup — the domain-level twin of
+    * [[Curate.sourceReport]]: document count, distinct crawl sources,
+    * total chars, and the blocklist verdict, in one map-side-combined
+    * aggregate keyed on the (low-cardinality) registered domain. */
+  def domainRollup(docs: DataFrame,
+      blocklist: Seq[String] = DefaultBlocklist): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        CanonicalizeUrl.url(spark, col("url")).as("url_canon"))
+      .withColumn("reg_domain", registeredDomain(hostOf(col("url_canon"))))
+      .groupBy("reg_domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        sum("n_chars").as("sum_chars"))
+      .withColumn("blocked", col("reg_domain").isin(blocklist: _*))
+      .orderBy("reg_domain")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_canonicalize" ->
+      ((s, d) => urlCurate(plantUrls(Tables(s, d).documents))),
+    "url_domain_rollup" ->
+      ((s, d) => domainRollup(plantUrls(Tables(s, d).documents))),
+  )
+
+  /** The DuckDB twin replays the canonicalization algorithm step for
+    * step in SQL (fragment strip, scheme/authority lowercase, default
+    * port, tracking-param filter, empty-path rule) over the identical
+    * planted URLs — shared CTE chain between both oracle entries. */
+  private val canonCte: String =
+    """planted AS (SELECT doc_id, source, n_chars,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/Articles/' || CAST(doc_id AS VARCHAR)
+      |        || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#sec2'
+      |      WHEN 1 THEN 'https://Blog.' || source || '.co.uk:8080/post/' || CAST(doc_id AS VARCHAR)
+      |        || '?gclid=g' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN 'https://spam-mill.com:443/page/' || CAST(doc_id AS VARCHAR)
+      |        || '?p=' || CAST(doc_id AS VARCHAR) || '&fbclid=f1'
+      |      ELSE 'http://cdn.' || source || '.net/static/' || CAST(doc_id AS VARCHAR)
+      |    END AS url FROM documents),
+      |s0 AS (SELECT *, regexp_replace(url, '#.*', '') AS u FROM planted),
+      |s1 AS (SELECT *, strpos(u, '://') AS sep FROM s0),
+      |s2 AS (SELECT *, lower(u[1:sep - 1]) AS scheme, u[sep + 3:] AS rest FROM s1 WHERE sep > 0),
+      |s3 AS (SELECT *,
+      |    CASE WHEN strpos(rest, '/') = 0 AND strpos(rest, '?') = 0 THEN length(rest) + 1
+      |         WHEN strpos(rest, '/') = 0 THEN strpos(rest, '?')
+      |         WHEN strpos(rest, '?') = 0 THEN strpos(rest, '/')
+      |         ELSE least(strpos(rest, '/'), strpos(rest, '?')) END AS ae FROM s2),
+      |s4 AS (SELECT *, lower(rest[1:ae - 1]) AS auth, rest[ae:] AS pq FROM s3),
+      |s5 AS (SELECT *, regexp_extract(auth, ':([0-9]+)$', 1) AS port FROM s4),
+      |s6 AS (SELECT *,
+      |    CASE WHEN port <> '' THEN auth[1:length(auth) - length(port) - 1] ELSE auth END AS host,
+      |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |              OR (scheme = 'https' AND port = '443') THEN ''
+      |         ELSE ':' || port END AS port_part FROM s5),
+      |s7 AS (SELECT *, strpos(pq, '?') AS qp FROM s6),
+      |s8 AS (SELECT *,
+      |    CASE WHEN qp = 0 THEN (CASE WHEN pq = '' THEN '/' ELSE pq END)
+      |         WHEN qp = 1 THEN '/' ELSE pq[1:qp - 1] END AS path,
+      |    CASE WHEN qp = 0 THEN NULL ELSE
+      |      array_to_string(list_filter(string_split(pq[qp + 1:], '&'),
+      |        p -> NOT (starts_with(split_part(p, '=', 1), 'utm_')
+      |          OR split_part(p, '=', 1) IN ('gclid', 'fbclid', 'msclkid', 'mc_eid', 'igshid'))), '&')
+      |    END AS q2 FROM s7),
+      |canon AS (SELECT doc_id, source, n_chars,
+      |    scheme || '://' || host || port_part || path ||
+      |      (CASE WHEN q2 IS NULL OR q2 = '' THEN '' ELSE '?' || q2 END) AS url_canon,
+      |    host FROM s8),
+      |dom AS (SELECT *,
+      |    string_split(host, '.') AS ls,
+      |    CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+      |         WHEN len(string_split(host, '.')) >= 3
+      |              AND (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+      |                IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+      |                    'co.jp','or.jp','ne.jp','co.in','co.nz','com.br','com.cn',
+      |                    'com.mx','com.sg','com.tr')
+      |           THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+      |                || '.' || string_split(host, '.')[-1]
+      |         WHEN len(string_split(host, '.')) >= 2
+      |           THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+      |         ELSE host END AS reg_domain FROM canon)""".stripMargin
+
+  // NOTE: canonCte is already margin-stripped and contains `||` concat
+  // operators at line starts — the outer strings must NOT re-stripMargin
+  // (a second pass would eat one pipe of each `||`).
+  def oracle: Map[String, String] = Map(
+    "url_canonicalize" ->
+      (s"WITH $canonCte\n" +
+        "SELECT doc_id, url_canon, host, reg_domain,\n" +
+        "  reg_domain IN ('spam-mill.com', 'link-farm.biz', 'clickbait-mirror.net')\n" +
+        "    AS blocked\n" +
+        "FROM dom ORDER BY doc_id"),
+    "url_domain_rollup" ->
+      (s"WITH $canonCte\n" +
+        "SELECT reg_domain, COUNT(*) AS n_docs,\n" +
+        "  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,\n" +
+        "  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,\n" +
+        "  reg_domain IN ('spam-mill.com', 'link-farm.biz', 'clickbait-mirror.net')\n" +
+        "    AS blocked\n" +
+        "FROM dom GROUP BY reg_domain ORDER BY reg_domain"),
+  )
+}

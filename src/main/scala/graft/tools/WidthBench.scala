@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.{GraftSession, Tables}
 import graft.operators.RelationalQueries
-import graft.pipeline.{Classify, Clusters, Curate, Dedup, Profile, Retrieval, Select, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Clusters, Curate, Dedup, Profile, Retrieval, Select, Similarity, TextAnalysis, Urls}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -155,6 +155,8 @@ object WidthBench {
       "profile_skew"        -> ((d, _, _) => Profile.skewReport(d, "source")),
       "pipeline_funnel"     -> ((d, _, _) => Curate.corpusBuild(d)),
       "source_report"       -> ((d, _, _) => Curate.sourceReport(d)),
+      "url_canonicalize"    -> ((d, _, _) => Urls.urlCurate(Urls.plantUrls(d))),
+      "url_domain_rollup"   -> ((d, _, _) => Urls.domainRollup(Urls.plantUrls(d))),
       "graph_pagerank"      -> ((d, _, _) => Clusters.docPageRank(d)),
       "q91_pmi"             -> ((d, _, _) => TextAnalysis.pmiPairs(d)),
       "q92_negsample"       -> ((d, _, _) => TextAnalysis.negativeSamplingDist(d)),

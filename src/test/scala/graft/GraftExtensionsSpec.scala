@@ -41,6 +41,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalize_url resolves from the extension with no manual registration") {
+    withExtensionSession { s =>
+      val r = s.sql(
+        "SELECT canonicalize_url('HTTP://H.COM:80/a?utm_source=x&id=1#f') AS c")
+        .head().getString(0)
+      assert(r == "http://h.com/a?id=1")
+    }
+  }
+
   test("nanos pushdown rule is active in the injected optimizer") {
     withExtensionSession { s =>
       val df = s.range(1).selectExpr("id * 1000 AS ns")

@@ -1,0 +1,104 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CanonicalizeUrlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def canon(s: String): String = CanonicalizeUrl.canonicalize(s)
+
+  test("each canonicalization rule, in isolation and composed") {
+    // scheme + host lowercase; path case preserved
+    assert(canon("HTTP://WWW.Example.COM/Path/To") == "http://www.example.com/Path/To")
+    // default ports stripped, non-default kept
+    assert(canon("http://h.com:80/a") == "http://h.com/a")
+    assert(canon("https://h.com:443/a") == "https://h.com/a")
+    assert(canon("https://h.com:80/a") == "https://h.com:80/a") // 80 is not https' default
+    assert(canon("http://h.com:8080/a") == "http://h.com:8080/a")
+    // fragment stripped
+    assert(canon("http://h.com/a#frag") == "http://h.com/a")
+    assert(canon("http://h.com/a?x=1#frag") == "http://h.com/a?x=1")
+    // tracking params dropped, order of survivors preserved
+    assert(canon("http://h.com/a?utm_source=x&id=7&utm_campaign=y&b=2") ==
+      "http://h.com/a?id=7&b=2")
+    assert(canon("http://h.com/a?gclid=z") == "http://h.com/a")
+    assert(canon("http://h.com/a?fbclid=z&msclkid=w&mc_eid=v&igshid=u") ==
+      "http://h.com/a")
+    // empty path becomes /
+    assert(canon("https://H.com") == "https://h.com/")
+    assert(canon("https://h.com?q=1") == "https://h.com/?q=1")
+    assert(canon("https://h.com#top") == "https://h.com/")
+    // not a hierarchical URL: fragment-stripped input passes through
+    assert(canon("mailto:a@b.com") == "mailto:a@b.com")
+    assert(canon("just text") == "just text")
+    // a param NAMED like a value keeps: tracking match is on the name only
+    assert(canon("http://h.com/a?q=utm_source") == "http://h.com/a?q=utm_source")
+    // ':' in the authority that is not a numeric port stays (and lowercases)
+    assert(canon("http://h.com:abc/x") == "http://h.com:abc/x")
+  }
+
+  test("canonical form is idempotent") {
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/Articles/9?utm_source=f&id=9#sec",
+      "https://Blog.x.co.uk:8080/post/1?gclid=g1",
+      "http://cdn.x.net/static/3")
+    urls.foreach { u => assert(canon(canon(u)) == canon(u), u) }
+  }
+
+  test("codegen path: the expression survives whole-stage codegen in a projection") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"HTTP://H$i.COM:80/p/$i?utm_source=x&k=$i#f"))
+      .toDF("id", "u")
+      .repartition(2)
+      .select(col("id"), CanonicalizeUrl.url(spark, col("u")).as("c"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(7L) == "http://h7.com/p/7?k=7")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project .*canonicalizeurl".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("registered domain + blocklist over planted URLs") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "src0"), (1L, "src1"), (2L, "src2"), (3L, "src3"),
+      (4L, "src4"), (5L, "src5"), (6L, "src6"), (7L, "src7")
+    ).toDF("doc_id", "source")
+    val out = graft.pipeline.Urls.urlCurate(graft.pipeline.Urls.plantUrls(d))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(out(0L) == (("http://www.src0.com/Articles/0?id=0", "www.src0.com", "src0.com", false)))
+    assert(out(1L) == (("https://blog.src1.co.uk:8080/post/1", "blog.src1.co.uk", "src1.co.uk", false)))
+    assert(out(2L) == (("https://spam-mill.com/page/2?p=2", "spam-mill.com", "spam-mill.com", true)))
+    assert(out(3L) == (("http://cdn.src3.net/static/3", "cdn.src3.net", "src3.net", false)))
+  }
+
+  test("registered domain heuristic: SLD set, bare hosts, IPv4 literals") {
+    import spark.implicits._
+    val hosts = Seq("a.b.co.uk", "b.co.uk", "co.uk", "example.com",
+      "deep.sub.example.com", "localhost", "192.168.0.1")
+    val got = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("i", "host")
+      .select(col("i"), graft.pipeline.Urls.registeredDomain(col("host")).as("rd"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("b.co.uk", "b.co.uk", "co.uk", "example.com",
+      "example.com", "localhost", "192.168.0.1"), got.toString)
+  }
+
+  test("domain rollup aggregates blocked and clean domains separately") {
+    import spark.implicits._
+    val d = (0L to 19L).map(i => (i, s"src${i % 4}", 100L + i))
+      .toDF("doc_id", "source", "n_chars")
+    val roll = graft.pipeline.Urls.domainRollup(graft.pipeline.Urls.plantUrls(d))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // doc_id % 4 == 2 → spam-mill.com: ids 2, 6, 10, 14, 18.
+    assert(roll("spam-mill.com")._1 == 5)
+    assert(roll("spam-mill.com")._4, "spam-mill.com must be blocked")
+    assert(roll("spam-mill.com")._3 == (102L + 106L + 110L + 114L + 118L))
+    assert(roll.keys.count(!roll(_)._4) > 0, "clean domains present")
+  }
+}

@@ -108,23 +108,25 @@ class PipelineSpec extends AnyFunSuite {
     def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
     val rows = Seq(
       (1L, words("a", 30)),          // survives everything (hash gate decides train)
-      (2L, words("a", 30)),          // exact dup of 1 → stops at quality
-      (3L, words("b", 5)),           // too short → stops at ingest
+      (5L, words("a", 30)),          // exact dup of 1 → stops at quality
+      (3L, words("b", 5)),           // too short → stops at domain
+      (6L, words("d", 30)),          // 6 % 4 == 2 → blocklisted domain plant → stops at ingest
       (23L, words("c", 30)),         // eval doc (23 % 23 == 0) → stops at dedup
       (24L, words("c", 30) + " tail")// shares an 8-gram with eval 23 → contaminated
     ).toDF("doc_id", "text")
     val funnel = Curate.corpusBuild(rows).collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
-    assert(funnel("ingest") == 5)
+    assert(funnel("ingest") == 6)
+    assert(funnel("domain") == 5, s"doc 6's planted domain is blocklisted: $funnel")
     assert(funnel("quality") == 4, s"doc 3 too short: $funnel")
-    assert(funnel("dedup") == 3, s"doc 2 is a dup: $funnel")
+    assert(funnel("dedup") == 3, s"doc 5 is a dup: $funnel")
     assert(funnel("decontaminated") == 1, s"eval 23 + contaminated 24 drop: $funnel")
     assert(funnel("train") <= funnel("decontaminated"))
   }
 
   test("corpus-build funnel on the corpus: single aggregate, fractions consistent") {
     val rows = Curate.corpusBuild(docs).collect()
-    assert(rows.map(_.getLong(0)).toSeq == (1L to 5L))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L))
     val counts = rows.map(_.getLong(2))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, counts.mkString(","))
     assert(rows.head.getDouble(3) == 1.0)
