@@ -502,6 +502,195 @@ object Multimodal {
       .toDF()
   }
 
+  // ---------------------------------------------------- perceptual hash
+
+  final case class DHashRow(
+      doc_id: Long,
+      dhash: Long,
+      width: Int,
+      height: Int,
+      decode_error: String = null)
+
+  final case class DHashTwin(
+      doc_id: Long,
+      dhash: Long,
+      rehash: Long,
+      hamming: Int,
+      is_near_dup: Boolean,
+      decode_error: String = null)
+
+  /** 64-bit difference hash (dHash) of a decoded image — the perceptual
+    * signature that makes IMAGE near-dup ride the same banded-store
+    * machinery as text simhash: area-average the luma plane onto a 9×8
+    * grid, then emit one bit per horizontal neighbor pair (left < right,
+    * 8 comparisons × 8 rows = 64 bits). Gradient SIGNS survive
+    * re-encoding (JPEG quantization perturbs values, rarely orderings),
+    * so a PNG and a JPEG of the same pixels land within a few bits —
+    * while any two genuinely different images disagree on ~32.
+    *
+    * The pooling is explicit integer area-averaging (each source pixel
+    * contributes to exactly one grid cell), NOT a platform scaler —
+    * `Image.getScaledInstance` and graphics-pipeline filters vary by
+    * JDK/backend, and a fingerprint must be bit-stable across the
+    * cluster. */
+  private[pipeline] def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    require(w >= gw && h >= gh, s"image ${w}x$h below the ${gw}x$gh hash grid")
+    val sum = Array.ofDim[Long](gh, gw)
+    val cnt = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(gw - 1, x * gw / w)
+        val p = img.getRGB(x, y)
+        sum(gy)(gx) += ((p >> 16) & 0xff) * 299L +
+          ((p >> 8) & 0xff) * 587L + (p & 0xff) * 114L
+        cnt(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var i = 0
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        // Compare mean lumas as cross-multiplied integers — no float
+        // division anywhere near the fingerprint.
+        if (sum(gy)(gx) * cnt(gy)(gx + 1) < sum(gy)(gx + 1) * cnt(gy)(gx))
+          bits |= (1L << i)
+        i += 1; gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Batched dHash over a media table (images only — other kinds have
+    * their own fingerprints): same mapPartitions seam as
+    * [[extractFeatures]], corrupt payloads become error rows. */
+  def imageDHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          require(img != null, "unreadable image bytes")
+          DHashRow(m.doc_id, dhash64(img), img.getWidth, img.getHeight)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            DHashRow(m.doc_id, 0L, 0, 0,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }))
+      .toDF()
+  }
+
+  /** The registered rows-only entry: every image doc hashed twice — once
+    * from its attached payload, once after a decode → re-encode round
+    * trip through the OTHER codec (PNG→JPEG, JPEG→PNG) — and the pair
+    * compared by hamming distance. This is the planted-twin proof that
+    * the perceptual hash is re-encode-stable where an exact byte hash is
+    * not (rows-only: JPEG encoder output is platform bytes, not SQL). */
+  def imageDHashTwins(media: DataFrame, batchSize: Int = 64,
+      nearHamming: Int = 10): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          require(img != null, "unreadable image bytes")
+          val h1 = dhash64(img)
+          val other = if (imageFormat(m.payload) == "jpg") "png" else "jpg"
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, other, out)
+          val img2 = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(out.toByteArray))
+          val h2 = dhash64(img2)
+          val d = java.lang.Long.bitCount(h1 ^ h2)
+          DHashTwin(m.doc_id, h1, h2, d, d <= nearHamming)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            DHashTwin(m.doc_id, 0L, 0L, -1, is_near_dup = false,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val DHashSpec = graft.sinks.BucketedStore.Spec(
+    "chunk INT, ch INT, doc_id BIGINT, dhash BIGINT", "ch", 32)
+
+  /** Incremental image near-dup against a persistent dHash band store —
+    * [[graft.pipeline.Dedup.incrementalSimhash]]'s lifecycle applied to
+    * the image modality: history is 4 (chunk, ch, doc_id, dhash) band
+    * rows per kept image (the 64-bit signature split into 16-bit
+    * chunks; pigeonhole guarantees every hamming-≤-`maxHamming` pair
+    * shares a chunk while maxHamming ≤ 3), probes join on (chunk, ch)
+    * and verify by exact bit_count(xor) on the join row, keepers-only
+    * append, idempotent replay. Decode-error rows pass through flagged
+    * not-duplicate and are never appended (an unreadable payload has no
+    * signature to match on). O(increment) per batch; the streaming
+    * wrapper is [[graft.streaming.PipelineStream.dedupImages]]. */
+  def incrementalImageDHash(media: DataFrame, storeDir: String,
+      maxHamming: Int = 3, broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = media.sparkSession
+    val hashed = graft.Materialize(imageDHash(media))
+    val sigs = hashed.filter(col("decode_error").isNull)
+      .select(col("doc_id"), col("dhash"))
+    val chunks = graft.Materialize(sigs
+      .select(col("doc_id"), col("dhash"), explode(expr(
+        """transform(sequence(0, 3), i -> named_struct(
+          |  'chunk', CAST(i AS INT),
+          |  'ch', CAST((dhash >> (16 * i)) & 65535 AS INT)))""".stripMargin))
+        .as("c"))
+      .select(col("doc_id"), col("dhash"), col("c.chunk"), col("c.ch")))
+    val small = chunks.count() <= broadcastMaxRows
+    def inc(df: DataFrame): DataFrame =
+      if (small) org.apache.spark.sql.functions.broadcast(df) else df
+
+    val store = graft.sinks.BucketedStore.readOrEmpty(spark, storeDir, DHashSpec)
+      .select(col("chunk"), col("ch"),
+        col("doc_id").as("old_id"), col("dhash").as("odh"))
+    val vsStore = store.join(inc(chunks), Seq("chunk", "ch"))
+      .filter(bit_count(col("dhash").bitwiseXOR(col("odh"))) <= maxHamming)
+      .select(col("doc_id"), col("old_id")).distinct()
+    val intra = chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .filter(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= maxHamming)
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    val dupOf = vsStore.unionByName(intra)
+      .groupBy("doc_id").agg(min("old_id").as("dup_of"))
+    val annotated = graft.Materialize(hashed
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dhash"),
+        col("dup_of").isNotNull.as("is_duplicate"), col("dup_of"),
+        col("decode_error")))
+    val keep = annotated
+      .filter(!col("is_duplicate") && col("decode_error").isNull)
+      .select("doc_id")
+    graft.sinks.BucketedStore.append(
+      chunks.join(inc(keep), Seq("doc_id"))
+        .select("chunk", "ch", "doc_id", "dhash"),
+      storeDir, DHashSpec)
+    graft.Materialize.release(chunks)
+    graft.Materialize.release(hashed)
+    annotated.orderBy("doc_id")
+  }
+
   def pipeline(s: SparkSession, dir: String): DataFrame =
     extractFeatures(attachPayloads(Tables(s, dir).documents))
       .select(col("doc_id"), col("kind"), col("n_bytes"), col("n_frames"),
@@ -528,5 +717,10 @@ object Multimodal {
         .select(col("doc_id"), col("n_samples"), col("sample_rate"),
           col("dominant_hz"), col("decode_error"))
         .orderBy("doc_id")),
+    // Rows-only (codec bytes are platform output, not SQL): every image
+    // doc hashed from its payload and from a cross-codec re-encode; the
+    // spec pins twin hamming ≤ 10 and distinct-image separation.
+    "image_dhash" -> ((s, d) =>
+      imageDHashTwins(attachPayloads(Tables(s, d).documents))),
   )
 }

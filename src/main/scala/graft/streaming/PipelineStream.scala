@@ -120,6 +120,18 @@ object PipelineStream {
     incremental(queries, outDir, checkpoint)(
       graft.pipeline.Similarity.ivfPqIndexTopK(indexDir, _, k))
 
+  /** Streaming IMAGE near-dup: every micro-batch of media rows
+    * (doc_id, kind, payload, …) is perceptually hashed (dHash) and
+    * probed against — and grows — the persistent band store
+    * ([[graft.pipeline.Multimodal.incrementalImageDHash]]); a
+    * re-encoded or re-crawled copy of a historical image lands flagged
+    * from 32 bytes of stored signature, the same lifecycle as the text
+    * tiers. */
+  def dedupImages(media: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(media, outDir, checkpoint)(
+      graft.pipeline.Multimodal.incrementalImageDHash(_, storeDir))
+
   /** Streaming SimHash near-dup: every micro-batch of (doc_id, text)
     * probes — and grows — the persistent 4-band chunk store
     * ([[graft.pipeline.Dedup.incrementalSimhash]]); the

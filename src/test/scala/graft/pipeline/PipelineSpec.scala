@@ -2430,6 +2430,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == ref, s"got ${got.size} ref ${ref.size}")
   }
 
+  test("image dhash: cross-codec re-encode twins match, corpus-wide") {
+    val twins = Multimodal.imageDHashTwins(Multimodal.attachPayloads(docs)).collect()
+    assert(twins.length == docs.filter(col("doc_id") % 3 === 0).count())
+    twins.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("decode_error") == null, s"doc $id decode error")
+      assert(r.getAs[Int]("hamming") <= 10,
+        s"doc $id: re-encode drifted ${r.getAs[Int]("hamming")} bits")
+      assert(r.getAs[Boolean]("is_near_dup"), s"doc $id twin not flagged")
+    }
+  }
+
+  test("image dhash incremental store: re-encodes flag, distinct images don't, replay idempotent") {
+    import spark.implicits._
+    def encode(w: Int, h: Int, fmt: String)(f: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, out)
+      out.toByteArray
+    }
+    def gray(v: Int) = { val c = math.max(0, math.min(255, v)); (c << 16) | (c << 8) | c }
+    val grad    = (x: Int, _: Int) => gray(x * 255 / 31)       // left→right ramp
+    val inverse = (x: Int, _: Int) => gray(255 - x * 255 / 31) // right→left ramp
+    val checker = (x: Int, y: Int) => gray(if (((x / 8) + (y / 8)) % 2 == 0) 230 else 30)
+    def row(id: Long, b: Array[Byte]) = Multimodal.MediaRow(id, "image", b, 32, 24, 0)
+
+    val store = java.nio.file.Files.createTempDirectory("dhstore").resolve("s").toString
+    val day1 = Seq(row(1L, encode(32, 24, "png")(grad)),
+      row(2L, encode(32, 24, "png")(inverse))).toDS().toDF()
+    val r1 = Multimodal.incrementalImageDHash(day1, store).collect()
+    assert(r1.forall(!_.getAs[Boolean]("is_duplicate")),
+      s"structurally opposite images must not collide: ${r1.mkString(",")}")
+
+    // Day 2: a JPEG re-encode of day-1's gradient (same pixels, lossy
+    // codec) must match the STORED signature; a checkerboard must not.
+    val day2 = Seq(row(10L, encode(32, 24, "jpg")(grad)),
+      row(11L, encode(32, 24, "png")(checker))).toDS().toDF()
+    val r2 = Multimodal.incrementalImageDHash(day2, store).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r2(10L).getAs[Boolean]("is_duplicate") &&
+      r2(10L).getAs[Long]("dup_of") == 1L, s"re-encode must flag: ${r2(10L)}")
+    assert(!r2(11L).getAs[Boolean]("is_duplicate"), s"checker is novel: ${r2(11L)}")
+
+    // Replay of day 2 is idempotent: everything flags, nothing appends.
+    val n = spark.read.parquet(store).count()
+    val r3 = Multimodal.incrementalImageDHash(day2, store).collect()
+    assert(r3.forall(_.getAs[Boolean]("is_duplicate")), "replay must be all-dup")
+    assert(spark.read.parquet(store).count() == n, "replay appends nothing")
+  }
+
   test("audio spectral: Goertzel detector recovers each synthesized tone exactly") {
     val out = Multimodal.audioSpectral(Multimodal.attachPayloads(docs)).collect()
     assert(out.length == docs.filter(col("doc_id") % 3 === 1).count())

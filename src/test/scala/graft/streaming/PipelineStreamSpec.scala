@@ -244,6 +244,48 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 12)
   }
 
+  test("streaming image dedup: a re-encoded copy flags across micro-batches from the band store") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("psimgstore"), tmp("psimgout"), tmp("psimgckpt"))
+    def encode(fmt: String)(f: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) im.setRGB(x, y, f(x, y))
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, o)
+      o.toByteArray
+    }
+    def gray(v: Int) = { val c = math.max(0, math.min(255, v)); (c << 16) | (c << 8) | c }
+    val grad    = (x: Int, _: Int) => gray(x * 255 / 31)
+    val checker = (x: Int, y: Int) => gray(if (((x / 8) + (y / 8)) % 2 == 0) 230 else 30)
+
+    val ms = MemoryStream[(Long, String, Array[Byte], Int, Int, Int)]
+    val q = PipelineStream.dedupImages(
+      ms.toDF().toDF("doc_id", "kind", "payload", "width", "height", "sample_rate"),
+      store, out, ckpt)
+    try {
+      ms.addData((1L, "image", encode("png")(grad), 32, 24, 0))
+      q.processAllAvailable()
+      // Batch 1: 10 is a JPEG re-encode of HISTORICAL 1 (matched from the
+      // stored 64-bit signature); 11 is structurally novel.
+      ms.addData((10L, "image", encode("jpg")(grad), 32, 24, 0),
+        (11L, "image", encode("png")(checker), 32, 24, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_duplicate"),
+          Option(r.getAs[Any]("dup_of")).map(_.toString)))).toMap
+    assert(rows.size == 3, rows.toString)
+    assert(rows(1L) == ((false, None)))
+    assert(rows(10L) == ((true, Some("1"))), s"cross-batch image dedup: ${rows(10L)}")
+    assert(rows(11L) == ((false, None)))
+    // Keepers-only growth: 2 keepers × 4 chunk rows.
+    assert(spark.read.parquet(store).count() == 8)
+  }
+
   test("streaming decontamination screens each micro-batch against the eval store") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
