@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.LuhnCheck(exprs.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[functions.FixMojibake].getName, "fix_mojibake"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"fix_mojibake expects exactly 1 argument, got ${exprs.length}")
+        functions.FixMojibake(exprs.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("canonicalize_url"),
       new ExpressionInfo(classOf[functions.CanonicalizeUrl].getName, "canonicalize_url"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression repairing the most common crawl encoding
+  * corruption — UTF-8 bytes mis-decoded as latin-1 ("mojibake": `é`
+  * arriving as `Ã©`, `中` as `ä¸­`) — with whole-stage codegen. The
+  * ftfy-class pre-dedup step: the same logical text crawled through a
+  * mislabeled-charset path must dedup/fingerprint with its clean twin,
+  * which NFC normalization ([[UnicodeNormalize]]) cannot achieve
+  * (mojibake is a byte-level error, not a canonical-equivalence one).
+  *
+  * Repair rule (conservative, total-string): if every char is ≤ U+00FF
+  * (i.e. the string COULD be a latin-1 view of raw bytes) and at least
+  * one is ≥ 0x80, re-encode those chars as the bytes they came from and
+  * STRICTLY decode them as UTF-8. Strict means any malformed sequence
+  * aborts the repair and returns the input unchanged — so genuine
+  * latin-1 text ("café": 0xE9 is a UTF-8 lead byte with no valid
+  * continuation) and plain ASCII both pass through untouched. Only
+  * strings whose high bytes form a COMPLETE valid UTF-8 stream repair —
+  * exactly the signature of the double-decode error, vanishingly
+  * unlikely in organic latin-1 (a lead byte must be chased by
+  * continuation bytes 0x80–0xBF, which are control/punctuation noise in
+  * latin-1 text). Strings containing chars above U+00FF already hold
+  * real Unicode and are never touched. One pass; apply token-wise
+  * (split/transform/concat_ws) to repair mixed-language rows where a
+  * clean CJK token would otherwise veto the whole string. */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fix_mojibake expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(
+      FixMojibake.repair(s.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.FixMojibake.repair($c.toString()));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FixMojibake {
+
+  /** The shared interpreted/codegen kernel. */
+  def repair(s: String): String = {
+    var i = 0
+    var hasHigh = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 0xFF) return s // real Unicode content — not a byte view
+      if (c >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return s // pure ASCII — nothing to repair
+    val bytes = new Array[Byte](s.length)
+    i = 0
+    while (i < s.length) { bytes(i) = s.charAt(i).toByte; i += 1 }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+
+  /** Register `fix_mojibake` on the session (the cosine_sim convention). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fix_mojibake", exprs => FixMojibake(exprs.head), "built-in")
+
+  /** Column-level entry point. */
+  def fix(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("fix_mojibake", c)
+  }
+}

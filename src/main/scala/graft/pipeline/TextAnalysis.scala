@@ -961,6 +961,31 @@ object TextAnalysis {
     * decomposition survives source-file normalization. */
   private val nfcSuffix = " cafe\u0301 \u00c5 A\u030a"
 
+  /** The text_fix_mojibake probe suffix: ' caf\u00e9 d\u00e9j\u00e0' after a
+    * UTF-8-bytes-read-as-latin-1 double decode (\u00e9 \u2192 \u00c3\u00a9, \u00e0 \u2192 \u00c3+NBSP) \u2014
+    * escapes so the corruption survives editors that "fix" it. */
+  private[pipeline] val mojibakeSuffix =
+    " caf\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0"
+  private[pipeline] val repairedSuffix = " caf\u00e9 d\u00e9j\u00e0"
+
+  /** Crawl encoding repair over the documents table \u2014 the ftfy-class
+    * pre-dedup step ([[graft.functions.FixMojibake]], the fifth custom
+    * codegen Expression): token-wise application (split / transform /
+    * concat_ws) so a clean CJK or genuinely-latin-1 token never vetoes
+    * the repair of a corrupted neighbor. One zero-shuffle projection.
+    * Composes in front of [[graft.pipeline.Dedup.exact]] the same way
+    * NFC does (dedup_exact_nfc): a mojibake twin and its clean original
+    * byte-match after repair. */
+  def fixMojibake(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.FixMojibake.register(docs.sparkSession)
+    docs.select(col("doc_id"), col(textCol),
+        expr(s"concat_ws(' ', transform(split($textCol, ' '), t -> fix_mojibake(t)))")
+          .as("text_fixed"))
+      .select(col("doc_id"), col("text_fixed"),
+        (col(textCol) =!= col("text_fixed")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   private val htmlPrefix =
     "<html><head><style>p{color:red}</style><script>var x=1<2;</script></head>" +
       "<body class=\"m\"><h1>&lt;Title&gt;&nbsp;</h1><p>"
@@ -992,6 +1017,15 @@ object TextAnalysis {
           concat(col("text"), lit(nfcSuffix))).as("norm"))
         .orderBy("doc_id")
     }),
+    // Encoding repair via the fifth codegen Expression: docs with
+    // doc_id % 5 == 0 carry a planted UTF-8-as-latin-1 double-decoded
+    // suffix that must come back byte-identical to the clean form; all
+    // other rows (pure-ASCII corpus, verified at every SF) pass through
+    // untouched — so the DuckDB twin states the expected repair from
+    // the plant's ground truth.
+    "text_fix_mojibake" -> ((s, d) => fixMojibake(Tables(s, d).documents
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(mojibakeSuffix)).otherwise(lit("")))))),
     "q93_hashed_tfidf" -> ((s, d) => hashedTfIdf(Tables(s, d).documents)),
     "bpe_merges"       -> ((s, d) => bpeTrain(Tables(s, d).documents)),
     "bpe_encode"       -> ((s, d) => bpeEncode(Tables(s, d).documents)),
@@ -1061,6 +1095,16 @@ object TextAnalysis {
          |    CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate,
          |  CAST(COUNT(DISTINCT CASE WHEN NOT iv THEN tok END) AS BIGINT) AS n_oov_types
          |FROM j GROUP BY source ORDER BY source""".stripMargin),
+    // The repair twin states the plant's ground truth directly: the
+    // base corpus is pure ASCII (verified at sf0.001/0.01/0.1), so the
+    // ONLY change the repair may make is mojibake-suffix → clean-suffix
+    // on the planted rows. A false repair anywhere breaks the hash.
+    "text_fix_mojibake" ->
+      (s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || '$repairedSuffix'
+         |       ELSE text END AS text_fixed,
+         |  doc_id % 5 = 0 AS changed
+         |FROM documents ORDER BY doc_id""".stripMargin),
     // DuckDB's utf8proc NFC and the JVM's java.text.Normalizer implement
     // the same standard-defined canonical composition.
     "text_nfc" ->

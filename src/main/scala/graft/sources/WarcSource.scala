@@ -1,0 +1,157 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC/WET container ingestion — the standard crawl interchange format
+  * (ISO 28500; what CommonCrawl ships), completing the ingest story in
+  * front of `text_strip_html` and the URL family: raw crawl bytes →
+  * (target URI, headers, payload) records → HTML strip → URL gate →
+  * dedup.
+  *
+  * A WARC file is a concatenation of records, each a CRLF-framed header
+  * block (`WARC/1.0`, `Name: value` lines, blank line) followed by
+  * exactly `Content-Length` payload bytes — so record splitting is a
+  * LENGTH-DIRECTED walk, never a delimiter scan inside payloads (a
+  * payload may contain anything, including header-lookalike bytes).
+  *
+  * Scale shape: the splitter is a per-file `mapPartitions` flatMap —
+  * each file parses independently and streams its records out, so
+  * ingestion parallelism = file count (crawl dumps ship as many ~1 GB
+  * segment files, the natural Spark partition grain). The driver-facing
+  * `readWarc` uses the binaryFile source (whole-file rows); a petabyte
+  * deployment swaps in a streaming per-file input (the record walk is
+  * sequential either way because record boundaries are data-dependent).
+  *
+  * Error semantics: corrupt input costs ROWS, not jobs — a malformed or
+  * truncated record produces one error row (file, offset context in the
+  * message) and stops that file's walk (everything after a framing loss
+  * is unreliable); other files are unaffected.
+  */
+object WarcSource {
+
+  final case class WarcRecord(
+      file: String,
+      rec_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      payload: Array[Byte],
+      error: String = null)
+
+  /** Split one WARC blob into records (the per-file sequential walk). */
+  private[sources] def splitFile(file: String, bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+    val n = bytes.length
+    var pos = 0
+    var idx = 0
+    def err(msg: String): Seq[WarcRecord] = {
+      out += WarcRecord(file, idx, null, null, -1L, Array.emptyByteArray,
+        s"$msg at byte $pos")
+      out.toSeq
+    }
+    def headerEnd(from: Int): Int = {
+      var i = from
+      while (i + 3 < n) {
+        if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+    while (pos < n) {
+      // Skip inter-record CRLF padding.
+      while (pos < n && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+      if (pos >= n) return out.toSeq
+      val he = headerEnd(pos)
+      if (he < 0) return err("truncated header (no blank line)")
+      val lines = new String(bytes, pos, he - pos, "UTF-8").split("\r\n")
+      if (!lines.head.startsWith("WARC/"))
+        return err(s"not a WARC record header: '${lines.head.take(32)}'")
+      val headers = lines.tail.flatMap { l =>
+        val c = l.indexOf(':')
+        if (c < 0) None
+        else Some(l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
+          l.substring(c + 1).trim)
+      }.toMap
+      val len = headers.get("content-length").flatMap(_.toLongOption) match {
+        case Some(v) if v >= 0 => v
+        case _ => return err("missing or invalid Content-Length")
+      }
+      val bodyStart = he + 4
+      if (bodyStart + len > n) return err(
+        s"truncated payload (need $len bytes, have ${n - bodyStart})")
+      out += WarcRecord(file, idx,
+        headers.getOrElse("warc-type", null),
+        headers.getOrElse("warc-target-uri", null),
+        len, java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + len.toInt))
+      idx += 1
+      pos = bodyStart + len.toInt
+    }
+    out.toSeq
+  }
+
+  /** Distributed record split over (path, content) rows. */
+  def records(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path").cast("string"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, b) => splitFile(p, b) })
+      .toDF()
+  }
+
+  /** Driver entry: glob of WARC files via the binaryFile source. */
+  def readWarc(spark: SparkSession, glob: String): DataFrame =
+    records(spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content")))
+
+  /** Build one in-memory WARC blob per source from the documents table —
+    * the deterministic plant for [[roundtrip]]: records are framed
+    * exactly as a crawler would write them (CRLF headers, byte-accurate
+    * Content-Length over the UTF-8 payload), ordered by doc_id within
+    * the file. */
+  def buildWarc(docs: DataFrame): DataFrame = {
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.org/"),
+      col("doc_id").cast("string"),
+      lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
+      lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+    docs.select(col("source"), struct(col("doc_id"), rec.as("rec")).as("s"))
+      .groupBy("source")
+      .agg(array_sort(collect_list(col("s"))).as("recs"))
+      .select(col("source").as("path"),
+        concat_ws("", expr("transform(recs, r -> r.rec)")).as("blob"))
+  }
+
+  /** The registered ORACLE entry: documents → per-source WARC blobs →
+    * record split → scalar record surface. Because the build step is an
+    * exact inverse of the split, DuckDB states the expected output
+    * DIRECTLY from the documents table — any framing or length bug in
+    * either direction breaks the hash. Byte-accurate across charsets:
+    * Content-Length counts UTF-8 bytes (octet_length ≡ DuckDB strlen),
+    * which differs from the char count on the zh slice. */
+  def roundtrip(docs: DataFrame): DataFrame =
+    records(buildWarc(docs).select(col("path"), col("blob").cast("binary").as("content")))
+      .select(
+        element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+        col("rec_idx").cast("long").as("rec_idx"),
+        col("warc_type"), col("content_length"),
+        col("payload").cast("string").as("text"))
+      .orderBy("doc_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "warc_roundtrip" -> ((s, d) => roundtrip(Tables(s, d).documents)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "warc_roundtrip" ->
+      ("""SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS rec_idx,
+         |  'response' AS warc_type,
+         |  CAST(strlen(text) AS BIGINT) AS content_length,
+         |  text
+         |FROM documents ORDER BY doc_id""".stripMargin),
+  )
+}

@@ -157,6 +157,8 @@ object WidthBench {
       "source_report"       -> ((d, _, _) => Curate.sourceReport(d)),
       "url_canonicalize"    -> ((d, _, _) => Urls.urlCurate(Urls.plantUrls(d))),
       "url_domain_rollup"   -> ((d, _, _) => Urls.domainRollup(Urls.plantUrls(d))),
+      "text_fix_mojibake"   -> ((d, _, _) => TextAnalysis.fixMojibake(d)),
+      "warc_roundtrip"      -> ((d, _, _) => graft.sources.WarcSource.roundtrip(d)),
       "graph_pagerank"      -> ((d, _, _) => Clusters.docPageRank(d)),
       "q91_pmi"             -> ((d, _, _) => TextAnalysis.pmiPairs(d)),
       "q92_negsample"       -> ((d, _, _) => TextAnalysis.negativeSamplingDist(d)),

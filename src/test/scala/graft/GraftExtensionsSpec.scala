@@ -41,6 +41,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fix_mojibake resolves from the extension with no manual registration") {
+    withExtensionSession { s =>
+      val moji = new String("café".getBytes("UTF-8"), "ISO-8859-1")
+      val r = s.sql(s"SELECT fix_mojibake('$moji') AS c").head().getString(0)
+      assert(r == "café")
+    }
+  }
+
   test("canonicalize_url resolves from the extension with no manual registration") {
     withExtensionSession { s =>
       val r = s.sql(

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FixMojibakeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def moji(clean: String): String =
+    new String(clean.getBytes("UTF-8"), "ISO-8859-1")
+
+  test("kernel: repairs double-decodes, never touches clean or genuine latin-1 text") {
+    // The classic corruptions, built mechanically from their clean forms.
+    Seq("café", "déjà vu", "naïve", "Größe", "中文", "αβγ", "héllo wörld")
+      .foreach { clean =>
+        assert(FixMojibake.repair(moji(clean)) == clean, s"repair of moji('$clean')")
+      }
+    // Pure ASCII: untouched.
+    assert(FixMojibake.repair("plain ascii text") == "plain ascii text")
+    // GENUINE latin-1 content: a lone é (0xE9) is an invalid UTF-8
+    // stream — strict decode aborts, input passes through.
+    Seq("café", "déjà", "Ünïté", "résumé").foreach { s =>
+      assert(FixMojibake.repair(s) == s, s"genuine latin-1 '$s' must not change")
+    }
+    // Real Unicode above U+00FF: never touched.
+    assert(FixMojibake.repair("中文 text") == "中文 text")
+    // Idempotent: repairing a repaired string is a no-op (the repaired
+    // form is either ASCII or real Unicode / invalid-as-UTF-8 latin-1).
+    Seq("café", "中文", "déjà vu").foreach { clean =>
+      assert(FixMojibake.repair(FixMojibake.repair(moji(clean))) == clean)
+    }
+  }
+
+  test("codegen path: the expression survives whole-stage codegen in a projection") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, moji(s"café $i")))
+      .toDF("id", "s")
+      .repartition(2)
+      .select(col("id"), FixMojibake.fix(spark, col("s")).as("fixed"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(7L) == "café 7")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project .*fixmojibake".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("token-wise repair lets clean CJK neighbors coexist with corrupted tokens") {
+    import spark.implicits._
+    val mixed = s"${moji("café")} 中文 plain ${moji("déjà")}"
+    val out = graft.pipeline.TextAnalysis.fixMojibake(
+      Seq((1L, mixed), (2L, "all clean here")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == (("café 中文 plain déjà", true)), out(1L).toString)
+    assert(out(2L) == (("all clean here", false)))
+  }
+
+  test("mojibake twins dedup together after repair (the pre-dedup composition)") {
+    import spark.implicits._
+    val clean = "the café was déjà vu"
+    val d = Seq((1L, clean), (2L, moji(clean)), (3L, "something else entirely"))
+      .toDF("doc_id", "text")
+    // Without repair the twins have different bytes and both survive.
+    assert(graft.pipeline.Dedup.exact(d).count() == 3)
+    // With the repair pre-step they byte-match and collapse keep-first.
+    val fixed = graft.pipeline.TextAnalysis.fixMojibake(d)
+      .select(col("doc_id"), col("text_fixed").as("text"))
+    val kept = graft.pipeline.Dedup.exact(fixed).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 3L), kept.toSeq.toString)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSourceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def rec(uri: String, body: String,
+      warcType: String = "response"): String = {
+    val bytes = body.getBytes("UTF-8").length
+    s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: $bytes\r\n\r\n$body\r\n\r\n"
+  }
+
+  test("multi-record split: framing, headers, byte-exact payloads incl. non-ASCII") {
+    val blob = (rec("https://a.org/1", "<p>hello world</p>") +
+      rec("https://a.org/2", "中文 内容 here", warcType = "conversion") +
+      // A payload containing header-LOOKALIKE bytes: the length-directed
+      // walk must not be fooled by a delimiter inside the body.
+      rec("https://a.org/3", "WARC/1.0\r\n\r\nnot a record, just bytes"))
+      .getBytes("UTF-8")
+    val out = WarcSource.splitFile("f1", blob)
+    assert(out.length == 3, out.toString)
+    assert(out.forall(_.error == null))
+    assert(out.map(_.rec_idx) == Seq(0, 1, 2))
+    assert(out(0).target_uri == "https://a.org/1")
+    assert(out(0).warc_type == "response")
+    assert(new String(out(0).payload, "UTF-8") == "<p>hello world</p>")
+    assert(out(1).warc_type == "conversion")
+    assert(new String(out(1).payload, "UTF-8") == "中文 内容 here")
+    assert(out(1).content_length == "中文 内容 here".getBytes("UTF-8").length)
+    assert(new String(out(2).payload, "UTF-8").startsWith("WARC/1.0"))
+  }
+
+  test("truncated and malformed records produce error rows, not failures") {
+    // Truncated payload: Content-Length promises more bytes than exist.
+    val t1 = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      "Content-Length: 999\r\n\r\nshort").getBytes("UTF-8")
+    val o1 = WarcSource.splitFile("t1", t1)
+    assert(o1.length == 1 && o1.head.error != null &&
+      o1.head.error.contains("truncated payload"), o1.toString)
+    // Good record followed by a truncated header: the good one survives.
+    val t2 = (rec("https://a.org/9", "ok body") + "WARC/1.0\r\nWARC-Type: resp")
+      .getBytes("UTF-8")
+    val o2 = WarcSource.splitFile("t2", t2)
+    assert(o2.length == 2 && o2.head.error == null && o2(1).error != null)
+    assert(o2(1).error.contains("truncated header"))
+    // Garbage that is not WARC at all.
+    val o3 = WarcSource.splitFile("t3", "HTTP/1.1 200 OK\r\n\r\nbody".getBytes("UTF-8"))
+    assert(o3.length == 1 && o3.head.error != null &&
+      o3.head.error.contains("not a WARC record"))
+    // Missing Content-Length.
+    val o4 = WarcSource.splitFile("t4",
+      "WARC/1.0\r\nWARC-Type: response\r\n\r\nbody".getBytes("UTF-8"))
+    assert(o4.length == 1 && o4.head.error != null &&
+      o4.head.error.contains("Content-Length"))
+  }
+
+  test("distributed split: one bad file costs its rows, other files parse fully") {
+    import spark.implicits._
+    val good = rec("https://a.org/1", "body one") + rec("https://a.org/2", "body two")
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 50\r\n\r\nx"
+    val files = Seq(("fileA", good.getBytes("UTF-8")), ("fileB", bad.getBytes("UTF-8")))
+      .toDF("path", "content")
+    val out = WarcSource.records(files).collect()
+    val byFile = out.groupBy(_.getAs[String]("file"))
+    assert(byFile("fileA").length == 2 &&
+      byFile("fileA").forall(_.getAs[String]("error") == null))
+    assert(byFile("fileB").length == 1 &&
+      byFile("fileB").head.getAs[String]("error") != null)
+  }
+
+  test("ingest composes: WARC -> strip html -> exact dedup funnel") {
+    import spark.implicits._
+    val page = "<html><body><p>alpha beta gamma</p></body></html>"
+    val blob = (rec("https://s.org/1", page) +
+      rec("https://s.org/2", page) + // exact dup after (and before) stripping
+      rec("https://s.org/3", "<div>delta epsilon</div>")).getBytes("UTF-8")
+    val docs = WarcSource.records(Seq(("f", blob)).toDF("path", "content"))
+      .filter(col("error").isNull)
+      .select(
+        element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+        col("payload").cast("string").as("html"))
+    val stripped = graft.pipeline.TextAnalysis.stripHtml(docs)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val kept = graft.pipeline.Dedup.exact(stripped).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 3L), s"dup 2 must collapse keep-first: ${kept.toSeq}")
+  }
+
+  test("roundtrip equals the documents table on the real corpus") {
+    val docs = graft.Tables(spark, sf0001).documents
+    val rt = WarcSource.roundtrip(docs).collect()
+    assert(rt.length == docs.count())
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rt.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(4) == texts(id), s"payload mismatch for doc $id")
+      assert(r.getLong(3) == texts(id).getBytes("UTF-8").length.toLong)
+      assert(r.getString(2) == "response")
+    }
+  }
+}
