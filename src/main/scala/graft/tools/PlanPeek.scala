@@ -1,0 +1,24 @@
+package graft.tools
+import graft.{GraftSession, Tables}
+object PlanPeek {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8, "planpeek")
+    val dir = "/root/testdata/sf0.01"
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      val ex = "Exchange".r.findAllIn(p).length - "ReusedExchange".r.findAllIn(p).length
+      val bc = "BroadcastHashJoin".r.findAllIn(p).length
+      val cart = "CartesianProduct".r.findAllIn(p).length
+      val wsc = "WholeStageCodegen".r.findAllIn(p).length
+      println(s"[$name] exchanges=$ex bhj=$bc cartesian=$cart codegenSpans=$wsc")
+    }
+    val docs = Tables(spark, dir).documents
+    audit("url_canonicalize", graft.pipeline.Urls.urlCurate(graft.pipeline.Urls.plantUrls(docs)))
+    audit("url_domain_rollup", graft.pipeline.Urls.domainRollup(graft.pipeline.Urls.plantUrls(docs)))
+    audit("text_fix_mojibake", graft.pipeline.TextAnalysis.fixMojibake(docs))
+    audit("warc_roundtrip", graft.sources.WarcSource.roundtrip(docs))
+    audit("pipeline_funnel", graft.pipeline.Curate.corpusBuild(docs))
+    audit("nucleus_select", graft.pipeline.Select.nucleusSelect(docs))
+    spark.stop()
+  }
+}
