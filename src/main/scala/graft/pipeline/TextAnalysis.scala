@@ -769,6 +769,41 @@ object TextAnalysis {
     df.withColumn(out, trim(regexp_replace(decoded, "\\s+", " ")))
   }
 
+  /** Main-content extraction by BLOCK-LEVEL link-density scoring — the
+    * boilerplate-removal step BETWEEN [[stripHtml]] (which flattens the
+    * whole page, nav and footer included) and the quality gates: split
+    * the page at block-level tags, score each block by token count and
+    * link density (anchor-text chars ÷ text chars), and keep only
+    * content-dense blocks (Arc90/boilerpipe's core heuristic — site
+    * chrome is short and link-saturated, body prose is long and link-
+    * sparse). Reassembles kept blocks in document order.
+    *
+    * One zero-shuffle HOF projection per row: the split, both per-block
+    * tag strips, the density filter, and the reassembly all ride the
+    * scan task — no explode, no shuffle (the orderBy is the driver
+    * surface's). Entity decoding is [[stripHtml]]'s job; compose it
+    * downstream when pages carry entities. */
+  def extractMainContent(docs: DataFrame, htmlCol: String = "html",
+      minTokens: Int = 5, maxLinkDensity: Double = 0.5): DataFrame = {
+    val blockTag = "(?i)</?(?:div|p|td|li|h[1-6]|section|article|nav|footer|header|ul|ol|table|tr|br)[^>]*>"
+    docs
+      .select(col("doc_id"), split(col(htmlCol), blockTag).as("blocks"))
+      .select(col("doc_id"), expr(
+        s"""filter(transform(blocks, b -> named_struct(
+           |  'txt', trim(regexp_replace(regexp_replace(b, '<[^>]+>', ' '), '\\\\s+', ' ')),
+           |  'atxt', trim(regexp_replace(regexp_replace(
+           |    concat_ws(' ', regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1)),
+           |    '<[^>]+>', ' '), '\\\\s+', ' ')))),
+           |  s -> length(s.txt) > 0
+           |    AND size(split(s.txt, ' ')) >= $minTokens
+           |    AND length(s.atxt) <= $maxLinkDensity * length(s.txt))""".stripMargin)
+        .as("kept"))
+      .select(col("doc_id"),
+        expr("trim(regexp_replace(concat_ws(' ', transform(kept, s -> s.txt)), '\\\\s+', ' '))")
+          .as("main_text"))
+      .orderBy("doc_id")
+  }
+
   /** Windowed co-occurrence PMI pairs (the Levy–Goldberg
     * count-based-embedding statistic; also the collocation detector):
     * for unordered token pairs co-occurring within `window` positions,
@@ -999,6 +1034,17 @@ object TextAnalysis {
         concat(lit(htmlPrefix), col("text"), lit(htmlSuffix)).as("html"))
       stripHtml(wrapped).select("doc_id", "clean_text").orderBy("doc_id")
     }),
+    // Boilerplate removal by link density: every doc's text wrapped in
+    // a link-saturated nav + footer; extraction must return exactly the
+    // content block (every doc has ≥ 10 ≥ minTokens tokens, verified at
+    // all SFs), so the DuckDB twin states the plant's ground truth.
+    "text_main_content" -> ((s, d) => {
+      val wrapped = Tables(s, d).documents.select(col("doc_id"), concat(
+        lit("""<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div><div id="main"><p>"""),
+        col("text"),
+        lit("""</p></div><div class="footer"><a href="/p">Privacy</a> <a href="/t">Terms</a> legal</div>""")).as("html"))
+      extractMainContent(wrapped)
+    }),
     "q91_pmi"          -> ((s, d) => pmiPairs(Tables(s, d).documents)),
     "q92_negsample"    -> ((s, d) => negativeSamplingDist(Tables(s, d).documents)),
     // Iterative pagerank fixpoint over the co-occurrence graph —
@@ -1095,6 +1141,12 @@ object TextAnalysis {
          |    CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate,
          |  CAST(COUNT(DISTINCT CASE WHEN NOT iv THEN tok END) AS BIGINT) AS n_oov_types
          |FROM j GROUP BY source ORDER BY source""".stripMargin),
+    // Plant ground truth: the nav ("Home About Contact", 3 tokens,
+    // link density 1.0) and footer (3 tokens, density ≈ 0.72) blocks
+    // fail BOTH keep rules; the content block is exactly `text` (≥ 10
+    // tokens, zero links) — so extraction must return text verbatim.
+    "text_main_content" ->
+      ("SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id"),
     // The repair twin states the plant's ground truth directly: the
     // base corpus is pure ASCII (verified at sf0.001/0.01/0.1), so the
     // ONLY change the repair may make is mojibake-suffix → clean-suffix

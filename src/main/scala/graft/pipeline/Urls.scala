@@ -121,11 +121,45 @@ object Urls {
       .orderBy("reg_domain")
   }
 
+  /** URL-level exact dedup — CCNet stage 1: the same page crawled twice
+    * (different spellings of the same URL) collapses keep-first BY ITS
+    * CANONICAL FORM, before any text is even fetched/compared. Keep-first
+    * is the hash-aggregate + join-back shape (q19's skew argument: a
+    * viral URL's clique combines map-side, never sorts in one reducer
+    * partition). */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val canon = docs.select(col("doc_id"),
+      CanonicalizeUrl.url(spark, col("url")).as("url_canon"))
+    val firsts = canon.groupBy("url_canon").agg(min("doc_id").as("first_id"))
+    canon.join(firsts, Seq("url_canon"))
+      .select(col("doc_id"), col("url_canon"),
+        (col("doc_id") =!= col("first_id")).as("is_duplicate"),
+        when(col("doc_id") =!= col("first_id"), col("first_id")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** Plant for [[urlDedup]]: groups of three consecutive doc_ids share
+    * one page, each spelled DIFFERENTLY — clean, shouty-host + default
+    * port + tracking param, fragment-suffixed — so the dedup only works
+    * if canonicalization collapses all three spellings. */
+  def plantDedupUrls(docs: DataFrame): DataFrame = {
+    val gid = (col("doc_id") - pmod(col("doc_id"), lit(3))).cast("string")
+    val base = concat(lit("http://www.ex"), gid, lit(".com/page/"), gid)
+    docs.withColumn("url",
+      when(col("doc_id") % 3 === 1, concat(
+        lit("HTTP://WWW.EX"), gid, lit(".COM:80/page/"), gid, lit("?utm_source=x")))
+      .when(col("doc_id") % 3 === 2, concat(base, lit("#section")))
+      .otherwise(base))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_canonicalize" ->
       ((s, d) => urlCurate(plantUrls(Tables(s, d).documents))),
     "url_domain_rollup" ->
       ((s, d) => domainRollup(plantUrls(Tables(s, d).documents))),
+    "url_dedup" ->
+      ((s, d) => urlDedup(plantDedupUrls(Tables(s, d).documents))),
   )
 
   /** The DuckDB twin replays the canonicalization algorithm step for
@@ -203,5 +237,17 @@ object Urls {
         "  reg_domain IN ('spam-mill.com', 'link-farm.biz', 'clickbait-mirror.net')\n" +
         "    AS blocked\n" +
         "FROM dom GROUP BY reg_domain ORDER BY reg_domain"),
+    // Plant ground truth: the three spellings canonicalize to the same
+    // URL exactly when the canonicalizer works (independently
+    // hash-verified by url_canonicalize), and doc_ids are contiguous
+    // from 0 at every SF, so each 3-group's keep-first IS its gid.
+    "url_dedup" ->
+      ("""WITH g AS (SELECT doc_id, doc_id - doc_id % 3 AS gid FROM documents)
+         |SELECT doc_id,
+         |  'http://www.ex' || CAST(gid AS VARCHAR) || '.com/page/' || CAST(gid AS VARCHAR)
+         |    AS url_canon,
+         |  doc_id % 3 <> 0 AS is_duplicate,
+         |  CASE WHEN doc_id % 3 <> 0 THEN gid END AS dup_of
+         |FROM g ORDER BY doc_id""".stripMargin),
   )
 }

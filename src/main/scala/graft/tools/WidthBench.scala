@@ -159,6 +159,10 @@ object WidthBench {
       "url_domain_rollup"   -> ((d, _, _) => Urls.domainRollup(Urls.plantUrls(d))),
       "text_fix_mojibake"   -> ((d, _, _) => TextAnalysis.fixMojibake(d)),
       "warc_roundtrip"      -> ((d, _, _) => graft.sources.WarcSource.roundtrip(d)),
+      "url_dedup"           -> ((d, _, _) => Urls.urlDedup(Urls.plantDedupUrls(d))),
+      "text_main_content"   -> ((d, _, _) => TextAnalysis.extractMainContent(
+        d.select(col("doc_id"), concat(lit("<div><a href=\"/\">Home</a> <a>About</a></div><p>"),
+          col("text"), lit("</p><div><a>Privacy</a> <a>Terms</a> legal</div>")).as("html")))),
       "graph_pagerank"      -> ((d, _, _) => Clusters.docPageRank(d)),
       "q91_pmi"             -> ((d, _, _) => TextAnalysis.pmiPairs(d)),
       "q92_negsample"       -> ((d, _, _) => TextAnalysis.negativeSamplingDist(d)),

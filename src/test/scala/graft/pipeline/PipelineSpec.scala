@@ -103,6 +103,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) == "")
   }
 
+  test("main-content extraction: link density and token rules drop chrome, keep prose") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val prose1 = words("p", 12)
+    val prose2 = words("q", 8)
+    val d = Seq(
+      // nav + two content blocks + link-farm + footer: content joined in order
+      (1L, s"""<div class="nav"><a href="/">Home</a> <a href="/x">About</a></div>""" +
+        s"<p>$prose1</p><p>$prose2</p>" +
+        // link farm: 8 tokens (>= minTokens) but ALL inside anchors —
+        // only the density rule can drop it.
+        s"""<div>${(1 to 8).map(i => s"""<a href="/$i">link$i</a>""").mkString(" ")}</div>""" +
+        s"""<div class="footer"><a>Privacy</a> <a>Terms</a> legal</div>"""),
+      // a 4-token page: below minTokens everywhere -> empty main text
+      (2L, "<p>too short to keep</p>"),
+      // plain prose with an inline link under the density cap survives
+      (3L, s"""<p>${words("r", 10)} <a href="/ref">one link</a> ${words("s", 10)}</p>""")
+    ).toDF("doc_id", "html")
+    val out = TextAnalysis.extractMainContent(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"$prose1 $prose2", s"got: '${out(1L)}'")
+    assert(out(2L) == "", s"got: '${out(2L)}'")
+    assert(out(3L).startsWith("r0") && out(3L).contains("one link") &&
+      out(3L).endsWith("s9"), s"got: '${out(3L)}'")
+  }
+
+  test("url dedup: differently-spelled crawls of one page collapse keep-first") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "http://www.ex.com/page/7"),
+      (2L, "HTTP://WWW.EX.COM:80/page/7?utm_source=x"), // same page, shouty + noise
+      (3L, "http://www.ex.com/page/7#comments"),        // same page, fragment
+      (4L, "http://www.ex.com/page/8")                  // different page
+    ).toDF("doc_id", "url")
+    val out = Urls.urlDedup(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), Option(r.get(3)).map(_.toString)))).toMap
+    assert(out(1L) == (("http://www.ex.com/page/7", false, None)))
+    assert(out(2L) == (("http://www.ex.com/page/7", true, Some("1"))), out(2L).toString)
+    assert(out(3L) == (("http://www.ex.com/page/7", true, Some("1"))))
+    assert(out(4L) == (("http://www.ex.com/page/8", false, None)))
+  }
+
   test("corpus-build funnel: monotone stage counts, each gate actually cuts") {
     import spark.implicits._
     def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
