@@ -139,6 +139,24 @@ object Urls {
       .orderBy("doc_id")
   }
 
+  /** Incremental URL frontier — the crawler's persistent "seen URL"
+    * store: each day's crawl list is canonicalized and checked against
+    * (and grows) the historical URL hash store at O(increment) cost,
+    * so a re-crawled or re-spelled page is skipped BEFORE fetch. Pure
+    * composition: canonicalize ([[CanonicalizeUrl]]) then delegate to
+    * [[graft.pipeline.Dedup.incrementalExact]]'s bucketed hash store —
+    * same probe shapes (broadcast increment below the cap, bucketed SMJ
+    * above), keepers-only append, idempotent replay. Returns
+    * (doc_id, h, is_duplicate, dup_of) over the canonical URL. */
+  def incrementalUrlDedup(docs: DataFrame, storeDir: String,
+      broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = docs.sparkSession
+    Dedup.incrementalExact(
+      docs.select(col("doc_id"),
+        CanonicalizeUrl.url(spark, col("url")).as("text")),
+      storeDir, broadcastMaxRows)
+  }
+
   /** Plant for [[urlDedup]]: groups of three consecutive doc_ids share
     * one page, each spelled DIFFERENTLY — clean, shouty-host + default
     * port + tracking param, fragment-suffixed — so the dedup only works

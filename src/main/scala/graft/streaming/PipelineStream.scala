@@ -120,6 +120,16 @@ object PipelineStream {
     incremental(queries, outDir, checkpoint)(
       graft.pipeline.Similarity.ivfPqIndexTopK(indexDir, _, k))
 
+  /** Streaming URL frontier: every micro-batch of (doc_id, url) rows is
+    * canonicalized and checked against — and grows — the persistent
+    * seen-URL hash store
+    * ([[graft.pipeline.Urls.incrementalUrlDedup]]); a re-crawled or
+    * re-spelled page flags before its fetch budget is spent. */
+  def dedupUrls(docs: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(docs, outDir, checkpoint)(
+      graft.pipeline.Urls.incrementalUrlDedup(_, storeDir))
+
   /** Streaming IMAGE near-dup: every micro-batch of media rows
     * (doc_id, kind, payload, …) is perceptually hashed (dHash) and
     * probed against — and grows — the persistent band store

@@ -146,6 +146,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) == (("http://www.ex.com/page/8", false, None)))
   }
 
+  test("incremental url frontier: re-spelled re-crawls flag against the store, replay idempotent") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("urlfront").resolve("s").toString
+    val day1 = Seq(
+      (1L, "http://www.ex.com/page/7"),
+      (2L, "http://www.ex.com/page/8")).toDF("doc_id", "url")
+    val r1 = Urls.incrementalUrlDedup(day1, store).collect()
+    assert(r1.forall(!_.getAs[Boolean]("is_duplicate")))
+    // Day 2: a differently-SPELLED crawl of page 7 must hit the stored
+    // canonical hash; a new page must not.
+    val day2 = Seq(
+      (10L, "HTTP://WWW.EX.COM:80/page/7?utm_source=feed#top"),
+      (11L, "http://www.ex.com/page/9")).toDF("doc_id", "url")
+    val r2 = Urls.incrementalUrlDedup(day2, store).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_duplicate")).toMap
+    assert(r2 == Map(10L -> true, 11L -> false), r2.toString)
+    // Replay: everything flags, store does not grow.
+    val n = spark.read.parquet(store).count()
+    val r3 = Urls.incrementalUrlDedup(day2, store).collect()
+    assert(r3.forall(_.getAs[Boolean]("is_duplicate")))
+    assert(spark.read.parquet(store).count() == n)
+  }
+
   test("corpus-build funnel: monotone stage counts, each gate actually cuts") {
     import spark.implicits._
     def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")

@@ -244,6 +244,25 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 12)
   }
 
+  test("streaming url frontier: a re-spelled re-crawl flags across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("psurlstore"), tmp("psurlout"), tmp("psurlckpt"))
+    val ms = MemoryStream[(Long, String)]
+    val q = PipelineStream.dedupUrls(
+      ms.toDF().toDF("doc_id", "url"), store, out, ckpt)
+    try {
+      ms.addData((1L, "http://www.ex.com/page/7"))
+      q.processAllAvailable()
+      ms.addData((10L, "HTTP://WWW.EX.COM:80/page/7?gclid=z"), // re-spelled re-crawl
+        (11L, "http://www.ex.com/page/9"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_duplicate")).toMap
+    assert(rows == Map(1L -> false, 10L -> true, 11L -> false), rows.toString)
+  }
+
   test("streaming image dedup: a re-encoded copy flags across micro-batches from the band store") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
