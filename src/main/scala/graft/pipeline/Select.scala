@@ -498,9 +498,16 @@ object Select {
     * bm25/q64 ln-score precedent) pins both the selected set and the
     * emitted score. 6 dp (not the usual 4) because r concentrates near 0
     * for heavy documents — 4 dp would tie half the head and hand the
-    * choice to the tiebreak instead of the weights. */
+    * choice to the tiebreak instead of the weights.
+    *
+    * Zero-weight rows are FILTERED, not divided: the A-ES key u^(1/w)
+    * tends to 0 as w → 0+ (u < 1), so a weight-0 document has selection
+    * probability 0 in the limit — and under ANSI mode the literal
+    * ln(u)/0 would abort the whole query on the first empty document
+    * (caught by DegenerateCorpusSpec). */
   def weightedSample(docs: DataFrame, k: Int = 200): DataFrame =
     docs
+      .filter(col("n_chars") > 0)
       .withColumn("hk32",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
       .select(col("doc_id"), col("lang"), col("n_chars").as("weight"),
@@ -924,7 +931,7 @@ object Select {
          |  SELECT doc_id, lang, n_chars AS weight,
          |    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
          |        AS BIGINT) + 0.5) / 4294967296.0) / n_chars, 6) AS draw
-         |  FROM documents) t
+         |  FROM documents WHERE n_chars > 0) t
          |ORDER BY draw DESC, doc_id LIMIT 200""".stripMargin),
     "q59_strat_sample" ->
       ("""SELECT doc_id, lang, source FROM documents
