@@ -83,9 +83,17 @@ object Bench {
         // added a groupBy/join to an op whose contract is one scan.
         if (Set("q52_embed_quant", "doc_fingerprint", "q51_pii_redact",
               "q38_token_counts", "q59_strat_sample", "q63_chunk_docs",
-              "q98_winnowing").contains(name) &&
+              "q98_winnowing", "gopher_rules").contains(name) &&
             plan.contains("Exchange hashpartitioning"))
           violations += s"$name:linear-op-gained-a-shuffle"
+        // The interleave position is ARITHMETIC (fold over the broadcast
+        // per-source count table); the only window is partitioned by
+        // source. A row_number over anything else means the global
+        // single-reducer ORDER BY window came back.
+        if (name == "curriculum_interleave" && fullPlan.linesIterator.exists(l =>
+              l.contains("row_number()") &&
+                !l.contains("windowspecdefinition(source")))
+          violations += s"$name:global-window-came-back"
         if (name == "q58_decontaminate" && !plan.contains("BroadcastHashJoin"))
           violations += s"$name:eval-set-not-broadcast"
         // The bloom prefilter probe is Spark's codegen'd

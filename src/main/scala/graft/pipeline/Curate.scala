@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed corpus-curation decision — what a training-data pipeline
@@ -222,8 +223,46 @@ object Curate {
         round(col("n_quality").cast("double") / col("n_docs"), 4).as("quality_frac"))
       .orderBy("source")
 
+  /** Curriculum ordering by round-robin source interleave — the final
+    * "write the training order" step: rank documents within each source
+    * (quality proxy `n_chars` desc, doc_id tiebreak), then emit round 1
+    * of every source, round 2 of every source, … so no source ever
+    * clumps in training order (the standard mitigation for
+    * order-sensitive loss spikes when a corpus concatenates sources).
+    *
+    * The global position is computed ARITHMETICALLY, not with a global
+    * window: a document at rank r in source s sits after
+    * Σ_s' min(|s'|, r−1) full earlier rounds plus the sources before s
+    * still alive in round r — both terms fold over the |sources|-row
+    * count table carried as a one-row broadcast array. The only
+    * per-document window is partitioned by source; no single-reducer
+    * ORDER BY ever forms (the trending_terms/nucleus boundary-rank
+    * convention), so the op scales to any corpus with a bounded number
+    * of sources. The oracle MAY window (oracle-side global ROW_NUMBER
+    * is the declared twin of the arithmetic). */
+  def interleaveSources(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
+    val ranked = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+    val countArr = ranked.groupBy("source").agg(count(lit(1)).as("sz"))
+      .agg(sort_array(collect_list(struct(col("source").as("src"),
+        col("sz")))).as("cs"))
+    ranked.crossJoin(broadcast(countArr))
+      .select(
+        (aggregate(col("cs"), lit(0L),
+            (acc, c) => acc + least(c.getField("sz"), col("rank_in_source") - 1)) +
+          size(filter(col("cs"), c =>
+            c.getField("sz") >= col("rank_in_source") &&
+              c.getField("src") < col("source"))).cast("long") + 1L)
+          .as("pos"),
+        col("doc_id"), col("source"), col("rank_in_source"))
+      .orderBy("pos")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_curation" -> ((s, d) => curation(Tables(s, d).documents)),
+    "curriculum_interleave" -> ((s, d) =>
+      interleaveSources(Tables(s, d).documents)),
     "q81_quality_deciles" -> ((s, d) => qualityDeciles(Tables(s, d).documents)),
     "pipeline_funnel" -> ((s, d) => corpusBuild(Tables(s, d).documents)),
     "source_report" -> ((s, d) => sourceReport(Tables(s, d).documents)),
@@ -232,6 +271,18 @@ object Curate {
   /** The same decision composed from the component oracles' SQL shapes
     * (q20 quality, q50 repetition, q51 PII, q19 dedup). */
   def oracle: Map[String, String] = Map(
+    // The arithmetic position's window twin: ordering by
+    // (rank_in_source, source) is unique (row_number is per-source
+    // unique), so the global ROW_NUMBER reproduces the fold exactly.
+    "curriculum_interleave" ->
+      ("""WITH r AS (SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_in_source
+         |  FROM documents)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank_in_source, source, doc_id)
+         |    AS BIGINT) AS pos,
+         |  doc_id, source, rank_in_source
+         |FROM r ORDER BY pos""".stripMargin),
     // The funnel's component CTEs are the q53/q19/q58/q85 oracle shapes
     // composed; counts via the same conditional sums. The stage-0
     // domain gate uses the URL plant's ground truth directly (the

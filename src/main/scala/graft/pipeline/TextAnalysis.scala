@@ -93,6 +93,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Plants for [[gopherRules]] (the pii_cards/text_nfc convention — the
+    * synthetic corpus contains no symbols, bullets, or ellipses, so the
+    * registered entry appends rule-violating suffixes to a slice of docs
+    * and the battery must flag exactly those). Newlines are encoded via
+    * the oracle's replace('~', chr(10)) so both engines build the
+    * byte-identical plant. */
+  private[pipeline] val gopherSymbolPlant = " # # # # # # # # # #"
+  private[pipeline] val gopherBulletPlant =
+    (1 to 10).map(i => s"- item $i").mkString("\n", "\n", "")
+  private[pipeline] val gopherEllipsisPlant = "\nwind it down...\nmore to come..."
+
+  /** Gopher-style quality-rule battery (Rae et al. 2112.11446 §A.1.1,
+    * re-expressed over this corpus) — the named boolean gate set every
+    * pre-training curation stack runs, complementing the raw statistics
+    * of [[textQuality]] and the repetition fractions of
+    * [[repetitionQuality]] with explicit per-rule verdicts:
+    *
+    *   - word_count_ok:  minWords ≤ n_words ≤ maxWords (Gopher's 50..100k,
+    *     scaled to this corpus's 20-40-word documents via minWords=10)
+    *   - mean_len_ok:    mean word length in [3, 10] characters
+    *   - stopword_ok:    ≥ 2 distinct stopwords present (the ≥2-of-
+    *     {the,a,of,to,and} formulation)
+    *   - alpha_ok:       ≥ 80% of words contain an alphabetic character
+    *   - symbol_ok:      symbol-to-word ratio ('#' and '...') ≤ 0.1
+    *   - bullet_ok:      ≤ 90% of lines start with a bullet ('- '/'* ')
+    *   - ellipsis_ok:    ≤ 30% of lines end with '...'
+    *   - pass:           conjunction of all seven
+    *
+    * Every threshold is evaluated in INTEGER cross-multiplied form
+    * (3·n ≤ Σlen ≤ 10·n, 5·n_alpha ≥ 4·n, 10·n_sym ≤ n, 10·n_bullet ≤
+    * 9·n_lines, 10·n_ell_end ≤ 3·n_lines) — no float ever forms, so the
+    * DuckDB twin agrees exactly with no rounding convention needed.
+    * Scale: a single zero-shuffle codegen'd projection (HOFs over the
+    * in-row token array; the only exchange is the oracle-mandated
+    * orderBy), linear in corpus bytes. */
+  def gopherRules(docs: DataFrame, minWords: Int = 10,
+      maxWords: Int = 100000): DataFrame =
+    docs
+      .withColumn("ws",
+        filter(split(col("text"), " "), w => w =!= lit("")))
+      .withColumn("lns",
+        filter(split(col("text"), "\n"), l => l =!= lit("")))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("total_len",
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("n_alpha",
+        size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("long"))
+      // The '...' count divides an exact multiple of 3; the double divide
+      // is therefore exact and the long cast loses nothing.
+      .withColumn("n_sym",
+        ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          ((length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3))
+          .cast("long"))
+      .withColumn("n_lines", size(col("lns")).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(col("lns"),
+          l => l.like("- %") || l.like("* %"))).cast("long"))
+      .withColumn("n_ell_end",
+        size(filter(col("lns"), l => l.like("%..."))).cast("long"))
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("word_count_ok"),
+        (col("n_words") > 0 && lit(3) * col("n_words") <= col("total_len") &&
+          col("total_len") <= lit(10) * col("n_words")).as("mean_len_ok"),
+        (size(array_intersect(array_distinct(col("ws")),
+          array(lit("the"), lit("a"), lit("of"), lit("to"), lit("and")))) >= 2)
+          .as("stopword_ok"),
+        (lit(5) * col("n_alpha") >= lit(4) * col("n_words")).as("alpha_ok"),
+        (lit(10) * col("n_sym") <= col("n_words")).as("symbol_ok"),
+        (lit(10) * col("n_bullet") <= lit(9) * greatest(col("n_lines"), lit(1L)))
+          .as("bullet_ok"),
+        (lit(10) * col("n_ell_end") <= lit(3) * greatest(col("n_lines"), lit(1L)))
+          .as("ellipsis_ok"))
+      .withColumn("pass",
+        col("word_count_ok") && col("mean_len_ok") && col("stopword_ok") &&
+          col("alpha_ok") && col("symbol_ok") && col("bullet_ok") &&
+          col("ellipsis_ok"))
+      .orderBy("doc_id")
+
   /** Per-source vocabulary-coverage / OOV report — the tokenizer-fit
     * signal corpus curation runs before training: a source whose tokens
     * fall outside the working vocabulary (scrapes in unexpected
@@ -1078,6 +1159,14 @@ object TextAnalysis {
     "q64_unigram_logprob" -> ((s, d) => unigramLogProb(Tables(s, d).documents)),
     "q75_bigram_ppl"   -> ((s, d) => bigramPerplexity(Tables(s, d).documents)),
     "q20_text_quality" -> ((s, d) => textQuality(Tables(s, d).documents)),
+    // Rule-violating plants (symbols / bullet walls / ellipsis endings —
+    // the corpus contains none) so the battery has something to flag.
+    "gopher_rules" -> ((s, d) => gopherRules(Tables(s, d).documents
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit(gopherSymbolPlant))
+          .when(col("doc_id") % 11 === 1, lit(gopherBulletPlant))
+          .when(col("doc_id") % 11 === 2, lit(gopherEllipsisPlant))
+          .otherwise(lit("")))))),
     "q21_token_freq"   -> ((s, d) => tokenFrequency(Tables(s, d).documents)),
     // Misra–Gries sketch in its exact regime (capacity ≥ vocab): the
     // oracle is the plain groupBy-count twin the sketch must equal.
@@ -1320,6 +1409,42 @@ object TextAnalysis {
     "q21_token_freq" ->
       ("SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
+    // Same plants (newlines carried as '~' and rebuilt with chr(10) so the
+    // SQL literal is newline-free), every rule in the identical integer
+    // cross-multiplied form — no float forms on either side.
+    "gopher_rules" ->
+      (s"""WITH d AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 11 = 0 THEN '$gopherSymbolPlant'
+         |         WHEN doc_id % 11 = 1 THEN replace('${gopherBulletPlant.replace("\n", "~")}', '~', chr(10))
+         |         WHEN doc_id % 11 = 2 THEN replace('${gopherEllipsisPlant.replace("\n", "~")}', '~', chr(10))
+         |         ELSE '' END AS text FROM documents),
+         |t AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+         |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lns
+         |  FROM d),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS total_len,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST((length(text) - length(replace(text, '#', ''))) +
+         |      (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+         |    CAST(len(lns) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lns, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lns, l -> l LIKE '%...')) AS BIGINT) AS n_ell_end,
+         |    CAST(len(list_intersect(list_distinct(ws),
+         |      ['the', 'a', 'of', 'to', 'and'])) AS BIGINT) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  (n_words >= 10 AND n_words <= 100000) AS word_count_ok,
+         |  (n_words > 0 AND 3 * n_words <= total_len AND total_len <= 10 * n_words) AS mean_len_ok,
+         |  (stop_hits >= 2) AS stopword_ok,
+         |  (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+         |  (10 * n_sym <= n_words) AS symbol_ok,
+         |  (10 * n_bullet <= 9 * greatest(n_lines, 1)) AS bullet_ok,
+         |  (10 * n_ell_end <= 3 * greatest(n_lines, 1)) AS ellipsis_ok,
+         |  (word_count_ok AND mean_len_ok AND stopword_ok AND alpha_ok
+         |    AND symbol_ok AND bullet_ok AND ellipsis_ok) AS pass
+         |FROM m ORDER BY doc_id""".stripMargin),
     "q38_token_counts" ->
       ("SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens, " +

@@ -163,6 +163,8 @@ object WidthBench {
       "text_main_content"   -> ((d, _, _) => TextAnalysis.extractMainContent(
         d.select(col("doc_id"), concat(lit("<div><a href=\"/\">Home</a> <a>About</a></div><p>"),
           col("text"), lit("</p><div><a>Privacy</a> <a>Terms</a> legal</div>")).as("html")))),
+      "gopher_rules"        -> ((d, _, _) => TextAnalysis.gopherRules(d)),
+      "curriculum_interleave" -> ((d, _, _) => Curate.interleaveSources(d)),
       "graph_pagerank"      -> ((d, _, _) => Clusters.docPageRank(d)),
       "q91_pmi"             -> ((d, _, _) => TextAnalysis.pmiPairs(d)),
       "q92_negsample"       -> ((d, _, _) => TextAnalysis.negativeSamplingDist(d)),

@@ -2656,4 +2656,59 @@ class PipelineSpec extends AnyFunSuite {
       assert(dup == batch(id), s"doc $id: incremental=$dup batch=${batch(id)}")
     }
   }
+
+  test("gopher rules: each rule flags exactly its violating document") {
+    import spark.implicits._
+    val ok = "the quick brown fox and the lazy dog walk to the old stone gate"
+    val d = Seq(
+      (1L, ok),                                      // passes all seven
+      (2L, "short"),                                 // word_count (1 < 10)
+      (3L, Seq.fill(12)("a").mkString(" ")),         // mean_len (1 < 3); stopword single 'a'
+      (4L, (1 to 12).map(i => s"w$i").mkString(" ")), // no stopwords
+      (5L, ok + " # # # # # # # #"),                 // symbols: 8 of 22 words
+      (6L, ok + (1 to 20).map(i => s"\n- item $i").mkString), // 20/21 bullet lines
+      (7L, ok + "\nwell...\nmaybe...\nso..."),       // 3/4 ellipsis endings
+      (8L, "")                                       // empty: fails count + mean
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = out(id).getAs[Boolean](c)
+    assert(b(1L, "pass"), "clean doc must pass all rules")
+    assert(!b(2L, "word_count_ok") && !b(2L, "pass"))
+    assert(!b(3L, "mean_len_ok"))
+    assert(b(3L, "word_count_ok"), "12 words is within bounds")
+    assert(!b(4L, "stopword_ok"))
+    assert(!b(5L, "symbol_ok") && b(5L, "word_count_ok"))
+    assert(!b(6L, "bullet_ok") && b(6L, "symbol_ok"))
+    assert(!b(7L, "ellipsis_ok") && b(7L, "bullet_ok"))
+    assert(!b(8L, "word_count_ok") && !b(8L, "mean_len_ok") && !b(8L, "pass"))
+  }
+
+  test("curriculum interleave: arithmetic position equals the window twin " +
+      "and rounds never clump a source") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Curate.interleaveSources(docs).collect()
+    // Window twin computed independently (the oracle's rule).
+    val w = Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
+    val twin = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy("rank_in_source", "source", "doc_id")).cast("long"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    assert(out.length == twin.size)
+    out.foreach { r =>
+      val (id, pos) = (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))
+      assert(pos == twin(id), s"doc $id: arithmetic pos $pos != window ${twin(id)}")
+    }
+    // Round-robin property: while every source is still alive, any
+    // |sources| consecutive positions hold |sources| distinct sources.
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    val nSources = bySource.size
+    val minSize = bySource.values.map(_.length).min
+    val head = out.sortBy(_.getAs[Long]("pos")).take(minSize * nSources)
+    head.grouped(nSources).foreach { window =>
+      assert(window.map(_.getAs[String]("source")).distinct.length == nSources,
+        "a source clumped inside a full round")
+    }
+  }
 }
