@@ -27,16 +27,40 @@ import org.apache.spark.sql.functions.broadcast
   * shipped whole to every executor anyway). Frames whose row count is
   * bounded by CONSTRUCTION (a fixed query set, a ≤k top-k result, an
   * O(model) collect) should keep the plain hint; this gate is for
-  * frames bounded only by an ASSUMPTION about the corpus. */
+  * frames bounded only by an ASSUMPTION about the corpus.
+  *
+  * Lifecycle: the gate frame is materialized (so the count and the
+  * downstream join share the computation), and under
+  * `spark.graft.materialize=persist` those blocks stay pinned until
+  * RELEASED. A caller that re-materializes the join output (the Dedup
+  * convention) no longer needs the gate frame afterwards — use
+  * [[withHandle]] and pass the handle to [[Materialize.release]] once
+  * the downstream materialization has been forced. Callers that return
+  * the joined frame lazily to THEIR caller must leave it pinned (the
+  * consumer's execution still reads it).
+  *
+  * Plan-only audits (analysis sweeps, plan fingerprint dumps) set
+  * `spark.graft.broadcastGate.planOnly=true`: the gate then skips both
+  * the materialization and the count job — DataFrame CONSTRUCTION must
+  * not run cluster jobs when nothing will be executed — and returns the
+  * frame un-hinted (the conservative shuffle-join plan shape). */
 object GatedBroadcast {
 
   val MaxRowsKey = "spark.graft.broadcastGateMaxRows"
+  val PlanOnlyKey = "spark.graft.broadcastGate.planOnly"
   val DefaultMaxRows: Long = 4L << 20
 
-  def apply(df: DataFrame): DataFrame = {
-    val gate = df.sparkSession.conf
-      .get(MaxRowsKey, DefaultMaxRows.toString).toLong
+  def apply(df: DataFrame): DataFrame = withHandle(df)._1
+
+  /** Gate + a release handle: `_1` is the (possibly hinted) frame to
+    * join against; `_2` is the materialized gate frame itself, to hand
+    * to [[Materialize.release]] once downstream work no longer needs
+    * it. In plan-only mode both are the untouched input. */
+  def withHandle(df: DataFrame): (DataFrame, DataFrame) = {
+    val conf = df.sparkSession.conf
+    if (conf.get(PlanOnlyKey, "false").toBoolean) return (df, df)
+    val gate = conf.get(MaxRowsKey, DefaultMaxRows.toString).toLong
     val m = Materialize(df)
-    if (m.count() <= gate) broadcast(m) else m
+    (if (m.count() <= gate) broadcast(m) else m, m)
   }
 }

@@ -24,8 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  4. strip the default port (`:80` for http, `:443` for https; other
   *     ports kept);
   *  5. drop tracking query parameters: any name starting `utm_`, plus
-  *     gclid / fbclid / msclkid / mc_eid / igshid, preserving the order
-  *     of what remains; an emptied query drops its `?`;
+  *     gclid / fbclid / msclkid / mc_eid / igshid, AND empty params
+  *     (so a bare trailing `?`, `?&`, and `&&` runs all vanish),
+  *     preserving the order of what remains; an emptied query drops
+  *     its `?` — `…/x?` canonicalizes to `…/x`, exactly as the DuckDB
+  *     twin's empty-string rule does;
   *  6. an empty path becomes `/`.
   *
   * Path case is PRESERVED (paths are case-sensitive per RFC 3986; only
@@ -108,7 +111,8 @@ object CanonicalizeUrl {
     val queryPart =
       if (q < 0) ""
       else {
-        val kept = pq.substring(q + 1).split("&", -1).filterNot(isTracking)
+        val kept = pq.substring(q + 1).split("&", -1)
+          .filter(p => p.nonEmpty && !isTracking(p))
         if (kept.isEmpty) "" else "?" + kept.mkString("&")
       }
     scheme + "://" + host + portPart + path + queryPart

@@ -135,6 +135,18 @@ object HeavyHitters {
     import org.apache.hadoop.fs.Path
     val inc = topTokens(tokens, tokenCol, capacity, capacity).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val live = new Path(storeDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = storeDir + "_old"
+    // Crash recovery: a crash BETWEEN the two renames leaves the live
+    // summary parked at `_old` and nothing at the live path. Reading
+    // live-as-empty and then deleting `_old` would silently destroy the
+    // whole sketch history — so roll the swap back first, exactly as the
+    // docstring promises ("a crash between the renames leaves the store
+    // at `_old` — rename it back").
+    if (!fs.exists(live) && fs.exists(new Path(trash)))
+      require(fs.rename(new Path(trash), live),
+        s"crash-recovery rename of ${trash} back to $storeDir failed")
     val old: Map[String, Long] =
       try spark.read.parquet(storeDir).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -142,12 +154,9 @@ object HeavyHitters {
     val agg = new MGAgg(capacity)
     val merged = agg.merge(MGBuf(old), MGBuf(inc)).m
     val tmp = storeDir + "_tmp"
-    val trash = storeDir + "_old"
     merged.toSeq.sortBy { case (t, c) => (-c, t) }
       .toDF("tok", "cnt").coalesce(1)
       .write.mode("overwrite").parquet(tmp)
-    val live = new Path(storeDir)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(trash), true)
     if (fs.exists(live))
       require(fs.rename(live, new Path(trash)), s"swap-out failed for $storeDir")

@@ -291,8 +291,12 @@ object Dedup {
     // (for the pair self-join) instead of twice. But it GROWS WITH THE
     // CORPUS, so the hint is size-gated ([[graft.GatedBroadcast]]): past
     // the gate the same join runs as a co-partitioned shuffle with
-    // identical semantics — a conf knob, not a code edit.
-    val sh = graft.Materialize(sh0.join(graft.GatedBroadcast(keep), Seq("s")))
+    // identical semantics — a conf knob, not a code edit. The gate frame
+    // is only needed until `sh` is (eagerly) materialized — release it
+    // so persist-mode sessions don't pin it for their lifetime.
+    val (keepG, keepM) = graft.GatedBroadcast.withHandle(keep)
+    val sh = graft.Materialize(sh0.join(keepG, Seq("s")))
+    graft.Materialize.release(keepM)
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
@@ -341,8 +345,11 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
       .select("s")
-    // Corpus-growing keep-list: size-gated hint (see ngramJaccardPairs).
-    val sh = graft.Materialize(sh0.join(graft.GatedBroadcast(keep), Seq("s")))
+    // Corpus-growing keep-list: size-gated hint (see ngramJaccardPairs);
+    // released once `sh` is materialized, as there.
+    val (keepG, keepM) = graft.GatedBroadcast.withHandle(keep)
+    val sh = graft.Materialize(sh0.join(keepG, Seq("s")))
+    graft.Materialize.release(keepM)
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))

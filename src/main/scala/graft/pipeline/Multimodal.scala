@@ -612,10 +612,25 @@ object Multimodal {
           require(img != null, "unreadable image bytes")
           val h1 = dhash64(img)
           val other = if (imageFormat(m.payload) == "jpg") "png" else "jpg"
+          // The JDK JPEG writer rejects (or mis-encodes) images with an
+          // alpha channel — a PNG decodes as TYPE_INT_ARGB, so flatten
+          // onto an opaque RGB canvas before the cross-codec re-encode.
+          val flat =
+            if (other == "jpg" && img.getType != java.awt.image.BufferedImage.TYPE_INT_RGB) {
+              val c = new java.awt.image.BufferedImage(
+                img.getWidth, img.getHeight,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = c.createGraphics()
+              try { g.drawImage(img, 0, 0, java.awt.Color.WHITE, null) }
+              finally g.dispose()
+              c
+            } else img
           val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, other, out)
+          require(javax.imageio.ImageIO.write(flat, other, out),
+            s"no ImageIO writer handled format '$other'")
           val img2 = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(out.toByteArray))
+          require(img2 != null, s"re-encoded '$other' bytes unreadable")
           val h2 = dhash64(img2)
           val d = java.lang.Long.bitCount(h1 ^ h2)
           DHashTwin(m.doc_id, h1, h2, d, d <= nearHamming)

@@ -65,11 +65,19 @@ object TextAnalysis {
     * standard discriminator (~90% of random digit runs fail it).
     * Candidates are ISOLATED 13–19-digit runs allowing space/dash
     * grouping: a run embedded in a longer digit sequence (a 20+-digit
-    * order id, a PAN abutting other digits) is NOT a candidate — the
-    * pattern anchors both ends with consuming boundary guards rather
-    * than lookarounds, because DuckDB's RE2 oracle twin supports no
-    * lookbehind, and extracts the run itself as capture group 1. Each
-    * candidate is checked by the codegen'd [[graft.functions.LuhnCheck]]
+    * order id, a PAN abutting other digits) is NOT a candidate.
+    * Isolation is expressed by SPLITTING on hard boundaries (any run of
+    * chars outside `[0-9 -]`) and full-matching each boundary-trimmed
+    * segment — not by boundary guards on a scanning regex. DuckDB's RE2
+    * twin has no lookaround, and the earlier consuming-guard form had a
+    * real recall gap: the guard swallowed the char AFTER a candidate,
+    * so the second of two runs separated by a single non-digit
+    * (`…1111,4222…`) could never match. Split points are shared, so
+    * adjacent runs are both found; and since the split class removes
+    * newlines, segments are newline-free and `^…$` full-anchoring
+    * means the same thing in Java regex and RE2 (no `$`-before-final-
+    * newline divergence). Each candidate is checked by the codegen'd
+    * [[graft.functions.LuhnCheck]]
     * Expression (double every 2nd digit from the right, subtract 9
     * above 9, sum ≡ 0 mod 10 — one tight byte loop that skips
     * separators itself, replacing a per-candidate HOF fold with a
@@ -78,14 +86,16 @@ object TextAnalysis {
     * projection (q51's linear-op contract). */
   def luhnCards(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.functions.LuhnCheck.register(docs.sparkSession)
-    // Left guard: start-of-text or a non-digit (a digit immediately
-    // before means the run extends left). Right guard: not followed by
-    // an optional separator + digit (the run would extend right). Both
-    // guards CONSUME, so the pattern stays inside RE2's feature set and
-    // the DuckDB twin is the identical string.
-    val cand = "(?:^|[^0-9])([0-9](?:[ -]?[0-9]){12,18})(?:[ -]?[^0-9 -]|[ -]?$)"
+    // Segments between hard boundaries, trimmed of dangling separators,
+    // kept when the WHOLE segment is one 13-19-digit grouped run: at
+    // most one space/dash between digits, so a double separator or an
+    // over-long digit sequence disqualifies the segment — the same
+    // "isolated run" rule as before, but every run gets its own segment.
     docs.select(col("doc_id"),
-        regexp_extract_all(col(textCol), lit(cand), lit(1)).as("cands"))
+        expr(s"""filter(transform(split($textCol, '[^0-9 -]+'),
+                |          s -> trim(BOTH ' -' FROM s)),
+                |  s -> s RLIKE '^[0-9](?:[ -]?[0-9]){12,18}$$')""".stripMargin)
+          .as("cands"))
       .select(col("doc_id"),
         size(col("cands")).cast("long").as("n_candidates"),
         expr("CAST(size(filter(cands, c -> luhn_check(c))) AS BIGINT)")
@@ -1194,16 +1204,18 @@ object TextAnalysis {
       ("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          |SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
          |ORDER BY cnt DESC, tok LIMIT 10""".stripMargin),
-    // Same planted suffixes, same candidate regex (RE2 ≡ Java here),
-    // same right-indexed Luhn fold — all integer arithmetic.
+    // Same planted suffixes, same split-on-hard-boundary + full-match
+    // candidate rule (RE2 ≡ Java on the anchored, newline-free
+    // segments), same right-indexed Luhn fold — all integer arithmetic.
     "pii_cards" ->
       (s"""WITH t AS (SELECT doc_id, text ||
          |    CASE WHEN doc_id % 3 = 0 THEN '$cardValid'
          |         WHEN doc_id % 3 = 1 THEN '$cardInvalid'
          |         ELSE '' END AS text FROM documents),
          |c AS (SELECT doc_id,
-         |    regexp_extract_all(text,
-         |      '(?:^|[^0-9])([0-9](?:[ -]?[0-9]){12,18})(?:[ -]?[^0-9 -]|[ -]?${"$"})', 1) AS cands
+         |    list_filter(list_transform(regexp_split_to_array(text, '[^0-9 -]+'),
+         |        s -> trim(s, ' -')),
+         |      s -> regexp_full_match(s, '[0-9](?:[ -]?[0-9]){12,18}')) AS cands
          |  FROM t)
          |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
          |  CAST(len(list_filter(list_transform(cands,

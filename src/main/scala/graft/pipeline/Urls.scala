@@ -62,7 +62,7 @@ object Urls {
         lit("https://spam-mill.com:443/page/"), id, lit("?p="), id,
         lit("&fbclid=f1")))
       .otherwise(concat(
-        lit("http://cdn."), col("source"), lit(".net/static/"), id)))
+        lit("http://cdn."), col("source"), lit(".net/static/"), id, lit("?"))))
   }
 
   /** Host of an already-canonical URL (authority minus the port). */
@@ -159,15 +159,16 @@ object Urls {
 
   /** Plant for [[urlDedup]]: groups of three consecutive doc_ids share
     * one page, each spelled DIFFERENTLY — clean, shouty-host + default
-    * port + tracking param, fragment-suffixed — so the dedup only works
-    * if canonicalization collapses all three spellings. */
+    * port + tracking param, bare-`?` + fragment-suffixed — so the dedup
+    * only works if canonicalization collapses all three spellings
+    * (including the empty-query rule: `…/N?` must land on `…/N`). */
   def plantDedupUrls(docs: DataFrame): DataFrame = {
     val gid = (col("doc_id") - pmod(col("doc_id"), lit(3))).cast("string")
     val base = concat(lit("http://www.ex"), gid, lit(".com/page/"), gid)
     docs.withColumn("url",
       when(col("doc_id") % 3 === 1, concat(
         lit("HTTP://WWW.EX"), gid, lit(".COM:80/page/"), gid, lit("?utm_source=x")))
-      .when(col("doc_id") % 3 === 2, concat(base, lit("#section")))
+      .when(col("doc_id") % 3 === 2, concat(base, lit("?#section")))
       .otherwise(base))
   }
 
@@ -193,7 +194,7 @@ object Urls {
       |        || '?gclid=g' || CAST(doc_id AS VARCHAR)
       |      WHEN 2 THEN 'https://spam-mill.com:443/page/' || CAST(doc_id AS VARCHAR)
       |        || '?p=' || CAST(doc_id AS VARCHAR) || '&fbclid=f1'
-      |      ELSE 'http://cdn.' || source || '.net/static/' || CAST(doc_id AS VARCHAR)
+      |      ELSE 'http://cdn.' || source || '.net/static/' || CAST(doc_id AS VARCHAR) || '?'
       |    END AS url FROM documents),
       |s0 AS (SELECT *, regexp_replace(url, '#.*', '') AS u FROM planted),
       |s1 AS (SELECT *, strpos(u, '://') AS sep FROM s0),
@@ -216,7 +217,7 @@ object Urls {
       |         WHEN qp = 1 THEN '/' ELSE pq[1:qp - 1] END AS path,
       |    CASE WHEN qp = 0 THEN NULL ELSE
       |      array_to_string(list_filter(string_split(pq[qp + 1:], '&'),
-      |        p -> NOT (starts_with(split_part(p, '=', 1), 'utm_')
+      |        p -> p <> '' AND NOT (starts_with(split_part(p, '=', 1), 'utm_')
       |          OR split_part(p, '=', 1) IN ('gclid', 'fbclid', 'msclkid', 'mc_eid', 'igshid'))), '&')
       |    END AS q2 FROM s7),
       |canon AS (SELECT doc_id, source, n_chars,

@@ -17,14 +17,18 @@ class AllQueriesAnalyzeSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("every SparkEntry.queries key constructs and analyzes on sf0.001") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try {
-        fn(spark, sf0001).queryExecution.analyzed // forces analysis
-        None
-      } catch {
-        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}")
-      }
-    }
+    // Plan-only sweep: GatedBroadcast must not run its gate-count job
+    // (or pin materialized blocks) when nothing will be executed.
+    spark.conf.set(GatedBroadcast.PlanOnlyKey, "true")
+    val failures =
+      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try {
+          fn(spark, sf0001).queryExecution.analyzed // forces analysis
+          None
+        } catch {
+          case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}")
+        }
+      } finally spark.conf.unset(GatedBroadcast.PlanOnlyKey)
     assert(failures.isEmpty, s"${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
   }
 

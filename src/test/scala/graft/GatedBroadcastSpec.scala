@@ -58,4 +58,31 @@ class GatedBroadcastSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldAuto)
     } finally spark.conf.unset(GatedBroadcast.MaxRowsKey)
   }
+
+  test("plan-only mode runs no job at construction time") {
+    spark.conf.set(GatedBroadcast.PlanOnlyKey, "true")
+    try {
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val keys = (1 to 20).map(i => s"k$i").toDF("key")
+      val (g, m) = GatedBroadcast.withHandle(keys)
+      g.queryExecution.analyzed // construction + analysis only
+      val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(after == before,
+        s"plan-only gate must not run the count job ($before -> $after)")
+      assert(m eq keys, "plan-only mode must return the untouched frame")
+    } finally spark.conf.unset(GatedBroadcast.PlanOnlyKey)
+  }
+
+  test("withHandle: releasing the gate frame after downstream materialization keeps results") {
+    val old = spark.conf.get(Materialize.StrategyKey, "local")
+    spark.conf.set(Materialize.StrategyKey, "persist")
+    try {
+      val big  = (1L to 100L).map(i => (i, s"k${i % 5}")).toDF("id", "key")
+      val keys = (0 until 3).map(i => s"k$i").toDF("key")
+      val (g, handle) = GatedBroadcast.withHandle(keys)
+      val out = Materialize(big.join(g, Seq("key")))
+      Materialize.release(handle)
+      assert(out.count() == 60L) // k0,k1,k2 each match 20 ids
+    } finally spark.conf.set(Materialize.StrategyKey, old)
+  }
 }

@@ -35,6 +35,14 @@ class CanonicalizeUrlSpec extends AnyFunSuite {
     assert(canon("just text") == "just text")
     // a param NAMED like a value keeps: tracking match is on the name only
     assert(canon("http://h.com/a?q=utm_source") == "http://h.com/a?q=utm_source")
+    // empty queries and empty params vanish: …/x?, …/x?&, and an
+    // all-tracking query all collapse to …/x (the DuckDB twin's
+    // empty-string rule — URL dedup must see these as the same page)
+    assert(canon("http://a.com/x?") == "http://a.com/x")
+    assert(canon("http://a.com/x?&") == "http://a.com/x")
+    assert(canon("http://a.com/x?utm_source=1") == "http://a.com/x")
+    assert(canon("http://a.com/x?&&a=1&&b=2&") == "http://a.com/x?a=1&b=2")
+    assert(canon("https://h.com?") == "https://h.com/")
     // ':' in the authority that is not a numeric port stays (and lowercases)
     assert(canon("http://h.com:abc/x") == "http://h.com:abc/x")
   }

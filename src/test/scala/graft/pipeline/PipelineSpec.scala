@@ -135,7 +135,8 @@ class PipelineSpec extends AnyFunSuite {
       (1L, "http://www.ex.com/page/7"),
       (2L, "HTTP://WWW.EX.COM:80/page/7?utm_source=x"), // same page, shouty + noise
       (3L, "http://www.ex.com/page/7#comments"),        // same page, fragment
-      (4L, "http://www.ex.com/page/8")                  // different page
+      (4L, "http://www.ex.com/page/8"),                 // different page
+      (5L, "http://www.ex.com/page/7?")                 // same page, bare '?'
     ).toDF("doc_id", "url")
     val out = Urls.urlDedup(d).collect()
       .map(r => r.getLong(0) ->
@@ -144,6 +145,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == (("http://www.ex.com/page/7", true, Some("1"))), out(2L).toString)
     assert(out(3L) == (("http://www.ex.com/page/7", true, Some("1"))))
     assert(out(4L) == (("http://www.ex.com/page/8", false, None)))
+    assert(out(5L) == (("http://www.ex.com/page/7", true, Some("1"))),
+      "a bare trailing '?' must collapse onto the clean spelling: " + out(5L))
   }
 
   test("incremental url frontier: re-spelled re-crawls flag against the store, replay idempotent") {
@@ -2260,6 +2263,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(onDisk.toSeq == Seq(("a", 30L), ("b", 30L), ("c", 5L)))
   }
 
+  test("heavy hitters store: a crash BETWEEN the two renames is rolled back, not destroyed") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("hhcrash")
+    val store = base.resolve("s").toString
+    def toks(xs: Seq[String]) = xs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("i", "tok")
+    graft.functions.HeavyHitters.updateStore(
+      toks(Seq.fill(30)("a") ++ Seq.fill(20)("b")), "tok", store, capacity = 64)
+    // Simulate the worst crash window: swap-out done (live renamed to
+    // _old), swap-in never happened — the whole history sits at _old
+    // and nothing at live. The next increment must rename it back and
+    // merge against it, NOT read live-as-empty and delete the history.
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(store), java.nio.file.Paths.get(store + "_old"))
+    val merged = graft.functions.HeavyHitters
+      .updateStore(toks(Seq.fill(10)("b") ++ Seq.fill(5)("c")), "tok", store,
+        capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(merged.toSeq == Seq(("a", 30L), ("b", 30L), ("c", 5L)),
+      "history at _old must survive the crash-recovery replay: " + merged.toSeq)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store + "_old")),
+      "_old must be cleaned after the recovered swap")
+  }
+
   test("pii cards: Luhn separates the valid test number from its off-by-one twin") {
     import spark.implicits._
     val d = Seq(
@@ -2273,7 +2300,12 @@ class PipelineSpec extends AnyFunSuite {
       (5L, "order 12345678901234567890 done"),    // 20 digits: none
       (6L, "big 123456789012345678901234567 x"),  // 27 digits: none
       (7L, "join9 4111111111111111 ok"),          // '9 ' merges into a 17-digit spaced run
-      (8L, "id999994111111111111111 tail")        // PAN abutted by digits → 21-run: none
+      (8L, "id999994111111111111111 tail"),       // PAN abutted by digits → 21-run: none
+      // Adjacent runs separated by ONE non-digit char: the old consuming
+      // right guard swallowed the ',' so the second run was unfindable.
+      (9L, "a4111111111111111,5500000000000004b"), // both runs, both valid
+      (10L, "end with 4111-1111-1111-1111\n"),     // newline-terminated text
+      (11L, "4111-1111-1111-1111")                 // candidate IS the whole text
     ).toDF("doc_id", "text")
     val out = TextAnalysis.luhnCards(d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
@@ -2289,6 +2321,10 @@ class PipelineSpec extends AnyFunSuite {
     // it fails. Pins the maximal-run extraction rule.
     assert(out(7L) == ((1L, 0L)), "merged 17-digit run must fail Luhn: " + out(7L))
     assert(out(8L) == ((0L, 0L)), "digit-abutted PAN is part of a longer run: " + out(8L))
+    assert(out(9L) == ((2L, 2L)),
+      "runs separated by a single non-digit must BOTH be found: " + out(9L))
+    assert(out(10L) == ((1L, 1L)), "newline-terminated candidate: " + out(10L))
+    assert(out(11L) == ((1L, 1L)), "whole-text candidate: " + out(11L))
   }
 
   test("heavy hitters: exact regime is partitioning-invariant") {
@@ -2506,6 +2542,27 @@ class PipelineSpec extends AnyFunSuite {
         s"doc $id: re-encode drifted ${r.getAs[Int]("hamming")} bits")
       assert(r.getAs[Boolean]("is_near_dup"), s"doc $id twin not flagged")
     }
+  }
+
+  test("image dhash twins: an ARGB PNG (alpha channel) still twin-tests, not an error row") {
+    import spark.implicits._
+    // An alpha-carrying PNG decodes as TYPE_INT_ARGB, which the JDK JPEG
+    // writer rejects — the twin must flatten to RGB first instead of
+    // silently degrading to a hamming=-1 error row.
+    val im = new java.awt.image.BufferedImage(
+      32, 24, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val v = x * 255 / 31
+      im.setRGB(x, y, (255 << 24) | (v << 16) | (v << 8) | v) // opaque ramp
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(im, "png", out))
+    val media = Seq(Multimodal.MediaRow(1L, "image", out.toByteArray, 32, 24, 0))
+      .toDS().toDF()
+    val r = Multimodal.imageDHashTwins(media).collect().head
+    assert(r.getAs[String]("decode_error") == null,
+      "ARGB twin must not error: " + r.getAs[String]("decode_error"))
+    assert(r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 10, r.toString)
   }
 
   test("image dhash incremental store: re-encodes flag, distinct images don't, replay idempotent") {
