@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   * exactly `Content-Length` payload bytes — so record splitting is a
   * LENGTH-DIRECTED walk, never a delimiter scan inside payloads (a
   * payload may contain anything, including header-lookalike bytes).
+  * Real crawl dumps ship GZIPPED with one gzip member per record
+  * (`.warc.gz`, the CommonCrawl layout); [[records]] detects gzip by
+  * magic bytes and walks the members first ([[gunzipMembers]]).
   *
   * Scale shape: the splitter is a per-file `mapPartitions` flatMap —
   * each file parses independently and streams its records out, so
@@ -92,13 +95,123 @@ object WarcSource {
     out.toSeq
   }
 
-  /** Distributed record split over (path, content) rows. */
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B
+
+  /** Walk the concatenated gzip MEMBERS of a `.warc.gz` blob — the
+    * CommonCrawl layout writes one record per member so a reader can
+    * seek to any record's compressed offset. Each member is inflated
+    * with a raw `Inflater` (nowrap) so the walk knows exactly where its
+    * compressed bytes end and can continue with the next member — a
+    * whole-file `GZIPInputStream` would instead treat a corrupt second
+    * member as clean end-of-stream and SILENTLY truncate the file.
+    * Returns the decompressed concatenation plus an error describing
+    * the first malformed/truncated member, if any (everything before it
+    * decompressed fine and remains parseable). */
+  private[sources] def gunzipMembers(bytes: Array[Byte]): (Array[Byte], Option[String]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = bytes.length
+    var pos = 0
+    var member = 0
+    val buf = new Array[Byte](1 << 16)
+    def fail(msg: String) =
+      (out.toByteArray, Some(s"$msg (gzip member $member at byte $pos)"))
+    while (pos < n) {
+      // RFC 1952 member header: magic, CM=deflate, FLG, MTIME/XFL/OS,
+      // then the optional FEXTRA / FNAME / FCOMMENT / FHCRC fields.
+      if (pos + 10 > n) return fail("truncated gzip header")
+      if ((bytes(pos) & 0xFF) != 0x1F || (bytes(pos + 1) & 0xFF) != 0x8B)
+        return fail("bad gzip magic")
+      if ((bytes(pos + 2) & 0xFF) != 8)
+        return fail(s"unsupported gzip compression method ${bytes(pos + 2) & 0xFF}")
+      val flg = bytes(pos + 3) & 0xFF
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+        if (p + 2 > n) return fail("truncated FEXTRA length")
+        p += 2 + ((bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8))
+        if (p > n) return fail("truncated FEXTRA payload")
+      }
+      if ((flg & 8) != 0) { // FNAME: zero-terminated
+        while (p < n && bytes(p) != 0) p += 1
+        p += 1
+        if (p > n) return fail("truncated FNAME")
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+        while (p < n && bytes(p) != 0) p += 1
+        p += 1
+        if (p > n) return fail("truncated FCOMMENT")
+      }
+      if ((flg & 2) != 0) { // FHCRC
+        p += 2
+        if (p > n) return fail("truncated FHCRC")
+      }
+      // Inflate into a PER-MEMBER buffer and only append it to the
+      // result once the trailer CRC/ISIZE verify — corrupt deflate data
+      // can otherwise "finish" cleanly on garbage output.
+      val memberOut = new java.io.ByteArrayOutputStream()
+      val crc = new java.util.zip.CRC32()
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, p, n - p)
+        while (!inf.finished()) {
+          val w =
+            try inf.inflate(buf)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                return fail(s"corrupt deflate data: ${e.getMessage}")
+            }
+          if (w > 0) { memberOut.write(buf, 0, w); crc.update(buf, 0, w) }
+          else if (!inf.finished())
+            return fail(
+              if (inf.needsInput()) "truncated deflate stream"
+              else "inflater stalled (preset dictionary?)")
+        }
+        p += (n - p) - inf.getRemaining
+      } finally inf.end()
+      if (p + 8 > n) return fail("truncated gzip trailer")
+      def le32(at: Int): Long =
+        (bytes(at) & 0xFFL) | ((bytes(at + 1) & 0xFFL) << 8) |
+          ((bytes(at + 2) & 0xFFL) << 16) | ((bytes(at + 3) & 0xFFL) << 24)
+      if (le32(p) != crc.getValue)
+        return fail(f"gzip CRC mismatch (stored ${le32(p)}%08x, computed ${crc.getValue}%08x)")
+      if (le32(p + 4) != (memberOut.size().toLong & 0xFFFFFFFFL))
+        return fail(s"gzip ISIZE mismatch (stored ${le32(p + 4)}, got ${memberOut.size()})")
+      memberOut.writeTo(out)
+      p += 8 // CRC32 + ISIZE
+      pos = p
+      member += 1
+    }
+    (out.toByteArray, None)
+  }
+
+  /** Format-dispatching per-file split: gzip blobs (by magic bytes, so
+    * extension-less crawl dumps still work) are member-walked first;
+    * a malformed member costs ONE error row carrying the gzip context
+    * while every record from the complete members before it survives. */
+  private[sources] def splitAny(file: String, bytes: Array[Byte]): Seq[WarcRecord] =
+    if (isGzip(bytes)) {
+      val (plain, gzErr) = gunzipMembers(bytes)
+      val recs = splitFile(file, plain)
+      gzErr match {
+        case None => recs
+        case Some(msg) =>
+          // A member truncation usually also truncates the decompressed
+          // tail mid-record; replace splitFile's generic trailing error
+          // row with the precise gzip-member diagnosis.
+          val good = recs.filter(_.error == null)
+          good :+ WarcRecord(file, good.length, null, null, -1L,
+            Array.emptyByteArray, msg)
+      }
+    } else splitFile(file, bytes)
+
+  /** Distributed record split over (path, content) rows; plain and
+    * per-member-gzipped (`.warc.gz`) files mix freely in one frame. */
   def records(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     files.select(col("path").cast("string"), col("content").cast("binary"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (p, b) => splitFile(p, b) })
+      .mapPartitions(_.flatMap { case (p, b) => splitAny(p, b) })
       .toDF()
   }
 

@@ -130,6 +130,51 @@ object PipelineStream {
     incremental(docs, outDir, checkpoint)(
       graft.pipeline.Urls.incrementalUrlDedup(_, storeDir))
 
+  /** Streaming WARC ingestion — the front door of a continuous crawl
+    * pipeline: a file-arrival stream of (path, content) WARC blobs
+    * (plain or per-member `.warc.gz`;
+    * `spark.readStream.format("binaryFile").load(glob)` is the natural
+    * source) is record-split, HTML-stripped, and URL-deduplicated
+    * against the persistent frontier in one per-batch pass. Each
+    * landed batch carries (doc_id, url, clean_text, is_duplicate,
+    * dup_of) — novel pages ready for the text tiers, re-crawls and
+    * re-spellings flagged before any downstream work is spent on them.
+    * Error records (truncated members, malformed framing) are dropped
+    * here; run [[graft.sources.WarcSource.records]] directly when the
+    * error rows themselves are the product. */
+  def ingestWarc(files: DataFrame, frontierDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(files.select(col("path"), col("content")), outDir, checkpoint)(
+      ingestWarcBatch(_, frontierDir))
+
+  /** The [[ingestWarc]] per-batch body, exposed for batch backfill over
+    * the SAME frontier store (the indexBm25/appendBm25BatchOnce
+    * convention). Doc ids are the engine-neutral 64-bit hash of
+    * (file, record index) — stable across replays of the same dump. */
+  def ingestWarcBatch(batch: DataFrame, frontierDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.concat_ws
+    val recs = graft.sources.WarcSource.records(batch)
+    val pages = recs
+      .filter(col("error").isNull && col("warc_type") === "response" &&
+        col("target_uri").isNotNull)
+      .select(
+        graft.functions.PortableHash.hash64(
+          concat_ws("#", col("file"), col("rec_idx").cast("string"))).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload").cast("string").as("html"))
+    val clean = graft.Materialize(
+      graft.pipeline.TextAnalysis.stripHtml(pages)
+        .select(col("doc_id"), col("url"), col("clean_text")))
+    val annotated = graft.pipeline.Urls
+      .incrementalUrlDedup(clean.select(col("doc_id"), col("url")), frontierDir)
+      .select(col("doc_id"), col("is_duplicate"), col("dup_of"))
+    // Materialize the joined result EAGERLY so `clean` can be released
+    // here (the wrapper releases only the frame it is handed).
+    val out = graft.Materialize(clean.join(annotated, Seq("doc_id")))
+    graft.Materialize.release(clean)
+    out
+  }
+
   /** Streaming IMAGE near-dup: every micro-batch of media rows
     * (doc_id, kind, payload, …) is perceptually hashed (dHash) and
     * probed against — and grows — the persistent band store

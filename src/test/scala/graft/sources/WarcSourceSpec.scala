@@ -58,6 +58,67 @@ class WarcSourceSpec extends AnyFunSuite {
       o4.head.error.contains("Content-Length"))
   }
 
+  private def gzMember(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(s.getBytes("UTF-8")); gz.finish()
+    out.toByteArray
+  }
+
+  test("gzipped WARC: one gzip member per record (the CommonCrawl layout) parses byte-exact") {
+    val blob = gzMember(rec("https://g.org/1", "<p>first page</p>")) ++
+      gzMember(rec("https://g.org/2", "中文 页面 two")) ++
+      gzMember(rec("https://g.org/3", "WARC/1.0\r\n\r\nlookalike bytes"))
+    val out = WarcSource.splitAny("f.warc.gz", blob)
+    assert(out.length == 3 && out.forall(_.error == null), out.toString)
+    assert(out.map(_.target_uri) ==
+      Seq("https://g.org/1", "https://g.org/2", "https://g.org/3"))
+    assert(new String(out(1).payload, "UTF-8") == "中文 页面 two")
+    assert(out(1).content_length == "中文 页面 two".getBytes("UTF-8").length)
+  }
+
+  test("gzipped WARC: a truncated final member costs one precise error row, prior records survive") {
+    val whole = gzMember(rec("https://g.org/1", "complete record one")) ++
+      gzMember(rec("https://g.org/2", "complete record two"))
+    val lastLen = gzMember(rec("https://g.org/2", "complete record two")).length
+    val truncated = whole.dropRight(lastLen / 2) // cut member 2 mid-stream
+    val out = WarcSource.splitAny("t.warc.gz", truncated)
+    assert(out.count(_.error == null) == 1, out.toString)
+    assert(out.head.target_uri == "https://g.org/1")
+    val err = out.last
+    assert(err.error != null && err.error.contains("gzip member 1"),
+      s"error must carry the member context: ${err.error}")
+  }
+
+  test("gzipped WARC: a corrupt MIDDLE member errors instead of silently truncating") {
+    val m1 = gzMember(rec("https://g.org/1", "good one"))
+    val m2 = gzMember(rec("https://g.org/2", "will be corrupted"))
+    // Smash the deflate data of member 2 (past its 10-byte header).
+    for (i <- 14 until math.min(m2.length, 22)) m2(i) = 0x55.toByte
+    val m3 = gzMember(rec("https://g.org/3", "unreachable after the corruption"))
+    val out = WarcSource.splitAny("c.warc.gz", m1 ++ m2 ++ m3)
+    // A whole-file GZIPInputStream would return member 1 and claim clean
+    // EOF — the member walk must instead surface the corruption.
+    assert(out.exists(_.error != null), out.toString)
+    assert(out.count(_.error == null) == 1 &&
+      out.head.target_uri == "https://g.org/1", out.toString)
+    assert(out.last.error.contains("gzip member 1"), out.last.error)
+  }
+
+  test("plain and gzipped WARC files mix in one distributed read") {
+    import spark.implicits._
+    val plain = (rec("https://p.org/1", "plain body a") +
+      rec("https://p.org/2", "plain body b")).getBytes("UTF-8")
+    val gz = gzMember(rec("https://g.org/1", "gz body")) ++
+      gzMember(rec("https://g.org/2", "gz body two"))
+    val out = WarcSource.records(
+      Seq(("plain.warc", plain), ("packed.warc.gz", gz)).toDF("path", "content"))
+      .collect()
+    assert(out.length == 4 && out.forall(_.getAs[String]("error") == null))
+    assert(out.map(_.getAs[String]("target_uri")).toSet ==
+      Set("https://p.org/1", "https://p.org/2", "https://g.org/1", "https://g.org/2"))
+  }
+
   test("distributed split: one bad file costs its rows, other files parse fully") {
     import spark.implicits._
     val good = rec("https://a.org/1", "body one") + rec("https://a.org/2", "body two")

@@ -476,4 +476,49 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(reports((1L, "lang_known")) == 0L)   // batch 1 clean
     assert(reports((0L, "unique_doc_id")) == 0L)
   }
+
+  test("streaming WARC ingestion: file arrivals -> records -> strip -> URL frontier") {
+    val (inDir, store, out, ckpt) =
+      (tmp("pswarcin"), tmp("pswarcstore"), tmp("pswarcout"), tmp("pswarcckpt"))
+    def rec(uri: String, body: String): String = {
+      val n = body.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: $n\r\n\r\n$body\r\n\r\n"
+    }
+    def gz(recs: String*): Array[Byte] = recs.toArray.flatMap { r =>
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(r.getBytes("UTF-8")); g.finish()
+      o.toByteArray
+    }
+    def drop(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(inDir, name), bytes)
+
+    drop("day1.warc.gz", gz(
+      rec("http://www.ex.com/page/7", "<p>alpha beta gamma</p>"),
+      rec("http://www.ex.com/page/8", "<div>delta epsilon</div>")))
+    val files = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", "*.warc.gz").load(inDir)
+    val q = PipelineStream.ingestWarc(files, store, out, ckpt)
+    try {
+      q.processAllAvailable()
+      // Day 2 arrives mid-stream: a re-SPELLED crawl of page 7 (must flag
+      // against the frontier from day 1) plus a genuinely new page.
+      drop("day2.warc.gz", gz(
+        rec("HTTP://WWW.EX.COM:80/page/7?utm_source=feed#top", "<p>alpha beta gamma</p>"),
+        rec("http://www.ex.com/page/9", "<p>zeta eta</p>")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Boolean]("is_duplicate")))).toMap
+    assert(rows.size == 4, rows.keySet.toString)
+    assert(rows("http://www.ex.com/page/7") == (("alpha beta gamma", false)))
+    assert(rows("http://www.ex.com/page/8") == (("delta epsilon", false)))
+    assert(rows("HTTP://WWW.EX.COM:80/page/7?utm_source=feed#top") ==
+      (("alpha beta gamma", true)), "re-spelled re-crawl must flag: " + rows)
+    assert(rows("http://www.ex.com/page/9") == (("zeta eta", false)))
+  }
 }
