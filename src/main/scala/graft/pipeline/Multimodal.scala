@@ -651,37 +651,57 @@ object Multimodal {
     * [[graft.pipeline.Dedup.incrementalSimhash]]'s lifecycle applied to
     * the image modality: history is 4 (chunk, ch, doc_id, dhash) band
     * rows per kept image (the 64-bit signature split into 16-bit
-    * chunks; pigeonhole guarantees every hamming-≤-`maxHamming` pair
-    * shares a chunk while maxHamming ≤ 3), probes join on (chunk, ch)
-    * and verify by exact bit_count(xor) on the join row, keepers-only
+    * chunks), the INCREMENT probes with MULTI-PROBE expansion — each of
+    * its 4 band values plus every single-bit flip of it (17 probes per
+    * band, 68 per image) joined on (chunk, ch). Pigeonhole: `maxHamming`
+    * ≤ 7 bit errors over 4 bands leave some band with ≤ 1 error, so
+    * every qualifying pair meets on an exact-or-one-flip probe — the
+    * guarantee now covers the hamming-≤-10-measured, ≤-7-typical
+    * cross-codec re-encode drift the twin spec pins
+    * ([[imageDHashTwins]]), where the previous exact-band probe only
+    * guaranteed 3 bits. Multi-probe beats widening the bands to 8×8
+    * here because the STORE stays at 4 rows/image and a 16-bit band
+    * keeps random collisions at N/65536 per bucket (8-bit bands would
+    * make every 256th stored image a candidate); the 17× expansion is
+    * probe-side only, O(increment). Candidates
+    * verify by exact bit_count(xor) on the join row, keepers-only
     * append, idempotent replay. Decode-error rows pass through flagged
     * not-duplicate and are never appended (an unreadable payload has no
     * signature to match on). O(increment) per batch; the streaming
     * wrapper is [[graft.streaming.PipelineStream.dedupImages]]. */
   def incrementalImageDHash(media: DataFrame, storeDir: String,
-      maxHamming: Int = 3, broadcastMaxRows: Long = 4L << 20): DataFrame = {
+      maxHamming: Int = 7, broadcastMaxRows: Long = 4L << 20): DataFrame = {
     val spark = media.sparkSession
     val hashed = graft.Materialize(imageDHash(media))
     val sigs = hashed.filter(col("decode_error").isNull)
       .select(col("doc_id"), col("dhash"))
-    val chunks = graft.Materialize(sigs
+    val bands = graft.Materialize(sigs
       .select(col("doc_id"), col("dhash"), explode(expr(
         """transform(sequence(0, 3), i -> named_struct(
           |  'chunk', CAST(i AS INT),
           |  'ch', CAST((dhash >> (16 * i)) & 65535 AS INT)))""".stripMargin))
         .as("c"))
       .select(col("doc_id"), col("dhash"), col("c.chunk"), col("c.ch")))
-    val small = chunks.count() <= broadcastMaxRows
+    // Multi-probe expansion of the increment: each band value plus its
+    // 16 single-bit flips (j = 16 is the unflipped probe).
+    val probes = graft.Materialize(bands
+      .select(col("doc_id"), col("dhash"), col("chunk"), explode(expr(
+        """transform(sequence(0, 16),
+          |  j -> CAST(IF(j = 16, ch, ch ^ shiftleft(1, j)) AS INT))""".stripMargin))
+        .as("ch")))
+    val small = probes.count() <= broadcastMaxRows
     def inc(df: DataFrame): DataFrame =
       if (small) org.apache.spark.sql.functions.broadcast(df) else df
 
     val store = graft.sinks.BucketedStore.readOrEmpty(spark, storeDir, DHashSpec)
       .select(col("chunk"), col("ch"),
         col("doc_id").as("old_id"), col("dhash").as("odh"))
-    val vsStore = store.join(inc(chunks), Seq("chunk", "ch"))
+    val vsStore = store.join(inc(probes), Seq("chunk", "ch"))
       .filter(bit_count(col("dhash").bitwiseXOR(col("odh"))) <= maxHamming)
       .select(col("doc_id"), col("old_id")).distinct()
-    val intra = chunks.as("a").join(chunks.as("b"),
+    // Intra-batch: probe-expanded side vs plain bands — one expanded
+    // side is enough for the pigeonhole guarantee.
+    val intra = probes.as("a").join(bands.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a.doc_id") > col("b.doc_id"))
       .filter(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= maxHamming)
@@ -698,10 +718,11 @@ object Multimodal {
       .filter(!col("is_duplicate") && col("decode_error").isNull)
       .select("doc_id")
     graft.sinks.BucketedStore.append(
-      chunks.join(inc(keep), Seq("doc_id"))
+      bands.join(inc(keep), Seq("doc_id"))
         .select("chunk", "ch", "doc_id", "dhash"),
       storeDir, DHashSpec)
-    graft.Materialize.release(chunks)
+    graft.Materialize.release(probes)
+    graft.Materialize.release(bands)
     graft.Materialize.release(hashed)
     annotated.orderBy("doc_id")
   }

@@ -2605,6 +2605,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == n, "replay appends nothing")
   }
 
+  test("image dhash store: multi-probe catches 4-7-bit drift even when NO band matches exactly") {
+    import spark.implicits._
+    // Build an image whose dHash is EXACTLY a chosen 64-bit pattern:
+    // uniform 4x4-pixel cells on the 9x8 grid, each row's cell values
+    // walking +/-12 so every neighbor comparison realizes the wanted
+    // bit (bit set <=> left mean < right mean).
+    def imageForBits(bits: Long): java.awt.image.BufferedImage = {
+      val k = 4
+      val im = new java.awt.image.BufferedImage(
+        9 * k, 8 * k, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (gy <- 0 until 8) {
+        var v = 120
+        for (gx <- 0 until 9) {
+          val c = (v << 16) | (v << 8) | v
+          for (y <- gy * k until (gy + 1) * k; x <- gx * k until (gx + 1) * k)
+            im.setRGB(x, y, c)
+          if (gx < 8) v += (if ((bits & (1L << (gy * 8 + gx))) != 0) 12 else -12)
+        }
+      }
+      im
+    }
+    val bitsA = 0x5A5A3C3CA5A5C3C3L
+    // Five flips spread over ALL four 16-bit bands (bits 3, 19, 35, 51,
+    // 60): hamming 5, and no band of B equals the stored band of A — an
+    // exact-band probe would MISS this pair; only the single-bit-flip
+    // multi-probe can reach it.
+    val bitsB = bitsA ^ (1L << 3) ^ (1L << 19) ^ (1L << 35) ^ (1L << 51) ^ (1L << 60)
+    assert(java.lang.Long.bitCount(bitsA ^ bitsB) == 5)
+    (0 until 4).foreach { b =>
+      assert(((bitsA >> (16 * b)) & 0xFFFF) != ((bitsB >> (16 * b)) & 0xFFFF),
+        s"band $b must differ for this test to prove multi-probe")
+    }
+    val (imgA, imgB) = (imageForBits(bitsA), imageForBits(bitsB))
+    assert(Multimodal.dhash64(imgA) == bitsA, "constructed hash must be exact")
+    assert(Multimodal.dhash64(imgB) == bitsB)
+    def png(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", o); o.toByteArray
+    }
+    val distant = imageForBits(~bitsA) // hamming 64 from A
+    val store = java.nio.file.Files.createTempDirectory("dhprobe").resolve("s").toString
+    val day1 = Seq(Multimodal.MediaRow(1L, "image", png(imgA), 36, 32, 0)).toDS().toDF()
+    assert(Multimodal.incrementalImageDHash(day1, store).collect()
+      .forall(!_.getAs[Boolean]("is_duplicate")))
+    val day2 = Seq(Multimodal.MediaRow(10L, "image", png(imgB), 36, 32, 0),
+      Multimodal.MediaRow(11L, "image", png(distant), 36, 32, 0)).toDS().toDF()
+    val r2 = Multimodal.incrementalImageDHash(day2, store).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r2(10L).getAs[Boolean]("is_duplicate") &&
+      r2(10L).getAs[Long]("dup_of") == 1L,
+      s"5-bit drift with no shared band must flag via multi-probe: ${r2(10L)}")
+    assert(!r2(11L).getAs[Boolean]("is_duplicate"), s"distant image novel: ${r2(11L)}")
+  }
+
   test("audio spectral: Goertzel detector recovers each synthesized tone exactly") {
     val out = Multimodal.audioSpectral(Multimodal.attachPayloads(docs)).collect()
     assert(out.length == docs.filter(col("doc_id") % 3 === 1).count())
