@@ -112,7 +112,20 @@ object Multimodal {
     * LIST(strl){strh,strf}} → LIST(movi){'00db' DIB frames}. Frames are
     * 24-bit bottom-up DIBs (rows padded to 4 bytes) of a gradient that
     * scrolls with the frame index, so motion features are non-trivial. */
-  private[pipeline] def aviBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+  private[graft] def aviBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] =
+    aviBytesWith(w, h, nFrames) { (x, y, f) =>
+      val r = ((x + f * 3) * 255 / math.max(w - 1, 1) + seed) & 0xff
+      val g = ((y + f) * 255 / math.max(h - 1, 1) + 2 * seed) & 0xff
+      val b = (x ^ y ^ f ^ seed) & 0xff
+      (r.toInt, g.toInt, b.toInt)
+    }
+
+  /** [[aviBytes]] with caller-supplied pixels — specs use it to build
+    * videos with CONTROLLED frame structure (e.g. a checkerboard that
+    * is perceptually far from the default scrolling gradient, which
+    * hashes the same under any seed shift). */
+  private[graft] def aviBytesWith(w: Int, h: Int, nFrames: Int)(
+      pixel: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val stride = ((w * 3 + 3) / 4) * 4
     val frameLen = stride * h
     def frame(f: Int): Array[Byte] = {
@@ -122,9 +135,7 @@ object Multimodal {
         val row = (h - 1 - y) * stride // bottom-up storage
         var x = 0
         while (x < w) {
-          val r = ((x + f * 3) * 255 / math.max(w - 1, 1) + seed) & 0xff
-          val g = ((y + f) * 255 / math.max(h - 1, 1) + 2 * seed) & 0xff
-          val b = (x ^ y ^ f ^ seed) & 0xff
+          val (r, g, b) = pixel(x, y, f)
           px(row + x * 3) = b.toByte     // DIB is BGR
           px(row + x * 3 + 1) = g.toByte
           px(row + x * 3 + 2) = r.toByte
@@ -533,6 +544,26 @@ object Multimodal {
     * `Image.getScaledInstance` and graphics-pipeline filters vary by
     * JDK/backend, and a fingerprint must be bit-stable across the
     * cluster. */
+  /** Emit the 64 comparison bits from an accumulated 9×8 luma grid —
+    * shared by the image ([[dhash64]]) and video ([[videoDHash]]) paths
+    * so both modalities hash identically-lit content to the same bits. */
+  private def gridBits(sum: Array[Array[Long]], cnt: Array[Array[Long]]): Long = {
+    val gw = 9; val gh = 8
+    var bits = 0L
+    var i = 0
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        if (sum(gy)(gx) * cnt(gy)(gx + 1) < sum(gy)(gx + 1) * cnt(gy)(gx))
+          bits |= (1L << i)
+        i += 1; gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
   private[pipeline] def dhash64(img: java.awt.image.BufferedImage): Long = {
     val gw = 9; val gh = 8
     val w = img.getWidth; val h = img.getHeight
@@ -553,21 +584,7 @@ object Multimodal {
       }
       y += 1
     }
-    var bits = 0L
-    var i = 0
-    var gy = 0
-    while (gy < gh) {
-      var gx = 0
-      while (gx < gw - 1) {
-        // Compare mean lumas as cross-multiplied integers — no float
-        // division anywhere near the fingerprint.
-        if (sum(gy)(gx) * cnt(gy)(gx + 1) < sum(gy)(gx + 1) * cnt(gy)(gx))
-          bits |= (1L << i)
-        i += 1; gx += 1
-      }
-      gy += 1
-    }
-    bits
+    gridBits(sum, cnt)
   }
 
   /** Batched dHash over a media table (images only — other kinds have
@@ -670,9 +687,20 @@ object Multimodal {
     * signature to match on). O(increment) per batch; the streaming
     * wrapper is [[graft.streaming.PipelineStream.dedupImages]]. */
   def incrementalImageDHash(media: DataFrame, storeDir: String,
-      maxHamming: Int = 7, broadcastMaxRows: Long = 4L << 20): DataFrame = {
-    val spark = media.sparkSession
-    val hashed = graft.Materialize(imageDHash(media))
+      maxHamming: Int = 7, broadcastMaxRows: Long = 4L << 20): DataFrame =
+    incrementalSig64(imageDHash(media)
+        .select(col("doc_id"), col("dhash"), col("decode_error")),
+      storeDir, maxHamming, broadcastMaxRows)
+
+  /** The shared one-64-bit-signature-per-row banded-store lifecycle
+    * behind [[incrementalImageDHash]] and [[incrementalAudioFingerprint]]
+    * — any modality whose fingerprint is a single 64-bit perceptual
+    * hash plugs in here with its own store directory. Input columns:
+    * (doc_id, dhash, decode_error). */
+  private def incrementalSig64(sig0: DataFrame, storeDir: String,
+      maxHamming: Int, broadcastMaxRows: Long): DataFrame = {
+    val spark = sig0.sparkSession
+    val hashed = graft.Materialize(sig0)
     val sigs = hashed.filter(col("decode_error").isNull)
       .select(col("doc_id"), col("dhash"))
     val bands = graft.Materialize(sigs
@@ -727,6 +755,270 @@ object Multimodal {
     annotated.orderBy("doc_id")
   }
 
+  // --------------------------------------------------------- audio dedup
+
+  final case class AudioFpRow(
+      doc_id: Long,
+      dhash: Long,
+      n_samples: Long,
+      sample_rate: Int,
+      decode_error: String = null)
+
+  /** 64-bit audio fingerprint — the dHash-for-audio analog
+    * (chromaprint's core idea at signature scale): slice the PCM into 8
+    * equal time windows, measure Goertzel energy in 9 ascending
+    * frequency bands per window, and emit one bit per ADJACENT-BAND
+    * comparison (band b < band b+1; 8 comparisons × 8 windows = 64
+    * bits). Comparing energies instead of keeping them makes the
+    * signature VOLUME-INVARIANT by construction — scaling every sample
+    * by a positive constant scales every band energy by its square and
+    * preserves every order — and re-encoding/requantization perturbs
+    * energies without usually reordering them, so a re-mastered copy
+    * lands within a few bits while different content (a tone two bands
+    * away, speech vs music) flips whole comparison runs. */
+  private[graft] def audioFingerprintBits(payload: Array[Byte],
+      bands: Array[Double] = (0 to 8).map(k => 150.0 + k * 100.0).toArray)
+      : (Long, Long, Int) = {
+    val (bb, sr, off, n) = wavPcm(payload)
+    val nw = 8
+    require(n >= nw * 8, s"audio too short to fingerprint ($n samples)")
+    var bits = 0L
+    var i = 0
+    var w = 0
+    while (w < nw) {
+      val from = off + 2 * (n.toLong * w / nw).toInt
+      val len = (n.toLong * (w + 1) / nw).toInt - (n.toLong * w / nw).toInt
+      val e = bands.map(f => goertzel(bb, from, len, f, sr))
+      var b = 0
+      while (b < bands.length - 1) {
+        if (e(b) < e(b + 1)) bits |= (1L << i)
+        i += 1; b += 1
+      }
+      w += 1
+    }
+    (bits, n.toLong, sr)
+  }
+
+  /** Batched audio fingerprinting over a media table — one 64-bit
+    * signature row per audio doc; corrupt payloads cost one error row.
+    * The registered rows-only surface (float DSP inside, but the BITS
+    * are deterministic on a given corpus) and the input to
+    * [[incrementalAudioFingerprint]]. */
+  def audioFingerprint(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        try {
+          val (bits, n, sr) = audioFingerprintBits(m.payload)
+          AudioFpRow(m.doc_id, bits, n, sr)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            AudioFpRow(m.doc_id, 0L, 0L, 0,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }))
+      .toDF()
+  }
+
+  /** Incremental AUDIO near-dup against a persistent fingerprint band
+    * store — [[incrementalSig64]] (the image-dHash lifecycle) over
+    * [[audioFingerprint]] signatures: 4 band rows per kept clip,
+    * multi-probe probing with the ≤7-bit pigeonhole guarantee, exact
+    * bit_count verify, keepers-only append, idempotent replay. The tier
+    * that catches a re-encoded, volume-scaled, or re-mastered copy of
+    * a historical clip from 32 stored bytes. Streaming wrapper:
+    * [[graft.streaming.PipelineStream.dedupAudio]]. */
+  def incrementalAudioFingerprint(media: DataFrame, storeDir: String,
+      maxHamming: Int = 7, broadcastMaxRows: Long = 4L << 20): DataFrame =
+    incrementalSig64(audioFingerprint(media)
+        .select(col("doc_id"), col("dhash"), col("decode_error")),
+      storeDir, maxHamming, broadcastMaxRows)
+
+  // --------------------------------------------------------- video dedup
+
+  final case class VideoHashRow(
+      doc_id: Long,
+      slot: Int,
+      frame_idx: Int,
+      dhash: Long,
+      n_frames: Int,
+      decode_error: String = null)
+
+  /** Per-sampled-frame dHashes of one AVI payload: the movi chunk walk
+    * from the feature decoder, but instead of scalar luma the sampled
+    * frames (first / evenly-spaced interior / last — the
+    * [[decodeVideo]] sampling shape generalized to `nSlots`) are
+    * area-averaged onto the SAME 9×8 grid as [[dhash64]] and emit the
+    * same comparison bits — so a frame extracted from a video and the
+    * same content as a still image hash identically. Returns the
+    * (slot, frameIndex, hash) list plus the total frame count. */
+  private[pipeline] def videoFrameHashes(
+      payload: Array[Byte], nSlots: Int): (Seq[(Int, Int, Long)], Int) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt(0) == 0x46464952, "not RIFF")
+    require(bb.getInt(8) == 0x20495641, "not AVI ")
+    var w = 0; var h = 0
+    val framePos = Seq.newBuilder[Int]
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = bb.getInt(pos)
+        val len = bb.getInt(pos + 4)
+        if (id == 0x5453494c) walk(pos + 12, pos + 8 + len) // "LIST"
+        else if (id == 0x68697661) {                        // "avih"
+          w = bb.getInt(pos + 8 + 32); h = bb.getInt(pos + 8 + 36)
+        } else if ((id & 0xffff0000) == 0x62640000 ||       // "??db"
+                   (id & 0xffff0000) == 0x63640000)         // "??dc"
+          framePos += pos + 8
+        pos += 8 + len + (len & 1)
+      }
+    }
+    walk(12, payload.length)
+    val frames = framePos.result()
+    val n = frames.size
+    require(w >= 9 && h >= 8 && n > 0,
+      s"no hashable frames (${w}x$h, $n frames)")
+    val stride = ((w * 3 + 3) / 4) * 4
+    def frameHash(fp: Int): Long = {
+      val sum = Array.ofDim[Long](8, 9)
+      val cnt = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(7, y * 8 / h)
+        val row = fp + (h - 1 - y) * stride // bottom-up DIB
+        var x = 0
+        while (x < w) {
+          val gx = math.min(8, x * 9 / w)
+          val b = payload(row + x * 3) & 0xff
+          val g = payload(row + x * 3 + 1) & 0xff
+          val r = payload(row + x * 3 + 2) & 0xff
+          sum(gy)(gx) += r * 299L + g * 587L + b * 114L
+          cnt(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      gridBits(sum, cnt)
+    }
+    val slots = (0 until nSlots)
+      .map(s => (s, ((n - 1).toLong * s / math.max(nSlots - 1, 1)).toInt))
+      .distinctBy(_._2)
+    (slots.map { case (s, fi) => (s, fi, frameHash(frames(fi))) }, n)
+  }
+
+  /** Batched per-frame video fingerprinting — one row per sampled frame
+    * (slot, source frame index, 64-bit dHash); corrupt payloads cost one
+    * error row. The registered rows-only surface (codec bytes are not
+    * SQL) and the input to [[incrementalVideoDHash]]. */
+  def videoDHash(media: DataFrame, nSlots: Int = 4,
+      batchSize: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { m =>
+        try {
+          val (hs, n) = videoFrameHashes(m.payload, nSlots)
+          hs.map { case (s, fi, bits) => VideoHashRow(m.doc_id, s, fi, bits, n) }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(VideoHashRow(m.doc_id, -1, -1, 0L, 0,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }))
+      .toDF()
+  }
+
+  private val VideoDHashSpec = graft.sinks.BucketedStore.Spec(
+    "chunk INT, ch INT, doc_id BIGINT, slot INT, dhash BIGINT", "ch", 32)
+
+  /** Incremental VIDEO near-dup against a persistent per-frame dHash
+    * band store — the composition the image tier was built for: each
+    * video's signature is its sampled frames' dHashes, and two videos
+    * are near-duplicates when ≥ `minFrameMatches` of the increment's
+    * sampled frames land within `maxHamming` bits of ANY stored frame
+    * of one historical video. Frame matching is SLOT-FREE (a trimmed or
+    * re-muxed copy samples shifted frame indexes, so positional pairing
+    * would miss exactly the copies this tier exists to catch) with the
+    * image store's multi-probe band join (exact + single-bit-flip
+    * probes on 4×16-bit bands — the same ≤7-bit pigeonhole guarantee,
+    * per frame). History is 4 band rows per kept frame (16/video at the
+    * default sampling), keepers-only append, idempotent replay;
+    * decode-error videos pass through flagged and are never appended.
+    * O(increment) per batch; streaming wrapper:
+    * [[graft.streaming.PipelineStream.dedupVideos]]. */
+  def incrementalVideoDHash(media: DataFrame, storeDir: String,
+      maxHamming: Int = 7, minFrameMatches: Int = 2,
+      broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = media.sparkSession
+    val hashed = graft.Materialize(videoDHash(media))
+    val frames = hashed.filter(col("decode_error").isNull)
+      .select(col("doc_id"), col("slot"), col("dhash"))
+    val bands = graft.Materialize(frames
+      .select(col("doc_id"), col("slot"), col("dhash"), explode(expr(
+        """transform(sequence(0, 3), i -> named_struct(
+          |  'chunk', CAST(i AS INT),
+          |  'ch', CAST((dhash >> (16 * i)) & 65535 AS INT)))""".stripMargin))
+        .as("c"))
+      .select(col("doc_id"), col("slot"), col("dhash"),
+        col("c.chunk"), col("c.ch")))
+    val probes = graft.Materialize(bands
+      .select(col("doc_id"), col("slot"), col("dhash"), col("chunk"),
+        explode(expr(
+          """transform(sequence(0, 16),
+            |  j -> CAST(IF(j = 16, ch, ch ^ shiftleft(1, j)) AS INT))""".stripMargin))
+          .as("ch")))
+    val small = probes.count() <= broadcastMaxRows
+    def inc(df: DataFrame): DataFrame =
+      if (small) org.apache.spark.sql.functions.broadcast(df) else df
+
+    val store = graft.sinks.BucketedStore
+      .readOrEmpty(spark, storeDir, VideoDHashSpec)
+      .select(col("chunk"), col("ch"),
+        col("doc_id").as("old_id"), col("dhash").as("odh"))
+    def videoPairs(cands: DataFrame): DataFrame = cands
+      .distinct()
+      .groupBy("doc_id", "old_id")
+      .agg(countDistinct(col("slot")).as("nm"))
+      .filter(col("nm") >= minFrameMatches)
+      .select("doc_id", "old_id")
+    val vsStore = videoPairs(store.join(inc(probes), Seq("chunk", "ch"))
+      .filter(bit_count(col("dhash").bitwiseXOR(col("odh"))) <= maxHamming)
+      .select(col("doc_id"), col("slot"), col("old_id")))
+    val intra = videoPairs(probes.as("a").join(bands.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .filter(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= maxHamming)
+      .select(col("a.doc_id").as("doc_id"), col("a.slot").as("slot"),
+        col("b.doc_id").as("old_id")))
+    val dupOf = vsStore.unionByName(intra)
+      .groupBy("doc_id").agg(min("old_id").as("dup_of"))
+    val perVideo = hashed.groupBy("doc_id")
+      .agg(max("n_frames").as("n_frames"),
+        countDistinct(when(col("decode_error").isNull, col("slot")))
+          .cast("int").as("n_slots"),
+        first(col("decode_error"), ignoreNulls = true).as("decode_error"))
+    val annotated = graft.Materialize(perVideo
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_slots"),
+        col("dup_of").isNotNull.as("is_duplicate"), col("dup_of"),
+        col("decode_error")))
+    val keep = annotated
+      .filter(!col("is_duplicate") && col("decode_error").isNull)
+      .select("doc_id")
+    graft.sinks.BucketedStore.append(
+      bands.join(inc(keep), Seq("doc_id"))
+        .select("chunk", "ch", "doc_id", "slot", "dhash"),
+      storeDir, VideoDHashSpec)
+    graft.Materialize.release(probes)
+    graft.Materialize.release(bands)
+    graft.Materialize.release(hashed)
+    annotated.orderBy("doc_id")
+  }
+
   def pipeline(s: SparkSession, dir: String): DataFrame =
     extractFeatures(attachPayloads(Tables(s, dir).documents))
       .select(col("doc_id"), col("kind"), col("n_bytes"), col("n_frames"),
@@ -758,5 +1050,19 @@ object Multimodal {
     // spec pins twin hamming ≤ 10 and distinct-image separation.
     "image_dhash" -> ((s, d) =>
       imageDHashTwins(attachPayloads(Tables(s, d).documents))),
+    // Rows-only (AVI decode is byte-walk output, not SQL): one row per
+    // sampled frame with its 64-bit dHash — the video near-dup
+    // signature surface; specs pin re-mux/trim matching and
+    // distinct-video separation on the incremental store.
+    "video_dhash" -> ((s, d) =>
+      videoDHash(attachPayloads(Tables(s, d).documents))
+        .orderBy("doc_id", "slot")),
+    // Rows-only (float DSP inside the bit decisions): one 64-bit
+    // band-comparison fingerprint per audio doc; specs pin
+    // volume-scale invariance, re-quantization drift, and
+    // distinct-tone separation on the incremental store.
+    "audio_fingerprint" -> ((s, d) =>
+      audioFingerprint(attachPayloads(Tables(s, d).documents))
+        .orderBy("doc_id")),
   )
 }

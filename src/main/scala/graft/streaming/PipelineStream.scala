@@ -187,6 +187,28 @@ object PipelineStream {
     incremental(media, outDir, checkpoint)(
       graft.pipeline.Multimodal.incrementalImageDHash(_, storeDir))
 
+  /** Streaming AUDIO near-dup: every micro-batch of media rows is
+    * band-energy fingerprinted and probed against — and grows — the
+    * persistent fingerprint band store
+    * ([[graft.pipeline.Multimodal.incrementalAudioFingerprint]]); a
+    * re-encoded or volume-scaled copy of a historical clip flags from
+    * its stored 64-bit signature alone. */
+  def dedupAudio(media: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(media, outDir, checkpoint)(
+      graft.pipeline.Multimodal.incrementalAudioFingerprint(_, storeDir))
+
+  /** Streaming VIDEO near-dup: every micro-batch of media rows is
+    * frame-sampled, per-frame dHashed, and probed against — and grows —
+    * the persistent per-frame band store
+    * ([[graft.pipeline.Multimodal.incrementalVideoDHash]]); a re-muxed
+    * or trimmed copy of a historical video flags from its stored frame
+    * signatures alone. */
+  def dedupVideos(media: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(media, outDir, checkpoint)(
+      graft.pipeline.Multimodal.incrementalVideoDHash(_, storeDir))
+
   /** Streaming SimHash near-dup: every micro-batch of (doc_id, text)
     * probes — and grows — the persistent 4-band chunk store
     * ([[graft.pipeline.Dedup.incrementalSimhash]]); the

@@ -2659,6 +2659,143 @@ class PipelineSpec extends AnyFunSuite {
     assert(!r2(11L).getAs[Boolean]("is_duplicate"), s"distant image novel: ${r2(11L)}")
   }
 
+  test("video dhash: per-frame signatures over the corpus; frame == still-image hash parity") {
+    import spark.implicits._
+    val out = Multimodal.videoDHash(Multimodal.attachPayloads(docs)).collect()
+    val videos = docs.filter(col("doc_id") % 3 === 2).count()
+    assert(out.forall(_.getAs[String]("decode_error") == null))
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == videos)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val n = rows.head.getAs[Int]("n_frames")
+      assert(n == ((id % 4) + 3).toInt, s"doc $id frame count")
+      // slots sample first/interior/last without repeats
+      assert(rows.map(_.getAs[Int]("frame_idx")).distinct.length == rows.length)
+      assert(rows.map(_.getAs[Int]("frame_idx")).max == n - 1)
+    }
+    // Parity: hashing frame 0 of a synthetic AVI through the video path
+    // equals dhash64 of the SAME pixels as a BufferedImage — one grid,
+    // one bit rule across modalities.
+    val payload = Multimodal.aviBytes(32, 16, 3, seed = 7L)
+    val (hs, _) = Multimodal.videoFrameHashes(payload, nSlots = 3)
+    val im = new java.awt.image.BufferedImage(
+      32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val r = ((x + 0) * 255 / 31 + 7) & 0xff
+      val g = ((y + 0) * 255 / 15 + 14) & 0xff
+      val b = (x ^ y ^ 0 ^ 7) & 0xff
+      im.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    assert(hs.head._3 == Multimodal.dhash64(im),
+      "frame-0 video hash must equal the still-image dHash of the same pixels")
+  }
+
+  test("video dhash store: a trimmed copy flags, distinct videos don't, replay idempotent") {
+    import spark.implicits._
+    def vid(id: Long, nf: Int, seed: Long) =
+      Multimodal.MediaRow(id, "video", Multimodal.aviBytes(32, 16, nf, seed), 32, 16, 0)
+    // Precondition sanity on the planted geometry: the trimmed copy
+    // shares frames 0 and 1 with the original's sampled set exactly,
+    // and the distinct-seed video stays far from both.
+    // A structurally different video: a phase-shifting checkerboard —
+    // a plain seed shift of the gradient hashes the SAME (comparison
+    // signs survive value offsets), which is itself evidence the hash
+    // measures structure, not pixel values.
+    val checkerAvi = Multimodal.aviBytesWith(32, 16, 6) { (x, y, f) =>
+      val v = if (((x / 4 + y / 4 + f) % 2) == 0) 230 else 25
+      (v, v, v)
+    }
+    val (ho, _) = Multimodal.videoFrameHashes(Multimodal.aviBytes(32, 16, 6, 7L), 4)
+    val (ht, _) = Multimodal.videoFrameHashes(Multimodal.aviBytes(32, 16, 5, 7L), 4)
+    val (hd, _) = Multimodal.videoFrameHashes(checkerAvi, 4)
+    assert(ho.map(_._2) == Seq(0, 1, 3, 5) && ht.map(_._2) == Seq(0, 1, 2, 4))
+    val shared = ht.filter(t => ho.exists(o => o._2 == t._2 && o._3 == t._3))
+    assert(shared.length >= 2, s"trim must share >=2 sampled frames: $shared")
+    for (a <- hd; b <- ho)
+      assert(java.lang.Long.bitCount(a._3 ^ b._3) > 7,
+        s"checkerboard frames must separate: ${a._2} vs ${b._2} " +
+          s"(hamming ${java.lang.Long.bitCount(a._3 ^ b._3)})")
+
+    val store = java.nio.file.Files.createTempDirectory("vdstore").resolve("s").toString
+    val day1 = Seq(vid(1L, 6, 7L)).toDS().toDF()
+    assert(Multimodal.incrementalVideoDHash(day1, store).collect()
+      .forall(!_.getAs[Boolean]("is_duplicate")))
+    // Day 2: a TRIMMED re-mux of video 1 (first 5 of its 6 frames in a
+    // fresh container) and a structurally distinct video.
+    val day2 = Seq(vid(10L, 5, 7L),
+      Multimodal.MediaRow(11L, "video", checkerAvi, 32, 16, 0)).toDS().toDF()
+    val r2 = Multimodal.incrementalVideoDHash(day2, store).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r2(10L).getAs[Boolean]("is_duplicate") &&
+      r2(10L).getAs[Long]("dup_of") == 1L,
+      s"trimmed copy must flag against the stored frames: ${r2(10L)}")
+    assert(!r2(11L).getAs[Boolean]("is_duplicate"), s"distinct video: ${r2(11L)}")
+    // Replay: idempotent, keepers-only growth (2 keepers x 4 slots x 4 bands).
+    val n = spark.read.parquet(store).count()
+    assert(n == 32, s"band rows: $n")
+    val r3 = Multimodal.incrementalVideoDHash(day2, store).collect()
+    assert(r3.forall(_.getAs[Boolean]("is_duplicate")), "replay must be all-dup")
+    assert(spark.read.parquet(store).count() == n, "replay appends nothing")
+  }
+
+  test("audio fingerprint: volume-invariant bits; re-quantization drifts <=7; distinct tones separate") {
+    def wav(nSamples: Int, sr: Int)(sample: Int => Double): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      (0 until nSamples).foreach { i =>
+        bb.putShort(math.max(-32768, math.min(32767, sample(i).round.toInt)).toShort)
+      }
+      bb.array()
+    }
+    val sr = 16000; val n = 4800
+    // Content with real temporal structure: 250 Hz for the first half,
+    // 850 Hz for the second — the per-window band profile changes.
+    def sweep(i: Int): Double =
+      math.sin(2 * math.Pi * (if (i < n / 2) 250.0 else 850.0) * i / sr) * 12000
+    val a = wav(n, sr)(sweep)
+    val scaled = wav(n, sr)(i => sweep(i) * 0.4)          // volume-scaled copy
+    val requant = wav(n, sr)(i => (sweep(i).round.toInt >> 8 << 8).toDouble) // 8-bit master
+    val tone = wav(n, sr)(i => math.sin(2 * math.Pi * 550.0 * i / sr) * 12000)
+    val bitsA = Multimodal.audioFingerprintBits(a)._1
+    val hScaled = java.lang.Long.bitCount(bitsA ^ Multimodal.audioFingerprintBits(scaled)._1)
+    val hRequant = java.lang.Long.bitCount(bitsA ^ Multimodal.audioFingerprintBits(requant)._1)
+    val hTone = java.lang.Long.bitCount(bitsA ^ Multimodal.audioFingerprintBits(tone)._1)
+    assert(hScaled <= 7, s"volume scale must stay within the store gate: $hScaled")
+    assert(hRequant <= 7, s"requantization drift: $hRequant")
+    assert(hTone > 7, s"different content must separate: $hTone")
+
+    import spark.implicits._
+    def row(id: Long, p: Array[Byte]) = Multimodal.MediaRow(id, "audio", p, 0, 0, sr)
+    val store = java.nio.file.Files.createTempDirectory("afpstore").resolve("s").toString
+    val day1 = Seq(row(1L, a)).toDS().toDF()
+    assert(Multimodal.incrementalAudioFingerprint(day1, store).collect()
+      .forall(!_.getAs[Boolean]("is_duplicate")))
+    val day2 = Seq(row(10L, scaled), row(11L, tone)).toDS().toDF()
+    val r2 = Multimodal.incrementalAudioFingerprint(day2, store).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r2(10L).getAs[Boolean]("is_duplicate") &&
+      r2(10L).getAs[Long]("dup_of") == 1L,
+      s"volume-scaled copy must flag: ${r2(10L)}")
+    assert(!r2(11L).getAs[Boolean]("is_duplicate"), s"distinct clip: ${r2(11L)}")
+    // Replay idempotent, keepers-only growth (2 keepers x 4 bands).
+    val stored = spark.read.parquet(store).count()
+    assert(stored == 8, s"band rows: $stored")
+    assert(Multimodal.incrementalAudioFingerprint(day2, store).collect()
+      .forall(_.getAs[Boolean]("is_duplicate")), "replay must be all-dup")
+    assert(spark.read.parquet(store).count() == stored)
+  }
+
+  test("audio fingerprint surface: every corpus audio doc fingerprints cleanly") {
+    val out = Multimodal.audioFingerprint(Multimodal.attachPayloads(docs)).collect()
+    assert(out.length == docs.filter(col("doc_id") % 3 === 1).count())
+    assert(out.forall(_.getAs[String]("decode_error") == null))
+  }
+
   test("audio spectral: Goertzel detector recovers each synthesized tone exactly") {
     val out = Multimodal.audioSpectral(Multimodal.attachPayloads(docs)).collect()
     assert(out.length == docs.filter(col("doc_id") % 3 === 1).count())

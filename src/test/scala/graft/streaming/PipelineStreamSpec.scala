@@ -305,6 +305,71 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 8)
   }
 
+  test("streaming video dedup: a trimmed re-mux flags across micro-batches from frame signatures") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("psvidstore"), tmp("psvidout"), tmp("psvidckpt"))
+    import graft.pipeline.Multimodal
+    val checker = Multimodal.aviBytesWith(32, 16, 6) { (x, y, f) =>
+      val v = if (((x / 4 + y / 4 + f) % 2) == 0) 230 else 25
+      (v, v, v)
+    }
+    val ms = MemoryStream[(Long, String, Array[Byte], Int, Int, Int)]
+    val q = PipelineStream.dedupVideos(
+      ms.toDF().toDF("doc_id", "kind", "payload", "width", "height", "sample_rate"),
+      store, out, ckpt)
+    try {
+      ms.addData((1L, "video", Multimodal.aviBytes(32, 16, 6, 7L), 32, 16, 0))
+      q.processAllAvailable()
+      // Batch 1: 10 is a trimmed re-mux of HISTORICAL 1; 11 is distinct.
+      ms.addData((10L, "video", Multimodal.aviBytes(32, 16, 5, 7L), 32, 16, 0),
+        (11L, "video", checker, 32, 16, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_duplicate"),
+          Option(r.getAs[Any]("dup_of")).map(_.toString)))).toMap
+    assert(rows.size == 3, rows.toString)
+    assert(rows(1L) == ((false, None)))
+    assert(rows(10L) == ((true, Some("1"))), s"cross-batch video dedup: ${rows(10L)}")
+    assert(rows(11L) == ((false, None)))
+  }
+
+  test("streaming audio dedup: a volume-scaled copy flags across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("psaudstore"), tmp("psaudout"), tmp("psaudckpt"))
+    val sr = 16000; val n = 4800
+    def wav(sample: Int => Double): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+      (0 until n).foreach(i => bb.putShort(sample(i).round.toInt.toShort))
+      bb.array()
+    }
+    def sweep(i: Int): Double =
+      math.sin(2 * math.Pi * (if (i < n / 2) 250.0 else 850.0) * i / sr) * 12000
+    val ms = MemoryStream[(Long, String, Array[Byte], Int, Int, Int)]
+    val q = PipelineStream.dedupAudio(
+      ms.toDF().toDF("doc_id", "kind", "payload", "width", "height", "sample_rate"),
+      store, out, ckpt)
+    try {
+      ms.addData((1L, "audio", wav(sweep), 0, 0, sr))
+      q.processAllAvailable()
+      ms.addData((10L, "audio", wav(i => sweep(i) * 0.4), 0, 0, sr),
+        (11L, "audio", wav(i => math.sin(2 * math.Pi * 550.0 * i / sr) * 12000), 0, 0, sr))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_duplicate")).toMap
+    assert(rows == Map(1L -> false, 10L -> true, 11L -> false), rows.toString)
+  }
+
   test("streaming decontamination screens each micro-batch against the eval store") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
