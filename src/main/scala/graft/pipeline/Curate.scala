@@ -118,16 +118,26 @@ object Curate {
     * verdict is one zero-shuffle string projection per row (planted
     * URL → canonical → registered domain → blocklist compare). */
   private def stageFlags(docs: DataFrame,
-      minTokens: Long, maxTokens: Long): DataFrame = {
+      minTokens: Long, maxTokens: Long,
+      gopherQuality: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    val withSig = Urls.plantUrls(docs).select(col("doc_id"),
+    val base = Urls.plantUrls(docs).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_toks"),
       md5(col("text")).as("h"),
       substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"),
       (!Urls.registeredDomain(Urls.hostOf(
           graft.functions.CanonicalizeUrl.url(spark, col("url"))))
         .isin(Urls.DefaultBlocklist: _*)).as("rd"))
-    val quality = withSig.filter(col("rd") &&
+    // Opt-in: the quality stage can additionally require the Gopher
+    // rule battery's verdict ([[TextAnalysis.gopherRules]]) — the
+    // production gate set — instead of token bounds alone. A projection
+    // join on doc_id; the battery itself is a zero-shuffle HOF pass.
+    val withSig =
+      if (gopherQuality)
+        base.join(TextAnalysis.gopherRules(docs)
+          .select(col("doc_id"), col("pass").as("gq")), Seq("doc_id"))
+      else base.withColumn("gq", lit(true))
+    val quality = withSig.filter(col("rd") && col("gq") &&
       col("n_toks") >= minTokens && col("n_toks") <= maxTokens)
     // Keep-first among DOMAIN+QUALITY survivors (the aggregate, q19's
     // skew shape): a blocked domain's copy must not shadow a clean one.
@@ -141,7 +151,7 @@ object Curate {
       .join(keepers, Seq("doc_id"), "left")
       .join(decon, Seq("doc_id"), "left") // eval docs have no decon row
       .select(col("doc_id"), col("hk"), col("rd"),
-        (col("rd") && col("n_toks") >= minTokens &&
+        (col("rd") && col("gq") && col("n_toks") >= minTokens &&
           col("n_toks") <= maxTokens).as("r2"),
         coalesce(col("is_keeper"), lit(false)).as("keeper"),
         (col("contaminated").isNotNull && !col("contaminated")).as("clean"))
@@ -151,8 +161,9 @@ object Curate {
   }
 
   def corpusBuild(docs: DataFrame,
-      minTokens: Long = 15, maxTokens: Long = 95): DataFrame = {
-    val reached = stageFlags(docs, minTokens, maxTokens)
+      minTokens: Long = 15, maxTokens: Long = 95,
+      gopherQuality: Boolean = false): DataFrame = {
+    val reached = stageFlags(docs, minTokens, maxTokens, gopherQuality)
     val (tTrain, _) = Select.splitThresholds()
     // One conditional-sum aggregate: the whole funnel in a single job.
     val one = reached.agg(
@@ -188,9 +199,10 @@ object Curate {
     * wanting exactly-one-file-per-dir compose a repartition on
     * (split, lang) first. Returns the written row count per split. */
   def materializeCorpus(docs: DataFrame, outDir: String,
-      minTokens: Long = 15, maxTokens: Long = 95): Map[String, Long] = {
+      minTokens: Long = 15, maxTokens: Long = 95,
+      gopherQuality: Boolean = false): Map[String, Long] = {
     val (tTrain, tVal) = Select.splitThresholds()
-    val survivors = stageFlags(docs, minTokens, maxTokens)
+    val survivors = stageFlags(docs, minTokens, maxTokens, gopherQuality)
       .filter(col("r4"))
       .select(col("doc_id"),
         when(col("hk") < tTrain, "train")
@@ -259,12 +271,28 @@ object Curate {
       .orderBy("pos")
   }
 
+  /** The gopher_rules suffix plant applied to the corpus before the
+    * funnel (the corpus itself contains no symbol walls or bullet
+    * spam): doc_id % 11 ∈ {0, 1, 2} gain a symbol-wall / bullet-list /
+    * ellipsis-endings suffix, so the gopher-gated funnel must kill
+    * exactly those at the quality stage. */
+  private[pipeline] def plantGopher(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 11 === 0, lit(TextAnalysis.gopherSymbolPlant))
+        .when(col("doc_id") % 11 === 1, lit(TextAnalysis.gopherBulletPlant))
+        .when(col("doc_id") % 11 === 2, lit(TextAnalysis.gopherEllipsisPlant))
+        .otherwise(lit(""))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_curation" -> ((s, d) => curation(Tables(s, d).documents)),
     "curriculum_interleave" -> ((s, d) =>
       interleaveSources(Tables(s, d).documents)),
     "q81_quality_deciles" -> ((s, d) => qualityDeciles(Tables(s, d).documents)),
     "pipeline_funnel" -> ((s, d) => corpusBuild(Tables(s, d).documents)),
+    // The production quality gate: token bounds AND the Gopher rule
+    // battery, over the gopher-planted corpus.
+    "pipeline_funnel_gopher" -> ((s, d) =>
+      corpusBuild(plantGopher(Tables(s, d).documents), gopherQuality = true)),
     "source_report" -> ((s, d) => sourceReport(Tables(s, d).documents)),
   )
 
@@ -309,6 +337,78 @@ object Curate {
          |    sig.rd AND sig.n_toks BETWEEN 15 AND 95 AS r2,
          |    sig.rd AND (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE) AS r3,
          |    sig.rd AND (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE)
+         |      AND sig.doc_id % 23 <> 0 AND COALESCE(ov.n, 0) = 0 AS r4
+         |  FROM sig LEFT JOIN k USING (doc_id) LEFT JOIN ov USING (doc_id)),
+         |c AS (SELECT COUNT(*) AS s1,
+         |    CAST(SUM(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT) AS sd,
+         |    CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |    CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         |    CAST(SUM(CASE WHEN r4 AND hk < 'cccccccc' THEN 1 ELSE 0 END) AS BIGINT) AS s5
+         |  FROM r)
+         |SELECT stage_idx, stage, n_docs,
+         |  ROUND(CAST(n_docs AS DOUBLE) / (SELECT s1 FROM c), 6) AS retained_frac FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'ingest' AS stage, s1 AS n_docs FROM c
+         |  UNION ALL SELECT 2, 'domain', sd FROM c
+         |  UNION ALL SELECT 3, 'quality', s2 FROM c
+         |  UNION ALL SELECT 4, 'dedup', s3 FROM c
+         |  UNION ALL SELECT 5, 'decontaminated', s4 FROM c
+         |  UNION ALL SELECT 6, 'train', s5 FROM c)
+         |ORDER BY stage_idx""".stripMargin),
+    // The gopher-gated funnel: the same CTE chain with the gopher_rules
+    // plant + verdict composed in (both already independently
+    // hash-verified by the gopher_rules oracle); r2 additionally
+    // requires the battery's `pass`.
+    "pipeline_funnel_gopher" ->
+      (s"""WITH d AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 11 = 0 THEN '${TextAnalysis.gopherSymbolPlant}'
+         |         WHEN doc_id % 11 = 1 THEN replace('${TextAnalysis.gopherBulletPlant.replace("\n", "~")}', '~', chr(10))
+         |         WHEN doc_id % 11 = 2 THEN replace('${TextAnalysis.gopherEllipsisPlant.replace("\n", "~")}', '~', chr(10))
+         |         ELSE '' END AS text FROM documents),
+         |gt AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+         |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lns
+         |  FROM d),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS total_len,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST((length(text) - length(replace(text, '#', ''))) +
+         |      (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+         |    CAST(len(lns) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lns, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lns, l -> l LIKE '%...')) AS BIGINT) AS n_ell_end,
+         |    CAST(len(list_intersect(list_distinct(ws),
+         |      ['the', 'a', 'of', 'to', 'and'])) AS BIGINT) AS stop_hits
+         |  FROM gt),
+         |g AS (SELECT doc_id,
+         |    ((n_words >= 10 AND n_words <= 100000)
+         |      AND (n_words > 0 AND 3 * n_words <= total_len AND total_len <= 10 * n_words)
+         |      AND (stop_hits >= 2)
+         |      AND (5 * n_alpha >= 4 * n_words)
+         |      AND (10 * n_sym <= n_words)
+         |      AND (10 * n_bullet <= 9 * greatest(n_lines, 1))
+         |      AND (10 * n_ell_end <= 3 * greatest(n_lines, 1))) AS pass
+         |  FROM gm),
+         |sig AS (SELECT d.doc_id,
+         |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    md5(text) AS h, substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS hk, text,
+         |    d.doc_id % 4 <> 2 AS rd, g.pass AS gq
+         |  FROM d JOIN g ON d.doc_id = g.doc_id),
+         |q AS (SELECT * FROM sig WHERE rd AND gq AND n_toks BETWEEN 15 AND 95),
+         |k AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1 AS is_keeper FROM q),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM d),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 7),
+         |       i -> array_to_string(t[i:i+7], ' ')))
+         |  ELSE [text] END) AS s FROM toks),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+         |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev USING (s)
+         |  WHERE sh.doc_id % 23 <> 0 GROUP BY sh.doc_id),
+         |r AS (SELECT sig.doc_id, sig.hk, sig.rd,
+         |    sig.rd AND sig.gq AND sig.n_toks BETWEEN 15 AND 95 AS r2,
+         |    sig.rd AND sig.gq AND (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE) AS r3,
+         |    sig.rd AND sig.gq AND (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE)
          |      AND sig.doc_id % 23 <> 0 AND COALESCE(ov.n, 0) = 0 AS r4
          |  FROM sig LEFT JOIN k USING (doc_id) LEFT JOIN ov USING (doc_id)),
          |c AS (SELECT COUNT(*) AS s1,

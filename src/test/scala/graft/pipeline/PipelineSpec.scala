@@ -193,6 +193,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(funnel("train") <= funnel("decontaminated"))
   }
 
+  test("gopher-gated funnel: a symbol wall dies at the quality gate that token bounds let through") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = // stopword-rich, mean word length in [3,10]
+      (0 until n).map(i => s"the of ${tag}word$i").mkString(" ")
+    val rows = Seq(
+      (1L, words("a", 10)),                          // 30 tokens, clean → survives
+      (5L, words("b", 10) + " # # # # # # # # # #") // 40 tokens — in bounds, but a symbol wall
+    ).toDF("doc_id", "text")
+    val plain = Curate.corpusBuild(rows).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val gated = Curate.corpusBuild(rows, gopherQuality = true).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(plain("quality") == 2, s"token bounds alone pass both: $plain")
+    assert(gated("quality") == 1, s"the gopher gate must kill the symbol wall: $gated")
+    assert(gated("dedup") == 1 && gated("decontaminated") >= 0)
+  }
+
   test("corpus-build funnel on the corpus: single aggregate, fractions consistent") {
     val rows = Curate.corpusBuild(docs).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 6L))
