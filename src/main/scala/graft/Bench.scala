@@ -207,6 +207,17 @@ object Bench {
         // the selection gates.
         if (name == "nucleus_select" && !plan.contains("BroadcastHashJoin"))
           violations += s"$name:selection-gates-not-broadcast"
+        // The funnel's opt-in quality gates (gopher battery, fixed-LR
+        // score) are PROJECTION columns on the base scan — all three
+        // variants share one plan shape: exactly the keep-first +
+        // decontamination exchanges (3), zero SortMergeJoin. A fourth
+        // exchange or an SMJ means a gate regressed to a doc_id join
+        // back against a second corpus pass.
+        if (Set("pipeline_funnel", "pipeline_funnel_gopher",
+              "pipeline_funnel_lr").contains(name) &&
+            ("Exchange hashpartitioning".r.findAllIn(fullPlan).length > 3 ||
+              fullPlan.contains("SortMergeJoin")))
+          violations += s"$name:quality-gate-regressed-to-join"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }
     graft.Materialize.stopPlanRecording()

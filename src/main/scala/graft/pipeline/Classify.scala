@@ -202,6 +202,30 @@ object Classify {
       .orderBy("doc_id")
   }
 
+  /** The fixed-weight LR decision as ONE projection column over a text
+    * column — [[qualityScoreFixed]]'s exact arithmetic (hashed bigrams →
+    * md5-derived fixed weights → instance-mean → sigmoid → rounded
+    * decision) folded into a per-row HOF, for gates that must not join:
+    * [[Curate.corpusBuild]]'s opt-in LR quality stage composes this on
+    * its existing scan, zero shuffle. The instance-mean folds in
+    * DOCUMENT ORDER here vs exploded-aggregate order there — sub-ulp
+    * float drift the shared ROUND(…, 4) absorbs (the q75/q79 argument);
+    * the decision compares the rounded value, matching the oracle's
+    * round-before-threshold convention. Bigram-less documents score
+    * σ(0) = 0.5, which fails the strict > 0.5 gate. */
+  private[pipeline] def fixedScorePass(text: Column): Column = {
+    val toks = split(text, " ")
+    val zf = when(size(toks) >= 2,
+      aggregate(
+        transform(sequence(lit(1), size(toks) - 1),
+          i => fixedWeight(pmod(PortableHash.hash64(
+            concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))),
+            lit(Buckets.toLong)))),
+        lit(0.0), (acc, w) => acc + w) / (size(toks) - 1).cast("double"))
+      .otherwise(lit(0.0))
+    round(sigmoid(zf), 4) > 0.5
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_classifier" -> ((s, d) =>
       qualityClassifier(Tables(s, d).documents)),

@@ -119,25 +119,44 @@ object Curate {
     * URL → canonical → registered domain → blocklist compare). */
   private def stageFlags(docs: DataFrame,
       minTokens: Long, maxTokens: Long,
-      gopherQuality: Boolean = false): DataFrame = {
+      gopherQuality: Boolean = false,
+      lrQuality: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    val base = Urls.plantUrls(docs).select(col("doc_id"),
+    // Domain gate as a label-boundary SUFFIX match on the canonical
+    // host: for registrable blocklist entries this is exactly
+    // `registeredDomain(host) ∈ blocklist` (the entry matches the host
+    // itself and every subdomain under it), without re-inlining the
+    // canonicalize→host expression once per PSL branch — the full
+    // [[PublicSuffixes]] when-chain inside this plan's hot aggregate
+    // blows Janino's 64 KB generated-method limit and drops the whole
+    // stage out of codegen.
+    val canonHost = Urls.hostOf(
+      graft.functions.CanonicalizeUrl.url(spark, col("url")))
+    val blockedHost = Urls.DefaultBlocklist
+      .map(d => canonHost === d || canonHost.endsWith("." + d))
+      .reduce(_ || _)
+    val base = Urls.plantUrls(docs).select(col("doc_id"), col("text"),
       size(split(col("text"), " ")).cast("long").as("n_toks"),
       md5(col("text")).as("h"),
       substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"),
-      (!Urls.registeredDomain(Urls.hostOf(
-          graft.functions.CanonicalizeUrl.url(spark, col("url"))))
-        .isin(Urls.DefaultBlocklist: _*)).as("rd"))
-    // Opt-in: the quality stage can additionally require the Gopher
-    // rule battery's verdict ([[TextAnalysis.gopherRules]]) — the
-    // production gate set — instead of token bounds alone. A projection
-    // join on doc_id; the battery itself is a zero-shuffle HOF pass.
-    val withSig =
-      if (gopherQuality)
-        base.join(TextAnalysis.gopherRules(docs)
-          .select(col("doc_id"), col("pass").as("gq")), Seq("doc_id"))
+      (!blockedHost).as("rd"))
+    // Opt-in quality gates beyond the token bounds, each folded into the
+    // SAME scan as ONE projection column — never a doc_id join back to a
+    // second pass over the corpus (two avoidable full-corpus exchanges
+    // at 100× for booleans computable in place on the row):
+    //  - `gq` — the Gopher rule battery's verdict
+    //    ([[TextAnalysis.gopherRules]] semantics, inlined via
+    //    [[TextAnalysis.withGopherPass]]);
+    //  - `lq` — the fixed-weight LR quality decision
+    //    ([[Classify.qualityScoreFixed]]'s arithmetic, inlined via
+    //    [[Classify.fixedScorePass]] — the persisted-classifier gate).
+    val withGq =
+      if (gopherQuality) TextAnalysis.withGopherPass(base, "gq")
       else base.withColumn("gq", lit(true))
-    val quality = withSig.filter(col("rd") && col("gq") &&
+    val withSig = (if (lrQuality)
+        withGq.withColumn("lq", Classify.fixedScorePass(col("text")))
+      else withGq.withColumn("lq", lit(true))).drop("text")
+    val quality = withSig.filter(col("rd") && col("gq") && col("lq") &&
       col("n_toks") >= minTokens && col("n_toks") <= maxTokens)
     // Keep-first among DOMAIN+QUALITY survivors (the aggregate, q19's
     // skew shape): a blocked domain's copy must not shadow a clean one.
@@ -151,7 +170,7 @@ object Curate {
       .join(keepers, Seq("doc_id"), "left")
       .join(decon, Seq("doc_id"), "left") // eval docs have no decon row
       .select(col("doc_id"), col("hk"), col("rd"),
-        (col("rd") && col("gq") && col("n_toks") >= minTokens &&
+        (col("rd") && col("gq") && col("lq") && col("n_toks") >= minTokens &&
           col("n_toks") <= maxTokens).as("r2"),
         coalesce(col("is_keeper"), lit(false)).as("keeper"),
         (col("contaminated").isNotNull && !col("contaminated")).as("clean"))
@@ -162,8 +181,9 @@ object Curate {
 
   def corpusBuild(docs: DataFrame,
       minTokens: Long = 15, maxTokens: Long = 95,
-      gopherQuality: Boolean = false): DataFrame = {
-    val reached = stageFlags(docs, minTokens, maxTokens, gopherQuality)
+      gopherQuality: Boolean = false,
+      lrQuality: Boolean = false): DataFrame = {
+    val reached = stageFlags(docs, minTokens, maxTokens, gopherQuality, lrQuality)
     val (tTrain, _) = Select.splitThresholds()
     // One conditional-sum aggregate: the whole funnel in a single job.
     val one = reached.agg(
@@ -200,9 +220,10 @@ object Curate {
     * (split, lang) first. Returns the written row count per split. */
   def materializeCorpus(docs: DataFrame, outDir: String,
       minTokens: Long = 15, maxTokens: Long = 95,
-      gopherQuality: Boolean = false): Map[String, Long] = {
+      gopherQuality: Boolean = false,
+      lrQuality: Boolean = false): Map[String, Long] = {
     val (tTrain, tVal) = Select.splitThresholds()
-    val survivors = stageFlags(docs, minTokens, maxTokens, gopherQuality)
+    val survivors = stageFlags(docs, minTokens, maxTokens, gopherQuality, lrQuality)
       .filter(col("r4"))
       .select(col("doc_id"),
         when(col("hk") < tTrain, "train")
@@ -293,6 +314,10 @@ object Curate {
     // battery, over the gopher-planted corpus.
     "pipeline_funnel_gopher" -> ((s, d) =>
       corpusBuild(plantGopher(Tables(s, d).documents), gopherQuality = true)),
+    // The classifier-gated funnel: token bounds AND the fixed-weight LR
+    // quality decision ([[Classify.qualityScoreFixed]]'s arithmetic).
+    "pipeline_funnel_lr" -> ((s, d) =>
+      corpusBuild(Tables(s, d).documents, lrQuality = true)),
     "source_report" -> ((s, d) => sourceReport(Tables(s, d).documents)),
   )
 
@@ -355,6 +380,62 @@ object Curate {
          |  UNION ALL SELECT 5, 'decontaminated', s4 FROM c
          |  UNION ALL SELECT 6, 'train', s5 FROM c)
          |ORDER BY stage_idx""".stripMargin),
+    // The classifier-gated funnel: the plain funnel's CTE chain with
+    // quality_score_fixed's scoring CTEs composed in (independently
+    // hash-verified by that oracle); r2 additionally requires the
+    // rounded-sigmoid decision under the fixed md5-derived weights.
+    "pipeline_funnel_lr" -> {
+      import graft.functions.PortableHash.{duckSigned, duckUnsigned}
+      val w = duckSigned(duckUnsigned("'qw:' || CAST(f AS VARCHAR)"))
+      s"""WITH bt AS (SELECT doc_id, string_split(text, ' ') AS bts FROM documents),
+         |bgr AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(2, len(bts)),
+         |      i -> bts[i - 1] || ' ' || bts[i])) AS bgram
+         |  FROM bt WHERE len(bts) >= 2),
+         |hb AS (SELECT doc_id,
+         |    CAST(${duckUnsigned("bgram")} % 4096 AS BIGINT) AS f FROM bgr),
+         |hw AS (SELECT doc_id,
+         |    ((((($w) % 2000) + 2000) % 2000) - 1000) / 1000.0 AS w FROM hb),
+         |sc AS (SELECT doc_id, sum(w) / count(*) AS zf FROM hw GROUP BY doc_id),
+         |sig AS (SELECT d.doc_id,
+         |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    md5(text) AS h, substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS hk, text,
+         |    d.doc_id % 4 <> 2 AS rd,
+         |    ROUND(1.0 / (1.0 + exp(-COALESCE(sc.zf, 0.0))), 4) > 0.5 AS lq
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+         |q AS (SELECT * FROM sig WHERE rd AND lq AND n_toks BETWEEN 15 AND 95),
+         |k AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1 AS is_keeper FROM q),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 7),
+         |       i -> array_to_string(t[i:i+7], ' ')))
+         |  ELSE [text] END) AS s FROM toks),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+         |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev USING (s)
+         |  WHERE sh.doc_id % 23 <> 0 GROUP BY sh.doc_id),
+         |r AS (SELECT sig.doc_id, sig.hk, sig.rd,
+         |    sig.rd AND sig.lq AND sig.n_toks BETWEEN 15 AND 95 AS r2,
+         |    sig.rd AND sig.lq AND (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE) AS r3,
+         |    sig.rd AND sig.lq AND (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE)
+         |      AND sig.doc_id % 23 <> 0 AND COALESCE(ov.n, 0) = 0 AS r4
+         |  FROM sig LEFT JOIN k USING (doc_id) LEFT JOIN ov USING (doc_id)),
+         |c AS (SELECT COUNT(*) AS s1,
+         |    CAST(SUM(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT) AS sd,
+         |    CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |    CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         |    CAST(SUM(CASE WHEN r4 AND hk < 'cccccccc' THEN 1 ELSE 0 END) AS BIGINT) AS s5
+         |  FROM r)
+         |SELECT stage_idx, stage, n_docs,
+         |  ROUND(CAST(n_docs AS DOUBLE) / (SELECT s1 FROM c), 6) AS retained_frac FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'ingest' AS stage, s1 AS n_docs FROM c
+         |  UNION ALL SELECT 2, 'domain', sd FROM c
+         |  UNION ALL SELECT 3, 'quality', s2 FROM c
+         |  UNION ALL SELECT 4, 'dedup', s3 FROM c
+         |  UNION ALL SELECT 5, 'decontaminated', s4 FROM c
+         |  UNION ALL SELECT 6, 'train', s5 FROM c)
+         |ORDER BY stage_idx""".stripMargin
+    },
     // The gopher-gated funnel: the same CTE chain with the gopher_rules
     // plant + verdict composed in (both already independently
     // hash-verified by the gopher_rules oracle); r2 additionally

@@ -697,8 +697,16 @@ object Multimodal {
     * — any modality whose fingerprint is a single 64-bit perceptual
     * hash plugs in here with its own store directory. Input columns:
     * (doc_id, dhash, decode_error). */
+  /** The multi-probe pigeonhole guarantee only covers ≤ 7 bit errors
+    * over 4 single-bit-flip-expanded 16-bit bands; a larger threshold
+    * would silently lose recall, not widen it. */
+  private def requireProbeRadius(maxHamming: Int): Unit =
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"multi-probe recall guarantee holds only for 0 <= maxHamming <= 7 (got $maxHamming)")
+
   private def incrementalSig64(sig0: DataFrame, storeDir: String,
       maxHamming: Int, broadcastMaxRows: Long): DataFrame = {
+    requireProbeRadius(maxHamming)
     val spark = sig0.sparkSession
     val hashed = graft.Materialize(sig0)
     val sigs = hashed.filter(col("decode_error").isNull)
@@ -776,19 +784,25 @@ object Multimodal {
     * energies without usually reordering them, so a re-mastered copy
     * lands within a few bits while different content (a tone two bands
     * away, speech vs music) flips whole comparison runs. */
-  private[graft] def audioFingerprintBits(payload: Array[Byte],
-      bands: Array[Double] = (0 to 8).map(k => 150.0 + k * 100.0).toArray)
-      : (Long, Long, Int) = {
-    val (bb, sr, off, n) = wavPcm(payload)
+  /** 64 comparison bits over ONE sample range `[first, first+count)`:
+    * 8 equal sub-windows × 8 adjacent-band Goertzel energy compares —
+    * the kernel shared by the whole-clip fingerprint and the
+    * fixed-duration windows of [[audioWindowFingerprint]]. Also returns
+    * the summed band energy, so callers can recognize digital silence
+    * (every Goertzel power exactly 0 ⇒ the bits carry no content). */
+  private def fingerprintRange(bb: java.nio.ByteBuffer, sr: Int,
+      off: Int, first: Int, count: Int, bands: Array[Double])
+      : (Long, Double) = {
     val nw = 8
-    require(n >= nw * 8, s"audio too short to fingerprint ($n samples)")
     var bits = 0L
+    var energy = 0.0
     var i = 0
     var w = 0
     while (w < nw) {
-      val from = off + 2 * (n.toLong * w / nw).toInt
-      val len = (n.toLong * (w + 1) / nw).toInt - (n.toLong * w / nw).toInt
+      val from = off + 2 * (first + (count.toLong * w / nw).toInt)
+      val len = (count.toLong * (w + 1) / nw).toInt - (count.toLong * w / nw).toInt
       val e = bands.map(f => goertzel(bb, from, len, f, sr))
+      energy += e.sum
       var b = 0
       while (b < bands.length - 1) {
         if (e(b) < e(b + 1)) bits |= (1L << i)
@@ -796,6 +810,15 @@ object Multimodal {
       }
       w += 1
     }
+    (bits, energy)
+  }
+
+  private[graft] def audioFingerprintBits(payload: Array[Byte],
+      bands: Array[Double] = (0 to 8).map(k => 150.0 + k * 100.0).toArray)
+      : (Long, Long, Int) = {
+    val (bb, sr, off, n) = wavPcm(payload)
+    require(n >= 8 * 8, s"audio too short to fingerprint ($n samples)")
+    val (bits, _) = fingerprintRange(bb, sr, off, 0, n, bands)
     (bits, n.toLong, sr)
   }
 
@@ -836,6 +859,98 @@ object Multimodal {
         .select(col("doc_id"), col("dhash"), col("decode_error")),
       storeDir, maxHamming, broadcastMaxRows)
 
+  final case class AudioWinRow(
+      doc_id: Long,
+      slot: Int,
+      dhash: Long,
+      n_windows: Int,
+      sample_rate: Int,
+      decode_error: String = null)
+
+  /** Fixed-DURATION windowed audio fingerprints — the trim-robust form
+    * of [[audioFingerprintBits]]. The whole-clip fingerprint slices the
+    * PCM into 8 equal FRACTIONS of the clip, so trimming shifts every
+    * window and no bit survives; here each window is `windowSeconds` of
+    * wall-clock audio (sample-rate anchored) advancing by `hopSeconds`,
+    * so the content windows of a leading-silence-trimmed or padded copy
+    * cover the same audio as the original's and their 64-bit signatures
+    * land within the band store's probe radius. Windows of DIGITAL
+    * SILENCE (every Goertzel power exactly 0 — the bits would carry no
+    * content and every silent clip would "match" every other) are
+    * skipped; emitted slots keep their time-position index. Long clips
+    * cap at `maxWindows` evenly-sampled windows. Returns one
+    * (slot, bits) per kept window plus the total window count. */
+  private[graft] def audioWindowBits(payload: Array[Byte],
+      windowSeconds: Double = 0.05, hopSeconds: Double = 0.025,
+      maxWindows: Int = 64,
+      bands: Array[Double] = (0 to 8).map(k => 150.0 + k * 100.0).toArray)
+      : (Seq[(Int, Long)], Int, Int) = {
+    val (bb, sr, off, n) = wavPcm(payload)
+    val win = math.max((sr * windowSeconds).toInt, 64)
+    val hop = math.max((sr * hopSeconds).toInt, 32)
+    require(n >= win, s"audio too short for a ${windowSeconds}s window ($n samples)")
+    val nWin = (n - win) / hop + 1
+    val picked =
+      if (nWin <= maxWindows) 0 until nWin
+      else (0 until maxWindows)
+        .map(s => ((nWin - 1).toLong * s / (maxWindows - 1)).toInt).distinct
+    val out = picked.flatMap { wi =>
+      val (bits, energy) = fingerprintRange(bb, sr, off, wi * hop, win, bands)
+      if (energy > 0.0) Some((wi, bits)) else None
+    }
+    require(out.nonEmpty, s"no non-silent windows to fingerprint ($n samples)")
+    (out, nWin, sr)
+  }
+
+  /** Batched windowed audio fingerprinting — one row per kept window
+    * per audio doc ([[audioWindowBits]]); corrupt payloads cost one
+    * error row. The registered rows-only surface (float DSP inside,
+    * bits deterministic on a given corpus) and the input to
+    * [[incrementalAudioWindows]]. */
+  def audioWindowFingerprint(media: DataFrame,
+      windowSeconds: Double = 0.05, hopSeconds: Double = 0.025,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { m =>
+        try {
+          val (ws, nWin, sr) = audioWindowBits(m.payload, windowSeconds, hopSeconds)
+          ws.map { case (slot, bits) => AudioWinRow(m.doc_id, slot, bits, nWin, sr) }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(AudioWinRow(m.doc_id, -1, 0L, 0, 0,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }))
+      .toDF()
+  }
+
+  /** Incremental TRIM-ROBUST audio near-dup against a persistent
+    * per-window fingerprint band store — [[incrementalSlotSig64]] (the
+    * video tier's slot-free lifecycle) over [[audioWindowFingerprint]]
+    * signatures: two clips are near-duplicates when ≥ `minWindowMatches`
+    * of the increment's fixed-duration windows land within `maxHamming`
+    * bits of ANY stored window of one historical clip. The tier that
+    * catches a leading-silence-trimmed, padded, or excerpted copy the
+    * whole-clip fingerprint ([[incrementalAudioFingerprint]]) cannot —
+    * trimming shifts that tier's clip-fraction windows, while these
+    * windows are wall-clock anchored and match slot-free. History is 4
+    * band rows per kept window, keepers-only append, idempotent replay.
+    * O(increment) per batch; streaming wrapper:
+    * [[graft.streaming.PipelineStream.dedupAudioWindows]]. */
+  def incrementalAudioWindows(media: DataFrame, storeDir: String,
+      maxHamming: Int = 7, minWindowMatches: Int = 2,
+      broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    requireProbeRadius(maxHamming) // before any decode work is spent
+    incrementalSlotSig64(
+      graft.Materialize(audioWindowFingerprint(media)
+        .select(col("doc_id"), col("slot"), col("dhash"),
+          col("n_windows"), col("decode_error"))),
+      "n_windows", storeDir, maxHamming, minWindowMatches, broadcastMaxRows)
+  }
+
   // --------------------------------------------------------- video dedup
 
   final case class VideoHashRow(
@@ -861,7 +976,7 @@ object Multimodal {
     require(bb.getInt(0) == 0x46464952, "not RIFF")
     require(bb.getInt(8) == 0x20495641, "not AVI ")
     var w = 0; var h = 0
-    val framePos = Seq.newBuilder[Int]
+    val framePos = Seq.newBuilder[(Int, Int)] // (data offset, declared chunk length)
     def walk(from: Int, to: Int): Unit = {
       var pos = from
       while (pos + 8 <= to) {
@@ -872,7 +987,7 @@ object Multimodal {
           w = bb.getInt(pos + 8 + 32); h = bb.getInt(pos + 8 + 36)
         } else if ((id & 0xffff0000) == 0x62640000 ||       // "??db"
                    (id & 0xffff0000) == 0x63640000)         // "??dc"
-          framePos += pos + 8
+          framePos += ((pos + 8, len))
         pos += 8 + len + (len & 1)
       }
     }
@@ -882,6 +997,16 @@ object Multimodal {
     require(w >= 9 && h >= 8 && n > 0,
       s"no hashable frames (${w}x$h, $n frames)")
     val stride = ((w * 3 + 3) / 4) * 4
+    // Only raw bottom-up 24-bit DIB frames are hashable: a chunk whose
+    // declared length cannot cover stride·h pixel bytes (a compressed
+    // '??dc' frame, a truncated chunk) would silently hash neighboring
+    // container bytes into a garbage signature — fail the whole payload
+    // into one decode_error row instead.
+    frames.foreach { case (fp, len) =>
+      require(len >= stride * h && fp + stride * h <= payload.length,
+        s"frame chunk too short for a raw ${w}x$h DIB " +
+          s"($len bytes declared, need ${stride * h} — compressed or truncated frame)")
+    }
     def frameHash(fp: Int): Long = {
       val sum = Array.ofDim[Long](8, 9)
       val cnt = Array.ofDim[Long](8, 9)
@@ -906,7 +1031,7 @@ object Multimodal {
     val slots = (0 until nSlots)
       .map(s => (s, ((n - 1).toLong * s / math.max(nSlots - 1, 1)).toInt))
       .distinctBy(_._2)
-    (slots.map { case (s, fi) => (s, fi, frameHash(frames(fi))) }, n)
+    (slots.map { case (s, fi) => (s, fi, frameHash(frames(fi)._1)) }, n)
   }
 
   /** Batched per-frame video fingerprinting — one row per sampled frame
@@ -932,7 +1057,7 @@ object Multimodal {
       .toDF()
   }
 
-  private val VideoDHashSpec = graft.sinks.BucketedStore.Spec(
+  private val SlotSig64Spec = graft.sinks.BucketedStore.Spec(
     "chunk INT, ch INT, doc_id BIGINT, slot INT, dhash BIGINT", "ch", 32)
 
   /** Incremental VIDEO near-dup against a persistent per-frame dHash
@@ -953,8 +1078,24 @@ object Multimodal {
   def incrementalVideoDHash(media: DataFrame, storeDir: String,
       maxHamming: Int = 7, minFrameMatches: Int = 2,
       broadcastMaxRows: Long = 4L << 20): DataFrame = {
-    val spark = media.sparkSession
-    val hashed = graft.Materialize(videoDHash(media))
+    requireProbeRadius(maxHamming) // before any decode work is spent
+    incrementalSlotSig64(graft.Materialize(videoDHash(media)), "n_frames",
+      storeDir, maxHamming, minFrameMatches, broadcastMaxRows)
+  }
+
+  /** The shared MANY-64-bit-signatures-per-doc banded-store lifecycle
+    * behind [[incrementalVideoDHash]] and [[incrementalAudioWindows]] —
+    * [[incrementalSig64]]'s multi-probe machinery generalized to docs
+    * whose fingerprint is a SET of slotted 64-bit hashes (sampled video
+    * frames, fixed-duration audio windows), with slot-free matching and
+    * a ≥ `minMatches`-distinct-slots vote per candidate pair. Input
+    * `hashed` must be Materialize'd and carry (doc_id, slot, dhash,
+    * `countCol`, decode_error); released here. */
+  private def incrementalSlotSig64(hashed: DataFrame, countCol: String,
+      storeDir: String, maxHamming: Int, minMatches: Int,
+      broadcastMaxRows: Long): DataFrame = {
+    requireProbeRadius(maxHamming)
+    val spark = hashed.sparkSession
     val frames = hashed.filter(col("decode_error").isNull)
       .select(col("doc_id"), col("slot"), col("dhash"))
     val bands = graft.Materialize(frames
@@ -976,19 +1117,19 @@ object Multimodal {
       if (small) org.apache.spark.sql.functions.broadcast(df) else df
 
     val store = graft.sinks.BucketedStore
-      .readOrEmpty(spark, storeDir, VideoDHashSpec)
+      .readOrEmpty(spark, storeDir, SlotSig64Spec)
       .select(col("chunk"), col("ch"),
         col("doc_id").as("old_id"), col("dhash").as("odh"))
-    def videoPairs(cands: DataFrame): DataFrame = cands
+    def votedPairs(cands: DataFrame): DataFrame = cands
       .distinct()
       .groupBy("doc_id", "old_id")
       .agg(countDistinct(col("slot")).as("nm"))
-      .filter(col("nm") >= minFrameMatches)
+      .filter(col("nm") >= minMatches)
       .select("doc_id", "old_id")
-    val vsStore = videoPairs(store.join(inc(probes), Seq("chunk", "ch"))
+    val vsStore = votedPairs(store.join(inc(probes), Seq("chunk", "ch"))
       .filter(bit_count(col("dhash").bitwiseXOR(col("odh"))) <= maxHamming)
       .select(col("doc_id"), col("slot"), col("old_id")))
-    val intra = videoPairs(probes.as("a").join(bands.as("b"),
+    val intra = votedPairs(probes.as("a").join(bands.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a.doc_id") > col("b.doc_id"))
       .filter(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= maxHamming)
@@ -996,14 +1137,14 @@ object Multimodal {
         col("b.doc_id").as("old_id")))
     val dupOf = vsStore.unionByName(intra)
       .groupBy("doc_id").agg(min("old_id").as("dup_of"))
-    val perVideo = hashed.groupBy("doc_id")
-      .agg(max("n_frames").as("n_frames"),
+    val perDoc = hashed.groupBy("doc_id")
+      .agg(max(countCol).as(countCol),
         countDistinct(when(col("decode_error").isNull, col("slot")))
           .cast("int").as("n_slots"),
         first(col("decode_error"), ignoreNulls = true).as("decode_error"))
-    val annotated = graft.Materialize(perVideo
+    val annotated = graft.Materialize(perDoc
       .join(dupOf, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_frames"), col("n_slots"),
+      .select(col("doc_id"), col(countCol), col("n_slots"),
         col("dup_of").isNotNull.as("is_duplicate"), col("dup_of"),
         col("decode_error")))
     val keep = annotated
@@ -1012,7 +1153,7 @@ object Multimodal {
     graft.sinks.BucketedStore.append(
       bands.join(inc(keep), Seq("doc_id"))
         .select("chunk", "ch", "doc_id", "slot", "dhash"),
-      storeDir, VideoDHashSpec)
+      storeDir, SlotSig64Spec)
     graft.Materialize.release(probes)
     graft.Materialize.release(bands)
     graft.Materialize.release(hashed)
@@ -1064,5 +1205,13 @@ object Multimodal {
     "audio_fingerprint" -> ((s, d) =>
       audioFingerprint(attachPayloads(Tables(s, d).documents))
         .orderBy("doc_id")),
+    // Rows-only (float DSP inside the bit decisions): one row per kept
+    // fixed-duration window with its 64-bit fingerprint — the
+    // TRIM-ROBUST audio near-dup signature surface; specs pin
+    // leading-silence-trim matching and distinct-clip separation on the
+    // incremental store.
+    "audio_window_fingerprint" -> ((s, d) =>
+      audioWindowFingerprint(attachPayloads(Tables(s, d).documents))
+        .orderBy("doc_id", "slot")),
   )
 }

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The Public Suffix List as DATA (publicsuffix.org/list — the
+  * Mozilla-maintained registry every browser and crawler consults),
+  * replacing the pragmatic 17-entry [[Urls.SecondLevelTlds]] built-in:
+  * registered-domain extraction under ccTLD second-level registries
+  * (`co.uk`, `com.au`, `co.jp`, …), wildcard rules (`*.ck` — every
+  * label under the TLD is itself a public suffix), and exception rules
+  * (`!www.ck` — carved back out of a wildcard) is what keeps a
+  * domain-level gate from treating `a.co.uk` and `b.co.uk` as one
+  * "co.uk" domain on a ccTLD-heavy crawl.
+  *
+  * The list ships as a resource in the PUBLISHED format (comments,
+  * `*.` wildcards, `!` exceptions) — a deployment swaps in the complete
+  * published file verbatim and the parser reads it unchanged; the
+  * bundled copy is a knowledge-derived ICANN-section subset.
+  *
+  * Scale shape: the rules compile into a handful of string SETS baked
+  * into the projection as `isin` literals — Catalyst converts each to
+  * an `InSet` (hash-set probe, codegen'd), so registered-domain
+  * extraction stays a ZERO-SHUFFLE per-row projection exactly like the
+  * built-in it replaces. The full published list is ~10k rules ≈ a few
+  * hundred KB of plan literals — the broadcast-degenerate case, far
+  * cheaper than a join against a suffix table on every URL row.
+  *
+  * Supported rule depth (covers the entire ICANN section's common
+  * shapes): exact suffixes of 1-3 labels, wildcard bases of 1-2 labels,
+  * exceptions of 2-3 labels. Deeper rules (the private-domains section
+  * has a few 4-label entries) are counted and ignored —
+  * [[Rules.ignored]] makes the truncation visible, never silent.
+  */
+object PublicSuffixes {
+
+  /** Parsed rule sets, keyed by the label count the projection probes:
+    * a host matching `exc2`/`exc3` IS its own registered domain (the
+    * PSL exception algorithm: the public suffix is the exception minus
+    * its leftmost label); `exact2`/`exact3` suffixes put the registered
+    * domain one label wider; `wild1`/`wild2` are wildcard BASES (the
+    * `*.`-stripped remainder), widening by two. */
+  final case class Rules(
+      exact2: Set[String], exact3: Set[String],
+      wild1: Set[String], wild2: Set[String],
+      exc2: Set[String], exc3: Set[String],
+      ignored: Int) {
+    def ruleCount: Int =
+      exact2.size + exact3.size + wild1.size + wild2.size + exc2.size + exc3.size
+  }
+
+  /** Parse the published PSL format. 1-label exact rules (plain TLDs)
+    * equal the default rule and drop out; anything deeper than the
+    * supported depth is counted into [[Rules.ignored]]. */
+  def parse(lines: Iterator[String]): Rules = {
+    val exact2 = Set.newBuilder[String]; val exact3 = Set.newBuilder[String]
+    val wild1 = Set.newBuilder[String]; val wild2 = Set.newBuilder[String]
+    val exc2 = Set.newBuilder[String]; val exc3 = Set.newBuilder[String]
+    var ignored = 0
+    lines.map(_.trim.takeWhile(!_.isWhitespace)).foreach { raw =>
+      if (raw.nonEmpty && !raw.startsWith("//")) {
+        val lower = raw.toLowerCase(java.util.Locale.ROOT)
+        if (lower.startsWith("!")) {
+          val e = lower.substring(1)
+          e.count(_ == '.') match {
+            case 1 => exc2 += e
+            case 2 => exc3 += e
+            case _ => ignored += 1
+          }
+        } else if (lower.startsWith("*.")) {
+          val base = lower.substring(2)
+          base.count(_ == '.') match {
+            case 0 => wild1 += base
+            case 1 => wild2 += base
+            case _ => ignored += 1
+          }
+        } else lower.count(_ == '.') match {
+          case 0 => () // plain TLD = the default rule
+          case 1 => exact2 += lower
+          case 2 => exact3 += lower
+          case _ => ignored += 1
+        }
+      }
+    }
+    Rules(exact2.result(), exact3.result(), wild1.result(), wild2.result(),
+      exc2.result(), exc3.result(), ignored)
+  }
+
+  /** The bundled list, parsed once per JVM. Falls back to
+    * [[Urls.SecondLevelTlds]] (the original built-in subset) if the
+    * resource is absent from the classpath. */
+  lazy val Default: Rules = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    if (in == null) Rules(Urls.SecondLevelTlds.toSet, Set.empty,
+      Set.empty, Set.empty, Set.empty, Set.empty, 0)
+    else try parse(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  private def inSet(c: Column, s: Set[String]): Column =
+    if (s.isEmpty) lit(false) else c.isin(s.toSeq.sorted: _*)
+
+  /** Registered (registrable) domain of a host under `rules` — the PSL
+    * algorithm (exceptions beat wildcards beat exacts; longest match
+    * wins; unmatched hosts take the default `*` rule = last two labels)
+    * expressed as ONE when-chain projection. IPv4 literals, single-label
+    * hosts, and hosts that ARE a public suffix pass through unchanged.
+    * `try_element_at` keeps short-host branches ANSI-safe and
+    * `concat_ws` skips the nulls of unreachable guards. */
+  def registeredDomain(host: Column, rules: Rules = Default): Column = {
+    val labels = split(host, "\\.")
+    def lbl(i: Int) = try_element_at(labels, lit(i))
+    val last1 = lbl(-1)
+    val last2 = concat_ws(".", lbl(-2), lbl(-1))
+    val last3 = concat_ws(".", lbl(-3), lbl(-2), lbl(-1))
+    val last4 = concat_ws(".", lbl(-4), lbl(-3), lbl(-2), lbl(-1))
+    val n = size(labels)
+    when(host.rlike("^[0-9.]+$"), host)
+      // Exceptions: the matched name is itself the registered domain
+      // (for the host AND anything under it).
+      .when(n >= 2 && inSet(last2, rules.exc2), last2)
+      .when(n >= 3 && inSet(last3, rules.exc3), last3)
+      // 3-label public suffixes: exact, or one wildcard label over a
+      // 2-label base.
+      .when(n >= 4 && (inSet(last3, rules.exact3) || inSet(last2, rules.wild2)),
+        last4)
+      .when(n === 3 && (inSet(last3, rules.exact3) || inSet(last2, rules.wild2)),
+        host) // the host IS a public suffix: nothing is registrable
+      // 2-label public suffixes: exact, or one wildcard label over a TLD.
+      .when(n >= 3 && (inSet(last2, rules.exact2) || inSet(last1, rules.wild1)),
+        last3)
+      // The default `*` rule.
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+}

@@ -138,8 +138,10 @@ object TextAnalysis {
     * Scale: a single zero-shuffle codegen'd projection (HOFs over the
     * in-row token array; the only exchange is the oracle-mandated
     * orderBy), linear in corpus bytes. */
-  def gopherRules(docs: DataFrame, minWords: Int = 10,
-      maxWords: Int = 100000): DataFrame =
+  /** The metric columns behind [[gopherRules]], attached as a pure
+    * projection (no shuffle, no row change) — shared with
+    * [[withGopherPass]] so the funnel can evaluate the battery inline. */
+  private def gopherMetrics(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws",
         filter(split(col("text"), " "), w => w =!= lit("")))
@@ -163,6 +165,10 @@ object TextAnalysis {
           l => l.like("- %") || l.like("* %"))).cast("long"))
       .withColumn("n_ell_end",
         size(filter(col("lns"), l => l.like("%..."))).cast("long"))
+
+  def gopherRules(docs: DataFrame, minWords: Int = 10,
+      maxWords: Int = 100000): DataFrame =
+    gopherMetrics(docs)
       .select(
         col("doc_id"), col("n_words"),
         (col("n_words") >= minWords && col("n_words") <= maxWords)
@@ -183,6 +189,28 @@ object TextAnalysis {
           col("alpha_ok") && col("symbol_ok") && col("bullet_ok") &&
           col("ellipsis_ok"))
       .orderBy("doc_id")
+
+  /** Attach the battery's overall verdict to an arbitrary frame carrying
+    * `text` as ONE projection column — the zero-shuffle form
+    * [[Curate.corpusBuild]]'s quality gate composes. The alternative (a
+    * doc_id join against [[gopherRules]]'s output) costs two avoidable
+    * full-corpus exchanges plus a second scan at 100× for a boolean
+    * computable in place on the row. */
+  private[pipeline] def withGopherPass(df: DataFrame, outCol: String,
+      minWords: Int = 10, maxWords: Int = 100000): DataFrame =
+    gopherMetrics(df)
+      .withColumn(outCol,
+        (col("n_words") >= minWords && col("n_words") <= maxWords) &&
+          (col("n_words") > 0 && lit(3) * col("n_words") <= col("total_len") &&
+            col("total_len") <= lit(10) * col("n_words")) &&
+          (size(array_intersect(array_distinct(col("ws")),
+            array(lit("the"), lit("a"), lit("of"), lit("to"), lit("and")))) >= 2) &&
+          (lit(5) * col("n_alpha") >= lit(4) * col("n_words")) &&
+          (lit(10) * col("n_sym") <= col("n_words")) &&
+          (lit(10) * col("n_bullet") <= lit(9) * greatest(col("n_lines"), lit(1L))) &&
+          (lit(10) * col("n_ell_end") <= lit(3) * greatest(col("n_lines"), lit(1L))))
+      .drop("ws", "lns", "n_words", "total_len", "n_alpha", "n_sym",
+        "n_lines", "n_bullet", "n_ell_end")
 
   /** Per-source vocabulary-coverage / OOV report — the tokenizer-fit
     * signal corpus curation runs before training: a source whose tokens

@@ -29,8 +29,13 @@ import org.apache.spark.sql.functions._
 object Urls {
 
   /** Second-level public suffixes under which the registered domain is
-    * three labels, not two (a pragmatic built-in subset of the public
-    * suffix list — the full list is data, swapped in the same way). */
+    * three labels, not two — the FALLBACK subset [[PublicSuffixes]]
+    * reverts to when the bundled PSL resource is absent from the
+    * classpath (the list itself now ships as data in the published
+    * format; see [[PublicSuffixes.Default]]). Kept as the DuckDB
+    * oracle's literal twin: the planted hosts only exercise suffixes in
+    * this subset, so the oracle stays engine-neutral while the Spark
+    * side consults the full table. */
   val SecondLevelTlds: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "com.au", "net.au", "org.au",
@@ -70,23 +75,12 @@ object Urls {
     regexp_replace(
       regexp_extract(urlCanon, "^[^/?#]*://([^/?]*)", 1), ":[0-9]+$", "")
 
-  /** Registered domain of a host: last two labels, or last three when
-    * the last two are a known second-level public suffix
-    * ([[SecondLevelTlds]]); IPv4 literals and single-label hosts pass
-    * through unchanged. `try_element_at` keeps the short-host branches
-    * ANSI-safe (out-of-range indexes must not throw — the winnowing
-    * sequence lesson), and `concat_ws` skipping nulls makes the
-    * unreachable guards harmless. */
-  def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    def lbl(i: Int) = try_element_at(labels, lit(i))
-    val last2 = concat_ws(".", lbl(-2), lbl(-1))
-    val last3 = concat_ws(".", lbl(-3), lbl(-2), lbl(-1))
-    when(host.rlike("^[0-9.]+$"), host)
-      .when(size(labels) >= 3 && last2.isin(SecondLevelTlds: _*), last3)
-      .when(size(labels) >= 2, last2)
-      .otherwise(host)
-  }
+  /** Registered domain of a host under the bundled Public Suffix List
+    * ([[PublicSuffixes.registeredDomain]] — exact, wildcard, and
+    * exception rules as a zero-shuffle `InSet` when-chain); IPv4
+    * literals and single-label hosts pass through unchanged. */
+  def registeredDomain(host: Column): Column =
+    PublicSuffixes.registeredDomain(host)
 
   /** Per-document URL curation record: canonical URL, host, registered
     * domain, blocklist decision. One zero-shuffle projection. */

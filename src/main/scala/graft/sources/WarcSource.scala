@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * payload may contain anything, including header-lookalike bytes).
   * Real crawl dumps ship GZIPPED with one gzip member per record
   * (`.warc.gz`, the CommonCrawl layout); [[records]] detects gzip by
-  * magic bytes and walks the members first ([[gunzipMembers]]).
+  * magic bytes and streams the members one at a time ([[splitGzip]] —
+  * memory is bounded by one decompressed member plus one partial
+  * record, never the whole file's expansion).
   *
   * Scale shape: the splitter is a per-file `mapPartitions` flatMap —
   * each file parses independently and streams its records out, so
@@ -43,16 +45,27 @@ object WarcSource {
       payload: Array[Byte],
       error: String = null)
 
-  /** Split one WARC blob into records (the per-file sequential walk). */
-  private[sources] def splitFile(file: String, bytes: Array[Byte]): Seq[WarcRecord] = {
+  /** Split one complete WARC blob into records (the per-file walk). */
+  private[sources] def splitFile(file: String, bytes: Array[Byte]): Seq[WarcRecord] =
+    splitChunk(file, bytes, bytes.length, 0, atEof = true)._1
+
+  /** Walk the COMPLETE records at the front of `bytes[0, n)`; returns
+    * them plus the consumed byte count. When `atEof`, a trailing partial
+    * record is an ERROR row (the file really ends mid-record); otherwise
+    * the walk just stops before it — the gzip path extends the buffer
+    * with the next decompressed member and resumes, so a record may span
+    * member boundaries without the whole file ever being held in memory.
+    * Malformed framing (non-WARC header line, bad Content-Length) is
+    * fatal either way: one error row and the file's walk stops. */
+  private def splitChunk(file: String, bytes: Array[Byte], n: Int,
+      idx0: Int, atEof: Boolean): (Seq[WarcRecord], Int) = {
     val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
-    val n = bytes.length
     var pos = 0
-    var idx = 0
-    def err(msg: String): Seq[WarcRecord] = {
+    var idx = idx0
+    def err(msg: String): (Seq[WarcRecord], Int) = {
       out += WarcRecord(file, idx, null, null, -1L, Array.emptyByteArray,
         s"$msg at byte $pos")
-      out.toSeq
+      (out.toSeq, n)
     }
     def headerEnd(from: Int): Int = {
       var i = from
@@ -66,9 +79,12 @@ object WarcSource {
     while (pos < n) {
       // Skip inter-record CRLF padding.
       while (pos < n && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-      if (pos >= n) return out.toSeq
+      if (pos >= n) return (out.toSeq, n)
+      val recStart = pos
       val he = headerEnd(pos)
-      if (he < 0) return err("truncated header (no blank line)")
+      if (he < 0)
+        return if (atEof) err("truncated header (no blank line)")
+        else (out.toSeq, recStart)
       val lines = new String(bytes, pos, he - pos, "UTF-8").split("\r\n")
       if (!lines.head.startsWith("WARC/"))
         return err(s"not a WARC record header: '${lines.head.take(32)}'")
@@ -83,8 +99,10 @@ object WarcSource {
         case _ => return err("missing or invalid Content-Length")
       }
       val bodyStart = he + 4
-      if (bodyStart + len > n) return err(
-        s"truncated payload (need $len bytes, have ${n - bodyStart})")
+      if (bodyStart + len > n)
+        return if (atEof) err(
+          s"truncated payload (need $len bytes, have ${n - bodyStart})")
+        else (out.toSeq, recStart)
       out += WarcRecord(file, idx,
         headers.getOrElse("warc-type", null),
         headers.getOrElse("warc-target-uri", null),
@@ -92,117 +110,133 @@ object WarcSource {
       idx += 1
       pos = bodyStart + len.toInt
     }
-    out.toSeq
+    (out.toSeq, pos)
   }
 
   private def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B
 
-  /** Walk the concatenated gzip MEMBERS of a `.warc.gz` blob — the
-    * CommonCrawl layout writes one record per member so a reader can
-    * seek to any record's compressed offset. Each member is inflated
-    * with a raw `Inflater` (nowrap) so the walk knows exactly where its
-    * compressed bytes end and can continue with the next member — a
-    * whole-file `GZIPInputStream` would instead treat a corrupt second
-    * member as clean end-of-stream and SILENTLY truncate the file.
-    * Returns the decompressed concatenation plus an error describing
-    * the first malformed/truncated member, if any (everything before it
-    * decompressed fine and remains parseable). */
-  private[sources] def gunzipMembers(bytes: Array[Byte]): (Array[Byte], Option[String]) = {
-    val out = new java.io.ByteArrayOutputStream()
+  /** Parse ONE RFC 1952 gzip member starting at `pos`: header fields,
+    * raw-`Inflater` (nowrap) body so the walk knows exactly where the
+    * member's compressed bytes end, then CRC32/ISIZE trailer
+    * verification BEFORE the output is trusted — corrupt deflate data
+    * can otherwise "finish" cleanly on garbage output, and a whole-file
+    * `GZIPInputStream` would treat a corrupt second member as clean
+    * end-of-stream and SILENTLY truncate the file. Returns the
+    * decompressed member plus the offset just past its trailer, or the
+    * first error. */
+  private def nextMember(bytes: Array[Byte], pos: Int, member: Int)
+      : Either[String, (Array[Byte], Int)] = {
     val n = bytes.length
+    def fail(msg: String) = Left(s"$msg (gzip member $member at byte $pos)")
+    // RFC 1952 member header: magic, CM=deflate, FLG, MTIME/XFL/OS,
+    // then the optional FEXTRA / FNAME / FCOMMENT / FHCRC fields.
+    if (pos + 10 > n) return fail("truncated gzip header")
+    if ((bytes(pos) & 0xFF) != 0x1F || (bytes(pos + 1) & 0xFF) != 0x8B)
+      return fail("bad gzip magic")
+    if ((bytes(pos + 2) & 0xFF) != 8)
+      return fail(s"unsupported gzip compression method ${bytes(pos + 2) & 0xFF}")
+    val flg = bytes(pos + 3) & 0xFF
+    var p = pos + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+      if (p + 2 > n) return fail("truncated FEXTRA length")
+      p += 2 + ((bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8))
+      if (p > n) return fail("truncated FEXTRA payload")
+    }
+    if ((flg & 8) != 0) { // FNAME: zero-terminated
+      while (p < n && bytes(p) != 0) p += 1
+      p += 1
+      if (p > n) return fail("truncated FNAME")
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+      while (p < n && bytes(p) != 0) p += 1
+      p += 1
+      if (p > n) return fail("truncated FCOMMENT")
+    }
+    if ((flg & 2) != 0) { // FHCRC
+      p += 2
+      if (p > n) return fail("truncated FHCRC")
+    }
+    val buf = new Array[Byte](1 << 16)
+    val memberOut = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32()
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(bytes, p, n - p)
+      while (!inf.finished()) {
+        val w =
+          try inf.inflate(buf)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              return fail(s"corrupt deflate data: ${e.getMessage}")
+          }
+        if (w > 0) { memberOut.write(buf, 0, w); crc.update(buf, 0, w) }
+        else if (!inf.finished())
+          return fail(
+            if (inf.needsInput()) "truncated deflate stream"
+            else "inflater stalled (preset dictionary?)")
+      }
+      p += (n - p) - inf.getRemaining
+    } finally inf.end()
+    if (p + 8 > n) return fail("truncated gzip trailer")
+    def le32(at: Int): Long =
+      (bytes(at) & 0xFFL) | ((bytes(at + 1) & 0xFFL) << 8) |
+        ((bytes(at + 2) & 0xFFL) << 16) | ((bytes(at + 3) & 0xFFL) << 24)
+    if (le32(p) != crc.getValue)
+      return fail(f"gzip CRC mismatch (stored ${le32(p)}%08x, computed ${crc.getValue}%08x)")
+    if (le32(p + 4) != (memberOut.size().toLong & 0xFFFFFFFFL))
+      return fail(s"gzip ISIZE mismatch (stored ${le32(p + 4)}, got ${memberOut.size()})")
+    Right((memberOut.toByteArray, p + 8))
+  }
+
+  /** Streaming member-by-member split of a `.warc.gz` blob — the
+    * CommonCrawl layout writes one record per member so a reader can
+    * seek to any record's compressed offset. Records split as each
+    * member decompresses: the walk holds ONE decompressed member plus
+    * at most one partial record (a record spanning member boundaries
+    * carries over), never the whole file's decompressed concatenation —
+    * a ~1 GB CommonCrawl segment expands 3-5×, so accumulating it would
+    * OOM the very files this path exists for. A malformed member costs
+    * ONE error row carrying the gzip context while every record from
+    * the complete members before it survives. */
+  private[sources] def splitGzip(file: String, bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+    var carry = Array.emptyByteArray // unconsumed decompressed tail
     var pos = 0
     var member = 0
-    val buf = new Array[Byte](1 << 16)
-    def fail(msg: String) =
-      (out.toByteArray, Some(s"$msg (gzip member $member at byte $pos)"))
-    while (pos < n) {
-      // RFC 1952 member header: magic, CM=deflate, FLG, MTIME/XFL/OS,
-      // then the optional FEXTRA / FNAME / FCOMMENT / FHCRC fields.
-      if (pos + 10 > n) return fail("truncated gzip header")
-      if ((bytes(pos) & 0xFF) != 0x1F || (bytes(pos + 1) & 0xFF) != 0x8B)
-        return fail("bad gzip magic")
-      if ((bytes(pos + 2) & 0xFF) != 8)
-        return fail(s"unsupported gzip compression method ${bytes(pos + 2) & 0xFF}")
-      val flg = bytes(pos + 3) & 0xFF
-      var p = pos + 10
-      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
-        if (p + 2 > n) return fail("truncated FEXTRA length")
-        p += 2 + ((bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8))
-        if (p > n) return fail("truncated FEXTRA payload")
+    while (pos < bytes.length) {
+      nextMember(bytes, pos, member) match {
+        case Left(msg) =>
+          // The carry (a record truncated by the member loss) is
+          // unreliable past the framing break; the precise gzip-member
+          // diagnosis replaces it.
+          out += WarcRecord(file, out.length, null, null, -1L,
+            Array.emptyByteArray, msg)
+          return out.toSeq
+        case Right((m, p2)) =>
+          carry = if (carry.isEmpty) m else carry ++ m
+          val (recs, consumed) = splitChunk(file, carry, carry.length,
+            out.length, atEof = false)
+          out ++= recs
+          if (recs.exists(_.error != null)) return out.toSeq // malformed framing
+          carry = if (consumed >= carry.length) Array.emptyByteArray
+            else java.util.Arrays.copyOfRange(carry, consumed, carry.length)
+          pos = p2
+          member += 1
       }
-      if ((flg & 8) != 0) { // FNAME: zero-terminated
-        while (p < n && bytes(p) != 0) p += 1
-        p += 1
-        if (p > n) return fail("truncated FNAME")
-      }
-      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
-        while (p < n && bytes(p) != 0) p += 1
-        p += 1
-        if (p > n) return fail("truncated FCOMMENT")
-      }
-      if ((flg & 2) != 0) { // FHCRC
-        p += 2
-        if (p > n) return fail("truncated FHCRC")
-      }
-      // Inflate into a PER-MEMBER buffer and only append it to the
-      // result once the trailer CRC/ISIZE verify — corrupt deflate data
-      // can otherwise "finish" cleanly on garbage output.
-      val memberOut = new java.io.ByteArrayOutputStream()
-      val crc = new java.util.zip.CRC32()
-      val inf = new java.util.zip.Inflater(true)
-      try {
-        inf.setInput(bytes, p, n - p)
-        while (!inf.finished()) {
-          val w =
-            try inf.inflate(buf)
-            catch {
-              case e: java.util.zip.DataFormatException =>
-                return fail(s"corrupt deflate data: ${e.getMessage}")
-            }
-          if (w > 0) { memberOut.write(buf, 0, w); crc.update(buf, 0, w) }
-          else if (!inf.finished())
-            return fail(
-              if (inf.needsInput()) "truncated deflate stream"
-              else "inflater stalled (preset dictionary?)")
-        }
-        p += (n - p) - inf.getRemaining
-      } finally inf.end()
-      if (p + 8 > n) return fail("truncated gzip trailer")
-      def le32(at: Int): Long =
-        (bytes(at) & 0xFFL) | ((bytes(at + 1) & 0xFFL) << 8) |
-          ((bytes(at + 2) & 0xFFL) << 16) | ((bytes(at + 3) & 0xFFL) << 24)
-      if (le32(p) != crc.getValue)
-        return fail(f"gzip CRC mismatch (stored ${le32(p)}%08x, computed ${crc.getValue}%08x)")
-      if (le32(p + 4) != (memberOut.size().toLong & 0xFFFFFFFFL))
-        return fail(s"gzip ISIZE mismatch (stored ${le32(p + 4)}, got ${memberOut.size()})")
-      memberOut.writeTo(out)
-      p += 8 // CRC32 + ISIZE
-      pos = p
-      member += 1
     }
-    (out.toByteArray, None)
+    // End of file: whatever remains in the carry must be complete
+    // records (or CRLF padding) — a partial tail is a genuine error now.
+    if (carry.nonEmpty)
+      out ++= splitChunk(file, carry, carry.length, out.length, atEof = true)._1
+    out.toSeq
   }
 
   /** Format-dispatching per-file split: gzip blobs (by magic bytes, so
-    * extension-less crawl dumps still work) are member-walked first;
-    * a malformed member costs ONE error row carrying the gzip context
-    * while every record from the complete members before it survives. */
+    * extension-less crawl dumps still work) take the streaming member
+    * walk; plain blobs split in place. */
   private[sources] def splitAny(file: String, bytes: Array[Byte]): Seq[WarcRecord] =
-    if (isGzip(bytes)) {
-      val (plain, gzErr) = gunzipMembers(bytes)
-      val recs = splitFile(file, plain)
-      gzErr match {
-        case None => recs
-        case Some(msg) =>
-          // A member truncation usually also truncates the decompressed
-          // tail mid-record; replace splitFile's generic trailing error
-          // row with the precise gzip-member diagnosis.
-          val good = recs.filter(_.error == null)
-          good :+ WarcRecord(file, good.length, null, null, -1L,
-            Array.emptyByteArray, msg)
-      }
-    } else splitFile(file, bytes)
+    if (isGzip(bytes)) splitGzip(file, bytes) else splitFile(file, bytes)
 
   /** Distributed record split over (path, content) rows; plain and
     * per-member-gzipped (`.warc.gz`) files mix freely in one frame. */

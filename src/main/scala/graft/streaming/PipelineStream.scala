@@ -165,13 +165,18 @@ object PipelineStream {
     val clean = graft.Materialize(
       graft.pipeline.TextAnalysis.stripHtml(pages)
         .select(col("doc_id"), col("url"), col("clean_text")))
-    val annotated = graft.pipeline.Urls
+    val dedup = graft.pipeline.Urls
       .incrementalUrlDedup(clean.select(col("doc_id"), col("url")), frontierDir)
-      .select(col("doc_id"), col("is_duplicate"), col("dup_of"))
-    // Materialize the joined result EAGERLY so `clean` can be released
-    // here (the wrapper releases only the frame it is handed).
-    val out = graft.Materialize(clean.join(annotated, Seq("doc_id")))
+    // Materialize the joined result EAGERLY so both inputs can be
+    // released here (the wrapper releases only the frame it is handed) —
+    // `clean` AND the Materialize'd frame incrementalUrlDedup returns;
+    // under spark.graft.materialize=persist a long-running stream would
+    // otherwise pin one cached dedup frame per micro-batch.
+    val out = graft.Materialize(clean.join(
+      dedup.select(col("doc_id"), col("is_duplicate"), col("dup_of")),
+      Seq("doc_id")))
     graft.Materialize.release(clean)
+    graft.Materialize.release(dedup)
     out
   }
 
@@ -197,6 +202,18 @@ object PipelineStream {
       checkpoint: String): StreamingQuery =
     incremental(media, outDir, checkpoint)(
       graft.pipeline.Multimodal.incrementalAudioFingerprint(_, storeDir))
+
+  /** Streaming TRIM-ROBUST audio near-dup: every micro-batch of media
+    * rows is windowed into fixed-duration fingerprints and probed
+    * slot-free against — and grows — the persistent per-window band
+    * store ([[graft.pipeline.Multimodal.incrementalAudioWindows]]); a
+    * trimmed, padded, or excerpted copy of a historical clip flags from
+    * its stored window signatures alone — the copies the whole-clip
+    * fingerprint of [[dedupAudio]] cannot see. */
+  def dedupAudioWindows(media: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(media, outDir, checkpoint)(
+      graft.pipeline.Multimodal.incrementalAudioWindows(_, storeDir))
 
   /** Streaming VIDEO near-dup: every micro-batch of media rows is
     * frame-sampled, per-frame dHashed, and probed against — and grows —

@@ -210,6 +210,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(gated("dedup") == 1 && gated("decontaminated") >= 0)
   }
 
+  test("lr-gated funnel: a low-score doc dies at the quality gate that token bounds let through") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    // Self-calibrating plant: score a candidate pool under the fixed
+    // md5-derived weights, then build the funnel input from one passing
+    // and one failing doc (both inside token bounds, neither on the
+    // blocklisted-domain or eval residues).
+    val pool = (1L to 40L).map(i => (i, words(s"w$i", 30), "en"))
+      .toDF("doc_id", "text", "lang")
+    val scored = Classify.qualityScoreFixed(pool).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_target"))).toMap
+    val p = (1L to 40L).find(i => scored(i) && i % 4 != 2 && i % 23 != 0).get
+    val f = (1L to 40L).find(i => !scored(i) && i % 4 != 2 && i % 23 != 0).get
+    val rows = Seq(p, f).map(i => (i, words(s"w$i", 30))).toDF("doc_id", "text")
+    val plain = Curate.corpusBuild(rows).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val gated = Curate.corpusBuild(rows, lrQuality = true).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(plain("quality") == 2, s"token bounds alone pass both: $plain")
+    assert(gated("quality") == 1, s"the LR gate must kill the low-score doc: $gated")
+  }
+
+  test("inline fixed-score decision agrees with the exploded-aggregate scorer on the corpus") {
+    val viaAgg = Classify.qualityScoreFixed(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_target"))).toMap
+    val viaFold = docs.select(col("doc_id"),
+        Classify.fixedScorePass(col("text")).as("lq")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaAgg == viaFold,
+      s"decisions diverge on ${viaAgg.keySet.filter(k => viaAgg(k) != viaFold(k))}")
+  }
+
   test("corpus-build funnel on the corpus: single aggregate, fractions consistent") {
     val rows = Curate.corpusBuild(docs).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 6L))
@@ -2754,6 +2786,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == n, "replay appends nothing")
   }
 
+  test("video dhash guards: short/compressed frame chunk errors; maxHamming > 7 rejected") {
+    import spark.implicits._
+    // Shrink one frame chunk's declared length below stride*h: a
+    // compressed or truncated '??dc' frame must become a decode_error
+    // row, never silently hash neighboring container bytes.
+    val avi = Multimodal.aviBytes(32, 16, 3, 7L)
+    val bb = java.nio.ByteBuffer.wrap(avi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val stride = ((32 * 3 + 3) / 4) * 4
+    var patched = false
+    var pos = 12
+    while (!patched && pos + 8 <= avi.length) {
+      val id = bb.getInt(pos)
+      if (id == 0x5453494c) pos += 12 // descend into LIST
+      else {
+        val len = bb.getInt(pos + 4)
+        if ((id & 0xffff0000) == 0x62640000 && len == stride * 16) {
+          bb.putInt(pos + 4, stride * 16 - 4); patched = true
+        } else pos += 8 + len + (len & 1)
+      }
+    }
+    assert(patched, "fixture must find a frame chunk to shrink")
+    val out = Multimodal.videoDHash(
+      Seq(Multimodal.MediaRow(1L, "video", avi, 32, 16, 0)).toDS().toDF()).collect()
+    assert(out.length == 1 && out.head.getAs[String]("decode_error") != null &&
+      out.head.getAs[String]("decode_error").contains("frame chunk too short"),
+      out.mkString(","))
+    // The multi-probe recall guarantee stops at 7 bits: a wider
+    // threshold must be rejected loudly, not silently under-recall.
+    val media = Seq(Multimodal.MediaRow(1L, "video",
+      Multimodal.aviBytes(32, 16, 3, 7L), 32, 16, 0)).toDS().toDF()
+    intercept[IllegalArgumentException] {
+      Multimodal.incrementalVideoDHash(media,
+        java.nio.file.Files.createTempDirectory("vg").resolve("s").toString,
+        maxHamming = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.incrementalImageDHash(media,
+        java.nio.file.Files.createTempDirectory("ig").resolve("s").toString,
+        maxHamming = 8)
+    }
+  }
+
   test("audio fingerprint: volume-invariant bits; re-quantization drifts <=7; distinct tones separate") {
     def wav(nSamples: Int, sr: Int)(sample: Int => Double): Array[Byte] = {
       val dataLen = nSamples * 2
@@ -2805,6 +2879,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.incrementalAudioFingerprint(day2, store).collect()
       .forall(_.getAs[Boolean]("is_duplicate")), "replay must be all-dup")
     assert(spark.read.parquet(store).count() == stored)
+  }
+
+  test("audio window store: leading-silence-trimmed twin flags, distinct clips don't, replay idempotent") {
+    def wav(nSamples: Int, sr: Int)(sample: Int => Double): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      (0 until nSamples).foreach { i =>
+        bb.putShort(math.max(-32768, math.min(32767, sample(i).round.toInt)).toShort)
+      }
+      bb.array()
+    }
+    val sr = 16000
+    val lead = 3200 // 0.2 s of digital silence
+    val nTone = 4800 // 0.3 s of content
+    def tone(f: Double)(i: Int): Double = math.sin(2 * math.Pi * f * i / sr) * 12000
+    val original = wav(lead + nTone, sr)(i => if (i < lead) 0.0 else tone(250.0)(i - lead))
+    val trimmed = wav(nTone, sr)(tone(250.0))  // the same content, silence cut
+    val distinct = wav(nTone, sr)(tone(650.0)) // different content, same shape
+    // The WHOLE-CLIP fingerprint cannot see this copy: trimming shifts
+    // every clip-fraction window (this asymmetry is the tier's reason
+    // to exist — if it ever starts matching, the windowed tier is
+    // redundant and this spec should be rethought).
+    assert(java.lang.Long.bitCount(
+      Multimodal.audioFingerprintBits(original)._1 ^
+        Multimodal.audioFingerprintBits(trimmed)._1) > 7,
+      "whole-clip fingerprint unexpectedly survives the trim")
+    // Silent windows are skipped — the original's lead contributes no
+    // signature rows (silence must never become a universal matcher).
+    val (winsOrig, _, _) = Multimodal.audioWindowBits(original)
+    val (winsTrim, _, _) = Multimodal.audioWindowBits(trimmed)
+    assert(winsOrig.forall { case (slot, _) => slot * 400 + 800 > lead },
+      s"pure-silence windows must be skipped: ${winsOrig.map(_._1)}")
+    assert(winsTrim.map(_._2).toSet.intersect(winsOrig.map(_._2).toSet).size >= 2,
+      "trimmed twin must share >= 2 exact window signatures")
+
+    import spark.implicits._
+    def row(id: Long, p: Array[Byte]) = Multimodal.MediaRow(id, "audio", p, 0, 0, sr)
+    val store = java.nio.file.Files.createTempDirectory("awinstore").resolve("s").toString
+    val day1 = Seq(row(1L, original)).toDS().toDF()
+    assert(Multimodal.incrementalAudioWindows(day1, store).collect()
+      .forall(!_.getAs[Boolean]("is_duplicate")))
+    val day2 = Seq(row(10L, trimmed), row(11L, distinct)).toDS().toDF()
+    val r2 = Multimodal.incrementalAudioWindows(day2, store).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r2(10L).getAs[Boolean]("is_duplicate") &&
+      r2(10L).getAs[Long]("dup_of") == 1L,
+      s"trimmed copy must flag against the stored original: ${r2(10L)}")
+    assert(!r2(11L).getAs[Boolean]("is_duplicate"), s"distinct clip: ${r2(11L)}")
+    // Replay idempotent, keepers-only growth (4 band rows per kept
+    // window; the flagged trimmed copy appends nothing).
+    val winsDistinct = Multimodal.audioWindowBits(distinct)._1
+    val stored = spark.read.parquet(store).count()
+    assert(stored == (winsOrig.size + winsDistinct.size) * 4L,
+      s"band rows: $stored vs ${(winsOrig.size + winsDistinct.size) * 4}")
+    assert(Multimodal.incrementalAudioWindows(day2, store).collect()
+      .forall(_.getAs[Boolean]("is_duplicate")), "replay must be all-dup")
+    assert(spark.read.parquet(store).count() == stored, "replay appends nothing")
+  }
+
+  test("audio window surface: every corpus audio doc windows cleanly with time-positioned slots") {
+    val out = Multimodal.audioWindowFingerprint(Multimodal.attachPayloads(docs)).collect()
+    assert(out.forall(_.getAs[String]("decode_error") == null))
+    val perDoc = out.groupBy(_.getLong(0))
+    assert(perDoc.size == docs.filter(col("doc_id") % 3 === 1).count(),
+      "every audio doc must emit windows")
+    assert(perDoc.values.forall(rows =>
+      rows.map(_.getAs[Int]("slot")).distinct.length == rows.length),
+      "slots must be distinct per doc")
   }
 
   test("audio fingerprint surface: every corpus audio doc fingerprints cleanly") {

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PublicSuffixesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def rd(hosts: Seq[String],
+      rules: PublicSuffixes.Rules = PublicSuffixes.Default): Map[String, String] = {
+    import spark.implicits._
+    hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("i", "host")
+      .select(col("host"),
+        PublicSuffixes.registeredDomain(col("host"), rules).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("parser reads the published format: comments, wildcards, exceptions, depth bound") {
+    val r = PublicSuffixes.parse(
+      """// comment line
+        |com
+        |co.uk
+        |act.edu.au
+        |*.ck
+        |*.sch.uk
+        |!www.ck
+        |!city.kobe.jp
+        |too.deep.four.labels
+        |*.three.label.base
+        |""".stripMargin.linesIterator)
+    assert(r.exact2 == Set("co.uk"))
+    assert(r.exact3 == Set("act.edu.au"))
+    assert(r.wild1 == Set("ck"))
+    assert(r.wild2 == Set("sch.uk"))
+    assert(r.exc2 == Set("www.ck"))
+    assert(r.exc3 == Set("city.kobe.jp"))
+    assert(r.ignored == 2, "deep rules are counted, never silently dropped")
+  }
+
+  test("bundled resource loads and is a real superset of the old built-in") {
+    val d = PublicSuffixes.Default
+    assert(Urls.SecondLevelTlds.toSet.subsetOf(d.exact2),
+      "every old built-in suffix must still be covered")
+    assert(d.ruleCount > Urls.SecondLevelTlds.size)
+    assert(d.wild1.contains("ck") && d.exc2.contains("www.ck"))
+  }
+
+  test("ccTLD second-level registries: co.uk / com.au / co.jp") {
+    val got = rd(Seq(
+      "www.example.co.uk", "example.co.uk",
+      "a.b.example.com.au", "shop.com.au",
+      "www.rakuten.co.jp", "x.y.co.jp"))
+    assert(got("www.example.co.uk") == "example.co.uk")
+    assert(got("example.co.uk") == "example.co.uk")
+    assert(got("a.b.example.com.au") == "example.com.au")
+    assert(got("shop.com.au") == "shop.com.au")
+    assert(got("www.rakuten.co.jp") == "rakuten.co.jp")
+    assert(got("x.y.co.jp") == "y.co.jp")
+  }
+
+  test("wildcard rules: *.ck makes every label under ck a public suffix") {
+    val got = rd(Seq("foo.bar.ck", "a.foo.bar.ck", "bar.ck"))
+    assert(got("foo.bar.ck") == "foo.bar.ck")
+    assert(got("a.foo.bar.ck") == "foo.bar.ck")
+    // bar.ck IS a public suffix under the wildcard: pass-through.
+    assert(got("bar.ck") == "bar.ck")
+  }
+
+  test("exception rules: !www.ck and !city.kobe.jp are themselves registrable") {
+    val got = rd(Seq("www.ck", "sub.www.ck",
+      "city.kobe.jp", "office.city.kobe.jp", "shi.kobe.jp", "a.shi.kobe.jp"))
+    assert(got("www.ck") == "www.ck")
+    assert(got("sub.www.ck") == "www.ck")
+    assert(got("city.kobe.jp") == "city.kobe.jp")
+    assert(got("office.city.kobe.jp") == "city.kobe.jp")
+    // Non-excepted labels under kobe.jp stay wildcarded suffixes.
+    assert(got("a.shi.kobe.jp") == "a.shi.kobe.jp")
+    assert(got("shi.kobe.jp") == "shi.kobe.jp")
+  }
+
+  test("3-label exact suffixes and 2-label wildcard bases widen to four labels") {
+    val got = rd(Seq("school.act.edu.au", "x.school.act.edu.au", "act.edu.au",
+      "primary.x.sch.uk", "deep.primary.x.sch.uk", "x.sch.uk"))
+    assert(got("school.act.edu.au") == "school.act.edu.au")
+    assert(got("x.school.act.edu.au") == "school.act.edu.au")
+    assert(got("act.edu.au") == "act.edu.au", "the suffix itself passes through")
+    assert(got("primary.x.sch.uk") == "primary.x.sch.uk")
+    assert(got("deep.primary.x.sch.uk") == "primary.x.sch.uk")
+    assert(got("x.sch.uk") == "x.sch.uk", "the wildcarded suffix passes through")
+  }
+
+  test("default rule, bare hosts, IPv4 literals unchanged from the built-in era") {
+    val got = rd(Seq("deep.sub.example.com", "example.com", "com",
+      "localhost", "192.168.0.1"))
+    assert(got("deep.sub.example.com") == "example.com")
+    assert(got("example.com") == "example.com")
+    assert(got("com") == "com")
+    assert(got("localhost") == "localhost")
+    assert(got("192.168.0.1") == "192.168.0.1")
+  }
+
+  test("fallback rules (resource absent) reproduce the built-in subset behavior") {
+    val fallback = PublicSuffixes.Rules(Urls.SecondLevelTlds.toSet, Set.empty,
+      Set.empty, Set.empty, Set.empty, Set.empty, 0)
+    val got = rd(Seq("a.b.co.uk", "b.co.uk", "example.com", "foo.bar.ck"), fallback)
+    assert(got("a.b.co.uk") == "b.co.uk")
+    assert(got("b.co.uk") == "b.co.uk")
+    assert(got("example.com") == "example.com")
+    // No wildcard data in the fallback: .ck takes the default rule.
+    assert(got("foo.bar.ck") == "bar.ck")
+  }
+}
