@@ -961,15 +961,30 @@ object Multimodal {
       n_frames: Int,
       decode_error: String = null)
 
-  /** Per-sampled-frame dHashes of one AVI payload: the movi chunk walk
-    * from the feature decoder, but instead of scalar luma the sampled
-    * frames (first / evenly-spaced interior / last — the
-    * [[decodeVideo]] sampling shape generalized to `nSlots`) are
-    * area-averaged onto the SAME 9×8 grid as [[dhash64]] and emit the
-    * same comparison bits — so a frame extracted from a video and the
-    * same content as a still image hash identically. Returns the
+  /** Per-sampled-frame dHashes of one video payload, container sniffed
+    * from magic bytes (extensions don't survive a parquet round trip):
+    * RIFF/AVI → the raw-DIB movi walk ([[aviFrameHashes]]), ISO BMFF
+    * (`ftyp` at byte 4 — MP4/MOV, the container real crawls actually
+    * ship) → the box walk ([[mp4FrameHashes]], MJPEG samples). Both
+    * emit the SAME 9×8-grid comparison bits as [[dhash64]], so a frame
+    * extracted from a video in EITHER container and the same content as
+    * a still image hash identically — and a re-encode of an AVI into an
+    * MJPEG-MP4 lands within the band store's probe radius. Returns the
     * (slot, frameIndex, hash) list plus the total frame count. */
   private[pipeline] def videoFrameHashes(
+      payload: Array[Byte], nSlots: Int): (Seq[(Int, Int, Long)], Int) =
+    if (payload.length >= 12 &&
+        java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(0) == 0x46464952)
+      aviFrameHashes(payload, nSlots)
+    else if (payload.length >= 12 && payload(4) == 'f' && payload(5) == 't' &&
+        payload(6) == 'y' && payload(7) == 'p')
+      mp4FrameHashes(payload, nSlots)
+    else throw new IllegalArgumentException(
+      "unrecognized video container (neither RIFF/AVI nor ISO BMFF)")
+
+  /** The raw-DIB AVI walk behind [[videoFrameHashes]]. */
+  private def aviFrameHashes(
       payload: Array[Byte], nSlots: Int): (Seq[(Int, Int, Long)], Int) = {
     val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1032,6 +1047,195 @@ object Multimodal {
       .map(s => (s, ((n - 1).toLong * s / math.max(nSlots - 1, 1)).toInt))
       .distinctBy(_._2)
     (slots.map { case (s, fi) => (s, fi, frameHash(frames(fi)._1)) }, n)
+  }
+
+  /** The ISO BMFF (MP4/MOV) walk behind [[videoFrameHashes]]: top-level
+    * boxes → `moov` → the `trak` whose `hdlr` is `vide` → `stbl`, whose
+    * sample tables (`stsc` chunk runs + `stco`/`co64` chunk offsets +
+    * `stsz` sizes) reconstruct every video sample's byte range in
+    * `mdat`. Samples must be MJPEG (`stsd` format `jpeg` — each sample
+    * a complete JPEG, the only codec decodable without a platform
+    * library); sampled frames decode via ImageIO and hash with the
+    * still-image [[dhash64]] verbatim, so cross-container parity is by
+    * construction. Compressed-codec tracks (`avc1`, `hev1`, …) fail
+    * loudly naming the fourcc — the container walk is real either way,
+    * only the per-sample decode is codec-bound. Box sizes are validated
+    * as the walk descends; a malformed size or a sample range outside
+    * the payload is an error naming the box, never an out-of-bounds
+    * read of neighboring bytes. */
+  private def mp4FrameHashes(
+      payload: Array[Byte], nSlots: Int): (Seq[(Int, Int, Long)], Int) = {
+    val bb = java.nio.ByteBuffer.wrap(payload) // ISO BMFF is big-endian
+    val n = payload.length
+    def fourcc(at: Int): String = new String(payload, at, 4, "US-ASCII")
+    /** (type, payloadFrom, payloadTo) for each box in [from, to). */
+    def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var pos = from
+      while (pos + 8 <= to) {
+        val size32 = bb.getInt(pos).toLong & 0xFFFFFFFFL
+        val t = fourcc(pos + 4)
+        val (body, end) =
+          if (size32 == 0) (pos + 8, to) // box extends to container end
+          else if (size32 == 1) {        // 64-bit largesize
+            require(pos + 16 <= to, s"truncated largesize box '$t'")
+            val size64 = bb.getLong(pos + 8)
+            require(size64 >= 16 && pos + size64 <= to,
+              s"bad largesize $size64 in box '$t'")
+            (pos + 16, pos + size64.toInt)
+          } else {
+            require(size32 >= 8 && pos + size32 <= to,
+              s"bad box size $size32 in box '$t' at byte $pos")
+            (pos + 8, pos + size32.toInt)
+          }
+        out += ((t, body, end))
+        pos = end
+      }
+      out.result()
+    }
+    def child(from: Int, to: Int, t: String): Option[(Int, Int)] =
+      boxes(from, to).collectFirst { case (`t`, b, e) => (b, e) }
+    val (moovF, moovT) = child(0, n, "moov")
+      .getOrElse(throw new IllegalArgumentException("no moov box"))
+    // The video trak: hdlr handler_type == 'vide'.
+    val videoTrak = boxes(moovF, moovT)
+      .collect { case ("trak", b, e) => (b, e) }
+      .find { case (b, e) =>
+        child(b, e, "mdia").exists { case (mb, me) =>
+          child(mb, me, "hdlr").exists { case (hb, _) => fourcc(hb + 8) == "vide" }
+        }
+      }
+      .getOrElse(throw new IllegalArgumentException("no video track (hdlr vide)"))
+    val (mdiaF, mdiaT) = child(videoTrak._1, videoTrak._2, "mdia").get
+    val (minfF, minfT) = child(mdiaF, mdiaT, "minf")
+      .getOrElse(throw new IllegalArgumentException("no minf box"))
+    val (stblF, stblT) = child(minfF, minfT, "stbl")
+      .getOrElse(throw new IllegalArgumentException("no stbl box"))
+    def stblBox(t: String): (Int, Int) = child(stblF, stblT, t)
+      .getOrElse(throw new IllegalArgumentException(s"no $t box"))
+    // stsd: the first sample entry's format must be MJPEG.
+    val (sdF, _) = stblBox("stsd")
+    require(bb.getInt(sdF + 4) >= 1, "empty stsd")
+    val codec = fourcc(sdF + 12) // first entry: 4 size, 4 format
+    require(codec == "jpeg",
+      s"unsupported codec '$codec' — only MJPEG ('jpeg') samples decode")
+    // stsz: per-sample sizes (or one uniform size).
+    val (szF, _) = stblBox("stsz")
+    val uniform = bb.getInt(szF + 4)
+    val nSamples = bb.getInt(szF + 8)
+    require(nSamples > 0, "no samples in stsz")
+    val sizes = (0 until nSamples).map(i =>
+      if (uniform != 0) uniform else bb.getInt(szF + 12 + 4 * i))
+    // stco/co64: chunk offsets (absolute file offsets).
+    val chunkOffsets: IndexedSeq[Long] =
+      child(stblF, stblT, "stco") match {
+        case Some((cf, _)) =>
+          (0 until bb.getInt(cf + 4)).map(i => bb.getInt(cf + 8 + 4 * i).toLong & 0xFFFFFFFFL)
+        case None =>
+          val (cf, _) = stblBox("co64")
+          (0 until bb.getInt(cf + 4)).map(i => bb.getLong(cf + 8 + 8 * i))
+      }
+    // stsc: chunk runs → per-sample (chunk, indexInChunk).
+    val (scF, _) = stblBox("stsc")
+    val runs = (0 until bb.getInt(scF + 4)).map { i =>
+      val e = scF + 8 + 12 * i
+      (bb.getInt(e), bb.getInt(e + 4)) // (first_chunk 1-based, samples_per_chunk)
+    }
+    require(runs.nonEmpty, "empty stsc")
+    // Walk chunks in order, assigning each sample its absolute offset.
+    val sampleOffsets = new Array[Long](nSamples)
+    var sample = 0
+    var chunk = 0
+    var run = 0
+    while (sample < nSamples) {
+      require(chunk < chunkOffsets.length, "stsc/stco run out of chunks")
+      if (run + 1 < runs.length && chunk + 1 >= runs(run + 1)._1) run += 1
+      var off = chunkOffsets(chunk)
+      var k = 0
+      while (k < runs(run)._2 && sample < nSamples) {
+        sampleOffsets(sample) = off
+        off += sizes(sample)
+        sample += 1; k += 1
+      }
+      chunk += 1
+    }
+    val slots = (0 until nSlots)
+      .map(s => (s, ((nSamples - 1).toLong * s / math.max(nSlots - 1, 1)).toInt))
+      .distinctBy(_._2)
+    val hashes = slots.map { case (s, fi) =>
+      val off = sampleOffsets(fi)
+      require(off >= 0 && off + sizes(fi) <= n,
+        s"sample $fi range [$off, ${off + sizes(fi)}) outside the payload")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        payload, off.toInt, sizes(fi)))
+      require(img != null, s"unreadable JPEG sample bytes at sample $fi")
+      (s, fi, dhash64(img))
+    }
+    (hashes, nSamples)
+  }
+
+  /** Minimal MJPEG-in-MP4 writer (ftyp + mdat + moov with the full
+    * mvhd/tkhd/mdhd/hdlr/vmhd/dinf/stbl chain, one chunk, per-sample
+    * stsz) — specs and tools use it to exercise the real box walk with
+    * frames that are genuine ImageIO-encoded JPEGs. */
+  private[graft] def mp4Bytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] =
+    mp4FromJpegs(w, h,
+      (0 until nFrames).map(f => imageBytes(w, h, seed + 31L * f, "jpg")))
+
+  /** [[mp4Bytes]] with caller-supplied JPEG samples — specs use it to
+    * build the MP4 re-encode of an existing AVI's frames. */
+  private[graft] def mp4FromJpegs(w: Int, h: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val nFrames = frames.length
+    def be(parts: Any*): Array[Byte] = {
+      val len = parts.map {
+        case _: Int => 4
+        case _: Short => 2
+        case b: Array[Byte] => b.length
+        case s: String => s.length
+      }.sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      parts.foreach {
+        case i: Int => bb.putInt(i)
+        case s: Short => bb.putShort(s)
+        case b: Array[Byte] => bb.put(b)
+        case s: String => bb.put(s.getBytes("US-ASCII"))
+      }
+      bb.array()
+    }
+    def box(t: String, parts: Array[Byte]*): Array[Byte] =
+      be(Seq[Any](8 + parts.map(_.length).sum, t) ++ parts: _*)
+    val ftyp = box("ftyp", be("isom", 0, "isom"))
+    val mdat = box("mdat", frames.flatten.toArray)
+    val chunkOffset = ftyp.length + 8 // first sample starts after mdat's header
+    val stsd = box("stsd", be(0, 1,
+      // VisualSampleEntry 'jpeg': 86 bytes.
+      86, "jpeg", new Array[Byte](6), 1.toShort,
+      0.toShort, 0.toShort, new Array[Byte](12),
+      w.toShort, h.toShort, 0x00480000, 0x00480000, 0, 1.toShort,
+      new Array[Byte](32), 24.toShort, (-1).toShort))
+    val stts = box("stts", be(0, 1, nFrames, 1000))
+    val stsc = box("stsc", be(0, 1, 1, nFrames, 1))
+    val stsz = be(Seq[Any](20 + 4 * nFrames, "stsz", 0, 0, nFrames) ++
+      frames.map(_.length): _*)
+    val stco = box("stco", be(0, 1, chunkOffset))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val dinf = box("dinf", box("dref", be(0, 1), box("url ", be(1))))
+    val vmhd = box("vmhd", be(1, 0.toShort, 0.toShort, 0.toShort, 0.toShort))
+    val minf = box("minf", vmhd, dinf, stbl)
+    val hdlr = box("hdlr", be(0, 0, "vide", new Array[Byte](12), new Array[Byte](1)))
+    val mdhd = box("mdhd", be(0, 0, 0, 1000, nFrames * 1000, 0x55C40000))
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val tkhd = box("tkhd", be(7, 0, 0, 1, 0, nFrames * 1000, 0, 0,
+      0.toShort, 0.toShort, 0.toShort, 0.toShort,
+      be(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+      w << 16, h << 16))
+    val mvhd = box("mvhd", be(0, 0, 0, 1000, nFrames * 1000, 0x00010000,
+      0x0100.toShort, 0.toShort, 0, 0,
+      be(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+      new Array[Byte](24), 2))
+    val moov = box("moov", mvhd, box("trak", tkhd, mdia))
+    ftyp ++ mdat ++ moov
   }
 
   /** Batched per-frame video fingerprinting — one row per sampled frame
@@ -1205,6 +1409,22 @@ object Multimodal {
     "audio_fingerprint" -> ((s, d) =>
       audioFingerprint(attachPayloads(Tables(s, d).documents))
         .orderBy("doc_id")),
+    // Rows-only (codec bytes): the ISO BMFF (MP4/MOV) container walk
+    // end to end — doc-derived MJPEG-in-MP4 payloads through the SAME
+    // videoDHash surface as the AVI entry (box walk → sample table →
+    // JPEG decode → still-image dhash64); specs pin cross-container
+    // re-encode matching and the unsupported-codec error path.
+    "video_dhash_mp4" -> ((s, d) => {
+      import s.implicits._
+      videoDHash(Tables(s, d).documents.select(col("doc_id"))
+          .filter(col("doc_id") % 3 === 2).as[Long]
+          .map { id =>
+            val w = ((id % 4) * 8 + 16).toInt
+            val h = ((id % 2) * 8 + 16).toInt
+            MediaRow(id, "video", mp4Bytes(w, h, ((id % 4) + 3).toInt, id), w, h, 0)
+          }.toDF())
+        .orderBy("doc_id", "slot")
+    }),
     // Rows-only (float DSP inside the bit decisions): one row per kept
     // fixed-duration window with its 64-bit fingerprint — the
     // TRIM-ROBUST audio near-dup signature surface; specs pin

@@ -286,6 +286,95 @@ object IncScale {
     check("semantic-increment-flat", smT2 <= 2.5 * math.max(smT1, 0.3),
       f"keeper store ${vSmall}→${vSmall * 10}: increment $smT1%.2fs → $smT2%.2fs (bound 2.5×)")
 
+    // ---- media band stores (image / video / audio-window) -----------
+    // Same contract for the perceptual-signature stores. The corpus
+    // generators are useless here — their payload content is a function
+    // of (seed mod 256) and a handful of dims, so 20k docs collapse to
+    // a few hundred distinct signatures and the store never actually
+    // grows. These builders put RANDOM content behind real codec
+    // containers (ImageIO PNG / RIFF WAV / RIFF AVI), so signatures are
+    // ~iid 64-bit draws and every novel item is a keeper.
+    def randPng(seed: Long): Array[Byte] = {
+      val (w, h) = (24, 16)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rnd.nextInt() & 0xffffff); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def randWav(seed: Long): Array[Byte] = {
+      val (n, sr) = (3200, 16000) // 0.2 s -> 7 fixed-duration windows
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+      val rnd = new scala.util.Random(seed)
+      (0 until n).foreach(_ => bb.putShort((rnd.nextInt(24000) - 12000).toShort))
+      bb.array()
+    }
+    def randAvi(seed: Long): Array[Byte] =
+      graft.pipeline.Multimodal.aviBytesWith(24, 16, 4) { (x, y, f) =>
+        val h = (x * 73856093L) ^ (y * 19349663L) ^ (f * 83492791L) ^ (seed * 2654435761L)
+        (((h >> 8) & 0xff).toInt, ((h >> 24) & 0xff).toInt, ((h >> 40) & 0xff).toInt)
+      }
+    def media(from: Long, until: Long, kind: String, seedOf: Long => Long): DataFrame = {
+      import spark.implicits._
+      spark.range(from, until).as[Long].map { id =>
+        val s = seedOf(id)
+        val payload = kind match {
+          case "image" => randPng(s)
+          case "audio" => randWav(s)
+          case _       => randAvi(s)
+        }
+        graft.pipeline.Multimodal.MediaRow(id, kind, payload, 0, 0,
+          if (kind == "audio") 16000 else 0)
+      }.toDF().repartition(spark.sparkContext.defaultParallelism)
+    }
+    val mdSmall = math.max(sSmall / 15, 1000L)
+    def mediaStore(tag: String, kind: String,
+        run: (DataFrame, String) => DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("incscale").resolve(tag).toString
+      var next = 0L
+      def seed(rows: Long): Unit = {
+        var at = next
+        while (at < next + rows) {
+          val end = math.min(at + 25000, next + rows)
+          run(media(at, end, kind, identity), dir).count()
+          at = end
+        }
+        next += rows
+      }
+      def increment(): Double = {
+        val novelFrom = next; next += 200
+        val inc = media(novelFrom, next, kind, identity)
+          .unionByName(media(7000000000L, 7000000200L, kind, id => id - 7000000000L))
+        timed { run(inc, dir).count() }
+      }
+      seed(mdSmall)
+      val t1 = Seq(increment(), increment(), increment()).min
+      seed(mdSmall * 9)
+      val t2 = Seq(increment(), increment(), increment()).min
+      check(s"$tag-increment-flat", t2 <= 2.5 * math.max(t1, 0.3),
+        f"band store ${mdSmall}→${mdSmall * 10}: increment $t1%.2fs → $t2%.2fs (bound 2.5×)")
+      dir
+    }
+    val imDir = mediaStore("imagedhash", "image",
+      graft.pipeline.Multimodal.incrementalImageDHash(_, _))
+    val vdDir = mediaStore("videodhash", "video",
+      graft.pipeline.Multimodal.incrementalVideoDHash(_, _))
+    val awDir = mediaStore("audiowin", "audio",
+      graft.pipeline.Multimodal.incrementalAudioWindows(_, _))
+
     // ---- profile partials ledger ------------------------------------
     // Contract: appending one increment's partials costs O(increment)
     // (never reads the ledger), and FOLDING the ledger costs
@@ -361,6 +450,21 @@ object IncScale {
       .filter(col("is_duplicate")).count()
     check("simhash-store-dups-found", shDup == 500,
       s"500 replayed docs → $shDup store simhash dups")
+    val imDup = graft.pipeline.Multimodal.incrementalImageDHash(
+      media(9100000000L, 9100000500L, "image", id => id - 9100000000L), imDir)
+      .filter(col("is_duplicate")).count()
+    check("imagedhash-store-dups-found", imDup == 500,
+      s"500 replayed images → $imDup store dups")
+    val vdDup = graft.pipeline.Multimodal.incrementalVideoDHash(
+      media(9200000000L, 9200000500L, "video", id => id - 9200000000L), vdDir)
+      .filter(col("is_duplicate")).count()
+    check("videodhash-store-dups-found", vdDup == 500,
+      s"500 replayed videos → $vdDup store dups")
+    val awDup = graft.pipeline.Multimodal.incrementalAudioWindows(
+      media(9300000000L, 9300000500L, "audio", id => id - 9300000000L), awDir)
+      .filter(col("is_duplicate")).count()
+    check("audiowin-store-dups-found", awDup == 500,
+      s"500 replayed clips → $awDup store dups")
 
     spark.stop()
     if (failed) sys.exit(1)

@@ -2828,6 +2828,76 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mp4 container: box walk parity, AVI-to-MP4 re-encode flags, unsupported codec errors") {
+    import spark.implicits._
+    val (w, h, nf) = (32, 16, 4)
+    // Frame-0 content parity by construction: aviBytes' f=0 pixel
+    // formula equals imageBytes' still formula, and mp4Bytes' sample 0
+    // IS imageBytes(seed, "jpg") — so the MP4's slot-0 hash must sit
+    // within JPEG re-encode drift of the AVI's slot-0 hash, and a
+    // still JPEG must hash IDENTICALLY to the MP4 sample carrying it.
+    val seed = 5L
+    val mp4 = Multimodal.mp4Bytes(w, h, nf, seed)
+    val (mp4Hashes, nSamples) = Multimodal.videoFrameHashes(mp4, 4)
+    assert(nSamples == nf && mp4Hashes.size == 4)
+    val still = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.imageBytes(w, h, seed, "jpg")))
+    assert(mp4Hashes.head._3 == Multimodal.dhash64(still),
+      "an MP4 sample and the same JPEG as a still must hash identically")
+    val (aviHashes, _) = Multimodal.videoFrameHashes(
+      Multimodal.aviBytes(w, h, nf, seed), 4)
+    assert(java.lang.Long.bitCount(aviHashes.head._3 ^ mp4Hashes.head._3) <= 7,
+      "frame-0 raw-DIB vs JPEG drift must stay within the store gate")
+
+    // Cross-container near-dup: an AVI stored on day 1; its MP4
+    // re-encode (every frame JPEG'd from the same pixels) flags day 2.
+    def jpegOfAviFrame(f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (((x + f * 3) * 255 / (w - 1)) + seed) & 0xff
+        val g = (((y + f) * 255 / (h - 1)) + 2 * seed) & 0xff
+        val b = (x ^ y ^ f ^ seed) & 0xff
+        img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val reencode = Multimodal.mp4FromJpegs(w, h, (0 until nf).map(jpegOfAviFrame))
+    val distinct = Multimodal.mp4Bytes(w, h, nf, 77L) // different content
+    def row(id: Long, p: Array[Byte]) = Multimodal.MediaRow(id, "video", p, w, h, 0)
+    val store = java.nio.file.Files.createTempDirectory("mp4store").resolve("s").toString
+    val day1 = Seq(row(1L, Multimodal.aviBytes(w, h, nf, seed))).toDS().toDF()
+    assert(Multimodal.incrementalVideoDHash(day1, store).collect()
+      .forall(!_.getAs[Boolean]("is_duplicate")))
+    val r2 = Multimodal.incrementalVideoDHash(
+      Seq(row(10L, reencode), row(11L, distinct)).toDS().toDF(), store).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r2(10L).getAs[Boolean]("is_duplicate") &&
+      r2(10L).getAs[Long]("dup_of") == 1L,
+      s"the MP4 re-encode must flag against the stored AVI: ${r2(10L)}")
+    assert(!r2(11L).getAs[Boolean]("is_duplicate"), s"distinct MP4: ${r2(11L)}")
+
+    // A compressed-codec track fails loudly naming the fourcc; the
+    // payload costs one decode_error row, never garbage hashes.
+    val avc = mp4.clone()
+    val at = avc.indexOfSlice("jpeg".getBytes("US-ASCII"))
+    assert(at > 0, "fixture must find the stsd sample-entry fourcc")
+    "avc1".getBytes("US-ASCII").copyToArray(avc, at)
+    val err = Multimodal.videoDHash(Seq(row(1L, avc)).toDS().toDF()).collect()
+    assert(err.length == 1 && err.head.getAs[String]("decode_error") != null &&
+      err.head.getAs[String]("decode_error").contains("unsupported codec 'avc1'"),
+      err.mkString(","))
+  }
+
+  test("mp4 surface: every corpus video doc walks the box chain cleanly") {
+    val out = Multimodal.queries("video_dhash_mp4")(spark, sf0001).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[String]("decode_error") == null))
+    assert(out.map(_.getLong(0)).distinct.length ==
+      docs.filter(col("doc_id") % 3 === 2).count())
+  }
+
   test("audio fingerprint: volume-invariant bits; re-quantization drifts <=7; distinct tones separate") {
     def wav(nSamples: Int, sr: Int)(sample: Int => Double): Array[Byte] = {
       val dataLen = nSamples * 2
