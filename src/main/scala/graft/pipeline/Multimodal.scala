@@ -181,6 +181,46 @@ object Multimodal {
     bb.array()
   }
 
+  /** Motion-JPEG AVI writer (caller-supplied JPEG frames in '00dc'
+    * chunks, strh handler + strf biCompression 'MJPG' — the
+    * webcam/legacy-tooling layout): specs use it to exercise the MJPEG
+    * branch of the AVI walk with genuine ImageIO-encoded frames. */
+  private[graft] def aviFromJpegs(w: Int, h: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val nFrames = frames.length
+    val moviBody = 4 + frames.map(fr => 8 + fr.length + (fr.length & 1)).sum
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); bb.putInt(riffBody); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlBody); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(100000).putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(10)
+      .putInt(0).putInt(nFrames).putInt(0).putInt(-1).putInt(0)
+      .putInt(0).putInt(0)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+    fourcc("MJPG") // biCompression
+    bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviBody); fourcc("movi")
+    frames.foreach { fr =>
+      fourcc("00dc"); bb.putInt(fr.length); bb.put(fr)
+      if ((fr.length & 1) == 1) bb.put(0.toByte) // RIFF chunk padding
+    }
+    bb.array()
+  }
+
   /** Attach real media payloads to `documents`: PNG/JPEG (alternating —
     * web-scale image corpora are overwhelmingly JPEG) for image docs, WAV
     * for audio docs, uncompressed AVI for video docs. In production this
@@ -983,7 +1023,12 @@ object Multimodal {
     else throw new IllegalArgumentException(
       "unrecognized video container (neither RIFF/AVI nor ISO BMFF)")
 
-  /** The raw-DIB AVI walk behind [[videoFrameHashes]]. */
+  /** The AVI walk behind [[videoFrameHashes]] — raw bottom-up DIB
+    * frames ('DIB ' streams) or Motion-JPEG ('MJPG' — each frame chunk
+    * a complete JPEG, decoded via ImageIO through the still-image
+    * [[dhash64]], the same per-sample path as the MP4 walk). The video
+    * stream's codec comes from the strh handler fourcc; anything else
+    * fails loudly naming it. */
   private def aviFrameHashes(
       payload: Array[Byte], nSlots: Int): (Seq[(Int, Int, Long)], Int) = {
     val bb = java.nio.ByteBuffer.wrap(payload)
@@ -991,6 +1036,7 @@ object Multimodal {
     require(bb.getInt(0) == 0x46464952, "not RIFF")
     require(bb.getInt(8) == 0x20495641, "not AVI ")
     var w = 0; var h = 0
+    var handler = 0
     val framePos = Seq.newBuilder[(Int, Int)] // (data offset, declared chunk length)
     def walk(from: Int, to: Int): Unit = {
       var pos = from
@@ -1000,6 +1046,9 @@ object Multimodal {
         if (id == 0x5453494c) walk(pos + 12, pos + 8 + len) // "LIST"
         else if (id == 0x68697661) {                        // "avih"
           w = bb.getInt(pos + 8 + 32); h = bb.getInt(pos + 8 + 36)
+        } else if (id == 0x68727473) {                      // "strh"
+          if (bb.getInt(pos + 8) == 0x73646976)             // fccType "vids"
+            handler = bb.getInt(pos + 12)                   // fccHandler
         } else if ((id & 0xffff0000) == 0x62640000 ||       // "??db"
                    (id & 0xffff0000) == 0x63640000)         // "??dc"
           framePos += ((pos + 8, len))
@@ -1011,6 +1060,22 @@ object Multimodal {
     val n = frames.size
     require(w >= 9 && h >= 8 && n > 0,
       s"no hashable frames (${w}x$h, $n frames)")
+    if (handler == 0x47504a4d) { // "MJPG": every chunk is a full JPEG
+      val slots = (0 until nSlots)
+        .map(s => (s, ((n - 1).toLong * s / math.max(nSlots - 1, 1)).toInt))
+        .distinctBy(_._2)
+      val hashes = slots.map { case (s, fi) =>
+        val (fp, len) = frames(fi)
+        require(fp + len <= payload.length, s"truncated MJPG frame chunk $fi")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, fp, len))
+        require(img != null, s"unreadable MJPG frame bytes at frame $fi")
+        (s, fi, dhash64(img))
+      }
+      return (hashes, n)
+    }
+    require(handler == 0x20424944 || handler == 0, // "DIB " or unset
+      f"unsupported AVI codec fourcc 0x$handler%08x — only raw DIB and MJPG decode")
     val stride = ((w * 3 + 3) / 4) * 4
     // Only raw bottom-up 24-bit DIB frames are hashable: a chunk whose
     // declared length cannot cover stride·h pixel bytes (a compressed

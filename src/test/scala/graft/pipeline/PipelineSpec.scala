@@ -2898,6 +2898,57 @@ class PipelineSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 3 === 2).count())
   }
 
+  test("mjpeg avi: JPEG chunks hash like stills; DIB-to-MJPEG re-encode flags; foreign codec errors") {
+    import spark.implicits._
+    val (w, h, nf) = (32, 16, 4)
+    val seed = 9L
+    def jpegOfAviFrame(f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (((x + f * 3) * 255 / (w - 1)) + seed) & 0xff
+        val g = (((y + f) * 255 / (h - 1)) + 2 * seed) & 0xff
+        val b = (x ^ y ^ f ^ seed) & 0xff
+        img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val jpegs = (0 until nf).map(jpegOfAviFrame)
+    val mjpeg = Multimodal.aviFromJpegs(w, h, jpegs)
+    // Chunk ≡ still: the MJPG branch routes through the same ImageIO +
+    // dhash64 path as a standalone JPEG (and as an MP4 sample).
+    val (mjHashes, n) = Multimodal.videoFrameHashes(mjpeg, 4)
+    assert(n == nf && mjHashes.size == 4)
+    assert(mjHashes.head._3 == Multimodal.dhash64(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpegs.head))),
+      "an MJPG chunk and the same JPEG as a still must hash identically")
+
+    // Cross-codec near-dup INSIDE the AVI container: a raw-DIB AVI
+    // stored on day 1, its MJPEG re-encode (same pixels, JPEG'd) flags.
+    def row(id: Long, p: Array[Byte]) = Multimodal.MediaRow(id, "video", p, w, h, 0)
+    val store = java.nio.file.Files.createTempDirectory("mjstore").resolve("s").toString
+    assert(Multimodal.incrementalVideoDHash(
+      Seq(row(1L, Multimodal.aviBytes(w, h, nf, seed))).toDS().toDF(), store)
+      .collect().forall(!_.getAs[Boolean]("is_duplicate")))
+    val r2 = Multimodal.incrementalVideoDHash(
+      Seq(row(10L, mjpeg)).toDS().toDF(), store).collect()
+    assert(r2.length == 1 && r2.head.getAs[Boolean]("is_duplicate") &&
+      r2.head.getAs[Long]("dup_of") == 1L,
+      s"the MJPEG re-encode must flag against the stored DIB AVI: ${r2.mkString}")
+
+    // A foreign codec fourcc fails loudly, one error row.
+    val xvid = mjpeg.clone()
+    val at = xvid.indexOfSlice("vids".getBytes("US-ASCII"))
+    assert(at > 0, "fixture must find the strh fccType")
+    "xvid".getBytes("US-ASCII").copyToArray(xvid, at + 4) // fccHandler
+    val err = Multimodal.videoDHash(Seq(row(1L, xvid)).toDS().toDF()).collect()
+    assert(err.length == 1 && err.head.getAs[String]("decode_error") != null &&
+      err.head.getAs[String]("decode_error").contains("unsupported AVI codec"),
+      err.mkString(","))
+  }
+
   test("audio fingerprint: volume-invariant bits; re-quantization drifts <=7; distinct tones separate") {
     def wav(nSamples: Int, sr: Int)(sample: Int => Double): Array[Byte] = {
       val dataLen = nSamples * 2
