@@ -164,6 +164,99 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-doc boilerplate plant for `dedup_substring`: a 20-token
+    * license disclaimer appended to every 7th document (the global
+    * first keeps it; every later copy must be excised exactly), and a
+    * 14-token nav phrase appended TWICE to every 13th document (the
+    * within-doc self-repeat: the second copy must be excised). Token
+    * sequences are non-periodic, so no plant shingle repeats inside
+    * one plant instance. */
+  private[pipeline] val SubstrDisclaimer: String =
+    "this document is provided without any warranty of merchantability " +
+      "fitness or noninfringement and redistribution requires the express " +
+      "written consent thereof"
+  private[pipeline] val SubstrPhrase: String =
+    "please subscribe to our newsletter for weekly updates about " +
+      "products events careers press releases"
+
+  private[pipeline] def plantSubstring(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" " + SubstrDisclaimer)).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit(" " + SubstrPhrase + " " + SubstrPhrase)).otherwise(lit(""))))
+
+  /** Cross-document EXACT-SUBSTRING dedup — the "remove every repeated
+    * ≥ k-token span, keep its first occurrence" policy large
+    * training-corpus builds apply after document-level dedup (long
+    * verbatim quotations, syndicated passages, license boilerplate
+    * survive document-level tiers because the SURROUNDING text
+    * differs). Re-expressed relationally: every k-token window (hashed,
+    * at every alignment — unlike [[frequentBlockMask]]'s aligned
+    * blocks, windows OVERLAP) that occurs more than once in the corpus
+    * is masked at every occurrence EXCEPT the globally first by
+    * (doc_id, pos); the union of a document's masked windows — merged
+    * into intervals — is excised, so a duplicated run of any length
+    * ≥ k disappears exactly while the first copy survives verbatim,
+    * and documents shorter than k tokens participate as one whole-text
+    * window (exact-dedup semantics for fragments).
+    *
+    * Scale: the window stream is linear in corpus tokens and carries
+    * only (md5, doc_id, pos) — never the window text past the hash
+    * projection; the global first occurrence is a map-side-combinable
+    * min-struct AGGREGATE on the hash (never a per-hash row_number
+    * window: a disclaimer repeated across half the web would sort its
+    * whole clique in one reducer); the join back is an equi-join on
+    * the hash; masked positions fold into merged intervals with a
+    * per-document higher-order aggregate (no window, no second corpus
+    * scan), and the rebuild is one index-aware `filter` over the
+    * token array. */
+  def substringDedup(docs: DataFrame, k: Int = 12): DataFrame = {
+    val tok = graft.Materialize(spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    // Position list clamps at 0 so a short document yields exactly one
+    // window; `slice` clamps at the array end in both engines, so that
+    // window hashes the whole text.
+    val sh = tok.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, greatest(size(toks) - $k, 0)),
+         |  i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))""".stripMargin))
+      .as(Seq("pos", "h")))
+    // Duplicated hashes ONLY go back into the join: at corpus scale the
+    // overwhelming majority of windows are singletons, so filtering the
+    // aggregate BEFORE the join shrinks the probe table from |distinct
+    // windows| to |duplicated windows| (orders of magnitude at 100 TB).
+    val dupOcc = sh.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("own"))
+      .filter(col("cnt") > 1)
+      .select("h", "own")
+    val masked = sh.join(dupOcc, Seq("h"))
+      .filter(!(col("own.doc_id") === col("doc_id") && col("own.pos") === col("pos")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+    tok.join(masked, Seq("doc_id"), "left")
+      // Interval merge over the ascending masked positions: window at p
+      // covers tokens [p, p+k-1]; a new p extends the open interval iff
+      // it starts inside-or-adjacent (p <= e+1 — ends are monotonic, so
+      // the merged end is just p+k-1).
+      .withColumn("ivs", expr(
+        s"""aggregate(coalesce(ps, CAST(array() AS ARRAY<INT>)),
+           |  CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+           |  (acc, p) -> IF(size(acc) > 0 AND p <= element_at(acc, -1).e + 1,
+           |    concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('s', element_at(acc, -1).s, 'e', p + $k - 1))),
+           |    concat(acc, array(named_struct('s', p, 'e', p + $k - 1)))))""".stripMargin))
+      .withColumn("clean_toks", expr(
+        "filter(toks, (t, i) -> NOT exists(ivs, v -> i >= v.s AND i <= v.e))"))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - lit(k - 1), lit(1)).cast("long").as("n_shingles"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        (size(col("toks")) - size(col("clean_toks"))).cast("long").as("n_removed_tokens"),
+        (coalesce(col("n_masked"), lit(0L)) > 0).as("changed"),
+        concat_ws(" ", col("clean_toks")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures + banded LSH candidate pairs.
     *
     * Structured as explode → seeded-hash → groupBy-min, NOT as nested
@@ -1200,6 +1293,12 @@ object Dedup {
     "q69_edit_distance"    -> ((s, d) => editDistancePairs(Tables(s, d).documents)),
     "q73_paragraph_dedup"  -> ((s, d) => paragraphDedup(Tables(s, d).documents)),
     "q78_block_mask"       -> ((s, d) => frequentBlockMask(Tables(s, d).documents)),
+    // Exact-substring dedup over the boilerplate plant: every 7th doc
+    // shares a 20-token disclaimer (keep-first across docs), every 13th
+    // repeats a 14-token phrase twice (within-doc self-repeat) — both
+    // must be excised from every non-first occurrence EXACTLY.
+    "dedup_substring"      -> ((s, d) =>
+      substringDedup(plantSubstring(Tables(s, d).documents))),
     "q97_cdc_dedup"        -> ((s, d) => cdcDedup(Tables(s, d).documents)),
     "q98_winnowing"        -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
     "winnow_pairs"         -> ((s, d) => winnowingPairs(Tables(s, d).documents)),
@@ -1347,6 +1446,45 @@ object Dedup {
       ("SELECT doc_id, md5(text) AS h FROM (SELECT doc_id, text, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t " +
         "WHERE rn = 1 ORDER BY doc_id"),
+    // Keep-first-globally is the ROW_NUMBER twin of the Spark side's
+    // min-struct aggregate (rn > 1 ⟺ cnt > 1 AND not the first
+    // occurrence); the interval merge replays the fold as
+    // gaps-and-islands (break when the gap exceeds k — identical to
+    // "p <= last_end + 1" because ends are monotonic); list slices
+    // clamp at the end in both engines, so the short-document
+    // whole-text window hashes identically.
+    "dedup_substring" ->
+      (s"""WITH d AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' $SubstrDisclaimer' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' $SubstrPhrase $SubstrPhrase' ELSE '' END AS text
+         |  FROM documents),
+         |tt AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n FROM d),
+         |sh AS (SELECT doc_id, unnest(generate_series(0, greatest(n - 12, 0))) AS p, toks FROM tt),
+         |hs AS (SELECT doc_id, p, md5(array_to_string(toks[p + 1:p + 12], ' ')) AS h FROM sh),
+         |rn AS (SELECT doc_id, p,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn FROM hs),
+         |m AS (SELECT doc_id, p FROM rn WHERE rn > 1),
+         |i0 AS (SELECT doc_id, p, CASE WHEN p - lag(p)
+         |      OVER (PARTITION BY doc_id ORDER BY p) <= 12 THEN 0 ELSE 1 END AS brk FROM m),
+         |isl AS (SELECT doc_id, p, SUM(brk)
+         |      OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g FROM i0),
+         |iv AS (SELECT doc_id, g, MIN(p) AS s, MAX(p) + 11 AS e FROM isl GROUP BY doc_id, g),
+         |ms AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked FROM m GROUP BY doc_id),
+         |ex AS (SELECT doc_id, toks, unnest(generate_series(0, n - 1)) AS i FROM tt),
+         |keep AS (SELECT e.doc_id, e.i, e.toks[CAST(e.i AS INT) + 1] AS tok FROM ex e
+         |  WHERE NOT EXISTS (SELECT 1 FROM iv v
+         |    WHERE v.doc_id = e.doc_id AND e.i >= v.s AND e.i <= v.e)),
+         |cl AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    coalesce(string_agg(tok, ' ' ORDER BY i), '') AS clean_text FROM keep GROUP BY doc_id)
+         |SELECT tt.doc_id,
+         |  CAST(greatest(n - 11, 1) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(ms.n_masked, 0) AS BIGINT) AS n_masked,
+         |  CAST(n - coalesce(cl.n_kept, 0) AS BIGINT) AS n_removed_tokens,
+         |  coalesce(ms.n_masked, 0) > 0 AS changed,
+         |  coalesce(cl.clean_text, '') AS clean_text
+         |FROM tt LEFT JOIN ms USING (doc_id) LEFT JOIN cl USING (doc_id)
+         |ORDER BY tt.doc_id""".stripMargin),
     // Hex-string fingerprints compare lexicographically ≡ unsigned
     // numerically in both engines; the window fold replays list_reduce
     // exactly (init = leftmost, <= replaces ⇒ rightmost minimum).

@@ -124,6 +124,7 @@ object WidthBench {
       "q71_temperature_sample" -> ((d, _, _) => Select.temperatureSample(d)),
       "q72_decontaminate_bloom" -> ((d, _, _) => Select.decontaminateBloom(d)),
       "q73_paragraph_dedup" -> ((d, _, _) => Dedup.paragraphDedup(d)),
+      "dedup_substring"     -> ((d, _, _) => Dedup.substringDedup(d)),
       "q74_contamination_span" -> ((d, _, _) => Select.contaminationSpan(d)),
       "q75_bigram_ppl"      -> ((d, _, _) => TextAnalysis.bigramPerplexity(d)),
       "q76_token_budget"    -> ((d, _, _) => Select.tokenBudgetFill(d)),

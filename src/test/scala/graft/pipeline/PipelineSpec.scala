@@ -459,6 +459,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.frequentBlockMask(empty).collect().isEmpty)
   }
 
+  test("substring dedup excises a copied run exactly, keep-first, at every alignment") {
+    import spark.implicits._
+    // doc 1: 30 unique tokens. doc 2: different text EMBEDDING an
+    // 18-token verbatim run copied from the middle of doc 1. With k=12
+    // the run yields 18-12+1 = 7 duplicated windows in doc 2 (boundary
+    // windows differ — context differs), whose union is exactly the 18
+    // copied tokens. doc 1 (global first) must survive VERBATIM.
+    val t1 = (1 to 30).map("a" + _)
+    val run = t1.slice(6, 24) // 18 tokens
+    val pre = (1 to 5).map("p" + _)
+    val post = (1 to 5).map("q" + _)
+    val t2 = pre ++ run ++ post
+    val d = Seq(
+      1L -> t1.mkString(" "),
+      2L -> t2.mkString(" "),
+      3L -> (1 to 20).map("z" + _).mkString(" ")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") == t1.mkString(" ") &&
+      !out(1L).getAs[Boolean]("changed"), "the first occurrence survives verbatim")
+    assert(out(2L).getAs[Long]("n_masked") == 7L &&
+      out(2L).getAs[Long]("n_removed_tokens") == 18L &&
+      out(2L).getAs[String]("clean_text") == (pre ++ post).mkString(" "),
+      s"the copied run is excised exactly: ${out(2L)}")
+    assert(!out(3L).getAs[Boolean]("changed") &&
+      out(3L).getAs[Long]("n_shingles") == 9L)
+  }
+
+  test("substring dedup: self-repeat loses its second copy; short docs dedup whole-text; disjoint runs both excised") {
+    import spark.implicits._
+    val p14 = (1 to 14).map("n" + _) // 14-token phrase, repeated twice in doc 1
+    val head = (1 to 4).map("h" + _)
+    val d = Seq(
+      1L -> (head ++ p14 ++ p14).toSeq.mkString(" "),
+      // Short identical fragments (5 tokens < k): one whole-text window
+      // each — exact-dedup semantics, the later one is removed entirely.
+      2L -> "s1 s2 s3 s4 s5",
+      3L -> "s1 s2 s3 s4 s5",
+      // Two DISJOINT copied runs from doc 1 (its window at 0 and its
+      // window at 4) separated by fresh tokens: the interval merge must
+      // NOT bridge the two-token gap.
+      4L -> ((head ++ p14.take(8)) ++ Seq("y1", "y2") ++ (1 to 12).map("n" + _)).mkString(" ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d).collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: windows at offsets o and o+14 coincide for o = 0..2 inside
+    // the PP region — 3 masked windows covering exactly the second copy.
+    assert(out(1L).getAs[Long]("n_masked") == 3L &&
+      out(1L).getAs[Long]("n_removed_tokens") == 14L &&
+      out(1L).getAs[String]("clean_text") == (head ++ p14).mkString(" "),
+      s"the second copy of the phrase is excised: ${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("changed"), "first short fragment kept")
+    assert(out(3L).getAs[Long]("n_removed_tokens") == 5L &&
+      out(3L).getAs[String]("clean_text") == "",
+      "the later identical short fragment dedups whole-text")
+    // doc 4: two masked windows at positions 0 and 14 — a 14-position
+    // gap exceeds k, so the islands stay separate and the two fresh
+    // tokens between the excised runs SURVIVE.
+    assert(out(4L).getAs[Long]("n_masked") == 2L &&
+      out(4L).getAs[Long]("n_removed_tokens") == 24L &&
+      out(4L).getAs[String]("clean_text") == "y1 y2",
+      s"disjoint runs excise separately, the gap survives: ${out(4L)}")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.substringDedup(empty).collect().isEmpty)
+  }
+
   test("paragraph dedup on the corpus: every doc present, token mass conserved") {
     val out = Dedup.paragraphDedup(docs)
     assert(out.count() == 500)
