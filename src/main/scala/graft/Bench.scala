@@ -135,7 +135,7 @@ object Bench {
           violations += s"$name:centroids-not-broadcast"
         if (Set("q19_dedup_exact", "q60_quota_topk", "q68_strata_exact_k",
               "dedup_clusters", "dedup_semantic", "dedup_semantic_fixed",
-              "q73_paragraph_dedup",
+              "q73_paragraph_dedup", "dedup_substring",
               "q74_contamination_span", "q75_bigram_ppl").contains(name) &&
             fullPlan.contains("Window"))
           violations += s"$name:skewed-window-came-back"
@@ -187,6 +187,14 @@ object Bench {
         if (name == "knn_sq8" &&
             (plan.contains("Window") || !plan.contains("ObjectHashAggregate")))
           violations += s"$name:ranking-regressed-to-window"
+        // The per-host rule table is tiny (bounded rules per host, few
+        // hosts per corpus shard) and must ride a broadcast; a shuffled
+        // join here means the URL stream repartitions on host. The
+        // winner must stay the max-struct aggregate, never a per-URL
+        // row_number window.
+        if (name == "robots_verdict" &&
+            (!fullPlan.contains("BroadcastHashJoin") || fullPlan.contains("Window")))
+          violations += s"$name:rules-not-broadcast-or-windowed"
         // Group medians/MADs come back as broadcast joins (O(#groups)
         // rows); a shuffled join means the corpus repartitions per pass.
         if (name == "profile_mad_outliers" && !plan.contains("BroadcastHashJoin"))

@@ -1,0 +1,235 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** robots.txt evaluation (RFC 9309) — the crawl-politeness gate a corpus
+  * build applies between the URL frontier and the fetch: given each
+  * host's robots.txt body and a candidate URL stream, decide per URL
+  * whether the pipeline's crawler may fetch it.
+  *
+  * Semantics implemented (RFC 9309, the rules the major crawlers apply):
+  *  - groups: consecutive `User-agent` lines share the rule block that
+  *    follows; a rule line closes UA accumulation, so the next
+  *    `User-agent` starts a NEW group;
+  *  - group selection: the crawler's own product token (case-
+  *    insensitive exact match) beats the `*` group; if neither exists
+  *    for a host — or the host has no robots.txt at all — every URL is
+  *    allowed;
+  *  - rule matching: a pattern matches a PREFIX of the URL's
+  *    path[?query] target, `*` matches any run of octets, a trailing
+  *    `$` anchors the match at the end of the target;
+  *  - precedence: among matching rules the LONGEST pattern (octets,
+  *    as written) wins; on a length tie `Allow` wins; no matching rule
+  *    means allowed;
+  *  - empty `Allow`/`Disallow` values are no-ops (RFC: an empty
+  *    Disallow means no restriction), comments (`#`) and unknown
+  *    directives (Crawl-delay, Sitemap, …) are ignored without
+  *    breaking group attribution.
+  *
+  * Scale design: parsing is a per-host higher-order fold over the body's
+  * lines (zero shuffle — one projection over the robots corpus);
+  * wildcard matching is a pure greedy-glob fold expression (no regex
+  * compilation, no UDF); the only shuffle is the urls⋈rules equi-join
+  * on host (rules-per-host is bounded by the 500-KiB body cap real
+  * crawlers enforce, and the rule table broadcasts when small) plus the
+  * per-URL winner AGGREGATE — max of a (length, allow, pattern) struct,
+  * map-side combinable, never a per-URL window.
+  */
+object Robots {
+
+  /** Parse robots.txt bodies into one rule row per (host, user-agent,
+    * rule): `robots` must carry `host` and `robots_txt` columns; output
+    * is (host, ua lowercase, allow boolean, pattern). One zero-shuffle
+    * projection + explode. */
+  def parseRules(robots: DataFrame): DataFrame =
+    robots
+      .withColumn("rules", expr(
+        """aggregate(
+          |  transform(split(robots_txt, '\n'),
+          |    l -> trim(regexp_replace(l, '#.*', ''))),
+          |  named_struct(
+          |    'uas', CAST(array() AS ARRAY<STRING>),
+          |    'inRules', false,
+          |    'out', CAST(array() AS ARRAY<STRUCT<ua: STRING, allow: BOOLEAN, pattern: STRING>>)),
+          |  (acc, l) -> CASE
+          |    WHEN instr(l, ':') = 0 THEN acc
+          |    WHEN lower(trim(substring(l, 1, instr(l, ':') - 1))) = 'user-agent' THEN
+          |      named_struct(
+          |        'uas', IF(acc.inRules,
+          |          array(lower(trim(substring(l, instr(l, ':') + 1)))),
+          |          concat(acc.uas, array(lower(trim(substring(l, instr(l, ':') + 1)))))),
+          |        'inRules', false,
+          |        'out', acc.out)
+          |    WHEN lower(trim(substring(l, 1, instr(l, ':') - 1))) IN ('allow', 'disallow')
+          |        AND size(acc.uas) > 0
+          |        AND trim(substring(l, instr(l, ':') + 1)) != '' THEN
+          |      named_struct(
+          |        'uas', acc.uas,
+          |        'inRules', true,
+          |        'out', concat(acc.out, transform(acc.uas, u -> named_struct(
+          |          'ua', u,
+          |          'allow', lower(trim(substring(l, 1, instr(l, ':') - 1))) = 'allow',
+          |          'pattern', trim(substring(l, instr(l, ':') + 1))))))
+          |    ELSE acc END,
+          |  acc -> acc.out)""".stripMargin))
+      .select(col("host"), explode(col("rules")).as("r"))
+      .select(col("host"), col("r.ua").as("ua"),
+        col("r.allow").as("allow"), col("r.pattern").as("pattern"))
+
+  /** RFC 9309 wildcard match as a SQL fragment over column names
+    * `tCol` (target) and `pCol` (pattern) — inlined into projections
+    * so the whole evaluation stays one expression tree (no regex
+    * compilation, no UDF). Greedy leftmost glob fold over the
+    * `*`-split segments; greedy is complete for PREFIX semantics
+    * (anything after the pattern is always acceptable), and the
+    * `$`-anchored case checks the final segment against the target's
+    * tail separately so the middle `*`s absorb any slack. */
+  private[pipeline] def wildcardMatchSql(tCol: String, pCol: String): String = {
+    val segs = s"split($pCol, '\\\\*', -1)"
+    val coreSegs = s"split(substring($pCol, 1, length($pCol) - 1), '\\\\*', -1)"
+    def fold(segsE: String, fromIdx: Int, dropLast: Boolean): String = {
+      val slice =
+        if (dropLast) s"slice($segsE, $fromIdx, greatest(size($segsE) - $fromIdx, 0))"
+        else s"slice($segsE, $fromIdx, size($segsE) - ${fromIdx - 1})"
+      s"""aggregate($slice,
+         |  IF(startswith($tCol, element_at($segsE, 1)), length(element_at($segsE, 1)), -1),
+         |  (acc, s) -> CASE
+         |    WHEN acc < 0 THEN -1
+         |    WHEN s = '' THEN acc
+         |    WHEN locate(s, $tCol, acc + 1) = 0 THEN -1
+         |    ELSE locate(s, $tCol, acc + 1) + length(s) - 1 END)""".stripMargin
+    }
+    s"""(CASE
+       |  WHEN $pCol IS NULL OR $tCol IS NULL THEN false
+       |  WHEN NOT endswith($pCol, '$$') THEN ${fold(segs, 2, dropLast = false)} >= 0
+       |  WHEN size($coreSegs) = 1
+       |    THEN $tCol = substring($pCol, 1, length($pCol) - 1)
+       |  ELSE endswith($tCol, element_at($coreSegs, -1))
+       |    AND ${fold(coreSegs, 2, dropLast = true)} >= 0
+       |    AND ${fold(coreSegs, 2, dropLast = true)}
+       |        <= length($tCol) - length(element_at($coreSegs, -1))
+       |  END)""".stripMargin
+  }
+
+  /** Per-URL fetch verdicts: `urls` carries (doc_id, host, target);
+    * `robots` carries (host, robots_txt) — hosts absent from `robots`
+    * default to allowed. Output: doc_id, host, target, allowed,
+    * matched_pattern (null when no rule matched). */
+  def verdicts(urls: DataFrame, robots: DataFrame,
+      userAgent: String = "graftbot"): DataFrame = {
+    val uaLower = userAgent.toLowerCase(java.util.Locale.ROOT)
+    // Group selection happens BEFORE the join: only our token's rules
+    // and the `*` rules can ever apply, so nothing else rides the join.
+    val rules = parseRules(robots)
+      .filter(col("ua").isin(uaLower, "*"))
+    val cand = urls.join(rules, Seq("host"), "left")
+      .withColumn("specific", col("ua") === lit(uaLower))
+      .withColumn("matched", expr(wildcardMatchSql("target", "pattern")))
+    // Winner per URL: longest pattern wins, Allow wins length ties
+    // (struct max on (length, allow, pattern) — map-side combinable).
+    // A host with a specific group ignores its `*` group entirely.
+    val verdict = cand.groupBy("doc_id")
+      .agg(
+        first(col("host")).as("host"),
+        first(col("target")).as("target"),
+        max(coalesce(col("specific"), lit(false))).as("has_specific"),
+        max(when(col("matched") && col("specific"),
+          struct(length(col("pattern")).as("len"),
+            col("allow").cast("int").as("allow"), col("pattern")))).as("best_spec"),
+        max(when(col("matched") && !col("specific"),
+          struct(length(col("pattern")).as("len"),
+            col("allow").cast("int").as("allow"), col("pattern")))).as("best_star"))
+      .withColumn("win",
+        when(col("has_specific"), col("best_spec")).otherwise(col("best_star")))
+      .select(col("doc_id"), col("host"), col("target"),
+        coalesce(col("win.allow") === 1, lit(true)).as("allowed"),
+        col("win.pattern").as("matched_pattern"))
+    verdict.orderBy("doc_id")
+  }
+
+  /** Deterministic per-host-class robots plant for the oracle entry —
+    * built from the [[Urls.plantUrls]] host classes so every semantic
+    * has a discriminating case at every SF: UA-specific group beats
+    * an ignored foreign group (www.*), `*` fallback with a `$`-anchored
+    * disallow and an empty no-op Disallow (blog.*), a blanket
+    * `Disallow: /` (spam-mill.com), and NO robots at all (cdn.*). */
+  private[pipeline] val WwwRobots: String =
+    "# corporate site\n" +
+      "User-Agent: otherbot\n" +
+      "Disallow: /\n" +
+      "\n" +
+      "User-agent: graftbot\n" +
+      "Disallow: /Articles/\n" +
+      "Allow: /Articles/*?id=*\n" +
+      "Disallow: /Articles/*?id=1*\n"
+  private[pipeline] val BlogRobots: String =
+    "User-agent: *\n" +
+      "Disallow:\n" +
+      "Allow: /post/\n" +
+      "Disallow: /post/*3$\n" +
+      "# crawl politeness\n" +
+      "Crawl-delay: 5\n"
+  private[pipeline] val SpamRobots: String =
+    "User-agent: *\n" +
+      "Disallow: /\n"
+
+  /** The registered entry's URL stream: the planted URLs canonicalized,
+    * with host and path[?query] target extracted — one projection. */
+  private def plantedTargets(s: SparkSession, d: String): DataFrame = {
+    val planted = Urls.plantUrls(Tables(s, d).documents)
+    planted.select(col("doc_id"),
+      graft.functions.CanonicalizeUrl.url(s, col("url")).as("url_canon"))
+      .withColumn("host", Urls.hostOf(col("url_canon")))
+      .withColumn("target",
+        regexp_replace(col("url_canon"), "^[^/?#]*://[^/?]*", ""))
+      .select("doc_id", "host", "target")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "robots_verdict" -> ((s, d) => {
+      val targets = plantedTargets(s, d)
+      val robots = targets.select("host").distinct()
+        .withColumn("robots_txt",
+          when(col("host").startsWith("www."), lit(WwwRobots))
+            .when(col("host").startsWith("blog."), lit(BlogRobots))
+            .when(col("host") === "spam-mill.com", lit(SpamRobots)))
+        .filter(col("robots_txt").isNotNull)
+      verdicts(targets, robots)
+    })
+  )
+
+  /** The oracle states the hand-derived ground truth of the plant (the
+    * warc_roundtrip convention — independent reasoning, not an
+    * algorithm replay): per host class, which rule wins for which
+    * doc_id digits, derived from RFC 9309 longest-match by hand. */
+  def oracle: Map[String, String] = Map(
+    "robots_verdict" ->
+      """WITH d AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS id FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'www.' || source || '.com'
+        |    WHEN 1 THEN 'blog.' || source || '.co.uk'
+        |    WHEN 2 THEN 'spam-mill.com'
+        |    ELSE 'cdn.' || source || '.net' END AS host,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN '/Articles/' || id || '?id=' || id
+        |    WHEN 1 THEN '/post/' || id
+        |    WHEN 2 THEN '/page/' || id || '?p=' || id
+        |    ELSE '/static/' || id END AS target,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN id NOT LIKE '1%'
+        |    WHEN 1 THEN id NOT LIKE '%3'
+        |    WHEN 2 THEN false
+        |    ELSE true END AS allowed,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN CASE WHEN id LIKE '1%'
+        |      THEN '/Articles/*?id=1*' ELSE '/Articles/*?id=*' END
+        |    WHEN 1 THEN CASE WHEN id LIKE '%3'
+        |      THEN '/post/*3$' ELSE '/post/' END
+        |    WHEN 2 THEN '/'
+        |    ELSE NULL END AS matched_pattern
+        |FROM d ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobotsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def rules(body: String) = {
+    import spark.implicits._
+    Robots.parseRules(Seq(("h", body)).toDF("host", "robots_txt"))
+      .collect().map(r => (r.getString(1), r.getBoolean(2), r.getString(3))).toSeq
+  }
+
+  test("robots parser: groups, UA accumulation, comments, no-ops, unknown directives") {
+    // Two consecutive UA lines share the block; a rule line closes the
+    // accumulation so the third UA starts a FRESH group; comments and
+    // Crawl-delay are ignored; empty Disallow is a no-op.
+    val body =
+      "User-agent: a\nUser-agent: b\nDisallow: /x # inline comment\n" +
+        "Crawl-delay: 7\nDisallow:\n" +
+        "User-agent: c\nAllow: /y\n" +
+        "no-colon garbage line\nSitemap: http://h/s.xml\n"
+    assert(rules(body) == Seq(
+      ("a", false, "/x"), ("b", false, "/x"), ("c", true, "/y")))
+    // Keys are case-insensitive, values keep their case.
+    assert(rules("USER-AGENT: Bot\nDISALLOW: /CaseKept") ==
+      Seq(("bot", false, "/CaseKept")))
+    // A rule before any user-agent line has no group — dropped.
+    assert(rules("Disallow: /orphan\nUser-agent: *\nAllow: /a") ==
+      Seq(("*", true, "/a")))
+  }
+
+  test("robots wildcard matcher: prefix, mid-*, $-anchor, greedy traps") {
+    import spark.implicits._
+    val expected = Seq(
+      // (target, pattern, expected)
+      ("/a/b/c", "/a/", true),            // plain prefix
+      ("/a/b/c", "/a/b/c/d", false),      // pattern longer than target
+      ("/xabab", "/*ab$", true),          // anchor with repeated suffix
+      ("abcx", "a*bc$", false),           // anchored, tail mismatch
+      ("abcx", "a*bc", true),             // unanchored prefix via *
+      ("abb", "a*bb$", true),             // middle * absorbs zero chars
+      ("abXb", "a*bb$", false),
+      ("abxbc", "a*b*c$", true),          // two wildcards, greedy middle
+      ("/p.php?x=1", "/*.php$", false),   // $ means END at .php
+      ("/p.php", "/*.php$", true),
+      ("/p.php?x=1", "/*.php", true),     // unanchored matches the prefix
+      ("/d/e", "", true),                 // empty pattern matches everything
+      ("/d/e", "*", true),
+      ("/q", "$", false),                 // $ alone only matches empty target
+      ("", "$", true),
+      ("/fish/salmon", "/fish*", true),   // RFC examples
+      ("/Fish.asp", "/fish", false)       // case-sensitive paths
+    )
+    val out = expected.map { case (t, p, _) => (t, p) }.toDF("t", "p")
+      .withColumn("m", expr(Robots.wildcardMatchSql("t", "p")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    val bad = expected.zip(out).filter { case (exp, got) => exp != got }
+    assert(bad.isEmpty, s"matcher diverged: $bad")
+  }
+
+  test("robots verdicts: longest match, allow wins ties, specific group beats *, defaults") {
+    import spark.implicits._
+    val robots = Seq(
+      // host A: tie on length -> Allow wins; longest-match otherwise.
+      ("a.com", "User-agent: *\nDisallow: /dir/\nAllow: /dir/*\nDisallow: /tie/aa\nAllow: /tie/bb\n"),
+      // host B: graftbot group present -> its * group is IGNORED.
+      ("b.com", "User-agent: *\nDisallow: /\n\nUser-agent: GraftBot\nAllow: /open/\nDisallow: /open/secret\n"),
+      // host C: only a foreign bot's group -> no applicable rules.
+      ("c.com", "User-agent: otherbot\nDisallow: /\n")
+    ).toDF("host", "robots_txt")
+    val urls = Seq(
+      (1L, "a.com", "/dir/page"),      // Disallow /dir/ (6) vs Allow /dir/* (7): allow
+      (2L, "a.com", "/tie/aa"),        // only Disallow /tie/aa matches: blocked
+      (3L, "a.com", "/elsewhere"),     // nothing matches: default allow
+      (4L, "b.com", "/open/page"),     // specific group allows
+      (5L, "b.com", "/open/secret/x"), // specific group longest disallow
+      (6L, "b.com", "/shut"),          // * group would block, but it is ignored; no specific rule matches -> allow
+      (7L, "c.com", "/anything"),      // foreign group only -> allow
+      (8L, "d.com", "/no/robots")      // host absent from robots -> allow
+    ).toDF("doc_id", "host", "target")
+    val out = Robots.verdicts(urls, robots).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), Option(r.getString(4)))).toMap
+    assert(out(1L) == (true, Some("/dir/*")), s"${out(1L)}")
+    assert(out(2L) == (false, Some("/tie/aa")))
+    assert(out(3L) == (true, None))
+    assert(out(4L) == (true, Some("/open/")))
+    assert(out(5L) == (false, Some("/open/secret")))
+    assert(out(6L) == (true, None), "specific group present: * group must not apply")
+    assert(out(7L) == (true, None))
+    assert(out(8L) == (true, None))
+  }
+
+  test("robots verdicts: a length tie between allow and disallow resolves to allow") {
+    import spark.implicits._
+    val robots = Seq(("t.com", "User-agent: *\nDisallow: /p/x\nAllow: /p/y\nAllow: /q/ab\nDisallow: /q/ab\n"))
+      .toDF("host", "robots_txt")
+    val urls = Seq((1L, "t.com", "/q/ab/page")).toDF("doc_id", "host", "target")
+    val out = Robots.verdicts(urls, robots).collect().head
+    assert(out.getBoolean(3), "equal-length Allow and Disallow both match: allow wins")
+  }
+}
