@@ -234,11 +234,19 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_masked"),
         sort_array(collect_list(col("pos"))).as("ps"))
+    rebuildExcised(tok, masked, k)
+  }
+
+  /** Shared text-rebuild tail of the substring-dedup family: `tok`
+    * carries (doc_id, toks), `masked` carries (doc_id, n_masked, ps —
+    * the SORTED masked window positions). Interval merge over the
+    * ascending positions (window at p covers tokens [p, p+k-1]; a new
+    * p extends the open interval iff it starts inside-or-adjacent —
+    * ends are monotonic, so the merged end is just p+k-1), then one
+    * index-aware filter rebuilds the text. */
+  private def rebuildExcised(tok: DataFrame, masked: DataFrame,
+      k: Int): DataFrame =
     tok.join(masked, Seq("doc_id"), "left")
-      // Interval merge over the ascending masked positions: window at p
-      // covers tokens [p, p+k-1]; a new p extends the open interval iff
-      // it starts inside-or-adjacent (p <= e+1 — ends are monotonic, so
-      // the merged end is just p+k-1).
       .withColumn("ivs", expr(
         s"""aggregate(coalesce(ps, CAST(array() AS ARRAY<INT>)),
            |  CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
@@ -255,6 +263,75 @@ object Dedup {
         (coalesce(col("n_masked"), lit(0L)) > 0).as("changed"),
         concat_ws(" ", col("clean_toks")).as("clean_text"))
       .orderBy("doc_id")
+
+  private val WindowStoreSpec = graft.sinks.BucketedStore.Spec(
+    "h STRING, store_doc_id BIGINT, store_pos INT", "h", 32)
+
+  /** Incremental [[substringDedup]] against a persistent window-hash
+    * store — the daily-increment form of repeated-span removal: the
+    * store holds ONE row per window hash ever seen (its global first
+    * occurrence), so a day's increment costs O(increment windows) —
+    * historical text is never re-shingled. An increment occurrence is
+    * excised iff the store already owns its hash (unless the stored
+    * owner IS this very (doc_id, pos) — which makes a full replay of a
+    * processed batch return byte-identical output instead of deleting
+    * everything), or the hash is new but duplicated within the
+    * increment and this is not the intra-batch first.
+    *
+    * Store probe: below `broadcastMaxRows` the store is scanned against
+    * the BROADCAST increment hash set and never shuffled; above it the
+    * h-bucketed layout makes the sort-merge join shuffle only the
+    * increment. Append lands only never-seen hashes (their intra-batch
+    * first), so replays append nothing and the store stays one row per
+    * hash. */
+  def incrementalSubstringDedup(newDocs: DataFrame, storeDir: String,
+      k: Int = 12, broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = newDocs.sparkSession
+    val store = graft.sinks.BucketedStore.readOrEmpty(spark, storeDir, WindowStoreSpec)
+    val tok = graft.Materialize(spread(newDocs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val sh = graft.Materialize(tok.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, greatest(size(toks) - $k, 0)),
+         |  i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))""".stripMargin))
+      .as(Seq("pos", "h"))))
+    val intra = sh.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("own"))
+    val occ = sh.join(intra, Seq("h"))
+    val lookedUp =
+      if (sh.count() <= broadcastMaxRows) {
+        val matches = graft.Materialize(
+          store.join(broadcast(sh.select("h").distinct()), Seq("h")))
+        val out = occ.join(broadcast(matches), Seq("h"), "left")
+        graft.Materialize.release(matches)
+        out
+      } else
+        store.join(occ, Seq("h"), "right")
+    val annotated = graft.Materialize(lookedUp
+      .withColumn("masked",
+        when(col("store_doc_id").isNotNull,
+          !(col("store_doc_id") === col("doc_id") && col("store_pos") === col("pos")))
+          .otherwise(col("cnt") > 1 &&
+            !(col("own.doc_id") === col("doc_id") && col("own.pos") === col("pos")))))
+    val masked = annotated.filter(col("masked"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+    val result = graft.Materialize(rebuildExcised(tok, masked, k))
+    // Append the never-seen hashes' intra-batch first occurrences: the
+    // result frame above is already materialized, so a crash during the
+    // append re-runs only the append on retry, and re-appending is
+    // filtered by the store-miss condition (replay appends nothing).
+    graft.sinks.BucketedStore.append(
+      annotated.filter(col("store_doc_id").isNull &&
+          col("own.doc_id") === col("doc_id") && col("own.pos") === col("pos"))
+        .select(col("h"), col("doc_id").as("store_doc_id"),
+          col("pos").as("store_pos")),
+      storeDir, WindowStoreSpec)
+    graft.Materialize.release(annotated)
+    graft.Materialize.release(sh)
+    graft.Materialize.release(tok)
+    result
   }
 
   /** MinHash signatures + banded LSH candidate pairs.

@@ -133,6 +133,35 @@ object IncScale {
     check("cdc-increment-flat", cdT2 <= 2.5 * math.max(cdT1, 0.3),
       f"store ${dSmall}→${dSmall * 10}: increment $cdT1%.2fs → $cdT2%.2fs (bound 2.5×)")
 
+    // ---- substring window-hash store --------------------------------
+    // Span-level tier: one store row per k-token window ever seen; the
+    // increment is probed broadcast against the store and only novel
+    // windows append, so a fixed increment stays flat at 10× history.
+    val ssDir = java.nio.file.Files.createTempDirectory("incscale").resolve("substr").toString
+    val ssSmall = sSmall / 10
+    var ssNext = 0L
+    def seedSs(rows: Long): Unit = {
+      var at = ssNext
+      while (at < ssNext + rows) {
+        val end = math.min(at + 25000, ssNext + rows)
+        Dedup.incrementalSubstringDedup(docs(spark, at, end, identity), ssDir).count()
+        at = end
+      }
+      ssNext += rows
+    }
+    def incrementSs(): Double = {
+      val novelFrom = ssNext; ssNext += 200
+      val inc = docs(spark, novelFrom, ssNext, identity)
+        .unionByName(docs(spark, 4700000000L, 4700000200L, id => id - 4700000000L))
+      timed { Dedup.incrementalSubstringDedup(inc, ssDir).count() }
+    }
+    seedSs(ssSmall)
+    val ssT1 = Seq(incrementSs(), incrementSs(), incrementSs()).min
+    seedSs(ssSmall * 9)
+    val ssT2 = Seq(incrementSs(), incrementSs(), incrementSs()).min
+    check("substring-increment-flat", ssT2 <= 2.5 * math.max(ssT1, 0.3),
+      f"store ${ssSmall}→${ssSmall * 10}: increment $ssT1%.2fs → $ssT2%.2fs (bound 2.5×)")
+
     // ---- containment shingle store ----------------------------------
     // Same contract at the doc-inside-doc tier: the posting-capped
     // inverted index bounds the probe at O(increment·maxDf) rows and the
@@ -450,6 +479,11 @@ object IncScale {
       .filter(col("is_duplicate")).count()
     check("simhash-store-dups-found", shDup == 500,
       s"500 replayed docs → $shDup store simhash dups")
+    val ssDup = Dedup.incrementalSubstringDedup(
+      docs(spark, 8700000000L, 8700000500L, id => id - 8700000000L), ssDir)
+      .filter(col("n_removed_tokens") === 40L).count()
+    check("substring-store-dups-found", ssDup == 500,
+      s"500 full copies of stored docs → $ssDup fully excised")
     val imDup = graft.pipeline.Multimodal.incrementalImageDHash(
       media(9100000000L, 9100000500L, "image", id => id - 9100000000L), imDir)
       .filter(col("is_duplicate")).count()

@@ -523,6 +523,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.substringDedup(empty).collect().isEmpty)
   }
 
+  test("incremental substring dedup: cross-batch excision, replay idempotent, novel text untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ssstore").resolve("s").toString
+    val t1 = (1 to 30).map("a" + _)
+    val b1 = Seq(1L -> t1.mkString(" "), 2L -> (1 to 20).map("z" + _).mkString(" "))
+      .toDF("doc_id", "text")
+    val r1 = Dedup.incrementalSubstringDedup(b1, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!r1(1L).getAs[Boolean]("changed") && !r1(2L).getAs[Boolean]("changed"),
+      "first batch owns everything — nothing excised")
+
+    // Batch 2: a NEW doc embedding an 18-token run from batch 1's doc 1
+    // — the store must excise it without re-reading batch 1's text.
+    val run = t1.slice(6, 24)
+    val b2 = Seq(
+      10L -> ((1 to 5).map("p" + _) ++ run ++ (1 to 5).map("q" + _)).mkString(" "),
+      11L -> (1 to 25).map("w" + _).mkString(" ")).toDF("doc_id", "text")
+    val r2 = Dedup.incrementalSubstringDedup(b2, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r2(10L).getAs[Long]("n_removed_tokens") == 18L &&
+      r2(10L).getAs[String]("clean_text") ==
+        ((1 to 5).map("p" + _) ++ (1 to 5).map("q" + _)).mkString(" "),
+      s"cross-batch copied run excised exactly: ${r2(10L)}")
+    assert(!r2(11L).getAs[Boolean]("changed"))
+
+    // Replaying batch 1 yields byte-identical output (the stored owner
+    // of every window IS the replayed occurrence), and appends nothing.
+    val r1b = Dedup.incrementalSubstringDedup(b1, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r1b(1L).getAs[String]("clean_text") == t1.mkString(" ") &&
+      !r1b(1L).getAs[Boolean]("changed") && !r1b(2L).getAs[Boolean]("changed"),
+      s"replay must be idempotent, not self-deleting: ${r1b(1L)}")
+
+    // A third batch repeating batch 2's unique text IS excised (the
+    // store now owns it) — the store grew by batch 2's novel windows.
+    val b3 = Seq(20L -> (1 to 25).map("w" + _).mkString(" ")).toDF("doc_id", "text")
+    val r3 = Dedup.incrementalSubstringDedup(b3, dir).collect().head
+    assert(r3.getAs[Long]("n_removed_tokens") == 25L &&
+      r3.getAs[String]("clean_text") == "",
+      s"a later full copy of stored text is fully excised: $r3")
+  }
+
   test("paragraph dedup on the corpus: every doc present, token mass conserved") {
     val out = Dedup.paragraphDedup(docs)
     assert(out.count() == 500)
