@@ -888,6 +888,51 @@ object TextAnalysis {
     df.withColumn(out, trim(regexp_replace(decoded, "\\s+", " ")))
   }
 
+  /** HTML metadata extraction — the page-level fields a crawl-curation
+    * pipeline reads BEFORE stripping the page to text: title, meta
+    * description, canonical link (the crawler-side dedup hint —
+    * [[Urls.urlDedup]]'s input when present), the html lang attribute
+    * (a prior for [[langIdNgram]]), og:title, and the declared charset.
+    * Attribute order is not assumed (name-before-content and
+    * content-before-name both occur in the wild — each field coalesces
+    * both orders); title and description decode the standard entities
+    * ([[stripHtml]]'s chain); absent fields are NULL, not ''.
+    *
+    * Pure per-row regexp projection (regex subset chosen to mean the
+    * same under Java regex and RE2) — zero shuffle, codegen'd, scales
+    * embarrassingly. */
+  def extractHtmlMeta(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol)
+    def decode(c: Column): Column = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+    def clean(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+    def nn(c: Column): Column = when(c =!= "", c)
+    // <meta|link ... key="k" ... val="..."> in either attribute order.
+    def attrPair(tag: String, keyAttr: String, key: String,
+        valAttr: String): Column = coalesce(
+      nn(regexp_extract(h,
+        s"""(?is)<$tag[^>]*$keyAttr\\s*=\\s*["']$key["'][^>]*$valAttr\\s*=\\s*["']([^"']*)["']""", 1)),
+      nn(regexp_extract(h,
+        s"""(?is)<$tag[^>]*$valAttr\\s*=\\s*["']([^"']*)["'][^>]*$keyAttr\\s*=\\s*["']$key["']""", 1)))
+    docs.select(col("doc_id"),
+      nn(clean(decode(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1))))
+        .as("title"),
+      clean(decode(coalesce(attrPair("meta", "name", "description", "content"), lit(""))))
+        .as("description"),
+      attrPair("link", "rel", "canonical", "href").as("canonical"),
+      nn(regexp_extract(h, """(?is)<html[^>]*\blang\s*=\s*["']([^"']*)["']""", 1))
+        .as("page_lang"),
+      clean(decode(coalesce(attrPair("meta", "property", "og:title", "content"), lit(""))))
+        .as("og_title"),
+      nn(regexp_extract(h, """(?is)<meta[^>]*charset\s*=\s*["']?([a-zA-Z0-9_\-]+)""", 1))
+        .as("charset"))
+      .withColumn("description", when(col("description") =!= "", col("description")))
+      .withColumn("og_title", when(col("og_title") =!= "", col("og_title")))
+      .orderBy("doc_id")
+  }
+
   /** Main-content extraction by BLOCK-LEVEL link-density scoring — the
     * boilerplate-removal step BETWEEN [[stripHtml]] (which flattens the
     * whole page, nav and footer included) and the quality gates: split
@@ -1164,6 +1209,33 @@ object TextAnalysis {
         lit("""</p></div><div class="footer"><a href="/p">Privacy</a> <a href="/t">Terms</a> legal</div>""")).as("html"))
       extractMainContent(wrapped)
     }),
+    // Page-metadata extraction over a deterministic head plant: both
+    // attribute orders exercised (name/content flips on doc_id parity),
+    // description absent on %5==4, canonical absent on %5==3, entities
+    // in title and description; the DuckDB twin states the plant's
+    // ground truth per field.
+    "html_meta" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val id = col("doc_id").cast("string")
+      val descTag = concat(lit("<meta name=\"description\" content=\"Summary &amp; notes for doc "),
+        id, lit("\">"))
+      val descTagRev = concat(lit("<meta content=\"Summary &amp; notes for doc "),
+        id, lit("\" name=\"description\">"))
+      val wrapped = docs.select(col("doc_id"), concat(
+        lit("<!DOCTYPE html><html lang=\""), col("lang"), lit("\"><head>"),
+        lit("<meta charset=\"utf-8\">"),
+        when(col("doc_id") % 5 =!= 4,
+          when(col("doc_id") % 2 === 0, descTag).otherwise(descTagRev))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 =!= 3, concat(
+          lit("<link rel=\"canonical\" href=\"https://ex"), id,
+          lit(".com/doc/"), id, lit("\">"))).otherwise(lit("")),
+        lit("<meta property=\"og:title\" content=\"OG "), id, lit("\">"),
+        lit("<title> Doc "), id, lit(" &amp; Co - "), col("source"),
+        lit(" </title></head><body><p>"), col("text"),
+        lit("</p></body></html>")).as("html"))
+      extractHtmlMeta(wrapped)
+    }),
     "q91_pmi"          -> ((s, d) => pmiPairs(Tables(s, d).documents)),
     "q92_negsample"    -> ((s, d) => negativeSamplingDist(Tables(s, d).documents)),
     // Iterative pagerank fixpoint over the co-occurrence graph —
@@ -1356,6 +1428,20 @@ object TextAnalysis {
          |FROM j CROSS JOIN tt CROSS JOIN pt
          |WHERE cab >= 5
          |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin),
+    // The metadata plant's ground truth stated directly (the
+    // warc_roundtrip convention): the extractor must land on the
+    // planted values — both attribute orders, entity decode, and the
+    // absent-field NULLs — for the hash to match.
+    "html_meta" ->
+      ("""WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, lang, source FROM documents)
+         |SELECT doc_id,
+         |  'Doc ' || id || ' & Co - ' || source AS title,
+         |  CASE WHEN doc_id % 5 <> 4 THEN 'Summary & notes for doc ' || id END AS description,
+         |  CASE WHEN doc_id % 5 <> 3 THEN 'https://ex' || id || '.com/doc/' || id END AS canonical,
+         |  lang AS page_lang,
+         |  'OG ' || id AS og_title,
+         |  'utf-8' AS charset
+         |FROM d ORDER BY doc_id""".stripMargin),
     // Same synthesized markup, same regex chain (RE2 'g' flag = Java
     // replace-all default), entities decoded in the same order.
     "text_strip_html" ->

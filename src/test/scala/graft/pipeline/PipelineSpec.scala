@@ -565,6 +565,37 @@ class PipelineSpec extends AnyFunSuite {
       s"a later full copy of stored text is fully excised: $r3")
   }
 
+  test("html meta extraction: case/quote/order variants, entities, absent fields null") {
+    import spark.implicits._
+    val pages = Seq(
+      // Uppercase tags, single quotes, content-before-name, multiline title.
+      1L -> ("<HTML LANG='en-GB'><HEAD><META CHARSET=utf-8>" +
+        "<TITLE>\n  Fish &amp; Chips  \n</TITLE>" +
+        "<META content='A &quot;quoted&quot; summary' name='description'>" +
+        "<LINK href='https://ex.com/x' rel='canonical'>" +
+        "<META property='og:title' content='OG X'></HEAD><body>b</body></HTML>"),
+      // No head metadata at all.
+      2L -> "<html><body>plain</body></html>",
+      // charset without quotes inside http-equiv style meta.
+      3L -> ("<html lang=\"zh\"><head><meta charset=iso-8859-1>" +
+        "<title>T3</title></head><body></body></html>")
+    ).toDF("doc_id", "html")
+    val out = TextAnalysis.extractHtmlMeta(pages).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[String]("title") == "Fish & Chips", s"$r1")
+    assert(r1.getAs[String]("description") == "A \"quoted\" summary")
+    assert(r1.getAs[String]("canonical") == "https://ex.com/x")
+    assert(r1.getAs[String]("page_lang") == "en-GB")
+    assert(r1.getAs[String]("og_title") == "OG X")
+    assert(r1.getAs[String]("charset") == "utf-8")
+    val r2 = out(2L)
+    assert(Seq("title", "description", "canonical", "page_lang", "og_title", "charset")
+      .forall(c => r2.getAs[String](c) == null), s"absent fields must be NULL: $r2")
+    assert(out(3L).getAs[String]("charset") == "iso-8859-1" &&
+      out(3L).getAs[String]("page_lang") == "zh")
+  }
+
   test("paragraph dedup on the corpus: every doc present, token mass conserved") {
     val out = Dedup.paragraphDedup(docs)
     assert(out.count() == 500)
