@@ -187,6 +187,49 @@ object Robots {
       .select("doc_id", "host", "target")
   }
 
+  /** `Sitemap:` directives from robots.txt bodies — the discovery
+    * bridge between politeness and the URL frontier (RFC 9309 §2.3 /
+    * sitemaps.org: the directive is group-independent, so it is read
+    * line-wise, not through [[parseRules]]' group fold). */
+  def sitemapDirectives(robots: DataFrame): DataFrame =
+    robots
+      .select(col("host"), explode(expr(
+        """filter(transform(split(robots_txt, '\n'),
+          |    l -> trim(regexp_replace(l, '#.*', ''))),
+          |  l -> instr(l, ':') > 0
+          |    AND lower(trim(substring(l, 1, instr(l, ':') - 1))) = 'sitemap')"""
+          .stripMargin)).as("l"))
+      .select(col("host"),
+        trim(expr("substring(l, instr(l, ':') + 1)")).as("sitemap_url"))
+
+  /** Sitemap XML parsing (sitemaps.org protocol) — URL discovery for
+    * the frontier: `<urlset>` documents yield one row per `<url>`
+    * (loc required; lastmod/changefreq/priority optional → NULL),
+    * `<sitemapindex>` documents yield one row per child `<sitemap>`
+    * reference (kind = 'sitemap', for the fetcher to recurse). One
+    * zero-shuffle regexp projection + explode per entry — the XML
+    * subset the protocol actually permits is regular (no nested
+    * url/sitemap elements), so no XML parser rides the hot path. */
+  def parseSitemap(sitemaps: DataFrame,
+      xmlCol: String = "sitemap_xml"): DataFrame = {
+    def field(e: Column, tag: String): Column = {
+      val v = regexp_extract(e, s"(?is)<$tag[^>]*>\\s*([^<]*?)\\s*</$tag>", 1)
+      when(v =!= "", v)
+    }
+    val entries = sitemaps.select(col("host"),
+      explode(concat(
+        expr(s"transform(regexp_extract_all($xmlCol, '(?is)<url>(.*?)</url>', 1), e -> named_struct('kind', 'url', 'e', e))"),
+        expr(s"transform(regexp_extract_all($xmlCol, '(?is)<sitemap>(.*?)</sitemap>', 1), e -> named_struct('kind', 'sitemap', 'e', e))")))
+        .as("x"))
+    entries.select(col("host"), col("x.kind").as("kind"),
+      field(col("x.e"), "loc").as("loc"),
+      field(col("x.e"), "lastmod").as("lastmod"),
+      field(col("x.e"), "changefreq").as("changefreq"),
+      field(col("x.e"), "priority").cast("double").as("priority"))
+      .filter(col("loc").isNotNull)
+      .orderBy("loc")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "robots_verdict" -> ((s, d) => {
       val targets = plantedTargets(s, d)
@@ -197,6 +240,41 @@ object Robots {
             .when(col("host") === "spam-mill.com", lit(SpamRobots)))
         .filter(col("robots_txt").isNotNull)
       verdicts(targets, robots)
+    }),
+    // Sitemap ROUND-TRIP: per-host urlset XML assembled from the planted
+    // canonical URLs (loc whitespace-padded on odd docs, lastmod absent
+    // on %3==0, priority absent on %3==1, changefreq only on %4==0),
+    // parsed back to frontier rows; the oracle states the plant's
+    // ground truth directly, so a framing bug in EITHER direction
+    // breaks the hash.
+    "sitemap_urls" -> ((s, d) => {
+      val planted = Urls.plantUrls(Tables(s, d).documents)
+      val canon = planted.select(col("doc_id"),
+        graft.functions.CanonicalizeUrl.url(s, col("url")).as("loc"))
+        .withColumn("host", Urls.hostOf(col("loc")))
+      val entry = concat(
+        lit("<url>"),
+        when(col("doc_id") % 2 === 0, concat(lit("<loc>"), col("loc"), lit("</loc>")))
+          .otherwise(concat(lit("<loc>\n    "), col("loc"), lit("  \n  </loc>"))),
+        when(col("doc_id") % 3 =!= 0, concat(lit("<lastmod>2026-0"),
+          (col("doc_id") % 9 + 1).cast("string"), lit("-15</lastmod>")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("<changefreq>weekly</changefreq>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 =!= 1, concat(lit("<priority>0."),
+          (col("doc_id") % 10).cast("string"), lit("</priority>")))
+          .otherwise(lit("")),
+        lit("</url>"))
+      val xml = canon
+        .withColumn("e", struct(col("doc_id"), entry.as("entry")))
+        .groupBy("host")
+        .agg(concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          concat_ws("", transform(array_sort(collect_list(col("e"))),
+            x => x("entry"))),
+          lit("</urlset>")).as("sitemap_xml"))
+      parseSitemap(xml)
     })
   )
 
@@ -230,6 +308,26 @@ object Robots {
         |      THEN '/post/*3$' ELSE '/post/' END
         |    WHEN 2 THEN '/'
         |    ELSE NULL END AS matched_pattern
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "sitemap_urls" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, source FROM documents)
+        |SELECT
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'www.' || source || '.com'
+        |    WHEN 1 THEN 'blog.' || source || '.co.uk'
+        |    WHEN 2 THEN 'spam-mill.com'
+        |    ELSE 'cdn.' || source || '.net' END AS host,
+        |  'url' AS kind,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'http://www.' || source || '.com/Articles/' || id || '?id=' || id
+        |    WHEN 1 THEN 'https://blog.' || source || '.co.uk:8080/post/' || id
+        |    WHEN 2 THEN 'https://spam-mill.com/page/' || id || '?p=' || id
+        |    ELSE 'http://cdn.' || source || '.net/static/' || id END AS loc,
+        |  CASE WHEN doc_id % 3 <> 0
+        |    THEN '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15' END AS lastmod,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'weekly' END AS changefreq,
+        |  CASE WHEN doc_id % 3 <> 1
+        |    THEN CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) END AS priority
+        |FROM d ORDER BY loc""".stripMargin
   )
 }

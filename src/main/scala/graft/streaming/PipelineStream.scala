@@ -72,6 +72,19 @@ object PipelineStream {
     incremental(docs, outDir, checkpoint)(
       graft.pipeline.Dedup.incrementalMinhash(_, storeDir))
 
+  /** Streaming exact-substring dedup: every micro-batch of
+    * (doc_id, text) is windowed into k-token hashes and probed against
+    * — and grows — the persistent window-hash store
+    * ([[graft.pipeline.Dedup.incrementalSubstringDedup]]); a verbatim
+    * span copied from ANY historical document is excised from the new
+    * arrival while the stored first occurrence stays untouched, and a
+    * replayed micro-batch (restart redelivery) returns byte-identical
+    * output instead of self-deleting. */
+  def dedupSubstrings(docs: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    incremental(docs, outDir, checkpoint)(
+      graft.pipeline.Dedup.incrementalSubstringDedup(_, storeDir))
+
   /** Streaming chunk-level dedup: every micro-batch of (doc_id, text)
     * is content-defined-chunked and scored against — and grows — the
     * persistent chunk-hash store

@@ -93,6 +93,40 @@ class RobotsSpec extends AnyFunSuite {
     assert(out(8L) == (true, None))
   }
 
+  test("sitemap directives extracted from robots.txt line-wise, group-independent") {
+    import spark.implicits._
+    val body = "User-agent: *\nDisallow: /x\nSitemap: https://h/s1.xml\n" +
+      "# comment\nSITEMAP: https://h/s2.xml \nCrawl-delay: 1\n"
+    val out = Robots.sitemapDirectives(Seq(("h", body)).toDF("host", "robots_txt"))
+      .collect().map(_.getString(1)).toSeq
+    assert(out == Seq("https://h/s1.xml", "https://h/s2.xml"))
+  }
+
+  test("sitemap parsing: urlset fields, optional NULLs, whitespace, index recursion, loc-less dropped") {
+    import spark.implicits._
+    val urlset =
+      """<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://h/a</loc><lastmod>2026-01-02</lastmod><changefreq>daily</changefreq><priority>0.8</priority></url>
+        |<url><loc>
+        |   https://h/b
+        | </loc></url>
+        |<url><lastmod>2026-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val index =
+      "<sitemapindex><sitemap><loc>https://h/child1.xml</loc></sitemap>" +
+        "<sitemap><loc>https://h/child2.xml</loc><lastmod>2026-02-02</lastmod></sitemap></sitemapindex>"
+    val out = Robots.parseSitemap(
+      Seq(("h", urlset), ("i", index)).toDF("host", "sitemap_xml")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.get(5))))
+    assert(out.length == 4, s"loc-less entry must be dropped: ${out.mkString(",")}")
+    assert(out.contains(("h", "url", "https://h/a", Some("2026-01-02"), Some(0.8))))
+    assert(out.contains(("h", "url", "https://h/b", None, None)),
+      "whitespace-padded loc must be trimmed")
+    assert(out.contains(("i", "sitemap", "https://h/child1.xml", None, None)))
+    assert(out.contains(("i", "sitemap", "https://h/child2.xml", Some("2026-02-02"), None)))
+  }
+
   test("robots verdicts: a length tie between allow and disallow resolves to allow") {
     import spark.implicits._
     val robots = Seq(("t.com", "User-agent: *\nDisallow: /p/x\nAllow: /p/y\nAllow: /q/ab\nDisallow: /q/ab\n"))

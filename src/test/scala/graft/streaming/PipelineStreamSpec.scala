@@ -48,6 +48,33 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 11L), kept.toString)
   }
 
+  test("streaming substring dedup: a span copied from a past micro-batch is excised on arrival") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (store, out, ckpt) = (tmp("pssstore"), tmp("pssout"), tmp("pssckpt"))
+    val t1 = (1 to 30).map("a" + _)
+    val run = t1.slice(6, 24) // 18 tokens
+    val ms = MemoryStream[(Long, String)]
+    val q = PipelineStream.dedupSubstrings(
+      ms.toDF().toDF("doc_id", "text"), store, out, ckpt)
+    try {
+      ms.addData((1L, t1.mkString(" ")), (2L, (1 to 20).map("z" + _).mkString(" ")))
+      q.processAllAvailable()
+      // Batch 1: doc 10 embeds an 18-token run from batch 0's doc 1.
+      ms.addData((10L, ((1 to 5).map("p" + _) ++ run ++ (1 to 5).map("q" + _)).mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 3)
+    assert(!rows(1L).getAs[Boolean]("changed") && !rows(2L).getAs[Boolean]("changed"))
+    assert(rows(10L).getAs[Long]("n_removed_tokens") == 18L &&
+      rows(10L).getAs[String]("clean_text") ==
+        ((1 to 5).map("p" + _) ++ (1 to 5).map("q" + _)).mkString(" ") &&
+      rows(10L).getAs[Int]("batch") == 1,
+      s"cross-micro-batch span excised: ${rows(10L)}")
+  }
+
   test("streaming minhash: NEAR-duplicates recognized across micro-batches from signatures alone") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
