@@ -155,7 +155,7 @@ object Robots {
     * an ignored foreign group (www.*), `*` fallback with a `$`-anchored
     * disallow and an empty no-op Disallow (blog.*), a blanket
     * `Disallow: /` (spam-mill.com), and NO robots at all (cdn.*). */
-  private[pipeline] val WwwRobots: String =
+  private[graft] val WwwRobots: String =
     "# corporate site\n" +
       "User-Agent: otherbot\n" +
       "Disallow: /\n" +
@@ -164,14 +164,14 @@ object Robots {
       "Disallow: /Articles/\n" +
       "Allow: /Articles/*?id=*\n" +
       "Disallow: /Articles/*?id=1*\n"
-  private[pipeline] val BlogRobots: String =
+  private[graft] val BlogRobots: String =
     "User-agent: *\n" +
       "Disallow:\n" +
       "Allow: /post/\n" +
       "Disallow: /post/*3$\n" +
       "# crawl politeness\n" +
       "Crawl-delay: 5\n"
-  private[pipeline] val SpamRobots: String =
+  private[graft] val SpamRobots: String =
     "User-agent: *\n" +
       "Disallow: /\n"
 

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.{GraftSession, Tables}
 import graft.operators.RelationalQueries
-import graft.pipeline.{Classify, Clusters, Curate, Dedup, Profile, Retrieval, Select, Similarity, TextAnalysis, Urls}
+import graft.pipeline.{Classify, Clusters, Curate, Dedup, Profile, Retrieval, Robots, Select, Similarity, TextAnalysis, Urls}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,26 @@ object WidthBench {
         d.select(col("doc_id"), concat(lit("<div><a href=\"/\">Home</a> <a>About</a></div><p>"),
           col("text"), lit("</p><div><a>Privacy</a> <a>Terms</a> legal</div>")).as("html")))),
       "gopher_rules"        -> ((d, _, _) => TextAnalysis.gopherRules(d)),
+      "html_meta"           -> ((d, _, _) => TextAnalysis.extractHtmlMeta(
+        d.select(col("doc_id"), concat(
+          lit("<html lang=\"en\"><head><meta charset=\"utf-8\"><title>T "),
+          col("doc_id").cast("string"),
+          lit("</title><meta name=\"description\" content=\"D\"></head><body>"),
+          col("text"), lit("</body></html>")).as("html")))),
+      "robots_verdict"      -> ((d, _, _) => {
+        val targets = Urls.plantUrls(d)
+          .select(col("doc_id"),
+            graft.functions.CanonicalizeUrl.url(d.sparkSession, col("url")).as("u"))
+          .select(col("doc_id"),
+            Urls.hostOf(col("u")).as("host"),
+            regexp_replace(col("u"), "^[^/?#]*://[^/?]*", "").as("target"))
+        val robots = targets.select("host").distinct()
+          .withColumn("robots_txt",
+            when(col("host").startsWith("www."), lit(Robots.WwwRobots))
+              .when(col("host").startsWith("blog."), lit(Robots.BlogRobots))
+              .otherwise(lit(Robots.SpamRobots)))
+        Robots.verdicts(targets, robots)
+      }),
       "curriculum_interleave" -> ((d, _, _) => Curate.interleaveSources(d)),
       "graph_pagerank"      -> ((d, _, _) => Clusters.docPageRank(d)),
       "q91_pmi"             -> ((d, _, _) => TextAnalysis.pmiPairs(d)),
