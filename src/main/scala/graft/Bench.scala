@@ -195,6 +195,14 @@ object Bench {
         if (name == "robots_verdict" &&
             (!fullPlan.contains("BroadcastHashJoin") || fullPlan.contains("Window")))
           violations += s"$name:rules-not-broadcast-or-windowed"
+        // Frontier admission ranks with the bounded TopK partial
+        // aggregation (a host's ten-million-URL backlog combines
+        // map-side to <= epoch rows); a Window means the per-host
+        // backlog sort came back. The per-host delay table broadcasts.
+        if (name == "politeness_admission" &&
+            (fullPlan.contains("Window") || !plan.contains("ObjectHashAggregate") ||
+              !fullPlan.contains("BroadcastHashJoin")))
+          violations += s"$name:admission-rank-regressed"
         // Group medians/MADs come back as broadcast joins (O(#groups)
         // rows); a shuffled join means the corpus repartitions per pass.
         if (name == "profile_mad_outliers" && !plan.contains("BroadcastHashJoin"))

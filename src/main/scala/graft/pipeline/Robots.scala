@@ -39,11 +39,11 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Parse robots.txt bodies into one rule row per (host, user-agent,
-    * rule): `robots` must carry `host` and `robots_txt` columns; output
-    * is (host, ua lowercase, allow boolean, pattern). One zero-shuffle
-    * projection + explode. */
-  def parseRules(robots: DataFrame): DataFrame =
+  /** The shared group-attribution fold: one row per (host, user-agent,
+    * directive) for the group-scoped keys (allow, disallow,
+    * crawl-delay) — consecutive UA lines share the block that follows,
+    * a directive line closes UA accumulation. */
+  private def parseDirectives(robots: DataFrame): DataFrame =
     robots
       .withColumn("rules", expr(
         """aggregate(
@@ -52,7 +52,7 @@ object Robots {
           |  named_struct(
           |    'uas', CAST(array() AS ARRAY<STRING>),
           |    'inRules', false,
-          |    'out', CAST(array() AS ARRAY<STRUCT<ua: STRING, allow: BOOLEAN, pattern: STRING>>)),
+          |    'out', CAST(array() AS ARRAY<STRUCT<ua: STRING, key: STRING, value: STRING>>)),
           |  (acc, l) -> CASE
           |    WHEN instr(l, ':') = 0 THEN acc
           |    WHEN lower(trim(substring(l, 1, instr(l, ':') - 1))) = 'user-agent' THEN
@@ -62,7 +62,7 @@ object Robots {
           |          concat(acc.uas, array(lower(trim(substring(l, instr(l, ':') + 1)))))),
           |        'inRules', false,
           |        'out', acc.out)
-          |    WHEN lower(trim(substring(l, 1, instr(l, ':') - 1))) IN ('allow', 'disallow')
+          |    WHEN lower(trim(substring(l, 1, instr(l, ':') - 1))) IN ('allow', 'disallow', 'crawl-delay')
           |        AND size(acc.uas) > 0
           |        AND trim(substring(l, instr(l, ':') + 1)) != '' THEN
           |      named_struct(
@@ -70,13 +70,41 @@ object Robots {
           |        'inRules', true,
           |        'out', concat(acc.out, transform(acc.uas, u -> named_struct(
           |          'ua', u,
-          |          'allow', lower(trim(substring(l, 1, instr(l, ':') - 1))) = 'allow',
-          |          'pattern', trim(substring(l, instr(l, ':') + 1))))))
+          |          'key', lower(trim(substring(l, 1, instr(l, ':') - 1))),
+          |          'value', trim(substring(l, instr(l, ':') + 1))))))
           |    ELSE acc END,
           |  acc -> acc.out)""".stripMargin))
       .select(col("host"), explode(col("rules")).as("r"))
       .select(col("host"), col("r.ua").as("ua"),
-        col("r.allow").as("allow"), col("r.pattern").as("pattern"))
+        col("r.key").as("key"), col("r.value").as("value"))
+
+  /** Parse robots.txt bodies into one rule row per (host, user-agent,
+    * rule): `robots` must carry `host` and `robots_txt` columns; output
+    * is (host, ua lowercase, allow boolean, pattern). One zero-shuffle
+    * projection + explode. */
+  def parseRules(robots: DataFrame): DataFrame =
+    parseDirectives(robots)
+      .filter(col("key").isin("allow", "disallow"))
+      .select(col("host"), col("ua"),
+        (col("key") === "allow").as("allow"), col("value").as("pattern"))
+
+  /** Per-host Crawl-delay seconds for `userAgent`: the crawler-specific
+    * group's delay beats the `*` group's (the same selection rule as
+    * [[verdicts]]); multiple delay lines in one group take the most
+    * conservative (max); non-numeric values are ignored. Hosts without
+    * a usable directive are simply absent — callers supply the default. */
+  def crawlDelays(robots: DataFrame,
+      userAgent: String = "graftbot"): DataFrame = {
+    val uaLower = userAgent.toLowerCase(java.util.Locale.ROOT)
+    parseDirectives(robots)
+      .filter(col("key") === "crawl-delay" && col("ua").isin(uaLower, "*"))
+      .withColumn("d", expr("try_cast(value AS DOUBLE)"))
+      .filter(col("d").isNotNull && col("d") > 0)
+      .groupBy("host")
+      .agg(max(when(col("ua") === uaLower, col("d"))).as("spec_d"),
+        max(when(col("ua") === "*", col("d"))).as("star_d"))
+      .select(col("host"), coalesce(col("spec_d"), col("star_d")).as("delay_s"))
+  }
 
   /** RFC 9309 wildcard match as a SQL fragment over column names
     * `tCol` (target) and `pCol` (pattern) — inlined into projections
@@ -159,11 +187,13 @@ object Robots {
     "# corporate site\n" +
       "User-Agent: otherbot\n" +
       "Disallow: /\n" +
+      "Crawl-delay: 60\n" +
       "\n" +
       "User-agent: graftbot\n" +
       "Disallow: /Articles/\n" +
       "Allow: /Articles/*?id=*\n" +
-      "Disallow: /Articles/*?id=1*\n"
+      "Disallow: /Articles/*?id=1*\n" +
+      "Crawl-delay: 2\n"
   private[graft] val BlogRobots: String =
     "User-agent: *\n" +
       "Disallow:\n" +
@@ -173,7 +203,8 @@ object Robots {
       "Crawl-delay: 5\n"
   private[graft] val SpamRobots: String =
     "User-agent: *\n" +
-      "Disallow: /\n"
+      "Disallow: /\n" +
+      "Crawl-delay: 0.5\n"
 
   /** The registered entry's URL stream: the planted URLs canonicalized,
     * with host and path[?query] target extracted — one projection. */
@@ -185,6 +216,42 @@ object Robots {
       .withColumn("target",
         regexp_replace(col("url_canon"), "^[^/?#]*://[^/?]*", ""))
       .select("doc_id", "host", "target")
+  }
+
+  /** Politeness-capped frontier admission — the per-epoch form of
+    * Crawl-delay a DISTRIBUTED fetcher actually enforces (a fleet
+    * cannot sequence individual timestamps per host across workers;
+    * it admits at most floor(epoch/delay) URLs per host per scheduling
+    * epoch and re-queues the rest): each URL draws a deterministic
+    * hash priority, the per-host top-cap admit, everything else waits.
+    * Deterministic (re-running a failed epoch admits the SAME URLs).
+    *
+    * Scale: the per-host ranking is the bounded-TopK partial
+    * aggregation capped at `epochSeconds` rows per host (delays < 1 s
+    * clamp to 1 for the cap) — NEVER a per-host row_number window: a
+    * host with ten million frontier URLs combines map-side to
+    * ≤ epochSeconds rows per task instead of sorting its whole backlog
+    * in one reducer. The per-host delay table is tiny and broadcasts.
+    * Output: one row per URL (doc_id, host, delay_s, cap, rank —
+    * NULL beyond the ranking bound — and admitted). */
+  def politenessAdmission(urls: DataFrame, robots: DataFrame,
+      epochSeconds: Int = 30, userAgent: String = "graftbot",
+      defaultDelay: Double = 1.0): DataFrame = {
+    val delays = crawlDelays(robots, userAgent)
+    val ranked = graft.functions.TopK.perGroupStrRanked(
+      urls.select(col("host"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("draw")),
+      "host", "draw", "doc_id", "rank", epochSeconds)
+    urls.select("doc_id", "host")
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelay)))
+      .withColumn("cap",
+        greatest(floor(lit(epochSeconds) / greatest(col("delay_s"), lit(1.0))), lit(1L)))
+      .join(ranked.select("host", "doc_id", "rank"), Seq("host", "doc_id"), "left")
+      .select(col("doc_id"), col("host"), col("delay_s"), col("cap"),
+        col("rank"),
+        (col("rank").isNotNull && col("rank") <= col("cap")).as("admitted"))
+      .orderBy("doc_id")
   }
 
   /** `Sitemap:` directives from robots.txt bodies — the discovery
@@ -240,6 +307,23 @@ object Robots {
             .when(col("host") === "spam-mill.com", lit(SpamRobots)))
         .filter(col("robots_txt").isNotNull)
       verdicts(targets, robots)
+    }),
+    // Politeness admission over the planted classes: graftbot's own
+    // Crawl-delay (2 s — the otherbot group's 60 s decoy must NOT
+    // apply) caps www hosts at 15/epoch, the * group's 5 s caps blog
+    // hosts at 6, a sub-second delay clamps to cap 30 on the one
+    // high-fanout host (spam-mill.com concentrates a quarter of the
+    // corpus — ranks beyond the bound come back NULL), and no-robots
+    // cdn hosts take the 1 s default.
+    "politeness_admission" -> ((s, d) => {
+      val targets = plantedTargets(s, d)
+      val robots = targets.select("host").distinct()
+        .withColumn("robots_txt",
+          when(col("host").startsWith("www."), lit(WwwRobots))
+            .when(col("host").startsWith("blog."), lit(BlogRobots))
+            .when(col("host") === "spam-mill.com", lit(SpamRobots)))
+        .filter(col("robots_txt").isNotNull)
+      politenessAdmission(targets, robots)
     }),
     // Sitemap ROUND-TRIP: per-host urlset XML assembled from the planted
     // canonical URLs (loc whitespace-padded on odd docs, lastmod absent
@@ -309,6 +393,30 @@ object Robots {
         |    WHEN 2 THEN '/'
         |    ELSE NULL END AS matched_pattern
         |FROM d ORDER BY doc_id""".stripMargin,
+    // The oracle may window (the established convention): the bounded
+    // TopK rank replays as a per-host ROW_NUMBER over the same
+    // deterministic md5 draw; caps are the hand-derived per-class
+    // constants (floor(30/delay), sub-second clamped to 1 s).
+    "politeness_admission" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, source FROM documents),
+        |v AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'www.' || source || '.com'
+        |    WHEN 1 THEN 'blog.' || source || '.co.uk'
+        |    WHEN 2 THEN 'spam-mill.com'
+        |    ELSE 'cdn.' || source || '.net' END AS host,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 2.0 WHEN 1 THEN 5.0 WHEN 2 THEN 0.5 ELSE 1.0 END AS delay_s,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 15 WHEN 1 THEN 6 WHEN 2 THEN 30 ELSE 30 END AS BIGINT) AS cap,
+        |  md5(id) AS draw
+        | FROM d),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY host ORDER BY draw, doc_id) AS rn FROM v)
+        |SELECT doc_id, host, delay_s, cap,
+        |  CASE WHEN rn <= 30 THEN CAST(rn AS BIGINT) END AS rank,
+        |  rn <= cap AS admitted
+        |FROM r ORDER BY doc_id""".stripMargin,
     "sitemap_urls" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, source FROM documents)
         |SELECT

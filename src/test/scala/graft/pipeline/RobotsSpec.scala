@@ -127,6 +127,44 @@ class RobotsSpec extends AnyFunSuite {
     assert(out.contains(("i", "sitemap", "https://h/child2.xml", Some("2026-02-02"), None)))
   }
 
+  test("crawl delays: specific group beats *, conservative max in group, junk ignored") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 10\nUser-agent: graftbot\nDisallow: /x\nCrawl-delay: 2\nCrawl-delay: 4\n"),
+      ("b.com", "User-agent: *\nCrawl-delay: oops\nUser-agent: other\nCrawl-delay: 9\n"),
+      ("c.com", "User-agent: *\nCrawl-delay: 3\n")
+    ).toDF("host", "robots_txt")
+    val out = Robots.crawlDelays(robots).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a.com" -> 4.0, "c.com" -> 3.0),
+      s"specific max wins on a; junk + foreign-bot-only b absent: $out")
+  }
+
+  test("politeness admission: per-epoch cap per host, deterministic, defaults, rank bound") {
+    import spark.implicits._
+    // 40 URLs on one slow host (delay 10 -> cap 3), 2 on a fast host
+    // (no robots -> default 1 s -> cap 30), epoch 30 s.
+    val urls = ((1L to 40L).map(i => (i, "slow.com")) ++
+      Seq((100L, "fast.com"), (101L, "fast.com"))).toDF("doc_id", "host")
+    val robots = Seq(("slow.com", "User-agent: *\nCrawl-delay: 10\nDisallow: /private\n"))
+      .toDF("host", "robots_txt")
+    val out = Robots.politenessAdmission(urls, robots).collect()
+    assert(out.length == 42, "one row per frontier URL")
+    val slow = out.filter(_.getString(1) == "slow.com")
+    assert(slow.count(_.getBoolean(5)) == 3, "cap = floor(30/10) = 3 admitted")
+    assert(slow.forall(r => r.getLong(3) == 3L && r.getDouble(2) == 10.0))
+    // Ranking bound = epochSeconds (30): the 10 slow URLs beyond it
+    // come back with NULL rank and are not admitted.
+    assert(slow.count(_.isNullAt(4)) == 10)
+    val fast = out.filter(_.getString(1) == "fast.com")
+    assert(fast.forall(r => r.getBoolean(5) && r.getDouble(2) == 1.0 && r.getLong(3) == 30L),
+      "absent robots takes the default delay")
+    // Deterministic: the same epoch re-run admits the SAME doc_ids.
+    val again = Robots.politenessAdmission(urls, robots).collect()
+    assert(out.filter(_.getBoolean(5)).map(_.getLong(0)).toSet ==
+      again.filter(_.getBoolean(5)).map(_.getLong(0)).toSet)
+  }
+
   test("robots verdicts: a length tie between allow and disallow resolves to allow") {
     import spark.implicits._
     val robots = Seq(("t.com", "User-agent: *\nDisallow: /p/x\nAllow: /p/y\nAllow: /q/ab\nDisallow: /q/ab\n"))
