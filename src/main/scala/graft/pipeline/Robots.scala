@@ -297,6 +297,40 @@ object Robots {
       .orderBy("loc")
   }
 
+  /** The crawl-side funnel — [[Curate.corpusBuild]]'s twin for the
+    * DISCOVERY pipeline: discovered URLs → blocklisted registered
+    * domains out → robots.txt-disallowed out → politeness-capped
+    * admission. Per-URL flags are projections + the verdict aggregate;
+    * the only extra machinery is [[politenessAdmission]]'s bounded
+    * TopK over the eligible survivors (admission ranks AFTER the
+    * gates — a fetch slot is never spent on a URL robots forbids). */
+  def crawlFunnel(urls: DataFrame, robots: DataFrame,
+      blocklist: Seq[String] = Urls.DefaultBlocklist,
+      epochSeconds: Int = 30): DataFrame = {
+    val flags = graft.Materialize(urls
+      .join(verdicts(urls.select("doc_id", "host", "target"), robots)
+        .select(col("doc_id"), col("allowed")), Seq("doc_id")))
+    val eligible = flags.filter(!col("blocked") && col("allowed"))
+      .select("doc_id", "host")
+    val adm = politenessAdmission(eligible, robots, epochSeconds)
+      .select(col("doc_id"), col("admitted"))
+    val all = flags.join(adm, Seq("doc_id"), "left")
+      .withColumn("admitted", coalesce(col("admitted"), lit(false)))
+    val one = all.agg(
+      count(lit(1)).as("s1"),
+      sum(when(!col("blocked"), 1L).otherwise(0L)).as("s2"),
+      sum(when(!col("blocked") && col("allowed"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("admitted"), 1L).otherwise(0L)).as("s4"))
+    one.select(expr(
+        "stack(4, 1, 'discovered', s1, 2, 'domain', s2, 3, 'robots', s3, " +
+          "4, 'admitted', s4) AS (stage_idx, stage, n_urls)"),
+        col("s1").as("n_discovered"))
+      .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"),
+        col("n_urls"),
+        round(col("n_urls").cast("double") / col("n_discovered"), 6).as("retained_frac"))
+      .orderBy("stage_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "robots_verdict" -> ((s, d) => {
       val targets = plantedTargets(s, d)
@@ -307,6 +341,21 @@ object Robots {
             .when(col("host") === "spam-mill.com", lit(SpamRobots)))
         .filter(col("robots_txt").isNotNull)
       verdicts(targets, robots)
+    }),
+    // The crawl funnel end-to-end over the planted classes: the
+    // blocklisted domain dies at `domain`, robots kills the
+    // 1-prefix/3-suffix id slices, admission caps each host's epoch.
+    "crawl_funnel" -> ((s, d) => {
+      val cur = Urls.urlCurate(Urls.plantUrls(Tables(s, d).documents))
+      val urls = cur.select(col("doc_id"), col("host"), col("blocked"),
+        regexp_replace(col("url_canon"), "^[^/?#]*://[^/?]*", "").as("target"))
+      val robots = urls.select("host").distinct()
+        .withColumn("robots_txt",
+          when(col("host").startsWith("www."), lit(WwwRobots))
+            .when(col("host").startsWith("blog."), lit(BlogRobots))
+            .when(col("host") === "spam-mill.com", lit(SpamRobots)))
+        .filter(col("robots_txt").isNotNull)
+      crawlFunnel(urls, robots)
     }),
     // Politeness admission over the planted classes: graftbot's own
     // Crawl-delay (2 s — the otherbot group's 60 s decoy must NOT
@@ -393,6 +442,43 @@ object Robots {
         |    WHEN 2 THEN '/'
         |    ELSE NULL END AS matched_pattern
         |FROM d ORDER BY doc_id""".stripMargin,
+    // The funnel composes the robots ground truth, the blocklist, and
+    // the windowed admission rank over ELIGIBLE survivors only.
+    "crawl_funnel" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, source FROM documents),
+        |v AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'www.' || source || '.com'
+        |    WHEN 1 THEN 'blog.' || source || '.co.uk'
+        |    WHEN 2 THEN 'spam-mill.com'
+        |    ELSE 'cdn.' || source || '.net' END AS host,
+        |  doc_id % 4 = 2 AS blocked,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN id NOT LIKE '1%'
+        |    WHEN 1 THEN id NOT LIKE '%3'
+        |    WHEN 2 THEN false
+        |    ELSE true END AS allowed,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 15 WHEN 1 THEN 6 WHEN 2 THEN 30 ELSE 30 END AS BIGINT) AS cap,
+        |  md5(id) AS draw
+        | FROM d),
+        |e AS (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY host ORDER BY draw, doc_id) AS rn
+        |  FROM v WHERE NOT blocked AND allowed),
+        |a AS (SELECT doc_id FROM e WHERE rn <= 30 AND rn <= cap),
+        |c AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN NOT blocked THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN NOT blocked AND allowed THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS s4
+        |  FROM v)
+        |SELECT stage_idx, stage, n_urls,
+        |  ROUND(CAST(n_urls AS DOUBLE) / (SELECT s1 FROM c), 6) AS retained_frac FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'discovered' AS stage, s1 AS n_urls FROM c
+        |  UNION ALL SELECT 2, 'domain', s2 FROM c
+        |  UNION ALL SELECT 3, 'robots', s3 FROM c
+        |  UNION ALL SELECT 4, 'admitted', s4 FROM c)
+        |ORDER BY stage_idx""".stripMargin,
     // The oracle may window (the established convention): the bounded
     // TopK rank replays as a per-host ROW_NUMBER over the same
     // deterministic md5 draw; caps are the hand-derived per-class

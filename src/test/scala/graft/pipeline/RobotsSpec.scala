@@ -165,6 +165,20 @@ class RobotsSpec extends AnyFunSuite {
       again.filter(_.getBoolean(5)).map(_.getLong(0)).toSet)
   }
 
+  test("crawl funnel: every stage discriminates and the funnel is monotone") {
+    val out = Robots.queries("crawl_funnel")(spark, sf0001).collect()
+    assert(out.length == 4)
+    val byStage = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byStage("discovered") == 500)
+    assert(byStage("domain") == 375, "the blocklisted quarter dies at domain")
+    assert(byStage("robots") < byStage("domain") && byStage("robots") > 0,
+      s"robots must kill the planted id slices: $byStage")
+    assert(byStage("admitted") <= byStage("robots") && byStage("admitted") > 0)
+    val fracs = out.map(_.getDouble(3))
+    assert(fracs.head == 1.0 && fracs.zip(fracs.tail).forall { case (a, b) => b <= a },
+      "retained_frac is monotone non-increasing")
+  }
+
   test("robots verdicts: a length tie between allow and disallow resolves to allow") {
     import spark.implicits._
     val robots = Seq(("t.com", "User-agent: *\nDisallow: /p/x\nAllow: /p/y\nAllow: /q/ab\nDisallow: /q/ab\n"))
