@@ -292,6 +292,34 @@ object Curate {
       .orderBy("pos")
   }
 
+  /** Per-document PROVENANCE through the corpus funnel — the
+    * governance artifact behind [[corpusBuild]]'s aggregate counts:
+    * for EVERY ingested document, which gates it passed and its final
+    * disposition — the stage that killed it (`domain`, `quality`,
+    * `dedup`, `decontamination`) or the split it landed in
+    * (`train`/`val`/`test`). The "why was my document dropped" /
+    * dataset-card audit table a 100-TB build ships alongside the
+    * corpus; same one-pass [[stageFlags]] machinery, so the audit
+    * costs what the funnel costs. */
+  def provenance(docs: DataFrame,
+      minTokens: Long = 15, maxTokens: Long = 95): DataFrame = {
+    val (tTrain, tVal) = Select.splitThresholds()
+    stageFlags(docs, minTokens, maxTokens)
+      .select(col("doc_id"),
+        col("rd").as("domain_pass"),
+        col("r2").as("quality_pass"),
+        col("r3").as("dedup_keep"),
+        col("r4").as("decontaminated"),
+        when(!col("rd"), "domain")
+          .when(!col("r2"), "quality")
+          .when(!col("r3"), "dedup")
+          .when(!col("r4"), "decontamination")
+          .when(col("hk") < tTrain, "train")
+          .when(col("hk") < tVal, "val")
+          .otherwise("test").as("disposition"))
+      .orderBy("doc_id")
+  }
+
   /** The gopher_rules suffix plant applied to the corpus before the
     * funnel (the corpus itself contains no symbol walls or bullet
     * spam): doc_id % 11 ∈ {0, 1, 2} gain a symbol-wall / bullet-list /
@@ -310,6 +338,9 @@ object Curate {
       interleaveSources(Tables(s, d).documents)),
     "q81_quality_deciles" -> ((s, d) => qualityDeciles(Tables(s, d).documents)),
     "pipeline_funnel" -> ((s, d) => corpusBuild(Tables(s, d).documents)),
+    // The per-doc audit behind the funnel counts: disposition per
+    // ingested document (killing stage or landed split).
+    "pipeline_provenance" -> ((s, d) => provenance(Tables(s, d).documents)),
     // The production quality gate: token bounds AND the Gopher rule
     // battery, over the gopher-planted corpus.
     "pipeline_funnel_gopher" -> ((s, d) =>
@@ -336,6 +367,40 @@ object Curate {
          |    AS BIGINT) AS pos,
          |  doc_id, source, rank_in_source
          |FROM r ORDER BY pos""".stripMargin),
+    // The same per-doc flag CTE chain as pipeline_funnel's, ended with
+    // the per-document disposition instead of the conditional sums.
+    "pipeline_provenance" ->
+      ("""WITH sig AS (SELECT doc_id,
+         |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    md5(text) AS h, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk, text,
+         |    doc_id % 4 <> 2 AS rd
+         |  FROM documents),
+         |q AS (SELECT * FROM sig WHERE rd AND n_toks BETWEEN 15 AND 95),
+         |k AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1 AS is_keeper FROM q),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 7),
+         |       i -> array_to_string(t[i:i+7], ' ')))
+         |  ELSE [text] END) AS s FROM toks),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+         |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev USING (s)
+         |  WHERE sh.doc_id % 23 <> 0 GROUP BY sh.doc_id),
+         |r AS (SELECT sig.doc_id, sig.hk, sig.rd,
+         |    sig.rd AND sig.n_toks BETWEEN 15 AND 95 AS r2,
+         |    sig.rd AND (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE) AS r3,
+         |    sig.rd AND (sig.n_toks BETWEEN 15 AND 95) AND COALESCE(k.is_keeper, FALSE)
+         |      AND sig.doc_id % 23 <> 0 AND COALESCE(ov.n, 0) = 0 AS r4
+         |  FROM sig LEFT JOIN k USING (doc_id) LEFT JOIN ov USING (doc_id))
+         |SELECT doc_id, rd AS domain_pass, r2 AS quality_pass,
+         |  r3 AS dedup_keep, r4 AS decontaminated,
+         |  CASE WHEN NOT rd THEN 'domain'
+         |       WHEN NOT r2 THEN 'quality'
+         |       WHEN NOT r3 THEN 'dedup'
+         |       WHEN NOT r4 THEN 'decontamination'
+         |       WHEN hk < 'cccccccc' THEN 'train'
+         |       WHEN hk < 'e6666666' THEN 'val'
+         |       ELSE 'test' END AS disposition
+         |FROM r ORDER BY doc_id""".stripMargin),
     // The funnel's component CTEs are the q53/q19/q58/q85 oracle shapes
     // composed; counts via the same conditional sums. The stage-0
     // domain gate uses the URL plant's ground truth directly (the

@@ -888,6 +888,42 @@ object TextAnalysis {
     df.withColumn(out, trim(regexp_replace(decoded, "\\s+", " ")))
   }
 
+  /** The C4 cleaning battery (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning" §2.2) — the OTHER canonical rule set next to
+    * the Gopher battery ([[gopherRules]]): line-level retention (a line
+    * survives iff it ends in terminal punctuation, has ≥
+    * `minWordsPerLine` words, and does not mention javascript), then
+    * page-level gates over the kept text (≥ `minSentences` sentences,
+    * no "lorem ipsum", no '{'). Returns per-page counters, the kept
+    * text, and the verdict — line granularity is the line-as-sentence
+    * practical variant, sentences counted as terminal punctuation
+    * marks in the kept text.
+    *
+    * One zero-shuffle HOF projection per row — the split, the filter,
+    * and every counter ride the scan task (the gopher_rules shape). */
+  def c4Rules(docs: DataFrame, minWordsPerLine: Int = 5,
+      minSentences: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        split(col("text"), "\n").as("lines"))
+      .withColumn("kept", expr(
+        s"""filter(transform(lines, l -> trim(l)), t ->
+           |  right(t, 1) IN ('.', '!', '?', '"')
+           |  AND size(split(t, ' ')) >= $minWordsPerLine
+           |  AND NOT contains(lower(t), 'javascript'))""".stripMargin))
+      .withColumn("clean_text", concat_ws(" ", col("kept")))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept_lines"),
+        length(regexp_replace(col("clean_text"), "[^.!?]", ""))
+          .cast("long").as("n_sentences"),
+        col("text").contains("{").as("has_brace"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("clean_text"))
+      .withColumn("pass",
+        col("n_sentences") >= minSentences && !col("has_brace") && !col("has_lorem"))
+      .orderBy("doc_id")
+
   /** HTML metadata extraction — the page-level fields a crawl-curation
     * pipeline reads BEFORE stripping the page to text: title, meta
     * description, canonical link (the crawler-side dedup hint —
@@ -1209,6 +1245,30 @@ object TextAnalysis {
         lit("""</p></div><div class="footer"><a href="/p">Privacy</a> <a href="/t">Terms</a> legal</div>""")).as("html"))
       extractMainContent(wrapped)
     }),
+    // The C4 battery over a deterministic multi-line page plant (the
+    // corpus text is single-line and punctuation-free, so the page
+    // structure is synthesized identically in both engines): an intro
+    // sentence, the doc's first 8 tokens as a sentence (dropped for
+    // sub-5-token docs by the word rule), a punctuation-less nav
+    // fragment (always dropped), a javascript notice on %5==0
+    // (dropped), a lorem-ipsum line on %7==0 (KEPT as a line — C4
+    // kills the PAGE), a braced code line on %11==0 (page kill), and
+    // a closing sentence.
+    "c4_rules" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("This is the intro for doc "), id, lit(".\n"),
+        expr("concat_ws(' ', slice(split(text, ' '), 1, 8))"), lit(".\n"),
+        lit("click here"),
+        when(col("doc_id") % 5 === 0,
+          lit("\nPlease enable javascript to continue reading.")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nfunction() { return 1; }")).otherwise(lit("")),
+        lit("\nThe last sentence closes the page."))
+      c4Rules(Tables(s, d).documents.select(col("doc_id"), page.as("text")))
+    }),
     // Page-metadata extraction over a deterministic head plant: both
     // attribute orders exercised (name/content flips on doc_id parity),
     // description absent on %5==4, canonical absent on %5==3, entities
@@ -1428,6 +1488,32 @@ object TextAnalysis {
          |FROM j CROSS JOIN tt CROSS JOIN pt
          |WHERE cab >= 5
          |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin),
+    // The C4 plant's ground truth stated directly: which planted lines
+    // survive the line rules is hand-derived per doc class, and every
+    // kept line carries exactly one terminator (the corpus tokens are
+    // punctuation-free, verified at every SF by this very hash).
+    "c4_rules" ->
+      ("""WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+         |    string_split(text, ' ') AS toks, text FROM documents),
+         |v AS (SELECT doc_id,
+         |  CAST(4 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+         |         + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+         |         + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_lines,
+         |  CAST(2 + CASE WHEN len(toks) >= 5 THEN 1 ELSE 0 END
+         |         + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_kept_lines,
+         |  doc_id % 11 = 0 AS has_brace,
+         |  doc_id % 7 = 0 AS has_lorem,
+         |  'This is the intro for doc ' || id || '.'
+         |    || CASE WHEN len(toks) >= 5
+         |         THEN ' ' || array_to_string(toks[1:8], ' ') || '.' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor sit amet.' ELSE '' END
+         |    || ' The last sentence closes the page.' AS clean_text
+         | FROM d)
+         |SELECT doc_id, n_lines, n_kept_lines,
+         |  n_kept_lines AS n_sentences,
+         |  has_brace, has_lorem, clean_text,
+         |  n_kept_lines >= 3 AND NOT has_brace AND NOT has_lorem AS pass
+         |FROM v ORDER BY doc_id""".stripMargin),
     // The metadata plant's ground truth stated directly (the
     // warc_roundtrip convention): the extractor must land on the
     // planted values — both attribute orders, entity decode, and the

@@ -596,6 +596,52 @@ class PipelineSpec extends AnyFunSuite {
       out(3L).getAs[String]("page_lang") == "zh")
   }
 
+  test("provenance audit: one row per ingested doc; dispositions reconcile with the funnel") {
+    val prov = Curate.provenance(docs).collect()
+    assert(prov.length == 500, "every ingested doc gets an audit row")
+    val byDisp = prov.groupBy(_.getAs[String]("disposition")).view.mapValues(_.length).toMap
+    val funnel = Curate.queries("pipeline_funnel")(spark, sf0001).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // Stage-death counts are the funnel's consecutive deltas; the split
+    // trio partitions the decontaminated survivors.
+    assert(byDisp.getOrElse("domain", 0) == (funnel("ingest") - funnel("domain")).toInt)
+    assert(byDisp.getOrElse("quality", 0) == (funnel("domain") - funnel("quality")).toInt)
+    assert(byDisp.getOrElse("dedup", 0) == (funnel("quality") - funnel("dedup")).toInt)
+    assert(byDisp.getOrElse("decontamination", 0) ==
+      (funnel("dedup") - funnel("decontaminated")).toInt)
+    assert(byDisp.getOrElse("train", 0) == funnel("train").toInt)
+    assert(byDisp.getOrElse("train", 0) + byDisp.getOrElse("val", 0) +
+      byDisp.getOrElse("test", 0) == funnel("decontaminated").toInt)
+  }
+
+  test("c4 battery: line rules, page gates, and the lorem/brace page kills") {
+    import spark.implicits._
+    val d = Seq(
+      // Three proper sentences, one nav fragment -> pass.
+      1L -> "The first sentence is here.\nclick here\nA second one follows now!\nDoes a question also count?",
+      // Only two sentences -> fails the minimum.
+      2L -> "One good sentence is here.\nAnd the second one too.",
+      // javascript line dropped; page still passes on the other three.
+      3L -> "The first sentence is here.\nPlease enable JavaScript to continue here.\nA second one follows now.\nThe third sentence closes it.",
+      // lorem ipsum anywhere kills the page even though lines pass.
+      4L -> "The first sentence is here.\nlorem ipsum dolor sit amet.\nThe third sentence closes it.",
+      // a brace anywhere kills the page.
+      5L -> "The first sentence is here.\nA second one follows now.\nif (x) { return; }\nThe third sentence closes it."
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass") &&
+      out(1L).getAs[Long]("n_kept_lines") == 3L &&
+      out(1L).getAs[Long]("n_lines") == 4L, s"${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("pass") && out(2L).getAs[Long]("n_sentences") == 2L)
+    assert(out(3L).getAs[Boolean]("pass") &&
+      !out(3L).getAs[String]("clean_text").toLowerCase.contains("javascript"),
+      s"case-insensitive javascript line drop: ${out(3L)}")
+    assert(!out(4L).getAs[Boolean]("pass") && out(4L).getAs[Boolean]("has_lorem"))
+    assert(!out(5L).getAs[Boolean]("pass") && out(5L).getAs[Boolean]("has_brace") &&
+      out(5L).getAs[Long]("n_kept_lines") == 3L,
+      "the braced line fails the line rule AND kills the page")
+  }
+
   test("paragraph dedup on the corpus: every doc present, token mass conserved") {
     val out = Dedup.paragraphDedup(docs)
     assert(out.count() == 500)
