@@ -141,9 +141,12 @@ object Robots {
        |  END)""".stripMargin
   }
 
-  /** Per-URL fetch verdicts: `urls` carries (doc_id, host, target);
-    * `robots` carries (host, robots_txt) — hosts absent from `robots`
-    * default to allowed. Output: doc_id, host, target, allowed,
+  /** Per-URL fetch verdicts: `urls` carries (doc_id, host, target) —
+    * any ADDITIONAL columns ride through the verdict aggregate
+    * unchanged (first() per doc), so callers composing further gates
+    * never join back on doc_id for flags they already had. `robots`
+    * carries (host, robots_txt) — hosts absent from `robots` default
+    * to allowed. Output: doc_id, host, target, <extras>, allowed,
     * matched_pattern (null when no rule matched). */
   def verdicts(urls: DataFrame, robots: DataFrame,
       userAgent: String = "graftbot"): DataFrame = {
@@ -155,25 +158,27 @@ object Robots {
     val cand = urls.join(rules, Seq("host"), "left")
       .withColumn("specific", col("ua") === lit(uaLower))
       .withColumn("matched", expr(wildcardMatchSql("target", "pattern")))
-    // Winner per URL: longest pattern wins, Allow wins length ties
-    // (struct max on (length, allow, pattern) — map-side combinable).
-    // A host with a specific group ignores its `*` group entirely.
+    val carry = urls.columns.filterNot(_ == "doc_id")
+      .map(c => first(col(c)).as(c))
     val verdict = cand.groupBy("doc_id")
       .agg(
-        first(col("host")).as("host"),
-        first(col("target")).as("target"),
-        max(coalesce(col("specific"), lit(false))).as("has_specific"),
-        max(when(col("matched") && col("specific"),
-          struct(length(col("pattern")).as("len"),
-            col("allow").cast("int").as("allow"), col("pattern")))).as("best_spec"),
-        max(when(col("matched") && !col("specific"),
-          struct(length(col("pattern")).as("len"),
-            col("allow").cast("int").as("allow"), col("pattern")))).as("best_star"))
+        // Winner per URL: longest pattern wins, Allow wins length ties
+        // (struct max on (length, allow, pattern) — map-side
+        // combinable). A host with a specific group ignores its `*`
+        // group entirely.
+        (carry :+ max(coalesce(col("specific"), lit(false))).as("has_specific"))
+          ++ Seq(
+          max(when(col("matched") && col("specific"),
+            struct(length(col("pattern")).as("len"),
+              col("allow").cast("int").as("allow"), col("pattern")))).as("best_spec"),
+          max(when(col("matched") && !col("specific"),
+            struct(length(col("pattern")).as("len"),
+              col("allow").cast("int").as("allow"), col("pattern")))).as("best_star")): _*)
       .withColumn("win",
         when(col("has_specific"), col("best_spec")).otherwise(col("best_star")))
-      .select(col("doc_id"), col("host"), col("target"),
-        coalesce(col("win.allow") === 1, lit(true)).as("allowed"),
-        col("win.pattern").as("matched_pattern"))
+      .withColumn("allowed", coalesce(col("win.allow") === 1, lit(true)))
+      .withColumn("matched_pattern", col("win.pattern"))
+      .drop("has_specific", "best_spec", "best_star", "win")
     verdict.orderBy("doc_id")
   }
 
