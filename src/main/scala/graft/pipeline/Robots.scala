@@ -160,20 +160,19 @@ object Robots {
       .withColumn("matched", expr(wildcardMatchSql("target", "pattern")))
     val carry = urls.columns.filterNot(_ == "doc_id")
       .map(c => first(col(c)).as(c))
+    // Winner per URL: longest pattern wins, Allow wins length ties
+    // (struct max on (length, allow, pattern) — map-side combinable).
+    // A host with a specific group ignores its `*` group entirely.
+    val aggs: Seq[Column] =
+      (carry :+ max(coalesce(col("specific"), lit(false))).as("has_specific")) ++ Seq(
+        max(when(col("matched") && col("specific"),
+          struct(length(col("pattern")).as("len"),
+            col("allow").cast("int").as("allow"), col("pattern")))).as("best_spec"),
+        max(when(col("matched") && !col("specific"),
+          struct(length(col("pattern")).as("len"),
+            col("allow").cast("int").as("allow"), col("pattern")))).as("best_star"))
     val verdict = cand.groupBy("doc_id")
-      .agg(
-        // Winner per URL: longest pattern wins, Allow wins length ties
-        // (struct max on (length, allow, pattern) — map-side
-        // combinable). A host with a specific group ignores its `*`
-        // group entirely.
-        (carry :+ max(coalesce(col("specific"), lit(false))).as("has_specific"))
-          ++ Seq(
-          max(when(col("matched") && col("specific"),
-            struct(length(col("pattern")).as("len"),
-              col("allow").cast("int").as("allow"), col("pattern")))).as("best_spec"),
-          max(when(col("matched") && !col("specific"),
-            struct(length(col("pattern")).as("len"),
-              col("allow").cast("int").as("allow"), col("pattern")))).as("best_star")): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("win",
         when(col("has_specific"), col("best_spec")).otherwise(col("best_star")))
       .withColumn("allowed", coalesce(col("win.allow") === 1, lit(true)))
