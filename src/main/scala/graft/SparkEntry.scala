@@ -22,7 +22,8 @@ object SparkEntry {
       Dedup.queries ++ Clusters.queries ++ Curate.queries ++ Select.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
       Retrieval.queries ++ Classify.queries ++ Profile.queries ++
-      Urls.queries ++ pipeline.Robots.queries ++ sources.WarcSource.queries ++
+      Urls.queries ++ pipeline.Robots.queries ++ pipeline.Crawl.queries ++
+      sources.WarcSource.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         // D3-D6 gate state machine: golden-fixture replay to quiescence
         // (strict assertions in FeedStepSpec; SQL can't express the fixpoint).
@@ -43,5 +44,6 @@ object SparkEntry {
       Dedup.oracle ++ Clusters.oracle ++ Curate.oracle ++ Select.oracle ++
       TextAnalysis.oracle ++ Similarity.oracle ++ Retrieval.oracle ++
       Classify.oracle ++ Profile.oracle ++ Urls.oracle ++
-      pipeline.Robots.oracle ++ sources.WarcSource.oracle
+      pipeline.Robots.oracle ++ pipeline.Crawl.oracle ++
+      sources.WarcSource.oracle
 }

@@ -160,6 +160,22 @@ object PipelineStream {
     incremental(files.select(col("path"), col("content")), outDir, checkpoint)(
       ingestWarcBatch(_, frontierDir))
 
+  /** Streaming crawl gate — the FULL discovery chain
+    * ([[graft.pipeline.Crawl.gateBatch]]: record split → page metadata →
+    * canonical-link resolution → blocklist → robots → politeness →
+    * frontier) over a file-arrival stream of WARC blobs: each landed
+    * dump emits per-page verdict rows, and only pages that survived
+    * every gate probe (and grow) the persistent seen-URL frontier — a
+    * re-crawled page in a later dump lands flagged `is_duplicate`
+    * before any fetch budget is spent downstream. */
+  def crawlGate(files: DataFrame, robots: DataFrame, frontierDir: String,
+      outDir: String, checkpoint: String,
+      blocklist: Seq[String] = graft.pipeline.Urls.DefaultBlocklist,
+      epochSeconds: Int = 30, userAgent: String = "graftbot"): StreamingQuery =
+    incremental(files.select(col("path"), col("content")), outDir, checkpoint)(
+      graft.pipeline.Crawl.gateBatch(_, robots, frontierDir, blocklist,
+        epochSeconds, userAgent))
+
   /** The [[ingestWarc]] per-batch body, exposed for batch backfill over
     * the SAME frontier store (the indexBm25/appendBm25BatchOnce
     * convention). Doc ids are the engine-neutral 64-bit hash of

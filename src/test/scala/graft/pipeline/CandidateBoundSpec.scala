@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WIDTH.md watch item (q69_edit_distance, 5.6× at 10× width): the
+  * candidate join's volume is LINEAR in corpus size by construction,
+  * not merely observed. The df-cap bounds the pairs any one shingle can
+  * emit at C(df,2) with df ≤ maxDf, so
+  *
+  *   candidates ≤ Σ_kept C(df_s, 2) ≤ (Σ_kept df_s) · (maxDf − 1) / 2
+  *
+  * i.e. at most a CONSTANT multiple ((maxDf−1)/2) of the kept
+  * shingle-occurrence count, which is itself linear in corpus tokens.
+  * The super-3× wall-clock width ratio in WIDTH.md is candidate volume
+  * growing ~linearly on top of fixed overhead amortization — not a
+  * quadratic blow-up. This spec pins both halves so a future regression
+  * (a lost df-cap, a band that stops pruning) fails loudly:
+  *
+  *  1. the analytic bound holds on a corpus dense with near-duplicates;
+  *  2. under disjoint-vocabulary widening (W independent replicas — the
+  *     structure of W days of fresh data, same method as WidthBench),
+  *     measured candidates grow EXACTLY W×: replicas share no shingles,
+  *     so each contributes the base count and nothing cross-replica.
+  */
+class CandidateBoundSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val shingleSize = 5
+  private val maxDf = 50
+  private val lenBand = 60
+
+  /** 60 templates × 2 near-identical docs (one token swapped mid-doc):
+    * every pair shares most of its 5-token shingles, so the candidate
+    * join has real work; plus one 55-doc boilerplate clique to exercise
+    * the df-cap (55 > maxDf ⇒ its shingles are dropped entirely). */
+  private def corpus: DataFrame = {
+    val pairs = (0 until 60).flatMap { t =>
+      val tokens = (0 until 30).map(k => s"w${t}_$k")
+      val variant = tokens.updated(15, s"x${t}_alt")
+      Seq((t * 2L, tokens.mkString(" ")), (t * 2L + 1, variant.mkString(" ")))
+    }
+    val clique = (0 until 55).map { i =>
+      (1000L + i, (0 until 30).map(k => s"boiler_$k").mkString(" "))
+    }
+    (pairs ++ clique).toDF("doc_id", "text")
+  }
+
+  private def widen(base: DataFrame, width: Int): DataFrame =
+    (0 until width).map { i =>
+      if (i == 0) base
+      else base.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')")
+          .as("text"))
+    }.reduce(_.unionByName(_))
+
+  private def cands(d: DataFrame): Long =
+    Clusters.sharedShingleEdges(d, shingleSize, maxDf,
+      lenBandWidth = lenBand, hashedKeys = true).count()
+
+  test("analytic bound: candidates <= sum C(df,2) <= kept-entries * (maxDf-1)/2") {
+    val docs = corpus
+    val measured = cands(docs)
+    assert(measured > 0, "vacuous corpus: no candidates at all")
+
+    // Recompute the df table exactly as sharedShingleEdges keys it.
+    val df = docs
+      .select(col("doc_id"), explode(Dedup.shingles(shingleSize)).as("s0"))
+      .withColumn("s", xxhash64(col("s0")))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val r0 = df.agg(
+      sum(expr("df * (df - 1) / 2")).cast("long").as("pair_bound"),
+      sum(col("df")).cast("long").as("kept_entries")).head()
+    val pairBound = r0.getLong(0)
+    val keptEntries = r0.getLong(1)
+
+    assert(measured <= pairBound,
+      s"candidates $measured exceed the per-shingle pair bound $pairBound")
+    assert(pairBound <= keptEntries * (maxDf - 1) / 2,
+      s"pair bound $pairBound exceeds the linear envelope " +
+        s"${keptEntries * (maxDf - 1) / 2} — df-cap not applied?")
+
+    // The 55-doc boilerplate clique must contribute nothing: its shingles
+    // have df = 55 > maxDf. Without the cap it alone would add
+    // C(55,2) = 1485 pairs; with it, no candidate touches doc_id >= 1000.
+    val cliqueTouching = Clusters.sharedShingleEdges(docs, shingleSize, maxDf,
+        lenBandWidth = lenBand, hashedKeys = true)
+      .filter(col("src") >= 1000L || col("dst") >= 1000L).count()
+    assert(cliqueTouching == 0L,
+      s"df-cap leak: $cliqueTouching candidate pairs from the boilerplate clique")
+  }
+
+  test("disjoint-vocab widening grows candidates exactly W x (linear, no cross terms)") {
+    val base = corpus
+    val c1 = cands(widen(base, 1))
+    val c4 = cands(widen(base, 4))
+    assert(c1 > 0)
+    assert(c4 == 4 * c1,
+      s"width-4 candidates $c4 != 4 x base $c1 — widening is no longer " +
+        "replica-disjoint or the candidate join picked up cross-replica pairs")
+  }
+}

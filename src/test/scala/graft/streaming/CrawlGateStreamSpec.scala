@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VERDICT r14 #6: the crawl-stack COMPOSITION end to end — streamed
+  * WARC files driven through the full gate chain (record split → page
+  * metadata → canonical resolution → blocklist → robots → politeness →
+  * persistent frontier) with hand-derived stage counts per batch. Each
+  * stage has its own spec; this pins that the composition routes every
+  * page through every gate in order, and that the frontier store built
+  * by batch 0 flags re-crawls arriving in batch 1. */
+class CrawlGateStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def rec(uri: String, body: String): String = {
+    val n = body.getBytes("UTF-8").length
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: $n\r\n\r\n$body\r\n\r\n"
+  }
+  private def gz(recs: String*): Array[Byte] = recs.toArray.flatMap { r =>
+    val o = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(o)
+    g.write(r.getBytes("UTF-8")); g.finish()
+    o.toByteArray
+  }
+
+  private def page(title: String, lang: String = "en",
+      canonical: String = null): String = {
+    val link = Option(canonical)
+      .map(c => s"""<link rel="canonical" href="$c">""").getOrElse("")
+    s"""<html lang="$lang"><head><title>$title</title>$link</head>""" +
+      "<body><p>crawl spec</p></body></html>"
+  }
+
+  test("streamed WARC dumps through the full gate chain, frontier persists across batches") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val (inDir, store, out, ckpt) =
+      (tmp("cgin"), tmp("cgstore"), tmp("cgout"), tmp("cgckpt"))
+    def drop(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(inDir, name), bytes)
+
+    // a.ex.com: graftbot Disallow /private/, Crawl-delay 10 -> cap
+    // floor(30/10) = 3 per epoch. c.ex.org: no robots at all (everything
+    // allowed, default 1 s delay -> cap 30). bad.com: blocklisted.
+    val robots = Seq(("a.ex.com",
+      "User-agent: graftbot\nDisallow: /private/\nCrawl-delay: 10\n"))
+      .toDF("host", "robots_txt")
+
+    // Day 1 — 9 records, hand-derived funnel:
+    //   blocked          1  (spam.bad.com — registered domain bad.com)
+    //   robots-denied    1  (a.ex.com/private/2)
+    //   eligible         7  (4 on a.ex.com + 3 on c.ex.org)
+    //   admitted         6  (a.ex.com capped at 3 of 4; c.ex.org all 3)
+    //   frontier dups    1  (c.ex.org/dup/10's canonical collapses onto
+    //                        /page/8 — one of the pair keeps, one flags)
+    //   fetch_ok         5
+    drop("day1.warc.gz", gz(
+      rec("http://a.ex.com/public/1", page("Pub One")),
+      rec("http://a.ex.com/private/2", page("Priv Two")),
+      rec("http://a.ex.com/public/4", page("Pub Four")),
+      rec("http://a.ex.com/public/5", page("Pub Five")),
+      rec("http://a.ex.com/public/6", page("Pub Six")),
+      rec("http://spam.bad.com/x/7", page("Spam Seven")),
+      rec("http://c.ex.org/page/8", page("Page Eight", lang = "de")),
+      rec("http://c.ex.org/page/9", page("Page Nine")),
+      rec("http://c.ex.org/dup/10",
+        page("Dup Ten", canonical = "http://c.ex.org/page/8"))))
+
+    val files = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", "*.warc.gz").load(inDir)
+    val q = PipelineStream.crawlGate(files, robots, store, out, ckpt,
+      blocklist = Seq("bad.com"))
+    try {
+      q.processAllAvailable()
+      // Day 2 arrives mid-stream: a re-SPELLED re-crawl of page 9 (must
+      // flag against the day-1 frontier) plus one genuinely new page.
+      drop("day2.warc.gz", gz(
+        rec("HTTP://C.EX.ORG:80/page/9?utm_source=x#frag", page("Nine Again")),
+        rec("http://c.ex.org/page/11", page("Page Eleven"))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val all = spark.read.parquet(out).collect()
+    val byUrl = all.map(r => r.getAs[String]("fetch_url") -> r).toMap
+    assert(all.length == 11, s"11 response records total, got ${all.length}")
+
+    // --- Day 1 stage counts, each hand-derived above.
+    val d1 = all.filter(_.getAs[Int]("batch") == 0)
+    assert(d1.length == 9)
+    assert(d1.count(_.getAs[Boolean]("blocked")) == 1)
+    assert(d1.count(r => !r.getAs[Boolean]("allowed")) == 1)
+    assert(d1.count(r => !r.getAs[Boolean]("blocked") &&
+      r.getAs[Boolean]("allowed")) == 7)
+    assert(d1.count(_.getAs[Boolean]("admitted")) == 6,
+      "a.ex.com must admit exactly cap=3 of its 4 eligible pages")
+    assert(d1.count(_.getAs[Boolean]("is_duplicate")) == 1)
+    assert(d1.count(_.getAs[Boolean]("fetch_ok")) == 5)
+
+    // Gate attribution row by row.
+    val spam = byUrl("http://spam.bad.com/x/7")
+    assert(spam.getAs[Boolean]("blocked") && !spam.getAs[Boolean]("admitted")
+      && !spam.getAs[Boolean]("fetch_ok"))
+    val priv = byUrl("http://a.ex.com/private/2")
+    assert(!priv.getAs[Boolean]("blocked") && !priv.getAs[Boolean]("allowed")
+      && !priv.getAs[Boolean]("admitted"), "robots denial precedes admission")
+    // Metadata extraction rode the chain: title + lang on a kept page.
+    val eight = byUrl("http://c.ex.org/page/8")
+    assert(eight.getAs[String]("title") == "Page Eight"
+      && eight.getAs[String]("page_lang") == "de")
+    // Canonical resolution: the dup pair shares url_canon; exactly one
+    // of the two flags, and its dup_of names the kept one.
+    val ten = byUrl("http://c.ex.org/dup/10")
+    assert(ten.getAs[String]("url_canon") == "http://c.ex.org/page/8")
+    val pair = Seq(eight, ten)
+    val (dups, keeps) = pair.partition(_.getAs[Boolean]("is_duplicate"))
+    assert(dups.length == 1 && keeps.length == 1)
+    assert(dups.head.getAs[Long]("dup_of") == keeps.head.getAs[Long]("doc_id"))
+
+    // --- Day 2: frontier state SURVIVED the batch boundary.
+    val d2 = all.filter(_.getAs[Int]("batch") == 1)
+    assert(d2.length == 2)
+    val nine2 = byUrl("HTTP://C.EX.ORG:80/page/9?utm_source=x#frag")
+    assert(nine2.getAs[String]("url_canon") == "http://c.ex.org/page/9",
+      "re-spelling must canonicalize onto the day-1 form")
+    assert(nine2.getAs[Boolean]("admitted") && nine2.getAs[Boolean]("is_duplicate")
+      && !nine2.getAs[Boolean]("fetch_ok"), "day-1 frontier must flag the re-crawl")
+    assert(nine2.getAs[Long]("dup_of") ==
+      byUrl("http://c.ex.org/page/9").getAs[Long]("doc_id"))
+    val eleven = byUrl("http://c.ex.org/page/11")
+    assert(eleven.getAs[Boolean]("fetch_ok"))
+  }
+}
