@@ -223,16 +223,23 @@ object Bench {
         // the selection gates.
         if (name == "nucleus_select" && !plan.contains("BroadcastHashJoin"))
           violations += s"$name:selection-gates-not-broadcast"
-        // The funnel's opt-in quality gates (gopher battery, fixed-LR
-        // score) are PROJECTION columns on the base scan — all three
-        // variants share one plan shape: exactly the keep-first +
-        // decontamination exchanges (3), zero SortMergeJoin. A fourth
-        // exchange or an SMJ means a gate regressed to a doc_id join
-        // back against a second corpus pass.
+        // The funnel's gopher gate is a PROJECTION column on the base
+        // scan (per-row arithmetic, cheap in place); the fixed-LR gate
+        // is DELIBERATELY the exploded-aggregate + doc_id join-back:
+        // Spark evaluates HOF lambda bodies interpreted, and the inline
+        // projection form measured 18.4 s vs the exploded form's 2.6 s
+        // at sf0.1 (r15→r16) — the one extra exchange is (doc_id,
+        // partial-sum) longs, noise next to 10–25× interpreted CPU at
+        // 100×. So: base/gopher keep the keep-first + decontamination
+        // shape (3 hash exchanges), lr gets exactly one more (the
+        // bigram partial sum); zero SortMergeJoin anywhere — the gate
+        // table must come back broadcast, never a corpus-side SMJ.
         if (Set("pipeline_funnel", "pipeline_funnel_gopher",
-              "pipeline_funnel_lr").contains(name) &&
-            ("Exchange hashpartitioning".r.findAllIn(fullPlan).length > 3 ||
-              fullPlan.contains("SortMergeJoin")))
+              "pipeline_funnel_lr").contains(name) && {
+            val cap = if (name == "pipeline_funnel_lr") 4 else 3
+            "Exchange hashpartitioning".r.findAllIn(fullPlan).length > cap ||
+              fullPlan.contains("SortMergeJoin")
+          })
           violations += s"$name:quality-gate-regressed-to-join"
       } catch { case _: Throwable => () } // surfaces below as a run error
     }

@@ -213,6 +213,35 @@ object Classify {
     * the decision compares the rounded value, matching the oracle's
     * round-before-threshold convention. Bigram-less documents score
     * σ(0) = 0.5, which fails the strict > 0.5 gate. */
+  /** The fixed-weight LR decision as a PER-DOC TABLE (doc_id, lq) via
+    * the exploded-aggregate form — [[qualityScoreFixed]]'s arithmetic
+    * with only the boolean decision kept. Same semantics as
+    * [[fixedScorePass]], radically different execution: explode +
+    * hash-aggregate stays inside whole-stage codegen, while Spark
+    * evaluates higher-order-function lambdas INTERPRETED, one boxed
+    * element at a time — measured ~10–25× slower per pass at sf0.1
+    * (pipeline_funnel_lr 18.4 s HOF vs the exploded twin's 0.7 s,
+    * round-15 bench). The map-side partial sum shuffles one
+    * (doc_id, partial) row per doc per task — bytes that are noise next
+    * to the interpreted CPU at 100× — so [[Curate.corpusBuild]]'s LR
+    * stage joins this table back on doc_id instead of inlining the HOF.
+    * Documents without a bigram have no row here: they score σ(0) = 0.5,
+    * which fails the strict > 0.5 gate — callers left-join and coalesce
+    * the miss to false. */
+  private[pipeline] def fixedPassByDoc(docs: DataFrame): DataFrame =
+    docs // needs only (doc_id, text) — not [[bigramBuckets]]' lang
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))"))
+        .as("bgram"))
+      .select(col("doc_id"),
+        pmod(PortableHash.hash64(col("bgram")), lit(Buckets.toLong)).as("f"))
+      .groupBy("doc_id")
+      .agg((sum(fixedWeight(col("f"))) / count(lit(1))).as("zf"))
+      .select(col("doc_id"),
+        (round(sigmoid(col("zf")), 4) > 0.5).as("lq"))
+
   private[pipeline] def fixedScorePass(text: Column): Column = {
     val toks = split(text, " ")
     val zf = when(size(toks) >= 2,

@@ -40,11 +40,16 @@ object Crawl {
     *     the persistent seen-URL store; re-crawls and re-spellings
     *     flag `is_duplicate` (dup_of = the kept first occurrence).
     *
-    * Output: one row per response page — (doc_id, fetch_url, url_canon,
-    * host, title, page_lang, blocked, allowed, admitted, is_duplicate,
-    * dup_of, fetch_ok) with fetch_ok = passed every gate; fetch_url is
-    * the as-crawled spelling (canonical resolution can collapse several
-    * fetches onto one url_canon).
+    * Output: one row per response page, UNORDERED (a total order over
+    * every page verdict is a full sort at scale — callers wanting the
+    * oracle's doc_id order compose their own orderBy) — (doc_id,
+    * fetch_url, url_canon, host, title, page_lang, blocked, allowed,
+    * admitted, is_duplicate, dup_of, fetch_ok) with fetch_ok = passed
+    * every gate, where a page re-flagged as a duplicate OF ITSELF (a
+    * crash-replayed keeper) still counts as ok; fetch_url is the
+    * as-crawled spelling (canonical resolution can collapse several
+    * fetches onto one url_canon). host is the FETCH host — the one
+    * politeness budgets and robots verdicts apply to.
     *
     * `docIdOf` defaults to the engine-neutral hash of (file, record
     * index) — stable across replays of the same dump (the
@@ -65,17 +70,35 @@ object Crawl {
     // per-row cost — recomputing it doubles the batch.
     val pages = graft.Materialize(recs.select(id.as("doc_id"),
       col("target_uri").as("fetch_url"), col("payload").cast("string").as("html")))
+    // The fetch spelling and the page-declared canonical are DIFFERENT
+    // trust domains: the crawler spends its fetch slot on fetch_url, so
+    // robots and politeness gate the canonicalized FETCH URL (host +
+    // path as fetched, tracking params stripped), while url_canon — the
+    // dedup identity — resolves the canonical link. The canonical href
+    // is attacker-controlled page content; a page served from a
+    // blocklisted host that declares a canonical on a clean host must
+    // stay blocked, and a clean page declaring a canonical on a
+    // blocklisted host is treated as that host's content — the
+    // blocklist verdict is the OR over BOTH registered domains.
     val flags0 = graft.Materialize(pages
       .join(TextAnalysis.extractHtmlMeta(pages)
         .select("doc_id", "title", "canonical", "page_lang"), Seq("doc_id"))
+      .withColumn("fetch_canon", CanonicalizeUrl.url(spark, col("fetch_url")))
       .withColumn("url_canon",
         CanonicalizeUrl.url(spark, coalesce(col("canonical"), col("fetch_url"))))
-      .withColumn("host", Urls.hostOf(col("url_canon")))
+      .withColumn("host", Urls.hostOf(col("fetch_canon")))
       .withColumn("target",
-        regexp_replace(col("url_canon"), "^[^/?#]*://[^/?]*", ""))
+        regexp_replace(col("fetch_canon"), "^[^/?#]*://[^/?]*", ""))
+      // When no canonical link is present url_canon IS the fetch
+      // spelling, so the canonical-side PSL chain (the expensive
+      // registered-domain when-tree) only evaluates on the minority of
+      // pages that actually declare one.
       .withColumn("blocked",
-        Urls.registeredDomain(col("host")).isin(blocklist: _*))
-      .drop("html"))
+        Urls.registeredDomain(col("host")).isin(blocklist: _*) ||
+          (col("canonical").isNotNull &&
+            Urls.registeredDomain(Urls.hostOf(col("url_canon")))
+              .isin(blocklist: _*)))
+      .drop("html", "fetch_canon"))
     graft.Materialize.release(pages)
     val flags = graft.Materialize(flags0
       .join(Robots.verdicts(flags0.select("doc_id", "host", "target"),
@@ -95,15 +118,21 @@ object Crawl {
       admFlags.filter(col("admitted"))
         .select(col("doc_id"), col("url_canon").as("text")),
       frontierDir)
+    // fetch_ok carves out the replayed-keeper case: on a crash-replayed
+    // micro-batch, [[Dedup.incrementalExact]] re-flags the batch's own
+    // keepers as duplicates-of-SELF (store hit with store_doc_id = the
+    // page's own id), and a consumer reading only fetch_ok must not
+    // silently lose genuinely-novel pages — exactly-once EFFECTIVE
+    // semantics (the [[graft.streaming.PipelineStream]] replay contract).
     val out = graft.Materialize(admFlags
       .join(frontier.select("doc_id", "is_duplicate", "dup_of"),
         Seq("doc_id"), "left")
       .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
       .withColumn("fetch_ok",
-        !col("blocked") && col("allowed") && col("admitted") && !col("is_duplicate"))
+        !col("blocked") && col("allowed") && col("admitted") &&
+          (!col("is_duplicate") || col("dup_of") === col("doc_id")))
       .select("doc_id", "fetch_url", "url_canon", "host", "title", "page_lang",
-        "blocked", "allowed", "admitted", "is_duplicate", "dup_of", "fetch_ok")
-      .orderBy("doc_id"))
+        "blocked", "allowed", "admitted", "is_duplicate", "dup_of", "fetch_ok"))
     graft.Materialize.release(admFlags)
     graft.Materialize.release(frontier)
     out
@@ -167,6 +196,7 @@ object Crawl {
       gateBatch(files, robots, frontier,
         docIdOf = Some(regexp_extract(col("target_uri"), "/([0-9]+)\\?", 1)
           .cast("long")))
+        .orderBy("doc_id") // the oracle's total-order convention, NOT the API's
     })
   )
 

@@ -140,22 +140,37 @@ object Curate {
       md5(col("text")).as("h"),
       substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"),
       (!blockedHost).as("rd"))
-    // Opt-in quality gates beyond the token bounds, each folded into the
-    // SAME scan as ONE projection column — never a doc_id join back to a
-    // second pass over the corpus (two avoidable full-corpus exchanges
-    // at 100× for booleans computable in place on the row):
+    // Opt-in quality gates beyond the token bounds:
     //  - `gq` — the Gopher rule battery's verdict
     //    ([[TextAnalysis.gopherRules]] semantics, inlined via
-    //    [[TextAnalysis.withGopherPass]]);
-    //  - `lq` — the fixed-weight LR quality decision
-    //    ([[Classify.qualityScoreFixed]]'s arithmetic, inlined via
-    //    [[Classify.fixedScorePass]] — the persisted-classifier gate).
+    //    [[TextAnalysis.withGopherPass]]) — a projection column on the
+    //    same scan: the battery is per-row arithmetic over the token
+    //    array, cheap enough to compute in place;
+    //  - `lq` — the fixed-weight LR quality decision, joined back on
+    //    doc_id from [[Classify.fixedPassByDoc]]'s exploded-aggregate
+    //    table. This one is deliberately NOT a projection: the inline
+    //    HOF form ([[Classify.fixedScorePass]]) evaluates interpreted
+    //    (Spark never codegens lambda bodies) at ~10–25× the exploded
+    //    form's CPU — the r15 bench measured 18.4 s vs 0.7 s at sf0.1 —
+    //    and the join's shuffle is one (doc_id, boolean) row per doc.
+    //
+    // `withSig` is MATERIALIZED: it feeds both the keep-first aggregate
+    // (via `quality`) and the final flag projection, and without the
+    // lineage cut CollapseProject inlines the gate expressions into both
+    // consumers — the whole gate battery runs ≥2× over the corpus (the
+    // r15 gopher-funnel 2.1× regression). No release: the caller
+    // consumes the lazy result exactly once, and the checkpointed
+    // blocks (a handful of booleans per doc) are reclaimed with the
+    // dataset by the context cleaner.
     val withGq =
       if (gopherQuality) TextAnalysis.withGopherPass(base, "gq")
       else base.withColumn("gq", lit(true))
-    val withSig = (if (lrQuality)
-        withGq.withColumn("lq", Classify.fixedScorePass(col("text")))
-      else withGq.withColumn("lq", lit(true))).drop("text")
+    val withLq =
+      if (lrQuality)
+        withGq.join(Classify.fixedPassByDoc(docs), Seq("doc_id"), "left")
+          .withColumn("lq", coalesce(col("lq"), lit(false)))
+      else withGq.withColumn("lq", lit(true))
+    val withSig = graft.Materialize(withLq.drop("text"))
     val quality = withSig.filter(col("rd") && col("gq") && col("lq") &&
       col("n_toks") >= minTokens && col("n_toks") <= maxTokens)
     // Keep-first among DOMAIN+QUALITY survivors (the aggregate, q19's

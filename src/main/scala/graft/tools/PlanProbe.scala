@@ -5,13 +5,23 @@ object PlanProbe {
     val spark = graft.GraftSession.local(16, "planprobe")
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q58_decontaminate", "q59_strat_sample", "q62_pack_sequences",
-        "q63_chunk_docs", "q64_unigram_logprob", "q65_shard_assign",
-        "q66_resample", "q67_regression", "q60_quota_topk",
-        "dedup_ngram_jaccard", "pq_codes", "knn_pq_adc")) {
-      val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
-      def n(s: String) = s.r.findAllIn(plan).length
-      println(s"[probe] $q: hashEx=${n("Exchange hashpartitioning")} rangeEx=${n("Exchange rangepartitioning")} singleEx=${n("Exchange SinglePartition")} bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} cart=${n("CartesianProduct")} bnlj=${n("BroadcastNestedLoopJoin")}")
+    val keys = if (args.nonEmpty) args.toSeq
+      else Seq("pipeline_funnel", "pipeline_funnel_gopher",
+        "pipeline_funnel_lr", "crawl_gate")
+    for (q <- keys) {
+      graft.Materialize.startPlanRecording()
+      val plan = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val fullPlan =
+        (plan +: graft.Materialize.recentPlans).mkString("\n=== materialized ===\n")
+      graft.Materialize.stopPlanRecording()
+      def n(s: String) = s.r.findAllIn(fullPlan).length
+      println(s"[probe] $q: hashEx=${n("Exchange hashpartitioning")} " +
+        s"rangeEx=${n("Exchange rangepartitioning")} " +
+        s"singleEx=${n("Exchange SinglePartition")} " +
+        s"bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
+        s"cart=${n("CartesianProduct")} bnlj=${n("BroadcastNestedLoopJoin")} " +
+        s"window=${n("Window")}")
     }
     spark.stop()
   }

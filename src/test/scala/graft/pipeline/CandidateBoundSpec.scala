@@ -95,6 +95,13 @@ class CandidateBoundSpec extends AnyFunSuite {
       s"df-cap leak: $cliqueTouching candidate pairs from the boilerplate clique")
   }
 
+  // NOTE (ADVICE r15): the exact W× equality relies on the widening
+  // suffix `_$i` being exactly 2 chars per token for i in 1..9 — a
+  // translation-invariant length shift of one whole lenBand bucket, so
+  // banding is preserved replica-for-replica. At W >= 11 the `_10`
+  // suffix shifts lengths by 1.5 buckets and pairs straddling a bucket
+  // boundary can change banding: keep W <= 10 here, or derive lenBand
+  // from the suffix length before raising it.
   test("disjoint-vocab widening grows candidates exactly W x (linear, no cross terms)") {
     val base = corpus
     val c1 = cands(widen(base, 1))

@@ -240,6 +240,14 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(viaAgg == viaFold,
       s"decisions diverge on ${viaAgg.keySet.filter(k => viaAgg(k) != viaFold(k))}")
+    // The funnel's join-back table (the codegen'd form the LR gate
+    // actually runs) must agree doc-for-doc too; docs without a bigram
+    // have no row (callers coalesce the miss to false = σ(0) fails).
+    val viaDoc = Classify.fixedPassByDoc(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val merged = viaAgg.keySet.map(k => k -> viaDoc.getOrElse(k, false)).toMap
+    assert(viaAgg == merged,
+      s"join-back diverges on ${viaAgg.keySet.filter(k => viaAgg(k) != merged(k))}")
   }
 
   test("corpus-build funnel on the corpus: single aggregate, fractions consistent") {

@@ -135,4 +135,56 @@ class CrawlGateStreamSpec extends AnyFunSuite {
     val eleven = byUrl("http://c.ex.org/page/11")
     assert(eleven.getAs[Boolean]("fetch_ok"))
   }
+
+  /** ADVICE r15: the canonical href is attacker-controlled page content
+    * — every admission gate must judge the FETCH spelling, with the
+    * blocklist OR-ing in the canonical's domain; and a crash-replayed
+    * batch must not lose its own keepers through the frontier's
+    * duplicate-of-self re-flag. */
+  test("off-host canonicals cannot launder gates; replayed keepers stay fetch_ok") {
+    import spark.implicits._
+    val store = tmp("cgstore2")
+    val warc = gz(
+      // Served from a BLOCKLISTED host, declares a canonical on a clean
+      // one: the clean canonical must not launder the block.
+      rec("http://spam.bad.com/a/1",
+        page("Laundered", canonical = "http://c.ex.org/clean/1")),
+      // Served from a clean host, declares a canonical on a blocklisted
+      // one: treated as that host's content — blocked.
+      rec("http://c.ex.org/b/2",
+        page("Proxy Spam", canonical = "http://spam.bad.com/e/2")),
+      // Served from a robots-DISALLOWED path, declares a canonical on an
+      // allowed one: robots judges the fetch path, not the claim.
+      rec("http://a.ex.com/private/3",
+        page("Sneaky", canonical = "http://a.ex.com/public/3")),
+      // Control: clean, allowed, novel.
+      rec("http://c.ex.org/page/4", page("Fine Four")))
+    val files = Seq(("batch.warc.gz", warc)).toDF("path", "content")
+    val robots = Seq(("a.ex.com",
+      "User-agent: graftbot\nDisallow: /private/\n")).toDF("host", "robots_txt")
+
+    def run() = graft.pipeline.Crawl
+      .gateBatch(files, robots, store, blocklist = Seq("bad.com"))
+      .collect().map(r => r.getAs[String]("fetch_url") -> r).toMap
+    val first = run()
+    assert(first("http://spam.bad.com/a/1").getAs[Boolean]("blocked"),
+      "a clean canonical must not launder a blocklisted fetch host")
+    assert(first("http://c.ex.org/b/2").getAs[Boolean]("blocked"),
+      "a blocklisted canonical blocks a clean fetch host")
+    val sneaky = first("http://a.ex.com/private/3")
+    assert(!sneaky.getAs[Boolean]("blocked") && !sneaky.getAs[Boolean]("allowed"),
+      "robots must judge the fetch path, not the declared canonical")
+    val fine = first("http://c.ex.org/page/4")
+    assert(fine.getAs[Boolean]("fetch_ok") && !fine.getAs[Boolean]("is_duplicate"))
+
+    // Replay the SAME batch against the now-populated frontier: the
+    // keeper re-flags as a duplicate OF ITSELF, and fetch_ok must hold
+    // (exactly-once effective semantics for crash-replayed micro-batches).
+    val second = run()
+    val fine2 = second("http://c.ex.org/page/4")
+    assert(fine2.getAs[Boolean]("is_duplicate") &&
+      fine2.getAs[Long]("dup_of") == fine2.getAs[Long]("doc_id"))
+    assert(fine2.getAs[Boolean]("fetch_ok"),
+      "a replayed keeper (dup_of = self) must stay fetch_ok")
+  }
 }
