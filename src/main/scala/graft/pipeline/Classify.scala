@@ -228,7 +228,7 @@ object Classify {
     * Documents without a bigram have no row here: they score σ(0) = 0.5,
     * which fails the strict > 0.5 gate — callers left-join and coalesce
     * the miss to false. */
-  private[pipeline] def fixedPassByDoc(docs: DataFrame): DataFrame =
+  private[graft] def fixedPassByDoc(docs: DataFrame): DataFrame =
     docs // needs only (doc_id, text) — not [[bigramBuckets]]' lang
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -242,7 +242,7 @@ object Classify {
       .select(col("doc_id"),
         (round(sigmoid(col("zf")), 4) > 0.5).as("lq"))
 
-  private[pipeline] def fixedScorePass(text: Column): Column = {
+  private[graft] def fixedScorePass(text: Column): Column = {
     val toks = split(text, " ")
     val zf = when(size(toks) >= 2,
       aggregate(

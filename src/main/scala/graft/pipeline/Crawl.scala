@@ -147,7 +147,7 @@ object Crawl {
     * canonical link that collapses same-source pages onto one of five
     * shared canonical targets, so the frontier sees real in-batch
     * duplicates that only exist AFTER canonical-link resolution. */
-  private[pipeline] def buildGateWarc(docs: DataFrame): DataFrame = {
+  private[graft] def buildGateWarc(docs: DataFrame): DataFrame = {
     val planted = Urls.plantUrls(docs)
     val id = col("doc_id").cast("string")
     val canonLink = when(col("doc_id") % 12 === 3,

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.{GraftSession, Tables}
 import graft.operators.RelationalQueries
-import graft.pipeline.{Classify, Clusters, Curate, Dedup, Profile, Retrieval, Robots, Select, Similarity, TextAnalysis, Urls}
+import graft.pipeline.{Classify, Clusters, Crawl, Curate, Dedup, Profile, Retrieval, Robots, Select, Similarity, TextAnalysis, Urls}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -155,6 +155,34 @@ object WidthBench {
         d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 =!= 1), "source")),
       "profile_skew"        -> ((d, _, _) => Profile.skewReport(d, "source")),
       "pipeline_funnel"     -> ((d, _, _) => Curate.corpusBuild(d)),
+      "pipeline_funnel_lr"  -> ((d, _, _) => Curate.corpusBuild(d, lrQuality = true)),
+      // The r15 verdict's honest HOF-vs-exploded comparison: identical
+      // arithmetic (hashed bigrams → fixed weights → mean → sigmoid),
+      // two execution forms. Spark interprets HOF lambda bodies; the
+      // exploded form stays in whole-stage codegen and pays one
+      // (doc_id, partial-sum) exchange. Whichever wins at width is the
+      // form [[Curate.corpusBuild]]'s LR gate runs.
+      "lr_gate_exploded"    -> ((d, _, _) => Classify.fixedPassByDoc(d)),
+      "lr_gate_hof"         -> ((d, _, _) => d.select(col("doc_id"),
+        Classify.fixedScorePass(col("text")).as("lq"))),
+      "crawl_gate"          -> ((d, _, _) => {
+        val files = Crawl.buildGateWarc(d)
+        val hosts = Urls.plantUrls(d)
+          .select(Urls.hostOf(graft.functions.CanonicalizeUrl
+            .url(d.sparkSession, col("url"))).as("host"))
+          .distinct()
+        val robots = hosts
+          .withColumn("robots_txt",
+            when(col("host").startsWith("www."), lit(Robots.WwwRobots))
+              .when(col("host").startsWith("blog."), lit(Robots.BlogRobots))
+              .when(col("host") === "spam-mill.com", lit(Robots.SpamRobots)))
+          .filter(col("robots_txt").isNotNull)
+        val frontier = java.nio.file.Files
+          .createTempDirectory("graft_width_cg").toString
+        Crawl.gateBatch(files, robots, frontier,
+          docIdOf = Some(regexp_extract(col("target_uri"), "/([0-9]+)\\?", 1)
+            .cast("long")))
+      }),
       "source_report"       -> ((d, _, _) => Curate.sourceReport(d)),
       "url_canonicalize"    -> ((d, _, _) => Urls.urlCurate(Urls.plantUrls(d))),
       "url_domain_rollup"   -> ((d, _, _) => Urls.domainRollup(Urls.plantUrls(d))),
