@@ -83,7 +83,7 @@ object Bench {
         // added a groupBy/join to an op whose contract is one scan.
         if (Set("q52_embed_quant", "doc_fingerprint", "q51_pii_redact",
               "q38_token_counts", "q59_strat_sample", "q63_chunk_docs",
-              "q98_winnowing", "gopher_rules").contains(name) &&
+              "q98_winnowing", "gopher_rules", "script_profile").contains(name) &&
             plan.contains("Exchange hashpartitioning"))
           violations += s"$name:linear-op-gained-a-shuffle"
         // The interleave position is ARITHMETIC (fold over the broadcast

@@ -368,7 +368,13 @@ object ExtendedQueries {
   /** Quantile sketch next to the exact answer it approximates
     * (approx_percentile = Greenwald-Khanna; fixed-size mergeable state
     * per group — at 100 TB the sketch replaces a full sort per group).
-    * No DuckDB twin (estimator differs by engine); tolerance asserted in
+    * Oracle-checked IN THE EXACT REGIME (the Misra-Gries precedent):
+    * at the oracle SF every group holds ~2k values < accuracy = 10000,
+    * so the GK summary retains every sample and its query is the
+    * discrete rank statistic — DuckDB `quantile_disc`; the exact
+    * interpolated percentile twins `quantile_cont` (the q88 identity).
+    * The sketch-vs-exact TOLERANCE in the compressed regime (where
+    * estimators genuinely differ by engine) stays asserted in
     * ExtendedQueriesSpec. */
   def sketchQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
@@ -615,6 +621,17 @@ object ExtendedQueries {
          |FROM sc ORDER BY event_type, day""".stripMargin),
     // quantile_cont ≡ Spark's exact percentile (the q34/q81 equivalence,
     // here over doubles — same sorted values, same interpolation).
+    // Exact-regime promotion (r16): group sizes << accuracy, so the GK
+    // sketch degenerates to the discrete rank statistic (quantile_disc)
+    // and Spark's exact percentile is quantile_cont — both verified
+    // value-for-value against the engine at sf0.01.
+    "sketch_quantiles" ->
+      ("""SELECT event_type,
+         |  ROUND(quantile_disc(value, 0.5), 4) AS approx_med,
+         |  ROUND(median(value), 4) AS exact_med,
+         |  ROUND(quantile_disc(value, 0.95), 4) AS approx_p95,
+         |  ROUND(quantile_cont(value, 0.95), 4) AS exact_p95
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     "q88_latency_pcts" ->
       ("""SELECT event_type,
          |  ROUND(quantile_cont(value, 0.5), 4) AS p50,

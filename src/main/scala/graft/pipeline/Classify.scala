@@ -255,38 +255,77 @@ object Classify {
     round(sigmoid(zf), 4) > 0.5
   }
 
+  /** Calibration (reliability-diagram) report for the fixed-weight
+    * scorer against the weak lang label — the eval a production
+    * quality classifier ships with: per probability decile, how often
+    * is the gated class actually the target? Bins on the ROUNDED prob
+    * (the oracle-pinned surface), one nBins-key aggregate over the
+    * score table — report size O(bins) regardless of corpus. Means are
+    * sums of 4-dp-rounded probs (cross-engine-stable at the 6-dp
+    * report rounding — the q61 precedent); `gap` subtracts the two
+    * ROUNDED means so both engines difference identical values. */
+  def calibrationReport(docs: DataFrame, bins: Int = 10): DataFrame =
+    qualityScoreFixed(docs)
+      .select(col("doc_id"), col("lang"), col("prob"))
+      .withColumn("bin",
+        least(floor(col("prob") * bins), lit(bins - 1)).cast("long"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        round(avg("prob"), 6).as("mean_prob"),
+        round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
+          .as("frac_target"))
+      .withColumn("gap", round(col("mean_prob") - col("frac_target"), 6))
+      .orderBy("bin")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_classifier" -> ((s, d) =>
       qualityClassifier(Tables(s, d).documents)),
     "quality_score_fixed" -> ((s, d) =>
       qualityScoreFixed(Tables(s, d).documents)),
+    "quality_calibration" -> ((s, d) =>
+      calibrationReport(Tables(s, d).documents)),
   )
 
+  /** The fixed-weight scorer replay SQL, shared by the score entry and
+    * the calibration report's oracle (no ORDER BY — callers compose
+    * their own): q79's bigram + bucket derivation (unsigned mod 4096 ≡
+    * signed pmod), the md5 weight in signed pmod-2000 space, the
+    * instance-sum normalization, ROUND(…,4) absorbing summation-order
+    * ulp drift (q75/q79 argument), and the decision on each engine's
+    * OWN rounded value. */
+  private def fixedScoreSql: String = {
+    import PortableHash.{duckSigned, duckUnsigned}
+    val s = duckSigned(duckUnsigned("'qw:' || CAST(f AS VARCHAR)"))
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bgr AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(2, len(toks)),
+       |      i -> toks[i - 1] || ' ' || toks[i])) AS bgram
+       |  FROM t WHERE len(toks) >= 2),
+       |h AS (SELECT doc_id,
+       |    CAST(${duckUnsigned("bgram")} % 4096 AS BIGINT) AS f FROM bgr),
+       |hw AS (SELECT doc_id,
+       |    ((((($s) % 2000) + 2000) % 2000) - 1000) / 1000.0 AS w FROM h),
+       |sc AS (SELECT doc_id, sum(w) / count(*) AS zf FROM hw GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang,
+       |  ROUND(COALESCE(sc.zf, 0.0), 4) AS z,
+       |  ROUND(1.0 / (1.0 + exp(-COALESCE(sc.zf, 0.0))), 4) AS prob,
+       |  ROUND(1.0 / (1.0 + exp(-COALESCE(sc.zf, 0.0))), 4) > 0.5 AS is_target
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
-    // Full replay of the fixed-weight scorer: q79's bigram + bucket
-    // derivation (unsigned mod 4096 ≡ signed pmod), the md5 weight in
-    // signed pmod-2000 space, the instance-sum normalization, ROUND(…,4)
-    // absorbing summation-order ulp drift (q75/q79 argument), and the
-    // decision on each engine's OWN rounded value.
-    "quality_score_fixed" -> {
-      import PortableHash.{duckSigned, duckUnsigned}
-      val s = duckSigned(duckUnsigned("'qw:' || CAST(f AS VARCHAR)"))
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |bgr AS (SELECT doc_id,
-         |    unnest(list_transform(generate_series(2, len(toks)),
-         |      i -> toks[i - 1] || ' ' || toks[i])) AS bgram
-         |  FROM t WHERE len(toks) >= 2),
-         |h AS (SELECT doc_id,
-         |    CAST(${duckUnsigned("bgram")} % 4096 AS BIGINT) AS f FROM bgr),
-         |hw AS (SELECT doc_id,
-         |    ((((($s) % 2000) + 2000) % 2000) - 1000) / 1000.0 AS w FROM h),
-         |sc AS (SELECT doc_id, sum(w) / count(*) AS zf FROM hw GROUP BY doc_id)
-         |SELECT d.doc_id, d.lang,
-         |  ROUND(COALESCE(sc.zf, 0.0), 4) AS z,
-         |  ROUND(1.0 / (1.0 + exp(-COALESCE(sc.zf, 0.0))), 4) AS prob,
-         |  ROUND(1.0 / (1.0 + exp(-COALESCE(sc.zf, 0.0))), 4) > 0.5 AS is_target
-         |FROM documents d LEFT JOIN sc USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "quality_score_fixed" -> (fixedScoreSql + "\nORDER BY doc_id"),
+    // Bins on the 4-dp ROUNDED prob; means re-rounded at 6 dp and the
+    // gap differenced over the two ROUNDED means (both engines
+    // difference identical values).
+    "quality_calibration" ->
+      s"""SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ROUND(AVG(prob), 6) AS mean_prob,
+         |  ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS frac_target,
+         |  ROUND(ROUND(AVG(prob), 6) -
+         |    ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6), 6) AS gap
+         |FROM (SELECT LEAST(CAST(FLOOR(prob * 10) AS BIGINT), 9) AS bin, prob, lang
+         |      FROM ($fixedScoreSql) base) b
+         |GROUP BY bin ORDER BY bin""".stripMargin,
   )
 }

@@ -1723,7 +1723,67 @@ object Similarity {
     "knn_sq8"           -> ((s, d) => sq8TopK(Tables(s, d).embeddings)),
   )
 
+  /** The mmr_topk oracle (promoted from rows-only in r16): MMR's greedy
+    * loop is inherently sequential with a FIXED step count (k = 10), so
+    * the replay UNROLLS it as k chained CTE stages instead of fighting
+    * recursive-CTE restrictions — each stage picks the per-query argmax
+    * of ROUND(λ·rel − (1−λ)·pen, 6) via a window (the oracle may
+    * window) and advances every remaining candidate's penalty with
+    * GREATEST(pen, cos(cand, pick)). Two conventions matter: the
+    * penalty starts NULL, not 0 — a selected set of one yields pen =
+    * the raw pairwise cosine, which can be NEGATIVE, and flooring it at
+    * zero flips picks (found empirically) — and pairwise cosines stay
+    * UNROUNDED doubles exactly like the engine's driver loop, with only
+    * the MMR score rounded (6 dp) before the argmax comparison
+    * (round-before-rank). Pool sims are the q22-contract 4-dp top-50. */
+  private def mmrOracle: String = {
+    val k = 10
+    val sb = new StringBuilder
+    sb ++= """WITH pool AS (
+      |  SELECT query_id, vec_id, sim FROM (
+      |    SELECT query_id, vec_id, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      |    FROM (
+      |      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+      |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |          CAST(q.embedding AS DOUBLE[])), 4) AS sim
+      |      FROM embeddings q, embeddings e
+      |      WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) s
+      |    WHERE sim IS NOT NULL AND NOT isnan(sim)) t
+      |  WHERE rn <= 50),
+      |pw AS (
+      |  SELECT a.query_id, a.vec_id AS da, b.vec_id AS db,
+      |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |      CAST(eb.embedding AS DOUBLE[])) AS s
+      |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+      |cand1 AS (SELECT query_id, vec_id, sim AS rel, CAST(NULL AS DOUBLE) AS pen FROM pool)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+        |p$i AS (SELECT query_id, vec_id, rel, mmr FROM (
+        |  SELECT query_id, vec_id, rel,
+        |    ROUND(0.7 * rel - 0.3 * COALESCE(pen, 0.0), 6) AS mmr,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY ROUND(0.7 * rel - 0.3 * COALESCE(pen, 0.0), 6) DESC, rel DESC, vec_id) AS rn
+        |  FROM cand$i) x WHERE rn = 1)""".stripMargin
+      if (i < k) sb ++= s""",
+        |cand${i + 1} AS (
+        |  SELECT c.query_id, c.vec_id, c.rel,
+        |    CASE WHEN c.pen IS NULL THEN pw.s ELSE GREATEST(c.pen, pw.s) END AS pen
+        |  FROM cand$i c
+        |  JOIN p$i p ON c.query_id = p.query_id AND c.vec_id <> p.vec_id
+        |  JOIN pw ON pw.query_id = c.query_id AND pw.da = c.vec_id AND pw.db = p.vec_id)""".stripMargin
+    }
+    sb ++= "\n" + (1 to k).map(i =>
+      s"SELECT query_id, CAST($i AS BIGINT) AS rk, vec_id, mmr, rel AS sim FROM p$i")
+      .mkString(" UNION ALL ")
+    sb ++= " ORDER BY query_id, rk"
+    sb.toString
+  }
+
   def oracle: Map[String, String] = Map(
+    "mmr_topk" -> mmrOracle,
     // Full replay of the hyperplane-LSH ANN pipeline (promoted from
     // rows-only in round 7): signatures from the SAME literal md5-derived
     // weight vectors the engine embeds (planeWeight — generated by one

@@ -1221,6 +1221,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unicode-script profile per document — the corpus-audit step a
+    * multilingual crawl runs before routing docs to per-language
+    * pipelines (CommonCrawl-class corpora carry mixed-script spam and
+    * wrong-lang-tag pages; script counts are the cheap, model-free
+    * signal). Counts per BMP script range via the removal-diff idiom
+    * (length − length(chars-removed)) — six codegen'd regexes in ONE
+    * zero-shuffle projection, no explode, no UDF — plus the dominant
+    * script as a fixed-priority argmax when-chain (ties break toward
+    * the earlier script in latin > cyrillic > cjk > arabic > greek
+    * order; both engines state the same CASE order). Explicit
+    * codepoint ranges, not \\p{Script} classes: Java and RE2 draw
+    * script boundaries differently, ranges are engine-neutral. */
+  def scriptProfile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def cnt(range: String) =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), range, ""))).cast("long")
+    val counted = docs.select(col("doc_id"),
+      cnt("[A-Za-z]").as("n_latin"),
+      cnt("[\\u0400-\\u04FF]").as("n_cyrillic"),
+      cnt("[\\u4E00-\\u9FFF]").as("n_cjk"),
+      cnt("[\\u0600-\\u06FF]").as("n_arabic"),
+      cnt("[\\u0370-\\u03FF]").as("n_greek"),
+      cnt("[0-9]").as("n_digit"))
+    val scripts = Seq("latin" -> col("n_latin"), "cyrillic" -> col("n_cyrillic"),
+      "cjk" -> col("n_cjk"), "arabic" -> col("n_arabic"), "greek" -> col("n_greek"))
+    // first-max-wins: the when-chain tests in priority order, each
+    // script claiming dominance iff its count >= every other script's
+    // and > 0; all-zero rows fall through to "none".
+    val dom = scripts.foldRight(lit("none")) { case ((name, c), els) =>
+      when(scripts.filter(_._1 != name).map(o => c >= o._2).reduce(_ && _) &&
+        c > 0, lit(name)).otherwise(els)
+    }
+    counted.withColumn("dominant_script", dom).orderBy("doc_id")
+  }
+
+  /** Character-distribution Shannon entropy per document — the
+    * model-free gibberish gate (keyboard-mash and run-length spam score
+    * LOW; base64/minified blobs score HIGH; natural language sits in a
+    * band): H = log2(n) − (Σ c·log2 c)/n over per-char counts, the
+    * numerically-stable single-divide form both engines compute
+    * identically. Exploded-aggregate shape (the r16 LR-gate lesson:
+    * explode + hash aggregate stays in whole-stage codegen where a
+    * per-row HOF fold would run interpreted); two map-side-combined
+    * aggregates, flags compare the ROUNDED entropy (round-before-
+    * threshold, 4 dp). */
+  def charEntropy(docs: DataFrame, lowBits: Double = 3.2,
+      highBits: Double = 4.3): DataFrame = {
+    val spark = docs.sparkSession
+    val spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    val freq = spread
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) === 1)
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+    freq.groupBy("doc_id")
+      .agg(sum("cnt").as("n_chars"),
+        (log2(sum("cnt")) -
+          sum(col("cnt") * log2(col("cnt"))) / sum("cnt")).as("h"))
+      .select(col("doc_id"), col("n_chars"), round(col("h"), 4).as("entropy"))
+      .withColumn("flag_low", col("entropy") < lowBits)
+      .withColumn("flag_high", col("entropy") > highBits)
+      .orderBy("doc_id")
+  }
+
   private val htmlPrefix =
     "<html><head><style>p{color:red}</style><script>var x=1<2;</script></head>" +
       "<body class=\"m\"><h1>&lt;Title&gt;&nbsp;</h1><p>"
@@ -1228,6 +1291,23 @@ object TextAnalysis {
     "</p><!-- footer --><div>A &amp; B &#39;q&#39;</div></body></html>"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mixed-script plant: the base corpus is pure ASCII, so each doc
+    // class appends a repeated BMP snippet of one script — dominance
+    // then genuinely flips per doc (long docs stay latin-dominant,
+    // short ones tip to the planted script), and BOTH engines must
+    // count codepoints from the same constructed text; the oracle
+    // replays the construction, not a doc_id lookup table.
+    "script_profile" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val planted = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 1, repeat(lit(" привет мир"), 40))
+          .when(col("doc_id") % 5 === 2, repeat(lit(" 你好世界"), 40))
+          .when(col("doc_id") % 5 === 3, repeat(lit(" مرحبا بالعالم"), 40))
+          .when(col("doc_id") % 5 === 4, repeat(lit(" γεια σου κοσμε"), 40))
+          .otherwise(lit(""))).as("text"))
+      scriptProfile(planted)
+    }),
+    "char_entropy" -> ((s, d) => charEntropy(Tables(s, d).documents)),
     "text_strip_html" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val wrapped = docs.select(col("doc_id"),
@@ -1358,6 +1438,53 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    // Replays the plant construction and the removal-diff counting in
+    // RE2 (\x{...} ranges — engine-neutral codepoint ranges, unlike
+    // \p{Script} classes); the dominance CASE tests in the same
+    // priority order as the engine's when-chain.
+    "script_profile" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 1 THEN repeat(' привет мир', 40)
+        |    WHEN 2 THEN repeat(' 你好世界', 40)
+        |    WHEN 3 THEN repeat(' مرحبا بالعالم', 40)
+        |    WHEN 4 THEN repeat(' γεια σου κοσμε', 40)
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+        |  CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        |  FROM p)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek, n_digit,
+        |  CASE
+        |    WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin >= n_arabic
+        |      AND n_latin >= n_greek AND n_latin > 0 THEN 'latin'
+        |    WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic
+        |      AND n_cyrillic >= n_greek AND n_cyrillic > 0 THEN 'cyrillic'
+        |    WHEN n_cjk >= n_latin AND n_cjk >= n_cyrillic AND n_cjk >= n_arabic
+        |      AND n_cjk >= n_greek AND n_cjk > 0 THEN 'cjk'
+        |    WHEN n_arabic >= n_latin AND n_arabic >= n_cyrillic AND n_arabic >= n_cjk
+        |      AND n_arabic >= n_greek AND n_arabic > 0 THEN 'arabic'
+        |    WHEN n_greek >= n_latin AND n_greek >= n_cyrillic AND n_greek >= n_cjk
+        |      AND n_greek >= n_arabic AND n_greek > 0 THEN 'greek'
+        |    ELSE 'none' END AS dominant_script
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // H = log2(n) − (Σ c·log2 c)/n — the single-divide form both
+    // engines compute over the same small per-doc char-count sets;
+    // flags compare the ROUNDED entropy (round-before-threshold).
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |f AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c),
+        |e AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+        |  ROUND(log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt), 4) AS entropy
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_chars, entropy,
+        |  entropy < 3.2 AS flag_low, entropy > 4.3 AS flag_high
+        |FROM e ORDER BY doc_id""".stripMargin,
     // Exact-regime MG ≡ groupBy count (capacity 4096 ≫ 31-token vocab:
     // no decrement ever fires, every counter is the exact count).
     "heavy_hitters" ->

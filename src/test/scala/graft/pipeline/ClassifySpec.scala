@@ -89,4 +89,24 @@ class ClassifySpec extends AnyFunSuite {
     val viaDisk = Classify.scoreLogistic(d, loaded).collect().map(_.toString)
     assert(direct.sameElements(viaDisk))
   }
+
+  test("calibrationReport: bins partition the corpus, arithmetic consistent") {
+    val rep = Classify.calibrationReport(corpus).collect()
+    assert(rep.map(_.getLong(0)).forall(b => b >= 0 && b <= 9))
+    assert(rep.map(_.getLong(1)).sum == corpus.count(),
+      "bin counts must partition the corpus")
+    rep.foreach { r =>
+      val (b, mp, ft, gap) = (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mp >= b / 10.0 - 1e-9 && mp <= (b + 1) / 10.0 + 1e-9 || b == 9,
+        s"bin $b mean_prob $mp outside its bin")
+      assert(ft >= 0.0 && ft <= 1.0)
+      assert(math.abs(gap - BigDecimal(mp - ft).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // The scorer's decision boundary (rounded prob > 0.5) aligns with
+    // bins: everything flagged is_target sits in bins >= 5.
+    val scored = Classify.qualityScoreFixed(corpus)
+      .filter(col("is_target")).agg(min("prob")).head().getDouble(0)
+    assert(scored > 0.5)
+  }
 }

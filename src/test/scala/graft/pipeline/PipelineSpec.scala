@@ -3436,4 +3436,46 @@ class PipelineSpec extends AnyFunSuite {
         "a source clumped inside a full round")
     }
   }
+
+  test("scriptProfile: codepoint counts per range, first-max-wins dominance") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "abc абв 你你你你"),        // 3 latin, 3 cyr, 4 cjk -> cjk
+      (2L, "abc абв"),                  // 3 vs 3 tie -> latin (priority)
+      (3L, "مرحبا 12"),                 // 5 arabic, 2 digit -> arabic
+      (4L, "γεια"),                     // 4 greek
+      (5L, "1234 !!")                   // digits only -> none
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_latin") == 3 &&
+      out(1L).getAs[Long]("n_cyrillic") == 3 &&
+      out(1L).getAs[Long]("n_cjk") == 4 &&
+      out(1L).getAs[String]("dominant_script") == "cjk")
+    assert(out(2L).getAs[String]("dominant_script") == "latin",
+      "ties break toward the earlier script in priority order")
+    assert(out(3L).getAs[Long]("n_arabic") == 5 &&
+      out(3L).getAs[Long]("n_digit") == 2 &&
+      out(3L).getAs[String]("dominant_script") == "arabic")
+    assert(out(4L).getAs[String]("dominant_script") == "greek")
+    assert(out(5L).getAs[String]("dominant_script") == "none" &&
+      out(5L).getAs[Long]("n_digit") == 4)
+  }
+
+  test("charEntropy: closed-form cases and the rounded-threshold flags") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaaa"),               // H = 0 (degenerate run) -> flag_low
+      (2L, "aabb"),               // H = 1.0 exactly
+      (3L, "abcdefghijklmnop"),   // 16 uniform chars -> H = 4.0 exactly
+      (4L, "the quick brown fox") // natural text: 3.8924
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((4L, 0.0, true, false)))
+    assert(out(2L) == ((4L, 1.0, true, false)))
+    assert(out(3L) == ((16L, 4.0, false, false)))
+    assert(out(4L) == ((19L, 3.8924, false, false)))
+  }
 }
