@@ -83,9 +83,17 @@ object Bench {
         // added a groupBy/join to an op whose contract is one scan.
         if (Set("q52_embed_quant", "doc_fingerprint", "q51_pii_redact",
               "q38_token_counts", "q59_strat_sample", "q63_chunk_docs",
-              "q98_winnowing", "gopher_rules", "script_profile").contains(name) &&
+              "q98_winnowing", "gopher_rules", "script_profile",
+              "secret_scan").contains(name) &&
             plan.contains("Exchange hashpartitioning"))
           violations += s"$name:linear-op-gained-a-shuffle"
+        // Passage ranking must stay the bounded TopK partial aggregation
+        // over the hit-shrunk stream; a Window means a per-query corpus
+        // sort came back, and the query-term table must ride a broadcast.
+        if (name == "best_passage" &&
+            (fullPlan.contains("Window") || !fullPlan.contains("BroadcastHashJoin") ||
+              !fullPlan.contains("ObjectHashAggregate")))
+          violations += s"$name:passage-rank-regressed"
         // The interleave position is ARITHMETIC (fold over the broadcast
         // per-source count table); the only window is partitioned by
         // source. A row_number over anything else means the global

@@ -409,7 +409,61 @@ object Retrieval {
     maxSimRank(toks.join(graft.GatedBroadcast(dotTab), Seq("tok")), k)
   }
 
+  /** Best-passage (snippet) extraction — the RAG/serving step after
+    * retrieval: for each query, the top-k matching documents annotated
+    * with the `window`-token span holding the most query-term hits and
+    * the span's text. Scale shape: the exploded token stream SHRINKS to
+    * query-term hits at the broadcast term join before anything fans
+    * out; each hit then votes for the ≤window spans containing it
+    * (explode of a bounded sequence — ≤ window rows per hit, never per
+    * token), spans aggregate map-side, the per-(query, doc) argmax is a
+    * max(struct) AGGREGATE and the per-query top-k is the bounded TopK
+    * partial aggregation — no window function anywhere, nothing scales
+    * with corpus size except the one hit-stream aggregate. The passage
+    * text joins back against docs by doc_id for the k·|queries|
+    * winners only. Ties: span with more hits wins, earlier start wins,
+    * lower doc_id ranks first (round-before-rank not needed — counts
+    * are exact integers). */
+  def bestPassage(docs: DataFrame,
+      queries: Seq[(Long, String)] = defaultQueries,
+      window: Int = 8, k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries
+      .flatMap { case (id, s) => s.split(" ").distinct.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    val hits = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("pos"))
+    val spans = hits
+      .select(col("query_id"), col("doc_id"),
+        explode(sequence(greatest(col("pos") - (window - 1), lit(0)), col("pos")))
+          .as("start"))
+      .groupBy("query_id", "doc_id", "start")
+      .agg(count(lit(1)).as("n_hits"))
+    // Materialized: feeds both the TopK ranking and the winner join-back
+    // (the r16 CollapseProject lesson — without the cut the whole
+    // hit-stream aggregation runs once per consumer).
+    val best = graft.Materialize(spans.groupBy("query_id", "doc_id")
+      .agg(max(struct(col("n_hits"), (-col("start")).as("negstart"))).as("b"))
+      .select(col("query_id"), col("doc_id"),
+        col("b.n_hits").as("n_hits"), (-col("b.negstart")).cast("long").as("start_pos")))
+    val ranked = graft.functions.TopK.perGroupRanked(
+      best, "query_id", "n_hits", "doc_id", "rk", k, ascending = false)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    ranked.join(best, Seq("query_id", "doc_id"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("rk"), col("n_hits"),
+        col("start_pos"),
+        concat_ws(" ", expr(s"slice(split(text, ' '), CAST(start_pos + 1 AS INT), $window)"))
+          .as("passage"))
+      .orderBy("query_id", "rk")
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "best_passage" -> ((s, d) => bestPassage(Tables(s, d).documents)),
     "q96_sparse_cosine" -> ((s, d) => sparseCosineTopK(Tables(s, d).documents)),
     "q82_bm25" -> ((s, d) => bm25(Tables(s, d).documents)),
     // The persistent index must return exactly what the scan-time scorer
@@ -450,6 +504,39 @@ object Retrieval {
          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
 
   def oracle: Map[String, String] = Map(
+    // Replays the span-vote pipeline with the oracle's windows (the
+    // operator side is aggregate-only, Bench-auditable): zipped unnest
+    // for token positions, the same GREATEST-clamped vote range,
+    // per-(query, doc) argmax then per-query rank, and the passage
+    // sliced from the SAME token array (DuckDB's inclusive 1-based
+    // list slice ≡ Spark's slice(arr, start, len) at these bounds).
+    "best_passage" ->
+      """WITH q(query_id, term) AS (VALUES
+        |    (0, 'spark'), (0, 'filter'), (0, 'join'),
+        |    (1, 'window'), (1, 'agg'), (1, 'sort'),
+        |    (2, 'customer'), (2, 'order'), (2, 'query')),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos,
+        |    unnest(toks) AS term FROM t),
+        |h AS (SELECT q.query_id, tok.doc_id, tok.pos FROM tok JOIN q USING (term)),
+        |sp AS (SELECT query_id, doc_id,
+        |    unnest(generate_series(GREATEST(pos - 7, 0), pos)) AS start FROM h),
+        |c AS (SELECT query_id, doc_id, start, COUNT(*) AS n_hits
+        |  FROM sp GROUP BY query_id, doc_id, start),
+        |b AS (SELECT query_id, doc_id, n_hits, start AS start_pos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY n_hits DESC, start) AS prn
+        |  FROM c),
+        |r AS (SELECT query_id, doc_id, n_hits, start_pos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY n_hits DESC, doc_id) AS rk
+        |  FROM b WHERE prn = 1)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  CAST(rk AS BIGINT) AS rk, CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(start_pos AS BIGINT) AS start_pos,
+        |  array_to_string(toks[start_pos + 1 : start_pos + 8], ' ') AS passage
+        |FROM r JOIN t USING (doc_id) WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     // Exact-integer replay of the whole MaxSim pipeline: the SAME
     // hash-derived dim-8 token embeddings (unsigned %16 ≡ signed pmod at
     // the power-of-two width — the q94 argument), per-(query-token, doc)

@@ -428,6 +428,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Credential / secret scanning — the governance pass a training
+    * corpus runs beyond person-PII (q51): leaked infrastructure
+    * identifiers must not reach a model any more than emails. Detects
+    * and redacts, in one codegen'd zero-shuffle projection: IPv4
+    * addresses, AWS-style access key ids (AKIA + 16 uppercase
+    * alphanumerics), bearer tokens, and long lowercase hex blobs
+    * (32+ chars — api secrets, auth digests). Counts are taken on the
+    * ORIGINAL text (a bearer token whose payload is a 32-hex blob
+    * counts in both columns — detection surfaces are independent);
+    * redaction applies bearer → aws → hex → ipv4 so the most specific
+    * placeholder wins the overlap. Engine-neutral regexes: ASCII
+    * classes + \\b word boundaries only (Java and RE2 agree). */
+  def secretScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val awsKey = "\\bAKIA[0-9A-Z]{16}\\b"
+    val hexSecret = "\\b[0-9a-f]{32,}\\b"
+    val bearer = "\\b[Bb]earer [A-Za-z0-9._-]{16,}\\b"
+    def n(p: String) =
+      size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      n(ipv4).as("n_ipv4"),
+      n(awsKey).as("n_aws_keys"),
+      n(bearer).as("n_bearer"),
+      n(hexSecret).as("n_hex_secrets"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), bearer, "<TOKEN>"),
+            awsKey, "<AWSKEY>"),
+          hexSecret, "<SECRET>"),
+        ipv4, "<IP>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting, both ways a data pipeline needs it: whitespace
     * tokens and a BPE-ish pre-tokenizer count (letter runs / digit runs /
     * single punctuation — the GPT-2-style pre-split that upper-bounds BPE
@@ -1308,6 +1343,23 @@ object TextAnalysis {
       scriptProfile(planted)
     }),
     "char_entropy" -> ((s, d) => charEntropy(Tables(s, d).documents)),
+    // Secret plant: the base corpus is plain lowercase words (no digit
+    // runs, no 32-hex words — verified by the ELSE class scanning
+    // clean), so each planted class exercises exactly its detector;
+    // the md5-derived key material is identical in both engines.
+    "secret_scan" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val id = col("doc_id").cast("string")
+      val planted = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 7 === 1,
+          concat(lit(" host 192.168.1."), (col("doc_id") % 250).cast("string")))
+          .when(col("doc_id") % 7 === 2,
+            concat(lit(" key AKIA"), upper(substring(md5(id), 1, 16))))
+          .when(col("doc_id") % 7 === 3, concat(lit(" digest "), md5(id)))
+          .when(col("doc_id") % 7 === 4, concat(lit(" auth Bearer "), md5(id)))
+          .otherwise(lit(""))).as("text"))
+      secretScan(planted)
+    }),
     "text_strip_html" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val wrapped = docs.select(col("doc_id"),
@@ -1473,6 +1525,29 @@ object TextAnalysis {
         |      AND n_greek >= n_arabic AND n_greek > 0 THEN 'greek'
         |    ELSE 'none' END AS dominant_script
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Replays the plant construction and every detector in RE2 (ASCII
+    // classes + \b only — the dialect-safe subset); counts on the
+    // ORIGINAL text, redaction most-specific-first.
+    "secret_scan" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 1 THEN ' host 192.168.1.' || CAST(doc_id % 250 AS VARCHAR)
+        |    WHEN 2 THEN ' key AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+        |    WHEN 3 THEN ' digest ' || md5(CAST(doc_id AS VARCHAR))
+        |    WHEN 4 THEN ' auth Bearer ' || md5(CAST(doc_id AS VARCHAR))
+        |    ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\bAKIA[0-9A-Z]{16}\b')) AS BIGINT) AS n_aws_keys,
+        |  CAST(len(regexp_extract_all(t, '\b[Bb]earer [A-Za-z0-9._-]{16,}\b')) AS BIGINT) AS n_bearer,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9a-f]{32,}\b')) AS BIGINT) AS n_hex_secrets,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '\b[Bb]earer [A-Za-z0-9._-]{16,}\b', '<TOKEN>', 'g'),
+        |    '\bAKIA[0-9A-Z]{16}\b', '<AWSKEY>', 'g'),
+        |    '\b[0-9a-f]{32,}\b', '<SECRET>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
     // H = log2(n) − (Σ c·log2 c)/n — the single-divide form both
     // engines compute over the same small per-doc char-count sets;
     // flags compare the ROUNDED entropy (round-before-threshold).
