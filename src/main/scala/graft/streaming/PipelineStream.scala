@@ -423,4 +423,50 @@ object PipelineStream {
       }
       .start()
   }
+
+  /** Streaming governance gate — the redact-before-anything-persists
+    * rule applied at ingestion. Order matters and is credential-FIRST:
+    * person-PII's long-digit scrub ([[graft.pipeline.TextAnalysis
+    * .redactPii]]) would mangle the digits inside key material (an AWS
+    * key id's trailing digit run becomes `<NUM>` and the credential
+    * detector goes blind), so every micro-batch runs
+    * [[graft.pipeline.TextAnalysis.secretScan]] on the ORIGINAL text,
+    * then PII redaction over the secret-redacted text (placeholders
+    * carry no digits or @, so the reverse interference cannot happen);
+    * the character-entropy band gate also reads the original text
+    * (placeholders would shift the char distribution). One output row
+    * per doc: the fully-redacted text, every detector count, entropy +
+    * band flags, and a `publishable` verdict — entropy in band AND no
+    * credential detector fired (a doc that CONTAINED a secret is
+    * quarantined even though its text ships redacted: pattern-based
+    * redaction is best-effort, review is the safe default; person-PII
+    * alone does not quarantine — that is what the redaction is for).
+    * Stateless per batch → idempotent per-batch-id outputs, no crash
+    * window. */
+  def governDocs(docs: DataFrame, outDir: String, checkpoint: String,
+      lowBits: Double = 3.2, highBits: Double = 4.3): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sec = graft.Materialize(
+          graft.pipeline.TextAnalysis.secretScan(batch)
+            .select(col("doc_id"), col("redacted").as("text"), col("n_ipv4"),
+              col("n_aws_keys"), col("n_bearer"), col("n_hex_secrets")))
+        val pii = graft.pipeline.TextAnalysis.redactPii(sec)
+        val ent = graft.pipeline.TextAnalysis
+          .charEntropy(batch, lowBits, highBits)
+          .select(col("doc_id"), col("entropy"), col("flag_low"), col("flag_high"))
+        pii
+          .join(sec.select("doc_id", "n_ipv4", "n_aws_keys", "n_bearer",
+            "n_hex_secrets"), Seq("doc_id"))
+          .join(ent, Seq("doc_id"))
+          .withColumn("publishable",
+            col("n_ipv4") === 0 && col("n_aws_keys") === 0 &&
+              col("n_bearer") === 0 && col("n_hex_secrets") === 0 &&
+              !col("flag_low") && !col("flag_high"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        graft.Materialize.release(sec)
+        ()
+      }
+      .start()
 }
