@@ -84,9 +84,16 @@ object Bench {
         if (Set("q52_embed_quant", "doc_fingerprint", "q51_pii_redact",
               "q38_token_counts", "q59_strat_sample", "q63_chunk_docs",
               "q98_winnowing", "gopher_rules", "script_profile",
-              "secret_scan").contains(name) &&
+              "secret_scan", "text_accent_fold").contains(name) &&
             plan.contains("Exchange hashpartitioning"))
           violations += s"$name:linear-op-gained-a-shuffle"
+        // The interval join must stay the bucketized broadcast EQUI-join
+        // (residual in the ON clause); a nested loop means the bucket
+        // derivation regressed to the naive quadratic BETWEEN probe.
+        if (name == "ip_geo_enrich" &&
+            (!plan.contains("BroadcastHashJoin") ||
+              plan.contains("BroadcastNestedLoopJoin")))
+          violations += s"$name:interval-join-regressed-to-nested-loop"
         // Passage ranking must stay the bounded TopK partial aggregation
         // over the hit-shrunk stream; a Window means a per-query corpus
         // sort came back, and the query-term table must ride a broadcast.

@@ -797,7 +797,50 @@ object Select {
       zOrderKey(col("user_id"), col("event_id") % 65536).as("zkey"))
       .orderBy("zkey", "event_id")
 
+  /** Water-filling token-budget allocation across sources — the mixture
+    * balancer: given a total token budget, every source keeps its
+    * tokens up to a common water level λ, so small sources survive
+    * whole while the largest sources absorb the entire cut (the
+    * max-min-fair allocation; the standard alternative to proportional
+    * down-sampling that crushes small domains). λ is found exactly on
+    * the per-source count table: sort ascending, the first rank k where
+    * prefix_k + (S−k)·n_k ≥ B caps there, λ = (B − prefix_{k−1})/(S−k+1).
+    * Scale shape: ONE map-side-combined corpus aggregate to per-source
+    * counts; every window after it runs on the O(#sources) table (the
+    * profile-ops convention — bounded rows, not corpus rows). A total
+    * under budget takes the λ = ∞ branch: every source keeps all.
+    * Allocation stays fractional (4-dp) — integer rounding policy is
+    * the caller's (the q76 fill does exact-integer budgets). */
+  def budgetAllocate(docs: DataFrame, budget: Long = 20000L): DataFrame = {
+    val counts = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+    val order = Window.orderBy(col("n_toks"), col("source"))
+    val all = Window.partitionBy(lit(1))
+    val t = counts
+      .withColumn("k", row_number().over(order).cast("long"))
+      .withColumn("prefix", sum("n_toks").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_sources", count(lit(1)).over(all))
+    val lam = t
+      .withColumn("cand",
+        (lit(budget) - (col("prefix") - col("n_toks"))).cast("double") /
+          (col("n_sources") - col("k") + 1).cast("double"))
+      .withColumn("valid",
+        col("prefix") + (col("n_sources") - col("k")) * col("n_toks") >= budget)
+    val level = lam.filter(col("valid"))
+      .agg(min(struct(col("k"), col("cand"))).as("m"))
+      .select(coalesce(col("m.cand"), lit(1e18)).as("lambda"))
+    lam.crossJoin(broadcast(level))
+      .select(col("source"), col("n_toks"),
+        round(least(col("n_toks").cast("double"), col("lambda")), 4)
+          .as("alloc_tokens"),
+        round(least(col("n_toks").cast("double"), col("lambda")) /
+          greatest(col("n_toks"), lit(1L)), 4).as("keep_frac"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "budget_allocate" -> ((s, d) => budgetAllocate(Tables(s, d).documents)),
     "q65_shard_assign"  -> ((s, d) => shardAssign(Tables(s, d).documents)),
     "q87_zorder"        -> ((s, d) => zOrderEvents(Tables(s, d).events)),
     "q85_split_tvt"     -> ((s, d) => splitTrainValTest(Tables(s, d).documents)),
@@ -820,6 +863,32 @@ object Select {
   )
 
   def oracle: Map[String, String] = Map(
+    // Same exact-integer prefix/rank derivation and the same single
+    // double division for λ (exact integer operands → identical bits);
+    // the ∞ branch uses the same 1e18 sentinel, which never reaches the
+    // output (least(n, λ) collapses to n first).
+    "budget_allocate" ->
+      """WITH c AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT source, n_toks,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_toks, source) AS BIGINT) AS k,
+        |    SUM(n_toks) OVER (ORDER BY n_toks, source
+        |      ROWS UNBOUNDED PRECEDING) AS prefix,
+        |    COUNT(*) OVER () AS n_sources
+        |  FROM c),
+        |lam AS (SELECT t.*,
+        |    CAST(20000 - (prefix - n_toks) AS DOUBLE) /
+        |      CAST(n_sources - k + 1 AS DOUBLE) AS cand,
+        |    prefix + (n_sources - k) * n_toks >= 20000 AS valid
+        |  FROM t),
+        |level AS (SELECT COALESCE(
+        |    (SELECT cand FROM lam WHERE valid ORDER BY k LIMIT 1), 1e18) AS lambda)
+        |SELECT source, n_toks,
+        |  ROUND(LEAST(CAST(n_toks AS DOUBLE), lambda), 4) AS alloc_tokens,
+        |  ROUND(LEAST(CAST(n_toks AS DOUBLE), lambda) /
+        |    GREATEST(n_toks, 1), 4) AS keep_frac
+        |FROM lam CROSS JOIN level ORDER BY source""".stripMargin,
     // The same 16-bit interleave, term by term; both engines' >> and &
     // agree on non-negative BIGINTs and the key fits in 32 bits.
     "q87_zorder" -> {

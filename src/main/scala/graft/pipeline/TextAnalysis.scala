@@ -1256,6 +1256,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Accent folding — search/dedup canonicalization one notch past NFC
+    * ([[graft.functions.UnicodeNormalize]]): decompose (NFD), drop the
+    * combining marks (\\p{Mn} — the accents), recompose (NFC), so
+    * "café" ≡ "cafe" for matching while genuinely distinct letters
+    * (ß, CJK) pass through untouched. One zero-shuffle projection over
+    * the codegen'd normalize Expression + a regexp; equivalent to
+    * DuckDB/ICU `strip_accents` on the Latin range (validated
+    * char-for-char by the oracle plant). */
+  def accentFold(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val nfd = graft.functions.UnicodeNormalize.normalize(spark, col(textCol), "NFD")
+    val folded = graft.functions.UnicodeNormalize.normalize(spark,
+      regexp_replace(nfd, "\\p{Mn}+", ""), "NFC")
+    docs.select(col("doc_id"), folded.as("folded"),
+      (col(textCol) =!= folded).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** Unicode-script profile per document — the corpus-audit step a
     * multilingual crawl runs before routing docs to per-language
     * pipelines (CommonCrawl-class corpora carry mixed-script spam and
@@ -1343,6 +1361,22 @@ object TextAnalysis {
       scriptProfile(planted)
     }),
     "char_entropy" -> ((s, d) => charEntropy(Tables(s, d).documents)),
+    // Accent plant: the base corpus is pure ASCII, so each doc class
+    // appends a different accented suffix (plus an ASCII-only class
+    // where changed must stay false); the oracle folds with DuckDB's
+    // ICU strip_accents — a DIFFERENT algorithm than NFD-minus-marks,
+    // agreeing exactly on these characters (validated).
+    "text_accent_fold" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val planted = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 6 === 1, lit(" café crème"))
+          .when(col("doc_id") % 6 === 2, lit(" naïve coöp"))
+          .when(col("doc_id") % 6 === 3, lit(" señor niño"))
+          .when(col("doc_id") % 6 === 4, lit(" über kühl"))
+          .when(col("doc_id") % 6 === 5, lit(" çedille façade"))
+          .otherwise(lit(""))).as("text"))
+      accentFold(planted)
+    }),
     // Secret plant: the base corpus is plain lowercase words (no digit
     // runs, no 32-hex words — verified by the ELSE class scanning
     // clean), so each planted class exercises exactly its detector;
@@ -1525,6 +1559,21 @@ object TextAnalysis {
         |      AND n_greek >= n_arabic AND n_greek > 0 THEN 'greek'
         |    ELSE 'none' END AS dominant_script
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Replays the plant and folds with ICU strip_accents; `changed`
+    // compares against the planted original in both engines.
+    "text_accent_fold" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 1 THEN ' café crème'
+        |    WHEN 2 THEN ' naïve coöp'
+        |    WHEN 3 THEN ' señor niño'
+        |    WHEN 4 THEN ' über kühl'
+        |    WHEN 5 THEN ' çedille façade'
+        |    ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, strip_accents(t) AS folded,
+        |  t <> strip_accents(t) AS changed
+        |FROM p ORDER BY doc_id""".stripMargin,
     // Replays the plant construction and every detector in RE2 (ASCII
     // classes + \b only — the dialect-safe subset); counts on the
     // ORIGINAL text, redaction most-specific-first.

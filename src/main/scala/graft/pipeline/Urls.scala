@@ -166,7 +166,71 @@ object Urls {
       .otherwise(base))
   }
 
+  /** IP-range enrichment — the geo/ASN tagging step a crawl pipeline
+    * runs on fetch logs (which regions/networks am I crawling, per-ASN
+    * politeness budgets). A plain `BETWEEN` join against an interval
+    * table plans as a broadcast NESTED-LOOP (every row probes every
+    * range — quadratic in ranges at 100 TB), so the ranges are
+    * BUCKETIZED first: each range explodes to the /16 buckets it spans
+    * (CIDR allocations span few), the probe side computes its /16
+    * bucket, and the join is an EQUI-join on bucket with the BETWEEN
+    * residual as a cheap post-filter — broadcast hash, never a loop.
+    * Unmatched IPs keep the row with NULL region/asn (a fetch log row
+    * is never dropped by enrichment). */
+  def ipEnrich(ips: DataFrame, ranges: DataFrame): DataFrame = {
+    val oct = (i: Int) => split(col("ip"), "\\.").getItem(i).cast("long")
+    val probe = ips.withColumn("ip_num",
+      oct(0) * 16777216L + oct(1) * 65536L + oct(2) * 256L + oct(3))
+      .withColumn("bkt", (col("ip_num") / 65536L).cast("long"))
+      .as("p")
+    val buckets = ranges.select(col("start_ip"), col("end_ip"),
+        col("region"), col("asn"),
+        explode(sequence((col("start_ip") / 65536L).cast("long"),
+          (col("end_ip") / 65536L).cast("long"))).as("bkt"))
+      .as("r")
+    // The BETWEEN residual lives INSIDE the left join's ON clause: a
+    // bucket-matched but range-missed IP must come out unmatched (NULL
+    // region), never dropped — and with non-overlapping ranges the
+    // residual pairs each IP with at most one range, so no dedup pass.
+    probe.join(broadcast(buckets),
+        col("p.bkt") === col("r.bkt") &&
+          col("p.ip_num") >= col("r.start_ip") &&
+          col("p.ip_num") <= col("r.end_ip"),
+        "left")
+      .select(col("p.doc_id").as("doc_id"), col("p.ip").as("ip"),
+        col("p.ip_num").as("ip_num"), col("r.region").as("region"),
+        col("r.asn").as("asn"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic fetch-log plant for the ip_geo_enrich entry: one IP
+    * per doc spread across 10.0.0.0/8 by doc_id arithmetic, against a
+    * literal 5-range table (two ranges span /16 boundaries, one /24 is
+    * carved OUT of a larger range's middle — unmatched IPs exist at
+    * every SF). */
+  private[graft] def plantIps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(lit("10."),
+      (col("doc_id") % 200).cast("string"), lit("."),
+      (col("doc_id") % 250).cast("string"), lit("."),
+      (col("doc_id") % 100).cast("string")).as("ip"))
+
+  private[graft] def plantRanges(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def ip(a: Long, b: Long, c: Long, d: Long) =
+      a * 16777216L + b * 65536L + c * 256L + d
+    Seq(
+      (ip(10, 0, 0, 0), ip(10, 39, 255, 255), "us-east", 7018L),
+      (ip(10, 40, 0, 0), ip(10, 79, 127, 255), "eu-west", 3320L),
+      (ip(10, 80, 0, 0), ip(10, 119, 255, 255), "ap-south", 9498L),
+      (ip(10, 120, 0, 0), ip(10, 159, 63, 255), "sa-east", 28573L),
+      (ip(10, 170, 0, 0), ip(10, 199, 255, 255), "af-south", 36994L)
+      // 10.160.0.0 - 10.169.255.255 deliberately unassigned
+    ).toDF("start_ip", "end_ip", "region", "asn")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ip_geo_enrich" -> ((s, d) =>
+      ipEnrich(plantIps(Tables(s, d).documents), plantRanges(s))),
     "url_canonicalize" ->
       ((s, d) => urlCurate(plantUrls(Tables(s, d).documents))),
     "url_domain_rollup" ->
@@ -236,6 +300,31 @@ object Urls {
   // operators at line starts — the outer strings must NOT re-stripMargin
   // (a second pass would eat one pipe of each `||`).
   def oracle: Map[String, String] = Map(
+    // The oracle may use the naive BETWEEN join (quadratic is fine at
+    // oracle SF); the operator's bucketized equi-join must produce the
+    // identical pairing — non-overlap makes the winner unique. All
+    // arithmetic exact-integer.
+    "ip_geo_enrich" ->
+      """WITH ips AS (SELECT doc_id,
+        |    '10.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||
+        |    CAST(doc_id % 250 AS VARCHAR) || '.' ||
+        |    CAST(doc_id % 100 AS VARCHAR) AS ip
+        |  FROM documents),
+        |p AS (SELECT doc_id, ip,
+        |    CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+        |    CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+        |    CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+        |    CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_num
+        |  FROM ips),
+        |r(start_ip, end_ip, region, asn) AS (VALUES
+        |  (10*16777216,             10*16777216 + 39*65536 + 65535,           'us-east',  CAST(7018 AS BIGINT)),
+        |  (10*16777216 + 40*65536,  10*16777216 + 79*65536 + 127*256 + 255,   'eu-west',  CAST(3320 AS BIGINT)),
+        |  (10*16777216 + 80*65536,  10*16777216 + 119*65536 + 65535,          'ap-south', CAST(9498 AS BIGINT)),
+        |  (10*16777216 + 120*65536, 10*16777216 + 159*65536 + 63*256 + 255,   'sa-east',  CAST(28573 AS BIGINT)),
+        |  (10*16777216 + 170*65536, 10*16777216 + 199*65536 + 65535,          'af-south', CAST(36994 AS BIGINT)))
+        |SELECT p.doc_id, p.ip, p.ip_num, r.region, r.asn
+        |FROM p LEFT JOIN r ON p.ip_num BETWEEN r.start_ip AND r.end_ip
+        |ORDER BY p.doc_id""".stripMargin,
     "url_canonicalize" ->
       (s"WITH $canonCte\n" +
         "SELECT doc_id, url_canon, host, reg_domain,\n" +

@@ -163,6 +163,15 @@ object WidthBench {
       // (doc_id, partial-sum) exchange. Whichever wins at width is the
       // form [[Curate.corpusBuild]]'s LR gate runs.
       "lr_gate_exploded"    -> ((d, _, _) => Classify.fixedPassByDoc(d)),
+      "script_profile"      -> ((d, _, _) => TextAnalysis.scriptProfile(d)),
+      "char_entropy"        -> ((d, _, _) => TextAnalysis.charEntropy(d)),
+      "secret_scan"         -> ((d, _, _) => TextAnalysis.secretScan(d)),
+      "text_accent_fold"    -> ((d, _, _) => TextAnalysis.accentFold(d)),
+      "best_passage"        -> ((d, _, _) => Retrieval.bestPassage(d)),
+      "quality_calibration" -> ((d, _, _) => Classify.calibrationReport(d)),
+      "budget_allocate"     -> ((d, _, _) => Select.budgetAllocate(d)),
+      "ip_geo_enrich"       -> ((d, _, _) =>
+        Urls.ipEnrich(Urls.plantIps(d), Urls.plantRanges(d.sparkSession))),
       "lr_gate_hof"         -> ((d, _, _) => d.select(col("doc_id"),
         Classify.fixedScorePass(col("text")).as("lq"))),
       "crawl_gate"          -> ((d, _, _) => {

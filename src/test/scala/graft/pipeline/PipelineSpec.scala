@@ -3515,6 +3515,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) != 3L))
   }
 
+  test("ipEnrich: bucketized interval join — residual misses degrade to unmatched") {
+    import spark.implicits._
+    val ranges = Urls.plantRanges(spark)
+    val ips = Seq(
+      (1L, "10.0.0.0"),      // exact range start
+      (2L, "10.39.255.255"), // exact range end (multi-bucket range)
+      (3L, "10.159.63.255"), // sa-east's mid-bucket end
+      (4L, "10.159.200.1"),  // SAME bucket as 3, beyond the end -> unmatched
+      (5L, "10.165.0.1"),    // deliberately unassigned hole
+      (6L, "10.80.7.9")      // interior
+    ).toDF("doc_id", "ip")
+    val out = Urls.ipEnrich(ips, ranges).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("region"))).toMap
+    assert(out(1L).contains("us-east") && out(2L).contains("us-east"))
+    assert(out(3L).contains("sa-east"))
+    assert(out(4L).isEmpty,
+      "a bucket-matched but range-missed IP must come out unmatched, not dropped or tagged")
+    assert(out(5L).isEmpty)
+    assert(out(6L).contains("ap-south"))
+    assert(out.size == 6, "enrichment never drops or duplicates fetch-log rows")
+  }
+
+  test("budgetAllocate: exact water level, small sources survive whole") {
+    import spark.implicits._
+    def doc(src: String, id: Long, n: Int) =
+      (id, (1 to n).map("w" + _).mkString(" "), src)
+    val d = Seq(doc("a", 1, 10), doc("b", 2, 20), doc("c", 3, 100))
+      .toDF("doc_id", "text", "source")
+    val out = Select.budgetAllocate(d, budget = 60L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // sorted [10, 20, 100]: caps at k=3, lambda = (60 - 30) / 1 = 30
+    assert(out("a") == ((10L, 10.0, 1.0)), "small sources keep everything")
+    assert(out("b") == ((20L, 20.0, 1.0)))
+    assert(out("c") == ((100L, 30.0, 0.3)), "the largest source absorbs the whole cut")
+    assert(out.values.map(_._2).sum == 60.0, "allocation exhausts the budget exactly")
+    // Under budget: the infinity branch keeps every source whole.
+    val full = Select.budgetAllocate(d, budget = 1000L).collect()
+      .map(r => r.getDouble(3))
+    assert(full.forall(_ == 1.0))
+  }
+
+  test("accentFold: accents fold, ASCII and non-accent letters untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "café crème naïve señor über façade"),
+      (2L, "plain ascii words"),
+      (3L, "straße weiß") // ß is a letter, not an accent: must survive
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.accentFold(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == (("cafe creme naive senor uber facade", true)))
+    assert(out(2L) == (("plain ascii words", false)))
+    assert(out(3L) == (("straße weiß", false)))
+  }
+
   test("charEntropy: closed-form cases and the rounded-threshold flags") {
     import spark.implicits._
     val d = Seq(
