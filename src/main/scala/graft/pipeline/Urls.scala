@@ -151,6 +151,85 @@ object Urls {
       storeDir, broadcastMaxRows)
   }
 
+  private val FrontierTtlSpec = graft.sinks.BucketedStore.Spec(
+    "h STRING, store_doc_id BIGINT, epoch BIGINT", "h", 32)
+
+  /** TTL'd URL frontier — the RE-CRAWL SCHEDULE: a page seen within the
+    * last `ttlEpochs` batches is skipped exactly like
+    * [[incrementalUrlDedup]], but once its entry AGES OUT the URL
+    * re-admits as novel (content changes; a frontier that never forgets
+    * never re-crawls). `epoch` is a caller-supplied logical batch index
+    * (monotone — wall clocks don't replay deterministically), so the
+    * probe filters the store to LIVE rows (epoch > current − ttl) and
+    * appends keepers stamped with the current epoch. At most one live
+    * row per URL exists at any time (re-admission only happens after
+    * the previous row expired), so probe semantics stay keep-first
+    * against the LATEST admission; crash-replay of the same epoch
+    * re-flags keepers as duplicates-of-self and appends nothing (the
+    * [[Dedup.incrementalExact]] idempotence contract). Expired rows
+    * accumulate until [[expireFrontier]] drops them in the store's
+    * atomic compaction — probe correctness never depends on expiry
+    * having run. Returns UNORDERED (the gateBatch convention). */
+  def urlFrontierTtl(docs: DataFrame, storeDir: String, epoch: Long,
+      ttlEpochs: Long, broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val spark = docs.sparkSession
+    val hashed = graft.Materialize(docs.select(col("doc_id"),
+        CanonicalizeUrl.url(spark, col("url")).as("url_canon"))
+      .withColumn("h", md5(col("url_canon"))))
+    val live = graft.sinks.BucketedStore
+      .readOrEmpty(spark, storeDir, FrontierTtlSpec)
+      .filter(col("epoch") > lit(epoch - ttlEpochs))
+      .select(col("h"), col("store_doc_id"))
+    val firsts = hashed.groupBy("h").agg(min("doc_id").as("first_id"))
+    val intra = hashed.join(firsts, Seq("h"))
+    val lookedUp =
+      if (hashed.count() <= broadcastMaxRows) {
+        val matches = graft.Materialize(
+          live.join(broadcast(hashed.select("h").distinct()), Seq("h")))
+        intra.join(broadcast(matches), Seq("h"), "left")
+      } else live.join(intra, Seq("h"), "right")
+    val annotated = graft.Materialize(lookedUp
+      .select(col("doc_id"), col("url_canon"), col("h"),
+        (col("doc_id") =!= col("first_id") || col("store_doc_id").isNotNull)
+          .as("is_duplicate"),
+        when(col("store_doc_id").isNotNull, col("store_doc_id"))
+          .when(col("doc_id") =!= col("first_id"), col("first_id"))
+          .as("dup_of")))
+    graft.Materialize.release(hashed)
+    graft.sinks.BucketedStore.append(
+      annotated.filter(!col("is_duplicate"))
+        .select(col("h"), col("doc_id").as("store_doc_id"),
+          lit(epoch).as("epoch")),
+      storeDir, FrontierTtlSpec)
+    annotated.select("doc_id", "url_canon", "h", "is_duplicate", "dup_of")
+  }
+
+  /** Drop frontier rows whose admission epoch is older than
+    * `beforeEpoch` — retention riding the store's atomic compaction
+    * (read → filtered bucketed rewrite → two-rename swap). Run it in a
+    * maintenance window; probes are correct whether or not it has run
+    * (expired rows are filtered at probe time regardless). */
+  def expireFrontier(spark: SparkSession, storeDir: String,
+      beforeEpoch: Long): Unit =
+    graft.sinks.BucketedStore.compact(spark, storeDir, FrontierTtlSpec,
+      keep = col("epoch") >= beforeEpoch)
+
+  /** Parse "a.b.c.d/n" CIDR blocks into inclusive [start_ip, end_ip]
+    * longs (unaligned bases round DOWN to their block start — the
+    * convention routers apply), preserving every other column, so a
+    * published CIDR feed drops straight into [[ipEnrich]]:
+    * `ipEnrich(ips, cidrRanges(feed))`. Exact integer arithmetic. */
+  def cidrRanges(cidrs: DataFrame): DataFrame = {
+    val oct = (i: Int) =>
+      split(split(col("cidr"), "/").getItem(0), "\\.").getItem(i).cast("long")
+    val base = oct(0) * 16777216L + oct(1) * 65536L + oct(2) * 256L + oct(3)
+    val span = expr(
+      "shiftleft(CAST(1 AS BIGINT), 32 - CAST(split(cidr, '/')[1] AS INT))")
+    cidrs
+      .withColumn("start_ip", base - pmod(base, span))
+      .withColumn("end_ip", base - pmod(base, span) + span - 1)
+  }
+
   /** Plant for [[urlDedup]]: groups of three consecutive doc_ids share
     * one page, each spelled DIFFERENTLY — clean, shouty-host + default
     * port + tracking param, bare-`?` + fragment-suffixed — so the dedup

@@ -127,10 +127,15 @@ object BucketedStore {
     * rename it back. Probe semantics are unchanged: same rows, same
     * bucketing, and the session table is refreshed in place. */
   def compact(spark: SparkSession, dir: String, spec: Spec,
-      writeTasks: Int = 1): Unit = {
+      writeTasks: Int = 1,
+      keep: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(true)): Unit = {
     require(exists(spark, dir), s"no bucketed store at $dir")
     checkOrWriteMarker(spark, dir, spec)
-    val live = spark.table(ensureTable(spark, dir, spec))
+    // `keep` lets retention policies ride the same atomic rewrite (the
+    // TTL'd frontier drops expired epochs); the default keeps every row
+    // — pure file-count compaction, the original contract.
+    val live = spark.table(ensureTable(spark, dir, spec)).filter(keep)
     val cols = StructType.fromDDL(spec.schemaDdl).fieldNames
     val tmp = dir + "_compact_tmp"
     val trash = dir + "_compact_old"
