@@ -179,4 +179,84 @@ class PropertySpec extends AnyFunSuite {
       }
     }, params)
   }
+
+  test("secretScan redaction is COMPLETE: a second scan over redacted text finds nothing") {
+    // Random text salted with random secrets in random positions: after
+    // one redaction pass, every detector must count zero — the property
+    // that makes "ships redacted" a safe default. (Counts on the first
+    // pass must also equal the number of planted secrets when the filler
+    // is clean, pinning no-false-negative on these shapes.)
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val hex = Gen.listOfN(32, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
+    val secret = Gen.oneOf(
+      Gen.choose(0, 255).flatMap(a => Gen.choose(0, 255).map(b => s"10.$a.1.$b")),
+      Gen.listOfN(16, Gen.oneOf(('A' to 'Z') ++ ('0' to '9'))).map("AKIA" + _.mkString),
+      hex,
+      hex.map("Bearer " + _))
+    val gen = for {
+      nw <- Gen.choose(1, 12)
+      words <- Gen.listOfN(nw, word)
+      ns <- Gen.choose(0, 3)
+      secrets <- Gen.listOfN(ns, secret)
+      mixed <- Gen.const(scala.util.Random.shuffle(words ++ secrets).mkString(" "))
+    } yield (mixed, ns)
+    check(forAll(gen) { case (text, ns) =>
+      val once = graft.pipeline.TextAnalysis.secretScan(
+        Seq((1L, text)).toDF("doc_id", "text")).collect().head
+      val redacted = once.getAs[String]("redacted")
+      val again = graft.pipeline.TextAnalysis.secretScan(
+        Seq((1L, redacted)).toDF("doc_id", "text")).collect().head
+      val residue = again.getLong(1) + again.getLong(2) +
+        again.getLong(3) + again.getLong(4)
+      val found = once.getLong(1) + once.getLong(2) +
+        once.getLong(3) + once.getLong(4)
+      Prop(residue == 0L && found >= ns) :|
+        s"text='$text' redacted='$redacted' found=$found planted=$ns residue=$residue"
+    }, params)
+  }
+
+  test("accentFold is idempotent and length-bounded on random latin-1 text") {
+    val ch = Gen.oneOf(('a' to 'z') ++ "àáâãäåçèéêëìíîïñòóôõöùúûüý €ß".toSeq)
+    val gen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, ch).map(_.mkString))
+    check(forAll(gen) { s =>
+      def fold(x: String) = graft.pipeline.TextAnalysis.accentFold(
+        Seq((1L, x)).toDF("doc_id", "text")).collect().head.getString(1)
+      val once = fold(s)
+      Prop(fold(once) == once && once.length <= s.length) :|
+        s"s='$s' once='$once'"
+    }, params)
+  }
+
+  test("cidrRanges invariants: alignment, span, containment of the base address") {
+    val gen = for {
+      a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+      c <- Gen.choose(0, 255); d <- Gen.choose(0, 255)
+      n <- Gen.choose(8, 32)
+    } yield (s"$a.$b.$c.$d/$n", a.toLong * 16777216L + b * 65536L + c * 256L + d, n)
+    check(forAll(gen) { case (cidr, base, n) =>
+      val r = graft.pipeline.Urls.cidrRanges(
+        Seq(Tuple1(cidr)).toDF("cidr")).collect().head
+      val (s, e) = (r.getAs[Long]("start_ip"), r.getAs[Long]("end_ip"))
+      val span = 1L << (32 - n)
+      Prop(s % span == 0 && e - s + 1 == span && s <= base && base <= e) :|
+        s"$cidr -> [$s, $e] span=$span base=$base"
+    }, params)
+  }
+
+  test("charEntropy bounds: 0 <= H <= log2(n_chars), 0 exactly on uniform runs") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      cs <- Gen.listOfN(n, Gen.oneOf('a' to 'f'))
+    } yield cs.mkString
+    check(forAll(gen) { s =>
+      val r = graft.pipeline.TextAnalysis.charEntropy(
+        Seq((1L, s)).toDF("doc_id", "text")).collect().head
+      val (n, h) = (r.getLong(1), r.getDouble(2))
+      val maxH = math.log(n.toDouble) / math.log(2.0) + 1e-9
+      val uniform = s.toSet.size == 1
+      Prop(n == s.length && h >= 0.0 && h <= maxH &&
+        (!uniform || h == 0.0)) :| s"s='$s' n=$n H=$h"
+    }, params)
+  }
 }
