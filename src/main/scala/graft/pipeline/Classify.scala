@@ -284,6 +284,18 @@ object Classify {
       qualityScoreFixed(Tables(s, d).documents)),
     "quality_calibration" -> ((s, d) =>
       calibrationReport(Tables(s, d).documents)),
+    // Quality-aware dedup policy: [[Dedup.keepBest]]'s argmax-aggregate
+    // shape with the FIXED scorer's probability as the keep criterion —
+    // dedup stops throwing away the best-scored copy of a duplicated
+    // page. Pure composition (one extra doc_id join to carry the
+    // score); identical-text copies tie on prob and fall back to
+    // keep-lowest-id, so the policy degrades to keep-first exactly
+    // where quality cannot discriminate.
+    "dedup_keep_best_quality" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val prob = qualityScoreFixed(docs).select(col("doc_id"), col("prob"))
+      Dedup.keepBest(docs.join(prob, Seq("doc_id")), scoreCol = "prob")
+    }),
   )
 
   /** The fixed-weight scorer replay SQL, shared by the score entry and
@@ -327,5 +339,16 @@ object Classify {
          |FROM (SELECT LEAST(CAST(FLOOR(prob * 10) AS BIGINT), 9) AS bin, prob, lang
          |      FROM ($fixedScoreSql) base) b
          |GROUP BY bin ORDER BY bin""".stripMargin,
+    // The keep-best argmax (prob desc, doc_id asc) replayed as a window
+    // (the oracle may window) over the shared score CTE.
+    "dedup_keep_best_quality" ->
+      s"""WITH j AS (SELECT d.doc_id, md5(d.text) AS h, b.prob
+         |  FROM documents d JOIN ($fixedScoreSql) b USING (doc_id)),
+         |r AS (SELECT doc_id, h, prob,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY prob DESC, doc_id) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY h) AS BIGINT) AS group_size
+         |  FROM j)
+         |SELECT doc_id, h, prob AS score, group_size FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
   )
 }
