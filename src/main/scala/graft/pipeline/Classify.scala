@@ -135,7 +135,6 @@ object Classify {
       .select(col("doc_id"), col("lang"),
         round(sigmoid(coalesce(col("zf"), lit(0.0)) + lit(w(Buckets))), 4).as("prob"))
       .withColumn("is_target", col("prob") > 0.5)
-      .orderBy("doc_id")
   }
 
   /** Train-then-score composition — the registry entry. */
@@ -199,20 +198,8 @@ object Classify {
         round(coalesce(col("zf"), lit(0.0)), 4).as("z"),
         round(sigmoid(coalesce(col("zf"), lit(0.0))), 4).as("prob"))
       .withColumn("is_target", col("prob") > 0.5)
-      .orderBy("doc_id")
   }
 
-  /** The fixed-weight LR decision as ONE projection column over a text
-    * column — [[qualityScoreFixed]]'s exact arithmetic (hashed bigrams →
-    * md5-derived fixed weights → instance-mean → sigmoid → rounded
-    * decision) folded into a per-row HOF, for gates that must not join:
-    * [[Curate.corpusBuild]]'s opt-in LR quality stage composes this on
-    * its existing scan, zero shuffle. The instance-mean folds in
-    * DOCUMENT ORDER here vs exploded-aggregate order there — sub-ulp
-    * float drift the shared ROUND(…, 4) absorbs (the q75/q79 argument);
-    * the decision compares the rounded value, matching the oracle's
-    * round-before-threshold convention. Bigram-less documents score
-    * σ(0) = 0.5, which fails the strict > 0.5 gate. */
   /** The fixed-weight LR decision as a PER-DOC TABLE (doc_id, lq) via
     * the exploded-aggregate form — [[qualityScoreFixed]]'s arithmetic
     * with only the boolean decision kept. Same semantics as
@@ -242,6 +229,19 @@ object Classify {
       .select(col("doc_id"),
         (round(sigmoid(col("zf")), 4) > 0.5).as("lq"))
 
+  /** The fixed-weight LR decision as ONE projection column over a text
+    * column — [[qualityScoreFixed]]'s exact arithmetic (hashed bigrams →
+    * md5-derived fixed weights → instance-mean → sigmoid → rounded
+    * decision) folded into a per-row HOF. Kept as the semantic twin and
+    * WIDTH comparison point for [[fixedPassByDoc]] — NOT the production
+    * path: Spark evaluates HOF lambda bodies interpreted, measured
+    * 10–25× slower than the exploded-aggregate form (r16 WIDTH pair).
+    * The instance-mean folds in DOCUMENT ORDER here vs aggregate order
+    * there — sub-ulp float drift the shared ROUND(…, 4) absorbs (the
+    * q75/q79 argument); the decision compares the rounded value,
+    * matching the oracle's round-before-threshold convention.
+    * Bigram-less documents score σ(0) = 0.5, failing the strict > 0.5
+    * gate. */
   private[graft] def fixedScorePass(text: Column): Column = {
     val toks = split(text, " ")
     val zf = when(size(toks) >= 2,
@@ -277,11 +277,12 @@ object Classify {
       .withColumn("gap", round(col("mean_prob") - col("frac_target"), 6))
       .orderBy("bin")
 
+  // Entries own the oracle's total order; operators return UNORDERED.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_classifier" -> ((s, d) =>
-      qualityClassifier(Tables(s, d).documents)),
+      qualityClassifier(Tables(s, d).documents).orderBy("doc_id")),
     "quality_score_fixed" -> ((s, d) =>
-      qualityScoreFixed(Tables(s, d).documents)),
+      qualityScoreFixed(Tables(s, d).documents).orderBy("doc_id")),
     "quality_calibration" -> ((s, d) =>
       calibrationReport(Tables(s, d).documents)),
     // Quality-aware dedup policy: [[Dedup.keepBest]]'s argmax-aggregate
@@ -295,6 +296,7 @@ object Classify {
       val docs = Tables(s, d).documents
       val prob = qualityScoreFixed(docs).select(col("doc_id"), col("prob"))
       Dedup.keepBest(docs.join(prob, Seq("doc_id")), scoreCol = "prob")
+        .orderBy("doc_id")
     }),
   )
 

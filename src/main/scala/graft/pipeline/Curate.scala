@@ -61,7 +61,6 @@ object Curate {
       .join(tq, Seq("doc_id"), "left").join(rep, Seq("doc_id"), "left")
       .join(pii, Seq("doc_id"), "left").join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), reason.isNull.as("keep"), reason.as("reason"))
-      .orderBy("doc_id")
   }
 
   /** Percentile-threshold quality binning — the "keep the top X%"
@@ -93,7 +92,6 @@ object Curate {
           "aggregate(thr, 0, (acc, t) -> acc + IF(CAST(n_chars AS DOUBLE) > t, 1, 0))"))
           .cast("long").as("decile"))
       .withColumn("top_quality", col("decile") >= 9)
-      .orderBy("doc_id")
   }
 
   /** The end-to-end corpus-build FUNNEL — the composed pipeline run as
@@ -304,7 +302,6 @@ object Curate {
               c.getField("src") < col("source"))).cast("long") + 1L)
           .as("pos"),
         col("doc_id"), col("source"), col("rank_in_source"))
-      .orderBy("pos")
   }
 
   /** Per-document PROVENANCE through the corpus funnel — the
@@ -332,7 +329,6 @@ object Curate {
           .when(col("hk") < tTrain, "train")
           .when(col("hk") < tVal, "val")
           .otherwise("test").as("disposition"))
-      .orderBy("doc_id")
   }
 
   /** The gopher_rules suffix plant applied to the corpus before the
@@ -348,14 +344,17 @@ object Curate {
         .otherwise(lit(""))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q53_curation" -> ((s, d) => curation(Tables(s, d).documents)),
+    "q53_curation" -> ((s, d) =>
+      curation(Tables(s, d).documents).orderBy("doc_id")),
     "curriculum_interleave" -> ((s, d) =>
-      interleaveSources(Tables(s, d).documents)),
-    "q81_quality_deciles" -> ((s, d) => qualityDeciles(Tables(s, d).documents)),
+      interleaveSources(Tables(s, d).documents).orderBy("pos")),
+    "q81_quality_deciles" -> ((s, d) =>
+      qualityDeciles(Tables(s, d).documents).orderBy("doc_id")),
     "pipeline_funnel" -> ((s, d) => corpusBuild(Tables(s, d).documents)),
     // The per-doc audit behind the funnel counts: disposition per
     // ingested document (killing stage or landed split).
-    "pipeline_provenance" -> ((s, d) => provenance(Tables(s, d).documents)),
+    "pipeline_provenance" -> ((s, d) =>
+      provenance(Tables(s, d).documents).orderBy("doc_id")),
     // The production quality gate: token bounds AND the Gopher rule
     // battery, over the gopher-planted corpus.
     "pipeline_funnel_gopher" -> ((s, d) =>

@@ -45,12 +45,14 @@ object Dedup {
     * document duplicated millions of times collapses to one row per map
     * task before the shuffle, where the window form would sort the whole
     * clique in a single skewed reducer partition. Same keep-first rows
-    * (the oracle's ROW_NUMBER twin pins the equivalence). */
+    * (the oracle's ROW_NUMBER twin pins the equivalence). Returns
+    * UNORDERED (the convention everywhere here: operators never sort
+    * their corpus-sized output — the registered entry owns the oracle's
+    * total order). */
   def exact(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy("h").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "h")
-      .orderBy("doc_id")
 
   /** Opt-in Unicode-canonicalization pre-step for ANY dedup entry:
     * returns `docs` with `text` normalized (NFC by default), so
@@ -119,7 +121,6 @@ object Dedup {
             struct(col("blk_idx"), col("blk"))))),
           x => x("blk"))).as("clean_text"))
       .withColumn("changed", col("n_removed") > 0)
-      .orderBy("doc_id")
   }
 
   /** Frequent-block masking — the REMOVE-ALL dual of [[paragraphDedup]]
@@ -161,7 +162,6 @@ object Dedup {
             struct(col("blk_idx"), col("blk"))))),
           x => x("blk"))).as("clean_text"))
       .withColumn("changed", col("n_masked") > 0)
-      .orderBy("doc_id")
   }
 
   /** Cross-doc boilerplate plant for `dedup_substring`: a 20-token
@@ -262,7 +262,6 @@ object Dedup {
         (size(col("toks")) - size(col("clean_toks"))).cast("long").as("n_removed_tokens"),
         (coalesce(col("n_masked"), lit(0L)) > 0).as("changed"),
         concat_ws(" ", col("clean_toks")).as("clean_text"))
-      .orderBy("doc_id")
 
   private val WindowStoreSpec = graft.sinks.BucketedStore.Spec(
     "h STRING, store_doc_id BIGINT, store_pos INT", "h", 32)
@@ -417,7 +416,6 @@ object Dedup {
       .select(col("doc_id"), col("dup_of"),
         round(coalesce(col("best_jaccard"), lit(0.0)), 4).as("best_jaccard"),
         col("dup_of").isNotNull.as("is_duplicate"))
-      .orderBy("doc_id")
   }
 
   /** Top-N n-gram Jaccard similarity pairs, exactly.
@@ -649,7 +647,6 @@ object Dedup {
       .join(dupOf, Seq("doc_id"), "left")
       .select(col("doc_id"), col("simhash"), col("dup_of"),
         col("dup_of").isNotNull.as("is_duplicate"))
-      .orderBy("doc_id")
   }
 
   /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003 —
@@ -702,7 +699,6 @@ object Dedup {
     docs.select(col("doc_id"), expr(hs).as("hh"))
       .select(col("doc_id"), explode(expr(sel)).as("s"))
       .select(col("doc_id"), col("s.pos").cast("long").as("pos"), col("s.fp").as("fp"))
-      .orderBy("doc_id", "pos")
   }
 
   /** Near-dup/plagiarism candidate pairs by SHARED winnowing
@@ -770,7 +766,6 @@ object Dedup {
           |               'n', e - s + 1))""".stripMargin)).as(Seq("p", "c")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("chunk_idx"),
         col("c.h").as("h"), col("c.n").cast("long").as("n_toks"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Chunk-level dedup report over [[cdcChunks]]: per document its chunk
@@ -791,7 +786,6 @@ object Dedup {
         sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4).as("dup_frac"))
-      .orderBy("doc_id")
   }
 
   /** Bucket specs for the persistent incremental stores. 32 buckets
@@ -928,7 +922,7 @@ object Dedup {
       newSigs.join(keep, Seq("doc_id")), s"$storeDir/sigs", SigsSpec)
     graft.Materialize.release(sigWide)
     graft.Materialize.release(cands)
-    annotated.orderBy("doc_id")
+    annotated
   }
 
   /** Incremental CHUNK-level dedup against a persistent chunk-hash
@@ -992,7 +986,6 @@ object Dedup {
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4).as("dup_frac"))
-      .orderBy("doc_id")
     graft.Materialize.release(ch)
     graft.Materialize.release(hits)
     out
@@ -1124,7 +1117,7 @@ object Dedup {
     graft.Materialize.release(shk)
     graft.Materialize.release(cands)
     graft.Materialize.release(keepPost)
-    annotated.orderBy("doc_id")
+    annotated
   }
 
   /** Pairwise source-overlap matrix from ONE bottom-k hash sketch — the
@@ -1168,7 +1161,7 @@ object Dedup {
           (col("cnt_a") + col("cnt_b") - col("n_both")), 6).as("est_jaccard")))
     graft.Materialize.release(hashed)
     graft.Materialize.release(mem)
-    out.orderBy("src_a", "src_b")
+    out
   }
 
   private val SimSpec = graft.sinks.BucketedStore.Spec(
@@ -1230,7 +1223,7 @@ object Dedup {
       storeDir, SimSpec)
     graft.Materialize.release(withSim)
     graft.Materialize.release(chunks)
-    annotated.orderBy("doc_id")
+    annotated
   }
 
   /** Incremental exact dedup against a persistent hash store — the
@@ -1291,7 +1284,7 @@ object Dedup {
       annotated.filter(!col("is_duplicate"))
         .select(col("h"), col("doc_id").as("store_doc_id")),
       storeDir, ExactSpec)
-    annotated.select("doc_id", "h", "is_duplicate", "dup_of").orderBy("doc_id")
+    annotated.select("doc_id", "h", "is_duplicate", "dup_of")
   }
 
   /** Keep-BEST-in-cluster dedup policy — the production variant of
@@ -1313,7 +1306,6 @@ object Dedup {
       .agg(max("cand").as("best"), count(lit(1)).as("group_size"))
       .select((-col("best.negid")).as("doc_id"), col("h"),
         col("best.score").as("score"), col("group_size"))
-      .orderBy("doc_id")
   }
 
   /** Corpus-overlap estimation via a k-minimum-values sketch (Bar-Yossef
@@ -1348,8 +1340,12 @@ object Dedup {
         round(col("n_both").cast("double") / col("k_sketch"), 6).as("est_jaccard"))
   }
 
+  // Entries own the oracle's total order (operators return UNORDERED —
+  // the crawl_gate r16 precedent made the convention): the sort below is
+  // the DRIVER-COMPARE surface only, never part of the production API.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q19_dedup_exact"      -> ((s, d) => exact(Tables(s, d).documents)),
+    "q19_dedup_exact"      -> ((s, d) =>
+      exact(Tables(s, d).documents).orderBy("doc_id")),
     // NFC-canonicalized exact dedup: deterministic decomposed (even ids)
     // vs precomposed (odd ids) suffixes are planted in BOTH engines, so
     // exact-dup groups straddling the parity split collapse ONLY through
@@ -1358,26 +1354,34 @@ object Dedup {
       val twins = Tables(s, d).documents.withColumn("text",
         concat(col("text"),
           when(col("doc_id") % 2 === 0, lit(NfcDecomposed)).otherwise(lit(NfcPrecomposed))))
-      exact(normalized(twins))
+      exact(normalized(twins)).orderBy("doc_id")
     }),
-    "dedup_keep_best"      -> ((s, d) => keepBest(Tables(s, d).documents)),
+    "dedup_keep_best"      -> ((s, d) =>
+      keepBest(Tables(s, d).documents).orderBy("doc_id")),
     "corpus_overlap_kmv"   -> ((s, d) => corpusOverlapKmv(Tables(s, d).documents)),
-    "source_overlap_matrix" -> ((s, d) => sourceOverlapMatrix(Tables(s, d).documents)),
-    "dedup_minhash_lsh"    -> ((s, d) => minhashDedup(Tables(s, d).documents)),
+    "source_overlap_matrix" -> ((s, d) =>
+      sourceOverlapMatrix(Tables(s, d).documents).orderBy("src_a", "src_b")),
+    "dedup_minhash_lsh"    -> ((s, d) =>
+      minhashDedup(Tables(s, d).documents).orderBy("doc_id")),
     "dedup_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "dedup_containment"    -> ((s, d) => containmentPairs(Tables(s, d).documents)),
-    "dedup_simhash"        -> ((s, d) => simhashDedup(Tables(s, d).documents)),
+    "dedup_simhash"        -> ((s, d) =>
+      simhashDedup(Tables(s, d).documents).orderBy("doc_id")),
     "q69_edit_distance"    -> ((s, d) => editDistancePairs(Tables(s, d).documents)),
-    "q73_paragraph_dedup"  -> ((s, d) => paragraphDedup(Tables(s, d).documents)),
-    "q78_block_mask"       -> ((s, d) => frequentBlockMask(Tables(s, d).documents)),
+    "q73_paragraph_dedup"  -> ((s, d) =>
+      paragraphDedup(Tables(s, d).documents).orderBy("doc_id")),
+    "q78_block_mask"       -> ((s, d) =>
+      frequentBlockMask(Tables(s, d).documents).orderBy("doc_id")),
     // Exact-substring dedup over the boilerplate plant: every 7th doc
     // shares a 20-token disclaimer (keep-first across docs), every 13th
     // repeats a 14-token phrase twice (within-doc self-repeat) — both
     // must be excised from every non-first occurrence EXACTLY.
     "dedup_substring"      -> ((s, d) =>
-      substringDedup(plantSubstring(Tables(s, d).documents))),
-    "q97_cdc_dedup"        -> ((s, d) => cdcDedup(Tables(s, d).documents)),
-    "q98_winnowing"        -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
+      substringDedup(plantSubstring(Tables(s, d).documents)).orderBy("doc_id")),
+    "q97_cdc_dedup"        -> ((s, d) =>
+      cdcDedup(Tables(s, d).documents).orderBy("doc_id")),
+    "q98_winnowing"        -> ((s, d) =>
+      winnowFingerprints(Tables(s, d).documents).orderBy("doc_id", "pos")),
     "winnow_pairs"         -> ((s, d) => winnowingPairs(Tables(s, d).documents)),
   )
 

@@ -698,7 +698,6 @@ object Multimodal {
         }
       }))
       .toDF()
-      .orderBy("doc_id")
   }
 
   private val DHashSpec = graft.sinks.BucketedStore.Spec(
@@ -800,7 +799,7 @@ object Multimodal {
     graft.Materialize.release(probes)
     graft.Materialize.release(bands)
     graft.Materialize.release(hashed)
-    annotated.orderBy("doc_id")
+    annotated
   }
 
   // --------------------------------------------------------- audio dedup
@@ -1426,7 +1425,7 @@ object Multimodal {
     graft.Materialize.release(probes)
     graft.Materialize.release(bands)
     graft.Materialize.release(hashed)
-    annotated.orderBy("doc_id")
+    annotated
   }
 
   def pipeline(s: SparkSession, dir: String): DataFrame =
@@ -1459,7 +1458,8 @@ object Multimodal {
     // doc hashed from its payload and from a cross-codec re-encode; the
     // spec pins twin hamming ≤ 10 and distinct-image separation.
     "image_dhash" -> ((s, d) =>
-      imageDHashTwins(attachPayloads(Tables(s, d).documents))),
+      imageDHashTwins(attachPayloads(Tables(s, d).documents))
+        .orderBy("doc_id")),
     // Rows-only (AVI decode is byte-walk output, not SQL): one row per
     // sampled frame with its 64-bit dHash — the video near-dup
     // signature surface; specs pin re-mux/trim matching and

@@ -108,7 +108,6 @@ object Profile {
           .when(col("new_h").isNull, "removed")
           .when(col("old_h") =!= col("new_h"), "changed")
           .otherwise("unchanged").as("status"))
-      .orderBy("doc_id")
   }
 
   /** Distribution drift between two corpus versions over a categorical
@@ -339,7 +338,7 @@ object Profile {
       val v2 = docs.filter(col("doc_id") % 10 =!= 1)
         .withColumn("text", when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
-      snapshotDiff(v1, v2)
+      snapshotDiff(v1, v2).orderBy("doc_id")
     }),
     // Hot-key diagnosis over the events queue table (user_id plays the
     // reference's partition_id — the key its work-stealing shards by).

@@ -178,7 +178,7 @@ object Robots {
       .withColumn("allowed", coalesce(col("win.allow") === 1, lit(true)))
       .withColumn("matched_pattern", col("win.pattern"))
       .drop("has_specific", "best_spec", "best_star", "win")
-    verdict.orderBy("doc_id")
+    verdict
   }
 
   /** Deterministic per-host-class robots plant for the oracle entry —
@@ -255,7 +255,6 @@ object Robots {
       .select(col("doc_id"), col("host"), col("delay_s"), col("cap"),
         col("rank"),
         (col("rank").isNotNull && col("rank") <= col("cap")).as("admitted"))
-      .orderBy("doc_id")
   }
 
   /** `Sitemap:` directives from robots.txt bodies — the discovery
@@ -298,7 +297,6 @@ object Robots {
       field(col("x.e"), "changefreq").as("changefreq"),
       field(col("x.e"), "priority").cast("double").as("priority"))
       .filter(col("loc").isNotNull)
-      .orderBy("loc")
   }
 
   /** The crawl-side funnel — [[Curate.corpusBuild]]'s twin for the
@@ -344,7 +342,7 @@ object Robots {
             .when(col("host").startsWith("blog."), lit(BlogRobots))
             .when(col("host") === "spam-mill.com", lit(SpamRobots)))
         .filter(col("robots_txt").isNotNull)
-      verdicts(targets, robots)
+      verdicts(targets, robots).orderBy("doc_id")
     }),
     // The crawl funnel end-to-end over the planted classes: the
     // blocklisted domain dies at `domain`, robots kills the
@@ -376,7 +374,7 @@ object Robots {
             .when(col("host").startsWith("blog."), lit(BlogRobots))
             .when(col("host") === "spam-mill.com", lit(SpamRobots)))
         .filter(col("robots_txt").isNotNull)
-      politenessAdmission(targets, robots)
+      politenessAdmission(targets, robots).orderBy("doc_id")
     }),
     // Sitemap ROUND-TRIP: per-host urlset XML assembled from the planted
     // canonical URLs (loc whitespace-padded on odd docs, lastmod absent
@@ -411,7 +409,7 @@ object Robots {
           concat_ws("", transform(array_sort(collect_list(col("e"))),
             x => x("entry"))),
           lit("</urlset>")).as("sitemap_xml"))
-      parseSitemap(xml)
+      parseSitemap(xml).orderBy("loc")
     })
   )
 

@@ -52,7 +52,6 @@ object Select {
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         coalesce(col("n_overlap"), lit(0L)).gt(0).as("contaminated"))
-      .orderBy("doc_id")
   }
 
   /** Benchmark decontamination with a Bloom-filter prefilter — the shape
@@ -100,7 +99,6 @@ object Select {
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         coalesce(col("n_overlap"), lit(0L)).gt(0).as("contaminated"))
-      .orderBy("doc_id")
   }
 
   private val EvalShinglesSpec =
@@ -187,7 +185,6 @@ object Select {
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         coalesce(col("n_overlap"), lit(0L)).gt(0).as("contaminated"))
-      .orderBy("doc_id")
   }
 
   /** Contamination SPAN scoring: not just whether a training document
@@ -244,7 +241,6 @@ object Select {
         coalesce(col("max_run"), lit(0L)).as("max_run"),
         coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
         coalesce(col("n_hits"), lit(0L)).gt(0).as("contaminated"))
-      .orderBy("doc_id")
   }
 
   /** Deterministic stratified Bernoulli sample: a document is kept iff
@@ -263,7 +259,6 @@ object Select {
       .filter(col("hk") < when(col("lang") === "en", lit("33333333"))
         .otherwise(lit("80000000")))
       .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy("doc_id")
 
   /** Per-domain quota: keep the top `k` documents of each source by
     * length (n_chars desc, doc_id asc as the tiebreak) — the "cap every
@@ -281,7 +276,6 @@ object Select {
       "source", "n_chars", "doc_id", "rk", k, ascending = false)
       .select(col("doc_id"), col("source"),
         col("n_chars").cast("long").as("n_chars"), col("rk"))
-      .orderBy("source", "rk")
 
   /** Quality-mass "nucleus" corpus selection — keep the best documents
     * that together carry `massFrac` of the corpus's total quality mass
@@ -350,7 +344,7 @@ object Select {
       .filter(col("cum_before") +
         (col("blk_before") + col("rn") - 1) * col("m") < col("target"))
       .select("doc_id", "score")
-    fullRows.select("doc_id", "score").unionByName(bSel).orderBy("doc_id")
+    fullRows.select("doc_id", "score").unionByName(bSel)
   }
 
   /** Exactly-k uniform sample per stratum, deterministically: rank each
@@ -367,7 +361,6 @@ object Select {
         md5(col("doc_id").cast("string")).as("hk")),
       "source", "hk", "doc_id", "rk", k)
       .select(col("doc_id"), col("source"), col("rk"))
-      .orderBy("source", "rk")
 
   /** Per-language mixture rebalancing weights: weight = target share /
     * actual share, the factor a sampler applies per stratum to hit a
@@ -441,7 +434,6 @@ object Select {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         round(coalesce(col("llr"), lit(0.0)), 4).as("llr"),
         (round(coalesce(col("llr"), lit(0.0)), 4) > 0).as("target_like"))
-      .orderBy("doc_id")
   }
 
   /** Temperature-based mixture sampling (the multilingual-pretraining
@@ -479,7 +471,6 @@ object Select {
       .filter(col("hk32") < col("thr"))
       .select(col("doc_id"), col("lang"), col("source"),
         round(col("rate"), 6).as("rate"))
-      .orderBy("doc_id")
   }
 
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
@@ -556,7 +547,6 @@ object Select {
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1L), col("reps"))).as("epoch"),
         round(col("e"), 6).as("target_epochs"))
-      .orderBy("doc_id", "epoch")
   }
 
   /** Quality-ordered token-budget fill: take documents in (quality
@@ -603,7 +593,6 @@ object Select {
       .select(col("doc_id"), col("qb"), col("n_tokens"),
         (col("blk_prefix") + col("in_prefix")).as("offset"))
       .filter(col("offset") + col("n_tokens") <= budget)
-      .orderBy("doc_id")
   }
 
   /** Concat-then-chunk sequence packing: documents are laid end to end in
@@ -641,7 +630,6 @@ object Select {
       .withColumn("first_chunk", floor(col("offset") / budget))
       .withColumn("last_chunk",
         floor((col("offset") + greatest(col("n_tokens"), lit(1L)) - 1) / budget))
-      .orderBy("doc_id")
   }
 
   /** Overlapping token-window chunking: split each document into windows
@@ -664,7 +652,6 @@ object Select {
         least(lit(window), col("len") - col("chunk_start")).cast("long").as("chunk_len"),
         concat_ws(" ", slice(col("toks"), col("chunk_start") + 1, lit(window)))
           .as("chunk_text"))
-      .orderBy("doc_id", "chunk_start")
   }
 
   /** Deterministic training-shard assignment + within-shard shuffle
@@ -713,7 +700,6 @@ object Select {
     inBlk.join(blkPrefix, Seq("blk"))
       .select(col("doc_id"), col("shard"),
         (col("blk_rank") + col("blk_prefix")).as("pos"))
-      .orderBy("shard", "pos")
   }
 
   /** The frozen (train, val) hex split thresholds for
@@ -744,7 +730,6 @@ object Select {
         when(col("hk") < lit(tTrain), "train")
           .when(col("hk") < lit(tVal), "val")
           .otherwise("test").as("split"))
-      .orderBy("doc_id")
   }
 
   /** Length-bucketed batching report — the padding-efficiency planner
@@ -841,24 +826,39 @@ object Select {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "budget_allocate" -> ((s, d) => budgetAllocate(Tables(s, d).documents)),
-    "q65_shard_assign"  -> ((s, d) => shardAssign(Tables(s, d).documents)),
+    "q65_shard_assign"  -> ((s, d) =>
+      shardAssign(Tables(s, d).documents).orderBy("shard", "pos")),
     "q87_zorder"        -> ((s, d) => zOrderEvents(Tables(s, d).events)),
-    "q85_split_tvt"     -> ((s, d) => splitTrainValTest(Tables(s, d).documents)),
+    "q85_split_tvt"     -> ((s, d) =>
+      splitTrainValTest(Tables(s, d).documents).orderBy("doc_id")),
     "q86_length_buckets" -> ((s, d) => lengthBuckets(Tables(s, d).documents)),
-    "q58_decontaminate" -> ((s, d) => decontaminate(Tables(s, d).documents)),
-    "q59_strat_sample"  -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
-    "q60_quota_topk"    -> ((s, d) => quotaTopK(Tables(s, d).documents)),
+    "q58_decontaminate" -> ((s, d) =>
+      decontaminate(Tables(s, d).documents).orderBy("doc_id")),
+    "q59_strat_sample"  -> ((s, d) =>
+      stratifiedSample(Tables(s, d).documents).orderBy("doc_id")),
+    "q60_quota_topk"    -> ((s, d) =>
+      quotaTopK(Tables(s, d).documents).orderBy("source", "rk")),
     "q61_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),
-    "q68_strata_exact_k" -> ((s, d) => strataExactK(Tables(s, d).documents)),
-    "nucleus_select"    -> ((s, d) => nucleusSelect(Tables(s, d).documents)),
-    "q62_pack_sequences" -> ((s, d) => packSequences(Tables(s, d).documents)),
-    "q63_chunk_docs"    -> ((s, d) => chunkDocs(Tables(s, d).documents)),
-    "q71_temperature_sample" -> ((s, d) => temperatureSample(Tables(s, d).documents)),
-    "q72_decontaminate_bloom" -> ((s, d) => decontaminateBloom(Tables(s, d).documents)),
-    "q74_contamination_span" -> ((s, d) => contaminationSpan(Tables(s, d).documents)),
-    "q76_token_budget"  -> ((s, d) => tokenBudgetFill(Tables(s, d).documents)),
-    "q77_epochs_upsample" -> ((s, d) => epochsUpsample(Tables(s, d).documents)),
-    "q79_importance_weights" -> ((s, d) => importanceWeights(Tables(s, d).documents)),
+    "q68_strata_exact_k" -> ((s, d) =>
+      strataExactK(Tables(s, d).documents).orderBy("source", "rk")),
+    "nucleus_select"    -> ((s, d) =>
+      nucleusSelect(Tables(s, d).documents).orderBy("doc_id")),
+    "q62_pack_sequences" -> ((s, d) =>
+      packSequences(Tables(s, d).documents).orderBy("doc_id")),
+    "q63_chunk_docs"    -> ((s, d) =>
+      chunkDocs(Tables(s, d).documents).orderBy("doc_id", "chunk_start")),
+    "q71_temperature_sample" -> ((s, d) =>
+      temperatureSample(Tables(s, d).documents).orderBy("doc_id")),
+    "q72_decontaminate_bloom" -> ((s, d) =>
+      decontaminateBloom(Tables(s, d).documents).orderBy("doc_id")),
+    "q74_contamination_span" -> ((s, d) =>
+      contaminationSpan(Tables(s, d).documents).orderBy("doc_id")),
+    "q76_token_budget"  -> ((s, d) =>
+      tokenBudgetFill(Tables(s, d).documents).orderBy("doc_id")),
+    "q77_epochs_upsample" -> ((s, d) =>
+      epochsUpsample(Tables(s, d).documents).orderBy("doc_id", "epoch")),
+    "q79_importance_weights" -> ((s, d) =>
+      importanceWeights(Tables(s, d).documents).orderBy("doc_id")),
     "q84_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)),
   )
 

@@ -93,7 +93,6 @@ object Urls {
       .withColumn("host", hostOf(col("url_canon")))
       .withColumn("reg_domain", registeredDomain(col("host")))
       .withColumn("blocked", col("reg_domain").isin(blocklist: _*))
-      .orderBy("doc_id")
   }
 
   /** Per-registered-domain rollup — the domain-level twin of
@@ -112,7 +111,6 @@ object Urls {
         countDistinct("source").as("n_sources"),
         sum("n_chars").as("sum_chars"))
       .withColumn("blocked", col("reg_domain").isin(blocklist: _*))
-      .orderBy("reg_domain")
   }
 
   /** URL-level exact dedup — CCNet stage 1: the same page crawled twice
@@ -130,7 +128,6 @@ object Urls {
       .select(col("doc_id"), col("url_canon"),
         (col("doc_id") =!= col("first_id")).as("is_duplicate"),
         when(col("doc_id") =!= col("first_id"), col("first_id")).as("dup_of"))
-      .orderBy("doc_id")
   }
 
   /** Incremental URL frontier — the crawler's persistent "seen URL"
@@ -176,10 +173,16 @@ object Urls {
     val hashed = graft.Materialize(docs.select(col("doc_id"),
         CanonicalizeUrl.url(spark, col("url")).as("url_canon"))
       .withColumn("h", md5(col("url_canon"))))
+    // An expired-then-readmitted URL leaves TWO store rows; normally
+    // only the newer passes the live filter, but if ttlEpochs is raised
+    // between batches (or epochs replay out of order) both would, and a
+    // duplicated probe row fans out the join. Reduce to the LATEST
+    // admission per hash — probe semantics are defined against it.
     val live = graft.sinks.BucketedStore
       .readOrEmpty(spark, storeDir, FrontierTtlSpec)
       .filter(col("epoch") > lit(epoch - ttlEpochs))
-      .select(col("h"), col("store_doc_id"))
+      .groupBy("h")
+      .agg(max_by(col("store_doc_id"), col("epoch")).as("store_doc_id"))
     val firsts = hashed.groupBy("h").agg(min("doc_id").as("first_id"))
     val intra = hashed.join(firsts, Seq("h"))
     val lookedUp =
@@ -279,7 +282,6 @@ object Urls {
       .select(col("p.doc_id").as("doc_id"), col("p.ip").as("ip"),
         col("p.ip_num").as("ip_num"), col("r.region").as("region"),
         col("r.asn").as("asn"))
-      .orderBy("doc_id")
   }
 
   /** Deterministic fetch-log plant for the ip_geo_enrich entry: one IP
@@ -307,15 +309,17 @@ object Urls {
     ).toDF("start_ip", "end_ip", "region", "asn")
   }
 
+  // Entries own the oracle's total order; operators return UNORDERED.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_geo_enrich" -> ((s, d) =>
-      ipEnrich(plantIps(Tables(s, d).documents), plantRanges(s))),
-    "url_canonicalize" ->
-      ((s, d) => urlCurate(plantUrls(Tables(s, d).documents))),
-    "url_domain_rollup" ->
-      ((s, d) => domainRollup(plantUrls(Tables(s, d).documents))),
-    "url_dedup" ->
-      ((s, d) => urlDedup(plantDedupUrls(Tables(s, d).documents))),
+      ipEnrich(plantIps(Tables(s, d).documents), plantRanges(s))
+        .orderBy("doc_id")),
+    "url_canonicalize" -> ((s, d) =>
+      urlCurate(plantUrls(Tables(s, d).documents)).orderBy("doc_id")),
+    "url_domain_rollup" -> ((s, d) =>
+      domainRollup(plantUrls(Tables(s, d).documents)).orderBy("reg_domain")),
+    "url_dedup" -> ((s, d) =>
+      urlDedup(plantDedupUrls(Tables(s, d).documents)).orderBy("doc_id")),
   )
 
   /** The DuckDB twin replays the canonicalization algorithm step for

@@ -3555,6 +3555,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch(2, 12L)(12L) == ((true, Some(12L))))
     assert(batch(3, 13L)(13L) == ((true, Some(12L))),
       "later epochs dedup against the LATEST admission")
+    // ttlEpochs RAISED between batches: both the expired epoch-0 row and
+    // the live epoch-2 row now pass the live filter — the max-epoch
+    // reduction must keep exactly one probe row, judged against the
+    // LATEST admission (no fan-out, no stale dup_of).
+    val widened = Urls.urlFrontierTtl(Seq((15L, u)).toDF("doc_id", "url"),
+        store, epoch = 3, ttlEpochs = 5)
+      .collect()
+    assert(widened.length == 1, "a double-live hash must not fan out the probe join")
+    assert(widened.head.getBoolean(3) &&
+      widened.head.getLong(4) == 12L,
+      "the widened-TTL probe judges against the latest admission, not the expired one")
     // Store holds the expired epoch-0 row + the live epoch-2 row until
     // retention runs; expiry drops the dead one atomically.
     assert(spark.read.parquet(store).count() == 2)
