@@ -243,7 +243,6 @@ object Clusters {
       .agg(count(lit(1)).as("cluster_size"))
     withComp.join(sizes, Seq("component"))
       .select("doc_id", "component", "cluster_size")
-      .orderBy("doc_id")
   }
 
   /** PageRank over a directed edge table — the graph-centrality
@@ -282,17 +281,25 @@ object Clusters {
         .groupBy("id").agg(sum("c").as("inflow"))
       val dangling = ranks.join(srcs, Seq("id"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      // Per-iteration 9-dp rounding is the DETERMINISM contract that
+      // lets the fixed-iteration loop replay in SQL (the r16 mmr_topk
+      // unrolled-CTE convention extended to power iteration): the only
+      // cross-engine divergence source is double-summation ORDER in the
+      // inflow aggregate (~1e-16 absolute), absorbed by the 1e-9 grid,
+      // so both engines carry bit-identical rank tables into every next
+      // iteration. Convergence is untouched — the perturbation (≤5e-10
+      // per step) is far below the damping^k geometric term and the
+      // final 6-dp report rounding.
       val next = graft.Materialize(
         nodes.join(inflow, Seq("id"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("id"),
-            (lit((1 - damping) / n) + lit(damping) *
-              (coalesce(col("inflow"), lit(0.0)) + col("dm") / n)).as("rank")))
+            round(lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("inflow"), lit(0.0)) + col("dm") / n), 9).as("rank")))
       graft.Materialize.release(ranks)
       ranks = next
     }
     val out = ranks.select(col("id"), round(col("rank"), 6).as("rank"))
-      .orderBy(desc("rank"), asc("id"))
     graft.Materialize.release(nodes)
     graft.Materialize.release(withDeg)
     graft.Materialize.release(srcs)
@@ -310,14 +317,65 @@ object Clusters {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> ((s, d) => dedupClusters(Tables(s, d).documents)),
-    // Iterative power-iteration fixpoint over a similarity graph —
-    // rows-only (the quality_classifier/knn_ivfpq convention); analytic
-    // convergence values are spec-pinned on known graphs.
-    "graph_pagerank" -> ((s, d) => docPageRank(Tables(s, d).documents)),
+    "dedup_clusters" -> ((s, d) =>
+      dedupClusters(Tables(s, d).documents).orderBy("doc_id")),
+    // Power iteration unrolled as chained CTEs (the mmr_topk r16
+    // precedent applied to the fixed-iteration graph loop): promoted
+    // from rows-only in r17 — the per-iteration 9-dp rounding contract
+    // makes the 10-step fixpoint replay exactly in DuckDB.
+    "graph_pagerank" -> ((s, d) =>
+      docPageRank(Tables(s, d).documents).orderBy(desc("rank"), asc("id"))),
   )
 
+  /** `iterations` chained power-iteration CTE pairs over tables the
+    * caller's prefix must define: `e(src, dst)` — the DIRECTED edge
+    * list, `nodes(id)`, `deg(src, outdeg)`, `nn(n)` (node count as
+    * DOUBLE), and `r0(id, rank)` = 1/n. Each step is [[pageRank]]'s
+    * exact arithmetic — (1−0.85)/n + 0.85·inflow, ROUND 9 — with the
+    * dangling term omitted: both registered graphs are SYMMETRIZED, so
+    * every node has out-edges and the dangling mass is identically 0
+    * (the Spark side adds 0.85·0/n — exact zero, not drift). */
+  private[pipeline] def pageRankIterSql(iterations: Int): String =
+    (1 to iterations).map { k =>
+      s"""i$k AS (SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS inflow
+         |  FROM e JOIN r${k - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$k AS (SELECT nd.id,
+         |    ROUND((1 - 0.85) / nn.n + 0.85 * COALESCE(i$k.inflow, 0), 9) AS rank
+         |  FROM nodes nd LEFT JOIN i$k USING (id) CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+
   def oracle: Map[String, String] = Map(
+    // The dedup_ngram_jaccard candidate chain builds the top-500 pair
+    // edge list; symmetrize, then 10 unrolled power iterations (per-
+    // iteration ROUND 9 ≡ the Spark contract), final 6-dp report.
+    "graph_pagerank" ->
+      (s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |shf AS (SELECT doc_id, CASE WHEN len(t) >= 2
+         |  THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+         |       i -> array_to_string(t[i:i+1], ' ')))
+         |  ELSE [text] END AS sh FROM toks),
+         |sh0 AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+         |keep AS (SELECT s FROM sh0 GROUP BY s
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+         |  FROM sh0 a JOIN keep USING (s) JOIN sh0 b USING (s)
+         |  WHERE a.doc_id < b.doc_id),
+         |scored AS (SELECT l AS left_id, r AS right_id,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+         |  FROM cand JOIN shf x ON x.doc_id = cand.l JOIN shf y ON y.doc_id = cand.r),
+         |prs AS (SELECT left_id, right_id FROM scored WHERE jaccard >= 0.08
+         |  ORDER BY jaccard DESC, left_id, right_id LIMIT 500),
+         |e AS (SELECT left_id AS src, right_id AS dst FROM prs
+         |  UNION ALL SELECT right_id AS src, left_id AS dst FROM prs),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |${pageRankIterSql(10)}
+         |SELECT id, ROUND(rank, 6) AS rank FROM r10
+         |ORDER BY rank DESC, id""".stripMargin),
     // Reachability fixpoint via recursive CTE — exact, engine-independent:
     // comp(v) = MIN over every node that reaches v (edges symmetric).
     "dedup_clusters" ->

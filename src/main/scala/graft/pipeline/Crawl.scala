@@ -58,7 +58,8 @@ object Crawl {
   def gateBatch(files: DataFrame, robots: DataFrame, frontierDir: String,
       blocklist: Seq[String] = Urls.DefaultBlocklist,
       epochSeconds: Int = 30, userAgent: String = "graftbot",
-      docIdOf: Option[Column] = None): DataFrame = {
+      docIdOf: Option[Column] = None,
+      frontierTtlEpochs: Long = 0L, frontierEpoch: Long = 0L): DataFrame = {
     val spark = files.sparkSession
     val recs = graft.sources.WarcSource.records(files)
       .filter(col("error").isNull && col("warc_type") === "response" &&
@@ -114,10 +115,21 @@ object Crawl {
     val admFlags = graft.Materialize(flags.join(adm, Seq("doc_id"), "left")
       .withColumn("admitted", coalesce(col("admitted"), lit(false))))
     graft.Materialize.release(flags)
-    val frontier = Dedup.incrementalExact(
-      admFlags.filter(col("admitted"))
-        .select(col("doc_id"), col("url_canon").as("text")),
-      frontierDir)
+    // Frontier tier: keep-first-forever by default; with
+    // frontierTtlEpochs > 0 the TTL'd store ([[Urls.urlFrontierTtl]])
+    // takes over — a page whose admission aged out re-admits as novel
+    // (the RE-CRAWL schedule), same keeper-self-dup replay idempotence.
+    // url_canon is already canonical, so the TTL path's re-canonicalize
+    // is an idempotent no-op projection.
+    val admitted = admFlags.filter(col("admitted"))
+    val frontier =
+      if (frontierTtlEpochs > 0)
+        Urls.urlFrontierTtl(
+          admitted.select(col("doc_id"), col("url_canon").as("url")),
+          frontierDir, frontierEpoch, frontierTtlEpochs)
+      else Dedup.incrementalExact(
+        admitted.select(col("doc_id"), col("url_canon").as("text")),
+        frontierDir)
     // fetch_ok carves out the replayed-keeper case: on a crash-replayed
     // micro-batch, [[Dedup.incrementalExact]] re-flags the batch's own
     // keepers as duplicates-of-SELF (store hit with store_doc_id = the

@@ -973,7 +973,6 @@ object Similarity {
       .select((col("vec_id") +: carry.map(col)) ++ Seq(
         expr("transform(pairs, p -> p.code)").as("codes"),
         round(col("sqerr") / dim, 6).as("mse")): _*)
-      .orderBy("vec_id")
   }
 
   /** Train + encode in one call — the `queries()` surface for PQ. The
@@ -1062,7 +1061,6 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("dup_of"),
         round(coalesce(col("best_cos"), lit(0.0)), 4).as("best_cos"),
         col("dup_of").isNotNull.as("is_duplicate"))
-      .orderBy("vec_id")
   }
 
   private val EmbBandsSpec = graft.sinks.BucketedStore.Spec(
@@ -1165,7 +1163,7 @@ object Similarity {
       newVecs.join(keep, Seq("vec_id")), s"$storeDir/vecs", EmbVecsSpec)
     graft.Materialize.release(banded)
     graft.Materialize.release(cands)
-    annotated.orderBy("vec_id")
+    annotated
   }
 
   /** Incremental SemDeDup against a persistent Voronoi keeper store —
@@ -1266,7 +1264,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(cellsDir)
     graft.Materialize.release(assigned)
-    annotated.orderBy("vec_id")
+    annotated
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
@@ -1369,7 +1367,6 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("dup_of"),
         round(coalesce(col("best_cos"), lit(0.0)), 4).as("best_cos"),
         col("dup_of").isNotNull.as("is_duplicate"))
-      .orderBy("vec_id")
   }
 
   /** Centroid-index namespace for [[semanticDedupFixed]]'s literal cells
@@ -1427,7 +1424,6 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("dup_of"),
         round(coalesce(col("best_cos"), lit(0.0)), 4).as("best_cos"),
         col("dup_of").isNotNull.as("is_duplicate"))
-      .orderBy("vec_id")
   }
 
   /** SemDeDup-style per-cell DIVERSITY pruning (Abbas et al. 2023,
@@ -1468,7 +1464,6 @@ object Similarity {
       .perGroupRanked(withCos, "cell", "cos_centroid", "vec_id", "rk",
         keepPerCell, ascending = true)
       .select(col("cell"), col("vec_id"), col("cos_centroid"), col("rk"))
-      .orderBy("cell", "rk")
   }
 
   /** Top principal component of the embedding distribution by power
@@ -1574,7 +1569,6 @@ object Similarity {
         round(expr("aggregate(err, CAST(0 AS DOUBLE), (a, v) -> a + v)") /
           size(col("embedding")), 6).as("mean_err"),
         round(expr("array_max(err)"), 6).as("max_err"))
-      .orderBy("vec_id")
 
   /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
     * SIGIR 1998 — the retrieval-side diversity selector RAG rerankers
@@ -1681,18 +1675,58 @@ object Similarity {
     rankTopK(scored, k, "sq8_dist", ascending = true)
   }
 
+  /** The SQ8 oracle witness (the dedup_semantic_fixed convention): the
+    * SEARCH pipeline — int8 quantize → reconstruct → asymmetric L2 →
+    * round-before-rank top-k — under a FIXED literal [gridMin, gridMax]
+    * calibration grid, fully replayable in DuckDB SQL. What it pins:
+    * the quantize/reconstruct arithmetic, the saturating clamp (FAISS
+    * SQ8 behavior: out-of-grid values pin to the edge code — identical
+    * in both engines, where a raw TINYINT cast would wrap), the ordered
+    * per-dim L2 fold, and the 6-dp-rounded ranking decision; what it
+    * deliberately does not: the per-dimension min/max calibration scan
+    * (data-dependent driver state — [[sq8TopK]] keeps that path, with
+    * its recall spec). The corpus embeddings sit well inside the
+    * default [-1, 1] grid, so at oracle SF the clamp never fires and
+    * the fixed grid is a pure re-parameterization. */
+  def sq8TopKFixed(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+      gridMin: Double = -1.0, gridMax: Double = 1.0): DataFrame = {
+    val sc = (gridMax - gridMin) / 255.0
+    val codes = emb.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        (least(greatest(round((x.cast("double") - lit(gridMin)) / lit(sc), 0),
+          lit(0.0)), lit(255.0)) - lit(128.0)).cast("tinyint")).as("codes"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qe"))
+    val scored = codes.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(aggregate(
+          zip_with(
+            transform(col("codes"), c =>
+              lit(gridMin) + (c.cast("double") + lit(128.0)) * lit(sc)),
+            col("qe"), (x, q) => (x - q) * (x - q)),
+          lit(0.0), (a, v) => a + v), 6).as("sq8_dist"))
+    rankTopK(scored, k, "sq8_dist", ascending = true)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q52_embed_quant"   -> ((s, d) => quantization(Tables(s, d).embeddings)),
+    "q52_embed_quant"   -> ((s, d) =>
+      quantization(Tables(s, d).embeddings).orderBy("vec_id")),
     "q22_knn_cosine"    -> ((s, d) => bruteForceTopK(Tables(s, d).embeddings)),
     "q80_hard_negatives" -> ((s, d) => hardNegatives(Tables(s, d).embeddings)),
     "knn_classify"      -> ((s, d) => knnClassify(Tables(s, d).embeddings)),
     "knn_ann_lsh"       -> ((s, d) => annTopK(Tables(s, d).embeddings)),
     "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
     "knn_ivfpq"         -> ((s, d) => ivfPqTopK(Tables(s, d).embeddings)),
-    "dedup_embedding"   -> ((s, d) => embeddingNearDup(Tables(s, d).embeddings)),
-    "dedup_semantic"    -> ((s, d) => semanticDedup(Tables(s, d).embeddings)),
-    "dedup_semantic_fixed" -> ((s, d) => semanticDedupFixed(Tables(s, d).embeddings)),
-    "semantic_prune"    -> ((s, d) => semanticPruneFixed(Tables(s, d).embeddings)),
+    "dedup_embedding"   -> ((s, d) =>
+      embeddingNearDup(Tables(s, d).embeddings).orderBy("vec_id")),
+    "dedup_semantic"    -> ((s, d) =>
+      semanticDedup(Tables(s, d).embeddings).orderBy("vec_id")),
+    "dedup_semantic_fixed" -> ((s, d) =>
+      semanticDedupFixed(Tables(s, d).embeddings).orderBy("vec_id")),
+    "semantic_prune"    -> ((s, d) =>
+      semanticPruneFixed(Tables(s, d).embeddings).orderBy("cell", "rk")),
     // Iterative power-iteration fixpoint over float sums — rows-only
     // (the graph_pagerank convention); analytic values spec-pinned on a
     // planted rank-1 distribution.
@@ -1704,7 +1738,8 @@ object Similarity {
       .select(col("vec_id"),
         expr("array_join(transform(codes, c -> CAST(c AS STRING)), '-')")
           .as("codes_str"),
-        col("mse"))),
+        col("mse"))
+      .orderBy("vec_id")),
     "knn_pq_adc"        -> ((s, d) => {
       // One pqCore: the trainer, encoder, and query distance table all
       // reuse the same materialized subvector explode (three subTable
@@ -1721,6 +1756,10 @@ object Similarity {
     // Per-dim int8 grid reconstruction float math — rows-only (the
     // ivf/pq convention); recall vs exact L2 is spec-pinned.
     "knn_sq8"           -> ((s, d) => sq8TopK(Tables(s, d).embeddings)),
+    // The FIXED-grid witness: same search arithmetic under a literal
+    // [-1, 1] calibration, oracle-replayable (trained calibration stays
+    // rows-only above).
+    "knn_sq8_fixed"     -> ((s, d) => sq8TopKFixed(Tables(s, d).embeddings)),
   )
 
   /** The mmr_topk oracle (promoted from rows-only in r16): MMR's greedy
@@ -1960,5 +1999,33 @@ object Similarity {
          |  ROUND(list_sum(err) / len(e), 6) AS mean_err,
          |  ROUND(list_max(err), 6) AS max_err
          |FROM r ORDER BY vec_id""".stripMargin),
+    // Fixed-grid SQ8 twin: quantize-reconstruct collapses to
+    // mn + clamp(round((x − mn)/sc)) · sc (the ±128 tinyint shift is an
+    // exact integer round-trip); the L2 fold replays Spark's left fold
+    // via list_reduce; round-before-rank at 6 dp; candidates exclude
+    // the query block (vec_id ≥ 3), ties break on vec_id. The scale
+    // constant is the Scala double's shortest round-trip literal CAST
+    // to DOUBLE (decimal → double is correctly rounded, so both
+    // engines hold the identical IEEE value).
+    "knn_sq8_fixed" -> {
+      val sc = (1.0 - (-1.0)) / 255.0
+      s"""WITH prm AS (SELECT CAST(-1.0 AS DOUBLE) AS mn, CAST($sc AS DOUBLE) AS sc),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      mn + LEAST(GREATEST(round((CAST(x AS DOUBLE) - mn) / sc), 0), 255) * sc) AS rec
+         |  FROM embeddings CROSS JOIN prm WHERE vec_id >= 3),
+         |d AS (SELECT q.query_id, c.vec_id,
+         |    ROUND(list_reduce(list_transform(generate_series(1, len(rec)),
+         |      i -> (rec[i] - qe[i]) * (rec[i] - qe[i])), (a, b) -> a + b), 6) AS sq8_dist
+         |  FROM q CROSS JOIN c),
+         |rk AS (SELECT query_id, vec_id, sq8_dist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sq8_dist ASC, vec_id ASC) AS rn
+         |  FROM d WHERE sq8_dist IS NOT NULL AND NOT isnan(sq8_dist))
+         |SELECT query_id, vec_id, sq8_dist FROM rk WHERE rn <= 10
+         |ORDER BY query_id, sq8_dist ASC, vec_id""".stripMargin
+    },
   )
 }

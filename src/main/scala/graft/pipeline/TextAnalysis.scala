@@ -26,7 +26,6 @@ object TextAnalysis {
       size(array_distinct(tokens)).cast("long").as("n_distinct"),
       round(size(array_distinct(tokens)) / size(tokens), 4).as("distinct_ratio"),
       round(length(col("text")) / size(tokens), 4).as("chars_per_token"))
-      .orderBy("doc_id")
 
   /** Corpus token frequency (the classic tf sweep): explode + count.
     * Map-side partial aggregation keeps the shuffle at vocabulary size
@@ -100,7 +99,6 @@ object TextAnalysis {
         size(col("cands")).cast("long").as("n_candidates"),
         expr("CAST(size(filter(cands, c -> luhn_check(c))) AS BIGINT)")
           .as("n_valid"))
-      .orderBy("doc_id")
   }
 
   /** Plants for [[gopherRules]] (the pii_cards/text_nfc convention — the
@@ -188,7 +186,6 @@ object TextAnalysis {
         col("word_count_ok") && col("mean_len_ok") && col("stopword_ok") &&
           col("alpha_ok") && col("symbol_ok") && col("bullet_ok") &&
           col("ellipsis_ok"))
-      .orderBy("doc_id")
 
   /** Attach the battery's overall verdict to an arbitrary frame carrying
     * `text` as ONE projection column — the zero-shuffle form
@@ -239,7 +236,6 @@ object TextAnalysis {
       .select(col("source"), col("n_tokens"), col("n_oov"),
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"),
         col("n_oov_types"))
-      .orderBy("source")
   }
 
   /** Language ID trained in-engine: an add-one-smoothed multinomial
@@ -287,7 +283,6 @@ object TextAnalysis {
     if (vocabSize == 0L)
       return docs.select(col("doc_id"), col("lang"),
         lit("und").as("predicted_lang"), lit(0.0).as("score"))
-        .orderBy("doc_id")
     val docCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
     val nDocs = math.max(docCounts.valuesIterator.sum, 1L)
@@ -342,7 +337,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         coalesce(col("predicted_lang"), lit("und")).as("predicted_lang"),
         coalesce(col("score"), lit(0.0)).as("score"))
-      .orderBy("doc_id")
   }
 
   /** TF-IDF: the classic relevance weighting, as two aggregations over
@@ -370,7 +364,6 @@ object TextAnalysis {
       .filter(col("rn") <= topK)
       .select(col("doc_id"), col("rn").cast("long").as("rank"),
         col("token"), col("tfidf"))
-      .orderBy("doc_id", "rank")
   }
 
   /** Gopher/Dolma-style repetition heuristics — the standard pre-training
@@ -404,7 +397,6 @@ object TextAnalysis {
         round(col("adj_rep") / col("n_tokens"), 4).as("adjacent_rep_frac"),
         round(col("dup_bigram_pos") / greatest(col("n_tokens") - 1, lit(1L)), 4)
           .as("dup_bigram_frac"))
-      .orderBy("doc_id")
   }
 
   /** PII redaction: email / phone / long-digit-run scrubbing with typed
@@ -425,7 +417,6 @@ object TextAnalysis {
         .cast("long").as("n_emails"),
       size(regexp_extract_all(col("text"), lit(phone), lit(0)))
         .cast("long").as("n_phones"))
-      .orderBy("doc_id")
   }
 
   /** Credential / secret scanning — the governance pass a training
@@ -460,7 +451,6 @@ object TextAnalysis {
             awsKey, "<AWSKEY>"),
           hexSecret, "<SECRET>"),
         ipv4, "<IP>").as("redacted"))
-      .orderBy("doc_id")
   }
 
   /** Token counting, both ways a data pipeline needs it: whitespace
@@ -476,7 +466,6 @@ object TextAnalysis {
         .cast("long").as("bpe_tokens"))
       .withColumn("tokens_ratio",
         round(col("bpe_tokens") / col("ws_tokens"), 4))
-      .orderBy("doc_id")
 
   /** Document fingerprint: order-sensitive rolling hash over the token
     * stream (rotate-left 5, xor token hash — pure bitwise ops, so it wraps
@@ -494,7 +483,6 @@ object TextAnalysis {
         graft.functions.PortableHash.sqlFragment("x") + ")")
         .as("fingerprint"),
       graft.functions.PortableHash.hash64(col("text")).as("content_hash"))
-      .orderBy("doc_id")
 
   /** Unigram language-model surprisal per document — the cheap stand-in
     * for a perplexity quality filter: score = mean −ln p(token) under the
@@ -517,7 +505,6 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         round(avg(-log(col("cnt") / col("n_total"))), 4).as("avg_neg_logprob"))
-      .orderBy("doc_id")
   }
 
   /** Bigram language-model perplexity per document — the in-engine
@@ -573,7 +560,6 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(col("nll"), 4).as("avg_nll"),
         round(exp(col("nll")), 4).as("ppl"))
-      .orderBy("doc_id")
   }
 
   /** In-engine BPE merge learning — the textbook byte-pair-encoding
@@ -896,7 +882,6 @@ object TextAnalysis {
         round(coalesce(col("n_tokens"), lit(0L)).cast("double") /
           greatest(coalesce(col("n_words"), lit(0L)), lit(1L)), 4)
           .as("toks_per_word"))
-      .orderBy("doc_id")
   }
 
   /** HTML/boilerplate stripping — the text-extraction step every
@@ -957,7 +942,6 @@ object TextAnalysis {
         col("clean_text"))
       .withColumn("pass",
         col("n_sentences") >= minSentences && !col("has_brace") && !col("has_lorem"))
-      .orderBy("doc_id")
 
   /** HTML metadata extraction — the page-level fields a crawl-curation
     * pipeline reads BEFORE stripping the page to text: title, meta
@@ -1001,7 +985,6 @@ object TextAnalysis {
         .as("charset"))
       .withColumn("description", when(col("description") =!= "", col("description")))
       .withColumn("og_title", when(col("og_title") =!= "", col("og_title")))
-      .orderBy("doc_id")
   }
 
   /** Main-content extraction by BLOCK-LEVEL link-density scoring — the
@@ -1036,7 +1019,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr("trim(regexp_replace(concat_ws(' ', transform(kept, s -> s.txt)), '\\\\s+', ' '))")
           .as("main_text"))
-      .orderBy("doc_id")
   }
 
   /** Windowed co-occurrence PMI pairs (the Levy–Goldberg
@@ -1101,8 +1083,9 @@ object TextAnalysis {
     *
     * Scale: the edge build is the q91 shape (one materialized positional
     * pass, band self-join, map-side-combined counts); PageRank is
-    * vocabulary-sized, not corpus-sized. Rows-only correctness (the
-    * graph_pagerank convention: iterative fixpoint); the spec pins a
+    * vocabulary-sized, not corpus-sized. Oracle-checked since r17 (the
+    * unrolled-CTE power-iteration twin under pageRank's per-iteration
+    * ROUND-9 determinism contract); the spec additionally pins a
     * planted hub ranking above frequency-matched non-hub tokens. */
   def textRankKeywords(docs: DataFrame, window: Int = 2, minCount: Long = 5,
       topK: Int = 30): DataFrame = {
@@ -1126,7 +1109,11 @@ object TextAnalysis {
     // pageRank iterates EAGERLY (Materialize per iteration), so by the
     // time it returns only its final rank checkpoint is live — the
     // intermediates release here, not at caller-exit.
+    // pageRank returns UNORDERED (the total-order convention) — the
+    // top-K selection owns its ordering: orderBy + limit plans as a
+    // bounded TakeOrderedAndProject, never a full vocabulary sort.
     val ranked = graft.pipeline.Clusters.pageRank(edges)
+      .orderBy(desc("rank"), asc("id"))
       .select(col("id").cast("string").as("tok"), col("rank"))
       .limit(topK)
     graft.Materialize.release(toks)
@@ -1158,7 +1145,6 @@ object TextAnalysis {
       .select(col("tok"), col("c"),
         round(col("w") / col("tw"), 6).as("p"),
         round(sum(col("w") / col("tw")).over(win), 6).as("cum_p"))
-      .orderBy("tok")
   }
 
   /** Hashing-trick TF-IDF featurization (Weinberger et al. 2009): each
@@ -1185,7 +1171,6 @@ object TextAnalysis {
         (col("tf").cast("double") *
           (log(lit((n + 1).toDouble) / (col("df") + lit(1)).cast("double")) + lit(1.0))).as("w"))
       .groupBy("doc_id", "bucket").agg(round(sum("w"), 4).as("weight"))
-      .orderBy("doc_id", "bucket")
   }
 
   /** Count-Min sketch token-frequency estimation (Cormode–Muthukrishnan),
@@ -1253,7 +1238,6 @@ object TextAnalysis {
           .as("text_fixed"))
       .select(col("doc_id"), col("text_fixed"),
         (col(textCol) =!= col("text_fixed")).as("changed"))
-      .orderBy("doc_id")
   }
 
   /** Accent folding — search/dedup canonicalization one notch past NFC
@@ -1271,7 +1255,6 @@ object TextAnalysis {
       regexp_replace(nfd, "\\p{Mn}+", ""), "NFC")
     docs.select(col("doc_id"), folded.as("folded"),
       (col(textCol) =!= folded).as("changed"))
-      .orderBy("doc_id")
   }
 
   /** Unicode-script profile per document — the corpus-audit step a
@@ -1306,7 +1289,7 @@ object TextAnalysis {
       when(scripts.filter(_._1 != name).map(o => c >= o._2).reduce(_ && _) &&
         c > 0, lit(name)).otherwise(els)
     }
-    counted.withColumn("dominant_script", dom).orderBy("doc_id")
+    counted.withColumn("dominant_script", dom)
   }
 
   /** Character-distribution Shannon entropy per document — the
@@ -1334,7 +1317,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_chars"), round(col("h"), 4).as("entropy"))
       .withColumn("flag_low", col("entropy") < lowBits)
       .withColumn("flag_high", col("entropy") > highBits)
-      .orderBy("doc_id")
   }
 
   private val htmlPrefix =
@@ -1358,9 +1340,10 @@ object TextAnalysis {
           .when(col("doc_id") % 5 === 3, repeat(lit(" مرحبا بالعالم"), 40))
           .when(col("doc_id") % 5 === 4, repeat(lit(" γεια σου κοσμε"), 40))
           .otherwise(lit(""))).as("text"))
-      scriptProfile(planted)
+      scriptProfile(planted).orderBy("doc_id")
     }),
-    "char_entropy" -> ((s, d) => charEntropy(Tables(s, d).documents)),
+    "char_entropy" -> ((s, d) =>
+      charEntropy(Tables(s, d).documents).orderBy("doc_id")),
     // Accent plant: the base corpus is pure ASCII, so each doc class
     // appends a different accented suffix (plus an ASCII-only class
     // where changed must stay false); the oracle folds with DuckDB's
@@ -1375,7 +1358,7 @@ object TextAnalysis {
           .when(col("doc_id") % 6 === 4, lit(" über kühl"))
           .when(col("doc_id") % 6 === 5, lit(" çedille façade"))
           .otherwise(lit(""))).as("text"))
-      accentFold(planted)
+      accentFold(planted).orderBy("doc_id")
     }),
     // Secret plant: the base corpus is plain lowercase words (no digit
     // runs, no 32-hex words — verified by the ELSE class scanning
@@ -1392,7 +1375,7 @@ object TextAnalysis {
           .when(col("doc_id") % 7 === 3, concat(lit(" digest "), md5(id)))
           .when(col("doc_id") % 7 === 4, concat(lit(" auth Bearer "), md5(id)))
           .otherwise(lit(""))).as("text"))
-      secretScan(planted)
+      secretScan(planted).orderBy("doc_id")
     }),
     "text_strip_html" -> ((s, d) => {
       val docs = Tables(s, d).documents
@@ -1409,7 +1392,7 @@ object TextAnalysis {
         lit("""<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div><div id="main"><p>"""),
         col("text"),
         lit("""</p></div><div class="footer"><a href="/p">Privacy</a> <a href="/t">Terms</a> legal</div>""")).as("html"))
-      extractMainContent(wrapped)
+      extractMainContent(wrapped).orderBy("doc_id")
     }),
     // The C4 battery over a deterministic multi-line page plant (the
     // corpus text is single-line and punctuation-free, so the page
@@ -1434,6 +1417,7 @@ object TextAnalysis {
           lit("\nfunction() { return 1; }")).otherwise(lit("")),
         lit("\nThe last sentence closes the page."))
       c4Rules(Tables(s, d).documents.select(col("doc_id"), page.as("text")))
+        .orderBy("doc_id")
     }),
     // Page-metadata extraction over a deterministic head plant: both
     // attribute orders exercised (name/content flips on doc_id parity),
@@ -1460,13 +1444,15 @@ object TextAnalysis {
         lit("<title> Doc "), id, lit(" &amp; Co - "), col("source"),
         lit(" </title></head><body><p>"), col("text"),
         lit("</p></body></html>")).as("html"))
-      extractHtmlMeta(wrapped)
+      extractHtmlMeta(wrapped).orderBy("doc_id")
     }),
     "q91_pmi"          -> ((s, d) => pmiPairs(Tables(s, d).documents)),
-    "q92_negsample"    -> ((s, d) => negativeSamplingDist(Tables(s, d).documents)),
-    // Iterative pagerank fixpoint over the co-occurrence graph —
-    // rows-only (the graph_pagerank convention); hub-vs-frequency
-    // semantics are spec-pinned.
+    "q92_negsample"    -> ((s, d) =>
+      negativeSamplingDist(Tables(s, d).documents).orderBy("tok")),
+    // PageRank fixpoint over the co-occurrence graph, promoted to
+    // oracle in r17 via the unrolled-CTE twin (per-iteration ROUND 9
+    // determinism contract); hub-vs-frequency semantics stay
+    // spec-pinned.
     "keywords_textrank" -> ((s, d) => textRankKeywords(Tables(s, d).documents)),
     "q94_countmin"     -> ((s, d) => countMinFreq(Tables(s, d).documents)),
     // Unicode canonicalization via the custom codegen Expression: the
@@ -1488,13 +1474,19 @@ object TextAnalysis {
     // the plant's ground truth.
     "text_fix_mojibake" -> ((s, d) => fixMojibake(Tables(s, d).documents
       .withColumn("text", concat(col("text"),
-        when(col("doc_id") % 5 === 0, lit(mojibakeSuffix)).otherwise(lit("")))))),
-    "q93_hashed_tfidf" -> ((s, d) => hashedTfIdf(Tables(s, d).documents)),
+        when(col("doc_id") % 5 === 0, lit(mojibakeSuffix)).otherwise(lit("")))))
+      .orderBy("doc_id")),
+    "q93_hashed_tfidf" -> ((s, d) =>
+      hashedTfIdf(Tables(s, d).documents).orderBy("doc_id", "bucket")),
     "bpe_merges"       -> ((s, d) => bpeTrain(Tables(s, d).documents)),
-    "bpe_encode"       -> ((s, d) => bpeEncode(Tables(s, d).documents)),
-    "q64_unigram_logprob" -> ((s, d) => unigramLogProb(Tables(s, d).documents)),
-    "q75_bigram_ppl"   -> ((s, d) => bigramPerplexity(Tables(s, d).documents)),
-    "q20_text_quality" -> ((s, d) => textQuality(Tables(s, d).documents)),
+    "bpe_encode"       -> ((s, d) =>
+      bpeEncode(Tables(s, d).documents).orderBy("doc_id")),
+    "q64_unigram_logprob" -> ((s, d) =>
+      unigramLogProb(Tables(s, d).documents).orderBy("doc_id")),
+    "q75_bigram_ppl"   -> ((s, d) =>
+      bigramPerplexity(Tables(s, d).documents).orderBy("doc_id")),
+    "q20_text_quality" -> ((s, d) =>
+      textQuality(Tables(s, d).documents).orderBy("doc_id")),
     // Rule-violating plants (symbols / bullet walls / ellipsis endings —
     // the corpus contains none) so the battery has something to flag.
     "gopher_rules" -> ((s, d) => gopherRules(Tables(s, d).documents
@@ -1502,28 +1494,60 @@ object TextAnalysis {
         when(col("doc_id") % 11 === 0, lit(gopherSymbolPlant))
           .when(col("doc_id") % 11 === 1, lit(gopherBulletPlant))
           .when(col("doc_id") % 11 === 2, lit(gopherEllipsisPlant))
-          .otherwise(lit("")))))),
+          .otherwise(lit("")))))
+      .orderBy("doc_id")),
     "q21_token_freq"   -> ((s, d) => tokenFrequency(Tables(s, d).documents)),
     // Misra–Gries sketch in its exact regime (capacity ≥ vocab): the
     // oracle is the plain groupBy-count twin the sketch must equal.
     "heavy_hitters"    -> ((s, d) => heavyHitterTokens(Tables(s, d).documents)),
-    "vocab_coverage"   -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
+    "vocab_coverage"   -> ((s, d) =>
+      vocabCoverage(Tables(s, d).documents).orderBy("source")),
     // Planted valid/invalid card suffixes (the text_nfc convention);
     // the Luhn fold must separate them.
     "pii_cards" -> ((s, d) => luhnCards(Tables(s, d).documents
       .withColumn("text", concat(col("text"),
         when(col("doc_id") % 3 === 0, lit(cardValid))
           .when(col("doc_id") % 3 === 1, lit(cardInvalid))
-          .otherwise(lit("")))))),
-    "langid_ngram"     -> ((s, d) => languageId(Tables(s, d).documents)),
-    "q38_token_counts" -> ((s, d) => tokenCounts(Tables(s, d).documents)),
-    "doc_fingerprint"  -> ((s, d) => fingerprint(Tables(s, d).documents)),
-    "q49_tfidf"        -> ((s, d) => tfIdf(Tables(s, d).documents)),
-    "q50_repetition"   -> ((s, d) => repetitionQuality(Tables(s, d).documents)),
-    "q51_pii_redact"   -> ((s, d) => redactPii(Tables(s, d).documents)),
+          .otherwise(lit("")))))
+      .orderBy("doc_id")),
+    "langid_ngram"     -> ((s, d) =>
+      languageId(Tables(s, d).documents).orderBy("doc_id")),
+    "q38_token_counts" -> ((s, d) =>
+      tokenCounts(Tables(s, d).documents).orderBy("doc_id")),
+    "doc_fingerprint"  -> ((s, d) =>
+      fingerprint(Tables(s, d).documents).orderBy("doc_id")),
+    "q49_tfidf"        -> ((s, d) =>
+      tfIdf(Tables(s, d).documents).orderBy("doc_id", "rank")),
+    "q50_repetition"   -> ((s, d) =>
+      repetitionQuality(Tables(s, d).documents).orderBy("doc_id")),
+    "q51_pii_redact"   -> ((s, d) =>
+      redactPii(Tables(s, d).documents).orderBy("doc_id")),
   )
 
   def oracle: Map[String, String] = Map(
+    // TextRank promoted from rows-only (r17): the q91 positional
+    // co-occurrence chain builds the ≥5-count word graph, then
+    // [[graft.pipeline.Clusters.pageRankIterSql]]'s 10 unrolled power
+    // iterations replay [[graft.pipeline.Clusters.pageRank]]'s exact
+    // per-iteration-ROUND-9 arithmetic; top-30 by (rank desc, tok).
+    "keywords_textrank" ->
+      (s"""WITH toks AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |pr AS (SELECT CASE WHEN a.tok <= b.tok THEN a.tok ELSE b.tok END AS w1,
+         |              CASE WHEN a.tok <= b.tok THEN b.tok ELSE a.tok END AS w2
+         |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+         |    AND b.pos - a.pos BETWEEN 1 AND 2),
+         |co AS (SELECT w1, w2, COUNT(*) AS cab FROM pr WHERE w1 <> w2
+         |  GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+         |e AS (SELECT w1 AS src, w2 AS dst FROM co
+         |  UNION ALL SELECT w2 AS src, w1 AS dst FROM co),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |${graft.pipeline.Clusters.pageRankIterSql(10)}
+         |SELECT id AS tok, ROUND(rank, 6) AS rank FROM r10
+         |ORDER BY rank DESC, tok LIMIT 30""".stripMargin),
     // Replays the plant construction and the removal-diff counting in
     // RE2 (\x{...} ranges — engine-neutral codepoint ranges, unlike
     // \p{Script} classes); the dominance CASE tests in the same

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, explode, lit, split}
+import org.apache.spark.sql.functions.{coalesce, col, explode, lit, split}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Continuous-ingest bridge between Structured Streaming and the
@@ -38,6 +38,12 @@ object PipelineStream {
     * annotated result idempotently under `outDir/batch=<id>`. */
   def incremental(stream: DataFrame, outDir: String, checkpoint: String)(
       step: DataFrame => DataFrame): StreamingQuery =
+    incrementalById(stream, outDir, checkpoint)((batch, _) => step(batch))
+
+  /** [[incremental]] with the micro-batch id passed through — for steps
+    * that need a monotone logical epoch (the TTL'd frontier). */
+  def incrementalById(stream: DataFrame, outDir: String, checkpoint: String)(
+      step: (DataFrame, Long) => DataFrame): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -46,7 +52,7 @@ object PipelineStream {
         // disk — a long-running stream would otherwise pin one
         // materialization per micro-batch until GC happens to collect
         // the RDD objects.
-        val out = step(batch)
+        val out = step(batch, batchId)
         out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         graft.Materialize.release(out)
         ()
@@ -171,10 +177,21 @@ object PipelineStream {
   def crawlGate(files: DataFrame, robots: DataFrame, frontierDir: String,
       outDir: String, checkpoint: String,
       blocklist: Seq[String] = graft.pipeline.Urls.DefaultBlocklist,
-      epochSeconds: Int = 30, userAgent: String = "graftbot"): StreamingQuery =
-    incremental(files.select(col("path"), col("content")), outDir, checkpoint)(
-      graft.pipeline.Crawl.gateBatch(_, robots, frontierDir, blocklist,
-        epochSeconds, userAgent))
+      epochSeconds: Int = 30, userAgent: String = "graftbot",
+      frontierTtlEpochs: Long = 0L): StreamingQuery =
+    // Opt-in re-crawl schedule: frontierTtlEpochs > 0 runs the TTL'd
+    // frontier with the MICRO-BATCH ID as the logical epoch (monotone;
+    // a crash-replayed batch re-runs under its own id, so the TTL
+    // store's keeper-self-dup idempotence carries over unchanged) — a
+    // page unseen for `frontierTtlEpochs` batches ages out and its next
+    // crawl lands fetch_ok again. No new shuffle on the gate path: the
+    // TTL probe is the same broadcast-probed bucketed-store shape as
+    // the keep-first-forever frontier, plus one store-sized max_by
+    // aggregate.
+    incrementalById(files.select(col("path"), col("content")), outDir, checkpoint)(
+      (batch, batchId) => graft.pipeline.Crawl.gateBatch(
+        batch, robots, frontierDir, blocklist, epochSeconds, userAgent,
+        frontierTtlEpochs = frontierTtlEpochs, frontierEpoch = batchId))
 
   /** The [[ingestWarc]] per-batch body, exposed for batch backfill over
     * the SAME frontier store (the indexBm25/appendBm25BatchOnce
@@ -459,7 +476,15 @@ object PipelineStream {
         pii
           .join(sec.select("doc_id", "n_ipv4", "n_aws_keys", "n_bearer",
             "n_hex_secrets"), Seq("doc_id"))
-          .join(ent, Seq("doc_id"))
+          // LEFT join: charEntropy emits no row for an empty/null-text
+          // doc (no single-char rows survive its explode). The audit
+          // contract is one row per ingested doc, so a missing entropy
+          // row defaults to the SAFE verdict: entropy null, flag_low
+          // true (a doc with no measurable text is degenerate), never
+          // publishable.
+          .join(ent, Seq("doc_id"), "left")
+          .withColumn("flag_low", coalesce(col("flag_low"), lit(true)))
+          .withColumn("flag_high", coalesce(col("flag_high"), lit(false)))
           .withColumn("publishable",
             col("n_ipv4") === 0 && col("n_aws_keys") === 0 &&
               col("n_bearer") === 0 && col("n_hex_secrets") === 0 &&

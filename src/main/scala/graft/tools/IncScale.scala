@@ -246,6 +246,68 @@ object IncScale {
     check("decontaminate-increment-flat", dcT2 <= 2.5 * math.max(dcT1, 0.3),
       f"eval store ${eSmall}→${eSmall * 10}: increment $dcT1%.2fs → $dcT2%.2fs (bound 2.5×)")
 
+    // ---- TTL'd URL frontier -----------------------------------------
+    // Contract (the exact-store contract at URL grain, plus lifecycle):
+    // a fixed 2k-URL batch probes at O(increment) while the live store
+    // grows 10×; expiry is the store's atomic compaction (store-sized
+    // rewrite, never corpus-sized — it reads only frontier rows); and
+    // an aged-out URL re-admits as novel at the 10× store scale.
+    def urls(from: Long, until: Long, urlSeedOf: Long => Long): DataFrame = {
+      import spark.implicits._
+      spark.range(from, until).as[Long].map { id =>
+        val u = urlSeedOf(id)
+        (id, s"http://ex${u % 997}.com/page/$u")
+      }.toDF("doc_id", "url")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    val ftDir = java.nio.file.Files.createTempDirectory("incscale").resolve("frontier").toString
+    var ftNext = 0L
+    var ftEpoch = 0L
+    def seedFt(rows: Long): Unit = {
+      var at = ftNext
+      while (at < ftNext + rows) {
+        val end = math.min(at + 100000, ftNext + rows)
+        graft.pipeline.Urls.urlFrontierTtl(urls(at, end, identity), ftDir,
+          epoch = ftEpoch, ttlEpochs = 1000000L).count()
+        ftEpoch += 1
+        at = end
+      }
+      ftNext += rows
+    }
+    // Fixed-shape batch: 1k re-crawls of early frontier URLs + 1k novel.
+    def incrementFt(): Double = {
+      val novelFrom = ftNext; ftNext += 1000
+      val inc = urls(novelFrom, ftNext, identity)
+        .unionByName(urls(3000000000L, 3000001000L, id => id - 3000000000L))
+      ftEpoch += 1
+      timed {
+        graft.pipeline.Urls.urlFrontierTtl(inc, ftDir,
+          epoch = ftEpoch, ttlEpochs = 1000000L).count()
+      }
+    }
+    seedFt(sSmall)
+    val ftT1 = Seq(incrementFt(), incrementFt(), incrementFt()).min
+    seedFt(sSmall * 9)
+    val ftT2 = Seq(incrementFt(), incrementFt(), incrementFt()).min
+    check("frontier-ttl-increment-flat", ftT2 <= 2.5 * math.max(ftT1, 0.3),
+      f"store ${sSmall}→${sSmall * 10}: batch $ftT1%.2fs → $ftT2%.2fs (bound 2.5×)")
+    // Expiry drops every admission below the cutoff in one store-sized
+    // atomic compaction; the whole frontier then re-admits as novel.
+    val ftPre = spark.read.parquet(ftDir).count()
+    val ftExpT = timed {
+      graft.pipeline.Urls.expireFrontier(spark, ftDir, beforeEpoch = ftEpoch + 1)
+    }
+    val ftPost = spark.read.parquet(ftDir).count()
+    check("frontier-ttl-expiry-drops", ftPre > 0 && ftPost == 0,
+      f"full-cutoff compaction: $ftPre rows → $ftPost in $ftExpT%.2fs")
+    ftEpoch += 1
+    val ftReadmit = graft.pipeline.Urls.urlFrontierTtl(
+      urls(3000000000L, 3000000500L, id => id - 3000000000L), ftDir,
+      epoch = ftEpoch, ttlEpochs = 1000000L)
+      .filter(!col("is_duplicate")).count()
+    check("frontier-ttl-readmission", ftReadmit == 500,
+      s"500 expired URLs → $ftReadmit re-admitted as novel at 10× store scale")
+
     // ---- embedding band store ---------------------------------------
     def vecs(from: Long, until: Long, seedOf: Long => Long): DataFrame = {
       import spark.implicits._

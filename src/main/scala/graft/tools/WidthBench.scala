@@ -168,6 +168,19 @@ object WidthBench {
       "secret_scan"         -> ((d, _, _) => TextAnalysis.secretScan(d)),
       "text_accent_fold"    -> ((d, _, _) => TextAnalysis.accentFold(d)),
       "best_passage"        -> ((d, _, _) => Retrieval.bestPassage(d)),
+      // The query-set width knob (VERDICT r16 #8): the 3-query row
+      // exercises corpus width; this one pins that a 50-query term list
+      // still rides the broadcast term join as the stream filter (the
+      // no-window fingerprint) instead of regressing to a wider scan.
+      "best_passage_q50"    -> ((d, _, _) => {
+        val vocab = Seq("spark", "filter", "join", "window", "agg", "sort",
+          "customer", "order", "query", "data", "stream", "batch", "scan")
+        val qs = (0L until 50L).map { i =>
+          i -> Seq(vocab((i % 13).toInt), vocab(((i / 13 + 1) % 13).toInt),
+            vocab(((i * 5 + 3) % 13).toInt)).distinct.mkString(" ")
+        }
+        Retrieval.bestPassage(d, queries = qs)
+      }),
       "quality_calibration" -> ((d, _, _) => Classify.calibrationReport(d)),
       "budget_allocate"     -> ((d, _, _) => Select.budgetAllocate(d)),
       "ip_geo_enrich"       -> ((d, _, _) =>

@@ -187,4 +187,77 @@ class CrawlGateStreamSpec extends AnyFunSuite {
     assert(fine2.getAs[Boolean]("fetch_ok"),
       "a replayed keeper (dup_of = self) must stay fetch_ok")
   }
+
+  /** VERDICT r16 #7: the TTL'd frontier composed into the streaming
+    * crawl gate — the RE-CRAWL schedule on the live stream. With
+    * frontierTtlEpochs = 2 and the micro-batch id as the epoch: a page
+    * re-crawled one batch after admission is skipped (fresh), but once
+    * its admission ages out the next crawl re-admits fetch_ok — a
+    * frontier that never forgets never re-crawls changed pages. */
+  test("streamed crawl gate with TTL frontier: fresh skip, then age-out re-admit") {
+    import spark.implicits._
+    val (inDir, store, out, ckpt) =
+      (tmp("ttlin"), tmp("ttlstore"), tmp("ttlout"), tmp("ttlckpt"))
+    def drop(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(inDir, name), bytes)
+    val robots = Seq(("unused.example", "User-agent: *\nDisallow:\n"))
+      .toDF("host", "robots_txt")
+    val files = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", "*.warc.gz").load(inDir)
+
+    val q = PipelineStream.crawlGate(files, robots, store, out, ckpt,
+      frontierTtlEpochs = 2)
+    try {
+      // Epoch 0: page X admitted as novel.
+      drop("e0.warc.gz", gz(rec("http://c.ex.org/page/x", page("X v1"))))
+      q.processAllAvailable()
+      // Epoch 1: X re-crawled while its epoch-0 admission is FRESH
+      // (0 > 1 − 2): skipped like the keep-forever frontier.
+      drop("e1.warc.gz", gz(rec("http://c.ex.org/page/x", page("X v1 again"))))
+      q.processAllAvailable()
+      // Epoch 2: the epoch-0 admission aged out (0 > 2 − 2 fails; the
+      // epoch-1 skip appended nothing): X re-admits as novel content —
+      // alongside a control page Y that is genuinely new.
+      drop("e2.warc.gz", gz(
+        rec("http://c.ex.org/page/x", page("X v2")),
+        rec("http://c.ex.org/page/y", page("Y v1"))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val all = spark.read.parquet(out).collect()
+    def at(batch: Int, url: String) = all
+      .find(r => r.getAs[Int]("batch") == batch &&
+        r.getAs[String]("fetch_url") == url).get
+    val x0 = at(0, "http://c.ex.org/page/x")
+    assert(!x0.getAs[Boolean]("is_duplicate") && x0.getAs[Boolean]("fetch_ok"),
+      s"epoch-0 crawl is novel: $x0")
+    val x1 = at(1, "http://c.ex.org/page/x")
+    assert(x1.getAs[Boolean]("is_duplicate") &&
+      x1.getAs[Long]("dup_of") == x0.getAs[Long]("doc_id") &&
+      !x1.getAs[Boolean]("fetch_ok"),
+      s"a fresh admission skips the re-crawl: $x1")
+    val x2 = at(2, "http://c.ex.org/page/x")
+    assert(!x2.getAs[Boolean]("is_duplicate") && x2.getAs[Boolean]("fetch_ok"),
+      s"the aged-out page re-admits as novel: $x2")
+    assert(at(2, "http://c.ex.org/page/y").getAs[Boolean]("fetch_ok"))
+
+    // The TTL probe keeps the incremental-store plan contract on the
+    // batch path (same code the stream runs): the frontier store is
+    // scanned, never shuffled.
+    val batchFiles = Seq(("b3.warc.gz",
+      gz(rec("http://c.ex.org/page/x", page("X v3"))))).toDF("path", "content")
+    val (rows, plans) = graft.PlanCapture.scansOf(spark, store) {
+      graft.pipeline.Crawl.gateBatch(batchFiles, robots, store,
+        frontierTtlEpochs = 2, frontierEpoch = 3).collect()
+    }
+    assert(plans.nonEmpty, "expected captured plans scanning the TTL frontier store")
+    plans.foreach { p =>
+      assert(!graft.PlanCapture.shufflesRawScanOf(p, store),
+        s"raw TTL-frontier rows moved through a shuffle:\n$p")
+    }
+    // Epoch 3 sees the epoch-2 re-admission fresh (2 > 3 − 2) — skip.
+    assert(rows.head.getAs[Boolean]("is_duplicate") &&
+      rows.head.getAs[Long]("dup_of") == x2.getAs[Long]("doc_id"))
+  }
 }
