@@ -337,10 +337,15 @@ object Clusters {
     * (the Spark side adds 0.85·0/n — exact zero, not drift). */
   private[pipeline] def pageRankIterSql(iterations: Int): String =
     (1 to iterations).map { k =>
-      s"""i$k AS (SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS inflow
+      // AS MATERIALIZED: DuckDB 1.0 inlines plain CTEs per reference —
+      // e/nodes/deg/nn would re-evaluate their (heavy) defining subtree
+      // at every one of the 10 iterations (the embedding_pca lesson,
+      // linear here rather than exponential, but still ~40 re-runs of
+      // the edge build). Each step then evaluates once.
+      s"""i$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS inflow
          |  FROM e JOIN r${k - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst),
-         |r$k AS (SELECT nd.id,
+         |r$k AS MATERIALIZED (SELECT nd.id,
          |    ROUND((1 - 0.85) / nn.n + 0.85 * COALESCE(i$k.inflow, 0), 9) AS rank
          |  FROM nodes nd LEFT JOIN i$k USING (id) CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
@@ -367,12 +372,12 @@ object Clusters {
          |  FROM cand JOIN shf x ON x.doc_id = cand.l JOIN shf y ON y.doc_id = cand.r),
          |prs AS (SELECT left_id, right_id FROM scored WHERE jaccard >= 0.08
          |  ORDER BY jaccard DESC, left_id, right_id LIMIT 500),
-         |e AS (SELECT left_id AS src, right_id AS dst FROM prs
+         |e AS MATERIALIZED (SELECT left_id AS src, right_id AS dst FROM prs
          |  UNION ALL SELECT right_id AS src, left_id AS dst FROM prs),
-         |nodes AS (SELECT DISTINCT src AS id FROM e),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-         |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
          |${pageRankIterSql(10)}
          |SELECT id, ROUND(rank, 6) AS rank FROM r10
          |ORDER BY rank DESC, id""".stripMargin),

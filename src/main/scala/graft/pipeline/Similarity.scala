@@ -1485,17 +1485,30 @@ object Similarity {
     * Output: one row per dimension (dim_idx, mean_val, pc_val) with the
     * eigenvalue and explained-variance fraction as constant columns.
     * Sign is canonicalized (largest-|component| positive) so the result
-    * is reproducible. Rows-only correctness (float summation order
-    * varies with partitioning — the iterative-fixpoint convention); the
-    * spec pins analytic values on a planted rank-1 distribution. */
+    * is reproducible.
+    *
+    * Determinism contract (round 17, the pageRank convention): every
+    * DISTRIBUTED reduction — μ, total variance, and each iteration's
+    * C·v vector — is rounded to 9 dp at the driver before further use.
+    * Float summation ORDER across partitions drifts ~1e-16 absolute;
+    * the 1e-9 grid absorbs it, so the whole 12-step fixpoint (λ and
+    * the normalized v are exact IEEE functions of the rounded cv, with
+    * the driver-side folds running in array order) replays bit-for-bit
+    * in DuckDB — embedding_pca is oracle-checked since r17. The
+    * perturbation (≤5e-10 per step) is far below the λ₁/λ₂ geometric
+    * convergence term and the 6-dp report rounding. */
   def embeddingPca(emb: DataFrame, iterations: Int = 12): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // HALF_UP decimal rounding — the driver-side twin of Spark/DuckDB
+    // ROUND(x, 9) (both round half away from zero on these magnitudes).
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val vm = graft.functions.VecMean.mean
     val src = graft.Materialize(
       emb.select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
     val mu = src.agg(vm(col("v")).getField("v").as("m"))
-      .head().getSeq[Double](0).toArray
+      .head().getSeq[Double](0).toArray.map(r9)
     val dim = mu.length
     // μ and the iterating v ride as BROADCAST one-row frames, not plan
     // literals: the generated code is then byte-identical across
@@ -1506,9 +1519,9 @@ object Similarity {
     val muB = broadcast(Seq(Tuple1(mu.toSeq)).toDF("mu"))
     val centered = graft.Materialize(src.crossJoin(muB)
       .select(expr("zip_with(v, mu, (a, b) -> a - b)").as("c")))
-    val totVar = centered
+    val totVar = r9(centered
       .select(expr("aggregate(c, 0d, (acc, x) -> acc + x * x)").as("s"))
-      .agg(avg("s").as("tv")).head().getDouble(0)
+      .agg(avg("s").as("tv")).head().getDouble(0))
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     var lambda = 0.0
     (0 until iterations).foreach { _ =>
@@ -1531,7 +1544,7 @@ object Similarity {
           out.toSeq
         }.toDF("w")
         .agg(vm(col("w")).getField("v").as("cv"))
-        .head().getSeq[Double](0).toArray
+        .head().getSeq[Double](0).toArray.map(r9)
       lambda = math.sqrt(cv.map(x => x * x).sum)
       if (lambda > 0) v = cv.map(_ / lambda)
     }
@@ -1675,6 +1688,34 @@ object Similarity {
     rankTopK(scored, k, "sq8_dist", ascending = true)
   }
 
+  /** `iterations` unrolled power-iteration CTE triples for the
+    * embedding_pca oracle, over tables the prefix defines: `cen(c)` —
+    * centered DOUBLE[dim] rows, `dims(i)`, and `v0(vv)` = the uniform
+    * unit start. Each step replays [[embeddingPca]]'s exact driver
+    * arithmetic: per-row dot in array order, per-dim mean ROUND 9
+    * (the determinism grid), λ = √Σcv² as an in-order fold over the
+    * ROUNDED list, v = cv/λ (assumes λ > 0 — true on any corpus with
+    * variance; the Spark side's λ=0 guard only fires degenerate). */
+  private def pcaIterSql(iterations: Int, dim: Int): String =
+    (1 to iterations).map { k =>
+      // AS MATERIALIZED on every chained CTE: DuckDB 1.0 INLINES plain
+      // CTEs per reference, and cl_k feeding both l_k and v_k makes the
+      // 12-level chain expand exponentially (measured ~3× per level —
+      // fd exhaustion before iteration 12); materialization makes each
+      // step evaluate once, 0.6 s total at oracle SF.
+      s"""dt$k AS MATERIALIZED (SELECT c,
+         |    list_reduce(list_transform(generate_series(1, $dim), j -> c[j] * vv[j]),
+         |      (a, b) -> a + b) AS dot
+         |  FROM cen CROSS JOIN v${k - 1}),
+         |cv$k AS MATERIALIZED (SELECT i, ROUND(AVG(c[i] * dot), 9) AS cv
+         |  FROM dt$k CROSS JOIN dims GROUP BY i),
+         |cl$k AS MATERIALIZED (SELECT list(cv ORDER BY i) AS cl FROM cv$k),
+         |l$k AS MATERIALIZED (SELECT sqrt(list_reduce(list_transform(cl, x -> x * x),
+         |    (a, b) -> a + b)) AS l FROM cl$k),
+         |v$k AS MATERIALIZED (SELECT list_transform(cl, x -> x / l) AS vv
+         |  FROM cl$k CROSS JOIN l$k)""".stripMargin
+    }.mkString(",\n")
+
   /** The SQ8 oracle witness (the dedup_semantic_fixed convention): the
     * SEARCH pipeline — int8 quantize → reconstruct → asymmetric L2 →
     * round-before-rank top-k — under a FIXED literal [gridMin, gridMax]
@@ -1727,9 +1768,10 @@ object Similarity {
       semanticDedupFixed(Tables(s, d).embeddings).orderBy("vec_id")),
     "semantic_prune"    -> ((s, d) =>
       semanticPruneFixed(Tables(s, d).embeddings).orderBy("cell", "rk")),
-    // Iterative power-iteration fixpoint over float sums — rows-only
-    // (the graph_pagerank convention); analytic values spec-pinned on a
-    // planted rank-1 distribution.
+    // Power-iteration PCA, promoted to oracle in r17: the per-reduction
+    // 9-dp rounding contract (see the operator doc) makes the 12-step
+    // fixpoint replay as unrolled CTEs; analytic values stay spec-pinned
+    // on a planted rank-1 distribution.
     "embedding_pca"     -> ((s, d) => embeddingPca(Tables(s, d).embeddings)),
     // Driver surface: the harness sorts result rows through pandas, which
     // cannot factorize an array column — emit the codes as a joined
@@ -2026,6 +2068,38 @@ object Similarity {
          |  FROM d WHERE sq8_dist IS NOT NULL AND NOT isnan(sq8_dist))
          |SELECT query_id, vec_id, sq8_dist FROM rk WHERE rn <= 10
          |ORDER BY query_id, sq8_dist ASC, vec_id""".stripMargin
+    },
+    // Power-iteration PCA (r17 promotion): μ / total-variance / each
+    // C·v are ROUND-9 means (the determinism grid); λ and the
+    // normalized v are exact in-order folds over the rounded lists —
+    // identical IEEE arithmetic to the driver loop. Sign canonicalizes
+    // on the FIRST max-|component| dimension (min(i) ≡ Scala maxBy's
+    // first-wins). dim = 64 is the testdata embedding width.
+    "embedding_pca" -> {
+      val dim = 64
+      s"""WITH src AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dims AS MATERIALIZED (SELECT unnest(generate_series(1, $dim)) AS i),
+         |mu0 AS (SELECT i, ROUND(AVG(v[i]), 9) AS m FROM src CROSS JOIN dims GROUP BY i),
+         |muL AS MATERIALIZED (SELECT list(m ORDER BY i) AS mu FROM mu0),
+         |cen AS MATERIALIZED (SELECT list_transform(generate_series(1, $dim), j -> v[j] - mu[j]) AS c
+         |  FROM src CROSS JOIN muL),
+         |tv AS (SELECT ROUND(AVG(list_reduce(list_transform(c, x -> x * x),
+         |    (a, b) -> a + b)), 9) AS tv FROM cen),
+         |v0 AS (SELECT list_transform(generate_series(1, $dim),
+         |    j -> 1.0 / sqrt(CAST($dim AS DOUBLE))) AS vv),
+         |${pcaIterSql(12, dim)},
+         |am AS MATERIALIZED (SELECT i, abs(vv[i]) AS a, vv[i] AS val FROM v12 CROSS JOIN dims),
+         |fp AS (SELECT CASE WHEN (SELECT val FROM am
+         |    WHERE a = (SELECT max(a) FROM am) ORDER BY i LIMIT 1) < 0
+         |  THEN -1.0 ELSE 1.0 END AS f)
+         |SELECT CAST(i AS BIGINT) AS dim_idx,
+         |  ROUND(mu[i], 6) AS mean_val,
+         |  ROUND(vv[i] * f, 6) AS pc_val,
+         |  ROUND(l12.l, 6) AS eigenvalue,
+         |  ROUND(l12.l / tv.tv, 6) AS explained_frac
+         |FROM dims CROSS JOIN muL CROSS JOIN v12 CROSS JOIN fp
+         |  CROSS JOIN l12 CROSS JOIN tv
+         |ORDER BY dim_idx""".stripMargin
     },
   )
 }

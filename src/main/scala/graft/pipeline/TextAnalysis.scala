@@ -1539,12 +1539,12 @@ object TextAnalysis {
          |    AND b.pos - a.pos BETWEEN 1 AND 2),
          |co AS (SELECT w1, w2, COUNT(*) AS cab FROM pr WHERE w1 <> w2
          |  GROUP BY w1, w2 HAVING COUNT(*) >= 5),
-         |e AS (SELECT w1 AS src, w2 AS dst FROM co
+         |e AS MATERIALIZED (SELECT w1 AS src, w2 AS dst FROM co
          |  UNION ALL SELECT w2 AS src, w1 AS dst FROM co),
-         |nodes AS (SELECT DISTINCT src AS id FROM e),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-         |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
          |${graft.pipeline.Clusters.pageRankIterSql(10)}
          |SELECT id AS tok, ROUND(rank, 6) AS rank FROM r10
          |ORDER BY rank DESC, tok LIMIT 30""".stripMargin),
