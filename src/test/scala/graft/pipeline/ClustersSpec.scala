@@ -164,12 +164,18 @@ class ClustersSpec extends AnyFunSuite {
     }
   }
 
-  test("pageRank: results ordered rank desc, deterministic across runs") {
+  test("pageRank: deterministic across runs; output UNORDERED by convention") {
+    // The operator returns unordered (entries own the oracle's order —
+    // the r17 total-order convention), so determinism is asserted on
+    // the sorted row set, and the registered-entry composition supplies
+    // the (rank desc, id) order.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
-    val r1 = Clusters.pageRank(edges).collect().map(_.toString)
-    val r2 = Clusters.pageRank(edges).collect().map(_.toString)
+    val r1 = Clusters.pageRank(edges).collect().map(_.toString).sorted
+    val r2 = Clusters.pageRank(edges).collect().map(_.toString).sorted
     assert(r1.sameElements(r2))
-    val ranks = Clusters.pageRank(edges).collect().map(_.getDouble(1))
+    val ranks = Clusters.pageRank(edges)
+      .orderBy(org.apache.spark.sql.functions.desc("rank"))
+      .collect().map(_.getDouble(1))
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
   }
 }

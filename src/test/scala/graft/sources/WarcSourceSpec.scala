@@ -146,7 +146,9 @@ class WarcSourceSpec extends AnyFunSuite {
         col("payload").cast("string").as("html"))
     val stripped = graft.pipeline.TextAnalysis.stripHtml(docs)
       .select(col("doc_id"), col("clean_text").as("text"))
-    val kept = graft.pipeline.Dedup.exact(stripped).collect().map(_.getLong(0))
+    // exact() returns unordered (the r17 total-order convention) —
+    // compare as a sorted id set.
+    val kept = graft.pipeline.Dedup.exact(stripped).collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(1L, 3L), s"dup 2 must collapse keep-first: ${kept.toSeq}")
   }
 
