@@ -250,17 +250,27 @@ object Similarity {
     spark.conf.get(MaxLocalTrainRowsKey, "65536").toInt
 
   /** Hash-ordered deterministic training sample, collected to the driver:
-    * the first `maxRows` corpus vectors under (xxhash64(vec_id), vec_id)
+    * the first `maxRows` corpus vectors under (hash(vec_id), vec_id)
     * total order — a uniform, reproducible, corpus-size-independent draw
     * (one distributed TakeOrdered pass, the same scan the seed collect
     * already paid). Bounded: maxRows × dim doubles, a few MB at the
     * default cap — the same bounded-driver-state class as the CC
-    * endgame's localThreshold. */
+    * endgame's localThreshold. The hash is the ENGINE-NEUTRAL
+    * [[graft.functions.PortableHash]] (r17, was xxhash64) so the sample
+    * order — and with it Lloyd's seeds — replays in the DuckDB oracle;
+    * the draw is equally uniform, only differently shuffled. */
   private def collectTrainSample(emb: DataFrame, maxRows: Int): Array[Array[Double]] =
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxRows)
+      .orderBy(graft.functions.PortableHash.hash64(col("vec_id").cast("string")),
+        col("vec_id")).limit(maxRows)
       .collect().map(_.getSeq[Double](1).toArray)
+
+  /** HALF_UP decimal rounding — the driver-side twin of Spark/DuckDB
+    * ROUND(x, 9); the determinism grid shared by the iterative trainers
+    * (Lloyd, power iteration). */
+  private def r9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   private def ldot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -272,7 +282,12 @@ object Similarity {
     * the same assignment rule as the distributed `assign` (argmax cosine,
     * smallest cell on ties) and the same empty-cluster handling (keep the
     * previous centroid). Deterministic: fixed sample order, left-fold
-    * sums. */
+    * sums; centroid means round to 9 dp per iteration (r17, the
+    * pageRank/embeddingPca determinism grid) so the whole trainer —
+    * seeds, assignments, updates — replays bit-for-bit in SQL, where
+    * the per-cell mean sums in a different order (~1e-16 drift,
+    * absorbed). Assignment compares UNROUNDED cosines of identical
+    * rounded centroids — identical doubles in both engines. */
   private def lloydCosineLocal(data: Array[Array[Double]], nList: Int,
       iters: Int): Array[Array[Double]] = {
     var cents = data.take(nList).map(_.clone)
@@ -303,7 +318,7 @@ object Similarity {
       }
       cents = cents.indices.map { c =>
         if (counts(c) == 0) cents(c)
-        else sums(c).map(_ / counts(c))
+        else sums(c).map(x => r9(x / counts(c)))
       }.toArray
     }
     cents
@@ -425,7 +440,10 @@ object Similarity {
           .select(col("cell"),
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
           .groupBy("cell").agg(graft.functions.VecMean.mean(col("v")).as("m"))
-          .select(col("cell"), col("m.v").as("cvec"))
+          // Same 9-dp determinism grid as the local path: partition-order
+          // summation drift absorbed, both trainers carry identical
+          // update semantics.
+          .select(col("cell"), expr("transform(m.v, x -> round(x, 9))").as("cvec"))
         // A cell that captured no sample vectors this round keeps its
         // previous centroid (standard empty-cluster handling, same as
         // pqCore) — dropping it would shrink nList for every later probe.
@@ -1500,10 +1518,6 @@ object Similarity {
   def embeddingPca(emb: DataFrame, iterations: Int = 12): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // HALF_UP decimal rounding — the driver-side twin of Spark/DuckDB
-    // ROUND(x, 9) (both round half away from zero on these magnitudes).
-    def r9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val vm = graft.functions.VecMean.mean
     val src = graft.Materialize(
       emb.select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
@@ -1716,6 +1730,40 @@ object Similarity {
          |  FROM cl$k CROSS JOIN l$k)""".stripMargin
     }.mkString(",\n")
 
+  /** [[graft.functions.CosineSimilarity]]'s exact arithmetic in DuckDB:
+    * three IN-ORDER folds (dot, ‖a‖², ‖b‖²) then dot / √(na·nb) — each
+    * accumulator is independent, so three separate left folds are
+    * bit-equal to the Expression's fused loop. UNROUNDED, for use in
+    * argmax comparisons over identical inputs. */
+  private def duckCosSql(a: String, b: String, dim: Int): String = {
+    def fold(e: String) =
+      s"list_reduce(list_transform(generate_series(1, $dim), i -> $e), (p, q) -> p + q)"
+    s"(${fold(s"$a[i] * $b[i]")} / sqrt(${fold(s"$a[i] * $a[i]")} * ${fold(s"$b[i] * $b[i]")}))"
+  }
+
+  /** `iterations` unrolled Lloyd steps over tables the prefix defines:
+    * `src(vec_id, e)` (the training sample — the full corpus at oracle
+    * SF, ≤ the local cap), `dims(i)`, and `c0(cell, cvec)` seeds. Each
+    * step replays [[lloydCosineLocal]] exactly: per-vector argmax
+    * cosine (NaN never beats a real similarity — the isnan sort key;
+    * smallest cell on ties), per-cell mean ROUND 9 (the determinism
+    * grid), empty cells keep their previous centroid (the COALESCE).
+    * AS MATERIALIZED throughout — the embedding_pca CTE-inlining
+    * lesson. */
+  private def lloydIterSql(iterations: Int, dim: Int): String =
+    (1 to iterations).map { k =>
+      s"""a$k AS MATERIALIZED (SELECT vec_id, e, cell FROM (
+         |  SELECT vec_id, e, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+         |      CASE WHEN isnan(cs) THEN 1 ELSE 0 END, cs DESC, cell) AS rn
+         |  FROM (SELECT s.vec_id, s.e, c.cell, ${duckCosSql("s.e", "c.cvec", dim)} AS cs
+         |        FROM src s CROSS JOIN c${k - 1} c) x) y WHERE rn = 1),
+         |m$k AS MATERIALIZED (SELECT cell, list(m ORDER BY i) AS cvec FROM (
+         |  SELECT cell, i, ROUND(AVG(e[i]), 9) AS m
+         |  FROM a$k CROSS JOIN dims GROUP BY cell, i) z GROUP BY cell),
+         |c$k AS MATERIALIZED (SELECT p.cell, COALESCE(m.cvec, p.cvec) AS cvec
+         |  FROM c${k - 1} p LEFT JOIN m$k m USING (cell))""".stripMargin
+    }.mkString(",\n")
+
   /** The SQ8 oracle witness (the dedup_semantic_fixed convention): the
     * SEARCH pipeline — int8 quantize → reconstruct → asymmetric L2 →
     * round-before-rank top-k — under a FIXED literal [gridMin, gridMax]
@@ -1758,6 +1806,10 @@ object Similarity {
     "q80_hard_negatives" -> ((s, d) => hardNegatives(Tables(s, d).embeddings)),
     "knn_classify"      -> ((s, d) => knnClassify(Tables(s, d).embeddings)),
     "knn_ann_lsh"       -> ((s, d) => annTopK(Tables(s, d).embeddings)),
+    // Oracle since r17 — the first trained-ANN hash-match: the
+    // engine-neutral sample order + the Lloyd ROUND-9 contract make
+    // the TRAINER itself replay in SQL (see the oracle entry), not
+    // just a fixed-centroid witness.
     "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
     "knn_ivfpq"         -> ((s, d) => ivfPqTopK(Tables(s, d).embeddings)),
     "dedup_embedding"   -> ((s, d) =>
@@ -2068,6 +2120,46 @@ object Similarity {
          |  FROM d WHERE sq8_dist IS NOT NULL AND NOT isnan(sq8_dist))
          |SELECT query_id, vec_id, sq8_dist FROM rk WHERE rn <= 10
          |ORDER BY query_id, sq8_dist ASC, vec_id""".stripMargin
+    },
+    // IVF search (r17 promotion — the first TRAINED-ANN oracle): the
+    // whole pipeline replays, trainer included. Seeds = the first 8
+    // vectors under the engine-neutral (PortableHash, vec_id) sample
+    // order; 2 unrolled Lloyd steps under the ROUND-9 contract;
+    // then the final Voronoi assignment, per-query top-2 probe cells
+    // (csim desc, cell asc — UNROUNDED comparisons of identical
+    // doubles), and in-probe top-10 by ROUND(cos, 4) with vec_id
+    // tiebreak. Validated bit-exact against an independent scalar
+    // replay of the trainer before registration. dim 64 / sample =
+    // full corpus at oracle SF (≤ the 65536 local cap).
+    "knn_ann_ivf" -> {
+      import graft.functions.PortableHash.{duckSigned, duckUnsigned}
+      val dim = 64
+      s"""WITH src AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |dims AS MATERIALIZED (SELECT unnest(generate_series(1, $dim)) AS i),
+         |c0 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+         |    e AS cvec
+         |  FROM (SELECT vec_id, e,
+         |      ${duckSigned(duckUnsigned("CAST(vec_id AS VARCHAR)"))} AS h FROM src) o
+         |  ORDER BY h, vec_id LIMIT 8),
+         |${lloydIterSql(2, dim)},
+         |fa AS MATERIALIZED (SELECT vec_id, e, cell FROM (
+         |  SELECT vec_id, e, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+         |      CASE WHEN isnan(cs) THEN 1 ELSE 0 END, cs DESC, cell) AS rn
+         |  FROM (SELECT s.vec_id, s.e, c.cell, ${duckCosSql("s.e", "c.cvec", dim)} AS cs
+         |        FROM src s CROSS JOIN c2 c) x) y WHERE rn = 1),
+         |qp AS MATERIALIZED (SELECT query_id, qe, cell FROM (
+         |  SELECT vec_id AS query_id, e AS qe, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |  FROM (SELECT s.vec_id, s.e, c.cell, ${duckCosSql("s.e", "c.cvec", dim)} AS cs
+         |        FROM src s CROSS JOIN c2 c WHERE s.vec_id < 3) x) y WHERE rn <= 2),
+         |cand AS MATERIALIZED (SELECT q.query_id, f.vec_id,
+         |    ROUND(${duckCosSql("f.e", "q.qe", dim)}, 4) AS sim
+         |  FROM qp q JOIN fa f USING (cell) WHERE f.vec_id <> q.query_id),
+         |rk AS (SELECT query_id, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM cand WHERE sim IS NOT NULL AND NOT isnan(sim))
+         |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 10
+         |ORDER BY query_id, sim DESC, vec_id""".stripMargin
     },
     // Power-iteration PCA (r17 promotion): μ / total-variance / each
     // C·v are ROUND-9 means (the determinism grid); λ and the
