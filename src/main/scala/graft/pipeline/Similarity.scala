@@ -355,9 +355,12 @@ object Similarity {
           while (i < sub) { sums(code)(i) += v(i); i += 1 }
           counts(code) += 1
         }
+        // The ROUND-9 determinism grid (the lloydCosineLocal contract):
+        // codebook means replay in SQL where the per-code mean sums in
+        // a different order.
         cents = cents.indices.map { c =>
           if (counts(c) == 0) cents(c)
-          else sums(c).map(_ / counts(c))
+          else sums(c).map(x => r9(x / counts(c)))
         }.toArray
       }
       cents.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
@@ -945,7 +948,9 @@ object Similarity {
       val moved = assign(codebook, trainSubs)
         .groupBy("sub", "code")
         .agg(graft.functions.VecMean.mean(col("svec")).as("m"))
-        .select(col("sub"), col("code"), col("m.v").as("cvec"))
+        // Same ROUND-9 grid as the local path (update-semantics parity).
+        .select(col("sub"), col("code"),
+          expr("transform(m.v, x -> round(x, 9))").as("cvec"))
       // A centroid that captured no vectors this round keeps its previous
       // position (standard empty-cluster handling) — dropping it would
       // shrink k and bias every later assignment.
@@ -1764,6 +1769,141 @@ object Similarity {
          |  FROM c${k - 1} p LEFT JOIN m$k m USING (cell))""".stripMargin
     }.mkString(",\n")
 
+  /** In-order squared-L2 fold over `subDim`-wide list slices —
+    * [[pqLloydLocal]]/[[pqEncodeFrom]]'s exact per-subvector distance. */
+  private def duckSqSql(a: String, b: String, subDim: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $subDim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (p, q) -> p + q)"""
+
+  /** Shared CTE prefix of the PQ oracles: the subvector table, the
+    * engine-neutral-hash-ordered seed rows, the seed codebook, the
+    * unrolled per-subspace Lloyd steps (argmin L2², smallest code on
+    * ties; per-code means ROUND 9; empty codes keep their previous
+    * centroid), and the full-corpus encode. Replays [[pqCore]] +
+    * [[pqEncodeFrom]] under the r17 determinism grid, validated
+    * bit-exact against an independent scalar replay. AS MATERIALIZED
+    * throughout (the CTE-inlining lesson). */
+  private def pqOraclePrefix(dim: Int, m: Int, kc: Int, iters: Int): String = {
+    import graft.functions.PortableHash.{duckSigned, duckUnsigned}
+    val sub = dim / m
+    val lloyd = (1 to iters).map { t =>
+      s"""pa$t AS MATERIALIZED (SELECT vec_id, sub, svec, code FROM (
+         |  SELECT vec_id, sub, svec, code,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+         |  FROM (SELECT s.vec_id, s.sub, s.svec, c.code, ${duckSqSql("s.svec", "c.cvec", sub)} AS d
+         |        FROM subs s JOIN cb${t - 1} c USING (sub)) x) y WHERE rn = 1),
+         |pm$t AS MATERIALIZED (SELECT sub, code, list(m ORDER BY i) AS cvec FROM (
+         |  SELECT sub, code, i, ROUND(AVG(svec[i]), 9) AS m
+         |  FROM pa$t CROSS JOIN sdims GROUP BY sub, code, i) z GROUP BY sub, code),
+         |cb$t AS MATERIALIZED (SELECT p.sub, p.code, COALESCE(m.cvec, p.cvec) AS cvec
+         |  FROM cb${t - 1} p LEFT JOIN pm$t m USING (sub, code))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH src AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sdims AS MATERIALIZED (SELECT unnest(generate_series(1, $sub)) AS i),
+       |subs AS MATERIALIZED (SELECT vec_id, j AS sub, e[j * $sub + 1 : j * $sub + $sub] AS svec
+       |  FROM src CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS j) js),
+       |sd AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS rn, e
+       |  FROM (SELECT vec_id, e, ${duckSigned(duckUnsigned("CAST(vec_id AS VARCHAR)"))} AS h FROM src) o
+       |  ORDER BY h, vec_id LIMIT $kc),
+       |cb0 AS MATERIALIZED (SELECT j AS sub, rn AS code, e[j * $sub + 1 : j * $sub + $sub] AS cvec
+       |  FROM sd CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS j) js),
+       |$lloyd,
+       |enc AS MATERIALIZED (SELECT vec_id, sub, code, d FROM (
+       |  SELECT vec_id, sub, code, d,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+       |  FROM (SELECT s.vec_id, s.sub, c.code, ${duckSqSql("s.svec", "c.cvec", sub)} AS d
+       |        FROM subs s JOIN cb$iters c USING (sub)) x) y WHERE rn = 1)""".stripMargin
+  }
+
+  /** The knn_ivfpq twin — the full FAISS-IVFPQ replay, composing the
+    * two trained stages the family's other oracles pin separately:
+    * coarse cosine-Lloyd (the knn_ann_ivf chain), per-vector residuals
+    * against the trained centroid, residual-space per-subspace
+    * L2-Lloyd (the pq_codes chain, seeded from the FIRST pqK sample
+    * rows' residuals), corpus encode, and the ADC search over probed
+    * cells (probe = nProbe nearest cells by exact residual L2², the
+    * distance table keyed (cell, sub, code)). Validated bit-exact
+    * against an independent scalar replay before registration. */
+  private def ivfPqOracle: String = {
+    import graft.functions.PortableHash.{duckSigned, duckUnsigned}
+    val (dim, nList, ci, m, pqK, pi, nq, nProbe, k) = (64, 8, 2, 8, 16, 2, 3, 2, 10)
+    val sub = dim / m
+    val coarse = (1 to ci).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT vec_id, e, cell FROM (
+         |  SELECT vec_id, e, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+         |      CASE WHEN isnan(cs) THEN 1 ELSE 0 END, cs DESC, cell) AS rn
+         |  FROM (SELECT s.vec_id, s.e, c.cell, ${duckCosSql("s.e", "c.cvec", dim)} AS cs
+         |        FROM src s CROSS JOIN c${t - 1} c) x) y WHERE rn = 1),
+         |m$t AS MATERIALIZED (SELECT cell, list(m ORDER BY i) AS cvec FROM (
+         |  SELECT cell, i, ROUND(AVG(e[i]), 9) AS m
+         |  FROM a$t CROSS JOIN dims GROUP BY cell, i) z GROUP BY cell),
+         |c$t AS MATERIALIZED (SELECT p.cell, COALESCE(m.cvec, p.cvec) AS cvec
+         |  FROM c${t - 1} p LEFT JOIN m$t m USING (cell))""".stripMargin
+    }.mkString(",\n")
+    val pq = (1 to pi).map { t =>
+      s"""pa$t AS MATERIALIZED (SELECT vec_id, sub, svec, code FROM (
+         |  SELECT vec_id, sub, svec, code,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+         |  FROM (SELECT s.vec_id, s.sub, s.svec, c.code, ${duckSqSql("s.svec", "c.cvec", sub)} AS d
+         |        FROM rsubs s JOIN cb${t - 1} c USING (sub)) x) y WHERE rn = 1),
+         |pm$t AS MATERIALIZED (SELECT sub, code, list(m ORDER BY i) AS cvec FROM (
+         |  SELECT sub, code, i, ROUND(AVG(svec[i]), 9) AS m
+         |  FROM pa$t CROSS JOIN sdims GROUP BY sub, code, i) z GROUP BY sub, code),
+         |cb$t AS MATERIALIZED (SELECT p.sub, p.code, COALESCE(m.cvec, p.cvec) AS cvec
+         |  FROM cb${t - 1} p LEFT JOIN pm$t m USING (sub, code))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH src AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |dims AS MATERIALIZED (SELECT unnest(generate_series(1, $dim)) AS i),
+       |sdims AS MATERIALIZED (SELECT unnest(generate_series(1, $sub)) AS i),
+       |ord AS MATERIALIZED (SELECT vec_id, e,
+       |    ${duckSigned(duckUnsigned("CAST(vec_id AS VARCHAR)"))} AS h FROM src),
+       |c0 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+       |    e AS cvec FROM ord ORDER BY h, vec_id LIMIT $nList),
+       |$coarse,
+       |fa AS MATERIALIZED (SELECT vec_id, e, cell FROM (
+       |  SELECT vec_id, e, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+       |      CASE WHEN isnan(cs) THEN 1 ELSE 0 END, cs DESC, cell) AS rn
+       |  FROM (SELECT s.vec_id, s.e, c.cell, ${duckCosSql("s.e", "c.cvec", dim)} AS cs
+       |        FROM src s CROSS JOIN c$ci c) x) y WHERE rn = 1),
+       |res AS MATERIALIZED (SELECT f.vec_id, f.cell,
+       |    list_transform(generate_series(1, $dim), i -> f.e[i] - c.cvec[i]) AS r
+       |  FROM fa f JOIN c$ci c USING (cell)),
+       |rsubs AS MATERIALIZED (SELECT vec_id, j AS sub,
+       |    r[j * $sub + 1 : j * $sub + $sub] AS svec
+       |  FROM res CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS j) js),
+       |sd16 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS rn,
+       |    vec_id FROM ord ORDER BY h, vec_id LIMIT $pqK),
+       |cb0 AS MATERIALIZED (SELECT rs.sub, sd16.rn AS code, rs.svec AS cvec
+       |  FROM sd16 JOIN rsubs rs USING (vec_id)),
+       |$pq,
+       |enc AS MATERIALIZED (SELECT e2.vec_id, r2.cell, e2.sub, e2.code FROM (
+       |  SELECT vec_id, sub, code, d,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+       |  FROM (SELECT s.vec_id, s.sub, c.code, ${duckSqSql("s.svec", "c.cvec", sub)} AS d
+       |        FROM rsubs s JOIN cb$pi c USING (sub)) x) e2
+       |  JOIN res r2 USING (vec_id) WHERE e2.rn = 1),
+       |qres AS MATERIALIZED (SELECT s.vec_id AS query_id, c.cell,
+       |    list_transform(generate_series(1, $dim), i -> s.e[i] - c.cvec[i]) AS qr
+       |  FROM src s CROSS JOIN c$ci c WHERE s.vec_id < $nq),
+       |qp AS MATERIALIZED (SELECT query_id, cell, qr FROM (
+       |  SELECT query_id, cell, qr,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, cell) AS rn
+       |  FROM (SELECT query_id, cell, qr,
+       |      list_reduce(list_transform(qr, x -> x * x), (p, q) -> p + q) AS d2 FROM qres) x) y
+       |  WHERE rn <= $nProbe),
+       |dtab AS MATERIALIZED (SELECT q.query_id, q.cell, js.j AS sub, c.code,
+       |    ${duckSqSql(s"(q.qr[js.j * $sub + 1 : js.j * $sub + $sub])", "c.cvec", sub)} AS d
+       |  FROM qp q CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS j) js
+       |  JOIN cb$pi c ON c.sub = js.j),
+       |scored AS (SELECT t.query_id, e.vec_id, ROUND(SUM(t.d), 6) AS adc_dist
+       |  FROM enc e JOIN dtab t ON e.cell = t.cell AND e.sub = t.sub AND e.code = t.code
+       |  WHERE e.vec_id >= $nq GROUP BY t.query_id, e.vec_id),
+       |rk AS (SELECT query_id, vec_id, adc_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id) AS rn
+       |  FROM scored WHERE adc_dist IS NOT NULL AND NOT isnan(adc_dist))
+       |SELECT query_id, vec_id, adc_dist FROM rk WHERE rn <= $k
+       |ORDER BY query_id, adc_dist ASC, vec_id""".stripMargin
+  }
+
   /** The SQ8 oracle witness (the dedup_semantic_fixed convention): the
     * SEARCH pipeline — int8 quantize → reconstruct → asymmetric L2 →
     * round-before-rank top-k — under a FIXED literal [gridMin, gridMax]
@@ -1811,6 +1951,8 @@ object Similarity {
     // the TRAINER itself replay in SQL (see the oracle entry), not
     // just a fixed-centroid witness.
     "knn_ann_ivf"       -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
+    // Oracle since r17 — the composed two-trainer replay (coarse
+    // cosine-Lloyd + residual-space PQ-Lloyd + ADC over probed cells).
     "knn_ivfpq"         -> ((s, d) => ivfPqTopK(Tables(s, d).embeddings)),
     "dedup_embedding"   -> ((s, d) =>
       embeddingNearDup(Tables(s, d).embeddings).orderBy("vec_id")),
@@ -1828,6 +1970,9 @@ object Similarity {
     // Driver surface: the harness sorts result rows through pandas, which
     // cannot factorize an array column — emit the codes as a joined
     // string. The ARRAY<INT> form stays the internal API (pqEncode).
+    // Oracle since r17: the per-subspace Lloyd codebook replays under
+    // the determinism grid (engine-neutral sample order + ROUND-9
+    // means), so train+encode hash-matches end to end.
     "pq_codes"          -> ((s, d) => productQuantization(Tables(s, d).embeddings)
       .select(col("vec_id"),
         expr("array_join(transform(codes, c -> CAST(c AS STRING)), '-')")
@@ -1837,7 +1982,9 @@ object Similarity {
     "knn_pq_adc"        -> ((s, d) => {
       // One pqCore: the trainer, encoder, and query distance table all
       // reuse the same materialized subvector explode (three subTable
-      // passes + three dim probes collapse to one each).
+      // passes + three dim probes collapse to one each). Oracle since
+      // r17 — same trained codebook replay as pq_codes, plus the ADC
+      // distance-table search.
       val emb = Tables(s, d).embeddings
       val (cb, subs, dim) = pqCore(emb, 8, 16, 2)
       pqTopKFrom(subs.filter(col("vec_id") < 3),
@@ -2121,6 +2268,37 @@ object Similarity {
          |SELECT query_id, vec_id, sq8_dist FROM rk WHERE rn <= 10
          |ORDER BY query_id, sq8_dist ASC, vec_id""".stripMargin
     },
+    "knn_ivfpq" -> ivfPqOracle,
+    // PQ train + encode (r17 promotion): the per-subspace Lloyd
+    // codebook replays under the determinism grid (see
+    // [[pqOraclePrefix]]); codes_str joins the per-sub argmin codes in
+    // sub order, mse = ROUND(Σ per-sub best L2² / dim, 6) — the sum
+    // over m=8 subs crosses engines in different order, absorbed by
+    // the 6-dp report rounding.
+    "pq_codes" -> (pqOraclePrefix(64, 8, 16, 2) +
+      """
+        |SELECT vec_id,
+        |  array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), '-') AS codes_str,
+        |  ROUND(SUM(d) / 64, 6) AS mse
+        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    // ADC search over the same trained codebook: per-query distance
+    // table (exact L2² to every (sub, code) centroid), corpus side is
+    // codes-only, adc_dist = ROUND(Σ selected table entries, 6),
+    // ascending top-10 with vec_id tiebreak, self-block excluded
+    // (vec_id ≥ 3, the pqTopKFrom rule).
+    "knn_pq_adc" -> (pqOraclePrefix(64, 8, 16, 2) +
+      """,
+        |dtab AS MATERIALIZED (SELECT q.vec_id AS query_id, c.sub, c.code,
+        |    list_reduce(list_transform(generate_series(1, 8), i -> (q.svec[i] - c.cvec[i]) * (q.svec[i] - c.cvec[i])), (p, q2) -> p + q2) AS d
+        |  FROM subs q JOIN cb2 c USING (sub) WHERE q.vec_id < 3),
+        |scored AS (SELECT t.query_id, e.vec_id, ROUND(SUM(t.d), 6) AS adc_dist
+        |  FROM enc e JOIN dtab t ON e.sub = t.sub AND e.code = t.code
+        |  WHERE e.vec_id >= 3 GROUP BY t.query_id, e.vec_id),
+        |rk AS (SELECT query_id, vec_id, adc_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id) AS rn
+        |  FROM scored WHERE adc_dist IS NOT NULL AND NOT isnan(adc_dist))
+        |SELECT query_id, vec_id, adc_dist FROM rk WHERE rn <= 10
+        |ORDER BY query_id, adc_dist ASC, vec_id""".stripMargin),
     // IVF search (r17 promotion — the first TRAINED-ANN oracle): the
     // whole pipeline replays, trainer included. Seeds = the first 8
     // vectors under the engine-neutral (PortableHash, vec_id) sample
