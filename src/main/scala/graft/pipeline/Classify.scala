@@ -42,6 +42,12 @@ object Classify {
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
+  /** HALF_UP decimal rounding — the driver-side twin of ROUND(x, 9);
+    * the determinism grid (the pageRank/Lloyd convention) applied to
+    * the GD gradients. */
+  private def r9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Exploded hashed-bigram instances: (doc_id, lang, f). */
   private def bigramBuckets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -79,9 +85,17 @@ object Classify {
 
   /** Full-batch gradient-descent logistic regression on the weak label
     * y = (lang == targetLang). Returns the trained weight vector of
-    * size [[Buckets]]+1 (last slot = intercept). Deterministic up to
-    * float-summation order (sub-ulp; the spec asserts decisions, not
-    * bits). L2 applies to feature weights, not the intercept. */
+    * size [[Buckets]]+1 (last slot = intercept). L2 applies to feature
+    * weights, not the intercept.
+    *
+    * Determinism contract (r17, the Lloyd/pageRank grid): each epoch's
+    * gradients round to 9 dp at the driver before the weight update.
+    * Every cross-engine drift source — distributed grad-sum order,
+    * per-doc dot-fold order, and the last-ulp spread of libm `exp`
+    * between the JVM and DuckDB — lands in the gradients at ~1e-16 and
+    * is absorbed by the 1e-9 grid, so the full 12-epoch GD fixpoint
+    * (weight updates are exact IEEE functions of the rounded grads)
+    * replays in SQL and quality_classifier is oracle-checked. */
   def trainLogistic(
       docs: DataFrame,
       targetLang: String = "en",
@@ -111,7 +125,7 @@ object Classify {
         val f = row.getLong(0)
         val i = if (f < 0) Buckets else f.toInt
         val reg = if (i == Buckets) 0.0 else l2 * w(i)
-        w(i) -= step * (row.getDouble(1) / n + reg)
+        w(i) -= step * (r9(row.getDouble(1)) / n + reg)
       }
     }
     graft.Materialize.release(ft)
@@ -327,7 +341,56 @@ object Classify {
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
+  /** The quality_classifier twin (r17 promotion): 12 unrolled GD
+    * epochs under the rounded-gradient contract — per epoch one
+    * weight join for the per-doc dot, the sigmoid residual, the
+    * ROUND-9 per-feature gradient, and the exact-IEEE weight update
+    * (L2 on features only, never the intercept; the weight table
+    * covers exactly the features with instances — everything else
+    * stays 0 and never matters). Scoring replays scoreLogistic's
+    * instance-sum + 4-dp rounded sigmoid over the final weights.
+    * AS MATERIALIZED throughout (the CTE-inlining lesson). Validated
+    * bit-exact against an independent scalar replay. */
+  private def gdOracle: String = {
+    import graft.functions.PortableHash.duckUnsigned
+    val (iters, step, l2) = (12, 5.0, 1e-6)
+    val chain = (1 to iters).map { k =>
+      s"""z$k AS MATERIALIZED (SELECT i.doc_id, SUM(i.x * w.w) AS z
+         |  FROM inst i JOIN w${k - 1} w USING (f) GROUP BY i.doc_id),
+         |r$k AS MATERIALIZED (SELECT d.doc_id, (1.0 / (1.0 + exp(-z.z)) - d.y) AS r
+         |  FROM tdocs d JOIN z$k z USING (doc_id)),
+         |g$k AS MATERIALIZED (SELECT i.f, ROUND(SUM(r.r * i.x), 9) AS g
+         |  FROM inst i JOIN r$k r USING (doc_id) GROUP BY i.f),
+         |w$k AS MATERIALIZED (SELECT w.f,
+         |    w.w - $step * (COALESCE(g.g, 0.0) / nn.n + CASE WHEN w.f = -1 THEN 0.0 ELSE $l2 * w.w END) AS w
+         |  FROM w${k - 1} w LEFT JOIN g$k g USING (f) CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |bg AS MATERIALIZED (SELECT doc_id, lang,
+       |    CAST(${duckUnsigned("t[i - 1] || ' ' || t[i]")} % $Buckets AS BIGINT) AS f
+       |  FROM (SELECT doc_id, lang, t, unnest(generate_series(2, len(t))) AS i
+       |        FROM toks WHERE len(t) >= 2) x),
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, f, CAST(COUNT(*) AS DOUBLE) AS x FROM bg GROUP BY doc_id, f
+       |  UNION ALL
+       |  SELECT DISTINCT doc_id, CAST(-1 AS BIGINT) AS f, 1.0 AS x FROM bg),
+       |tdocs AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM bg),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tdocs),
+       |w0 AS MATERIALIZED (SELECT f, 0.0 AS w FROM (SELECT DISTINCT f FROM inst) u),
+       |$chain,
+       |zf AS MATERIALIZED (SELECT b.doc_id, SUM(w.w) AS zf
+       |  FROM bg b JOIN w$iters w USING (f) GROUP BY b.doc_id),
+       |wb AS (SELECT w FROM w$iters WHERE f = -1)
+       |SELECT d.doc_id, d.lang,
+       |  ROUND(1.0 / (1.0 + exp(-(COALESCE(z.zf, 0.0) + wb.w))), 4) AS prob,
+       |  ROUND(1.0 / (1.0 + exp(-(COALESCE(z.zf, 0.0) + wb.w))), 4) > 0.5 AS is_target
+       |FROM documents d LEFT JOIN zf z ON d.doc_id = z.doc_id CROSS JOIN wb
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "quality_classifier" -> gdOracle,
     "quality_score_fixed" -> (fixedScoreSql + "\nORDER BY doc_id"),
     // Bins on the 4-dp ROUNDED prob; means re-rounded at 6 dp and the
     // gap differenced over the two ROUNDED means (both engines

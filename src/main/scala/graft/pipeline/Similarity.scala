@@ -1956,6 +1956,9 @@ object Similarity {
     "knn_ivfpq"         -> ((s, d) => ivfPqTopK(Tables(s, d).embeddings)),
     "dedup_embedding"   -> ((s, d) =>
       embeddingNearDup(Tables(s, d).embeddings).orderBy("vec_id")),
+    // Oracle since r17: the TRAINED cells replay (the knn_ann_ivf
+    // chain with √n-derived k); the fixed witness below keeps pinning
+    // the decision surface independently of training.
     "dedup_semantic"    -> ((s, d) =>
       semanticDedup(Tables(s, d).embeddings).orderBy("vec_id")),
     "dedup_semantic_fixed" -> ((s, d) =>
@@ -2172,6 +2175,55 @@ object Similarity {
     // (the bit-for-bit match q22/dedup_embedding already rely on), so
     // cell assignment — and therefore the candidate SET — is
     // engine-independent.
+    // The TRAINED SemDeDup twin (r17 promotion): the knn_ann_ivf Lloyd
+    // chain with the DATA-DEPENDENT cell count k = min(16384,
+    // max(8, floor(√n + 0.5))) resolved by a LIMIT subquery; within-cell
+    // pairs thresholded on the UNROUNDED exact-fold cosine (identical
+    // doubles both sides), keep-first min(left_id), best_cos rounded 4.
+    // States the UNREFINED path: the two-level subcell refinement only
+    // fires for cells above maxCell = 4096 members — with k ≈ √n cells
+    // that needs a cell holding >4096 vectors, far beyond any oracle-SF
+    // skew (RefinementSpec owns the refined path). Validated bit-exact
+    // against an independent scalar replay.
+    "dedup_semantic" -> {
+      import graft.functions.PortableHash.{duckSigned, duckUnsigned}
+      val dim = 64
+      val coarse = (1 to 2).map { t =>
+        s"""a$t AS MATERIALIZED (SELECT vec_id, e, cell FROM (
+           |  SELECT vec_id, e, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           |      CASE WHEN isnan(cs) THEN 1 ELSE 0 END, cs DESC, cell) AS rn
+           |  FROM (SELECT s.vec_id, s.e, c.cell, ${duckCosSql("s.e", "c.cvec", dim)} AS cs
+           |        FROM src s CROSS JOIN c${t - 1} c) x) y WHERE rn = 1),
+           |m$t AS MATERIALIZED (SELECT cell, list(m ORDER BY i) AS cvec FROM (
+           |  SELECT cell, i, ROUND(AVG(e[i]), 9) AS m
+           |  FROM a$t CROSS JOIN dims GROUP BY cell, i) z GROUP BY cell),
+           |c$t AS MATERIALIZED (SELECT p.cell, COALESCE(m.cvec, p.cvec) AS cvec
+           |  FROM c${t - 1} p LEFT JOIN m$t m USING (cell))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH src AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |dims AS MATERIALIZED (SELECT unnest(generate_series(1, $dim)) AS i),
+         |c0 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+         |    e AS cvec
+         |  FROM (SELECT vec_id, e, ${duckSigned(duckUnsigned("CAST(vec_id AS VARCHAR)"))} AS h FROM src) o
+         |  ORDER BY h, vec_id
+         |  LIMIT (SELECT LEAST(16384, GREATEST(8,
+         |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS INT))) FROM src)),
+         |$coarse,
+         |fa AS MATERIALIZED (SELECT vec_id, e, cell FROM (
+         |  SELECT vec_id, e, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+         |      CASE WHEN isnan(cs) THEN 1 ELSE 0 END, cs DESC, cell) AS rn
+         |  FROM (SELECT s.vec_id, s.e, c.cell, ${duckCosSql("s.e", "c.cvec", dim)} AS cs
+         |        FROM src s CROSS JOIN c2 c) x) y WHERE rn = 1),
+         |pj AS MATERIALIZED (SELECT b.vec_id AS vec_id, a.vec_id AS left_id,
+         |    ${duckCosSql("a.e", "b.e", dim)} AS cc
+         |  FROM fa a JOIN fa b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dec AS (SELECT vec_id, min(left_id) AS dup_of, max(cc) AS best_cos
+         |  FROM pj WHERE cc >= 0.9 AND NOT isnan(cc) GROUP BY vec_id)
+         |SELECT f.vec_id, f.cell, d.dup_of,
+         |  COALESCE(ROUND(d.best_cos, 4), 0.0) AS best_cos,
+         |  d.dup_of IS NOT NULL AS is_duplicate
+         |FROM fa f LEFT JOIN dec d USING (vec_id) ORDER BY f.vec_id""".stripMargin
+    },
     "dedup_semantic_fixed" -> {
       val cents = (0 until 8).map(j => s"($j, ${duckCentroidLit(j, 64)})")
         .mkString(",\n  ")
