@@ -1478,6 +1478,9 @@ object TextAnalysis {
       .orderBy("doc_id")),
     "q93_hashed_tfidf" -> ((s, d) =>
       hashedTfIdf(Tables(s, d).documents).orderBy("doc_id", "bucket")),
+    // Oracle since r17: the greedy merge loop is all-integer/string —
+    // it replays exactly with no rounding contract (see
+    // [[bpeOraclePrefix]]'s islands trick for the L2R non-overlap).
     "bpe_merges"       -> ((s, d) => bpeTrain(Tables(s, d).documents)),
     "bpe_encode"       -> ((s, d) =>
       bpeEncode(Tables(s, d).documents).orderBy("doc_id")),
@@ -1524,7 +1527,76 @@ object TextAnalysis {
       redactPii(Tables(s, d).documents).orderBy("doc_id")),
   )
 
+  /** Shared CTE prefix of the BPE twins (r17 promotion — an
+    * ALL-INTEGER/STRING replay, no float contract needed): word-type
+    * vocabulary → codepoint symbol lists → `nMerges` unrolled merge
+    * steps. Each step replays [[localBpeTrain]] exactly: weighted pair
+    * counts, argmax by (count DESC, left, right — codepoint order ≡
+    * DuckDB binary collation on this ASCII vocabulary), and the greedy
+    * LEFT-TO-RIGHT NON-OVERLAPPING merge — a plain string/list replace
+    * mis-handles same-symbol chains (in `aaaa` under merge (a,a) the
+    * consumed boundary hides the second match), so candidate positions
+    * are selected by gaps-and-islands: within each maximal run of
+    * consecutive candidates, keep every other one from the run start
+    * (exactly the skip-2 scan of the trainer loop). AS MATERIALIZED
+    * throughout (the CTE-inlining lesson). Validated bit-exact against
+    * the actual engine dumps before registration. */
+  private def bpeOraclePrefix(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { k =>
+      s"""pc$k AS MATERIALIZED (SELECT l, r, SUM(freq) AS cnt FROM (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, freq
+         |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+         |        FROM wd${k - 1}) x) y
+         |  GROUP BY l, r),
+         |mg$k AS MATERIALIZED (SELECT l, r, cnt FROM pc$k WHERE cnt > 0
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |cnd$k AS MATERIALIZED (SELECT d.w, d.i FROM
+         |  (SELECT w, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM wd${k - 1}) d
+         |  CROSS JOIN mg$k m
+         |  WHERE d.syms[d.i] = m.l AND d.syms[d.i + 1] = m.r),
+         |kp$k AS MATERIALIZED (SELECT w, i FROM (
+         |  SELECT w, i, i - MIN(i) OVER (PARTITION BY w, isl) AS off FROM (
+         |    SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS isl
+         |    FROM cnd$k) a) b WHERE off % 2 = 0),
+         |wd$k AS MATERIALIZED (SELECT d.w,
+         |    list(CASE WHEN k1.i IS NOT NULL THEN d.syms[d.i] || d.syms[d.i + 1]
+         |              ELSE d.syms[d.i] END ORDER BY d.i) AS syms,
+         |    ANY_VALUE(d.freq) AS freq
+         |  FROM (SELECT w, syms, freq, unnest(generate_series(1, len(syms))) AS i
+         |        FROM wd${k - 1}) d
+         |  LEFT JOIN kp$k k1 ON k1.w = d.w AND k1.i = d.i
+         |  LEFT JOIN kp$k k2 ON k2.w = d.w AND k2.i = d.i - 1
+         |  WHERE k2.i IS NULL
+         |  GROUP BY d.w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wt AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM wt
+       |  WHERE len(w) > 0 GROUP BY w),
+       |wd0 AS MATERIALIZED (SELECT w, string_split(w, '') AS syms, freq FROM wf),
+       |$steps""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "bpe_merges" -> (bpeOraclePrefix(8) + """
+      |SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right",
+      |  l || r AS merged, CAST(cnt AS BIGINT) AS weighted_count FROM (
+      |""".stripMargin +
+      (1 to 8).map(k => s"SELECT $k AS rank, l, r, cnt FROM mg$k")
+        .mkString("\nUNION ALL\n") +
+      ") u ORDER BY rank"),
+    // Encoding = the per-word token count after all 8 merges, joined to
+    // every token instance; docs without a word keep their row with 0s
+    // (the Spark side's left-join + coalesce).
+    "bpe_encode" -> (bpeOraclePrefix(8) + """,
+      |wtok AS MATERIALIZED (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM wd8),
+      |agg AS (SELECT t.doc_id, COUNT(*) AS nw, SUM(k.nt) AS nt
+      |  FROM wt t JOIN wtok k USING (w) WHERE len(t.w) > 0 GROUP BY t.doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(a.nw, 0) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(a.nt, 0) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(COALESCE(a.nt, 0) AS DOUBLE) / GREATEST(COALESCE(a.nw, 0), 1), 4)
+      |    AS toks_per_word
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin),
     // TextRank promoted from rows-only (r17): the q91 positional
     // co-occurrence chain builds the ≥5-count word graph, then
     // [[graft.pipeline.Clusters.pageRankIterSql]]'s 10 unrolled power
