@@ -2657,6 +2657,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"SQ8 recall $recall — quantization grid broken?")
   }
 
+  test("sq8 fixed grid: in-grid search agrees with recall contract; out-of-grid saturates") {
+    import spark.implicits._
+    // In-grid: the fixed [-1, 1] witness keeps the same recall contract
+    // as the trained calibration on the corpus embeddings.
+    val fx = Similarity.sq8TopKFixed(emb, nQueries = 2, k = 5).collect()
+    assert(fx.length == 10 && fx.forall(_.getLong(1) >= 2))
+    // Saturating clamp (the FAISS behavior the oracle twin replays): a
+    // candidate vector FAR outside the grid must quantize to the grid
+    // edge — identical to a vector sitting exactly ON the edge — rather
+    // than wrapping through the TINYINT cast into a bogus near match.
+    val dim = 4
+    def v(xs: Double*) = xs.toSeq
+    val d = Seq(
+      (0L, v(0.5, 0.5, 0.5, 0.5)),    // query
+      (10L, v(9.0, 9.0, 9.0, 9.0)),   // far out of grid -> clamps to edge
+      (11L, v(1.0, 1.0, 1.0, 1.0)),   // exactly the grid edge
+      (12L, v(0.5, 0.5, 0.5, 0.5))    // the true neighbor
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopKFixed(d, nQueries = 1, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(12L) < out(11L), "the true neighbor must beat the edge vector")
+    assert(out(10L) == out(11L),
+      s"an out-of-grid vector must saturate to the edge code (same distance), got $out")
+  }
+
   test("incremental simhash: near-dups flagged across increments, store grows keepers-only") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("incsh").resolve("store").toString
