@@ -326,7 +326,64 @@ object Profile {
         Check("long_docs_only", "n_chars", col("n_chars") >= 200)),
       uniqueCols = Seq("doc_id", "text"))
 
+  /** Portable HyperLogLog distinct sketch (Flajolet et al. 2007, the
+    * HLL paper's standard estimator with linear-counting small-range
+    * correction) — the ORACLE-VERIFIABLE companion to the Datasketches
+    * ledger ([[updateProfileStore]]'s `hll_sketch_agg`, whose register
+    * layout is library-internal and cannot hash-match another engine).
+    * Built from scratch on [[graft.functions.PortableHash]]: bucket =
+    * the hash's top p bits, register = max over the bucket of (leading
+    * zeros of the 64−p-bit suffix + 1). The rank is INTEGER-EXACT in
+    * both engines via binary-string length (floor(log2) through libm
+    * log2 is an off-by-one trap near powers of two); the estimate is
+    * αm·m²/Σ2^−M with 2^−M as an exact integer shift, and the linear-
+    * counting branch m·ln(m/V) below 2.5m — the one libm op, absorbed
+    * by the 4-dp report rounding. Same mergeable shape as any HLL:
+    * registers max-merge, so the sketch drops into the ledger pattern.
+    *
+    * Scale: one corpus scan (the 4 profiled columns stack in a single
+    * explode), one map-side-combined max per (column, bucket) — the
+    * register table is O(columns·m), corpus-independent — and an
+    * O(columns) report. */
+  def hllPortableSketch(docs: DataFrame, p: Int = 8): DataFrame = {
+    import graft.functions.PortableHash
+    val m = 1 << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val stacked = docs.select(explode(array(
+        struct(lit("doc_id").as("col_name"), col("doc_id").cast("string").as("v")),
+        struct(lit("lang").as("col_name"), col("lang").as("v")),
+        struct(lit("source").as("col_name"), col("source").as("v")),
+        struct(lit("text").as("col_name"), col("text").as("v")))).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    val mask = (1L << (64 - p)) - 1
+    val regs = stacked
+      .select(col("col_name"), PortableHash.hash64(col("v")).as("h"))
+      .withColumn("b", shiftrightunsigned(col("h"), 64 - p))
+      .withColumn("suf", col("h").bitwiseAND(lit(mask)))
+      .withColumn("rho", when(col("suf") === 0, lit(64 - p + 1))
+        .otherwise(lit(64 - p + 1) - length(conv(col("suf"), 10, 2))))
+      .groupBy("col_name", "b").agg(max("rho").as("mj"))
+    val agg = regs.groupBy("col_name").agg(
+      count(lit(1)).as("n_hit"),
+      // 2^-M as an exact integer shift (the function-API shiftleft only
+      // takes a literal shift, so the column form goes through expr).
+      sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(mj AS INT)) AS DOUBLE)"))
+        .as("s_hit"))
+    val vEmpty = (lit(m.toLong) - col("n_hit"))
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+      (col("s_hit") + vEmpty.cast("double"))
+    agg.select(col("col_name"), col("n_hit"), vEmpty.as("n_empty"),
+        round(when(raw <= lit(2.5 * m) && vEmpty > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / vEmpty.cast("double")))
+          .otherwise(raw), 4).as("n_distinct_est"))
+      .orderBy("col_name") // report-sized (one row per profiled column)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The from-scratch portable HLL (r17): unlike sketch_hll's
+    // Datasketches registers, this one hash-matches a DuckDB twin.
+    "sketch_hll_portable" -> ((s, d) =>
+      hllPortableSketch(Tables(s, d).documents)),
     "profile_table" -> ((s, d) => profileTable(Tables(s, d).documents)),
     "profile_constraints" -> ((s, d) => documentsConstraints(Tables(s, d).documents)),
     // Two deterministic synthetic snapshots derived from the same corpus
@@ -366,6 +423,39 @@ object Profile {
   )
 
   def oracle: Map[String, String] = Map(
+    // The from-scratch HLL replays exactly: same portable hash, same
+    // integer-exact rank (binary-string length, not libm log2), same
+    // shift-exact 2^-M, same αm expression tree; the linear-counting
+    // ln is the one libm op, absorbed by the 4-dp report rounding.
+    "sketch_hll_portable" -> {
+      import graft.functions.PortableHash.duckUnsigned
+      val (p, m) = (8, 256)
+      val mask = (1L << (64 - p)) - 1
+      s"""WITH pc AS MATERIALIZED (
+         |  SELECT col_name, ${duckUnsigned("v")} AS hu FROM (
+         |    SELECT unnest(['doc_id', 'lang', 'source', 'text']) AS col_name,
+         |           unnest([CAST(doc_id AS VARCHAR), lang, source, text]) AS v
+         |    FROM documents) x),
+         |bk AS MATERIALIZED (SELECT col_name,
+         |    CAST(hu >> ${64 - p} AS INT) AS b,
+         |    hu & $mask::UBIGINT AS suf
+         |  FROM pc),
+         |rg AS MATERIALIZED (SELECT col_name, b,
+         |    MAX(CASE WHEN suf = 0 THEN ${64 - p + 1}
+         |             ELSE ${64 - p + 1} - length(bin(suf)) END) AS mj
+         |  FROM bk GROUP BY col_name, b),
+         |ag AS (SELECT col_name,
+         |    CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |    SUM(1.0 / CAST(1::BIGINT << mj AS DOUBLE)) AS s_hit
+         |  FROM rg GROUP BY col_name)
+         |SELECT col_name, n_hit, CAST($m - n_hit AS BIGINT) AS n_empty,
+         |  ROUND(CASE WHEN (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $m))
+         |        * $m * $m / (s_hit + ($m - n_hit)) <= 2.5 * $m AND $m - n_hit > 0
+         |    THEN $m * ln(CAST($m AS DOUBLE) / ($m - n_hit))
+         |    ELSE (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $m))
+         |        * $m * $m / (s_hit + ($m - n_hit)) END, 4) AS n_distinct_est
+         |FROM ag ORDER BY col_name""".stripMargin
+    },
     // median() ≡ Spark's exact percentile(0.5) (both linearly
     // interpolate); round-before-threshold fixes the flag boundary.
     "profile_mad_outliers" ->

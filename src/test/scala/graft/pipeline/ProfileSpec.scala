@@ -206,4 +206,24 @@ class ProfileSpec extends AnyFunSuite {
     val plan = Profile.profileTable(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"profile must not join:\n$plan")
   }
+
+  test("portable HLL: estimates within 10% of exact distinct, deterministic") {
+    import org.apache.spark.sql.functions.countDistinct
+    val out = Profile.hllPortableSketch(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out.keySet == Set("doc_id", "lang", "source", "text"))
+    val exact = Map(
+      "doc_id" -> docs.agg(countDistinct("doc_id")).head.getLong(0),
+      "lang" -> docs.agg(countDistinct("lang")).head.getLong(0),
+      "source" -> docs.agg(countDistinct("source")).head.getLong(0),
+      "text" -> docs.agg(countDistinct("text")).head.getLong(0))
+    exact.foreach { case (c, n) =>
+      val err = math.abs(out(c) - n) / math.max(n.toDouble, 1.0)
+      assert(err <= 0.10, s"$c: est ${out(c)} vs exact $n (err $err)")
+    }
+    // Deterministic replay (the sketch is a pure hash function of the data).
+    val again = Profile.hllPortableSketch(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out == again)
+  }
 }
