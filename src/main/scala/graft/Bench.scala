@@ -268,6 +268,29 @@ object Bench {
     }
     graft.Materialize.stopPlanRecording()
 
+    // DATA fingerprint (r18, the r17 VERDICT #1 ask): the trained IVF
+    // layout's probed-candidate volume IS the query cost of an inverted
+    // file, and it depends on trained data, not plan shape — so it gets
+    // its own gate beside the plan fingerprints. Bounds: probed
+    // candidates ≤ 2× the balanced ideal (nQueries·nProbe·N/nList) and
+    // max cell ≤ 2× mean cell. Measured values land in the JSON line so
+    // the ledger carries the evidence, not just the verdict.
+    val ivfDiagJson: String =
+      try {
+        val d = graft.pipeline.Similarity.ivfDiagnostics(
+          Tables(spark, sfDir).embeddings)
+        if (d.probedCandidates > 2 * d.idealCandidates)
+          violations += "knn_ann_ivf:probed-candidates-over-2x-ideal"
+        if (d.maxOverMean > 2.0)
+          violations += "knn_ann_ivf:cell-occupancy-over-2x-mean"
+        s"""{"corpus":${d.corpus},"cells":${d.cellPops.size},""" +
+          s""""max_over_mean":${num3(d.maxOverMean)},""" +
+          s""""probed_candidates":${d.probedCandidates},""" +
+          s""""ideal_candidates":${d.idealCandidates}}"""
+      } catch { case _: Throwable =>
+        violations += "knn_ann_ivf:diagnostics-failed"; "{}"
+      }
+
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
@@ -298,6 +321,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":3,"estimator":"min","runs_detail":$detail,""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+      s""""ivf_layout":$ivfDiagJson,""" +
       s""""errors":${strArr(errors)},"plan_violations":${strArr(violations.result())}}"""
     println(line)
     // Truncation-proof artifact: the driver keeps only a 2 KB stdout

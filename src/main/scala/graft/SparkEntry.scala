@@ -42,7 +42,8 @@ object SparkEntry {
     RelationalQueries.oracle ++ operators.ExtendedQueries.oracle ++
       operators.TemporalJoins.oracle ++
       Dedup.oracle ++ Clusters.oracle ++ Curate.oracle ++ Select.oracle ++
-      TextAnalysis.oracle ++ Similarity.oracle ++ Retrieval.oracle ++
+      TextAnalysis.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      Retrieval.oracle ++
       Classify.oracle ++ Profile.oracle ++ Urls.oracle ++
       pipeline.Robots.oracle ++ pipeline.Crawl.oracle ++
       sources.WarcSource.oracle

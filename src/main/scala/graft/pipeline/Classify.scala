@@ -44,7 +44,18 @@ object Classify {
 
   /** HALF_UP decimal rounding — the driver-side twin of ROUND(x, 9);
     * the determinism grid (the pageRank/Lloyd convention) applied to
-    * the GD gradients. */
+    * the GD gradients.
+    *
+    * Caveat (shared by every ROUND-9 fixpoint): the grid absorbs
+    * ~1e-16 summation-order drift because reductions land ~1e-7 away
+    * from the nearest 5e-10 rounding boundary in practice — a
+    * reduction within ~1 ulp of a boundary could round differently
+    * across engines and cascade through later iterations. Residual
+    * data-dependent risk, not an observed defect; the perturbation
+    * spec (DeterminismGridSpec) re-runs the fixpoints under a
+    * different partitioning so a corpus change that moves a reduction
+    * onto a boundary fails loudly there, not as an opaque oracle
+    * hash mismatch. */
   private def r9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
@@ -381,7 +392,7 @@ object Classify {
        |$chain,
        |zf AS MATERIALIZED (SELECT b.doc_id, SUM(w.w) AS zf
        |  FROM bg b JOIN w$iters w USING (f) GROUP BY b.doc_id),
-       |wb AS (SELECT w FROM w$iters WHERE f = -1)
+       |wb AS (SELECT COALESCE((SELECT w FROM w$iters WHERE f = -1), 0.0) AS w)
        |SELECT d.doc_id, d.lang,
        |  ROUND(1.0 / (1.0 + exp(-(COALESCE(z.zf, 0.0) + wb.w))), 4) AS prob,
        |  ROUND(1.0 / (1.0 + exp(-(COALESCE(z.zf, 0.0) + wb.w))), 4) > 0.5 AS is_target

@@ -332,11 +332,24 @@ object Clusters {
     * list, `nodes(id)`, `deg(src, outdeg)`, `nn(n)` (node count as
     * DOUBLE), and `r0(id, rank)` = 1/n. Each step is [[pageRank]]'s
     * exact arithmetic — (1−0.85)/n + 0.85·inflow, ROUND 9 — with the
-    * dangling term omitted: both registered graphs are SYMMETRIZED, so
-    * every node has out-edges and the dangling mass is identically 0
-    * (the Spark side adds 0.85·0/n — exact zero, not drift). */
-  private[pipeline] def pageRankIterSql(iterations: Int): String =
-    (1 to iterations).map { k =>
+    * dangling term omitted: both callers (graph_pagerank here,
+    * keywords_textrank in [[TextAnalysis]]) SYMMETRIZE their edge
+    * lists, so every node has out-edges and the dangling mass is
+    * identically 0 (the Spark side adds 0.85·0/n — exact zero, not
+    * drift). That precondition is ENFORCED, not assumed: the first
+    * step cross-joins a guard that raises a DuckDB error() if any
+    * node lacks out-edges, so a future oracle over a genuinely
+    * directed graph fails loudly instead of silently diverging from
+    * [[pageRank]]'s dangling-mass term. */
+  private[pipeline] def pageRankIterSql(iterations: Int): String = {
+    val guard =
+      """prsym AS MATERIALIZED (SELECT CASE WHEN EXISTS (
+        |    SELECT 1 FROM nodes nd LEFT JOIN deg d ON nd.id = d.src
+        |    WHERE d.src IS NULL)
+        |  THEN error('pageRankIterSql precondition: dangling node (no out-edges); symmetrize the edge list or add the dangling-mass term')
+        |  ELSE 1 END AS ok),
+        |""".stripMargin
+    guard + (1 to iterations).map { k =>
       // AS MATERIALIZED: DuckDB 1.0 inlines plain CTEs per reference —
       // e/nodes/deg/nn would re-evaluate their (heavy) defining subtree
       // at every one of the 10 iterations (the embedding_pca lesson,
@@ -347,8 +360,9 @@ object Clusters {
          |  GROUP BY e.dst),
          |r$k AS MATERIALIZED (SELECT nd.id,
          |    ROUND((1 - 0.85) / nn.n + 0.85 * COALESCE(i$k.inflow, 0), 9) AS rank
-         |  FROM nodes nd LEFT JOIN i$k USING (id) CROSS JOIN nn)""".stripMargin
+         |  FROM nodes nd LEFT JOIN i$k USING (id)${if (k == 1) " CROSS JOIN prsym" else ""} CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
+  }
 
   def oracle: Map[String, String] = Map(
     // The dedup_ngram_jaccard candidate chain builds the top-500 pair

@@ -1436,7 +1436,174 @@ object Multimodal {
         col("decode_error"))
       .orderBy("doc_id")
 
+  /** The dHash ORACLE WITNESS (r18, the knn_sq8_fixed convention applied
+    * to the perceptual image tier — VERDICT r17 #4): `n` synthetic
+    * grayscale images whose pixel values are a pure integer function of
+    * (doc_id, x, y), rendered, PNG-encoded, and pushed through the REAL
+    * [[imageDHash]] path — the mapPartitions batch seam, ImageIO
+    * decode, and [[dhash64]]'s 9×8 integer area-averaged luma grid —
+    * then every pair compared by hamming distance with the near-dup
+    * threshold. PNG decode is LOSSLESS, so the decoded pixels equal the
+    * generating function exactly and the whole grid + comparison-bit +
+    * hamming-decision pipeline replays in DuckDB SQL from the same
+    * function; only re-ENCODE bytes (the image_dhash twins entry) are
+    * platform output. Geometry 36×24 divides the 9×8 grid evenly (4×3
+    * pixels per cell), so min()-edge clamping never binds and the SQL
+    * twin needs no boundary cases. Docs d and d+n/2 share gradient
+    * params with a uniform +20 luma shift — gradient SIGNS are shift-
+    * invariant, so each planted pair must land at hamming 0 (the
+    * spec's separation claim; the oracle pins every bit of all
+    * n·(n−1)/2 decisions). Constant-size evidence surface (n = 32 →
+    * 496 rows at any SF). */
+  def imageDHashFixedPairs(spark: SparkSession, n: Int = 32,
+      nearHamming: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = 36; val h = 24
+    val media = spark.range(n).as[Long].map { d =>
+      val base = (d % 16).toInt
+      val a = 1 + (base * 3) % 8
+      val b = 2 + (base * 5) % 8
+      val c = base % 5
+      val delta = (20 * (d / 16)).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (a * x + b * y + ((x * y) % 7) * c) % 199 + delta
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(d, "image", bos.toByteArray, w, h, 0)
+    }.toDF()
+    val hs = imageDHash(media).select("doc_id", "dhash")
+    val left = hs.select(col("doc_id").as("doc_a"), col("dhash").as("dhash_a"))
+    val right = hs.select(col("doc_id").as("doc_b"), col("dhash").as("dhash_b"))
+    left.join(broadcast(right), col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dhash_a"), col("dhash_b"),
+        bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).cast("int")
+          .as("hamming"))
+      .withColumn("is_near", col("hamming") <= nearHamming)
+  }
+
+  /** The video dHash ORACLE WITNESS (r18, [[imageDHashFixedPairs]]'s
+    * convention for the VIDEO tier): `n` synthetic clips whose frame
+    * pixels are a pure integer function of (doc_id, frame, x, y),
+    * packed as UNCOMPRESSED bottom-up DIB AVI ([[aviBytesWith]] — a
+    * lossless container our own byte walk decodes exactly) and pushed
+    * through the REAL [[videoDHash]] path: container sniff, the RIFF
+    * hdrl/movi walk, the slot sampler (first/⅓/⅔/last with
+    * distinct-frame dedup — clip lengths 3/4/5 exercise the collapsed-
+    * slot branch), and the per-frame 9×8 luma grid. Every emitted
+    * (slot, frame_idx, dhash, n_frames) row replays in DuckDB from the
+    * same pixel function — the one video surface where "codec bytes"
+    * does not apply, because the codec is identity. Docs d and d+n/2
+    * share params under a +20 luma shift (hamming 0 per slot,
+    * spec-pinned). Constant-size (44 rows at any SF). */
+  def videoDHashFixed(spark: SparkSession, n: Int = 12): DataFrame = {
+    import spark.implicits._
+    val w = 36; val h = 24
+    val media = spark.range(n).as[Long].map { d =>
+      val base = (d % 6).toInt
+      val a = 1 + (base * 3) % 8
+      val b = 2 + (base * 5) % 8
+      val c = base % 5
+      val delta = (20 * (d / 6)).toInt
+      val nf = 3 + (base % 3)
+      val payload = aviBytesWith(w, h, nf) { (x, y, f) =>
+        val v = (a * x + b * y + 5 * f + ((x * y) % 7) * c) % 199 + delta
+        (v, v, v)
+      }
+      MediaRow(d, "video", payload, w, h, 0)
+    }.toDF()
+    videoDHash(media)
+      .select("doc_id", "slot", "frame_idx", "dhash", "n_frames")
+  }
+
+  /** The image_dhash_fixed twin: the synthetic pixel function, the 9×8
+    * area-averaged luma grid (exact integer sums — GROUP BY the same
+    * y/3, x/4 cell map), dhash64's cross-multiplied neighbor
+    * comparison, the 64-bit assembly in unsigned space (bit 63 would
+    * overflow a signed shift) re-signed two's-complement, and the
+    * hamming decision. */
+  private def dhashFixedOracle(n: Int, w: Int, h: Int): String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${n - 1})) AS d),
+       |prm AS (SELECT d, 1 + ((d % 16) * 3) % 8 AS a, 2 + ((d % 16) * 5) % 8 AS b,
+       |        (d % 16) % 5 AS c, 20 * (d // 16) AS delta FROM ids),
+       |px AS (SELECT d, x, y, ((a * x + b * y + ((x * y) % 7) * c) % 199 + delta) AS v
+       |  FROM prm CROSS JOIN (SELECT unnest(generate_series(0, ${w - 1})) AS x) xs
+       |           CROSS JOIN (SELECT unnest(generate_series(0, ${h - 1})) AS y) ys),
+       |grid AS MATERIALIZED (SELECT d, y // 3 AS gy, x // 4 AS gx,
+       |    SUM(v * 1000) AS s, COUNT(*) AS cnt
+       |  FROM px GROUP BY d, gy, gx),
+       |bits AS (SELECT l.d, CAST(l.gy * 8 + l.gx AS INT) AS i
+       |  FROM grid l JOIN grid r ON l.d = r.d AND l.gy = r.gy AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8 AND l.s * r.cnt < r.s * l.cnt),
+       |hsh AS MATERIALIZED (SELECT ids.d,
+       |    COALESCE(bit_or(1::UBIGINT << bits.i), 0::UBIGINT) AS hu
+       |  FROM ids LEFT JOIN bits ON ids.d = bits.d GROUP BY ids.d),
+       |pairs AS (SELECT a.d AS doc_a, b.d AS doc_b,
+       |    ${graft.functions.PortableHash.duckSigned("a.hu")} AS dhash_a,
+       |    ${graft.functions.PortableHash.duckSigned("b.hu")} AS dhash_b,
+       |    CAST(bit_count(xor(a.hu, b.hu)) AS INT) AS hamming
+       |  FROM hsh a JOIN hsh b ON a.d < b.d)
+       |SELECT doc_a, doc_b, dhash_a, dhash_b, hamming, hamming <= 10 AS is_near
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The video_dhash_fixed twin: per-doc frame count + slot sampling
+    * (integer (n−1)·s/3 with first-slot-wins dedup — the ROW_NUMBER
+    * replays `distinctBy`'s keep-first), per-sampled-frame grid sums
+    * over the same pixel function, dhash64's comparison bits, 64-bit
+    * assembly in unsigned space re-signed two's-complement. */
+  private def videoDhashFixedOracle(n: Int, w: Int, h: Int): String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${n - 1})) AS d),
+       |prm AS (SELECT d, 1 + ((d % 6) * 3) % 8 AS a, 2 + ((d % 6) * 5) % 8 AS b,
+       |        (d % 6) % 5 AS c, 20 * (d // 6) AS delta, 3 + ((d % 6) % 3) AS n FROM ids),
+       |slots AS MATERIALIZED (SELECT d, s, fi, n FROM (
+       |  SELECT d, s, CAST((n - 1) * s // 3 AS INT) AS fi, n,
+       |    ROW_NUMBER() OVER (PARTITION BY d, (n - 1) * s // 3 ORDER BY s) AS rn
+       |  FROM prm CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss) z WHERE rn = 1),
+       |px AS (SELECT p.d, sl.s, sl.fi, x, y, sl.n,
+       |    ((p.a * x + p.b * y + 5 * sl.fi + ((x * y) % 7) * p.c) % 199 + p.delta) AS v
+       |  FROM prm p JOIN slots sl USING (d)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${w - 1})) AS x) xs
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${h - 1})) AS y) ys),
+       |grid AS MATERIALIZED (SELECT d, s, fi, n, y // 3 AS gy, x // 4 AS gx,
+       |    SUM(v * 1000) AS sm, COUNT(*) AS cnt
+       |  FROM px GROUP BY d, s, fi, n, gy, gx),
+       |bits AS (SELECT l.d, l.s, CAST(l.gy * 8 + l.gx AS INT) AS i
+       |  FROM grid l JOIN grid r ON l.d = r.d AND l.s = r.s AND l.gy = r.gy AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8 AND l.sm * r.cnt < r.sm * l.cnt),
+       |hsh AS (SELECT sl.d, sl.s, sl.fi, sl.n,
+       |    COALESCE(bit_or(1::UBIGINT << b.i), 0::UBIGINT) AS hu
+       |  FROM slots sl LEFT JOIN bits b ON sl.d = b.d AND sl.s = b.s
+       |  GROUP BY sl.d, sl.s, sl.fi, sl.n)
+       |SELECT d AS doc_id, CAST(s AS INT) AS slot, fi AS frame_idx,
+       |  ${graft.functions.PortableHash.duckSigned("hu")} AS dhash,
+       |  CAST(n AS INT) AS n_frames
+       |FROM hsh ORDER BY doc_id, slot""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "image_dhash_fixed" -> dhashFixedOracle(32, 36, 24),
+    "video_dhash_fixed" -> videoDhashFixedOracle(12, 36, 24))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The fixed witness (r18): deterministic synthetic pixels through
+    // the REAL decode→grid→bits path, every pairwise hamming decision
+    // oracle-pinned — the cross-engine check the re-encode twins entry
+    // (below) cannot have.
+    "image_dhash_fixed" -> ((s, d) =>
+      imageDHashFixedPairs(s).orderBy("doc_a", "doc_b")),
+    // The video fixed witness (r18): identity codec (uncompressed DIB
+    // AVI), so the container walk + slot sampler + frame grid replay in
+    // SQL — the one video surface the codec-byte argument doesn't cover.
+    "video_dhash_fixed" -> ((s, d) =>
+      videoDHashFixed(s).orderBy("doc_id", "slot")),
     "multimodal_features" -> (pipeline _),
     // Driver surface: scalar columns only (payload stays internal — the
     // driver's pandas sort can't factorize binary); n_bytes witnesses

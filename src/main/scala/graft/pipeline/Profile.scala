@@ -346,23 +346,41 @@ object Profile {
     * register table is O(columns·m), corpus-independent — and an
     * O(columns) report. */
   def hllPortableSketch(docs: DataFrame, p: Int = 8): DataFrame = {
-    import graft.functions.PortableHash
-    val m = 1 << p
-    val alpha = 0.7213 / (1 + 1.079 / m)
     val stacked = docs.select(explode(array(
         struct(lit("doc_id").as("col_name"), col("doc_id").cast("string").as("v")),
         struct(lit("lang").as("col_name"), col("lang").as("v")),
         struct(lit("source").as("col_name"), col("source").as("v")),
         struct(lit("text").as("col_name"), col("text").as("v")))).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    hllEstimate(portableRegs(stacked, p), p)
+      .orderBy("col_name") // report-sized (one row per profiled column)
+  }
+
+  /** Portable HLL register table over stacked (col_name, v) string
+    * pairs: bucket = top `p` hash bits, register = max rho over the
+    * bucket — [[hllPortableSketch]]'s register pass, shared with the
+    * mergeable ledger ([[updateProfileStorePortable]]); registers from
+    * any row partition MAX-MERGE to the one-shot registers (max is
+    * associative/commutative — spec-pinned register-for-register).
+    * Nulls carry no distinct value and are dropped (the hll_sketch_agg
+    * convention). */
+  private def portableRegs(stacked: DataFrame, p: Int): DataFrame = {
+    import graft.functions.PortableHash
     val mask = (1L << (64 - p)) - 1
-    val regs = stacked
+    stacked.filter(col("v").isNotNull)
       .select(col("col_name"), PortableHash.hash64(col("v")).as("h"))
       .withColumn("b", shiftrightunsigned(col("h"), 64 - p))
       .withColumn("suf", col("h").bitwiseAND(lit(mask)))
       .withColumn("rho", when(col("suf") === 0, lit(64 - p + 1))
         .otherwise(lit(64 - p + 1) - length(conv(col("suf"), 10, 2))))
       .groupBy("col_name", "b").agg(max("rho").as("mj"))
+  }
+
+  /** Flajolet estimator over a [[portableRegs]] register table —
+    * αm·m²/Σ2^−M with the linear-counting small-range branch. */
+  private def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
     val agg = regs.groupBy("col_name").agg(
       count(lit(1)).as("n_hit"),
       // 2^-M as an exact integer shift (the function-API shiftleft only
@@ -376,14 +394,106 @@ object Profile {
         round(when(raw <= lit(2.5 * m) && vEmpty > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / vEmpty.cast("double")))
           .otherwise(raw), 4).as("n_distinct_est"))
-      .orderBy("col_name") // report-sized (one row per profiled column)
   }
+
+  /** [[updateProfileStore]]'s ORACLE-VERIFIABLE sibling (r18, the r17
+    * VERDICT #6 ask): the same append-only per-increment ledger shape —
+    * O(#columns) rows, no read-modify-write — but with the distinct
+    * sketch as PORTABLE HLL registers (`array<struct<b,mj>>`, ≤ 2^p
+    * entries per column) instead of Datasketches' library-internal
+    * bytes, so the folded profile's distinct path hash-matches a DuckDB
+    * twin end to end. Registers max-merge on fold exactly like any HLL;
+    * [[profileFromStorePortable]] folds counts by sum, min/max by
+    * min/max, registers by explode + max per (column, bucket). */
+  def updateProfileStorePortable(df: DataFrame, storeDir: String,
+      p: Int = 8): Unit = {
+    requireIdents("column", df.schema.fields.map(_.name))
+    val rows = lit(df.count())
+    val metrics: Seq[Column] = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val num = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        (if (num) min(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__min"),
+        (if (num) max(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__max"),
+        (if (num) sum(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__sum"))
+    }.toSeq
+    val one = df.agg(metrics.head, metrics.tail: _*)
+    val stackedMetrics = df.schema.fields.map { f =>
+      s"'${f.name}', ${f.name}__nulls, ${f.name}__min, ${f.name}__max, ${f.name}__sum"
+    }.mkString(", ")
+    val counts = one.select(expr(
+      s"stack(${df.schema.fields.length}, $stackedMetrics) AS (col_name, n_nulls, min_num, max_num, sum_num)"))
+    val stackedVals = df.select(explode(array(df.schema.fields.map { f =>
+        struct(lit(f.name).as("col_name"), col(f.name).cast("string").as("v"))
+      }: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    val regs = portableRegs(stackedVals, p)
+      .groupBy("col_name")
+      .agg(collect_list(struct(col("b"), col("mj"))).as("regs"))
+    counts.join(regs, Seq("col_name"), "left")
+      .select(col("col_name"), rows.as("n_rows"), col("n_nulls"),
+        col("min_num"), col("max_num"), col("sum_num"), col("regs"))
+      .write.mode("append").parquet(storeDir)
+  }
+
+  /** Fold the portable ledger into the current profile: counts sum,
+    * registers explode + MAX per (column, bucket) + the Flajolet
+    * estimate, min/max fold, mean from the exact sums — the
+    * [[profileFromStore]] report shape with an oracle-matchable
+    * distinct estimate. O(#increments × #columns × 2^p) ledger cells,
+    * corpus-independent. */
+  def profileFromStorePortable(spark: SparkSession, storeDir: String,
+      p: Int = 8): DataFrame = {
+    val led = spark.read.parquet(storeDir)
+    val counts = led.groupBy("col_name")
+      .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"),
+        min("min_num").as("min_num"), max("max_num").as("max_num"),
+        sum("sum_num").as("sum_num"))
+    val merged = led.select(col("col_name"), explode(col("regs")).as("r"))
+      .groupBy(col("col_name"), col("r.b").as("b"))
+      .agg(max(col("r.mj")).as("mj"))
+    counts.join(hllEstimate(merged, p), Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        round(lit(1.0) - col("n_nulls").cast("double") / col("n_rows"), 4).as("completeness"),
+        col("n_distinct_est"), col("min_num"), col("max_num"),
+        round(col("sum_num") / (col("n_rows") - col("n_nulls")), 4).as("mean_num"))
+      .orderBy("col_name")
+  }
+
+  /** Registry support for profile_portable_store: one ledger per sfDir
+    * per JVM, built from three deterministic doc_id%3 increments (a
+    * PARTITION of the corpus — so the folded registers must equal the
+    * one-shot sketch's, which is what the oracle checks end to end).
+    * The bm25IndexFor convention: build once, every later call (and the
+    * bench loop) measures the FOLD path. */
+  private val builtPortableLedgers =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[pipeline] def portableLedgerFor(s: SparkSession, sfDir: String): String =
+    builtPortableLedgers.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_profile_portable").toString
+      val docs = graft.Tables(s, sfDir).documents
+        .select("doc_id", "lang", "source", "text", "n_chars")
+      (0 to 2).foreach { r =>
+        updateProfileStorePortable(docs.filter(col("doc_id") % 3 === r), dir)
+      }
+      dir
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The from-scratch portable HLL (r17): unlike sketch_hll's
     // Datasketches registers, this one hash-matches a DuckDB twin.
     "sketch_hll_portable" -> ((s, d) =>
       hllPortableSketch(Tables(s, d).documents)),
+    // The portable ledger (r18): three doc_id%3 increments appended,
+    // then folded — counts sum, registers max-merge, Flajolet estimate.
+    // The increments PARTITION the corpus, so the fold must equal the
+    // one-shot profile over the whole table, which is exactly what the
+    // twin computes: the incremental distinct path is oracle-checked
+    // end to end (the Datasketches ledger's registers never could be).
+    "profile_portable_store" -> ((s, d) =>
+      profileFromStorePortable(s, portableLedgerFor(s, d))),
     "profile_table" -> ((s, d) => profileTable(Tables(s, d).documents)),
     "profile_constraints" -> ((s, d) => documentsConstraints(Tables(s, d).documents)),
     // Two deterministic synthetic snapshots derived from the same corpus
@@ -455,6 +565,68 @@ object Profile {
          |    ELSE (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $m))
          |        * $m * $m / (s_hit + ($m - n_hit)) END, 4) AS n_distinct_est
          |FROM ag ORDER BY col_name""".stripMargin
+    },
+    // The portable ledger twin: the Spark side folds three appended
+    // increments (registers max-merge, counts sum); the twin computes
+    // the ONE-SHOT profile over the whole table with the identical
+    // register/estimator chain — equal because the increments partition
+    // the corpus and HLL registers max-merge associatively (the spec
+    // pins that register-for-register; this pins the report end to
+    // end). Counts/min/max/sum are exact integer-regime aggregates;
+    // mean is one rounded divide of exact sums.
+    "profile_portable_store" -> {
+      import graft.functions.PortableHash.duckUnsigned
+      val (p, m) = (8, 256)
+      val mask = (1L << (64 - p)) - 1
+      s"""WITH pc AS MATERIALIZED (
+         |  SELECT col_name, v FROM (
+         |    SELECT unnest(['doc_id', 'lang', 'source', 'text', 'n_chars']) AS col_name,
+         |           unnest([CAST(doc_id AS VARCHAR), lang, source, text,
+         |                   CAST(n_chars AS VARCHAR)]) AS v
+         |    FROM documents) x),
+         |bk AS MATERIALIZED (SELECT col_name,
+         |    CAST(hu >> ${64 - p} AS INT) AS b,
+         |    hu & $mask::UBIGINT AS suf
+         |  FROM (SELECT col_name, ${duckUnsigned("v")} AS hu FROM pc WHERE v IS NOT NULL) h),
+         |rg AS MATERIALIZED (SELECT col_name, b,
+         |    MAX(CASE WHEN suf = 0 THEN ${64 - p + 1}
+         |             ELSE ${64 - p + 1} - length(bin(suf)) END) AS mj
+         |  FROM bk GROUP BY col_name, b),
+         |ag AS (SELECT col_name,
+         |    CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |    SUM(1.0 / CAST(1::BIGINT << mj AS DOUBLE)) AS s_hit
+         |  FROM rg GROUP BY col_name),
+         |est AS (SELECT col_name,
+         |  ROUND(CASE WHEN (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $m))
+         |        * $m * $m / (s_hit + ($m - n_hit)) <= 2.5 * $m AND $m - n_hit > 0
+         |    THEN $m * ln(CAST($m AS DOUBLE) / ($m - n_hit))
+         |    ELSE (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $m))
+         |        * $m * $m / (s_hit + ($m - n_hit)) END, 4) AS n_distinct_est
+         |  FROM ag),
+         |cnts AS (SELECT
+         |    unnest(['doc_id', 'lang', 'source', 'text', 'n_chars']) AS col_name,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    unnest([CAST(COUNT(*) - COUNT(doc_id) AS BIGINT),
+         |            CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+         |            CAST(COUNT(*) - COUNT(source) AS BIGINT),
+         |            CAST(COUNT(*) - COUNT(text) AS BIGINT),
+         |            CAST(COUNT(*) - COUNT(n_chars) AS BIGINT)]) AS n_nulls,
+         |    unnest([CAST(MIN(doc_id) AS DOUBLE), CAST(NULL AS DOUBLE),
+         |            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |            CAST(MIN(n_chars) AS DOUBLE)]) AS min_num,
+         |    unnest([CAST(MAX(doc_id) AS DOUBLE), CAST(NULL AS DOUBLE),
+         |            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |            CAST(MAX(n_chars) AS DOUBLE)]) AS max_num,
+         |    unnest([CAST(SUM(doc_id) AS DOUBLE), CAST(NULL AS DOUBLE),
+         |            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |            CAST(SUM(n_chars) AS DOUBLE)]) AS sum_num
+         |  FROM documents)
+         |SELECT c.col_name, c.n_rows, c.n_nulls,
+         |  ROUND(CAST(1.0 AS DOUBLE) - CAST(c.n_nulls AS DOUBLE) / c.n_rows, 4) AS completeness,
+         |  e.n_distinct_est, c.min_num, c.max_num,
+         |  ROUND(c.sum_num / (c.n_rows - c.n_nulls), 4) AS mean_num
+         |FROM cnts c LEFT JOIN est e USING (col_name)
+         |ORDER BY col_name""".stripMargin
     },
     // median() ≡ Spark's exact percentile(0.5) (both linearly
     // interpolate); round-before-threshold fixes the flag boundary.

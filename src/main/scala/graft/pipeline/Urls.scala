@@ -177,12 +177,16 @@ object Urls {
     // only the newer passes the live filter, but if ttlEpochs is raised
     // between batches (or epochs replay out of order) both would, and a
     // duplicated probe row fans out the join. Reduce to the LATEST
-    // admission per hash — probe semantics are defined against it.
+    // admission per hash — probe semantics are defined against it. The
+    // struct-max (not max_by) makes equal-epoch rows — a replayed
+    // partially-committed append, or a caller writing one epoch twice —
+    // resolve to the larger doc id instead of a nondeterministic pick.
     val live = graft.sinks.BucketedStore
       .readOrEmpty(spark, storeDir, FrontierTtlSpec)
       .filter(col("epoch") > lit(epoch - ttlEpochs))
       .groupBy("h")
-      .agg(max_by(col("store_doc_id"), col("epoch")).as("store_doc_id"))
+      .agg(max(struct(col("epoch"), col("store_doc_id")))
+        .getField("store_doc_id").as("store_doc_id"))
     val firsts = hashed.groupBy("h").agg(min("doc_id").as("first_id"))
     val intra = hashed.join(firsts, Seq("h"))
     val lookedUp =

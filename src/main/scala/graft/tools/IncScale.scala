@@ -502,6 +502,35 @@ object IncScale {
       math.abs(est - pfNext) <= pfNext * 0.05,
       f"HLL distinct est $est%.0f vs exact $pfNext (±5%%)")
 
+    // ---- PORTABLE profile partials ledger (r18) ----------------------
+    // Same contract as the Datasketches ledger above, for the
+    // oracle-verifiable register form: O(increment) appends (never reads
+    // the ledger), ledger-sized folds.
+    val ppDir = java.nio.file.Files.createTempDirectory("incscale").resolve("profp").toString
+    var ppNext = 0L
+    def appendPortable(rows: Long): Double = {
+      val inc = docs(spark, ppNext, ppNext + rows, identity)
+      ppNext += rows
+      timed { graft.pipeline.Profile.updateProfileStorePortable(inc, ppDir) }
+    }
+    val ppA1 = appendPortable(sSmall / 10)
+    (0 until 9).foreach(_ => appendPortable(sSmall / 10))
+    val ppA2 = appendPortable(sSmall / 10)
+    check("profile-portable-append-flat", ppA2 <= 2.5 * math.max(ppA1, 0.3),
+      f"portable ledger 1→11 increments: append $ppA1%.2fs → $ppA2%.2fs (bound 2.5×)")
+    val ppF = timed {
+      graft.pipeline.Profile.profileFromStorePortable(spark, ppDir).count()
+    }
+    check("profile-portable-fold-cheap", ppF <= 5.0,
+      f"portable fold over ${ppNext} profiled rows: $ppF%.2fs (bound 5s)")
+    val pprof = graft.pipeline.Profile.profileFromStorePortable(spark, ppDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ppEst = pprof("doc_id").getDouble(4)
+    check("profile-portable-distinct-est",
+      pprof("doc_id").getLong(1) == ppNext &&
+        math.abs(ppEst - ppNext) <= ppNext * 0.10,
+      f"portable HLL est $ppEst%.0f vs exact $ppNext (±10%%, p=8)")
+
     // Sanity: the duplicate/contaminated halves were recognized against
     // the stores.
     val dcHit = graft.pipeline.Select.incrementalDecontaminate(

@@ -38,6 +38,12 @@ object WidthBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.filter(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
     val w = args.find(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+    // `only=op1,op2,...` — probe mode: measure just those ops and APPEND
+    // a probe section to WIDTH.md instead of regenerating the main table
+    // (the r17 VERDICT #7 100×-width ask runs the 3 most expensive keys
+    // this way without paying a full 100× sweep).
+    val only: Option[Set[String]] = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").map(_.trim).toSet)
     val outPath = "WIDTH.md"
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "widthbench")
@@ -290,7 +296,11 @@ object WidthBench {
         Profile.madOutliers(Tables(spark, r).events, "event_type", "value")),
       "mmr_topk"            -> ((_, _, e) => Similarity.mmrTopK(e)),
       "knn_sq8"             -> ((_, _, e) => Similarity.sq8TopK(e)))
-    val opNames = opDefs.map(_._1)
+    val opDefsSelected = only match {
+      case Some(names) => opDefs.filter(d => names.contains(d._1))
+      case None => opDefs
+    }
+    val opNames = opDefsSelected.map(_._1)
 
     final case class Cell(secs: Double, exchanges: Int, rows: Long)
     def exchangeCount(plan: String): Int =
@@ -302,7 +312,7 @@ object WidthBench {
       val docs = spark.read.parquet(widenDocs(width))
       val relDir = widenRel(width)
       val emb = spark.read.parquet(widenEmb(width))
-      opDefs.map { case (name, build) =>
+      opDefsSelected.map { case (name, build) =>
         val f = () => build(docs, relDir, emb)
         // Recording scoped to the fingerprint: timed runs below stay clean.
         graft.Materialize.startPlanRecording()
@@ -326,6 +336,27 @@ object WidthBench {
     Dedup.exact(base).write.format("noop").mode("overwrite").save()
     val r1 = measure(1)
     val rw = measure(w)
+
+    if (only.isDefined) {
+      // Probe mode: append one section to WIDTH.md, leave the main
+      // table and every other section untouched.
+      val sb = new StringBuilder
+      sb ++= s"\n### ${w}× width probe (`only=${opNames.mkString(",")}`)\n\n"
+      sb ++= s"min-of-2 runs, local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}], " +
+        s"loadavg ${scala.io.Source.fromFile("/proc/loadavg").mkString.trim}.\n\n"
+      sb ++= s"| op | t(1×) s | t(${w}×) s | ratio | exchanges 1× | exchanges ${w}× | rows 1× | rows ${w}× |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|\n"
+      opNames.foreach { name =>
+        val a = r1(name); val b = rw(name)
+        sb ++= f"| $name | ${a.secs}%.2f | ${b.secs}%.2f | ${b.secs / a.secs}%.1f× " +
+          f"| ${a.exchanges} | ${b.exchanges} | ${a.rows} | ${b.rows} |\n"
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        sb.toString, java.nio.file.StandardOpenOption.APPEND)
+      println(sb.toString)
+      spark.stop()
+      return
+    }
 
     val sb = new StringBuilder
     sb ++= s"# WIDTH — measured width scaling (base = $dir, ${w}× replication)\n\n"

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Perturbation test of the ROUND-9 determinism grid (the r17 ADVICE
+  * boundary caveat, made loud).
+  *
+  * The grid's contract: every distributed reduction inside an iterative
+  * trained fixpoint is rounded to 9 dp per step, so ~1e-16
+  * summation-order drift cannot change what the next iteration sees.
+  * The contract's one failure mode is data-dependent: a reduction
+  * landing within ~1 ulp of a 5e-10 grid boundary could round
+  * differently under a different summation order (or in DuckDB's
+  * float-scaled round), and one flipped low bit cascades through every
+  * later iteration into a full-table oracle mismatch.
+  *
+  * This spec attacks exactly that mode on the pinned corpus: re-run
+  * each ROUND-9 fixpoint under a very different shuffle-partition count
+  * (8 → 3), which re-buckets every partial aggregate and therefore
+  * re-orders every distributed summation, and require IDENTICAL output.
+  * If a future corpus change moves any reduction onto a boundary, this
+  * fails with the operator's name — instead of the oracle gate failing
+  * with an opaque hash mismatch. */
+class DeterminismGridSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // One representative per ROUND-9 fixpoint family: LR gradient
+  // descent (12 epochs), coarse cosine-Lloyd (knn_ann_ivf), the
+  // two-stage Lloyd chain (PQ over IVF residuals), power-iteration
+  // PageRank, and power-iteration PCA.
+  private val fixpoints = Seq(
+    "quality_classifier", "knn_ann_ivf", "knn_ivfpq",
+    "graph_pagerank", "embedding_pca")
+
+  private def canon(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+      .collect().map(_.toString).sorted.mkString("\n")
+
+  test("ROUND-9 fixpoints are invariant to summation order (grid-boundary margin)") {
+    val default = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = fixpoints.map(n => n -> canon(n)).toMap
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try fixpoints.foreach { n =>
+      assert(canon(n) == base(n),
+        s"$n changed under a different partitioning — a ROUND-9 " +
+          "reduction sits on a grid boundary for this corpus")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", default)
+  }
+}

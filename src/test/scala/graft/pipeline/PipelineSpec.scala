@@ -759,6 +759,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf trained layout: fair cell occupancy and bounded probed candidates") {
+    // The r17 determinism-contract reseed was blamed (BASELINE r17) for
+    // a cost regression via "cell balance"; the measured layout refutes
+    // that — occupancy is near-uniform at every SF (max/mean 1.10 at
+    // sf0.001 and sf0.1, 1.20 at sf0.01). This pins the evidence: a
+    // future seed/corpus change that degenerates the trained partition
+    // (probed volume IS the whole query cost of an IVF at scale) fails
+    // here and in Bench's ivf_layout data fingerprint, not as an
+    // unexplained wall-clock drift.
+    val d = Similarity.ivfDiagnostics(emb)
+    assert(d.cellPops.size == 8, s"empty trained cells: ${d.cellPops}")
+    assert(d.corpus == emb.count())
+    assert(d.maxOverMean <= 2.0,
+      s"trained occupancy skew ${d.maxOverMean} (pops ${d.cellPops})")
+    assert(d.probedCandidates > 0 &&
+      d.probedCandidates <= 2 * d.idealCandidates,
+      s"probed ${d.probedCandidates} vs ideal ${d.idealCandidates}")
+  }
+
   test("embedding near-dup emits one row per vector") {
     assert(Similarity.embeddingNearDup(emb).count() == emb.count())
   }
@@ -2795,6 +2814,49 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val got = Select.nucleusSelect(docs).collect().map(_.getLong(0)).toSet
     assert(got == ref, s"got ${got.size} ref ${ref.size}")
+  }
+
+  test("image dhash fixed witness: planted shift-twins at hamming 0, full pair surface") {
+    // The oracle pins every bit of all 496 decisions; this pins the
+    // SEMANTIC claims. Docs d and d+16 share gradient params under a
+    // uniform +20 luma shift — dHash compares neighbor SUMS, and a
+    // uniform shift adds the same amount to both sides of every
+    // comparison, so the planted pairs must hash identically.
+    val rows = Multimodal.imageDHashFixedPairs(spark).collect()
+    assert(rows.length == 32 * 31 / 2)
+    val byPair = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    (0L until 16L).foreach { d =>
+      val r = byPair((d, d + 16))
+      assert(r.getInt(4) == 0 && r.getBoolean(5),
+        s"shift-twin ($d, ${d + 16}) at hamming ${r.getInt(4)}")
+      assert(r.getLong(2) == r.getLong(3), "identical hashes")
+    }
+    // Separation: different gradient params disagree on many bits for
+    // MOST pairs (mean non-twin hamming ≈ 13 on this pixel function).
+    val nonTwin = rows.filter(r => r.getLong(1) != r.getLong(0) + 16)
+    val mean = nonTwin.map(_.getInt(4)).sum.toDouble / nonTwin.length
+    assert(mean > 8, s"non-twin mean hamming $mean — pixel function degenerate?")
+  }
+
+  test("video dhash fixed witness: shift-twin clips hash identically per slot") {
+    val rows = Multimodal.videoDHashFixed(spark).collect()
+    assert(rows.length == 44, s"12 clips at 3/4/5 frames → 44 sampled slots, got ${rows.length}")
+    val bySlot = rows.map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    bySlot.foreach { case ((d, s), r) =>
+      if (d < 6) {
+        val t = bySlot((d + 6, s))
+        assert(r.getLong(3) == t.getLong(3),
+          s"shift-twin ($d, ${d + 6}) slot $s hashes differ")
+        assert(r.getInt(2) == t.getInt(2) && r.getInt(4) == t.getInt(4))
+      }
+    }
+    // 3-frame clips collapse a slot (first/⅓ sample the same frame):
+    // those docs emit 3 rows, 4/5-frame docs emit 4.
+    val perDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    (0L until 12L).foreach { d =>
+      val expectRows = if ((d % 6) % 3 == 0) 3 else 4
+      assert(perDoc(d) == expectRows, s"doc $d: ${perDoc(d)} slots")
+    }
   }
 
   test("image dhash: cross-codec re-encode twins match, corpus-wide") {

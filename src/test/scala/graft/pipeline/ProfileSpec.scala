@@ -145,6 +145,53 @@ class ProfileSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2 * docs.schema.fields.length)
   }
 
+  test("portable profile ledger: merged increments equal the one-shot sketch register-for-register") {
+    val dir = java.nio.file.Files.createTempDirectory("profstore_portable").toString
+    val cols = docs.select("doc_id", "lang", "source", "text")
+    (0 to 2).foreach { r =>
+      Profile.updateProfileStorePortable(cols.filter(col("doc_id") % 3 === r), dir)
+    }
+    // Register-for-register: the fold's merged (col, bucket, mj) table
+    // must EQUAL the one-shot registers over the whole corpus — max is
+    // associative, so any partition of the rows merges to the same
+    // registers. This is what makes the incremental distinct path
+    // oracle-verifiable end to end.
+    val merged = spark.read.parquet(dir)
+      .select(col("col_name"), explode(col("regs")).as("r"))
+      .groupBy(col("col_name"), col("r.b").as("b"))
+      .agg(max(col("r.mj")).as("mj"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val oneShot = {
+      import graft.functions.PortableHash
+      val mask = (1L << 56) - 1
+      cols.select(explode(array(
+          struct(lit("doc_id").as("col_name"), col("doc_id").cast("string").as("v")),
+          struct(lit("lang").as("col_name"), col("lang").as("v")),
+          struct(lit("source").as("col_name"), col("source").as("v")),
+          struct(lit("text").as("col_name"), col("text").as("v")))).as("e"))
+        .select(col("e.col_name").as("col_name"),
+          PortableHash.hash64(col("e.v")).as("h"))
+        .withColumn("b", shiftrightunsigned(col("h"), 56))
+        .withColumn("suf", col("h").bitwiseAND(lit(mask)))
+        .withColumn("rho", when(col("suf") === 0, lit(57))
+          .otherwise(lit(57) - length(conv(col("suf"), 10, 2))))
+        .groupBy("col_name", "b").agg(max("rho").as("mj"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    }
+    assert(merged == oneShot, "merged registers diverge from one-shot")
+    // And the folded REPORT's distinct estimates equal the one-shot
+    // sketch's (same registers → same Flajolet estimate).
+    val report = Profile.profileFromStorePortable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val sketch = Profile.hllPortableSketch(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    sketch.foreach { case (c, est) =>
+      assert(report(c) == est, s"$c: folded est ${report(c)} != one-shot $est")
+    }
+    // Ledger cost: one O(#columns) row-set per increment, no rewrite.
+    assert(spark.read.parquet(dir).count() == 3 * cols.schema.fields.length)
+  }
+
   test("ksDrift: identical samples score 0, a planted location shift scores high") {
     import spark.implicits._
     val a = (1 to 100).map(i => (i.toLong, (i % 10 + 10).toLong)).toDF("id", "v")
