@@ -27,10 +27,11 @@ class DeterminismGridSpec extends AnyFunSuite {
 
   // One representative per ROUND-9 fixpoint family: LR gradient
   // descent (12 epochs), coarse cosine-Lloyd (knn_ann_ivf), the
-  // two-stage Lloyd chain (PQ over IVF residuals), power-iteration
-  // PageRank, and power-iteration PCA.
+  // two-stage Lloyd chain (PQ over IVF residuals), the trained
+  // SemDeDup cells (√n-derived k), power-iteration PageRank, and
+  // power-iteration PCA.
   private val fixpoints = Seq(
-    "quality_classifier", "knn_ann_ivf", "knn_ivfpq",
+    "quality_classifier", "knn_ann_ivf", "knn_ivfpq", "dedup_semantic",
     "graph_pagerank", "embedding_pca")
 
   private def canon(name: String): String =
