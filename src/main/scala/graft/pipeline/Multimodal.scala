@@ -85,6 +85,17 @@ object Multimodal {
   /** Deterministic WAV: PCM-16 mono sine at a doc-seeded frequency, with
     * a correct RIFF/fmt/data header. */
   private[pipeline] def wavBytes(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val freq = 200.0 + (seed % 17) * 50.0
+    wavBytesWith(nSamples, sampleRate) { i =>
+      (math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toShort.toInt
+    }
+  }
+
+  /** [[wavBytes]] with caller-supplied PCM-16 samples — the witness
+    * builder ([[aviBytesWith]]'s convention for audio): a pure integer
+    * sample function makes the decoded stream SQL-replayable. */
+  private[pipeline] def wavBytesWith(nSamples: Int, sampleRate: Int)(
+      sample: Int => Int): Array[Byte] = {
     val dataLen = nSamples * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -98,11 +109,9 @@ object Multimodal {
       .putShort(2)            // block align
       .putShort(16)           // bits per sample
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    val freq = 200.0 + (seed % 17) * 50.0
     var i = 0
     while (i < nSamples) {
-      val v = math.sin(2 * math.Pi * freq * i / sampleRate) * 12000
-      bb.putShort(v.toShort)
+      bb.putShort(sample(i).toShort)
       i += 1
     }
     bb.array()
@@ -1525,6 +1534,64 @@ object Multimodal {
       .select("doc_id", "slot", "frame_idx", "dhash", "n_frames")
   }
 
+  /** The FEATURE-extraction ORACLE WITNESS (r18, the third fixed
+    * witness): synthetic COLOR images (PNG — lossless) and synthetic
+    * PCM-16 WAVs (integer sample function — lossless by construction)
+    * through the REAL [[extractFeatures]] path — the batch seam, the
+    * ImageIO decode, the RIFF/WAVE chunk walk, and both feature
+    * decoders — with the 8-float feature vector emitted as 5-dp-rounded
+    * DOUBLEs. What this pins cross-engine that the dHash witnesses
+    * don't: the per-channel mean + quadrant-luma image features
+    * (integer accumulators, the per-pixel /1000 integer luma division,
+    * the quadrant split), and the WAV decode + RMS / peak /
+    * zero-crossing / quarter-RMS audio features (integer-exact sums in
+    * doubles, correctly-rounded sqrt). Float32 storage is absorbed by
+    * the 5-dp round: on this FIXED corpus the float-vs-double gap
+    * (≲6e-10) is 20×+ away from every rounding boundary (verified
+    * value-by-value at construction; sample counts are chosen
+    * non-5-smooth so no ratio lands ON a boundary). n_bytes is
+    * deliberately NOT emitted — PNG encoder output length is platform
+    * bytes; everything emitted is decode-side. */
+  def multimodalFeaturesFixed(spark: SparkSession, n: Int = 16): DataFrame = {
+    import spark.implicits._
+    val w = 36; val h = 24
+    val media = spark.range(n).as[Long].map { d =>
+      if (d % 2 == 0) {
+        val base = ((d / 2) % 8).toInt
+        val a = 1 + (base * 3) % 8
+        val b = 2 + (base * 5) % 8
+        val c = base % 5
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (a * x + b * y + ((x * y) % 7) * c) % 199
+            val r = v; val g = (v + 40) % 199; val bl = (v * 3 + 11) % 199
+            img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(d, "image", bos.toByteArray, w, h, 0)
+      } else {
+        val ns = (1636 + (d % 3) * 812).toInt
+        val payload = wavBytesWith(ns, 8000) { i =>
+          ((d * 31 + i * 17) % 2048).toInt - 1024
+        }
+        MediaRow(d, "audio", payload, 0, 0, 8000)
+      }
+    }.toDF()
+    val fr = extractFeatures(media)
+    fr.select(Seq(col("doc_id"), col("kind"), col("n_frames"),
+      col("decoded_w"), col("decoded_h"), col("n_samples")) ++
+      (0 until 8).map(i =>
+        round(col("features").getItem(i).cast("double"), 5).as(s"f$i")): _*)
+  }
+
   /** The image_dhash_fixed twin: the synthetic pixel function, the 9×8
     * area-averaged luma grid (exact integer sums — GROUP BY the same
     * y/3, x/4 cell map), dhash64's cross-multiplied neighbor
@@ -1588,9 +1655,73 @@ object Multimodal {
        |  CAST(n AS INT) AS n_frames
        |FROM hsh ORDER BY doc_id, slot""".stripMargin
 
+  /** The multimodal_features_fixed twin: image channel/quadrant sums as
+    * integer aggregates (incl. the per-pixel //1000 luma division and
+    * the y·2≥h / x·2≥w quadrant split), audio RMS/peak/zcr/quarter-RMS
+    * from the same sample function (integer-exact Σs² in doubles —
+    * order-insensitive below 2^53 — and IEEE-exact sqrt), both rounded
+    * at 5 dp where the float32-vs-double gap is margin-verified. */
+  private def featuresFixedOracle(n: Int): String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${n - 1})) AS d),
+       |img AS (SELECT d, 1 + (((d // 2) % 8) * 3) % 8 AS a, 2 + (((d // 2) % 8) * 5) % 8 AS b,
+       |        ((d // 2) % 8) % 5 AS c FROM ids WHERE d % 2 = 0),
+       |px AS (SELECT d, x, y,
+       |    ((a * x + b * y + ((x * y) % 7) * c) % 199) AS v
+       |  FROM img CROSS JOIN (SELECT unnest(generate_series(0, 35)) AS x) xs
+       |           CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS y) ys),
+       |pxc AS (SELECT d, x, y, v AS r, (v + 40) % 199 AS g, (v * 3 + 11) % 199 AS bl,
+       |    (CASE WHEN y * 2 >= 24 THEN 2 ELSE 0 END + CASE WHEN x * 2 >= 36 THEN 1 ELSE 0 END) AS q
+       |  FROM px),
+       |isum AS (SELECT d, SUM(r) AS rs, SUM(g) AS gs, SUM(bl) AS bs FROM pxc GROUP BY d),
+       |qsum AS (SELECT d, q, SUM((r * 299 + g * 587 + bl * 114) // 1000) AS ql FROM pxc GROUP BY d, q),
+       |qpiv AS (SELECT d,
+       |    MAX(CASE WHEN q = 0 THEN ql END) AS q0, MAX(CASE WHEN q = 1 THEN ql END) AS q1,
+       |    MAX(CASE WHEN q = 2 THEN ql END) AS q2, MAX(CASE WHEN q = 3 THEN ql END) AS q3
+       |  FROM qsum GROUP BY d),
+       |imgrows AS (SELECT i.d AS doc_id, 'image' AS kind, 1 AS n_frames,
+       |    36 AS decoded_w, 24 AS decoded_h, CAST(0 AS BIGINT) AS n_samples,
+       |    ROUND(CAST(rs AS DOUBLE) / 864 / 255, 5) AS f0,
+       |    ROUND(CAST(gs AS DOUBLE) / 864 / 255, 5) AS f1,
+       |    ROUND(CAST(bs AS DOUBLE) / 864 / 255, 5) AS f2,
+       |    0.0 AS f3,
+       |    ROUND(CAST(q0 * 4 AS DOUBLE) / 864 / 255, 5) AS f4,
+       |    ROUND(CAST(q1 * 4 AS DOUBLE) / 864 / 255, 5) AS f5,
+       |    ROUND(CAST(q2 * 4 AS DOUBLE) / 864 / 255, 5) AS f6,
+       |    ROUND(CAST(q3 * 4 AS DOUBLE) / 864 / 255, 5) AS f7
+       |  FROM isum i JOIN qpiv USING (d)),
+       |aud AS (SELECT d, 1636 + (d % 3) * 812 AS n FROM ids WHERE d % 2 = 1),
+       |smp AS (SELECT d, n, i, ((d * 31 + i * 17) % 2048) - 1024 AS s
+       |  FROM aud CROSS JOIN (SELECT unnest(generate_series(0, 3259)) AS i) ii
+       |  WHERE i < n),
+       |sfeat AS (SELECT d, n,
+       |    SUM(CAST(s AS DOUBLE) * s) AS sumsq,
+       |    MAX(ABS(s)) AS peak,
+       |    SUM(CASE WHEN i > 0 AND ((s >= 0) != (lag_s >= 0)) THEN 1 ELSE 0 END) AS zc
+       |  FROM (SELECT d, n, i, s, LAG(s) OVER (PARTITION BY d ORDER BY i) AS lag_s FROM smp) t
+       |  GROUP BY d, n),
+       |qfeat AS (SELECT d, LEAST(i * 4 // n, 3) AS qq, SUM(CAST(s AS DOUBLE) * s) AS qsq
+       |  FROM smp GROUP BY d, qq),
+       |qf AS (SELECT d,
+       |    MAX(CASE WHEN qq = 0 THEN qsq END) AS a0, MAX(CASE WHEN qq = 1 THEN qsq END) AS a1,
+       |    MAX(CASE WHEN qq = 2 THEN qsq END) AS a2, MAX(CASE WHEN qq = 3 THEN qsq END) AS a3
+       |  FROM qfeat GROUP BY d),
+       |audrows AS (SELECT s.d AS doc_id, 'audio' AS kind, 1 AS n_frames,
+       |    0 AS decoded_w, 0 AS decoded_h, CAST(s.n AS BIGINT) AS n_samples,
+       |    ROUND(sqrt(sumsq / s.n) / 32768, 5) AS f0,
+       |    ROUND(CAST(peak AS DOUBLE) / 32768, 5) AS f1,
+       |    ROUND(CAST(zc AS DOUBLE) / s.n, 5) AS f2,
+       |    ROUND(CAST(s.n AS DOUBLE) / 8000, 5) AS f3,
+       |    ROUND(sqrt(a0 / (s.n // 4)) / 32768, 5) AS f4,
+       |    ROUND(sqrt(a1 / (s.n // 4)) / 32768, 5) AS f5,
+       |    ROUND(sqrt(a2 / (s.n // 4)) / 32768, 5) AS f6,
+       |    ROUND(sqrt(a3 / (s.n // 4)) / 32768, 5) AS f7
+       |  FROM sfeat s JOIN qf USING (d))
+       |SELECT * FROM imgrows UNION ALL SELECT * FROM audrows ORDER BY doc_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "image_dhash_fixed" -> dhashFixedOracle(32, 36, 24),
-    "video_dhash_fixed" -> videoDhashFixedOracle(12, 36, 24))
+    "video_dhash_fixed" -> videoDhashFixedOracle(12, 36, 24),
+    "multimodal_features_fixed" -> featuresFixedOracle(16))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The fixed witness (r18): deterministic synthetic pixels through
@@ -1604,6 +1735,12 @@ object Multimodal {
     // SQL — the one video surface the codec-byte argument doesn't cover.
     "video_dhash_fixed" -> ((s, d) =>
       videoDHashFixed(s).orderBy("doc_id", "slot")),
+    // The feature-extraction fixed witness (r18): lossless synthetic
+    // payloads (PNG pixels, integer PCM) through the REAL decode +
+    // feature path; the 8-float surface oracle-pinned at 5 dp with
+    // verified float32-vs-double margins.
+    "multimodal_features_fixed" -> ((s, d) =>
+      multimodalFeaturesFixed(s).orderBy("doc_id")),
     "multimodal_features" -> (pipeline _),
     // Driver surface: scalar columns only (payload stays internal — the
     // driver's pandas sort can't factorize binary); n_bytes witnesses

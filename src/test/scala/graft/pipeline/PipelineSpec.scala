@@ -2859,6 +2859,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal features fixed witness: real decode path, deterministic, sane shapes") {
+    val rows = Multimodal.multimodalFeaturesFixed(spark).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      if (d % 2 == 0) {
+        assert(r.getString(1) == "image" && r.getInt(3) == 36 && r.getInt(4) == 24)
+        assert(r.getDouble(9) == 0.0, "image f3 slot is 0")
+        // mean-channel features live strictly inside (0, 1)
+        (6 to 8).foreach(i => assert(r.getDouble(i) > 0 && r.getDouble(i) < 1))
+      } else {
+        assert(r.getString(1) == "audio" && r.getLong(5) == 1636 + (d % 3) * 812)
+        assert(r.getDouble(7) == math.rint(1024.0 / 32768 * 1e5) / 1e5,
+          "peak is exactly 1024/32768") // sample fn range [-1024, 1023]
+        assert(r.getDouble(8) > 0 && r.getDouble(8) < 1, "zcr in (0,1)")
+      }
+    }
+    val again = Multimodal.multimodalFeaturesFixed(spark).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("image dhash: cross-codec re-encode twins match, corpus-wide") {
     val twins = Multimodal.imageDHashTwins(Multimodal.attachPayloads(docs)).collect()
     assert(twins.length == docs.filter(col("doc_id") % 3 === 0).count())
