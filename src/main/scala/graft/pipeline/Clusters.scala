@@ -337,10 +337,13 @@ object Clusters {
     * lists, so every node has out-edges and the dangling mass is
     * identically 0 (the Spark side adds 0.85·0/n — exact zero, not
     * drift). That precondition is ENFORCED, not assumed: the first
-    * step cross-joins a guard that raises a DuckDB error() if any
-    * node lacks out-edges, so a future oracle over a genuinely
-    * directed graph fails loudly instead of silently diverging from
-    * [[pageRank]]'s dangling-mass term. */
+    * step multiplies its rank by a guard scalar that is 1 when every
+    * node has out-edges and raises a DuckDB error() otherwise, so a
+    * future oracle over a genuinely directed graph fails loudly
+    * instead of silently diverging from [[pageRank]]'s dangling-mass
+    * term. The guard rides INSIDE r1's rank expression (×1 is an
+    * exact IEEE identity) rather than as an unreferenced cross-joined
+    * column, so no optimizer can prune it away unevaluated. */
   private[pipeline] def pageRankIterSql(iterations: Int): String = {
     val guard =
       """prsym AS MATERIALIZED (SELECT CASE WHEN EXISTS (
@@ -359,7 +362,7 @@ object Clusters {
          |  FROM e JOIN r${k - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst),
          |r$k AS MATERIALIZED (SELECT nd.id,
-         |    ROUND((1 - 0.85) / nn.n + 0.85 * COALESCE(i$k.inflow, 0), 9) AS rank
+         |    ROUND((1 - 0.85) / nn.n + 0.85 * COALESCE(i$k.inflow, 0), 9)${if (k == 1) " * prsym.ok" else ""} AS rank
          |  FROM nodes nd LEFT JOIN i$k USING (id)${if (k == 1) " CROSS JOIN prsym" else ""} CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
   }

@@ -408,21 +408,24 @@ object Profile {
   def updateProfileStorePortable(df: DataFrame, storeDir: String,
       p: Int = 8): Unit = {
     requireIdents("column", df.schema.fields.map(_.name))
-    val rows = lit(df.count())
-    val metrics: Seq[Column] = df.schema.fields.flatMap { f =>
-      val c = col(f.name)
-      val num = f.dataType.isInstanceOf[NumericType]
-      Seq(
-        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
-        (if (num) min(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__min"),
-        (if (num) max(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__max"),
-        (if (num) sum(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__sum"))
-    }.toSeq
+    // n_rows rides the SAME single-pass aggregate as the per-column
+    // metrics (not a separate df.count() job): appends cost exactly two
+    // increment scans — this aggregate and the register pass.
+    val metrics: Seq[Column] = count(lit(1)).as("__n_rows") +:
+      df.schema.fields.flatMap { f =>
+        val c = col(f.name)
+        val num = f.dataType.isInstanceOf[NumericType]
+        Seq(
+          count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+          (if (num) min(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__min"),
+          (if (num) max(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__max"),
+          (if (num) sum(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__sum"))
+      }.toSeq
     val one = df.agg(metrics.head, metrics.tail: _*)
     val stackedMetrics = df.schema.fields.map { f =>
       s"'${f.name}', ${f.name}__nulls, ${f.name}__min, ${f.name}__max, ${f.name}__sum"
     }.mkString(", ")
-    val counts = one.select(expr(
+    val counts = one.select(col("__n_rows").as("n_rows"), expr(
       s"stack(${df.schema.fields.length}, $stackedMetrics) AS (col_name, n_nulls, min_num, max_num, sum_num)"))
     val stackedVals = df.select(explode(array(df.schema.fields.map { f =>
         struct(lit(f.name).as("col_name"), col(f.name).cast("string").as("v"))
@@ -432,7 +435,7 @@ object Profile {
       .groupBy("col_name")
       .agg(collect_list(struct(col("b"), col("mj"))).as("regs"))
     counts.join(regs, Seq("col_name"), "left")
-      .select(col("col_name"), rows.as("n_rows"), col("n_nulls"),
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("min_num"), col("max_num"), col("sum_num"), col("regs"))
       .write.mode("append").parquet(storeDir)
   }
@@ -537,6 +540,10 @@ object Profile {
     // integer-exact rank (binary-string length, not libm log2), same
     // shift-exact 2^-M, same αm expression tree; the linear-counting
     // ln is the one libm op, absorbed by the 4-dp report rounding.
+    // WHERE v IS NOT NULL mirrors portableRegs' null drop (r18 — nulls
+    // carry no distinct value, the hll_sketch_agg convention); without
+    // it a null in any profiled column would register a phantom
+    // null-hash bucket here that the Spark side no longer emits.
     "sketch_hll_portable" -> {
       import graft.functions.PortableHash.duckUnsigned
       val (p, m) = (8, 256)
@@ -545,7 +552,7 @@ object Profile {
          |  SELECT col_name, ${duckUnsigned("v")} AS hu FROM (
          |    SELECT unnest(['doc_id', 'lang', 'source', 'text']) AS col_name,
          |           unnest([CAST(doc_id AS VARCHAR), lang, source, text]) AS v
-         |    FROM documents) x),
+         |    FROM documents) x WHERE v IS NOT NULL),
          |bk AS MATERIALIZED (SELECT col_name,
          |    CAST(hu >> ${64 - p} AS INT) AS b,
          |    hu & $mask::UBIGINT AS suf

@@ -297,7 +297,14 @@ object WidthBench {
       "mmr_topk"            -> ((_, _, e) => Similarity.mmrTopK(e)),
       "knn_sq8"             -> ((_, _, e) => Similarity.sq8TopK(e)))
     val opDefsSelected = only match {
-      case Some(names) => opDefs.filter(d => names.contains(d._1))
+      case Some(names) =>
+        // Fail fast on a typo: a silently-empty selection would still
+        // pay both widen passes and append a header-only table.
+        val known = opDefs.map(_._1).toSet
+        val unknown = names.diff(known)
+        require(unknown.isEmpty,
+          s"unknown only= ops: ${unknown.mkString(", ")} (known: ${known.toSeq.sorted.take(8).mkString(", ")}…)")
+        opDefs.filter(d => names.contains(d._1))
       case None => opDefs
     }
     val opNames = opDefsSelected.map(_._1)
@@ -352,7 +359,8 @@ object WidthBench {
           f"| ${a.exchanges} | ${b.exchanges} | ${a.rows} | ${b.rows} |\n"
       }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-        sb.toString, java.nio.file.StandardOpenOption.APPEND)
+        sb.toString, java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       println(sb.toString)
       spark.stop()
       return
