@@ -243,6 +243,7 @@ object WidthBench {
       }),
       "curriculum_interleave" -> ((d, _, _) => Curate.interleaveSources(d)),
       "graph_pagerank"      -> ((d, _, _) => Clusters.docPageRank(d)),
+      "keywords_textrank"   -> ((d, _, _) => TextAnalysis.textRankKeywords(d)),
       "q91_pmi"             -> ((d, _, _) => TextAnalysis.pmiPairs(d)),
       "q92_negsample"       -> ((d, _, _) => TextAnalysis.negativeSamplingDist(d)),
       "q93_hashed_tfidf"    -> ((d, _, _) => TextAnalysis.hashedTfIdf(d)),
