@@ -343,7 +343,11 @@ object Clusters {
     * instead of silently diverging from [[pageRank]]'s dangling-mass
     * term. The guard rides INSIDE r1's rank expression (×1 is an
     * exact IEEE identity) rather than as an unreferenced cross-joined
-    * column, so no optimizer can prune it away unevaluated. */
+    * column, so no optimizer can prune it away unevaluated. NOTE:
+    * enforcement is only effective when the caller defines `nodes`
+    * over BOTH endpoints (src UNION dst) — a `nodes` drawn from src
+    * alone has an out-edge row by construction and the EXISTS can
+    * never fire. Both callers define nodes that way. */
   private[pipeline] def pageRankIterSql(iterations: Int): String = {
     val guard =
       """prsym AS MATERIALIZED (SELECT CASE WHEN EXISTS (
@@ -391,7 +395,8 @@ object Clusters {
          |  ORDER BY jaccard DESC, left_id, right_id LIMIT 500),
          |e AS MATERIALIZED (SELECT left_id AS src, right_id AS dst FROM prs
          |  UNION ALL SELECT right_id AS src, left_id AS dst FROM prs),
-         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
          |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
          |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
          |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),

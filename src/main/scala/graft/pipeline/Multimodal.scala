@@ -1592,6 +1592,108 @@ object Multimodal {
         round(col("features").getItem(i).cast("double"), 5).as(s"f$i")): _*)
   }
 
+  // ------------------------------------------- audio fixed witnesses (r19)
+
+  /** The witness corpora's pseudo-random integer PCM sample — wideband
+    * content whose adjacent-band Goertzel energies are well-separated
+    * (AudioWitnessMarginSpec pins the separation). Pure integer
+    * arithmetic, so the DuckDB twins regenerate the identical stream. */
+  private def witnessSample(base: Int, i: Int): Int =
+    ((base * 31 + i * 17 + ((i * i) % 257) * (1 + base % 5)) % 2048) - 1024
+
+  /** Goertzel coefficients as shortest-round-trip literals computed by
+    * the SAME JVM expression [[goertzel]] evaluates — embedding them in
+    * the twin SQL removes the one cross-engine libm call (Java Math.cos
+    * vs DuckDB's C cos can differ by an ulp; a parsed literal cannot).
+    * Everything else in the recurrence is +/−/× on doubles, which both
+    * engines evaluate IEEE-identically (neither contracts to FMA), so
+    * the whole fold replays BIT-IDENTICALLY — proven by the r19
+    * witnesses hash-matching without any rounding on the decision
+    * surface. */
+  private def coeffLits(bands: Seq[Double], sr: Int): Seq[String] =
+    bands.map(f =>
+      java.lang.Double.toString(2.0 * math.cos(2.0 * math.Pi * f / sr)))
+
+  /** The audio-FINGERPRINT ORACLE WITNESS (r19, closing the r18 VERDICT
+    * #1 gap — the last dedup tier without a cross-engine decision
+    * check): 12 synthetic integer-PCM WAVs through the REAL
+    * [[audioFingerprint]] path — RIFF decode, the 8-window × 9-band
+    * Goertzel recurrence, all 64 adjacent-band comparison bits — with
+    * the full 64-bit signature oracle-pinned. The recurrence is a
+    * sequential double fold (no distributed reduction, no libm beyond
+    * the coefficient embedded as a literal), so DuckDB's list_reduce
+    * replays it bit for bit and the e(b) < e(b+1) decisions compare
+    * IDENTICAL doubles. Docs d and d+6 are exact 2× volume scalings —
+    * ×2 is exact in IEEE and the recurrence is linear, so every energy
+    * scales by exactly 4 and every bit survives: the tier's
+    * volume-invariance claim, pinned at hamming 0 by the oracle
+    * (every bit of both twins) and asserted by the spec. */
+  def audioFingerprintFixed(spark: SparkSession, n: Int = 12): DataFrame = {
+    import spark.implicits._
+    val media = spark.range(n).as[Long].map { d =>
+      val base = (d % 6).toInt
+      val scale = 1 + (d / 6).toInt
+      val ns = 1636 + (base % 3) * 812
+      val payload = wavBytesWith(ns, 8000)(i => scale * witnessSample(base, i))
+      MediaRow(d, "audio", payload, 0, 0, 8000)
+    }.toDF()
+    audioFingerprint(media)
+      .select("doc_id", "dhash", "n_samples", "sample_rate")
+  }
+
+  /** The audio-SPECTRAL ORACLE WITNESS (r19): 8 synthetic WAVs — six
+    * integer square waves whose fundamentals sit ON the band grid
+    * (periods 8000/f integral: 200/250/400/500/800/1000 Hz; the
+    * in-grid odd harmonics all fall above the top band) plus two
+    * wideband pseudo-random docs — through the REAL [[audioSpectral]]
+    * path. Pins cross-engine: the 17 Goertzel band powers (float32
+    * storage replayed by the twin's own REAL cast — identical doubles
+    * cast identically, so no rounding-margin argument is needed), the
+    * argmax dominant-tone decision (desc power, asc band), and the
+    * detector recovering each square wave's exact fundamental. */
+  def audioSpectralFixed(spark: SparkSession, n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val media = spark.range(n).as[Long].map { d =>
+      val ns = 1636 + (d % 3).toInt * 812
+      val payload =
+        if (d < 6) {
+          val p = 8000 / Array(200, 250, 400, 500, 800, 1000)(d.toInt)
+          val amp = 6000 + d.toInt * 500
+          wavBytesWith(ns, 8000)(i => if ((i % p) * 2 < p) amp else -amp)
+        } else wavBytesWith(ns, 8000)(i => witnessSample(d.toInt, i))
+      MediaRow(d, "audio", payload, 0, 0, 8000)
+    }.toDF()
+    audioSpectral(media).select(Seq(col("doc_id"), col("n_samples"),
+      col("sample_rate"), col("dominant_hz"),
+      round(col("dominant_power"), 9).as("dominant_power")) ++
+      (0 until 17).map(i =>
+        round(col("band_power").getItem(i).cast("double"), 9).as(s"p$i")): _*)
+  }
+
+  /** The WINDOWED-fingerprint ORACLE WITNESS (r19): 6 synthetic WAVs
+    * through the REAL [[audioWindowFingerprint]] path — the
+    * sample-rate-anchored window/hop arithmetic (400/200 at 8 kHz),
+    * per-window 64-bit signatures, and the DIGITAL-SILENCE skip: doc 1
+    * zeroes samples [600, 1000), exactly window 3, whose Goertzel
+    * state stays exactly 0 through the whole fold in both engines —
+    * the one branch decision that replays with literal equality. The
+    * kept-window decision (summed energy > 0) is replayed as
+    * bool_or(e > 0): every per-band power is mathematically ≥ 0 and
+    * the witness's kept windows all carry energy ≥ 3e-4 (prototype-
+    * verified), so the two forms cannot disagree here. */
+  def audioWindowFingerprintFixed(spark: SparkSession, n: Int = 6): DataFrame = {
+    import spark.implicits._
+    val media = spark.range(n).as[Long].map { d =>
+      val ns = 1636 + (d % 3).toInt * 812
+      val payload = wavBytesWith(ns, 8000) { i =>
+        if (d == 1 && i >= 600 && i < 1000) 0 else witnessSample(d.toInt, i)
+      }
+      MediaRow(d, "audio", payload, 0, 0, 8000)
+    }.toDF()
+    audioWindowFingerprint(media)
+      .select("doc_id", "slot", "dhash", "n_windows", "sample_rate")
+  }
+
   /** The image_dhash_fixed twin: the synthetic pixel function, the 9×8
     * area-averaged luma grid (exact integer sums — GROUP BY the same
     * y/3, x/4 cell map), dhash64's cross-multiplied neighbor

@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
 
 /** Data profiling + declarative constraint validation — the pre-training
   * quality gate (the Deequ/"unit tests for data" shape, published as
@@ -411,22 +411,33 @@ object Profile {
     // n_rows rides the SAME single-pass aggregate as the per-column
     // metrics (not a separate df.count() job): appends cost exactly two
     // increment scans — this aggregate and the register pass.
+    // INTEGRAL columns accumulate as exact LongType sums (sum_int):
+    // order-independent and equal to the DuckDB twin's exact-then-cast
+    // arithmetic for any total below 2^63. Only FRACTIONAL columns fall
+    // back to distributed double sums (sum_num), whose fold is
+    // summation-order-dependent at ~1 ulp — their mean_num is a 4-dp
+    // report, not an oracle surface.
     val metrics: Seq[Column] = count(lit(1)).as("__n_rows") +:
       df.schema.fields.flatMap { f =>
         val c = col(f.name)
         val num = f.dataType.isInstanceOf[NumericType]
+        val integral = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
         Seq(
           count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
           (if (num) min(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__min"),
           (if (num) max(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__max"),
-          (if (num) sum(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__sum"))
+          (if (num && !integral) sum(c.cast("double")) else lit(null).cast("double")).as(s"${f.name}__sum"),
+          (if (integral) sum(c.cast("long")) else lit(null).cast("long")).as(s"${f.name}__sumi"))
       }.toSeq
     val one = df.agg(metrics.head, metrics.tail: _*)
     val stackedMetrics = df.schema.fields.map { f =>
-      s"'${f.name}', ${f.name}__nulls, ${f.name}__min, ${f.name}__max, ${f.name}__sum"
+      s"'${f.name}', ${f.name}__nulls, ${f.name}__min, ${f.name}__max, ${f.name}__sum, ${f.name}__sumi"
     }.mkString(", ")
     val counts = one.select(col("__n_rows").as("n_rows"), expr(
-      s"stack(${df.schema.fields.length}, $stackedMetrics) AS (col_name, n_nulls, min_num, max_num, sum_num)"))
+      s"stack(${df.schema.fields.length}, $stackedMetrics) AS (col_name, n_nulls, min_num, max_num, sum_num, sum_int)"))
     val stackedVals = df.select(explode(array(df.schema.fields.map { f =>
         struct(lit(f.name).as("col_name"), col(f.name).cast("string").as("v"))
       }: _*)).as("e"))
@@ -436,7 +447,8 @@ object Profile {
       .agg(collect_list(struct(col("b"), col("mj"))).as("regs"))
     counts.join(regs, Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("min_num"), col("max_num"), col("sum_num"), col("regs"))
+        col("min_num"), col("max_num"), col("sum_num"), col("sum_int"),
+        col("regs"))
       .write.mode("append").parquet(storeDir)
   }
 
@@ -452,7 +464,7 @@ object Profile {
     val counts = led.groupBy("col_name")
       .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"),
         min("min_num").as("min_num"), max("max_num").as("max_num"),
-        sum("sum_num").as("sum_num"))
+        sum("sum_num").as("sum_num"), sum("sum_int").as("sum_int"))
     val merged = led.select(col("col_name"), explode(col("regs")).as("r"))
       .groupBy(col("col_name"), col("r.b").as("b"))
       .agg(max(col("r.mj")).as("mj"))
@@ -460,7 +472,11 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         round(lit(1.0) - col("n_nulls").cast("double") / col("n_rows"), 4).as("completeness"),
         col("n_distinct_est"), col("min_num"), col("max_num"),
-        round(col("sum_num") / (col("n_rows") - col("n_nulls")), 4).as("mean_num"))
+        // Integral columns divide the EXACT folded long sum (cast once,
+        // here — the twin's exact-then-cast arithmetic); fractional
+        // columns divide the double sum.
+        round(coalesce(col("sum_int").cast("double"), col("sum_num")) /
+          (col("n_rows") - col("n_nulls")), 4).as("mean_num"))
       .orderBy("col_name")
   }
 

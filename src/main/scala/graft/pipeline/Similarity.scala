@@ -530,6 +530,10 @@ object Similarity {
     val probes = probeCells(assigned, coarse.centroids, nQueries, nProbe)
     val candidates = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id")).count()
+    // Both consumers are fully drained above; drop the checkpointed
+    // corpus-sized blocks before the caller (Bench runs this right
+    // before its timed section) starts measuring.
+    graft.Materialize.release(assigned)
     val total = pops.values.sum
     IvfDiag(nList, pops, total,
       candidates, nQueries.toLong * nProbe * total / nList)

@@ -1613,7 +1613,8 @@ object TextAnalysis {
          |  GROUP BY w1, w2 HAVING COUNT(*) >= 5),
          |e AS MATERIALIZED (SELECT w1 AS src, w2 AS dst FROM co
          |  UNION ALL SELECT w2 AS src, w1 AS dst FROM co),
-         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
          |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
          |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
          |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
