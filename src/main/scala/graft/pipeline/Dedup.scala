@@ -211,31 +211,52 @@ object Dedup {
     * scan), and the rebuild is one index-aware `filter` over the
     * token array. */
   def substringDedup(docs: DataFrame, k: Int = 12): DataFrame = {
-    val tok = graft.Materialize(spread(docs)
+    val tok = substrTok(docs)
+    val sh = substrWindows(tok, k)
+    val masked = substrMasked(sh, substrDupOcc(sh))
+    rebuildExcised(tok, masked, k)
+  }
+
+  // The substringDedup stages as named defs: the operator composes them,
+  // and tools.SubstrStages times each one in isolation at 1x/100x width
+  // (the r18-verdict stage-attribution ask) with ZERO drift risk — there
+  // is exactly one definition of every stage.
+
+  /** Stage 1 — tokenize + materialize (consumed by both the window
+    * stream and the rebuild tail). */
+  private[graft] def substrTok(docs: DataFrame): DataFrame =
+    graft.Materialize(spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks")))
-    // Position list clamps at 0 so a short document yields exactly one
-    // window; `slice` clamps at the array end in both engines, so that
-    // window hashes the whole text.
-    val sh = tok.select(col("doc_id"), posexplode(expr(
+
+  /** Stage 2 — the overlapping k-token window stream, hash-projected.
+    * Position list clamps at 0 so a short document yields exactly one
+    * window; `slice` clamps at the array end in both engines, so that
+    * window hashes the whole text. */
+  private[graft] def substrWindows(tok: DataFrame, k: Int): DataFrame =
+    tok.select(col("doc_id"), posexplode(expr(
       s"""transform(sequence(0, greatest(size(toks) - $k, 0)),
          |  i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))""".stripMargin))
       .as(Seq("pos", "h")))
-    // Duplicated hashes ONLY go back into the join: at corpus scale the
-    // overwhelming majority of windows are singletons, so filtering the
-    // aggregate BEFORE the join shrinks the probe table from |distinct
-    // windows| to |duplicated windows| (orders of magnitude at 100 TB).
-    val dupOcc = sh.groupBy("h").agg(
+
+  /** Stage 3 — global keep-first aggregate. Duplicated hashes ONLY go
+    * back into the join: at corpus scale the overwhelming majority of
+    * windows are singletons, so filtering the aggregate BEFORE the join
+    * shrinks the probe table from |distinct windows| to |duplicated
+    * windows| (orders of magnitude at 100 TB). */
+  private[graft] def substrDupOcc(sh: DataFrame): DataFrame =
+    sh.groupBy("h").agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("own"))
       .filter(col("cnt") > 1)
       .select("h", "own")
-    val masked = sh.join(dupOcc, Seq("h"))
+
+  /** Stage 4 — verify join + per-doc masked-position fold. */
+  private[graft] def substrMasked(sh: DataFrame, dupOcc: DataFrame): DataFrame =
+    sh.join(dupOcc, Seq("h"))
       .filter(!(col("own.doc_id") === col("doc_id") && col("own.pos") === col("pos")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_masked"),
         sort_array(collect_list(col("pos"))).as("ps"))
-    rebuildExcised(tok, masked, k)
-  }
 
   /** Shared text-rebuild tail of the substring-dedup family: `tok`
     * carries (doc_id, toks), `masked` carries (doc_id, n_masked, ps —

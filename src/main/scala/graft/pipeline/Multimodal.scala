@@ -1546,12 +1546,14 @@ object Multimodal {
     * the quadrant split), and the WAV decode + RMS / peak /
     * zero-crossing / quarter-RMS audio features (integer-exact sums in
     * doubles, correctly-rounded sqrt). Float32 storage is absorbed by
-    * the 5-dp round: on this FIXED corpus the float-vs-double gap
-    * (≲6e-10) is 20×+ away from every rounding boundary (verified
-    * value-by-value at construction; sample counts are chosen
-    * non-5-smooth so no ratio lands ON a boundary). n_bytes is
-    * deliberately NOT emitted — PNG encoder output length is platform
-    * bytes; everything emitted is decode-side. */
+    * the 5-dp round: on this FIXED corpus every float-vs-double gap
+    * stays strictly inside its distance to the nearest rounding
+    * boundary — measured headroom 1.45× at the tightest feature (doc 2
+    * blue mean) and ≥6× everywhere else, asserted per feature by the
+    * margin spec in PipelineSpec (r19), so any edit eroding a margin
+    * fails with the doc/feature named instead of an opaque oracle hash
+    * mismatch. n_bytes is deliberately NOT emitted — PNG encoder output
+    * length is platform bytes; everything emitted is decode-side. */
   def multimodalFeaturesFixed(spark: SparkSession, n: Int = 16): DataFrame = {
     import spark.implicits._
     val w = 36; val h = 24
@@ -1604,15 +1606,46 @@ object Multimodal {
   /** Goertzel coefficients as shortest-round-trip literals computed by
     * the SAME JVM expression [[goertzel]] evaluates — embedding them in
     * the twin SQL removes the one cross-engine libm call (Java Math.cos
-    * vs DuckDB's C cos can differ by an ulp; a parsed literal cannot).
+    * vs DuckDB's C cos can differ by an ulp). The literal MUST be
+    * emitted as CAST('…' AS DOUBLE): a bare decimal literal parses
+    * through DECIMAL(w,s), whose int64 scaled mantissa exceeds 2^53 at
+    * 17 significant digits, so the DECIMAL→DOUBLE conversion can land
+    * one ulp off the value strtod would produce (measured on the 500 Hz
+    * band: 1.8477590650225735::DOUBLE ≠ CAST('1.8477590650225735' AS
+    * DOUBLE)). The string cast is a correctly-rounded parse, making the
+    * SQL-side coefficient bit-equal to the JVM double by construction.
     * Everything else in the recurrence is +/−/× on doubles, which both
-    * engines evaluate IEEE-identically (neither contracts to FMA), so
-    * the whole fold replays BIT-IDENTICALLY — proven by the r19
-    * witnesses hash-matching without any rounding on the decision
-    * surface. */
+    * engines evaluate IEEE-identically (DuckDB runs one vectorized
+    * kernel per binary op, so nothing contracts to FMA), so the whole
+    * fold replays BIT-IDENTICALLY — validated value-by-value at
+    * construction, then continuously by the witness oracle hashes. */
   private def coeffLits(bands: Seq[Double], sr: Int): Seq[String] =
-    bands.map(f =>
-      java.lang.Double.toString(2.0 * math.cos(2.0 * math.Pi * f / sr)))
+    bands.map { f =>
+      val lit = java.lang.Double.toString(2.0 * math.cos(2.0 * math.Pi * f / sr))
+      s"CAST('$lit' AS DOUBLE)"
+    }
+
+  /** The Goertzel recurrence s₀ = x + c·s₁ − s₂ as a DuckDB list fold
+    * over state `[s1, s2]`. The state MUST be a LIST, not a STRUCT:
+    * DuckDB's list_reduce ALIASES a struct accumulator — later
+    * struct_pack fields read earlier fields' already-written values
+    * within the same step (measured on 1.0.0: `s2 := acc.s1` sees the
+    * s1 computed by the same step), which silently corrupts any
+    * second-order recurrence. List construction evaluates every element
+    * from the pre-step state, so the fold is the textbook left fold,
+    * with list_prepend supplying the [0, 0] seed ([[TextAnalysis]]'s
+    * doc_fingerprint convention). Association mirrors the JVM: q[1] +
+    * (c·p[1]) − p[2], left to right. */
+  private def duckGoertzelFold(xs: String, c: String): String =
+    s"""list_reduce(list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+       |      list_transform($xs, v -> [v])),
+       |      (p, q) -> [q[1] + $c * p[1] - p[2], p[1]])""".stripMargin
+
+  /** `(s₁² + s₂² − c·s₁·s₂) / n²` — [[goertzel]]'s power line over the
+    * fold's final `[s1, s2]` state, same operand order. */
+  private def duckGoertzelPower(st: String, c: String, ln: String): String =
+    s"($st[1] * $st[1] + $st[2] * $st[2] - $c * $st[1] * $st[2])" +
+      s" / (CAST($ln AS DOUBLE) * $ln)"
 
   /** The audio-FINGERPRINT ORACLE WITNESS (r19, closing the r18 VERDICT
     * #1 gap — the last dedup tier without a cross-engine decision
@@ -1663,11 +1696,15 @@ object Multimodal {
         } else wavBytesWith(ns, 8000)(i => witnessSample(d.toInt, i))
       MediaRow(d, "audio", payload, 0, 0, 8000)
     }.toDF()
+    // No ROUND anywhere on this surface: the doubles are bit-identical
+    // across engines (the fold replays exactly), so float32 narrowing —
+    // deterministic on identical inputs — is the only projection needed,
+    // and no rounding-boundary margin argument has to be maintained.
     audioSpectral(media).select(Seq(col("doc_id"), col("n_samples"),
       col("sample_rate"), col("dominant_hz"),
-      round(col("dominant_power"), 9).as("dominant_power")) ++
+      col("dominant_power").cast("float").cast("double").as("dominant_power")) ++
       (0 until 17).map(i =>
-        round(col("band_power").getItem(i).cast("double"), 9).as(s"p$i")): _*)
+        col("band_power").getItem(i).cast("double").as(s"p$i")): _*)
   }
 
   /** The WINDOWED-fingerprint ORACLE WITNESS (r19): 6 synthetic WAVs
@@ -1692,6 +1729,132 @@ object Multimodal {
     }.toDF()
     audioWindowFingerprint(media)
       .select("doc_id", "slot", "dhash", "n_windows", "sample_rate")
+  }
+
+  /** The audio_fingerprint_fixed twin: the witness sample function as
+    * integer SQL, the clip-fraction window arithmetic (⌊n·w/8⌋ bounds),
+    * the Goertzel fold per (window, band) via [[duckGoertzelFold]], the
+    * e(b) < e(b+1) comparison bits on bit-identical doubles, and the
+    * 64-bit assembly in unsigned space re-signed two's-complement. */
+  private def fingerprintFixedOracle(n: Int): String = {
+    val bandRows = coeffLits((0 to 8).map(k => 150.0 + k * 100.0), 8000)
+      .zipWithIndex.map { case (c, b) => s"($c, $b)" }.mkString(", ")
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${n - 1})) AS d),
+       |prm AS (SELECT d, d % 6 AS base, 1 + d // 6 AS scale,
+       |        1636 + ((d % 6) % 3) * 812 AS n FROM ids),
+       |smp AS (SELECT d, n, i,
+       |    CAST(scale * (((base * 31 + i * 17 + ((i * i) % 257) * (1 + base % 5)) % 2048) - 1024) AS DOUBLE) / 32768.0 AS x
+       |  FROM prm CROSS JOIN (SELECT unnest(generate_series(0, 3259)) AS i) ii
+       |  WHERE i < n),
+       |win AS (SELECT d, w, n * w // 8 AS lo, n * (w + 1) // 8 AS hi
+       |  FROM prm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS w) ws),
+       |wl AS MATERIALIZED (SELECT d, w, list(x ORDER BY i) AS xs
+       |  FROM smp JOIN win USING (d) WHERE i >= lo AND i < hi GROUP BY d, w),
+       |bandc AS (SELECT * FROM (VALUES $bandRows) AS t(c, b)),
+       |fold AS (SELECT d, w, b, c,
+       |    ${duckGoertzelFold("xs", "c")} AS st,
+       |    len(xs) AS ln
+       |  FROM wl CROSS JOIN bandc),
+       |pw AS MATERIALIZED (SELECT d, w, b,
+       |    ${duckGoertzelPower("st", "c", "ln")} AS e
+       |  FROM fold),
+       |bits AS (SELECT l.d, CAST(l.w * 8 + l.b AS INT) AS i
+       |  FROM pw l JOIN pw r ON l.d = r.d AND l.w = r.w AND r.b = l.b + 1
+       |  WHERE l.b < 8 AND l.e < r.e),
+       |hsh AS (SELECT prm.d, prm.n,
+       |    COALESCE(bit_or(1::UBIGINT << bits.i), 0::UBIGINT) AS hu
+       |  FROM prm LEFT JOIN bits ON prm.d = bits.d GROUP BY prm.d, prm.n)
+       |SELECT d AS doc_id, ${graft.functions.PortableHash.duckSigned("hu")} AS dhash,
+       |  CAST(n AS BIGINT) AS n_samples, 8000 AS sample_rate
+       |FROM hsh ORDER BY doc_id""".stripMargin
+  }
+
+  /** The audio_spectral_fixed twin: square-wave + witness-sample PCM as
+    * integer SQL, one whole-clip Goertzel fold per (doc, band), the
+    * (power DESC, band ASC) argmax for the dominant tone, and float32
+    * narrowing — not rounding — as the only projection (bit-identical
+    * doubles narrow identically). */
+  private def spectralFixedOracle(n: Int): String = {
+    val bands = (0 until 17).map(k => 200.0 + k * 50.0)
+    val bandRows = coeffLits(bands, 8000).zipWithIndex.map { case (c, b) =>
+      s"($c, $b, ${bands(b)}::DOUBLE)"
+    }.mkString(", ")
+    val pCols = (0 until 17)
+      .map(i => s"ps[${i + 1}] AS p$i").mkString(",\n       |  ")
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${n - 1})) AS d),
+       |prm AS (SELECT d, 1636 + (d % 3) * 812 AS n,
+       |    CASE WHEN d < 6 THEN 8000 // ([200, 250, 400, 500, 800, 1000][CAST(d + 1 AS INT)]) ELSE 1 END AS p,
+       |    6000 + d * 500 AS amp FROM ids),
+       |smp AS (SELECT d, n, i, CAST(CASE WHEN d < 6
+       |      THEN CASE WHEN (i % p) * 2 < p THEN amp ELSE -amp END
+       |      ELSE ((d * 31 + i * 17 + ((i * i) % 257) * (1 + d % 5)) % 2048) - 1024
+       |    END AS DOUBLE) / 32768.0 AS x
+       |  FROM prm CROSS JOIN (SELECT unnest(generate_series(0, 3259)) AS i) ii
+       |  WHERE i < n),
+       |dl AS MATERIALIZED (SELECT d, list(x ORDER BY i) AS xs FROM smp GROUP BY d),
+       |bandc AS (SELECT * FROM (VALUES $bandRows) AS t(c, b, hz)),
+       |fold AS (SELECT d, b, hz, c,
+       |    ${duckGoertzelFold("xs", "c")} AS st,
+       |    len(xs) AS ln
+       |  FROM dl CROSS JOIN bandc),
+       |pw AS MATERIALIZED (SELECT d, b, hz,
+       |    ${duckGoertzelPower("st", "c", "ln")} AS e
+       |  FROM fold),
+       |dom AS (SELECT d, hz AS dominant_hz,
+       |    CAST(CAST(e AS FLOAT) AS DOUBLE) AS dominant_power,
+       |    ROW_NUMBER() OVER (PARTITION BY d ORDER BY e DESC, b ASC) AS rn FROM pw),
+       |piv AS (SELECT d, list(CAST(CAST(e AS FLOAT) AS DOUBLE) ORDER BY b) AS ps FROM pw GROUP BY d)
+       |SELECT piv.d AS doc_id, CAST(prm.n AS BIGINT) AS n_samples,
+       |  8000 AS sample_rate, dom.dominant_hz, dom.dominant_power,
+       |  $pCols
+       |FROM piv JOIN dom ON piv.d = dom.d AND dom.rn = 1 JOIN prm ON prm.d = piv.d
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The audio_window_fingerprint_fixed twin: the sample-rate-anchored
+    * window/hop arithmetic (400/200 at 8 kHz), per-window 8×9 Goertzel
+    * folds, the digital-silence skip as bool_or(e > 0) (exact-zero
+    * state replays with literal equality; kept windows carry energy
+    * ≥ 3e-4, prototype-verified, so the summed-energy form and the
+    * any-band form cannot disagree here), and the same bit assembly as
+    * the whole-clip twin. */
+  private def windowFingerprintFixedOracle(n: Int): String = {
+    val bandRows = coeffLits((0 to 8).map(k => 150.0 + k * 100.0), 8000)
+      .zipWithIndex.map { case (c, b) => s"($c, $b)" }.mkString(", ")
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${n - 1})) AS d),
+       |prm AS (SELECT d, 1636 + (d % 3) * 812 AS n FROM ids),
+       |smp AS (SELECT d, n, i, CAST(CASE WHEN d = 1 AND i >= 600 AND i < 1000 THEN 0
+       |      ELSE ((d * 31 + i * 17 + ((i * i) % 257) * (1 + d % 5)) % 2048) - 1024
+       |    END AS DOUBLE) / 32768.0 AS x
+       |  FROM prm CROSS JOIN (SELECT unnest(generate_series(0, 3259)) AS i) ii
+       |  WHERE i < n),
+       |wins AS (SELECT d, n, (n - 400) // 200 + 1 AS nwin, wi, wi * 200 AS fst
+       |  FROM prm CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS wi) ws
+       |  WHERE wi < (n - 400) // 200 + 1),
+       |sub AS (SELECT d, nwin, wi, w, fst + 400 * w // 8 AS lo, fst + 400 * (w + 1) // 8 AS hi
+       |  FROM wins CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS w) sws),
+       |wl AS MATERIALIZED (SELECT d, nwin, wi, w, list(x ORDER BY i) AS xs
+       |  FROM smp JOIN sub USING (d) WHERE i >= lo AND i < hi GROUP BY d, nwin, wi, w),
+       |bandc AS (SELECT * FROM (VALUES $bandRows) AS t(c, b)),
+       |fold AS (SELECT d, nwin, wi, w, b, c,
+       |    ${duckGoertzelFold("xs", "c")} AS st,
+       |    len(xs) AS ln
+       |  FROM wl CROSS JOIN bandc),
+       |pw AS MATERIALIZED (SELECT d, nwin, wi, w, b,
+       |    ${duckGoertzelPower("st", "c", "ln")} AS e
+       |  FROM fold),
+       |kept AS (SELECT d, nwin, wi FROM pw GROUP BY d, nwin, wi HAVING bool_or(e > 0)),
+       |bits AS (SELECT l.d, l.wi, CAST(l.w * 8 + l.b AS INT) AS i
+       |  FROM pw l JOIN pw r ON l.d = r.d AND l.wi = r.wi AND l.w = r.w AND r.b = l.b + 1
+       |  WHERE l.b < 8 AND l.e < r.e),
+       |hsh AS (SELECT k.d, k.wi, k.nwin,
+       |    COALESCE(bit_or(1::UBIGINT << bits.i), 0::UBIGINT) AS hu
+       |  FROM kept k LEFT JOIN bits ON k.d = bits.d AND k.wi = bits.wi
+       |  GROUP BY k.d, k.wi, k.nwin)
+       |SELECT d AS doc_id, CAST(wi AS INT) AS slot,
+       |  ${graft.functions.PortableHash.duckSigned("hu")} AS dhash,
+       |  CAST(nwin AS INT) AS n_windows, 8000 AS sample_rate
+       |FROM hsh ORDER BY doc_id, slot""".stripMargin
   }
 
   /** The image_dhash_fixed twin: the synthetic pixel function, the 9×8
@@ -1823,7 +1986,10 @@ object Multimodal {
   def oracle: Map[String, String] = Map(
     "image_dhash_fixed" -> dhashFixedOracle(32, 36, 24),
     "video_dhash_fixed" -> videoDhashFixedOracle(12, 36, 24),
-    "multimodal_features_fixed" -> featuresFixedOracle(16))
+    "multimodal_features_fixed" -> featuresFixedOracle(16),
+    "audio_fingerprint_fixed" -> fingerprintFixedOracle(12),
+    "audio_spectral_fixed" -> spectralFixedOracle(8),
+    "audio_window_fingerprint_fixed" -> windowFingerprintFixedOracle(6))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The fixed witness (r18): deterministic synthetic pixels through
@@ -1843,6 +2009,16 @@ object Multimodal {
     // verified float32-vs-double margins.
     "multimodal_features_fixed" -> ((s, d) =>
       multimodalFeaturesFixed(s).orderBy("doc_id")),
+    // The audio fixed witnesses (r19): integer-PCM synthetic WAVs
+    // through the REAL RIFF decode + Goertzel DSP, every bit / band
+    // power / argmax decision oracle-pinned — the decision-surface
+    // twins the codec-byte audio entries (below) cannot have.
+    "audio_fingerprint_fixed" -> ((s, d) =>
+      audioFingerprintFixed(s).orderBy("doc_id")),
+    "audio_spectral_fixed" -> ((s, d) =>
+      audioSpectralFixed(s).orderBy("doc_id")),
+    "audio_window_fingerprint_fixed" -> ((s, d) =>
+      audioWindowFingerprintFixed(s).orderBy("doc_id", "slot")),
     "multimodal_features" -> (pipeline _),
     // Driver surface: scalar columns only (payload stays internal — the
     // driver's pandas sort can't factorize binary); n_bytes witnesses

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * than 2.5× the small-store increment (generous local-noise bound; an
   * O(store) regression shows up as ~10×).
   *
-  * Usage: runMain graft.tools.IncScale [storeSmall=30000]
+  * Usage: runMain graft.tools.IncScale [storeSmall=30000] [grow=10]
   * Prints PASS/FAIL per property; exits non-zero on FAIL.
   */
 object IncScale {
@@ -35,6 +35,9 @@ object IncScale {
 
   def main(args: Array[String]): Unit = {
     val sSmall = args.headOption.map(_.toLong).getOrElse(30000L)
+    // History growth factor: 10 (default, the per-round gate) or 100
+    // (the r18-verdict lifecycle probe — same checks, 100x history).
+    val grow = args.lift(1).map(_.toLong).getOrElse(10L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
@@ -73,10 +76,10 @@ object IncScale {
     }
     seedExact(sSmall)
     val exT1 = Seq(incrementExact(), incrementExact(), incrementExact()).min
-    seedExact(sSmall * 9)
+    seedExact(sSmall * (grow - 1))
     val exT2 = Seq(incrementExact(), incrementExact(), incrementExact()).min
     check("exact-increment-flat", exT2 <= 2.5 * math.max(exT1, 0.3),
-      f"store ${sSmall}→${sSmall * 10}: increment $exT1%.2fs → $exT2%.2fs (bound 2.5×)")
+      f"store ${sSmall}→${sSmall * grow}: increment $exT1%.2fs → $exT2%.2fs (bound 2.5×)")
 
     // ---- minhash signature store ------------------------------------
     val mhDir = java.nio.file.Files.createTempDirectory("incscale").resolve("mh").toString
@@ -99,10 +102,10 @@ object IncScale {
     }
     seedMh(mSmall)
     val mhT1 = Seq(incrementMh(), incrementMh(), incrementMh()).min
-    seedMh(mSmall * 9)
+    seedMh(mSmall * (grow - 1))
     val mhT2 = Seq(incrementMh(), incrementMh(), incrementMh()).min
     check("minhash-increment-flat", mhT2 <= 2.5 * math.max(mhT1, 0.3),
-      f"store ${mSmall}→${mSmall * 10}: increment $mhT1%.2fs → $mhT2%.2fs (bound 2.5×)")
+      f"store ${mSmall}→${mSmall * grow}: increment $mhT1%.2fs → $mhT2%.2fs (bound 2.5×)")
 
     // ---- cdc chunk-hash store ---------------------------------------
     // Chunk-level tier: the keep-first chunk store is probed broadcast
@@ -128,10 +131,10 @@ object IncScale {
     }
     seedCd(dSmall)
     val cdT1 = Seq(incrementCd(), incrementCd(), incrementCd()).min
-    seedCd(dSmall * 9)
+    seedCd(dSmall * (grow - 1))
     val cdT2 = Seq(incrementCd(), incrementCd(), incrementCd()).min
     check("cdc-increment-flat", cdT2 <= 2.5 * math.max(cdT1, 0.3),
-      f"store ${dSmall}→${dSmall * 10}: increment $cdT1%.2fs → $cdT2%.2fs (bound 2.5×)")
+      f"store ${dSmall}→${dSmall * grow}: increment $cdT1%.2fs → $cdT2%.2fs (bound 2.5×)")
 
     // ---- substring window-hash store --------------------------------
     // Span-level tier: one store row per k-token window ever seen; the
@@ -157,10 +160,10 @@ object IncScale {
     }
     seedSs(ssSmall)
     val ssT1 = Seq(incrementSs(), incrementSs(), incrementSs()).min
-    seedSs(ssSmall * 9)
+    seedSs(ssSmall * (grow - 1))
     val ssT2 = Seq(incrementSs(), incrementSs(), incrementSs()).min
     check("substring-increment-flat", ssT2 <= 2.5 * math.max(ssT1, 0.3),
-      f"store ${ssSmall}→${ssSmall * 10}: increment $ssT1%.2fs → $ssT2%.2fs (bound 2.5×)")
+      f"store ${ssSmall}→${ssSmall * grow}: increment $ssT1%.2fs → $ssT2%.2fs (bound 2.5×)")
 
     // ---- containment shingle store ----------------------------------
     // Same contract at the doc-inside-doc tier: the posting-capped
@@ -187,10 +190,10 @@ object IncScale {
     }
     seedCt(cSmall)
     val ctT1 = Seq(incrementCt(), incrementCt(), incrementCt()).min
-    seedCt(cSmall * 9)
+    seedCt(cSmall * (grow - 1))
     val ctT2 = Seq(incrementCt(), incrementCt(), incrementCt()).min
     check("containment-increment-flat", ctT2 <= 2.5 * math.max(ctT1, 0.3),
-      f"store ${cSmall}→${cSmall * 10}: increment $ctT1%.2fs → $ctT2%.2fs (bound 2.5×)")
+      f"store ${cSmall}→${cSmall * grow}: increment $ctT1%.2fs → $ctT2%.2fs (bound 2.5×)")
 
     // ---- simhash chunk store ----------------------------------------
     // Bit-flip tier: 4 band rows per keeper, probe joins the increment's
@@ -217,10 +220,10 @@ object IncScale {
     }
     seedSh(hSmall)
     val shT1 = Seq(incrementSh(), incrementSh(), incrementSh()).min
-    seedSh(hSmall * 9)
+    seedSh(hSmall * (grow - 1))
     val shT2 = Seq(incrementSh(), incrementSh(), incrementSh()).min
     check("simhash-increment-flat", shT2 <= 2.5 * math.max(shT1, 0.3),
-      f"store ${hSmall}→${hSmall * 10}: increment $shT1%.2fs → $shT2%.2fs (bound 2.5×)")
+      f"store ${hSmall}→${hSmall * grow}: increment $shT1%.2fs → $shT2%.2fs (bound 2.5×)")
 
     // ---- decontamination eval store ---------------------------------
     // Contract: a fixed TRAIN increment must stay flat while the EVAL
@@ -241,10 +244,10 @@ object IncScale {
     }
     val dcT1 = Seq(incrementDc(), incrementDc(), incrementDc()).min
     graft.pipeline.Select.updateDecontaminationStore(
-      docs(spark, eSmall, eSmall * 10, identity), dcDir)
+      docs(spark, eSmall, eSmall * grow, identity), dcDir)
     val dcT2 = Seq(incrementDc(), incrementDc(), incrementDc()).min
     check("decontaminate-increment-flat", dcT2 <= 2.5 * math.max(dcT1, 0.3),
-      f"eval store ${eSmall}→${eSmall * 10}: increment $dcT1%.2fs → $dcT2%.2fs (bound 2.5×)")
+      f"eval store ${eSmall}→${eSmall * grow}: increment $dcT1%.2fs → $dcT2%.2fs (bound 2.5×)")
 
     // ---- TTL'd URL frontier -----------------------------------------
     // Contract (the exact-store contract at URL grain, plus lifecycle):
@@ -287,10 +290,10 @@ object IncScale {
     }
     seedFt(sSmall)
     val ftT1 = Seq(incrementFt(), incrementFt(), incrementFt()).min
-    seedFt(sSmall * 9)
+    seedFt(sSmall * (grow - 1))
     val ftT2 = Seq(incrementFt(), incrementFt(), incrementFt()).min
     check("frontier-ttl-increment-flat", ftT2 <= 2.5 * math.max(ftT1, 0.3),
-      f"store ${sSmall}→${sSmall * 10}: batch $ftT1%.2fs → $ftT2%.2fs (bound 2.5×)")
+      f"store ${sSmall}→${sSmall * grow}: batch $ftT1%.2fs → $ftT2%.2fs (bound 2.5×)")
     // Expiry drops every admission below the cutoff in one store-sized
     // atomic compaction. Cutoff = the LAST increment's epoch, so the
     // final 1k novel admissions survive (an all-empty store would leave
@@ -341,10 +344,10 @@ object IncScale {
     }
     seedEmb(vSmall)
     val ebT1 = Seq(incrementEmb(), incrementEmb(), incrementEmb()).min
-    seedEmb(vSmall * 9)
+    seedEmb(vSmall * (grow - 1))
     val ebT2 = Seq(incrementEmb(), incrementEmb(), incrementEmb()).min
     check("embedding-increment-flat", ebT2 <= 2.5 * math.max(ebT1, 0.3),
-      f"band store ${vSmall}→${vSmall * 10}: increment $ebT1%.2fs → $ebT2%.2fs (bound 2.5×)")
+      f"band store ${vSmall}→${vSmall * grow}: increment $ebT1%.2fs → $ebT2%.2fs (bound 2.5×)")
 
     // ---- semantic keeper store --------------------------------------
     // Same contract at the Voronoi tier: the keeper-cell scan is
@@ -375,10 +378,10 @@ object IncScale {
     }
     seedSem(vSmall)
     val smT1 = Seq(incrementSem(), incrementSem(), incrementSem()).min
-    seedSem(vSmall * 9)
+    seedSem(vSmall * (grow - 1))
     val smT2 = Seq(incrementSem(), incrementSem(), incrementSem()).min
     check("semantic-increment-flat", smT2 <= 2.5 * math.max(smT1, 0.3),
-      f"keeper store ${vSmall}→${vSmall * 10}: increment $smT1%.2fs → $smT2%.2fs (bound 2.5×)")
+      f"keeper store ${vSmall}→${vSmall * grow}: increment $smT1%.2fs → $smT2%.2fs (bound 2.5×)")
 
     // ---- media band stores (image / video / audio-window) -----------
     // Same contract for the perceptual-signature stores. The corpus
@@ -456,10 +459,10 @@ object IncScale {
       }
       seed(mdSmall)
       val t1 = Seq(increment(), increment(), increment()).min
-      seed(mdSmall * 9)
+      seed(mdSmall * (grow - 1))
       val t2 = Seq(increment(), increment(), increment()).min
       check(s"$tag-increment-flat", t2 <= 2.5 * math.max(t1, 0.3),
-        f"band store ${mdSmall}→${mdSmall * 10}: increment $t1%.2fs → $t2%.2fs (bound 2.5×)")
+        f"band store ${mdSmall}→${mdSmall * grow}: increment $t1%.2fs → $t2%.2fs (bound 2.5×)")
       dir
     }
     val imDir = mediaStore("imagedhash", "image",
@@ -483,7 +486,7 @@ object IncScale {
       timed { graft.pipeline.Profile.updateProfileStore(inc, pfDir) }
     }
     val pfA1 = appendProfile(sSmall / 10)
-    (0 until 9).foreach(_ => appendProfile(sSmall / 10))
+    (0 until (grow - 1).toInt).foreach(_ => appendProfile(sSmall / 10))
     val pfA2 = appendProfile(sSmall / 10)
     check("profile-append-flat", pfA2 <= 2.5 * math.max(pfA1, 0.3),
       f"ledger 1→11 increments: append $pfA1%.2fs → $pfA2%.2fs (bound 2.5×)")
@@ -514,7 +517,7 @@ object IncScale {
       timed { graft.pipeline.Profile.updateProfileStorePortable(inc, ppDir) }
     }
     val ppA1 = appendPortable(sSmall / 10)
-    (0 until 9).foreach(_ => appendPortable(sSmall / 10))
+    (0 until (grow - 1).toInt).foreach(_ => appendPortable(sSmall / 10))
     val ppA2 = appendPortable(sSmall / 10)
     check("profile-portable-append-flat", ppA2 <= 2.5 * math.max(ppA1, 0.3),
       f"portable ledger 1→11 increments: append $ppA1%.2fs → $ppA2%.2fs (bound 2.5×)")

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *    touched cell each; compaction returns every cell directory to
   *    exactly one file with identical pruned-query results.
   *
-  * Usage: runMain graft.tools.IndexScale [nSmall=30000]
+  * Usage: runMain graft.tools.IndexScale [nSmall=30000] [grow=10]
   * Prints PASS/FAIL per property; exits non-zero on FAIL.
   */
 object IndexScale {
@@ -48,6 +48,9 @@ object IndexScale {
 
   def main(args: Array[String]): Unit = {
     val nSmall = args.headOption.map(_.toLong).getOrElse(30000L)
+    // History growth factor: 10 (default) or 100 (the r18-verdict
+    // lifecycle probe — same properties at 100x index history).
+    val grow = args.lift(1).map(_.toLong).getOrElse(10L)
     val nList = 64
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -77,9 +80,9 @@ object IndexScale {
 
     // ---- IVF index ---------------------------------------------------
     val ivf1 = s"$work/ivf1"; val ivf10 = s"$work/ivf10"
-    println(f"[indexscale] building IVF 1x (${nSmall}) and 10x (${nSmall * 10}), nList=$nList")
+    println(f"[indexscale] building IVF 1x (${nSmall}) and ${grow}x (${nSmall * grow}), nList=$nList")
     Similarity.buildIvfIndex(vecs(0, nSmall), ivf1, nList = nList)
-    Similarity.buildIvfIndex(vecs(0, nSmall * 10), ivf10, nList = nList)
+    Similarity.buildIvfIndex(vecs(0, nSmall * grow), ivf10, nList = nList)
 
     var appendAt = 5000000000L
     def appendIvf(dir: String): Double = {
@@ -89,13 +92,13 @@ object IndexScale {
     val apT1 = Seq(appendIvf(ivf1), appendIvf(ivf1), appendIvf(ivf1)).min
     val apT2 = Seq(appendIvf(ivf10), appendIvf(ivf10), appendIvf(ivf10)).min
     check("ivf-append-flat", apT2 <= 2.5 * math.max(apT1, 0.3),
-      f"index ${nSmall}→${nSmall * 10}: 500-row append $apT1%.2fs → $apT2%.2fs (bound 2.5×)")
+      f"index ${nSmall}→${nSmall * grow}: 500-row append $apT1%.2fs → $apT2%.2fs (bound 2.5×)")
 
     val q1t = timed { runPruned(Similarity.ivfIndexTopK(ivf1, queries), "ivf1") }
     val (q1n, q1p) = runPruned(Similarity.ivfIndexTopK(ivf1, queries), "ivf1")
     val (q10n, q10p) = runPruned(Similarity.ivfIndexTopK(ivf10, queries), "ivf10")
     check("ivf-query-pruned", q1p > 0 && q1p <= 6 && q10p > 0 && q10p <= 6,
-      s"partition dirs read (of $nList): 1x=$q1p, 10x=$q10p (bound nQueries×nProbe=6); " +
+      s"partition dirs read (of $nList): 1x=$q1p, ${grow}x=$q10p (bound nQueries×nProbe=6); " +
         s"rows $q1n/$q10n; 1x query ${f"$q1t%.2f"}s")
 
     // ---- compaction --------------------------------------------------
@@ -114,7 +117,7 @@ object IndexScale {
     val pq1 = s"$work/pq1"; val pq10 = s"$work/pq10"
     println(f"[indexscale] building IVF-PQ 1x and 10x")
     Similarity.buildIvfPqIndex(vecs(0, nSmall), pq1, nList = nList)
-    Similarity.buildIvfPqIndex(vecs(0, nSmall * 10), pq10, nList = nList)
+    Similarity.buildIvfPqIndex(vecs(0, nSmall * grow), pq10, nList = nList)
     def appendPq(dir: String): Double = {
       val inc = vecs(appendAt, appendAt + 500); appendAt += 500
       timed { Similarity.appendToIvfPqIndex(inc, dir) }
@@ -122,11 +125,11 @@ object IndexScale {
     val pqT1 = Seq(appendPq(pq1), appendPq(pq1), appendPq(pq1)).min
     val pqT2 = Seq(appendPq(pq10), appendPq(pq10), appendPq(pq10)).min
     check("ivfpq-append-flat", pqT2 <= 2.5 * math.max(pqT1, 0.3),
-      f"index ${nSmall}→${nSmall * 10}: 500-row append $pqT1%.2fs → $pqT2%.2fs (bound 2.5×)")
+      f"index ${nSmall}→${nSmall * grow}: 500-row append $pqT1%.2fs → $pqT2%.2fs (bound 2.5×)")
     val (p1n, p1p) = runPruned(Similarity.ivfPqIndexTopK(pq1, queries), "pq1")
     val (p10n, p10p) = runPruned(Similarity.ivfPqIndexTopK(pq10, queries), "pq10")
     check("ivfpq-query-pruned", p1p > 0 && p1p <= 6 && p10p > 0 && p10p <= 6,
-      s"partition dirs read (of $nList): 1x=$p1p, 10x=$p10p (bound 6); rows $p1n/$p10n")
+      s"partition dirs read (of $nList): 1x=$p1p, ${grow}x=$p10p (bound 6); rows $p1n/$p10n")
 
     spark.stop()
     if (failed) sys.exit(1)
