@@ -73,6 +73,12 @@ object Materialize {
         val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
         cached.count() // force now: consumers must not race the first fill
         cached
+      // Audit-only strategy: return the dataset UNCHANGED, keeping full
+      // lineage so a plan walk (IndexScale's pruned-scan check) can see
+      // the interior FileSourceScanExec a checkpoint would truncate
+      // away. Never the production default — every multi-consumer
+      // caller would re-expose the recompute-per-consumer cost.
+      case "none" => ds
       case _ => ds.localCheckpoint(true)
     }
   }

@@ -251,20 +251,45 @@ object Similarity {
 
   /** Hash-ordered deterministic training sample, collected to the driver:
     * the first `maxRows` corpus vectors under (hash(vec_id), vec_id)
-    * total order — a uniform, reproducible, corpus-size-independent draw
-    * (one distributed TakeOrdered pass, the same scan the seed collect
-    * already paid). Bounded: maxRows × dim doubles, a few MB at the
-    * default cap — the same bounded-driver-state class as the CC
-    * endgame's localThreshold. The hash is the ENGINE-NEUTRAL
-    * [[graft.functions.PortableHash]] (r17, was xxhash64) so the sample
-    * order — and with it Lloyd's seeds — replays in the DuckDB oracle;
-    * the draw is equally uniform, only differently shuffled. */
-  private def collectTrainSample(emb: DataFrame, maxRows: Int): Array[Array[Double]] =
-    emb.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      .orderBy(graft.functions.PortableHash.hash64(col("vec_id").cast("string")),
-        col("vec_id")).limit(maxRows)
+    * total order — a uniform, reproducible, corpus-size-independent draw.
+    * Bounded: maxRows × dim doubles, a few MB at the default cap — the
+    * same bounded-driver-state class as the CC endgame's localThreshold.
+    * The hash is the ENGINE-NEUTRAL [[graft.functions.PortableHash]]
+    * (r17, was xxhash64) so the sample order — and with it Lloyd's
+    * seeds — replays in the DuckDB oracle; the draw is equally uniform,
+    * only differently shuffled.
+    *
+    * Scale path (r19, found by IndexScale at 3M vectors): a bare
+    * TakeOrdered ships EVERY partition's candidate top-maxRows to the
+    * driver — numPartitions × maxRows × dim doubles, which breaches
+    * spark.driver.maxResultSize long before the sample itself is large
+    * (1.1 GiB at 3M×64-dim over 32 partitions). Past 8× the cap the
+    * corpus is pre-filtered by a hash THRESHOLD: hash64 is uniform over
+    * the signed-64 range, so keeping h below the ~4·maxRows/total
+    * quantile keeps a small superset of the global top-maxRows; if at
+    * least maxRows rows survive, the maxRows-th smallest hash is below
+    * the threshold, hence the filtered TakeOrdered returns EXACTLY the
+    * same sample as the full one (falls back to the full scan on the
+    * improbable under-delivery). Driver traffic drops to ~4·maxRows
+    * rows; determinism and the oracle replay are unchanged. */
+  private def collectTrainSample(emb: DataFrame, maxRows: Int): Array[Array[Double]] = {
+    val base = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"),
+        graft.functions.PortableHash.hash64(col("vec_id").cast("string")).as("h"))
+    val total = emb.count()
+    val pre =
+      if (total > maxRows.toLong * 8) {
+        val frac = math.min(maxRows.toDouble * 4 / total, 1.0)
+        // Threshold in the signed-64 hash space: Long.MinValue + frac·2^64.
+        val thr = (Long.MinValue + frac * 1.8446744073709552e19).toLong
+        val filtered = graft.Materialize(base.filter(col("h") < lit(thr)))
+        if (filtered.count() >= maxRows) filtered else { graft.Materialize.release(filtered); base }
+      } else base
+    val out = pre.orderBy(col("h"), col("vec_id")).limit(maxRows)
       .collect().map(_.getSeq[Double](1).toArray)
+    if (!(pre eq base)) graft.Materialize.release(pre)
+    out
+  }
 
   /** HALF_UP decimal rounding — the driver-side twin of Spark/DuckDB
     * ROUND(x, 9); the determinism grid shared by the iterative trainers

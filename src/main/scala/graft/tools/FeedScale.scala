@@ -17,7 +17,12 @@ object FeedScale {
     if (args.headOption.contains("jdbc")) { jdbcRunner(args.drop(1)); return }
     val nPartitions = args.headOption.map(_.toInt).getOrElse(200)
     val itemsPer    = args.drop(1).headOption.map(_.toInt).getOrElse(100)
-    val spark = GraftSession.local(16, "feed-scale")
+    // Optional third arg: executor-thread count (default 16, the pinned
+    // headline config) — the r18-verdict scaling-curve probe runs the
+    // SAME workload at 8/16/32 to turn "added executors raise the
+    // ceiling" from an assertion into a measured curve.
+    val cpus = args.drop(2).headOption.map(_.toInt).getOrElse(16)
+    val spark = GraftSession.local(cpus, "feed-scale")
     import spark.implicits._
 
     val partitions: Dataset[Partition] =

@@ -489,7 +489,7 @@ object IncScale {
     (0 until (grow - 1).toInt).foreach(_ => appendProfile(sSmall / 10))
     val pfA2 = appendProfile(sSmall / 10)
     check("profile-append-flat", pfA2 <= 2.5 * math.max(pfA1, 0.3),
-      f"ledger 1→11 increments: append $pfA1%.2fs → $pfA2%.2fs (bound 2.5×)")
+      f"ledger 1→${grow + 1} increments: append $pfA1%.2fs → $pfA2%.2fs (bound 2.5×)")
     val pfF = timed {
       graft.pipeline.Profile.profileFromStore(spark, pfDir).count()
     }
@@ -520,7 +520,7 @@ object IncScale {
     (0 until (grow - 1).toInt).foreach(_ => appendPortable(sSmall / 10))
     val ppA2 = appendPortable(sSmall / 10)
     check("profile-portable-append-flat", ppA2 <= 2.5 * math.max(ppA1, 0.3),
-      f"portable ledger 1→11 increments: append $ppA1%.2fs → $ppA2%.2fs (bound 2.5×)")
+      f"portable ledger 1→${grow + 1} increments: append $ppA1%.2fs → $ppA2%.2fs (bound 2.5×)")
     val ppF = timed {
       graft.pipeline.Profile.profileFromStorePortable(spark, ppDir).count()
     }

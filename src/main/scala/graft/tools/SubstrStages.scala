@@ -13,17 +13,20 @@ import org.apache.spark.sql.functions._
   * ([[Dedup.substrTok]] → windows → keep-first → verify join → rebuild,
   * the exact code production runs — no replica drift) at width 1 and W.
   *
-  * Method: cumulative-prefix timing. Each prefix pipeline is run to a
-  * count() and timed (min of 2); a stage's attributed cost is the delta
-  * over the previous prefix. The tokenize stage is materialized by the
-  * operator itself (Materialize), so later prefixes reuse it; the window
-  * stream is NOT materialized in production (its one extra compute in
-  * the verify-join prefix is part of the operator's real budget and is
-  * reported as such, not hidden).
+  * Method: cumulative-prefix timing through the NOOP SINK (Bench's
+  * convention — count() lets Catalyst prune the very work being measured:
+  * the md5 projection, the interval-merge HOFs). The tokenize stage is
+  * timed around its eager Materialize; later prefixes reuse the
+  * checkpointed tok, so each prefix delta isolates one stage's add-on.
+  * The window stream is NOT materialized in production (its recompute in
+  * the keep-first and verify-join prefixes is part of the operator's
+  * real budget, reported as such, not hidden). `full` re-runs the
+  * production operator end to end (with its own interior tok
+  * materialization); rebuild ≈ full − tok − verifyJoinPrefix.
   *
   * Usage: runMain graft.tools.SubstrStages [sfDir] [width=100]
-  * Prints one table row per stage; exits 0 always (measurement, not a
-  * gate — the gate is WidthBench's sub-linearity bound).
+  * Prints one row per width plus a ratio line; exits 0 always
+  * (measurement, not a gate — the gate is WidthBench's bound).
   */
 object SubstrStages {
   def main(args: Array[String]): Unit = {
@@ -56,41 +59,49 @@ object SubstrStages {
       spark.read.parquet(p)
     }
 
-    def timed(body: => Long): (Double, Long) = {
-      def one(): (Double, Long) = {
-        val t0 = System.nanoTime(); val n = body
-        ((System.nanoTime() - t0) / 1e9, n)
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(body: => Unit): Double = {
+      def one(): Double = {
+        val t0 = System.nanoTime(); body
+        (System.nanoTime() - t0) / 1e9
       }
-      val (a, n) = one(); val (b, _) = one()
-      (math.min(a, b), n)
+      math.min(one(), one())
     }
 
-    println(s"[substrstages] sf=$dir width=$width  (cumulative prefix, min-of-2; " +
-      "stage cost = delta over previous prefix)")
+    println(s"[substrstages] sf=$dir width=$width  (cumulative prefix via " +
+      "noop sink, min-of-2; stage cost = delta over previous prefix)")
     val results = Seq(1, width).map { w =>
       val docs = widen(w)
-      // Fresh Materialize per width: substrTok checkpoints; release after.
-      val tok = Dedup.substrTok(docs)
-      val (tTok, nDocs) = timed(tok.count())
-      val (tWin, nWin) = timed(Dedup.substrWindows(tok, 12).count())
-      val (tDup, nDup) = timed {
-        Dedup.substrDupOcc(Dedup.substrWindows(tok, 12)).count()
+      // tok's Materialize is EAGER — the checkpoint cost happens at the
+      // call, so the timed body is creation (+ release of the previous
+      // run's checkpoint, outside-of-measurement noise ~ms).
+      var tok: DataFrame = null
+      val tTok = timed {
+        if (tok != null) graft.Materialize.release(tok)
+        tok = Dedup.substrTok(docs)
       }
-      val (tMask, nMask) = timed {
+      val tWin = timed(noop(Dedup.substrWindows(tok, 12)))
+      val tDup = timed(noop(Dedup.substrDupOcc(Dedup.substrWindows(tok, 12))))
+      val tMask = timed {
         val sh = Dedup.substrWindows(tok, 12)
-        Dedup.substrMasked(sh, Dedup.substrDupOcc(sh)).count()
+        noop(Dedup.substrMasked(sh, Dedup.substrDupOcc(sh)))
       }
-      val (tFull, _) = timed(Dedup.substringDedup(docs).count())
+      val tFull = timed(noop(Dedup.substringDedup(docs)))
+      // Volume telemetry (untimed): the data the stages moved.
+      val nWin = Dedup.substrWindows(tok, 12).count()
+      val nDup = Dedup.substrDupOcc(Dedup.substrWindows(tok, 12)).count()
       graft.Materialize.release(tok)
-      println(f"[substrstages] w=$w%-4d docs=$nDocs%-8d windows=$nWin%-10d " +
-        f"dupHashes=$nDup%-8d maskedDocs=$nMask%-8d | " +
-        f"tok=$tTok%.2fs +win=${tWin - tTok}%.2fs +keepFirst=${tDup - tWin}%.2fs " +
-        f"+verifyJoin=${tMask - tDup}%.2fs full=$tFull%.2fs (+rebuild=${tFull - tMask}%.2fs)")
-      (w, tTok, tWin, tDup, tMask, tFull)
+      println(f"[substrstages] w=$w%-4d docs=${5000L * w}%-8d windows=$nWin%-10d " +
+        f"dupHashes=$nDup%-8d | tok=$tTok%.2fs windows=$tWin%.2fs " +
+        f"+keepFirst=${tDup - tWin}%.2fs +verifyJoin=${tMask - tDup}%.2fs " +
+        f"full=$tFull%.2fs (rebuild~${tFull - tTok - tMask}%.2fs)")
+      (w, tTok, tWin, tDup - tWin, tMask - tDup, tFull)
     }
     val Seq((_, a1, b1, c1, d1, e1), (_, a2, b2, c2, d2, e2)) = results
-    println(f"[substrstages] ratios ${width}x/1x: tok=${a2 / a1}%.1f win=${b2 / b1}%.1f " +
-      f"keepFirst=${c2 / c1}%.1f verifyJoin=${d2 / d1}%.1f full=${e2 / e1}%.1f")
+    println(f"[substrstages] ratios ${width}x/1x: tok=${a2 / a1}%.1f " +
+      f"windows=${b2 / b1}%.1f keepFirst=${c2 / c1}%.1f " +
+      f"verifyJoin=${d2 / d1}%.1f full=${e2 / e1}%.1f")
     spark.stop()
   }
 }
