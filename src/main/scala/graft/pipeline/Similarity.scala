@@ -259,37 +259,27 @@ object Similarity {
     * seeds — replays in the DuckDB oracle; the draw is equally uniform,
     * only differently shuffled.
     *
-    * Scale path (r19, found by IndexScale at 3M vectors): a bare
-    * TakeOrdered ships EVERY partition's candidate top-maxRows to the
-    * driver — numPartitions × maxRows × dim doubles, which breaches
-    * spark.driver.maxResultSize long before the sample itself is large
-    * (1.1 GiB at 3M×64-dim over 32 partitions). Past 8× the cap the
-    * corpus is pre-filtered by a hash THRESHOLD: hash64 is uniform over
-    * the signed-64 range, so keeping h below the ~4·maxRows/total
-    * quantile keeps a small superset of the global top-maxRows; if at
-    * least maxRows rows survive, the maxRows-th smallest hash is below
-    * the threshold, hence the filtered TakeOrdered returns EXACTLY the
-    * same sample as the full one (falls back to the full scan on the
-    * improbable under-delivery). Driver traffic drops to ~4·maxRows
-    * rows; determinism and the oracle replay are unchanged. */
-  private def collectTrainSample(emb: DataFrame, maxRows: Int): Array[Array[Double]] = {
-    val base = emb.select(col("vec_id"),
+    * Scale path (r19, found by IndexScale at 3M vectors): a TERMINAL
+    * TakeOrdered collect ships EVERY partition's candidate top-maxRows
+    * to the driver — numPartitions × maxRows × dim doubles, which
+    * breaches spark.driver.maxResultSize long before the sample itself
+    * is large (1.1 GiB at 3M×64-dim over 32 partitions). The
+    * `repartition(1)` after the limit forces TakeOrderedAndProject's
+    * NON-terminal execution path: each partition's local top-maxRows
+    * merges through a single-reducer SHUFFLE on an executor, and the
+    * driver receives exactly maxRows rows. The round-robin shuffle
+    * destroys row order, so the single partition is EXPLICITLY
+    * re-sorted before the collect — the seed order (sampleVecs.take)
+    * is oracle-replayed and must not depend on shuffle arrival. Same
+    * rows, same order, zero extra jobs at any corpus size. */
+  private def collectTrainSample(emb: DataFrame, maxRows: Int): Array[Array[Double]] =
+    emb.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"),
         graft.functions.PortableHash.hash64(col("vec_id").cast("string")).as("h"))
-    val total = emb.count()
-    val pre =
-      if (total > maxRows.toLong * 8) {
-        val frac = math.min(maxRows.toDouble * 4 / total, 1.0)
-        // Threshold in the signed-64 hash space: Long.MinValue + frac·2^64.
-        val thr = (Long.MinValue + frac * 1.8446744073709552e19).toLong
-        val filtered = graft.Materialize(base.filter(col("h") < lit(thr)))
-        if (filtered.count() >= maxRows) filtered else { graft.Materialize.release(filtered); base }
-      } else base
-    val out = pre.orderBy(col("h"), col("vec_id")).limit(maxRows)
+      .orderBy(col("h"), col("vec_id")).limit(maxRows)
+      .repartition(1)
+      .sortWithinPartitions(col("h"), col("vec_id"))
       .collect().map(_.getSeq[Double](1).toArray)
-    if (!(pre eq base)) graft.Materialize.release(pre)
-    out
-  }
 
   /** HALF_UP decimal rounding — the driver-side twin of Spark/DuckDB
     * ROUND(x, 9); the determinism grid shared by the iterative trainers

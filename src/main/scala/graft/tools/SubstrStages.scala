@@ -73,26 +73,43 @@ object SubstrStages {
       "noop sink, min-of-2; stage cost = delta over previous prefix)")
     val results = Seq(1, width).map { w =>
       val docs = widen(w)
+      val nDocs = docs.count()
       // tok's Materialize is EAGER — the checkpoint cost happens at the
-      // call, so the timed body is creation (+ release of the previous
-      // run's checkpoint, outside-of-measurement noise ~ms).
+      // call; the previous run's checkpoint is released BEFORE the clock
+      // starts, so measurement covers only creation.
       var tok: DataFrame = null
-      val tTok = timed {
-        if (tok != null) graft.Materialize.release(tok)
+      def tokOnce(): Double = {
+        if (tok != null) { graft.Materialize.release(tok); tok = null }
+        val t0 = System.nanoTime()
         tok = Dedup.substrTok(docs)
+        (System.nanoTime() - t0) / 1e9
       }
+      val tTok = math.min(tokOnce(), tokOnce())
       val tWin = timed(noop(Dedup.substrWindows(tok, 12)))
       val tDup = timed(noop(Dedup.substrDupOcc(Dedup.substrWindows(tok, 12))))
       val tMask = timed {
         val sh = Dedup.substrWindows(tok, 12)
         noop(Dedup.substrMasked(sh, Dedup.substrDupOcc(sh)))
       }
-      val tFull = timed(noop(Dedup.substringDedup(docs)))
+      // `full` runs the production operator, whose INTERIOR tok
+      // Materialize is unreachable from the result; after each run,
+      // drop the reference and GC so ContextCleaner unpersists the
+      // checkpoint blocks before the next measurement — two pinned
+      // 100×-width token tables would otherwise pressure the very
+      // timings this tool reports.
+      def fullOnce(): Double = {
+        val t0 = System.nanoTime()
+        noop(Dedup.substringDedup(docs))
+        val t = (System.nanoTime() - t0) / 1e9
+        System.gc(); Thread.sleep(1500)
+        t
+      }
+      val tFull = math.min(fullOnce(), fullOnce())
       // Volume telemetry (untimed): the data the stages moved.
       val nWin = Dedup.substrWindows(tok, 12).count()
       val nDup = Dedup.substrDupOcc(Dedup.substrWindows(tok, 12)).count()
       graft.Materialize.release(tok)
-      println(f"[substrstages] w=$w%-4d docs=${5000L * w}%-8d windows=$nWin%-10d " +
+      println(f"[substrstages] w=$w%-4d docs=$nDocs%-8d windows=$nWin%-10d " +
         f"dupHashes=$nDup%-8d | tok=$tTok%.2fs windows=$tWin%.2fs " +
         f"+keepFirst=${tDup - tWin}%.2fs +verifyJoin=${tMask - tDup}%.2fs " +
         f"full=$tFull%.2fs (rebuild~${tFull - tTok - tMask}%.2fs)")
