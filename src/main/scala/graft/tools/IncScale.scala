@@ -529,10 +529,17 @@ object IncScale {
     val pprof = graft.pipeline.Profile.profileFromStorePortable(spark, ppDir)
       .collect().map(r => r.getString(0) -> r).toMap
     val ppEst = pprof("doc_id").getDouble(4)
+    // Accuracy bound = 3× the HLL RSE at p=8 (1.04/√256 ≈ 6.5% → 19.5%):
+    // principled for ANY corpus size, where a flat ±10% was tuned to the
+    // 10× gate and tripped on an ordinary 1.7σ draw at 100× history
+    // (−10.8% at 303k distinct, r19). Fold CORRECTNESS is pinned
+    // register-for-register by the profile_portable_store oracle; this
+    // check guards estimator-formula regressions, not sketch variance.
+    val ppRse3 = 3.0 * 1.04 / math.sqrt(256.0)
     check("profile-portable-distinct-est",
       pprof("doc_id").getLong(1) == ppNext &&
-        math.abs(ppEst - ppNext) <= ppNext * 0.10,
-      f"portable HLL est $ppEst%.0f vs exact $ppNext (±10%%, p=8)")
+        math.abs(ppEst - ppNext) <= ppNext * ppRse3,
+      f"portable HLL est $ppEst%.0f vs exact $ppNext (±${ppRse3 * 100}%.1f%% = 3×RSE, p=8)")
 
     // Sanity: the duplicate/contaminated halves were recognized against
     // the stores.
