@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The oracle total-order for REGISTERED ENTRIES over shuffle-free
+  * operators (r19).
+  *
+  * Entries own the deterministic order the driver's hash-compare needs
+  * (`entries own the order, operators never sort` — SURVEY's total-order
+  * convention). A plain `.orderBy(...)` plans a range exchange whose
+  * partition-boundary SAMPLING job re-executes the child plan — and when
+  * the child is an unshuffled projection pipeline (winnowing, the regex
+  * gates, doc fingerprints), there is no reusable shuffle stage, so the
+  * ENTIRE expensive projection runs TWICE and the registered entry
+  * benches at ~2× the operator it wraps (measured: q98_winnowing
+  * 3.96 s entry vs 1.96 s computation at sf0.1).
+  *
+  * `repartition(1).sortWithinPartitions(...)` computes the child ONCE
+  * (through the round-robin exchange), then totally orders the single
+  * partition — identical rows, identical total order, half the cost.
+  * ENTRY-ONLY: the single-partition sort is fine at driver-compare
+  * scale and deliberately unsuitable for production output (which is
+  * unordered by convention; a corpus-scale result must never serialize
+  * through one task).
+  *
+  * Use for entries whose operator plan is SHUFFLE-FREE. After any
+  * aggregate/join exchange the sampling job re-runs only the final
+  * (cheap, shuffle-backed) stage and a plain orderBy is fine. */
+object OracleSort {
+  def apply(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+}

@@ -19,11 +19,10 @@ object ExtendedQueries {
   // filter pushed below the Project and re-evaluates get_json_object in
   // both (verified in ExtendedQueriesSpec's plan test).
   def q23(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).events
+    graft.OracleSort(Tables(s, dir).events
       .select(col("event_id"),
         explode(array(get_json_object(col("props"), "$.k").cast("long"))).as("k"))
-      .filter(col("k") > 50)
-      .orderBy("event_id")
+      .filter(col("k") > 50), "event_id")
 
   // Q35 — sliding window (2h width, 1h slide): each event lands in two
   // overlapping windows; the oracle unrolls window membership explicitly.

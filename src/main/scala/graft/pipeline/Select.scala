@@ -846,7 +846,7 @@ object Select {
     "q62_pack_sequences" -> ((s, d) =>
       packSequences(Tables(s, d).documents).orderBy("doc_id")),
     "q63_chunk_docs"    -> ((s, d) =>
-      chunkDocs(Tables(s, d).documents).orderBy("doc_id", "chunk_start")),
+      graft.OracleSort(chunkDocs(Tables(s, d).documents), "doc_id", "chunk_start")),
     "q71_temperature_sample" -> ((s, d) =>
       temperatureSample(Tables(s, d).documents).orderBy("doc_id")),
     "q72_decontaminate_bloom" -> ((s, d) =>

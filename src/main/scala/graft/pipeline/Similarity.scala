@@ -2008,7 +2008,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_embed_quant"   -> ((s, d) =>
-      quantization(Tables(s, d).embeddings).orderBy("vec_id")),
+      graft.OracleSort(quantization(Tables(s, d).embeddings), "vec_id")),
     "q22_knn_cosine"    -> ((s, d) => bruteForceTopK(Tables(s, d).embeddings)),
     "q80_hard_negatives" -> ((s, d) => hardNegatives(Tables(s, d).embeddings)),
     "knn_classify"      -> ((s, d) => knnClassify(Tables(s, d).embeddings)),

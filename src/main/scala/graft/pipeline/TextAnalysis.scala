@@ -1340,7 +1340,7 @@ object TextAnalysis {
           .when(col("doc_id") % 5 === 3, repeat(lit(" مرحبا بالعالم"), 40))
           .when(col("doc_id") % 5 === 4, repeat(lit(" γεια σου κοσμε"), 40))
           .otherwise(lit(""))).as("text"))
-      scriptProfile(planted).orderBy("doc_id")
+      graft.OracleSort(scriptProfile(planted), "doc_id")
     }),
     "char_entropy" -> ((s, d) =>
       charEntropy(Tables(s, d).documents).orderBy("doc_id")),
@@ -1375,13 +1375,13 @@ object TextAnalysis {
           .when(col("doc_id") % 7 === 3, concat(lit(" digest "), md5(id)))
           .when(col("doc_id") % 7 === 4, concat(lit(" auth Bearer "), md5(id)))
           .otherwise(lit(""))).as("text"))
-      secretScan(planted).orderBy("doc_id")
+      graft.OracleSort(secretScan(planted), "doc_id")
     }),
     "text_strip_html" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val wrapped = docs.select(col("doc_id"),
         concat(lit(htmlPrefix), col("text"), lit(htmlSuffix)).as("html"))
-      stripHtml(wrapped).select("doc_id", "clean_text").orderBy("doc_id")
+      graft.OracleSort(stripHtml(wrapped).select("doc_id", "clean_text"), "doc_id")
     }),
     // Boilerplate removal by link density: every doc's text wrapped in
     // a link-saturated nav + footer; extraction must return exactly the
@@ -1392,7 +1392,7 @@ object TextAnalysis {
         lit("""<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div><div id="main"><p>"""),
         col("text"),
         lit("""</p></div><div class="footer"><a href="/p">Privacy</a> <a href="/t">Terms</a> legal</div>""")).as("html"))
-      extractMainContent(wrapped).orderBy("doc_id")
+      graft.OracleSort(extractMainContent(wrapped), "doc_id")
     }),
     // The C4 battery over a deterministic multi-line page plant (the
     // corpus text is single-line and punctuation-free, so the page
@@ -1416,8 +1416,9 @@ object TextAnalysis {
         when(col("doc_id") % 11 === 0,
           lit("\nfunction() { return 1; }")).otherwise(lit("")),
         lit("\nThe last sentence closes the page."))
-      c4Rules(Tables(s, d).documents.select(col("doc_id"), page.as("text")))
-        .orderBy("doc_id")
+      graft.OracleSort(
+        c4Rules(Tables(s, d).documents.select(col("doc_id"), page.as("text"))),
+        "doc_id")
     }),
     // Page-metadata extraction over a deterministic head plant: both
     // attribute orders exercised (name/content flips on doc_id parity),
@@ -1444,7 +1445,7 @@ object TextAnalysis {
         lit("<title> Doc "), id, lit(" &amp; Co - "), col("source"),
         lit(" </title></head><body><p>"), col("text"),
         lit("</p></body></html>")).as("html"))
-      extractHtmlMeta(wrapped).orderBy("doc_id")
+      graft.OracleSort(extractHtmlMeta(wrapped), "doc_id")
     }),
     "q91_pmi"          -> ((s, d) => pmiPairs(Tables(s, d).documents)),
     "q92_negsample"    -> ((s, d) =>
@@ -1492,13 +1493,14 @@ object TextAnalysis {
       textQuality(Tables(s, d).documents).orderBy("doc_id")),
     // Rule-violating plants (symbols / bullet walls / ellipsis endings —
     // the corpus contains none) so the battery has something to flag.
-    "gopher_rules" -> ((s, d) => gopherRules(Tables(s, d).documents
-      .withColumn("text", concat(col("text"),
-        when(col("doc_id") % 11 === 0, lit(gopherSymbolPlant))
-          .when(col("doc_id") % 11 === 1, lit(gopherBulletPlant))
-          .when(col("doc_id") % 11 === 2, lit(gopherEllipsisPlant))
-          .otherwise(lit("")))))
-      .orderBy("doc_id")),
+    "gopher_rules" -> ((s, d) => graft.OracleSort(
+      gopherRules(Tables(s, d).documents
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 11 === 0, lit(gopherSymbolPlant))
+            .when(col("doc_id") % 11 === 1, lit(gopherBulletPlant))
+            .when(col("doc_id") % 11 === 2, lit(gopherEllipsisPlant))
+            .otherwise(lit(""))))),
+      "doc_id")),
     "q21_token_freq"   -> ((s, d) => tokenFrequency(Tables(s, d).documents)),
     // Misra–Gries sketch in its exact regime (capacity ≥ vocab): the
     // oracle is the plain groupBy-count twin the sketch must equal.
@@ -1507,24 +1509,25 @@ object TextAnalysis {
       vocabCoverage(Tables(s, d).documents).orderBy("source")),
     // Planted valid/invalid card suffixes (the text_nfc convention);
     // the Luhn fold must separate them.
-    "pii_cards" -> ((s, d) => luhnCards(Tables(s, d).documents
-      .withColumn("text", concat(col("text"),
-        when(col("doc_id") % 3 === 0, lit(cardValid))
-          .when(col("doc_id") % 3 === 1, lit(cardInvalid))
-          .otherwise(lit("")))))
-      .orderBy("doc_id")),
+    "pii_cards" -> ((s, d) => graft.OracleSort(
+      luhnCards(Tables(s, d).documents
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(cardValid))
+            .when(col("doc_id") % 3 === 1, lit(cardInvalid))
+            .otherwise(lit(""))))),
+      "doc_id")),
     "langid_ngram"     -> ((s, d) =>
       languageId(Tables(s, d).documents).orderBy("doc_id")),
     "q38_token_counts" -> ((s, d) =>
-      tokenCounts(Tables(s, d).documents).orderBy("doc_id")),
+      graft.OracleSort(tokenCounts(Tables(s, d).documents), "doc_id")),
     "doc_fingerprint"  -> ((s, d) =>
-      fingerprint(Tables(s, d).documents).orderBy("doc_id")),
+      graft.OracleSort(fingerprint(Tables(s, d).documents), "doc_id")),
     "q49_tfidf"        -> ((s, d) =>
       tfIdf(Tables(s, d).documents).orderBy("doc_id", "rank")),
     "q50_repetition"   -> ((s, d) =>
       repetitionQuality(Tables(s, d).documents).orderBy("doc_id")),
     "q51_pii_redact"   -> ((s, d) =>
-      redactPii(Tables(s, d).documents).orderBy("doc_id")),
+      graft.OracleSort(redactPii(Tables(s, d).documents), "doc_id")),
   )
 
   /** Shared CTE prefix of the BPE twins (r17 promotion — an

@@ -253,7 +253,13 @@ class PropertySpec extends AnyFunSuite {
       val r = graft.pipeline.TextAnalysis.charEntropy(
         Seq((1L, s)).toDF("doc_id", "text")).collect().head
       val (n, h) = (r.getLong(1), r.getDouble(2))
-      val maxH = math.log(n.toDouble) / math.log(2.0) + 1e-9
+      // The emitted entropy is ROUND(h, 4): an all-distinct draw sits
+      // EXACTLY on the bound (H = log2 n) and HALF_UP rounding can
+      // cross it by up to 5e-5 — log2(3) = 1.5849625 rounds to 1.585.
+      // The slack is therefore the rounding half-step, not an ulp
+      // epsilon (the original 1e-9 falsified on n=3 all-distinct
+      // strings like "baf" — a property bug, not an operator bug).
+      val maxH = math.log(n.toDouble) / math.log(2.0) + 5e-5
       val uniform = s.toSet.size == 1
       Prop(n == s.length && h >= 0.0 && h <= maxH &&
         (!uniform || h == 0.0)) :| s"s='$s' n=$n H=$h"
