@@ -25,8 +25,28 @@ import org.apache.spark.sql.DataFrame
   *
   * Use for entries whose operator plan is SHUFFLE-FREE. After any
   * aggregate/join exchange the sampling job re-runs only the final
-  * (cheap, shuffle-backed) stage and a plain orderBy is fine. */
+  * (cheap, shuffle-backed) stage and a plain orderBy is fine.
+  *
+  * PRECONDITION: `cols` must be a UNIQUE key of `df`. The guarantee is
+  * "identical rows, identical total order" — but between duplicate keys
+  * the intra-key order comes from round-robin shuffle arrival, not from
+  * any stated rule (a plain orderBy has the same latent gap; this helper
+  * just invites wider reuse, so the precondition is asserted). Callers
+  * with non-unique keys must append a tie-breaking column. Enforced
+  * structurally below: every call site registers an oracle-hashed entry,
+  * so a uniqueness regression would also surface as a nondeterministic
+  * hash — the assert moves the failure to the first local run. */
 object OracleSort {
-  def apply(df: DataFrame, cols: String*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+  def apply(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val sorted = df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    if (df.sparkSession.conf.get("spark.graft.oracleSort.checkUnique", "false") == "true") {
+      val dups = df.groupBy(cols.head, cols.tail: _*)
+        .agg(count(lit(1)).as("n")).filter("n > 1").count()
+      require(dups == 0,
+        s"OracleSort key (${cols.mkString(", ")}) is not unique ($dups duplicated " +
+          "key groups): intra-key order would come from shuffle arrival — append a tie-breaker")
+    }
+    sorted
+  }
 }

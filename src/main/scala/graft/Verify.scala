@@ -21,6 +21,11 @@ object Verify {
       // is marked isAdjustedToUTC and comes back tz-AWARE — verified to
       // break naive-vs-aware comparison.
       .config("spark.ui.enabled", "false")
+      // The correctness run doubles as the OracleSort unique-key audit:
+      // every sorted entry proves its sort key is a real key, so the
+      // "identical total order" guarantee never silently degrades to
+      // shuffle-arrival order between duplicates (ADVICE r19).
+      .config("spark.graft.oracleSort.checkUnique", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

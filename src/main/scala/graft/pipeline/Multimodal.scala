@@ -529,6 +529,87 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ResizeWitnessRow(
+      doc_id: Long, kind: String, width: Int, height: Int,
+      orig_w: Int, orig_h: Int, uniform: Option[Boolean],
+      r_mean: Option[Int], g_mean: Option[Int], b_mean: Option[Int],
+      decode_error: Option[String])
+
+  /** The multimodal_resize ORACLE WITNESS (r20, closing the last decision
+    * surface without a cross-engine pin): 12 synthetic rows through the
+    * REAL [[resizeImages]] path — PNG decode, the aspect/rounding dims
+    * arithmetic, AWT's bilinear resample, lossless PNG re-encode, then a
+    * RE-DECODE of the resized payload.
+    *
+    * The resample itself is pinned by the audio-witness convention (no
+    * rounding on the surface): every witness image is SOLID-COLOR, and
+    * bilinear interpolation of equal samples is exactly those samples in
+    * any correct implementation (the weights sum to 1; edge clamping
+    * returns the same value) — so the re-decoded output must be UNIFORM
+    * with channel means equal to the planted color as exact integers,
+    * while AWT's platform-private sample phases and fixed-point weights
+    * never reach the compared values. The dims arithmetic is replayed
+    * exactly: `Math.round(x)` is `floor(x + 0.5)`, which the DuckDB twin
+    * computes with the same IEEE doubles (FLOOR(x + 0.5), never ROUND —
+    * half-even vs half-up must not depend on the engine). The witness
+    * set covers the half-up boundary (64×10 → height 10·0.25 = 2.5 → 3),
+    * the max(1,·) floor clamp (50×1 → round(0.32) = 0 → 1), tall-side
+    * dominance, the ≤ maxDim and == maxDim pass-throughs (dims
+    * unchanged), a non-image pass-through row, and the corrupt-payload
+    * error row with its deterministic message. */
+  def multimodalResizeFixed(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sizes = Array((64, 48), (64, 10), (50, 1), (20, 64), (12, 9),
+      (16, 16), (33, 22), (17, 17), (48, 14), (37, 29))
+    val media = spark.range(12).as[Long].map { d =>
+      if (d <= 9) {
+        val (w, h) = sizes(d.toInt)
+        val rgb = (((d * 37 + 11) % 256).toInt << 16) |
+          (((d * 59 + 100) % 256).toInt << 8) | ((d * 83 + 7) % 256).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(d, "image", bos.toByteArray, w, h, 0)
+      } else if (d == 10)
+        MediaRow(d, "audio", Array[Byte](1, 2, 3, 4), 7, 5, 8000)
+      else
+        MediaRow(d, "image", "not an image".getBytes("UTF-8"), 0, 0, 0)
+    }.toDF()
+    resizeImages(media, maxDim = 16).as[ResizedRow].map { r =>
+      val stats =
+        if (r.kind == "image" && r.decode_error == null && r.payload.nonEmpty) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var uniform = true
+          val first = img.getRGB(0, 0) & 0xffffff
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y) & 0xffffff
+              if (p != first) uniform = false
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight
+          Some((uniform, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt))
+        } else None
+      ResizeWitnessRow(r.doc_id, r.kind, r.width, r.height, r.orig_w, r.orig_h,
+        stats.map(_._1), stats.map(_._2), stats.map(_._3), stats.map(_._4),
+        Option(r.decode_error))
+    }.toDF()
+  }
+
   /** One decode batch: dispatch per kind. Batched so a production decoder
     * (ffmpeg pipe, JNI lib, ONNX session) amortizes setup per batch.
     * A row whose payload fails to parse becomes an error row (empty
@@ -1983,7 +2064,39 @@ object Multimodal {
        |  FROM sfeat s JOIN qf USING (d))
        |SELECT * FROM imgrows UNION ALL SELECT * FROM audrows ORDER BY doc_id""".stripMargin
 
+  /** The multimodal_resize_fixed twin: the dims arithmetic replayed with
+    * the same IEEE doubles — `Math.round(x)` IS `floor(x + 0.5)`, so the
+    * twin uses FLOOR(+0.5), never ROUND (whose half-even/half-up choice
+    * would differ by engine) — the planted solid colors as exact integer
+    * means (bilinear of a constant is that constant; PNG is lossless),
+    * and the pass-through / clamp / error rows by the operator's stated
+    * rules. */
+  private def resizeFixedOracle: String =
+    s"""WITH dims AS (SELECT * FROM (VALUES
+       |    (0, 64, 48), (1, 64, 10), (2, 50, 1), (3, 20, 64), (4, 12, 9),
+       |    (5, 16, 16), (6, 33, 22), (7, 17, 17), (8, 48, 14), (9, 37, 29))
+       |  AS t(d, w, h)),
+       |calc AS (SELECT d, w, h,
+       |    CAST(16 AS DOUBLE) / GREATEST(w, h) AS sc FROM dims),
+       |img AS (SELECT CAST(d AS BIGINT) AS doc_id, 'image' AS kind,
+       |    CAST(CASE WHEN GREATEST(w, h) <= 16 THEN w
+       |         ELSE GREATEST(1, CAST(FLOOR(w * sc + CAST(0.5 AS DOUBLE)) AS INT)) END AS INT) AS width,
+       |    CAST(CASE WHEN GREATEST(w, h) <= 16 THEN h
+       |         ELSE GREATEST(1, CAST(FLOOR(h * sc + CAST(0.5 AS DOUBLE)) AS INT)) END AS INT) AS height,
+       |    w AS orig_w, h AS orig_h, TRUE AS uniform,
+       |    CAST((d * 37 + 11) % 256 AS INT) AS r_mean,
+       |    CAST((d * 59 + 100) % 256 AS INT) AS g_mean,
+       |    CAST((d * 83 + 7) % 256 AS INT) AS b_mean,
+       |    CAST(NULL AS VARCHAR) AS decode_error
+       |  FROM calc)
+       |SELECT * FROM img
+       |UNION ALL SELECT 10, 'audio', 7, 5, 7, 5, NULL, NULL, NULL, NULL, NULL
+       |UNION ALL SELECT 11, 'image', 0, 0, 0, 0, NULL, NULL, NULL, NULL,
+       |  'IllegalArgumentException: requirement failed: unreadable image bytes'
+       |ORDER BY doc_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "multimodal_resize_fixed" -> resizeFixedOracle,
     "image_dhash_fixed" -> dhashFixedOracle(32, 36, 24),
     "video_dhash_fixed" -> videoDhashFixedOracle(12, 36, 24),
     "multimodal_features_fixed" -> featuresFixedOracle(16),
@@ -2023,6 +2136,10 @@ object Multimodal {
     // Driver surface: scalar columns only (payload stays internal — the
     // driver's pandas sort can't factorize binary); n_bytes witnesses
     // the shrink.
+    // The resample decision surface, cross-engine-pinned (r20): solid
+    // colors survive bilinear exactly, dims replay as floor(x+0.5).
+    "multimodal_resize_fixed" -> ((s, _) =>
+      graft.OracleSort(multimodalResizeFixed(s), "doc_id")),
     "multimodal_resize" -> ((s, d) =>
       resizeImages(attachPayloads(Tables(s, d).documents))
         .select(col("doc_id"), col("kind"), col("width"), col("height"),

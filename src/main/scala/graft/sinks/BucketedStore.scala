@@ -104,8 +104,9 @@ object BucketedStore {
         StructType.fromDDL(spec.schemaDdl))
 
   /** Compact the store back to one file per bucket. Every [[append]]
-    * lands its own file set, so a daily-increment store accumulates
-    * ~increments×buckets small files — the classic small-files tax on
+    * lands its own file set (bounded at numBuckets files per append),
+    * so a daily-increment store still accumulates ~increments×buckets
+    * small files over enough days — the classic small-files tax on
     * scan parallelism and file listing. Compaction rewrites the table
     * into a sibling directory and atomically swaps it in via two
     * renames, preserving the bucket-spec marker.
@@ -135,7 +136,18 @@ object BucketedStore {
     // `keep` lets retention policies ride the same atomic rewrite (the
     // TTL'd frontier drops expired epochs); the default keeps every row
     // — pure file-count compaction, the original contract.
-    val live = spark.table(ensureTable(spark, dir, spec)).filter(keep)
+    //
+    // Read the files as PLAIN parquet, not through the catalog table: a
+    // bucketed-table scan reports HashPartitioning(bucketCol, n), which
+    // lets EnsureRequirements elide the repartition exchange below — and
+    // DisableUnnecessaryBucketedScan then flips the scan to size-binned
+    // layout, so the write runs on ~(files/maxPartitionBytes) bins and
+    // sprays bins × buckets files (measured: a 2,048-file store
+    // "compacted" to 843 files, tools/BktExp r20). A plain scan carries
+    // no partitioning claim, the exchange always executes, and each
+    // write task holds exactly one bucket.
+    val live = spark.read.schema(StructType.fromDDL(spec.schemaDdl))
+      .parquet(dir).filter(keep)
     val cols = StructType.fromDDL(spec.schemaDdl).fieldNames
     val tmp = dir + "_compact_tmp"
     val trash = dir + "_compact_old"
@@ -160,16 +172,33 @@ object BucketedStore {
     require(f.rename(new Path(tmp), new Path(dir)), s"swap-in failed for $dir")
     f.delete(new Path(trash), true)
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    // The plain-parquet read above no longer registers the store's
+    // session table as a side effect — ensure it exists before refreshing
+    // so a compact-first session doesn't fail the refresh.
+    ensureTable(spark, dir, spec)
     spark.sql(s"REFRESH TABLE ${tableName(dir)}")
   }
 
-  /** Append rows (columns must match the spec's schema by name). */
+  /** Append rows (columns must match the spec's schema by name).
+    *
+    * The append is PRE-REPARTITIONED on the bucket column with the bucket
+    * modulus, so each write task holds exactly one bucket and the append
+    * lands ≤ numBuckets files. Without it a bucketed write sprays one
+    * file per (task, bucket) pair — tasks × buckets files per append —
+    * and the probe-side scan pays ~0.7 ms of open/footer overhead PER
+    * FILE (measured, tools/StoreFiles r20): at 100× history that sprayed
+    * layout was the entire super-linear term IncScale attributed to the
+    * minhash/CDC/containment/image stores (5.9×/5.7×/3.5×/2.7× — all
+    * file count, not bytes). The shuffle this adds is increment-sized —
+    * exactly the O(increment) work the store contract allows; raw store
+    * rows still never move (the no-store-shuffle specs pin that). */
   def append(df: DataFrame, dir: String, spec: Spec): Unit = {
     val spark = df.sparkSession
     checkOrWriteMarker(spark, dir, spec)
     val name = ensureTable(spark, dir, spec)
     val cols = StructType.fromDDL(spec.schemaDdl).fieldNames
     df.select(cols.head, cols.tail: _*)
+      .repartition(spec.numBuckets, org.apache.spark.sql.functions.col(spec.bucketCol))
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(spec.numBuckets, spec.bucketCol).sortBy(spec.bucketCol)
       .option("path", dir)

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Disposable experiment: which write layout actually bounds a bucketed
+  * store's file count at numBuckets? (StoreFiles measured ~0.7 ms/file
+  * probe overhead, so files-per-append is the store-scale variable.) */
+object BktExp {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files.createTempDirectory("bktexp").toString
+    val spec = graft.sinks.BucketedStore.Spec("h STRING, store_doc_id BIGINT", "h", 32)
+    def mk(n: Int): DataFrame = spark.range(n)
+      .select(md5(col("id").cast("string")).as("h"), col("id").as("store_doc_id"))
+      .repartition(32)
+    def files(d: String): Int = {
+      def w(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(w).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      w(new java.io.File(d))
+    }
+
+    // A: plain append (the current path) — expect tasks×buckets files.
+    graft.sinks.BucketedStore.append(mk(100000), s"$work/a", spec)
+    println(s"[bktexp] A plain append: ${files(s"$work/a")} files")
+
+    // B: pre-repartition on the bucket column, AQE on.
+    val dfB = mk(100000).repartition(32, col("h"))
+    graft.sinks.BucketedStore.append(dfB, s"$work/b", spec)
+    println(s"[bktexp] B repartition(32,h) append: ${files(s"$work/b")} files")
+
+    // C: same, AQE off for the write.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.sinks.BucketedStore.append(mk(100000).repartition(32, col("h")), s"$work/c", spec)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    println(s"[bktexp] C repartition(32,h) append, AQE off: ${files(s"$work/c")} files")
+
+    // D: compact(writeTasks=32) over A — the StoreFiles-observed breakage.
+    graft.sinks.BucketedStore.append(mk(100000), s"$work/a", spec) // 2nd append
+    graft.sinks.BucketedStore.compact(spark, s"$work/a", spec, writeTasks = 32)
+    println(s"[bktexp] D compact(32) of A: ${files(s"$work/a")} files")
+
+    // E: scan-partition count of a multi-append store (is the bucketed
+    // read giving 32 partitions or size-binned ones?)
+    val n = graft.sinks.BucketedStore.readOrEmpty(spark, s"$work/b", spec)
+    println(s"[bktexp] E store scan partitions: ${n.rdd.getNumPartitions}")
+
+    spark.stop()
+  }
+}

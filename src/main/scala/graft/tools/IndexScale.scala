@@ -133,9 +133,10 @@ object IndexScale {
     // interior FileSourceScanExec — the PLAN is what this check pins;
     // the strategy does not change what is computed.
     spark.conf.set(graft.Materialize.StrategyKey, "none")
-    val (p1n, p1p) = runPruned(Similarity.ivfPqIndexTopK(pq1, queries), "pq1")
-    val (p10n, p10p) = runPruned(Similarity.ivfPqIndexTopK(pq10, queries), "pq10")
-    spark.conf.unset(graft.Materialize.StrategyKey)
+    val ((p1n, p1p), (p10n, p10p)) =
+      try ((runPruned(Similarity.ivfPqIndexTopK(pq1, queries), "pq1"),
+        runPruned(Similarity.ivfPqIndexTopK(pq10, queries), "pq10")))
+      finally spark.conf.unset(graft.Materialize.StrategyKey)
     check("ivfpq-query-pruned", p1p > 0 && p1p <= 6 && p10p > 0 && p10p <= 6,
       s"partition dirs read (of $nList): 1x=$p1p, ${grow}x=$p10p (bound 6); rows $p1n/$p10n")
 

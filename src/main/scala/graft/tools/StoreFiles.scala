@@ -1,0 +1,125 @@
+package graft.tools
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Diagnostic: is the 100×-history per-increment cost of the streamed-scan
+  * incremental stores (IncScale r19: minhash 5.9×, CDC 5.7×) a BYTES
+  * problem (WIDTH.md r19's attribution) or a FILE-COUNT problem?
+  *
+  * The controlled experiment: build each store at 100× history through the
+  * normal append path, time a fixed increment, then COMPACT the store
+  * (BucketedStore.compact — same rows, same bucketing, one file per
+  * bucket) and time the SAME increment shape again. Bytes are unchanged
+  * by compaction; only the file count drops. If the increment flattens,
+  * the growth term was per-file overhead (open + footer + listing), not
+  * scan bytes — and the fix is append layout + maintenance compaction,
+  * not a pruned read.
+  *
+  * Usage: runMain graft.tools.StoreFiles [docsSmall=3000] [grow=100]
+  */
+object StoreFiles {
+
+  private def docs(spark: SparkSession, from: Long, until: Long,
+      textSeedOf: Long => Long): DataFrame = {
+    import spark.implicits._
+    spark.range(from, until).as[Long].map { id =>
+      val rnd = new scala.util.Random(textSeedOf(id))
+      (id, Array.fill(40)("w" + rnd.nextInt(5000)).mkString(" "))
+    }.toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  private def fileCount(dir: String): Int = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1
+      else 0
+    if (root.exists()) walk(root) else 0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = args.headOption.map(_.toLong).getOrElse(3000L)
+    val grow = args.lift(1).map(_.toLong).getOrElse(100L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- CDC ---------------------------------------------------------
+    val cdDir = java.nio.file.Files.createTempDirectory("storefiles").resolve("cdc").toString
+    var dNext = 0L
+    def seedCd(rows: Long): Unit = {
+      var at = dNext
+      while (at < dNext + rows) {
+        val end = math.min(at + 25000, dNext + rows)
+        Dedup.incrementalCdcDedup(docs(spark, at, end, identity), cdDir).count()
+        at = end
+      }
+      dNext += rows
+    }
+    def incCd(): Double = {
+      val novelFrom = dNext; dNext += 200
+      val inc = docs(spark, novelFrom, dNext, identity)
+        .unionByName(docs(spark, 4500000000L, 4500000200L, id => id - 4500000000L))
+      timed { Dedup.incrementalCdcDedup(inc, cdDir).count() }
+    }
+    seedCd(small)
+    val cdT1 = Seq(incCd(), incCd(), incCd()).min
+    val cdF1 = fileCount(cdDir)
+    seedCd(small * (grow - 1))
+    val cdT2 = Seq(incCd(), incCd(), incCd()).min
+    val cdF2 = fileCount(cdDir)
+    println(f"[storefiles] cdc grown: $cdT1%.2fs ($cdF1 files) -> $cdT2%.2fs ($cdF2 files)")
+    graft.sinks.BucketedStore.compact(spark, cdDir,
+      graft.sinks.BucketedStore.Spec("h STRING, store_doc_id BIGINT", "h", 32),
+      writeTasks = 32)
+    val cdT3 = Seq(incCd(), incCd(), incCd()).min
+    val cdF3 = fileCount(cdDir)
+    println(f"[storefiles] cdc compacted: $cdT3%.2fs ($cdF3 files) — same rows, fewer files")
+
+    // ---- minhash -----------------------------------------------------
+    val mhDir = java.nio.file.Files.createTempDirectory("storefiles").resolve("mh").toString
+    var mNext = 0L
+    def seedMh(rows: Long): Unit = {
+      var at = mNext
+      while (at < mNext + rows) {
+        val end = math.min(at + 25000, mNext + rows)
+        Dedup.incrementalMinhash(docs(spark, at, end, identity), mhDir).count()
+        at = end
+      }
+      mNext += rows
+    }
+    def incMh(): Double = {
+      val novelFrom = mNext; mNext += 200
+      val inc = docs(spark, novelFrom, mNext, identity)
+        .unionByName(docs(spark, 3000000000L, 3000000200L, id => id - 3000000000L))
+      timed { Dedup.incrementalMinhash(inc, mhDir).count() }
+    }
+    seedMh(small)
+    val mhT1 = Seq(incMh(), incMh(), incMh()).min
+    val mhF1 = fileCount(mhDir)
+    seedMh(small * (grow - 1))
+    val mhT2 = Seq(incMh(), incMh(), incMh()).min
+    val mhF2 = fileCount(mhDir)
+    println(f"[storefiles] minhash grown: $mhT1%.2fs ($mhF1 files) -> $mhT2%.2fs ($mhF2 files)")
+    graft.sinks.BucketedStore.compact(spark, s"$mhDir/bands",
+      graft.sinks.BucketedStore.Spec("doc_id BIGINT, band INT, bh BIGINT", "bh", 32),
+      writeTasks = 32)
+    graft.sinks.BucketedStore.compact(spark, s"$mhDir/sigs",
+      graft.sinks.BucketedStore.Spec("doc_id BIGINT, sig ARRAY<BIGINT>", "doc_id", 32),
+      writeTasks = 32)
+    val mhT3 = Seq(incMh(), incMh(), incMh()).min
+    val mhF3 = fileCount(mhDir)
+    println(f"[storefiles] minhash compacted: $mhT3%.2fs ($mhF3 files) — same rows, fewer files")
+
+    spark.stop()
+  }
+}

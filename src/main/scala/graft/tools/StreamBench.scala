@@ -13,10 +13,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * regressing to a shuffle, a model reload landing per-batch, a
   * Materialize leak) shows up as per-batch latency, not batch wall-clock.
   *
-  * Method: each wrapper is driven over a MemoryStream in `waves`
-  * micro-batches of `batchRows` real corpus docs (disjoint ids per wave,
-  * so store-backed wrappers GROW their history every wave — the regime
-  * where an O(history) regression is visible). Per-wave wall-clock is
+  * Method: each wrapper is driven over a MemoryStream (or, for the
+  * file-source crawl gate, a drop directory) in `waves` micro-batches of
+  * `batchRows` real corpus docs (disjoint ids per wave, so store-backed
+  * wrappers GROW their history every wave — the regime where an
+  * O(history) regression is visible). Per-wave wall-clock is
   * processAllAvailable() around exactly one batch. Wave 0 pays stream +
   * store bootstrap and is reported but ungated.
   *
@@ -24,19 +25,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * bound shape: a fixed-size batch must not inflate as history grows;
   * the last two waves carry the largest history, wave 1 is the smallest
   * gated one; 2.5× is the local-noise allowance — an O(history)
-  * regression reads as ~waves×).
+  * regression reads as ~waves×). `waves` must be ≥ 3 so the gate always
+  * compares a GROWN-history wave against wave 1 — at waves=2 the bound
+  * would compare wave 1 with itself and pass vacuously (ADVICE r19).
   *
   * Usage: runMain graft.tools.StreamBench [sfDir] [waves=6] [batchRows=2000]
-  * Prints one row per wrapper; exits non-zero on FAIL.
+  * (sfDir must be an absolute path; anything that is neither that nor a
+  * bare integer fails fast — a typoed path must not silently bench the
+  * default corpus.) Prints one row per wrapper; exits non-zero on FAIL.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.filter(_.startsWith("/"))
-      .getOrElse("/root/testdata/sf0.1")
-    val nums = args.filter(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toInt)
+    val (dirArgs, rest) = args.partition(_.startsWith("/"))
+    rest.foreach(a => require(a.nonEmpty && a.forall(_.isDigit),
+      s"unrecognized argument '$a': expected an absolute sfDir or an integer " +
+        "(waves, batchRows) — refusing to silently bench the default corpus"))
+    require(dirArgs.length <= 1, s"multiple sfDir args: ${dirArgs.mkString(", ")}")
+    val dir = dirArgs.headOption.getOrElse("/root/testdata/sf0.1")
+    val nums = rest.map(_.toInt)
     val waves = nums.headOption.getOrElse(6)
     val batchRows = nums.lift(1).getOrElse(2000)
-    require(waves >= 2, s"need >= 2 waves to gate flatness (got $waves)")
+    require(waves >= 3,
+      s"need >= 3 waves: the flatness gate compares grown-history waves against " +
+        s"wave 1, which needs at least one wave beyond it (got $waves)")
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "streambench")
     spark.sparkContext.setLogLevel("WARN")
@@ -67,6 +78,52 @@ object StreamBench {
         (i.toLong * 10000000L + j, t)
       }
 
+    // Vector waves, same 90/10 novel/dup protocol at the embedding tier:
+    // deterministic unit-ish 64-dim draws keyed by (wave, j); the dup
+    // tail replays wave 0's exact vectors.
+    def vecOf(seed: Long): Seq[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(64)(rnd.nextFloat() * 2f - 1f)
+    }
+    def vecWave(i: Int): Seq[(Long, Seq[Float])] =
+      (0 until batchRows).map { j =>
+        val seed =
+          if (i == 0) j.toLong
+          else if (j % 10 == 0) (j / 10 * 10).toLong // wave-0 dup
+          else i.toLong * batchRows + j
+        (i.toLong * 10000000L + j, vecOf(seed))
+      }
+
+    // Image waves (smaller: PNG encode is driver-side): random content
+    // behind a real PNG container, the IncScale media convention —
+    // corpus payloads collapse to a few hundred signatures and the
+    // store would never grow.
+    val imgRows = math.max(200, batchRows / 10)
+    def pngOf(seed: Long): Array[Byte] = {
+      val (w, h) = (24, 16)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rnd.nextInt() & 0xffffff); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def imgWave(i: Int): Seq[graft.pipeline.Multimodal.MediaRow] =
+      (0 until imgRows).map { j =>
+        val seed =
+          if (i == 0) j.toLong
+          else if (j % 10 == 0) (j / 10 * 10).toLong
+          else i.toLong * imgRows + j
+        graft.pipeline.Multimodal.MediaRow(
+          i.toLong * 10000000L + j, "image", pngOf(seed), 0, 0, 0)
+      }
+
     val work = java.nio.file.Files.createTempDirectory("streambench").toString
     // The quality model scoreQuality loads once at query start (untimed
     // bootstrap, the nightly-train half of the split).
@@ -75,17 +132,7 @@ object StreamBench {
       Tables(spark, dir).documents, modelDir)
 
     var failed = false
-    def bench(tag: String)(start: (DataFrame, String) => StreamingQuery): Unit = {
-      val ms = MemoryStream[(Long, String)]
-      val q = start(ms.toDF().toDF("doc_id", "text"), s"$work/$tag")
-      val times = try {
-        (0 until waves).map { i =>
-          ms.addData(wave(i): _*)
-          val t0 = System.nanoTime()
-          q.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
-        }
-      } finally q.stop()
+    def gate(tag: String, times: Seq[Double], rows: Int): Unit = {
       val later = times.drop(1)
       // Gate: the LAST TWO waves (largest history) against wave 1 — a
       // per-batch cost that grows with history fails here; min() would
@@ -94,35 +141,155 @@ object StreamBench {
       failed ||= !ok
       println(f"[streambench] ${if (ok) "PASS" else "FAIL"} $tag%-18s " +
         f"boot=${times.head}%.2fs waves=${later.map(t => f"$t%.2f").mkString(",")} " +
-        f"(rows/wave=$batchRows, flatness bound 2.5x of wave 1)")
+        f"(rows/wave=$rows, flatness bound 2.5x of wave 1)")
     }
+    /** Drive one wrapper: `setup` returns (per-wave feeder, query). */
+    def run(tag: String, rows: Int = batchRows)(
+        setup: String => (Int => Unit, StreamingQuery)): Unit = {
+      val (feed, q) = setup(s"$work/$tag")
+      val times = try {
+        (0 until waves).map { i =>
+          feed(i)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+      } finally q.stop()
+      gate(tag, times, rows)
+    }
+    def textBench(tag: String)(start: (DataFrame, String) => StreamingQuery): Unit =
+      run(tag) { d =>
+        val ms = MemoryStream[(Long, String)]
+        (i => { ms.addData(wave(i): _*); () },
+          start(ms.toDF().toDF("doc_id", "text"), d))
+      }
+    def vecBench(tag: String)(start: (DataFrame, String) => StreamingQuery): Unit =
+      run(tag) { d =>
+        val ms = MemoryStream[(Long, Seq[Float])]
+        (i => { ms.addData(vecWave(i): _*); () },
+          start(ms.toDF().toDF("vec_id", "embedding"), d))
+      }
 
-    bench("validate") { (df, d) =>
+    textBench("validate") { (df, d) =>
       PipelineStream.validate(df,
         Seq(graft.pipeline.Profile.Check("text_not_null", "text",
           col("text").isNotNull)),
         Seq("doc_id"), s"$d/out", s"$d/ckpt")
     }
-    bench("govern") { (df, d) =>
+    textBench("govern") { (df, d) =>
       PipelineStream.governDocs(df, s"$d/out", s"$d/ckpt")
     }
-    bench("score_quality") { (df, d) =>
+    textBench("score_quality") { (df, d) =>
       // The scorer rides Classify's shared featurize path, which carries
       // the lang label column even though scoring ignores it.
       PipelineStream.scoreQuality(df.withColumn("lang", lit("en")),
         modelDir, s"$d/out", s"$d/ckpt")
     }
-    bench("heavy_hitters") { (df, d) =>
+    textBench("heavy_hitters") { (df, d) =>
       PipelineStream.heavyHitters(df, s"$d/store", s"$d/out", s"$d/ckpt")
     }
-    bench("dedup_exact") { (df, d) =>
+    textBench("dedup_exact") { (df, d) =>
       PipelineStream.dedupExact(df, s"$d/store", s"$d/out", s"$d/ckpt")
     }
-    bench("dedup_minhash") { (df, d) =>
+    textBench("dedup_minhash") { (df, d) =>
       PipelineStream.dedupMinhash(df, s"$d/store", s"$d/out", s"$d/ckpt")
     }
-    bench("dedup_substrings") { (df, d) =>
+    textBench("dedup_substrings") { (df, d) =>
       PipelineStream.dedupSubstrings(df, s"$d/store", s"$d/out", s"$d/ckpt")
+    }
+    // ---- r20 extension: the remaining store-backed wrappers ----------
+    textBench("dedup_simhash") { (df, d) =>
+      PipelineStream.dedupSimhash(df, s"$d/store", s"$d/out", s"$d/ckpt")
+    }
+    textBench("dedup_cdc") { (df, d) =>
+      PipelineStream.dedupCdc(df, s"$d/store", s"$d/out", s"$d/ckpt")
+    }
+    textBench("dedup_containment") { (df, d) =>
+      PipelineStream.dedupContainment(df, s"$d/store", s"$d/out", s"$d/ckpt")
+    }
+    textBench("decontaminate") { (df, d) =>
+      // Eval store written once (untimed); the stream is the TRAIN side.
+      graft.pipeline.Select.updateDecontaminationStore(
+        Tables(spark, dir).documents.limit(2000), s"$d/store")
+      PipelineStream.decontaminate(df, s"$d/store", s"$d/out", s"$d/ckpt")
+    }
+    textBench("dedup_urls") { (df, d) =>
+      PipelineStream.dedupUrls(
+        df.select(col("doc_id"),
+          concat(lit("http://ex"), (col("doc_id") % 997).cast("string"),
+            lit(".com/p/"), col("doc_id").cast("string"),
+            lit("?x="), substring(col("text"), 1, 8)).as("url")),
+        s"$d/store", s"$d/out", s"$d/ckpt")
+    }
+    textBench("index_bm25") { (df, d) =>
+      PipelineStream.indexBm25(df, s"$d/index", s"$d/ckpt")
+    }
+    textBench("monitor_drift") { (df, d) =>
+      // Reference distribution written once (untimed), the explicit
+      // operator decision the wrapper's contract states.
+      PipelineStream.writeDriftReference(
+        spark.range(3200).select((col("id") % 16).cast("string").as("grp")),
+        "grp", s"$d/ref")
+      PipelineStream.monitorDrift(
+        df.withColumn("grp", (col("doc_id") % 16).cast("string")),
+        "grp", s"$d/ref", s"$d/out", s"$d/ckpt")
+    }
+    vecBench("dedup_embedding") { (df, d) =>
+      PipelineStream.dedupEmbedding(df, s"$d/store", s"$d/out", s"$d/ckpt")
+    }
+    vecBench("dedup_semantic") { (df, d) =>
+      PipelineStream.dedupSemantic(df, s"$d/store", s"$d/out", s"$d/ckpt")
+    }
+    vecBench("search_ann") { (df, d) =>
+      // Serving path: the persistent IVF-PQ index is built once
+      // (untimed) and queried read-only — flatness here pins per-batch
+      // serving latency, not store growth.
+      graft.pipeline.Similarity.buildIvfPqIndex(
+        (0L until 20000L).map(id => (id, vecOf(id)))
+          .toDF("vec_id", "embedding"),
+        s"$d/index", nList = 16)
+      PipelineStream.searchAnn(df, s"$d/index", s"$d/out", s"$d/ckpt")
+    }
+    run("dedup_images", imgRows) { d =>
+      val ms = MemoryStream[graft.pipeline.Multimodal.MediaRow]
+      (i => { ms.addData(imgWave(i): _*); () },
+        PipelineStream.dedupImages(ms.toDF(), s"$d/store", s"$d/out", s"$d/ckpt"))
+    }
+    // Crawl gate rides a binaryFile source, not MemoryStream: each wave
+    // drops one fresh .warc.gz dump (500 pages of corpus text; 10% of
+    // target URLs replay wave 0's, so later dumps carry a fixed re-crawl
+    // mix against the growing frontier) into the watched directory.
+    val cgRows = math.min(500, batchRows)
+    run("crawl_gate", cgRows) { d =>
+      val inDir = s"$d/in"
+      new java.io.File(inDir).mkdirs()
+      def rec(uri: String, body: String): String = {
+        val n = body.getBytes("UTF-8").length
+        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: $n\r\n\r\n$body\r\n\r\n"
+      }
+      def dropWave(i: Int): Unit = {
+        val out = new java.io.ByteArrayOutputStream()
+        (0 until cgRows).foreach { j =>
+          val pageId = if (i > 0 && j % 10 == 0) j.toLong else i.toLong * cgRows + j
+          val host = s"h${pageId % 97}.ex.com"
+          val body = s"<html><head><title>Doc $pageId</title></head><body><p>" +
+            corpus((pageId % corpus.length).toInt)._2.take(400) + "</p></body></html>"
+          val g = new java.util.zip.GZIPOutputStream(out)
+          g.write(rec(s"http://$host/page/$pageId", body).getBytes("UTF-8"))
+          g.finish()
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(inDir, f"wave$i%03d.warc.gz"), out.toByteArray)
+      }
+      val robots = Seq(("h0.ex.com",
+        "User-agent: graftbot\nDisallow: /private/\n")).toDF("host", "robots_txt")
+      val files = spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .option("pathGlobFilter", "*.warc.gz").load(inDir)
+      (dropWave, PipelineStream.crawlGate(
+        files, robots, s"$d/frontier", s"$d/out", s"$d/ckpt",
+        epochSeconds = 1000000))
     }
 
     spark.stop()
