@@ -182,20 +182,30 @@ object FeedStep {
       maxSteps: Int = 200): (Dataset[Item], Dataset[Partition], Int) = {
     var curItems = items.transform(graft.Materialize(_))
     var curParts = partitions.transform(graft.Materialize(_))
-    var steps    = 0
-    var quiet    = false
+    // Fingerprints carry across iterations: the OLD side's digest was
+    // already computed when it was the new side, so re-deriving it every
+    // step paid 2 of the loop's 6 jobs for values already in hand —
+    // measured at ~0.5 s of the ~2.4 s step-latency floor at width 3200
+    // (FeedScale r20). Same comparison values, strictly fewer actions.
+    var curItemFp = itemFingerprint(curItems)
+    var curPartFp = partitionFingerprint(curParts)
+    var steps     = 0
+    var quiet     = false
     while (!quiet && steps < maxSteps) {
-      val res      = step(spark, curItems, curParts, processor, opts)
-      val newItems = res.items.transform(graft.Materialize(_))
-      val newParts = res.partitions.transform(graft.Materialize(_))
-      quiet = itemFingerprint(newItems) == itemFingerprint(curItems) &&
-        partitionFingerprint(newParts) == partitionFingerprint(curParts)
+      val res       = step(spark, curItems, curParts, processor, opts)
+      val newItems  = res.items.transform(graft.Materialize(_))
+      val newParts  = res.partitions.transform(graft.Materialize(_))
+      val newItemFp = itemFingerprint(newItems)
+      val newPartFp = partitionFingerprint(newParts)
+      quiet = newItemFp == curItemFp && newPartFp == curPartFp
       // The superseded iteration's materialization is never read again —
       // release it so a long replay doesn't pin every step's blocks.
       graft.Materialize.release(curItems)
       graft.Materialize.release(curParts)
       curItems = newItems
       curParts = newParts
+      curItemFp = newItemFp
+      curPartFp = newPartFp
       steps += 1
     }
     (curItems, curParts, steps)

@@ -52,8 +52,8 @@ object ExtendedQueries {
       """SELECT c_custkey, c_name FROM q37_customer
         | WHERE EXISTS (SELECT 1 FROM q37_orders
         |   WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
-        |     AND o_totalprice > c_acctbal)
-        | ORDER BY c_custkey""".stripMargin)
+        |     AND o_totalprice > c_acctbal)""".stripMargin)
+      .transform(graft.OracleSort(_, "c_custkey"))
   }
 
   // Q24 — INTERSECT (set-op family completion; EXCEPT is Q12).
@@ -87,6 +87,9 @@ object ExtendedQueries {
         upper(substring(col("l_returnflag"), 1, 1)).as("rf"),
         concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("tag"),
         length(trim(col("l_linestatus"))).cast("long").as("ls_len"))
+      // Plain orderBy: (l_orderkey, l_linenumber) is NOT unique in the
+      // synthetic lineitem (tied rows are full duplicates, so any tie
+      // order matches the oracle) — OracleSort's unique-key audit rejects it.
       .orderBy("l_orderkey", "l_linenumber")
 
   // Q27 — tumbling event-time window, batch-checked (streaming twin in
@@ -119,7 +122,7 @@ object ExtendedQueries {
         round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"),
         round(element_at(col("embedding"), 64).cast("double"), 4).as("e63"))
       .filter(col("vec_id") < 100)
-      .orderBy("vec_id")
+      .transform(graft.OracleSort(_, "vec_id"))
 
   // Q31 — date/interval arithmetic (date_trunc, + INTERVAL, extract).
   def q31(s: SparkSession, dir: String): DataFrame =
@@ -130,7 +133,7 @@ object ExtendedQueries {
         (col("ts") + expr("INTERVAL 90 MINUTES")).as("later"),
         hour(col("ts")).cast("long").as("hr"))
       .filter(col("event_id") < 200)
-      .orderBy("event_id")
+      .transform(graft.OracleSort(_, "event_id"))
 
   // Q34 — statistical aggregates: exact interpolated percentiles (Spark
   // `percentile` == DuckDB `quantile_cont`), sample stddev, correlation.
@@ -218,7 +221,7 @@ object ExtendedQueries {
         element_at(col("m"), "uid").as("uid_val"),
         size(map_keys(col("m"))).cast("long").as("n_keys"),
         map_contains_key(col("m"), "et").as("has_et"))
-      .orderBy("event_id")
+      .transform(graft.OracleSort(_, "event_id"))
 
   // Q43 — generator/UDTF surface: posexplode over the token array with
   // ordinality, checked against DuckDB's unnest + generate_subscripts.
@@ -228,7 +231,7 @@ object ExtendedQueries {
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("token"))
-      .orderBy("doc_id", "pos")
+      .transform(graft.OracleSort(_, "doc_id", "pos"))
 
   // Q44 — ordered string aggregation (LISTAGG): the deterministic form is
   // sort-then-join over the collected set, which both engines express as
@@ -255,7 +258,7 @@ object ExtendedQueries {
         col("text").rlike("ipsum|dolor").as("has_latin"),
         size(regexp_extract_all(col("text"), lit("\\bt[a-z]+"), lit(0)))
           .cast("long").as("t_words"))
-      .orderBy("doc_id")
+      .transform(graft.OracleSort(_, "doc_id"))
 
   // Q46 — datetime function breadth over orders: month truncation,
   // year/month/quarter extraction, day arithmetic against an epoch,
@@ -272,7 +275,7 @@ object ExtendedQueries {
         datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
         last_day(col("o_orderdate")).as("month_end"),
         dayofweek(col("o_orderdate")).cast("long").as("dow"))
-      .orderBy("o_orderkey")
+      .transform(graft.OracleSort(_, "o_orderkey"))
 
   // Q47 — null-handling scalars: NULLIF round-trips through COALESCE,
   // LEAST/GREATEST across columns, and a null-sensitive CASE.
@@ -286,6 +289,7 @@ object ExtendedQueries {
         round(greatest(col("l_tax"), col("l_discount"), lit(0.05)), 4).as("hi"),
         when(nullif(col("l_discount"), lit(0.0)).isNull, "zero")
           .otherwise("disc").as("kind"))
+      // Plain orderBy: non-unique key, see q26.
       .orderBy("l_orderkey", "l_linenumber")
 
   // Q48 — explicit GROUPING SETS (the general form behind q13's ROLLUP /
@@ -330,7 +334,7 @@ object ExtendedQueries {
         expr("split_part(p_type, ' ', 2)").as("sp"),
         expr("left(p_name, 5)").as("l5"),
         expr("right(p_name, 4)").as("r4"))
-      .orderBy("p_partkey")
+      .transform(graft.OracleSort(_, "p_partkey"))
 
   // Q56 — bitwise surface (mask/flag arithmetic over ids).
   def q56(s: SparkSession, dir: String): DataFrame =
@@ -344,7 +348,7 @@ object ExtendedQueries {
         shiftleft(col("user_id"), 2).as("b_shl"),
         shiftright(col("user_id"), 1).as("b_shr"),
         bit_count(col("user_id")).cast("long").as("b_pop"))
-      .orderBy("event_id")
+      .transform(graft.OracleSort(_, "event_id"))
 
   // Q57 — recursive CTE (Spark 4 WITH RECURSIVE): dense calendar fill —
   // generate the continuous day range spanning the events table and

@@ -35,7 +35,7 @@ object RelationalQueries {
     e.filter(col("event_type") =!= "error" &&
         col("ts") < tsLit(e, "ts", "2024-01-03 00:00:00"))
       .select("event_id", "user_id", "event_type")
-      .orderBy("event_id")
+      .transform(graft.OracleSort(_, "event_id"))
   }
 
   // Q2 — filter + sort + limit / top-K (reference R2: repo.go:114-120
@@ -101,7 +101,7 @@ object RelationalQueries {
       .join(t.orders.filter(col("o_totalprice") > 100000).select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .transform(graft.OracleSort(_, "c_custkey"))
   }
 
   // Q9 — anti join (NOT IN; o_custkey is non-null so anti ≡ NOT IN).
@@ -112,7 +112,7 @@ object RelationalQueries {
       .join(t.orders.filter(col("o_orderstatus") === "F").select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey")
-      .orderBy("c_custkey")
+      .transform(graft.OracleSort(_, "c_custkey"))
   }
 
   // Q10 — ranking window (top-N per key).

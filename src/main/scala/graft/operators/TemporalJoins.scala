@@ -55,7 +55,7 @@ object TemporalJoins {
           col("b.ts") <= col("a.ts") + expr("INTERVAL 1 HOUR"))
       .select(col("a.event_id").as("click_id"), col("b.event_id").as("purchase_id"),
         col("b.ts").as("purchase_ts"))
-      .orderBy("click_id", "purchase_id")
+      .transform(graft.OracleSort(_, "click_id", "purchase_id"))
   }
 
   // Q33 — as-of join: each event annotated with the user's most recent

@@ -830,12 +830,14 @@ object Select {
       shardAssign(Tables(s, d).documents).orderBy("shard", "pos")),
     "q87_zorder"        -> ((s, d) => zOrderEvents(Tables(s, d).events)),
     "q85_split_tvt"     -> ((s, d) =>
-      splitTrainValTest(Tables(s, d).documents).orderBy("doc_id")),
+      splitTrainValTest(Tables(s, d).documents)
+        .transform(graft.OracleSort(_, "doc_id"))),
     "q86_length_buckets" -> ((s, d) => lengthBuckets(Tables(s, d).documents)),
     "q58_decontaminate" -> ((s, d) =>
       decontaminate(Tables(s, d).documents).orderBy("doc_id")),
     "q59_strat_sample"  -> ((s, d) =>
-      stratifiedSample(Tables(s, d).documents).orderBy("doc_id")),
+      stratifiedSample(Tables(s, d).documents)
+        .transform(graft.OracleSort(_, "doc_id"))),
     "q60_quota_topk"    -> ((s, d) =>
       quotaTopK(Tables(s, d).documents).orderBy("source", "rk")),
     "q61_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),

@@ -1358,7 +1358,7 @@ object TextAnalysis {
           .when(col("doc_id") % 6 === 4, lit(" über kühl"))
           .when(col("doc_id") % 6 === 5, lit(" çedille façade"))
           .otherwise(lit(""))).as("text"))
-      accentFold(planted).orderBy("doc_id")
+      graft.OracleSort(accentFold(planted), "doc_id")
     }),
     // Secret plant: the base corpus is plain lowercase words (no digit
     // runs, no 32-hex words — verified by the ELSE class scanning
@@ -1465,7 +1465,7 @@ object TextAnalysis {
       Tables(s, d).documents.select(col("doc_id"),
         graft.functions.UnicodeNormalize.nfc(s,
           concat(col("text"), lit(nfcSuffix))).as("norm"))
-        .orderBy("doc_id")
+        .transform(graft.OracleSort(_, "doc_id"))
     }),
     // Encoding repair via the fifth codegen Expression: docs with
     // doc_id % 5 == 0 carry a planted UTF-8-as-latin-1 double-decoded
@@ -1476,7 +1476,7 @@ object TextAnalysis {
     "text_fix_mojibake" -> ((s, d) => fixMojibake(Tables(s, d).documents
       .withColumn("text", concat(col("text"),
         when(col("doc_id") % 5 === 0, lit(mojibakeSuffix)).otherwise(lit("")))))
-      .orderBy("doc_id")),
+      .transform(graft.OracleSort(_, "doc_id"))),
     "q93_hashed_tfidf" -> ((s, d) =>
       hashedTfIdf(Tables(s, d).documents).orderBy("doc_id", "bucket")),
     // Oracle since r17: the greedy merge loop is all-integer/string —
@@ -1490,7 +1490,8 @@ object TextAnalysis {
     "q75_bigram_ppl"   -> ((s, d) =>
       bigramPerplexity(Tables(s, d).documents).orderBy("doc_id")),
     "q20_text_quality" -> ((s, d) =>
-      textQuality(Tables(s, d).documents).orderBy("doc_id")),
+      textQuality(Tables(s, d).documents)
+        .transform(graft.OracleSort(_, "doc_id"))),
     // Rule-violating plants (symbols / bullet walls / ellipsis endings —
     // the corpus contains none) so the battery has something to flag.
     "gopher_rules" -> ((s, d) => graft.OracleSort(

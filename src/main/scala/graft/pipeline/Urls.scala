@@ -317,9 +317,10 @@ object Urls {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_geo_enrich" -> ((s, d) =>
       ipEnrich(plantIps(Tables(s, d).documents), plantRanges(s))
-        .orderBy("doc_id")),
+        .transform(graft.OracleSort(_, "doc_id"))),
     "url_canonicalize" -> ((s, d) =>
-      urlCurate(plantUrls(Tables(s, d).documents)).orderBy("doc_id")),
+      urlCurate(plantUrls(Tables(s, d).documents))
+        .transform(graft.OracleSort(_, "doc_id"))),
     "url_domain_rollup" -> ((s, d) =>
       domainRollup(plantUrls(Tables(s, d).documents)).orderBy("reg_domain")),
     "url_dedup" -> ((s, d) =>

@@ -39,10 +39,26 @@ object FeedScale {
     }
 
     val opts = FeedOptions(batchSize = 50, maxRetries = 2, autoClose = true)
+    // Step-latency attribution (the SubstrStages convention, r19 VERDICT
+    // #6): the r19 curve showed the loop is STEP-latency-bound, so count
+    // the driver ACTIONS each replay round schedules — that number times
+    // per-job overhead IS the floor width can't buy down.
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     val (fi, fp, steps) = FeedStep.replay(spark, items, partitions,
       GoldenFixture.TestProcessor, opts, maxSteps = 60)
     val secs = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    println(f"[scale] ${jobCount.get} jobs over $steps steps = " +
+      f"${jobCount.get.toDouble / steps}%.1f jobs/step " +
+      "(4 seed jobs: initial materializations + fingerprints)")
 
     val total = nPartitions.toLong * itemsPer
     val byStatus = fi.groupByKey(_.status).count().collect().toMap

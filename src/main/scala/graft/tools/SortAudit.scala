@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.Sort
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Static audit for the OracleSort sweep (r19 VERDICT #2): find every
+  * registered entry whose plan is a GLOBAL SORT over a SHUFFLE-FREE
+  * child. For those, a plain `.orderBy` plans a range exchange whose
+  * partition-boundary sampling job re-executes the whole child — the
+  * entry benches at ~2× its operator — and [[graft.OracleSort]] computes
+  * the child once. Entries whose child already shuffles are fine as-is
+  * (the sampling job re-runs only the cheap shuffle-backed final stage).
+  *
+  * Planning-only: nothing executes. Prints one line per sorted entry
+  * with the exchange count under the sort; `candidate` marks the
+  * shuffle-free ones.
+  *
+  * Usage: runMain graft.tools.SortAudit [sfDir=/root/testdata/sf0.001]
+  */
+object SortAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // AQE-aware node walk (the PlanCapture convention): `sparkPlan` has
+    // no exchanges yet (EnsureRequirements runs in the preparations
+    // phase), so audit the executedPlan and descend through the adaptive
+    // wrappers.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val children: Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: children.flatMap(nodes)
+    }
+    def exchanges(p: SparkPlan): Int =
+      nodes(p).count(_.isInstanceOf[ShuffleExchangeLike])
+
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        df.queryExecution.optimizedPlan match {
+          case s: Sort if s.global =>
+            // Physical plan of the whole query: the global sort owns ONE
+            // range exchange; any further exchange is the child's own
+            // shuffle (whose stage the sampling job reuses). And the
+            // double-compute only COSTS something when the child re-runs
+            // real work — a parquet scan of the corpus through live
+            // projections. A child that reads a Materialize checkpoint
+            // (RDDScanExec) re-runs a cheap block read, so it is not a
+            // candidate however shuffle-free its visible plan is.
+            val phys = df.queryExecution.executedPlan
+            val below = exchanges(phys) - 1
+            val parquet = nodes(phys).count(
+              _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+            val rdd = nodes(phys).count(_.nodeName.contains("ExistingRDD"))
+            val verdict =
+              if (below <= 0 && parquet >= 1 && rdd == 0)
+                "CANDIDATE shuffle-free live child"
+              else if (below <= 0) s"lazy-cheap (parquet=$parquet rdd=$rdd)"
+              else s"ok ($below exchanges below sort)"
+            println(s"[sortaudit] $name: global sort — $verdict")
+          case _ => ()
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"[sortaudit] $name: SKIP (${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)})")
+      }
+    }
+    spark.stop()
+  }
+}
