@@ -197,13 +197,20 @@ object Classify {
     w
   }
 
-  /** Deterministic md5-derived weight for bucket f — the same
+  /** Deterministic md5-derived weight NUMERATOR for bucket f — the same
     * literal-weight trick as [[Similarity.planeWeight]], but computable
     * IN SQL per row in both engines (namespace "qw:"), so the fixed
-    * witness needs no 4096-literal table. Range [−1, 1). */
-  private def fixedWeight(f: Column): Column =
-    (pmod(PortableHash.hash64(concat(lit("qw:"), f.cast("string"))),
-      lit(2000L)) - lit(1000L)).cast("double") / lit(1000.0)
+    * witness needs no 4096-literal table. Integer in [−1000, 1000); the
+    * weight itself is k/1000. Aggregations SUM THE NUMERATORS (exact
+    * integer arithmetic, order-free) and divide once at the end:
+    * summing the k/1000 doubles instead leaves the per-doc score
+    * summation-order-dependent at ~1 ulp, which the sf0.1 oracle
+    * stretch caught crossing the 4-dp rounding boundary on 7 of 5,000
+    * docs — the audio-witness lesson (no rounding sensitivity on the
+    * compared surface) applied to the scorer. */
+  private def fixedWeightNum(f: Column): Column =
+    pmod(PortableHash.hash64(concat(lit("qw:"), f.cast("string"))),
+      lit(2000L)) - lit(1000L)
 
   /** The oracle witness (the dedup_semantic_fixed convention): the
     * SCORING pipeline — hashed bigrams → normalized dot product →
@@ -214,13 +221,31 @@ object Classify {
     * not: the GD fixpoint (iterative and data-dependent — the
     * knn_ivfpq argument), which the training specs own. */
   def qualityScoreFixed(docs: DataFrame): DataFrame = {
+    // zf = sum_k / 1000 / n is an EXACT small-denominator rational, so
+    // its 4-dp rounding lands on exact .xxxx5 ties (e.g. −4590/40000 =
+    // −0.114750) where Spark's BigDecimal HALF_UP and DuckDB's
+    // float-multiply ROUND disagree even on bit-identical doubles (the
+    // sf0.1 stretch caught 13 such docs). So the ROUNDING itself is
+    // done in integer arithmetic — half-away-from-zero of
+    // sum_k·10 / n via (2·|a| + n) DIV (2n), identical by construction
+    // in both engines — and only the final /10⁴ touches floats (same
+    // two ints → same double everywhere). `prob` keeps the float
+    // ROUND: sigmoid is transcendental, so its values never sit on
+    // exact decimal ties.
     val z = bigramBuckets(docs)
       .groupBy("doc_id")
-      .agg((sum(fixedWeight(col("f"))) / count(lit(1))).as("zf"))
+      .agg(
+        (sum(fixedWeightNum(col("f"))).cast("double") / lit(1000.0) /
+          count(lit(1))).as("zf"),
+        (sum(fixedWeightNum(col("f"))) * lit(10L)).as("_a"),
+        count(lit(1)).as("_n"))
+      .select(col("doc_id"), col("zf"),
+        when(col("_a") >= 0, expr("(_a * 2 + _n) DIV (_n * 2)"))
+          .otherwise(-expr("((-_a) * 2 + _n) DIV (_n * 2)")).as("_zi"))
     docs.select(col("doc_id"), col("lang"))
       .join(z, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
-        round(coalesce(col("zf"), lit(0.0)), 4).as("z"),
+        (coalesce(col("_zi"), lit(0L)).cast("double") / lit(10000.0)).as("z"),
         round(sigmoid(coalesce(col("zf"), lit(0.0))), 4).as("prob"))
       .withColumn("is_target", col("prob") > 0.5)
   }
@@ -250,7 +275,8 @@ object Classify {
       .select(col("doc_id"),
         pmod(PortableHash.hash64(col("bgram")), lit(Buckets.toLong)).as("f"))
       .groupBy("doc_id")
-      .agg((sum(fixedWeight(col("f"))) / count(lit(1))).as("zf"))
+      .agg((sum(fixedWeightNum(col("f"))).cast("double") / lit(1000.0) /
+        count(lit(1))).as("zf"))
       .select(col("doc_id"),
         (round(sigmoid(col("zf")), 4) > 0.5).as("lq"))
 
@@ -272,10 +298,11 @@ object Classify {
     val zf = when(size(toks) >= 2,
       aggregate(
         transform(sequence(lit(1), size(toks) - 1),
-          i => fixedWeight(pmod(PortableHash.hash64(
+          i => fixedWeightNum(pmod(PortableHash.hash64(
             concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))),
             lit(Buckets.toLong)))),
-        lit(0.0), (acc, w) => acc + w) / (size(toks) - 1).cast("double"))
+        lit(0L), (acc, k) => acc + k).cast("double") / lit(1000.0) /
+        (size(toks) - 1).cast("double"))
       .otherwise(lit(0.0))
     round(sigmoid(zf), 4) > 0.5
   }
@@ -343,13 +370,20 @@ object Classify {
        |h AS (SELECT doc_id,
        |    CAST(${duckUnsigned("bgram")} % 4096 AS BIGINT) AS f FROM bgr),
        |hw AS (SELECT doc_id,
-       |    ((((($s) % 2000) + 2000) % 2000) - 1000) / 1000.0 AS w FROM h),
-       |sc AS (SELECT doc_id, sum(w) / count(*) AS zf FROM hw GROUP BY doc_id)
+       |    ((((($s) % 2000) + 2000) % 2000) - 1000) AS k FROM h),
+       |sc AS (SELECT doc_id,
+       |    CAST(SUM(k) AS DOUBLE) / CAST(1000 AS DOUBLE) / COUNT(*) AS zf,
+       |    CAST(SUM(k) AS BIGINT) * 10 AS a, COUNT(*) AS n
+       |  FROM hw GROUP BY doc_id),
+       |sz AS (SELECT doc_id, zf,
+       |    CASE WHEN a >= 0 THEN (a * 2 + n) // (n * 2)
+       |         ELSE -(((-a) * 2 + n) // (n * 2)) END AS zi
+       |  FROM sc)
        |SELECT d.doc_id, d.lang,
-       |  ROUND(COALESCE(sc.zf, 0.0), 4) AS z,
-       |  ROUND(1.0 / (1.0 + exp(-COALESCE(sc.zf, 0.0))), 4) AS prob,
-       |  ROUND(1.0 / (1.0 + exp(-COALESCE(sc.zf, 0.0))), 4) > 0.5 AS is_target
-       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+       |  CAST(COALESCE(sz.zi, 0) AS DOUBLE) / CAST(10000 AS DOUBLE) AS z,
+       |  ROUND(1.0 / (1.0 + exp(-COALESCE(sz.zf, 0.0))), 4) AS prob,
+       |  ROUND(1.0 / (1.0 + exp(-COALESCE(sz.zf, 0.0))), 4) > 0.5 AS is_target
+       |FROM documents d LEFT JOIN sz USING (doc_id)""".stripMargin
   }
 
   /** The quality_classifier twin (r17 promotion): 12 unrolled GD

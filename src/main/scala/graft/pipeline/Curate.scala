@@ -474,8 +474,10 @@ object Curate {
          |hb AS (SELECT doc_id,
          |    CAST(${duckUnsigned("bgram")} % 4096 AS BIGINT) AS f FROM bgr),
          |hw AS (SELECT doc_id,
-         |    ((((($w) % 2000) + 2000) % 2000) - 1000) / 1000.0 AS w FROM hb),
-         |sc AS (SELECT doc_id, sum(w) / count(*) AS zf FROM hw GROUP BY doc_id),
+         |    ((((($w) % 2000) + 2000) % 2000) - 1000) AS k FROM hb),
+         |sc AS (SELECT doc_id,
+         |    CAST(SUM(k) AS DOUBLE) / CAST(1000 AS DOUBLE) / COUNT(*) AS zf
+         |  FROM hw GROUP BY doc_id),
          |sig AS (SELECT d.doc_id,
          |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_toks,
          |    md5(text) AS h, substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS hk, text,
