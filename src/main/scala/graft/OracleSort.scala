@@ -39,14 +39,20 @@ import org.apache.spark.sql.DataFrame
 object OracleSort {
   def apply(df: DataFrame, cols: String*): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit}
-    val sorted = df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
     if (df.sparkSession.conf.get("spark.graft.oracleSort.checkUnique", "false") == "true") {
-      val dups = df.groupBy(cols.head, cols.tail: _*)
+      // Materialize first: the audit and the sort are two actions, and
+      // without the checkpoint the audit re-executes the entry's whole
+      // child pipeline — re-introducing on the correctness run the very
+      // double-compute this helper exists to avoid (entry outputs are
+      // report-sized, so the checkpointed blocks are tiny).
+      val m = graft.Materialize(df)
+      val dups = m.groupBy(cols.head, cols.tail: _*)
         .agg(count(lit(1)).as("n")).filter("n > 1").count()
       require(dups == 0,
         s"OracleSort key (${cols.mkString(", ")}) is not unique ($dups duplicated " +
           "key groups): intra-key order would come from shuffle arrival — append a tie-breaker")
-    }
-    sorted
+      m.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    } else
+      df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
   }
 }

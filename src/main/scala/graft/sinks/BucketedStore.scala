@@ -132,6 +132,13 @@ object BucketedStore {
       keep: org.apache.spark.sql.Column =
         org.apache.spark.sql.functions.lit(true)): Unit = {
     require(exists(spark, dir), s"no bucketed store at $dir")
+    // The parallel path's task count is pinned to numBuckets (the only
+    // count whose shuffle modulus matches the bucket modulus — anything
+    // else breaks one-file-per-bucket); refuse other values instead of
+    // silently running a different parallelism than the caller asked for.
+    require(writeTasks == 1 || writeTasks == spec.numBuckets,
+      s"writeTasks must be 1 (single writer) or numBuckets=${spec.numBuckets} " +
+        s"(one aligned task per bucket); got $writeTasks")
     checkOrWriteMarker(spark, dir, spec)
     // `keep` lets retention policies ride the same atomic rewrite (the
     // TTL'd frontier drops expired epochs); the default keeps every row
@@ -143,7 +150,8 @@ object BucketedStore {
     // DisableUnnecessaryBucketedScan then flips the scan to size-binned
     // layout, so the write runs on ~(files/maxPartitionBytes) bins and
     // sprays bins × buckets files (measured: a 2,048-file store
-    // "compacted" to 843 files, tools/BktExp r20). A plain scan carries
+    // "compacted" to 843 files — the regression now locked by
+    // BucketedStoreSpec's parallel-compaction bound). A plain scan carries
     // no partitioning claim, the exchange always executes, and each
     // write task holds exactly one bucket.
     val live = spark.read.schema(StructType.fromDDL(spec.schemaDdl))

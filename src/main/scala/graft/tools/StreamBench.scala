@@ -59,6 +59,15 @@ object StreamBench {
     val corpus: Array[(Long, String)] = Tables(spark, dir).documents
       .select("doc_id", "text").as[(Long, String)]
       .collect()
+    // THE 90/10 novel/dup protocol, in one place (every wave generator
+    // below shares it): wave 0 is all-baseline; from wave 1 on, slot
+    // j%10==0 replays wave 0's own item at that slot (fixed store-hit
+    // fraction — history growth isolated from dup-ratio shift) and the
+    // other 90% take a per-(wave, slot)-disjoint identity.
+    def seedFor(wave: Int, j: Int, rows: Int): Long =
+      if (wave == 0) j.toLong
+      else if (j % 10 == 0) (j / 10 * 10).toLong // wave-0 dup
+      else wave.toLong * rows + j
     def wave(i: Int): Seq[(Long, String)] =
       (0 until batchRows).map { j =>
         // Disjoint doc ids per wave. 90% of each wave gets a per-wave
@@ -70,11 +79,12 @@ object StreamBench {
         // the store-hit fraction 0% → 100% across waves — dup-ratio
         // workload shift, not a foreachBatch-path regression; the first
         // draft measured exactly that and is documented in BASELINE.md.)
-        val t =
-          if (i == 0) corpus(j % corpus.length)._2
-          else if (j % 10 == 0) corpus(j % corpus.length)._2 // wave-0 dup
-          else corpus((i * batchRows + j) % corpus.length)._2
-            .split(' ').map(_ + s"_w$i").mkString(" ")
+        val s = seedFor(i, j, batchRows)
+        val base = corpus((s % corpus.length).toInt)._2
+        // Novel slots get the per-wave disjoint-vocabulary suffix; dup
+        // slots (s == j on a %10 slot) resend wave 0's row verbatim.
+        val t = if (s == j.toLong) base
+          else base.split(' ').map(_ + s"_w$i").mkString(" ")
         (i.toLong * 10000000L + j, t)
       }
 
@@ -87,11 +97,7 @@ object StreamBench {
     }
     def vecWave(i: Int): Seq[(Long, Seq[Float])] =
       (0 until batchRows).map { j =>
-        val seed =
-          if (i == 0) j.toLong
-          else if (j % 10 == 0) (j / 10 * 10).toLong // wave-0 dup
-          else i.toLong * batchRows + j
-        (i.toLong * 10000000L + j, vecOf(seed))
+        (i.toLong * 10000000L + j, vecOf(seedFor(i, j, batchRows)))
       }
 
     // Image waves (smaller: PNG encode is driver-side): random content
@@ -116,12 +122,8 @@ object StreamBench {
     }
     def imgWave(i: Int): Seq[graft.pipeline.Multimodal.MediaRow] =
       (0 until imgRows).map { j =>
-        val seed =
-          if (i == 0) j.toLong
-          else if (j % 10 == 0) (j / 10 * 10).toLong
-          else i.toLong * imgRows + j
         graft.pipeline.Multimodal.MediaRow(
-          i.toLong * 10000000L + j, "image", pngOf(seed), 0, 0, 0)
+          i.toLong * 10000000L + j, "image", pngOf(seedFor(i, j, imgRows)), 0, 0, 0)
       }
 
     val work = java.nio.file.Files.createTempDirectory("streambench").toString
@@ -271,7 +273,7 @@ object StreamBench {
       def dropWave(i: Int): Unit = {
         val out = new java.io.ByteArrayOutputStream()
         (0 until cgRows).foreach { j =>
-          val pageId = if (i > 0 && j % 10 == 0) j.toLong else i.toLong * cgRows + j
+          val pageId = seedFor(i, j, cgRows)
           val host = s"h${pageId % 97}.ex.com"
           val body = s"<html><head><title>Doc $pageId</title></head><body><p>" +
             corpus((pageId % corpus.length).toInt)._2.take(400) + "</p></body></html>"

@@ -60,6 +60,33 @@ class BucketedStoreSpec extends AnyFunSuite {
       "compacted store moved through a shuffle on the bucket-key join")
   }
 
+  test("appends land at most numBuckets files; parallel compaction truly bounds files (r20)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("bstore").resolve("s").toString
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    // Wide input partitioning — the spray regime the r20 fix closes: an
+    // unaligned bucketed write lands one file per (task, bucket) pair
+    // (16 × 8 here), and at 100× store history that per-file scan
+    // overhead WAS the super-linear increment cost (WIDTH.md r20).
+    def mk(from: Int) = spark.range(from, from + 2000)
+      .select(md5(col("id").cast("string")).as("h"), col("id").as("store_doc_id"))
+      .repartition(16)
+    BucketedStore.append(mk(0), dir, spec)
+    assert(dataFiles().length <= spec.numBuckets,
+      s"append sprayed ${dataFiles().length} files (bound ${spec.numBuckets})")
+    BucketedStore.append(mk(2000), dir, spec)
+    assert(dataFiles().length <= 2 * spec.numBuckets)
+    val pre = BucketedStore.readOrEmpty(spark, dir, spec).count()
+    // writeTasks > 1 — the path that silently wrote bins × buckets files
+    // when compact read through the bucketed table (exchange elided +
+    // DisableUnnecessaryBucketedScan re-binned the scan).
+    BucketedStore.compact(spark, dir, spec, writeTasks = spec.numBuckets)
+    assert(dataFiles().length == spec.numBuckets,
+      s"parallel compact left ${dataFiles().length} files (want ${spec.numBuckets})")
+    assert(BucketedStore.readOrEmpty(spark, dir, spec).count() == pre)
+  }
+
   test("a mismatched bucket spec is refused, not silently mis-joined") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bstore").resolve("s").toString
