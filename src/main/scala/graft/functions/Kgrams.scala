@@ -1,0 +1,342 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** r21 codegen kernels for the token k-gram family — the three
+  * interpreted-HOF shapes that dominate the text operators' scan tasks
+  * (`transform(sequence(...), i -> ...)` lambdas are interpreted PER
+  * ELEMENT — the documented 25–100× hazard — and the slice/concat_ws
+  * chains allocate a fresh array per window). Each kernel is
+  * bit-compatible with the SQL it replaces; KgramsSpec pins every one
+  * against the verbatim replaced expression on adversarial shapes.
+  *
+  * Shared conventions: tokens are Spark `split(text, ' ')` semantics
+  * (regex split, limit −1, trailing empties kept — [[KgramShingles]]
+  * splits internally; the array-input kernels take the caller's split
+  * output); joins are single-space (concat_ws over never-null split
+  * output ≡ mkString); md5 is over UTF-8 bytes, lowercase hex. */
+object Kgrams {
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private[functions] def md5hex(md: java.security.MessageDigest,
+      s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexDigits(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private[functions] def toStringArray(a: ArrayData): Array[String] = {
+    val n = a.numElements()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val u = a.getUTF8String(i)
+      out(i) = if (u == null) null else u.toString
+      i += 1
+    }
+    out
+  }
+
+  private[functions] def join(toks: Array[String], from: Int, until: Int,
+      sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    // concat_ws semantics: null elements are skipped; the separator goes
+    // between SURVIVING elements (empty strings survive and separate, so
+    // emitted-state is a flag, not buffer length).
+    var started = false
+    var j = from
+    while (j < until) {
+      if (toks(j) != null) {
+        if (started) sb.append(' ')
+        sb.append(toks(j))
+        started = true
+      }
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Register all three kernels on the session (the fix_mojibake
+    * convention; scalar parameters must be literals). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("kgram_windows",
+      exprs => KgramWindows(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Boolean]), "built-in")
+    reg.createOrReplaceTempFunction("kgram_shingles",
+      exprs => KgramShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("adjacent_pairs",
+      exprs => AdjacentPairs(exprs.head,
+        exprs(1).eval().asInstanceOf[Boolean],
+        String.valueOf(exprs(2).eval()), String.valueOf(exprs(3).eval())),
+      "built-in")
+    reg.createOrReplaceTempFunction("excise_windows",
+      exprs => ExciseWindows(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
+  }
+
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions.{call_function, lit}
+
+  /** Column entry points. */
+  def windows(spark: SparkSession, toks: Column, k: Int, md5: Boolean): Column = {
+    register(spark)
+    call_function("kgram_windows", toks, lit(k), lit(md5))
+  }
+
+  def shingles(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("kgram_shingles", text, lit(n))
+  }
+
+  def pairs(spark: SparkSession, toks: Column, joined: Boolean,
+      lName: String = "l", rName: String = "r"): Column = {
+    register(spark)
+    call_function("adjacent_pairs", toks, lit(joined), lit(lName), lit(rName))
+  }
+
+  def excise(spark: SparkSession, toks: Column, ps: Column, k: Int): Column = {
+    register(spark)
+    call_function("excise_windows", toks, ps, lit(k))
+  }
+}
+
+/** `transform(sequence(0, greatest(size(toks) − k, 0)), i ->
+  *   [md5](concat_ws(' ', slice(toks, i + 1, k))))` — the overlapping
+  * k-token window stream of the substring-dedup family (md5 = true)
+  * and the span-decontamination shingle stream (md5 = false). A short
+  * document yields exactly one clamped whole-array window. */
+case class KgramWindows(child: Expression, k: Int, md5: Boolean)
+    extends UnaryExpression {
+  require(k >= 1, s"kgram_windows needs k >= 1 (got $k)")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kgram_windows expects array<string>, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(a: Any): Any =
+    KgramWindows.kernel(a.asInstanceOf[ArrayData], k, md5)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KgramWindows.kernel($c, $k, $md5);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KgramWindows {
+  def kernel(a: ArrayData, k: Int, md5: Boolean): ArrayData = {
+    val toks = Kgrams.toStringArray(a)
+    val digest =
+      if (md5) java.security.MessageDigest.getInstance("MD5") else null
+    val n = math.max(toks.length - k, 0)
+    val out = new Array[Any](n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= n) {
+      val s = Kgrams.join(toks, i, math.min(i + k, toks.length), sb)
+      out(i) = UTF8String.fromString(
+        if (md5) Kgrams.md5hex(digest, s) else s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** [[graft.pipeline.Dedup.shingles]]'s full CASE, from raw text:
+  * `when(size(split(text,' ')) >= n, array_distinct(transform(
+  *   sequence(0, size − n), i -> concat_ws(' ', slice(toks, i+1, n)))))
+  *  .otherwise(array(text))` — distinct n-gram shingles, first
+  * occurrence order, whole-text fallback for short documents. */
+case class KgramShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"kgram_shingles needs n >= 1 (got $n)")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kgram_shingles expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(s: Any): Any =
+    KgramShingles.kernel(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KgramShingles.kernel($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KgramShingles {
+  def kernel(s: UTF8String, n: Int): ArrayData = {
+    val text = s.toString
+    val toks = text.split(" ", -1)
+    if (toks.length < n)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(text)))
+    val seen = new java.util.HashSet[String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      val g = Kgrams.join(toks, i, i + n, sb)
+      if (seen.add(g)) out += UTF8String.fromString(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** The substring-dedup rebuild tail (r21): merge the sorted masked
+  * window positions `ps` into intervals ([p, p+k−1], extend when the
+  * next p starts inside-or-adjacent) and drop every token whose 0-based
+  * index falls in one — the exact semantics of the replaced
+  * `aggregate(ps, …)` interval fold plus the per-token
+  * `filter(toks, (t, i) -> NOT exists(ivs, …))` probe, which evaluated
+  * an interpreted lambda per TOKEN (× per interval via exists). Callers
+  * keep their `coalesce(ps, empty)` — a null input nulls the result. */
+case class ExciseWindows(toks: Expression, ps: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1, s"excise_windows needs k >= 1 (got $k)")
+  override def left: Expression = toks
+  override def right: Expression = ps
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (toks.dataType, ps.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"excise_windows expects (array<string>, array<int>), got ($a, $b)")
+    }
+
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(t: Any, p: Any): Any =
+    ExciseWindows.kernel(t.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = graft.functions.ExciseWindows.kernel($t, $p, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(toks = l, ps = r)
+}
+
+object ExciseWindows {
+  def kernel(toks: ArrayData, ps: ArrayData, k: Int): ArrayData = {
+    val np = ps.numElements()
+    val nt = toks.numElements()
+    if (np == 0) return toks
+    // Merge [p, p+k-1] intervals over the (sorted) positions — the
+    // replaced fold's exact rule: extend iff p <= last.e + 1 (ends are
+    // monotone because ps ascends, so the merged end is just p+k-1).
+    val ss = new Array[Int](np)
+    val es = new Array[Int](np)
+    var m = 0
+    var i = 0
+    while (i < np) {
+      val p = ps.getInt(i)
+      if (m > 0 && p <= es(m - 1) + 1) es(m - 1) = p + k - 1
+      else { ss(m) = p; es(m) = p + k - 1; m += 1 }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nt)
+    var iv = 0
+    i = 0
+    while (i < nt) {
+      while (iv < m && es(iv) < i) iv += 1
+      if (!(iv < m && i >= ss(iv) && i <= es(iv)))
+        out += toks.getUTF8String(i)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Adjacent-pair streams: `transform(sequence(1, size − 1), i ->
+  * toks[i−1] || ' ' || toks[i])` (joined = true — the hashed-bigram
+  * featurizers) or `named_struct(lName, toks[i−1], rName, toks[i])`
+  * (joined = false — bigram-LM counts, BPE pair counts). Callers keep
+  * their `size >= 2` pre-filter: Spark's descending-sequence quirk on
+  * singleton arrays is NOT replicated, so the kernel refuses them. */
+case class AdjacentPairs(child: Expression, joined: Boolean,
+    lName: String = "l", rName: String = "r") extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adjacent_pairs expects array<string>, got $t")
+    }
+
+  override def dataType: DataType =
+    if (joined) ArrayType(StringType)
+    else ArrayType(StructType(Seq(
+      StructField(lName, StringType), StructField(rName, StringType))))
+
+  override def nullSafeEval(a: Any): Any =
+    AdjacentPairs.kernel(a.asInstanceOf[ArrayData], joined)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AdjacentPairs.kernel($c, $joined);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AdjacentPairs {
+  def kernel(a: ArrayData, joined: Boolean): ArrayData = {
+    val toks = Kgrams.toStringArray(a)
+    require(toks.length >= 2,
+      "adjacent_pairs needs size >= 2 — keep the caller's pre-filter")
+    val out = new Array[Any](toks.length - 1)
+    var i = 1
+    while (i < toks.length) {
+      out(i - 1) =
+        if (joined) {
+          // concat semantics: any null operand nulls the result.
+          if (toks(i - 1) == null || toks(i) == null) null
+          else UTF8String.fromString(toks(i - 1) + " " + toks(i))
+        } else InternalRow(
+          if (toks(i - 1) == null) null else UTF8String.fromString(toks(i - 1)),
+          if (toks(i) == null) null else UTF8String.fromString(toks(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1,0 +1,351 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** r21 codegen kernels for the ANN/retrieval vector folds — the
+  * `aggregate(zip_with(...))` HOF chains that run per candidate×centroid
+  * pair in the IVF/PQ/SQ8/semantic paths and per token-pair in MaxSim
+  * (interpreted per ELEMENT; a PQ encode pass alone runs dim × pqK × m
+  * lambda dispatches per vector). Each kernel replicates its replaced
+  * SQL exactly — fold order (strict left-to-right, same association),
+  * zip_with length semantics (shorter side padded with null ⇒ null
+  * element ⇒ null fold result from that point on, i.e. ANY length
+  * mismatch or null element nulls the result), float→double widening
+  * CAST where the lambda had one. VecKernelsSpec pins each against the
+  * verbatim HOF chain. */
+object VecKernels {
+
+  private[functions] def getD(a: ArrayData, t: DataType, i: Int): Double =
+    t match {
+      case DoubleType => a.getDouble(i)
+      case FloatType => a.getFloat(i).toDouble
+      case LongType => a.getLong(i).toDouble
+      case IntegerType => a.getInt(i).toDouble
+      case _ => throw new IllegalStateException(s"unsupported element type $t")
+    }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def arrayOk(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType | FloatType | LongType | IntegerType, _) => true
+    case _ => false
+  }
+
+  private[functions] def checkArrays(es: Expression*)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (es.forall(e => arrayOk(e.dataType)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expected numeric arrays, got ${es.map(_.dataType).mkString(", ")}")
+
+  /** `zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) − y)` (castLeft) or
+    * `(x, y) -> x − y` over double arrays. */
+  case class VecSub(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes() = checkArrays(left, right)
+    override def dataType: DataType = ArrayType(DoubleType)
+    private lazy val lt = elemType(left)
+    private lazy val rt = elemType(right)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        lt, rt)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ltRef = ctx.addReferenceObj("lt", lt)
+      val rtRef = ctx.addReferenceObj("rt", rt)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VecKernels.sub($a, $b, $ltRef, $rtRef);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def sub(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): ArrayData = {
+    val la = a.numElements(); val lb = b.numElements()
+    val n = math.max(la, lb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (i >= la || i >= lb || a.isNullAt(i) || b.isNullAt(i)) null
+        else java.lang.Double.valueOf(getD(a, lt, i) - getD(b, rt, i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `aggregate(zip_with(a, b, (x, y) -> (x−y)·(x−y)), 0D, +)`,
+    * optionally with the lambda's float→double CAST (op = "l2sq"), or
+    * `(x, y) -> x·y` (op = "dotd"), or single-array
+    * `aggregate(transform(a, x -> x·x), 0D, +)` (op = "sumsq", b = a). */
+  case class VecFoldD(left: Expression, right: Expression, op: String)
+      extends BinaryExpression {
+    require(Set("l2sq", "dotd", "sumsq")(op), s"unknown op $op")
+    override def checkInputDataTypes() = checkArrays(left, right)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private lazy val lt = elemType(left)
+    private lazy val rt = elemType(right)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.foldD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        lt, rt, op)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ltRef = ctx.addReferenceObj("lt", lt)
+      val rtRef = ctx.addReferenceObj("rt", rt)
+      val r = ctx.freshName("foldRes")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""java.lang.Double $r = graft.functions.VecKernels.foldD($a, $b, $ltRef, $rtRef, "$op");
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def foldD(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType,
+      op: String): java.lang.Double = {
+    val la = a.numElements(); val lb = b.numElements()
+    val n = math.max(la, lb)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      // A null zip element (length mismatch or null input element) nulls
+      // the fold's accumulator and therefore the whole result — the
+      // first such element decides, exactly like `acc + NULL`.
+      if (i >= la || i >= lb || a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = getD(a, lt, i)
+      val y = getD(b, rt, i)
+      s += (op match {
+        case "l2sq" => val d = x - y; d * d
+        case "dotd" => x * y
+        case "sumsq" => x * x
+      })
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** `aggregate(zip_with(a, b, (x, y) -> x·y), CAST(0 AS BIGINT), +)`
+    * over BIGINT arrays — the MaxSim integer dot (wrapping Long math,
+    * exactly Spark's non-ANSI `*`/`+`). */
+  case class DotLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes() =
+      if (left.dataType == ArrayType(LongType) &&
+          right.dataType == ArrayType(LongType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true; case _ => false
+      }))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_long expects array<bigint>, got ${left.dataType}, ${right.dataType}")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val r = ctx.freshName("dotRes")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""java.lang.Long $r = graft.functions.VecKernels.dotLong($a, $b);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }""".stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val la = a.numElements(); val lb = b.numElements()
+    val n = math.max(la, lb)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (i >= la || i >= lb || a.isNullAt(i) || b.isNullAt(i)) return null
+      // ANSI semantics (the session default): overflow raises, exactly
+      // like the SQL fold's `*`/`+`.
+      s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** The late-interaction pseudo-embedding: `transform(sequence(0, 7),
+    * j -> pmod(hash64('li' || j || ':' || tok), 16) − 8)` with hash64 =
+    * PortableHash's md5-word — 8 md5 calls per token, previously each
+    * through an interpreted lambda + conv-string parse. */
+  case class LiEmb(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes() =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"li_emb expects a string, got ${child.dataType}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(s: Any): Any =
+      VecKernels.liEmb(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VecKernels.liEmb($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def liEmb(tok: UTF8String): ArrayData = {
+    val t = tok.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](8)
+    var j = 0
+    while (j < 8) {
+      val hex = Kgrams.md5hex(md, "li" + j + ":" + t).substring(0, 16)
+      val h = java.lang.Long.parseUnsignedLong(hex, 16)
+      // pmod(h, 16) − 8, replicated in two's-complement Long math.
+      out(j) = ((h % 16) + 16) % 16 - 8
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ⟨x, w_j⟩ for every plane j of a literal weight matrix — each dot
+    * the exact left fold of `aggregate(zip_with(x, w_j,
+    * (x, v) -> [CAST(x AS DOUBLE)] · v), 0D, +)`; a null element or a
+    * length mismatch nulls that plane's dot (all planes fold the full
+    * vector, so one bad element nulls them all). */
+  case class PlaneDots(child: Expression, weights: Seq[Seq[Double]])
+      extends UnaryExpression {
+    override def checkInputDataTypes() = checkArrays(child)
+    override def dataType: DataType = ArrayType(DoubleType)
+    @transient private lazy val wArr: Array[Array[Double]] =
+      weights.map(_.toArray).toArray
+    @transient private lazy val et = elemType(child)
+    override def nullSafeEval(a: Any): Any =
+      VecKernels.planeDots(a.asInstanceOf[ArrayData], et, wArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("planeWeights", wArr,
+        "double[][]")
+      val tRef = ctx.addReferenceObj("et", et)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VecKernels.planeDots($c, $tRef, $wRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def planeDots(a: ArrayData, t: DataType,
+      w: Array[Array[Double]]): ArrayData = {
+    val la = a.numElements()
+    val out = new Array[Any](w.length)
+    var j = 0
+    while (j < w.length) {
+      val wj = w(j)
+      val n = math.max(la, wj.length)
+      var s = 0.0
+      var ok = true
+      var i = 0
+      while (ok && i < n) {
+        if (i >= la || i >= wj.length || a.isNullAt(i)) ok = false
+        else { s += getD(a, t, i) * wj(i); i += 1 }
+      }
+      out(j) = if (ok) java.lang.Double.valueOf(s) else null
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The banded-LSH 64-bit signature: bit j set iff ⟨x, w_j⟩ > 0 —
+    * `IF(dot_j > 0D, 1<<j, 0L)` OR-folded, with a null dot contributing
+    * 0 exactly like SQL IF's null-condition else-branch. */
+  case class SigBits(child: Expression, weights: Seq[Seq[Double]])
+      extends UnaryExpression {
+    override def checkInputDataTypes() = checkArrays(child)
+    override def dataType: DataType = LongType
+    @transient private lazy val wArr: Array[Array[Double]] =
+      weights.map(_.toArray).toArray
+    @transient private lazy val et = elemType(child)
+    override def nullSafeEval(a: Any): Any =
+      VecKernels.sigBits(a.asInstanceOf[ArrayData], et, wArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("planeWeights", wArr, "double[][]")
+      val tRef = ctx.addReferenceObj("et", et)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VecKernels.sigBits($c, $tRef, $wRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def sigBits(a: ArrayData, t: DataType, w: Array[Array[Double]]): Long = {
+    val dots = planeDots(a, t, w)
+    var sig = 0L
+    var j = 0
+    while (j < w.length) {
+      if (!dots.isNullAt(j) && dots.getDouble(j) > 0.0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  /** Register + Column entry points (the fix_mojibake convention). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_sub",
+      exprs => VecSub(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_l2sq",
+      exprs => VecFoldD(exprs(0), exprs(1), "l2sq"), "built-in")
+    reg.createOrReplaceTempFunction("vec_dotd",
+      exprs => VecFoldD(exprs(0), exprs(1), "dotd"), "built-in")
+    reg.createOrReplaceTempFunction("vec_sumsq",
+      exprs => VecFoldD(exprs(0), exprs(0), "sumsq"), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot_long",
+      exprs => DotLong(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("li_emb",
+      exprs => LiEmb(exprs(0)), "built-in")
+    def decodeW(e: Expression): Seq[Seq[Double]] =
+      e.eval().asInstanceOf[ArrayData].toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray().toSeq).toSeq
+    reg.createOrReplaceTempFunction("plane_dots",
+      exprs => PlaneDots(exprs(0), decodeW(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("sig_bits",
+      exprs => SigBits(exprs(0), decodeW(exprs(1))), "built-in")
+  }
+
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions.call_function
+
+  def subCol(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("vec_sub", a, b)
+  }
+  def l2sq(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("vec_l2sq", a, b)
+  }
+  def dotd(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("vec_dotd", a, b)
+  }
+  def sumsq(spark: SparkSession, a: Column): Column = {
+    register(spark); call_function("vec_sumsq", a)
+  }
+  def dotLongCol(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("vec_dot_long", a, b)
+  }
+  def liEmbCol(spark: SparkSession, tok: Column): Column = {
+    register(spark); call_function("li_emb", tok)
+  }
+  def planeDotsCol(spark: SparkSession, emb: Column,
+      weights: Seq[Seq[Double]]): Column = {
+    register(spark)
+    call_function("plane_dots", emb,
+      org.apache.spark.sql.functions.typedlit(weights))
+  }
+  def sigBitsCol(spark: SparkSession, emb: Column,
+      weights: Seq[Seq[Double]]): Column = {
+    register(spark)
+    call_function("sig_bits", emb,
+      org.apache.spark.sql.functions.typedlit(weights))
+  }
+}

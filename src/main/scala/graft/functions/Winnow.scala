@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression computing winnowing fingerprints
+  * (Schleimer–Wilkerson–Aiken) for one document in one JVM kernel —
+  * the r21 codegen replacement for the interpreted HOF chain in
+  * [[graft.pipeline.Dedup.winnowFingerprints]] (a `transform` hashing
+  * every k-gram plus a per-window `aggregate(filter(sequence))` fold:
+  * both lambdas are INTERPRETED per element — the documented 25–100×
+  * hazard — and the fold re-reads the hash array through `element_at`
+  * w times per window).
+  *
+  * Bit-compatible with the SQL it replaces, clause by clause:
+  *   - tokens = split(text, ' ') with limit −1 (trailing empties kept);
+  *   - hashes = first 16 hex chars of md5 over each k-gram re-joined
+  *     with single spaces; documents shorter than k tokens fall back to
+  *     one whole-text fingerprint;
+  *   - windows j = 1 … greatest(len−w+1, 1), each selecting by the
+  *     exact fold rule: init = leftmost element, replace on `<=`
+  *     (lowercase-hex ASCII ⇒ Java String order ≡ UTF8 binary order),
+  *     scan bounded by the array end (the single partial window of a
+  *     short document selects the global minimum);
+  *   - the w = 1 quirk REPLICATED: the SQL's fold domain
+  *     `sequence(j+1, j+w−1)` DESCENDS to [j+1, j] when w = 1 (Spark
+  *     sequences descend when start > stop; the in-line filter only
+  *     guards the out-of-range end), so each "window" folds over
+  *     {j+1, j} in that order rather than being a pure singleton —
+  *     WinnowSpec's (k=5, w=1) case pins this;
+  *   - array_distinct semantics: first occurrence of each (fp, pos)
+  *     struct wins, encounter order preserved.
+  * WinnowSpec pins kernel ≡ SQL on adversarial shapes; the oracle
+  * entries (q98_winnowing, winnow_pairs) hash-match unchanged. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnow_fps needs k >= 1 and w >= 1 (got k=$k, w=$w)")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fps expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = WinnowFingerprints.outType
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowFingerprints.winnow(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.WinnowFingerprints.winnow($c, $k, $w);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+
+  /** Matches the named_struct('fp', …, 'pos', …) the HOF chain built
+    * (nullable fields — element_at's declared nullability — so the
+    * downstream schema is unchanged). */
+  val outType: DataType = ArrayType(StructType(Seq(
+    StructField("fp", StringType), StructField("pos", IntegerType))))
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5hex16(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](16)
+    var i = 0
+    while (i < 8) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexDigits(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The shared interpreted/codegen kernel. Positions are 1-based ints,
+    * exactly as the SQL's `sequence(1, …)` produced them. */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val text = s.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.split(" ", -1)
+    val hh: Array[String] =
+      if (toks.length >= k) {
+        val out = new Array[String](toks.length - k + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < out.length) {
+          sb.setLength(0)
+          var j = i
+          while (j < i + k) {
+            if (j > i) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          out(i) = md5hex16(md, sb.toString)
+          i += 1
+        }
+        out
+      } else Array(md5hex16(md, text))
+    val nw = math.max(hh.length - w + 1, 1)
+    // array_distinct: first occurrence wins, order preserved. Window
+    // positions are non-decreasing so duplicates are adjacent, but the
+    // set keeps the contract airtight rather than relying on that.
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    var j0 = 0 // 0-based window start
+    while (j0 < nw) {
+      var bestFp = hh(j0)
+      var bestPos = j0 + 1
+      if (w >= 2) {
+        var i = j0 + 1
+        val end = math.min(j0 + w - 1, hh.length - 1)
+        while (i <= end) {
+          if (hh(i).compareTo(bestFp) <= 0) { bestFp = hh(i); bestPos = i + 1 }
+          i += 1
+        }
+      } else {
+        // w = 1: the SQL's sequence(j+1, j) descends — fold over j+1
+        // (if in range) THEN j itself, exactly as the HOF chain did.
+        var d = j0 + 1
+        while (d >= j0) {
+          if (d < hh.length && hh(d).compareTo(bestFp) <= 0) {
+            bestFp = hh(d); bestPos = d + 1
+          }
+          d -= 1
+        }
+      }
+      // (fp, pos) dedup key: fp is determined by pos, so pos suffices —
+      // but fold fp's identity in anyway (first 8 hex chars) to mirror
+      // struct equality literally.
+      val key = (bestPos.toLong << 32) | (java.lang.Integer
+        .parseUnsignedInt(bestFp.substring(0, 8), 16).toLong & 0xFFFFFFFFL)
+      if (seen.add(key)) {
+        out += InternalRow(UTF8String.fromString(bestFp),
+          java.lang.Integer.valueOf(bestPos))
+      }
+      j0 += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Register `winnow_fps(text, k, w)` on the session (the fix_mojibake
+    * convention; k and w must be integer literals). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps",
+      exprs => WinnowFingerprints(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+
+  /** Column-level entry point. */
+  def fps(spark: org.apache.spark.sql.SparkSession,
+      c: org.apache.spark.sql.Column, k: Int, w: Int): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("winnow_fps", c,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+  }
+}

@@ -66,9 +66,8 @@ object Classify {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))"))
-        .as("bgram"))
+      .select(col("doc_id"), col("lang"), explode(graft.functions.Kgrams
+        .pairs(spark, col("toks"), joined = true)).as("bgram"))
       .select(col("doc_id"), col("lang"),
         pmod(PortableHash.hash64(col("bgram")), lit(Buckets.toLong)).as("f"))
   }
@@ -114,8 +113,73 @@ object Classify {
       step: Double = 5.0,
       l2: Double = 1e-6): Array[Double] = {
     val ft = graft.Materialize(featureTable(docs, targetLang))
-    val n = ft.count().toDouble
+    // One job for both gate scalars: doc count (the GD 1/n) and total
+    // feature INSTANCES (the driver-bytes bound the endgame gates on).
+    val gate = ft.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("feats"))), lit(0L)).as("inst")).head()
+    val n = gate.getLong(0).toDouble
     val w = Array.fill(Buckets + 1)(0.0)
+    // Small-model endgame (r21 — the pageRank localThreshold convention
+    // applied to full-batch GD): once the sparse feature table fits in a
+    // bounded driver array, the 12 epochs run as driver mat-vecs — zero
+    // jobs — where each distributed epoch paid a fresh plan (new weight
+    // literal) + explode + aggregate + O(model) collect (~3 jobs/epoch,
+    // 37 jobs for the quality_classifier entry). The arithmetic is
+    // REPLAYED EXACTLY: same left-fold dot order, same Math.exp sigmoid,
+    // same per-epoch ROUND-9 grid on the gradients (which absorbs the
+    // distributed grad-sum order exactly as the contract above states —
+    // LogisticLocalSpec asserts local ≡ distributed), and only slots
+    // with ≥1 observed instance ever update, mirroring the groupBy's
+    // row set. Above the bound the distributed loop is the 100-TB path.
+    val localThreshold = docs.sparkSession.conf
+      .get("spark.graft.logistic.localThreshold", (1 << 20).toString).toLong
+    if (n > 0 && gate.getLong(1) <= localThreshold) {
+      val rows = ft.select(col("y"), col("feats")).collect()
+      val ys = new Array[Double](rows.length)
+      val idx = new Array[Array[Int]](rows.length)
+      val xs = new Array[Array[Double]](rows.length)
+      val occupied = new Array[Boolean](Buckets + 1)
+      var d = 0
+      while (d < rows.length) {
+        ys(d) = rows(d).getDouble(0)
+        val fs = rows(d).getSeq[org.apache.spark.sql.Row](1)
+        idx(d) = new Array[Int](fs.length)
+        xs(d) = new Array[Double](fs.length)
+        var i = 0
+        while (i < fs.length) {
+          val f = fs(i).getLong(0)
+          idx(d)(i) = if (f < 0) Buckets else f.toInt
+          xs(d)(i) = fs(i).getDouble(1)
+          occupied(idx(d)(i)) = true
+          i += 1
+        }
+        d += 1
+      }
+      for (_ <- 0 until iters) {
+        val grad = new Array[Double](Buckets + 1)
+        d = 0
+        while (d < rows.length) {
+          val ix = idx(d); val xv = xs(d)
+          var dot = 0.0
+          var i = 0
+          while (i < ix.length) { dot += xv(i) * w(ix(i)); i += 1 }
+          val r = 1.0 / (1.0 + math.exp(-dot)) - ys(d)
+          i = 0
+          while (i < ix.length) { grad(ix(i)) += r * xv(i); i += 1 }
+          d += 1
+        }
+        var i = 0
+        while (i <= Buckets) {
+          if (occupied(i)) {
+            val reg = if (i == Buckets) 0.0 else l2 * w(i)
+            w(i) -= step * (r9(grad(i)) / n + reg)
+          }
+          i += 1
+        }
+      }
+      graft.Materialize.release(ft)
+      return w
+    }
     if (n > 0) for (_ <- 0 until iters) {
       // ONE array-literal node (not a 4097-child CreateArray): the
       // whole-stage codegen for each iteration's fresh plan stays small
@@ -269,9 +333,9 @@ object Classify {
     docs // needs only (doc_id, text) — not [[bigramBuckets]]' lang
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))"))
-        .as("bgram"))
+      .select(col("doc_id"), explode(graft.functions.Kgrams
+        .pairs(org.apache.spark.sql.SparkSession.active, col("toks"),
+          joined = true)).as("bgram"))
       .select(col("doc_id"),
         pmod(PortableHash.hash64(col("bgram")), lit(Buckets.toLong)).as("f"))
       .groupBy("doc_id")

@@ -266,14 +266,37 @@ object Clusters {
     * geometrically at rate `damping`). */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
+    // Materialized ONCE (r21): every downstream derivation (node set,
+    // degree annotation, dangling complement — and the edge count the
+    // local-finish gate needs) re-consumed the edge PLAN, so the
+    // expensive pair generation upstream re-executed up to four times.
+    val e = graft.Materialize(edges.select(col("src"), col("dst")))
+    // Small-graph endgame (r21 — the connectedComponents localThreshold
+    // convention applied to the power iteration): once the edge set fits
+    // in a bounded driver array, the 10 fixed iterations run in
+    // microseconds on the driver, where each distributed iteration costs
+    // a checkpoint + join + aggregate + anti-join (~11 jobs/iteration
+    // measured — 111 jobs for the graph_pagerank entry at sf0.1). The
+    // arithmetic is REPLAYED EXACTLY: same expression shape, same
+    // per-iteration ROUND-9 grid (which absorbs the 1e-16
+    // summation-order drift exactly as it does between Spark and the
+    // DuckDB twin — PageRankLocalSpec asserts local ≡ distributed).
+    // Above the bound the distributed loop below is the 100-TB path.
+    val localThreshold = edges.sparkSession.conf
+      .get("spark.graft.pagerank.localThreshold", (1 << 20).toString).toLong
+    if (e.count() <= localThreshold) {
+      val out = localPageRank(e, iterations, damping)
+      graft.Materialize.release(e)
+      return out
+    }
     val nodes = graft.Materialize(
-      edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct())
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
     val n = math.max(nodes.count(), 1L) // bounded driver scalar (node count)
     val withDeg = graft.Materialize(
-      edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")))
+      e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")))
     // Nodes WITH out-edges; the anti-join complement is the dangling set.
-    val srcs = graft.Materialize(edges.select(col("src").as("id")).distinct())
+    val srcs = graft.Materialize(e.select(col("src").as("id")).distinct())
     var ranks = graft.Materialize(nodes.withColumn("rank", lit(1.0 / n)))
     (0 until iterations).foreach { _ =>
       val inflow = withDeg.join(ranks, col("src") === col("id"))
@@ -303,7 +326,49 @@ object Clusters {
     graft.Materialize.release(nodes)
     graft.Materialize.release(withDeg)
     graft.Materialize.release(srcs)
+    graft.Materialize.release(e)
     out
+  }
+
+  /** Driver-side replay of [[pageRank]]'s fixed-iteration loop over a
+    * collected (bounded — the caller gates on the localThreshold) edge
+    * array. Bit-compatible with the distributed loop: identical
+    * expression shape per iteration ((1−d)/n + d·(inflow + dm/n)),
+    * identical HALF_UP ROUND-9 grid per iteration and ROUND-6 report —
+    * the only divergence source is inflow summation ORDER, absorbed by
+    * the grid exactly as the distributed loop's shuffle-arrival order is
+    * (the contract [[pageRank]]'s doc states; PageRankLocalSpec asserts
+    * equality on a planted graph plus the registered entries' graphs). */
+  private def localPageRank(e: DataFrame, iterations: Int,
+      damping: Double): DataFrame = {
+    val spark = e.sparkSession
+    def r(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = e.collect().map(row => (row.get(0), row.get(1)))
+    val nodes: Array[Any] =
+      (pairs.iterator.map(_._1) ++ pairs.iterator.map(_._2)).toArray.distinct
+    val n = math.max(nodes.length, 1).toLong
+    val idx = nodes.zipWithIndex.toMap
+    val es = pairs.map { case (s, d) => (idx(s), idx(d)) }
+    val outdeg = new Array[Long](nodes.length)
+    es.foreach { case (s, _) => outdeg(s) += 1 }
+    var rank = Array.fill(nodes.length)(1.0 / n)
+    (0 until iterations).foreach { _ =>
+      val inflow = new Array[Double](nodes.length)
+      es.foreach { case (s, d) => inflow(d) += rank(s) / outdeg(s) }
+      var dm = 0.0
+      nodes.indices.foreach(i => if (outdeg(i) == 0) dm += rank(i))
+      rank = Array.tabulate(nodes.length)(i =>
+        r((1 - damping) / n + damping * (inflow(i) + dm / n), 9))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", e.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.indices.map(i =>
+        org.apache.spark.sql.Row(nodes(i), r(rank(i), 6))): _*)
+    spark.createDataFrame(rows, schema)
   }
 
   /** The registered graph: symmetric doc-similarity edges from the same

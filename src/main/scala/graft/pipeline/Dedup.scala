@@ -31,13 +31,13 @@ object Dedup {
   private val NfcPrecomposed = " caf\u00e9 \u00c5"
 
   /** Distinct n-gram shingles of the whitespace token stream; documents
-    * shorter than n fall back to a single whole-text shingle. */
-  def shingles(n: Int): Column = {
-    val toks = "split(text, ' ')"
-    when(size(split(col("text"), " ")) >= n,
-      expr(s"array_distinct(transform(sequence(0, size($toks) - $n), i -> concat_ws(' ', slice($toks, i + 1, $n))))"))
-      .otherwise(array(col("text")))
-  }
+    * shorter than n fall back to a single whole-text shingle. One
+    * codegen kernel per document (r21, [[graft.functions.KgramShingles]]
+    * — bit-compatible with the interpreted CASE/transform/array_distinct
+    * chain it replaced, pinned by KgramsSpec). */
+  def shingles(n: Int): Column =
+    graft.functions.Kgrams.shingles(
+      org.apache.spark.sql.SparkSession.active, col("text"), n)
 
   /** Exact dedup: keep-first by content hash. One shuffle on the hash —
     * as a hash AGGREGATE (min doc_id per hash), not a per-hash row_number
@@ -230,12 +230,12 @@ object Dedup {
 
   /** Stage 2 — the overlapping k-token window stream, hash-projected.
     * Position list clamps at 0 so a short document yields exactly one
-    * window; `slice` clamps at the array end in both engines, so that
-    * window hashes the whole text. */
+    * window that hashes the whole text. One codegen kernel per document
+    * (r21, [[graft.functions.KgramWindows]] — bit-compatible with the
+    * interpreted transform/slice/md5 chain it replaced, KgramsSpec). */
   private[graft] def substrWindows(tok: DataFrame, k: Int): DataFrame =
-    tok.select(col("doc_id"), posexplode(expr(
-      s"""transform(sequence(0, greatest(size(toks) - $k, 0)),
-         |  i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))""".stripMargin))
+    tok.select(col("doc_id"), posexplode(graft.functions.Kgrams
+      .windows(tok.sparkSession, col("toks"), k, md5 = true))
       .as(Seq("pos", "h")))
 
   /** Stage 3 — global keep-first aggregate. Duplicated hashes ONLY go
@@ -268,15 +268,14 @@ object Dedup {
   private def rebuildExcised(tok: DataFrame, masked: DataFrame,
       k: Int): DataFrame =
     tok.join(masked, Seq("doc_id"), "left")
-      .withColumn("ivs", expr(
-        s"""aggregate(coalesce(ps, CAST(array() AS ARRAY<INT>)),
-           |  CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
-           |  (acc, p) -> IF(size(acc) > 0 AND p <= element_at(acc, -1).e + 1,
-           |    concat(slice(acc, 1, size(acc) - 1),
-           |      array(named_struct('s', element_at(acc, -1).s, 'e', p + $k - 1))),
-           |    concat(acc, array(named_struct('s', p, 'e', p + $k - 1)))))""".stripMargin))
-      .withColumn("clean_toks", expr(
-        "filter(toks, (t, i) -> NOT exists(ivs, v -> i >= v.s AND i <= v.e))"))
+      // Interval merge + index-aware rebuild in one codegen kernel (r21,
+      // [[graft.functions.ExciseWindows]] — bit-compatible with the
+      // aggregate-fold + filter/exists chain it replaced, pinned by
+      // KgramsSpec): the old form ran an interpreted lambda per TOKEN
+      // (times per-interval exists probes).
+      .withColumn("clean_toks", graft.functions.Kgrams.excise(
+        tok.sparkSession, col("toks"),
+        coalesce(col("ps"), expr("CAST(array() AS ARRAY<INT>)")), k))
       .select(col("doc_id"),
         greatest(size(col("toks")) - lit(k - 1), lit(1)).cast("long").as("n_shingles"),
         coalesce(col("n_masked"), lit(0L)).as("n_masked"),
@@ -310,10 +309,7 @@ object Dedup {
     val store = graft.sinks.BucketedStore.readOrEmpty(spark, storeDir, WindowStoreSpec)
     val tok = graft.Materialize(spread(newDocs)
       .select(col("doc_id"), split(col("text"), " ").as("toks")))
-    val sh = graft.Materialize(tok.select(col("doc_id"), posexplode(expr(
-      s"""transform(sequence(0, greatest(size(toks) - $k, 0)),
-         |  i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))""".stripMargin))
-      .as(Seq("pos", "h"))))
+    val sh = graft.Materialize(substrWindows(tok, k))
     val intra = sh.groupBy("h").agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("own"))
@@ -694,31 +690,18 @@ object Dedup {
     * fingerprint table is the reusable primitive [[winnowingPairs]] and
     * any external index consume. */
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
-    val toks = "split(text, ' ')"
-    val hs =
-      s"""CASE WHEN size($toks) >= $k
-         |THEN transform(sequence(1, size($toks) - $k + 1),
-         |  i -> substring(md5(concat_ws(' ', slice($toks, i, $k))), 1, 16))
-         |ELSE array(substring(md5(text), 1, 16)) END""".stripMargin
-    // Adjacent windows often select the same (pos, fp): dedup INSIDE the
-    // row (array_distinct) — the duplicate scope is per-document by
-    // construction, so a global distinct would be a pointless
-    // corpus-wide shuffle.
-    // The fold domain sequence(j+1, …) must be EMPTY when the window
-    // holds a single element (size(hh) = j): Spark sequences DESCEND
-    // when start > stop, so sequence(2, 1) = [2, 1] and element_at(hh,
-    // 2) throws under ANSI mode. filter over the fixed ascending
-    // sequence(j+1, j+w-1) keeps only in-range positions and is empty
-    // in that case, so the aggregate returns its init (the lone
-    // element) — the documented whole-text-fingerprint fallback.
-    val sel =
-      s"""array_distinct(transform(sequence(1, greatest(size(hh) - $w + 1, 1)),
-         |  j -> aggregate(filter(sequence(j + 1, j + $w - 1), i -> i <= size(hh)),
-         |    named_struct('fp', element_at(hh, j), 'pos', j),
-         |    (acc, i) -> IF(element_at(hh, i) <= acc.fp,
-         |      named_struct('fp', element_at(hh, i), 'pos', i), acc))))""".stripMargin
-    docs.select(col("doc_id"), expr(hs).as("hh"))
-      .select(col("doc_id"), explode(expr(sel)).as("s"))
+    // One codegen kernel per document (r21): hashing + window selection
+    // + per-row distinct all run in a single JVM loop
+    // ([[graft.functions.WinnowFingerprints]], bit-compatible with the
+    // HOF chain it replaced — see its doc for the clause-by-clause
+    // mapping). The interpreted form paid per-element lambda dispatch
+    // for every k-gram hash AND w element_at reads per window; the
+    // dedup stays INSIDE the row (the duplicate scope is per-document
+    // by construction, so a global distinct would be a pointless
+    // corpus-wide shuffle).
+    docs.select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints
+          .fps(docs.sparkSession, col("text"), k, w)).as("s"))
       .select(col("doc_id"), col("s.pos").cast("long").as("pos"), col("s.fp").as("fp"))
   }
 

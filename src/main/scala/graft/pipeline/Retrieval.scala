@@ -349,8 +349,8 @@ object Retrieval {
       k: Int = 10): DataFrame = {
     val dots = docTokEmb.crossJoin(broadcast(qTokEmb))
       .select(col("query_id"), col("qpos"), col("doc_id"),
-        expr("""aggregate(zip_with(emb, qemb, (a, b) -> a * b),
-               |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+        graft.functions.VecKernels.dotLongCol(
+          org.apache.spark.sql.SparkSession.active, col("emb"), col("qemb"))
           .as("dot"))
     maxSimRank(dots, k)
   }
@@ -398,13 +398,15 @@ object Retrieval {
     val qt = queries.flatMap { case (qid, text) =>
       text.split(" ").zipWithIndex.map { case (t, i) => (qid, i.toLong, t) }
     }.toDF("query_id", "qpos", "tok")
-      .select(col("query_id"), col("qpos"), expr(liEmbSql("tok")).as("qemb"))
+      .select(col("query_id"), col("qpos"), graft.functions.VecKernels.liEmbCol(
+        org.apache.spark.sql.SparkSession.active, col("tok")).as("qemb"))
     val dotTab = toks.select("tok").distinct()
-      .select(col("tok"), expr(liEmbSql("tok")).as("emb"))
+      .select(col("tok"), graft.functions.VecKernels.liEmbCol(
+        org.apache.spark.sql.SparkSession.active, col("tok")).as("emb"))
       .crossJoin(broadcast(qt))
       .select(col("tok"), col("query_id"), col("qpos"),
-        expr("""aggregate(zip_with(emb, qemb, (a, b) -> a * b),
-               |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+        graft.functions.VecKernels.dotLongCol(
+          org.apache.spark.sql.SparkSession.active, col("emb"), col("qemb"))
           .as("dot"))
     maxSimRank(toks.join(graft.GatedBroadcast(dotTab), Seq("tok")), k)
   }

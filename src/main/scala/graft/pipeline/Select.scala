@@ -210,9 +210,10 @@ object Select {
         split(col("text"), " ").as("toks")))
     val posSh = tok.select(col("doc_id"), col("is_eval"),
       size(col("toks")).cast("long").as("len"),
-      posexplode(expr(
-        s"""transform(sequence(0, greatest(size(toks) - $n, 0)),
-           |  i -> concat_ws(' ', slice(toks, i + 1, $n)))""".stripMargin))
+      // Codegen kernel (r21, KgramsSpec-pinned) for the positional
+      // window stream — one JVM loop instead of interpreted transform.
+      posexplode(graft.functions.Kgrams
+        .windows(docs.sparkSession, col("toks"), n, md5 = false))
         .as(Seq("pos", "s")))
     val evalShingles = posSh.filter(col("is_eval")).select("s").distinct()
     val hits = posSh.filter(!col("is_eval"))
@@ -407,9 +408,8 @@ object Select {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))"))
-        .as("bgram"))
+      .select(col("doc_id"), col("lang"), explode(graft.functions.Kgrams
+        .pairs(spark, col("toks"), joined = true)).as("bgram"))
       .select(col("doc_id"), col("lang"),
         pmod(graft.functions.PortableHash.hash64(col("bgram")),
           lit(buckets.toLong)).as("f")))

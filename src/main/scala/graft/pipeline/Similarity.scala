@@ -165,14 +165,14 @@ object Similarity {
     * costs ZERO shuffles (the previous explode → 16-sum groupBy form paid
     * one, and its shuffled float-summation order was engine- and
     * partitioning-dependent, which is what blocked an oracle). */
-  private def hyperplaneSig(planes: Int, dim: Int): Column = {
-    val bits = (0 until planes).map { j =>
-      val d = s"aggregate(zip_with(embedding, ${weightLit(j, dim)}, " +
-        "(x, v) -> CAST(x AS DOUBLE) * v), 0D, (a, v) -> a + v)"
-      s"IF($d > 0D, ${1L << j}L, 0L)"
-    }
-    expr(bits.mkString("(", " | ", ")"))
-  }
+  private def hyperplaneSig(planes: Int, dim: Int): Column =
+    // One codegen kernel for all `planes` dot-folds (r21,
+    // [[graft.functions.VecKernels.SigBits]] — exact left-fold order and
+    // IF-null semantics of the interpreted per-plane HOF chain it
+    // replaced, VecKernelsSpec-pinned).
+    graft.functions.VecKernels.sigBitsCol(
+      org.apache.spark.sql.SparkSession.active, col("embedding"),
+      (0 until planes).map(j => (0 until dim).map(i => planeWeight(j, i))))
 
   /** (vec_id, embedding, band, bucket) table for banded signature LSH.
     * Materialized twice: the signature table first (the 16 interpreted
@@ -767,7 +767,8 @@ object Similarity {
     val resSubs = graft.Materialize(
       coarse.assign(emb).join(broadcast(cents), Seq("cell"))
         .select(col("vec_id"), col("cell"),
-          expr("zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) - y)")
+          graft.functions.VecKernels.subCol(
+          org.apache.spark.sql.SparkSession.active, col("embedding"), col("cvec"))
             .as("r"))
         .select(col("vec_id"), col("cell"), explode(expr(
           s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
@@ -799,8 +800,10 @@ object Similarity {
       candFilter: Column): DataFrame = {
     val qres = queries.crossJoin(broadcast(cents))
       .select(col("query_id"), col("cell"),
-        expr("zip_with(qe, cvec, (x, y) -> CAST(x AS DOUBLE) - y)").as("qr"))
-      .withColumn("d2", expr("aggregate(transform(qr, x -> x * x), 0D, (a, v) -> a + v)"))
+        graft.functions.VecKernels.subCol(
+        org.apache.spark.sql.SparkSession.active, col("qe"), col("cvec")).as("qr"))
+      .withColumn("d2", graft.functions.VecKernels.sumsq(
+        org.apache.spark.sql.SparkSession.active, col("qr")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("d2"), asc("cell"))))
       .filter(col("rn") <= nProbe)
@@ -811,7 +814,8 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("e.sub").as("sub"), col("e.svec").as("svec"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("cell"), col("sub"), col("code"),
-        expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+        graft.functions.VecKernels.l2sq(
+            org.apache.spark.sql.SparkSession.active, col("svec"), col("cvec"))
           .as("d"))
 
     // Only vectors in probed cells join the broadcast table at all.
@@ -855,7 +859,8 @@ object Similarity {
     val resSubs = assignToCells(cents, newEmb)
       .join(broadcast(cents), Seq("cell"))
       .select(col("vec_id"), col("cell"),
-        expr("zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) - y)").as("r"))
+        graft.functions.VecKernels.subCol(
+          org.apache.spark.sql.SparkSession.active, col("embedding"), col("cvec")).as("r"))
       .select(col("vec_id"), col("cell"), explode(expr(
         s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
            |  slice(r, j * $sub + 1, $sub) AS svec))""".stripMargin)).as("e"))
@@ -907,9 +912,10 @@ object Similarity {
     val q = graft.Materialize(queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
     val probed = q.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("cell"), expr(
-        "aggregate(transform(zip_with(qe, cvec, (x, y) -> CAST(x AS DOUBLE) - y), " +
-          "x -> x * x), 0D, (a, v) -> a + v)").as("d2"))
+      .select(col("query_id"), col("cell"), graft.functions.VecKernels.sumsq(
+        org.apache.spark.sql.SparkSession.active,
+        graft.functions.VecKernels.subCol(
+          org.apache.spark.sql.SparkSession.active, col("qe"), col("cvec"))).as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("d2"), asc("cell"))))
       .filter(col("rn") <= nProbe)
@@ -996,7 +1002,8 @@ object Similarity {
       data.join(broadcast(cb), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("svec"),
           struct(
-            expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+            graft.functions.VecKernels.l2sq(
+            org.apache.spark.sql.SparkSession.active, col("svec"), col("cvec"))
               .as("dist"),
             col("code")).as("dc"))
         .groupBy("vec_id", "sub")
@@ -1048,7 +1055,8 @@ object Similarity {
       .join(broadcast(codebook), Seq("sub"))
       .select((col("vec_id") +: carry.map(col)) ++ Seq(col("sub"),
         struct(
-          expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+          graft.functions.VecKernels.l2sq(
+            org.apache.spark.sql.SparkSession.active, col("svec"), col("cvec"))
             .as("dist"),
           col("code")).as("dc")): _*)
       .groupBy("vec_id", "sub")
@@ -1098,7 +1106,8 @@ object Similarity {
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(codebook), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
-        expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+        graft.functions.VecKernels.l2sq(
+            org.apache.spark.sql.SparkSession.active, col("svec"), col("cvec"))
           .as("d"))
     val corpusCodes = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
@@ -1415,23 +1424,27 @@ object Similarity {
         val dim = math.max(1, coarse.dim)
         // ⟨centroid, plane_j⟩ for all candidate planes — evaluated on
         // the tiny centroid table and broadcast.
-        val cdots = coarse.centroids.select(col("cell"), array(
-          (0 until maxBits).map(j => expr(
-            s"aggregate(zip_with(cvec, ${weightLit(SemRefinePlaneOff + j, dim)}, " +
-              "(x, v) -> x * v), 0D, (a, v) -> a + v)")): _*).as("cd"))
+        val refineW = (0 until maxBits).map(j =>
+          (0 until dim).map(i => planeWeight(SemRefinePlaneOff + j, i)))
+        val cdots = coarse.centroids.select(col("cell"),
+          graft.functions.VecKernels.planeDotsCol(
+            org.apache.spark.sql.SparkSession.active, col("cvec"), refineW)
+            .as("cd"))
         // bit j set iff j < bits AND ⟨x, w_j⟩ > ⟨c, w_j⟩ (i.e. the
         // residual x−c lies on the positive side of plane j). `bits` is
         // NULL for cells under the bound → every IF condition is NULL →
         // sub = 0: unrefined cells keep a single subcell.
         val subExpr = (0 until maxBits).map { j =>
-          s"IF($j < bits AND aggregate(zip_with(embedding, " +
-            s"${weightLit(SemRefinePlaneOff + j, dim)}, " +
-            s"(x, v) -> CAST(x AS DOUBLE) * v), 0D, (a, v) -> a + v) > " +
+          s"IF($j < bits AND element_at(pd, ${j + 1}) > " +
             s"element_at(cd, ${j + 1}), ${1L << j}L, 0L)"
         }.mkString("(", " | ", ")")
         graft.Materialize(assigned
           .join(broadcast(bitsTab), Seq("cell"), "left")
           .join(broadcast(cdots), Seq("cell"), "left")
+          // The 12 refine dots in one kernel pass per row (r21) — the
+          // IF/compare bit logic stays builtin over the dot array.
+          .withColumn("pd", graft.functions.VecKernels.planeDotsCol(
+            org.apache.spark.sql.SparkSession.active, col("embedding"), refineW))
           .select(col("vec_id"), col("embedding"), col("cell"),
             expr(subExpr).as("sub")))
       }
@@ -1588,51 +1601,84 @@ object Similarity {
   def embeddingPca(emb: DataFrame, iterations: Int = 12): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vm = graft.functions.VecMean.mean
     val src = graft.Materialize(
       emb.select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
-    val mu = src.agg(vm(col("v")).getField("v").as("m"))
-      .head().getSeq[Double](0).toArray.map(r9)
+    // Per-dim mean via posexplode + builtin sum (r21) — the same
+    // sum/count division VecMean computed, through the codegen hash
+    // aggregate instead of the udaf's interpreted per-element input
+    // conversion; summation-grouping drift lands under the r9 grid
+    // exactly as the udaf's merge order did. O(dim) rows collected.
+    val muRows = src.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    val mu = new Array[Double](muRows.length)
+    muRows.foreach(r => mu(r.getInt(0)) = r9(r.getDouble(1) / r.getLong(2)))
     val dim = mu.length
-    // μ and the iterating v ride as BROADCAST one-row frames, not plan
-    // literals: the generated code is then byte-identical across
-    // iterations (column refs, no embedded arrays), so whole-stage
-    // codegen compiles ONCE and each iteration only re-executes — a
-    // 64-double literal per iteration forced a fresh plan compile that
-    // dominated wall-clock (measured ~0.7 s/iteration of pure compile).
+    // ONE covariance pass replaces the 12 per-iteration corpus passes
+    // (r21): C = mean over rows of (x−μ)(x−μ)ᵀ is a dim²-sized MODEL
+    // statistic (the classic batch-PCA sufficient statistic — O(dim²)
+    // aggregation state, one distributed pass at any corpus size), and
+    // every power iteration is then a driver-side dim² mat-vec — zero
+    // jobs, where the old loop paid a broadcast + typed map + vector
+    // aggregate per iteration (47 jobs total for this entry at sf0.1).
+    //
+    // Arithmetic note: C·v regroups the old per-row ((x−μ)·v)(x−μ)
+    // reduction — Σ_j (Σ_rows cᵢcⱼ/n)·vⱼ instead of
+    // (Σ_rows cᵢ·(Σ_j cⱼvⱼ))/n — a pure summation-order/grouping change
+    // over the SAME products. That lands ~1e-15 relative, absorbed by
+    // the per-iteration ROUND-9 grid exactly like the shuffle-order
+    // drift the contract above already absorbs (C itself is collected
+    // UNROUNDED; only cv rounds — rounding C first would compound to
+    // ~dim·5e-10, past the grid). Oracle-validated at every SF.
+    // The outer product is a TYPED map, not nested HOFs (interpreted
+    // per-element — the documented 25-100× hazard), and runs ONCE. The
+    // dim²-vector SUM deliberately avoids VecMean: the udaf's typed
+    // input deserializer runs interpreted per ELEMENT (~6.5 µs/elem
+    // measured — 53 s for 2000×4096 at sf0.1); posexplode + the codegen
+    // builtin sum is the same per-slot summation as a hash aggregate
+    // over ≤ dim² keys with map-side combining (O(model²) rows out).
     val muB = broadcast(Seq(Tuple1(mu.toSeq)).toDF("mu"))
-    val centered = graft.Materialize(src.crossJoin(muB)
-      .select(expr("zip_with(v, mu, (a, b) -> a - b)").as("c")))
-    val totVar = r9(centered
-      .select(expr("aggregate(c, 0d, (acc, x) -> acc + x * x)").as("s"))
-      .agg(avg("s").as("tv")).head().getDouble(0))
+    val covRows = src.crossJoin(muB)
+      .select(col("v"), col("mu")).as[(Seq[Double], Seq[Double])]
+      .map { case (x, m) =>
+        val d = m.length
+        val c = new Array[Double](d)
+        var i = 0
+        while (i < d) { c(i) = x(i) - m(i); i += 1 }
+        val o = new Array[Double](d * d)
+        i = 0
+        while (i < d) {
+          val ci = c(i)
+          var j = 0
+          while (j < d) { o(i * d + j) = ci * c(j); j += 1 }
+          i += 1
+        }
+        o.toSeq
+      }.toDF("o")
+      .select(posexplode(col("o")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    val cov = new Array[Double](dim * dim)
+    covRows.foreach(r =>
+      cov(r.getInt(0)) = r.getDouble(1) / r.getLong(2))
+    // trace(C) = the old mean total variance under the same regrouping
+    // argument (per-dim means summed vs per-row sums averaged).
+    val totVar = r9((0 until dim).map(i => cov(i * dim + i)).sum)
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     var lambda = 0.0
     (0 until iterations).foreach { _ =>
-      val vB = broadcast(Seq(Tuple1(v.toSeq)).toDF("vv"))
-      // ((x−μ)·v)·(x−μ) per row as a TYPED map, not nested HOFs: a
-      // transform whose lambda references an aggregate() is re-evaluated
-      // per ELEMENT (HOFs are interpreted and CollapseProject re-inlines
-      // across projections — the documented 25-100× hazard), and an
-      // O(dim²)-per-row iteration is exactly what this operator exists
-      // to avoid. The JVM lambda computes the dot product once per row.
-      val cv = centered.crossJoin(vB)
-        .select(col("c"), col("vv")).as[(Seq[Double], Seq[Double])]
-        .map { case (c, vv) =>
-          var d = 0.0
-          var i = 0
-          while (i < c.length) { d += c(i) * vv(i); i += 1 }
-          val out = new Array[Double](c.length)
-          i = 0
-          while (i < c.length) { out(i) = c(i) * d; i += 1 }
-          out.toSeq
-        }.toDF("w")
-        .agg(vm(col("w")).getField("v").as("cv"))
-        .head().getSeq[Double](0).toArray.map(r9)
+      val cv = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += cov(i * dim + j) * v(j); j += 1 }
+        cv(i) = r9(s)
+        i += 1
+      }
       lambda = math.sqrt(cv.map(x => x * x).sum)
       if (lambda > 0) v = cv.map(_ / lambda)
     }
-    graft.Materialize.release(centered)
     // Canonical sign: the largest-|component| dimension reads positive.
     val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0 else 1.0
     v = v.map(_ * flip)

@@ -538,10 +538,8 @@ object TextAnalysis {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val bg = graft.Materialize(tok
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> named_struct('prev', toks[i - 1], 'cur', toks[i]))""".stripMargin))
-        .as("b"))
+      .select(col("doc_id"), explode(graft.functions.Kgrams.pairs(
+        spark, col("toks"), joined = false, "prev", "cur")).as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur")))
     val c2 = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("prev").agg(count(lit(1)).as("c1"))
@@ -743,9 +741,9 @@ object TextAnalysis {
         // Fully-merged single-symbol words carry no pairs (and sequence(0,
         // size-2) would throw on them).
         .filter(size(col("s")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(s) - 2), i -> named_struct('l', s[i], 'r', s[i + 1]))"))
-          .as("p"))
+        .select(col("freq"), explode(graft.functions.Kgrams.pairs(
+          org.apache.spark.sql.SparkSession.active, col("s"),
+          joined = false, "l", "r")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
         .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("m"))
@@ -1189,18 +1187,27 @@ object TextAnalysis {
       topK: Int = 20): DataFrame = {
     require((width & (width - 1)) == 0, "width must be a power of two")
     import graft.functions.PortableHash
-    val toks = graft.Materialize(docs
-      .select(explode(split(col("text"), " ")).as("tok")))
+    // Token COUNTS first (r21): a CMS counter is a sum of occurrence
+    // counts, and summing the pre-aggregated per-token counts into each
+    // bucket is exact integer arithmetic identical to counting raw
+    // instances — so the `depth` md5 bucket hashes run over the DISTINCT
+    // vocabulary (|V| rows) instead of every token instance (corpus
+    // tokens), and the materialized table shrinks from corpus-token to
+    // vocabulary size. The truth ranking reads the same table.
+    val tokCounts = graft.Materialize(docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c")))
     def bucket(i: Int, c: Column): Column =
       pmod(PortableHash.hash64(concat(lit(s"cms$i:"), c)), lit(width.toLong))
     // Sketch: one pass, counters for all rows at once via a posexploded
     // row index.
-    val sketch = toks
-      .select(posexplode(array((0 until depth).map(i => bucket(i, col("tok"))): _*))
-        .as(Seq("row", "b")))
-      .groupBy("row", "b").agg(count(lit(1)).as("cnt"))
+    val sketch = tokCounts
+      .select(col("c"),
+        posexplode(array((0 until depth).map(i => bucket(i, col("tok"))): _*))
+          .as(Seq("row", "b")))
+      .groupBy("row", "b").agg(sum("c").as("cnt"))
     // Query the true top-K tokens (count desc, tok asc) against it.
-    val truth = toks.groupBy("tok").agg(count(lit(1)).as("true_c"))
+    val truth = tokCounts.select(col("tok"), col("c").as("true_c"))
       .orderBy(desc("true_c"), asc("tok")).limit(topK)
     truth
       .select(col("tok"), col("true_c"),

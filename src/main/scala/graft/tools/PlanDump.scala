@@ -1,0 +1,82 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.SparkSession
+
+/** Dump the `.explain("formatted")` plan of registered queries to
+  * `plans/<dir>/<name>_<suffix>.txt`, plus a one-line census (jobs run,
+  * Exchange count, join strategies, codegen spans) appended to the file —
+  * the before/after evidence an optimization round commits alongside the
+  * code (the `plans/r21` convention). Session conf matches Bench exactly
+  * so the recorded plan is the one the driver times.
+  *
+  * The job census needs the query to EXECUTE (iterative operators hide
+  * their cost in constructor-time jobs that a plan string never shows),
+  * so each query runs once through the noop sink with a job listener
+  * attached.
+  *
+  * Usage: runMain graft.tools.PlanDump <suffix> <queryName>...
+  *   env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (32),
+  *        SPARK_GRAFT_PLAN_DIR (default plans/r21)
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanDump <suffix> <queryName>...")
+    val suffix = args.head
+    val names = args.tail
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r21"))
+    java.nio.file.Files.createDirectories(outDir)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
+    names.foreach { name =>
+      // Materialized subplans carry the interesting joins (the Bench
+      // fingerprint rationale) — record them alongside the final plan.
+      graft.Materialize.startPlanRecording()
+      jobCount.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val formatted = df.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      df.write.format("noop").mode("overwrite").save()
+      spark.sparkContext.removeSparkListener(listener)
+      // Let straggling listener events drain before reading the counter.
+      Thread.sleep(200)
+      val jobs = jobCount.get()
+      val interior = graft.Materialize.recentPlans
+      graft.Materialize.stopPlanRecording()
+      val full = (formatted +: interior).mkString("\n=== materialized subplan ===\n")
+      def n(re: String): Int = re.r.findAllIn(full).length
+      val census =
+        s"\n=== census ($sfDir, local[$cpus]) ===\n" +
+          s"jobs_run=$jobs exchanges=${n("Exchange")} " +
+          s"reused=${n("ReusedExchange")} " +
+          s"bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
+          s"shj=${n("ShuffledHashJoin")} bnlj=${n("BroadcastNestedLoopJoin")} " +
+          s"codegen_spans=${n("WholeStageCodegen")} " +
+          s"materialized_subplans=${interior.size}\n"
+      val path = outDir.resolve(s"${name}_$suffix.txt")
+      java.nio.file.Files.write(path,
+        (full + census).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[plandump] wrote $path (jobs_run=$jobs)")
+    }
+    spark.stop()
+  }
+}

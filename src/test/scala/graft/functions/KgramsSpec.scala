@@ -1,0 +1,117 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins each r21 k-gram kernel to the verbatim interpreted-HOF SQL it
+  * replaced (the WinnowSpec convention): identical values, order and
+  * schema on adversarial shapes — empty text, sub-k docs, doubled
+  * spaces (empty tokens), all-duplicate runs, long periodic content. */
+class KgramsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, ""),
+    (2L, "a"),
+    (3L, "a b"),
+    (4L, "a b c d"),
+    (5L, "x x x x x x x x x x"),
+    (6L, "a  b   c d e f"),
+    (7L, Seq.tabulate(50)(i => s"t${i % 4}").mkString(" ")),
+    (8L, "the quick brown fox jumps over the lazy dog the quick brown fox")
+  ).toDF("doc_id", "text")
+
+  private def ordered(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  for (k <- Seq(12, 4, 2, 1); md5 <- Seq(true, false)) {
+    test(s"kgram_windows(k=$k, md5=$md5) == transform chain") {
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val h = if (md5) "md5(concat_ws(' ', slice(toks, i + 1, %d)))"
+        else "concat_ws(' ', slice(toks, i + 1, %d))"
+      val old = toks.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, greatest(size(toks) - $k, 0)),
+           |  i -> ${h.format(k)})""".stripMargin)).as(Seq("pos", "s")))
+      val neu = toks.select(col("doc_id"), posexplode(
+        Kgrams.windows(spark, col("toks"), k, md5)).as(Seq("pos", "s")))
+      assert(ordered(old) == ordered(neu))
+      assert(old.schema.map(f => (f.name, f.dataType)) ==
+        neu.schema.map(f => (f.name, f.dataType)))
+    }
+  }
+
+  for (n <- Seq(5, 2, 1)) {
+    test(s"kgram_shingles(n=$n) == Dedup.shingles CASE") {
+      val t = "split(text, ' ')"
+      val old = docs.select(col("doc_id"),
+        when(size(split(col("text"), " ")) >= n,
+          expr(s"array_distinct(transform(sequence(0, size($t) - $n), " +
+            s"i -> concat_ws(' ', slice($t, i + 1, $n))))"))
+          .otherwise(array(col("text"))).as("sh"))
+      val neu = docs.select(col("doc_id"),
+        Kgrams.shingles(spark, col("text"), n).as("sh"))
+      assert(ordered(old) == ordered(neu))
+    }
+  }
+
+  test("adjacent_pairs joined == concat chain (size >= 2 pre-filtered)") {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val old = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))"))
+      .as("b"))
+    val neu = toks.select(col("doc_id"), explode(
+      Kgrams.pairs(spark, col("toks"), joined = true)).as("b"))
+    assert(ordered(old) == ordered(neu))
+  }
+
+  test("excise_windows == interval-fold + filter/exists chain") {
+    val k = 4
+    // (toks, sorted masked 0-based positions): overlapping runs, the
+    // adjacent-merge boundary (p = e+1), disjoint islands, full wipe,
+    // no masks, and a clamped out-of-range tail window.
+    val cases = Seq(
+      (Seq.tabulate(20)(i => s"w$i"), Seq(2, 3, 9, 14)),
+      (Seq.tabulate(12)(i => s"w$i"), Seq(0, 4, 8)),  // chained adjacency
+      (Seq.tabulate(6)(i => s"w$i"), Seq(0)),
+      (Seq("a", "b"), Seq(0)),                        // short doc, full wipe
+      (Seq.tabulate(9)(i => s"w$i"), Seq.empty[Int]),
+      (Seq.tabulate(10)(i => s"w$i"), Seq(1, 7))
+    ).toDF("toks", "ps")
+    val old = cases
+      .withColumn("ivs", expr(
+        s"""aggregate(coalesce(ps, CAST(array() AS ARRAY<INT>)),
+           |  CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+           |  (acc, p) -> IF(size(acc) > 0 AND p <= element_at(acc, -1).e + 1,
+           |    concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('s', element_at(acc, -1).s, 'e', p + $k - 1))),
+           |    concat(acc, array(named_struct('s', p, 'e', p + $k - 1)))))""".stripMargin))
+      .select(expr(
+        "filter(toks, (t, i) -> NOT exists(ivs, v -> i >= v.s AND i <= v.e))"))
+    val neu = cases.select(Kgrams.excise(spark, col("toks"),
+      coalesce(col("ps"), expr("CAST(array() AS ARRAY<INT>)")), k))
+    assert(ordered(old) == ordered(neu))
+  }
+
+  test("adjacent_pairs structs == named_struct chain, both index forms") {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // TextAnalysis:542 form — sequence(1, size-1), (prev, cur).
+    val oldA = toks.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(toks) - 1),
+        |  i -> named_struct('prev', toks[i - 1], 'cur', toks[i]))""".stripMargin))
+      .as("b")).select(col("doc_id"), col("b.prev"), col("b.cur"))
+    // TextAnalysis:747 form — sequence(0, size-2), (l, r). Same pairs.
+    val oldB = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(toks) - 2), i -> named_struct('l', toks[i], 'r', toks[i + 1]))"))
+      .as("b")).select(col("doc_id"), col("b.l"), col("b.r"))
+    val neu = toks.select(col("doc_id"), explode(
+      Kgrams.pairs(spark, col("toks"), joined = false, "prev", "cur")).as("b"))
+      .select(col("doc_id"), col("b.prev"), col("b.cur"))
+    assert(ordered(oldA) == ordered(neu))
+    assert(ordered(oldB) == ordered(neu))
+  }
+}

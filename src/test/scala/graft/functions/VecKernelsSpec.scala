@@ -1,0 +1,115 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins each r21 vector-fold kernel to the verbatim HOF chain it
+  * replaced (the WinnowSpec convention): values AND null/length
+  * semantics — equal arrays, a length-mismatched pair (zip_with pads
+  * with null ⇒ null fold), float→double cast sites, Long wrap-around. */
+class VecKernelsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq.map {
+      // bit-level compare so NaN == NaN and -0.0 != 0.0
+      case d: Double => java.lang.Double.doubleToRawLongBits(d)
+      case x => x
+    })
+
+  private val pairs = Seq(
+    (Seq(1.0, 2.5, -3.25), Seq(0.5, -1.5, 4.0)),
+    (Seq(0.0, 0.0), Seq(0.0, 0.0)),
+    (Seq(1.125), Seq(2.0, 9.0)),   // length mismatch -> null fold
+    (Seq(1e300, -1e300, 3.0), Seq(1e300, 1e300, 0.5)),
+    (Seq.tabulate(64)(i => i * 0.37 - 3), Seq.tabulate(64)(i => 2.5 - i * 0.11))
+  ).toDF("a", "b")
+
+  test("vec_l2sq == aggregate(zip_with((x-y)^2))") {
+    val old = pairs.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"))
+    val neu = pairs.select(VecKernels.l2sq(spark, col("a"), col("b")))
+    assert(rows(old) == rows(neu))
+  }
+
+  test("vec_dotd == aggregate(zip_with(x*y))") {
+    val old = pairs.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+    val neu = pairs.select(VecKernels.dotd(spark, col("a"), col("b")))
+    assert(rows(old) == rows(neu))
+  }
+
+  test("vec_sumsq == aggregate(transform(x*x))") {
+    val old = pairs.select(expr(
+      "aggregate(transform(a, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    val neu = pairs.select(VecKernels.sumsq(spark, col("a")))
+    assert(rows(old) == rows(neu))
+  }
+
+  test("vec_sub over float left == zip_with(CAST(x AS DOUBLE) - y)") {
+    val f = Seq(
+      (Seq(1.5f, -2.25f, 0.1f), Seq(0.5, 1.0, 2.0)),
+      (Seq(3.0f), Seq(1.0, 2.0))  // mismatch -> trailing null element
+    ).toDF("a", "b")
+    val old = f.select(expr("zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) - y)"))
+    val neu = f.select(VecKernels.subCol(spark, col("a"), col("b")))
+    assert(rows(old) == rows(neu))
+    // And the composed probe shape: sum of squares of the residual.
+    val old2 = f.select(expr(
+      "aggregate(transform(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) - y), x -> x * x), 0D, (acc, v) -> acc + v)"))
+    val neu2 = f.select(VecKernels.sumsq(spark,
+      VecKernels.subCol(spark, col("a"), col("b"))))
+    assert(rows(old2) == rows(neu2))
+  }
+
+  test("vec_dot_long == BIGINT fold; ANSI overflow raises on both paths") {
+    val l = Seq(
+      (Seq(3L, -7L, 5L), Seq(2L, 8L, -1L)),
+      (Seq(1L), Seq(1L, 1L))                  // mismatch -> null
+    ).toDF("a", "b")
+    val old = l.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+    val neu = l.select(VecKernels.dotLongCol(spark, col("a"), col("b")))
+    assert(rows(old) == rows(neu))
+    val big = Seq((Seq(Long.MaxValue, 2L), Seq(3L, 5L))).toDF("a", "b")
+    intercept[Exception] { big.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")).collect() }
+    intercept[Exception] {
+      big.select(VecKernels.dotLongCol(spark, col("a"), col("b"))).collect() }
+  }
+
+  test("plane_dots / sig_bits == per-plane literal-weight fold chain") {
+    val w: Seq[Seq[Double]] = (0 until 16).map(j =>
+      (0 until 8).map(i => ((j * 31 + i * 7) % 2000 - 1000) / 1000.0))
+    def wLit(j: Int) = w(j).map(x => s"${x}D").mkString("array(", ", ", ")")
+    val emb = Seq(
+      Tuple1(Seq(0.5f, -1.5f, 2f, 0f, 3.25f, -0.125f, 1f, -2f)),
+      Tuple1(Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      Tuple1(Seq(1f, 2f, 3f))  // shorter than the planes: null dots, 0 bits
+    ).toDF("embedding")
+    val oldDots = emb.select(array((0 until 16).map(j => expr(
+      s"aggregate(zip_with(embedding, ${wLit(j)}, " +
+        "(x, v) -> CAST(x AS DOUBLE) * v), 0D, (a, v) -> a + v)")): _*))
+    val neuDots = emb.select(VecKernels.planeDotsCol(spark, col("embedding"), w))
+    assert(rows(oldDots).toString == rows(neuDots).toString)
+    val oldSig = emb.select(expr((0 until 16).map { j =>
+      s"IF(aggregate(zip_with(embedding, ${wLit(j)}, " +
+        s"(x, v) -> CAST(x AS DOUBLE) * v), 0D, (a, v) -> a + v) > 0D, ${1L << j}L, 0L)"
+    }.mkString("(", " | ", ")")))
+    val neuSig = emb.select(VecKernels.sigBitsCol(spark, col("embedding"), w))
+    assert(rows(oldSig) == rows(neuSig))
+  }
+
+  test("li_emb == the PortableHash transform chain") {
+    val toks = Seq("alpha", "beta-1", "", "Ünïcode tok", "x y").toDF("tok")
+    val old = toks.select(expr(
+      "transform(sequence(0, 7), j -> pmod(" +
+        PortableHash.sqlFragment("concat('li', CAST(j AS STRING), ':', tok)") +
+        ", 16) - 8)"))
+    val neu = toks.select(VecKernels.liEmbCol(spark, col("tok")))
+    assert(rows(old) == rows(neu))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the r21 [[WinnowFingerprints]] codegen kernel to the exact
+  * interpreted HOF chain it replaced in Dedup.winnowFingerprints (the
+  * pre-r21 SQL, replicated verbatim below): identical (doc_id, pos, fp)
+  * sets INCLUDING encounter order within a document, on adversarial
+  * shapes — empty text, sub-k docs, all-tie runs, empty tokens from
+  * doubled spaces, and the partial-window fallback. */
+class WinnowSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  /** The pre-r21 interpreted chain, verbatim. */
+  private def oldChain(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val toks = "split(text, ' ')"
+    val hs =
+      s"""CASE WHEN size($toks) >= $k
+         |THEN transform(sequence(1, size($toks) - $k + 1),
+         |  i -> substring(md5(concat_ws(' ', slice($toks, i, $k))), 1, 16))
+         |ELSE array(substring(md5(text), 1, 16)) END""".stripMargin
+    val sel =
+      s"""array_distinct(transform(sequence(1, greatest(size(hh) - $w + 1, 1)),
+         |  j -> aggregate(filter(sequence(j + 1, j + $w - 1), i -> i <= size(hh)),
+         |    named_struct('fp', element_at(hh, j), 'pos', j),
+         |    (acc, i) -> IF(element_at(hh, i) <= acc.fp,
+         |      named_struct('fp', element_at(hh, i), 'pos', i), acc))))""".stripMargin
+    docs.select(col("doc_id"), expr(hs).as("hh"))
+      .select(col("doc_id"), explode(expr(sel)).as("s"))
+      .select(col("doc_id"), col("s.pos").cast("long").as("pos"), col("s.fp").as("fp"))
+  }
+
+  private def newKernel(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(WinnowFingerprints.fps(spark, col("text"), k, w)).as("s"))
+      .select(col("doc_id"), col("s.pos").cast("long").as("pos"), col("s.fp").as("fp"))
+
+  private val docs = Seq(
+    (1L, ""),                                   // empty text: whole-text fallback
+    (2L, "a"),                                  // single token, < k
+    (3L, "a b c d"),                            // exactly k tokens: one k-gram
+    (4L, "a b c d e f g h"),                    // fewer hashes than w: partial window
+    (5L, "x x x x x x x x x x x x"),            // all ties: rightmost-min rule
+    (6L, "a  b   c d e f g h i"),               // doubled spaces: empty tokens kept
+    (7L, Seq.tabulate(60)(i => s"t${i % 7}").mkString(" ")), // periodic content
+    (8L, "The quick brown fox jumps over the lazy dog and keeps running far away")
+  ).toDF("doc_id", "text")
+
+  for ((k, w) <- Seq((4, 5), (2, 3), (1, 4), (5, 1))) {
+    test(s"kernel == interpreted chain (k=$k, w=$w), order included") {
+      // collect WITH per-document encounter order: zip an input_file-free
+      // row index via posexplode-equivalent monotonic ordering — simplest
+      // exact check: compare full ordered sequences per doc.
+      def seqs(df: DataFrame): Map[Long, Seq[(Long, String)]] =
+        df.collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+          .groupBy(_._1).map { case (d, a) => d -> a.map(_._2).toSeq }
+      val o = seqs(oldChain(docs, k, w))
+      val n = seqs(newKernel(docs, k, w))
+      assert(o == n, s"kernel diverges from the replaced SQL at k=$k w=$w")
+    }
+  }
+
+  test("schema matches the replaced chain") {
+    val o = oldChain(docs, 4, 5).schema.map(f => (f.name, f.dataType))
+    val n = newKernel(docs, 4, 5).schema.map(f => (f.name, f.dataType))
+    assert(o == n)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import graft.{SparkTestSession, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The contract [[Classify.trainLogistic]]'s r21 small-model endgame
+  * promises: the driver-side GD replay and the distributed epoch loop
+  * produce IDENTICAL weight vectors — same left-fold dot order, same
+  * Math.exp sigmoid, same per-epoch ROUND-9 gradient grid (absorbing
+  * grad-sum order), same observed-slots-only update rule. Mirrors
+  * PageRankLocalSpec / ClustersSpec's both-paths convention. */
+class LogisticLocalSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def both(docs: org.apache.spark.sql.DataFrame): Unit = {
+    spark.conf.set("spark.graft.logistic.localThreshold", "0")
+    val distributed = try Classify.trainLogistic(docs)
+    finally spark.conf.unset("spark.graft.logistic.localThreshold")
+    val local = Classify.trainLogistic(docs)
+    val diffs = distributed.indices.filter(i => distributed(i) != local(i))
+    assert(diffs.isEmpty,
+      s"paths disagree at ${diffs.length} slots; first=${diffs.headOption
+        .map(i => s"$i: ${distributed(i)} vs ${local(i)}")}")
+  }
+
+  test("planted separable corpus: local endgame == distributed epochs") {
+    def doc(v: String, i: Int) =
+      (0 to 11).map(j => s"${v}${(i * 7 + j * 3) % 20}").mkString(" ")
+    val rows = (0 until 40).map(i => (i.toLong, doc("aa", i), "en")) ++
+      (0 until 40).map(i => (100L + i, doc("bb", i), "de"))
+    both(rows.toDF("doc_id", "text", "lang"))
+  }
+
+  test("sf0.001 corpus (hash collisions, mixed langs, bigram-less docs)") {
+    both(Tables(spark, sf0001).documents)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The contract [[Clusters.pageRank]]'s doc promises (r21): the
+  * driver-side small-graph endgame and the distributed star loop are
+  * bit-compatible — identical expression shape per iteration, identical
+  * HALF_UP ROUND-9 grid, the only divergence source (inflow summation
+  * order) absorbed by the grid. Mirrors ClustersSpec's both-paths
+  * convention for connectedComponents. */
+class PageRankLocalSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  /** Run once through the distributed loop (threshold 0) and once
+    * through the local endgame — both paths must agree EXACTLY. */
+  private def both(edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    def run(): Map[Long, Double] =
+      Clusters.pageRank(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.conf.set("spark.graft.pagerank.localThreshold", "0")
+    val distributed = try run()
+    finally spark.conf.unset("spark.graft.pagerank.localThreshold")
+    val local = run()
+    assert(distributed == local,
+      s"distributed and local pageRank disagree: $distributed vs $local")
+    local
+  }
+
+  test("directed graph with dangling node, duplicate edge, self-loop") {
+    // 4 is dangling (its damped mass must redistribute uniformly); the
+    // duplicated (1,2) counts twice in BOTH outdeg and inflow on both
+    // paths; (2,2) exercises self-loops.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (1L, 2L), (2L, 2L))
+    val got = both(edges)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // Teleport + dangling correction conserve total mass (6-dp report).
+    assert(math.abs(got.values.sum - 1.0) < 1e-3, s"mass drifted: $got")
+    // 3 receives from 1 and 2; it must outrank the source-only node 1.
+    assert(got(3L) > got(1L))
+  }
+
+  test("symmetric clique plus two-node tail (the registered entries' shape)") {
+    // Both registered entries (graph_pagerank, keywords_textrank)
+    // symmetrize, so this is the production regime: no dangling mass.
+    val clique = for (i <- 1L to 4L; j <- 1L to 4L if i != j) yield (i, j)
+    val tail = Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L))
+    val got = both(clique ++ tail)
+    assert(got.size == 6)
+    assert(math.abs(got.values.sum - 1.0) < 1e-3)
+    // Interior clique nodes outrank the leaf.
+    assert(got(1L) > got(6L))
+  }
+}
