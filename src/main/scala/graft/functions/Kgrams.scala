@@ -76,7 +76,9 @@ object Kgrams {
     reg.createOrReplaceTempFunction("kgram_windows",
       exprs => KgramWindows(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Boolean]), "built-in")
+        exprs(2).eval().asInstanceOf[Boolean],
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 1),
+      "built-in")
     reg.createOrReplaceTempFunction("kgram_shingles",
       exprs => KgramShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -88,15 +90,21 @@ object Kgrams {
     reg.createOrReplaceTempFunction("excise_windows",
       exprs => ExciseWindows(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("cdc_chunks",
+      exprs => CdcChunks(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("roll_fingerprint",
+      exprs => RollFingerprint(exprs(0)), "built-in")
   }
 
   import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.functions.{call_function, lit}
 
   /** Column entry points. */
-  def windows(spark: SparkSession, toks: Column, k: Int, md5: Boolean): Column = {
+  def windows(spark: SparkSession, toks: Column, k: Int, md5: Boolean,
+      stride: Int = 1): Column = {
     register(spark)
-    call_function("kgram_windows", toks, lit(k), lit(md5))
+    call_function("kgram_windows", toks, lit(k), lit(md5), lit(stride))
   }
 
   def shingles(spark: SparkSession, text: Column, n: Int): Column = {
@@ -114,6 +122,16 @@ object Kgrams {
     register(spark)
     call_function("excise_windows", toks, ps, lit(k))
   }
+
+  def cdcChunks(spark: SparkSession, text: Column, modBits: Int): Column = {
+    register(spark)
+    call_function("cdc_chunks", text, lit(modBits))
+  }
+
+  def rollFingerprint(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("roll_fingerprint", text)
+  }
 }
 
 /** `transform(sequence(0, greatest(size(toks) − k, 0)), i ->
@@ -121,9 +139,11 @@ object Kgrams {
   * k-token window stream of the substring-dedup family (md5 = true)
   * and the span-decontamination shingle stream (md5 = false). A short
   * document yields exactly one clamped whole-array window. */
-case class KgramWindows(child: Expression, k: Int, md5: Boolean)
+case class KgramWindows(child: Expression, k: Int, md5: Boolean,
+    stride: Int = 1)
     extends UnaryExpression {
   require(k >= 1, s"kgram_windows needs k >= 1 (got $k)")
+  require(stride >= 1, s"kgram_windows needs stride >= 1 (got $stride)")
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -138,30 +158,39 @@ case class KgramWindows(child: Expression, k: Int, md5: Boolean)
   override def dataType: DataType = ArrayType(StringType)
 
   override def nullSafeEval(a: Any): Any =
-    KgramWindows.kernel(a.asInstanceOf[ArrayData], k, md5)
+    KgramWindows.kernel(a.asInstanceOf[ArrayData], k, md5, stride)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.KgramWindows.kernel($c, $k, $md5);")
+      s"${ev.value} = graft.functions.KgramWindows.kernel($c, $k, $md5, $stride);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object KgramWindows {
-  def kernel(a: ArrayData, k: Int, md5: Boolean): ArrayData = {
+  /** stride = 1: positions 0 … greatest(len−k, 0) (the overlapping
+    * window stream). stride = k: positions 0, k, 2k … (len−1)/k·k — the
+    * ALIGNED block stream, `sequence(0, CAST((size−1)/k AS INT))` with
+    * Spark's toward-zero integer division (len = 0 still yields the
+    * single empty block, exactly like the SQL). */
+  def kernel(a: ArrayData, k: Int, md5: Boolean, stride: Int): ArrayData = {
     val toks = Kgrams.toStringArray(a)
     val digest =
       if (md5) java.security.MessageDigest.getInstance("MD5") else null
-    val n = math.max(toks.length - k, 0)
+    val n =
+      if (stride == 1) math.max(toks.length - k, 0)
+      else (toks.length - 1) / stride // toward zero, as Spark divides
     val out = new Array[Any](n + 1)
     val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i <= n) {
-      val s = Kgrams.join(toks, i, math.min(i + k, toks.length), sb)
-      out(i) = UTF8String.fromString(
+    var w = 0
+    while (w <= n) {
+      val from = w * stride
+      val s = Kgrams.join(toks, math.min(from, toks.length),
+        math.min(from + k, toks.length), sb)
+      out(w) = UTF8String.fromString(
         if (md5) Kgrams.md5hex(digest, s) else s)
-      i += 1
+      w += 1
     }
     new GenericArrayData(out)
   }
@@ -281,6 +310,115 @@ object ExciseWindows {
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+}
+
+/** The doc_fingerprint rolling hash (r21): per token, rotate-left-5 the
+  * accumulator and XOR in the PortableHash md5 word —
+  * `aggregate(split(text, ' '), 0L, (acc, x) ->
+  *   (shiftleft(acc,5) | shiftrightunsigned(acc,59)) ^ hash64(x))`.
+  * The replaced fold ran interpreted per token and computed md5 TWICE
+  * per token (once per 8-hex half of the PortableHash fragment). */
+case class RollFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"roll_fingerprint expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(s: Any): Any =
+    RollFingerprint.kernel(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollFingerprint.kernel($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollFingerprint {
+  def kernel(s: UTF8String): Long = {
+    val toks = s.toString.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      val h = java.lang.Long.parseUnsignedLong(
+        Kgrams.md5hex(md, toks(i)).substring(0, 16), 16)
+      acc = ((acc << 5) | (acc >>> 59)) ^ h
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Content-defined chunking (r21): the whole
+  * [[graft.pipeline.Dedup.cdcChunks]] per-row HOF chain in one kernel —
+  * boundary positions (first-8-hex md5 word of each token, unsigned
+  * 32-bit, ≡ 0 mod 2^modBits, never after the last token), chunk
+  * starts/ends, and per-chunk (md5 of the space-rejoined slice, token
+  * count) structs. The replaced SQL ran an interpreted lambda (with a
+  * full md5 + conv string parse) per TOKEN for the boundary filter plus
+  * one per chunk for the assembly. */
+case class CdcChunks(child: Expression, modBits: Int)
+    extends UnaryExpression {
+  require(modBits >= 0, s"cdc_chunks needs modBits >= 0 (got $modBits)")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cdc_chunks expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", StringType), StructField("n", IntegerType))))
+
+  override def nullSafeEval(s: Any): Any =
+    CdcChunks.kernel(s.asInstanceOf[UTF8String], modBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcChunks.kernel($c, $modBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  def kernel(s: UTF8String, modBits: Int): ArrayData = {
+    val m = 1L << modBits
+    val toks = s.toString.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // Boundary AFTER token i (0-based) iff its 32-bit md5 word ≡ 0
+    // mod m and it is not the last token.
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    starts += 0
+    var i = 0
+    while (i < toks.length - 1) {
+      val hex8 = Kgrams.md5hex(md, toks(i)).substring(0, 8)
+      if (java.lang.Long.parseLong(hex8, 16) % m == 0) starts += i + 1
+      i += 1
+    }
+    val out = new Array[Any](starts.length)
+    val sb = new java.lang.StringBuilder
+    var c = 0
+    while (c < starts.length) {
+      val from = starts(c)
+      val until = if (c + 1 < starts.length) starts(c + 1) else toks.length
+      val h = Kgrams.md5hex(md, Kgrams.join(toks, from, until, sb))
+      out(c) = InternalRow(UTF8String.fromString(h),
+        java.lang.Integer.valueOf(until - from))
+      c += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

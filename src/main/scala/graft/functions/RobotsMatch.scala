@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 9309 wildcard path matching (`*` any-run, trailing `$` anchor) as
+  * one codegen kernel — the r21 replacement for
+  * Robots.wildcardMatchSql's interpreted `aggregate`/`locate` fold
+  * chain, which evaluated per (URL × rule) join row and instantiated
+  * the fold TWICE in the `$`-anchored branch (the CASE referenced it in
+  * both the comparison and the bound check).
+  *
+  * Bit-compatible clause by clause (RobotsMatchSpec pins kernel ≡ SQL):
+  * null target or pattern → false; segments = split(pattern, '*', −1);
+  * greedy leftmost fold — init = startswith(target, seg₀) ? len(seg₀) :
+  * −1, each later segment advances to locate(s, target, acc+1)+len(s)−1
+  * (empty segments keep the accumulator; a miss poisons it to −1);
+  * unanchored match ⇔ fold ≥ 0; `$`-anchored with a single segment ⇔
+  * exact equality; anchored multi-segment ⇔ endswith(target, lastSeg)
+  * AND fold-over-core ≥ 0 AND fold ≤ len(target) − len(lastSeg).
+  * Positions and lengths count CODE POINTS (UTF8String.indexOf /
+  * numChars — exactly Spark's locate/length). */
+case class RobotsMatch(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"robots_match expects (string, string), got " +
+          s"(${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = BooleanType
+  // The SQL CASE yields false (not null) on null inputs.
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    val p = right.eval(input)
+    java.lang.Boolean.valueOf(
+      t != null && p != null && RobotsMatch.matches(
+        t.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val tCode = left.genCode(ctx)
+    val pCode = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${tCode.code}
+        ${pCode.code}
+        boolean ${ev.value} = false;
+        if (!${tCode.isNull} && !${pCode.isNull}) {
+          ${ev.value} = graft.functions.RobotsMatch.matches(
+            ${tCode.value}, ${pCode.value});
+        }""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object RobotsMatch {
+
+  /** Greedy leftmost fold over the pattern segments [0, until):
+    * the exact accumulator arithmetic of the replaced SQL (1-based
+    * `locate` translated to 0-based `indexOf`: new acc = idx + len). */
+  private def fold(t: UTF8String, segs: Array[UTF8String], until: Int): Int = {
+    var acc = if (t.startsWith(segs(0))) segs(0).numChars else -1
+    var i = 1
+    while (i < until) {
+      if (acc < 0) return -1
+      val s = segs(i)
+      if (s.numBytes > 0) {
+        val idx = t.indexOf(s, acc)
+        if (idx < 0) return -1
+        acc = idx + s.numChars
+      }
+      i += 1
+    }
+    acc
+  }
+
+  def matches(t: UTF8String, p: UTF8String): Boolean = {
+    val pStr = p.toString
+    if (!pStr.endsWith("$")) {
+      val segs = pStr.split("\\*", -1).map(UTF8String.fromString)
+      fold(t, segs, segs.length) >= 0
+    } else {
+      val core = pStr.substring(0, pStr.length - 1)
+      val segs = core.split("\\*", -1).map(UTF8String.fromString)
+      if (segs.length == 1) t.equals(UTF8String.fromString(core))
+      else {
+        val last = segs(segs.length - 1)
+        if (!t.endsWith(last)) false
+        else {
+          val f = fold(t, segs, segs.length - 1)
+          f >= 0 && f <= t.numChars - last.numChars
+        }
+      }
+    }
+  }
+
+  /** Register + Column entry point (the fix_mojibake convention). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "robots_match", exprs => RobotsMatch(exprs(0), exprs(1)), "built-in")
+
+  def matchCol(spark: org.apache.spark.sql.SparkSession,
+      target: org.apache.spark.sql.Column,
+      pattern: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("robots_match", target, pattern)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -291,6 +292,52 @@ object VecKernels {
     sig
   }
 
+  /** The PQ subvector splitter: `transform(sequence(0, m−1), j ->
+    * struct(j AS sub, slice(x, j·sub+1, sub) AS svec))`, with the
+    * float→double per-element CAST where the source had one (exact
+    * widening; a double source passes through) — slices clamp at the
+    * array end exactly like `slice`. */
+  case class SubVectors(child: Expression, m: Int, sub: Int)
+      extends UnaryExpression {
+    require(m >= 1 && sub >= 1, s"sub_vectors needs m, sub >= 1 (got $m, $sub)")
+    override def checkInputDataTypes() = checkArrays(child)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("svec", ArrayType(DoubleType)))))
+    @transient private lazy val et = elemType(child)
+    override def nullSafeEval(a: Any): Any =
+      VecKernels.subVectors(a.asInstanceOf[ArrayData], et, m, sub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tRef = ctx.addReferenceObj("et", et)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VecKernels.subVectors($c, $tRef, $m, $sub);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def subVectors(a: ArrayData, t: DataType, m: Int, sub: Int): ArrayData = {
+    val la = a.numElements()
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val from = j * sub
+      val until = math.min(from + sub, la)
+      val n = math.max(until - from, 0)
+      val sv = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        sv(i) =
+          if (a.isNullAt(from + i)) null
+          else java.lang.Double.valueOf(getD(a, t, from + i))
+        i += 1
+      }
+      out(j) = InternalRow(Integer.valueOf(j), new GenericArrayData(sv))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Register + Column entry points (the fix_mojibake convention). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -313,6 +360,10 @@ object VecKernels {
       exprs => PlaneDots(exprs(0), decodeW(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("sig_bits",
       exprs => SigBits(exprs(0), decodeW(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("sub_vectors",
+      exprs => SubVectors(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
 
   import org.apache.spark.sql.{Column, SparkSession}
@@ -347,5 +398,10 @@ object VecKernels {
     register(spark)
     call_function("sig_bits", emb,
       org.apache.spark.sql.functions.typedlit(weights))
+  }
+  def subVectorsCol(spark: SparkSession, v: Column, m: Int, sub: Int): Column = {
+    register(spark)
+    call_function("sub_vectors", v,
+      org.apache.spark.sql.functions.lit(m), org.apache.spark.sql.functions.lit(sub))
   }
 }

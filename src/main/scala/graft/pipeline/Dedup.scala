@@ -98,10 +98,10 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("toks")))
     val blocks = tok.select(
         col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, CAST((size(toks) - 1) / $blockTokens AS INT)),
-             |  i -> concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens)))"""
-            .stripMargin)).as(Seq("blk_idx", "blk")))
+        // Codegen kernel (r21, KgramsSpec-pinned stride form).
+        posexplode(graft.functions.Kgrams.windows(docs.sparkSession,
+          col("toks"), blockTokens, md5 = false, stride = blockTokens))
+          .as(Seq("blk_idx", "blk")))
       .select(col("doc_id"), col("blk_idx").cast("long").as("blk_idx"),
         col("blk"), md5(col("blk")).as("h"))
     val keeper = blocks.groupBy("h")
@@ -144,10 +144,10 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("toks")))
     val blocks = tok.select(
         col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, CAST((size(toks) - 1) / $blockTokens AS INT)),
-             |  i -> concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens)))"""
-            .stripMargin)).as(Seq("blk_idx", "blk")))
+        // Codegen kernel (r21, KgramsSpec-pinned stride form).
+        posexplode(graft.functions.Kgrams.windows(docs.sparkSession,
+          col("toks"), blockTokens, md5 = false, stride = blockTokens))
+          .as(Seq("blk_idx", "blk")))
       .select(col("doc_id"), col("blk_idx").cast("long").as("blk_idx"),
         col("blk"), md5(col("blk")).as("h"))
     val freq = blocks.groupBy("h").agg(count(lit(1)).as("cnt"))
@@ -750,27 +750,18 @@ object Dedup {
     * unsigned — identical arithmetic domain in both engines); chunk ids
     * are md5 of the chunk text. Zero shuffle: boundary positions,
     * starts/ends, and chunk slices are one HOF projection per row. */
-  def cdcChunks(docs: DataFrame, modBits: Int = 3): DataFrame = {
-    val m = 1 << modBits
-    val toks = "split(text, ' ')"
-    // The arrays build stepwise through chained withColumns (each is
-    // still one projection — the optimizer collapses them into the scan
-    // project; Spark SQL has no scalar CTE-in-expr).
+  def cdcChunks(docs: DataFrame, modBits: Int = 3): DataFrame =
+    // One codegen kernel per document (r21,
+    // [[graft.functions.CdcChunks]] — bit-compatible with the
+    // filter/transform/zip_with chain it replaced, pinned by
+    // KgramsSpec): the old form ran an interpreted lambda (with a full
+    // md5 + conv string parse) per TOKEN for the boundary filter plus
+    // one per chunk for the assembly.
     docs
-      .select(col("doc_id"), expr(toks).as("t"))
-      .withColumn("bps", expr(
-        s"""filter(sequence(1, size(t)),
-           |  i -> CAST(conv(substring(md5(element_at(t, i)), 1, 8), 16, 10) AS BIGINT) % $m = 0
-           |       AND i < size(t))""".stripMargin))
-      .withColumn("starts", expr("concat(array(1), transform(bps, p -> p + 1))"))
-      .withColumn("ends", expr("concat(bps, array(size(t)))"))
-      .select(col("doc_id"), posexplode(expr(
-        """zip_with(starts, ends, (s, e) ->
-          |  named_struct('h', md5(concat_ws(' ', slice(t, s, e - s + 1))),
-          |               'n', e - s + 1))""".stripMargin)).as(Seq("p", "c")))
+      .select(col("doc_id"), posexplode(graft.functions.Kgrams
+        .cdcChunks(docs.sparkSession, col("text"), modBits)).as(Seq("p", "c")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("chunk_idx"),
         col("c.h").as("h"), col("c.n").cast("long").as("n_toks"))
-  }
 
   /** Chunk-level dedup report over [[cdcChunks]]: per document its chunk
     * count, how many of its chunks appear elsewhere in the corpus (any

@@ -114,6 +114,12 @@ object Robots {
     * (anything after the pattern is always acceptable), and the
     * `$`-anchored case checks the final segment against the target's
     * tail separately so the middle `*`s absorb any slack. */
+  /** Kept (though no longer on the query path, r21) as the reference
+    * implementation RobotsMatchSpec pins [[graft.functions.RobotsMatch]]
+    * against. */
+  private[graft] def wildcardSqlForSpec(t: String, p: String): String =
+    wildcardMatchSql(t, p)
+
   private[pipeline] def wildcardMatchSql(tCol: String, pCol: String): String = {
     val segs = s"split($pCol, '\\\\*', -1)"
     val coreSegs = s"split(substring($pCol, 1, length($pCol) - 1), '\\\\*', -1)"
@@ -157,7 +163,16 @@ object Robots {
       .filter(col("ua").isin(uaLower, "*"))
     val cand = urls.join(rules, Seq("host"), "left")
       .withColumn("specific", col("ua") === lit(uaLower))
-      .withColumn("matched", expr(wildcardMatchSql("target", "pattern")))
+      // Codegen kernel (r21, RobotsMatchSpec-pinned): the interpreted
+      // aggregate/locate fold chain evaluated per (URL × rule) join row
+      // and ran TWICE in the `$`-anchored branch; `matched` is false on
+      // null inputs in both forms (and the downstream when(matched &&
+      // …) aggregates treat null and false identically anyway). At
+      // sf0.1 the entry's wall time is job scheduling, not match CPU —
+      // the kernel's win is per-row cost at corpus scale plus a much
+      // smaller expression tree to analyze/compile per query.
+      .withColumn("matched", graft.functions.RobotsMatch.matchCol(
+        urls.sparkSession, col("target"), col("pattern")))
     val carry = urls.columns.filterNot(_ == "doc_id")
       .map(c => first(col(c)).as(c))
     // Winner per URL: longest pattern wins, Allow wins length ties

@@ -770,9 +770,8 @@ object Similarity {
           graft.functions.VecKernels.subCol(
           org.apache.spark.sql.SparkSession.active, col("embedding"), col("cvec"))
             .as("r"))
-        .select(col("vec_id"), col("cell"), explode(expr(
-          s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
-             |  slice(r, j * $sub + 1, $sub) AS svec))""".stripMargin)).as("e"))
+        .select(col("vec_id"), col("cell"), explode(graft.functions.VecKernels.subVectorsCol(
+          org.apache.spark.sql.SparkSession.active, col("r"), m, sub)).as("e"))
         .select(col("vec_id"), col("cell"),
           col("e.sub").as("sub"), col("e.svec").as("svec")))
     val cb =
@@ -808,9 +807,8 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(asc("d2"), asc("cell"))))
       .filter(col("rn") <= nProbe)
     val dtab = qres
-      .select(col("query_id"), col("cell"), explode(expr(
-        s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
-           |  slice(qr, j * $sub + 1, $sub) AS svec))""".stripMargin)).as("e"))
+      .select(col("query_id"), col("cell"), explode(graft.functions.VecKernels.subVectorsCol(
+        org.apache.spark.sql.SparkSession.active, col("qr"), m, sub)).as("e"))
       .select(col("query_id"), col("cell"), col("e.sub").as("sub"), col("e.svec").as("svec"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("cell"), col("sub"), col("code"),
@@ -861,9 +859,8 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         graft.functions.VecKernels.subCol(
           org.apache.spark.sql.SparkSession.active, col("embedding"), col("cvec")).as("r"))
-      .select(col("vec_id"), col("cell"), explode(expr(
-        s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
-           |  slice(r, j * $sub + 1, $sub) AS svec))""".stripMargin)).as("e"))
+      .select(col("vec_id"), col("cell"), explode(graft.functions.VecKernels.subVectorsCol(
+        org.apache.spark.sql.SparkSession.active, col("r"), m, sub)).as("e"))
       .select(col("vec_id"), col("cell"),
         col("e.sub").as("sub"), col("e.svec").as("svec"))
     pqEncodeFrom(resSubs, cb, m * sub, carry = Seq("cell"))
@@ -1123,10 +1120,8 @@ object Similarity {
   /** (vec_id, sub, svec): each vector split into m contiguous subvectors
     * of `sub` doubles — the PQ working representation. */
   private def subTable(emb: DataFrame, m: Int, sub: Int): DataFrame =
-    emb.select(col("vec_id"), explode(expr(
-      s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
-         |  transform(slice(embedding, j * $sub + 1, $sub),
-         |    x -> CAST(x AS DOUBLE)) AS svec))""".stripMargin)).as("e"))
+    emb.select(col("vec_id"), explode(graft.functions.VecKernels.subVectorsCol(
+      org.apache.spark.sql.SparkSession.active, col("embedding"), m, sub)).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.svec").as("svec"))
 
   /** Embedding near-duplicate detection: LSH-bucketed pairs with cosine ≥

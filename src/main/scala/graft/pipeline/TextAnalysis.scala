@@ -146,8 +146,11 @@ object TextAnalysis {
       .withColumn("lns",
         filter(split(col("text"), "\n"), l => l =!= lit("")))
       .withColumn("n_words", size(col("ws")).cast("long"))
+      // Sum of word lengths ≡ length of the separator-free concat
+      // (exact code-point identity) — swaps the interpreted per-word
+      // fold for one codegen concat_ws+length (r21).
       .withColumn("total_len",
-        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)))
+        length(concat_ws("", col("ws"))).cast("long"))
       .withColumn("n_alpha",
         size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("long"))
       // The '...' count divides an exact multiple of 3; the double divide
@@ -478,9 +481,10 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
-        "(acc, x) -> (shiftleft(acc, 5) | shiftrightunsigned(acc, 59)) ^ " +
-        graft.functions.PortableHash.sqlFragment("x") + ")")
+      // Codegen kernel (r21, KgramsSpec-pinned): the interpreted fold
+      // ran per token and computed md5 twice per token.
+      graft.functions.Kgrams.rollFingerprint(
+        org.apache.spark.sql.SparkSession.active, col("text"))
         .as("fingerprint"),
       graft.functions.PortableHash.hash64(col("text")).as("content_hash"))
 

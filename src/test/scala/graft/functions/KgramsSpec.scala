@@ -43,6 +43,20 @@ class KgramsSpec extends AnyFunSuite {
     }
   }
 
+  for (bt <- Seq(16, 4, 1)) {
+    test(s"kgram_windows stride=$bt == aligned-block transform chain") {
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val old = toks.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(toks) - 1) / $bt AS INT)),
+           |  i -> concat_ws(' ', slice(toks, i * $bt + 1, $bt)))"""
+          .stripMargin)).as(Seq("blk_idx", "blk")))
+      val neu = toks.select(col("doc_id"), posexplode(
+        Kgrams.windows(spark, col("toks"), bt, md5 = false, stride = bt))
+        .as(Seq("blk_idx", "blk")))
+      assert(ordered(old) == ordered(neu))
+    }
+  }
+
   for (n <- Seq(5, 2, 1)) {
     test(s"kgram_shingles(n=$n) == Dedup.shingles CASE") {
       val t = "split(text, ' ')"
@@ -57,6 +71,26 @@ class KgramsSpec extends AnyFunSuite {
     }
   }
 
+  test("roll_fingerprint == shiftleft/xor fold with PortableHash words") {
+    val old = docs.select(col("doc_id"), expr(
+      "aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
+        "(acc, x) -> (shiftleft(acc, 5) | shiftrightunsigned(acc, 59)) ^ " +
+        PortableHash.sqlFragment("x") + ")").as("f"))
+    val neu = docs.select(col("doc_id"),
+      Kgrams.rollFingerprint(spark, col("text")).as("f"))
+    assert(ordered(old) == ordered(neu))
+  }
+
+  test("sum-of-word-lengths == length of separator-free concat") {
+    val ws = docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+    val old = ws.select(col("doc_id"),
+      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("t"))
+    val neu = ws.select(col("doc_id"),
+      length(concat_ws("", col("ws"))).cast("long").as("t"))
+    assert(ordered(old) == ordered(neu))
+  }
+
   test("adjacent_pairs joined == concat chain (size >= 2 pre-filtered)") {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -66,6 +100,30 @@ class KgramsSpec extends AnyFunSuite {
     val neu = toks.select(col("doc_id"), explode(
       Kgrams.pairs(spark, col("toks"), joined = true)).as("b"))
     assert(ordered(old) == ordered(neu))
+  }
+
+  for (modBits <- Seq(3, 0)) {
+    test(s"cdc_chunks(modBits=$modBits) == filter/zip_with chain") {
+      val m = 1 << modBits
+      val old = docs
+        .select(col("doc_id"), expr("split(text, ' ')").as("t"))
+        .withColumn("bps", expr(
+          s"""filter(sequence(1, size(t)),
+             |  i -> CAST(conv(substring(md5(element_at(t, i)), 1, 8), 16, 10) AS BIGINT) % $m = 0
+             |       AND i < size(t))""".stripMargin))
+        .withColumn("starts", expr("concat(array(1), transform(bps, p -> p + 1))"))
+        .withColumn("ends", expr("concat(bps, array(size(t)))"))
+        .select(col("doc_id"), posexplode(expr(
+          """zip_with(starts, ends, (s, e) ->
+            |  named_struct('h', md5(concat_ws(' ', slice(t, s, e - s + 1))),
+            |               'n', e - s + 1))""".stripMargin)).as(Seq("p", "c")))
+        .select(col("doc_id"), col("p"), col("c.h"), col("c.n"))
+      val neu = docs
+        .select(col("doc_id"), posexplode(
+          Kgrams.cdcChunks(spark, col("text"), modBits)).as(Seq("p", "c")))
+        .select(col("doc_id"), col("p"), col("c.h"), col("c.n"))
+      assert(ordered(old) == ordered(neu))
+    }
   }
 
   test("excise_windows == interval-fold + filter/exists chain") {

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the r21 [[RobotsMatch]] kernel to Robots.wildcardMatchSql's
+  * verbatim fold chain (which stays in-tree as this spec's reference)
+  * on adversarial (target, pattern) pairs: multi-star greedy advance,
+  * `$` anchors, empty segments, overlap-sensitive locate order, null
+  * inputs, and code-point (not UTF-16) position arithmetic. */
+class RobotsMatchSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("kernel == wildcardMatchSql fold on adversarial pairs") {
+    val cases: Seq[(String, String)] = Seq(
+      ("/Articles/x?id=9", "/Articles/"),
+      ("/Articles/x?id=9", "/Articles/*?id=*"),
+      ("/Articles/x?id=19", "/Articles/*?id=1*"),
+      ("/post/abc3", "/post/*3$"),
+      ("/post/abc3x", "/post/*3$"),
+      ("/post/3", "/post/*3$"),          // star consumes empty run
+      ("/p", "/post$"),
+      ("/post", "/post$"),
+      ("/", "/"),
+      ("/anything", "/"),
+      ("/a/b/c", "*b*"),
+      ("/abc", "***"),                   // empty segments only
+      ("/abab", "/a*ab$"),               // greedy-vs-anchor interplay
+      ("/abab", "/a*ab"),
+      ("/aaaa", "*aa*aa$"),              // overlapping finds
+      ("/aaa", "*aa*aa$"),
+      ("/café/中文?x=😀", "/café/*?x=*"), // non-BMP target
+      ("/café/x", "/caf*éx$"),
+      ("/q", ""),                        // empty pattern
+      ("/q", "$"),
+      ("", "/a"),
+      ("", "")
+    )
+    val df = cases.toDF("target", "pattern")
+    val old = df.select(expr(
+      graft.pipeline.Robots.wildcardSqlForSpec("target", "pattern")).as("m"))
+    val neu = df.select(RobotsMatch.matchCol(spark,
+      col("target"), col("pattern")).as("m"))
+    val o = old.collect().map(_.get(0)).toSeq
+    val n = neu.collect().map(_.get(0)).toSeq
+    // The SQL CASE already yields false (never null) — compare directly.
+    assert(o == n, cases.zip(o.zip(n)).filter(x => x._2._1 != x._2._2).toString)
+    // Null inputs: both forms say false.
+    val nulls = Seq((null.asInstanceOf[String], "/a"), ("/a", null.asInstanceOf[String]))
+      .toDF("target", "pattern")
+    assert(nulls.select(RobotsMatch.matchCol(spark, col("target"), col("pattern")))
+      .collect().map(_.getBoolean(0)).toSeq == Seq(false, false))
+  }
+}

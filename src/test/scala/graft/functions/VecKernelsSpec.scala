@@ -103,6 +103,32 @@ class VecKernelsSpec extends AnyFunSuite {
     assert(rows(oldSig) == rows(neuSig))
   }
 
+  test("sub_vectors == transform/slice splitter, both cast forms") {
+    val m = 4; val sub = 2
+    val d = Seq(
+      Tuple1(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      Tuple1(Seq(1.0, 2.0, 3.0))  // short: clamped/empty tail slices
+    ).toDF("r")
+    val oldD = d.select(explode(expr(
+      s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
+         |  slice(r, j * $sub + 1, $sub) AS svec))""".stripMargin)).as("e"))
+      .select(col("e.sub"), col("e.svec"))
+    val neuD = d.select(explode(
+      VecKernels.subVectorsCol(spark, col("r"), m, sub)).as("e"))
+      .select(col("e.sub"), col("e.svec"))
+    assert(rows(oldD) == rows(neuD))
+    val f = Seq(Tuple1(Seq(1.5f, -2f, 3f, 4f, 5f, 6f, 7f, 8f))).toDF("embedding")
+    val oldF = f.select(explode(expr(
+      s"""transform(sequence(0, ${m - 1}), j -> struct(j AS sub,
+         |  transform(slice(embedding, j * $sub + 1, $sub),
+         |    x -> CAST(x AS DOUBLE)) AS svec))""".stripMargin)).as("e"))
+      .select(col("e.sub"), col("e.svec"))
+    val neuF = f.select(explode(
+      VecKernels.subVectorsCol(spark, col("embedding"), m, sub)).as("e"))
+      .select(col("e.sub"), col("e.svec"))
+    assert(rows(oldF) == rows(neuF))
+  }
+
   test("li_emb == the PortableHash transform chain") {
     val toks = Seq("alpha", "beta-1", "", "Ünïcode tok", "x y").toDF("tok")
     val old = toks.select(expr(
