@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive replacement (r21) for the unconditional
+  * `repartition(defaultParallelism)` the CPU-heavy text/vector operators
+  * open with. The repartition exists for SMALL inputs: the test corpora
+  * are one parquet file whose row-group layout caps effective scan
+  * parallelism far below the core count, so without it the dominant
+  * per-row work serializes onto a couple of tasks. At 100-TB scale the
+  * same call is a SCALE-KILLER: it round-robins the ENTIRE corpus
+  * through one extra shuffle and — worse — coalesces the scan's natural
+  * ~maxPartitionBytes splits down to cluster-core count, i.e. tens of
+  * GB per task.
+  *
+  * Rule (guide §2: derive partitioning from input size, not a
+  * constant): spread only when the plan's estimated input bytes are
+  * below cores × `spark.graft.spread.minBytesPerCore` (default =
+  * `spark.sql.files.maxPartitionBytes`, i.e. "the scan cannot fill one
+  * natural split per core") — above that, the source's own splits
+  * already spread the rows and the repartition would only add a
+  * corpus-wide shuffle. At every oracle/bench SF the condition is TRUE,
+  * so plans (and shuffle-order-dependent reductions) are unchanged
+  * there; SpreadSpec pins both sides of the gate. Streaming frames keep
+  * the unconditional repartition (no stats, micro-batches are small by
+  * construction). */
+object Spread {
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.isStreaming) return df.repartition(cores)
+    val perCore = spark.conf
+      .get("spark.graft.spread.minBytesPerCore", (128L << 20).toString).toLong
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(cores) * perCore) df.repartition(cores) else df
+  }
+}

@@ -63,7 +63,7 @@ object Classify {
   private def bigramBuckets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(graft.functions.Kgrams

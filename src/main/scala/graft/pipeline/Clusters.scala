@@ -187,7 +187,7 @@ object Clusters {
       (if (banded) Seq(floor(length(col("text")) / lenBandWidth).as("bkt"),
         length(col("text")).as("lenc")) else Nil)
     val keyed = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(sh0Cols: _*)
       .withColumn("s", if (hashedKeys) xxhash64(col("s0")) else col("s0"))
       .drop("s0")

@@ -20,7 +20,7 @@ object Dedup {
     * computation no matter how many cores exist. The repartition shuffle
     * moves only the raw rows and is amortized by the per-row compute. */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.Spread(df)
 
   /** Canonically-equivalent probe suffixes for `dedup_exact_nfc` — built
     * from escapes so the decomposition survives source-file

@@ -385,7 +385,7 @@ object Multimodal {
     import spark.implicits._
     val bandArr = bands.toArray
     media.filter(col("kind") === "audio")
-      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .transform(graft.Spread(_)).as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
         try {
           val (bb, sr, off, n) = wavPcm(m.payload)
@@ -515,7 +515,7 @@ object Multimodal {
   def resizeImages(media: DataFrame, maxDim: Int = 16, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+    media.transform(graft.Spread(_)).as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
         if (m.kind != "image")
           ResizedRow(m.doc_id, m.kind, m.payload, m.width, m.height, m.width, m.height)
@@ -638,7 +638,7 @@ object Multimodal {
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+    media.transform(graft.Spread(_)).as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
       .toDF()
   }
@@ -724,7 +724,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "image")
-      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .transform(graft.Spread(_)).as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
         try {
           val img = javax.imageio.ImageIO.read(
@@ -751,7 +751,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "image")
-      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .transform(graft.Spread(_)).as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
         try {
           val img = javax.imageio.ImageIO.read(
@@ -960,7 +960,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "audio")
-      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .transform(graft.Spread(_)).as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
         try {
           val (bits, n, sr) = audioFingerprintBits(m.payload)
@@ -1042,7 +1042,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "audio")
-      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .transform(graft.Spread(_)).as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { m =>
         try {
           val (ws, nWin, sr) = audioWindowBits(m.payload, windowSeconds, hopSeconds)
@@ -1401,7 +1401,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "video")
-      .repartition(spark.sparkContext.defaultParallelism).as[MediaRow]
+      .transform(graft.Spread(_)).as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { m =>
         try {
           val (hs, n) = videoFrameHashes(m.payload, nSlots)

@@ -435,7 +435,7 @@ object Retrieval {
       .flatMap { case (id, s) => s.split(" ").distinct.map(t => (id, t)) }
       .toDF("query_id", "term")
     val hits = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
       .join(broadcast(qt), Seq("term"))
       .select(col("query_id"), col("doc_id"), col("pos"))

@@ -38,7 +38,7 @@ object Select {
     // both the eval set and the train stream are carved out of the same
     // exploded table — computing it per side doubles the dominant cost.
     val exploded = graft.Materialize(docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), isEval.as("is_eval"),
         explode(Dedup.shingles(n)).as("s")))
     val evalShingles = exploded.filter(col("is_eval")).select("s").distinct()
@@ -75,7 +75,7 @@ object Select {
     // Same materialized single shingle pass as decontaminate: the n-gram
     // HOF dominates, so eval and train sides share one explode.
     val exploded = graft.Materialize(docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), isEval.as("is_eval"),
         explode(Dedup.shingles(n)).as("s")))
     val evalShingles = exploded.filter(col("is_eval")).select("s").distinct()
@@ -134,7 +134,7 @@ object Select {
     val existing = graft.sinks.BucketedStore
       .readOrEmpty(spark, shingleDir, EvalShinglesSpec)
     val fresh = evalDocs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(explode(Dedup.shingles(n)).as("s")).distinct()
       .join(existing, Seq("s"), "left_anti")
     graft.sinks.BucketedStore.append(fresh, shingleDir, EvalShinglesSpec)
@@ -165,7 +165,7 @@ object Select {
       n: Int = 8, broadcastMaxRows: Long = 4L << 20): DataFrame = {
     val spark = newDocs.sparkSession
     val exploded = graft.Materialize(newDocs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), explode(Dedup.shingles(n)).as("s")))
     val probeSql = graft.functions.BloomProbe
       .probeFrom(spark, s"$storeDir/bloom", "s")
@@ -205,7 +205,7 @@ object Select {
   def contaminationSpan(docs: DataFrame, evalMod: Int = 23, n: Int = 8): DataFrame = {
     val isEval = col("doc_id") % evalMod === 0
     val tok = graft.Materialize(docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), isEval.as("is_eval"),
         split(col("text"), " ").as("toks")))
     val posSh = tok.select(col("doc_id"), col("is_eval"),
@@ -405,7 +405,7 @@ object Select {
       buckets: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
     val bg = graft.Materialize(docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(graft.functions.Kgrams

@@ -191,7 +191,7 @@ object Similarity {
     // layout (the Dedup.spread argument: one row group = one partition
     // would serialize the dominant per-row cost).
     val withSig = graft.Materialize(
-      emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      emb.transform(graft.Spread(_))
         .select(col("vec_id"), col("embedding"),
           hyperplaneSig(planes, dim).as("sig")))
     val banded = withSig

@@ -260,7 +260,7 @@ object TextAnalysis {
     import spark.implicits._
     // Repartition: decouple per-token compute from input file layout
     // (one row group = one partition otherwise).
-    val spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    val spread = docs.transform(graft.Spread(_))
     // Materialized: the exploded stream feeds BOTH the model's pair
     // counts and the per-doc seen-pair join, and nothing upstream caches
     // it — without this the corpus is re-read and re-exploded per
@@ -351,7 +351,7 @@ object TextAnalysis {
   def tfIdf(docs: DataFrame, topK: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     val tok = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), explode(tokens).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .transform(graft.Materialize(_))
@@ -377,7 +377,7 @@ object TextAnalysis {
   def repetitionQuality(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val tok = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"),
         posexplode(tokens).as(Seq("pos", "token")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -499,7 +499,7 @@ object TextAnalysis {
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val toks = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val freq = graft.Materialize(
       toks.groupBy("tok").agg(count(lit(1)).as("cnt")))
@@ -538,7 +538,7 @@ object TextAnalysis {
     // consumers (c2, c1, scoring) would otherwise each re-run the
     // positional transform+explode.
     val tok = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val bg = graft.Materialize(tok
       .filter(size(col("toks")) >= 2)
@@ -782,7 +782,7 @@ object TextAnalysis {
   /** Distinct-word frequency table of the corpus, materialized. */
   private def wordFreqs(docs: DataFrame): DataFrame =
     graft.Materialize(docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq")))
@@ -832,7 +832,7 @@ object TextAnalysis {
     val merges = bpeTrain(docs, nMerges).collect()
       .map(r => (r.getString(1), r.getString(2)))
     val tokens = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
     val vocabDf = wordFreqs(docs)
@@ -1044,7 +1044,7 @@ object TextAnalysis {
       topK: Int = 100): DataFrame = {
     val spark = docs.sparkSession
     val toks = graft.Materialize(docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("col", "tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
@@ -1093,7 +1093,7 @@ object TextAnalysis {
       topK: Int = 30): DataFrame = {
     val spark = docs.sparkSession
     val toks = graft.Materialize(docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Spread(_))
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("col", "tok"))
     val a = toks.select(col("doc_id"), col("pos").as("pa"), col("tok").as("ta"))
@@ -1316,7 +1316,7 @@ object TextAnalysis {
   def charEntropy(docs: DataFrame, lowBits: Double = 3.2,
       highBits: Double = 4.3): DataFrame = {
     val spark = docs.sparkSession
-    val spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    val spread = docs.transform(graft.Spread(_))
     val freq = spread
       .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
       .filter(length(col("c")) === 1)

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins both sides of [[Spread]]'s input-size gate (r21): small inputs
+  * keep the historical repartition-to-cores behavior (every oracle and
+  * bench SF is on this side, so plans there are unchanged); inputs past
+  * the threshold are left on their natural scan splits — the 100-TB
+  * side, where the old unconditional repartition coalesced the corpus
+  * into cores-count partitions of tens of GB. */
+class SpreadSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("small input spreads to defaultParallelism (the historical plan)") {
+    val df = spark.range(1000).toDF("x")
+    val out = Spread(df)
+    assert(out.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
+  test("past the byte threshold the source partitioning is untouched") {
+    spark.conf.set("spark.graft.spread.minBytesPerCore", "0")
+    try {
+      val df = spark.range(1000).toDF("x")
+      val out = Spread(df)
+      // No exchange added: the returned frame IS the input.
+      assert(out.queryExecution.logical eq df.queryExecution.logical)
+    } finally spark.conf.unset("spark.graft.spread.minBytesPerCore")
+  }
+
+  test("the gate fires on the REAL pipeline input shapes at test scale") {
+    // Parquet scan stats are file bytes; typed-map outputs (the media
+    // attachPayloads shape) inherit child estimates — both must stay on
+    // the spread side at every oracle/bench SF, or a decode path would
+    // silently serialize onto the scan's row-group count.
+    val docs = Tables(spark, SparkTestSession.sf0001).documents
+    assert(Spread(docs).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    val media = graft.pipeline.Multimodal.attachPayloads(docs)
+    assert(Spread(media.toDF()).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
+  test("streaming frames keep the unconditional repartition") {
+    val s = spark.readStream.format("rate").load()
+    val out = Spread(s)
+    assert(out.isStreaming)
+    // The plan must contain the repartition (stats are unavailable on
+    // streaming frames; micro-batches stay small by construction).
+    assert(out.queryExecution.logical.toString.contains("Repartition"))
+  }
+}
