@@ -279,7 +279,11 @@ object StreamBench {
             corpus((pageId % corpus.length).toInt)._2.take(400) + "</p></body></html>"
           val g = new java.util.zip.GZIPOutputStream(out)
           g.write(rec(s"http://$host/page/$pageId", body).getBytes("UTF-8"))
-          g.finish()
+          // close(), not just finish(): ends the member's native Deflater
+          // immediately (finish alone leaked ~500 Deflaters per wave to
+          // GC finalization — ADVICE r20) while keeping the multi-member
+          // gzip framing intact (ByteArrayOutputStream.close is a no-op).
+          g.close()
         }
         java.nio.file.Files.write(
           java.nio.file.Paths.get(inDir, f"wave$i%03d.warc.gz"), out.toByteArray)
