@@ -54,7 +54,10 @@ object Crawl {
     * `docIdOf` defaults to the engine-neutral hash of (file, record
     * index) — stable across replays of the same dump (the
     * [[graft.streaming.PipelineStream.ingestWarcBatch]] convention);
-    * deterministic plants override it with an id parsed from the URI. */
+    * deterministic plants override it with an id parsed from the URI.
+    * doc_id must be unique within the batch (the default hash is; the
+    * verdict/admission carries aggregate per doc_id, as the old
+    * join-back shape already did). */
   def gateBatch(files: DataFrame, robots: DataFrame, frontierDir: String,
       blocklist: Seq[String] = Urls.DefaultBlocklist,
       epochSeconds: Int = 30, userAgent: String = "graftbot",
@@ -66,11 +69,15 @@ object Crawl {
         col("target_uri").isNotNull)
     val id = docIdOf.getOrElse(graft.functions.PortableHash.hash64(
       concat_ws("#", col("file"), col("rec_idx").cast("string"))))
-    // Materialized: the metadata join reads pages twice (left side +
-    // extractHtmlMeta input) and the WARC split is the dominant
-    // per-row cost — recomputing it doubles the batch.
-    val pages = graft.Materialize(recs.select(id.as("doc_id"),
-      col("target_uri").as("fetch_url"), col("payload").cast("string").as("html")))
+    // ONE pass over the WARC split (r22): metadata extraction is a
+    // zero-shuffle projection, so title/canonical/lang ride the same
+    // select as the split instead of a pages-side self-join — the split
+    // (the dominant per-row cost) is evaluated exactly once, inside the
+    // verdict materialization below, where it previously paid a
+    // checkpoint write+read (pages) plus a doc_id join plus a second
+    // checkpoint (flags0).
+    val pages = recs.select(id.as("doc_id"),
+      col("target_uri").as("fetch_url"), col("payload").cast("string").as("html"))
     // The fetch spelling and the page-declared canonical are DIFFERENT
     // trust domains: the crawler spends its fetch slot on fetch_url, so
     // robots and politeness gate the canonicalized FETCH URL (host +
@@ -81,9 +88,8 @@ object Crawl {
     // stay blocked, and a clean page declaring a canonical on a
     // blocklisted host is treated as that host's content — the
     // blocklist verdict is the OR over BOTH registered domains.
-    val flags0 = graft.Materialize(pages
-      .join(TextAnalysis.extractHtmlMeta(pages)
-        .select("doc_id", "title", "canonical", "page_lang"), Seq("doc_id"))
+    val flags0 = TextAnalysis.extractHtmlMeta(pages, keep = Seq("fetch_url"))
+      .select("doc_id", "fetch_url", "title", "canonical", "page_lang")
       .withColumn("fetch_canon", CanonicalizeUrl.url(spark, col("fetch_url")))
       .withColumn("url_canon",
         CanonicalizeUrl.url(spark, coalesce(col("canonical"), col("fetch_url"))))
@@ -99,21 +105,28 @@ object Crawl {
           (col("canonical").isNotNull &&
             Urls.registeredDomain(Urls.hostOf(col("url_canon")))
               .isin(blocklist: _*)))
-      .drop("html", "fetch_canon"))
-    graft.Materialize.release(pages)
-    val flags = graft.Materialize(flags0
-      .join(Robots.verdicts(flags0.select("doc_id", "host", "target"),
-          robots, userAgent)
-        .select(col("doc_id"), col("allowed")), Seq("doc_id")))
-    graft.Materialize.release(flags0)
+      .drop("fetch_canon", "canonical")
+    // Every page flag rides THROUGH the verdict aggregate (first() per
+    // doc — [[Robots.verdicts]]' carry contract; doc_id is unique per
+    // batch by construction) instead of joining the verdict back on
+    // doc_id (r22).
+    val flags = graft.Materialize(
+      Robots.verdicts(flags0, robots, userAgent)
+        .drop("target", "matched_pattern"))
     // Admission ranks AFTER the gates — a fetch slot is never spent on
-    // a blocked or disallowed URL (the crawlFunnel rule).
-    val adm = Robots.politenessAdmission(
-      flags.filter(!col("blocked") && col("allowed")).select("doc_id", "host"),
-      robots, epochSeconds, userAgent)
-      .select(col("doc_id"), col("admitted"))
-    val admFlags = graft.Materialize(flags.join(adm, Seq("doc_id"), "left")
-      .withColumn("admitted", coalesce(col("admitted"), lit(false))))
+    // a blocked or disallowed URL (the crawlFunnel rule). The flags ride
+    // through the admission's (broadcast-sized) joins, and the
+    // non-eligible remainder unions back with admitted = false — no
+    // full-width doc_id join (r22). The eligible predicate and its
+    // complement are null-safe EXACT complements, so every flags row
+    // lands on exactly one side.
+    val eligible = coalesce(!col("blocked") && col("allowed"), lit(false))
+    val admFlags = graft.Materialize(
+      Robots.politenessAdmission(flags.filter(eligible),
+          robots, epochSeconds, userAgent)
+        .select(flags.columns.map(col) :+ col("admitted"): _*)
+        .unionByName(flags.filter(!eligible)
+          .withColumn("admitted", lit(false))))
     graft.Materialize.release(flags)
     // Frontier tier: keep-first-forever by default; with
     // frontierTtlEpochs > 0 the TTL'd store ([[Urls.urlFrontierTtl]])
@@ -136,9 +149,17 @@ object Crawl {
     // page's own id), and a consumer reading only fetch_ok must not
     // silently lose genuinely-novel pages — exactly-once EFFECTIVE
     // semantics (the [[graft.streaming.PipelineStream]] replay contract).
-    val out = graft.Materialize(admFlags
+    // Only admitted pages can carry frontier flags (the store is probed
+    // with survivors only), so the join's left side is the admitted
+    // slice, not every page — the non-admitted remainder unions back
+    // with the constants the old full-width left join produced for it
+    // (r22; `admitted` is never null, so the split is exact).
+    val out = graft.Materialize(admitted
       .join(frontier.select("doc_id", "is_duplicate", "dup_of"),
         Seq("doc_id"), "left")
+      .unionByName(admFlags.filter(!col("admitted"))
+        .withColumn("is_duplicate", lit(null).cast("boolean"))
+        .withColumn("dup_of", when(lit(false), col("doc_id"))))
       .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
       .withColumn("fetch_ok",
         !col("blocked") && col("allowed") && col("admitted") &&

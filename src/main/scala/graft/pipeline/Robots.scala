@@ -251,8 +251,11 @@ object Robots {
     * host with ten million frontier URLs combines map-side to
     * ≤ epochSeconds rows per task instead of sorting its whole backlog
     * in one reducer. The per-host delay table is tiny and broadcasts.
-    * Output: one row per URL (doc_id, host, delay_s, cap, rank —
-    * NULL beyond the ranking bound — and admitted). */
+    * Output: one row per URL (doc_id, host, <extras>, delay_s, cap,
+    * rank — NULL beyond the ranking bound — and admitted). Like
+    * [[verdicts]], any ADDITIONAL `urls` columns ride through unchanged
+    * (r22: the rank join keys on (host, doc_id), so gate compositions
+    * keep their flags without a second full-width doc_id join back). */
   def politenessAdmission(urls: DataFrame, robots: DataFrame,
       epochSeconds: Int = 30, userAgent: String = "graftbot",
       defaultDelay: Double = 1.0): DataFrame = {
@@ -261,15 +264,16 @@ object Robots {
       urls.select(col("host"), col("doc_id"),
         md5(col("doc_id").cast("string")).as("draw")),
       "host", "draw", "doc_id", "rank", epochSeconds)
-    urls.select("doc_id", "host")
+    val extras = urls.columns.filterNot(Set("doc_id", "host")).map(col).toSeq
+    urls
       .join(broadcast(delays), Seq("host"), "left")
       .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelay)))
       .withColumn("cap",
         greatest(floor(lit(epochSeconds) / greatest(col("delay_s"), lit(1.0))), lit(1L)))
       .join(ranked.select("host", "doc_id", "rank"), Seq("host", "doc_id"), "left")
-      .select(col("doc_id"), col("host"), col("delay_s"), col("cap"),
-        col("rank"),
-        (col("rank").isNotNull && col("rank") <= col("cap")).as("admitted"))
+      .select(Seq(col("doc_id"), col("host")) ++ extras ++ Seq(
+        col("delay_s"), col("cap"), col("rank"),
+        (col("rank").isNotNull && col("rank") <= col("cap")).as("admitted")): _*)
   }
 
   /** `Sitemap:` directives from robots.txt bodies — the discovery
@@ -324,20 +328,25 @@ object Robots {
   def crawlFunnel(urls: DataFrame, robots: DataFrame,
       blocklist: Seq[String] = Urls.DefaultBlocklist,
       epochSeconds: Int = 30): DataFrame = {
-    val flags = graft.Materialize(urls
-      .join(verdicts(urls.select("doc_id", "host", "target"), robots)
-        .select(col("doc_id"), col("allowed")), Seq("doc_id")))
+    // r22 fusion: the caller's flags (blocked, …) ride THROUGH the
+    // verdict aggregate (verdicts' carry contract) instead of joining
+    // the verdict back on doc_id, and the admitted count aggregates the
+    // admission output directly (admission rows cover exactly the
+    // eligible URLs, each with a non-null admitted flag) instead of
+    // left-joining it against every URL — two full-width doc_id joins
+    // gone, same four counts.
+    val flags = graft.Materialize(
+      verdicts(urls, robots).drop("matched_pattern"))
     val eligible = flags.filter(!col("blocked") && col("allowed"))
       .select("doc_id", "host")
     val adm = politenessAdmission(eligible, robots, epochSeconds)
-      .select(col("doc_id"), col("admitted"))
-    val all = flags.join(adm, Seq("doc_id"), "left")
-      .withColumn("admitted", coalesce(col("admitted"), lit(false)))
-    val one = all.agg(
+      .agg(coalesce(sum(when(col("admitted"), 1L).otherwise(0L)), lit(0L))
+        .as("s4"))
+    val one = flags.agg(
       count(lit(1)).as("s1"),
       sum(when(!col("blocked"), 1L).otherwise(0L)).as("s2"),
-      sum(when(!col("blocked") && col("allowed"), 1L).otherwise(0L)).as("s3"),
-      sum(when(col("admitted"), 1L).otherwise(0L)).as("s4"))
+      sum(when(!col("blocked") && col("allowed"), 1L).otherwise(0L)).as("s3"))
+      .crossJoin(adm)
     one.select(expr(
         "stack(4, 1, 'discovered', s1, 2, 'domain', s2, 3, 'robots', s3, " +
           "4, 'admitted', s4) AS (stage_idx, stage, n_urls)"),
@@ -389,7 +398,10 @@ object Robots {
             .when(col("host").startsWith("blog."), lit(BlogRobots))
             .when(col("host") === "spam-mill.com", lit(SpamRobots)))
         .filter(col("robots_txt").isNotNull)
-      politenessAdmission(targets, robots).orderBy("doc_id")
+      // Narrowed to the admission keys: with the r22 carry-through the
+      // operator would otherwise ride `target` into the output schema.
+      politenessAdmission(targets.select("doc_id", "host"), robots)
+        .orderBy("doc_id")
     }),
     // Sitemap ROUND-TRIP: per-host urlset XML assembled from the planted
     // canonical URLs (loc whitespace-padded on odd docs, lastmod absent

@@ -958,7 +958,8 @@ object TextAnalysis {
     * Pure per-row regexp projection (regex subset chosen to mean the
     * same under Java regex and RE2) — zero shuffle, codegen'd, scales
     * embarrassingly. */
-  def extractHtmlMeta(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+  def extractHtmlMeta(docs: DataFrame, htmlCol: String = "html",
+      keep: Seq[String] = Nil): DataFrame = {
     val h = col(htmlCol)
     def decode(c: Column): Column = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -973,7 +974,7 @@ object TextAnalysis {
         s"""(?is)<$tag[^>]*$keyAttr\\s*=\\s*["']$key["'][^>]*$valAttr\\s*=\\s*["']([^"']*)["']""", 1)),
       nn(regexp_extract(h,
         s"""(?is)<$tag[^>]*$valAttr\\s*=\\s*["']([^"']*)["'][^>]*$keyAttr\\s*=\\s*["']$key["']""", 1)))
-    docs.select(col("doc_id"),
+    val metaCols = Seq(
       nn(clean(decode(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1))))
         .as("title"),
       clean(decode(coalesce(attrPair("meta", "name", "description", "content"), lit(""))))
@@ -985,6 +986,7 @@ object TextAnalysis {
         .as("og_title"),
       nn(regexp_extract(h, """(?is)<meta[^>]*charset\s*=\s*["']?([a-zA-Z0-9_\-]+)""", 1))
         .as("charset"))
+    docs.select(col("doc_id") +: keep.map(col) ++: metaCols: _*)
       .withColumn("description", when(col("description") =!= "", col("description")))
       .withColumn("og_title", when(col("og_title") =!= "", col("og_title")))
   }

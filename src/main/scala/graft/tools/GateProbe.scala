@@ -1,0 +1,110 @@
+package graft.tools
+
+import graft.Tables
+import graft.pipeline.{Crawl, Dedup, Robots, TextAnalysis, Urls}
+import graft.functions.CanonicalizeUrl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for the crawl_gate chain (r22): per-tier wall time
+  * at Bench conf, warm JIT (one full entry pass first), so the residual
+  * cost after the r22 fusion can be attributed to a tier instead of
+  * guessed. */
+object GateProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[gateprobe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    // Warm pass: the full entry once, JIT + parquet footer caches hot.
+    t("WARM full entry") {
+      graft.SparkEntry.queries("crawl_gate")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val docs = Tables(spark, dir).documents
+    val files = t("plant: buildGateWarc materialize") {
+      val f = graft.Materialize(Crawl.buildGateWarc(docs)); f.count(); f
+    }
+    val hosts = Urls.plantUrls(docs)
+      .select(Urls.hostOf(CanonicalizeUrl.url(spark, col("url"))).as("host"))
+      .distinct()
+    val robots = hosts
+      .withColumn("robots_txt",
+        when(col("host").startsWith("www."), lit(Robots.WwwRobots))
+          .when(col("host").startsWith("blog."), lit(Robots.BlogRobots))
+          .when(col("host") === "spam-mill.com", lit(Robots.SpamRobots)))
+      .filter(col("robots_txt").isNotNull)
+    val idCol = regexp_extract(col("target_uri"), "/([0-9]+)\\?", 1).cast("long")
+
+    // Replay gateBatch tier by tier (keep in sync with Crawl.gateBatch).
+    val recs = graft.sources.WarcSource.records(files)
+      .filter(col("error").isNull && col("warc_type") === "response" &&
+        col("target_uri").isNotNull)
+    val pages = recs.select(idCol.as("doc_id"),
+      col("target_uri").as("fetch_url"), col("payload").cast("string").as("html"))
+    val flags0 = TextAnalysis.extractHtmlMeta(pages, keep = Seq("fetch_url"))
+      .select("doc_id", "fetch_url", "title", "canonical", "page_lang")
+      .withColumn("fetch_canon", CanonicalizeUrl.url(spark, col("fetch_url")))
+      .withColumn("url_canon",
+        CanonicalizeUrl.url(spark, coalesce(col("canonical"), col("fetch_url"))))
+      .withColumn("host", Urls.hostOf(col("fetch_canon")))
+      .withColumn("target",
+        regexp_replace(col("fetch_canon"), "^[^/?#]*://[^/?]*", ""))
+      .withColumn("blocked",
+        Urls.registeredDomain(col("host")).isin(Urls.DefaultBlocklist: _*) ||
+          (col("canonical").isNotNull &&
+            Urls.registeredDomain(Urls.hostOf(col("url_canon")))
+              .isin(Urls.DefaultBlocklist: _*)))
+      .drop("fetch_canon", "canonical")
+    val flags = t("tier 1: split+meta+verdict materialize") {
+      graft.Materialize(
+        Robots.verdicts(flags0, robots, "graftbot")
+          .drop("target", "matched_pattern"))
+    }
+    val eligible = coalesce(!col("blocked") && col("allowed"), lit(false))
+    val admFlags = t("tier 2: admission materialize") {
+      graft.Materialize(
+        Robots.politenessAdmission(flags.filter(eligible), robots, 30, "graftbot")
+          .select(flags.columns.map(col) :+ col("admitted"): _*)
+          .unionByName(flags.filter(!eligible)
+            .withColumn("admitted", lit(false))))
+    }
+    val admitted = admFlags.filter(col("admitted"))
+    val frontierDir = java.nio.file.Files
+      .createTempDirectory("graft_gateprobe").toString
+    val frontier = t("tier 3: frontier incrementalExact") {
+      val f = Dedup.incrementalExact(
+        admitted.select(col("doc_id"), col("url_canon").as("text")), frontierDir)
+      f.write.format("noop").mode("overwrite").save(); f
+    }
+    t("tier 4: out union+select noop") {
+      admitted
+        .join(frontier.select("doc_id", "is_duplicate", "dup_of"),
+          Seq("doc_id"), "left")
+        .unionByName(admFlags.filter(!col("admitted"))
+          .withColumn("is_duplicate", lit(null).cast("boolean"))
+          .withColumn("dup_of", when(lit(false), col("doc_id"))))
+        .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
+        .withColumn("fetch_ok",
+          !col("blocked") && col("allowed") && col("admitted") &&
+            (!col("is_duplicate") || col("dup_of") === col("doc_id")))
+        .select("doc_id", "fetch_url", "url_canon", "host", "title", "page_lang",
+          "blocked", "allowed", "admitted", "is_duplicate", "dup_of", "fetch_ok")
+        .orderBy("doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("FULL entry (2nd, warm)") {
+      graft.SparkEntry.queries("crawl_gate")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
