@@ -397,6 +397,24 @@ object Similarity {
     * re-collects them), and the vector dimension — all byproducts of the
     * ONE sample collect, so consumers never run a separate dim-probe or
     * seed-scan job. */
+  /** Element-wise mean of a fixed-width ARRAY<DOUBLE> column on the
+    * ROUND-9 grid, as ONE builtin codegen HashAggregate: a sum per slot
+    * plus a shared count, divided and rounded in the aggregate
+    * projection. Replaces the VecMean udaf on the distributed Lloyd
+    * paths (r22): the udaf's typed input conversion runs interpreted
+    * per element (~0.4 µs/elem measured in r21), where GetArrayItem +
+    * builtin sum/count stay inside whole-stage codegen with map-side
+    * partial combining. Same sum-then-divide arithmetic; per-slot
+    * summation order differs only in the partial/merge grouping — the
+    * drift class the ROUND-9 grid already absorbs on these paths
+    * (pinned exact on integer-valued vectors in VecMeanSpec, and
+    * end-to-end by the forced-distributed trainer tests). */
+  private[graft] def meanVecRound9(vCol: String, dim: Int): Column = {
+    val n = count(col(vCol))
+    array((0 until dim).map(i =>
+      round(sum(col(vCol).getItem(i)) / n, 9)): _*)
+  }
+
   private final case class Coarse(
       centroids: DataFrame,
       assign: DataFrame => DataFrame,
@@ -448,11 +466,15 @@ object Similarity {
     } else {
       // Distributed path (cap = 0): the sample is materialized once and
       // each Lloyd iteration re-reads it instead of re-scanning (and
-      // re-filtering) the corpus. Centroid update: ONE hash aggregate of
-      // (sum vector, count) per cell (graft.functions.VecMean — the
-      // standard distributed k-means shape, map-side combined), not
-      // posexplode → per-dim avg → array reassembly (two chained
-      // shuffles per iteration).
+      // re-filtering) the corpus. Centroid update: ONE codegen hash
+      // aggregate of per-slot sums + count per cell ([[meanVecRound9]]
+      // — the standard distributed k-means shape, map-side combined,
+      // r22: builtin sums instead of the interpreted-input VecMean
+      // udaf), not posexplode → per-dim avg → array reassembly (two
+      // chained shuffles per iteration). The ROUND-9 grid rides inside
+      // the aggregate projection — the same 9-dp determinism grid as
+      // the local path, absorbing partial/merge summation-order drift.
+      val dim0 = sampleVecs.headOption.map(_.length).getOrElse(0)
       val train =
         if (iters > 0) graft.Materialize(trainSample(emb, trainDenom))
         else emb
@@ -461,11 +483,7 @@ object Similarity {
         val moved = assign(prev, train)
           .select(col("cell"),
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-          .groupBy("cell").agg(graft.functions.VecMean.mean(col("v")).as("m"))
-          // Same 9-dp determinism grid as the local path: partition-order
-          // summation drift absorbed, both trainers carry identical
-          // update semantics.
-          .select(col("cell"), expr("transform(m.v, x -> round(x, 9))").as("cvec"))
+          .groupBy("cell").agg(meanVecRound9("v", dim0).as("cvec"))
         // A cell that captured no sample vectors this round keeps its
         // previous centroid (standard empty-cluster handling, same as
         // pqCore) — dropping it would shrink nList for every later probe.
@@ -1010,16 +1028,15 @@ object Similarity {
 
     // Sampled from the already-materialized subs table: the filter is a
     // cheap scan of checkpointed blocks, so no second materialization.
-    // Codebook update: one VecMean hash aggregate per (sub, code) — see
-    // the ivfTopK update for the shape rationale.
+    // Codebook update: one codegen hash aggregate of per-slot sums +
+    // count per (sub, code) ([[meanVecRound9]], r22 — see the ivfTopK
+    // update for the shape rationale; same ROUND-9 grid as the local
+    // path, update-semantics parity).
     val trainSubs = trainSample(subs, trainDenom)
     (0 until iters).foreach { _ =>
       val moved = assign(codebook, trainSubs)
         .groupBy("sub", "code")
-        .agg(graft.functions.VecMean.mean(col("svec")).as("m"))
-        // Same ROUND-9 grid as the local path (update-semantics parity).
-        .select(col("sub"), col("code"),
-          expr("transform(m.v, x -> round(x, 9))").as("cvec"))
+        .agg(meanVecRound9("svec", sub).as("cvec"))
       // A centroid that captured no vectors this round keeps its previous
       // position (standard empty-cluster handling) — dropping it would
       // shrink k and bias every later assignment.
@@ -1568,15 +1585,13 @@ object Similarity {
     * isotropy à la all-but-the-top): which direction carries the
     * corpus's variance, and how much of it.
     *
-    * Distributed shape: the covariance matrix is NEVER materialized —
-    * each power iteration computes C·v = mean over rows of
-    * ((x−μ)·v)·(x−μ) as ONE map-side-combined [[graft.functions.VecMean]]
-    * aggregate (the k-means centroid shape), with μ and v riding the
-    * plan as dim-sized literals; normalization is O(dim) driver work
-    * (the quality_classifier convention: O(model) collects, one job per
-    * iteration, nothing corpus-sized at the driver). Total variance is
-    * one more scalar aggregate. Converges geometrically in the
-    * λ₁/λ₂ ratio; `iterations` fixed for determinism.
+    * Distributed shape (r21/r22): ONE pass computes the dim²-sized
+    * covariance sufficient statistic (partition-local flat-array sums,
+    * one partial row per task), with μ riding the plan as a dim-sized
+    * literal; every power iteration is then a driver-side dim² mat-vec —
+    * O(model) collects, zero per-iteration jobs, nothing corpus-sized
+    * at the driver. Total variance is the trace. Converges geometrically
+    * in the λ₁/λ₂ ratio; `iterations` fixed for determinism.
     *
     * Output: one row per dimension (dim_idx, mean_val, pc_val) with the
     * eigenvalue and explained-variance fraction as constant columns.
@@ -1625,37 +1640,53 @@ object Similarity {
     // drift the contract above already absorbs (C itself is collected
     // UNROUNDED; only cv rounds — rounding C first would compound to
     // ~dim·5e-10, past the grid). Oracle-validated at every SF.
-    // The outer product is a TYPED map, not nested HOFs (interpreted
-    // per-element — the documented 25-100× hazard), and runs ONCE. The
-    // dim²-vector SUM deliberately avoids VecMean: the udaf's typed
-    // input deserializer runs interpreted per ELEMENT (~6.5 µs/elem
-    // measured — 53 s for 2000×4096 at sf0.1); posexplode + the codegen
-    // builtin sum is the same per-slot summation as a hash aggregate
-    // over ≤ dim² keys with map-side combining (O(model²) rows out).
+    // The outer product accumulates into ONE partition-local dim² array
+    // (r22): each task folds its rows into a single flat sum and emits
+    // one (partial, count) row, so the pass never materializes the
+    // n·dim² exploded row stream the r21 posexplode + hash-aggregate
+    // form pushed through the aggregate (4096 rows per input row at
+    // dim 64 — the weakest link of that wave at corpus scale). The
+    // driver folds the ≤ #partitions partials in partition order —
+    // per-slot summation is still rows-within-partition then
+    // across-partition, the same absorbed drift class as the hash
+    // aggregate's merge order. A TYPED mapPartitions, not nested HOFs
+    // (interpreted per-element — the documented 25-100× hazard).
     val muB = broadcast(Seq(Tuple1(mu.toSeq)).toDF("mu"))
-    val covRows = src.crossJoin(muB)
+    val covPartials = src.crossJoin(muB)
       .select(col("v"), col("mu")).as[(Seq[Double], Seq[Double])]
-      .map { case (x, m) =>
-        val d = m.length
-        val c = new Array[Double](d)
-        var i = 0
-        while (i < d) { c(i) = x(i) - m(i); i += 1 }
-        val o = new Array[Double](d * d)
-        i = 0
-        while (i < d) {
-          val ci = c(i)
-          var j = 0
-          while (j < d) { o(i * d + j) = ci * c(j); j += 1 }
-          i += 1
+      .mapPartitions { it =>
+        var acc: Array[Double] = null
+        var c: Array[Double] = null
+        var cnt = 0L
+        it.foreach { case (x, m) =>
+          val d = m.length
+          if (acc == null) { acc = new Array[Double](d * d); c = new Array[Double](d) }
+          var i = 0
+          while (i < d) { c(i) = x(i) - m(i); i += 1 }
+          i = 0
+          while (i < d) {
+            val ci = c(i)
+            val base = i * d
+            var j = 0
+            while (j < d) { acc(base + j) += ci * c(j); j += 1 }
+            i += 1
+          }
+          cnt += 1L
         }
-        o.toSeq
-      }.toDF("o")
-      .select(posexplode(col("o")).as(Seq("i", "x")))
-      .groupBy("i").agg(sum("x").as("s"), count(lit(1)).as("cnt"))
-      .collect()
+        if (cnt == 0L) Iterator.empty
+        else Iterator((acc.toSeq, cnt))
+      }.collect()
     val cov = new Array[Double](dim * dim)
-    covRows.foreach(r =>
-      cov(r.getInt(0)) = r.getDouble(1) / r.getLong(2))
+    var nRows = 0L
+    covPartials.foreach { case (o, c) =>
+      var k = 0
+      while (k < cov.length) { cov(k) += o(k); k += 1 }
+      nRows += c
+    }
+    if (nRows > 0L) {
+      var k = 0
+      while (k < cov.length) { cov(k) /= nRows; k += 1 }
+    }
     // trace(C) = the old mean total variance under the same regrouping
     // argument (per-dim means summed vs per-row sums averaged).
     val totVar = r9((0 until dim).map(i => cov(i * dim + i)).sum)

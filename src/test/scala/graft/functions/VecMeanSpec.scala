@@ -42,4 +42,39 @@ class VecMeanSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(plan.toLowerCase.contains("partial_vecmeanagg"), plan)
   }
+
+  test("r22 builtin per-slot form equals the udaf + ROUND-9 transform, any partitioning") {
+    // The distributed Lloyd centroid updates swapped the udaf for
+    // graft.pipeline.Similarity.meanVecRound9 (builtin sums + count at a
+    // known dim). Integer-valued vectors make double summation exact in
+    // any order, so udaf-vs-builtin is equality on the ROUND-9 grid —
+    // the exact expression pair the swap replaced/introduced.
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val dim = 16
+    val rows = for (g <- 0 until 5; _ <- 0 until 97)
+      yield (g, Seq.fill(dim)(rng.nextInt(1000).toDouble))
+    val df = rows.toDF("g", "v").repartition(13)
+
+    val old = df.groupBy("g").agg(VecMean.mean(col("v")).as("m"))
+      .select(col("g"), expr("transform(m.v, x -> round(x, 9))").as("mean"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val neu = df.groupBy("g")
+      .agg(graft.pipeline.Similarity.meanVecRound9("v", dim).as("mean"))
+      .select(col("g"), col("mean"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(old.keySet == neu.keySet)
+    old.foreach { case (g, m) => assert(m == neu(g), s"group $g diverged") }
+  }
+
+  test("r22 builtin per-slot form plans as a codegen hash aggregate with partial combine") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0))).toDF("g", "v")
+    val plan = df.groupBy("g")
+      .agg(graft.pipeline.Similarity.meanVecRound9("v", 2).as("mean"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
+      plan)
+    assert(plan.contains("partial_sum") && plan.contains("partial_count"), plan)
+  }
 }
