@@ -155,16 +155,11 @@ object Clusters {
     * doc-frequency aggregate, one equi-join on the shingle — never an
     * all-pairs comparison.
     *
-    * `lenBandWidth > 0` adds a text-length band to the join key for
-    * callers that will drop length-mismatched pairs anyway (edit
-    * distance: |len(a)−len(b)| ≤ maxDist is a free lower bound on the
-    * distance). |len diff| ≤ W guarantees the two length buckets of
-    * width W differ by at most 1, so joining each probe row against its
-    * own bucket ±1 keeps EVERY pair the caller's length filter keeps —
+    * `lenBandWidth > 0` prunes length-mismatched pairs at generation for
+    * callers that will drop them anyway (edit distance:
+    * |len(a)−len(b)| ≤ maxDist is a free lower bound on the distance) —
     * the edge set only loses pairs that filter was about to discard, but
-    * loses them BEFORE the pair shuffle + distinct instead of after. A
-    * qualifying pair still surfaces exactly once per shared shingle (one
-    * of the three probe buckets matches), so no dedup inflation either.
+    * loses them BEFORE the pair distinct instead of after.
     *
     * `hashedKeys = true` replaces the shingle STRING with its xxhash64
     * — for callers whose verify step re-checks the pair exactly (edit
@@ -184,8 +179,7 @@ object Clusters {
     // function (interpreted, not codegen'd) and this table is consumed
     // twice (df filter + join) — recomputing it doubles the dominant cost.
     val sh0Cols = Seq(col("doc_id"), explode(Dedup.shingles(shingleSize)).as("s0")) ++
-      (if (banded) Seq(floor(length(col("text")) / lenBandWidth).as("bkt"),
-        length(col("text")).as("lenc")) else Nil)
+      (if (banded) Seq(length(col("text")).as("lenc")) else Nil)
     val keyed = docs
       .transform(graft.Spread(_))
       .select(sh0Cols: _*)
@@ -198,29 +192,31 @@ object Clusters {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2) // df=1 yields no pair
       .select("s")
-    // Materialized: self-joined; tiny (only shingles that link something).
-    // keep is broadcast so the exploded stream is shuffled once (the pair
-    // self-join), not twice — same rationale as Dedup.ngramJaccardPairs.
-    val sh = graft.Materialize(sh0.join(broadcast(keep), Seq("s")))
-    graft.Materialize.release(sh0)
+    // Pair generation GROUPS the keep-filtered stream per shingle and
+    // explodes the i<j member pairs (r22), instead of the old self-join
+    // (whose banded form probed a ±1 length-bucket explode — 3× the
+    // stream through a second exchange, behind a second Materialize).
+    // The keep broadcast caps every group at maxDf members BEFORE the
+    // collect, so the per-group list is bounded by construction — one
+    // exchange of the kept stream, two bounded codegen Generates, and
+    // the exact |len diff| <= W prune still lands before the pair
+    // distinct. A qualifying pair surfaces once per shared shingle
+    // (position i<j within its group), exactly as each self-join match
+    // did — the distinct'd edge set is IDENTICAL.
+    val sh = sh0.join(broadcast(keep), Seq("s"))
+    val member =
+      if (banded) struct(col("doc_id"), col("lenc")) else struct(col("doc_id"))
+    val grouped = sh.groupBy("s").agg(collect_list(member).as("l"))
+    val indexed = grouped
+      .select(posexplode(col("l")).as(Seq("i", "a")), col("l"))
+      .select(col("a"), explode(expr("slice(l, i + 2, size(l))")).as("b"))
     val pairs =
-      if (!banded)
-        sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      else {
-        val probe = sh.select(col("doc_id"), col("s"), col("lenc"),
-          explode(expr("array(bkt - 1, bkt, bkt + 1)")).as("bkt"))
-        // The EXACT |len diff| <= W prune rides the join (the band
-        // bucket only guarantees ≤ 2W−1): pairs the caller's length
-        // filter was about to discard die here, before the pair
-        // shuffle + distinct.
-        sh.as("a").join(probe.as("b"),
-          col("a.s") === col("b.s") && col("a.bkt") === col("b.bkt") &&
-            abs(col("a.lenc") - col("b.lenc")) <= lenBandWidth &&
-            col("a.doc_id") < col("b.doc_id"))
-      }
+      if (banded)
+        indexed.filter(abs(col("a.lenc") - col("b.lenc")) <= lenBandWidth)
+      else indexed
     pairs
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
       .distinct()
   }
 

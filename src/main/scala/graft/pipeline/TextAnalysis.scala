@@ -1166,9 +1166,19 @@ object TextAnalysis {
     require((dim & (dim - 1)) == 0, "dim must be a power of two (pmod ≡ unsigned mod)")
     val n = docs.count() // bounded driver scalar: the N in idf
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // Materialized: tf has exactly one row per distinct (doc_id, tok),
+    // so the df branch below counts tf ROWS per tok instead of
+    // re-exploding and re-shuffling the corpus token stream through its
+    // own distinct() exchange (r22). The lineage cut is what makes the
+    // sharing real: without it the optimizer prunes any count form in
+    // the df branch back into the old full-stream distinct (verified —
+    // both count(1) and count(tf) canonicalize away), and the stream is
+    // exploded twice. One corpus pass + a pair-table aggregate beats two
+    // corpus passes at every scale (guide: aggregate before you
+    // shuffle).
+    val tf = graft.Materialize(
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("tok"))
       .select(col("doc_id"),
         pmod(graft.functions.PortableHash.hash64(col("tok")), lit(dim.toLong)).as("bucket"),

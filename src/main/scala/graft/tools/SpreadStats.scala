@@ -1,0 +1,18 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+object SpreadStats {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32, "spreadstats")
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val t = graft.Tables(spark, dir)
+    def st(tag: String, df: org.apache.spark.sql.DataFrame): Unit =
+      println(s"[spreadstats] $tag sizeInBytes=${df.queryExecution.optimizedPlan.stats.sizeInBytes}")
+    st("documents", t.documents)
+    st("documents.select(doc_id,text)", t.documents.select("doc_id","text"))
+    st("embeddings", t.embeddings)
+    st("lineitem", spark.read.parquet(s"$dir/lineitem.parquet"))
+    
+    spark.stop()
+  }
+}

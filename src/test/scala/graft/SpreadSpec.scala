@@ -11,11 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class SpreadSpec extends AnyFunSuite {
   import SparkTestSession.spark
 
-  test("small input spreads to defaultParallelism (the historical plan)") {
+  test("small input spreads to the size-derived width, capped at cores") {
     val df = spark.range(1000).toDF("x")
-    val out = Spread(df)
-    assert(out.rdd.getNumPartitions ==
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val expected = Spread.width(spark, bytes, spark.sparkContext.defaultParallelism)
+    assert(Spread(df).rdd.getNumPartitions == expected)
+    assert(expected >= 1 &&
+      expected <= spark.sparkContext.defaultParallelism)
+    // Enough bytes (or a small enough per-partition target) still reach
+    // the full core count — the historical plan for CPU-dense inputs.
+    spark.conf.set("spark.graft.spread.targetBytesPerPartition", "1")
+    try assert(Spread(df).rdd.getNumPartitions ==
       spark.sparkContext.defaultParallelism)
+    finally spark.conf.unset("spark.graft.spread.targetBytesPerPartition")
   }
 
   test("past the byte threshold the source partitioning is untouched") {
@@ -31,14 +39,18 @@ class SpreadSpec extends AnyFunSuite {
   test("the gate fires on the REAL pipeline input shapes at test scale") {
     // Parquet scan stats are file bytes; typed-map outputs (the media
     // attachPayloads shape) inherit child estimates — both must stay on
-    // the spread side at every oracle/bench SF, or a decode path would
-    // silently serialize onto the scan's row-group count.
+    // the SPREAD side at every oracle/bench SF (a repartition happens,
+    // at the size-derived width), or a decode path would silently
+    // serialize onto the scan's row-group count.
+    val cores = spark.sparkContext.defaultParallelism
     val docs = Tables(spark, SparkTestSession.sf0001).documents
-    assert(Spread(docs).rdd.getNumPartitions ==
-      spark.sparkContext.defaultParallelism)
-    val media = graft.pipeline.Multimodal.attachPayloads(docs)
-    assert(Spread(media.toDF()).rdd.getNumPartitions ==
-      spark.sparkContext.defaultParallelism)
+    val docsW = Spread.width(spark,
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes, cores)
+    assert(Spread(docs).rdd.getNumPartitions == docsW && docsW >= 1)
+    val media = graft.pipeline.Multimodal.attachPayloads(docs).toDF()
+    val mediaW = Spread.width(spark,
+      media.queryExecution.optimizedPlan.stats.sizeInBytes, cores)
+    assert(Spread(media).rdd.getNumPartitions == mediaW && mediaW >= 1)
   }
 
   test("streaming frames keep the unconditional repartition") {
