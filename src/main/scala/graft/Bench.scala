@@ -310,7 +310,12 @@ object Bench {
       name -> Seq(timed(name), timed(name), timed(name))
     }
     val loadEnd = loadavg()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
+    // 3-dp minima (r22): the full-precision doubles added ~3 KB to the
+    // one-line JSON for digits below timer noise; keeping the line small
+    // is what keeps it inside the driver's stdout tail-capture budget
+    // (the r20 line was lost to truncation; the on-disk copy below is
+    // the backstop either way).
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num3(v.min) }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(num3).mkString("[", ",", "]")

@@ -1253,7 +1253,14 @@ object Dedup {
     val firsts = hashed.groupBy("h").agg(min("doc_id").as("first_id"))
     val intra = hashed.join(firsts, Seq("h"))
     val lookedUp =
-      if (hashed.count() <= broadcastMaxRows) {
+      if (!graft.sinks.BucketedStore.exists(spark, storeDir))
+        // Never-written store (a fresh frontier, a stream's first
+        // micro-batch): the probe is a join against a provably empty
+        // relation — every store_doc_id comes back null — so skip the
+        // matches materialization, its broadcast, the sizing count, and
+        // the join itself (r22). One marker-file FS check, no jobs.
+        intra.withColumn("store_doc_id", lit(null).cast("long"))
+      else if (hashed.count() <= broadcastMaxRows) {
         // matches ≤ increment rows: stream the store against the broadcast
         // increment hash set, then annotate the increment entirely
         // broadcast-side. Zero Exchange anywhere near the store.

@@ -373,32 +373,43 @@ object TextAnalysis {
     * quality gates: fraction of tokens inside duplicated bigrams, most-
     * frequent-token share, and the duplicate-line fraction proxy (here:
     * share of tokens in positions whose token repeats its predecessor).
-    * One explode + window pass; no shuffle beyond the per-doc windows. */
+    *
+    * All four statistics are per-doc COUNT functions of the (doc, token)
+    * and (doc, bigram) multiplicity tables, so they compute as two
+    * map-side-combined hash aggregates + one per-doc join (r22) — the
+    * old form ran THREE window functions over the exploded stream
+    * (lag + two count-over-partitions = three full sort exchanges of
+    * every token). adj_rep = Σ counts of pairs with prev = cur;
+    * dup_bigram_pos = Σ counts of bigram types occurring more than once
+    * — integer-exact identities with the per-position window sums. The
+    * adjacent-pair stream is the r21 codegen kernel. */
   def repetitionQuality(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val tok = docs
-      .transform(graft.Spread(_))
-      .select(col("doc_id"),
-        posexplode(tokens).as(Seq("pos", "token")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val withBigram = tok
-      .withColumn("prev", lag("token", 1).over(w))
-      .withColumn("bigram",
-        when(col("prev").isNotNull, concat_ws(" ", col("prev"), col("token"))))
-      .withColumn("cnt_tok",
-        count(lit(1)).over(Window.partitionBy("doc_id", "token")))
-      .withColumn("bigram_cnt",
-        when(col("bigram").isNotNull,
-          count(lit(1)).over(Window.partitionBy("doc_id", "bigram"))))
-    withBigram.groupBy("doc_id").agg(
-        count(lit(1)).as("n_tokens"),
-        max(col("cnt_tok")).as("top_tok"),
-        sum(when(col("token") === col("prev"), 1L).otherwise(0L)).as("adj_rep"),
-        sum(when(col("bigram_cnt") > 1, 1L).otherwise(0L)).as("dup_bigram_pos"))
+    val spread = docs.transform(graft.Spread(_))
+    val tokAgg = spread
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), max("c").as("top_tok"))
+    val bgAgg = spread
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(graft.functions.Kgrams.pairs(
+        spark, col("toks"), joined = false, "prev", "cur")).as("b"))
+      .groupBy(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("prev") === col("cur"), col("c")).otherwise(0L))
+          .as("adj_rep"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bigram_pos"))
+    tokAgg.join(bgAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         round(col("top_tok") / col("n_tokens"), 4).as("top_token_frac"),
-        round(col("adj_rep") / col("n_tokens"), 4).as("adjacent_rep_frac"),
-        round(col("dup_bigram_pos") / greatest(col("n_tokens") - 1, lit(1L)), 4)
+        round(coalesce(col("adj_rep"), lit(0L)) / col("n_tokens"), 4)
+          .as("adjacent_rep_frac"),
+        round(coalesce(col("dup_bigram_pos"), lit(0L)) /
+            greatest(col("n_tokens") - 1, lit(1L)), 4)
           .as("dup_bigram_frac"))
   }
 
